@@ -1,0 +1,149 @@
+"""Multi-stream operators: union, window join, interval join, connect.
+
+Reference semantics (HandlingMultipleStreams.scala):
+- union: merge same-type streams, no order guarantee (:49-85)
+- window join: equi-key pairs that fall in the SAME tumbling window (:87-129)
+- interval join (keyed): θ-join on time proximity, b.time−lower < a.time
+  < b.time+upper, bounds exclusive in the demo (:131-210, bounds :178-180)
+- connect + CoProcess: two heterogeneous streams, one keyed operator,
+  shared state (:212-286); CoMap/CoFlatMap stateless variants (:288-329)
+
+Spark-first: all joins are DataFrame joins (stream-stream joins need
+watermarks on both sides; time-interval join is the documented
+Structured Streaming pattern). ``connect`` becomes tag+union into one
+schema — the columnar encoding of a sum type — optionally followed by
+a stateful keyed operator (operators/stateful.py).
+
+Scale note: both window and interval joins shuffle once on the equi
+key; the window/time predicate rides along as a post-shuffle filter
+(or join key for the window bucket). Small-side joins should be
+broadcast by the caller (F.broadcast) or AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def union_streams(*dfs: DataFrame) -> DataFrame:
+    """Union same-schema streams by column name (J1)."""
+    assert dfs, "need at least one stream"
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    window_size: str,
+) -> DataFrame:
+    """Pairs with equal keys in the same tumbling window (J2).
+
+    Inner join on (key, window-bucket): the window expression is
+    computed on each side BEFORE the join, so this is a plain equi-join
+    — one shuffle per side on (key, window), no θ-predicate blow-up.
+    Output: left.*, right.* (right key/ts deduped), window_start/end.
+    """
+    lw = left.withColumn("__w", F.window(left_ts, window_size))
+    rw = right.withColumn("__w", F.window(right_ts, window_size))
+    joined = lw.alias("l").join(
+        rw.alias("r"),
+        (F.col(f"l.{left_key}") == F.col(f"r.{right_key}"))
+        & (F.col("l.__w") == F.col("r.__w")),
+        "inner",
+    )
+    right_cols = [
+        F.col(f"r.{c}").alias(f"r_{c}" if c in left.columns else c)
+        for c in right.columns
+        if c != right_key
+    ]
+    return joined.select(
+        F.col("l.__w.start").alias("window_start"),
+        F.col("l.__w.end").alias("window_end"),
+        *[F.col(f"l.{c}") for c in left.columns],
+        *right_cols,
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "2 seconds",
+    upper: str = "2 seconds",
+    *,
+    lower_exclusive: bool = True,
+    upper_exclusive: bool = True,
+) -> DataFrame:
+    """Keyed time-proximity join (J3): emit (a, b) where
+    ``b.ts − lower (<|≤) a.ts (<|≤) b.ts + upper``.
+
+    The reference demo uses exclusive bounds both sides
+    (HandlingMultipleStreams.scala:178-180). In streaming, both inputs
+    must carry watermarks; the same expression then bounds state
+    retention (Spark evicts join state past watermark+interval).
+    """
+    lo_op = "__gt__" if lower_exclusive else "__ge__"
+    hi_op = "__lt__" if upper_exclusive else "__le__"
+    l_ts = F.col(f"l.{left_ts}")
+    r_ts = F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{left_key}") == F.col(f"r.{right_key}"))
+        & getattr(l_ts, lo_op)(r_ts - F.expr(f"INTERVAL {lower}"))
+        & getattr(l_ts, hi_op)(r_ts + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.alias("l").join(right.alias("r"), cond, "inner")
+
+
+def connect(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_tag: str = "left",
+    right_tag: str = "right",
+    tag_col: str = "src",
+) -> DataFrame:
+    """ConnectedStreams analog (J4): tag + union into one schema.
+
+    Columns present on only one side become NULL on the other — the
+    flat encoding of the two-variant sum type. Follow with
+    ``stateful.keyed_process`` for CoProcessFunction shared-state
+    logic, or plain per-tag expressions for CoMap/CoFlatMap (J5).
+    """
+    l_cols = dict(zip(left.columns, left.schema.fields))
+    r_cols = dict(zip(right.columns, right.schema.fields))
+    all_cols = list(dict.fromkeys([*left.columns, *right.columns]))
+
+    def pad(df: DataFrame, have: dict, tag: str) -> DataFrame:
+        other = r_cols if tag == left_tag else l_cols
+        sel = [F.lit(tag).alias(tag_col)]
+        for c in all_cols:
+            if c in have:
+                sel.append(F.col(c))
+            else:
+                sel.append(F.lit(None).cast(other[c].dataType).alias(c))
+        return df.select(*sel)
+
+    return pad(left, l_cols, left_tag).unionByName(pad(right, r_cols, right_tag))
+
+
+def co_map(
+    left: DataFrame,
+    right: DataFrame,
+    left_exprs: list[Column],
+    right_exprs: list[Column],
+) -> DataFrame:
+    """CoMapFunction (J5): per-stream map into a common output type,
+    then union — semantically identical since CoMap shares no state
+    (HandlingMultipleStreams.scala:288-329)."""
+    return left.select(*left_exprs).unionByName(right.select(*right_exprs))

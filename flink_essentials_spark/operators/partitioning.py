@@ -1,0 +1,51 @@
+"""Physical distribution knobs: partitioning, shuffle, parallelism.
+
+Reference semantics (Partitions.scala): custom hash partitioner
+(:54-151, incl. the all-to-one skew anti-pattern), random ``shuffle``
+(:153-173), ``setParallelism`` (BuiltIn.scala:104-123), operator
+chaining (:175-268).
+
+Spark-first: hash routing is ``repartition(n, key)``; random is
+round-robin ``repartition(n)``; chaining is whole-stage codegen
+(automatic); skew is AQE skew-join + the salting helper below. The
+reference's LESSON — a partitioner that routes everything to one task
+destroys parallelism (Partitions.scala:104-129) — is exactly the skew
+problem salt_key solves at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def partition_by_key(df: DataFrame, *keys: str | Column, num_partitions: int | None = None) -> DataFrame:
+    """partitionCustom(hash) analog (Partitions.scala:67-81)."""
+    if num_partitions is None:
+        return df.repartition(*keys)
+    return df.repartition(num_partitions, *keys)
+
+
+def shuffle_random(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Random redistribution (Partitions.scala:153-173) — round-robin."""
+    return df.repartition(num_partitions)
+
+
+def range_partition(df: DataFrame, num_partitions: int, *keys: str | Column) -> DataFrame:
+    """Range partitioning — ordered output / sorted file layouts."""
+    return df.repartitionByRange(num_partitions, *keys)
+
+
+def single_file_sink(df: DataFrame) -> DataFrame:
+    """Sink parallelism 1 (BuiltIn.scala:116-123): one output file."""
+    return df.coalesce(1)
+
+
+def salt_key(df: DataFrame, key: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
+    """Split a hot key across ``buckets`` subkeys for two-phase aggs.
+
+    groupBy(key, salt) partial → groupBy(key) final. Use when one key
+    holds ≫ 1/parallelism of all rows; AQE skew-join covers the join
+    case, this covers aggregation.
+    """
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(buckets)))

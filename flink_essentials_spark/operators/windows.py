@@ -1,0 +1,117 @@
+"""Event-time windows: tumbling / sliding / session / global-count.
+
+Reference semantics (Windows.scala): assigners bucket events on EVENT
+time; keyed windows scope buckets per key; window functions see either
+the whole buffer (ProcessWindowFunction) or fold incrementally
+(AggregateFunction). Spark's ``window()`` / ``session_window()``
+expressions implement the same assigners for both batch DataFrames and
+Structured Streaming, epoch-aligned, with incremental (partial+final)
+aggregation built in — Flink's AggregateFunction.merge
+(Windows.scala:161-180) is exactly Spark's partial-agg model.
+
+Scale note: a window agg is ONE shuffle on (window, key). The window
+column derives from the timestamp pre-shuffle, so partial aggregation
+runs map-side; skewed keys are split by AQE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tumbling",
+    "sliding",
+    "session",
+    "window_agg",
+    "windowed_count",
+    "global_count_windows",
+]
+
+
+def tumbling(ts: str | Column, size: str) -> Column:
+    """TumblingEventTimeWindows.of(size) — Windows.scala:84-86."""
+    return F.window(ts, size)
+
+
+def sliding(ts: str | Column, size: str, slide: str) -> Column:
+    """SlidingEventTimeWindows.of(size, slide) — Windows.scala:243-247."""
+    return F.window(ts, size, slide)
+
+
+def session(ts: str | Column, gap: str) -> Column:
+    """EventTimeSessionWindows.withGap(gap) — Windows.scala:311-318.
+
+    Session bounds: [min(ts), max(ts)+gap) per key — same as Flink's
+    merging session assigner.
+    """
+    return F.session_window(ts, gap)
+
+
+def window_agg(
+    df: DataFrame,
+    window_col: Column,
+    keys: Sequence[str | Column] = (),
+    *aggs: Column,
+) -> DataFrame:
+    """Keyed or non-keyed window aggregation.
+
+    Non-keyed (= Flink ``windowAll``, Windows.scala:84-86) is just an
+    empty key list — unlike Flink, this does NOT force parallelism 1:
+    partial aggregation fans in per-partition, only the final merge per
+    window is single-task. Emits window_start/window_end timestamp
+    columns alongside the aggregates (ProcessWindowFunction exposes the
+    same bounds — Windows.scala:117-131).
+    """
+    grouped = df.groupBy(window_col.alias("w"), *keys)
+    out = grouped.agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[c for c in out.columns if c != "w"],
+    )
+
+
+def windowed_count(
+    df: DataFrame,
+    window_col: Column,
+    keys: Sequence[str | Column] = (),
+    predicate: Column | None = None,
+) -> DataFrame:
+    """CountInWindow / CountInAllWindow(predicate) (Windows.scala:117-152).
+
+    ``predicate`` counts only matching rows while windows are still
+    formed from ALL rows — count_if semantics, so windows with zero
+    matches still appear (the reference's `0 registrations` window four,
+    Windows.scala:101-111).
+    """
+    agg = (
+        F.count(F.lit(1)) if predicate is None else F.count_if(predicate)
+    ).alias("cnt")
+    return window_agg(df, window_col, keys, agg)
+
+
+def global_count_windows(
+    df: DataFrame,
+    order_by: str | Column,
+    count: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """GlobalWindows + CountTrigger.of(N) (Windows.scala:347-365), batch form.
+
+    One infinite window fired every N elements = group rows into
+    consecutive N-element buckets in ``order_by`` order (per key if
+    given). Emits (keys..., window_seq, cnt). The streaming form with
+    true incremental firing is operators/triggers.py:count_trigger.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(order_by) if keys else W.orderBy(order_by)
+    bucket = F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(count))
+    return (
+        df.withColumn("window_seq", bucket)
+        .groupBy(*keys, "window_seq")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,112 @@
+"""Unbounded sources (reference §2.1 S4/S5/S6).
+
+- socket lines (SocketTextStreamWordCount.scala:59) → socket source
+- synthetic event generators (ShoppingCartEventsGenerator.scala) →
+  ``rate`` / ``rate-micro-batch`` source + deterministic column
+  mapping: every generated field is a pure function of the rate
+  source's ``value`` counter, so a replay is bit-identical — stronger
+  determinism than the reference's wall-clock generator.
+- file replay (deterministic fixture streaming): ``readStream`` over a
+  directory with ``maxFilesPerTrigger=1`` — the engine's test harness
+  for incremental semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CART_USERS = ("Bob", "Alice", "Sam", "Tom", "Rob")  # reference :159
+
+
+def socket_lines(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """socketTextStream (S4)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def rate_source(
+    spark: SparkSession, rows_per_second: int = 10, *, micro_batch: bool = False
+) -> DataFrame:
+    """Monotonic (timestamp, value) counter stream."""
+    fmt = "rate-micro-batch" if micro_batch else "rate"
+    opt = "rowsPerBatch" if micro_batch else "rowsPerSecond"
+    return spark.readStream.format(fmt).option(opt, rows_per_second).load()
+
+
+def _user(col):
+    return F.element_at(
+        F.array(*[F.lit(u) for u in CART_USERS]), (col % len(CART_USERS) + 1).cast("int")
+    )
+
+
+def shopping_cart_source(
+    spark: SparkSession,
+    events_per_second: int = 10,
+    *,
+    base_time: str = "2022-02-02T00:00:00",
+    generate_removed: bool = False,
+    sku_prefix: str = "",
+) -> DataFrame:
+    """SingleShoppingCartEventsGenerator analog (S5/S6).
+
+    Event time = base + value seconds (reference :70,114 — monotonic);
+    all fields deterministic functions of the counter.
+    """
+    v = F.col("value")
+    etype = (
+        F.when((v % 3) == 2, F.lit("RemovedFromShoppingCartEvent")).otherwise(
+            F.lit("AddToShoppingCartEvent")
+        )
+        if generate_removed
+        else F.lit("AddToShoppingCartEvent")
+    )
+    return rate_source(spark, events_per_second).select(
+        etype.alias("event_type"),
+        _user(v).alias("user_id"),
+        F.concat(F.lit(sku_prefix), F.lpad(v.cast("string"), 8, "0"),
+                 F.lit("-0000-0000-0000-000000000000")).alias("sku"),
+        (v % 10).cast("int").alias("quantity"),
+        (F.to_timestamp(F.lit(base_time)) + F.make_interval(secs=v.cast("double"))).alias("time"),
+    )
+
+
+def catalog_source(
+    spark: SparkSession,
+    events_per_second: int = 10,
+    *,
+    base_time: str = "2022-02-02T00:00:00",
+) -> DataFrame:
+    """CatalogEventsGenerator analog (reference :177-191)."""
+    v = F.col("value")
+    return rate_source(spark, events_per_second).select(
+        _user(v + 1).alias("user_id"),
+        (F.to_timestamp(F.lit(base_time)) + F.make_interval(secs=v.cast("double"))).alias("time"),
+        F.concat(F.lpad((v + 10_000).cast("string"), 8, "0"),
+                 F.lit("-0000-0000-0000-000000000000")).alias("product_id"),
+    )
+
+
+def file_replay(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    files_per_trigger: int = 1,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Replay a directory of files as a stream, N files per micro-batch.
+
+    The deterministic-streaming test harness (SURVEY §5): write a
+    fixture as ordered files, replay, assert per-micro-batch output.
+    """
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .load(path)
+    )

@@ -1,0 +1,69 @@
+"""Load and register the driver's testdata tables.
+
+``load_tables(spark, sf_dir)`` returns a dict of DataFrames;
+``register_views`` additionally registers each as a temp view so
+queries can be written in SQL. Reads are plain parquet scans —
+Catalyst pushes filters/column pruning into them, which is the entire
+I/O story at 100 TB (plus partitioned layouts, handled by the same
+reader).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_essentials_spark.session import ensure_engine_conf
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at ANY scale factor
+# (region=5, nation=25 rows always; TPC-H scales only the fact side).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> dict[str, DataFrame]:
+    ensure_engine_conf(spark)
+    # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    # reader rejects by default; read nanos as long, convert to micros.
+    # DuckDB's ns→us cast truncates identically, so oracles agree.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables = {}
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if name == "events":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        tables[name] = df
+    return tables
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> dict[str, DataFrame]:
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
