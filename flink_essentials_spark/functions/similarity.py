@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — query side broadcast, one pass
+over the corpus, per-partition partial top-k via the rank window (AQE
+handles the final shuffle; at 100 TB, swap the window for a
+per-partition heap via mapInPandas if the candidate set explodes).
+
+Scale path: LSH bucketing — random-hyperplane signs (SimHash for
+vectors) bucket the corpus; queries probe only their bucket. An IVF
+variant (k-means coarse quantizer) is the classic alternative; the
+hyperplane version needs no training pass, so it ships first.
+
+All dot products are left-to-right folds over double-cast elements —
+deterministic, and reproducible in DuckDB (list_dot_product) for the
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+# Deterministic pseudo-random hyperplanes: component j of plane p is
+# derived from a fixed integer hash — reproducible anywhere, no RNG.
+_HP_P = 1073741789
+
+
+def _hp_component(p: int, j: int) -> float:
+    # simple LCG-ish mix → value in [-0.5, 0.5)
+    v = (1103515245 * (p * 977 + j * 31 + 12345) + 12345) % _HP_P
+    return v / _HP_P - 0.5
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected small (it is broadcast); corpus is scanned
+    once. Rounded to 6 decimals with id tiebreak → deterministic ranks.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def hyperplane_bucket(
+    df: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH bucket id: sign bits against ``num_planes`` fixed hyperplanes.
+
+    Near-identical vectors land in the same bucket with high
+    probability; search cost drops from O(corpus) to O(bucket).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    bucket = None
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(_hp_component(p, j)) for j in range(dim)])
+        s = dot(v, plane)
+        bit = F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("bucket", bucket.cast("bigint"))
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket.
+
+    Recall < 1.0 by construction; the scale path when brute force is
+    too expensive. Same output shape as cosine_topk.
+    """
+    cb = hyperplane_bucket(corpus, num_planes, dim, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "bucket",
+    )
+    qb = hyperplane_bucket(queries, num_planes, dim, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        F.broadcast(qb)
+        .join(
+            cb,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

@@ -1,0 +1,123 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Everything here is pure Column expressions (JVM-side, codegen) — at
+100 TB these run inside the parquet scan stage with zero extra
+shuffles. Cross-engine determinism (for DuckDB oracles) comes from
+md5-based word hashing: identical hex in every engine, converted to
+bigint via a 15-hex-digit prefix (< 2^60, no sign/overflow issues).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_essentials_spark.operators.transform import tokenize
+
+# Tiny per-language marker sets (function words). An honest n-gram/
+# stopword language-ID heuristic: score = marker hits, argmax wins,
+# deterministic lexicographic tiebreak.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def word_hash(word: Column) -> Column:
+    """Deterministic 60-bit word hash from the md5 hex prefix.
+
+    Reproducible in any engine with md5 — the backbone of fingerprints,
+    MinHash and SimHash below.
+    """
+    return F.conv(F.substring(F.md5(F.encode(word, "utf-8")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+SQL_WORD_HASH = "(('0x' || substring(md5({w}), 1, 15)))::BIGINT"
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting + basic shape stats per document."""
+    toks = tokenize(F.col(text_col))
+    return df.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score: length norm, stopword ratio, lexical
+    diversity. Formula kept to integer-derived double arithmetic so any
+    engine reproduces it bit-for-bit."""
+    toks = tokenize(F.col(text_col))
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, sw))
+    out = df.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        (n_uniq.cast("double") / n_tok).alias("lexical_diversity"),
+        (n_stop.cast("double") / n_tok).alias("stopword_kinds_ratio"),
+    )
+    return out.withColumn(
+        "quality_score",
+        F.round(
+            F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0)) * 0.5
+            + F.col("lexical_diversity") * 0.3
+            + F.col("stopword_kinds_ratio") * 0.2,
+            6,
+        ),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID with deterministic argmax."""
+    toks = tokenize(F.col(text_col))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias(
+            f"score_{lang}"
+        )
+        for lang, ws in LANG_MARKERS.items()
+    ]
+    scored = df.select(id_col, *scores)
+    # argmax with lexicographic tiebreak: pack (score, neg-ordinal) structs
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(-i).alias("o"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return scored.select(
+        id_col,
+        *[f"score_{lang}" for lang in langs],
+        F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("unknown")).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive bag fingerprint: XOR of per-DISTINCT-token md5
+    hashes + token count. Content-addressable doc identity for dedup
+    pipelines; any engine reproduces it."""
+    toks = F.array_distinct(tokenize(F.col(text_col)))
+    hashed = F.transform(toks, word_hash)
+    fp = F.aggregate(hashed, F.lit(0).cast("bigint"), lambda acc, h: acc.bitwiseXOR(h))
+    return df.select(
+        id_col,
+        fp.alias("fingerprint"),
+        F.size(toks).alias("n_unique_tokens"),
+    )

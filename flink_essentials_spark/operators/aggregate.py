@@ -34,11 +34,13 @@ def rolling_agg(
 ) -> DataFrame:
     """Rolling per-key aggregates in event order (emission history).
 
-    ``rolling`` maps output name → aggregate expression; each is applied
-    over rows from the key's first event to the current one. Requires a
-    deterministic total order (pass a unique tiebreak column, e.g. an
-    event id) — reference rolling reduce is arrival-order, which only a
-    unique ordering makes reproducible (the reference itself leans on
+    ``rolling`` maps output name → PLAIN aggregate expression (``.over``
+    is attached here, so don't wrap the aggregate in casts — cast the
+    output column afterwards). Each aggregate runs over rows from the
+    key's first event to the current one. Requires a deterministic
+    total order (pass a unique tiebreak column, e.g. an event id) —
+    reference rolling reduce is arrival-order, which only a unique
+    ordering makes reproducible (the reference itself leans on
     event-time determinism, TimeBasedTransformations.scala:180-209).
     """
     w = (

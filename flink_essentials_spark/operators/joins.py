@@ -62,7 +62,6 @@ def window_join(
     right_cols = [
         F.col(f"r.{c}").alias(f"r_{c}" if c in left.columns else c)
         for c in right.columns
-        if c != right_key
     ]
     return joined.select(
         F.col("l.__w.start").alias("window_start"),

@@ -1,0 +1,109 @@
+"""Query registry: every oracle-checked query the engine claims.
+
+``ALL_QUERIES`` maps name → Query(fn, oracle). The driver contract
+(__spark_entry__.py) is generated from this registry; tests and bench
+consume it too, so there is exactly one source of truth.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_essentials_spark.queries import dataflow, llmdata, relational
+from flink_essentials_spark.tables import load_tables
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 through the REAL streaming path: documents replayed as a
+    file stream (maxFilesPerTrigger=1) → tokenize → groupBy count →
+    complete-mode memory sink. Final state equals the batch word count,
+    which is what the oracle checks; incremental per-batch behavior is
+    asserted in tests/."""
+    from flink_essentials_spark.operators.aggregate import word_count
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    t = load_tables(spark, sf_dir)
+    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    t["documents"].select("text").repartition(4).write.mode("overwrite").parquet(
+        replay_dir
+    )
+    stream = file_replay(spark, replay_dir, "text string", files_per_trigger=1)
+    counted = word_count(stream, "text")
+    name = "wc_" + uuid.uuid4().hex[:8]
+    return run_to_memory(spark, counted, name, output_mode="complete")
+
+
+_REGISTRY: list[Query] = [
+    # --- relational batch substrate
+    Query("pricing_summary", relational.q_pricing_summary, relational.Q_PRICING_SUMMARY_SQL),
+    Query("top_customers", relational.q_top_customers, relational.Q_TOP_CUSTOMERS_SQL),
+    Query("region_revenue", relational.q_region_revenue, relational.Q_REGION_REVENUE_SQL),
+    Query("order_priority", relational.q_order_priority, relational.Q_ORDER_PRIORITY_SQL),
+    Query("parts_rollup", relational.q_parts_rollup, relational.Q_PARTS_ROLLUP_SQL),
+    Query("supplier_balance_rank", relational.q_supplier_balance_rank, relational.Q_SUPPLIER_BALANCE_RANK_SQL),
+    # --- element-wise (SURVEY §2.3)
+    Query("map_flatmap_filter", dataflow.q_map_flatmap_filter, dataflow.Q_MAP_FLATMAP_FILTER_SQL),
+    Query("fizzbuzz", dataflow.q_fizzbuzz, dataflow.Q_FIZZBUZZ_SQL),
+    Query("explode_quantity", dataflow.q_explode_quantity, dataflow.Q_EXPLODE_QUANTITY_SQL),
+    Query("wordcount", dataflow.q_wordcount, dataflow.Q_WORDCOUNT_SQL),
+    # --- windows (§2.5)
+    Query("tumbling_windows", dataflow.q_tumbling_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
+    Query("keyed_tumbling_windows", dataflow.q_keyed_tumbling_windows, dataflow.Q_KEYED_TUMBLING_WINDOWS_SQL),
+    Query("sliding_windows", dataflow.q_sliding_windows, dataflow.Q_SLIDING_WINDOWS_SQL),
+    Query("session_windows", dataflow.q_session_windows, dataflow.Q_SESSION_WINDOWS_SQL),
+    Query("global_count_windows", dataflow.q_global_count_windows, dataflow.Q_GLOBAL_COUNT_WINDOWS_SQL),
+    # --- keyed/rolling agg (§2.4)
+    Query("rolling_user_counts", dataflow.q_rolling_user_counts, dataflow.Q_ROLLING_USER_COUNTS_SQL),
+    # --- multi-stream (§2.7)
+    Query("union_streams", dataflow.q_union_streams, dataflow.Q_UNION_STREAMS_SQL),
+    Query("window_join", dataflow.q_window_join, dataflow.Q_WINDOW_JOIN_SQL),
+    Query("interval_join", dataflow.q_interval_join, dataflow.Q_INTERVAL_JOIN_SQL),
+    Query("connect_tagged", dataflow.q_connect_tagged, dataflow.Q_CONNECT_TAGGED_SQL),
+    # --- keyed state analogs (§2.9)
+    Query("map_state_counts", dataflow.q_map_state_counts, dataflow.Q_MAP_STATE_COUNTS_SQL),
+    Query("first_window_counts", dataflow.q_first_window_counts, dataflow.Q_FIRST_WINDOW_COUNTS_SQL),
+    # --- triggers & evictors (§2.6) — the stateful operator itself under oracle
+    Query("count_trigger_fires", dataflow.q_count_trigger_fires, dataflow.Q_COUNT_TRIGGER_FIRES_SQL),
+    Query("purging_trigger_fires", dataflow.q_purging_trigger_fires, dataflow.Q_PURGING_TRIGGER_FIRES_SQL),
+    Query("count_evictor_fires", dataflow.q_count_evictor_fires, dataflow.Q_COUNT_EVICTOR_FIRES_SQL),
+    # --- in-engine top-k / pivot (EP3 upgrade)
+    Query("topk_per_group", dataflow.q_topk_per_group, dataflow.Q_TOPK_PER_GROUP_SQL),
+    Query("pivot_user_activity", dataflow.q_pivot_user_activity, dataflow.Q_PIVOT_USER_ACTIVITY_SQL),
+    # --- streaming path (oracle checks final state)
+    Query("streaming_wordcount", q_streaming_wordcount, dataflow.Q_WORDCOUNT_SQL),
+    # --- dedup (§2.11)
+    Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),
+    Query("dedup_jaccard", llmdata.q_dedup_jaccard, llmdata.Q_DEDUP_JACCARD_SQL),
+    Query("minhash_signatures", llmdata.q_minhash_signatures, llmdata.Q_MINHASH_SIGNATURES_SQL),
+    Query("minhash_lsh_pairs", llmdata.q_minhash_lsh_pairs, llmdata.Q_MINHASH_LSH_PAIRS_SQL),
+    Query("simhash", llmdata.q_simhash, llmdata.Q_SIMHASH_SQL),
+    Query("simhash_pairs", llmdata.q_simhash_pairs, llmdata.Q_SIMHASH_PAIRS_SQL),
+    # --- similarity search (§2.11)
+    Query("similarity_topk", llmdata.q_similarity_topk, llmdata.Q_SIMILARITY_TOPK_SQL),
+    # --- text analysis (§2.11)
+    Query("token_stats", llmdata.q_token_stats, llmdata.Q_TOKEN_STATS_SQL),
+    Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
+    Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),
+    Query("doc_fingerprint", llmdata.q_fingerprint, llmdata.Q_FINGERPRINT_SQL),
+    # --- multimodal (§2.11)
+    Query("media_stats", llmdata.q_media_stats, llmdata.Q_MEDIA_STATS_SQL),
+    # --- cardinality
+    Query("cardinality", llmdata.q_cardinality, llmdata.Q_CARDINALITY_SQL),
+]
+
+ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -1,0 +1,547 @@
+"""Dataflow-parity queries: every SURVEY §2 operator, oracle-checkable.
+
+Each query runs a reference-repo operator semantic over the driver's
+``events``/``documents`` tables through the engine's operator layer,
+with an exact ANSI-SQL oracle. Batch frames are used so DuckDB can
+oracle the same computation; the streaming forms of the same operators
+are exercised in tests/ via file replay (SURVEY §5 strategy) and one
+representative streaming query lives in catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_essentials_spark.operators import joins, transform, triggers, windows
+from flink_essentials_spark.operators.aggregate import rolling_agg, word_count
+from flink_essentials_spark.queries.util import dec, ms
+from flink_essentials_spark.tables import load_tables
+
+# --- T1/T2/T3: map → flatMap → filter (BuiltIn.scala:53-75 shape) ----------
+
+
+def q_map_flatmap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x→3x, duplicate each, keep evens — the reference's first pipeline
+    (fromElements→map→flatMap→filter, BuiltIn.scala:53-75) over event ids."""
+    t = load_tables(spark, sf_dir)
+    tripled = t["events"].select((F.col("event_id") * 3).alias("v"))
+    duped = transform.flat_map_array(
+        tripled, F.array(F.col("v"), F.col("v")), "v"
+    )
+    return transform.filter_rows(duped, (F.col("v") % 2) == 0)
+
+
+Q_MAP_FLATMAP_FILTER_SQL = """
+SELECT v FROM (
+  SELECT unnest([event_id * 3, event_id * 3]) AS v FROM events
+) WHERE v % 2 = 0
+"""
+
+
+def q_fizzbuzz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fizzbuzz map+filter (BuiltIn.scala:128-177) over event ids."""
+    t = load_tables(spark, sf_dir)
+    fb = transform.fizzbuzz(t["events"].select(F.col("event_id").alias("n")))
+    return fb.filter(F.col("output") == "FizzBuzz")
+
+
+Q_FIZZBUZZ_SQL = """
+SELECT n, 'FizzBuzz' AS output
+FROM (SELECT event_id AS n FROM events)
+WHERE n % 15 = 0
+"""
+
+
+def q_explode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N flatMap (RichFunctions.scala:182-194 quantity→sku expansion):
+    emit one row per linenumber unit, with its 1-based position."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey", "l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.posexplode(F.array_repeat(F.lit(1), F.col("l_linenumber"))).alias(
+            "pos", "one"
+        ),
+    ).select(
+        "l_orderkey", "l_partkey", (F.col("pos") + 1).alias("unit_idx")
+    )
+
+
+Q_EXPLODE_QUANTITY_SQL = """
+SELECT l_orderkey, l_partkey,
+       unnest(generate_series(1, l_linenumber)) AS unit_idx
+FROM lineitem
+"""
+
+
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 word count over documents.text (tokenize → groupBy → count)."""
+    t = load_tables(spark, sf_dir)
+    return word_count(t["documents"], "text")
+
+
+Q_WORDCOUNT_SQL = r"""
+SELECT word, COUNT(*) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '\W+')) AS word FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+"""
+
+# --- W1-W5: windows over events ---------------------------------------------
+
+
+def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-keyed tumbling windows (W1): 10-minute event count + exact
+    value sum. windowAll ≠ parallelism 1 here: partial aggs fan in."""
+    t = load_tables(spark, sf_dir)
+    out = windows.window_agg(
+        t["events"],
+        windows.tumbling("ts", "10 minutes"),
+        [],
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+    return out.select(
+        ms("window_start").alias("window_start_ms"), "cnt", "sum_value"
+    )
+
+
+Q_TUMBLING_WINDOWS_SQL = """
+SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+def q_keyed_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed tumbling windows (W2): per event_type per hour."""
+    t = load_tables(spark, sf_dir)
+    out = windows.window_agg(
+        t["events"],
+        windows.tumbling("ts", "1 hour"),
+        ["event_type"],
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return out.select(
+        ms("window_start").alias("window_start_ms"), "event_type", "cnt"
+    )
+
+
+Q_KEYED_TUMBLING_WINDOWS_SQL = """
+SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+       event_type, COUNT(*) AS cnt
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (W3): 2-hour windows sliding 1 hour; every event
+    lands in exactly 2 windows."""
+    t = load_tables(spark, sf_dir)
+    out = windows.window_agg(
+        t["events"],
+        windows.sliding("ts", "2 hours", "1 hour"),
+        [],
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return out.select(ms("window_start").alias("window_start_ms"), "cnt")
+
+
+Q_SLIDING_WINDOWS_SQL = """
+SELECT ws AS window_start_ms, COUNT(*) AS cnt
+FROM (
+  SELECT unnest(generate_series(
+           ((epoch_ms(ts) - 7200000) // 3600000 + 1) * 3600000,
+           (epoch_ms(ts) // 3600000) * 3600000,
+           3600000)) AS ws
+  FROM events
+)
+GROUP BY ws
+"""
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (W4): per-user sessions with 30-minute gap.
+
+    Spark session bounds: [min(ts), max(ts)+gap); merge while
+    next_ts < prev_ts + gap.
+    """
+    t = load_tables(spark, sf_dir)
+    out = windows.window_agg(
+        t["events"],
+        windows.session("ts", "30 minutes"),
+        ["user_id"],
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return out.select(
+        "user_id",
+        ms("window_start").alias("session_start_ms"),
+        ms("window_end").alias("session_end_ms"),
+        "cnt",
+    )
+
+
+Q_SESSION_WINDOWS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts >= COALESCE(
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                 TIMESTAMP '1970-01-01') + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       epoch_ms(MIN(ts)) AS session_start_ms,
+       epoch_ms(MAX(ts)) + 1800000 AS session_end_ms,
+       COUNT(*) AS cnt
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
+def q_global_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalWindows + CountTrigger (W5) batch form: per event_type,
+    consecutive 25-element buckets in event_id order."""
+    t = load_tables(spark, sf_dir)
+    return windows.global_count_windows(
+        t["events"], "event_id", 25, keys=["event_type"]
+    )
+
+
+Q_GLOBAL_COUNT_WINDOWS_SQL = """
+SELECT event_type, (rn - 1) // 25 AS window_seq, COUNT(*) AS cnt
+FROM (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+)
+GROUP BY event_type, window_seq
+"""
+
+# --- A2/A3: rolling keyed aggregation ---------------------------------------
+
+
+def q_rolling_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-key reduce emission history (BuiltIn.scala:296-304,
+    word-count sum :62-63): running count+sum per user in event order."""
+    t = load_tables(spark, sf_dir)
+    out = rolling_agg(
+        t["events"],
+        keys=["user_id"],
+        order_by=["event_id"],
+        running_cnt=F.count(F.lit(1)),
+        running_sum_dec=F.sum(dec("value")),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "running_cnt",
+        F.col("running_sum_dec").cast("double").alias("running_sum"),
+    )
+
+
+Q_ROLLING_USER_COUNTS_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS running_cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+# --- J1-J5: multi-stream -----------------------------------------------------
+
+
+def q_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union (J1): split by predicate, transform each side, re-union.
+
+    Also covers CoMap (J5): per-branch map into a common type.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.lit("c").alias("tag"), (dec("value") * 2).cast("double").alias("v")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.lit("e").alias("tag"), (-dec("value")).cast("double").alias("v")
+    )
+    return joins.union_streams(clicks, errors)
+
+
+Q_UNION_STREAMS_SQL = """
+SELECT event_id, 'c' AS tag,
+       CAST(CAST(value AS DECIMAL(18,2)) * 2 AS DOUBLE) AS v
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, 'e' AS tag,
+       CAST(-CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+FROM events WHERE event_type = 'error'
+"""
+
+
+def q_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window join (J2): clicks ⋈ purchases, same user, same 1-hour
+    tumbling window — equi-join on (user, window bucket), one shuffle
+    per side, no θ-predicate blow-up."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("user_id"), "ts"
+    )
+    out = joins.window_join(clicks, buys, "cu", "user_id", "ts", "ts", "1 hour")
+    return out.select(
+        ms("window_start").alias("window_start_ms"),
+        "user_id",
+        "click_id",
+        "purchase_id",
+    )
+
+
+Q_WINDOW_JOIN_SQL = """
+SELECT (epoch_ms(a.ts) // 3600000) * 3600000 AS window_start_ms,
+       b.user_id AS user_id,
+       a.event_id AS click_id,
+       b.event_id AS purchase_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (epoch_ms(a.ts) // 3600000) = (epoch_ms(b.ts) // 3600000)
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (J3): purchases within (−10 min, +10 min) of a
+    signup by the same user, bounds exclusive (the reference's
+    exclusivity toggles, HandlingMultipleStreams.scala:178-180)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("user_id").alias("su"),
+        F.col("ts").alias("signup_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = joins.interval_join(
+        buys, signups, "user_id", "su", "purchase_ts", "signup_ts",
+        "10 minutes", "10 minutes",
+        lower_exclusive=True, upper_exclusive=True,
+    )
+    return out.select(
+        "user_id", "signup_id", "purchase_id",
+        ms("signup_ts").alias("signup_ts_ms"),
+        ms("purchase_ts").alias("purchase_ts_ms"),
+    )
+
+
+Q_INTERVAL_JOIN_SQL = """
+SELECT b.user_id AS user_id, a.event_id AS signup_id, b.event_id AS purchase_id,
+       epoch_ms(a.ts) AS signup_ts_ms, epoch_ms(b.ts) AS purchase_ts_ms
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts - INTERVAL 10 MINUTE
+ AND b.ts < a.ts + INTERVAL 10 MINUTE
+WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+"""
+
+
+def q_connect_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """connect (J4): heterogeneous schemas tagged+unified into one frame
+    (the columnar sum-type encoding); per-tag counts as the shared-state
+    CoProcess counter analog (HandlingMultipleStreams.scala:249-286)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "props"
+    )
+    tagged = joins.connect(views, signups, left_tag="view", right_tag="signup")
+    return tagged.groupBy("src").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("value").alias("n_value"),
+        F.count("props").alias("n_props"),
+    )
+
+
+Q_CONNECT_TAGGED_SQL = """
+SELECT src, COUNT(*) AS cnt, COUNT(value) AS n_value, COUNT(props) AS n_props
+FROM (
+  SELECT 'view' AS src, value, NULL AS props FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT 'signup' AS src, NULL AS value, props FROM events WHERE event_type = 'signup'
+)
+GROUP BY src
+"""
+
+# --- ST1-ST6: keyed state analogs -------------------------------------------
+
+
+def q_map_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapState per-key dict of counters (KeyedState.scala:225-312 and
+    the :386-470 exercise): count per (event_type, user)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+Q_MAP_STATE_COUNTS_SQL = """
+SELECT event_type, user_id, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+"""
+
+
+def q_first_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time timer semantics (KeyedState.scala:472-528): per user,
+    count events within 1 hour of their FIRST event, emitted 'when the
+    timer fires'. Batch analog: join against min(ts)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        ev.join(firsts, "user_id")
+        .filter(F.col("ts") < F.col("first_ts") + F.expr("INTERVAL 1 HOUR"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            ms(F.min("first_ts")).alias("first_ts_ms"),
+        )
+    )
+
+
+Q_FIRST_WINDOW_COUNTS_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT e.user_id AS user_id, COUNT(*) AS cnt, epoch_ms(MIN(f.first_ts)) AS first_ts_ms
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+WHERE e.ts < f.first_ts + INTERVAL 1 HOUR
+GROUP BY e.user_id
+"""
+
+# --- W-T1/W-T2/W-E1: trigger & evictor firing histories ----------------------
+
+
+def q_count_trigger_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountTrigger.of(50) cumulative firing history per event_type
+    (W-T1): fires at 50,100,... with the cumulative buffer size —
+    computed by the actual stateful operator in batch-replay mode."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "event_id")
+    return triggers.count_trigger(ev, ["event_type"], 50, order_by="event_id")
+
+
+Q_COUNT_TRIGGER_FIRES_SQL = """
+SELECT event_type AS key,
+       unnest(generate_series(1, n // 50)) AS fire_seq,
+       unnest(generate_series(1, n // 50)) * 50 AS cnt_in_fire,
+       unnest(generate_series(1, n // 50)) * 50 AS total_seen
+FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+"""
+
+
+def q_purging_trigger_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PurgingTrigger(CountTrigger(50)) (W-T2): fire-and-purge — every
+    firing sees exactly 50 fresh elements."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "event_id")
+    return triggers.count_trigger(
+        ev, ["event_type"], 50, purge=True, order_by="event_id"
+    )
+
+
+Q_PURGING_TRIGGER_FIRES_SQL = """
+SELECT event_type AS key,
+       unnest(generate_series(1, n // 50)) AS fire_seq,
+       50 AS cnt_in_fire,
+       unnest(generate_series(1, n // 50)) * 50 AS total_seen
+FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+"""
+
+
+def q_count_evictor_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountTrigger(50) + CountEvictor(20) (W-E1): on each firing keep
+    only the last 20 buffered elements."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "event_id")
+    return triggers.count_evictor(ev, ["event_type"], 50, 20, order_by="event_id")
+
+
+Q_COUNT_EVICTOR_FIRES_SQL = """
+SELECT event_type AS key,
+       unnest(generate_series(1, n // 50)) AS fire_seq,
+       20 AS cnt_in_fire,
+       unnest(generate_series(1, n // 50)) * 50 AS total_seen
+FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type — the reference's driver-side
+    maxBy (Windows.scala:389-391) done IN-ENGINE (deterministic tiebreak)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.col("event_id")
+    )
+    return (
+        t["events"]
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "event_id", "value", "rk")
+    )
+
+
+Q_TOPK_PER_GROUP_SQL = """
+SELECT event_type, event_id, value, rk
+FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+)
+WHERE rk <= 3
+"""
+
+
+def q_pivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (fixed pivot values
+    → no extra pass; single shuffle)."""
+    t = load_tables(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+Q_PIVOT_USER_ACTIVITY_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'view')     AS view,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'error')    AS error
+FROM events
+GROUP BY user_id
+"""

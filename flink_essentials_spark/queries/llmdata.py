@@ -1,0 +1,331 @@
+"""Training-data pipeline queries: dedup, similarity, text analysis,
+multimodal — each through the functions/ layer with an exact DuckDB
+oracle (md5-derived hashing makes every stage engine-reproducible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_essentials_spark.functions import dedup, multimodal, similarity, text
+from flink_essentials_spark.functions.dedup import MINHASH_P, MINHASH_SEEDS
+from flink_essentials_spark.tables import load_tables
+
+# SQL building blocks shared by oracles
+_SQL_TOKENS = r"list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '')"
+_SQL_HASH = "(('0x' || substring(md5({w}), 1, 15)))::BIGINT"
+
+
+def _sql_shingles(n: int) -> str:
+    if n == 1:
+        return f"list_distinct({_SQL_TOKENS})"
+    return (
+        f"list_distinct(list_transform("
+        f"  CASE WHEN len({_SQL_TOKENS}) >= {n}"
+        f"       THEN generate_series(1, len({_SQL_TOKENS}) - {n - 1})"
+        f"       ELSE [] END,"
+        f"  i -> array_to_string(({_SQL_TOKENS})[i:i+{n - 1}], ' ')))"
+    )
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.exact_dedup(t["documents"])
+
+
+Q_DEDUP_EXACT_SQL = r"""
+SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies,
+       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_md5
+FROM documents
+GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(t["documents"], n=3, threshold=0.5)
+
+
+Q_DEDUP_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, s AS shingles, len(s) AS n_sh
+  FROM (SELECT doc_id, {_sql_shingles(3)} AS s FROM documents)
+), ex AS (
+  SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sh
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (n_a + n_b - n_common), 6) AS jaccard
+FROM common
+WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 perms over 3-gram shingles), signature
+    emitted as a comma-joined string for engine-neutral comparison."""
+    t = load_tables(spark, sf_dir)
+    sigs = dedup.minhash_signatures(t["documents"], n=3, num_hashes=16)
+    return sigs.select(
+        "doc_id", F.array_join("signature", ",").alias("signature")
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ((h % {MINHASH_P}) * {A} + {B}) % {MINHASH_P}))"
+        for A, B in MINHASH_SEEDS
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform({_sql_shingles(3)}, s -> {_SQL_HASH.format(w='s')}) AS hs
+  FROM documents
+)
+SELECT doc_id, array_to_string([{mins}], ',') AS signature
+FROM hashed
+"""
+
+
+Q_MINHASH_SIGNATURES_SQL = _minhash_sig_sql()
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: 16 hashes, 4 bands × 4 rows."""
+    t = load_tables(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(t["documents"], n=3, num_hashes=16, bands=4)
+
+
+def _minhash_lsh_sql() -> str:
+    mins = [
+        f"list_min(list_transform(hs, h -> ((h % {MINHASH_P}) * {A} + {B}) % {MINHASH_P}))"
+        for A, B in MINHASH_SEEDS
+    ]
+    band_cols = []
+    for b in range(4):
+        band_sig = ", ".join(mins[b * 4 : (b + 1) * 4])
+        band_cols.append(f"array_to_string([{band_sig}], ',') AS band{b}")
+    bands_select = ", ".join(band_cols)
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS band_sig FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform({_sql_shingles(3)}, s -> {_SQL_HASH.format(w='s')}) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, {bands_select} FROM hashed
+), banded AS ({unions})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+
+Q_MINHASH_LSH_PAIRS_SQL = _minhash_lsh_sql()
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.simhash(t["documents"], bits=32)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS w FROM documents
+), hashed AS (
+  SELECT doc_id, {_SQL_HASH.format(w='w')} AS h FROM toks
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+Q_SIMHASH_SQL = _simhash_sql()
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ 3 over 32-bit SimHash."""
+    t = load_tables(spark, sf_dir)
+    return dedup.simhash_pairs(t["documents"], bits=32, max_hamming=3)
+
+
+Q_SIMHASH_PAIRS_SQL = f"""
+WITH fp AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+# --- similarity --------------------------------------------------------------
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+Q_SIMILARITY_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) AS cos_sim
+  FROM q JOIN c ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= 5
+"""
+
+# --- text analysis -----------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.token_stats(t["documents"])
+
+
+Q_TOKEN_STATS_SQL = f"""
+SELECT doc_id, length(text) AS n_chars,
+       len({_SQL_TOKENS}) AS n_tokens,
+       len(list_distinct({_SQL_TOKENS})) AS n_unique_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.quality_score(t["documents"])
+
+
+Q_QUALITY_SCORE_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_SQL_TOKENS}) AS n_tokens,
+         len(list_distinct({_SQL_TOKENS})) AS n_uniq,
+         len(list_intersect(list_distinct({_SQL_TOKENS}),
+             ['the','a','of','and','is','to','in'])) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       n_uniq / n_tokens AS lexical_diversity,
+       n_stop / n_tokens AS stopword_kinds_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.5
+             + (n_uniq / n_tokens) * 0.3
+             + (n_stop / n_tokens) * 0.2, 6) AS quality_score
+FROM base
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.language_id(t["documents"])
+
+
+_MARK = {
+    lang: "[" + ",".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in text.LANG_MARKERS.items()
+}
+Q_LANGUAGE_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(list_intersect({_SQL_TOKENS}, {_MARK['de']})) AS score_de,
+         len(list_intersect({_SQL_TOKENS}, {_MARK['en']})) AS score_en,
+         len(list_intersect({_SQL_TOKENS}, {_MARK['es']})) AS score_es,
+         len(list_intersect({_SQL_TOKENS}, {_MARK['fr']})) AS score_fr
+  FROM documents
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+       CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'unknown'
+            WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+            WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM scored
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.fingerprint(t["documents"])
+
+
+Q_FINGERPRINT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS w FROM documents
+), hashed AS (
+  SELECT doc_id, {_SQL_HASH.format(w='w')} AS h FROM toks
+)
+SELECT doc_id, bit_xor(h) AS fingerprint, COUNT(*) AS n_unique_tokens
+FROM hashed GROUP BY doc_id
+"""
+
+# --- multimodal --------------------------------------------------------------
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload audit over the synthetic media table (payload =
+    utf-8 doc text): JVM-side size + content hash + metadata."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.synthetic_media(spark, t["documents"])
+    return multimodal.media_stats(media)
+
+
+Q_MEDIA_STATS_SQL = """
+SELECT doc_id AS media_id,
+       ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5,
+       (length(text) % 640)::INT AS width,
+       length(text)::BIGINT * 100 AS duration_ms
+FROM documents
+"""
+
+# --- cardinality (exact oracle; approx forms live in functions.approx) ------
+
+
+def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["events"].agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q_CARDINALITY_SQL = """
+SELECT COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(*) AS n_events
+FROM events
+"""

@@ -1,0 +1,197 @@
+"""Relational / batch queries over the TPC-H-ish star schema.
+
+These exercise the engine's batch substrate (scan → filter → join →
+agg, all Catalyst): the reference's batch path is just word count
+(Playground.scala:11-22), but our engine inherits the full relational
+layer and the driver grades it. Plans verified via .explain: filters
+and projections push into the parquet scan, small dims broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_essentials_spark.queries.util import dec, dsum, sql_dsum
+from flink_essentials_spark.tables import load_tables
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (the flagship batch query).
+
+    One scan, one shuffle on two low-cardinality keys; partial aggs
+    map-side. At 100 TB this is scan-bound — exactly what we want.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    # decimal-in, decimal-math: inputs are exact 2-decimal values
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_DEC_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+_DEC_CHARGE = f"({_DEC_DISC_PRICE}) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))"
+
+Q_PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       CAST(SUM({_DEC_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_DEC_CHARGE}) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue top-10 customers: 3-way join + agg + deterministic top-k.
+
+    Join order: lineitem⋈orders shuffles on orderkey; customer side is
+    small relative to facts and broadcast by AQE at test scale; at 100 TB
+    customer joins via shuffle on custkey — both fine, Catalyst picks.
+    """
+    t = load_tables(spark, sf_dir)
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+Q_TOP_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_name,
+       CAST(SUM({_DEC_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region: 5-way star join with explicit broadcast of the
+    tiny dims (region=5, nation=25 rows at every SF — broadcast is
+    correct at 100 TB, not just here)."""
+    t = load_tables(spark, sf_dir)
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q_REGION_REVENUE_SQL = f"""
+SELECT r_name,
+       CAST(SUM({_DEC_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority counts with an EXISTS(lineitem) filter — the
+    left-semi join form (one shuffle, no fact-side duplication)."""
+    t = load_tables(spark, sf_dir)
+    has_line = t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .join(has_line, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+def q_parts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (brand, type-prefix): hierarchical aggregates in one
+    pass (Catalyst expands grouping sets; single shuffle)."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].withColumn("type_prefix", F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)))
+    return (
+        p.rollup("p_brand", "type_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", "sum_price"),
+        )
+    )
+
+
+Q_PARTS_ROLLUP_SQL = f"""
+SELECT p_brand, type_prefix, COUNT(*) AS n_parts,
+       {sql_dsum('p_retailprice', 'sum_price')}
+FROM (SELECT *, split_part(p_type, ' ', 1) AS type_prefix FROM part)
+GROUP BY ROLLUP (p_brand, type_prefix)
+"""
+
+
+def q_supplier_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: rank suppliers by acctbal within
+    nation (row_number with deterministic tiebreak)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.col("s_suppkey")
+    )
+    return t["supplier"].select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("s_acctbal"),
+        F.row_number().over(w).alias("rk"),
+    )
+
+
+Q_SUPPLIER_BALANCE_RANK_SQL = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                          ORDER BY s_acctbal DESC, s_suppkey) AS rk
+FROM supplier
+"""

@@ -53,9 +53,9 @@ def load_tables(
     for name in TABLE_NAMES:
         df = spark.read.parquet(table_path(sf_dir, name))
         if name == "events":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division: ts/1000 in double rounds (53-bit mantissa
+            # vs 1e18-scale nanos) and can land one microsecond high
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         tables[name] = df
     return tables
 

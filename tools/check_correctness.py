@@ -1,0 +1,121 @@
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Runs every __spark_entry__.queries() entry at sf0.01 (or --sf-dir) and
+compares against oracle_sql() on DuckDB: row count, sorted column
+names, and order-insensitive value comparison. Stricter than a hash:
+on mismatch it prints WHERE the results diverge.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from flink_essentials_spark.session import get_spark  # noqa: E402
+from flink_essentials_spark.tables import TABLE_NAMES, table_path  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision — we demand bitwise parity
+    if v is None:
+        return "NULL"
+    return str(v)
+
+
+def table_repr(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        out.append(tuple(normalize(row[i]) for i in order))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("correctness")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(args.sf_dir, t)}'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.only or list(queries)
+    n_pass = n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, args.sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(s_rows)} rows, no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            ddf = con.sql(oracles[name])
+            d_cols = ddf.columns
+            d_rows = ddf.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sc, sr = table_repr(s_cols, s_rows)
+        dc, dr = table_repr(d_cols, d_rows)
+        if sc != dc:
+            print(f"FAIL {name}: columns differ spark={sc} duckdb={dc}")
+            n_fail += 1
+            continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: row count spark={len(sr)} duckdb={len(dr)}")
+            _show_diff(sr, dr, sc)
+            n_fail += 1
+            continue
+        if sr != dr:
+            print(f"FAIL {name}: values differ ({len(sr)} rows)")
+            _show_diff(sr, dr, sc)
+            n_fail += 1
+            continue
+        print(f"PASS {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
+        n_pass += 1
+
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+def _show_diff(sr, dr, cols, limit=5):
+    s_set, d_set = set(sr), set(dr)
+    only_s = list(s_set - d_set)[:limit]
+    only_d = list(d_set - s_set)[:limit]
+    print(f"  cols: {cols}")
+    for r in only_s:
+        print(f"  spark-only: {r}")
+    for r in only_d:
+        print(f"  duckdb-only: {r}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
