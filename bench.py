@@ -1,0 +1,89 @@
+"""BENCH entry point: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized with a noop write (full execution, no
+driver collect) except inherently-collecting ones. Timings include
+plan + execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_essentials_spark.queries.catalog import ALL_QUERIES
+from flink_essentials_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    # batch relational substrate
+    "pricing_summary",
+    "top_customers",
+    "region_revenue",
+    "order_priority",
+    # dataflow operators
+    "explode_quantity",
+    "tumbling_windows",
+    "keyed_tumbling_windows",
+    "sliding_windows",
+    "session_windows",
+    "rolling_user_counts",
+    "window_join",
+    "interval_join",
+    "count_trigger_fires",
+    # streaming path
+    "streaming_wordcount",
+    # training-data extensions
+    "wordcount",
+    "dedup_exact",
+    "lsh_near_dups",
+    "simhash_pairs",
+    "similarity_topk",
+    "quality_score",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers once so timings measure queries
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = ALL_QUERIES[name]
+        t0 = time.time()
+        df = q.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

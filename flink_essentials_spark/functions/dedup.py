@@ -97,7 +97,10 @@ def ngram_jaccard_pairs(
     jaccard = |A∩B| / (|A|+|B|−|A∩B|), computed from one self-join on
     shingle (common counts) + the per-doc shingle sizes.
     """
-    sh = shingle_table(df, n, text_col, id_col)
+    # cache: both self-join legs read the same derived table — without
+    # this Spark recomputes the tokenize→shingle→explode chain twice
+    # (at cluster scale: persist to disk or write an intermediate)
+    sh = shingle_table(df, n, text_col, id_col).cache()
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -135,21 +138,25 @@ def minhash_signatures(
     pass, no explode, no shuffle.
     """
     seeds = MINHASH_SEEDS[:num_hashes]
-    sh = _shingles(F.col(text_col), n)
-    hashed = F.transform(sh, word_hash)
-
-    def perm(A: int, B: int):
-        # closure factory: PySpark infers lambda arity from the Python
-        # signature, so default-arg captures would be read as 3-ary HOFs
-        return lambda h: ((h % MINHASH_P) * A + B) % MINHASH_P
-
-    sig = F.array(
+    # explode → hash each distinct shingle ONCE → all minima in one
+    # groupBy pass. The all-array-expression form re-evaluates the
+    # tokenize→shingle→md5 chain per seed (Catalyst doesn't CSE inside
+    # nested higher-order functions) and falls out of codegen; this
+    # shape is also the scalable one (shuffle on doc_id, partial mins
+    # map-side).
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    ).select("doc_id", (word_hash(F.col("shingle")) % MINHASH_P).alias("h"))
+    mins = exploded.groupBy("doc_id").agg(
         *[
-            F.array_min(F.transform(hashed, perm(A, B))).alias(f"mh{i}")
+            F.min((F.col("h") * A + B) % MINHASH_P).alias(f"mh{i}")
             for i, (A, B) in enumerate(seeds)
         ]
     )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+    return mins.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(len(seeds))]).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -175,7 +182,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band", "band_sig"),
-    )
+    ).cache()  # both self-join legs; see ngram_jaccard_pairs
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -191,6 +198,47 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The production near-dup pipeline: LSH candidate generation, then
+    exact Jaccard verification ON CANDIDATES ONLY.
+
+    This is the 100 TB path — candidate count is driven by true
+    near-dups (plus band false-positives), not by hot shingles, so the
+    verify step joins a tiny pair list back to per-doc shingle sets and
+    computes |A∩B| with array intersection. Recall < 1 by LSH
+    construction (pairs missed by every band are not found); tests
+    quantify it against ngram_jaccard_pairs.
+    """
+    cands = minhash_lsh_pairs(df, n, num_hashes, bands, text_col, id_col)
+    sets_df = df.select(
+        F.col(id_col).alias("doc_id"), _shingles(F.col(text_col), n).alias("sh")
+    )
+    a = sets_df.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = sets_df.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        joined.select(
+            "doc_a", "doc_b", inter.alias("n_common"), jac.alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame,
     bits: int = 32,
@@ -200,25 +248,26 @@ def simhash(
     """Per-doc SimHash over distinct tokens: bit b of the fingerprint is
     the majority vote of bit b across token hashes. Pure array
     expressions; one narrow pass."""
-    toks = F.array_distinct(tokenize(F.col(text_col)))
-    hashed = F.transform(toks, word_hash)
-
-    def vote(b: int):
-        mask = 1 << b
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, 1
-        ).otherwise(-1)
-
-    bit_votes = [
-        F.aggregate(hashed, F.lit(0).cast("bigint"), vote(b)) for b in range(bits)
-    ]
-    fp = None
-    for b, vote in enumerate(bit_votes):
-        term = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return df.select(
-        F.col(id_col).alias("doc_id"), fp.cast("bigint").alias("simhash")
+    # explode → hash once per distinct token → 32 conditional-sum votes
+    # in ONE groupBy pass (same rationale as minhash_signatures: the
+    # per-bit array-fold form recomputes the hash chain per bit).
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("w"),
+    ).select("doc_id", word_hash(F.col("w")).alias("h"))
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
 def simhash_pairs(

@@ -91,6 +91,7 @@ _REGISTRY: list[Query] = [
     Query("dedup_jaccard", llmdata.q_dedup_jaccard, llmdata.Q_DEDUP_JACCARD_SQL),
     Query("minhash_signatures", llmdata.q_minhash_signatures, llmdata.Q_MINHASH_SIGNATURES_SQL),
     Query("minhash_lsh_pairs", llmdata.q_minhash_lsh_pairs, llmdata.Q_MINHASH_LSH_PAIRS_SQL),
+    Query("lsh_near_dups", llmdata.q_lsh_near_dups, llmdata.Q_LSH_NEAR_DUPS_SQL),
     Query("simhash", llmdata.q_simhash, llmdata.Q_SIMHASH_SQL),
     Query("simhash_pairs", llmdata.q_simhash_pairs, llmdata.Q_SIMHASH_PAIRS_SQL),
     # --- similarity search (§2.11)

@@ -135,6 +135,31 @@ FROM banded a JOIN banded b
 Q_MINHASH_LSH_PAIRS_SQL = _minhash_lsh_sql()
 
 
+def q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH → exact-Jaccard verify: the scale-path near-dup pipeline."""
+    t = load_tables(spark, sf_dir)
+    return dedup.lsh_near_dup_pairs(
+        t["documents"], n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+Q_LSH_NEAR_DUPS_SQL = f"""
+WITH cands AS ({_minhash_lsh_sql()}),
+sets AS (
+  SELECT doc_id, {_sql_shingles(3)} AS sh FROM documents
+)
+SELECT doc_a, doc_b,
+       len(list_intersect(a.sh, b.sh)) AS n_common,
+       round(len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         AS jaccard
+FROM cands JOIN sets a ON cands.doc_a = a.doc_id
+           JOIN sets b ON cands.doc_b = b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return dedup.simhash(t["documents"], bits=32)
