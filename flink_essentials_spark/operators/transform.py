@@ -64,8 +64,10 @@ def process_batches(
 
     ``setup``/``teardown`` replicate the Rich* open()/close() lifecycle
     (RichFunctions.scala:78-152): setup runs once per partition before
-    the first batch, teardown after the last — the iterator form of
-    ``mapInPandas`` gives exactly that hook structure.
+    the first batch and its return value (the "open resource" — e.g. a
+    connection) is passed to ``fn`` as a second argument; teardown runs
+    after the last batch — the iterator form of ``mapInPandas`` gives
+    exactly that hook structure.
     """
     if setup is None and teardown is None:
         return df.mapInPandas(fn, schema=output_schema)
@@ -73,7 +75,7 @@ def process_batches(
     def wrapped(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = setup() if setup is not None else None
         try:
-            yield from fn(it)
+            yield from fn(it, ctx)
         finally:
             if teardown is not None:
                 teardown(ctx)

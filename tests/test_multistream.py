@@ -1,0 +1,113 @@
+"""Multi-stream operator goldens (reference HandlingMultipleStreams.scala)
+on the deterministic cart/catalog fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flink_essentials_spark import fixtures
+from flink_essentials_spark.operators import joins
+
+
+def test_union_merges_streams(spark):
+    a = fixtures.shopping_cart_events(spark, 10, sku_prefix="a-")
+    b = fixtures.shopping_cart_events(spark, 7, sku_prefix="b-")
+    out = joins.union_streams(a, b)
+    assert out.count() == 17
+    assert out.schema == a.schema
+
+
+def test_window_join_same_bucket_pairs(spark):
+    """J2: cart × catalog pairs with same user in the same 10 s window."""
+    carts = fixtures.shopping_cart_events(spark, 20)
+    views = fixtures.catalog_events(spark, 20)
+    out = joins.window_join(
+        carts, views, "user_id", "user_id", "time", "time", "10 seconds"
+    )
+    # independent check: brute-force over collected rows
+    cs = carts.collect()
+    vs = views.collect()
+    bucket = lambda t: int(t.timestamp()) // 10
+    expected = sum(
+        1
+        for c in cs
+        for v in vs
+        if c["user_id"] == v["user_id"] and bucket(c["time"]) == bucket(v["time"])
+    )
+    assert out.count() == expected > 0
+
+
+def test_interval_join_bounds_exclusive(spark):
+    """J3 golden (HandlingMultipleStreams.scala:178-180): exclusive
+    ±2 s bounds; verified against a brute-force θ-join."""
+    carts = fixtures.shopping_cart_events(spark, 15)
+    views = fixtures.catalog_events(spark, 15)
+    out = joins.interval_join(
+        carts, views, "user_id", "user_id", "time", "time",
+        "2 seconds", "2 seconds",
+    )
+    cs, vs = carts.collect(), views.collect()
+    two = dt.timedelta(seconds=2)
+    expected = sum(
+        1
+        for c in cs
+        for v in vs
+        if c["user_id"] == v["user_id"]
+        and v["time"] - two < c["time"] < v["time"] + two
+    )
+    assert out.count() == expected > 0
+    # inclusive bounds, against its own brute-force oracle (the fixture
+    # has no pair exactly on the ±2 s boundary, so craft one: shift one
+    # view to land exactly 2 s after a matching cart event)
+    shifted = views.withColumn("time", F.col("time") + F.expr("INTERVAL 3 seconds"))
+    excl = joins.interval_join(
+        carts, shifted, "user_id", "user_id", "time", "time",
+        "2 seconds", "2 seconds",
+    ).count()
+    incl = joins.interval_join(
+        carts, shifted, "user_id", "user_id", "time", "time",
+        "2 seconds", "2 seconds", lower_exclusive=False, upper_exclusive=False,
+    ).count()
+    cs2 = carts.collect()
+    vs2 = shifted.collect()
+    expected_excl = sum(
+        1 for c in cs2 for v in vs2
+        if c["user_id"] == v["user_id"] and v["time"] - two < c["time"] < v["time"] + two
+    )
+    expected_incl = sum(
+        1 for c in cs2 for v in vs2
+        if c["user_id"] == v["user_id"]
+        and v["time"] - two <= c["time"] <= v["time"] + two
+    )
+    assert excl == expected_excl
+    assert incl == expected_incl
+    assert incl > excl  # boundary pairs exist by construction
+
+
+def test_connect_tags_and_pads_schemas(spark):
+    """J4: heterogeneous streams → one tagged schema, NULL-padded."""
+    carts = fixtures.shopping_cart_events(spark, 5)
+    views = fixtures.catalog_events(spark, 3)
+    out = joins.connect(carts, views, left_tag="cart", right_tag="view")
+    assert out.count() == 8
+    by_tag = {r["src"]: r for r in out.collect()}
+    assert by_tag["cart"]["sku"] is not None and by_tag["view"]["sku"] is None
+    assert by_tag["view"]["product_id"] is not None
+    assert set(out.columns) == {"src", *carts.columns, *views.columns}
+
+
+def test_co_map_common_output(spark):
+    """J5: per-stream map to a common type, then union."""
+    carts = fixtures.shopping_cart_events(spark, 5)
+    views = fixtures.catalog_events(spark, 3)
+    out = joins.co_map(
+        carts, views,
+        [F.concat(F.lit("cart of "), "user_id").alias("desc")],
+        [F.concat(F.lit("view by "), "user_id").alias("desc")],
+    )
+    descs = [r["desc"] for r in out.collect()]
+    assert len(descs) == 8
+    assert any(d.startswith("cart of ") for d in descs)
+    assert any(d.startswith("view by ") for d in descs)

@@ -1,0 +1,134 @@
+"""Incremental (Structured Streaming) semantics via deterministic file
+replay — SURVEY §5(c): DuckDB oracles the final aggregates, these tests
+pin the per-micro-batch behavior."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_essentials_spark import fixtures
+from flink_essentials_spark.operators.aggregate import word_count
+from flink_essentials_spark.operators.stateful import keyed_process
+from flink_essentials_spark.operators.triggers import CountTriggerProcessor
+from flink_essentials_spark.schemas import (
+    LINES_SCHEMA,
+    SERVER_EVENT_SCHEMA,
+    SHOPPING_CART_EVENT_SCHEMA,
+)
+from flink_essentials_spark.sinks.sinks import run_to_memory
+from flink_essentials_spark.sources.streaming import file_replay
+from flink_essentials_spark.streaming.watermarks import with_event_time
+
+
+@pytest.fixture
+def replay_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("replay"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_files(dfs, path):
+    """One parquet file per DataFrame, in order → one micro-batch each
+    with maxFilesPerTrigger=1."""
+    for i, df in enumerate(dfs):
+        sub = os.path.join(path, f"part={i}")
+        df.coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            src = os.path.join(sub, f)
+            if f.endswith(".parquet"):
+                os.rename(src, os.path.join(path, f"{i:04d}.parquet"))
+        shutil.rmtree(sub, ignore_errors=True)
+
+
+def _mem(name: str) -> str:
+    return f"{name}_{uuid.uuid4().hex[:8]}"
+
+
+def test_streaming_wordcount_update_mode_incremental(spark, replay_dir):
+    """EP2: per-line replay; update mode re-emits a word's new running
+    total each time it grows — the reference's rolling keyed sum
+    (SocketTextStreamWordCount.scala:63)."""
+    lines = [fixtures.wordcount_lines(spark).filter(F.col("value") == l)
+             for l in fixtures.WORDCOUNT_LINES]
+    _write_files(lines, replay_dir)
+    sdf = file_replay(spark, replay_dir, LINES_SCHEMA)
+    stream_out = run_to_memory(
+        spark, word_count(sdf, "value"), _mem("wc"), output_mode="update"
+    ).collect()
+
+    batch = {r["word"]: r["cnt"] for r in
+             word_count(fixtures.wordcount_lines(spark), "value").collect()}
+    # last emission per word == batch result (take max cnt: totals only grow)
+    last = {}
+    for r in stream_out:
+        last[r["word"]] = max(last.get(r["word"], 0), r["cnt"])
+    assert last == batch
+    # incremental behavior: repeated words were re-emitted with growing
+    # totals, so update-mode emitted MORE rows than distinct words
+    assert len(stream_out) > len(batch)
+    # e.g. "to": appears in several lines → multiple emissions
+    to_counts = sorted(r["cnt"] for r in stream_out if r["word"] == "to")
+    assert to_counts[-1] == batch["to"] and len(to_counts) > 1
+
+
+def test_streaming_windows_emit_on_watermark(spark, replay_dir):
+    """Append-mode windowed aggregation emits a window only once the
+    watermark passes its end (TimeBasedTransformations.scala:204-233);
+    the final window stays open at end-of-replay (no data beyond it) —
+    exactly Flink's 'no watermark, no release' lesson (:313-350)."""
+    ev = fixtures.starcraft_events(spark)
+    halves = [ev.filter(F.col("event_time") < fixtures.START_TIME.replace(second=6)),
+              ev.filter(F.col("event_time") >= fixtures.START_TIME.replace(second=6))]
+    _write_files(halves, replay_dir)
+    sdf = with_event_time(
+        file_replay(spark, replay_dir, SERVER_EVENT_SCHEMA),
+        "event_time", "500 milliseconds",
+    )
+    win = (
+        sdf.groupBy(F.window("event_time", "3 seconds"))
+        .agg(F.count_if(F.col("event_type") == "PlayerRegistered").alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "cnt")
+    )
+    rows = run_to_memory(spark, win, _mem("win"), output_mode="append").collect()
+    got = {int((r["ws"] - fixtures.START_TIME).total_seconds()): r["cnt"] for r in rows}
+    # watermark reaches 11 - 0.5 = 10.5 s: windows [0,3) [3,6) [6,9)
+    # are emitted with the golden counts; [9,12) is still open
+    assert got == {0: 1, 3: 3, 6: 2}
+
+
+def test_streaming_state_survives_micro_batches(spark, replay_dir):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    a count trigger fired at 10/20 sees the same history whether rows
+    arrive in one batch or three (KeyedState.scala:62-74 contract)."""
+    ev = fixtures.shopping_cart_events(spark, 25).withColumn("user_id", F.lit("K"))
+    chunks = [  # 12 + 9 + 4 rows — uneven on purpose
+        ev.filter(F.col("quantity") < 4),
+        ev.filter((F.col("quantity") >= 4) & (F.col("quantity") < 8)),
+        ev.filter(F.col("quantity") >= 8),
+    ]
+    _write_files(chunks, replay_dir)
+    sdf = file_replay(spark, replay_dir, SHOPPING_CART_EVENT_SCHEMA)
+    out = keyed_process(
+        sdf, ["user_id"], CountTriggerProcessor(10, purge=False),
+        "key string, fire_seq long, cnt_in_fire long, total_seen long",
+        timeout="none", event_time_col="time", output_mode="append",
+    )
+    rows = run_to_memory(spark, out, _mem("ct")).collect()
+    got = sorted((r["fire_seq"], r["cnt_in_fire"], r["total_seen"]) for r in rows)
+    assert got == [(1, 10, 10), (2, 20, 20)]
+
+
+def test_streaming_dropDuplicates_exactly_once_per_key(spark, replay_dir):
+    """Streaming exact dedup: a sku replayed in two different
+    micro-batches is emitted once (state store remembers keys)."""
+    ev = fixtures.shopping_cart_events(spark, 10)
+    _write_files([ev, ev], replay_dir)  # full duplicate second batch
+    sdf = file_replay(spark, replay_dir, SHOPPING_CART_EVENT_SCHEMA)
+    deduped = sdf.dropDuplicates(["sku"])
+    rows = run_to_memory(spark, deduped, _mem("dd")).collect()
+    assert len(rows) == 10

@@ -1,0 +1,98 @@
+"""Golden window tests: the reference's own hand-derived expectations.
+
+The 12-event StarCraft fixture and every expected count below come from
+the reference's comment analysis (Windows.scala:52-65 fixture;
+:101-111 tumbling, :249-287 sliding, :340-345 session,
+:204-241 keyed), ported as data into fixtures.py.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flink_essentials_spark import fixtures
+from flink_essentials_spark.operators import windows
+
+def REG():
+    return F.col("event_type") == "PlayerRegistered"
+
+
+def _start_offsets(rows, start=fixtures.START_TIME):
+    """window_start timestamp → integer second offset from fixture base."""
+    return {
+        int((r["window_start"] - start) / dt.timedelta(seconds=1)): r["cnt"]
+        for r in rows
+    }
+
+
+def test_tumbling_3s_registration_counts(spark):
+    df = fixtures.starcraft_events(spark)
+    out = windows.windowed_count(df, windows.tumbling("event_time", "3 seconds"), [], REG())
+    got = _start_offsets(r.asDict() for r in out.collect())
+    # Windows.scala:101-111 — windows [0,3) [3,6) [6,9) [9,12): 1,3,2,0.
+    # The zero-registration window EXISTS (it has online events).
+    assert got == {0: 1, 3: 3, 6: 2, 9: 0}
+
+
+def test_sliding_3s_1s_registration_counts(spark):
+    df = fixtures.starcraft_events(spark)
+    out = windows.windowed_count(
+        df, windows.sliding("event_time", "3 seconds", "1 second"), [], REG()
+    )
+    got = _start_offsets(r.asDict() for r in out.collect())
+    golden = dict(enumerate(fixtures.SLIDING_3S_1S_REGISTRATION_COUNTS))
+    for start, cnt in golden.items():
+        assert got.get(start, 0) == cnt, f"window start={start}"
+    # windows past the golden range hold only online events → 0 registrations
+    assert all(cnt == 0 for start, cnt in got.items() if start not in golden)
+
+
+def test_keyed_tumbling_3s_result_count(spark):
+    df = fixtures.starcraft_events(spark)
+    out = windows.windowed_count(
+        df, windows.tumbling("event_time", "3 seconds"), ["event_type"]
+    )
+    # Windows.scala:204-241: exactly 7 (window, event_type) results
+    assert out.count() == fixtures.KEYED_TUMBLING_3S_RESULT_COUNT
+
+
+def test_session_2s_counts_per_nickname(spark):
+    df = fixtures.starcraft_events(spark)
+    sessions = windows.window_agg(
+        df,
+        windows.session("event_time", "2 seconds"),
+        ["nickname"],
+        F.count(F.lit(1)).alias("events_in_session"),
+    )
+    per_nick = {
+        r["nickname"]: r["n_sessions"]
+        for r in sessions.groupBy("nickname")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .collect()
+    }
+    assert per_nick == fixtures.SESSION_2S_COUNTS_BY_NICK
+
+
+def test_global_count_windows(spark):
+    df = fixtures.starcraft_events(spark)
+    out = windows.global_count_windows(df, "event_time", 10).collect()
+    # 12 events, N=10 → one full bucket of 10, one partial of 2
+    got = {r["window_seq"]: r["cnt"] for r in out}
+    assert got == {0: 10, 1: 2}
+
+
+def test_event_time_rerun_determinism(spark):
+    """Reference TimeBasedTransformations.scala:180-209: event-time
+    windows are a pure function of the data — input order must not
+    matter."""
+    df = fixtures.starcraft_events(spark)
+    shuffled = df.orderBy(F.reverse(F.col("entity_id")), F.col("event_type").desc())
+    win = lambda d: sorted(
+        (r["window_start"], r["cnt"])
+        for r in windows.windowed_count(
+            d, windows.tumbling("event_time", "3 seconds"), [], REG()
+        ).collect()
+    )
+    assert win(df) == win(shuffled)
