@@ -59,8 +59,13 @@ def sf_from_dir(d: str) -> float:
 
 def main() -> None:
     spark = get_spark("bench")
-    # warm the JVM + parquet footers once so timings measure queries
+    # warm the JVM once so timings measure queries, not first-use costs:
+    # parquet reader init + the codegen/agg machinery (run the flagship
+    # query at the smallest sf)
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    ALL_QUERIES["pricing_summary"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -124,18 +124,31 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_sets(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sh: array<string>) — the shared upstream of every
+    shingle-based dedup op. Cache/persist the result when feeding more
+    than one consumer (signatures + verify join)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), _shingles(F.col(text_col), n).alias("sh")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     n: int = 3,
     num_hashes: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: for each seed i,
     min over shingles of (A_i * word_hash(shingle) + B_i) mod P.
 
-    Computed as array expressions over the shingle array — one narrow
-    pass, no explode, no shuffle.
+    ``shingles_df`` (from :func:`shingle_sets`, possibly cached) lets a
+    pipeline reuse one shingle computation across consumers.
     """
     seeds = MINHASH_SEEDS[:num_hashes]
     # explode → hash each distinct shingle ONCE → all minima in one
@@ -144,9 +157,13 @@ def minhash_signatures(
     # nested higher-order functions) and falls out of codegen; this
     # shape is also the scalable one (shuffle on doc_id, partial mins
     # map-side).
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    sets_df = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_sets(df, n, text_col, id_col)
+    )
+    exploded = sets_df.select(
+        "doc_id", F.explode(F.col("sh")).alias("shingle")
     ).select("doc_id", (word_hash(F.col("shingle")) % MINHASH_P).alias("h"))
     mins = exploded.groupBy("doc_id").agg(
         *[
@@ -166,12 +183,16 @@ def minhash_lsh_pairs(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (bands × rows), join docs
     whose band signature collides, dedup pairs. At scale each band join
     is an equi-join on a compact key — linear-ish in candidates."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    sigs = minhash_signatures(
+        df, n, num_hashes, text_col, id_col, shingles_df=shingles_df
+    )
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -217,9 +238,11 @@ def lsh_near_dup_pairs(
     construction (pairs missed by every band are not found); tests
     quantify it against ngram_jaccard_pairs.
     """
-    cands = minhash_lsh_pairs(df, n, num_hashes, bands, text_col, id_col)
-    sets_df = df.select(
-        F.col(id_col).alias("doc_id"), _shingles(F.col(text_col), n).alias("sh")
+    # one shingle computation feeds BOTH the signature path and the
+    # verify join — cached because three downstream legs consume it
+    sets_df = shingle_sets(df, n, text_col, id_col).cache()
+    cands = minhash_lsh_pairs(
+        df, n, num_hashes, bands, text_col, id_col, shingles_df=sets_df
     )
     a = sets_df.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
@@ -284,7 +307,9 @@ def simhash_pairs(
     chunk), equi-join per chunk, then verify the true distance."""
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
-    fps = simhash(df, bits, text_col, id_col)
+    # cache: both self-join legs — without this the tokenize→hash→
+    # 32-vote groupBy chain runs twice (see ngram_jaccard_pairs)
+    fps = simhash(df, bits, text_col, id_col).cache()
     chunks = fps.select(
         "doc_id",
         "simhash",

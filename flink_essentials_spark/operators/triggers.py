@@ -21,6 +21,7 @@ replay → the full deterministic firing history, used by golden tests).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from flink_essentials_spark.operators.stateful import (
     Emitter,
@@ -140,6 +141,32 @@ def count_trigger(
     order_by: str | None = None,
     event_time_col: str | None = None,
 ) -> DataFrame:
+    """Count-trigger firing history.
+
+    Two physical strategies for one logical operator (Spark's own
+    batch/streaming split): streaming runs the stateful processor
+    (incremental, state across micro-batches); batch uses the
+    closed-form window-function plan — fire k-th time at row_number
+    k*count, cumulative count = rn (purge: fresh count) — which stays
+    in Catalyst and scales to full-history replay. Equivalence of the
+    two paths is asserted in tests (same fixture through both).
+    """
+    if not df.isStreaming and order_by is not None:
+        from pyspark.sql import Window as W
+
+        rn = F.row_number().over(W.partitionBy(*keys).orderBy(order_by))
+        return (
+            df.withColumn("__rn", rn)
+            .filter((F.col("__rn") % count) == 0)
+            .select(
+                F.col(keys[0]).cast("string").alias("key"),
+                (F.col("__rn") / count).cast("long").alias("fire_seq"),
+                (F.lit(count) if purge else F.col("__rn")).cast("long").alias(
+                    "cnt_in_fire"
+                ),
+                F.col("__rn").cast("long").alias("total_seen"),
+            )
+        )
     proc = CountTriggerProcessor(count, purge=purge)
     return keyed_process(
         df, keys, proc, COUNT_FIRE_SCHEMA,
@@ -174,6 +201,31 @@ def count_evictor(
     *,
     order_by: str | None = None,
 ) -> DataFrame:
+    """Count trigger + keep-last-``max_size`` evictor.
+
+    Batch closed form: the buffer at the k-th fire holds ``count`` fresh
+    elements (plus ``max_size`` carried over when k>1); the evictor
+    keeps the last ``max_size`` — so cnt_in_fire = min(max_size, count)
+    for the first fire and min(max_size, max_size+count) after.
+    """
+    if not df.isStreaming and order_by is not None:
+        from pyspark.sql import Window as W
+
+        rn = F.row_number().over(W.partitionBy(*keys).orderBy(order_by))
+        fire_seq = (F.col("__rn") / count).cast("long")
+        cnt = F.when(
+            fire_seq == 1, F.least(F.lit(max_size), F.lit(count))
+        ).otherwise(F.least(F.lit(max_size), F.lit(max_size + count)))
+        return (
+            df.withColumn("__rn", rn)
+            .filter((F.col("__rn") % count) == 0)
+            .select(
+                F.col(keys[0]).cast("string").alias("key"),
+                fire_seq.alias("fire_seq"),
+                cnt.cast("long").alias("cnt_in_fire"),
+                F.col("__rn").cast("long").alias("total_seen"),
+            )
+        )
     proc = CountEvictorProcessor(count, max_size)
     return keyed_process(
         df, keys, proc, COUNT_FIRE_SCHEMA,

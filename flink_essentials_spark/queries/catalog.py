@@ -45,7 +45,15 @@ def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = file_replay(spark, replay_dir, "text string", files_per_trigger=1)
     counted = word_count(stream, "text")
     name = "wc_" + uuid.uuid4().hex[:8]
-    return run_to_memory(spark, counted, name, output_mode="complete")
+    # the word vocabulary is tiny — 32 state-store partitions would be
+    # pure per-micro-batch overhead; the streaming agg state partition
+    # count is fixed at first run by this conf
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return run_to_memory(spark, counted, name, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 _REGISTRY: list[Query] = [

@@ -36,27 +36,55 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # (region=5, nation=25 rows always; TPC-H scales only the fact side).
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
+# Per-row compute (shingle/hash/vector exprs) dominates scan for these;
+# see the respread branch in load_tables.
+COMPUTE_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# DataFrames are immutable lazy plans — loading the same sf_dir twice
+# yields identical plans, so memoize per (session, dir). Re-reading 10
+# parquet footers per query call costs ~1 s each; a 20-query bench run
+# spends more time in footer reads than in half its queries without this.
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
 ) -> dict[str, DataFrame]:
+    key = (id(spark._jsparkSession), sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     ensure_engine_conf(spark)
     # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     # reader rejects by default; read nanos as long, convert to micros.
     # DuckDB's ns→us cast truncates identically, so oracles agree.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    parallelism = spark.sparkContext.defaultParallelism
     tables = {}
     for name in TABLE_NAMES:
         df = spark.read.parquet(table_path(sf_dir, name))
+        # The driver's tables are single-row-group parquet files: the
+        # scan yields ONE non-empty partition and every downstream
+        # operator runs on one core. For the compute-per-row-heavy
+        # tables (shingling, hashing, vector math) re-spread the scan
+        # to cluster parallelism — the tiny shuffle buys back 32× on
+        # every expression. Scan-bound relational tables stay as-read:
+        # their aggs shuffle anyway and an extra exchange only hurts.
+        # A properly laid-out big table (many files/row groups — the
+        # 100 TB case) skips this branch.
+        if name in COMPUTE_HEAVY_TABLES and df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
         if name == "events":
             # integer division: ts/1000 in double rounds (53-bit mantissa
             # vs 1e18-scale nanos) and can land one microsecond high
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         tables[name] = df
+    _TABLE_CACHE[key] = tables
     return tables
 
 

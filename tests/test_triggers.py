@@ -47,6 +47,38 @@ def test_count_evictor_keeps_last_k(spark):
     assert fires(out) == [(1, 5, 10), (2, 5, 20)]
 
 
+def test_batch_and_processor_strategies_agree(spark):
+    """The declarative batch plan and the stateful KeyedProcessor are
+    two physical strategies for the SAME logical operator — their
+    firing histories must be identical."""
+    from flink_essentials_spark.operators.stateful import keyed_process
+    from flink_essentials_spark.operators.triggers import (
+        COUNT_FIRE_SCHEMA,
+        CountEvictorProcessor,
+        CountTriggerProcessor,
+    )
+
+    df = _one_key_events(spark, 25)
+    for purge in (False, True):
+        declarative = triggers.count_trigger(
+            df, ["user_id"], 10, purge=purge, order_by="time"
+        ).collect()
+        stateful = keyed_process(
+            df, ["user_id"], CountTriggerProcessor(10, purge=purge),
+            COUNT_FIRE_SCHEMA, order_by="time",
+        ).collect()
+        assert fires(declarative) == fires(stateful)
+
+    declarative = triggers.count_evictor(
+        df, ["user_id"], 10, 5, order_by="time"
+    ).collect()
+    stateful = keyed_process(
+        df, ["user_id"], CountEvictorProcessor(10, 5),
+        COUNT_FIRE_SCHEMA, order_by="time",
+    ).collect()
+    assert fires(declarative) == fires(stateful)
+
+
 def test_timeout_trigger_fires_on_idle_gap(spark):
     """W-T3/W-T5 (TimedOutCountTrigger): fire on count OR idle timeout.
     Batch replay: event-time gap > timeout ≡ stream went idle."""
