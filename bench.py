@@ -39,6 +39,7 @@ HEADLINE = [
     "rolling_user_counts",
     "window_join",
     "interval_join",
+    "as_of_join",
     "count_trigger_fires",
     # streaming path
     "streaming_wordcount",
@@ -48,6 +49,7 @@ HEADLINE = [
     "lsh_near_dups",
     "simhash_pairs",
     "similarity_topk",
+    "embedding_near_dups",
     "quality_score",
 ]
 
@@ -66,6 +68,11 @@ def main() -> None:
     ALL_QUERIES["pricing_summary"].fn(spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+    # pre-fork the Arrow Python workers (one per core) so the first
+    # pandas-UDF query measures compute, not worker startup
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

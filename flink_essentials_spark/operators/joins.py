@@ -104,6 +104,68 @@ def interval_join(
     return left.alias("l").join(right.alias("r"), cond, "inner")
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    *,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` on the same key (a training-data staple:
+    join events to the most recent dimension snapshot).
+
+    Scale-first plan: NOT an inequality join (which explodes into a
+    per-key cross product). Tag both sides, union, then one window
+    pass ordered by (ts, side) taking ``last(payload, ignorenulls)`` —
+    a single hash shuffle on the key + per-partition sort, linear in
+    rows. Right rows at exactly left.ts match (<= bound): side order
+    puts right before left at equal ts.
+
+    Output: left.* + payload_cols (NULL when no right row precedes;
+    ``how='inner'`` drops those).
+    """
+    lt = left.select(
+        F.lit(1).alias("__side"),
+        F.col(left_key).alias("__k"),
+        F.col(left_ts).cast("timestamp").alias("__ts"),
+        F.struct(*left.columns).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
+    )
+    rt = right.select(
+        F.lit(0).alias("__side"),
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(None).cast(lt.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = lt.unionByName(rt).select(
+        "__side",
+        "__l",
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__p_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        F.col("__l.*"), *[F.col(f"__p_{c}").alias(c) for c in payload_cols]
+    )
+    if how == "inner":
+        out = out.filter(F.col(payload_cols[0]).isNotNull())
+    return out
+
+
 def connect(
     left: DataFrame,
     right: DataFrame,

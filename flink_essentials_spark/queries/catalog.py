@@ -56,6 +56,41 @@ def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows through the REAL streaming path:
+    events replayed as a 4-file stream, windowed stateful aggregation,
+    complete-mode memory sink. Final state equals the batch window agg
+    (the oracle); per-batch append/watermark behavior is pinned in
+    tests/test_streaming.py."""
+    from flink_essentials_spark.queries.util import dec, ms
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    t = load_tables(spark, sf_dir)
+    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    t["events"].select("ts", "value").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(replay_dir)
+    stream = file_replay(
+        spark, replay_dir, "ts timestamp, value double", files_per_trigger=2
+    )
+    win = (
+        stream.groupBy(F.window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(ms(F.col("window.start")).alias("window_start_ms"), "cnt", "sum_value")
+    )
+    name = "sw_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_to_memory(spark, win, name, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 _REGISTRY: list[Query] = [
     # --- relational batch substrate
     Query("pricing_summary", relational.q_pricing_summary, relational.Q_PRICING_SUMMARY_SQL),
@@ -92,8 +127,12 @@ _REGISTRY: list[Query] = [
     # --- in-engine top-k / pivot (EP3 upgrade)
     Query("topk_per_group", dataflow.q_topk_per_group, dataflow.Q_TOPK_PER_GROUP_SQL),
     Query("pivot_user_activity", dataflow.q_pivot_user_activity, dataflow.Q_PIVOT_USER_ACTIVITY_SQL),
+    # --- as-of join + quantiles (extension substrate)
+    Query("as_of_join", dataflow.q_as_of_join, dataflow.Q_AS_OF_JOIN_SQL),
+    Query("value_quantiles", dataflow.q_value_quantiles, dataflow.Q_VALUE_QUANTILES_SQL),
     # --- streaming path (oracle checks final state)
     Query("streaming_wordcount", q_streaming_wordcount, dataflow.Q_WORDCOUNT_SQL),
+    Query("streaming_windows", q_streaming_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
     # --- dedup (§2.11)
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),
     Query("dedup_jaccard", llmdata.q_dedup_jaccard, llmdata.Q_DEDUP_JACCARD_SQL),
@@ -104,6 +143,7 @@ _REGISTRY: list[Query] = [
     Query("simhash_pairs", llmdata.q_simhash_pairs, llmdata.Q_SIMHASH_PAIRS_SQL),
     # --- similarity search (§2.11)
     Query("similarity_topk", llmdata.q_similarity_topk, llmdata.Q_SIMILARITY_TOPK_SQL),
+    Query("embedding_near_dups", llmdata.q_embedding_near_dups, llmdata.Q_EMBEDDING_NEAR_DUPS_SQL),
     # --- text analysis (§2.11)
     Query("token_stats", llmdata.q_token_stats, llmdata.Q_TOKEN_STATS_SQL),
     Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),

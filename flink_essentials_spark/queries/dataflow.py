@@ -545,3 +545,79 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (training-data staple Spark lacks natively): each
+    event joined to the latest order snapshot of the same customer at
+    or before the event time. Implemented as tag+union+window-carry
+    (operators/joins.as_of_join) — one shuffle, no inequality-join
+    blow-up; the oracle is DuckDB's native ASOF JOIN."""
+    t = load_tables(spark, sf_dir)
+    # unique (custkey, ts) snapshots so the as-of match is deterministic
+    snap = (
+        t["orders"]
+        .groupBy(
+            F.col("o_custkey"),
+            # parquet stores the date as TIMESTAMP_NTZ; normalize so the
+            # carried payload column is a plain session-TZ timestamp
+            F.col("o_orderdate").cast("timestamp").alias("asof_order_ts"),
+        )
+        .agg(F.max("o_totalprice").alias("asof_totalprice"))
+    )
+    joined = joins.as_of_join(
+        t["events"].select("event_id", "user_id", "ts"),
+        snap,
+        "user_id", "o_custkey", "ts", "asof_order_ts",
+        ["asof_order_ts", "asof_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        ms("ts").alias("ts_ms"),
+        ms("asof_order_ts").alias("asof_order_ts_ms"),
+        "asof_totalprice",
+    )
+
+
+Q_AS_OF_JOIN_SQL = """
+WITH snap AS (
+  SELECT o_custkey, o_orderdate AS asof_order_ts,
+         max(o_totalprice) AS asof_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       epoch_ms(e.ts) AS ts_ms,
+       epoch_ms(s.asof_order_ts) AS asof_order_ts_ms,
+       s.asof_totalprice
+FROM events e ASOF JOIN snap s
+  ON e.user_id = s.o_custkey AND s.asof_order_ts <= e.ts
+"""
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per event type (Spark `percentile`
+    ≡ DuckDB `quantile_cont`, both type-7). The approximate scale path
+    (`percentile_approx` / KLL) has no cross-engine oracle; this exact
+    form is the correctness anchor for it."""
+    t = load_tables(spark, sf_dir)
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.round(pct[0], 6).alias("p25"),
+            F.round(pct[1], 6).alias("p50"),
+            F.round(pct[2], 6).alias("p75"),
+        )
+    )
+
+
+Q_VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM events
+GROUP BY event_type
+"""

@@ -354,3 +354,29 @@ SELECT COUNT(DISTINCT user_id) AS n_users,
        COUNT(*) AS n_events
 FROM events
 """
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force verify form): all
+    pairs with cosine >= 0.35 — the driver's embeddings are near-random
+    (max pairwise cosine ~0.5), so the threshold sits at the top ~0.1%
+    of the distribution. Arrow+BLAS block-matrix plan
+    (similarity.cosine_all_pairs); the LSH-bucketed variant is the
+    sub-quadratic path, tested for containment in tests/."""
+    from flink_essentials_spark.functions.similarity import cosine_all_pairs
+
+    t = load_tables(spark, sf_dir)
+    return cosine_all_pairs(t["embeddings"], 0.35)
+
+
+Q_EMBEDDING_NEAR_DUPS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.35
+"""
