@@ -1,0 +1,219 @@
+"""Extension-layer coverage: multimodal plumbing, socket source (the
+reference's hello-world EP2), streaming stream-stream joins, approx
+aggregates vs their exact anchors."""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_essentials_spark import fixtures
+from flink_essentials_spark.functions import approx, multimodal
+from flink_essentials_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def test_media_stats_jvm_path_matches_python_md5(spark):
+    t = load_tables(spark, SF_DIR)
+    media = multimodal.synthetic_media(spark, t["documents"].filter(F.col("doc_id") < 20))
+    stats = {r["media_id"]: r for r in multimodal.media_stats(media).collect()}
+    import hashlib
+
+    docs = {r["doc_id"]: r["text"] for r in t["documents"].filter(F.col("doc_id") < 20).collect()}
+    for mid, row in stats.items():
+        payload = docs[mid].encode("utf-8")
+        assert row["n_bytes"] == len(payload)
+        assert row["payload_md5"] == hashlib.md5(payload).hexdigest()
+        assert row["modality"] in ("image", "audio", "video")
+
+
+def test_decode_media_stub_runs_batched(spark):
+    t = load_tables(spark, SF_DIR)
+    media = multimodal.synthetic_media(spark, t["documents"].filter(F.col("doc_id") < 10))
+    feats = multimodal.decode_media(media, fake=True).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["features"])
+    # deterministic: same payload → same features
+    again = multimodal.decode_media(media, fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_decode_media_without_codecs_raises(spark):
+    t = load_tables(spark, SF_DIR)
+    media = multimodal.synthetic_media(spark, t["documents"].filter(F.col("doc_id") < 2))
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.decode_media(media, fake=False).collect()
+
+
+# --- socket source (EP2: SocketTextStreamWordCount) -------------------------
+
+
+def _serve_lines(lines, port_holder, stop_evt):
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port_holder.append(srv.getsockname()[1])
+    srv.settimeout(30)
+    try:
+        conn, _ = srv.accept()
+        for line in lines:
+            conn.sendall((line + "\n").encode())
+        # keep the connection open until the reader is done
+        stop_evt.wait(timeout=30)
+        conn.close()
+    finally:
+        srv.close()
+
+
+def test_socket_wordcount_end_to_end(spark):
+    """The reference's hello-world (SocketTextStreamWordCount.scala:56-67)
+    through a REAL socket: lines → split → keyed running count →
+    memory sink in update mode."""
+    from flink_essentials_spark.operators.aggregate import word_count
+    from flink_essentials_spark.sources.streaming import socket_lines
+
+    port_holder, stop_evt = [], threading.Event()
+    th = threading.Thread(
+        target=_serve_lines, args=(fixtures.WORDCOUNT_LINES, port_holder, stop_evt),
+        daemon=True,
+    )
+    th.start()
+    for _ in range(100):
+        if port_holder:
+            break
+        time.sleep(0.05)
+    port = port_holder[0]
+
+    counted = word_count(socket_lines(spark, "127.0.0.1", port), "value")
+    name = "sock_" + uuid.uuid4().hex[:8]
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        import re
+        from collections import Counter
+
+        expected = Counter(
+            w
+            for line in fixtures.WORDCOUNT_LINES
+            for w in re.split(r"\W+", line.lower())
+            if w
+        )
+        got = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.table(name).collect()
+            got = {}
+            for r in rows:
+                got[r["word"]] = max(got.get(r["word"], 0), r["cnt"])
+            if got == dict(expected):
+                break
+            time.sleep(0.3)
+        assert got == dict(expected)
+    finally:
+        stop_evt.set()
+        q.stop()
+
+
+# --- streaming stream-stream joins ------------------------------------------
+
+
+def test_streaming_interval_join(spark, tmp_path):
+    """J3 in true streaming form: two file-replayed streams with
+    watermarks, time-interval inner join — result equals the batch
+    interval join on the same data."""
+    from flink_essentials_spark.operators import joins
+    from flink_essentials_spark.schemas import (
+        CATALOG_EVENT_SCHEMA,
+        SHOPPING_CART_EVENT_SCHEMA,
+    )
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+    from flink_essentials_spark.streaming.watermarks import with_event_time
+
+    carts = fixtures.shopping_cart_events(spark, 15)
+    views = fixtures.catalog_events(spark, 15)
+    cart_dir, view_dir = str(tmp_path / "carts"), str(tmp_path / "views")
+    carts.coalesce(1).write.parquet(cart_dir)
+    views.coalesce(1).write.parquet(view_dir)
+
+    s_carts = with_event_time(
+        file_replay(spark, cart_dir, SHOPPING_CART_EVENT_SCHEMA), "time", "1 second"
+    )
+    s_views = with_event_time(
+        file_replay(spark, view_dir, CATALOG_EVENT_SCHEMA), "time", "1 second"
+    )
+    joined = joins.interval_join(
+        s_carts, s_views, "user_id", "user_id", "time", "time",
+        "2 seconds", "2 seconds",
+    ).select(F.col("l.sku").alias("sku"), F.col("r.product_id").alias("product_id"))
+    got = run_to_memory(spark, joined, "ij_" + uuid.uuid4().hex[:8])
+
+    batch = joins.interval_join(
+        carts, views, "user_id", "user_id", "time", "time",
+        "2 seconds", "2 seconds",
+    ).select(F.col("l.sku").alias("sku"), F.col("r.product_id").alias("product_id"))
+    key = lambda rows: sorted((r["sku"], r["product_id"]) for r in rows)
+    assert key(got.collect()) == key(batch.collect())
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    watermark horizon are suppressed; state is bounded by the horizon
+    (the scale story vs unbounded dropDuplicates)."""
+    from flink_essentials_spark.schemas import SHOPPING_CART_EVENT_SCHEMA
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+    from flink_essentials_spark.streaming.watermarks import with_event_time
+
+    ev = fixtures.shopping_cart_events(spark, 10)
+    d = str(tmp_path / "dups")
+    ev.coalesce(1).write.parquet(d)
+    ev.coalesce(1).write.mode("append").parquet(d)  # full duplicate file
+
+    sdf = with_event_time(
+        file_replay(spark, d, SHOPPING_CART_EVENT_SCHEMA, files_per_trigger=2),
+        "time", "1 minute",
+    )
+    out = run_to_memory(
+        spark, sdf.dropDuplicatesWithinWatermark(["sku"]),
+        "ddw_" + uuid.uuid4().hex[:8],
+    )
+    assert out.count() == 10
+
+
+# --- approx aggregates vs exact anchors -------------------------------------
+
+
+def test_approx_cardinality_within_rsd(spark):
+    t = load_tables(spark, SF_DIR)
+    got = approx.cardinality_stats(t["events"], "user_id", "event_type").collect()[0]
+    exact_users = t["events"].select("user_id").distinct().count()
+    assert abs(got["approx_user_id"] - exact_users) <= max(3, 0.15 * exact_users)
+    assert got["approx_event_type"] >= 4
+
+
+def test_approx_quantiles_bracket_exact(spark):
+    t = load_tables(spark, SF_DIR)
+    qs = approx.quantiles(t["events"], "value", [0.25, 0.5, 0.75]).collect()[0]
+    exact = t["events"].select(
+        F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("p")
+    ).collect()[0]["p"]
+    for got_v, exact_v in zip(qs["quantiles"], exact):
+        assert abs(got_v - exact_v) <= max(1.0, 0.1 * abs(exact_v))
