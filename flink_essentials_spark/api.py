@@ -175,6 +175,14 @@ class Stream:
                                 left_ts, right_ts, lower, upper, **kwargs)
         )
 
+    def as_of_join(self, other: "Stream", left_key: str, right_key: str,
+                   left_ts: str, right_ts: str, payload_cols: list[str],
+                   **kwargs) -> "Stream":
+        return Stream(
+            joins.as_of_join(self.df, other.df, left_key, right_key,
+                             left_ts, right_ts, payload_cols, **kwargs)
+        )
+
     def connect(self, other: "Stream", **kwargs) -> "Stream":
         return Stream(joins.connect(self.df, other.df, **kwargs))
 

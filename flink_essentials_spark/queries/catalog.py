@@ -39,7 +39,7 @@ def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
-    t["documents"].select("text").repartition(4).write.mode("overwrite").parquet(
+    t["documents"].select("text").repartition(2).write.mode("overwrite").parquet(
         replay_dir
     )
     stream = file_replay(spark, replay_dir, "text string", files_per_trigger=1)

@@ -1,0 +1,97 @@
+"""Fluent Stream API: full pipelines through the public surface only."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from flink_essentials_spark import fixtures
+from flink_essentials_spark.api import Stream
+from flink_essentials_spark.operators.windows import session, tumbling
+from flink_essentials_spark.schemas import SERVER_EVENT_SCHEMA
+
+
+def test_fluent_windowed_pipeline_matches_golden(spark):
+    """from_collection → filter → key_by → window → count == the
+    reference's keyed tumbling analysis (7 results)."""
+    rows = [tuple(r) for r in fixtures.starcraft_events(spark).collect()]
+    out = (
+        Stream.from_collection(spark, rows, SERVER_EVENT_SCHEMA)
+        .key_by("event_type")
+        .window(tumbling("event_time", "3 seconds"))
+        .count()
+        .collect()
+    )
+    assert len(out) == fixtures.KEYED_TUMBLING_3S_RESULT_COUNT
+
+
+def test_fluent_session_pipeline(spark):
+    rows = [tuple(r) for r in fixtures.starcraft_events(spark).collect()]
+    sessions = (
+        Stream.from_collection(spark, rows, SERVER_EVENT_SCHEMA)
+        .key_by("nickname")
+        .window(session("event_time", "2 seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .df.groupBy("nickname")
+        .count()
+    )
+    got = {r["nickname"]: r["count"] for r in sessions.collect()}
+    assert got == fixtures.SESSION_2S_COUNTS_BY_NICK
+
+
+def test_fluent_interval_join_and_partitioning(spark):
+    carts = Stream(fixtures.shopping_cart_events(spark, 10)).partition_by(
+        "user_id", num_partitions=4
+    )
+    views = Stream(fixtures.catalog_events(spark, 10))
+    out = carts.interval_join(
+        views, "user_id", "user_id", "time", "time", "2 seconds", "2 seconds"
+    )
+    assert out.df.count() > 0
+
+
+def test_fluent_as_of_join(spark):
+    left = Stream(fixtures.shopping_cart_events(spark, 10))
+    right = Stream(
+        fixtures.catalog_events(spark, 10).select(
+            "user_id", "time", F.col("product_id").alias("last_viewed")
+        )
+    )
+    out = left.as_of_join(
+        right, "user_id", "user_id", "time", "time", ["last_viewed"]
+    ).df
+    rows = out.collect()
+    assert rows and set(out.columns) >= {"user_id", "sku", "last_viewed"}
+
+
+def test_fluent_sink_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "out")
+    s = Stream.from_sequence(spark, 1, 50)
+    from flink_essentials_spark.sinks.sinks import write_csv
+
+    write_csv(s.df, path, single_file=True)
+    import glob
+
+    files = glob.glob(path + "/part-*")
+    assert len(files) == 1  # sink parallelism 1 → single file (K2)
+    back = spark.read.csv(path).count()
+    assert back == 50
+
+
+def test_generator_sources_shapes(spark):
+    """Rate-backed deterministic generators (S5/S6): schema parity with
+    the batch fixtures; every field a pure function of the counter."""
+    from flink_essentials_spark.sources.streaming import (
+        catalog_source,
+        shopping_cart_source,
+    )
+
+    cart = shopping_cart_source(spark, 10, generate_removed=True)
+    assert cart.isStreaming
+    assert [f.name for f in cart.schema.fields] == [
+        "event_type", "user_id", "sku", "quantity", "time",
+    ]
+    cat = catalog_source(spark, 10)
+    assert cat.isStreaming
+    assert [f.name for f in cat.schema.fields] == ["user_id", "time", "product_id"]
