@@ -52,6 +52,32 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# GPT-2-style pre-tokenizer pattern (contractions, letter runs, digit
+# runs, punctuation runs, each optionally space-prefixed) — the
+# industry-standard first pass before BPE merges. RE2/Java-regex
+# compatible so DuckDB oracles run the identical pattern.
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer (vs the whitespace
+    tokens of token_stats): the unit that actually prices LLM training
+    data. Pure regexp_extract_all — JVM-side, zero shuffles."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0)
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe_tokens"),
+        F.round(
+            F.length(text_col).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality score: length norm, stopword ratio, lexical
     diversity. Formula kept to integer-derived double arithmetic so any

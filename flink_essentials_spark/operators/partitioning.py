@@ -49,3 +49,29 @@ def salt_key(df: DataFrame, key: str, buckets: int, salt_col: str = "__salt") ->
     case, this covers aggregation.
     """
     return df.withColumn(salt_col, F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(buckets)))
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str],
+    buckets: int,
+    sums: dict[str, str],
+    count_alias: str | None = None,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation: salt → partial sums per
+    (key, salt) → final re-sum per key.
+
+    ``sums`` maps input column → output alias (sum is re-aggregable;
+    counts via ``count_alias``). Result is identical to the direct
+    groupBy — only the shuffle distribution changes: a key holding
+    half the table fans across ``buckets`` reducers instead of one.
+    """
+    salted = salt_key(df, keys[0], buckets)
+    partial_aggs = [F.sum(c).alias(f"__s_{c}") for c in sums]
+    if count_alias:
+        partial_aggs.append(F.count(F.lit(1)).alias("__cnt"))
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+    final_aggs = [F.sum(f"__s_{c}").alias(alias) for c, alias in sums.items()]
+    if count_alias:
+        final_aggs.append(F.sum("__cnt").alias(count_alias))
+    return partial.groupBy(*keys).agg(*final_aggs)

@@ -25,6 +25,7 @@ __all__ = [
     "tumbling",
     "sliding",
     "session",
+    "processing_time",
     "window_agg",
     "windowed_count",
     "global_count_windows",
@@ -48,6 +49,20 @@ def session(ts: str | Column, gap: str) -> Column:
     merging session assigner.
     """
     return F.session_window(ts, gap)
+
+
+def processing_time(size: str) -> Column:
+    """TumblingProcessingTimeWindows.of(size) — reference
+    TimeBasedTransformations.scala:65-133.
+
+    ``current_timestamp()`` is the micro-batch/trigger timestamp in
+    Structured Streaming (constant within a batch), so this buckets
+    rows by ARRIVAL wall-clock — the reference's processing-time
+    semantics, including its demonstrated non-determinism across reruns
+    (:110-133; that lesson is why every other operator here defaults to
+    event time).
+    """
+    return F.window(F.current_timestamp(), size)
 
 
 def window_agg(

@@ -146,6 +146,7 @@ _REGISTRY: list[Query] = [
     Query("embedding_near_dups", llmdata.q_embedding_near_dups, llmdata.Q_EMBEDDING_NEAR_DUPS_SQL),
     # --- text analysis (§2.11)
     Query("token_stats", llmdata.q_token_stats, llmdata.Q_TOKEN_STATS_SQL),
+    Query("bpe_token_stats", llmdata.q_bpe_token_stats, llmdata.Q_BPE_TOKEN_STATS_SQL),
     Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
     Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),
     Query("doc_fingerprint", llmdata.q_fingerprint, llmdata.Q_FINGERPRINT_SQL),

@@ -380,3 +380,27 @@ WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
             6) >= 0.35
 """
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2 pre-tokenizer regex, JVM-side)."""
+    from flink_essentials_spark.functions.text import bpe_token_stats
+
+    t = load_tables(spark, sf_dir)
+    return bpe_token_stats(t["documents"])
+
+
+Q_BPE_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       len(toks) AS n_bpe_tokens,
+       len(list_distinct(toks)) AS n_unique_bpe_tokens,
+       round(CAST(length(text) AS DOUBLE) / greatest(len(toks), 1), 6)
+         AS chars_per_token
+FROM (
+  SELECT doc_id, text,
+         regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')
+           AS toks
+  FROM documents
+)
+"""

@@ -1,0 +1,127 @@
+"""Fault-tolerance contract (reference KeyedState.scala:62-74): keyed
+state survives a restart and is restored per key — Spark's checkpointed
+state store. Plus the checkpointed sinks (K3) and foreachBatch (K4)."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from flink_essentials_spark import fixtures
+from flink_essentials_spark.schemas import SHOPPING_CART_EVENT_SCHEMA
+from flink_essentials_spark.sinks.sinks import for_each_batch, to_files
+from flink_essentials_spark.sources.streaming import file_replay
+
+
+def test_state_survives_query_restart(spark, tmp_path):
+    """Run a keyed streaming count with a checkpoint, stop it, add more
+    data, restart THE SAME query from the checkpoint: counts continue
+    from restored state instead of starting over."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_name = "restart_" + uuid.uuid4().hex[:8]
+
+    first = fixtures.shopping_cart_events(spark, 10)   # 2 events/user
+    first.coalesce(1).write.parquet(src)
+
+    def start(name):
+        sdf = file_replay(spark, src, SHOPPING_CART_EVENT_SCHEMA, files_per_trigger=10)
+        counts = sdf.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        return (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start(out_name)
+    q.processAllAvailable()
+    got1 = {r["user_id"]: r["cnt"] for r in spark.table(out_name).collect()}
+    q.stop()
+    assert got1 == {u: 2 for u in ("Bob", "Alice", "Sam", "Tom", "Rob")}
+
+    # 10 more events while the query is DOWN
+    more = fixtures.shopping_cart_events(spark, 20).filter(F.col("quantity") >= 0)
+    more.exceptAll(first).coalesce(1).write.mode("append").parquet(src)
+
+    out_name2 = "restart2_" + uuid.uuid4().hex[:8]
+    q2 = start(out_name2)
+    q2.processAllAvailable()
+    got2 = {r["user_id"]: r["cnt"] for r in spark.table(out_name2).collect()}
+    q2.stop()
+    # restored state + only the NEW file processed → cumulative 4 per user
+    assert got2 == {u: 4 for u in ("Bob", "Alice", "Sam", "Tom", "Rob")}
+
+
+def test_streaming_file_sink_exactly_once_on_restart(spark, tmp_path):
+    """K3: the checkpointed file sink's manifest makes restarts
+    exactly-once — re-running from the same checkpoint never
+    double-writes a batch."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    fixtures.shopping_cart_events(spark, 10).coalesce(1).write.parquet(src)
+
+    def run_once():
+        sdf = file_replay(spark, src, SHOPPING_CART_EVENT_SCHEMA, files_per_trigger=10)
+        q = to_files(sdf.select("sku", "quantity"), out, checkpoint=ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    run_once()  # restart from same checkpoint: no new input → no new rows
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """K4 addSink(fn): arbitrary per-batch sink with batch ids."""
+    src = str(tmp_path / "src")
+    fixtures.shopping_cart_events(spark, 10).coalesce(1).write.parquet(src)
+    seen: list[tuple[int, int]] = []
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    sdf = file_replay(spark, src, SHOPPING_CART_EVENT_SCHEMA, files_per_trigger=10)
+    q = for_each_batch(sdf, sink)
+    q.processAllAvailable()
+    q.stop()
+    assert sum(n for _, n in seen) == 10
+
+
+def test_salted_sum_equals_direct(spark):
+    """Skew-proof two-phase agg produces identical results to the
+    direct groupBy (Partitions.scala skew lesson, aggregation form)."""
+    from flink_essentials_spark.operators.partitioning import salted_sum
+
+    df = fixtures.shopping_cart_events(spark, 100)
+    direct = {
+        (r["user_id"]): (r["total_q"], r["n"])
+        for r in df.groupBy("user_id")
+        .agg(F.sum("quantity").alias("total_q"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["user_id"]): (r["total_q"], r["n"])
+        for r in salted_sum(
+            df, ["user_id"], 8, {"quantity": "total_q"}, count_alias="n"
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_processing_time_windows_smoke(spark):
+    """W6: processing-time buckets — all rows of a batch run land in
+    wall-clock windows; counts total correctly (determinism is NOT
+    promised, matching the reference's own lesson)."""
+    from flink_essentials_spark.operators import windows
+
+    df = fixtures.shopping_cart_events(spark, 50)
+    out = windows.window_agg(
+        df, windows.processing_time("10 seconds"), ["user_id"],
+        F.count(F.lit(1)).alias("cnt"),
+    ).collect()
+    assert sum(r["cnt"] for r in out) == 50
