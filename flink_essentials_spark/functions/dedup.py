@@ -278,19 +278,37 @@ def simhash(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("w"),
     ).select("doc_id", word_hash(F.col("w")).alias("h"))
-    votes = exploded.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(bits)
-        ]
+    # bit-exploded form: one row per (doc, token, bit), then two tiny
+    # aggregations. A single wide aggregate with `bits` vote columns is
+    # algebraically identical but its generated code is enormous —
+    # several SECONDS of janino compilation per plan; this shape keeps
+    # whole-stage codegen small and constant in `bits`, trading it for
+    # rows (cheap: narrow ints, map-side partial aggs).
+    per_bit = (
+        exploded.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+            F.col("h"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            # python wrappers require a literal shift amount; the SQL
+            # functions take expressions
+            F.sum(F.expr("shiftright(h, b) & 1")).alias("ones"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+    # majority vote (>0 in ±1 terms) ⟺ 2*ones > n; bit contributes 2^b
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("ones") * 2 > F.col("n"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), b)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        ).alias("simhash")
+    )
 
 
 def simhash_pairs(

@@ -189,13 +189,18 @@ Q_SIMHASH_SQL = _simhash_sql()
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at Hamming distance ≤ 3 over 32-bit SimHash."""
+    """Near-dup pairs at Hamming distance ≤ 3 over 48-bit SimHash.
+
+    32 bits saturates on ~50-token documents (at sf0.1 it marks 17% of
+    ALL pairs "near", 2.1M rows); 48 bits discriminates real near-dups
+    and cuts candidate volume ~40×. 48 (not 64) because the word hash
+    is 60-bit and bigint fingerprints must stay positive."""
     t = load_tables(spark, sf_dir)
-    return dedup.simhash_pairs(t["documents"], bits=32, max_hamming=3)
+    return dedup.simhash_pairs(t["documents"], bits=48, max_hamming=3)
 
 
 Q_SIMHASH_PAIRS_SQL = f"""
-WITH fp AS ({_simhash_sql()})
+WITH fp AS ({_simhash_sql(48)})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
