@@ -151,6 +151,65 @@ def hyperplane_bucket(
     return df.withColumn("bucket", bucket.cast("bigint"))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer (seeded, so
+    deterministic per dataset), corpus partitioned into cells, each
+    query probes its ``n_probe`` nearest cells only.
+
+    The classic trained-ANN layout: search cost drops from O(corpus)
+    to O(n_probe/n_cells · corpus). ``n_probe == n_cells`` degenerates
+    to exhaustive search and must equal cosine_topk exactly (tested).
+    At 100 TB: train on a sample, store ``cell`` as a partition column
+    so probes become partition-pruned scans.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    corpus_v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("fv", array_to_vector(F.col("cv")))
+    km = KMeans(k=n_cells, seed=42, featuresCol="fv", predictionCol="cell").fit(
+        corpus_v
+    )
+    assigned = km.transform(corpus_v).select("neighbor_id", "cv", "cell")
+
+    centers = np.array([np.asarray(c) for c in km.clusterCenters()])
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(list(r[1]), dtype=np.float64)
+        d = np.linalg.norm(centers - qv, axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((int(r[0]), [float(x) for x in qv], int(cell)))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, cell int"
+    )
+    scored = F.broadcast(probes).join(assigned, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

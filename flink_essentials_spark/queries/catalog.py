@@ -129,6 +129,7 @@ _REGISTRY: list[Query] = [
     Query("pivot_user_activity", dataflow.q_pivot_user_activity, dataflow.Q_PIVOT_USER_ACTIVITY_SQL),
     # --- as-of join + quantiles (extension substrate)
     Query("as_of_join", dataflow.q_as_of_join, dataflow.Q_AS_OF_JOIN_SQL),
+    Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
     Query("value_quantiles", dataflow.q_value_quantiles, dataflow.Q_VALUE_QUANTILES_SQL),
     # --- streaming path (oracle checks final state)
     Query("streaming_wordcount", q_streaming_wordcount, dataflow.Q_WORDCOUNT_SQL),

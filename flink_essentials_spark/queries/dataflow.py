@@ -621,3 +621,31 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: one pass producing
+    day, (day, hour), and grand-total aggregates via ROLLUP — the
+    continuous-aggregate ladder of a time-series store, computed with
+    Spark's native grouping sets (single shuffle, partial aggs)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        dec("value").alias("v"),
+    )
+    return (
+        ev.rollup("d", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").cast("double").alias("sum_value"))
+        .select(ms("d").alias("day_ms"), ms("h").alias("hour_ms"), "cnt", "sum_value")
+    )
+
+
+Q_TIME_ROLLUP_SQL = """
+SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+       epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
+"""

@@ -144,6 +144,35 @@ def test_cosine_lsh_bucket_self_consistency(spark):
             assert r["cos_sim"] == exact[key]
 
 
+def test_ivf_full_probe_equals_exact(spark):
+    """IVF with n_probe == n_cells is exhaustive search — must equal
+    the brute-force top-k bit for bit; partial probe must be a subset
+    of each query's probed-cell candidates with identical scores."""
+    t = load_tables(spark, SF_DIR)
+    emb = t["embeddings"]
+    queries = emb.orderBy("vec_id").limit(3)
+    exact = sorted(
+        (r["query_id"], r["rk"], r["neighbor_id"], r["cos_sim"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    )
+    full_probe = sorted(
+        (r["query_id"], r["rk"], r["neighbor_id"], r["cos_sim"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_cells=8, n_probe=8
+        ).collect()
+    )
+    assert full_probe == exact
+
+    partial = similarity.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2).collect()
+    assert partial
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.cosine_topk(emb, queries, k=500).collect()
+    }
+    for r in partial:
+        assert exact_scores[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+
+
 def test_token_stats_and_quality(spark, docs_df):
     stats = {r["doc_id"]: r for r in text.token_stats(docs_df).collect()}
     assert stats[0]["n_tokens"] == 9
