@@ -1,0 +1,83 @@
+"""Plan-quality audits: the scale properties the engine promises must
+be visible in the physical plan, not just hoped for. These pin them
+against regressions (SURVEY §4 — what Catalyst gives us must STAY)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_essentials_spark.queries.catalog import ALL_QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = ALL_QUERIES[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns, not all 16
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read_schema.count(":") <= 8
+    assert "l_orderkey" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "top_customers")
+    tree = plan.split("\n(1)")[0]  # the tree section lists each node once
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "top_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregates_are_partial_plus_final(spark):
+    plan = plan_of(spark, "tumbling_windows")
+    assert "partial_" in plan  # map-side combine before the exchange
+    tree = plan.split("\n(1)")[0]
+    assert tree.count("Exchange") == 1  # exactly one shuffle
+
+
+def test_window_join_is_single_equi_join(spark):
+    """The window join must plan as ONE equi-join on (key, bucket) —
+    never a theta-join (BroadcastNestedLoop) that cross-products."""
+    plan = plan_of(spark, "window_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_as_of_join_is_linear_not_quadratic(spark):
+    """The as-of join is the union+window plan: no join node at all,
+    one exchange for the window partitioning."""
+    plan = plan_of(spark, "as_of_join")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aqe_enabled_everywhere(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    plan = plan_of(spark, "pricing_summary")
+    assert "AdaptiveSparkPlan" in plan
+
+
+def test_text_ops_stay_jvm_side(spark):
+    """Text analysis must not fall into Python UDF eval — it's pure
+    Column expressions inside codegen."""
+    for name in ("token_stats", "quality_score", "language_id", "bpe_token_stats"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

@@ -34,14 +34,21 @@ def replay_dir(tmp_path_factory):
 
 def _write_files(dfs, path):
     """One parquet file per DataFrame, in order → one micro-batch each
-    with maxFilesPerTrigger=1."""
+    with maxFilesPerTrigger=1. FileStreamSource orders by modification
+    time, so mtimes are pinned strictly increasing — same-second writes
+    would otherwise replay in arbitrary order."""
+    import time as _time
+
+    base = _time.time() - 3600
     for i, df in enumerate(dfs):
         sub = os.path.join(path, f"part={i}")
         df.coalesce(1).write.parquet(sub)
         for f in os.listdir(sub):
             src = os.path.join(sub, f)
             if f.endswith(".parquet"):
-                os.rename(src, os.path.join(path, f"{i:04d}.parquet"))
+                dst = os.path.join(path, f"{i:04d}.parquet")
+                os.rename(src, dst)
+                os.utime(dst, (base + i * 10, base + i * 10))
         shutil.rmtree(sub, ignore_errors=True)
 
 
@@ -121,6 +128,49 @@ def test_streaming_state_survives_micro_batches(spark, replay_dir):
     rows = run_to_memory(spark, out, _mem("ct")).collect()
     got = sorted((r["fire_seq"], r["cnt_in_fire"], r["total_seen"]) for r in rows)
     assert got == [(1, 10, 10), (2, 20, 20)]
+
+
+def test_late_data_dropped_beyond_watermark(spark, replay_dir):
+    """The reference's allowed-lateness contract
+    (TimeBasedTransformations.scala:211-233): an event arriving after
+    the watermark passed its window is DROPPED with a tight bound but
+    KEPT with a slack one. Two replays, same data, only the bound
+    differs."""
+    import datetime as dt
+
+    base = fixtures.START_TIME
+    on_time = fixtures.shopping_cart_events(spark, 30)          # t = 0..29 s
+    more = fixtures.shopping_cart_events(spark, 35).filter(
+        F.col("time") >= base + dt.timedelta(seconds=30)
+    )                                                           # t = 30..34 s
+    late = fixtures.shopping_cart_events(spark, 1)              # t = 0 s again
+    # Spark advances the watermark from batch N's data but enforces it
+    # on batch N+1 (one-batch lag) — hence THREE files: the late event
+    # arrives when the 27s watermark is actually in force.
+
+    for delay, expect_late_kept in (("2 seconds", False), ("2 minutes", True)):
+        d = os.path.join(replay_dir, delay.replace(" ", "_"))
+        _write_files([on_time, more, late], d)
+        sdf = with_event_time(
+            file_replay(spark, d, SHOPPING_CART_EVENT_SCHEMA), "time", delay
+        )
+        win = (
+            sdf.groupBy(F.window("time", "10 seconds"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("window.start").alias("ws"), "cnt")
+        )
+        rows = run_to_memory(
+            spark, win, _mem("late"), output_mode="update"
+        ).collect()
+        # total counted events across updates for the first window
+        first_window = [r["cnt"] for r in rows if r["ws"] == base]
+        if expect_late_kept:
+            # slack watermark: the late event lands in window 0 →
+            # an update with cnt=11 (10 on-time + 1 late)
+            assert max(first_window) == 11
+        else:
+            # tight watermark: window 0 final count stays 10
+            assert max(first_window) == 10
 
 
 def test_streaming_dropDuplicates_exactly_once_per_key(spark, replay_dir):
