@@ -91,6 +91,40 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the REAL streaming path: documents replayed twice
+    (a full duplicate second pass), dropDuplicates on the normalized
+    text key — the state store emits each distinct text once. Output
+    is the content key only (which replica wins is replay-order
+    dependent; the SET of keys is not)."""
+    from flink_essentials_spark.functions.dedup import normalize_text
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    t = load_tables(spark, sf_dir)
+    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    docs = t["documents"].select("text").coalesce(1)
+    docs.write.mode("overwrite").parquet(replay_dir)
+    docs.write.mode("append").parquet(replay_dir)
+    stream = file_replay(spark, replay_dir, "text string", files_per_trigger=1)
+    deduped = stream.select(
+        F.md5(F.encode(normalize_text(F.col("text")), "utf-8")).alias("text_md5")
+    ).dropDuplicates(["text_md5"])
+    name = "sd_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_to_memory(spark, deduped, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+Q_STREAMING_DEDUP_SQL = r"""
+SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_md5
+FROM documents
+"""
+
+
 _REGISTRY: list[Query] = [
     # --- relational batch substrate
     Query("pricing_summary", relational.q_pricing_summary, relational.Q_PRICING_SUMMARY_SQL),
@@ -134,6 +168,7 @@ _REGISTRY: list[Query] = [
     # --- streaming path (oracle checks final state)
     Query("streaming_wordcount", q_streaming_wordcount, dataflow.Q_WORDCOUNT_SQL),
     Query("streaming_windows", q_streaming_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
+    Query("streaming_dedup", q_streaming_dedup, Q_STREAMING_DEDUP_SQL),
     # --- dedup (§2.11)
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),
     Query("dedup_jaccard", llmdata.q_dedup_jaccard, llmdata.Q_DEDUP_JACCARD_SQL),
