@@ -92,35 +92,52 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
+    """Near-duplicate pairs by EXACT n-gram Jaccard ≥ threshold, via a
+    prefix-filtered set-similarity join (PPJoin-family).
 
-    jaccard = |A∩B| / (|A|+|B|−|A∩B|), computed from one self-join on
-    shingle (common counts) + the per-doc shingle sizes.
+    J(A,B) ≥ t requires overlap ≥ t·max(|A|,|B|), so under any global
+    total order on shingles a qualifying pair must share one of each
+    doc's first ``|S| − ⌈t·|S|⌉ + 1`` shingles. Join only those
+    prefixes (candidate volume ≈ true pairs, not Σ hot-shingle C(df,2)),
+    then verify candidates with an exact array intersection. Output is
+    IDENTICAL to the naive full shingle self-join — the DuckDB oracle
+    is the naive form and hash-matches. The global order is word_hash
+    (frequency-agnostic; md5-collision odds at 250k shingles ~1e-8,
+    and a collision could only ADD a candidate, never drop a pair).
     """
-    # cache: both self-join legs read the same derived table — without
-    # this Spark recomputes the tokenize→shingle→explode chain twice
-    # (at cluster scale: persist to disk or write an intermediate)
-    sh = shingle_table(df, n, text_col, id_col).cache()
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+    sets_df = shingle_sets(df, n, text_col, id_col).cache()
+    ordered = sets_df.select(
+        "doc_id",
+        F.array_sort(F.transform("sh", word_hash)).alias("hs"),
+        F.size("sh").alias("n_sh"),
+    )
+    p_len = (
+        F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+    ).cast("int")
+    prefix = ordered.select(
+        "doc_id", F.explode(F.slice("hs", F.lit(1), p_len)).alias("hsh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.hsh") == F.col("b.hsh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
-    )
+    sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
     return (
-        common.withColumn("jaccard", F.round(jac, 6))
+        joined.select("doc_a", "doc_b", inter.alias("n_common"), jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
     )
 
 
