@@ -75,25 +75,28 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in HEADLINE:
         q = ALL_QUERIES[name]
         t0 = time.time()
-        df = q.fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = q.fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # one broken query must not lose the record
+            failures[name] = str(e)[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+    }
+    if failures:
+        record["failures"] = failures
+    print(json.dumps(record))
     spark.stop()
 
 

@@ -79,6 +79,46 @@ def test_fluent_sink_roundtrip(spark, tmp_path):
     assert back == 50
 
 
+def test_fluent_streaming_pipeline(spark, tmp_path):
+    """Stream API end-to-end on the streaming path: file replay →
+    event time → keyed window agg → memory sink."""
+    ev = fixtures.starcraft_events(spark)
+    d = str(tmp_path / "replay")
+    ev.coalesce(1).write.parquet(d)
+    out = (
+        Stream.from_file_replay(spark, d, SERVER_EVENT_SCHEMA)
+        .with_event_time("event_time", "500 milliseconds")
+        .key_by("event_type")
+        .window(tumbling("event_time", "3 seconds"))
+        .count()
+        .run_to_memory(spark, "fluent_stream", output_mode="complete")
+    )
+    assert out.count() == fixtures.KEYED_TUMBLING_3S_RESULT_COUNT
+
+
+def test_write_text_single_file(spark, tmp_path):
+    from flink_essentials_spark.sinks.sinks import write_text
+
+    path = str(tmp_path / "txt")
+    df = Stream.from_elements(spark, "a", "b", "c").df
+    write_text(df, path, single_file=True)
+    import glob
+
+    assert len(glob.glob(path + "/part-*")) == 1
+    assert sorted(r["value"] for r in spark.read.text(path).collect()) == ["a", "b", "c"]
+
+
+def test_driver_entry_contract(spark):
+    """__spark_entry__.entry/queries/oracle_sql: the driver's smoke gate."""
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    assert df.count() > 0
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert len(qs) >= 49
+    assert set(oracles) <= set(qs)
+
+
 def test_generator_sources_shapes(spark):
     """Rate-backed deterministic generators (S5/S6): schema parity with
     the batch fixtures; every field a pure function of the counter."""
