@@ -131,6 +131,20 @@ def test_socket_wordcount_end_to_end(spark):
         q.stop()
 
 
+def test_kafka_source_gated_with_clear_error(spark):
+    """The Kafka veneer must fail with an actionable message when the
+    connector jar is absent (it is absent in this image)."""
+    from flink_essentials_spark.sources.streaming import kafka_topic
+
+    try:
+        df = kafka_topic(spark, "localhost:9092", "events")
+    except RuntimeError as e:
+        assert "spark-sql-kafka" in str(e)
+    else:
+        # connector present: frame must have the kafka schema
+        assert {"key", "value", "topic"} <= set(df.columns)
+
+
 # --- streaming stream-stream joins ------------------------------------------
 
 
@@ -171,6 +185,46 @@ def test_streaming_interval_join(spark, tmp_path):
     ).select(F.col("l.sku").alias("sku"), F.col("r.product_id").alias("product_id"))
     key = lambda rows: sorted((r["sku"], r["product_id"]) for r in rows)
     assert key(got.collect()) == key(batch.collect())
+
+
+def test_streaming_window_join(spark, tmp_path):
+    """J2 in true streaming form: both sides watermarked, equi-join on
+    (user, window bucket) — equals the batch window join."""
+    from flink_essentials_spark.operators import joins
+    from flink_essentials_spark.schemas import (
+        CATALOG_EVENT_SCHEMA,
+        SHOPPING_CART_EVENT_SCHEMA,
+    )
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+    from flink_essentials_spark.streaming.watermarks import with_event_time
+
+    carts = fixtures.shopping_cart_events(spark, 20)
+    views = fixtures.catalog_events(spark, 20)
+    cart_dir, view_dir = str(tmp_path / "c"), str(tmp_path / "v")
+    carts.coalesce(1).write.parquet(cart_dir)
+    views.coalesce(1).write.parquet(view_dir)
+
+    s_carts = with_event_time(
+        file_replay(spark, cart_dir, SHOPPING_CART_EVENT_SCHEMA), "time", "1 second"
+    )
+    s_views = with_event_time(
+        file_replay(spark, view_dir, CATALOG_EVENT_SCHEMA), "time", "1 second"
+    )
+    pick = lambda df: df.select("sku", "product_id")
+    got = pick(
+        joins.window_join(
+            s_carts, s_views, "user_id", "user_id", "time", "time", "10 seconds"
+        )
+    )
+    rows = run_to_memory(spark, got, "swj_" + uuid.uuid4().hex[:8]).collect()
+    batch = pick(
+        joins.window_join(
+            carts, views, "user_id", "user_id", "time", "time", "10 seconds"
+        )
+    ).collect()
+    key = lambda rs: sorted((r["sku"], r["product_id"]) for r in rs)
+    assert key(rows) == key(batch) and rows
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
