@@ -94,6 +94,85 @@ def decode_media(df: DataFrame, *, fake: bool = False) -> DataFrame:
     return df.mapInPandas(op, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, modality string, width int, height int, payload binary"
+)
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_md5 string"
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, *, fake: bool = False
+) -> DataFrame:
+    """Image resize over Arrow batches (STUB — no codec libs in this
+    image). ``fake=True`` substitutes a deterministic payload derived
+    from (md5, target dims) with correct metadata, so partitioning,
+    batch shape and schema are exercised end-to-end; a real
+    implementation replaces only the marked line with a PIL/opencv
+    call."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs unavailable; pass fake=True for the stub"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "width": width,
+                    "height": height,
+                    # real impl: decode → resize → re-encode HERE
+                    "payload": pdf["payload"].map(
+                        lambda b: hashlib.md5(
+                            bytes(b) + f"{width}x{height}".encode()
+                        ).digest()
+                    ),
+                }
+            )
+            yield out
+
+    return df.filter(F.col("modality") == "image").mapInPandas(
+        op, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, *, fake: bool = False
+) -> DataFrame:
+    """Video frame sampling (STUB): one output row per sampled frame,
+    frame count derived from real metadata (duration_ms / every_ms).
+    1→N expansion inside the Arrow batch — the shape a real ffmpeg
+    call produces."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video codecs unavailable; pass fake=True for the stub"
+                )
+            rows = []
+            for r in pdf.itertuples():
+                n = max(1, int(r.meta["duration_ms"] // every_ms))
+                for i in range(min(n, 100)):
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": i,
+                            # real impl: decode frame i*every_ms HERE
+                            "frame_md5": hashlib.md5(
+                                bytes(r.payload) + i.to_bytes(4, "big")
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_md5"])
+
+    return df.filter(F.col("modality") == "video").mapInPandas(
+        op, schema=FRAMES_SCHEMA
+    )
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Payload stats with pure Column expressions (no Python): size and
     content hash per item — the JVM-side fast path for audits."""

@@ -135,6 +135,29 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+ROLLING_B = 131
+ROLLING_P = 2_147_483_647  # 2^31 - 1: keeps acc*B + h inside int64
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """ORDER-SENSITIVE document fingerprint: Karp-Rabin polynomial roll
+    over the token-hash sequence, ``acc = (acc·B + h mod P) mod P``.
+    Complements the order-insensitive XOR bag in :func:`fingerprint` —
+    re-ordered text changes this one. Single fold, no shuffle."""
+    toks = tokenize(F.col(text_col))
+    hashed = F.transform(toks, lambda w: word_hash(w) % ROLLING_P)
+    fp = F.aggregate(
+        hashed,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * ROLLING_B + h) % ROLLING_P,
+    )
+    return df.select(
+        id_col, fp.alias("rolling_fp"), F.size(toks).alias("n_tokens")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive bag fingerprint: XOR of per-DISTINCT-token md5
     hashes + token count. Content-addressable doc identity for dedup

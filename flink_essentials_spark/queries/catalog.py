@@ -186,6 +186,7 @@ _REGISTRY: list[Query] = [
     Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
     Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),
     Query("doc_fingerprint", llmdata.q_fingerprint, llmdata.Q_FINGERPRINT_SQL),
+    Query("rolling_fingerprint", llmdata.q_rolling_fingerprint, llmdata.Q_ROLLING_FINGERPRINT_SQL),
     # --- multimodal (§2.11)
     Query("media_stats", llmdata.q_media_stats, llmdata.Q_MEDIA_STATS_SQL),
     # --- cardinality

@@ -409,3 +409,26 @@ FROM (
   FROM documents
 )
 """
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Karp-Rabin rolling-hash fingerprint per doc."""
+    from flink_essentials_spark.functions.text import rolling_fingerprint
+
+    t = load_tables(spark, sf_dir)
+    return rolling_fingerprint(t["documents"])
+
+
+Q_ROLLING_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           [h % 2147483647 FOR h IN
+             [(('0x' || substring(md5(w), 1, 15)))::BIGINT FOR w IN
+               list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '')]]),
+         (acc, h) -> (acc * 131 + h) % 2147483647
+       ) AS rolling_fp,
+       len(list_filter(string_split_regex(lower(text), '\W+'), w -> w <> ''))
+         AS n_tokens
+FROM documents
+"""

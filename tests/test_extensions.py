@@ -56,6 +56,44 @@ def test_decode_media_without_codecs_raises(spark):
         multimodal.decode_media(media, fake=False).collect()
 
 
+def test_resize_and_frame_sample_stubs(spark):
+    """Resize (1→1, image-only) and frame sampling (1→N from real
+    duration metadata) — deterministic stubs, real Arrow plumbing."""
+    t = load_tables(spark, SF_DIR)
+    media = multimodal.synthetic_media(
+        spark, t["documents"].filter(F.col("doc_id") < 30)
+    )
+    resized = multimodal.resize_images(media, 64, 64, fake=True).collect()
+    assert resized and all(
+        r["width"] == 64 and r["height"] == 64 and r["modality"] == "image"
+        for r in resized
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000, fake=True)
+    rows = frames.collect()
+    assert rows and set(frames.columns) == {"media_id", "frame_idx", "frame_md5"}
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    durations = {
+        r["media_id"]: r["meta"]["duration_ms"]
+        for r in media.filter(F.col("modality") == "video").collect()
+    }
+    for mid, idxs in by_media.items():
+        expect = min(max(1, durations[mid] // 1000), 100)
+        assert sorted(idxs) == list(range(expect))
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from flink_essentials_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma alpha beta"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["rolling_fp"] for r in rolling_fingerprint(df).collect()}
+    assert fp[0] == fp[2] != fp[1]  # same order equal, re-ordered differs
+
+
 # --- socket source (EP2: SocketTextStreamWordCount) -------------------------
 
 
