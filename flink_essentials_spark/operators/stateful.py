@@ -12,7 +12,10 @@ timeouts as the timer mechanism. One wrapper, two modes:
 
 - streaming: true incremental processing; state persists across
   micro-batches; ``GroupStateTimeout`` provides processing-time and
-  event-time timers.
+  event-time timers. Caveat: with ProcessingTimeTimeout the engine
+  keeps planning micro-batches to service timers, so drive such
+  queries with a paced trigger and poll the sink —
+  ``processAllAvailable`` never settles.
 - batch replay: the same processor class run over each key's rows in
   timestamp order via ``applyInPandas`` — state lives for the single
   pass and event-time timers fire deterministically between elements.
@@ -234,8 +237,10 @@ def _keyed_process_streaming(
             group_state.update((pickle.dumps(data),))
             if state.timer_ts is not None:
                 if timeout == "processing":
+                    # a target already in the past still needs a valid
+                    # (strictly positive) duration — fire next batch
                     group_state.setTimeoutDuration(
-                        max(0, state.timer_ts - int(_time.time() * 1000))
+                        max(1, state.timer_ts - int(_time.time() * 1000))
                     )
                 elif timeout == "event":
                     group_state.setTimeoutTimestamp(state.timer_ts)

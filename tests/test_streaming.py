@@ -173,6 +173,64 @@ def test_late_data_dropped_beyond_watermark(spark, replay_dir):
             assert max(first_window) == 10
 
 
+def test_streaming_processing_time_timeout_fires(spark, replay_dir):
+    """W-T3 in TRUE streaming: a key with buffered elements and no new
+    data is invoked with hasTimedOut once its processing-time timer
+    expires (the reference's idle-timeout trigger,
+    WindowAssignersAndTriggers.scala:129-245). Key A gets 3 events in
+    batch 1 then goes idle; key B's later arrival triggers the batch
+    in which A's timer fires."""
+    import time as _time
+
+    from flink_essentials_spark.operators.triggers import (
+        COUNT_FIRE_SCHEMA,
+        TimedOutCountTriggerProcessor,
+    )
+
+    ev_a = fixtures.shopping_cart_events(spark, 3).withColumn(
+        "user_id", F.lit("A")
+    )
+    ev_b = fixtures.shopping_cart_events(spark, 1).withColumn(
+        "user_id", F.lit("B")
+    )
+    _write_files([ev_a], replay_dir)
+
+    sdf = file_replay(spark, replay_dir, SHOPPING_CART_EVENT_SCHEMA)
+    out = keyed_process(
+        sdf, ["user_id"], TimedOutCountTriggerProcessor(10, 1500),
+        COUNT_FIRE_SCHEMA, timeout="processing",
+        event_time_col="time", output_mode="append",
+    )
+    name = _mem("pt")
+    # NOTE: with ProcessingTimeTimeout the engine keeps running batches
+    # to service timers, so processAllAvailable never settles — pace
+    # the trigger and poll the sink instead.
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # B arrives only later; A's 1.5 s idle timer expires in between
+        _time.sleep(3.0)
+        ev_b.coalesce(1).write.mode("append").parquet(replay_dir)
+        deadline = _time.time() + 45
+        fired = []
+        while _time.time() < deadline:
+            fired = [
+                (r["key"], r["cnt_in_fire"], r["total_seen"])
+                for r in spark.table(name).collect()
+            ]
+            if fired:
+                break
+            _time.sleep(0.5)
+        assert ("A", 3, 3) in fired
+    finally:
+        q.stop()
+
+
 def test_streaming_dropDuplicates_exactly_once_per_key(spark, replay_dir):
     """Streaming exact dedup: a sku replayed in two different
     micro-batches is emitted once (state store remembers keys)."""
