@@ -133,6 +133,8 @@ _REGISTRY: list[Query] = [
     Query("order_priority", relational.q_order_priority, relational.Q_ORDER_PRIORITY_SQL),
     Query("parts_rollup", relational.q_parts_rollup, relational.Q_PARTS_ROLLUP_SQL),
     Query("supplier_balance_rank", relational.q_supplier_balance_rank, relational.Q_SUPPLIER_BALANCE_RANK_SQL),
+    Query("forecast_revenue", relational.q_forecast_revenue, relational.Q_FORECAST_REVENUE_SQL),
+    Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),
     # --- element-wise (SURVEY §2.3)
     Query("map_flatmap_filter", dataflow.q_map_flatmap_filter, dataflow.Q_MAP_FLATMAP_FILTER_SQL),
     Query("fizzbuzz", dataflow.q_fizzbuzz, dataflow.Q_FIZZBUZZ_SQL),

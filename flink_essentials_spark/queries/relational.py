@@ -195,3 +195,65 @@ SELECT s_suppkey, s_nationkey, s_acctbal,
                           ORDER BY s_acctbal DESC, s_suppkey) AS rk
 FROM supplier
 """
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + scalar aggregate — the query that
+    must collapse to scan-with-pushed-predicates + one partial/final
+    agg, no joins, no wide shuffle."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q_FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation (count_if by
+    priority class). The synthetic lineitem has no l_shipmode, so the
+    group key is l_returnflag — the plan shape is identical."""
+    t = load_tables(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.lit("1996-01-01"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(hi).alias("high_line_count"),
+            F.count_if(~hi).alias("low_line_count"),
+        )
+    )
+
+
+Q_SHIPMODE_PRIORITY_SQL = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       COUNT(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
