@@ -1,0 +1,71 @@
+"""Deterministic sampling & mixture weighting for training-data
+pipelines.
+
+RNG-based ``df.sample`` is irreproducible across engines/partitionings;
+these operators derive keep/drop from a content hash, so the SAME rows
+are selected on any engine, any partitioning, any rerun — the property
+a 100 TB data pipeline needs for auditability (and what lets DuckDB
+oracle them exactly). Hash base: md5 of the id column (engine-neutral,
+uniform), bucketed 0..9999.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def _bucket(id_col: Column) -> Column:
+    """Uniform 0..9999 bucket from the md5 of the id (as a string)."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % BUCKETS
+    )
+
+
+SQL_BUCKET = (
+    "(('0x' || substring(md5(CAST({id} AS VARCHAR)), 1, 15)))::BIGINT % 10000"
+)
+
+
+def hash_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ``rate`` sample: keep rows whose id-hash bucket
+    falls below rate·10000. Stable under reruns, repartitioning and
+    engine changes; no shuffle (a pure filter that pushes down)."""
+    return df.filter(_bucket(F.col(id_col)) < int(rate * BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame, rates: dict[str, float], strata_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-weighting step
+    of a training-data pipeline (e.g. downsample crawl, keep all
+    curated). Unlisted strata are dropped. Same guarantees as
+    :func:`hash_sample`; still a pure filter."""
+    b = _bucket(F.col(id_col))
+    chain = None
+    for value, rate in rates.items():
+        cond = F.col(strata_col) == value
+        t = F.lit(int(rate * BUCKETS))
+        chain = F.when(cond, t) if chain is None else chain.when(cond, t)
+    thresh = chain.otherwise(F.lit(-1))  # unlisted strata drop
+    return df.filter(b < thresh)
+
+
+def mixture_report(
+    df: DataFrame, strata_col: str
+) -> DataFrame:
+    """Post-sampling mixture audit: rows and share per stratum."""
+    total = df.count()
+    return (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn(
+            "share", F.round(F.col("n_rows") / F.lit(float(total)), 6)
+        )
+    )

@@ -189,6 +189,7 @@ _REGISTRY: list[Query] = [
     Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),
     Query("doc_fingerprint", llmdata.q_fingerprint, llmdata.Q_FINGERPRINT_SQL),
     Query("rolling_fingerprint", llmdata.q_rolling_fingerprint, llmdata.Q_ROLLING_FINGERPRINT_SQL),
+    Query("stratified_sample", llmdata.q_stratified_sample, llmdata.Q_STRATIFIED_SAMPLE_SQL),
     # --- multimodal (§2.11)
     Query("media_stats", llmdata.q_media_stats, llmdata.Q_MEDIA_STATS_SQL),
     # --- cardinality

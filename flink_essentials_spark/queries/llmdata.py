@@ -432,3 +432,28 @@ SELECT doc_id,
          AS n_tokens
 FROM documents
 """
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting: deterministic per-source downsampling of the
+    corpus (hash-bucket filter — reproducible on any engine/partitioning,
+    pure pushed-down predicate; the auditability a 100 TB pipeline needs
+    vs RNG sampling)."""
+    from flink_essentials_spark.functions.sampling import stratified_hash_sample
+
+    t = load_tables(spark, sf_dir)
+    sampled = stratified_hash_sample(
+        t["documents"],
+        {"src0": 0.25, "src1": 1.0, "src2": 0.5, "src3": 0.1},
+        strata_col="source",
+    )
+    return sampled.select("doc_id", "source")
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, source
+FROM documents
+WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)))::BIGINT % 10000
+      < CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 10000
+                    WHEN 'src2' THEN 5000 WHEN 'src3' THEN 1000 ELSE -1 END
+"""

@@ -173,6 +173,34 @@ def test_ivf_full_probe_equals_exact(spark):
         assert exact_scores[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
 
 
+def test_hash_sampling_deterministic_and_partition_invariant(spark):
+    """The defining property vs RNG sampling: identical keep-set across
+    reruns AND across partitionings; per-stratum rates hold roughly."""
+    from flink_essentials_spark.functions.sampling import (
+        hash_sample,
+        mixture_report,
+        stratified_hash_sample,
+    )
+
+    t = load_tables(spark, SF_DIR)
+    d = t["documents"]
+    ids1 = sorted(r["doc_id"] for r in hash_sample(d, 0.3).select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in hash_sample(d.repartition(7), 0.3).select("doc_id").collect()
+    )
+    assert ids1 == ids2 and ids1
+    assert abs(len(ids1) / d.count() - 0.3) < 0.1
+
+    strat = stratified_hash_sample(
+        d, {"src0": 1.0, "src1": 0.0}, strata_col="source"
+    )
+    srcs = {r["source"] for r in strat.select("source").distinct().collect()}
+    assert srcs == {"src0"}  # rate-0 and unlisted strata dropped
+    rep = {r["source"]: r["share"] for r in mixture_report(strat, "source").collect()}
+    assert rep == {"src0": 1.0}
+
+
 def test_token_stats_and_quality(spark, docs_df):
     stats = {r["doc_id"]: r for r in text.token_stats(docs_df).collect()}
     assert stats[0]["n_tokens"] == 9
