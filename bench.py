@@ -73,6 +73,25 @@ def main() -> None:
     spark.range(0, 64, 1, 32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # warm the streaming machinery (micro-batch planner, state store,
+    # memory sink) the same way — the streaming queries then measure
+    # steady-state cost, not first-streaming-query-in-JVM setup
+    import tempfile
+    import uuid as _uuid
+
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    spark.range(0, 100).withColumnRenamed("id", "v").coalesce(1).write.parquet(
+        warm_dir, mode="overwrite"
+    )
+    run_to_memory(
+        spark,
+        file_replay(spark, warm_dir, "v long").groupBy("v").count(),
+        "warm_" + _uuid.uuid4().hex[:8],
+        output_mode="complete",
+    )
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -93,7 +93,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-duplicate pairs by EXACT n-gram Jaccard ≥ threshold, via a
-    prefix-filtered set-similarity join (PPJoin-family).
+    prefix-filtered set-similarity join (PPJoin family — Xiao et al.,
+    "Efficient similarity joins for near duplicate detection", WWW 2008).
 
     J(A,B) ≥ t requires overlap ≥ t·max(|A|,|B|), so under any global
     total order on shingles a qualifying pair must share one of each
@@ -161,7 +162,8 @@ def minhash_signatures(
     *,
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for each seed i,
+    """Per-doc MinHash signature (Broder, "On the resemblance and
+    containment of documents", 1997): for each seed i,
     min over shingles of (A_i * word_hash(shingle) + B_i) mod P.
 
     ``shingles_df`` (from :func:`shingle_sets`, possibly cached) lets a
@@ -285,9 +287,9 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-doc SimHash over distinct tokens: bit b of the fingerprint is
-    the majority vote of bit b across token hashes. Pure array
-    expressions; one narrow pass."""
+    """Per-doc SimHash (Charikar, "Similarity estimation techniques
+    from rounding algorithms", STOC 2002): bit b of the fingerprint is
+    the majority vote of bit b across token hashes."""
     # explode → hash once per distinct token → 32 conditional-sum votes
     # in ONE groupBy pass (same rationale as minhash_signatures: the
     # per-bit array-fold form recomputes the hash chain per bit).

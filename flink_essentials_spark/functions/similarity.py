@@ -160,9 +160,10 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer (seeded, so
-    deterministic per dataset), corpus partitioned into cells, each
-    query probes its ``n_probe`` nearest cells only.
+    """IVF approximate top-k (the inverted-file coarse quantizer of
+    Jégou et al., "Product quantization for nearest neighbor search",
+    TPAMI 2011 — without the PQ residual codes): seeded k-means cells,
+    each query probes its ``n_probe`` nearest cells only.
 
     The classic trained-ANN layout: search cost drops from O(corpus)
     to O(n_probe/n_cells · corpus). ``n_probe == n_cells`` degenerates
