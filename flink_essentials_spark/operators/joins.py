@@ -128,6 +128,11 @@ def as_of_join(
 
     Output: left.* + payload_cols (NULL when no right row precedes;
     ``how='inner'`` drops those).
+
+    Contract: ``payload_cols`` must be non-null on the right side —
+    ``last(..., ignorenulls)`` carries each column independently, so a
+    NULL inside a payload column would mix values from different right
+    rows. Pre-aggregate or fill the right side first.
     """
     lt = left.select(
         F.lit(1).alias("__side"),

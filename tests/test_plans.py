@@ -68,6 +68,15 @@ def test_as_of_join_is_linear_not_quadratic(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_scan_only_aggregate_has_no_join_no_extra_exchange(spark):
+    """Q6 shape must collapse to pushed-filter scan + partial/final agg."""
+    plan = plan_of(spark, "forecast_revenue")
+    assert "Join" not in plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
+    tree = plan.split("\n(1)")[0]
+    assert tree.count("Exchange") == 1
+
+
 def test_aqe_enabled_everywhere(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     plan = plan_of(spark, "pricing_summary")
