@@ -135,6 +135,69 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# Char-bigram profiles per language — the classic n-gram language-ID
+# heuristic (counts of characteristic bigrams, argmax). Kept tiny and
+# exact so a SQL oracle reproduces it with replace()-count arithmetic.
+LANG_BIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("th", "he", "ng", " a"),
+    "de": ("ch", "ei", "en ", "de"),
+    "es": ("ón", "ll", "os ", " el"),
+    "fr": ("ou", "ai", "es ", " le"),
+}
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of ``needle`` via the length/replace identity —
+    portable to any SQL engine (no regex escaping concerns)."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def language_id_ngram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Char-n-gram language ID: score = Σ occurrences of each language's
+    characteristic bigrams, normalized by text length; deterministic
+    argmax with lexicographic tiebreak. Complements the marker-word
+    scorer in :func:`language_id`; both are pure Column expressions."""
+    low = F.lower(F.col(text_col))
+    langs = sorted(LANG_BIGRAMS)
+    scores = {
+        lang: sum(
+            (_count_occurrences(low, g) for g in LANG_BIGRAMS[lang]),
+            F.lit(0).cast("double"),
+        )
+        for lang in langs
+    }
+    scored = df.select(
+        id_col,
+        *[
+            F.round(
+                scores[lang] / F.greatest(F.length(low), F.lit(1)), 6
+            ).alias(f"ngram_score_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"ngram_score_{lang}").alias("s"),
+                F.lit(-i).alias("o"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return scored.select(
+        id_col,
+        *[f"ngram_score_{lang}" for lang in langs],
+        F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("unknown")).alias(
+            "lang_pred"
+        ),
+    )
+
+
 ROLLING_B = 131
 ROLLING_P = 2_147_483_647  # 2^31 - 1: keeps acc*B + h inside int64
 

@@ -187,6 +187,7 @@ _REGISTRY: list[Query] = [
     Query("bpe_token_stats", llmdata.q_bpe_token_stats, llmdata.Q_BPE_TOKEN_STATS_SQL),
     Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
     Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),
+    Query("language_id_ngram", llmdata.q_language_id_ngram, llmdata.Q_LANGUAGE_ID_NGRAM_SQL),
     Query("doc_fingerprint", llmdata.q_fingerprint, llmdata.Q_FINGERPRINT_SQL),
     Query("rolling_fingerprint", llmdata.q_rolling_fingerprint, llmdata.Q_ROLLING_FINGERPRINT_SQL),
     Query("stratified_sample", llmdata.q_stratified_sample, llmdata.Q_STRATIFIED_SAMPLE_SQL),

@@ -457,3 +457,50 @@ WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)))::BIGINT % 10000
       < CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 10000
                     WHEN 'src2' THEN 5000 WHEN 'src3' THEN 1000 ELSE -1 END
 """
+
+
+def q_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram language-ID heuristic (bigram profile argmax)."""
+    from flink_essentials_spark.functions.text import language_id_ngram
+
+    t = load_tables(spark, sf_dir)
+    return language_id_ngram(t["documents"])
+
+
+def _ngram_sql() -> str:
+    from flink_essentials_spark.functions.text import LANG_BIGRAMS
+
+    langs = sorted(LANG_BIGRAMS)
+
+    def count(g: str) -> str:
+        esc = g.replace("'", "''")
+        return (
+            f"(length(low) - length(replace(low, '{esc}', '')))"
+            f" / {len(g)}"
+        )
+
+    score_cols = ",\n       ".join(
+        "round((" + " + ".join(count(g) for g in LANG_BIGRAMS[lang]) + ")"
+        f" / greatest(length(low), 1), 6) AS ngram_score_{lang}"
+        for lang in langs
+    )
+    max_s = "greatest(" + ", ".join(f"ngram_score_{lang}" for lang in langs) + ")"
+    # tiebreak = alphabetically first language, matching the Spark
+    # struct-greatest ordering (score, then -ordinal)
+    case = " ".join(
+        f"WHEN ngram_score_{lang} = {max_s} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH lowered AS (SELECT doc_id, lower(text) AS low FROM documents),
+scored AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM lowered
+)
+SELECT doc_id, {", ".join(f"ngram_score_{lang}" for lang in langs)},
+       CASE WHEN {max_s} <= 0 THEN 'unknown' {case} END AS lang_pred
+FROM scored
+"""
+
+
+Q_LANGUAGE_ID_NGRAM_SQL = _ngram_sql()

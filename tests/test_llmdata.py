@@ -223,6 +223,18 @@ def test_language_id_markers(spark):
     assert got == {0: "en", 1: "de", 2: "unknown"}
 
 
+def test_language_id_ngram_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the weather thing was rather thorough"),
+            (1, "ich möchte nach München, das Wetter ist schön"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in text.language_id_ngram(df).collect()}
+    assert got[0] == "en" and got[1] == "de"
+
+
 def test_fingerprint_order_insensitive(spark):
     df = spark.createDataFrame(
         [(0, "alpha beta gamma"), (1, "gamma alpha beta"), (2, "alpha beta delta")],
