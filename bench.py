@@ -40,6 +40,8 @@ HEADLINE = [
     "window_join",
     "interval_join",
     "as_of_join",
+    "time_rollup",
+    "value_quantiles",
     "count_trigger_fires",
     # streaming path
     "streaming_wordcount",
@@ -51,6 +53,8 @@ HEADLINE = [
     "similarity_topk",
     "embedding_near_dups",
     "quality_score",
+    "bpe_token_stats",
+    "stratified_sample",
 ]
 
 

@@ -119,6 +119,23 @@ def test_driver_entry_contract(spark):
     assert set(oracles) <= set(qs)
 
 
+def test_sql_interface_over_registered_views(spark):
+    """The pure-SQL entry point: register the tables as views and run
+    ANSI SQL through spark.sql — Catalyst treats it identically to the
+    DataFrame plans (same optimized query)."""
+    from flink_essentials_spark.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    out = spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem WHERE l_quantity < 10
+        GROUP BY l_returnflag
+        """
+    ).collect()
+    assert out and all(r["n"] > 0 for r in out)
+
+
 def test_generator_sources_shapes(spark):
     """Rate-backed deterministic generators (S5/S6): schema parity with
     the batch fixtures; every field a pure function of the counter."""
