@@ -56,6 +56,62 @@ def test_state_survives_query_restart(spark, tmp_path):
     assert got2 == {u: 4 for u in ("Bob", "Alice", "Sam", "Tom", "Rob")}
 
 
+def test_custom_processor_state_survives_restart(spark, tmp_path):
+    """The KeyedState restore contract for CUSTOM state (pickled dict in
+    the state store, not a built-in agg): a count trigger that buffered
+    7 elements before shutdown fires at 10 after restart — impossible
+    unless the pickled buffer was restored from the checkpoint."""
+    from flink_essentials_spark.operators.stateful import keyed_process
+    from flink_essentials_spark.operators.triggers import (
+        COUNT_FIRE_SCHEMA,
+        CountTriggerProcessor,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    first = fixtures.shopping_cart_events(spark, 7).withColumn(
+        "user_id", F.lit("K")
+    )
+    first.coalesce(1).write.parquet(src)
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        # memory sink can't recover from a checkpoint (append mode);
+        # the file sink is the recovery-capable one (K3)
+        sdf = file_replay(spark, src, SHOPPING_CART_EVENT_SCHEMA, files_per_trigger=10)
+        out = keyed_process(
+            sdf, ["user_id"], CountTriggerProcessor(10, purge=False),
+            COUNT_FIRE_SCHEMA, timeout="none",
+            event_time_col="time", output_mode="append",
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 0  # 7 < 10: buffered
+
+    more = fixtures.shopping_cart_events(spark, 12).withColumn(
+        "user_id", F.lit("K")
+    )
+    # 5 new events (ids 7..11) arrive while the query is down
+    more.filter(F.col("quantity") >= 7).coalesce(1).write.mode("append").parquet(src)
+
+    run_once()
+    fired = [
+        (r["fire_seq"], r["cnt_in_fire"], r["total_seen"])
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    assert fired == [(1, 10, 10)]  # restored 7 + 3 new → fire at 10
+
+
 def test_streaming_file_sink_exactly_once_on_restart(spark, tmp_path):
     """K3: the checkpointed file sink's manifest makes restarts
     exactly-once — re-running from the same checkpoint never
