@@ -167,6 +167,7 @@ _REGISTRY: list[Query] = [
     Query("as_of_join", dataflow.q_as_of_join, dataflow.Q_AS_OF_JOIN_SQL),
     Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
     Query("value_quantiles", dataflow.q_value_quantiles, dataflow.Q_VALUE_QUANTILES_SQL),
+    Query("json_props", dataflow.q_json_props, dataflow.Q_JSON_PROPS_SQL),
     # --- streaming path (oracle checks final state)
     Query("streaming_wordcount", q_streaming_wordcount, dataflow.Q_WORDCOUNT_SQL),
     Query("streaming_windows", q_streaming_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),

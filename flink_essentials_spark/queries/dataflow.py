@@ -649,3 +649,35 @@ SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
 FROM events
 GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
 """
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured metadata columns: parse the JSON ``props`` field
+    JVM-side (from_json with an explicit schema — schema-on-read like
+    every training-data metadata column) and aggregate on the extracted
+    value. Stays in codegen; the JSON parse pushes no worse than a
+    string scan."""
+    t = load_tables(spark, sf_dir)
+    parsed = t["events"].select(
+        "event_type",
+        F.from_json(F.col("props"), "k bigint").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q_JSON_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
+       MAX(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
