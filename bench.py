@@ -55,6 +55,7 @@ HEADLINE = [
     "quality_score",
     "bpe_token_stats",
     "stratified_sample",
+    "training_pipeline",
 ]
 
 

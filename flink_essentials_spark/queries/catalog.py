@@ -192,6 +192,7 @@ _REGISTRY: list[Query] = [
     Query("doc_fingerprint", llmdata.q_fingerprint, llmdata.Q_FINGERPRINT_SQL),
     Query("rolling_fingerprint", llmdata.q_rolling_fingerprint, llmdata.Q_ROLLING_FINGERPRINT_SQL),
     Query("stratified_sample", llmdata.q_stratified_sample, llmdata.Q_STRATIFIED_SAMPLE_SQL),
+    Query("training_pipeline", llmdata.q_training_pipeline, llmdata.Q_TRAINING_PIPELINE_SQL),
     # --- multimodal (§2.11)
     Query("media_stats", llmdata.q_media_stats, llmdata.Q_MEDIA_STATS_SQL),
     # --- cardinality

@@ -504,3 +504,60 @@ FROM scored
 
 
 Q_LANGUAGE_ID_NGRAM_SQL = _ngram_sql()
+
+
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: an end-to-end training-data filter —
+    exact-dedup keepers ∩ quality threshold ∩ language = en ∩ token
+    bounds — built by composing the library's per-doc signal operators.
+    All signals derive from one scan; the dedup keeper is a window over
+    the normalization key. (At full scale, fuse the signal projections
+    into one pass — each signal here is a pure Column expression, so
+    the fused form is a mechanical rewrite; the joins keep the library
+    composition visible and AQE broadcasts the small signal frames.)"""
+    from pyspark.sql import Window as W
+
+    from flink_essentials_spark.functions.text import language_id, quality_score
+    from flink_essentials_spark.functions.dedup import normalize_text
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    rn = F.row_number().over(
+        W.partitionBy(normalize_text(F.col("text"))).orderBy("doc_id")
+    )
+    keepers = docs.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+        "doc_id", "source"
+    )
+    quality = quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    lang = language_id(docs).select("doc_id", "lang_pred")
+    return (
+        keepers.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 0.55)
+            & (F.col("lang_pred") == "en")
+            & F.col("n_tokens").between(20, 1000)
+        )
+        .select("doc_id", "source", "n_tokens", "quality_score")
+    )
+
+
+Q_TRAINING_PIPELINE_SQL = f"""
+WITH quality AS ({Q_QUALITY_SCORE_SQL}),
+lang AS ({Q_LANGUAGE_ID_SQL}),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+           ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT ranked.doc_id, ranked.source, quality.n_tokens, quality.quality_score
+FROM ranked
+JOIN quality ON ranked.doc_id = quality.doc_id
+JOIN lang    ON ranked.doc_id = lang.doc_id
+WHERE ranked.rn = 1
+  AND quality.quality_score >= 0.55
+  AND lang.lang_pred = 'en'
+  AND quality.n_tokens BETWEEN 20 AND 1000
+"""
