@@ -150,6 +150,7 @@ _REGISTRY: list[Query] = [
     Query("rolling_user_counts", dataflow.q_rolling_user_counts, dataflow.Q_ROLLING_USER_COUNTS_SQL),
     # --- multi-stream (§2.7)
     Query("union_streams", dataflow.q_union_streams, dataflow.Q_UNION_STREAMS_SQL),
+    Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
     Query("window_join", dataflow.q_window_join, dataflow.Q_WINDOW_JOIN_SQL),
     Query("interval_join", dataflow.q_interval_join, dataflow.Q_INTERVAL_JOIN_SQL),
     Query("connect_tagged", dataflow.q_connect_tagged, dataflow.Q_CONNECT_TAGGED_SQL),

@@ -681,3 +681,27 @@ SELECT event_type, COUNT(*) AS n,
 FROM events
 GROUP BY event_type
 """
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations beyond union: users who viewed AND clicked
+    (INTERSECT) minus users who ever errored (EXCEPT) — both are
+    hash-shuffle distincts in Spark, same as a groupBy."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    users = lambda et: ev.filter(
+        (F.col("event_type") == et) & (F.col("value") > 97)
+    ).select("user_id")
+    both = users("view").intersect(users("click"))
+    return both.exceptAll(users("error")).distinct()
+
+
+Q_SET_OPS_SQL = """
+SELECT DISTINCT user_id FROM (
+  (SELECT user_id FROM events WHERE event_type = 'view' AND value > 97
+   INTERSECT
+   SELECT user_id FROM events WHERE event_type = 'click' AND value > 97)
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error' AND value > 97
+)
+"""
