@@ -83,6 +83,7 @@ def interval_join(
     *,
     lower_exclusive: bool = True,
     upper_exclusive: bool = True,
+    how: str = "inner",
 ) -> DataFrame:
     """Keyed time-proximity join (J3): emit (a, b) where
     ``b.ts − lower (<|≤) a.ts (<|≤) b.ts + upper``.
@@ -91,6 +92,11 @@ def interval_join(
     (HandlingMultipleStreams.scala:178-180). In streaming, both inputs
     must carry watermarks; the same expression then bounds state
     retention (Spark evicts join state past watermark+interval).
+    ``how`` extends beyond the reference's inner join: left_outer /
+    right_outer / full_outer are supported batch AND streaming — in
+    streaming, unmatched rows emit only once the watermark passes their
+    join window (they may stay pending at end-of-replay, the same
+    no-more-data caveat as the last open window).
     """
     lo_op = "__gt__" if lower_exclusive else "__ge__"
     hi_op = "__lt__" if upper_exclusive else "__le__"
@@ -101,7 +107,7 @@ def interval_join(
         & getattr(l_ts, lo_op)(r_ts - F.expr(f"INTERVAL {lower}"))
         & getattr(l_ts, hi_op)(r_ts + F.expr(f"INTERVAL {upper}"))
     )
-    return left.alias("l").join(right.alias("r"), cond, "inner")
+    return left.alias("l").join(right.alias("r"), cond, how)
 
 
 def as_of_join(

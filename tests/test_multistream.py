@@ -86,6 +86,27 @@ def test_interval_join_bounds_exclusive(spark):
     assert incl > excl  # boundary pairs exist by construction
 
 
+def test_interval_join_left_outer(spark):
+    """Outer extension of J3: every left row appears; unmatched ones
+    carry NULL right columns."""
+    carts = fixtures.shopping_cart_events(spark, 15)
+    views = fixtures.catalog_events(spark, 4)  # few right rows → unmatched lefts
+    out = joins.interval_join(
+        carts, views, "user_id", "user_id", "time", "time",
+        "2 seconds", "2 seconds", how="left_outer",
+    )
+    rows = out.select(
+        F.col("l.sku").alias("sku"), F.col("r.product_id").alias("product_id")
+    ).collect()
+    assert len({r["sku"] for r in rows}) == 15  # all left rows present
+    assert any(r["product_id"] is None for r in rows)
+    inner = joins.interval_join(
+        carts, views, "user_id", "user_id", "time", "time",
+        "2 seconds", "2 seconds",
+    ).count()
+    assert sum(1 for r in rows if r["product_id"] is not None) == inner
+
+
 def test_connect_tags_and_pads_schemas(spark):
     """J4: heterogeneous streams → one tagged schema, NULL-padded."""
     carts = fixtures.shopping_cart_events(spark, 5)
