@@ -89,7 +89,18 @@ def interval_join(
     ``b.ts − lower (<|≤) a.ts (<|≤) b.ts + upper``.
 
     The reference demo uses exclusive bounds both sides
-    (HandlingMultipleStreams.scala:178-180). In streaming, both inputs
+    (HandlingMultipleStreams.scala:178-180). Convention caveat: Flink's
+    ``between(lowerBound, upperBound)`` is left-relative and signed —
+    it constrains ``right.ts ∈ [left.ts+lower, left.ts+upper]`` (a lag
+    is expressed as a negative lowerBound). This API instead takes two
+    non-negative widths around the right timestamp, constraining
+    ``left.ts ∈ (right.ts−lower, right.ts+upper)``. The two agree for
+    symmetric bounds (the reference demo's ±2s); for asymmetric
+    intervals, Flink's ``between(-a, b)`` is this function's
+    ``lower=b, upper=a`` seen from the left side — i.e. the roles of
+    the two widths swap when you change which side is the anchor.
+
+    In streaming, both inputs
     must carry watermarks; the same expression then bounds state
     retention (Spark evicts join state past watermark+interval).
     ``how`` extends beyond the reference's inner join: left_outer /
@@ -139,11 +150,18 @@ def as_of_join(
     ``last(..., ignorenulls)`` carries each column independently, so a
     NULL inside a payload column would mix values from different right
     rows. Pre-aggregate or fill the right side first.
+
+    Determinism: when multiple right rows share the same (key, ts), the
+    carried payload is the one with the greatest ``xxhash64(payload)``
+    — an arbitrary but stable total order, so results are identical
+    run-to-run and partition-layout-independent. Pre-aggregate to
+    unique (key, ts) if you need a semantically meaningful winner.
     """
     lt = left.select(
         F.lit(1).alias("__side"),
         F.col(left_key).alias("__k"),
         F.col(left_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).cast("long").alias("__tb"),
         F.struct(*left.columns).alias("__l"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
     )
@@ -151,6 +169,7 @@ def as_of_join(
         F.lit(0).alias("__side"),
         F.col(right_key).alias("__k"),
         F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.xxhash64(*[F.col(c) for c in payload_cols]).alias("__tb"),
         F.lit(None).cast(lt.schema["__l"].dataType).alias("__l"),
         *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
     )
@@ -158,7 +177,7 @@ def as_of_join(
 
     w = (
         W.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__tb")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = lt.unionByName(rt).select(

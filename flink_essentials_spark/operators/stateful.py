@@ -224,9 +224,21 @@ def _keyed_process_streaming(
         state = State(data, now_ms=lambda: int(_time.time() * 1000))
         out = Emitter()
         if group_state.hasTimedOut:
+            # fire-once semantics (mirrors _keyed_process_batch's
+            # clear_timer-before-on_timer): a stale '__timer__' left in
+            # state would re-arm every batch — ProcessingTimeTimeout
+            # busy-loops a no-op timer forever, EventTimeTimeout calls
+            # setTimeoutTimestamp at/behind the watermark and crashes.
+            state.clear_timer()
             processor.on_timer(key, state, out)
         else:
-            for pdf in pdfs:
+            # applyInPandasWithState may split one key's micro-batch
+            # across chunks (maxRecordsPerBatch); concatenate before
+            # sorting so on_element order is event-time order for the
+            # whole batch, not per-chunk.
+            chunks = list(pdfs)
+            if chunks:
+                pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
                 if event_time_col is not None:
                     pdf = pdf.sort_values(event_time_col)
                 for row in pdf.to_dict("records"):

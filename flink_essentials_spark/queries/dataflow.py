@@ -673,9 +673,11 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB SUM(BIGINT) yields HUGEINT (int128); cast back to BIGINT so the
+# driver's value hash sees the same physical type Spark emits.
 Q_JSON_PROPS_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
        MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
        MAX(json_extract(props, '$.k')::BIGINT) AS max_k
 FROM events
