@@ -33,7 +33,13 @@ def _hp_component(p: int, j: int) -> float:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-fold dot product of two array<double> columns."""
+    """Left-fold dot product of two array<double> columns.
+
+    Higher-order folds run interpreted (outside codegen) — fine for a
+    handful of rows (hyperplane_bucket's fixed planes), wrong for the
+    per-pair hot path. Joined (query, corpus) scoring goes through
+    ``_batch_cosine`` (Arrow + BLAS) instead.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -49,6 +55,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _batch_cosine(scored: DataFrame) -> DataFrame:
+    """Vectorized cosine over a joined (query_id, neighbor_id, qv, cv)
+    frame: per Arrow batch, one row-wise einsum dot over float64
+    matrices — the BLAS path for per-pair scoring (the interpreted
+    ``cosine`` fold is ~10× slower per element at scale). Identical to
+    the fold at round-6; stays fully lazy/distributed."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            C = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            s = np.einsum("ij,ij->i", Q, C) / (
+                np.linalg.norm(Q, axis=1) * np.linalg.norm(C, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "cos_sim": np.round(s, 6),
+                }
+            )
+
+    return scored.mapInPandas(gen, "query_id long, neighbor_id long, cos_sim double")
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -62,21 +98,17 @@ def cosine_topk(
     once. Rounded to 6 decimals with id tiebreak → deterministic ranks.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"),
+        F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
+        F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    scored = (
+    scored = _batch_cosine(
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", "qv", "cv")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
@@ -93,41 +125,89 @@ def cosine_all_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup verify).
 
-    Arrow+BLAS path: the normalized corpus is broadcast as a dense
-    float64 matrix; each partition multiplies its row block against it
-    (one matrix multiply) and emits surviving pairs. Column-expression
-    folds evaluate per element outside codegen — on 2M pairs × 64 dims
-    the matrix form is ~10× faster at identical (round-6) results.
-    Corpus larger than executor memory → block-partition the broadcast
-    side (same inner loop over B-blocks); candidate generation via
-    hyperplane_bucket is the sub-quadratic path.
+    Distributed block-nested-loop — NO driver-side collect anywhere.
+    Rows hash into ``num_blocks`` blocks; a tiny broadcast block-pair
+    index (i ≤ j) replicates each block to the ~num_blocks pairs it
+    participates in; each (i, j) group normalizes its two row blocks
+    and multiplies them with one BLAS matmul inside applyInPandas,
+    emitting surviving pairs canonically ordered (vec_a < vec_b).
+    Exact: identical to the naive quadratic form at round-6 (tested
+    across block counts). Shuffle volume is O(n · num_blocks); per-task
+    memory is two blocks of n/num_blocks vectors — size num_blocks so
+    that fits an executor. Compute stays inherently quadratic (this is
+    exact all-pairs); the sub-quadratic candidate path is
+    hyperplane_bucket / minhash-LSH.
     """
-    import numpy as np
+    spark = df.sparkSession
+    rows = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int").alias("__blk"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    index = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
+        "i int, j int",
+    )
+    # side 0 = the row's block plays the i role; side 1 = the j role.
+    # The diagonal group (i == j) gets side 0 only and computes its own
+    # upper triangle; a cross pair {x, y} lands exactly once, in group
+    # (min(blk), max(blk)).
+    side_a = rows.join(F.broadcast(index), index["i"] == rows["__blk"]).select(
+        "i", "j", F.lit(0).alias("__side"), "__id", "__v"
+    )
+    side_b = rows.join(
+        F.broadcast(index.filter(F.col("i") != F.col("j"))),
+        index["j"] == rows["__blk"],
+    ).select("i", "j", F.lit(1).alias("__side"), "__id", "__v")
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    bc = df.sparkSession.sparkContext.broadcast((ids, Mn))
-
-    def gen(batches):
+    def verify(pdf):
+        import numpy as np
         import pandas as pd
 
-        b_ids, bM = bc.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-            S = np.round(An @ bM.T, 6)
-            ai, bi = np.nonzero((S >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": b_ids[bi], "cos_sim": S[ai, bi]}
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        a = pdf[pdf["__side"] == 0]
+        if not len(a):
+            return empty
+        ids_a = a["__id"].to_numpy(dtype=np.int64)
+        A = np.array(a["__v"].tolist(), dtype=np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        if int(pdf["i"].iloc[0]) == int(pdf["j"].iloc[0]):
+            S = np.round(An @ An.T, 6)
+            ai, bi = np.nonzero((S >= threshold) & (ids_a[:, None] < ids_a[None, :]))
+            return pd.DataFrame(
+                {"vec_a": ids_a[ai], "vec_b": ids_a[bi], "cos_sim": S[ai, bi]}
             )
+        b = pdf[pdf["__side"] == 1]
+        if not len(b):
+            return empty
+        ids_b = b["__id"].to_numpy(dtype=np.int64)
+        B = np.array(b["__v"].tolist(), dtype=np.float64)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        S = np.round(An @ Bn.T, 6)
+        ai, bi = np.nonzero(S >= threshold)
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ids_a[ai], ids_b[bi]),
+                "vec_b": np.maximum(ids_a[ai], ids_b[bi]),
+                "cos_sim": S[ai, bi],
+            }
+        )
 
-    return df.mapInPandas(gen, "vec_a long, vec_b long, cos_sim double")
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("i", "j")
+        .applyInPandas(verify, "vec_a long, vec_b long, cos_sim double")
+    )
 
 
 def hyperplane_bucket(
@@ -159,6 +239,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_rows_per_cell: int = 256,
 ) -> DataFrame:
     """IVF approximate top-k (the inverted-file coarse quantizer of
     Jégou et al., "Product quantization for nearest neighbor search",
@@ -167,9 +248,12 @@ def ivf_topk(
 
     The classic trained-ANN layout: search cost drops from O(corpus)
     to O(n_probe/n_cells · corpus). ``n_probe == n_cells`` degenerates
-    to exhaustive search and must equal cosine_topk exactly (tested).
-    At 100 TB: train on a sample, store ``cell`` as a partition column
-    so probes become partition-pruned scans.
+    to exhaustive search and must equal cosine_topk exactly (tested —
+    full probe covers every cell regardless of where the centroids
+    trained). KMeans trains on a seeded sample capped at
+    ``train_rows_per_cell × n_cells`` rows, never the full corpus;
+    at 100 TB additionally store ``cell`` as a partition column so
+    probes become partition-pruned scans.
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
@@ -177,11 +261,14 @@ def ivf_topk(
 
     spark = corpus.sparkSession
     corpus_v = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
+        F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("fv", array_to_vector(F.col("cv")))
+    n = corpus_v.count()
+    cap = train_rows_per_cell * n_cells
+    train = corpus_v.sample(cap / n, seed=42) if n > cap else corpus_v
     km = KMeans(k=n_cells, seed=42, featuresCol="fv", predictionCol="cell").fit(
-        corpus_v
+        train
     )
     assigned = km.transform(corpus_v).select("neighbor_id", "cv", "cell")
 
@@ -196,12 +283,11 @@ def ivf_topk(
     probes = spark.createDataFrame(
         probe_rows, "query_id long, qv array<double>, cell int"
     )
-    scored = F.broadcast(probes).join(assigned, "cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    scored = _batch_cosine(
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
@@ -226,27 +312,23 @@ def cosine_topk_lsh(
     too expensive. Same output shape as cosine_topk.
     """
     cb = hyperplane_bucket(corpus, num_planes, dim, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
+        F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         "bucket",
     )
     qb = hyperplane_bucket(queries, num_planes, dim, vec_col).select(
-        F.col(id_col).alias("query_id"),
+        F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
         F.col("bucket").alias("qbucket"),
     )
-    scored = (
+    scored = _batch_cosine(
         F.broadcast(qb)
         .join(
             cb,
             (F.col("bucket") == F.col("qbucket"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", "qv", "cv")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")

@@ -237,6 +237,19 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rk <= 5
 """
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for query vectors vec_id < 10, run at FULL probe
+    (n_probe == n_cells) so it degenerates to exhaustive search — which
+    makes the brute-force DuckDB top-k SQL an exact oracle. Partial-
+    probe recall/containment behavior is pinned in tests/. KMeans
+    trains on a capped seeded sample (never the full corpus)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, n_probe=8
+    )
+
+
 # --- text analysis -----------------------------------------------------------
 
 

@@ -173,6 +173,49 @@ def test_ivf_full_probe_equals_exact(spark):
         assert exact_scores[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
 
 
+def test_cosine_all_pairs_blocked_matches_naive(spark):
+    """Block-nested-loop all-pairs must equal the naive quadratic form
+    exactly, for any block count (1 degenerates to single-group)."""
+    t = load_tables(spark, SF_DIR)
+    emb = t["embeddings"]
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(Mn @ Mn.T, 6)
+    exp = {
+        (int(ids[a]), int(ids[b]), float(S[a, b]))
+        for a in range(len(ids))
+        for b in range(len(ids))
+        if ids[a] < ids[b] and S[a, b] >= 0.35
+    }
+    assert exp, "fixture produced no pairs — threshold too high"
+    for nb in (1, 3, 8):
+        got = {
+            (r["vec_a"], r["vec_b"], r["cos_sim"])
+            for r in similarity.cosine_all_pairs(emb, 0.35, num_blocks=nb).collect()
+        }
+        assert got == exp, f"num_blocks={nb} diverged"
+
+
+def test_cosine_all_pairs_no_driver_collect(spark):
+    """Scale audit: building the all-pairs plan must NOT materialize the
+    input (a driver-side collect would execute this poisoned stage)."""
+
+    def boom(_it):
+        raise RuntimeError("input materialized during plan construction")
+        yield  # pragma: no cover
+
+    base = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    poisoned = base.mapInPandas(boom, "vec_id long, embedding array<double>")
+    out = similarity.cosine_all_pairs(poisoned, 0.9)  # must not raise
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_hash_sampling_deterministic_and_partition_invariant(spark):
     """The defining property vs RNG sampling: identical keep-set across
     reruns AND across partitionings; per-stratum rates hold roughly."""
