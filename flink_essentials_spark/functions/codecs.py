@@ -1,0 +1,146 @@
+"""Pure-numpy media codecs for formats that need no codec library.
+
+PPM (P6 binary), BMP (24-bit uncompressed BI_RGB) and WAV (PCM 16-bit)
+are simple enough to encode/decode with header arithmetic + numpy
+reshapes — so those modalities run REAL decode/resize paths in this
+image (multimodal.decode_media / resize_images); only formats that
+genuinely need a codec library (JPEG, video containers) stay stubbed
+behind ``fake=True``.
+
+Everything here is driver-free: these functions are called inside
+Arrow-batched mapInPandas bodies, one payload at a time, per executor.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+PPM_MIME = "image/x-portable-pixmap"
+BMP_MIME = "image/bmp"
+WAV_MIME = "audio/wav"
+
+
+# --- PPM (P6, maxval 255) ----------------------------------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 array (h, w, 3) → binary PPM."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM → uint8 array (h, w, 3). Handles whitespace and
+    ``#`` comments in the header per the netpbm spec."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3).copy()
+
+
+# --- BMP (24-bit uncompressed, bottom-up) ------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 array (h, w, 3) RGB → 24-bit BI_RGB BMP (rows bottom-up,
+    padded to 4 bytes, channels stored BGR per the format)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP → uint8 array (h, w, 3) RGB."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={comp})")
+    flip = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=off)
+    px = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR → RGB
+
+
+# --- WAV (PCM 16-bit) --------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM."""
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM-16 mono → (int16 samples, sample_rate). Walks the
+    chunk list (fmt may not be adjacent to data)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", data, body)
+            bits = struct.unpack_from("<H", data, body + 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM-16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples.astype(np.int16).copy(), rate
+
+
+# --- resize ------------------------------------------------------------------
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, floor mapping: src = (dst * in) // out.
+    Deterministic integer arithmetic — reproducible anywhere."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]

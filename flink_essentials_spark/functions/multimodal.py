@@ -1,11 +1,12 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Image/audio/video are ``binary`` columns with a ``modality`` tag and a
-metadata struct (schemas.MEDIA_SCHEMA). The Spark-side plumbing —
-schema, partitioning, Arrow batch shape, UDF signatures — is real and
-tested; the actual codec work (JPEG decode, resampling, frame
-extraction) is STUBBED because no media libraries exist in this
-image: ``decode_media`` raises NotImplementedError unless
+metadata struct (schemas.MEDIA_SCHEMA). Formats that need no codec
+library decode for REAL here — PPM/BMP images and PCM WAV audio, via
+the pure-numpy codecs in functions.codecs — with real feature
+extraction and real nearest-neighbor resize. Only formats that
+genuinely require a codec library (JPEG, video containers) stay
+stubbed: for those ``decode_media`` raises NotImplementedError unless
 ``fake=True``, which substitutes a deterministic hash-derived feature
 vector so downstream pipeline stages are exercisable end-to-end.
 
@@ -14,17 +15,28 @@ extraction is ``mapInPandas`` (Arrow-batched, per-partition codec
 init via the iterator form); never collect payloads to the driver.
 Batch size is controlled by spark.sql.execution.arrow.maxRecordsPerBatch
 — lower it for large payloads to bound executor memory.
+
+Feature vector layout (array<double>, real decode path):
+``[dim_a, dim_b, channels, mean, rms, min, max, n_vals]`` where
+(dim_a, dim_b) = (width, height) for images, (n_samples, sample_rate)
+for audio. Every element is derived from exact-in-float64 integer
+arithmetic (integer sums / sums of squares, one division, sqrt), so an
+independent SQL engine reproduces them bit-for-bit — that is what the
+media_features DuckDB oracle checks.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_essentials_spark.functions import codecs
 from flink_essentials_spark.schemas import MEDIA_SCHEMA
 
 FEATURE_DIM = 8
@@ -55,29 +67,145 @@ def synthetic_media(spark: SparkSession, source_df: DataFrame, text_col: str = "
     )
 
 
+def synthetic_real_media(spark: SparkSession, source_df: DataFrame) -> DataFrame:
+    """Media table with REAL encoded payloads, derived deterministically
+    from doc_id alone (so an independent engine can predict the decoded
+    content — the media_features oracle recomputes it in SQL):
+
+    - doc_id % 3 == 0 → image, pixels v_i = (doc_id + i) % 256 over
+      w = ((doc_id%8)+1)*4, h = ((doc_id%4)+1)*2; encoded as PPM for
+      doc_id % 6 == 0 and BMP for doc_id % 6 == 3 (same pixels, two
+      real container formats through one dispatch).
+    - doc_id % 3 == 1 → audio, int16 samples
+      s_i = ((doc_id*31 + i*7) % 65536) − 32768 over
+      n = ((doc_id%50)+10)*50 samples at 16 kHz, encoded as PCM WAV.
+    - doc_id % 3 == 2 → video, opaque utf-8 text payload (no
+      library-free video container; stays on the stub path).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                did = int(r.doc_id)
+                if did % 3 == 0:
+                    w = ((did % 8) + 1) * 4
+                    h = ((did % 4) + 1) * 2
+                    px = ((did + np.arange(w * h * 3)) % 256).astype(np.uint8)
+                    arr = px.reshape(h, w, 3)
+                    if did % 6 == 0:
+                        payload, mime = codecs.encode_ppm(arr), codecs.PPM_MIME
+                    else:
+                        payload, mime = codecs.encode_bmp(arr), codecs.BMP_MIME
+                    meta = {"width": w, "height": h, "duration_ms": 0, "sample_rate": 0}
+                    modality = "image"
+                elif did % 3 == 1:
+                    n = ((did % 50) + 10) * 50
+                    s = (((did * 31 + 7 * np.arange(n)) % 65536) - 32768).astype(
+                        np.int16
+                    )
+                    payload, mime = codecs.encode_wav(s, 16000), codecs.WAV_MIME
+                    meta = {
+                        "width": 0,
+                        "height": 0,
+                        "duration_ms": n * 1000 // 16000,
+                        "sample_rate": 16000,
+                    }
+                    modality = "audio"
+                else:
+                    payload = str(r.text).encode("utf-8")
+                    mime = "application/octet-stream"
+                    meta = {
+                        "width": 0,
+                        "height": 0,
+                        "duration_ms": len(payload) * 100,
+                        "sample_rate": 0,
+                    }
+                    modality = "video"
+                rows.append(
+                    {
+                        "media_id": did,
+                        "modality": modality,
+                        "payload": payload,
+                        "mime_type": mime,
+                        "meta": meta,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "payload", "mime_type", "meta"]
+            )
+
+    return source_df.select("doc_id", "text").mapInPandas(
+        gen,
+        "media_id long, modality string, payload binary, mime_type string, "
+        "meta struct<width:int, height:int, duration_ms:bigint, sample_rate:int>",
+    )
+
+
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a decoded-feature vector."""
     digest = hashlib.md5(payload).digest()
     return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
+def _summarize(vals: np.ndarray, dim_a: float, dim_b: float, channels: float) -> list[float]:
+    """[dim_a, dim_b, channels, mean, rms, min, max, n] from integer
+    samples — exact int64 sums, one division, sqrt: bit-reproducible
+    in any IEEE-754 engine (the oracle recomputes these in DuckDB)."""
+    v = vals.astype(np.int64)
+    n = v.size
+    return [
+        dim_a,
+        dim_b,
+        channels,
+        int(v.sum()) / n,
+        math.sqrt(int((v * v).sum()) / n),
+        float(v.min()),
+        float(v.max()),
+        float(n),
+    ]
+
+
+def _decode_features(payload: bytes, mime: str) -> list[float] | None:
+    if mime == codecs.PPM_MIME:
+        arr = codecs.decode_ppm(payload)
+        h, w = arr.shape[:2]
+        return _summarize(arr.ravel(), float(w), float(h), 3.0)
+    if mime == codecs.BMP_MIME:
+        arr = codecs.decode_bmp(payload)
+        h, w = arr.shape[:2]
+        return _summarize(arr.ravel(), float(w), float(h), 3.0)
+    if mime == codecs.WAV_MIME:
+        samples, rate = codecs.decode_wav(payload)
+        return _summarize(samples, float(samples.size), float(rate), 1.0)
+    return None
+
+
 def decode_media(df: DataFrame, *, fake: bool = False) -> DataFrame:
     """Decode payloads → feature vectors via Arrow-batched mapInPandas.
 
-    Real codecs are not available in this environment; ``fake=True``
-    runs the deterministic stand-in (same schema, same batch shape) so
-    the pipeline is testable. The real implementation plugs a codec
-    call into exactly this iterator body.
+    PPM/BMP/WAV payloads decode for REAL (functions.codecs) into the
+    ``[dim_a, dim_b, channels, mean, rms, min, max, n_vals]`` layout.
+    Other mime types need codec libraries this image lacks:
+    ``fake=True`` runs the deterministic md5 stand-in for them (same
+    schema, same batch shape); ``fake=False`` raises. A real JPEG/video
+    implementation plugs its codec call into ``_decode_features``.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-partition init hook (codec contexts would be opened here)
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs (image/audio/video) are not available in "
-                    "this image; pass fake=True for the deterministic stub"
-                )
+            feats = []
+            for payload, mime in zip(pdf["payload"], pdf["mime_type"]):
+                f = _decode_features(bytes(payload), mime)
+                if f is None:
+                    if not fake:
+                        raise NotImplementedError(
+                            f"no library-free codec for {mime}; pass fake=True "
+                            "for the deterministic stub"
+                        )
+                    f = _fake_features(bytes(payload))
+                feats.append(f)
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
@@ -87,7 +215,7 @@ def decode_media(df: DataFrame, *, fake: bool = False) -> DataFrame:
                     "payload_md5": payloads.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
-                    "features": payloads.map(lambda b: _fake_features(bytes(b))),
+                    "features": feats,
                 }
             )
 
@@ -104,31 +232,46 @@ FRAMES_SCHEMA = "media_id long, frame_idx int, frame_md5 string"
 def resize_images(
     df: DataFrame, width: int, height: int, *, fake: bool = False
 ) -> DataFrame:
-    """Image resize over Arrow batches (STUB — no codec libs in this
-    image). ``fake=True`` substitutes a deterministic payload derived
-    from (md5, target dims) with correct metadata, so partitioning,
-    batch shape and schema are exercised end-to-end; a real
-    implementation replaces only the marked line with a PIL/opencv
-    call."""
+    """Image resize over Arrow batches. PPM/BMP payloads go through the
+    REAL path: decode → nearest-neighbor resize (floor mapping, integer
+    arithmetic) → re-encode in the same container. Mime types needing a
+    codec library (JPEG, …) use the ``fake=True`` deterministic
+    payload stand-in (correct metadata, batch shape and schema) or
+    raise; a real implementation adds its codec to the dispatch."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codecs unavailable; pass fake=True for the stub"
-                )
+            payloads = []
+            for payload, mime in zip(pdf["payload"], pdf["mime_type"]):
+                b = bytes(payload)
+                if mime == codecs.PPM_MIME:
+                    payloads.append(
+                        codecs.encode_ppm(
+                            codecs.resize_nearest(codecs.decode_ppm(b), width, height)
+                        )
+                    )
+                elif mime == codecs.BMP_MIME:
+                    payloads.append(
+                        codecs.encode_bmp(
+                            codecs.resize_nearest(codecs.decode_bmp(b), width, height)
+                        )
+                    )
+                elif fake:
+                    # stand-in: content-addressed payload, real metadata
+                    payloads.append(
+                        hashlib.md5(b + f"{width}x{height}".encode()).digest()
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"no library-free codec for {mime}; pass fake=True"
+                    )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "width": width,
                     "height": height,
-                    # real impl: decode → resize → re-encode HERE
-                    "payload": pdf["payload"].map(
-                        lambda b: hashlib.md5(
-                            bytes(b) + f"{width}x{height}".encode()
-                        ).digest()
-                    ),
+                    "payload": payloads,
                 }
             )
             yield out

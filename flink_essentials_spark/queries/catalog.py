@@ -133,7 +133,6 @@ _REGISTRY: list[Query] = [
     Query("order_priority", relational.q_order_priority, relational.Q_ORDER_PRIORITY_SQL),
     Query("parts_rollup", relational.q_parts_rollup, relational.Q_PARTS_ROLLUP_SQL),
     Query("supplier_balance_rank", relational.q_supplier_balance_rank, relational.Q_SUPPLIER_BALANCE_RANK_SQL),
-    Query("forecast_revenue", relational.q_forecast_revenue, relational.Q_FORECAST_REVENUE_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),
     # --- element-wise (SURVEY §2.3)
     Query("map_flatmap_filter", dataflow.q_map_flatmap_filter, dataflow.Q_MAP_FLATMAP_FILTER_SQL),
@@ -189,6 +188,7 @@ _REGISTRY: list[Query] = [
     Query("training_pipeline", llmdata.q_training_pipeline, llmdata.Q_TRAINING_PIPELINE_SQL),
     # --- multimodal (§2.11)
     Query("media_stats", llmdata.q_media_stats, llmdata.Q_MEDIA_STATS_SQL),
+    Query("media_features", llmdata.q_media_features, llmdata.Q_MEDIA_FEATURES_SQL),
     # --- cardinality
     Query("cardinality", llmdata.q_cardinality, llmdata.Q_CARDINALITY_SQL),
     # =====================================================================
@@ -202,6 +202,7 @@ _REGISTRY: list[Query] = [
     Query("fizzbuzz", dataflow.q_fizzbuzz, dataflow.Q_FIZZBUZZ_SQL),
     Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
     Query("token_stats", llmdata.q_token_stats, llmdata.Q_TOKEN_STATS_SQL),
+    Query("forecast_revenue", relational.q_forecast_revenue, relational.Q_FORECAST_REVENUE_SQL),
     Query("pivot_user_activity", dataflow.q_pivot_user_activity, dataflow.Q_PIVOT_USER_ACTIVITY_SQL),
     Query("value_quantiles", dataflow.q_value_quantiles, dataflow.Q_VALUE_QUANTILES_SQL),
     Query("minhash_signatures", llmdata.q_minhash_signatures, llmdata.Q_MINHASH_SIGNATURES_SQL),

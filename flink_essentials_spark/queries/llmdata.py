@@ -354,6 +354,67 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode under oracle: synthetic PPM/BMP/WAV payloads
+    (pixels/samples are integer formulas of doc_id) are encoded then
+    decoded executor-side by the pure-numpy codecs, and the extracted
+    features are compared against DuckDB recomputing the same content
+    arithmetically — no fake= anywhere on this path. Video stays out
+    (no library-free container; its stub is exercised in tests)."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.synthetic_real_media(spark, t["documents"])
+    feats = multimodal.decode_media(media.filter(F.col("modality") != "video"))
+    e = lambda i: F.element_at("features", i)  # noqa: E731
+    return feats.select(
+        "media_id",
+        "modality",
+        e(1).alias("dim_a"),
+        e(2).alias("dim_b"),
+        e(3).alias("channels"),
+        e(8).alias("n_vals"),
+        e(4).alias("mean_val"),
+        e(5).alias("rms_val"),
+        e(6).alias("min_val"),
+        e(7).alias("max_val"),
+    )
+
+
+# Exact-parity contract: every value below is integer arithmetic in
+# float64 (sums < 2^53), one division, sqrt — bit-identical between
+# numpy (Spark side) and DuckDB, so no rounding is applied anywhere.
+Q_MEDIA_FEATURES_SQL = """
+WITH imgv AS (
+  SELECT doc_id, w, h,
+         list_transform(range(w * h * 3),
+                        i -> CAST((doc_id + i) % 256 AS DOUBLE)) AS vals
+  FROM (SELECT doc_id,
+               ((doc_id % 8) + 1) * 4 AS w,
+               ((doc_id % 4) + 1) * 2 AS h
+        FROM documents WHERE doc_id % 3 = 0)
+), audv AS (
+  SELECT doc_id, n,
+         list_transform(range(n),
+                        i -> CAST(((doc_id * 31 + i * 7) % 65536) - 32768 AS DOUBLE)) AS vals
+  FROM (SELECT doc_id, ((doc_id % 50) + 10) * 50 AS n
+        FROM documents WHERE doc_id % 3 = 1)
+)
+SELECT doc_id AS media_id, 'image' AS modality,
+       CAST(w AS DOUBLE) AS dim_a, CAST(h AS DOUBLE) AS dim_b,
+       3.0 AS channels, CAST(w * h * 3 AS DOUBLE) AS n_vals,
+       list_sum(vals) / (w * h * 3) AS mean_val,
+       sqrt(list_sum(list_transform(vals, x -> x * x)) / (w * h * 3)) AS rms_val,
+       list_min(vals) AS min_val, list_max(vals) AS max_val
+FROM imgv
+UNION ALL
+SELECT doc_id, 'audio',
+       CAST(n AS DOUBLE), 16000.0, 1.0, CAST(n AS DOUBLE),
+       list_sum(vals) / n,
+       sqrt(list_sum(list_transform(vals, x -> x * x)) / n),
+       list_min(vals), list_max(vals)
+FROM audv
+"""
+
+
 # --- cardinality (exact oracle; approx forms live in functions.approx) ------
 
 

@@ -83,6 +83,64 @@ def test_resize_and_frame_sample_stubs(spark):
         assert sorted(idxs) == list(range(expect))
 
 
+def test_codec_round_trips():
+    """Pure-numpy codecs: encode→decode is the identity for PPM, BMP
+    (incl. non-multiple-of-4 row widths → padding) and WAV (odd-size
+    data chunk → word alignment)."""
+    import numpy as np
+
+    from flink_essentials_spark.functions import codecs
+
+    rng = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)  # w=7: padded rows
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(rng)), rng)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(rng)), rng)
+    s = (np.arange(1001, dtype=np.int64) * 37 % 65536 - 32768).astype(np.int16)
+    out, rate = codecs.decode_wav(codecs.encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(out, s)
+    # header edge: comments and arbitrary whitespace in PPM
+    ppm = b"P6\n# a comment\n 7 \n5\n255\n" + rng.tobytes()
+    assert np.array_equal(codecs.decode_ppm(ppm), rng)
+
+
+def test_real_media_decode_and_resize(spark):
+    """synthetic_real_media → decode_media with NO fake flag: PPM/BMP
+    images and WAV audio decode for real; features match a local numpy
+    recompute. resize_images round-trips through the container."""
+    import numpy as np
+
+    from flink_essentials_spark.functions import codecs
+
+    t = load_tables(spark, SF_DIR)
+    docs = t["documents"].filter(F.col("doc_id") < 30)
+    media = multimodal.synthetic_real_media(spark, docs)
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.decode_media(
+            media.filter(F.col("modality") != "video")
+        ).collect()
+    }
+    assert feats
+    for did, r in feats.items():
+        if did % 3 == 0:
+            w, h = ((did % 8) + 1) * 4, ((did % 4) + 1) * 2
+            px = (did + np.arange(w * h * 3)) % 256
+            assert r["features"][:3] == [w, h, 3.0]
+            assert r["features"][3] == int(px.sum()) / px.size
+        else:
+            n = ((did % 50) + 10) * 50
+            assert r["features"][0] == n and r["features"][1] == 16000.0
+    # real resize: decoded output must equal numpy nearest-neighbor
+    resized = multimodal.resize_images(media, 6, 3).collect()
+    assert resized
+    for r in resized:
+        did = r["media_id"]
+        w, h = ((did % 8) + 1) * 4, ((did % 4) + 1) * 2
+        src = ((did + np.arange(w * h * 3)) % 256).astype(np.uint8).reshape(h, w, 3)
+        exp = codecs.resize_nearest(src, 6, 3)
+        dec = codecs.decode_ppm if did % 6 == 0 else codecs.decode_bmp
+        assert np.array_equal(dec(bytes(r["payload"])), exp)
+
+
 def test_rolling_fingerprint_order_sensitive(spark):
     from flink_essentials_spark.functions.text import rolling_fingerprint
 
