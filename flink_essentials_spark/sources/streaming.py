@@ -51,13 +51,35 @@ def shopping_cart_source(
     base_time: str = "2022-02-02T00:00:00",
     generate_removed: bool = False,
     sku_prefix: str = "",
+    micro_batch: bool = False,
+    out_of_order_every: int = 0,
+    out_of_order_lag_secs: int = 0,
 ) -> DataFrame:
     """SingleShoppingCartEventsGenerator analog (S5/S6).
 
-    Event time = base + value seconds (reference :70,114 — monotonic);
-    all fields deterministic functions of the counter.
+    Event time = base + value seconds (reference :70,114 — monotonic by
+    default); all fields deterministic functions of the counter.
+
+    Out-of-orderness injection (S6 parity): the reference generator
+    delays every 10th event by an extra sleep so its timestamp falls
+    behind the stream (ShoppingCartEventsGenerator.scala:104-123,
+    ``sleepMillisPerEvent`` × 10 extra). Here the same lesson is
+    deterministic: with ``out_of_order_every=N, out_of_order_lag_secs=L``
+    every Nth event's event time is L seconds BEHIND its emission
+    position — downstream watermarked windows observe genuinely late
+    rows straight from the generator (no file-replay fixture needed),
+    and rows later than the watermark bound are dropped, which is the
+    reference's late-data demo. ``micro_batch=True`` swaps the
+    wall-clock rate source for rate-micro-batch (``events_per_second``
+    rows per trigger) so tests can pace batches deterministically.
     """
     v = F.col("value")
+    secs = v.cast("double")
+    if out_of_order_every > 0:
+        secs = F.when(
+            v % out_of_order_every == out_of_order_every - 1,
+            (v - out_of_order_lag_secs).cast("double"),
+        ).otherwise(secs)
     etype = (
         F.when((v % 3) == 2, F.lit("RemovedFromShoppingCartEvent")).otherwise(
             F.lit("AddToShoppingCartEvent")
@@ -65,13 +87,13 @@ def shopping_cart_source(
         if generate_removed
         else F.lit("AddToShoppingCartEvent")
     )
-    return rate_source(spark, events_per_second).select(
+    return rate_source(spark, events_per_second, micro_batch=micro_batch).select(
         etype.alias("event_type"),
         _user(v).alias("user_id"),
         F.concat(F.lit(sku_prefix), F.lpad(v.cast("string"), 8, "0"),
                  F.lit("-0000-0000-0000-000000000000")).alias("sku"),
         (v % 10).cast("int").alias("quantity"),
-        (F.to_timestamp(F.lit(base_time)) + F.make_interval(secs=v.cast("double"))).alias("time"),
+        (F.to_timestamp(F.lit(base_time)) + F.make_interval(secs=secs)).alias("time"),
     )
 
 

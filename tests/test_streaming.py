@@ -240,3 +240,62 @@ def test_streaming_dropDuplicates_exactly_once_per_key(spark, replay_dir):
     deduped = sdf.dropDuplicates(["sku"])
     rows = run_to_memory(spark, deduped, _mem("dd")).collect()
     assert len(rows) == 10
+
+
+def test_generator_out_of_order_late_rows_dropped(spark):
+    """S6 parity from the GENERATOR (no file replay): every 5th event is
+    injected 60 s behind its emission position
+    (ShoppingCartEventsGenerator.scala:104-123's extra-delay lesson).
+    With a 10 s watermark over 10 s tumbling windows, on-time windows
+    count 8 (not 10): the two injected-late rows per window land in a
+    60 s-stale window, which is accepted only while the watermark is
+    still unset/fresh (batches 0-1 — Spark enforces a new watermark one
+    batch after advancing it) and DROPPED from batch 2 on."""
+    import time as _time
+
+    from flink_essentials_spark.sources.streaming import shopping_cart_source
+
+    src = shopping_cart_source(
+        spark,
+        10,
+        micro_batch=True,
+        out_of_order_every=5,
+        out_of_order_lag_secs=60,
+    )
+    win = (
+        src.withWatermark("time", "10 seconds")
+        .groupBy(F.window("time", "10 seconds"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").cast("long").alias("ws"), "cnt")
+    )
+    name = _mem("ooo")
+    base = 1643760000  # 2022-02-02T00:00:00 UTC
+    q = (
+        win.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        got = {}
+        while _time.time() < deadline:
+            got = {r["ws"]: r["cnt"] for r in spark.table(name).collect()}
+            if base in got and base + 10 in got:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    # batches 0-1 (values 0-19): late rows v=4,9 -> [base-60, base-50),
+    # v=14,19 -> [base-50, base-40); both accepted (watermark still at
+    # its initial/fresh value when they arrive)
+    assert got.get(base - 60) == 2
+    assert got.get(base - 50) == 2
+    # from batch 2 on the watermark has advanced past the stale windows:
+    # late rows are DROPPED (never appear anywhere) -> no window between
+    # base-40 and base, and every on-time window counts 8 of 10
+    assert not any(base - 40 <= w < base for w in got)
+    assert got.get(base) == 8
+    assert got.get(base + 10) == 8
+    assert all(c <= 8 for w, c in got.items() if w >= base)
