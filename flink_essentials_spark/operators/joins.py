@@ -238,3 +238,20 @@ def co_map(
     then union — semantically identical since CoMap shares no state
     (HandlingMultipleStreams.scala:288-329)."""
     return left.select(*left_exprs).unionByName(right.select(*right_exprs))
+
+
+def co_flat_map(
+    left: DataFrame,
+    right: DataFrame,
+    left_fn,
+    right_fn,
+) -> DataFrame:
+    """CoFlatMapFunction (J5): per-stream 1→N expansion into a common
+    output schema, then union (HandlingMultipleStreams.scala:288-329).
+    Each ``fn: DataFrame -> DataFrame`` maps its side to the shared
+    schema — use ``explode``/``posexplode`` (or transform.flat_map) for
+    the 1→N part. CoFlatMap shares no state across the two streams, so
+    map-each-then-union is semantically identical, and each side's
+    expansion stays a narrow (shuffle-free) operation."""
+    lo, ro = left_fn(left), right_fn(right)
+    return lo.unionByName(ro)

@@ -107,13 +107,21 @@ class TimedOutCountTriggerProcessor(KeyedProcessor):
 
 
 class CountEvictorProcessor(KeyedProcessor):
-    """CountTrigger + Evictor(max_size): on each firing, evict all but
-    the last ``max_size`` buffered elements before emitting
-    (TriggersAndEvictors.scala:242-290, run-before-window form)."""
+    """CountTrigger + Evictor(max_size), both evictor placements of
+    TriggersAndEvictors.scala:242-290:
 
-    def __init__(self, count: int, max_size: int):
+    - ``run_before=True`` (evictBefore): trim to the last ``max_size``
+      elements, THEN the window function sees the trimmed buffer —
+      cnt_in_fire = len(kept).
+    - ``run_before=False`` (evictAfter): the window function sees the
+      FULL buffer — cnt_in_fire = len(buf) — and eviction trims state
+      only for the next firing.
+    """
+
+    def __init__(self, count: int, max_size: int, *, run_before: bool = True):
         self.count = count
         self.max_size = max_size
+        self.run_before = run_before
 
     def on_element(self, key: tuple, row: dict, state: State, out: Emitter) -> None:
         buf = state.list_add("buf", 1)
@@ -126,7 +134,7 @@ class CountEvictorProcessor(KeyedProcessor):
             out.emit(
                 key=str(key[0]),
                 fire_seq=fire_seq,
-                cnt_in_fire=len(kept),
+                cnt_in_fire=len(kept) if self.run_before else len(buf),
                 total_seen=total,
             )
             state.put("buf", kept)
@@ -200,22 +208,26 @@ def count_evictor(
     max_size: int,
     *,
     order_by: str | None = None,
+    run_before: bool = True,
 ) -> DataFrame:
-    """Count trigger + keep-last-``max_size`` evictor.
+    """Count trigger + keep-last-``max_size`` evictor, both placements
+    (TriggersAndEvictors.scala:242-290 parameterizes evictBefore /
+    evictAfter; see CountEvictorProcessor).
 
-    Batch closed form: the buffer at the k-th fire holds ``count`` fresh
-    elements (plus ``max_size`` carried over when k>1); the evictor
-    keeps the last ``max_size`` — so cnt_in_fire = min(max_size, count)
-    for the first fire and min(max_size, max_size+count) after.
+    Batch closed form from the buffer recurrence
+    ``buf_k = count + min(max_size, buf_{k-1})``, which solves to
+    ``buf_k = min(count + max_size, k·count)``:
+
+    - run-before: cnt_in_fire = min(max_size, k·count)
+    - run-after:  cnt_in_fire = min(count + max_size, k·count)
     """
     if not df.isStreaming and order_by is not None:
         from pyspark.sql import Window as W
 
         rn = F.row_number().over(W.partitionBy(*keys).orderBy(order_by))
         fire_seq = (F.col("__rn") / count).cast("long")
-        cnt = F.when(
-            fire_seq == 1, F.least(F.lit(max_size), F.lit(count))
-        ).otherwise(F.least(F.lit(max_size), F.lit(max_size + count)))
+        cap = max_size if run_before else count + max_size
+        cnt = F.least(F.lit(cap).cast("long"), fire_seq * count)
         return (
             df.withColumn("__rn", rn)
             .filter((F.col("__rn") % count) == 0)
@@ -226,7 +238,7 @@ def count_evictor(
                 F.col("__rn").cast("long").alias("total_seen"),
             )
         )
-    proc = CountEvictorProcessor(count, max_size)
+    proc = CountEvictorProcessor(count, max_size, run_before=run_before)
     return keyed_process(
         df, keys, proc, COUNT_FIRE_SCHEMA,
         order_by=order_by, timeout="none", output_mode="append",

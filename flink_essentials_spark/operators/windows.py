@@ -120,13 +120,52 @@ def global_count_windows(
     consecutive N-element buckets in ``order_by`` order (per key if
     given). Emits (keys..., window_seq, cnt). The streaming form with
     true incremental firing is operators/triggers.py:count_trigger.
+
+    Scale: the keyed form ranks inside each key's partition. The
+    NON-keyed form needs a total order — but not a single-task sort:
+    rows are range-partitioned and sorted by ``order_by`` (Spark's
+    distributed sort), ranked per partition in parallel, and the
+    per-partition rank is shifted by a running total of partition
+    sizes (a tiny num-partitions-row aggregate) to a global index.
+    ``order_by`` should be a unique key, else rows tying across a
+    range boundary get an arbitrary (though still complete) bucketing.
     """
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(*keys).orderBy(order_by) if keys else W.orderBy(order_by)
-    bucket = F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(count))
+    if keys:
+        w = W.partitionBy(*keys).orderBy(order_by)
+        bucket = F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(count))
+        return (
+            df.withColumn("window_seq", bucket)
+            .groupBy(*keys, "window_seq")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ranged = df.repartitionByRange(F.col(order_by) if isinstance(order_by, str) else order_by)
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    # per-partition rank: Window partitioned by __pid → parallel, no
+    # Exchange SinglePartition on the data path
+    rn = F.row_number().over(W.partitionBy("__pid").orderBy(order_by))
+    part = part.withColumn("__rn", rn)
+    # partition-size running totals: num-partitions rows, driver-scale
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    bucket = F.floor((F.col("__offset") + F.col("__rn") - F.lit(1)) / F.lit(count))
     return (
-        df.withColumn("window_seq", bucket)
-        .groupBy(*keys, "window_seq")
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn("window_seq", bucket)
+        .groupBy("window_seq")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

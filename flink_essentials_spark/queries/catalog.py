@@ -201,6 +201,8 @@ _REGISTRY: list[Query] = [
     # =====================================================================
     Query("fizzbuzz", dataflow.q_fizzbuzz, dataflow.Q_FIZZBUZZ_SQL),
     Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
+    Query("count_evictor_after_fires", dataflow.q_count_evictor_after_fires, dataflow.Q_COUNT_EVICTOR_AFTER_FIRES_SQL),
+    Query("global_count_windows_all", dataflow.q_global_count_windows_all, dataflow.Q_GLOBAL_COUNT_WINDOWS_ALL_SQL),
     Query("token_stats", llmdata.q_token_stats, llmdata.Q_TOKEN_STATS_SQL),
     Query("forecast_revenue", relational.q_forecast_revenue, relational.Q_FORECAST_REVENUE_SQL),
     Query("pivot_user_activity", dataflow.q_pivot_user_activity, dataflow.Q_PIVOT_USER_ACTIVITY_SQL),

@@ -230,6 +230,22 @@ FROM (
 GROUP BY event_type, window_seq
 """
 
+def q_global_count_windows_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-keyed GlobalWindows + CountTrigger (W5): one total order over
+    ALL events — exercises the distributed range-partitioned ranking
+    path (no Exchange SinglePartition on the data; plan-audited in
+    tests/test_plans.py)."""
+    t = load_tables(spark, sf_dir)
+    return windows.global_count_windows(t["events"], "event_id", 1000)
+
+
+Q_GLOBAL_COUNT_WINDOWS_ALL_SQL = """
+SELECT (rn - 1) // 1000 AS window_seq, COUNT(*) AS cnt
+FROM (SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM events)
+GROUP BY window_seq
+"""
+
+
 # --- A2/A3: rolling keyed aggregation ---------------------------------------
 
 
@@ -489,6 +505,29 @@ SELECT event_type AS key,
        20 AS cnt_in_fire,
        unnest(generate_series(1, n // 50)) * 50 AS total_seen
 FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+"""
+
+
+def q_count_evictor_after_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountTrigger(50) + CountEvictor(20) in the evictAfter placement
+    (W-E1 variant, TriggersAndEvictors.scala:242-290): the window
+    function sees the FULL buffer — min(70, k·50) elements — and
+    eviction trims state only for the next firing."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "event_id")
+    return triggers.count_evictor(
+        ev, ["event_type"], 50, 20, order_by="event_id", run_before=False
+    )
+
+
+Q_COUNT_EVICTOR_AFTER_FIRES_SQL = """
+SELECT event_type AS key,
+       fire_seq,
+       least(70, fire_seq * 50) AS cnt_in_fire,
+       fire_seq * 50 AS total_seen
+FROM (SELECT event_type,
+             unnest(generate_series(1, COUNT(*) // 50)) AS fire_seq
+      FROM events GROUP BY event_type)
 """
 
 

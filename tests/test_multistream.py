@@ -132,3 +132,18 @@ def test_co_map_common_output(spark):
     assert len(descs) == 8
     assert any(d.startswith("cart of ") for d in descs)
     assert any(d.startswith("view by ") for d in descs)
+
+
+def test_co_flat_map_one_to_n(spark):
+    """J5 flatMap form: per-stream 1→N expansion to a common schema,
+    then union (HandlingMultipleStreams.scala:288-329)."""
+    carts = fixtures.shopping_cart_events(spark, 5)
+    views = fixtures.catalog_events(spark, 3)
+    out = joins.co_flat_map(
+        carts,
+        views,
+        lambda d: d.select(F.explode(F.split("sku", "-")).alias("tok")),
+        lambda d: d.select(F.col("product_id").alias("tok")),
+    )
+    toks = [r["tok"] for r in out.collect()]
+    assert len(toks) == 5 * 5 + 3  # each sku splits into 5 segments

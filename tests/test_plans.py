@@ -90,3 +90,13 @@ def test_text_ops_stay_jvm_side(spark):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_nonkeyed_global_count_windows_no_single_task_sort(spark):
+    """The non-keyed total order must be a distributed range sort +
+    per-partition rank — never a partition-less row_number() (which
+    plans Exchange SinglePartition over the DATA). Only the tiny
+    partition-offsets aggregate may single-partition."""
+    plan = plan_of(spark, "global_count_windows_all")
+    assert "rangepartitioning" in plan.lower()
+    assert plan.count("Exchange SinglePartition") <= 1

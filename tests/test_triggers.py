@@ -112,3 +112,32 @@ def test_timeout_trigger_count_path(spark):
         timeout_ms=3000, order_by="time", event_time_col="time",
     ).collect()
     assert fires(out) == [(1, 10, 10), (2, 10, 20), (3, 5, 25)]
+
+
+def test_count_evictor_run_after_full_buffer(spark):
+    """W-E1 evictAfter placement (TriggersAndEvictors.scala:242-290):
+    the window function sees the FULL buffer — min(count+max, k*count)
+    — and eviction only trims state for the next fire."""
+    out = triggers.count_evictor(
+        _one_key_events(spark, 25), ["user_id"], 10, 5,
+        order_by="time", run_before=False,
+    ).collect()
+    assert fires(out) == [(1, 10, 10), (2, 15, 20)]
+
+
+def test_count_evictor_run_after_strategies_agree(spark):
+    from flink_essentials_spark.operators.stateful import keyed_process
+    from flink_essentials_spark.operators.triggers import (
+        COUNT_FIRE_SCHEMA,
+        CountEvictorProcessor,
+    )
+
+    df = _one_key_events(spark, 25)
+    declarative = triggers.count_evictor(
+        df, ["user_id"], 10, 5, order_by="time", run_before=False
+    ).collect()
+    stateful = keyed_process(
+        df, ["user_id"], CountEvictorProcessor(10, 5, run_before=False),
+        COUNT_FIRE_SCHEMA, order_by="time",
+    ).collect()
+    assert fires(declarative) == fires(stateful)
