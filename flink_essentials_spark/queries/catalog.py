@@ -125,6 +125,102 @@ FROM documents
 """
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (J3) on the REAL stream-stream join path: events
+    replayed as two file streams (signups / purchases), watermarks on
+    both sides, inner join with the (−10 min, +10 min) exclusive time
+    bound — Spark's state store holds each side until the watermark
+    passes the bound. The watermark delay (90 d) exceeds the fixture's
+    30-day span, so no state is evicted mid-replay and the final joined
+    set equals the batch interval join, which is what the batch oracle
+    checks; bounded-state eviction behavior is pinned in tests/."""
+    from flink_essentials_spark.operators.joins import interval_join
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    t = load_tables(spark, sf_dir)
+    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    t["events"].select("event_id", "user_id", "event_type", "ts").repartition(
+        4
+    ).write.mode("overwrite").parquet(replay_dir)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    signups = (
+        file_replay(spark, replay_dir, schema, files_per_trigger=2)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("su"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "90 days")
+    )
+    buys = (
+        file_replay(spark, replay_dir, schema, files_per_trigger=2)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "90 days")
+    )
+    out = interval_join(
+        buys, signups, "user_id", "su", "purchase_ts", "signup_ts",
+        "10 minutes", "10 minutes",
+        lower_exclusive=True, upper_exclusive=True,
+    )
+    from flink_essentials_spark.queries.util import ms
+
+    out = out.select(
+        "user_id", "signup_id", "purchase_id",
+        ms("signup_ts").alias("signup_ts_ms"),
+        ms("purchase_ts").alias("purchase_ts_ms"),
+    )
+    name = "sij_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_to_memory(spark, out, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def q_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on the REAL streaming path:
+    documents replayed twice (a full duplicate second micro-batch) with
+    a constant event time, deduped on the normalized-text key within a
+    1-hour watermark window. The duplicate batch's event times sit well
+    inside the watermark, so every replica is suppressed and the final
+    set equals global DISTINCT (the oracle); the state-expiry contrast
+    with plain dropDuplicates is pinned in tests/."""
+    from flink_essentials_spark.functions.dedup import normalize_text
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    t = load_tables(spark, sf_dir)
+    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    docs = t["documents"].select("text").coalesce(1)
+    docs.write.mode("overwrite").parquet(replay_dir)
+    docs.write.mode("append").parquet(replay_dir)
+    stream = (
+        file_replay(spark, replay_dir, "text string", files_per_trigger=1)
+        .select(
+            F.md5(F.encode(normalize_text(F.col("text")), "utf-8")).alias("text_md5"),
+            F.lit("2022-01-01 00:00:00").cast("timestamp").alias("event_ts"),
+        )
+        .withWatermark("event_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["text_md5"])
+        .select("text_md5")
+    )
+    name = "swd_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_to_memory(spark, stream, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 _REGISTRY: list[Query] = [
     # --- relational batch substrate
     Query("pricing_summary", relational.q_pricing_summary, relational.Q_PRICING_SUMMARY_SQL),
@@ -132,7 +228,6 @@ _REGISTRY: list[Query] = [
     Query("region_revenue", relational.q_region_revenue, relational.Q_REGION_REVENUE_SQL),
     Query("order_priority", relational.q_order_priority, relational.Q_ORDER_PRIORITY_SQL),
     Query("parts_rollup", relational.q_parts_rollup, relational.Q_PARTS_ROLLUP_SQL),
-    Query("supplier_balance_rank", relational.q_supplier_balance_rank, relational.Q_SUPPLIER_BALANCE_RANK_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),
     # --- element-wise (SURVEY §2.3)
     Query("map_flatmap_filter", dataflow.q_map_flatmap_filter, dataflow.Q_MAP_FLATMAP_FILTER_SQL),
@@ -162,12 +257,13 @@ _REGISTRY: list[Query] = [
     Query("topk_per_group", dataflow.q_topk_per_group, dataflow.Q_TOPK_PER_GROUP_SQL),
     # --- as-of join + quantiles (extension substrate)
     Query("as_of_join", dataflow.q_as_of_join, dataflow.Q_AS_OF_JOIN_SQL),
-    Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
     Query("json_props", dataflow.q_json_props, dataflow.Q_JSON_PROPS_SQL),
     # --- streaming path (oracle checks final state)
     Query("streaming_wordcount", q_streaming_wordcount, dataflow.Q_WORDCOUNT_SQL),
     Query("streaming_windows", q_streaming_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
     Query("streaming_dedup", q_streaming_dedup, Q_STREAMING_DEDUP_SQL),
+    Query("streaming_interval_join", q_streaming_interval_join, dataflow.Q_INTERVAL_JOIN_SQL),
+    Query("streaming_watermark_dedup", q_streaming_watermark_dedup, Q_STREAMING_DEDUP_SQL),
     # --- dedup (§2.11)
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),
     Query("dedup_jaccard", llmdata.q_dedup_jaccard, llmdata.Q_DEDUP_JACCARD_SQL),
@@ -201,10 +297,12 @@ _REGISTRY: list[Query] = [
     # =====================================================================
     Query("fizzbuzz", dataflow.q_fizzbuzz, dataflow.Q_FIZZBUZZ_SQL),
     Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
+    Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
     Query("count_evictor_after_fires", dataflow.q_count_evictor_after_fires, dataflow.Q_COUNT_EVICTOR_AFTER_FIRES_SQL),
     Query("global_count_windows_all", dataflow.q_global_count_windows_all, dataflow.Q_GLOBAL_COUNT_WINDOWS_ALL_SQL),
     Query("token_stats", llmdata.q_token_stats, llmdata.Q_TOKEN_STATS_SQL),
     Query("forecast_revenue", relational.q_forecast_revenue, relational.Q_FORECAST_REVENUE_SQL),
+    Query("supplier_balance_rank", relational.q_supplier_balance_rank, relational.Q_SUPPLIER_BALANCE_RANK_SQL),
     Query("pivot_user_activity", dataflow.q_pivot_user_activity, dataflow.Q_PIVOT_USER_ACTIVITY_SQL),
     Query("value_quantiles", dataflow.q_value_quantiles, dataflow.Q_VALUE_QUANTILES_SQL),
     Query("minhash_signatures", llmdata.q_minhash_signatures, llmdata.Q_MINHASH_SIGNATURES_SQL),

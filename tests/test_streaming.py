@@ -299,3 +299,76 @@ def test_generator_out_of_order_late_rows_dropped(spark):
     assert got.get(base) == 8
     assert got.get(base + 10) == 8
     assert all(c <= 8 for w, c in got.items() if w >= base)
+
+
+def test_streaming_interval_join_matches_across_micro_batches(spark, replay_dir):
+    """Stream-stream interval join state: a purchase whose signup
+    partner arrived in an EARLIER micro-batch still joins — the state
+    store holds the other side across batches."""
+    base = "2022-02-02 00:00:00"
+    signups = spark.createDataFrame(
+        [(1, 100, "signup", base)],
+        "event_id long, user_id long, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    buys = spark.createDataFrame(
+        [(2, 100, "purchase", "2022-02-02 00:05:00"),   # +5 min: joins
+         (3, 100, "purchase", "2022-02-02 00:20:00")],  # +20 min: outside bound
+        "event_id long, user_id long, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    _write_files([signups, buys], replay_dir)
+
+    from flink_essentials_spark.operators.joins import interval_join
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    su = (
+        file_replay(spark, replay_dir, schema)
+        .filter(F.col("event_type") == "signup")
+        .select(F.col("event_id").alias("signup_id"),
+                F.col("user_id").alias("su"),
+                F.col("ts").alias("signup_ts"))
+        .withWatermark("signup_ts", "1 day")
+    )
+    bu = (
+        file_replay(spark, replay_dir, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 day")
+    )
+    out = interval_join(
+        bu, su, "user_id", "su", "purchase_ts", "signup_ts",
+        "10 minutes", "10 minutes",
+        lower_exclusive=True, upper_exclusive=True,
+    )
+    rows = run_to_memory(spark, out.select("signup_id", "purchase_id"), _mem("sij")).collect()
+    assert {(r["signup_id"], r["purchase_id"]) for r in rows} == {(1, 2)}
+
+
+def test_watermark_dedup_state_expires_plain_dedup_does_not(spark, replay_dir):
+    """dropDuplicatesWithinWatermark vs dropDuplicates: after the
+    watermark passes a key's dedup window its state is EVICTED, so a
+    far-later replica re-emits; plain dropDuplicates keeps state
+    forever and suppresses it. (4 files: the watermark advance is
+    enforced one batch late, and state eviction runs at batch END —
+    two batches between the advance and the replica.)"""
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k string, ts_s string"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("event_ts"))
+    f1 = mk([("A", "2022-02-02 00:00:00")])
+    f2 = mk([("B", "2022-02-02 03:00:00")])  # advances watermark to +2h
+    f3 = mk([("C", "2022-02-02 03:00:00")])  # batch where eviction runs
+    f4 = mk([("A", "2022-02-02 03:00:00")])  # A's 1h window long expired
+    _write_files([f1, f2, f3, f4], replay_dir)
+    schema = "k string, event_ts timestamp"
+
+    wm_dedup = (
+        file_replay(spark, replay_dir, schema)
+        .withWatermark("event_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    got = [r["k"] for r in run_to_memory(spark, wm_dedup, _mem("wmd")).collect()]
+    assert sorted(got) == ["A", "A", "B", "C"]  # A re-emitted after expiry
+
+    plain = file_replay(spark, replay_dir, schema).dropDuplicates(["k"])
+    got2 = [r["k"] for r in run_to_memory(spark, plain, _mem("pld")).collect()]
+    assert sorted(got2) == ["A", "B", "C"]  # state never expires
