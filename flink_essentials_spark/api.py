@@ -33,6 +33,25 @@ from flink_essentials_spark.operators import (
 from flink_essentials_spark.streaming.watermarks import with_event_time
 
 
+class JobExecutionResult:
+    """Synchronous job stats (BuiltIn.scala:306-319's
+    ``execute("name").getNetRuntime`` introspection)."""
+
+    def __init__(self, job_name: str, net_runtime_ms: int, num_rows: int):
+        self.job_name = job_name
+        self.net_runtime_ms = net_runtime_ms
+        self.num_rows = num_rows
+
+    def get_net_runtime(self) -> int:
+        return self.net_runtime_ms
+
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        return (
+            f"JobExecutionResult({self.job_name!r}, "
+            f"net_runtime_ms={self.net_runtime_ms}, num_rows={self.num_rows})"
+        )
+
+
 class Stream:
     """Wraps a DataFrame (batch or streaming) plus key/window context."""
 
@@ -190,6 +209,11 @@ class Stream:
     def partition_by(self, *keys: str, num_partitions: int | None = None) -> "Stream":
         return self._wrap(partitioning.partition_by_key(self.df, *keys, num_partitions=num_partitions))
 
+    def partition_custom(self, route: Column, num_partitions: int) -> "Stream":
+        return self._wrap(
+            partitioning.partition_custom(self.df, route, num_partitions)
+        )
+
     def shuffle(self, num_partitions: int) -> "Stream":
         return self._wrap(partitioning.shuffle_random(self.df, num_partitions))
 
@@ -217,6 +241,19 @@ class Stream:
     def collect(self):
         """executeAndCollect analog (BuiltIn.scala:320-324), batch only."""
         return self.df.collect()
+
+    def execute(self, job_name: str = "job") -> JobExecutionResult:
+        """Synchronous ``execute()`` (BuiltIn.scala:306-319): run the
+        plan to completion and return job stats — no data comes back to
+        the driver (count only), matching Flink's sink-driven execute;
+        use ``collect()`` for executeAndCollect semantics."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        n = self.df.count()
+        return JobExecutionResult(
+            job_name, int((_time.monotonic() - t0) * 1000), n
+        )
 
     # ---- internals -------------------------------------------------------
     def _wrap(self, df: DataFrame) -> "Stream":

@@ -41,6 +41,31 @@ def single_file_sink(df: DataFrame) -> DataFrame:
     return df.coalesce(1)
 
 
+def partition_custom(df: DataFrame, route: Column, num_partitions: int) -> DataFrame:
+    """Arbitrary ``partitionCustom`` routing (Partitions.scala:54-151):
+    every row goes to partition ``route % num_partitions``, where
+    ``route`` is ANY integer Column — including the reference's
+    deliberate all-to-one skew demo (``F.lit(0)``, Partitions.scala:
+    104-129, which destroys parallelism: the lesson, not a pattern).
+
+    This is the RDD escape hatch SURVEY §2.8 names: the DataFrame API
+    deliberately hides task placement (hash/range/round-robin cover the
+    declarative cases above), so explicit routing drops to
+    ``rdd.partitionBy`` with an identity-mod partitioner and rebuilds
+    the frame WITHOUT a further shuffle (createDataFrame preserves RDD
+    partitioning). Per-row Python routing — demo/teaching tool, not the
+    100 TB hot path; use the declarative forms there.
+    """
+    cols = df.columns
+    routed = df.withColumn("__route", route.cast("long"))
+    rdd = (
+        routed.rdd.map(lambda r: (r["__route"], tuple(r[c] for c in cols)))
+        .partitionBy(num_partitions, lambda k: int(k) % num_partitions)
+        .values()
+    )
+    return df.sparkSession.createDataFrame(rdd, df.schema)
+
+
 def salt_key(df: DataFrame, key: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
     """Split a hot key across ``buckets`` subkeys for two-phase aggs.
 

@@ -181,3 +181,42 @@ def test_processing_time_windows_smoke(spark):
         F.count(F.lit(1)).alias("cnt"),
     ).collect()
     assert sum(r["cnt"] for r in out) == 50
+
+
+def test_partition_custom_routes_exactly(spark):
+    """P1 full parity (Partitions.scala:54-151): arbitrary routing by a
+    user expression — each partition holds exactly the rows whose route
+    value maps to it, incl. the reference's deliberate all-to-one skew
+    demo (:104-129)."""
+    from flink_essentials_spark.operators.partitioning import partition_custom
+
+    df = spark.range(100).select(F.col("id").alias("event_id"))
+    routed = partition_custom(df, F.col("event_id") % 4, 4)
+    placement = (
+        routed.withColumn("pid", F.spark_partition_id())
+        .select("event_id", "pid")
+        .collect()
+    )
+    assert len(placement) == 100
+    for r in placement:
+        assert r["pid"] == r["event_id"] % 4
+
+    # the all-to-one anti-pattern: everything lands in ONE partition
+    skewed = partition_custom(df, F.lit(0), 4)
+    pids = {
+        r["pid"]
+        for r in skewed.withColumn("pid", F.spark_partition_id()).collect()
+    }
+    assert pids == {0}
+    assert skewed.count() == 100
+
+
+def test_execute_returns_job_stats(spark):
+    """BuiltIn.scala:306-319: synchronous execute() + JobExecutionResult
+    introspection (net runtime, row count; no data to the driver)."""
+    from flink_essentials_spark.api import Stream
+
+    res = Stream(spark.range(1000).toDF("n")).filter(F.col("n") % 2 == 0).execute("evens")
+    assert res.num_rows == 500
+    assert res.job_name == "evens"
+    assert res.get_net_runtime() >= 0
