@@ -51,11 +51,14 @@ HEADLINE = [
     "lsh_near_dups",
     "simhash_pairs",
     "similarity_topk",
+    "ivf_topk",
     "embedding_near_dups",
     "quality_score",
     "bpe_token_stats",
     "stratified_sample",
     "training_pipeline",
+    # multimodal (real decode path)
+    "media_features",
 ]
 
 

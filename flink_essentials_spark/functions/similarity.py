@@ -10,9 +10,12 @@ vectors) bucket the corpus; queries probe only their bucket. An IVF
 variant (k-means coarse quantizer) is the classic alternative; the
 hyperplane version needs no training pass, so it ships first.
 
-All dot products are left-to-right folds over double-cast elements —
-deterministic, and reproducible in DuckDB (list_dot_product) for the
-oracle.
+All hot-path vector math is Arrow-batched BLAS (mapInPandas /
+applyInPandas): per-pair scoring (``_batch_cosine``), all-pairs verify
+(block matmul) and bucket assignment (plane matmul). Results round to
+6 decimals, which both numpy and DuckDB (list_dot_product) reproduce
+exactly for the oracles; the Column-expression ``dot`` fold remains
+for tiny fixed-size uses only.
 """
 
 from __future__ import annotations
@@ -220,15 +223,31 @@ def hyperplane_bucket(
 
     Near-identical vectors land in the same bucket with high
     probability; search cost drops from O(corpus) to O(bucket).
-    """
-    v = F.col(vec_col).cast("array<double>")
-    bucket = None
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(_hp_component(p, j)) for j in range(dim)])
-        s = dot(v, plane)
-        bit = F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("bucket", bucket.cast("bigint"))
+    Vectorized: the plane matrix is built once per partition and the
+    whole Arrow batch is one BLAS matmul + sign-bit pack — replacing
+    ``num_planes`` interpreted per-row folds (the hot-path trap this
+    module documents on ``dot``)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def gen(batches):
+        import numpy as np
+
+        P = np.array(
+            [[_hp_component(p, j) for j in range(dim)] for p in range(num_planes)],
+            dtype=np.float64,
+        )
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf):
+                M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                bits = (M @ P.T >= 0).astype(np.int64)
+                out["bucket"] = (bits << np.arange(num_planes)).sum(axis=1)
+            else:
+                out["bucket"] = np.array([], dtype=np.int64)
+            yield out
+
+    out_schema = StructType(df.schema.fields + [StructField("bucket", LongType())])
+    return df.mapInPandas(gen, out_schema)
 
 
 def ivf_topk(
