@@ -76,9 +76,11 @@ def main() -> None:
     ALL_QUERIES["pricing_summary"].fn(spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
-    # pre-fork the Arrow Python workers (one per core) so the first
-    # pandas-UDF query measures compute, not worker startup
-    spark.range(0, 64, 1, 32).mapInPandas(
+    # pre-fork the Arrow Python workers so pandas-UDF queries measure
+    # compute, not worker startup: a CHAINED double mapInPandas stage
+    # holds two workers per task, forking the full 2×cores pool that
+    # two-python-stage queries (assign→score, synthesize→decode) need
+    spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
     # warm the streaming machinery (micro-batch planner, state store,

@@ -84,10 +84,14 @@ def synthetic_real_media(spark: SparkSession, source_df: DataFrame) -> DataFrame
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # flat columns only — the meta struct is assembled JVM-side
+        # below (pandas→Arrow struct-from-dict conversion is the slow
+        # path), and text rides in only for the video rows that use it
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                did = int(r.doc_id)
+            ids, mods, payloads, mimes = [], [], [], []
+            widths, heights, durs, rates = [], [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
                 if did % 3 == 0:
                     w = ((did % 8) + 1) * 4
                     h = ((did % 4) + 1) * 2
@@ -97,48 +101,53 @@ def synthetic_real_media(spark: SparkSession, source_df: DataFrame) -> DataFrame
                         payload, mime = codecs.encode_ppm(arr), codecs.PPM_MIME
                     else:
                         payload, mime = codecs.encode_bmp(arr), codecs.BMP_MIME
-                    meta = {"width": w, "height": h, "duration_ms": 0, "sample_rate": 0}
-                    modality = "image"
+                    meta, modality = (w, h, 0, 0), "image"
                 elif did % 3 == 1:
                     n = ((did % 50) + 10) * 50
                     s = (((did * 31 + 7 * np.arange(n)) % 65536) - 32768).astype(
                         np.int16
                     )
                     payload, mime = codecs.encode_wav(s, 16000), codecs.WAV_MIME
-                    meta = {
-                        "width": 0,
-                        "height": 0,
-                        "duration_ms": n * 1000 // 16000,
-                        "sample_rate": 16000,
-                    }
-                    modality = "audio"
+                    meta, modality = (0, 0, n * 1000 // 16000, 16000), "audio"
                 else:
-                    payload = str(r.text).encode("utf-8")
+                    payload = str(txt).encode("utf-8")
                     mime = "application/octet-stream"
-                    meta = {
-                        "width": 0,
-                        "height": 0,
-                        "duration_ms": len(payload) * 100,
-                        "sample_rate": 0,
-                    }
-                    modality = "video"
-                rows.append(
-                    {
-                        "media_id": did,
-                        "modality": modality,
-                        "payload": payload,
-                        "mime_type": mime,
-                        "meta": meta,
-                    }
-                )
+                    meta, modality = (0, 0, len(payload) * 100, 0), "video"
+                ids.append(did)
+                mods.append(modality)
+                payloads.append(payload)
+                mimes.append(mime)
+                widths.append(meta[0])
+                heights.append(meta[1])
+                durs.append(meta[2])
+                rates.append(meta[3])
             yield pd.DataFrame(
-                rows, columns=["media_id", "modality", "payload", "mime_type", "meta"]
+                {
+                    "media_id": ids,
+                    "modality": mods,
+                    "payload": payloads,
+                    "mime_type": mimes,
+                    "width": widths,
+                    "height": heights,
+                    "duration_ms": durs,
+                    "sample_rate": rates,
+                }
             )
 
-    return source_df.select("doc_id", "text").mapInPandas(
+    flat = source_df.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 2, F.col("text")).alias("text"),
+    ).mapInPandas(
         gen,
         "media_id long, modality string, payload binary, mime_type string, "
-        "meta struct<width:int, height:int, duration_ms:bigint, sample_rate:int>",
+        "width int, height int, duration_ms bigint, sample_rate int",
+    )
+    return flat.select(
+        "media_id",
+        "modality",
+        "payload",
+        "mime_type",
+        F.struct("width", "height", "duration_ms", "sample_rate").alias("meta"),
     )
 
 
@@ -219,7 +228,11 @@ def decode_media(df: DataFrame, *, fake: bool = False) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(op, schema=FEATURES_SCHEMA)
+    # mapInPandas defeats automatic column pruning — ship only what the
+    # UDF reads (the meta struct in particular stays JVM-side)
+    return df.select("media_id", "modality", "payload", "mime_type").mapInPandas(
+        op, schema=FEATURES_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = (
@@ -276,8 +289,10 @@ def resize_images(
             )
             yield out
 
-    return df.filter(F.col("modality") == "image").mapInPandas(
-        op, schema=RESIZED_SCHEMA
+    return (
+        df.filter(F.col("modality") == "image")
+        .select("media_id", "modality", "payload", "mime_type")
+        .mapInPandas(op, schema=RESIZED_SCHEMA)
     )
 
 

@@ -269,29 +269,56 @@ def ivf_topk(
     to O(n_probe/n_cells · corpus). ``n_probe == n_cells`` degenerates
     to exhaustive search and must equal cosine_topk exactly (tested —
     full probe covers every cell regardless of where the centroids
-    trained). KMeans trains on a seeded sample capped at
-    ``train_rows_per_cell × n_cells`` rows, never the full corpus;
-    at 100 TB additionally store ``cell`` as a partition column so
-    probes become partition-pruned scans.
+    trained).
+
+    Training: seeded Lloyd's k-means in numpy over a sample capped at
+    ``train_rows_per_cell × n_cells`` rows — the ONLY driver
+    materialization, bounded by construction regardless of corpus size
+    (an iterative MLlib fit costs a full Spark job per pass; on a
+    capped sample the driver loop is strictly faster and deterministic).
+    Cell ASSIGNMENT of the full corpus is one distributed BLAS pass
+    (mapInPandas against the broadcast centroids). At 100 TB store
+    ``cell`` as a partition column so probes become partition-pruned
+    scans.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
     corpus_v = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("fv", array_to_vector(F.col("cv")))
+    )
     n = corpus_v.count()
     cap = train_rows_per_cell * n_cells
     train = corpus_v.sample(cap / n, seed=42) if n > cap else corpus_v
-    km = KMeans(k=n_cells, seed=42, featuresCol="fv", predictionCol="cell").fit(
-        train
-    )
-    assigned = km.transform(corpus_v).select("neighbor_id", "cv", "cell")
+    X = np.array([r["cv"] for r in train.select("cv").collect()], dtype=np.float64)
 
-    centers = np.array([np.asarray(c) for c in km.clusterCenters()])
+    rng = np.random.default_rng(42)
+    centers = X[rng.choice(len(X), size=n_cells, replace=False)]
+    for _ in range(8):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = X[lab == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            # argmin ||x-c||² = argmax (x·c − ½||c||²): one matmul
+            scores = M @ centers.T - 0.5 * (centers**2).sum(axis=1)
+            out = pdf[["neighbor_id", "cv"]].copy()
+            out["cell"] = scores.argmax(axis=1).astype(np.int32)
+            yield out
+
+    assigned = corpus_v.mapInPandas(
+        assign, "neighbor_id long, cv array<double>, cell int"
+    )
     q_rows = queries.select(id_col, vec_col).collect()
     probe_rows = []
     for r in q_rows:

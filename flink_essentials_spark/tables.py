@@ -78,7 +78,16 @@ def load_tables(
         # A properly laid-out big table (many files/row groups — the
         # 100 TB case) skips this branch.
         if name in COMPUTE_HEAVY_TABLES and df.rdd.getNumPartitions() < parallelism:
-            df = df.repartition(parallelism)
+            if name == "embeddings":
+                # vector ops are Arrow/BLAS batched mapInPandas: each
+                # task pays a fixed Arrow+worker round trip, so fuller
+                # batches beat raw fan-out on small corpora — spread to
+                # ~256 rows/partition, capped at cluster parallelism
+                # (count here is parquet-metadata-fast: no data read).
+                n = df.count()
+                df = df.repartition(min(parallelism, max(4, n // 256)))
+            else:
+                df = df.repartition(parallelism)
         if name == "events":
             # integer division: ts/1000 in double rounds (53-bit mantissa
             # vs 1e18-scale nanos) and can land one microsecond high
