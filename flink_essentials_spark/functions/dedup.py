@@ -382,3 +382,34 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination scan: (bench_id, doc_id, n_shared) for
+    every corpus doc sharing at least one word n-gram with a benchmark
+    doc (self-pairs excluded) — the pre-training hygiene check against
+    eval leakage.
+
+    Plan shape: both sides shingle-explode (narrow), one equi-join on
+    the shingle keyed by a hash shuffle, then a grouped count. The
+    benchmark side is tiny in practice — Spark broadcasts it and the
+    corpus side never shuffles. At 100 TB substitute
+    ``F.xxhash64(shingle)`` as the join key to shrink the exchange
+    (string keys kept here for exact cross-engine oracle parity).
+    """
+    c = shingle_table(corpus, n, text_col, id_col).select("doc_id", "shingle")
+    b = shingle_table(benchmark, n, text_col, id_col).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    return (
+        b.join(c, "shingle")
+        .filter(F.col("bench_id") != F.col("doc_id"))
+        .groupBy("bench_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

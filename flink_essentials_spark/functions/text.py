@@ -233,3 +233,32 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         fp.alias("fingerprint"),
         F.size(toks).alias("n_unique_tokens"),
     )
+
+
+# PII patterns — conservative constructs that parse identically in
+# Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d \-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrub for training corpora: emails, IPv4 addresses and
+    phone-like digit runs replaced by typed placeholders, with per-doc
+    match counts. Pure Column expressions (regexp_replace /
+    regexp_extract_all chains) — runs inside the scan stage, zero
+    shuffles, linear at 100 TB. Patterns apply in declaration order
+    (emails first, so their digits never re-match as phones)."""
+    col = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(col, F.lit(pat), 0)).alias(f"n_{name}s")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = col
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(F.col(id_col), clean.alias("clean_text"), *counts)

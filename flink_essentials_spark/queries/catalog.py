@@ -228,7 +228,6 @@ _REGISTRY: list[Query] = [
     Query("region_revenue", relational.q_region_revenue, relational.Q_REGION_REVENUE_SQL),
     Query("order_priority", relational.q_order_priority, relational.Q_ORDER_PRIORITY_SQL),
     Query("parts_rollup", relational.q_parts_rollup, relational.Q_PARTS_ROLLUP_SQL),
-    Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),
     # --- element-wise (SURVEY §2.3)
     Query("map_flatmap_filter", dataflow.q_map_flatmap_filter, dataflow.Q_MAP_FLATMAP_FILTER_SQL),
     Query("explode_quantity", dataflow.q_explode_quantity, dataflow.Q_EXPLODE_QUANTITY_SQL),
@@ -278,8 +277,9 @@ _REGISTRY: list[Query] = [
     Query("bpe_token_stats", llmdata.q_bpe_token_stats, llmdata.Q_BPE_TOKEN_STATS_SQL),
     Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
     Query("language_id_ngram", llmdata.q_language_id_ngram, llmdata.Q_LANGUAGE_ID_NGRAM_SQL),
-    Query("doc_fingerprint", llmdata.q_fingerprint, llmdata.Q_FINGERPRINT_SQL),
     Query("rolling_fingerprint", llmdata.q_rolling_fingerprint, llmdata.Q_ROLLING_FINGERPRINT_SQL),
+    Query("pii_redact", llmdata.q_pii_redact, llmdata.Q_PII_REDACT_SQL),
+    Query("contamination", llmdata.q_contamination, llmdata.Q_CONTAMINATION_SQL),
     Query("stratified_sample", llmdata.q_stratified_sample, llmdata.Q_STRATIFIED_SAMPLE_SQL),
     Query("training_pipeline", llmdata.q_training_pipeline, llmdata.Q_TRAINING_PIPELINE_SQL),
     # --- multimodal (§2.11)
@@ -303,6 +303,8 @@ _REGISTRY: list[Query] = [
     Query("token_stats", llmdata.q_token_stats, llmdata.Q_TOKEN_STATS_SQL),
     Query("forecast_revenue", relational.q_forecast_revenue, relational.Q_FORECAST_REVENUE_SQL),
     Query("supplier_balance_rank", relational.q_supplier_balance_rank, relational.Q_SUPPLIER_BALANCE_RANK_SQL),
+    Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),
+    Query("doc_fingerprint", llmdata.q_fingerprint, llmdata.Q_FINGERPRINT_SQL),
     Query("pivot_user_activity", dataflow.q_pivot_user_activity, dataflow.Q_PIVOT_USER_ACTIVITY_SQL),
     Query("value_quantiles", dataflow.q_value_quantiles, dataflow.Q_VALUE_QUANTILES_SQL),
     Query("minhash_signatures", llmdata.q_minhash_signatures, llmdata.Q_MINHASH_SIGNATURES_SQL),

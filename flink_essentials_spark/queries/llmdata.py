@@ -415,6 +415,89 @@ FROM audv
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub under oracle: deterministic synthetic PII (email, IPv4,
+    phone — pure functions of doc_id) is appended to each document,
+    then redacted by the JVM-regex chain; DuckDB synthesizes and
+    redacts the same text independently. Emits the redacted text's md5
+    plus per-kind match counts."""
+    t = load_tables(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    spiked = t["documents"].select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.lit("contact"),
+            F.concat(F.lit("user"), d, F.lit("@example.com")),
+            F.lit("from"),
+            F.concat(
+                F.lit("10."), (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+            ),
+            F.lit("call"),
+            F.concat(
+                F.lit("+1 555 "),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).alias("text"),
+    )
+    out = text.redact_pii(spiked)
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("clean_text"), "utf-8")).alias("clean_md5"),
+        "n_emails",
+        "n_ips",
+        "n_phones",
+    )
+
+
+Q_PII_REDACT_SQL = r"""
+WITH spiked AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+                   'contact', concat('user', doc_id, '@example.com'),
+                   'from', concat('10.', doc_id % 200, '.0.', doc_id % 250),
+                   'call', concat('+1 555 ', lpad((doc_id % 10000)::VARCHAR, 4, '0'))
+         ) AS text
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d \-]{7,}\d', '<PHONE>', 'g')) AS clean_md5,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(text, '\+?\d[\d \-]{7,}\d')) AS n_phones
+FROM spiked
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which corpus documents share a
+    word 5-gram with a held-out 'benchmark' slice (doc_id % 100 == 0)
+    — the pre-training hygiene scan run before any eval. Shingle
+    explode + equi-join on the shingle, counts per (benchmark, corpus)
+    pair; self-pairs excluded."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    return dedup.ngram_contamination(docs, bench, n=5)
+
+
+Q_CONTAMINATION_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(s) AS shingle
+  FROM (SELECT doc_id, {_sql_shingles(5)} AS s FROM documents)
+)
+SELECT b.doc_id AS bench_id, c.doc_id AS doc_id, COUNT(*) AS n_shared
+FROM sh b JOIN sh c ON b.shingle = c.shingle AND b.doc_id <> c.doc_id
+WHERE b.doc_id % 100 = 0
+GROUP BY bench_id, c.doc_id
+"""
+
+
 # --- cardinality (exact oracle; approx forms live in functions.approx) ------
 
 

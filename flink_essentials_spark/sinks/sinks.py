@@ -81,3 +81,32 @@ def write_text(df: DataFrame, path: str, *, single_file: bool = False, mode: str
 def write_csv(df: DataFrame, path: str, *, single_file: bool = False, mode: str = "overwrite", **options):
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).options(**options).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    *keys: str,
+    path: str | None = None,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Bucketed (and bucket-sorted) table layout — the co-located join
+    strategy at 100 TB: two tables written with the SAME bucket count
+    and keys join with NO shuffle exchange on either side (and with
+    ``sort=True``, no sort either; plan-audited in tests/test_plans.py).
+    Bucket pruning also serves point lookups on the bucket key.
+
+    Parquet + metastore bucketing via ``bucketBy``/``sortBy``
+    ``saveAsTable``; pass ``path`` to write an external table at a
+    specific location. Returns the re-read table (reading through the
+    catalog is what carries the bucket metadata into the join planner).
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return df.sparkSession.table(table)

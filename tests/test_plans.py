@@ -100,3 +100,34 @@ def test_nonkeyed_global_count_windows_no_single_task_sort(spark):
     plan = plan_of(spark, "global_count_windows_all")
     assert "rangepartitioning" in plan.lower()
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join: two tables bucketed+sorted the same way on the
+    join key must plan a SortMergeJoin with NO Exchange on either side
+    — the layout-driven strategy that makes repeated big-table joins
+    shuffle-free at 100 TB."""
+    import contextlib
+    import io
+
+    from flink_essentials_spark.sinks.sinks import write_bucketed
+
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    ta = write_bucketed(a, "t_buck_a", 8, "k", path=str(tmp_path / "a"))
+    tb = write_bucketed(b, "t_buck_b", 8, "k", path=str(tmp_path / "b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = ta.join(tb, "k").select("k", "va", "vb")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_buck_a")
+        spark.sql("DROP TABLE IF EXISTS t_buck_b")
