@@ -262,3 +262,63 @@ def redact_pii(
     for _, pat, repl in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, repl)
     return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
+
+
+def pack_sequences(
+    df: DataFrame, seq_len: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard pretraining
+    batching op: documents in ``id`` order form one continuous token
+    stream cut into fixed ``seq_len`` bins; each doc reports its span
+    (tokens_before, start_bin, start_offset, end_bin), with documents
+    crossing bin boundaries as in GPT-style packing.
+
+    The global stream position is NOT a partition-less window (that
+    would be a single-task sort): rows are range-partitioned by id,
+    per-partition cumulative sums run in parallel, and a tiny
+    partition-offsets aggregate shifts them to global positions — the
+    same scheme as the non-keyed global count window.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.size(tokenize(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("n_tokens"))
+    ranged = base.repartitionByRange("doc_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        W.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    part = ranged.withColumn("__cum", F.sum("n_tokens").over(w))
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    before = F.col("__off") + F.col("__cum") - F.col("n_tokens")
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn("tokens_before", before.cast("long"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tokens_before",
+            F.floor(F.col("tokens_before") / seq_len).cast("long").alias("start_bin"),
+            (F.col("tokens_before") % seq_len).cast("long").alias("start_offset"),
+            F.floor(
+                (F.col("tokens_before") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / seq_len
+            ).cast("long").alias("end_bin"),
+        )
+    )

@@ -185,6 +185,45 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the production dimension-lookup
+    shape: events replayed as a stream, inner-joined per micro-batch to
+    the STATIC customer table (no watermark needed; the static side is
+    re-broadcast each batch, state-free). Final enriched set equals the
+    batch join, which the oracle checks."""
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    t = load_tables(spark, sf_dir)
+    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    t["events"].select("event_id", "user_id", "value").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(replay_dir)
+    stream = file_replay(
+        spark, replay_dir, "event_id long, user_id long, value double",
+        files_per_trigger=2,
+    )
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_name"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "c_mktsegment", "c_name", "value"
+    )
+    name = "se_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_to_memory(spark, enriched, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+Q_STREAMING_ENRICH_SQL = """
+SELECT e.event_id, e.user_id, c.c_mktsegment, c.c_name, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def q_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on the REAL streaming path:
     documents replayed twice (a full duplicate second micro-batch) with
@@ -227,10 +266,8 @@ _REGISTRY: list[Query] = [
     Query("top_customers", relational.q_top_customers, relational.Q_TOP_CUSTOMERS_SQL),
     Query("region_revenue", relational.q_region_revenue, relational.Q_REGION_REVENUE_SQL),
     Query("order_priority", relational.q_order_priority, relational.Q_ORDER_PRIORITY_SQL),
-    Query("parts_rollup", relational.q_parts_rollup, relational.Q_PARTS_ROLLUP_SQL),
     # --- element-wise (SURVEY §2.3)
     Query("map_flatmap_filter", dataflow.q_map_flatmap_filter, dataflow.Q_MAP_FLATMAP_FILTER_SQL),
-    Query("explode_quantity", dataflow.q_explode_quantity, dataflow.Q_EXPLODE_QUANTITY_SQL),
     Query("wordcount", dataflow.q_wordcount, dataflow.Q_WORDCOUNT_SQL),
     # --- windows (§2.5)
     Query("tumbling_windows", dataflow.q_tumbling_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
@@ -263,6 +300,7 @@ _REGISTRY: list[Query] = [
     Query("streaming_dedup", q_streaming_dedup, Q_STREAMING_DEDUP_SQL),
     Query("streaming_interval_join", q_streaming_interval_join, dataflow.Q_INTERVAL_JOIN_SQL),
     Query("streaming_watermark_dedup", q_streaming_watermark_dedup, Q_STREAMING_DEDUP_SQL),
+    Query("streaming_enrich", q_streaming_enrich, Q_STREAMING_ENRICH_SQL),
     # --- dedup (§2.11)
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),
     Query("dedup_jaccard", llmdata.q_dedup_jaccard, llmdata.Q_DEDUP_JACCARD_SQL),
@@ -280,6 +318,7 @@ _REGISTRY: list[Query] = [
     Query("rolling_fingerprint", llmdata.q_rolling_fingerprint, llmdata.Q_ROLLING_FINGERPRINT_SQL),
     Query("pii_redact", llmdata.q_pii_redact, llmdata.Q_PII_REDACT_SQL),
     Query("contamination", llmdata.q_contamination, llmdata.Q_CONTAMINATION_SQL),
+    Query("pack_sequences", llmdata.q_pack_sequences, llmdata.Q_PACK_SEQUENCES_SQL),
     Query("stratified_sample", llmdata.q_stratified_sample, llmdata.Q_STRATIFIED_SAMPLE_SQL),
     Query("training_pipeline", llmdata.q_training_pipeline, llmdata.Q_TRAINING_PIPELINE_SQL),
     # --- multimodal (§2.11)
@@ -296,6 +335,7 @@ _REGISTRY: list[Query] = [
     # this line; add new first-class queries ABOVE, demote duplicates.
     # =====================================================================
     Query("fizzbuzz", dataflow.q_fizzbuzz, dataflow.Q_FIZZBUZZ_SQL),
+    Query("explode_quantity", dataflow.q_explode_quantity, dataflow.Q_EXPLODE_QUANTITY_SQL),
     Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
     Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
     Query("count_evictor_after_fires", dataflow.q_count_evictor_after_fires, dataflow.Q_COUNT_EVICTOR_AFTER_FIRES_SQL),
@@ -304,6 +344,7 @@ _REGISTRY: list[Query] = [
     Query("forecast_revenue", relational.q_forecast_revenue, relational.Q_FORECAST_REVENUE_SQL),
     Query("supplier_balance_rank", relational.q_supplier_balance_rank, relational.Q_SUPPLIER_BALANCE_RANK_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),
+    Query("parts_rollup", relational.q_parts_rollup, relational.Q_PARTS_ROLLUP_SQL),
     Query("doc_fingerprint", llmdata.q_fingerprint, llmdata.Q_FINGERPRINT_SQL),
     Query("pivot_user_activity", dataflow.q_pivot_user_activity, dataflow.Q_PIVOT_USER_ACTIVITY_SQL),
     Query("value_quantiles", dataflow.q_value_quantiles, dataflow.Q_VALUE_QUANTILES_SQL),

@@ -498,6 +498,32 @@ GROUP BY bench_id, c.doc_id
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk, seq_len=2048) over the
+    document corpus — each doc's span in the packed token stream.
+    Distributed two-phase running sum (no single-task sort)."""
+    t = load_tables(spark, sf_dir)
+    return text.pack_sequences(t["documents"], 2048)
+
+
+Q_PACK_SEQUENCES_SQL = f"""
+WITH counted AS (
+  SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents
+), pos AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM counted
+)
+SELECT doc_id, n_tokens, tokens_before,
+       tokens_before // 2048 AS start_bin,
+       tokens_before % 2048 AS start_offset,
+       (tokens_before + greatest(n_tokens, 1) - 1) // 2048 AS end_bin
+FROM pos
+"""
+
+
 # --- cardinality (exact oracle; approx forms live in functions.approx) ------
 
 

@@ -285,3 +285,19 @@ def test_fingerprint_order_insensitive(spark):
     )
     fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
     assert fp[0] == fp[1] != fp[2]
+
+
+def test_pack_sequences_contiguous_stream(spark):
+    """Packing invariant: docs tile the token stream exactly — each
+    doc's tokens_before equals the running total of all prior docs,
+    and bin/offset fields are pure functions of the position."""
+    t = load_tables(spark, SF_DIR)
+    out = text.pack_sequences(t["documents"], 128).orderBy("doc_id").collect()
+    assert out
+    pos = 0
+    for r in out:
+        assert r["tokens_before"] == pos
+        assert r["start_bin"] == pos // 128
+        assert r["start_offset"] == pos % 128
+        assert r["end_bin"] == (pos + max(r["n_tokens"], 1) - 1) // 128
+        pos += r["n_tokens"]

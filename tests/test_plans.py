@@ -131,3 +131,12 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_buck_a")
         spark.sql("DROP TABLE IF EXISTS t_buck_b")
+
+
+def test_pack_sequences_distributed_running_sum(spark):
+    """Sequence packing's global running sum must be the range-partition
+    + per-partition-cumsum + tiny-offsets scheme, not a partition-less
+    window over the data."""
+    plan = plan_of(spark, "pack_sequences")
+    assert "rangepartitioning" in plan.lower()
+    assert plan.count("Exchange SinglePartition") <= 1
