@@ -322,3 +322,36 @@ def pack_sequences(
             ).cast("long").alias("end_bin"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition signals for quality filtering (the boilerplate /
+    spam detector every pretraining pipeline runs): fraction of
+    duplicate lines, fraction of tokens inside duplicated word
+    trigrams, and the most-repeated trigram's count. Pure Column
+    expressions — scan-stage, shuffle-free."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    n_uniq_lines = F.size(F.array_distinct(lines))
+    toks = tokenize(F.col(text_col))
+    n_tok = F.size(toks)
+    idx = F.when(n_tok >= 3, F.sequence(F.lit(0), n_tok - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tris = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 3), " "))
+    n_tri = F.size(tris)
+    n_uniq_tri = F.size(F.array_distinct(tris))
+    return df.select(
+        id_col,
+        n_lines.alias("n_lines"),
+        F.when(n_lines > 0, (n_lines - n_uniq_lines).cast("double") / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_ratio"),
+        F.when(n_tri > 0, (n_tri - n_uniq_tri).cast("double") / n_tri)
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_ratio"),
+    )

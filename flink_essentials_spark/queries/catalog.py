@@ -264,7 +264,6 @@ _REGISTRY: list[Query] = [
     # --- relational batch substrate
     Query("pricing_summary", relational.q_pricing_summary, relational.Q_PRICING_SUMMARY_SQL),
     Query("top_customers", relational.q_top_customers, relational.Q_TOP_CUSTOMERS_SQL),
-    Query("region_revenue", relational.q_region_revenue, relational.Q_REGION_REVENUE_SQL),
     Query("order_priority", relational.q_order_priority, relational.Q_ORDER_PRIORITY_SQL),
     # --- element-wise (SURVEY §2.3)
     Query("map_flatmap_filter", dataflow.q_map_flatmap_filter, dataflow.Q_MAP_FLATMAP_FILTER_SQL),
@@ -319,6 +318,7 @@ _REGISTRY: list[Query] = [
     Query("pii_redact", llmdata.q_pii_redact, llmdata.Q_PII_REDACT_SQL),
     Query("contamination", llmdata.q_contamination, llmdata.Q_CONTAMINATION_SQL),
     Query("pack_sequences", llmdata.q_pack_sequences, llmdata.Q_PACK_SEQUENCES_SQL),
+    Query("repetition_stats", llmdata.q_repetition_stats, llmdata.Q_REPETITION_STATS_SQL),
     Query("stratified_sample", llmdata.q_stratified_sample, llmdata.Q_STRATIFIED_SAMPLE_SQL),
     Query("training_pipeline", llmdata.q_training_pipeline, llmdata.Q_TRAINING_PIPELINE_SQL),
     # --- multimodal (§2.11)
@@ -336,6 +336,7 @@ _REGISTRY: list[Query] = [
     # =====================================================================
     Query("fizzbuzz", dataflow.q_fizzbuzz, dataflow.Q_FIZZBUZZ_SQL),
     Query("explode_quantity", dataflow.q_explode_quantity, dataflow.Q_EXPLODE_QUANTITY_SQL),
+    Query("region_revenue", relational.q_region_revenue, relational.Q_REGION_REVENUE_SQL),
     Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
     Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
     Query("count_evictor_after_fires", dataflow.q_count_evictor_after_fires, dataflow.Q_COUNT_EVICTOR_AFTER_FIRES_SQL),

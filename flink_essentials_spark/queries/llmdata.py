@@ -524,6 +524,39 @@ FROM pos
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (duplicate-line and duplicate-trigram
+    ratios) — the boilerplate/spam filter signal set."""
+    t = load_tables(spark, sf_dir)
+    return text.repetition_stats(t["documents"])
+
+
+Q_REPETITION_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+         {_SQL_TOKENS} AS toks
+  FROM documents
+), tri AS (
+  SELECT doc_id, lines,
+         list_transform(
+           CASE WHEN len(toks) >= 3
+                THEN generate_series(0, len(toks) - 3) ELSE [] END,
+           i -> array_to_string(toks[i + 1:i + 3], ' ')) AS tris
+  FROM base
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       CASE WHEN len(lines) > 0
+            THEN (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+            ELSE 0.0 END AS dup_line_ratio,
+       CASE WHEN len(tris) > 0
+            THEN (len(tris) - len(list_distinct(tris)))::DOUBLE / len(tris)
+            ELSE 0.0 END AS dup_trigram_ratio
+FROM tri
+"""
+
+
 # --- cardinality (exact oracle; approx forms live in functions.approx) ------
 
 
