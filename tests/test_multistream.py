@@ -147,3 +147,47 @@ def test_co_flat_map_one_to_n(spark):
     )
     toks = [r["tok"] for r in out.collect()]
     assert len(toks) == 5 * 5 + 3  # each sku splits into 5 segments
+
+
+def test_interval_join_asymmetric_bounds_convention(spark):
+    """Pins the documented convention: lower/upper are widths around
+    the RIGHT timestamp — left.ts ∈ (right.ts − lower, right.ts + upper)
+    — which for asymmetric widths differs from Flink's signed
+    left-relative between() (see interval_join docstring)."""
+    left = spark.createDataFrame(
+        [(i, "k", f"2022-02-02 00:00:{i:02d}") for i in range(30)],
+        "lid long, k string, ts_s string",
+    ).select("lid", "k", F.col("ts_s").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(100, "k", "2022-02-02 00:00:10")],
+        "rid long, k string, ts_s string",
+    ).select("rid", "k", F.col("ts_s").cast("timestamp").alias("rts"))
+    out = joins.interval_join(
+        left, right, "k", "k", "lts", "rts", "3 seconds", "8 seconds"
+    ).select("lid").collect()
+    # left.ts ∈ (10−3, 10+8) exclusive = seconds 8..17
+    assert sorted(r["lid"] for r in out) == list(range(8, 18))
+
+
+def test_as_of_join_deterministic_on_right_ts_ties(spark):
+    """ADVICE fix pin: multiple right rows sharing (key, ts) carry a
+    deterministic winner (greatest xxhash64 of the payload) — identical
+    across runs AND partitionings."""
+    left = spark.createDataFrame(
+        [(1, "k", "2022-02-02 00:00:10")], "lid long, k string, ts_s string"
+    ).select("lid", "k", F.col("ts_s").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(i, "k", "2022-02-02 00:00:05", f"payload_{i}") for i in range(20)],
+        "rid long, k string, ts_s string, pv string",
+    ).select("rid", "k", F.col("ts_s").cast("timestamp").alias("rts"), "pv")
+
+    def run(r):
+        rows = joins.as_of_join(
+            left, r, "k", "k", "lts", "rts", payload_cols=["pv"]
+        ).collect()
+        assert len(rows) == 1
+        return rows[0]["pv"]
+
+    first = run(right)
+    for variant in (right.repartition(7), right.orderBy(F.desc("rid")), right):
+        assert run(variant) == first
