@@ -40,6 +40,110 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 # see the respread branch in load_tables.
 COMPUTE_HEAVY_TABLES = frozenset({"documents", "embeddings"})
 
+# --- Schema contract -------------------------------------------------
+# The driver regenerates the testdata between rounds and the PHYSICAL
+# types have drifted before (events.ts was int64 TIMESTAMP(NANOS) in one
+# generation, timestamp[us] in the next). A silent mismatch surfaces as
+# confusing AnalysisExceptions deep inside every query, so validate the
+# logical schema at load and fail with one actionable message instead.
+#
+# Each column maps to a tuple of acceptable Spark simpleString PREFIXES
+# (coarse on purpose: int vs bigint or double vs decimal drift is fine —
+# downstream code casts; a wrong KIND of column is not).
+_NUM = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+_STR = ("string", "varchar", "char")
+# Physical timestamp variants seen across driver data generations:
+# bigint = int64 nanos read via nanosAsLong; timestamp_ntz = parquet
+# timestamp[us] without UTC adjustment; timestamp = tz-adjusted.
+_TS = ("timestamp", "timestamp_ntz", "date", "bigint")
+_ARR = ("array",)
+
+EXPECTED_SCHEMAS: dict[str, dict[str, tuple[str, ...]]] = {
+    "region": {"r_regionkey": _NUM, "r_name": _STR},
+    "nation": {"n_nationkey": _NUM, "n_name": _STR, "n_regionkey": _NUM},
+    "customer": {
+        "c_custkey": _NUM, "c_name": _STR, "c_nationkey": _NUM,
+        "c_acctbal": _NUM, "c_mktsegment": _STR,
+    },
+    "supplier": {
+        "s_suppkey": _NUM, "s_name": _STR, "s_nationkey": _NUM,
+        "s_acctbal": _NUM,
+    },
+    "part": {
+        "p_partkey": _NUM, "p_name": _STR, "p_brand": _STR,
+        "p_type": _STR, "p_size": _NUM, "p_retailprice": _NUM,
+    },
+    "orders": {
+        "o_orderkey": _NUM, "o_custkey": _NUM, "o_orderstatus": _STR,
+        "o_totalprice": _NUM, "o_orderdate": _TS, "o_orderpriority": _STR,
+    },
+    "lineitem": {
+        "l_orderkey": _NUM, "l_partkey": _NUM, "l_suppkey": _NUM,
+        "l_linenumber": _NUM, "l_quantity": _NUM, "l_extendedprice": _NUM,
+        "l_discount": _NUM, "l_tax": _NUM, "l_returnflag": _STR,
+        "l_linestatus": _STR, "l_shipdate": _TS,
+    },
+    "events": {
+        "event_id": _NUM, "ts": _TS, "user_id": _NUM,
+        "event_type": _STR, "value": _NUM, "props": _STR,
+    },
+    "documents": {
+        "doc_id": _NUM, "text": _STR, "lang": _STR, "source": _STR,
+        "n_chars": _NUM,
+    },
+    "embeddings": {"vec_id": _NUM, "embedding": _ARR, "label": _NUM},
+}
+
+
+class TableSchemaError(RuntimeError):
+    """Raised when a testdata table does not match the expected contract."""
+
+
+def _check_schema(name: str, df: DataFrame) -> None:
+    expected = EXPECTED_SCHEMAS.get(name)
+    if expected is None:
+        return
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for col, ok_prefixes in expected.items():
+        if col not in actual:
+            raise TableSchemaError(
+                f"testdata drift: table '{name}' is missing column '{col}' "
+                f"(has: {sorted(actual)})"
+            )
+        if not actual[col].startswith(ok_prefixes):
+            raise TableSchemaError(
+                f"testdata drift: table '{name}' column '{col}' has type "
+                f"'{actual[col]}', expected one of {list(ok_prefixes)} — "
+                f"update tables.py normalization for the new physical type"
+            )
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TIMESTAMP regardless of physical encoding.
+
+    The driver's generator has emitted (at least) two physical types across
+    data generations: int64 TIMESTAMP(NANOS) — which Spark's reader only
+    accepts as BIGINT nanos via ``nanosAsLong`` — and plain
+    ``timestamp[us]`` without UTC adjustment, which Spark reads as
+    TIMESTAMP_NTZ. Both reduce to the same epoch-micros instants under the
+    pinned UTC session timezone, so DuckDB oracle parity holds either way
+    (DuckDB's ns→us cast truncates exactly like ``DIV 1000``).
+    """
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":  # int64 nanos via nanosAsLong
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type.startswith("timestamp_ntz"):
+        # identity re-tag under UTC session TZ; gives downstream
+        # withWatermark/window the TIMESTAMP type they require
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_type.startswith("timestamp"):
+        return df  # already TIMESTAMP (tz-adjusted parquet)
+    raise TableSchemaError(
+        f"testdata drift: events.ts has unsupported type '{ts_type}' "
+        f"(expected bigint nanos, timestamp_ntz, or timestamp) — "
+        f"add a normalization branch in tables._normalize_event_ts"
+    )
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -60,9 +164,11 @@ def load_tables(
     if cached is not None:
         return cached
     ensure_engine_conf(spark)
-    # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    # reader rejects by default; read nanos as long, convert to micros.
-    # DuckDB's ns→us cast truncates identically, so oracles agree.
+    # The physical type of events.ts has varied across driver data
+    # generations (int64 TIMESTAMP(NANOS) in one, timestamp[us] in the
+    # next). nanosAsLong makes the nanos variant readable at all (Spark's
+    # reader rejects it otherwise) — it surfaces as BIGINT, which
+    # _normalize_event_ts converts; the conf is a no-op for non-nanos data.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     parallelism = spark.sparkContext.defaultParallelism
     tables = {}
@@ -88,13 +194,9 @@ def load_tables(
                 df = df.repartition(min(parallelism, max(4, n // 256)))
             else:
                 df = df.repartition(parallelism)
+        _check_schema(name, df)
         if name == "events":
-            # JUDGE-TEMP-PATCH: adapt to ts dtype (revert after verification)
-            ts_type = df.schema["ts"].dataType.simpleString()
-            if ts_type == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-            elif ts_type.startswith("timestamp_ntz"):
-                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = _normalize_event_ts(df)
         tables[name] = df
     _TABLE_CACHE[key] = tables
     return tables
