@@ -294,12 +294,22 @@ _REGISTRY: list[Query] = [
     Query("as_of_join", dataflow.q_as_of_join, dataflow.Q_AS_OF_JOIN_SQL),
     Query("json_props", dataflow.q_json_props, dataflow.Q_JSON_PROPS_SQL),
     # --- streaming path (oracle checks final state)
-    Query("streaming_wordcount", q_streaming_wordcount, dataflow.Q_WORDCOUNT_SQL),
-    Query("streaming_windows", q_streaming_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
+    # ROTATION (r3): the driver checks only the first 50 rows, so head
+    # rows whose oracle duplicates another head row rotate to the tail
+    # over rounds, letting every distinct operator family earn a
+    # driver-green row. r3 demoted streaming_wordcount (oracle ==
+    # wordcount), streaming_windows (== tumbling_windows) and
+    # streaming_watermark_dedup (== streaming_dedup) in favor of
+    # set_ops / time_rollup / parts_rollup; the demoted rows stay
+    # locally oracle-checked and pytest-pinned. Rotate back r4 if slots
+    # free up.
     Query("streaming_dedup", q_streaming_dedup, Q_STREAMING_DEDUP_SQL),
     Query("streaming_interval_join", q_streaming_interval_join, dataflow.Q_INTERVAL_JOIN_SQL),
-    Query("streaming_watermark_dedup", q_streaming_watermark_dedup, Q_STREAMING_DEDUP_SQL),
     Query("streaming_enrich", q_streaming_enrich, Q_STREAMING_ENRICH_SQL),
+    # --- set ops / time & dimensional rollups (promoted r3)
+    Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
+    Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
+    Query("parts_rollup", relational.q_parts_rollup, relational.Q_PARTS_ROLLUP_SQL),
     # --- dedup (§2.11)
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),
     Query("dedup_jaccard", llmdata.q_dedup_jaccard, llmdata.Q_DEDUP_JACCARD_SQL),
@@ -334,18 +344,18 @@ _REGISTRY: list[Query] = [
     # tools/check_correctness.py. Keep every DISTINCT operator above
     # this line; add new first-class queries ABOVE, demote duplicates.
     # =====================================================================
+    Query("streaming_wordcount", q_streaming_wordcount, dataflow.Q_WORDCOUNT_SQL),
+    Query("streaming_windows", q_streaming_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
+    Query("streaming_watermark_dedup", q_streaming_watermark_dedup, Q_STREAMING_DEDUP_SQL),
     Query("fizzbuzz", dataflow.q_fizzbuzz, dataflow.Q_FIZZBUZZ_SQL),
     Query("explode_quantity", dataflow.q_explode_quantity, dataflow.Q_EXPLODE_QUANTITY_SQL),
     Query("region_revenue", relational.q_region_revenue, relational.Q_REGION_REVENUE_SQL),
-    Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
-    Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
     Query("count_evictor_after_fires", dataflow.q_count_evictor_after_fires, dataflow.Q_COUNT_EVICTOR_AFTER_FIRES_SQL),
     Query("global_count_windows_all", dataflow.q_global_count_windows_all, dataflow.Q_GLOBAL_COUNT_WINDOWS_ALL_SQL),
     Query("token_stats", llmdata.q_token_stats, llmdata.Q_TOKEN_STATS_SQL),
     Query("forecast_revenue", relational.q_forecast_revenue, relational.Q_FORECAST_REVENUE_SQL),
     Query("supplier_balance_rank", relational.q_supplier_balance_rank, relational.Q_SUPPLIER_BALANCE_RANK_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),
-    Query("parts_rollup", relational.q_parts_rollup, relational.Q_PARTS_ROLLUP_SQL),
     Query("doc_fingerprint", llmdata.q_fingerprint, llmdata.Q_FINGERPRINT_SQL),
     Query("pivot_user_activity", dataflow.q_pivot_user_activity, dataflow.Q_PIVOT_USER_ACTIVITY_SQL),
     Query("value_quantiles", dataflow.q_value_quantiles, dataflow.Q_VALUE_QUANTILES_SQL),
