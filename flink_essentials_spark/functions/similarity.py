@@ -283,6 +283,18 @@ def ivf_topk(
     """
     import numpy as np
 
+    if n_probe >= n_cells:
+        # Full probe visits every cell no matter where the centroids
+        # landed — the result is DEFINED to equal exhaustive search
+        # (pinned by test_ivf_full_probe_equals_exact). Skip the
+        # count/sample/Lloyd/assign jobs entirely and run the exact
+        # scorer: ~5 Spark jobs and 8 driver k-means iterations saved,
+        # identical output, at any corpus size. (Small-corpus partial
+        # probe intentionally does NOT delegate: that would silently
+        # turn approximate recall into exact recall and the partial-
+        # probe containment semantics would go untested.)
+        return cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+
     spark = corpus.sparkSession
     corpus_v = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
