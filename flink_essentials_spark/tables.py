@@ -149,6 +149,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _parquet_layout(path: str, max_files: int) -> tuple[int, int]:
+    """(num_rows, num_row_groups) from parquet footers via pyarrow —
+    driver-side metadata reads (~ms), replacing the Spark jobs the
+    respread sizing used to cost (an ``.rdd`` conversion + a ``count()``
+    are ~0.8 s EACH on a cold session, paid per table-cache miss).
+    Directory layouts stop enumerating after ``max_files`` footers:
+    that many files already means the scan has enough native splits
+    that no respread is needed, so the exact totals stop mattering.
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )[:max_files]
+    else:
+        files = [path]
+    rows = groups = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        groups += md.num_row_groups
+    return rows, groups
+
+
 # DataFrames are immutable lazy plans — loading the same sf_dir twice
 # yields identical plans, so memoize per (session, dir). Re-reading 10
 # parquet footers per query call costs ~1 s each; a 20-query bench run
@@ -182,18 +209,22 @@ def load_tables(
         # every expression. Scan-bound relational tables stay as-read:
         # their aggs shuffle anyway and an extra exchange only hurts.
         # A properly laid-out big table (many files/row groups — the
-        # 100 TB case) skips this branch.
-        if name in COMPUTE_HEAVY_TABLES and df.rdd.getNumPartitions() < parallelism:
-            if name == "embeddings":
-                # vector ops are Arrow/BLAS batched mapInPandas: each
-                # task pays a fixed Arrow+worker round trip, so fuller
-                # batches beat raw fan-out on small corpora — spread to
-                # ~256 rows/partition, capped at cluster parallelism
-                # (count here is parquet-metadata-fast: no data read).
-                n = df.count()
-                df = df.repartition(min(parallelism, max(4, n // 256)))
-            else:
-                df = df.repartition(parallelism)
+        # 100 TB case) skips this branch. Sizing comes from parquet
+        # footers (driver-side pyarrow, ~ms), not Spark jobs.
+        if name in COMPUTE_HEAVY_TABLES:
+            n_rows, n_groups = _parquet_layout(
+                table_path(sf_dir, name), max_files=parallelism
+            )
+            if n_groups < parallelism:
+                if name == "embeddings":
+                    # vector ops are Arrow/BLAS batched mapInPandas:
+                    # each task pays a fixed Arrow+worker round trip,
+                    # so fuller batches beat raw fan-out on small
+                    # corpora — spread to ~256 rows/partition, capped
+                    # at cluster parallelism
+                    df = df.repartition(min(parallelism, max(4, n_rows // 256)))
+                else:
+                    df = df.repartition(parallelism)
         _check_schema(name, df)
         if name == "events":
             df = _normalize_event_ts(df)
