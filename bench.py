@@ -59,6 +59,7 @@ HEADLINE = [
     "training_pipeline",
     # multimodal (real decode path)
     "media_features",
+    "video_frames",
 ]
 
 

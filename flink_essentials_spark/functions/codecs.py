@@ -3,9 +3,9 @@
 PPM (P6 binary), BMP (24-bit uncompressed BI_RGB) and WAV (PCM 16-bit)
 are simple enough to encode/decode with header arithmetic + numpy
 reshapes — so those modalities run REAL decode/resize paths in this
-image (multimodal.decode_media / resize_images); only formats that
-genuinely need a codec library (JPEG, video containers) stay stubbed
-behind ``fake=True``.
+image (multimodal.decode_media / resize_images). Baseline JPEG has its
+own pure-numpy T.81 implementation in functions.jpeg; only video
+containers stay stubbed behind ``fake=True``.
 
 Everything here is driver-free: these functions are called inside
 Arrow-batched mapInPandas bodies, one payload at a time, per executor.

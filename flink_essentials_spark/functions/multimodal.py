@@ -1,14 +1,15 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Image/audio/video are ``binary`` columns with a ``modality`` tag and a
-metadata struct (schemas.MEDIA_SCHEMA). Formats that need no codec
-library decode for REAL here — PPM/BMP images and PCM WAV audio, via
-the pure-numpy codecs in functions.codecs — with real feature
-extraction and real nearest-neighbor resize. Only formats that
-genuinely require a codec library (JPEG, video containers) stay
-stubbed: for those ``decode_media`` raises NotImplementedError unless
-``fake=True``, which substitutes a deterministic hash-derived feature
-vector so downstream pipeline stages are exercisable end-to-end.
+metadata struct (schemas.MEDIA_SCHEMA). Images and audio decode for
+REAL here — PPM/BMP via the header-arithmetic codecs in
+functions.codecs, baseline JPEG via the pure-numpy T.81 codec in
+functions.jpeg, PCM WAV audio — with real feature extraction and real
+nearest-neighbor resize. Only video containers still genuinely require
+a codec library and stay stubbed: for those ``decode_media`` raises
+NotImplementedError unless ``fake=True``, which substitutes a
+deterministic hash-derived feature vector so downstream pipeline
+stages are exercisable end-to-end.
 
 Scale notes: payloads ride in parquet binary columns; feature
 extraction is ``mapInPandas`` (Arrow-batched, per-partition codec
@@ -36,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_essentials_spark.functions import codecs
+from flink_essentials_spark.functions import avi, codecs, jpeg, png
 from flink_essentials_spark.schemas import MEDIA_SCHEMA
 
 FEATURE_DIM = 8
@@ -72,15 +73,31 @@ def synthetic_real_media(spark: SparkSession, source_df: DataFrame) -> DataFrame
     from doc_id alone (so an independent engine can predict the decoded
     content — the media_features oracle recomputes it in SQL):
 
-    - doc_id % 3 == 0 → image, pixels v_i = (doc_id + i) % 256 over
-      w = ((doc_id%8)+1)*4, h = ((doc_id%4)+1)*2; encoded as PPM for
-      doc_id % 6 == 0 and BMP for doc_id % 6 == 3 (same pixels, two
-      real container formats through one dispatch).
+    - doc_id % 3 == 0 → image over w = ((doc_id%8)+1)*4,
+      h = ((doc_id%4)+1)*2. The lossless containers carry pixels
+      v_i = (doc_id + i) % 256: PPM for doc_id % 24 == 0, PNG
+      (stdlib-zlib codec, functions.png) for doc_id % 24 == 12, BMP
+      for doc_id % 12 == 6 — identical decoded features, so the oracle
+      formula is container-independent. doc_id % 12 in (3, 9) →
+      baseline JPEG (pure-numpy codec) of a FLAT gray image
+      v = doc_id % 256 at quality 100 — flat blocks quantize losslessly (only the DC
+      coefficient survives, quant table all ones), so even the lossy
+      format decodes bit-exactly and stays oracle-predictable; the
+      doc_id % 12 == 9 variant adds restart markers (DRI/RSTn) so the
+      decoder's restart path runs under the oracle too. Non-flat JPEG
+      content is covered by round-trip tolerance tests (lossy by
+      design — no SQL engine can re-derive it).
     - doc_id % 3 == 1 → audio, int16 samples
       s_i = ((doc_id*31 + i*7) % 65536) − 32768 over
       n = ((doc_id%50)+10)*50 samples at 16 kHz, encoded as PCM WAV.
-    - doc_id % 3 == 2 → video, opaque utf-8 text payload (no
-      library-free video container; stays on the stub path).
+    - doc_id % 3 == 2 → video. doc_id % 6 == 2: REAL MJPEG-in-AVI
+      (functions.avi + functions.jpeg): n = (doc_id%5)+2 flat-gray
+      frames, frame i value (doc_id*7 + i*13) % 256, image dims from
+      the same doc_id formulas, 10 fps — flat frames decode bit-exactly
+      (see the JPEG note above), so per-frame features stay
+      oracle-predictable. doc_id % 6 == 5: opaque utf-8 text payload —
+      keeps the no-library stub path exercised for container formats
+      that genuinely need codec libs.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,12 +112,23 @@ def synthetic_real_media(spark: SparkSession, source_df: DataFrame) -> DataFrame
                 if did % 3 == 0:
                     w = ((did % 8) + 1) * 4
                     h = ((did % 4) + 1) * 2
-                    px = ((did + np.arange(w * h * 3)) % 256).astype(np.uint8)
-                    arr = px.reshape(h, w, 3)
-                    if did % 6 == 0:
-                        payload, mime = codecs.encode_ppm(arr), codecs.PPM_MIME
-                    else:
-                        payload, mime = codecs.encode_bmp(arr), codecs.BMP_MIME
+                    if did % 6 == 3:  # doc_id % 12 in (3, 9): flat-gray JPEG
+                        g = np.full((h, w), did % 256, dtype=np.uint8)
+                        payload = jpeg.encode_jpeg(
+                            g,
+                            quality=100,
+                            restart_interval=2 if did % 12 == 9 else 0,
+                        )
+                        mime = jpeg.JPEG_MIME
+                    else:  # doc_id % 12 in (0, 6): formula pixels, lossless
+                        px = ((did + np.arange(w * h * 3)) % 256).astype(np.uint8)
+                        arr = px.reshape(h, w, 3)
+                        if did % 24 == 0:
+                            payload, mime = codecs.encode_ppm(arr), codecs.PPM_MIME
+                        elif did % 24 == 12:
+                            payload, mime = png.encode_png(arr), png.PNG_MIME
+                        else:
+                            payload, mime = codecs.encode_bmp(arr), codecs.BMP_MIME
                     meta, modality = (w, h, 0, 0), "image"
                 elif did % 3 == 1:
                     n = ((did % 50) + 10) * 50
@@ -109,6 +137,20 @@ def synthetic_real_media(spark: SparkSession, source_df: DataFrame) -> DataFrame
                     )
                     payload, mime = codecs.encode_wav(s, 16000), codecs.WAV_MIME
                     meta, modality = (0, 0, n * 1000 // 16000, 16000), "audio"
+                elif did % 6 == 2:  # real MJPEG-in-AVI video
+                    w = ((did % 8) + 1) * 4
+                    h = ((did % 4) + 1) * 2
+                    n_frames = (did % 5) + 2
+                    frames = [
+                        jpeg.encode_jpeg(
+                            np.full((h, w), (did * 7 + i * 13) % 256, np.uint8),
+                            quality=100,
+                        )
+                        for i in range(n_frames)
+                    ]
+                    payload = avi.encode_avi_mjpeg(frames, w, h, fps=10)
+                    mime = avi.AVI_MIME
+                    meta, modality = (w, h, n_frames * 100, 0), "video"
                 else:
                     payload = str(txt).encode("utf-8")
                     mime = "application/octet-stream"
@@ -184,6 +226,14 @@ def _decode_features(payload: bytes, mime: str) -> list[float] | None:
         arr = codecs.decode_bmp(payload)
         h, w = arr.shape[:2]
         return _summarize(arr.ravel(), float(w), float(h), 3.0)
+    if mime == jpeg.JPEG_MIME:
+        arr = jpeg.decode_jpeg(payload)
+        h, w = arr.shape[:2]
+        return _summarize(arr.ravel(), float(w), float(h), 3.0)
+    if mime == png.PNG_MIME:
+        arr = png.decode_png(payload)
+        h, w = arr.shape[:2]
+        return _summarize(arr.ravel(), float(w), float(h), 3.0)
     if mime == codecs.WAV_MIME:
         samples, rate = codecs.decode_wav(payload)
         return _summarize(samples, float(samples.size), float(rate), 1.0)
@@ -193,12 +243,14 @@ def _decode_features(payload: bytes, mime: str) -> list[float] | None:
 def decode_media(df: DataFrame, *, fake: bool = False) -> DataFrame:
     """Decode payloads → feature vectors via Arrow-batched mapInPandas.
 
-    PPM/BMP/WAV payloads decode for REAL (functions.codecs) into the
+    PPM/BMP/JPEG/WAV payloads decode for REAL (functions.codecs,
+    functions.jpeg) into the
     ``[dim_a, dim_b, channels, mean, rms, min, max, n_vals]`` layout.
-    Other mime types need codec libraries this image lacks:
-    ``fake=True`` runs the deterministic md5 stand-in for them (same
-    schema, same batch shape); ``fake=False`` raises. A real JPEG/video
-    implementation plugs its codec call into ``_decode_features``.
+    Other mime types (video containers) need codec libraries this
+    image lacks: ``fake=True`` runs the deterministic md5 stand-in for
+    them (same schema, same batch shape); ``fake=False`` raises. A
+    real video implementation plugs its codec call into
+    ``_decode_features``.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -269,6 +321,22 @@ def resize_images(
                             codecs.resize_nearest(codecs.decode_bmp(b), width, height)
                         )
                     )
+                elif mime == jpeg.JPEG_MIME:
+                    # decode → nearest resize → re-encode (lossy, like
+                    # any real JPEG pipeline); fixed quality keeps the
+                    # output deterministic
+                    payloads.append(
+                        jpeg.encode_jpeg(
+                            codecs.resize_nearest(jpeg.decode_jpeg(b), width, height),
+                            quality=90,
+                        )
+                    )
+                elif mime == png.PNG_MIME:
+                    payloads.append(
+                        png.encode_png(
+                            codecs.resize_nearest(png.decode_png(b), width, height)
+                        )
+                    )
                 elif fake:
                     # stand-in: content-addressed payload, real metadata
                     payloads.append(
@@ -296,31 +364,59 @@ def resize_images(
     )
 
 
+def _sampled_indices(n_frames: int, period_ms: int, every_ms: int) -> list[int]:
+    """Frame indices at an every_ms cadence given the stream's frame
+    period; degenerates to every frame when the cadence is finer than
+    the period. Capped at 100 samples per payload (bounds the 1→N
+    expansion inside one Arrow batch)."""
+    step = max(1, every_ms // period_ms) if period_ms > 0 else 1
+    return list(range(0, n_frames, step))[:100]
+
+
 def sample_frames(
     df: DataFrame, every_ms: int = 1000, *, fake: bool = False
 ) -> DataFrame:
-    """Video frame sampling (STUB): one output row per sampled frame,
-    frame count derived from real metadata (duration_ms / every_ms).
-    1→N expansion inside the Arrow batch — the shape a real ffmpeg
-    call produces."""
+    """Video frame sampling: one output row per sampled frame — the
+    1→N expansion inside the Arrow batch that a real ffmpeg call
+    produces.
+
+    MJPEG-in-AVI payloads are REAL: the RIFF container is parsed
+    (functions.avi), the frame cadence comes from the stream header,
+    and frame_md5 hashes the actual extracted JPEG frame payload.
+    Container formats that genuinely need a codec library fall back to
+    the deterministic ``fake=True`` stub (frame count from metadata
+    duration) or raise."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video codecs unavailable; pass fake=True for the stub"
-                )
             rows = []
             for r in pdf.itertuples():
+                payload = bytes(r.payload)
+                if r.mime_type == avi.AVI_MIME:
+                    frames, period_ms = avi.parse_avi_mjpeg(payload)
+                    for i in _sampled_indices(len(frames), period_ms, every_ms):
+                        rows.append(
+                            {
+                                "media_id": r.media_id,
+                                "frame_idx": i,
+                                "frame_md5": hashlib.md5(frames[i]).hexdigest(),
+                            }
+                        )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        f"no library-free video codec for {r.mime_type}; "
+                        "pass fake=True for the stub"
+                    )
                 n = max(1, int(r.meta["duration_ms"] // every_ms))
                 for i in range(min(n, 100)):
                     rows.append(
                         {
                             "media_id": r.media_id,
                             "frame_idx": i,
-                            # real impl: decode frame i*every_ms HERE
+                            # real impl decodes frame i*every_ms here
                             "frame_md5": hashlib.md5(
-                                bytes(r.payload) + i.to_bytes(4, "big")
+                                payload + i.to_bytes(4, "big")
                             ).hexdigest(),
                         }
                     )
@@ -328,6 +424,60 @@ def sample_frames(
 
     return df.filter(F.col("modality") == "video").mapInPandas(
         op, schema=FRAMES_SCHEMA
+    )
+
+
+VIDEO_FRAME_FEATURES_SCHEMA = (
+    "media_id long, frame_idx int, f_w int, f_h int, "
+    "mean_val double, min_val double, max_val double"
+)
+
+
+def video_frame_features(df: DataFrame, every_ms: int = 100) -> DataFrame:
+    """REAL video decode: sample frames from MJPEG-AVI payloads at an
+    every_ms cadence and DECODE each sampled frame (functions.jpeg),
+    emitting per-frame dimensions and pixel stats. Integer-exact
+    arithmetic (int64 sum, one division) so flat-frame fixtures are
+    reproducible by an independent SQL engine — the video_frames
+    oracle. Non-AVI video payloads raise (no library-free codec)."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.mime_type != avi.AVI_MIME:
+                    raise NotImplementedError(
+                        f"no library-free video codec for {r.mime_type}"
+                    )
+                frames, period_ms = avi.parse_avi_mjpeg(bytes(r.payload))
+                for i in _sampled_indices(len(frames), period_ms, every_ms):
+                    arr = jpeg.decode_jpeg(frames[i])
+                    h, w = arr.shape[:2]
+                    v = arr.astype(np.int64)
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": i,
+                            "f_w": w,
+                            "f_h": h,
+                            "mean_val": int(v.sum()) / v.size,
+                            "min_val": float(v.min()),
+                            "max_val": float(v.max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "f_w", "f_h",
+                    "mean_val", "min_val", "max_val",
+                ],
+            )
+
+    return (
+        df.filter(F.col("modality") == "video")
+        .select("media_id", "payload", "mime_type")
+        .mapInPandas(op, schema=VIDEO_FRAME_FEATURES_SCHEMA)
     )
 
 

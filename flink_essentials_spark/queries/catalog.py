@@ -318,7 +318,6 @@ _REGISTRY: list[Query] = [
     Query("simhash_pairs", llmdata.q_simhash_pairs, llmdata.Q_SIMHASH_PAIRS_SQL),
     # --- similarity search (§2.11)
     Query("similarity_topk", llmdata.q_similarity_topk, llmdata.Q_SIMILARITY_TOPK_SQL),
-    Query("ivf_topk", llmdata.q_ivf_topk, llmdata.Q_SIMILARITY_TOPK_SQL),
     Query("embedding_near_dups", llmdata.q_embedding_near_dups, llmdata.Q_EMBEDDING_NEAR_DUPS_SQL),
     # --- text analysis (§2.11)
     Query("bpe_token_stats", llmdata.q_bpe_token_stats, llmdata.Q_BPE_TOKEN_STATS_SQL),
@@ -334,6 +333,12 @@ _REGISTRY: list[Query] = [
     # --- multimodal (§2.11)
     Query("media_stats", llmdata.q_media_stats, llmdata.Q_MEDIA_STATS_SQL),
     Query("media_features", llmdata.q_media_features, llmdata.Q_MEDIA_FEATURES_SQL),
+    # real video decode (MJPEG-AVI container + per-frame JPEG, r3) —
+    # took the head slot of ivf_topk, whose row became informationless
+    # after the full-probe short-circuit (same plan AND same oracle as
+    # similarity_topk; IVF partial-probe machinery stays pytest-pinned
+    # and bench-visible)
+    Query("video_frames", llmdata.q_video_frames, llmdata.Q_VIDEO_FRAMES_SQL),
     # --- cardinality
     Query("cardinality", llmdata.q_cardinality, llmdata.Q_CARDINALITY_SQL),
     # =====================================================================
@@ -347,6 +352,7 @@ _REGISTRY: list[Query] = [
     Query("streaming_wordcount", q_streaming_wordcount, dataflow.Q_WORDCOUNT_SQL),
     Query("streaming_windows", q_streaming_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
     Query("streaming_watermark_dedup", q_streaming_watermark_dedup, Q_STREAMING_DEDUP_SQL),
+    Query("ivf_topk", llmdata.q_ivf_topk, llmdata.Q_SIMILARITY_TOPK_SQL),
     Query("fizzbuzz", dataflow.q_fizzbuzz, dataflow.Q_FIZZBUZZ_SQL),
     Query("explode_quantity", dataflow.q_explode_quantity, dataflow.Q_EXPLODE_QUANTITY_SQL),
     Query("region_revenue", relational.q_region_revenue, relational.Q_REGION_REVENUE_SQL),

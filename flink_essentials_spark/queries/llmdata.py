@@ -355,12 +355,17 @@ FROM documents
 """
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode under oracle: synthetic PPM/BMP/WAV payloads
-    (pixels/samples are integer formulas of doc_id) are encoded then
-    decoded executor-side by the pure-numpy codecs, and the extracted
-    features are compared against DuckDB recomputing the same content
-    arithmetically — no fake= anywhere on this path. Video stays out
-    (no library-free container; its stub is exercised in tests)."""
+    """REAL media decode under oracle: synthetic PPM/BMP/JPEG/WAV
+    payloads (pixels/samples are integer formulas of doc_id) are
+    encoded then decoded executor-side by the pure-numpy codecs, and
+    the extracted features are compared against DuckDB recomputing the
+    same content arithmetically — no fake= anywhere on this path. The
+    JPEG rows are flat gray at quality 100, the one regime where the
+    lossy format decodes bit-exactly (flat block → DC-only, unit quant
+    table), which is what makes an independent SQL oracle possible;
+    non-flat JPEG content is pinned by round-trip tolerance tests.
+    Video stays out (no library-free container; its stub is exercised
+    in tests)."""
     t = load_tables(spark, sf_dir)
     media = multimodal.synthetic_real_media(spark, t["documents"])
     feats = multimodal.decode_media(media.filter(F.col("modality") != "video"))
@@ -390,7 +395,14 @@ WITH imgv AS (
   FROM (SELECT doc_id,
                ((doc_id % 8) + 1) * 4 AS w,
                ((doc_id % 4) + 1) * 2 AS h
-        FROM documents WHERE doc_id % 3 = 0)
+        FROM documents WHERE doc_id % 12 IN (0, 6))
+), jpgv AS (
+  -- flat-gray JPEG rows decode bit-exactly: every value = doc_id % 256
+  SELECT doc_id,
+         ((doc_id % 8) + 1) * 4 AS w,
+         ((doc_id % 4) + 1) * 2 AS h,
+         CAST(doc_id % 256 AS DOUBLE) AS v
+  FROM documents WHERE doc_id % 12 IN (3, 9)
 ), audv AS (
   SELECT doc_id, n,
          list_transform(range(n),
@@ -406,12 +418,52 @@ SELECT doc_id AS media_id, 'image' AS modality,
        list_min(vals) AS min_val, list_max(vals) AS max_val
 FROM imgv
 UNION ALL
+SELECT doc_id, 'image',
+       CAST(w AS DOUBLE), CAST(h AS DOUBLE),
+       3.0, CAST(w * h * 3 AS DOUBLE),
+       v, sqrt(v * v), v, v
+FROM jpgv
+UNION ALL
 SELECT doc_id, 'audio',
        CAST(n AS DOUBLE), 16000.0, 1.0, CAST(n AS DOUBLE),
        list_sum(vals) / n,
        sqrt(list_sum(list_transform(vals, x -> x * x)) / n),
        list_min(vals), list_max(vals)
 FROM audv
+"""
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode under oracle: MJPEG-in-AVI payloads (flat-gray
+    JPEG frames, pixel value a formula of doc_id and frame index) are
+    container-parsed and frame-decoded executor-side (functions.avi +
+    functions.jpeg); DuckDB recomputes per-frame stats from the same
+    formulas. every_ms == the stream's frame period, so every frame is
+    sampled. Flat frames at quality 100 decode bit-exactly (DC-only
+    blocks, unit quant table) — the same invariant the JPEG image rows
+    lean on."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.synthetic_real_media(spark, t["documents"])
+    vids = media.filter(F.col("mime_type") == "video/x-msvideo")
+    return multimodal.video_frame_features(vids, every_ms=100)
+
+
+Q_VIDEO_FRAMES_SQL = """
+WITH vid AS (
+  SELECT doc_id,
+         ((doc_id % 8) + 1) * 4 AS w,
+         ((doc_id % 4) + 1) * 2 AS h,
+         (doc_id % 5) + 2 AS n
+  FROM documents WHERE doc_id % 6 = 2
+)
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(w AS INT) AS f_w,
+       CAST(h AS INT) AS f_h,
+       CAST((doc_id * 7 + i * 13) % 256 AS DOUBLE) AS mean_val,
+       CAST((doc_id * 7 + i * 13) % 256 AS DOUBLE) AS min_val,
+       CAST((doc_id * 7 + i * 13) % 256 AS DOUBLE) AS max_val
+FROM vid, UNNEST(range(n)) AS t(i)
 """
 
 

@@ -123,21 +123,35 @@ def test_real_media_decode_and_resize(spark):
     for did, r in feats.items():
         if did % 3 == 0:
             w, h = ((did % 8) + 1) * 4, ((did % 4) + 1) * 2
-            px = (did + np.arange(w * h * 3)) % 256
             assert r["features"][:3] == [w, h, 3.0]
-            assert r["features"][3] == int(px.sum()) / px.size
+            if did % 6 == 3:  # flat-gray JPEG rows (doc_id % 12 in (3, 9))
+                assert r["features"][3] == float(did % 256)
+            else:  # formula-pixel PPM/BMP rows
+                px = (did + np.arange(w * h * 3)) % 256
+                assert r["features"][3] == int(px.sum()) / px.size
         else:
             n = ((did % 50) + 10) * 50
             assert r["features"][0] == n and r["features"][1] == 16000.0
     # real resize: decoded output must equal numpy nearest-neighbor
-    resized = multimodal.resize_images(media, 6, 3).collect()
+    # (JPEG rows are checked in test_jpeg.py — their round trip is
+    # lossy for general content, exact only for flat sources)
+    resized = multimodal.resize_images(
+        media.filter(F.col("mime_type") != "image/jpeg"), 6, 3
+    ).collect()
     assert resized
+    from flink_essentials_spark.functions import png as png_codec
+
     for r in resized:
         did = r["media_id"]
         w, h = ((did % 8) + 1) * 4, ((did % 4) + 1) * 2
         src = ((did + np.arange(w * h * 3)) % 256).astype(np.uint8).reshape(h, w, 3)
         exp = codecs.resize_nearest(src, 6, 3)
-        dec = codecs.decode_ppm if did % 6 == 0 else codecs.decode_bmp
+        if did % 24 == 0:
+            dec = codecs.decode_ppm
+        elif did % 24 == 12:
+            dec = png_codec.decode_png
+        else:
+            dec = codecs.decode_bmp
         assert np.array_equal(dec(bytes(r["payload"])), exp)
 
 
