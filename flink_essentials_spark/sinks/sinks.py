@@ -110,3 +110,21 @@ def write_bucketed(
         w = w.option("path", path)
     w.saveAsTable(table)
     return df.sparkSession.table(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, *keys: str, mode: str = "overwrite"
+) -> DataFrame:
+    """Hive-style partitioned parquet layout (``key=value`` directories)
+    — the scan-elimination strategy at 100 TB: a filter on a partition
+    key prunes to the matching directories at PLANNING time, so a query
+    over one day/source/language reads that slice and nothing else
+    (plan-audited in tests/test_plans.py: PartitionFilters in the scan,
+    pruned partition count in the plan, zero non-matching files read).
+    Complements write_bucketed: partition on low-cardinality
+    scan-eliminating keys, bucket on high-cardinality join keys.
+
+    Returns the re-read DataFrame (partition discovery runs on read).
+    """
+    df.write.format("parquet").mode(mode).partitionBy(*keys).save(path)
+    return df.sparkSession.read.parquet(path)

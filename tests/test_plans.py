@@ -140,3 +140,51 @@ def test_pack_sequences_distributed_running_sum(spark):
     plan = plan_of(spark, "pack_sequences")
     assert "rangepartitioning" in plan.lower()
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_partitioned_layout_prunes_scan(spark, tmp_path):
+    """Hive-partitioned layout: a filter on the partition key must be
+    satisfied by directory pruning at planning time — the plan's scan
+    shows it as a PartitionFilter and reads ONLY the matching
+    partition's files. Scan elimination, not scan-then-filter: the
+    difference between reading one day and reading 100 TB."""
+    import contextlib
+    import io
+
+    from flink_essentials_spark.sinks.sinks import write_partitioned
+
+    df = spark.range(900).select(
+        (F.col("id") % 3).cast("string").alias("source"), F.col("id").alias("v")
+    )
+    t = write_partitioned(df, str(tmp_path / "part"), "source")
+    q = t.filter(F.col("source") == "1").select("v")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "isnotnull(source" in plan
+    # the data filter must NOT appear as a post-scan Filter node: the
+    # directory layout already answered it (the plan is Scan → Project,
+    # nothing else)
+    assert "* Filter" not in plan and "PushedFilters: [IsNotNull" not in plan
+    assert q.count() == 300
+    # physical proof: corrupt every OTHER partition's files — the
+    # pruned query must still succeed because those directories are
+    # never opened, while a full scan over the same table fails
+    import os
+
+    import pytest as _pytest
+
+    for root, _, files in os.walk(str(tmp_path / "part")):
+        if "source=1" in root:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "wb") as fh:
+                    fh.write(b"corrupted -- reading this file is a pruning bug")
+    # explicit schema: footer-based schema inference would itself open
+    # the corrupted files; execution is what must prove the pruning
+    t2 = spark.read.schema("v long, source string").parquet(str(tmp_path / "part"))
+    assert t2.filter(F.col("source") == "1").count() == 300
+    with _pytest.raises(Exception):
+        t2.count()
