@@ -264,6 +264,63 @@ def redact_pii(
     return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
 
 
+URL_PATTERN = r"https?://[a-zA-Z0-9.-]+(?:/[^\s]*)?"
+
+
+def url_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-domain URL statistics — the web-corpus audit op (source
+    attribution, domain filtering/blocklists): extract every URL, strip
+    to the host, aggregate count + distinct-document reach per domain.
+
+    Extraction is a JVM regexp_extract_all inside the scan stage; the
+    only shuffle is the per-domain aggregation (partial counts map-side;
+    distinct-doc counting is the usual two-phase distinct). Domain
+    cardinality follows a power law, but the heavy hitters are exactly
+    the domains a blocklist audit wants, and count-distinct per key is
+    bounded by corpus size — no skew mitigation needed beyond AQE."""
+    col = F.col(text_col)
+    urls = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(col, F.lit(URL_PATTERN), 0)).alias("url"),
+    )
+    domain = F.regexp_replace(
+        F.regexp_replace(F.col("url"), r"^https?://", ""), r"[/:].*$", ""
+    )
+    return (
+        urls.select(F.col(id_col), domain.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+    )
+
+
+def corpus_mixture(
+    df: DataFrame, *keys: str, chars_col: str = "n_chars"
+) -> DataFrame:
+    """Corpus composition report — the mixture table a pretraining run
+    is weighted by: per key-combination (language, source, ...) doc
+    count, char volume, and share of the corpus. One groupBy; the
+    grand total re-aggregates the per-group counts (a few hundred rows)
+    rather than re-scanning the corpus, then broadcasts back."""
+    keys = keys or ("lang", "source")
+    per_group = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(chars_col).alias("sum_chars"),
+    )
+    totals = per_group.agg(
+        F.sum("n_docs").alias("_t_docs"), F.sum("sum_chars").alias("_t_chars")
+    )
+    return per_group.crossJoin(F.broadcast(totals)).select(
+        *keys,
+        "n_docs",
+        "sum_chars",
+        (F.col("n_docs") / F.col("_t_docs")).alias("doc_share"),
+        (F.col("sum_chars") / F.col("_t_chars")).alias("char_share"),
+    )
+
+
 def pack_sequences(
     df: DataFrame, seq_len: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -365,6 +365,11 @@ _REGISTRY: list[Query] = [
     Query("doc_fingerprint", llmdata.q_fingerprint, llmdata.Q_FINGERPRINT_SQL),
     Query("pivot_user_activity", dataflow.q_pivot_user_activity, dataflow.Q_PIVOT_USER_ACTIVITY_SQL),
     Query("value_quantiles", dataflow.q_value_quantiles, dataflow.Q_VALUE_QUANTILES_SQL),
+    # new r3 breadth ops land in the tail (head is full; every head row
+    # now has a distinct oracle) — local-oracle-checked every round,
+    # candidates for rotation into the head when a slot frees up
+    Query("url_stats", llmdata.q_url_stats, llmdata.Q_URL_STATS_SQL),
+    Query("corpus_mixture", llmdata.q_corpus_mixture, llmdata.Q_CORPUS_MIXTURE_SQL),
     Query("minhash_signatures", llmdata.q_minhash_signatures, llmdata.Q_MINHASH_SIGNATURES_SQL),
     Query("simhash", llmdata.q_simhash, llmdata.Q_SIMHASH_SQL),
     Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),

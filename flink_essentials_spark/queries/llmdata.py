@@ -526,6 +526,70 @@ FROM spiked
 """
 
 
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL audit under oracle: deterministic synthetic URLs
+    (pure functions of doc_id — one https URL per doc, a second http
+    URL on even ids) are appended to each document; the regex pipeline
+    extracts and aggregates them, while DuckDB rebuilds the same
+    domains arithmetically — so the oracle is immune to regex-dialect
+    differences and any extraction miss shows up as a count mismatch.
+    The corpus itself contains no URLs (verified), so the synthetic
+    set is exactly the expected output."""
+    t = load_tables(spark, sf_dir)
+    d = F.col("doc_id")
+    spiked = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://cdn"), (d % 7).cast("string"),
+            F.lit(".example"), (d % 3).cast("string"),
+            F.lit(".com/p/"), d.cast("string"),
+            F.when(
+                d % 2 == 0,
+                F.concat(
+                    F.lit(" ref http://www.site"),
+                    (d % 5).cast("string"),
+                    F.lit(".org"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.url_stats(spiked)
+
+
+Q_URL_STATS_SQL = """
+WITH spiked AS (
+  SELECT doc_id,
+         'cdn' || (doc_id % 7) || '.example' || (doc_id % 3) || '.com' AS domain
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'www.site' || (doc_id % 5) || '.org' AS domain
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT domain,
+       COUNT(*) AS n_urls,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM spiked GROUP BY domain
+"""
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition (mixture weights) per (lang, source)."""
+    t = load_tables(spark, sf_dir)
+    return text.corpus_mixture(t["documents"], "lang", "source")
+
+
+Q_CORPUS_MIXTURE_SQL = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS doc_share,
+       CAST(SUM(n_chars) AS DOUBLE)
+         / (SELECT SUM(n_chars) FROM documents) AS char_share
+FROM documents GROUP BY lang, source
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: which corpus documents share a
     word 5-gram with a held-out 'benchmark' slice (doc_id % 100 == 0)
