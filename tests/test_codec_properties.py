@@ -1,0 +1,74 @@
+"""Property-based codec invariants (hypothesis).
+
+The lossless codecs (PNG, PPM, BMP, WAV, AVI container) must
+round-trip ARBITRARY content bit-exactly; JPEG must round-trip any
+FLAT gray image bit-exactly at quality 100 (the media_features oracle
+invariant) and must never error or change shape on arbitrary content.
+Sizes are kept small — the point is adversarial shapes/values, not
+volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from flink_essentials_spark.functions import avi, codecs, jpeg, png
+
+_dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+def _rgb(shape):
+    return arrays(np.uint8, (*shape, 3), elements=st.integers(0, 255))
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims.flatmap(_rgb))
+def test_png_lossless_any_rgb(arr):
+    assert np.array_equal(png.decode_png(png.encode_png(arr)), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims.flatmap(_rgb))
+def test_ppm_bmp_lossless_any_rgb(arr):
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(arr)), arr)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(arr)), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arrays(np.int16, st.integers(1, 500), elements=st.integers(-32768, 32767)),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_lossless_any_pcm(samples, rate):
+    out, r = codecs.decode_wav(codecs.encode_wav(samples, rate))
+    assert r == rate and np.array_equal(out, samples)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 255), _dims)
+def test_jpeg_flat_gray_exact_any_value_and_shape(v, shape):
+    arr = np.full(shape, v, dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=100))
+    assert out.shape == (*shape, 3)
+    assert np.all(out == v)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_dims.flatmap(_rgb), st.integers(1, 100), st.booleans())
+def test_jpeg_any_content_decodes_to_same_shape(arr, quality, subsample):
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=quality, subsample=subsample))
+    assert out.shape == arr.shape and out.dtype == np.uint8
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.binary(min_size=1, max_size=64), min_size=1, max_size=6),
+    st.integers(1, 60),
+)
+def test_avi_container_lossless_any_payloads(frames, fps):
+    out, period_ms = avi.parse_avi_mjpeg(avi.encode_avi_mjpeg(frames, 8, 8, fps=fps))
+    assert out == frames
+    assert period_ms == (1_000_000 // fps) // 1000
