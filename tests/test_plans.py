@@ -188,3 +188,36 @@ def test_partitioned_layout_prunes_scan(spark, tmp_path):
     assert t2.filter(F.col("source") == "1").count() == 300
     with _pytest.raises(Exception):
         t2.count()
+
+
+def test_no_scale_killers_in_any_registry_plan(spark):
+    """Global red-flag sweep over EVERY batch registry query's physical
+    plan — not a hand-picked sample: no CartesianProduct /
+    BroadcastNestedLoopJoin (quadratic in inputs), no BatchEvalPython
+    (row-at-a-time Python UDF; Python is allowed only through Arrow:
+    MapInPandas / FlatMapGroupsInPandas). Streaming queries are skipped
+    (their fn() executes the stream; their operators are covered by the
+    batch twins and tests/test_streaming.py)."""
+    banned = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+    # BroadcastNestedLoopJoin is allowed ONLY where the broadcast side
+    # is bounded-small by construction, making the NLJ linear in the
+    # big side: corpus_mixture broadcasts a ONE-row totals aggregate;
+    # similarity_topk / ivf_topk broadcast the documented-small query
+    # set against the corpus — brute-force top-k is by definition
+    # all-pairs over (queries × corpus), and broadcast-NLJ is the
+    # correct physical plan for that semantics (the sub-quadratic
+    # alternatives are the LSH/IVF candidate paths).
+    allowed = {
+        "corpus_mixture": {"BroadcastNestedLoopJoin"},
+        "similarity_topk": {"BroadcastNestedLoopJoin"},
+        "ivf_topk": {"BroadcastNestedLoopJoin"},
+    }
+    offenders = {}
+    for name in ALL_QUERIES:
+        if name.startswith("streaming_"):
+            continue
+        plan = plan_of(spark, name)
+        hits = [b for b in banned if b in plan and b not in allowed.get(name, ())]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
