@@ -160,6 +160,52 @@ WHERE round(len(list_intersect(a.sh, b.sh))
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS — the step after pair-finding that an actual
+    dedup run needs (keep one canonical doc per cluster): verified LSH
+    pairs (jaccard >= 0.5) feed distributed min-label-propagation
+    connected components; cluster_id = min doc_id in the component.
+    DuckDB reproduces it with a recursive-CTE transitive closure over
+    the same pair SQL — an independent algorithm agreeing on every
+    cluster assignment."""
+    from flink_essentials_spark.functions.graph import connected_components
+
+    t = load_tables(spark, sf_dir)
+    pairs = dedup.lsh_near_dup_pairs(
+        t["documents"], n=3, num_hashes=16, bands=4, threshold=0.5
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE cands AS ({_minhash_lsh_sql()}),
+sets AS (
+  SELECT doc_id, {_sql_shingles(3)} AS sh FROM documents
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cands JOIN sets a ON cands.doc_a = a.doc_id
+             JOIN sets b ON cands.doc_b = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+        >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return dedup.simhash(t["documents"], bits=32)
