@@ -371,6 +371,7 @@ _REGISTRY: list[Query] = [
     Query("url_stats", llmdata.q_url_stats, llmdata.Q_URL_STATS_SQL),
     Query("corpus_mixture", llmdata.q_corpus_mixture, llmdata.Q_CORPUS_MIXTURE_SQL),
     Query("dedup_clusters", llmdata.q_dedup_clusters, llmdata.Q_DEDUP_CLUSTERS_SQL),
+    Query("dedup_keep", llmdata.q_dedup_keep, llmdata.Q_DEDUP_KEEP_SQL),
     Query("minhash_signatures", llmdata.q_minhash_signatures, llmdata.Q_MINHASH_SIGNATURES_SQL),
     Query("simhash", llmdata.q_simhash, llmdata.Q_SIMHASH_SQL),
     Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),

@@ -206,6 +206,61 @@ SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: the corpus FILTERED to canonical documents —
+    every cluster keeps only its min-doc_id representative, documents
+    in no near-dup cluster survive untouched. Left-anti join against
+    the non-representative cluster members; the cluster side is tiny
+    relative to the corpus (near-dups are a small fraction), so the
+    anti join broadcasts. Emits doc_id + content hash so the oracle
+    checks the exact surviving set."""
+    from flink_essentials_spark.functions.graph import connected_components
+
+    t = load_tables(spark, sf_dir)
+    pairs = dedup.lsh_near_dup_pairs(
+        t["documents"], n=3, num_hashes=16, bands=4, threshold=0.5
+    ).select("doc_a", "doc_b")
+    clusters = connected_components(pairs, "doc_a", "doc_b")
+    drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return t["documents"].join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", F.md5(F.encode("text", "utf-8")).alias("text_md5")
+    )
+
+
+Q_DEDUP_KEEP_SQL = f"""
+WITH RECURSIVE cands AS ({_minhash_lsh_sql()}),
+sets AS (
+  SELECT doc_id, {_sql_shingles(3)} AS sh FROM documents
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cands JOIN sets a ON cands.doc_a = a.doc_id
+             JOIN sets b ON cands.doc_b = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+        >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+),
+drop_docs AS (
+  SELECT node AS doc_id FROM reach GROUP BY node
+  HAVING node <> MIN(lbl)
+)
+SELECT doc_id, md5(text) AS text_md5
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drop_docs)
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return dedup.simhash(t["documents"], bits=32)
