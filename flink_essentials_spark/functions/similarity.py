@@ -250,6 +250,70 @@ def hyperplane_bucket(
     return df.mapInPandas(gen, out_schema)
 
 
+def _train_ivf_centers(corpus_v, n_cells: int, train_rows_per_cell: int):
+    """Seeded numpy Lloyd's k-means over a sample capped at
+    train_rows_per_cell × n_cells rows — the ONLY driver
+    materialization in the IVF path, bounded by construction."""
+    import numpy as np
+
+    n = corpus_v.count()
+    cap = train_rows_per_cell * n_cells
+    train = corpus_v.sample(cap / n, seed=42) if n > cap else corpus_v
+    X = np.array([r["cv"] for r in train.select("cv").collect()], dtype=np.float64)
+
+    rng = np.random.default_rng(42)
+    centers = X[rng.choice(len(X), size=n_cells, replace=False)]
+    for _ in range(8):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = X[lab == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+    return centers
+
+
+def _assign_cells(corpus_v, centers):
+    import numpy as np
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            # argmin ||x-c||² = argmax (x·c − ½||c||²): one matmul
+            scores = M @ centers.T - 0.5 * (centers**2).sum(axis=1)
+            out = pdf[["neighbor_id", "cv"]].copy()
+            out["cell"] = scores.argmax(axis=1).astype(np.int32)
+            yield out
+
+    return corpus_v.mapInPandas(
+        assign, "neighbor_id long, cv array<double>, cell int"
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows_per_cell: int = 256,
+):
+    """Public IVF cell assignment: (corpus rows + ``cell`` column,
+    trained centers). This is the 100 TB layout step made executable
+    rather than aspirational: write the result partitioned by ``cell``
+    (sinks.write_partitioned) and an ``n_probe``-cell query becomes a
+    partition-pruned scan that never opens the other cells' files —
+    plan-audited in tests/test_plans.py. The centers come back so the
+    probe side can pick its cells driver-side (n_cells × dim floats)."""
+    corpus_v = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    centers = _train_ivf_centers(corpus_v, n_cells, train_rows_per_cell)
+    return _assign_cells(corpus_v, centers), centers
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -300,37 +364,8 @@ def ivf_topk(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    n = corpus_v.count()
-    cap = train_rows_per_cell * n_cells
-    train = corpus_v.sample(cap / n, seed=42) if n > cap else corpus_v
-    X = np.array([r["cv"] for r in train.select("cv").collect()], dtype=np.float64)
-
-    rng = np.random.default_rng(42)
-    centers = X[rng.choice(len(X), size=n_cells, replace=False)]
-    for _ in range(8):
-        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        lab = d2.argmin(axis=1)
-        for c in range(n_cells):
-            members = X[lab == c]
-            if len(members):
-                centers[c] = members.mean(axis=0)
-
-    def assign(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.array(pdf["cv"].tolist(), dtype=np.float64)
-            # argmin ||x-c||² = argmax (x·c − ½||c||²): one matmul
-            scores = M @ centers.T - 0.5 * (centers**2).sum(axis=1)
-            out = pdf[["neighbor_id", "cv"]].copy()
-            out["cell"] = scores.argmax(axis=1).astype(np.int32)
-            yield out
-
-    assigned = corpus_v.mapInPandas(
-        assign, "neighbor_id long, cv array<double>, cell int"
-    )
+    centers = _train_ivf_centers(corpus_v, n_cells, train_rows_per_cell)
+    assigned = _assign_cells(corpus_v, centers)
     q_rows = queries.select(id_col, vec_col).collect()
     probe_rows = []
     for r in q_rows:
