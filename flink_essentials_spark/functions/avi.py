@@ -13,7 +13,9 @@ movi); parser is lenient: it walks RIFF chunks and collects
 ``00dc``/``00db`` entries, reading the frame period from ``avih``.
 
 Like every codec here this runs inside Arrow-batched mapInPandas
-bodies, per payload, per executor — never on the driver.
+bodies, per payload, per executor — never on the driver. Reference
+parity: the reference repo has no multimodal layer; this backs the
+training-data extension surface (SURVEY.md §2.11).
 """
 
 from __future__ import annotations

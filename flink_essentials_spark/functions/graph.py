@@ -2,6 +2,10 @@
 pipeline: near-dup PAIRS (from LSH/SimHash/embedding candidates) become
 CLUSTERS, and each cluster keeps one canonical document.
 
+Reference parity: the reference repo (flink-essentials) has no graph
+or dedup layer; this backs the LLM-training-data extension surface
+(SURVEY.md §2.11), built from the public literature cited below.
+
 Algorithm: iterative min-label propagation. Every node starts labeled
 with itself; each round every node takes the minimum label among itself
 and its neighbors; convergence when a round changes nothing. Rounds

@@ -15,7 +15,9 @@ PPM/BMP/JPEG/WAV as a fully real format in this image:
 
 Interlaced (Adam7), 16-bit and paletted images are rejected with a
 clear error. Runs inside Arrow-batched mapInPandas bodies per payload,
-per executor — never on the driver.
+per executor — never on the driver. Reference parity: the reference
+repo has no multimodal layer; this backs the training-data extension
+surface (SURVEY.md §2.11).
 """
 
 from __future__ import annotations
