@@ -6,16 +6,18 @@ Reference parity: the reference repo (flink-essentials) has no graph
 or dedup layer; this backs the LLM-training-data extension surface
 (SURVEY.md §2.11), built from the public literature cited below.
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with itself; each round every node takes the minimum label among itself
-and its neighbors; convergence when a round changes nothing. Rounds
-needed = graph diameter — near-dup clusters are dense and shallow
-(diameter a handful), so this settles in a few rounds. For adversarial
-long-chain graphs at 100 TB the round count is the known weakness; the
-documented upgrade path is the alternating large-star/small-star
-algorithm (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC 2014) which converges in O(log n) rounds with the same
-per-round join shape — the driver loop below swaps in unchanged.
+Two algorithms, one contract (verified against each other and a
+union-find reference):
+
+- ``propagation`` — iterative min-label propagation: each round every
+  node takes the minimum label among itself and its neighbors. Rounds
+  = graph diameter; near-dup clusters are dense and shallow, so this
+  settles in a few rounds and does the least work per round.
+- ``two-phase`` — alternating large-star/small-star (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC 2014): the edge
+  set itself is rewritten toward a star per component, converging in
+  O(log n) rounds regardless of diameter — the choice for adversarial
+  long-chain graphs at scale (measured on a 30-path: 5 rounds vs 30).
 
 Each round is one shuffle (edge-label join + min-aggregate). Lineage is
 cut every round with localCheckpoint so the plan does not grow with
@@ -36,10 +38,24 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    algorithm: str = "propagation",
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) edge list -> (node, cluster_id), cluster_id = min
     node id in the component. Nodes are whatever appears in the edge
-    list (isolated documents never enter the pair stream)."""
+    list (isolated documents never enter the pair stream).
+
+    ``algorithm="propagation"`` (default): min-label propagation,
+    rounds = diameter — right for dense shallow near-dup clusters.
+    ``algorithm="two-phase"``: alternating large-star/small-star
+    (Kiveris et al., SoCC 2014), O(log n) rounds on ANY graph shape —
+    the scale path for adversarial long-chain graphs. Both verified
+    against a union-find reference; ``stats["rounds"]`` reports the
+    rounds a call took."""
+    if algorithm == "two-phase":
+        return _cc_two_phase(edges, src, dst, max_iter, stats)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -52,7 +68,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         nbr_min = (
             e.join(
                 labels.select(
@@ -79,4 +95,74 @@ def connected_components(
         labels = stepped.select("node", "label")
         if stepped.agg(F.max("changed")).first()[0] is not True:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _edge_signature(e: DataFrame):
+    """Order-insensitive signature of an edge set for fixpoint tests:
+    (count, sum of per-edge hashes). One tiny aggregate per round."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bound each term so the ANSI-mode sum cannot overflow long
+        F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(2**31))).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def _cc_two_phase(edges, src, dst, max_iter, stats):
+    """Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014). Each phase is one
+    groupBy-min + join; the edge set converges in O(log n) rounds to a
+    star per component centered at its min node, independent of graph
+    diameter."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e):
+        # undirected neighborhoods: u as center sees every neighbor
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("mb", "a").alias("m"))
+        )
+        # connect strictly-larger neighbors to the neighborhood min
+        return (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e):
+        # orient each edge large -> small so u's neighbors are all <= u
+        d = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        m = d.groupBy("a").agg(F.min("b").alias("m"))  # all b < a, so min(Γ∪{u}) = min(b)
+        nbrs = d.join(m, "a").filter(F.col("b") != F.col("m")).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+        centers = m.select(F.col("a"), F.col("m").alias("b"))
+        return nbrs.union(centers).filter(F.col("a") != F.col("b")).distinct()
+
+    sig = _edge_signature(e)
+    for rounds in range(1, max_iter + 1):
+        e = small_star(large_star(e)).localCheckpoint()
+        new_sig = _edge_signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixpoint is a star per component: (leaf, center) edges + centers
+    leaves = e.select(F.col("a").alias("node"), F.col("b").alias("cluster_id"))
+    centers = e.select(F.col("b").alias("node"), F.col("b").alias("cluster_id"))
+    return leaves.union(centers).distinct()

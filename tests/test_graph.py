@@ -31,13 +31,15 @@ def _union_find_reference(edges):
 
 def _run(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {
-        r["node"]: r["cluster_id"]
-        for r in connected_components(df).collect()
-    }
-    # union-find roots are already min-of-component because unions
-    # always parent the larger root under the smaller one
-    assert got == _union_find_reference(edges)
+    expected = _union_find_reference(edges)
+    for algo in ("propagation", "two-phase"):
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(df, algorithm=algo).collect()
+        }
+        # union-find roots are already min-of-component because unions
+        # always parent the larger root under the smaller one
+        assert got == expected, algo
 
 
 def test_two_triangles_and_a_bridge(spark):
@@ -62,3 +64,19 @@ def test_random_graphs_match_union_find(spark):
         ]
         edges = [(a, b) for a, b in edges if a != b]
         _run(spark, edges)
+
+
+def test_two_phase_beats_propagation_rounds_on_chain(spark):
+    """The documented scale claim, measured: on a path graph the
+    two-phase algorithm must converge in far fewer rounds than
+    diameter-bound label propagation."""
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    s_prop, s_star = {}, {}
+    a = connected_components(df, algorithm="propagation", stats=s_prop).collect()
+    b = connected_components(df, algorithm="two-phase", stats=s_star).collect()
+    assert {(r["node"], r["cluster_id"]) for r in a} == {
+        (r["node"], r["cluster_id"]) for r in b
+    }
+    assert s_prop["rounds"] >= 29  # diameter-bound
+    assert s_star["rounds"] <= 8   # O(log n)
