@@ -224,6 +224,58 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """
 
 
+def q_streaming_dedup_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup — the production shape when a NEW
+    batch of documents streams in against an existing corpus: per
+    micro-batch LEFT ANTI join of the stream against the STATIC
+    historical fingerprint set (normalized-text md5). State-free (the
+    static side re-broadcasts per batch); within-stream duplicates are
+    additionally suppressed by the state-store dropDuplicates, so the
+    output is exactly the genuinely-new content keys. Fixture: the
+    'historical corpus' is the even-doc_id half; the stream replays
+    every document — the oracle is the distinct odd-half keys minus
+    any text also present in the even half."""
+    from flink_essentials_spark.functions.dedup import normalize_text
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    t = load_tables(spark, sf_dir)
+    key = F.md5(F.encode(normalize_text(F.col("text")), "utf-8"))
+    historical = (
+        t["documents"].filter(F.col("doc_id") % 2 == 0)
+        .select(key.alias("text_md5"))
+        .distinct()
+    )
+    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    t["documents"].select("text").repartition(2).write.mode("overwrite").parquet(
+        replay_dir
+    )
+    stream = (
+        file_replay(spark, replay_dir, "text string", files_per_trigger=1)
+        .select(key.alias("text_md5"))
+        .join(F.broadcast(historical), "text_md5", "left_anti")
+        .dropDuplicates(["text_md5"])
+    )
+    name = "sds_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_to_memory(spark, stream, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+Q_STREAMING_DEDUP_STATIC_SQL = r"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_md5
+  FROM documents
+)
+SELECT DISTINCT text_md5 FROM keyed
+WHERE text_md5 NOT IN (SELECT text_md5 FROM keyed WHERE doc_id % 2 = 0)
+"""
+
+
 def q_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on the REAL streaming path:
     documents replayed twice (a full duplicate second micro-batch) with
@@ -372,6 +424,7 @@ _REGISTRY: list[Query] = [
     Query("corpus_mixture", llmdata.q_corpus_mixture, llmdata.Q_CORPUS_MIXTURE_SQL),
     Query("dedup_clusters", llmdata.q_dedup_clusters, llmdata.Q_DEDUP_CLUSTERS_SQL),
     Query("dedup_keep", llmdata.q_dedup_keep, llmdata.Q_DEDUP_KEEP_SQL),
+    Query("streaming_dedup_static", q_streaming_dedup_static, Q_STREAMING_DEDUP_STATIC_SQL),
     Query("minhash_signatures", llmdata.q_minhash_signatures, llmdata.Q_MINHASH_SIGNATURES_SQL),
     Query("simhash", llmdata.q_simhash, llmdata.Q_SIMHASH_SQL),
     Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),
