@@ -261,9 +261,16 @@ def decode_media(df: DataFrame, *, fake: bool = False) -> DataFrame:
                 f = _decode_features(bytes(payload), mime)
                 if f is None:
                     if not fake:
+                        hint = (
+                            "MJPEG-AVI video decodes through sample_frames / "
+                            "video_frame_features (per-frame), not per-payload "
+                            "features; "
+                            if mime == avi.AVI_MIME
+                            else ""
+                        )
                         raise NotImplementedError(
-                            f"no library-free codec for {mime}; pass fake=True "
-                            "for the deterministic stub"
+                            f"no per-payload decoder for {mime}; {hint}"
+                            "pass fake=True for the deterministic stub"
                         )
                     f = _fake_features(bytes(payload))
                 feats.append(f)
