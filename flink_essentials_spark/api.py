@@ -89,6 +89,24 @@ class Stream:
         return Stream(spark.read.parquet(path))
 
     @staticmethod
+    def from_csv(spark: SparkSession, path: str, schema=None, **options) -> "Stream":
+        from flink_essentials_spark.sources.batch import read_csv
+
+        return Stream(read_csv(spark, path, schema, **options))
+
+    @staticmethod
+    def from_json(spark: SparkSession, path: str, schema=None, **options) -> "Stream":
+        from flink_essentials_spark.sources.batch import read_json
+
+        return Stream(read_json(spark, path, schema, **options))
+
+    @staticmethod
+    def from_text(spark: SparkSession, path: str) -> "Stream":
+        from flink_essentials_spark.sources.batch import read_text
+
+        return Stream(read_text(spark, path))
+
+    @staticmethod
     def from_socket(spark: SparkSession, host: str, port: int) -> "Stream":
         from flink_essentials_spark.sources.streaming import socket_lines
 

@@ -414,6 +414,9 @@ _REGISTRY: list[Query] = [
     Query("forecast_revenue", relational.q_forecast_revenue, relational.Q_FORECAST_REVENUE_SQL),
     Query("supplier_balance_rank", relational.q_supplier_balance_rank, relational.Q_SUPPLIER_BALANCE_RANK_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),
+    Query("promo_share", relational.q_promo_share, relational.Q_PROMO_SHARE_SQL),
+    Query("large_orders", relational.q_large_orders, relational.Q_LARGE_ORDERS_SQL),
+    Query("idle_customers", relational.q_idle_customers, relational.Q_IDLE_CUSTOMERS_SQL),
     Query("doc_fingerprint", llmdata.q_fingerprint, llmdata.Q_FINGERPRINT_SQL),
     Query("pivot_user_activity", dataflow.q_pivot_user_activity, dataflow.Q_PIVOT_USER_ACTIVITY_SQL),
     Query("value_quantiles", dataflow.q_value_quantiles, dataflow.Q_VALUE_QUANTILES_SQL),

@@ -257,3 +257,132 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY l_returnflag
 """
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — one fact⋈dim join, two
+    conditional decimal aggregates, one scalar division. The share is
+    computed double÷double AFTER exact decimal accumulation, so both
+    engines divide bit-identical numerators/denominators (util.py
+    parity rules)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount"))
+    j = li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), disc_price).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(disc_price).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+Q_PROMO_SHARE_SQL = f"""
+WITH agg AS (
+  SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_DEC_DISC_PRICE}
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+         CAST(SUM({_DEC_DISC_PRICE}) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_share_pct
+FROM agg
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose line quantities sum past a
+    threshold — a HAVING over the fact aggregation, then joins back to
+    orders and customer. The per-order aggregate shuffles on orderkey
+    once; the surviving order set is tiny, so the joins broadcast."""
+    from flink_essentials_spark.queries.util import ms
+
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            # o_orderdate reads as TIMESTAMP_NTZ; identity re-tag under
+            # the pinned UTC session TZ (same convention as events.ts)
+            ms(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+            dec("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+Q_LARGE_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_dsum('l_quantity', 'sum_qty')}
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       epoch_ms(o_orderdate) AS o_orderdate_ms,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and NO
+    orders — a broadcast scalar threshold plus a left-anti join,
+    aggregated per nation. The average is exact-decimal-sum ÷ count in
+    double, so the threshold is bit-identical across engines and the
+    qualifying set cannot drift by one borderline customer."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    avg_bal = cust.agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(
+        t["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+    )
+
+
+Q_IDLE_CUSTOMERS_SQL = """
+WITH threshold AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_bal
+  FROM customer
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer, threshold
+WHERE c_acctbal > avg_bal
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+"""

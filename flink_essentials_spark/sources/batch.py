@@ -47,3 +47,14 @@ def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFram
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """JSON-lines reader. Pass an explicit schema in engine paths —
+    schema inference costs a full extra pass over the data at scale
+    and infers looser types (everything nullable, ints→long ok but
+    ambiguous strings stay strings)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

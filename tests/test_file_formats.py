@@ -1,0 +1,76 @@
+"""File-format source breadth: CSV / JSON-lines / text round-trips
+through the public Stream API, and a JSON micro-batch replay through
+the streaming path (file_replay fmt='json')."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from flink_essentials_spark.api import Stream
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    path = str(tmp_path / "csv")
+    df.write.option("header", True).mode("overwrite").csv(path)
+    back = Stream.from_csv(
+        spark, path, "k long, v double", header=True
+    ).df
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [
+        (i, float(i * 2)) for i in range(50)
+    ]
+
+
+def test_json_round_trip(spark, tmp_path):
+    df = spark.range(30).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("name"),
+        F.array(F.col("id"), F.col("id") + 1).alias("xs"),
+    )
+    path = str(tmp_path / "json")
+    df.write.mode("overwrite").json(path)
+    back = Stream.from_json(spark, path, "k long, name string, xs array<long>").df
+    rows = {r["k"]: (r["name"], list(r["xs"])) for r in back.collect()}
+    assert rows == {i: (f"doc-{i}", [i, i + 1]) for i in range(30)}
+
+
+def test_text_source(spark, tmp_path):
+    p = tmp_path / "t.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    got = sorted(
+        r["value"] for r in Stream.from_text(spark, str(tmp_path)).df.collect()
+    )
+    assert got == ["alpha", "beta", "gamma"]
+
+
+def test_json_file_replay_streams_per_batch(spark, tmp_path):
+    """JSON-lines replayed as a stream: one file per micro-batch,
+    final aggregated state equals the batch aggregate."""
+    import uuid
+
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    d = tmp_path / "replay"
+    d.mkdir()
+    for i, mt in enumerate([(1, 100), (2, 200)]):
+        f = d / f"part-{i}.json"
+        with open(f, "w") as fh:
+            for k in range(5):
+                fh.write(json.dumps({"batch": i, "v": k}) + "\n")
+        os.utime(f, (mt[1], mt[1]))  # strictly increasing mtimes
+    stream = file_replay(
+        spark, str(d), "batch int, v long", files_per_trigger=1, fmt="json"
+    )
+    out = run_to_memory(
+        spark,
+        stream.groupBy("batch").agg(F.sum("v").alias("s")),
+        "jr_" + uuid.uuid4().hex[:8],
+        output_mode="complete",
+    )
+    assert sorted((r["batch"], r["s"]) for r in out.collect()) == [(0, 10), (1, 10)]
