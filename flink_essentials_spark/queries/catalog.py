@@ -417,6 +417,7 @@ _REGISTRY: list[Query] = [
     Query("promo_share", relational.q_promo_share, relational.Q_PROMO_SHARE_SQL),
     Query("large_orders", relational.q_large_orders, relational.Q_LARGE_ORDERS_SQL),
     Query("idle_customers", relational.q_idle_customers, relational.Q_IDLE_CUSTOMERS_SQL),
+    Query("funnel", dataflow.q_funnel, dataflow.Q_FUNNEL_SQL),
     Query("doc_fingerprint", llmdata.q_fingerprint, llmdata.Q_FINGERPRINT_SQL),
     Query("pivot_user_activity", dataflow.q_pivot_user_activity, dataflow.Q_PIVOT_USER_ACTIVITY_SQL),
     Query("value_quantiles", dataflow.q_value_quantiles, dataflow.Q_VALUE_QUANTILES_SQL),

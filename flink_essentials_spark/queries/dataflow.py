@@ -746,3 +746,59 @@ SELECT DISTINCT user_id FROM (
   SELECT user_id FROM events WHERE event_type = 'error' AND value > 97
 )
 """
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion funnel — the canonical product-
+    analytics op: per user, the FIRST signup instant, the FIRST
+    purchase at-or-after it, and the conversion latency. One aggregate
+    per side (min over filtered events — map-side partials), then the
+    tiny per-user tables join on the key. Timestamps leave as epoch-ms
+    (util.py parity convention)."""
+    from flink_essentials_spark.queries.util import ms
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    first_conv = (
+        first_signup.join(purchases, "user_id")
+        .filter(F.col("p_ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    return (
+        first_signup.join(first_conv.select("user_id", "purchase_ts"), "user_id", "left")
+        .select(
+            "user_id",
+            ms("signup_ts").alias("signup_ms"),
+            ms("purchase_ts").alias("purchase_ms"),
+            (ms("purchase_ts") - ms("signup_ts")).alias("latency_ms"),
+            F.col("purchase_ts").isNotNull().alias("converted"),
+        )
+    )
+
+
+Q_FUNNEL_SQL = """
+WITH first_signup AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), first_conv AS (
+  SELECT s.user_id, s.signup_ts, MIN(e.ts) AS purchase_ts
+  FROM first_signup s JOIN events e ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY s.user_id, s.signup_ts
+)
+SELECT s.user_id,
+       epoch_ms(s.signup_ts) AS signup_ms,
+       epoch_ms(c.purchase_ts) AS purchase_ms,
+       epoch_ms(c.purchase_ts) - epoch_ms(s.signup_ts) AS latency_ms,
+       c.purchase_ts IS NOT NULL AS converted
+FROM first_signup s LEFT JOIN first_conv c ON s.user_id = c.user_id
+"""
