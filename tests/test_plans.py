@@ -209,6 +209,7 @@ def test_no_scale_killers_in_any_registry_plan(spark):
     # alternatives are the LSH/IVF candidate paths).
     allowed = {
         "corpus_mixture": {"BroadcastNestedLoopJoin"},
+        "idle_customers": {"BroadcastNestedLoopJoin"},  # one-row avg threshold
         "similarity_topk": {"BroadcastNestedLoopJoin"},
         "ivf_topk": {"BroadcastNestedLoopJoin"},
     }
