@@ -429,6 +429,8 @@ _REGISTRY: list[Query] = [
     Query("dedup_clusters", llmdata.q_dedup_clusters, llmdata.Q_DEDUP_CLUSTERS_SQL),
     Query("dedup_keep", llmdata.q_dedup_keep, llmdata.Q_DEDUP_KEEP_SQL),
     Query("streaming_dedup_static", q_streaming_dedup_static, Q_STREAMING_DEDUP_STATIC_SQL),
+    Query("embedding_clusters", llmdata.q_embedding_clusters, llmdata.Q_EMBEDDING_CLUSTERS_SQL),
+    Query("cohort_retention", llmdata.q_cohort_retention, llmdata.Q_COHORT_RETENTION_SQL),
     Query("minhash_signatures", llmdata.q_minhash_signatures, llmdata.Q_MINHASH_SIGNATURES_SQL),
     Query("simhash", llmdata.q_simhash, llmdata.Q_SIMHASH_SQL),
     Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),

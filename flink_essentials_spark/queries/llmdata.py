@@ -994,3 +994,86 @@ WHERE ranked.rn = 1
   AND lang.lang_pred = 'en'
   AND quality.n_tokens BETWEEN 20 AND 1000
 """
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup CLUSTERS: the connected-components step reused
+    over the EMBEDDING modality — cosine >= 0.35 pairs (the
+    embedding_near_dups output) become components, cluster_id = min
+    vec_id. Same operator, different candidate generator: the dedup
+    chain is modality-agnostic by construction. Oracle: DuckDB
+    recursive-CTE closure over its own cosine pair SQL."""
+    from flink_essentials_spark.functions.graph import connected_components
+    from flink_essentials_spark.functions.similarity import cosine_all_pairs
+
+    t = load_tables(spark, sf_dir)
+    pairs = cosine_all_pairs(t["embeddings"], 0.35).select("vec_a", "vec_b")
+    return connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("vec_id"), "cluster_id"
+    )
+
+
+Q_EMBEDDING_CLUSTERS_SQL = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+              6) >= 0.35
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e2.a, r.lbl FROM edges e2 JOIN reach r ON r.node = e2.b
+)
+SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the product-analytics staple: users grouped
+    by first-signup week, counted as retained in each later week they
+    were active. Week = floor(epoch_days / 7), pure integer arithmetic
+    rather than calendar date_trunc, so both engines bucket identically
+    with no week-start or timezone semantics in play. Two aggregates
+    (first signup per user; distinct user-weeks) joined on the user
+    key."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    week = (F.unix_millis(F.col("ts")) / F.lit(604800000)).cast("long")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    active = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        cohort.join(active, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+Q_COHORT_RETENTION_SQL = """
+WITH cohort AS (
+  SELECT user_id,
+         MIN(CAST(FLOOR(epoch_ms(ts) / 604800000.0) AS BIGINT)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_ms(ts) / 604800000.0) AS BIGINT) AS week
+  FROM events
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       COUNT(DISTINCT c.user_id) AS n_users
+FROM cohort c JOIN active a ON c.user_id = a.user_id
+WHERE week >= cohort_week
+GROUP BY cohort_week, week - cohort_week
+"""
