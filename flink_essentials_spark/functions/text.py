@@ -412,3 +412,28 @@ def repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_trigram_ratio"),
     )
+
+
+def profile_columns(df: DataFrame, *cols: str) -> DataFrame:
+    """Column-level data-quality profile — the audit a pipeline runs
+    before training on a new drop: per column, non-null and exact
+    distinct counts (counts only: engine-neutral by construction, so
+    the oracle is exact; min/max stringification differs across engines
+    for timestamps/doubles and is deliberately left out). One small
+    aggregate per column, unioned — each is a map-side-partial count
+    plus a two-phase distinct, all independent, so Spark schedules them
+    as parallel stages over the same scan."""
+    cols = cols or tuple(df.columns)
+    spark = df.sparkSession
+    parts = []
+    for c in cols:
+        parts.append(
+            df.agg(
+                F.count(F.col(c)).alias("n_nonnull"),
+                F.countDistinct(F.col(c)).alias("n_distinct"),
+            ).select(F.lit(c).alias("col_name"), "n_nonnull", "n_distinct")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

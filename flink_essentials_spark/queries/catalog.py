@@ -431,6 +431,8 @@ _REGISTRY: list[Query] = [
     Query("streaming_dedup_static", q_streaming_dedup_static, Q_STREAMING_DEDUP_STATIC_SQL),
     Query("embedding_clusters", llmdata.q_embedding_clusters, llmdata.Q_EMBEDDING_CLUSTERS_SQL),
     Query("cohort_retention", llmdata.q_cohort_retention, llmdata.Q_COHORT_RETENTION_SQL),
+    Query("profile_events", llmdata.q_profile_events, llmdata.Q_PROFILE_EVENTS_SQL),
+    Query("value_histogram", llmdata.q_value_histogram, llmdata.Q_VALUE_HISTOGRAM_SQL),
     Query("minhash_signatures", llmdata.q_minhash_signatures, llmdata.Q_MINHASH_SIGNATURES_SQL),
     Query("simhash", llmdata.q_simhash, llmdata.Q_SIMHASH_SQL),
     Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),

@@ -1077,3 +1077,53 @@ FROM cohort c JOIN active a ON c.user_id = a.user_id
 WHERE week >= cohort_week
 GROUP BY cohort_week, week - cohort_week
 """
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile over the events table."""
+    t = load_tables(spark, sf_dir)
+    return text.profile_columns(
+        t["events"], "event_id", "user_id", "event_type", "value", "props"
+    )
+
+
+Q_PROFILE_EVENTS_SQL = """
+SELECT 'event_id' AS col_name, COUNT(event_id) AS n_nonnull,
+       COUNT(DISTINCT event_id) AS n_distinct FROM events
+UNION ALL
+SELECT 'user_id', COUNT(user_id), COUNT(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', COUNT(event_type), COUNT(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'value', COUNT(value), COUNT(DISTINCT value) FROM events
+UNION ALL
+SELECT 'props', COUNT(props), COUNT(DISTINCT props) FROM events
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value (width 5): bucket index by
+    integer floor division — identical bucketing in any engine — with
+    per-bucket count and exact-decimal sum. The workhorse for
+    distribution drift checks between data drops."""
+    from flink_essentials_spark.queries.util import dec
+
+    t = load_tables(spark, sf_dir)
+    bucket = F.floor(F.col("value") / F.lit(5.0)).cast("long")
+    return (
+        t["events"]
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+Q_VALUE_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CAST(FLOOR(value / 5.0) AS BIGINT)
+"""
