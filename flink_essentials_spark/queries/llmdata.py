@@ -513,7 +513,7 @@ WITH imgv AS (
 )
 SELECT doc_id AS media_id, 'image' AS modality,
        CAST(w AS DOUBLE) AS dim_a, CAST(h AS DOUBLE) AS dim_b,
-       3.0 AS channels, CAST(w * h * 3 AS DOUBLE) AS n_vals,
+       CAST(3.0 AS DOUBLE) AS channels, CAST(w * h * 3 AS DOUBLE) AS n_vals,
        list_sum(vals) / (w * h * 3) AS mean_val,
        sqrt(list_sum(list_transform(vals, x -> x * x)) / (w * h * 3)) AS rms_val,
        list_min(vals) AS min_val, list_max(vals) AS max_val
@@ -727,16 +727,19 @@ Q_PACK_SEQUENCES_SQL = f"""
 WITH counted AS (
   SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents
 ), pos AS (
+  -- window SUM(BIGINT) yields HUGEINT in DuckDB; CAST keeps the hashed
+  -- output int64 like the Spark side (driver hashes typed values)
   SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS tokens_before
+              AS BIGINT) AS tokens_before
   FROM counted
 )
 SELECT doc_id, n_tokens, tokens_before,
-       tokens_before // 2048 AS start_bin,
-       tokens_before % 2048 AS start_offset,
-       (tokens_before + greatest(n_tokens, 1) - 1) // 2048 AS end_bin
+       CAST(tokens_before // 2048 AS BIGINT) AS start_bin,
+       CAST(tokens_before % 2048 AS BIGINT) AS start_offset,
+       CAST((tokens_before + greatest(n_tokens, 1) - 1) // 2048 AS BIGINT)
+         AS end_bin
 FROM pos
 """
 
