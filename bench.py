@@ -6,7 +6,9 @@ Prints ONE JSON line:
 
 Each query is materialized with a noop write (full execution, no
 driver collect) except inherently-collecting ones. Timings include
-plan + execution, not session startup.
+plan + execution, not session startup. Per-query numbers are the
+MEDIAN of 3 timed runs (this box shows ±20% run-to-run variance;
+a single sample has produced phantom regressions before).
 """
 
 from __future__ import annotations
@@ -132,11 +134,14 @@ def main() -> None:
     failures: dict[str, str] = {}
     for name in HEADLINE:
         q = ALL_QUERIES[name]
-        t0 = time.time()
+        runs: list[float] = []
         try:
-            df = q.fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(3):
+                t0 = time.time()
+                df = q.fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            timings[name] = round(sorted(runs)[1], 3)  # median of 3
         except Exception as e:  # one broken query must not lose the record
             failures[name] = str(e)[:200]
 
