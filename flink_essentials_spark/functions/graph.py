@@ -117,9 +117,17 @@ def _cc_two_phase(edges, src, dst, max_iter, stats):
     groupBy-min + join; the edge set converges in O(log n) rounds to a
     star per component centered at its min node, independent of graph
     diameter."""
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # nodes whose ONLY edges are self-loops must still come out as
+    # singleton clusters (same contract as the propagation path, which
+    # keeps (x, x) through symmetrize+distinct)
+    self_only = (
+        raw.filter(F.col("a") == F.col("b"))
+        .select(F.col("a").alias("node"))
+        .distinct()
+    )
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
@@ -165,4 +173,8 @@ def _cc_two_phase(edges, src, dst, max_iter, stats):
     # fixpoint is a star per component: (leaf, center) edges + centers
     leaves = e.select(F.col("a").alias("node"), F.col("b").alias("cluster_id"))
     centers = e.select(F.col("b").alias("node"), F.col("b").alias("cluster_id"))
-    return leaves.union(centers).distinct()
+    stars = leaves.union(centers).distinct()
+    singletons = self_only.join(
+        stars.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("cluster_id"))
+    return stars.union(singletons)

@@ -187,9 +187,13 @@ class _BitReader:
 
     def read_bit(self) -> int:
         if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG stream (entropy data ends early)")
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG stream (entropy data ends early)")
                 nxt = self.data[self.pos]
                 if nxt == 0x00:
                     self.pos += 1  # stuffed byte
@@ -211,8 +215,13 @@ class _BitReader:
     def align_to_marker(self) -> None:
         """Skip to the next marker (used for RSTn)."""
         self.nbits = 0
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
-            self.pos += 1
+        try:
+            while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+                self.pos += 1
+        except IndexError:
+            raise ValueError(
+                "truncated JPEG stream (no marker before end of data)"
+            ) from None
 
 
 def _extend(v: int, n: int) -> int:
@@ -243,13 +252,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG stream (marker cut short)")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG stream (segment length cut short)")
         seg_len = struct.unpack_from(">H", data, pos)[0]
+        if pos + seg_len > len(data):
+            raise ValueError("truncated JPEG stream (segment body cut short)")
         body = data[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
             p = 0

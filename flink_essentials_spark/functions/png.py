@@ -114,24 +114,35 @@ def decode_png(data: bytes) -> np.ndarray:
             out[y] = line
         elif ft == 2:  # Up — vectorized whole-line
             out[y] = line + prev
-        elif ft in (1, 3, 4):  # Sub/Average/Paeth need left neighbor
-            cur = out[y]
-            cur[:] = line
-            if ft == 1:
-                for x in range(channels, stride):
-                    cur[x] = (int(cur[x]) + int(cur[x - channels])) & 0xFF
-            elif ft == 3:
-                for x in range(stride):
-                    left = int(cur[x - channels]) if x >= channels else 0
-                    cur[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 1:  # Sub = per-channel prefix sum mod 256 (vectorized)
+            out[y] = np.cumsum(
+                line.reshape(w, channels), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ft in (3, 4):
+            # Average/Paeth: nonlinear left-dependency every `channels`
+            # bytes — loop over PIXELS with channel-vector math (w
+            # iterations, not w*channels scalar numpy ops)
+            ln = line.reshape(w, channels).astype(np.int32)
+            pv = prev.reshape(w, channels).astype(np.int32)
+            res = np.empty((w, channels), dtype=np.int32)
+            left = np.zeros(channels, dtype=np.int32)
+            if ft == 3:
+                for i in range(w):
+                    left = (ln[i] + ((left + pv[i]) >> 1)) & 0xFF
+                    res[i] = left
             else:
-                for x in range(stride):
-                    a = cur[x - channels] if x >= channels else np.uint8(0)
-                    c = prev[x - channels] if x >= channels else np.uint8(0)
-                    cur[x] = (
-                        int(line[x])
-                        + int(_paeth(np.array(a), np.array(prev[x]), np.array(c)))
-                    ) & 0xFF
+                upleft = np.zeros(channels, dtype=np.int32)
+                for i in range(w):
+                    b = pv[i]
+                    p = left + b - upleft
+                    pa, pb, pc = np.abs(p - left), np.abs(p - b), np.abs(p - upleft)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, upleft)
+                    )
+                    left = (ln[i] + pred) & 0xFF
+                    res[i] = left
+                    upleft = b
+            out[y] = res.astype(np.uint8).reshape(stride)
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
     px = out.reshape(h, w, channels)

@@ -55,6 +55,12 @@ def test_long_chain_converges(spark):
     _run(spark, [(i, i + 1) for i in range(30)])
 
 
+def test_self_loops_become_singletons(spark):
+    # a node whose ONLY edge is (x, x) is still a (singleton) cluster,
+    # in BOTH algorithms; self-loops on connected nodes are no-ops
+    _run(spark, [(1, 2), (7, 7), (2, 2)])
+
+
 def test_random_graphs_match_union_find(spark):
     rng = random.Random(42)
     for trial in range(3):

@@ -132,9 +132,12 @@ def test_rejects_progressive():
 
 
 def test_truncated_stream_raises():
+    # cutting ANYWHERE must yield the codec's ValueError family, never a
+    # raw IndexError from inside the bit reader
     data = jpeg.encode_jpeg(_smooth_rgb(24, 24), quality=90)
-    with pytest.raises(Exception):
-        jpeg.decode_jpeg(data[: len(data) // 2])
+    for cut in range(2, len(data), 7):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(data[:cut])
 
 
 # --- integration through the Spark multimodal layer --------------------------
