@@ -123,6 +123,16 @@ def cosine_topk(
     )
 
 
+def auto_blocks(n_rows: int, rows_per_block: int = 4096) -> int:
+    """Block count for :func:`cosine_all_pairs` from a known row count:
+    ``ceil(n / rows_per_block)``. Per block-pair task that bounds memory
+    at two blocks of ≤``rows_per_block`` vectors plus a
+    ``rows_per_block²`` similarity matrix (134 MB of doubles at 4096) —
+    executor-safe at any corpus size, one task with no replication when
+    the corpus fits a single block."""
+    return max(1, -(-n_rows // rows_per_block))
+
+
 def cosine_all_pairs(
     df: DataFrame,
     threshold: float,
@@ -144,6 +154,12 @@ def cosine_all_pairs(
     that fits an executor. Compute stays inherently quadratic (this is
     exact all-pairs); the sub-quadratic candidate path is
     hyperplane_bucket / minhash-LSH.
+
+    Size ``num_blocks`` with :func:`auto_blocks` when the input row
+    count is known (parquet footers — no Spark job, keeps plan
+    construction lazy): a corpus that fits one block then runs as ONE
+    task with zero replication, so the block machinery costs nothing
+    when it isn't needed.
     """
     spark = df.sparkSession
     rows = df.select(

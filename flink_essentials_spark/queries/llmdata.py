@@ -804,10 +804,16 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the distribution. Arrow+BLAS block-matrix plan
     (similarity.cosine_all_pairs); the LSH-bucketed variant is the
     sub-quadratic path, tested for containment in tests/."""
-    from flink_essentials_spark.functions.similarity import cosine_all_pairs
+    from flink_essentials_spark.functions.similarity import (
+        auto_blocks,
+        cosine_all_pairs,
+    )
+    from flink_essentials_spark.tables import table_rows
 
     t = load_tables(spark, sf_dir)
-    return cosine_all_pairs(t["embeddings"], 0.35)
+    return cosine_all_pairs(
+        t["embeddings"], 0.35, num_blocks=auto_blocks(table_rows(sf_dir, "embeddings"))
+    )
 
 
 Q_EMBEDDING_NEAR_DUPS_SQL = """
@@ -1007,10 +1013,16 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain is modality-agnostic by construction. Oracle: DuckDB
     recursive-CTE closure over its own cosine pair SQL."""
     from flink_essentials_spark.functions.graph import connected_components
-    from flink_essentials_spark.functions.similarity import cosine_all_pairs
+    from flink_essentials_spark.functions.similarity import (
+        auto_blocks,
+        cosine_all_pairs,
+    )
+    from flink_essentials_spark.tables import table_rows
 
     t = load_tables(spark, sf_dir)
-    pairs = cosine_all_pairs(t["embeddings"], 0.35).select("vec_a", "vec_b")
+    pairs = cosine_all_pairs(
+        t["embeddings"], 0.35, num_blocks=auto_blocks(table_rows(sf_dir, "embeddings"))
+    ).select("vec_a", "vec_b")
     return connected_components(pairs, "vec_a", "vec_b").select(
         F.col("node").alias("vec_id"), "cluster_id"
     )

@@ -176,6 +176,13 @@ def _parquet_layout(path: str, max_files: int) -> tuple[int, int]:
     return rows, groups
 
 
+def table_rows(sf_dir: str, name: str, max_files: int = 4096) -> int:
+    """Footer-derived row count of a testdata table — driver-side
+    pyarrow metadata (~ms), never a Spark job. For sizing decisions
+    (e.g. similarity.auto_blocks) that must not materialize a plan."""
+    return _parquet_layout(table_path(sf_dir, name), max_files=max_files)[0]
+
+
 # DataFrames are immutable lazy plans — loading the same sf_dir twice
 # yields identical plans, so memoize per (session, dir). Re-reading 10
 # parquet footers per query call costs ~1 s each; a 20-query bench run
