@@ -61,11 +61,16 @@ def exact_dedup(
 
 
 def _shingles(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingles as strings."""
+    """Distinct word n-gram shingles as strings. Documents with fewer
+    than ``n`` tokens yield an EMPTY set (matching the oracles' CASE
+    guard) — the old sequence(0, -1) form fed slice a 0 start and blew
+    up on any sub-n-token document."""
     toks = tokenize(text)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(
             idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
@@ -412,4 +417,64 @@ def ngram_contamination(
         .filter(F.col("bench_id") != F.col("doc_id"))
         .groupBy("bench_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source shingle-overlap matrix — the corpus-internal twin of
+    ngram_contamination: for every pair of sources, how many distinct
+    word n-grams they share and the exact Jaccard of their shingle
+    sets. The audit that catches one web crawl re-ingesting another
+    before both are weighted into a training mixture.
+
+    Plan shape: shingles collapse to DISTINCT (group, shingle) pairs
+    first, so the shingle self-join's per-key group is bounded by the
+    NUMBER OF SOURCES (tiny), never by document count — a shingle
+    appearing in a million docs contributes one row per source. Cost is
+    Σ_shingle (#sources containing it)², independent of corpus size;
+    the per-source set sizes broadcast back onto the pair counts.
+    Jaccard = shared / (n_a + n_b - shared) divides two exact integers
+    once — bit-identical in any engine."""
+    gs = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = gs.select(F.col("g").alias("source_a"), "shingle")
+    b = gs.select(F.col("g").alias("source_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("g").alias("source_a"), F.col("n_sh").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("source_b"), F.col("n_sh").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
     )

@@ -381,6 +381,105 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-token-budget training chunks with overlap — the context-
+    window splitter every pretraining/RAG pipeline runs: chunk ``i``
+    covers tokens ``[i*stride, i*stride + chunk_tokens)``; starts are
+    every ``stride`` tokens while inside the document, so consecutive
+    chunks overlap by ``chunk_tokens - stride``. Zero-token documents
+    emit nothing. Output is (doc_id, chunk_idx, chunk_len, chunk_md5)
+    — the md5 of the space-joined chunk text is engine-reproducible, so
+    chunk identity (and chunk-level dedup downstream) is oracle-exact.
+
+    Scale shape: pure Column expressions — tokenize + sequence +
+    explode + slice run INSIDE the parquet scan stage, shuffle-free;
+    output rows ≈ n_tokens/stride per doc, linear in corpus size."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokenize(F.col(text_col))
+    d = df.select(
+        id_col, toks.alias("__toks"), F.size(toks).alias("__n")
+    ).filter(F.col("__n") > 0)
+    starts = F.sequence(
+        F.lit(0), ((F.col("__n") - 1) / F.lit(stride)).cast("int")
+    )
+    e = d.select(id_col, "__toks", F.explode(starts).alias("chunk_idx"))
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return e.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).alias("chunk_len"),
+        F.md5(F.encode(F.array_join(chunk, " "), "utf-8")).alias("chunk_md5"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Top-k characteristic terms per group by a tf-idf score — the
+    "what is this source about" audit. tf = total occurrences of the
+    word in the group's documents; doc_freq = number of DOCUMENTS
+    (corpus-wide) containing the word; score = tf * n_docs / doc_freq.
+    The score stays cross-engine exact: an integer product divided once
+    by an integer (no log), ties broken lexicographically.
+
+    Scale shape: one explode + groupBy for tf, one distinct + groupBy
+    for doc_freq (both map-side partial); doc_freq is vocabulary-sized,
+    so it BROADCASTS back onto tf; the final top-k is a per-group
+    window over group-partitioned data. No quadratic step anywhere."""
+    toks = tokenize(F.col(text_col))
+    words = df.select(
+        F.col(id_col).alias("__doc"),
+        F.col(group_col).alias("group_key"),
+        F.explode(toks).alias("word"),
+    )
+    tf = words.groupBy("group_key", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    docfreq = (
+        words.select("__doc", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "group_key",
+            "word",
+            "tf",
+            "doc_freq",
+            ((F.col("tf") * F.col("__n_docs")).cast("double") / F.col("doc_freq")).alias(
+                "score"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_key").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("group_key", "word", "tf", "doc_freq", "score", "rank")
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

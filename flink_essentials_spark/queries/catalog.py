@@ -448,6 +448,10 @@ _REGISTRY: list[Query] = [
     Query("minhash_signatures", llmdata.q_minhash_signatures, llmdata.Q_MINHASH_SIGNATURES_SQL),
     Query("simhash", llmdata.q_simhash, llmdata.Q_SIMHASH_SQL),
     Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),
+    # new r4 breadth ops (tail: head is full; see rotation notes)
+    Query("doc_chunks", llmdata.q_doc_chunks, llmdata.Q_DOC_CHUNKS_SQL),
+    Query("source_overlap", llmdata.q_source_overlap, llmdata.Q_SOURCE_OVERLAP_SQL),
+    Query("tfidf_terms", llmdata.q_tfidf_terms, llmdata.Q_TFIDF_TERMS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

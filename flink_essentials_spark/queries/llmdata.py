@@ -1142,3 +1142,91 @@ SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
 FROM events
 GROUP BY CAST(FLOOR(value / 5.0) AS BIGINT)
 """
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (text.chunk_documents): 64-token chunks
+    every 48 tokens; chunk identity via engine-reproducible md5 of the
+    space-joined chunk. Scan-stage explode — shuffle-free."""
+    t = load_tables(spark, sf_dir)
+    return text.chunk_documents(t["documents"], chunk_tokens=64, stride=48)
+
+
+Q_DOC_CHUNKS_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM d WHERE len(toks) > 0
+)
+SELECT doc_id,
+       i AS chunk_idx,
+       len(toks[i*48+1 : i*48+64]) AS chunk_len,
+       md5(array_to_string(toks[i*48+1 : i*48+64], ' ')) AS chunk_md5
+FROM n, UNNEST(generate_series(0, (n_tokens - 1) // 48)) AS t(i)
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix (dedup.source_overlap):
+    distinct trigram shingles per source, pairwise shared counts and
+    exact Jaccard. The per-shingle join group is bounded by the number
+    of sources, so cost is independent of corpus size."""
+    t = load_tables(spark, sf_dir)
+    return dedup.source_overlap(t["documents"], n=3)
+
+
+Q_SOURCE_OVERLAP_SQL = f"""
+WITH gs AS (
+  SELECT DISTINCT source AS g, s.shingle
+  FROM (SELECT source, {_sql_shingles(3)} AS shingles FROM documents),
+       UNNEST(shingles) AS s(shingle)
+), sizes AS (
+  SELECT g, COUNT(*) AS n_sh FROM gs GROUP BY g
+), shared AS (
+  SELECT a.g AS source_a, b.g AS source_b, COUNT(*) AS n_shared
+  FROM gs a JOIN gs b ON a.shingle = b.shingle AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT source_a, source_b, n_shared,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.g = source_a
+JOIN sizes sb ON sb.g = source_b
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per source by tf-idf
+    (text.tfidf_top_terms). Score = tf * n_docs / doc_freq: an integer
+    product divided once by an integer — no log, so the double is
+    bit-identical cross-engine; ties break lexicographically."""
+    t = load_tables(spark, sf_dir)
+    return text.tfidf_top_terms(t["documents"], k=5)
+
+
+Q_TFIDF_TERMS_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, source, w.word
+  FROM (SELECT doc_id, source, {_SQL_TOKENS} AS toks FROM documents),
+       UNNEST(toks) AS w(word)
+), tf AS (
+  SELECT source AS group_key, word, COUNT(*) AS tf FROM w GROUP BY 1, 2
+), dfq AS (
+  SELECT word, COUNT(*) AS doc_freq
+  FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT group_key, tf.word, tf, doc_freq,
+         CAST(tf * n_docs AS DOUBLE) / doc_freq AS score
+  FROM tf JOIN dfq USING (word) CROSS JOIN n
+)
+SELECT group_key, word, tf, doc_freq, score, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY group_key
+                               ORDER BY score DESC, word ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""

@@ -301,3 +301,101 @@ def test_pack_sequences_contiguous_stream(spark):
         assert r["start_offset"] == pos % 128
         assert r["end_bin"] == (pos + max(r["n_tokens"], 1) - 1) // 128
         pos += r["n_tokens"]
+
+
+def test_chunk_documents_boundaries_match_reference(spark):
+    """Chunk starts/lengths/content vs an independent Python reference,
+    including tail truncation and the zero-token doc emitting nothing."""
+    import hashlib
+    import re
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(150))),   # 3 chunks of 64/64/54
+        (1, " ".join(f"w{i}" for i in range(48))),     # 1 chunk, len 48
+        (2, "one"),                                    # 1 chunk, len 1
+        (3, "...!!!"),                                 # 0 tokens -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_len"], r["chunk_md5"])
+        for r in text.chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    }
+    exp = {}
+    for did, t in rows:
+        toks = [w for w in re.split(r"\W+", t.lower()) if w]
+        for ci in range((max(len(toks), 1) - 1) // 48 + 1) if toks else []:
+            chunk = toks[ci * 48 : ci * 48 + 64]
+            exp[(did, ci)] = (
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    assert got == exp
+    # overlap property: consecutive chunks share chunk_tokens - stride
+    # tokens, so doc 0's chunk 1 starts at token 48 < chunk 0's end 64
+    assert got[(0, 0)][0] == 64 and got[(0, 1)][0] == 64 and got[(0, 2)][0] == 54
+
+
+def test_source_overlap_matches_set_arithmetic(spark):
+    import re
+
+    rows = [
+        (0, "web", "alpha beta gamma delta"),
+        (1, "web", "epsilon zeta eta"),
+        (2, "books", "alpha beta gamma theta"),
+        (3, "code", "iota kappa"),
+        (4, "books", "epsilon zeta eta"),  # books shares a doc with web
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def shset(texts, n=3):
+        out = set()
+        for t in texts:
+            toks = [w for w in re.split(r"\W+", t.lower()) if w]
+            out |= {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return out
+
+    groups = {}
+    for _, src, t in rows:
+        groups.setdefault(src, []).append(t)
+    sets = {g: shset(ts) for g, ts in groups.items()}
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in dedup.source_overlap(df, n=3).collect()
+    }
+    exp = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                inter = len(sets[a] & sets[b])
+                exp[(a, b)] = (
+                    inter,
+                    len(sets[a]),
+                    len(sets[b]),
+                    inter / (len(sets[a]) + len(sets[b]) - inter),
+                )
+    assert got == exp
+    assert ("books", "web") in got  # the designed cross-source overlap
+
+
+def test_tfidf_top_terms_scores_and_determinism(spark):
+    rows = [
+        (0, "web", "spark spark flink"),
+        (1, "web", "spark duckdb"),
+        (2, "books", "novel novel novel flink"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = text.tfidf_top_terms(df, k=2).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_key"], []).append(r)
+    # web: spark tf=3 df=2 -> 3*3/2=4.5 ; duckdb tf=1 df=1 -> 3.0 ;
+    #      flink tf=1 df=2 -> 1.5  => top2 = spark, duckdb
+    web = {r["word"]: (r["tf"], r["doc_freq"], r["score"], r["rank"]) for r in by_group["web"]}
+    assert web == {"spark": (3, 2, 4.5, 1), "duckdb": (1, 1, 3.0, 2)}
+    # books: novel tf=3 df=1 -> 9.0 ; flink tf=1 df=2 -> 1.5
+    books = {r["word"]: r["rank"] for r in by_group["books"]}
+    assert books == {"novel": 1, "flink": 2}
+    # rerun is bit-identical (deterministic tiebreak)
+    assert sorted(map(tuple, out)) == sorted(
+        map(tuple, text.tfidf_top_terms(df, k=2).collect())
+    )
