@@ -452,6 +452,7 @@ _REGISTRY: list[Query] = [
     Query("doc_chunks", llmdata.q_doc_chunks, llmdata.Q_DOC_CHUNKS_SQL),
     Query("source_overlap", llmdata.q_source_overlap, llmdata.Q_SOURCE_OVERLAP_SQL),
     Query("tfidf_terms", llmdata.q_tfidf_terms, llmdata.Q_TFIDF_TERMS_SQL),
+    Query("chunk_dedup", llmdata.q_chunk_dedup, llmdata.Q_CHUNK_DEDUP_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -1230,3 +1230,54 @@ FROM (
 )
 WHERE rank <= 5
 """
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup — the dedup granularity RAG/pretraining
+    pipelines actually ship: boilerplate repeats at chunk level even
+    when documents differ. chunk_documents feeds a hash-groupBy keyed
+    on the chunk md5 (the md5 IS the shuffle key — 16 bytes/row at any
+    corpus size); keeper = lexicographically-min (doc_id, chunk_idx)."""
+    t = load_tables(spark, sf_dir)
+    chunks = text.chunk_documents(t["documents"], chunk_tokens=64, stride=48)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.min(F.struct("doc_id", "chunk_idx")).alias("__k"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("chunk_len").alias("chunk_len"),
+        )
+        .select(
+            "chunk_md5",
+            F.col("__k.doc_id").alias("keeper_doc"),
+            F.col("__k.chunk_idx").alias("keeper_chunk"),
+            "n_copies",
+            "chunk_len",
+        )
+    )
+
+
+Q_CHUNK_DEDUP_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM d WHERE len(toks) > 0
+), chunks AS (
+  SELECT doc_id,
+         i AS chunk_idx,
+         len(toks[i*48+1 : i*48+64]) AS chunk_len,
+         md5(array_to_string(toks[i*48+1 : i*48+64], ' ')) AS chunk_md5
+  FROM n, UNNEST(generate_series(0, (n_tokens - 1) // 48)) AS t(i)
+)
+SELECT chunk_md5, doc_id AS keeper_doc, chunk_idx AS keeper_chunk,
+       n_copies, chunk_len
+FROM (
+  SELECT chunk_md5, doc_id, chunk_idx,
+         COUNT(*) OVER (PARTITION BY chunk_md5) AS n_copies,
+         MAX(chunk_len) OVER (PARTITION BY chunk_md5) AS chunk_len,
+         ROW_NUMBER() OVER (PARTITION BY chunk_md5
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+WHERE rn = 1
+"""
