@@ -59,6 +59,13 @@ HEADLINE = [
     "bpe_token_stats",
     "stratified_sample",
     "training_pipeline",
+    # r4 additions: chunking/audit/quantization breadth
+    "doc_chunks",
+    "chunk_dedup",
+    "source_overlap",
+    "tfidf_terms",
+    "length_outliers",
+    "quantize_embeddings",
     # multimodal (real decode path)
     "media_features",
     "video_frames",

@@ -447,3 +447,59 @@ def cosine_topk_lsh(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-dimension scalar quantization to ``levels`` integer codes
+    (int8 range by default) — the storage play that turns a 100 TB
+    float corpus into ~1/4 the bytes before ANN indexing: per dimension
+    the GLOBAL [min, max] becomes the codebook, each value maps to
+    ``floor((v - lo) * (levels-1) / (hi - lo) + 0.5)``, and the max
+    absolute reconstruction error per vector is emitted alongside the
+    codes. Every arithmetic step applies identical IEEE ops to
+    identical operands, so codes AND the error doubles are bit-exact
+    cross-engine — no rounding tolerance anywhere.
+
+    Plan shape: one posexplode + groupBy(dim) produces a DIMENSION-
+    sized codebook (64 rows for d=64) that broadcasts back onto the
+    exploded values; re-assembly is a groupBy(vec) of (dim, code)
+    structs sorted in-array. Two narrow shuffles total (dim-sized and
+    vector-sized), no Python, no driver collect."""
+    vals = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val"),
+    )
+    book = vals.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo")
+    code = F.when(span == 0, F.lit(0)).otherwise(
+        F.floor((F.col("val") - F.col("lo")) * (levels - 1) / span + 0.5)
+    ).cast("int")
+    recon = F.when(span == 0, F.col("lo")).otherwise(
+        F.col("lo") + F.col("code") * span / (levels - 1)
+    )
+    coded = (
+        vals.join(F.broadcast(book), "dim")
+        .withColumn("code", code)
+        .withColumn("err", F.abs(F.col("val") - recon))
+    )
+    return (
+        coded.groupBy("__id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "code"))).alias("__dc"),
+            F.max("err").alias("max_err"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.array_join(
+                F.transform(F.col("__dc"), lambda s: s["code"].cast("string")), ","
+            ).alias("codes"),
+            "max_err",
+        )
+    )

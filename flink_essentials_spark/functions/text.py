@@ -513,6 +513,45 @@ def repetition_stats(
     )
 
 
+def length_outliers(
+    df: DataFrame,
+    z: float = 2.0,
+    len_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Statistical length-outlier filter — the "too short / suspiciously
+    long" pass of a quality pipeline: documents whose length sits more
+    than ``z`` standard deviations from the corpus mean, with the
+    z-score attached. Moments accumulate as exact integer sums (sum,
+    sum-of-squares of an int column — < 2^63 up to ~10^15 total squared
+    chars), convert to double ONCE, then mean/variance/sqrt apply the
+    identical IEEE ops in any engine — so the emitted doubles are
+    bit-exact under a DuckDB oracle with no rounding.
+
+    Plan shape: one scalar aggregate broadcast back over the corpus
+    (one-row BroadcastNestedLoopJoin — linear, the idle_customers
+    pattern), then a scan-stage filter. Two passes over the column,
+    zero wide shuffles."""
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(len_col).alias("__s"),
+        F.sum(F.col(len_col) * F.col(len_col)).alias("__ss"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n")
+    ex2 = F.col("__ss").cast("double") / F.col("__n")
+    std = F.sqrt(ex2 - mean * mean)
+    zscore = (F.col(len_col) - mean) / std
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .filter(F.abs(F.col(len_col) - mean) > F.lit(z) * std)
+        .select(
+            id_col,
+            len_col,
+            zscore.alias("z_score"),
+        )
+    )
+
+
 def profile_columns(df: DataFrame, *cols: str) -> DataFrame:
     """Column-level data-quality profile — the audit a pipeline runs
     before training on a new drop: per column, non-null and exact

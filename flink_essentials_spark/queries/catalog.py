@@ -363,7 +363,13 @@ _REGISTRY: list[Query] = [
     # broadcast shape stays pytest-pinned). Demoted rows stay locally
     # oracle-checked every round.
     Query("streaming_dedup", q_streaming_dedup, Q_STREAMING_DEDUP_SQL),
-    Query("streaming_interval_join", q_streaming_interval_join, dataflow.Q_INTERVAL_JOIN_SQL),
+    # ROTATION (r4b): streaming_interval_join demoted — it was the last
+    # head row whose oracle DUPLICATES another head row (interval_join
+    # checks the identical SQL; the stream-stream state-join path stays
+    # pinned by tests/test_streaming.py and the tail oracle). Its slot
+    # goes to doc_chunks: context-window chunking, the most
+    # production-core LLM-data op added in r4.
+    Query("doc_chunks", llmdata.q_doc_chunks, llmdata.Q_DOC_CHUNKS_SQL),
     # --- set ops / time & dimensional rollups (promoted r3)
     Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
     Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
@@ -449,10 +455,12 @@ _REGISTRY: list[Query] = [
     Query("simhash", llmdata.q_simhash, llmdata.Q_SIMHASH_SQL),
     Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),
     # new r4 breadth ops (tail: head is full; see rotation notes)
-    Query("doc_chunks", llmdata.q_doc_chunks, llmdata.Q_DOC_CHUNKS_SQL),
+    Query("streaming_interval_join", q_streaming_interval_join, dataflow.Q_INTERVAL_JOIN_SQL),
     Query("source_overlap", llmdata.q_source_overlap, llmdata.Q_SOURCE_OVERLAP_SQL),
     Query("tfidf_terms", llmdata.q_tfidf_terms, llmdata.Q_TFIDF_TERMS_SQL),
     Query("chunk_dedup", llmdata.q_chunk_dedup, llmdata.Q_CHUNK_DEDUP_SQL),
+    Query("length_outliers", llmdata.q_length_outliers, llmdata.Q_LENGTH_OUTLIERS_SQL),
+    Query("quantize_embeddings", llmdata.q_quantize_embeddings, llmdata.Q_QUANTIZE_EMBEDDINGS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

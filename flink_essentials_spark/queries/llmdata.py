@@ -1281,3 +1281,61 @@ FROM (
 )
 WHERE rn = 1
 """
+
+
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier quality filter (text.length_outliers): docs more
+    than 2σ from the corpus mean length, z-score attached. Integer-
+    exact moments → bit-identical doubles cross-engine (no rounding)."""
+    t = load_tables(spark, sf_dir)
+    return text.length_outliers(t["documents"], z=2.0)
+
+
+Q_LENGTH_OUTLIERS_SQL = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS sm,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       (n_chars - CAST(sm AS DOUBLE) / n)
+         / sqrt(CAST(ss AS DOUBLE) / n
+                - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)) AS z_score
+FROM documents, s
+WHERE abs(n_chars - CAST(sm AS DOUBLE) / n)
+      > 2.0 * sqrt(CAST(ss AS DOUBLE) / n
+                   - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n))
+"""
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus
+    (similarity.quantize_embeddings): per-dim global [min,max] codebook,
+    255 levels, codes emitted as a comma string + per-vector max
+    reconstruction error. All doubles bit-exact cross-engine (identical
+    IEEE op order, no rounding)."""
+    t = load_tables(spark, sf_dir)
+    return similarity.quantize_embeddings(t["embeddings"], levels=255)
+
+
+Q_QUANTIZE_EMBEDDINGS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT vec_id, i - 1 AS dim, v[i] AS val
+  FROM e, UNNEST(generate_series(1, len(v))) AS t(i)
+),
+book AS (SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM x GROUP BY dim),
+coded AS (
+  SELECT vec_id, x.dim, val, lo, hi,
+         CASE WHEN hi = lo THEN 0
+              ELSE CAST(floor((val - lo) * 254 / (hi - lo) + 0.5) AS INTEGER)
+         END AS code
+  FROM x JOIN book ON x.dim = book.dim
+)
+SELECT vec_id,
+       string_agg(code::VARCHAR, ',' ORDER BY dim) AS codes,
+       MAX(abs(val - CASE WHEN hi = lo THEN lo
+                          ELSE lo + code * (hi - lo) / 254 END)) AS max_err
+FROM coded GROUP BY vec_id
+"""

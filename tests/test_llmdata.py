@@ -399,3 +399,49 @@ def test_tfidf_top_terms_scores_and_determinism(spark):
     assert sorted(map(tuple, out)) == sorted(
         map(tuple, text.tfidf_top_terms(df, k=2).collect())
     )
+
+
+def test_length_outliers_matches_numpy(spark):
+    lens = [100, 102, 98, 101, 99, 500, 3]  # two obvious outliers
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n_chars long"
+    )
+    out = {r["doc_id"]: r["z_score"] for r in text.length_outliers(df, z=2.0).collect()}
+    a = np.array(lens, dtype=np.float64)
+    mean = a.sum() / len(a)
+    std = math.sqrt((a * a).sum() / len(a) - mean * mean)
+    exp = {
+        i: (n - mean) / std
+        for i, n in enumerate(lens)
+        if abs(n - mean) > 2.0 * std
+    }
+    assert out == exp  # exact doubles, no tolerance
+    # the 500-char doc inflates sigma enough that 3 chars stays inside 2σ
+    assert set(out) == {5}
+
+
+def test_quantize_embeddings_codes_and_error_bound(spark):
+    rows = [
+        (0, [0.0, 10.0, 5.0]),
+        (1, [1.0, 10.0, -5.0]),
+        (2, [0.5, 10.0, 0.0]),  # dim 1 is constant -> code 0, err 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(df, levels=255).collect()}
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    lo, hi = M.min(axis=0), M.max(axis=0)
+    for vid, vec in rows:
+        codes = [int(c) for c in out[vid]["codes"].split(",")]
+        assert len(codes) == 3 and all(0 <= c <= 254 for c in codes)
+        errs = []
+        for j, v in enumerate(vec):
+            if hi[j] == lo[j]:
+                assert codes[j] == 0
+                errs.append(abs(v - lo[j]))
+            else:
+                span = hi[j] - lo[j]
+                assert codes[j] == math.floor((v - lo[j]) * 254 / span + 0.5)
+                errs.append(abs(v - (lo[j] + codes[j] * span / 254)))
+                # quantization error is bounded by half a step
+                assert errs[-1] <= span / 254 / 2 + 1e-12
+        assert out[vid]["max_err"] == max(errs)  # exact doubles

@@ -210,6 +210,8 @@ def test_no_scale_killers_in_any_registry_plan(spark):
     allowed = {
         "corpus_mixture": {"BroadcastNestedLoopJoin"},
         "idle_customers": {"BroadcastNestedLoopJoin"},  # one-row avg threshold
+        "length_outliers": {"BroadcastNestedLoopJoin"},  # one-row moments
+        "tfidf_terms": {"BroadcastNestedLoopJoin"},  # one-row n_docs total
         "similarity_topk": {"BroadcastNestedLoopJoin"},
         "ivf_topk": {"BroadcastNestedLoopJoin"},
     }
