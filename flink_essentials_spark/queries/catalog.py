@@ -461,6 +461,8 @@ _REGISTRY: list[Query] = [
     Query("chunk_dedup", llmdata.q_chunk_dedup, llmdata.Q_CHUNK_DEDUP_SQL),
     Query("length_outliers", llmdata.q_length_outliers, llmdata.Q_LENGTH_OUTLIERS_SQL),
     Query("quantize_embeddings", llmdata.q_quantize_embeddings, llmdata.Q_QUANTIZE_EMBEDDINGS_SQL),
+    Query("nation_trade", relational.q_nation_trade, relational.Q_NATION_TRADE_SQL),
+    Query("brand_revenue", relational.q_brand_revenue, relational.Q_BRAND_REVENUE_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -410,3 +410,95 @@ WHERE c_acctbal > avg_bal
   AND c_custkey NOT IN (SELECT o_custkey FROM orders)
 GROUP BY c_nationkey
 """
+
+
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between every
+    (supplier nation, customer nation) pair per ship year. The nation
+    dim joins TWICE under different aliases (supplier side and customer
+    side) — the aliased-dim double-join every star schema needs; both
+    broadcast (25 rows at any SF). year() is calendar-safe cross-engine
+    (proleptic Gregorian, no TZ/week-start semantics involved)."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate")).alias("l_year"),
+        )
+        .agg(
+            (F.sum(revenue_e4) / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q_NATION_TRADE_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(SUM({_C_DISC_PRICE}) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit, adapted — this schema has
+    no partsupp, so the measure is discounted revenue): revenue per
+    (supplier nation, part brand, ship year). Two fact-dim joins shuffle
+    on the fact keys; part is mid-sized (broadcast at test scale, hash
+    join at 100 TB — either is correct, AQE decides), nation broadcasts
+    always."""
+    t = load_tables(spark, sf_dir)
+    revenue_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            "p_brand",
+            F.year(F.col("l_shipdate")).alias("l_year"),
+        )
+        .agg(
+            (F.sum(revenue_e4) / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q_BRAND_REVENUE_SQL = f"""
+SELECT n_name AS nation,
+       p_brand,
+       year(l_shipdate) AS l_year,
+       CAST(SUM({_C_DISC_PRICE}) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, p_brand, year(l_shipdate)
+"""
