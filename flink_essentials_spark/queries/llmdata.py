@@ -1339,3 +1339,72 @@ SELECT vec_id,
                           ELSE lo + code * (hi - lo) / 254 END)) AS max_err
 FROM coded GROUP BY vec_id
 """
+
+
+def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode under oracle: per document a grayscale GIF89a is
+    LZW-encoded then decoded executor-side by the pure-stdlib codec
+    (functions.gif); pixels are the integer formula
+    v_i = (doc_id*5 + 3*i) % 256 over the standard doc_id image dims,
+    so DuckDB recomputes every decoded statistic arithmetically — GIF's
+    palette indexing is lossless, the same property that makes the
+    PPM/BMP/PNG rows oracle-exact. Stats follow the media_features
+    exactness contract: integer sums (< 2^53), one division, sqrt."""
+    import math as _math
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        from flink_essentials_spark.functions import gif as _gif
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "w", "h", "n_bytes", "mean_val", "rms_val",
+                    "min_val", "max_val")}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = ((did % 8) + 1) * 4
+                h = ((did % 4) + 1) * 2
+                px = ((did * 5 + 3 * np.arange(w * h)) % 256).astype(np.uint8)
+                payload = _gif.encode_gif(px.reshape(h, w))
+                dec = _gif.decode_gif(payload)
+                assert dec.shape == (h, w, 3)
+                v = dec[:, :, 0].reshape(-1).astype(np.int64)
+                out["doc_id"].append(did)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["n_bytes"].append(len(payload))
+                out["mean_val"].append(int(v.sum()) / v.size)
+                out["rms_val"].append(_math.sqrt(int((v * v).sum()) / v.size))
+                out["min_val"].append(float(v.min()))
+                out["max_val"].append(float(v.max()))
+            yield pd.DataFrame(out)
+
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id").mapInPandas(
+        op,
+        "doc_id long, w int, h int, n_bytes long, mean_val double, "
+        "rms_val double, min_val double, max_val double",
+    ).drop("n_bytes")
+
+
+Q_GIF_FEATURES_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         ((doc_id % 8) + 1) * 4 AS w,
+         ((doc_id % 4) + 1) * 2 AS h
+  FROM documents
+), v AS (
+  SELECT doc_id, w, h,
+         list_transform(range(w * h),
+                        i -> CAST((doc_id * 5 + 3 * i) % 256 AS DOUBLE)) AS vals
+  FROM dims
+)
+SELECT doc_id, w, h,
+       list_sum(vals) / len(vals) AS mean_val,
+       sqrt(list_sum(list_transform(vals, x -> x * x)) / len(vals)) AS rms_val,
+       list_min(vals) AS min_val,
+       list_max(vals) AS max_val
+FROM v
+"""

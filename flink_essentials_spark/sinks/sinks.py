@@ -128,3 +128,66 @@ def write_partitioned(
     """
     df.write.format("parquet").mode(mode).partitionBy(*keys).save(path)
     return df.sparkSession.read.parquet(path)
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> dict:
+    """Small-file compaction — the maintenance op every long-running
+    100 TB ingest needs: streaming/micro-batch sinks leave thousands of
+    KB-sized parquet files whose per-file open/footer cost dominates
+    scans and whose count explodes driver memory on listing. Rewrites a
+    parquet directory into ``ceil(total_bytes / target_bytes)`` files
+    of ~``target_bytes`` each.
+
+    Sizing comes from driver-side file metadata (os.stat over the
+    listing — no Spark job); the rewrite itself is one distributed
+    read→repartition→write. Content is preserved row-for-row (verified
+    by tests via full-row hash), only the physical layout changes.
+    In-place (``out_path=None``) writes to a temp sibling then atomically
+    renames, so a crash mid-compact never loses the original.
+
+    Returns {"files_before", "files_after", "bytes", "target_files"}.
+    """
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    total = sum(os.stat(f).st_size for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    in_place = out_path is None
+    dest = (
+        tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path.rstrip("/")))
+        if in_place
+        else out_path
+    )
+    # repartition(n) is a round-robin full shuffle: even output sizes,
+    # which is the point of compaction (coalesce would skip the shuffle
+    # but inherit whatever skew the input files have)
+    df.repartition(n_out).write.mode("overwrite").parquet(dest)
+    if in_place:
+        old = path.rstrip("/") + ".precompact"
+        os.rename(path, old)
+        os.rename(dest, path)
+        shutil.rmtree(old)
+    out_files = [
+        f
+        for f in os.listdir(path if in_place else dest)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(out_files),
+        "bytes": total,
+        "target_files": n_out,
+    }

@@ -74,3 +74,51 @@ def test_json_file_replay_streams_per_batch(spark, tmp_path):
         output_mode="complete",
     )
     assert sorted((r["batch"], r["s"]) for r in out.collect()) == [(0, 10), (1, 10)]
+
+
+def test_compact_files_preserves_content_and_hits_target(spark, tmp_path):
+    """compact_files: content identical row-for-row (full-row hash sum),
+    file count collapses to ceil(total/target), in-place rename keeps
+    the directory path stable."""
+    from flink_essentials_spark.sinks.sinks import compact_files
+
+    path = str(tmp_path / "frag")
+    # 40 tiny files (the streaming-sink fragmentation shape)
+    spark.range(0, 4000).selectExpr(
+        "id", "id * 7 AS v", "concat('row', id) AS s"
+    ).repartition(40).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 30
+
+    def content_sig(p):
+        df = spark.read.parquet(p)
+        return (
+            df.count(),
+            df.agg(
+                F.sum(F.pmod(F.xxhash64("id", "v", "s"), F.lit(2**31))).alias("h")
+            ).first()["h"],
+        )
+
+    before = content_sig(path)
+    total = sum(
+        os.stat(os.path.join(path, f)).st_size
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    stats = compact_files(spark, path, target_bytes=total // 4 + 1)
+    assert content_sig(path) == before
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == stats["target_files"] == 4
+    assert not os.path.exists(path + ".precompact")
+
+
+def test_compact_files_to_new_path(spark, tmp_path):
+    from flink_essentials_spark.sinks.sinks import compact_files
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.range(0, 100).repartition(10).write.parquet(src)
+    stats = compact_files(spark, src, target_bytes=10**12, out_path=dst)
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(dst).count() == 100
+    # source untouched
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 10
