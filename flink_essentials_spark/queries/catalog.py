@@ -312,6 +312,87 @@ def q_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows (W4's streaming form) on the real
+    streaming path: events replayed TIME-ORDERED in three range-bucket
+    micro-batches, session_window(gap 30 min) keyed by user with a 1 s
+    watermark, append mode. Two far-future sentinel batches then push
+    the watermark past every real session (emission lags the watermark
+    advance by one batch — the CLAUDE.md gotcha), so append emits ALL
+    sessions; the sentinel user's own still-open session is filtered.
+    Cross-batch session MERGE cannot be pre-empted: a continuation
+    within the gap implies the session's end exceeds the previous
+    batch's watermark (range bucketing makes batch time ranges
+    disjoint), so no session is emitted before it is complete. Final
+    set equals the batch session assignment — the oracle."""
+    import datetime
+    import os
+    import time as _time
+
+    from flink_essentials_spark.operators.windows import session
+    from flink_essentials_spark.queries.util import ms
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts")
+    bounds = ev.agg(
+        F.min(F.unix_millis("ts")).alias("lo"), F.max(F.unix_millis("ts")).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    bucket = F.least(
+        F.lit(2),
+        F.floor((F.unix_millis("ts") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)).cast("int"),
+    )
+    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    parts = [ev.filter(bucket == i) for i in range(3)]
+    for d in (40, 50):  # sentinel batches: advance, then enforce+flush
+        parts.append(
+            spark.createDataFrame(
+                [(-1, datetime.datetime.utcfromtimestamp((hi + d * 86400000) / 1000))],
+                "user_id long, ts timestamp",
+            )
+        )
+    base_mtime = _time.time() - 3600
+    for i, part in enumerate(parts):
+        sub = os.path.join(replay_dir, f"stage{i}")
+        part.coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(replay_dir, f"{i:04d}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (base_mtime + i, base_mtime + i))
+    stream = file_replay(
+        spark, replay_dir, "user_id long, ts timestamp", files_per_trigger=1
+    ).withWatermark("ts", "1 second")
+    # NO sentinel filter inside the streaming plan: Catalyst pushes a
+    # grouping-column filter BELOW the EventTimeWatermark node, so the
+    # sentinel rows would never reach the event-time stats and the
+    # watermark would never advance past the last real session (found
+    # the hard way — the last session silently never emitted). The
+    # sentinel user is filtered from the SINK TABLE instead.
+    win = (
+        stream.groupBy(session("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "user_id",
+            ms(F.col("session_window.start")).alias("session_start_ms"),
+            ms(F.col("session_window.end")).alias("session_end_ms"),
+            "cnt",
+        )
+    )
+    name = "ssw_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_to_memory(spark, win, name, output_mode="append").filter(
+            F.col("user_id") >= 0
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 _REGISTRY: list[Query] = [
     # --- relational batch substrate
     Query("pricing_summary", relational.q_pricing_summary, relational.Q_PRICING_SUMMARY_SQL),
@@ -464,6 +545,7 @@ _REGISTRY: list[Query] = [
     Query("nation_trade", relational.q_nation_trade, relational.Q_NATION_TRADE_SQL),
     Query("brand_revenue", relational.q_brand_revenue, relational.Q_BRAND_REVENUE_SQL),
     Query("gif_features", llmdata.q_gif_features, llmdata.Q_GIF_FEATURES_SQL),
+    Query("streaming_session_windows", q_streaming_session_windows, dataflow.Q_SESSION_WINDOWS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}
