@@ -116,6 +116,38 @@ def encode_gif(arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_gif_rgb(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB with ≤256 distinct colors -> GIF89a with an
+    exact palette (lossless). Raises ValueError beyond 256 colors — GIF
+    is a palette format; quantization is a modeling decision left to
+    the caller. Nearest-neighbor resize output of any decoded GIF stays
+    within the source palette, so resize→re-encode always round-trips."""
+    assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"GIF needs <= 256 distinct colors, image has {len(palette)}"
+        )
+    size_field = max(1, (len(palette) - 1).bit_length()) - 1
+    n_entries = 2 << size_field
+    mcs = max(2, size_field + 1)
+    out = bytearray(_HDR)
+    out += struct.pack("<HHBBB", w, h, 0x80 | (0x70 | size_field), 0, 0)
+    out += palette.astype(np.uint8).tobytes()
+    out += b"\x00" * ((n_entries - len(palette)) * 3)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    data = _lzw_encode(indices.astype(np.uint8), mcs)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 class _LsbBitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data

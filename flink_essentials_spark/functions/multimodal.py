@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_essentials_spark.functions import avi, codecs, jpeg, png
+from flink_essentials_spark.functions import avi, codecs, gif, jpeg, png
 from flink_essentials_spark.schemas import MEDIA_SCHEMA
 
 FEATURE_DIM = 8
@@ -342,6 +342,14 @@ def resize_images(
                     payloads.append(
                         png.encode_png(
                             codecs.resize_nearest(png.decode_png(b), width, height)
+                        )
+                    )
+                elif mime == gif.GIF_MIME:
+                    # nearest resize keeps colors inside the source
+                    # palette, so the exact-palette re-encode is lossless
+                    payloads.append(
+                        gif.encode_gif_rgb(
+                            codecs.resize_nearest(gif.decode_gif(b), width, height)
                         )
                     )
                 elif fake:

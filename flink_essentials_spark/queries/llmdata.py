@@ -1408,3 +1408,57 @@ SELECT doc_id, w, h,
        list_max(vals) AS max_val
 FROM v
 """
+
+
+def q_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly detection — the ops-analytics staple: bucket
+    events into 6-hour windows by integer epoch arithmetic (engine-
+    neutral, no date_trunc), then flag windows whose event COUNT sits
+    more than 2σ from the mean across windows. Two-level aggregate:
+    window counts (one shuffle), then one-row moments broadcast back —
+    counts are integers, so the moments and z-scores are bit-exact
+    cross-engine (length_outliers arithmetic contract)."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.floor(F.unix_millis("ts") / F.lit(21600000)).cast("long")
+    win = t["events"].groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    stats = win.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("n_events").alias("__s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("__ss"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n")
+    std = F.sqrt(F.col("__ss").cast("double") / F.col("__n") - mean * mean)
+    return (
+        win.crossJoin(F.broadcast(stats))
+        .filter(F.abs(F.col("n_events") - mean) > F.lit(2.0) * std)
+        .select(
+            (F.col("bucket") * 21600000).alias("window_start_ms"),
+            "n_events",
+            ((F.col("n_events") - mean) / std).alias("z_score"),
+        )
+    )
+
+
+Q_WINDOW_ANOMALY_SQL = """
+WITH win AS (
+  SELECT epoch_ms(ts) // 21600000 AS bucket,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(n_events) AS BIGINT) AS sm,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS ss
+  FROM win
+)
+SELECT bucket * 21600000 AS window_start_ms,
+       n_events,
+       (n_events - CAST(sm AS DOUBLE) / n)
+         / sqrt(CAST(ss AS DOUBLE) / n
+                - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)) AS z_score
+FROM win, s
+WHERE abs(n_events - CAST(sm AS DOUBLE) / n)
+      > 2.0 * sqrt(CAST(ss AS DOUBLE) / n
+                   - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n))
+"""

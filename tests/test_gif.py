@@ -102,3 +102,32 @@ def test_gif_features_query_runs(spark):
         v = (did * 5 + 3 * np.arange(w * h)) % 256
         assert (r["w"], r["h"]) == (w, h)
         assert r["mean_val"] == int(v.sum()) / v.size
+
+
+def test_encode_gif_rgb_palette_and_resize_round_trip():
+    rng = np.random.default_rng(4)
+    # 5-color image: exact-palette encode must round-trip losslessly
+    palette = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, (9, 11))
+    img = palette[idx]
+    assert np.array_equal(gif.decode_gif(gif.encode_gif_rgb(img)), img)
+    # 300 guaranteed-distinct colors (i spread over two channels)
+    i = np.arange(300)
+    many = np.stack([i % 256, i // 256, np.zeros_like(i)], axis=1).astype(np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        gif.encode_gif_rgb(many.reshape(20, 15, 3))
+
+
+def test_resize_images_handles_gif(spark):
+    from flink_essentials_spark.functions import codecs, multimodal
+
+    g = (np.arange(8 * 6) % 256).astype(np.uint8).reshape(6, 8)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(gif.encode_gif(g)), gif.GIF_MIME)],
+        "media_id long, modality string, payload binary, mime_type string",
+    )
+    out = multimodal.resize_images(df, 4, 3).collect()
+    assert len(out) == 1 and (out[0]["width"], out[0]["height"]) == (4, 3)
+    dec = gif.decode_gif(bytes(out[0]["payload"]))
+    exp = codecs.resize_nearest(np.repeat(g[:, :, None], 3, axis=2), 4, 3)
+    assert np.array_equal(dec, exp)
