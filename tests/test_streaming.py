@@ -372,3 +372,53 @@ def test_watermark_dedup_state_expires_plain_dedup_does_not(spark, replay_dir):
     plain = file_replay(spark, replay_dir, schema).dropDuplicates(["k"])
     got2 = [r["k"] for r in run_to_memory(spark, plain, _mem("pld")).collect()]
     assert sorted(got2) == ["A", "B", "C"]  # state never expires
+
+
+def test_streaming_session_windows_emission_and_pushdown_trap(spark, tmp_path):
+    """Session windows in append mode: (a) a session emits only after a
+    LATER batch's watermark passes its end — far-future sentinel batches
+    flush the tail; (b) the trap: filtering the sentinel key INSIDE the
+    streaming plan pushes the filter below EventTimeWatermark, starving
+    the watermark, and the last session then never emits. Pin both."""
+    import datetime
+
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    D = datetime.datetime
+    files = [
+        [(1, D(2024, 1, 1, 0, 0, 0)), (1, D(2024, 1, 1, 0, 10, 0))],
+        [(2, D(2024, 1, 2, 0, 0, 0))],
+        [(-1, D(2024, 3, 1, 0, 0, 0))],
+        [(-1, D(2024, 4, 1, 0, 0, 0))],
+    ]
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    dfs = [
+        spark.createDataFrame(rows, "user_id long, ts timestamp") for rows in files
+    ]
+    _write_files(dfs, replay)
+
+    def build(filter_in_stream):
+        stream = file_replay(
+            spark, replay, "user_id long, ts timestamp", files_per_trigger=1
+        ).withWatermark("ts", "1 second")
+        win = (
+            stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if filter_in_stream:
+            win = win.filter(F.col("user_id") >= 0)
+        win = win.select("user_id", "cnt")
+        out = run_to_memory(
+            spark, win, _mem("ssw"), output_mode="append"
+        )
+        if not filter_in_stream:
+            out = out.filter(F.col("user_id") >= 0)
+        return sorted((r["user_id"], r["cnt"]) for r in out.collect())
+
+    # correct form: both real sessions emit (user 2's needed the sentinels)
+    assert build(filter_in_stream=False) == [(1, 2), (2, 1)]
+    # the trap, pinned: in-stream filter starves the watermark of the
+    # sentinel rows and user 2's session is lost
+    assert build(filter_in_stream=True) == [(1, 2)]
