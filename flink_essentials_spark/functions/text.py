@@ -576,3 +576,41 @@ def profile_columns(df: DataFrame, *cols: str) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    classic perplexity proxy for quality filtering: machine-generated
+    boilerplate and encoding garbage sit at the entropy extremes while
+    natural prose clusters mid-range. H = -Σ p_c · log2(p_c) over the
+    lowercased character histogram.
+
+    Scale shape: one explode over characters (rows = total chars — the
+    same volume the tokenizers already stream) + a (doc, char) count +
+    a per-doc aggregate; all JVM-side. Entropy is rounded to 6 decimals
+    because log2 is not IEEE-correctly-rounded across libms (the one
+    place the media_features integer-exact contract can't apply); the
+    DuckDB oracle rounds identically."""
+    from pyspark.sql import Window
+
+    chars = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("__doc", "ch").agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("n") / F.sum("n").over(Window.partitionBy("__doc"))
+    return (
+        per_char.withColumn("__term", p * F.log2(p))
+        .groupBy("__doc")
+        .agg(
+            F.sum("n").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            # 0.0 - x: normalizes the all-one-char doc's -0.0 to +0.0
+            F.round(F.lit(0.0) - F.sum("__term"), 6).alias("entropy_bits"),
+        )
+        .select(
+            F.col("__doc").alias(id_col), "n_chars", "n_distinct_chars", "entropy_bits"
+        )
+    )

@@ -547,6 +547,7 @@ _REGISTRY: list[Query] = [
     Query("gif_features", llmdata.q_gif_features, llmdata.Q_GIF_FEATURES_SQL),
     Query("streaming_session_windows", q_streaming_session_windows, dataflow.Q_SESSION_WINDOWS_SQL),
     Query("window_anomaly", llmdata.q_window_anomaly, llmdata.Q_WINDOW_ANOMALY_SQL),
+    Query("char_entropy", llmdata.q_char_entropy, llmdata.Q_CHAR_ENTROPY_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -1462,3 +1462,32 @@ WHERE abs(n_events - CAST(sm AS DOUBLE) / n)
       > 2.0 * sqrt(CAST(ss AS DOUBLE) / n
                    - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n))
 """
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy perplexity proxy (text.char_entropy): Shannon
+    bits over each doc's lowercased character histogram. The one oracle
+    that needs round(6): log2 is not correctly-rounded across libms and
+    the term-sum order differs between engines (noise ~1e-15 on values
+    ≤ 8 bits — far inside the rounding)."""
+    t = load_tables(spark, sf_dir)
+    return text.char_entropy(t["documents"])
+
+
+Q_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, c.ch
+  FROM (SELECT doc_id, string_split_regex(lower(text), '') AS cs FROM documents),
+       UNNEST(cs) AS c(ch)
+  WHERE c.ch <> ''
+), pc AS (
+  SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, ch, n, SUM(n) OVER (PARTITION BY doc_id) AS t FROM pc
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_chars,
+       COUNT(*) AS n_distinct_chars,
+       round(0.0 - SUM((n / t) * log2(n / t)), 6) AS entropy_bits
+FROM tot GROUP BY doc_id
+"""

@@ -445,3 +445,19 @@ def test_quantize_embeddings_codes_and_error_bound(spark):
                 # quantization error is bounded by half a step
                 assert errs[-1] <= span / 254 / 2 + 1e-12
         assert out[vid]["max_err"] == max(errs)  # exact doubles
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, "aab")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.char_entropy(df).collect()}
+    assert got[0]["entropy_bits"] == 0.0          # one symbol
+    assert got[1]["entropy_bits"] == 1.0          # two equiprobable
+    assert got[2]["entropy_bits"] == 2.0          # four equiprobable
+    h = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert got[3]["entropy_bits"] == round(h, 6)
+    assert got[3]["n_chars"] == 3 and got[3]["n_distinct_chars"] == 2
+    # no negative zero leaks (the 0.0 - sum guard)
+    assert math.copysign(1.0, got[0]["entropy_bits"]) == 1.0
