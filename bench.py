@@ -93,23 +93,22 @@ def main() -> None:
     ALL_QUERIES["pricing_summary"].fn(spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
-    # one untimed warm-up pass per headline query at a smaller sf:
-    # whole-stage-codegen classes are compiled per plan shape and the
-    # JVM JIT needs thousands of row iterations before C2 kicks in —
-    # without this the FIRST timed query absorbs 3-4 s of one-time
-    # compilation that isn't query cost (measured: pricing_summary
-    # 5.4 s cold vs 1.1 s after a sf0.01 warm run of the same plan).
-    # Standard steady-state benchmarking; failures are ignored here and
-    # surface in the timed loop instead.
+    # Warm-up strategy: each query gets an untimed sf0.01 pass of the
+    # SAME plan immediately BEFORE its timed runs (see the loop below).
+    # Whole-stage-codegen classes compile per plan shape and the JVM
+    # JIT needs thousands of row iterations before C2 kicks in —
+    # without warming, the first timed query absorbs 3-4 s of one-time
+    # compilation (measured: pricing_summary 5.4 s cold vs 1.1 s after
+    # a sf0.01 warm run). The warm pass is interleaved rather than one
+    # big up-front sweep because the JVM's codegen class cache holds
+    # ~100 entries: with 36 queries a single sweep evicts the early
+    # plans before they are timed, and their first timed run silently
+    # recompiles (observed as 2-3× inflated medians on mid-list
+    # queries at identical isolated-run times).
     warm_sf = "/root/testdata/sf0.01"
-    if os.path.isdir(warm_sf) and os.path.abspath(SF_DIR) != os.path.abspath(warm_sf):
-        for name in HEADLINE:
-            try:
-                ALL_QUERIES[name].fn(spark, warm_sf).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception:
-                pass
+    warm_ok = os.path.isdir(warm_sf) and os.path.abspath(SF_DIR) != os.path.abspath(
+        warm_sf
+    )
     # pre-fork the Arrow Python workers so pandas-UDF queries measure
     # compute, not worker startup: a CHAINED double mapInPandas stage
     # holds two workers per task, forking the full 2×cores pool that
@@ -143,6 +142,13 @@ def main() -> None:
         q = ALL_QUERIES[name]
         runs: list[float] = []
         try:
+            if warm_ok:
+                try:
+                    q.fn(spark, warm_sf).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:
+                    pass  # failures surface in the timed loop
             for _ in range(3):
                 t0 = time.time()
                 df = q.fn(spark, SF_DIR)
