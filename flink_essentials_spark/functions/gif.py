@@ -88,6 +88,12 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
         prev = bytes([sym])
     if prev:
         w.write(table[prev], width)
+        # the decoder defines one more entry while processing this
+        # final code; if that define lands ON the width boundary the
+        # decoder reads the NEXT code one bit wider — mirror it, or
+        # EOI desyncs (found by the hypothesis sweep on tiny palettes)
+        if nxt == (1 << width) and width < _MAX_WIDTH:
+            width += 1
     w.write(eoi, width)
     return w.flush()
 

@@ -72,3 +72,40 @@ def test_avi_container_lossless_any_payloads(frames, fps):
     out, period_ms = avi.parse_avi_mjpeg(avi.encode_avi_mjpeg(frames, 8, 8, fps=fps))
     assert out == frames
     assert period_ms == (1_000_000 // fps) // 1000
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    _dims.flatmap(
+        lambda s: arrays(np.uint8, s, elements=st.integers(0, 255))
+    )
+)
+def test_gif_lossless_any_gray(arr):
+    from flink_essentials_spark.functions import gif
+
+    got = gif.decode_gif(gif.encode_gif(arr))
+    assert np.array_equal(got, np.repeat(arr[:, :, None], 3, axis=2))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.tuples(st.integers(1, 16), st.integers(1, 16)).flatmap(
+        lambda s: st.tuples(
+            arrays(
+                np.uint8, (*s, 3), elements=st.integers(0, 255)
+            ),
+            st.integers(1, 8),
+        )
+    )
+)
+def test_gif_rgb_lossless_within_palette(arr_and_k):
+    """Any image whose colors come from a small palette must round-trip
+    bit-exactly through the exact-palette RGB encoder."""
+    from flink_essentials_spark.functions import gif
+
+    arr, k = arr_and_k
+    h, w = arr.shape[:2]
+    palette = arr.reshape(-1, 3)[:k]
+    idx = (arr[:, :, 0].astype(np.int64) + arr[:, :, 1]) % len(palette)
+    img = palette[idx]
+    assert np.array_equal(gif.decode_gif(gif.encode_gif_rgb(img)), img)
