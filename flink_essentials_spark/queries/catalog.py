@@ -548,6 +548,7 @@ _REGISTRY: list[Query] = [
     Query("streaming_session_windows", q_streaming_session_windows, dataflow.Q_SESSION_WINDOWS_SQL),
     Query("window_anomaly", llmdata.q_window_anomaly, llmdata.Q_WINDOW_ANOMALY_SQL),
     Query("char_entropy", llmdata.q_char_entropy, llmdata.Q_CHAR_ENTROPY_SQL),
+    Query("returned_revenue", relational.q_returned_revenue, relational.Q_RETURNED_REVENUE_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

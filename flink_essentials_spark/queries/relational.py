@@ -502,3 +502,41 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 GROUP BY n_name, p_brand, year(l_shipdate)
 """
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returned lineitems per customer, top 20 — selective fact filter
+    (l_returnflag = 'R') pushed to the scan, two joins, deterministic
+    top-k via TakeOrderedAndProject (never a global sort)."""
+    t = load_tables(spark, sf_dir)
+    revenue_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(revenue_e4) / F.lit(10000.0)).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q_RETURNED_REVENUE_SQL = f"""
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(SUM({_C_DISC_PRICE}) AS DOUBLE) / 10000.0 AS lost_revenue,
+       COUNT(*) AS n_returned_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""

@@ -115,3 +115,26 @@ def test_real_testdata_loads_clean(spark):
     t = load_tables(spark, SF_SRC)
     assert set(t) == set(TABLE_NAMES)
     assert t["events"].schema["ts"].dataType.simpleString() == "timestamp"
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema drift across data drops — the 100 TB ingest reality: a
+    directory whose older files lack a column added later must read as
+    ONE table with mergeSchema, nulls where the column didn't exist,
+    and still prune/push filters normally."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "drops")
+    spark.range(0, 50).selectExpr("id", "id * 2 AS v").write.parquet(path)
+    spark.range(50, 100).selectExpr(
+        "id", "id * 2 AS v", "concat('s', id % 3) AS source"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "source"}
+    assert merged.count() == 100
+    # old rows surface the new column as null
+    assert merged.filter(F.col("source").isNull()).count() == 50
+    got = merged.filter(F.col("source") == "s0").agg(F.count("*")).first()[0]
+    assert got == sum(1 for i in range(50, 100) if i % 3 == 0)
