@@ -549,6 +549,7 @@ _REGISTRY: list[Query] = [
     Query("window_anomaly", llmdata.q_window_anomaly, llmdata.Q_WINDOW_ANOMALY_SQL),
     Query("char_entropy", llmdata.q_char_entropy, llmdata.Q_CHAR_ENTROPY_SQL),
     Query("returned_revenue", relational.q_returned_revenue, relational.Q_RETURNED_REVENUE_SQL),
+    Query("discount_brackets", relational.q_discount_brackets, relational.Q_DISCOUNT_BRACKETS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

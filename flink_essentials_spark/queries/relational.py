@@ -540,3 +540,37 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY lost_revenue DESC, c_custkey
 LIMIT 20
 """
+
+
+def q_discount_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive bracket predicate): revenue from
+    lineitems matching ANY of three (brand, quantity-range, size-range)
+    brackets — the OR-of-ANDs filter that must still reach the scan as
+    pushed predicates on the fact side and prune the part join. One
+    scalar aggregate out."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    p = t["part"]
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 11) & sz.between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & q.between(10, 20) & sz.between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30) & sz.between(1, 15))
+    )
+    revenue_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return j.filter(bracket).agg(
+        (F.sum(revenue_e4) / F.lit(10000.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q_DISCOUNT_BRACKETS_SQL = f"""
+SELECT CAST(SUM({_C_DISC_PRICE}) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
