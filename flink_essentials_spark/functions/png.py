@@ -60,14 +60,6 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """Paeth predictor, vectorized over a scanline (T.4.5.6)."""
-    p = a.astype(np.int64) + b.astype(np.int64) - c.astype(np.int64)
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-    return out.astype(np.uint8)
-
-
 def decode_png(data: bytes) -> np.ndarray:
     """PNG -> uint8 (h, w, 3) RGB. 8-bit gray/gray+alpha/RGB/RGBA only;
     CRCs verified; all five scanline filters supported."""

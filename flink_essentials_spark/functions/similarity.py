@@ -456,7 +456,7 @@ def quantize_embeddings(
     levels: int = 255,
 ) -> DataFrame:
     """Per-dimension scalar quantization to ``levels`` integer codes
-    (int8 range by default) — the storage play that turns a 100 TB
+    (byte/uint8 range by default: 0..254 — NOT signed int8) — the storage play that turns a 100 TB
     float corpus into ~1/4 the bytes before ANN indexing: per dimension
     the GLOBAL [min, max] becomes the codebook, each value maps to
     ``floor((v - lo) * (levels-1) / (hi - lo) + 0.5)``, and the max

@@ -147,8 +147,17 @@ def compact_files(
     listing — no Spark job); the rewrite itself is one distributed
     read→repartition→write. Content is preserved row-for-row (verified
     by tests via full-row hash), only the physical layout changes.
-    In-place (``out_path=None``) writes to a temp sibling then atomically
-    renames, so a crash mid-compact never loses the original.
+    In-place (``out_path=None``) writes to a temp sibling then swaps via
+    two renames — crash-SAFE rather than atomic: a crash between the
+    renames leaves the original intact under a unique
+    ``<path>.precompact-*`` name (nothing is deleted until the swap
+    completes), and the unique suffix means a retry never collides with
+    a leftover from a previous crash.
+
+    Hive-partitioned layouts (key=value subdirectories) are rejected
+    with an actionable error: compacting one flattens the partition
+    columns into the data files and destroys pruning — compact each
+    partition directory individually instead.
 
     Returns {"files_before", "files_after", "bytes", "target_files"}.
     """
@@ -156,11 +165,22 @@ def compact_files(
     import os
     import shutil
     import tempfile
+    import uuid as _uuid
 
+    entries = [e for e in os.listdir(path) if not e.startswith(("_", "."))]
+    part_dirs = [
+        e for e in entries if "=" in e and os.path.isdir(os.path.join(path, e))
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"{path} is hive-partitioned ({part_dirs[0]}, ...): compact each "
+            "partition directory individually — compacting the root would "
+            "flatten the partition columns and destroy pruning"
+        )
     files = [
         os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
+        for f in entries
+        if f.endswith(".parquet")
     ]
     total = sum(os.stat(f).st_size for f in files)
     n_out = max(1, math.ceil(total / target_bytes))
@@ -176,7 +196,7 @@ def compact_files(
     # but inherit whatever skew the input files have)
     df.repartition(n_out).write.mode("overwrite").parquet(dest)
     if in_place:
-        old = path.rstrip("/") + ".precompact"
+        old = path.rstrip("/") + ".precompact-" + _uuid.uuid4().hex[:8]
         os.rename(path, old)
         os.rename(dest, path)
         shutil.rmtree(old)

@@ -122,3 +122,19 @@ def test_compact_files_to_new_path(spark, tmp_path):
     assert spark.read.parquet(dst).count() == 100
     # source untouched
     assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 10
+
+
+def test_compact_files_rejects_partitioned_layout(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from flink_essentials_spark.sinks.sinks import compact_files, write_partitioned
+
+    path = str(tmp_path / "parted")
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    write_partitioned(df, path, "k")
+    import pytest
+
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_files(spark, path, target_bytes=10**6)

@@ -132,12 +132,16 @@ def test_rejects_progressive():
 
 
 def test_truncated_stream_raises():
-    # cutting ANYWHERE must yield the codec's ValueError family, never a
-    # raw IndexError from inside the bit reader
+    # every cut INSIDE the stream must yield the codec's ValueError
+    # family, never a raw IndexError; dropping only the trailing EOI
+    # marker leaves a complete image, which decodes (lenient, like the
+    # GIF trailer case — pinned explicitly so an encoder change that
+    # shifts the length can't make the sweep land on it spuriously)
     data = jpeg.encode_jpeg(_smooth_rgb(24, 24), quality=90)
-    for cut in range(2, len(data), 7):
+    for cut in range(2, len(data) - 2, 7):
         with pytest.raises(ValueError):
             jpeg.decode_jpeg(data[:cut])
+    assert jpeg.decode_jpeg(data[: len(data) - 2]).shape == (24, 24, 3)
 
 
 # --- integration through the Spark multimodal layer --------------------------
