@@ -550,6 +550,7 @@ _REGISTRY: list[Query] = [
     Query("char_entropy", llmdata.q_char_entropy, llmdata.Q_CHAR_ENTROPY_SQL),
     Query("returned_revenue", relational.q_returned_revenue, relational.Q_RETURNED_REVENUE_SQL),
     Query("discount_brackets", relational.q_discount_brackets, relational.Q_DISCOUNT_BRACKETS_SQL),
+    Query("ngram_vocab", llmdata.q_ngram_vocab, llmdata.Q_NGRAM_VOCAB_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -1495,3 +1495,45 @@ SELECT doc_id,
        round(0.0 - SUM((n / t) * log2(n / t)), 6) AS entropy_bits
 FROM tot GROUP BY doc_id
 """
+
+
+def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus trigram vocabulary induction: the 50 most frequent word
+    trigrams by OCCURRENCE count (not per-doc distinct — frequency is
+    what a tokenizer-training pass wants), deterministic lexicographic
+    tiebreak. One explode + one groupBy (map-side partial) + top-k via
+    TakeOrderedAndProject — the vocabulary-counting shape that feeds
+    BPE/wordpiece training at 100 TB."""
+    from flink_essentials_spark.operators.transform import tokenize
+
+    toks = tokenize(F.col("text"))
+    idx = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    tris = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 3), " "))
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(tris).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(50)
+    )
+
+
+Q_NGRAM_VOCAB_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents
+), tri AS (
+  SELECT array_to_string(tk[i:i+2], ' ') AS ngram
+  FROM toks, UNNEST(
+    CASE WHEN len(tk) >= 3 THEN generate_series(1, len(tk) - 2) ELSE [] END
+  ) AS t(i)
+)
+SELECT ngram, COUNT(*) AS n_occurrences
+FROM tri
+GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT 50
+"""
