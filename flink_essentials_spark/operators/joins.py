@@ -131,10 +131,14 @@ def as_of_join(
     payload_cols: list[str],
     *,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` on the same key (a training-data staple:
     join events to the most recent dimension snapshot).
+    ``direction="forward"`` flips the bound: the EARLIEST right row
+    with ``right.ts >= left.ts`` (e.g. next price tick, next
+    checkpoint) — same union+window plan over a descending time order.
 
     Scale-first plan: NOT an inequality join (which explodes into a
     per-key cross product). Tag both sides, union, then one window
@@ -175,9 +179,18 @@ def as_of_join(
     )
     from pyspark.sql import Window as W
 
+    if direction == "backward":
+        order = [F.asc("__ts"), F.asc("__side"), F.asc("__tb")]
+    elif direction == "forward":
+        # descending time: the nearest FOLLOWING right row is the last
+        # non-null above; right (side 0) before left at equal ts keeps
+        # the >= bound inclusive
+        order = [F.desc("__ts"), F.asc("__side"), F.asc("__tb")]
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
     w = (
         W.partitionBy("__k")
-        .orderBy("__ts", "__side", "__tb")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = lt.unionByName(rt).select(

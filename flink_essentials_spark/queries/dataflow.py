@@ -634,6 +634,53 @@ FROM events e ASOF JOIN snap s
 """
 
 
+def q_as_of_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each event joined to the customer's NEXT
+    order snapshot at or after the event time (lead-time attribution:
+    "what did this user buy next"). Same union+window-carry plan over a
+    descending time order (operators/joins.as_of_join
+    direction="forward"); the oracle is DuckDB's native forward ASOF
+    (ON left.ts <= right.ts)."""
+    t = load_tables(spark, sf_dir)
+    snap = (
+        t["orders"]
+        .groupBy(
+            F.col("o_custkey"),
+            F.col("o_orderdate").cast("timestamp").alias("next_order_ts"),
+        )
+        .agg(F.max("o_totalprice").alias("next_totalprice"))
+    )
+    joined = joins.as_of_join(
+        t["events"].select("event_id", "user_id", "ts"),
+        snap,
+        "user_id", "o_custkey", "ts", "next_order_ts",
+        ["next_order_ts", "next_totalprice"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        ms("ts").alias("ts_ms"),
+        ms("next_order_ts").alias("next_order_ts_ms"),
+        "next_totalprice",
+    )
+
+
+Q_AS_OF_JOIN_FORWARD_SQL = """
+WITH snap AS (
+  SELECT o_custkey, o_orderdate AS next_order_ts,
+         max(o_totalprice) AS next_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       epoch_ms(e.ts) AS ts_ms,
+       epoch_ms(s.next_order_ts) AS next_order_ts_ms,
+       s.next_totalprice
+FROM events e ASOF JOIN snap s
+  ON e.user_id = s.o_custkey AND e.ts <= s.next_order_ts
+"""
+
+
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per event type (Spark `percentile`
     ≡ DuckDB `quantile_cont`, both type-7). The approximate scale path

@@ -191,3 +191,45 @@ def test_as_of_join_deterministic_on_right_ts_ties(spark):
     first = run(right)
     for variant in (right.repartition(7), right.orderBy(F.desc("rid")), right):
         assert run(variant) == first
+
+
+def test_as_of_join_forward_matches_brute_force(spark):
+    """Forward direction: each left row gets the EARLIEST right row at
+    or after its ts (inclusive bound), NULL/dropped when none follows —
+    verified against a python brute force on a random fixture."""
+    import random
+
+    rng = random.Random(7)
+    lrows = [(i, rng.choice("ab"), rng.randint(0, 100)) for i in range(60)]
+    rrows = [(100 + i, rng.choice("ab"), rng.randint(0, 100)) for i in range(25)]
+    # unique (key, ts) on the right so the match is semantically unique
+    seen = set()
+    rrows = [r for r in rrows if not ((r[1], r[2]) in seen or seen.add((r[1], r[2])))]
+    left = spark.createDataFrame(lrows, "lid long, k string, ts long").select(
+        "lid", "k", F.timestamp_seconds("ts").alias("lts")
+    )
+    right = spark.createDataFrame(rrows, "rid long, k string, ts long").select(
+        "rid", "k", F.timestamp_seconds("ts").alias("rts"), F.col("ts").alias("rv")
+    )
+    got = {
+        r["lid"]: r["rv"]
+        for r in joins.as_of_join(
+            left, right, "k", "k", "lts", "rts", ["rv"],
+            direction="forward", how="left",
+        ).collect()
+    }
+    for lid, k, lts in lrows:
+        following = [rv for _, rk, rv in rrows if rk == k and rv >= lts]
+        exp = min(following) if following else None
+        assert got[lid] == exp, (lid, k, lts)
+    # equal-ts inclusivity, explicitly
+    left1 = spark.createDataFrame([(1, "k", 50)], "lid long, k string, ts long").select(
+        "lid", "k", F.timestamp_seconds("ts").alias("lts")
+    )
+    right1 = spark.createDataFrame([(2, "k", 50)], "rid long, k string, ts long").select(
+        "rid", "k", F.timestamp_seconds("ts").alias("rts"), F.col("ts").alias("rv")
+    )
+    out = joins.as_of_join(
+        left1, right1, "k", "k", "lts", "rts", ["rv"], direction="forward"
+    ).collect()
+    assert len(out) == 1 and out[0]["rv"] == 50
