@@ -552,6 +552,7 @@ _REGISTRY: list[Query] = [
     Query("discount_brackets", relational.q_discount_brackets, relational.Q_DISCOUNT_BRACKETS_SQL),
     Query("ngram_vocab", llmdata.q_ngram_vocab, llmdata.Q_NGRAM_VOCAB_SQL),
     Query("as_of_join_forward", dataflow.q_as_of_join_forward, dataflow.Q_AS_OF_JOIN_FORWARD_SQL),
+    Query("salted_user_totals", llmdata.q_salted_user_totals, llmdata.Q_SALTED_USER_TOTALS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

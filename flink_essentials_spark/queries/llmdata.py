@@ -1537,3 +1537,36 @@ GROUP BY ngram
 ORDER BY n_occurrences DESC, ngram
 LIMIT 50
 """
+
+
+def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation under oracle (P1's answer to a
+    hot key, operators/partitioning.salted_sum): per-user event count +
+    exact money total, computed as salt → partial per (key, salt) →
+    final per key. Result is identical to the direct groupBy — only the
+    shuffle distribution changes (a key holding half the table fans
+    across 8 reducers instead of one) — which is exactly what the
+    oracle verifies: the plain-groupBy SQL must hash-match the salted
+    plan. Integer-cents accumulation keeps the doubles bit-exact."""
+    from flink_essentials_spark.operators.partitioning import salted_sum
+    from flink_essentials_spark.queries.util import cents
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", cents("value").alias("__vc"))
+    out = salted_sum(
+        ev, ["user_id"], buckets=8, sums={"__vc": "sum_cents"},
+        count_alias="n_events",
+    )
+    return out.select(
+        "user_id",
+        (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+        "n_events",
+    )
+
+
+Q_SALTED_USER_TOTALS_SQL = """
+SELECT user_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
