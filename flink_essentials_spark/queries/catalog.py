@@ -553,6 +553,7 @@ _REGISTRY: list[Query] = [
     Query("ngram_vocab", llmdata.q_ngram_vocab, llmdata.Q_NGRAM_VOCAB_SQL),
     Query("as_of_join_forward", dataflow.q_as_of_join_forward, dataflow.Q_AS_OF_JOIN_FORWARD_SQL),
     Query("salted_user_totals", llmdata.q_salted_user_totals, llmdata.Q_SALTED_USER_TOTALS_SQL),
+    Query("doc_length_quantiles", llmdata.q_doc_length_quantiles, llmdata.Q_DOC_LENGTH_QUANTILES_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

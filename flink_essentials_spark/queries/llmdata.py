@@ -1570,3 +1570,35 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM events GROUP BY user_id
 """
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution — the corpus-audit table
+    a mixture rebalance reads before reweighting: exact interpolated
+    quartiles + max of n_chars per source (Spark percentile ≡ DuckDB
+    quantile_cont, both type-7; round(6) absorbs the interpolation's
+    last-ulp division)."""
+    t = load_tables(spark, sf_dir)
+    pct = F.percentile("n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(pct[0], 6).alias("p25"),
+            F.round(pct[1], 6).alias("p50"),
+            F.round(pct[2], 6).alias("p75"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+Q_DOC_LENGTH_QUANTILES_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       MAX(n_chars) AS max_chars
+FROM documents GROUP BY source
+"""
