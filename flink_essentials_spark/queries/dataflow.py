@@ -635,49 +635,55 @@ FROM events e ASOF JOIN snap s
 
 
 def q_as_of_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FORWARD as-of join: each event joined to the customer's NEXT
-    order snapshot at or after the event time (lead-time attribution:
-    "what did this user buy next"). Same union+window-carry plan over a
-    descending time order (operators/joins.as_of_join
+    """FORWARD as-of join: each order joined to the customer's NEXT
+    activity event at or after the order date (lead-time attribution:
+    "when did this customer next show up"). Same union+window-carry
+    plan over a descending time order (operators/joins.as_of_join
     direction="forward"); the oracle is DuckDB's native forward ASOF
-    (ON left.ts <= right.ts)."""
+    (ON left.ts <= right.ts).
+
+    Orders are the LEFT side because the testdata's events (2024) all
+    postdate its orders (1995-2001): events→next-order matched nothing
+    and the r4 oracle passed vacuously on 0 rows (r4 verdict #1). This
+    orientation guarantees a match for every order whose customer has
+    events, exercising the forward carry on ~10% of orders."""
     t = load_tables(spark, sf_dir)
     snap = (
-        t["orders"]
-        .groupBy(
-            F.col("o_custkey"),
-            F.col("o_orderdate").cast("timestamp").alias("next_order_ts"),
-        )
-        .agg(F.max("o_totalprice").alias("next_totalprice"))
+        t["events"]
+        .groupBy("user_id", F.col("ts").alias("next_event_ts"))
+        .agg(F.max("value").alias("next_value"))
     )
     joined = joins.as_of_join(
-        t["events"].select("event_id", "user_id", "ts"),
+        t["orders"].select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+        ),
         snap,
-        "user_id", "o_custkey", "ts", "next_order_ts",
-        ["next_order_ts", "next_totalprice"],
+        "o_custkey", "user_id", "o_ts", "next_event_ts",
+        ["next_event_ts", "next_value"],
         direction="forward",
     )
     return joined.select(
-        "event_id",
-        "user_id",
-        ms("ts").alias("ts_ms"),
-        ms("next_order_ts").alias("next_order_ts_ms"),
-        "next_totalprice",
+        "o_orderkey",
+        "o_custkey",
+        ms("o_ts").alias("o_ts_ms"),
+        ms("next_event_ts").alias("next_event_ts_ms"),
+        "next_value",
     )
 
 
 Q_AS_OF_JOIN_FORWARD_SQL = """
 WITH snap AS (
-  SELECT o_custkey, o_orderdate AS next_order_ts,
-         max(o_totalprice) AS next_totalprice
-  FROM orders GROUP BY 1, 2
+  SELECT user_id, ts AS next_event_ts, max(value) AS next_value
+  FROM events GROUP BY 1, 2
 )
-SELECT e.event_id, e.user_id,
-       epoch_ms(e.ts) AS ts_ms,
-       epoch_ms(s.next_order_ts) AS next_order_ts_ms,
-       s.next_totalprice
-FROM events e ASOF JOIN snap s
-  ON e.user_id = s.o_custkey AND e.ts <= s.next_order_ts
+SELECT o.o_orderkey, o.o_custkey,
+       epoch_ms(o.o_orderdate) AS o_ts_ms,
+       epoch_ms(s.next_event_ts) AS next_event_ts_ms,
+       s.next_value
+FROM orders o ASOF JOIN snap s
+  ON o.o_custkey = s.user_id AND o.o_orderdate <= s.next_event_ts
 """
 
 

@@ -696,17 +696,41 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     word 5-gram with a held-out 'benchmark' slice (doc_id % 100 == 0)
     — the pre-training hygiene scan run before any eval. Shingle
     explode + equi-join on the shingle, counts per (benchmark, corpus)
-    pair; self-pairs excluded."""
+    pair; self-pairs excluded.
+
+    The synthetic corpus shares no cross-doc 5-grams, so the raw scan
+    is empty and its oracle would pass vacuously (r4 verdict #1). Like
+    q_pii_redact, the fixture is spiked deterministically: a canary
+    5-gram is appended to every benchmark doc AND a corpus subset
+    (doc_id % 41 == 7), mirrored exactly in the DuckDB oracle, so the
+    join/count path is verified on known-nonzero overlap."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    bench = docs.filter(F.col("doc_id") % 100 == 0)
-    return dedup.ngram_contamination(docs, bench, n=5)
+    spiked = t["documents"].select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 100 == 0) | (F.col("doc_id") % 41 == 7),
+            F.concat(
+                F.col("text"),
+                F.lit(" canary contamination probe token stream"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bench = spiked.filter(F.col("doc_id") % 100 == 0)
+    return dedup.ngram_contamination(spiked, bench, n=5)
 
 
 Q_CONTAMINATION_SQL = f"""
-WITH sh AS (
+WITH spiked AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 100 = 0 OR doc_id % 41 = 7
+              THEN text || ' canary contamination probe token stream'
+              ELSE text END AS text
+  FROM documents
+), sh AS (
   SELECT doc_id, unnest(s) AS shingle
-  FROM (SELECT doc_id, {_sql_shingles(5)} AS s FROM documents)
+  FROM (SELECT doc_id, {_sql_shingles(5)} AS s FROM spiked)
 )
 SELECT b.doc_id AS bench_id, c.doc_id AS doc_id, COUNT(*) AS n_shared
 FROM sh b JOIN sh c ON b.shingle = c.shingle AND b.doc_id <> c.doc_id

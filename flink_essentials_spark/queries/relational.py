@@ -372,24 +372,39 @@ FROM big JOIN orders ON l_orderkey = o_orderkey
 
 
 def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: customers with above-average balance and NO
-    orders — a broadcast scalar threshold plus a left-anti join,
-    aggregated per nation. The average is exact-decimal-sum ÷ count in
-    double, so the threshold is bit-identical across engines and the
-    qualifying set cannot drift by one borderline customer."""
+    """TPC-H Q22 shape: customers with above-average balance and no
+    RECENT orders (none within 365 days of the newest order) — a
+    broadcast scalar threshold plus a left-anti join, aggregated per
+    nation. The average is exact-decimal-sum ÷ count in double, so the
+    threshold is bit-identical across engines; the recency cutoff is
+    integer epoch-ms arithmetic off max(o_orderdate) so it cannot
+    drift either. (The r4 form anti-joined ALL orders, but the
+    testdata gives every customer at least one order, so the oracle
+    passed vacuously on 0 rows — r4 verdict #1. The relative cutoff
+    keeps the left-anti + scalar-broadcast plan and stays nonzero
+    across data regenerations.)"""
     t = load_tables(spark, sf_dir)
     cust = t["customer"]
+    orders_ms = t["orders"].select(
+        "o_custkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_ms"),
+    )
     avg_bal = cust.agg(
         (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    cutoff = orders_ms.agg(
+        (F.max("o_ms") - F.lit(365 * 86400000).cast("long")).alias("cutoff_ms")
     )
     rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("avg_bal")
     )
-    idle = rich.join(
-        t["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct(),
-        "c_custkey",
-        "left_anti",
+    recent = (
+        orders_ms.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_ms") >= F.col("cutoff_ms"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
     )
+    idle = rich.join(recent, "c_custkey", "left_anti")
     return idle.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_custs"),
         F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
@@ -401,13 +416,20 @@ WITH threshold AS (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
            AS avg_bal
   FROM customer
+), cutoff AS (
+  SELECT max(epoch_ms(o_orderdate)) - CAST(365 AS BIGINT) * 86400000
+           AS cutoff_ms
+  FROM orders
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders, cutoff
+  WHERE epoch_ms(o_orderdate) >= cutoff_ms
 )
 SELECT c_nationkey,
        COUNT(*) AS n_custs,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
 FROM customer, threshold
 WHERE c_acctbal > avg_bal
-  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
 GROUP BY c_nationkey
 """
 

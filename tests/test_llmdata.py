@@ -461,3 +461,29 @@ def test_char_entropy_known_values(spark):
     assert got[3]["n_chars"] == 3 and got[3]["n_distinct_chars"] == 2
     # no negative zero leaks (the 0.0 - sum guard)
     assert math.copysign(1.0, got[0]["entropy_bits"]) == 1.0
+
+
+def test_ngram_contamination_counts_and_self_pair_exclusion(spark):
+    """Hand-built corpus with KNOWN shared 5-grams: the only LLM op that
+    previously had neither a meaningful oracle nor a unit test (r4
+    verdict #3). Doc 1 shares exactly one 5-gram with the benchmark
+    doc, doc 2 is an exact copy (both its 5-grams shared), doc 3 is
+    disjoint; the benchmark doc itself must NOT self-pair."""
+    corpus = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),  # benchmark
+            (1, "start alpha beta gamma delta epsilon end pad pad"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # exact dup
+            (3, "completely unrelated words about nothing shared here"),
+            (200, "another benchmark row with no overlap at all okay"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = corpus.filter(F.col("doc_id") >= 100)
+    got = {
+        (r["bench_id"], r["doc_id"]): r["n_shared"]
+        for r in dedup.ngram_contamination(corpus, bench, n=5).collect()
+    }
+    # doc 100 has 5-grams {abgde, bgdez}; doc 1 contains abgde only;
+    # doc 2 contains both; doc 3 / doc 200 share none.
+    assert got == {(100, 1): 1, (100, 2): 2}

@@ -41,3 +41,37 @@ def test_no_oracle_emits_decimal_columns(con):
         "oracles emitting DuckDB decimal/HUGEINT columns (wrap in "
         f"CAST(... AS BIGINT/DOUBLE)): {offenders}"
     )
+
+
+@pytest.fixture(scope="module")
+def con_sf001():
+    """sf0.01 views — the SF the driver hashes at, and therefore the SF
+    where a 0-row oracle means a vacuous green row."""
+    c = duckdb.connect()
+    for t in TABLE_NAMES:
+        c.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{table_path('/root/testdata/sf0.01', t)}'"
+        )
+    return c
+
+
+def test_no_vacuous_oracles_at_driver_sf(con_sf001):
+    """A 0-row oracle passes the hash gate trivially (empty == empty)
+    and verifies nothing — the r4 verdict found three such rows
+    (contamination, as_of_join_forward, idle_customers). Every registry
+    oracle must return >=1 row at the driver's sf0.01, or be explicitly
+    allowlisted in tools/check_correctness.ZERO_ROW_ALLOWED."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import ZERO_ROW_ALLOWED
+
+    vacuous = []
+    for name, sql in entrymod.oracle_sql().items():
+        if name in ZERO_ROW_ALLOWED:
+            continue
+        n = con_sf001.sql(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
+        if n == 0:
+            vacuous.append(name)
+    assert not vacuous, f"vacuous oracles (0 rows at sf0.01): {vacuous}"

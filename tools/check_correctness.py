@@ -28,6 +28,13 @@ from flink_essentials_spark.tables import TABLE_NAMES, table_path  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
+# A 0-row oracle passes trivially (empty == empty) and verifies NOTHING
+# — this bit three queries before it was mechanized (r4: length_outliers,
+# as_of_join_forward, contamination). Any query whose oracle legitimately
+# returns 0 rows at sf0.01 must be listed here explicitly; otherwise a
+# 0-row PASS is a FAIL.
+ZERO_ROW_ALLOWED: frozenset[str] = frozenset()
+
 
 def canon_type(t) -> str:
     """Canonical comparable form of an Arrow type.
@@ -131,6 +138,12 @@ def main() -> int:
         if sr != dr:
             print(f"FAIL {name}: values differ ({len(sr)} rows)")
             _show_diff(sr, dr, sc)
+            n_fail += 1
+            continue
+        if len(dr) == 0 and name not in ZERO_ROW_ALLOWED:
+            print(f"FAIL {name}: VACUOUS — oracle returned 0 rows "
+                  f"(empty==empty verifies nothing; allowlist in "
+                  f"ZERO_ROW_ALLOWED if genuinely intended)")
             n_fail += 1
             continue
         print(f"PASS {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
