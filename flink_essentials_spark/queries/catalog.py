@@ -463,7 +463,12 @@ _REGISTRY: list[Query] = [
     # full dedup chain: pairs → connected components → keeper per
     # cluster (promoted r4 — the most production-relevant LLM op)
     Query("dedup_clusters", llmdata.q_dedup_clusters, llmdata.Q_DEDUP_CLUSTERS_SQL),
-    Query("dedup_keep", llmdata.q_dedup_keep, llmdata.Q_DEDUP_KEEP_SQL),
+    # ROTATION (r5): dedup_keep demoted — it is one keeper-select past
+    # dedup_clusters (same CC chain, driver-green above); its slot goes
+    # to source_overlap, the corpus-audit shingle-overlap matrix (most
+    # production-relevant r4 op still driver-invisible, and the #2
+    # bench query — r4 verdict #4).
+    Query("source_overlap", llmdata.q_source_overlap, llmdata.Q_SOURCE_OVERLAP_SQL),
     # --- similarity search (§2.11)
     Query("similarity_topk", llmdata.q_similarity_topk, llmdata.Q_SIMILARITY_TOPK_SQL),
     Query("embedding_near_dups", llmdata.q_embedding_near_dups, llmdata.Q_EMBEDDING_NEAR_DUPS_SQL),
@@ -479,7 +484,11 @@ _REGISTRY: list[Query] = [
     Query("stratified_sample", llmdata.q_stratified_sample, llmdata.Q_STRATIFIED_SAMPLE_SQL),
     Query("training_pipeline", llmdata.q_training_pipeline, llmdata.Q_TRAINING_PIPELINE_SQL),
     # --- corpus audit / analytics breadth (promoted r4)
-    Query("url_stats", llmdata.q_url_stats, llmdata.Q_URL_STATS_SQL),
+    # ROTATION (r5): url_stats demoted — its oracle family is a plain
+    # spiked groupBy-count, multiply covered in the head (wordcount,
+    # cohort_retention); its slot goes to tfidf_terms, the corpus-wide
+    # term-weighting op (biggest bench query — r4 verdict #4).
+    Query("tfidf_terms", llmdata.q_tfidf_terms, llmdata.Q_TFIDF_TERMS_SQL),
     Query("cohort_retention", llmdata.q_cohort_retention, llmdata.Q_COHORT_RETENTION_SQL),
     # --- multimodal (§2.11)
     Query("media_features", llmdata.q_media_features, llmdata.Q_MEDIA_FEATURES_SQL),
@@ -537,8 +546,9 @@ _REGISTRY: list[Query] = [
     Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),
     # new r4 breadth ops (tail: head is full; see rotation notes)
     Query("streaming_interval_join", q_streaming_interval_join, dataflow.Q_INTERVAL_JOIN_SQL),
-    Query("source_overlap", llmdata.q_source_overlap, llmdata.Q_SOURCE_OVERLAP_SQL),
-    Query("tfidf_terms", llmdata.q_tfidf_terms, llmdata.Q_TFIDF_TERMS_SQL),
+    # demoted r5 (see head rotation notes) — still oracle-checked here
+    Query("dedup_keep", llmdata.q_dedup_keep, llmdata.Q_DEDUP_KEEP_SQL),
+    Query("url_stats", llmdata.q_url_stats, llmdata.Q_URL_STATS_SQL),
     Query("chunk_dedup", llmdata.q_chunk_dedup, llmdata.Q_CHUNK_DEDUP_SQL),
     Query("length_outliers", llmdata.q_length_outliers, llmdata.Q_LENGTH_OUTLIERS_SQL),
     Query("quantize_embeddings", llmdata.q_quantize_embeddings, llmdata.Q_QUANTIZE_EMBEDDINGS_SQL),
