@@ -47,6 +47,10 @@ HEADLINE = [
     "count_trigger_fires",
     # streaming path
     "streaming_wordcount",
+    # the true append-mode session-window path — slowest query in the
+    # local gate (r4: ~12 s); benched so its replay/sentinel overhead
+    # gets per-round optimization pressure (r4 verdict #6)
+    "streaming_session_windows",
     # training-data extensions
     "wordcount",
     "dedup_exact",
@@ -154,7 +158,21 @@ def main() -> None:
                 df = q.fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
-            timings[name] = round(sorted(runs)[1], 3)  # median of 3
+            # This VM shows host-CPU-steal bursts (r5 measurement:
+            # /proc/stat steal accumulated 132 s in 28 min; identical
+            # back-to-back sessions gave 0.74 s vs 1.43 s medians for
+            # the same unchanged plan — the r4 "media_features
+            # regression" was exactly this). When the 3 samples spread
+            # >1.5x, take 2 more so a short steal window can't own the
+            # median; a burst longer than the whole query slot is
+            # unfixable from inside the guest.
+            if max(runs) > 1.5 * min(runs):
+                for _ in range(2):
+                    t0 = time.time()
+                    df = q.fn(spark, SF_DIR)
+                    df.write.format("noop").mode("overwrite").save()
+                    runs.append(time.time() - t0)
+            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         except Exception as e:  # one broken query must not lose the record
             failures[name] = str(e)[:200]
 

@@ -346,23 +346,51 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.unix_millis("ts") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)).cast("int"),
     )
     replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
-    parts = [ev.filter(bucket == i) for i in range(3)]
-    for d in (40, 50):  # sentinel batches: advance, then enforce+flush
-        parts.append(
-            spark.createDataFrame(
-                [(-1, datetime.datetime.utcfromtimestamp((hi + d * 86400000) / 1000))],
-                "user_id long, ts timestamp",
-            )
-        )
+    # ONE single-task partitionBy write produces all three range-bucket
+    # files (r5: the previous three filtered scans + two one-row
+    # createDataFrame writes were FIVE Spark jobs = 12 s of this
+    # query's 22 s at sf0.1); the sentinel files are written
+    # driver-side with pyarrow — no Spark job at all, with
+    # timestamp[us, tz=UTC] physical type to match Spark-written files
+    # under the explicit replay schema.
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stage_dir = os.path.join(replay_dir, "_stage")
+    (
+        ev.withColumn("b", bucket)
+        .coalesce(1)
+        .write.partitionBy("b")
+        .parquet(stage_dir)
+    )
     base_mtime = _time.time() - 3600
-    for i, part in enumerate(parts):
-        sub = os.path.join(replay_dir, f"stage{i}")
-        part.coalesce(1).write.parquet(sub)
-        for f in os.listdir(sub):
-            if f.endswith(".parquet"):
-                dst = os.path.join(replay_dir, f"{i:04d}.parquet")
-                os.rename(os.path.join(sub, f), dst)
-                os.utime(dst, (base_mtime + i, base_mtime + i))
+    nxt = 0
+    for i in range(3):
+        for f in sorted(_glob.glob(os.path.join(stage_dir, f"b={i}", "*.parquet"))):
+            dst = os.path.join(replay_dir, f"{nxt:04d}.parquet")
+            os.rename(f, dst)
+            os.utime(dst, (base_mtime + nxt, base_mtime + nxt))
+            nxt += 1
+    for d in (40, 50):  # sentinel batches: advance, then enforce+flush
+        tbl = pa.table(
+            {
+                "user_id": pa.array([-1], pa.int64()),
+                "ts": pa.array(
+                    [
+                        datetime.datetime.utcfromtimestamp(
+                            (hi + d * 86400000) / 1000
+                        )
+                    ],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+            }
+        )
+        dst = os.path.join(replay_dir, f"{nxt:04d}.parquet")
+        pq.write_table(tbl, dst)
+        os.utime(dst, (base_mtime + nxt, base_mtime + nxt))
+        nxt += 1
     stream = file_replay(
         spark, replay_dir, "user_id long, ts timestamp", files_per_trigger=1
     ).withWatermark("ts", "1 second")
@@ -384,7 +412,10 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "ssw_" + uuid.uuid4().hex[:8]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 4 state partitions (was 8): session state at this scale is tiny
+    # and per-partition state-store commit overhead dominates each of
+    # the five micro-batches (matches streaming_wordcount's cap)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         return run_to_memory(spark, win, name, output_mode="append").filter(
             F.col("user_id") >= 0
