@@ -177,10 +177,14 @@ def compact_files(
             "partition directory individually — compacting the root would "
             "flatten the partition columns and destroy pruning"
         )
+    # size/count the SAME file set spark.read.parquet will ingest —
+    # every non-hidden regular file, suffixed or not (a directory with
+    # unsuffixed data files previously summed to total=0 → n_out=1 and
+    # misleading stats)
     files = [
-        os.path.join(path, f)
+        p
         for f in entries
-        if f.endswith(".parquet")
+        if os.path.isfile(p := os.path.join(path, f))
     ]
     total = sum(os.stat(f).st_size for f in files)
     n_out = max(1, math.ceil(total / target_bytes))
@@ -200,10 +204,12 @@ def compact_files(
         os.rename(path, old)
         os.rename(dest, path)
         shutil.rmtree(old)
+    out_dir = path if in_place else dest
     out_files = [
         f
-        for f in os.listdir(path if in_place else dest)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
+        for f in os.listdir(out_dir)
+        if not f.startswith(("_", "."))
+        and os.path.isfile(os.path.join(out_dir, f))
     ]
     return {
         "files_before": len(files),

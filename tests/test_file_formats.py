@@ -109,7 +109,9 @@ def test_compact_files_preserves_content_and_hits_target(spark, tmp_path):
     assert content_sig(path) == before
     assert stats["files_before"] == n_before
     assert stats["files_after"] == stats["target_files"] == 4
-    assert not os.path.exists(path + ".precompact")
+    import glob
+
+    assert not glob.glob(path + ".precompact-*")
 
 
 def test_compact_files_to_new_path(spark, tmp_path):
