@@ -481,3 +481,45 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def fuzzy_match_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_name: str,
+    right_id: str,
+    right_name: str,
+    block,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Blocked Levenshtein record linkage — the entity-resolution join
+    (dirty crawl metadata → canonical records) a training-data pipeline
+    runs before joining provenance tables.
+
+    ``block`` is a Column→Column blocking function applied to each
+    side's name; candidate pairs come from an EQUI-join on the block
+    key, so cost is Σ_block |L_b|·|R_b| instead of |L|·|R| — the
+    standard ER blocking bound. Distance uses Spark's bounded
+    ``levenshtein(l, r, threshold)`` (banded DP, O(len·k) per pair,
+    returns -1 past the bound) so mismatched candidates exit early;
+    the plan stays one shuffle (hash join on the block key) + a
+    scan-stage filter, no Python.
+    """
+    lt = left.select(
+        F.col(left_id).alias(left_id if left_id != right_id else "left_id"),
+        F.col(left_name).alias("__ln"),
+        block(F.col(left_name)).alias("__blk"),
+    )
+    rt = right.select(
+        F.col(right_id).alias(right_id if left_id != right_id else "right_id"),
+        F.col(right_name).alias("__rn"),
+        block(F.col(right_name)).alias("__blk"),
+    )
+    dist = F.levenshtein("__ln", "__rn", max_distance)
+    return (
+        lt.join(rt, "__blk")
+        .withColumn("distance", dist)
+        .filter(F.col("distance") >= 0)
+        .drop("__blk", "__ln", "__rn")
+    )

@@ -178,3 +178,60 @@ def _cc_two_phase(edges, src, dst, max_iter, stats):
         stars.select("node"), "node", "left_anti"
     ).select("node", F.col("node").alias("cluster_id"))
     return stars.union(singletons)
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over an edge DataFrame —
+    crawl-frontier / link-authority scoring for a web-corpus pipeline
+    (which domains to trust, which to crawl next).
+
+    Uses the unnormalized formulation (ranks start at 1.0 and sum to
+    N): ``r'(v) = (1-d) + d * Σ_{u→v} r(u) * w(u,v) / W(u)`` where
+    ``W(u)`` is u's total out-weight. Node set = distinct edge
+    sources; feed a symmetrized edge list if the graph has dangling
+    nodes (a node with no out-edges silently leaks its rank mass —
+    the caller chooses whether that is the intended semantics).
+
+    Scale shape: the weighted edge table (edge ⋈ out-weight) is
+    materialized ONCE with localCheckpoint (it is re-read every
+    iteration; at cluster scale use a reliable checkpoint dir), then
+    each iteration is one shuffle join (ranks ⋈ edges on src) plus one
+    groupBy(dst) partial-aggregated sum — the textbook iterate-join
+    plan, linear per iteration in |E|. Fixed iteration count keeps the
+    plan finite; convergence-tested variants belong in a driver loop
+    with a rank-delta aggregate per round.
+    """
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    we = e.join(outw, "src").localCheckpoint()
+    ranks = we.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(we, ranks["node"] == we["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("out_w")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = ranks.select("node").join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks

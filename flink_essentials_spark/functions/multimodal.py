@@ -295,7 +295,8 @@ def decode_media(df: DataFrame, *, fake: bool = False) -> DataFrame:
 
 
 RESIZED_SCHEMA = (
-    "media_id long, modality string, width int, height int, payload binary"
+    "media_id long, modality string, mime_type string, "
+    "width int, height int, payload binary"
 )
 
 FRAMES_SCHEMA = "media_id long, frame_idx int, frame_md5 string"
@@ -365,6 +366,7 @@ def resize_images(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
+                    "mime_type": pdf["mime_type"],
                     "width": width,
                     "height": height,
                     "payload": payloads,

@@ -614,3 +614,38 @@ def char_entropy(
             F.col("__doc").alias(id_col), "n_chars", "n_distinct_chars", "entropy_bits"
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 100,
+) -> DataFrame:
+    """Inverted-index build: (term, doc_freq, postings) — the retrieval
+    substrate (BM25 / dedup-by-term / contamination lookup) built as a
+    single corpus scan.
+
+    Plan: scan-stage tokenize + array_distinct + explode (narrow), one
+    groupBy(term) with collect_list → sort_array. Postings are capped
+    at ``max_postings`` ids per term (sorted ascending, so the cap is
+    deterministic): a stopword's full posting list at 100 TB is the
+    corpus itself — production layouts shard postings into fixed-size
+    blocks keyed (term, block_no); the cap is the one-block form while
+    doc_freq keeps the true count. collect_list on a capped-output
+    group is the one collection this engine allows per-key — for
+    uncapped postings emit the exploded (term, doc_id) pairs
+    themselves (that is the input to this groupBy) instead of a
+    nested array.
+    """
+    toks = tokenize(F.col(text_col))
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(toks)).alias("term"),
+    )
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings).alias(
+            "postings"
+        ),
+    )

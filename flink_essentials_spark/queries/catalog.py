@@ -595,6 +595,11 @@ _REGISTRY: list[Query] = [
     Query("as_of_join_forward", dataflow.q_as_of_join_forward, dataflow.Q_AS_OF_JOIN_FORWARD_SQL),
     Query("salted_user_totals", llmdata.q_salted_user_totals, llmdata.Q_SALTED_USER_TOTALS_SQL),
     Query("doc_length_quantiles", llmdata.q_doc_length_quantiles, llmdata.Q_DOC_LENGTH_QUANTILES_SQL),
+    # new r5 breadth ops (tail: head is full; see rotation notes)
+    Query("link_rank", llmdata.q_link_rank, llmdata.Q_LINK_RANK_SQL),
+    Query("fuzzy_match", llmdata.q_fuzzy_match, llmdata.Q_FUZZY_MATCH_SQL),
+    Query("inverted_index", llmdata.q_inverted_index, llmdata.Q_INVERTED_INDEX_SQL),
+    Query("media_resize", llmdata.q_media_resize, llmdata.Q_MEDIA_RESIZE_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -1626,3 +1626,197 @@ SELECT source,
        MAX(n_chars) AS max_chars
 FROM documents GROUP BY source
 """
+
+
+def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-authority scoring (fixed-iteration weighted PageRank) over
+    the customer↔supplier trade graph — the crawl-frontier ranking a
+    web-corpus pipeline runs to decide which sources to trust/crawl.
+    Edges: (custkey, suppkey) pairs from lineitem⋈orders, weighted by
+    lineitem count, symmetrized so no node is dangling; 3 iterations,
+    damping 0.85 (functions/graph.pagerank — one shuffle join + one
+    partial-agg sum per iteration). Oracle: DuckDB unrolls the same 3
+    iterations as CTEs. Parity: edge weights are integer-valued
+    doubles (out-weight sums exact in any order); rank sums drift only
+    in the last ulp, absorbed by round(...,6) on ~1.0-scale values;
+    the (1-d) literal is emitted as repr(1.0-0.85) so both engines
+    parse the identical double."""
+    from flink_essentials_spark.functions import graph
+
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = F.col("o_custkey")
+    s = F.col("l_suppkey") + 1000000000  # disjoint node-id namespaces
+    edges = pairs.select(c.alias("src"), s.alias("dst"), "cnt").unionByName(
+        pairs.select(s.alias("src"), c.alias("dst"), "cnt")
+    )
+    ranks = graph.pagerank(edges, iterations=3, damping=0.85, weight_col="cnt")
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _link_rank_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    d, omd = repr(damping), repr(1.0 - damping)
+    cte = """
+WITH pairs AS (
+  SELECT o_custkey AS cust, l_suppkey AS supp, COUNT(*) AS cnt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cust AS src, supp + 1000000000 AS dst, CAST(cnt AS DOUBLE) AS w
+  FROM pairs
+  UNION ALL
+  SELECT supp + 1000000000, cust, CAST(cnt AS DOUBLE) FROM pairs
+), we AS (
+  SELECT src, dst, w, SUM(w) OVER (PARTITION BY src) AS out_w FROM e
+), r0 AS (
+  SELECT DISTINCT src AS node, 1.0 AS rank FROM e
+)"""
+    for k in range(1, iterations + 1):
+        cte += f""", r{k} AS (
+  SELECT p.node, {omd} + {d} * COALESCE(s.s, 0.0) AS rank
+  FROM (SELECT node FROM r{k - 1}) p
+  LEFT JOIN (
+    SELECT we.dst AS node, SUM(r.rank * we.w / we.out_w) AS s
+    FROM r{k - 1} r JOIN we ON r.node = we.src
+    GROUP BY 1
+  ) s ON p.node = s.node
+)"""
+    return cte + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+
+
+Q_LINK_RANK_SQL = _link_rank_sql()
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution under oracle: a deterministic 'dirty' twin of
+    every 10th customer name (last character dropped) is matched back
+    against the clean roster with a blocked Levenshtein join
+    (dedup.fuzzy_match_blocked; block = 7-digit name prefix, distance
+    ≤ 1). DuckDB recreates the same twins and distances — levenshtein
+    is integer-exact in both engines. The dirty twin legitimately
+    matches ~10 clean names (re-inserting any final digit), which is
+    exactly the ER ambiguity the distance column lets callers rank."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("dirty_name"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_key"), F.col("c_name").alias("clean_name")
+    )
+    return dedup.fuzzy_match_blocked(
+        dirty,
+        clean,
+        "dirty_key",
+        "dirty_name",
+        "clean_key",
+        "clean_name",
+        block=lambda name: F.substring(name, 10, 7),
+        max_distance=1,
+    )
+
+
+Q_FUZZY_MATCH_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS dirty_key,
+         substring(c_name, 1, length(c_name) - 1) AS dirty_name
+  FROM customer WHERE c_custkey % 10 = 0
+), clean AS (
+  SELECT c_custkey AS clean_key, c_name AS clean_name FROM customer
+)
+SELECT dirty_key, clean_key,
+       CAST(levenshtein(dirty_name, clean_name) AS INTEGER) AS distance
+FROM dirty JOIN clean
+  ON substring(dirty_name, 10, 7) = substring(clean_name, 10, 7)
+WHERE levenshtein(dirty_name, clean_name) <= 1
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the document corpus (text.inverted_index):
+    per term, document frequency plus the first 100 posting doc_ids
+    (sorted, so the cap is deterministic and oracle-comparable)."""
+    t = load_tables(spark, sf_dir)
+    return text.inverted_index(t["documents"], max_postings=100)
+
+
+Q_INVERTED_INDEX_SQL = f"""
+WITH td AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       (list_sort(list(doc_id)))[1:100] AS postings
+FROM td GROUP BY term
+"""
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage of the multimodal pipeline under oracle:
+    lossless image payloads (PPM/BMP/PNG — doc_id % 12 in (0, 6))
+    decode → nearest-neighbor resize to 4×2 (floor mapping
+    src = dst*in//out, codecs.resize_nearest) → re-encode in the same
+    container → decode again for features. DuckDB predicts every
+    resized pixel from the generator formula: resized position
+    j ∈ [0,24) maps to source linear index
+    i = ((j÷12·h÷2)·w + (j%12÷3)·(w÷4)·?…) — see the SQL — and the
+    value is (doc_id + i) % 256; the 4|w and 2|h guarantees make the
+    floor mapping exact. Chained double mapInPandas (resize → decode),
+    both Arrow; JPEG rows are excluded because re-encoding at q90 is
+    lossy by design (covered by round-trip tolerance tests)."""
+    from flink_essentials_spark.functions import codecs, png
+
+    t = load_tables(spark, sf_dir)
+    media = multimodal.synthetic_real_media(spark, t["documents"])
+    lossless = media.filter(
+        F.col("mime_type").isin(codecs.PPM_MIME, codecs.BMP_MIME, png.PNG_MIME)
+    )
+    feats = multimodal.decode_media(multimodal.resize_images(lossless, 4, 2))
+    e = lambda i: F.element_at("features", i)  # noqa: E731
+    return feats.select(
+        "media_id",
+        e(1).alias("dim_a"),
+        e(2).alias("dim_b"),
+        e(8).alias("n_vals"),
+        e(4).alias("mean_val"),
+        e(5).alias("rms_val"),
+        e(6).alias("min_val"),
+        e(7).alias("max_val"),
+    )
+
+
+Q_MEDIA_RESIZE_SQL = """
+WITH img AS (
+  SELECT doc_id,
+         ((doc_id % 8) + 1) * 4 AS w,
+         ((doc_id % 4) + 1) * 2 AS h
+  FROM documents WHERE doc_id % 12 IN (0, 6)
+), vals AS (
+  -- resized (2 rows, 4 cols, 3 ch) row-major: j = (y*4 + x)*3 + c;
+  -- src_y = y*h//2, src_x = x*w//4 (floor mapping, exact: 4|w, 2|h);
+  -- src linear index i = (src_y*w + src_x)*3 + c; pixel = (doc_id+i)%256
+  SELECT doc_id, w, h,
+         list_transform(range(24), j ->
+           CAST((doc_id +
+                 ((((j // 12) * h // 2) * w + (((j % 12) // 3) * w // 4)) * 3
+                  + (j % 3))) % 256 AS DOUBLE)) AS v
+  FROM img
+)
+SELECT doc_id AS media_id,
+       CAST(4 AS DOUBLE) AS dim_a, CAST(2 AS DOUBLE) AS dim_b,
+       CAST(24 AS DOUBLE) AS n_vals,
+       list_sum(v) / 24 AS mean_val,
+       sqrt(list_sum(list_transform(v, x -> x * x)) / 24) AS rms_val,
+       list_min(v) AS min_val, list_max(v) AS max_val
+FROM vals
+"""

@@ -86,3 +86,30 @@ def test_two_phase_beats_propagation_rounds_on_chain(spark):
     }
     assert s_prop["rounds"] >= 29  # diameter-bound
     assert s_star["rounds"] <= 8   # O(log n)
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """pagerank's join-agg plan must equal the dense numpy iteration of
+    the same unnormalized update on a small weighted digraph."""
+    import numpy as np
+    from flink_essentials_spark.functions.graph import pagerank
+
+    edges = [  # (src, dst, w) — includes asymmetric weights and a cycle
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0), (1, 0, 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=4, damping=0.85, weight_col="w").collect()
+    }
+
+    n, d = 3, 0.85
+    W = np.zeros((n, n))
+    for s, t, w in edges:
+        W[s, t] = w
+    P = W / W.sum(axis=1, keepdims=True)  # row-stochastic
+    r = np.ones(n)
+    for _ in range(4):
+        r = (1 - d) + d * (r @ P)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])

@@ -487,3 +487,40 @@ def test_ngram_contamination_counts_and_self_pair_exclusion(spark):
     # doc 100 has 5-grams {abgde, bgdez}; doc 1 contains abgde only;
     # doc 2 contains both; doc 3 / doc 200 share none.
     assert got == {(100, 1): 1, (100, 2): 2}
+
+
+def test_fuzzy_match_blocked_distances_and_blocking(spark):
+    """Blocked Levenshtein linkage: in-block pairs within the bound
+    match with exact distances; cross-block true matches are missed BY
+    DESIGN (that is the blocking trade) and out-of-bound pairs return
+    -1 from the banded levenshtein and are dropped."""
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "zzz ltd")], "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corp"), (11, "acme korp"), (12, "acme xxxx"), (13, "zcme corp")],
+        "rid long, rname string",
+    )
+    got = {
+        (r["lid"], r["rid"]): r["distance"]
+        for r in dedup.fuzzy_match_blocked(
+            left, right, "lid", "lname", "rid", "rname",
+            block=lambda c: F.substring(c, 1, 1), max_distance=2,
+        ).collect()
+    }
+    # 13 ("zcme corp", distance 1 to "acme corp") is in block "z" — missed
+    assert got == {(1, 10): 0, (1, 11): 1}
+
+
+def test_inverted_index_postings_sorted_capped(spark):
+    docs = spark.createDataFrame(
+        [(3, "apple banana"), (1, "banana apple apple"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["term"]: (r["doc_freq"], list(r["postings"]))
+        for r in text.inverted_index(docs, max_postings=2).collect()
+    }
+    assert got["apple"] == (2, [1, 3])
+    assert got["banana"] == (3, [1, 2])  # capped at 2 of 3, sorted
+    assert got["cherry"] == (1, [2])

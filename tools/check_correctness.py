@@ -51,6 +51,10 @@ def canon_type(t) -> str:
     # width is collapsed; decimal128-vs-int64 hashed RED, so decimals
     # stay distinct.  Floats stay width-strict (no evidence either way).
     s = re.sub(r"\bint(8|16|32|64)\b", "int", s)
+    # list<element: T not null> (Spark) vs list<l: T> (DuckDB): same
+    # logical list type — engines differ only in the inner FIELD NAME
+    # and nullability flag, neither of which exists in the values
+    s = re.sub(r"list<\w+: ", "list<", s).replace(" not null", "")
     return s
 
 
