@@ -523,3 +523,41 @@ def fuzzy_match_blocked(
         .filter(F.col("distance") >= 0)
         .drop("__blk", "__ln", "__rn")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric shingle containment — quote / subset-duplication
+    detection: ``containment(a in b) = |sh(a) ∩ sh(b)| / |sh(a)|``,
+    emitted for ordered pairs at or above ``threshold``. Jaccard misses
+    a short document embedded verbatim in a long one (the union term
+    swamps it); containment is the signal dedup pipelines use for
+    quotation and boilerplate-inclusion cuts.
+
+    Plan shape: one shingle equi-join (the same Σ docs-per-shingle²
+    candidate bound as the Jaccard path), grouped shared-count carrying
+    |sh(a)| on the key, one exact integer division — no Python, no
+    second scan.
+    """
+    sh = shingle_table(df, n, text_col, id_col)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return shared.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_a")).alias("containment"),
+    ).filter(F.col("containment") >= threshold)

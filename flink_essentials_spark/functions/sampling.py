@@ -69,3 +69,33 @@ def mixture_report(
             "share", F.round(F.col("n_rows") / F.lit(float(total)), 6)
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame, k: int, weight_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic weighted bottom-k sample (priority sampling):
+    priority = u(id) / weight with u the engine-neutral md5-prefix
+    integer; keep the k smallest priorities, ties broken by id. A row
+    with twice the weight is twice as likely to draw a small priority —
+    the mixture-sampling step (weight = quality score, token count, …)
+    of a training-data pipeline, reproducible on any engine/partitioning
+    like every sampler here. (Exact Efraimidis-Spirakis semantics would
+    use -ln(u)/w; the rational u/w form is kept because it divides two
+    exact integers — bit-identical cross-engine, no libm involved.)
+
+    Plan: scan-stage hash + one TakeOrderedAndProject (per-partition
+    top-k, k rows to the driver stage) — no full sort, no shuffle of
+    the corpus.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+    )
+    pr = u / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("priority", pr)
+        .orderBy("priority", id_col)
+        .limit(k)
+    )

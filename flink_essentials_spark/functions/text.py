@@ -649,3 +649,49 @@ def inverted_index(
             "postings"
         ),
     )
+
+
+def linear_trend(
+    df: DataFrame, x_col: str, y_col: str, group_col: str
+) -> DataFrame:
+    """Per-group least-squares fit + Pearson correlation of two INTEGER
+    columns — the scaling-law / data-audit probe (does token count
+    track char count per source? is a feature drifting with time
+    bucket?) as a single-shuffle aggregate.
+
+    Exact-parity construction: the five sufficient statistics
+    (Σx, Σy, Σxy, Σx², Σy²) are integer sums (exact in any order,
+    any engine, while they stay < 2^53 — at 100 TB pre-scale x/y or
+    accumulate in decimal); slope/intercept/r are then a fixed dag of
+    double ops on identical operands, so no rounding is needed
+    anywhere. r's denominator multiplies the two sqrt'd deviations
+    (sqrt is IEEE-correctly-rounded) instead of sqrt'ing their product,
+    which would overflow int64.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / dxx.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    r = num.cast("double") / (
+        F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double"))
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("n").alias("n_rows"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r.alias("pearson_r"),
+    )

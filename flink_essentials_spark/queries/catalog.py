@@ -600,6 +600,9 @@ _REGISTRY: list[Query] = [
     Query("fuzzy_match", llmdata.q_fuzzy_match, llmdata.Q_FUZZY_MATCH_SQL),
     Query("inverted_index", llmdata.q_inverted_index, llmdata.Q_INVERTED_INDEX_SQL),
     Query("media_resize", llmdata.q_media_resize, llmdata.Q_MEDIA_RESIZE_SQL),
+    Query("weighted_sample", llmdata.q_weighted_sample, llmdata.Q_WEIGHTED_SAMPLE_SQL),
+    Query("containment_pairs", llmdata.q_containment, llmdata.Q_CONTAINMENT_PAIRS_SQL),
+    Query("corpus_trend", llmdata.q_corpus_trend, llmdata.Q_CORPUS_TREND_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

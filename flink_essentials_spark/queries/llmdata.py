@@ -1820,3 +1820,110 @@ SELECT doc_id AS media_id,
        list_min(v) AS min_val, list_max(v) AS max_val
 FROM vals
 """
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (sampling.weighted_sample):
+    bottom-50 priorities u(doc_id)/n_chars — longer documents are
+    proportionally likelier to be drawn. Engine-neutral md5-prefix
+    uniform; the priority divides two exact integers so DuckDB
+    reproduces the identical doubles and the identical selection."""
+    from flink_essentials_spark.functions.sampling import weighted_sample
+
+    t = load_tables(spark, sf_dir)
+    return weighted_sample(
+        t["documents"].select("doc_id", "n_chars"), 50, "n_chars"
+    )
+
+
+Q_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars,
+       CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)))::BIGINT
+            AS DOUBLE) / n_chars AS priority
+FROM documents ORDER BY priority, doc_id LIMIT 50
+"""
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote / subset-duplication detection (dedup.containment_pairs):
+    asymmetric containment |sh(a)∩sh(b)| / |sh(a)| ≥ 0.8 over 3-gram
+    shingles. The corpus has no natural near-total containment, so the
+    fixture embeds a deterministic quotation: every doc with
+    doc_id % 50 == 7 gets the FULL text of doc_id-4 appended (mirrored
+    in SQL), making the donor 100%-contained in the quoting doc —
+    exactly the asymmetric signal Jaccard misses (the union term
+    swamps a short doc embedded in a long one)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    donor = docs.select(
+        F.col("doc_id").alias("don_id"), F.col("text").alias("don_text")
+    )
+    spiked = docs.join(
+        donor, F.col("don_id") == F.col("doc_id") - 4, "left"
+    ).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 50 == 7) & F.col("don_text").isNotNull(),
+            F.concat(F.col("text"), F.lit(" "), F.col("don_text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.containment_pairs(spiked, n=3, threshold=0.8)
+
+
+Q_CONTAINMENT_PAIRS_SQL = f"""
+WITH spiked AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 50 = 7 AND don.text IS NOT NULL
+              THEN d.text || ' ' || don.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents don ON don.doc_id = d.doc_id - 4
+), sh AS (
+  SELECT doc_id, unnest(s) AS shingle, len(s) AS n_sh
+  FROM (SELECT doc_id, {_sql_shingles(3)} AS s FROM spiked)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       CAST(COUNT(*) AS DOUBLE) / a.n_sh AS containment
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+GROUP BY doc_a, doc_b, a.n_sh
+HAVING CAST(COUNT(*) AS DOUBLE) / a.n_sh >= 0.8
+"""
+
+
+def q_corpus_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source least-squares fit + Pearson r of n_tokens against
+    n_chars (text.linear_trend) — the scaling-law / tokenizer-audit
+    probe. All five sufficient statistics are exact integer sums, so
+    slope/intercept/r are bit-identical cross-engine with NO
+    rounding."""
+    from flink_essentials_spark.operators.transform import tokenize
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "source", "n_chars", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    return text.linear_trend(docs, "n_chars", "n_tokens", "source")
+
+
+Q_CORPUS_TREND_SQL = f"""
+WITH d AS (
+  SELECT source, n_chars AS x, len({_SQL_TOKENS}) AS y FROM documents
+), a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM d GROUP BY source
+)
+SELECT source, n AS n_rows,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+FROM a
+"""

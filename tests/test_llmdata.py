@@ -524,3 +524,75 @@ def test_inverted_index_postings_sorted_capped(spark):
     assert got["apple"] == (2, [1, 3])
     assert got["banana"] == (3, [1, 2])  # capped at 2 of 3, sorted
     assert got["cherry"] == (1, [2])
+
+
+def test_weighted_sample_matches_manual_priorities(spark):
+    """Selection must equal the manually computed bottom-k of
+    md5-prefix-hash / weight — and be independent of partitioning."""
+    import hashlib
+
+    from flink_essentials_spark.functions.sampling import weighted_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def u(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    want = sorted(rows, key=lambda r: (float(u(r[0])) / r[1], r[0]))[:10]
+    got = [
+        (r["doc_id"], r["w"])
+        for r in weighted_sample(df, 10, "w", "doc_id")
+        .orderBy("priority", "doc_id")
+        .collect()
+    ]
+    assert got == want
+    got_rep = [
+        (r["doc_id"], r["w"])
+        for r in weighted_sample(df.repartition(7), 10, "w", "doc_id")
+        .orderBy("priority", "doc_id")
+        .collect()
+    ]
+    assert got_rep == want
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short doc quoted verbatim inside a long one: containment of
+    the short IN the long is 1.0; the reverse direction is far below
+    and must not appear at the 0.8 bar."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        + short
+        + " and then some completely different trailing content here"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated text with no overlap at all")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, n=3, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
+def test_linear_trend_matches_numpy(spark):
+    import numpy as np
+
+    rows = [("a", x, 3 * x + 7 + (x % 5)) for x in range(10, 60)] + [
+        ("b", x, 100 - 2 * x + (x % 3)) for x in range(5, 40)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r["g"]: (r["slope"], r["intercept"], r["pearson_r"])
+        for r in text.linear_trend(df, "x", "y", "g").collect()
+    }
+    for g in ("a", "b"):
+        xs = np.array([x for gg, x, _ in rows if gg == g], dtype=np.float64)
+        ys = np.array([y for gg, _, y in rows if gg == g], dtype=np.float64)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert abs(got[g][0] - slope) < 1e-9
+        assert abs(got[g][1] - intercept) < 1e-9
+        assert abs(got[g][2] - r) < 1e-12
