@@ -58,3 +58,11 @@ def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFra
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC columnar source (built into Spark; the other columnar
+    interchange format a lakehouse ingests). Same predicate-pushdown /
+    column-pruning properties as the parquet path (plan-audited in
+    tests/test_file_formats.py)."""
+    return spark.read.options(**options).orc(path)

@@ -140,3 +140,24 @@ def test_compact_files_rejects_partitioned_layout(spark, tmp_path):
 
     with pytest.raises(ValueError, match="hive-partitioned"):
         compact_files(spark, path, target_bytes=10**6)
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC write→read preserves content, and a filter reaches the ORC
+    scan as a pushed predicate (the format keeps the parquet path's
+    pushdown property)."""
+    from flink_essentials_spark.sources.batch import read_orc
+
+    path = str(tmp_path / "orc")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 3).alias("v")
+    )
+    df.write.orc(path)
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    assert (
+        back.agg(F.sum("v").alias("s")).first()["s"]
+        == df.agg(F.sum("v").alias("s")).first()["s"]
+    )
+    plan = back.filter(F.col("k") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters:")[1][:80]
