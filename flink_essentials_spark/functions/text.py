@@ -695,3 +695,38 @@ def linear_trend(
         intercept.alias("intercept"),
         r.alias("pearson_r"),
     )
+
+
+def bpe_merge_pairs(
+    df: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """One BPE-training iteration: corpus-wide adjacent character-pair
+    frequencies (weighted by word occurrence count) — the statistic a
+    tokenizer trainer computes to pick its next merge. Iterating this
+    with a merge-apply step IS BPE training; the single iteration is
+    the oracle-able unit.
+
+    Plan: tokenize + explode (scan-stage) → word-count groupBy (the
+    heavy shuffle shrinks to the VOCABULARY, not the corpus) → pair
+    explode over the vocab → pair-count groupBy → top-k via
+    TakeOrderedAndProject with a deterministic (count desc, pair asc)
+    order. Both groupBys are partial-aggregated; corpus size only
+    enters through the first.
+    """
+    words = df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+            "word",
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "n")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(top_k)
+    )

@@ -268,3 +268,36 @@ def co_flat_map(
     expansion stays a narrow (shuffle-free) operation."""
     lo, ro = left_fn(left), right_fn(right)
     return lo.unionByName(ro)
+
+
+def validity_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Change-log → SCD2 dimension: per key, each observed state gets a
+    half-open validity interval ``[valid_from_ms, valid_to_ms)`` (NULL
+    valid_to on the current state). This BUILDS the snapshot table
+    that :func:`as_of_join` consumes — together they are the
+    slowly-changing-dimension pattern of a feature/training pipeline.
+
+    Requires unique (key, ts) rows — pre-aggregate the log first (same
+    contract as as_of_join's right side). One hash shuffle on the key
+    + per-partition sort; ``lead()`` is a frame-free window, so no
+    buffering beyond the sort.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(ts_col)
+    base = df.select(
+        F.col(key_col),
+        *payload_cols,
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("valid_from_ms"),
+    )
+    return base.withColumn(
+        "valid_to_ms",
+        F.lead("valid_from_ms").over(
+            W.partitionBy(key_col).orderBy("valid_from_ms")
+        ),
+    )

@@ -603,6 +603,8 @@ _REGISTRY: list[Query] = [
     Query("weighted_sample", llmdata.q_weighted_sample, llmdata.Q_WEIGHTED_SAMPLE_SQL),
     Query("containment_pairs", llmdata.q_containment, llmdata.Q_CONTAINMENT_PAIRS_SQL),
     Query("corpus_trend", llmdata.q_corpus_trend, llmdata.Q_CORPUS_TREND_SQL),
+    Query("bpe_merge_pairs", llmdata.q_bpe_merge_pairs, llmdata.Q_BPE_MERGE_PAIRS_SQL),
+    Query("scd2_intervals", llmdata.q_scd2_intervals, llmdata.Q_SCD2_INTERVALS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

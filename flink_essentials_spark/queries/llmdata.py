@@ -1927,3 +1927,56 @@ SELECT source, n AS n_rows,
             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
 FROM a
 """
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training statistic (text.bpe_merge_pairs): top-50
+    adjacent character pairs by corpus frequency — integer counts,
+    deterministic (count desc, pair asc) tie-break, so the top-k SET
+    is engine-independent."""
+    return text.bpe_merge_pairs(load_tables(spark, sf_dir)["documents"], top_k=50)
+
+
+Q_BPE_MERGE_PAIRS_SQL = f"""
+WITH words AS (
+  SELECT unnest({_SQL_TOKENS}) AS word FROM documents
+), wc AS (
+  SELECT word, COUNT(*) AS n FROM words GROUP BY word
+), pairs AS (
+  SELECT substring(word, i, 2) AS pair, n
+  FROM wc, unnest(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT 50
+"""
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build (operators.joins.validity_intervals): the
+    event log becomes per-user validity intervals [valid_from_ms,
+    valid_to_ms) with NULL on the current state — the snapshot table
+    the as-of join consumes. Pre-aggregated to unique (user, ts); all
+    values integer epoch-ms, exact."""
+    from flink_essentials_spark.operators import joins
+
+    t = load_tables(spark, sf_dir)
+    snap = (
+        t["events"]
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return joins.validity_intervals(snap, "user_id", "ts", ["value"])
+
+
+Q_SCD2_INTERVALS_SQL = """
+WITH snap AS (
+  SELECT user_id, ts, max(value) AS value FROM events GROUP BY 1, 2
+)
+SELECT user_id, value, epoch_ms(ts) AS valid_from_ms,
+       lead(epoch_ms(ts)) OVER (
+         PARTITION BY user_id ORDER BY epoch_ms(ts)
+       ) AS valid_to_ms
+FROM snap
+"""

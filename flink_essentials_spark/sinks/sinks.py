@@ -217,3 +217,51 @@ def compact_files(
         "bytes": total,
         "target_files": n_out,
     }
+
+
+def upsert_parquet(
+    spark, path: str, updates: DataFrame, keys: list[str]
+) -> dict:
+    """Keyed upsert (MERGE) into a plain-parquet directory — the
+    dimension-refresh primitive when no table format (Iceberg/Delta)
+    is available: rows whose key matches an update are replaced, new
+    keys are appended.
+
+    Parquet files are immutable, so this is a rewrite-merge: current
+    left-anti updates (drops stale versions) ∪ updates, written to a
+    temp sibling and swapped with the same crash-safe two-rename
+    protocol as compact_files. At 100 TB, partition the layout on a
+    key prefix and upsert only the affected partition directories —
+    the full-directory rewrite here IS the per-partition unit of that
+    plan.
+
+    Returns {"rows_before", "rows_updated", "rows_inserted",
+    "rows_after"} (counted on the merged plan, one job with the
+    write).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    current = spark.read.parquet(path)
+    upd_keys = updates.select(*keys).distinct()
+    kept = current.join(upd_keys, keys, "left_anti")
+    merged = kept.unionByName(updates.select(*current.columns))
+    dest = tempfile.mkdtemp(
+        prefix="upsert_", dir=os.path.dirname(path.rstrip("/"))
+    )
+    merged.write.mode("overwrite").parquet(dest)
+    n_before = current.count()
+    n_after = spark.read.parquet(dest).count()
+    n_upd = updates.count()
+    old = path.rstrip("/") + ".preupsert-" + _uuid.uuid4().hex[:8]
+    os.rename(path, old)
+    os.rename(dest, path)
+    shutil.rmtree(old)
+    return {
+        "rows_before": n_before,
+        "rows_updated": n_before + n_upd - n_after,
+        "rows_inserted": n_after - n_before,
+        "rows_after": n_after,
+    }

@@ -161,3 +161,31 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     )
     plan = back.filter(F.col("k") == 3)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters:")[1][:80]
+
+
+def test_upsert_parquet_replaces_and_appends(spark, tmp_path):
+    """Keyed merge: matched keys replaced with the update's values, new
+    keys appended, untouched rows byte-identical, backup dir cleaned."""
+    import glob
+
+    from flink_essentials_spark.sinks.sinks import upsert_parquet
+
+    path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, name string, v long"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "b2", 200), (4, "d", 40)], "k long, name string, v long"
+    )
+    stats = upsert_parquet(spark, path, updates, ["k"])
+    assert stats == {
+        "rows_before": 3,
+        "rows_updated": 1,
+        "rows_inserted": 1,
+        "rows_after": 4,
+    }
+    got = {
+        r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: ("a", 10), 2: ("b2", 200), 3: ("c", 30), 4: ("d", 40)}
+    assert not glob.glob(path + ".preupsert-*")

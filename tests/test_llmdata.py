@@ -596,3 +596,51 @@ def test_linear_trend_matches_numpy(spark):
         assert abs(got[g][0] - slope) < 1e-9
         assert abs(got[g][1] - intercept) < 1e-9
         assert abs(got[g][2] - r) < 1e-12
+
+
+def test_bpe_merge_pairs_hand_counts(spark):
+    """'banana' x2 + 'bandana': pair counts computed by hand; weighting
+    by word occurrences (not distinct words) must hold."""
+    df = spark.createDataFrame(
+        [(1, "banana banana"), (2, "bandana")], "doc_id long, text string"
+    )
+    got = {
+        r["pair"]: r["n_occurrences"]
+        for r in text.bpe_merge_pairs(df, top_k=10).collect()
+    }
+    # banana: ba an na an na -> ba:1 an:2 na:2 (x2 occurrences)
+    # bandana: ba an nd da an na -> ba:1 an:2 nd:1 da:1 na:1
+    assert got == {"an": 6, "na": 5, "ba": 3, "nd": 1, "da": 1}
+
+
+def test_validity_intervals_half_open_chain(spark):
+    """Intervals chain per key: each valid_to equals the next
+    valid_from; the last state is open (NULL)."""
+    import datetime
+
+    from flink_essentials_spark.operators import joins
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1), 10.0),
+        (1, datetime.datetime(2024, 1, 3), 11.0),
+        (1, datetime.datetime(2024, 1, 7), 12.0),
+        (2, datetime.datetime(2024, 2, 1), 99.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(
+        (
+            (r["user_id"], r["value"], r["valid_from_ms"], r["valid_to_ms"])
+            for r in joins.validity_intervals(
+                df, "user_id", "ts", ["value"]
+            ).collect()
+        )
+    )
+    ms = lambda d: int(d.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)  # noqa: E731
+    d1, d3, d7 = (ms(datetime.datetime(2024, 1, x)) for x in (1, 3, 7))
+    f1 = ms(datetime.datetime(2024, 2, 1))
+    assert out == [
+        (1, 10.0, d1, d3),
+        (1, 11.0, d3, d7),
+        (1, 12.0, d7, None),
+        (2, 99.0, f1, None),
+    ]
