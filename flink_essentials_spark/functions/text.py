@@ -730,3 +730,36 @@ def bpe_merge_pairs(
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(top_k)
     )
+
+
+NORMALIZED_SCHEMA = "doc_id long, text string, changed boolean"
+
+
+def normalize_unicode(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", form: str = "NFC"
+) -> DataFrame:
+    """Unicode normalization (default NFC) — the canonicalization step
+    that must run BEFORE any hash-based dedup: 'café' composed and
+    'cafe'+combining-accent are different byte strings with identical
+    rendering, so unnormalized corpora leak duplicates past every
+    md5/minhash above.
+
+    Python's unicodedata is the stdlib-only implementation (Spark has
+    no built-in normalizer), so this is an Arrow-batched mapInPandas
+    stage — vectorized str.normalize on the pandas block, never
+    per-row Python UDF. Embarrassingly parallel, no shuffle.
+    """
+    import pandas as pd  # noqa: F401 (type context for the closure)
+
+    def op(batches):
+        for pdf in batches:
+            norm = pdf[text_col].str.normalize(form)
+            yield type(pdf)(
+                {
+                    "doc_id": pdf[id_col],
+                    "text": norm,
+                    "changed": norm != pdf[text_col],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(op, schema=NORMALIZED_SCHEMA)

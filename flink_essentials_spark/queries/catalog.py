@@ -605,6 +605,7 @@ _REGISTRY: list[Query] = [
     Query("corpus_trend", llmdata.q_corpus_trend, llmdata.Q_CORPUS_TREND_SQL),
     Query("bpe_merge_pairs", llmdata.q_bpe_merge_pairs, llmdata.Q_BPE_MERGE_PAIRS_SQL),
     Query("scd2_intervals", llmdata.q_scd2_intervals, llmdata.Q_SCD2_INTERVALS_SQL),
+    Query("normalize_unicode", llmdata.q_normalize_unicode, llmdata.Q_NORMALIZE_UNICODE_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

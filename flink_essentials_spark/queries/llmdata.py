@@ -1980,3 +1980,35 @@ SELECT user_id, value, epoch_ms(ts) AS valid_from_ms,
        ) AS valid_to_ms
 FROM snap
 """
+
+
+def q_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization under oracle: every document gets a
+    deterministic DECOMPOSED suffix appended (e + U+0301, i + U+0308 —
+    NFC composes both), then text.normalize_unicode (stdlib
+    unicodedata via Arrow mapInPandas) must produce byte-identical
+    output to DuckDB's ICU nfc_normalize — compared by md5, with the
+    changed flag proving the normalizer actually fired on every row."""
+    t = load_tables(spark, sf_dir)
+    spiked = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" cafe\u0301 nai\u0308ve")
+        ).alias("text"),
+    )
+    out = text.normalize_unicode(spiked)
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("norm_md5"),
+        "changed",
+    )
+
+
+Q_NORMALIZE_UNICODE_SQL = """
+SELECT doc_id,
+       md5(nfc_normalize(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'))
+         AS norm_md5,
+       nfc_normalize(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've')
+         <> (text || ' cafe' || chr(769) || ' nai' || chr(776) || 've') AS changed
+FROM documents
+"""

@@ -644,3 +644,21 @@ def test_validity_intervals_half_open_chain(spark):
         (1, 12.0, d7, None),
         (2, 99.0, f1, None),
     ]
+
+
+def test_normalize_unicode_composes_and_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "café"),          # e + combining acute -> é
+            (2, "café"),           # already composed
+            (3, "각"),  # Hangul jamo -> 각 (U+AC01)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["changed"])
+        for r in text.normalize_unicode(df).collect()
+    }
+    assert got[1] == ("café", True)
+    assert got[2] == ("café", False)
+    assert got[3] == ("각", True)
