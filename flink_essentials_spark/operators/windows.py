@@ -169,3 +169,58 @@ def global_count_windows(
         .groupBy("window_seq")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def resample_forward_fill(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_ms: int,
+):
+    """Regular-grid resampling with forward fill — the feature-grid
+    builder (one row per key per time step, last observation carried
+    forward) that turns an irregular event log into model-ready
+    time-series features.
+
+    Plan: per-(key, bucket) max-aggregate dedupes observations (one
+    shuffle), a per-key [min,max] bucket span explodes into the grid
+    (sequence+explode, narrow — grid size is span/step per key, bounded
+    and independent of event count), one left join grid⋈obs on
+    (key, bucket), and a frame-running ``last(value, ignorenulls)``
+    carries the fill (one sort within the same key partitioning).
+    Output: key, bucket_ms, value (filled), observed flag.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    obs = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.floor(ms / F.lit(step_ms)).alias("b"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("k", "b")
+        .agg(F.max("v").alias("v"))
+    )
+    span = obs.groupBy("k").agg(
+        F.min("b").alias("b_lo"), F.max("b").alias("b_hi")
+    )
+    grid = span.select(
+        "k", F.explode(F.sequence("b_lo", "b_hi")).alias("b")
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(obs, ["k", "b"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            (F.col("b") * F.lit(step_ms)).alias("bucket_ms"),
+            F.last("v", ignorenulls=True).over(w).alias("value"),
+            F.col("v").isNotNull().alias("observed"),
+        )
+    )

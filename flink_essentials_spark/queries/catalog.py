@@ -606,6 +606,8 @@ _REGISTRY: list[Query] = [
     Query("bpe_merge_pairs", llmdata.q_bpe_merge_pairs, llmdata.Q_BPE_MERGE_PAIRS_SQL),
     Query("scd2_intervals", llmdata.q_scd2_intervals, llmdata.Q_SCD2_INTERVALS_SQL),
     Query("normalize_unicode", llmdata.q_normalize_unicode, llmdata.Q_NORMALIZE_UNICODE_SQL),
+    Query("resample_ffill", llmdata.q_resample_ffill, llmdata.Q_RESAMPLE_FFILL_SQL),
+    Query("mad_outliers", llmdata.q_mad_outliers, llmdata.Q_MAD_OUTLIERS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

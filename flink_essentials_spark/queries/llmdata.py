@@ -2012,3 +2012,93 @@ SELECT doc_id,
          <> (text || ' cafe' || chr(769) || ' nai' || chr(776) || 've') AS changed
 FROM documents
 """
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-grid resampling (operators.windows.resample_forward_fill):
+    per-user daily grid over the event span, last observation carried
+    forward. Buckets are integer epoch-day arithmetic; the carried
+    value is a max-aggregated raw double — no arithmetic on it, so
+    parity is exact."""
+    from flink_essentials_spark.operators.windows import resample_forward_fill
+
+    t = load_tables(spark, sf_dir)
+    return resample_forward_fill(
+        t["events"], "user_id", "ts", "value", 86400000
+    )
+
+
+Q_RESAMPLE_FFILL_SQL = """
+WITH obs AS (
+  SELECT user_id AS k, epoch_ms(ts) // 86400000 AS b, max(value) AS v
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT k, min(b) AS b_lo, max(b) AS b_hi FROM obs GROUP BY k
+), grid AS (
+  SELECT k, unnest(range(b_lo, b_hi + 1)) AS b FROM span
+)
+SELECT g.k AS user_id, g.b * 86400000 AS bucket_ms,
+       last_value(o.v IGNORE NULLS) OVER (
+         PARTITION BY g.k ORDER BY g.b ROWS UNBOUNDED PRECEDING
+       ) AS value,
+       o.v IS NOT NULL AS observed
+FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.b = o.b
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier statistics per event type: median, median
+    absolute deviation (both type-7 interpolated, identical in Spark
+    `percentile` and DuckDB `quantile_cont`), and the count of values
+    beyond 3 MADs — the robust control chart that survives the heavy
+    tails a z-score filter chokes on. Two aggregate passes with the
+    25-row medians broadcast back between them; the outlier comparison
+    uses the raw (unrounded) med/mad, which are bit-identical because
+    both engines interpolate the same doubles."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 6).alias("median"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+Q_MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(any_value(d.med), 6) AS median,
+       round(any_value(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""

@@ -96,3 +96,35 @@ def test_event_time_rerun_determinism(spark):
         ).collect()
     )
     assert win(df) == win(shuffled)
+
+
+def test_resample_forward_fill_grid_and_carry(spark):
+    """Grid covers [min,max] buckets per key; gaps carry the previous
+    value; leading gap impossible (grid starts at first observation)."""
+    import datetime
+
+    from flink_essentials_spark.operators.windows import resample_forward_fill
+
+    D = datetime.datetime
+    rows = [
+        (1, D(2024, 1, 1, 5), 10.0),
+        (1, D(2024, 1, 1, 9), 11.0),   # same bucket: max wins
+        (1, D(2024, 1, 4, 1), 12.0),   # 2-day gap -> days 2,3 filled with 11
+        (2, D(2024, 1, 2, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(
+        (r["user_id"], r["bucket_ms"], r["value"], r["observed"])
+        for r in resample_forward_fill(
+            df, "user_id", "ts", "value", 86400000
+        ).collect()
+    )
+    day = 86400000
+    d0 = 19723 * day  # 2024-01-01 epoch-day
+    assert out == [
+        (1, d0, 11.0, True),
+        (1, d0 + day, 11.0, False),
+        (1, d0 + 2 * day, 11.0, False),
+        (1, d0 + 3 * day, 12.0, True),
+        (2, d0 + day, 5.0, True),
+    ]
