@@ -424,6 +424,78 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def q_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static SCD2 enrichment — the time-versioned dimension
+    lookup: events replayed as a stream join the validity-interval
+    dimension built by operators.joins.validity_intervals from the
+    order log, matching each event to the version valid AT ITS EVENT
+    TIME (vf <= ts < vt, open current version). The equi half
+    (user = custkey) drives a per-batch broadcast hash join; the
+    interval bounds ride along as a join residual — state-free, the
+    streaming twin of the as-of pattern. Final set equals the batch
+    interval join, which the oracle checks."""
+    from flink_essentials_spark.operators.joins import validity_intervals
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    t = load_tables(spark, sf_dir)
+    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    t["events"].select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
+    ).repartition(4).write.mode("overwrite").parquet(replay_dir)
+    stream = file_replay(
+        spark, replay_dir, "event_id long, user_id long, ts_ms long",
+        files_per_trigger=2,
+    )
+    snap = (
+        t["orders"]
+        .groupBy(
+            F.col("o_custkey"),
+            F.col("o_orderdate").cast("timestamp").alias("vts"),
+        )
+        .agg(F.max("o_totalprice").alias("price"))
+    )
+    dim = validity_intervals(snap, "o_custkey", "vts", ["price"]).select(
+        F.col("o_custkey").alias("user_id"),
+        "price",
+        F.col("valid_from_ms").alias("vf"),
+        F.col("valid_to_ms").alias("vt"),
+    )
+    cond = (
+        (stream["user_id"] == dim["user_id"])
+        & (stream["ts_ms"] >= dim["vf"])
+        & (dim["vt"].isNull() | (stream["ts_ms"] < dim["vt"]))
+    )
+    enriched = stream.join(F.broadcast(dim), cond).select(
+        "event_id", stream["user_id"], "ts_ms", "price"
+    )
+    name = "scd2e_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_to_memory(spark, enriched, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+Q_STREAMING_SCD2_ENRICH_SQL = """
+WITH snap AS (
+  SELECT o_custkey, o_orderdate AS vts, max(o_totalprice) AS price
+  FROM orders GROUP BY 1, 2
+), iv AS (
+  SELECT o_custkey, price, epoch_ms(vts) AS vf,
+         lead(epoch_ms(vts)) OVER (
+           PARTITION BY o_custkey ORDER BY epoch_ms(vts)
+         ) AS vt
+  FROM snap
+)
+SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, i.price
+FROM events e JOIN iv i ON e.user_id = i.o_custkey
+  AND epoch_ms(e.ts) >= i.vf
+  AND (i.vt IS NULL OR epoch_ms(e.ts) < i.vt)
+"""
+
+
 _REGISTRY: list[Query] = [
     # --- relational batch substrate
     Query("pricing_summary", relational.q_pricing_summary, relational.Q_PRICING_SUMMARY_SQL),
@@ -617,6 +689,7 @@ _REGISTRY: list[Query] = [
     Query("normalize_unicode", llmdata.q_normalize_unicode, llmdata.Q_NORMALIZE_UNICODE_SQL),
     Query("resample_ffill", llmdata.q_resample_ffill, llmdata.Q_RESAMPLE_FFILL_SQL),
     Query("mad_outliers", llmdata.q_mad_outliers, llmdata.Q_MAD_OUTLIERS_SQL),
+    Query("streaming_scd2_enrich", q_streaming_scd2_enrich, Q_STREAMING_SCD2_ENRICH_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

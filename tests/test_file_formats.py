@@ -189,3 +189,29 @@ def test_upsert_parquet_replaces_and_appends(spark, tmp_path):
     }
     assert got == {1: ("a", 10), 2: ("b2", 200), 3: ("c", 30), 4: ("d", 40)}
     assert not glob.glob(path + ".preupsert-*")
+
+
+def test_json_malformed_records_permissive_vs_failfast(spark, tmp_path):
+    """Ingest robustness: PERMISSIVE mode quarantines malformed JSON
+    lines into _corrupt_record instead of failing the scan; FAILFAST
+    surfaces the bad line as an error — both behaviors a 100 TB ingest
+    relies on (you cannot re-crawl a bad shard mid-job)."""
+    import pytest
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"k": 1, "v": "ok"}\n'
+        "{not json at all\n"
+        '{"k": 3, "v": "fine"}\n'
+    )
+    schema = "k long, v string, _corrupt_record string"
+    good = spark.read.schema(schema).option("mode", "PERMISSIVE").json(
+        str(p)
+    )
+    rows = good.collect()
+    assert {r["k"] for r in rows if r["k"] is not None} == {1, 3}
+    assert sum(r["_corrupt_record"] is not None for r in rows) == 1
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        spark.read.schema("k long, v string").option(
+            "mode", "FAILFAST"
+        ).json(str(p)).collect()
