@@ -73,6 +73,12 @@ HEADLINE = [
     # multimodal (real decode path)
     "media_features",
     "video_frames",
+    # r5 additions: iterative graph, retrieval build, python-stage
+    # normalization, the ER blocking join
+    "link_rank",
+    "inverted_index",
+    "normalize_unicode",
+    "fuzzy_match",
 ]
 
 

@@ -215,3 +215,40 @@ def test_json_malformed_records_permissive_vs_failfast(spark, tmp_path):
         spark.read.schema("k long, v string").option(
             "mode", "FAILFAST"
         ).json(str(p)).collect()
+
+
+def test_streaming_cdc_apply_via_foreachbatch_upsert(spark, tmp_path):
+    """CDC-apply: a stream of keyed updates merged into a parquet
+    dimension per micro-batch (for_each_batch + upsert_parquet) —
+    later batches override earlier ones, final state = sequential
+    merge. The foreachBatch epoch id makes the apply idempotent per
+    batch; mtime-ordered replay pins batch order."""
+    import os
+
+    from flink_essentials_spark.sinks.sinks import for_each_batch, upsert_parquet
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    dim = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"
+    ).write.parquet(dim)
+
+    replay = tmp_path / "updates"
+    replay.mkdir()
+    batches = [[(2, 21), (3, 30)], [(3, 31), (4, 40)]]
+    for i, rows in enumerate(batches):
+        sub = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "k long, v long").coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = str(replay / f"{i:04d}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (1000 + i, 1000 + i))
+    stream = file_replay(spark, str(replay), "k long, v long", files_per_trigger=1)
+    q = for_each_batch(
+        stream, lambda bdf, epoch: upsert_parquet(spark, dim, bdf, ["k"])
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(dim).collect()}
+    assert got == {1: 10, 2: 21, 3: 31, 4: 40}
