@@ -561,3 +561,67 @@ def containment_pairs(
         "n_shared",
         (F.col("n_shared").cast("double") / F.col("n_a")).alias("containment"),
     ).filter(F.col("containment") >= threshold)
+
+
+def char_window_dups(
+    df: DataFrame,
+    window: int = 40,
+    stride: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication map — the memorization-removal /
+    boilerplate signal: per document, how many of its fixed-length
+    character windows also appear verbatim in ANOTHER document.
+
+    Windows are strided (stride ``s``, not every offset) and aligned
+    from the END of the text, so shared suffixes (the common real-world
+    case: boilerplate, licenses, signatures appended to documents)
+    coincide exactly across documents of different lengths. Strided
+    windows are the linear-cost stand-in for the literature's
+    suffix-array pass (every offset, s=1): a shared span ≥ window+s is
+    guaranteed to produce at least one matching window pair under any
+    alignment only at s=1 — at larger strides mid-text duplicates can
+    be missed, which is the documented cost/recall trade.
+
+    Plan: one scan-stage explode of ≤len/s windows per doc, md5-prefix
+    int64 window keys (8-byte shuffle), one groupBy(window) doc-count,
+    broadcast-free join back on the window key, one groupBy(doc).
+    """
+    L = F.length(F.col(text_col))
+    n_win = F.when(
+        L >= window, F.floor((L - window) / stride).cast("int") + 1
+    ).otherwise(F.lit(0))
+    idx = F.sequence(F.lit(0), n_win - 1)
+    pos = L - window - F.col("i") * stride + 1
+    win = F.expr(f"substring({text_col}, __p, {window})")
+    wins = (
+        df.select(F.col(id_col).alias("doc_id"), text_col, F.explode(idx).alias("i"))
+        .withColumn("__p", pos)
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(F.md5(F.encode(win, "utf-8")), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("whash"),
+        )
+        .distinct()
+    )
+    by_win = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        wins.join(by_win, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        (F.col("n_dup_windows").cast("double") / F.col("n_windows")).alias(
+            "dup_ratio"
+        ),
+    )

@@ -690,6 +690,7 @@ _REGISTRY: list[Query] = [
     Query("resample_ffill", llmdata.q_resample_ffill, llmdata.Q_RESAMPLE_FFILL_SQL),
     Query("mad_outliers", llmdata.q_mad_outliers, llmdata.Q_MAD_OUTLIERS_SQL),
     Query("streaming_scd2_enrich", q_streaming_scd2_enrich, Q_STREAMING_SCD2_ENRICH_SQL),
+    Query("char_dups", llmdata.q_char_dups, llmdata.Q_CHAR_DUPS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

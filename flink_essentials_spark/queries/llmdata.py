@@ -2102,3 +2102,67 @@ SELECT d.event_type,
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type
 """
+
+
+def q_char_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication map (dedup.char_window_dups, 40-char
+    windows, stride 5, end-aligned). The synthetic corpus has no
+    natural 40-char verbatim repeats, so a deterministic boilerplate
+    suffix (a fixed 120-char license line) is appended to every doc
+    with doc_id % 25 == 3 — those docs then share their end-aligned
+    windows and every other doc stays at dup_ratio 0, which the oracle
+    reproduces window-by-window."""
+    t = load_tables(spark, sf_dir)
+    boiler = (
+        " this corpus sample is distributed under the synthetic"
+        " open data license terms version two point zero for"
+        " benchmark evaluation"
+    )
+    spiked = t["documents"].select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 25 == 3, F.concat(F.col("text"), F.lit(boiler))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.char_window_dups(spiked, window=40, stride=5)
+
+
+_CHAR_DUPS_BOILER = (
+    " this corpus sample is distributed under the synthetic"
+    " open data license terms version two point zero for"
+    " benchmark evaluation"
+)
+
+Q_CHAR_DUPS_SQL = f"""
+WITH spiked AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 25 = 3
+              THEN text || '{_CHAR_DUPS_BOILER}'
+              ELSE text END AS text
+  FROM documents
+), wins AS (
+  SELECT DISTINCT doc_id,
+         {_SQL_HASH.format(w="w")} AS whash
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(CASE WHEN length(text) >= 40
+                        THEN (length(text) - 40) // 5 + 1 ELSE 0 END),
+             i -> substring(text, length(text) - 40 - i * 5 + 1, 40)
+           )) AS w
+    FROM spiked
+  )
+), byw AS (
+  SELECT whash, COUNT(*) AS n_docs FROM wins GROUP BY whash
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN b.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       CAST(SUM(CASE WHEN b.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_ratio
+FROM wins w JOIN byw b USING (whash)
+GROUP BY w.doc_id
+"""

@@ -662,3 +662,25 @@ def test_normalize_unicode_composes_and_flags(spark):
     assert got[1] == ("café", True)
     assert got[2] == ("café", False)
     assert got[3] == ("각", True)
+
+
+def test_char_window_dups_shared_suffix(spark):
+    """Two docs with the same 50-char suffix share end-aligned windows;
+    the unrelated doc stays at 0. Window 40, stride 5: offsets 0,5,10
+    fit inside the 50-char shared suffix -> 3 dup windows each."""
+    suffix = "x" * 15 + "X shared boilerplate suffix of fifty chars"[:35]
+    assert len(suffix) == 50
+    df = spark.createDataFrame(
+        [
+            (1, "a" * 30 + suffix),
+            (2, "completely different front material here " + suffix),
+            (3, "nothing shared with the others at all " + "z" * 40),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_windows"])
+        for r in dedup.char_window_dups(df, window=40, stride=5).collect()
+    }
+    assert got[1][0] == 3 and got[2][0] == 3
+    assert got[3][0] == 0
