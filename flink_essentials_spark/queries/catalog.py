@@ -691,6 +691,8 @@ _REGISTRY: list[Query] = [
     Query("mad_outliers", llmdata.q_mad_outliers, llmdata.Q_MAD_OUTLIERS_SQL),
     Query("streaming_scd2_enrich", q_streaming_scd2_enrich, Q_STREAMING_SCD2_ENRICH_SQL),
     Query("char_dups", llmdata.q_char_dups, llmdata.Q_CHAR_DUPS_SQL),
+    Query("min_cost_supplier", relational.q_min_cost_supplier, relational.Q_MIN_COST_SUPPLIER_SQL),
+    Query("sole_supplier_returns", relational.q_sole_supplier_returns, relational.Q_SOLE_SUPPLIER_RETURNS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

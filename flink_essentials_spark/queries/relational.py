@@ -596,3 +596,102 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 
    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
 """
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part) over the
+    part-supplier catalog derived from lineitem (the testdata ships no
+    partsupp table): per (part, supplier) the minimum observed unit
+    cost, then the per-part window-min picks the winning supplier(s) —
+    the correlated-subquery shape Q2 expresses with
+    `= (SELECT min(..))`, planned here as one window over the grouped
+    catalog instead of a re-aggregating self-join. Unit cost divides
+    two exact integer cent values, so the window-min equality filter
+    compares bit-identical doubles in both engines."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    unit_cost = cents("l_extendedprice").cast("double") / cents("l_quantity")
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_cost).alias("unit_cost"))
+    )
+    best = ps.withColumn(
+        "mc", F.min("unit_cost").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("mc"))
+    supp = t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
+    return best.join(
+        F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"]
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "s_name",
+        "s_nationkey",
+        "unit_cost",
+    )
+
+
+Q_MIN_COST_SUPPLIER_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST({sql_cents("l_extendedprice")} AS DOUBLE)
+             / {sql_cents("l_quantity")}) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT *, min(unit_cost) OVER (PARTITION BY l_partkey) AS mc FROM ps
+)
+SELECT b.l_partkey AS p_partkey, s.s_name, s.s_nationkey, b.unit_cost
+FROM best b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+WHERE b.unit_cost = b.mc
+"""
+
+
+def q_sole_supplier_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (the EXISTS / NOT EXISTS chain): per supplier,
+    count orders where returned items exist (semi join against the
+    returned-order set) AND the supplier was the ONLY supplier on the
+    order (anti join against the multi-supplier order set) — the
+    at-fault-supplier analysis. Both correlated subqueries plan as
+    explicit left-semi / left-anti hash joins; all keys integers."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    sole_returned = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(returned, "l_orderkey", "left_semi")
+        .join(multi, "l_orderkey", "left_anti")
+    )
+    agg = sole_returned.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    supp = t["supplier"].select("s_suppkey", "s_name")
+    return agg.join(
+        F.broadcast(supp), agg["l_suppkey"] == supp["s_suppkey"]
+    ).select("s_suppkey", "s_name", "n_orders")
+
+
+Q_SOLE_SUPPLIER_RETURNS_SQL = """
+WITH su AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), eligible AS (
+  SELECT s.l_orderkey, s.l_suppkey
+  FROM su s
+  WHERE EXISTS (SELECT 1 FROM lineitem r
+                WHERE r.l_orderkey = s.l_orderkey AND r.l_returnflag = 'R')
+    AND NOT EXISTS (SELECT 1 FROM lineitem o
+                    WHERE o.l_orderkey = s.l_orderkey
+                      AND o.l_suppkey <> s.l_suppkey)
+)
+SELECT sp.s_suppkey, sp.s_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM eligible e JOIN supplier sp ON e.l_suppkey = sp.s_suppkey
+GROUP BY 1, 2
+"""
