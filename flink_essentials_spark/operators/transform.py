@@ -106,3 +106,35 @@ def tokenize(text: Column) -> Column:
     as a single vectorized expression.
     """
     return F.filter(F.split(F.lower(text), r"\W+"), lambda w: w != "")
+
+
+def side_outputs(
+    df: DataFrame,
+    tags: dict[str, Column],
+    *,
+    main_tag: str = "main",
+    persist: bool = True,
+) -> dict[str, DataFrame]:
+    """Side outputs — one pass over the input routed to N named
+    outputs. The reference mentions the pattern only in comments
+    (RichFunctions.scala:245: "side outputs" as the escape hatch for
+    multi-way emission); here it is a first-class operator: a row goes
+    to the FIRST tag whose predicate matches, remaining rows to
+    ``main_tag`` (Flink's default-output semantics).
+
+    Spark has no multi-sink operator, so the tagged frame is computed
+    once (``persist=True`` caches it — the right call when every
+    output is consumed; pass False to let each output re-scan, the
+    right call when outputs feed separate jobs anyway and the input is
+    a cheap scan) and each output is a filter on the tag column —
+    predicate evaluation happens ONCE per row either way.
+    """
+    tag_col = None
+    for name, pred in tags.items():
+        tag_col = F.when(pred, F.lit(name)) if tag_col is None else tag_col.when(pred, F.lit(name))
+    tagged = df.withColumn("__tag", tag_col.otherwise(F.lit(main_tag)))
+    if persist:
+        tagged = tagged.persist()
+    outs = {name: tagged.filter(F.col("__tag") == name).drop("__tag") for name in tags}
+    outs[main_tag] = tagged.filter(F.col("__tag") == main_tag).drop("__tag")
+    return outs

@@ -83,3 +83,25 @@ def test_process_batches_rich_lifecycle(spark):
         spark.range(1, 101), fn, "doubled long", setup=setup
     )
     assert sorted(r["doubled"] for r in out.collect()) == [2 * i for i in range(1, 101)]
+
+
+def test_side_outputs_first_match_and_default(spark):
+    """Rows route to the FIRST matching tag; unmatched rows land on the
+    main output; the three outputs partition the input exactly."""
+    from flink_essentials_spark.operators.transform import side_outputs
+
+    df = spark.range(0, 100).select(F.col("id"))
+    outs = side_outputs(
+        df,
+        {
+            "fizz": F.col("id") % 3 == 0,
+            "buzz": F.col("id") % 5 == 0,  # multiples of 15 go to fizz
+        },
+    )
+    fizz = {r["id"] for r in outs["fizz"].collect()}
+    buzz = {r["id"] for r in outs["buzz"].collect()}
+    main = {r["id"] for r in outs["main"].collect()}
+    assert fizz == {i for i in range(100) if i % 3 == 0}
+    assert buzz == {i for i in range(100) if i % 5 == 0 and i % 3 != 0}
+    assert fizz | buzz | main == set(range(100))
+    assert not (fizz & buzz) and not (fizz & main) and not (buzz & main)
