@@ -223,6 +223,12 @@ class Stream:
     def connect(self, other: "Stream", **kwargs) -> "Stream":
         return Stream(joins.connect(self.df, other.df, **kwargs))
 
+    def side_outputs(self, tags: dict, **kwargs) -> dict:
+        """Route one pass to N named Streams (first matching tag wins;
+        unmatched rows land on the 'main' output)."""
+        outs = transform.side_outputs(self.df, tags, **kwargs)
+        return {name: self._wrap(df) for name, df in outs.items()}
+
     # ---- partitioning (§2.8) --------------------------------------------
     def partition_by(self, *keys: str, num_partitions: int | None = None) -> "Stream":
         return self._wrap(partitioning.partition_by_key(self.df, *keys, num_partitions=num_partitions))
