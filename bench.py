@@ -87,8 +87,22 @@ def sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _steal_ticks() -> int:
+    """Cumulative host-CPU-steal ticks (field 8 of /proc/stat cpu) —
+    recorded in the bench JSON so a noisy number carries its own
+    context: this VM shows multi-second steal bursts (r5 measurement)
+    that inflate whole query slots from outside the guest."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except Exception:
+        return -1
+
+
 def main() -> None:
     spark = get_spark("bench")
+    steal0 = _steal_ticks()
     # warm the JVM once so timings measure queries, not first-use costs:
     # parquet reader init + the codegen/agg machinery (run the flagship
     # query at the smallest sf)
@@ -197,6 +211,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
+        # host-steal seconds during this bench run (100 ticks/s): >10 s
+        # here means the totals above carry guest-invisible noise
+        "steal_s": round((_steal_ticks() - steal0) / 100.0, 1)
+        if steal0 >= 0
+        else None,
     }
     if failures:
         record["failures"] = failures

@@ -99,3 +99,45 @@ def weighted_sample(
         .orderBy("priority", id_col)
         .limit(k)
     )
+
+
+def curriculum_mix_key(
+    df: DataFrame,
+    weights: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic dataset-mixing order (training-mix curriculum):
+    rank within stratum ÷ stratum weight. Range-sorting by
+    ``(mix_key, stratum, id)`` interleaves the strata so a weight-2
+    stratum appears twice as often per unit of mix progress — the
+    standard weighted-interleave without any RNG, reproducible on any
+    engine. Unlisted strata are dropped (same contract as
+    stratified_hash_sample).
+
+    Deliberately emits the KEY rather than a global position: a global
+    row_number is a single-partition window (a scale-killer); the
+    writer range-partition-sorts by the key instead, which is exactly
+    how a 100 TB curriculum gets laid out.
+    """
+    chain = None
+    for value, wt in weights.items():
+        cond = F.col(strata_col) == value
+        chain = F.when(cond, F.lit(int(wt))) if chain is None else chain.when(cond, F.lit(int(wt)))
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy(strata_col).orderBy(id_col)
+    )
+    return (
+        df.select(id_col, strata_col)
+        .withColumn("wt", chain)
+        .filter(F.col("wt").isNotNull())
+        .withColumn("rn", rn)
+        .select(
+            id_col,
+            strata_col,
+            F.col("rn").cast("long").alias("rn"),
+            (F.col("rn").cast("double") / F.col("wt")).alias("mix_key"),
+        )
+    )

@@ -693,6 +693,7 @@ _REGISTRY: list[Query] = [
     Query("char_dups", llmdata.q_char_dups, llmdata.Q_CHAR_DUPS_SQL),
     Query("min_cost_supplier", relational.q_min_cost_supplier, relational.Q_MIN_COST_SUPPLIER_SQL),
     Query("sole_supplier_returns", relational.q_sole_supplier_returns, relational.Q_SOLE_SUPPLIER_RETURNS_SQL),
+    Query("curriculum_mix", llmdata.q_curriculum_mix, llmdata.Q_CURRICULUM_MIX_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -2166,3 +2166,33 @@ SELECT w.doc_id,
 FROM wins w JOIN byw b USING (whash)
 GROUP BY w.doc_id
 """
+
+
+def q_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix curriculum key (sampling.curriculum_mix_key):
+    sources src0/src1/src2 weighted 4:2:1 — sorting by mix_key yields
+    the deterministic weighted interleave. Exact integer rank ÷ integer
+    weight, bit-identical cross-engine."""
+    from flink_essentials_spark.functions.sampling import curriculum_mix_key
+
+    t = load_tables(spark, sf_dir)
+    return curriculum_mix_key(
+        t["documents"], {"src0": 4, "src1": 2, "src2": 1}
+    )
+
+
+Q_CURRICULUM_MIX_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2
+                     WHEN 'src2' THEN 1 END AS wt
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+), r AS (
+  SELECT doc_id, source, wt,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM w
+)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn,
+       CAST(rn AS DOUBLE) / wt AS mix_key
+FROM r
+"""

@@ -684,3 +684,28 @@ def test_char_window_dups_shared_suffix(spark):
     }
     assert got[1][0] == 3 and got[2][0] == 3
     assert got[3][0] == 0
+
+
+def test_curriculum_mix_interleave_ratio(spark):
+    """Sorting by mix_key interleaves strata at the weight ratio: in
+    any prefix of the sorted mix, stratum counts track 2:1 within one
+    step."""
+    from flink_essentials_spark.functions.sampling import curriculum_mix_key
+
+    rows = [(i, "a" if i < 40 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sorted(
+        (
+            (r["mix_key"], r["source"], r["doc_id"])
+            for r in curriculum_mix_key(
+                df, {"a": 2, "b": 1}, "source", "doc_id"
+            ).collect()
+        )
+    )
+    # first 20 docs of "b" and 40 of "a" interleave: per unit mix_key,
+    # 2 a's and 1 b
+    for n in (6, 15, 30):
+        prefix = out[:n]
+        na = sum(1 for _, s, _ in prefix if s == "a")
+        nb = n - na
+        assert abs(na - 2 * nb) <= 2, (n, na, nb)
