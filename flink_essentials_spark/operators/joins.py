@@ -289,7 +289,6 @@ def validity_intervals(
     """
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(key_col).orderBy(ts_col)
     base = df.select(
         F.col(key_col),
         *payload_cols,

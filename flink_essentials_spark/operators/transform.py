@@ -129,6 +129,8 @@ def side_outputs(
     a cheap scan) and each output is a filter on the tag column —
     predicate evaluation happens ONCE per row either way.
     """
+    if not tags:
+        raise ValueError("side_outputs needs at least one tagged output")
     tag_col = None
     for name, pred in tags.items():
         tag_col = F.when(pred, F.lit(name)) if tag_col is None else tag_col.when(pred, F.lit(name))

@@ -235,9 +235,12 @@ def upsert_parquet(
     the full-directory rewrite here IS the per-partition unit of that
     plan.
 
+    Contract: ``updates`` must be key-unique (pre-aggregate a CDC
+    stream to latest-per-key first) — the updated/inserted split in
+    the returned stats assumes one update row per key.
+
     Returns {"rows_before", "rows_updated", "rows_inserted",
-    "rows_after"} (counted on the merged plan, one job with the
-    write).
+    "rows_after"}.
     """
     import os
     import shutil
