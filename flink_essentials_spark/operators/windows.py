@@ -224,3 +224,69 @@ def resample_forward_fill(
             F.col("v").isNotNull().alias("observed"),
         )
     )
+
+
+CAPPED_SESSIONS_SCHEMA = (
+    "key long, session_start_ms long, session_end_ms long, n_events long"
+)
+
+
+def capped_sessions(
+    df,
+    key_col: str,
+    ts_col: str,
+    gap_ms: int,
+    max_duration_ms: int,
+):
+    """Session windows with BOTH a gap rule and a maximum duration —
+    the bot/abuse sessionization real pipelines need (a scraper that
+    never pauses longer than the gap would otherwise produce one
+    unbounded session). An event continues the current session only if
+    it is within ``gap_ms`` of the previous event AND within
+    ``max_duration_ms`` of the session's FIRST event; otherwise it
+    anchors a new session.
+
+    Spark's ``session_window`` expresses only the gap rule; the
+    duration cap depends on the running session anchor — an inherently
+    sequential recurrence, so this is an applyInPandas per-key scan
+    (Arrow batches, sorted inside the group, linear in that key's
+    rows). Keys partition the work; per-task memory is one key group.
+    Output: (key, session_start_ms, session_end_ms, n_events) with
+    end = last event's ts (inclusive bound, no gap padding).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def op(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(pdf["__ts"].to_numpy(dtype=np.int64))
+        key = int(pdf["__k"].iloc[0])
+        starts, ends, counts = [], [], []
+        anchor = prev = None
+        n = 0
+        for t in ts:
+            if (
+                anchor is None
+                or t - prev > gap_ms
+                or t - anchor > max_duration_ms
+            ):
+                if anchor is not None:
+                    starts.append(anchor), ends.append(prev), counts.append(n)
+                anchor, n = int(t), 0
+            prev = int(t)
+            n += 1
+        if anchor is not None:
+            starts.append(anchor), ends.append(prev), counts.append(n)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "session_start_ms": np.array(starts, dtype=np.int64),
+                "session_end_ms": np.array(ends, dtype=np.int64),
+                "n_events": np.array(counts, dtype=np.int64),
+            }
+        )
+
+    base = df.select(
+        F.col(key_col).cast("long").alias("__k"),
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("__ts"),
+    )
+    return base.groupBy("__k").applyInPandas(op, schema=CAPPED_SESSIONS_SCHEMA)

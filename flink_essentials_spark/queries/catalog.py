@@ -694,6 +694,7 @@ _REGISTRY: list[Query] = [
     Query("min_cost_supplier", relational.q_min_cost_supplier, relational.Q_MIN_COST_SUPPLIER_SQL),
     Query("sole_supplier_returns", relational.q_sole_supplier_returns, relational.Q_SOLE_SUPPLIER_RETURNS_SQL),
     Query("curriculum_mix", llmdata.q_curriculum_mix, llmdata.Q_CURRICULUM_MIX_SQL),
+    Query("capped_sessions", llmdata.q_capped_sessions, llmdata.Q_CAPPED_SESSIONS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -2196,3 +2196,48 @@ SELECT doc_id, source, CAST(rn AS BIGINT) AS rn,
        CAST(rn AS DOUBLE) / wt AS mix_key
 FROM r
 """
+
+
+def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap+duration-capped sessionization (windows.capped_sessions) —
+    the sequential per-key recurrence Spark's session_window cannot
+    express, under a REAL oracle: DuckDB walks the identical
+    recurrence with a recursive CTE. Event times are compressed 60×
+    around a constant epoch base (integer arithmetic, no scalar agg)
+    so BOTH split rules bind at sf0.01 (1132 sessions, 134 of them
+    within 200 s of the 2 h cap — verified non-vacuous)."""
+    from flink_essentials_spark.operators.windows import capped_sessions
+
+    t = load_tables(spark, sf_dir)
+    base = 1704067200000  # 2024-01-01 UTC, before every event
+    ms = F.unix_millis(F.col("ts"))
+    compressed = F.lit(base) + F.floor((ms - F.lit(base)) / F.lit(60)).cast(
+        "long"
+    )
+    ev = t["events"].select(
+        "user_id", F.timestamp_millis(compressed).alias("cts")
+    )
+    return capped_sessions(ev, "user_id", "cts", 1800000, 7200000)
+
+
+Q_CAPPED_SESSIONS_SQL = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id AS k,
+         1704067200000 + (epoch_ms(ts) - 1704067200000) // 60 AS ts,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY 1704067200000 + (epoch_ms(ts) - 1704067200000) // 60
+         ) AS rn
+  FROM events
+), walk AS (
+  SELECT k, ts, rn, ts AS anchor FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.k, o.ts, o.rn,
+         CASE WHEN o.ts - w.ts > 1800000 OR o.ts - w.anchor > 7200000
+              THEN o.ts ELSE w.anchor END
+  FROM ordered o JOIN walk w ON o.k = w.k AND o.rn = w.rn + 1
+)
+SELECT k AS key, anchor AS session_start_ms,
+       MAX(ts) AS session_end_ms, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM walk GROUP BY k, anchor
+"""

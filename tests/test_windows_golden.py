@@ -128,3 +128,85 @@ def test_resample_forward_fill_grid_and_carry(spark):
         (1, d0 + 3 * day, 12.0, True),
         (2, d0 + day, 5.0, True),
     ]
+
+
+def _capped_ref(ts_list, gap, cap):
+    """Brute-force reference for capped sessions."""
+    out = []
+    for t in sorted(ts_list):
+        if out and t - out[-1][-1] <= gap and t - out[-1][0] <= cap:
+            out[-1].append(t)
+        else:
+            out.append([t])
+    return [(s[0], s[-1], len(s)) for s in out]
+
+
+def test_capped_sessions_golden_and_cap_split(spark):
+    import datetime
+
+    from flink_essentials_spark.operators.windows import capped_sessions
+
+    base = datetime.datetime(2024, 1, 1)
+    mk = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    # key 1: steady drip 0,40,80,...,400 s with gap 60 s would be ONE
+    # session; cap 120 s splits it
+    rows = [(1, mk(s)) for s in range(0, 401, 40)] + [
+        (2, mk(0)),
+        (2, mk(30)),
+        (2, mk(300)),  # gap split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["key"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in capped_sessions(df, "user_id", "ts", 60_000, 120_000).collect()
+    }
+    base_ms = int(base.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    want = set()
+    for k, ts_s in ((1, range(0, 401, 40)), (2, (0, 30, 300))):
+        for s, e, n in _capped_ref([x * 1000 for x in ts_s], 60_000, 120_000):
+            want.add((k, base_ms + s, base_ms + e, n))
+    assert got == want
+
+
+def test_capped_sessions_infinite_cap_equals_gap_only(spark):
+    """Property (hypothesis): with cap=inf the operator degenerates to
+    plain gap sessionization, matching the brute reference on random
+    timestamp sets."""
+    import datetime
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_essentials_spark.operators.windows import capped_sessions
+
+    base = datetime.datetime(2024, 1, 1)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=3600), min_size=1, max_size=40
+        )
+    )
+    def check(seconds):
+        rows = [
+            (7, base + datetime.timedelta(seconds=s)) for s in set(seconds)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = sorted(
+            (r["session_start_ms"], r["session_end_ms"], r["n_events"])
+            for r in capped_sessions(
+                df, "user_id", "ts", 90_000, 10**15
+            ).collect()
+        )
+        base_ms = int(
+            base.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+        )
+        want = sorted(
+            (base_ms + s, base_ms + e, n)
+            for s, e, n in _capped_ref(
+                [x * 1000 for x in set(seconds)], 90_000, 10**15
+            )
+        )
+        assert got == want
+
+    check()
