@@ -141,3 +141,25 @@ def curriculum_mix_key(
             (F.col("rn").cast("double") / F.col("wt")).alias("mix_key"),
         )
     )
+
+
+def kfold_assign(
+    df, k: int, strata_col: str | None = None, id_col: str = "doc_id"
+):
+    """Deterministic k-fold assignment (train/val/test splitting):
+    rows rank by their md5-prefix hash (pseudorandom but reproducible)
+    within each stratum and take rank % k — folds are balanced to ±1
+    row per stratum by CONSTRUCTION, which plain hash-bucket splitting
+    cannot guarantee. Partition-invariant and engine-neutral like
+    every sampler here; one window per stratum (the window is
+    partitioned — no global sort)."""
+    from pyspark.sql import Window as W
+
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+    part = W.partitionBy(strata_col) if strata_col else W.partitionBy(F.lit(1))
+    rn = F.row_number().over(part.orderBy(u.asc(), F.col(id_col)))
+    out = df.withColumn("fold", ((rn - 1) % k).cast("int"))
+    return out

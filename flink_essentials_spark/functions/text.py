@@ -763,3 +763,91 @@ def normalize_unicode(
             )
 
     return df.select(id_col, text_col).mapInPandas(op, schema=NORMALIZED_SCHEMA)
+
+
+def length_bucket_batches(
+    df,
+    tokens_col: str,
+    batch_size: int,
+    band_width: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch audit — the inference/training batching
+    strategy that cuts padding waste: documents band by token length
+    (band = n_tokens // band_width), rank within the band, and chunk
+    into batches of ``batch_size``. Emits per-batch padding economics:
+    ``padding_waste = n_rows * max_tokens - sum_tokens`` (the tokens a
+    rectangular batch pads), all exact integer arithmetic.
+
+    One banded window (partitioned — no global sort) + one groupBy;
+    at scale the band is also the natural write-partition key."""
+    from pyspark.sql import Window as W
+
+    band = (F.col(tokens_col) / F.lit(band_width)).cast("long").alias("band")
+    base = df.select(F.col(id_col), F.col(tokens_col).alias("n_tok"), band)
+    rn = F.row_number().over(
+        W.partitionBy("band").orderBy("n_tok", id_col)
+    )
+    batched = base.withColumn("batch_id", ((rn - 1) / F.lit(batch_size)).cast("long"))
+    return batched.groupBy("band", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("n_tok").alias("max_tokens"),
+        F.sum("n_tok").alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok")).alias(
+            "padding_waste"
+        ),
+    )
+
+
+def remove_boilerplate_lines(
+    df,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level boilerplate removal — strip lines that appear
+    verbatim in ≥ ``min_docs`` documents (nav bars, cookie banners,
+    license footers), preserving the order of surviving lines. The
+    line-granular complement of char_window_dups.
+
+    Plan: posexplode lines (scan-stage), ONE groupBy(line) doc-count
+    over distinct (doc, line), broadcast-size join back (boilerplate
+    vocabulary is small by definition — lines above the bar), then a
+    per-doc reassembly via sort_array(collect_list(struct(pos, line)))
+    — grouping is by the original doc so the collect is bounded by one
+    document's lines."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    freq = (
+        lines.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    boiler = freq.filter(F.col("n_docs") >= min_docs).select(
+        "line", F.lit(True).alias("is_boiler")
+    )
+    kept = (
+        lines.join(F.broadcast(boiler), "line", "left")
+        .filter(F.col("is_boiler").isNull())
+        .select("doc_id", "pos", "line")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return rebuilt.join(totals, "doc_id").select(
+        "doc_id",
+        F.md5(F.encode(F.col("clean_text"), "utf-8")).alias("clean_md5"),
+        "n_lines_kept",
+        (F.col("n_lines") - F.col("n_lines_kept")).alias("n_removed"),
+    )

@@ -695,6 +695,9 @@ _REGISTRY: list[Query] = [
     Query("sole_supplier_returns", relational.q_sole_supplier_returns, relational.Q_SOLE_SUPPLIER_RETURNS_SQL),
     Query("curriculum_mix", llmdata.q_curriculum_mix, llmdata.Q_CURRICULUM_MIX_SQL),
     Query("capped_sessions", llmdata.q_capped_sessions, llmdata.Q_CAPPED_SESSIONS_SQL),
+    Query("kfold", llmdata.q_kfold, llmdata.Q_KFOLD_SQL),
+    Query("length_batches", llmdata.q_length_batches, llmdata.Q_LENGTH_BATCHES_SQL),
+    Query("boilerplate", llmdata.q_boilerplate, llmdata.Q_BOILERPLATE_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -2241,3 +2241,110 @@ SELECT k AS key, anchor AS session_start_ms,
        MAX(ts) AS session_end_ms, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM walk GROUP BY k, anchor
 """
+
+
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 5-fold assignment
+    (sampling.kfold_assign): rank by md5-prefix hash within source,
+    rank % 5 — folds balanced ±1 per stratum by construction."""
+    from flink_essentials_spark.functions.sampling import kfold_assign
+
+    t = load_tables(spark, sf_dir)
+    return kfold_assign(
+        t["documents"].select("doc_id", "source"), 5, "source"
+    ).select("doc_id", "source", "fold")
+
+
+Q_KFOLD_SQL = """
+SELECT doc_id, source,
+       CAST((row_number() OVER (
+          PARTITION BY source ORDER BY u ASC, doc_id) - 1) % 5 AS INTEGER)
+         AS fold
+FROM (SELECT doc_id, source,
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)))::BIGINT
+               AS u
+      FROM documents)
+"""
+
+
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit (text.length_bucket_batches,
+    band 64 tokens, batch size 8): per-batch padding economics, all
+    exact integers."""
+    from flink_essentials_spark.operators.transform import tokenize
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    return text.length_bucket_batches(d, "n_tokens", 8, 64)
+
+
+Q_LENGTH_BATCHES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, len({_SQL_TOKENS}) AS n_tok FROM documents
+), b AS (
+  SELECT doc_id, n_tok, n_tok // 64 AS band,
+         (row_number() OVER (
+            PARTITION BY n_tok // 64 ORDER BY n_tok, doc_id) - 1) // 8
+           AS batch_id
+  FROM d
+)
+SELECT band, batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MAX(n_tok) AS max_tokens,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS padding_waste
+FROM b GROUP BY band, batch_id
+"""
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (text.remove_boilerplate_lines,
+    min_docs=3): a shared cookie-banner line is appended to every doc
+    with doc_id % 7 == 0 (the corpus has no natural cross-doc lines —
+    same non-vacuousness discipline as the other spiked fixtures);
+    the op must strip exactly that line and rebuild the remaining
+    text order-preserved, verified by md5."""
+    t = load_tables(spark, sf_dir)
+    spiked = t["documents"].select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit("\nshared cookie banner line")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.remove_boilerplate_lines(spiked, min_docs=3)
+
+
+Q_BOILERPLATE_SQL = """
+WITH spiked AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || chr(10) || 'shared cookie banner line'
+              ELSE text END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM spiked),
+       unnest(range(1, len(l) + 1)) AS t(i)
+), freq AS (
+  SELECT line, COUNT(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line
+), kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE line NOT IN (SELECT line FROM freq WHERE n_docs >= 3)
+), rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT r.doc_id, md5(r.clean_text) AS clean_md5, r.n_lines_kept,
+       t.n_lines - r.n_lines_kept AS n_removed
+FROM rebuilt r JOIN tot t USING (doc_id)
+"""

@@ -709,3 +709,47 @@ def test_curriculum_mix_interleave_ratio(spark):
         na = sum(1 for _, s, _ in prefix if s == "a")
         nb = n - na
         assert abs(na - 2 * nb) <= 2, (n, na, nb)
+
+
+def test_kfold_balanced_within_stratum(spark):
+    from flink_essentials_spark.functions.sampling import kfold_assign
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(101)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = kfold_assign(df, 4, "g").collect()
+    from collections import Counter
+
+    for g in ("a", "b"):
+        c = Counter(r["fold"] for r in out if r["g"] == g)
+        assert set(c) == {0, 1, 2, 3}
+        assert max(c.values()) - min(c.values()) <= 1  # balanced ±1
+    # partition-invariance
+    out2 = kfold_assign(df.repartition(13), 4, "g").collect()
+    assert {(r["doc_id"], r["fold"]) for r in out} == {
+        (r["doc_id"], r["fold"]) for r in out2
+    }
+
+
+def test_remove_boilerplate_preserves_order_and_uniques(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "keep one\nBOILER\nkeep two"),
+            (2, "BOILER\nother text"),
+            (3, "third doc\nBOILER"),
+            (4, "unique only\nno shared lines"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines_kept"], r["n_removed"])
+        for r in text.remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 1), 3: (1, 1), 4: (2, 0)}
+    # order preserved: doc 1 rebuilds to exactly the two kept lines
+    import hashlib
+
+    row = {
+        r["doc_id"]: r["clean_md5"]
+        for r in text.remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert row[1] == hashlib.md5(b"keep one\nkeep two").hexdigest()
