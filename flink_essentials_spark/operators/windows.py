@@ -290,3 +290,53 @@ def capped_sessions(
         F.unix_millis(F.col(ts_col).cast("timestamp")).alias("__ts"),
     )
     return base.groupBy("__k").applyInPandas(op, schema=CAPPED_SESSIONS_SCHEMA)
+
+
+from flink_essentials_spark.operators.stateful import KeyedProcessor
+
+
+class CappedSessionProcessor(KeyedProcessor):
+    """Streaming twin of :func:`capped_sessions` as a KeyedProcessor
+    (the ProcessFunction form — reference's 'most powerful
+    abstraction'): per key, buffer only (anchor, prev, n); an element
+    violating the gap or the duration cap closes the running session
+    inline, and an event-time timer at prev+gap+1 closes idle sessions
+    once the watermark passes. State is O(1) per key — no event
+    buffering, the property that makes it safe at any key cardinality.
+
+    Run through operators.stateful.keyed_process: batch replay mode
+    reproduces :func:`capped_sessions` exactly (tested); streaming mode
+    uses applyInPandasWithState + EventTimeTimeout.
+    """
+
+    def __init__(self, gap_ms: int, cap_ms: int):
+        self.gap_ms, self.cap_ms = gap_ms, cap_ms
+
+    def _close(self, key, state, out):
+        anchor = state.get("anchor")
+        if anchor is not None:
+            out.emit(
+                key=key[0],
+                session_start_ms=anchor,
+                session_end_ms=state.get("prev"),
+                n_events=state.get("n"),
+            )
+            state.put("anchor", None)
+
+    def on_element(self, key, row, state, out):
+        t = int(row["ts_ms"])
+        anchor, prev = state.get("anchor"), state.get("prev")
+        if anchor is not None and (
+            t - prev > self.gap_ms or t - anchor > self.cap_ms
+        ):
+            self._close(key, state, out)
+            anchor = None
+        if anchor is None:
+            state.put("anchor", t)
+            state.put("n", 0)
+        state.put("prev", t)
+        state.put("n", state.get("n") + 1)
+        state.register_timer(t + self.gap_ms + 1)
+
+    def on_timer(self, key, state, out):
+        self._close(key, state, out)

@@ -422,3 +422,73 @@ def test_streaming_session_windows_emission_and_pushdown_trap(spark, tmp_path):
     # the trap, pinned: in-stream filter starves the watermark of the
     # sentinel rows and user 2's session is lost
     assert build(filter_in_stream=True) == [(1, 2)]
+
+
+def test_capped_sessions_streaming_matches_batch(spark, replay_dir):
+    """CappedSessionProcessor on the TRUE streaming path
+    (applyInPandasWithState + EventTimeTimeout): time-ordered replay +
+    two far-future sentinel batches (advance, then enforce+flush — the
+    one-batch watermark lag); the emitted session set must equal the
+    batch capped_sessions operator on the same events. Exercises both
+    close paths: inline (gap/cap violated by a later element) and
+    timer (idle session flushed when the watermark passes prev+gap)."""
+    import datetime
+
+    from flink_essentials_spark.operators.windows import (
+        CappedSessionProcessor,
+        capped_sessions,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    mk = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    rows = [(1, mk(s)) for s in range(0, 401, 40)] + [
+        (2, mk(0)),
+        (2, mk(30)),
+        (2, mk(300)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    want = {
+        (r["key"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in capped_sessions(df, "user_id", "ts", 60_000, 120_000).collect()
+    }
+
+    withms = df.withColumn("ts_ms", F.unix_millis("ts"))
+    buckets = [
+        withms.filter(F.col("ts") < mk(150)),
+        withms.filter((F.col("ts") >= mk(150)) & (F.col("ts") < mk(350))),
+        withms.filter(F.col("ts") >= mk(350)),
+    ]
+    ep = lambda d: int(  # noqa: E731
+        mk(86400 * d).replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+    )
+    sentinels = [
+        spark.createDataFrame(
+            [(-1, mk(86400 * d), ep(d))],
+            "user_id long, ts timestamp, ts_ms long",
+        )
+        for d in (40, 50)
+    ]
+    _write_files(buckets + sentinels, replay_dir)
+    sdf = with_event_time(
+        file_replay(
+            spark, replay_dir, "user_id long, ts timestamp, ts_ms long",
+            files_per_trigger=1,
+        ),
+        "ts",
+        "1 second",
+    )
+    out = keyed_process(
+        sdf,
+        ["user_id"],
+        CappedSessionProcessor(60_000, 120_000),
+        "key long, session_start_ms long, session_end_ms long, n_events long",
+        timeout="event",
+        event_time_col="ts",
+        output_mode="append",
+    )
+    got = {
+        (r["key"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in run_to_memory(spark, out, _mem("caps")).collect()
+        if r["key"] >= 0
+    }
+    assert got == want
