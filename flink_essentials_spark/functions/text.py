@@ -851,3 +851,54 @@ def remove_boilerplate_lines(
         "n_lines_kept",
         (F.col("n_lines") - F.col("n_lines_kept")).alias("n_removed"),
     )
+
+
+def bigram_lm_score(
+    df, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """KenLM-style quality signal without the external LM: train a
+    word-bigram model on the corpus itself (one pass of counts), then
+    score every document's average bigram log-probability
+    ``mean log2 P(w_i | w_{i-1})`` with add-nothing MLE (every corpus
+    bigram has nonzero count by construction — the model IS the
+    corpus). Low scores flag machine-garbled / unnatural-word-order
+    text; the cross-corpus variant (train on trusted, score crawl)
+    just feeds two different frames.
+
+    Plan: ONE tokenize pass feeds both the bigram count table and the
+    per-doc bigram explode (vocabulary-bounded shuffles), then an
+    equi-join doc-bigrams ⋈ LM and a per-doc mean. log2 of an exact
+    integer ratio; the per-doc sum is rounded to 6 (libm log2 is not
+    correctly-rounded — the char_entropy precedent)."""
+    toks = tokenize(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("w"))
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    uni = base.select("doc_id", F.explode("w").alias("word"))
+    bi_counts = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_bi"))
+    uni_counts = uni.groupBy("word").agg(F.count(F.lit(1)).alias("n_uni"))
+    lm = bi_counts.withColumn(
+        "prev", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    ).join(
+        uni_counts.select(F.col("word").alias("prev"), "n_uni"), "prev"
+    )
+    scored = bi.join(lm.select("bigram", "n_bi", "n_uni"), "bigram")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.log2(F.col("n_bi").cast("double") / F.col("n_uni")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_log2_prob"),
+    )

@@ -698,6 +698,8 @@ _REGISTRY: list[Query] = [
     Query("kfold", llmdata.q_kfold, llmdata.Q_KFOLD_SQL),
     Query("length_batches", llmdata.q_length_batches, llmdata.Q_LENGTH_BATCHES_SQL),
     Query("boilerplate", llmdata.q_boilerplate, llmdata.Q_BOILERPLATE_SQL),
+    Query("lm_score", llmdata.q_lm_score, llmdata.Q_LM_SCORE_SQL),
+    Query("rfm_segments", relational.q_rfm_segments, relational.Q_RFM_SEGMENTS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

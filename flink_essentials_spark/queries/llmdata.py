@@ -2348,3 +2348,38 @@ SELECT r.doc_id, md5(r.clean_text) AS clean_md5, r.n_lines_kept,
        t.n_lines - r.n_lines_kept AS n_removed
 FROM rebuilt r JOIN tot t USING (doc_id)
 """
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram-LM quality scores
+    (text.bigram_lm_score): per doc, average log2 bigram probability
+    under the corpus MLE — the KenLM-shaped unnatural-text filter."""
+    return text.bigram_lm_score(load_tables(spark, sf_dir)["documents"])
+
+
+Q_LM_SCORE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS w FROM documents
+), bi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS bigram
+  FROM toks
+), uni AS (
+  SELECT unnest(w) AS word FROM toks
+), bc AS (
+  SELECT bigram, COUNT(*) AS n_bi FROM bi GROUP BY bigram
+), uc AS (
+  SELECT word, COUNT(*) AS n_uni FROM uni GROUP BY word
+), lm AS (
+  SELECT b.bigram, b.n_bi, u.n_uni
+  FROM bc b JOIN uc u ON split_part(b.bigram, ' ', 1) = u.word
+)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(SUM(log2(CAST(l.n_bi AS DOUBLE) / l.n_uni)) / COUNT(*), 6)
+         AS avg_log2_prob
+FROM bi d JOIN lm l USING (bigram)
+GROUP BY d.doc_id
+"""

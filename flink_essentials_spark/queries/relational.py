@@ -695,3 +695,61 @@ SELECT sp.s_suppkey, sp.s_name, CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM eligible e JOIN supplier sp ON e.l_suppkey = sp.s_suppkey
 GROUP BY 1, 2
 """
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order),
+    frequency (order count), monetary (exact-cents total spend), each
+    cut at the corpus median into 2 bins → 8 segments, counted per
+    segment. The medians are ONE-ROW quantile aggregates broadcast
+    back (never a global ntile window — that is a single-partition
+    sort); type-7 interpolation over exact integers is bit-identical
+    cross-engine, and strict '>' comparisons against the medians keep
+    every bin assignment exact."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.unix_millis(F.col("o_orderdate").cast("timestamp"))).alias(
+                "last_ms"
+            ),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(cents("o_totalprice")).alias("spend_c"),
+        )
+    )
+    med = per_cust.agg(
+        F.percentile("last_ms", F.lit(0.5)).alias("m_last"),
+        F.percentile("freq", F.lit(0.5)).alias("m_freq"),
+        F.percentile("spend_c", F.lit(0.5)).alias("m_spend"),
+    )
+    seg = per_cust.crossJoin(F.broadcast(med)).select(
+        (F.col("last_ms") > F.col("m_last")).cast("int").alias("r"),
+        (F.col("freq") > F.col("m_freq")).cast("int").alias("f"),
+        (F.col("spend_c") > F.col("m_spend")).cast("int").alias("m"),
+    )
+    return seg.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+Q_RFM_SEGMENTS_SQL = f"""
+WITH pc AS (
+  SELECT o_custkey,
+         MAX(epoch_ms(o_orderdate)) AS last_ms,
+         COUNT(*) AS freq,
+         CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS spend_c
+  FROM orders GROUP BY o_custkey
+), med AS (
+  SELECT quantile_cont(last_ms, 0.5) AS m_last,
+         quantile_cont(freq, 0.5) AS m_freq,
+         quantile_cont(spend_c, 0.5) AS m_spend
+  FROM pc
+)
+SELECT CAST(last_ms > m_last AS INTEGER) AS r,
+       CAST(freq > m_freq AS INTEGER) AS f,
+       CAST(spend_c > m_spend AS INTEGER) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM pc, med
+GROUP BY 1, 2, 3
+"""

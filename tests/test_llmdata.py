@@ -753,3 +753,29 @@ def test_remove_boilerplate_preserves_order_and_uniques(spark):
         for r in text.remove_boilerplate_lines(df, min_docs=3).collect()
     }
     assert row[1] == hashlib.md5(b"keep one\nkeep two").hexdigest()
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Tiny corpus with hand-computable MLE: P(b|a)=1 everywhere in a
+    deterministic chain scores 0; a doc using a rare continuation
+    scores below one using the common one."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c"),
+            (3, "a b d"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_log2_prob"])
+        for r in text.bigram_lm_score(df).collect()
+    }
+    # counts: a b ×3, b c ×2, b d ×1; unigrams a×3 b×3 c×2 d×1
+    # doc1/2: (log2(3/3) + log2(2/3)) / 2 ; doc3: (log2(3/3)+log2(1/3))/2
+    d12 = round((math.log2(1) + math.log2(2 / 3)) / 2, 6)
+    d3 = round((math.log2(1) + math.log2(1 / 3)) / 2, 6)
+    assert got == {1: (2, d12), 2: (2, d12), 3: (2, d3)}
+    assert got[3][1] < got[1][1]
