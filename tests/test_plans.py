@@ -215,6 +215,7 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "window_anomaly": {"BroadcastNestedLoopJoin"},  # one-row moments
         "similarity_topk": {"BroadcastNestedLoopJoin"},
         "ivf_topk": {"BroadcastNestedLoopJoin"},
+        "rfm_segments": {"BroadcastNestedLoopJoin"},  # one-row medians
     }
     offenders = {}
     for name in ALL_QUERIES:
