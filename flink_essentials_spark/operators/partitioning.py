@@ -100,3 +100,32 @@ def salted_sum(
     if count_alias:
         final_aggs.append(F.sum("__cnt").alias(count_alias))
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Key-skew diagnosis — the measurement that decides between plain
+    groupBy, salting, and AQE skew-join handling: per heavy key its
+    row count, share of the table, and ratio to the MEDIAN key's count
+    (the imbalance factor a 1000-executor shuffle actually feels).
+    One count-by-key aggregate + a one-row median broadcast; top-N by
+    (count desc, key) via TakeOrderedAndProject."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = counts.agg(
+        F.sum("n_rows").alias("total"),
+        F.percentile("n_rows", F.lit(0.5)).alias("median_n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("total")).alias("share"),
+            (F.col("n_rows") / F.col("median_n")).alias("x_median"),
+        )
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(top_n)
+    )

@@ -700,6 +700,8 @@ _REGISTRY: list[Query] = [
     Query("boilerplate", llmdata.q_boilerplate, llmdata.Q_BOILERPLATE_SQL),
     Query("lm_score", llmdata.q_lm_score, llmdata.Q_LM_SCORE_SQL),
     Query("rfm_segments", relational.q_rfm_segments, relational.Q_RFM_SEGMENTS_SQL),
+    Query("skew_report", relational.q_skew_report, relational.Q_SKEW_REPORT_SQL),
+    Query("fk_audit", relational.q_fk_audit, relational.Q_FK_AUDIT_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

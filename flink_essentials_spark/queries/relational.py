@@ -753,3 +753,94 @@ SELECT CAST(last_ms > m_last AS INTEGER) AS r,
 FROM pc, med
 GROUP BY 1, 2, 3
 """
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis (partitioning.skew_report) over a
+    DELIBERATELY skewed key: user_id % 40 remaps user 0-7 onto bucket
+    0-7 while 8-39 keep single users — bucket keys under 8 carry ~4-5×
+    the median load, which the report must surface exactly."""
+    t = load_tables(spark, sf_dir)
+    from flink_essentials_spark.operators.partitioning import skew_report
+
+    skewed = t["events"].select(
+        F.when(F.col("user_id") < 30, F.col("user_id") % 8)
+        .otherwise(F.col("user_id"))
+        .alias("k")
+    )
+    return skew_report(skewed, "k", top_n=10)
+
+
+Q_SKEW_REPORT_SQL = """
+WITH skewed AS (
+  SELECT CASE WHEN user_id < 30 THEN user_id % 8 ELSE user_id END AS key
+  FROM events
+), counts AS (
+  SELECT key, COUNT(*) AS n_rows FROM skewed GROUP BY key
+), stats AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+         quantile_cont(n_rows, 0.5) AS median_n
+  FROM counts
+)
+SELECT key, n_rows,
+       CAST(n_rows AS DOUBLE) / total AS share,
+       n_rows / median_n AS x_median
+FROM counts, stats
+ORDER BY n_rows DESC, key LIMIT 10
+"""
+
+
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the data-quality gate before any
+    star-schema join is trusted: orphan counts for every FK edge
+    (lineitem→orders, lineitem→part, lineitem→supplier,
+    orders→customer), each one left-anti join + count, unioned into a
+    single report. Zero orphans on this testdata — asserted non-vacuous
+    by also reporting total rows per edge (the count columns carry the
+    signal even when orphans are 0)."""
+    t = load_tables(spark, sf_dir)
+
+    def edge(name, fact, fk, dim, pk):
+        orphans = fact.select(F.col(fk)).join(
+            dim.select(F.col(pk).alias(fk)), fk, "left_anti"
+        )
+        return fact.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).crossJoin(
+            F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        )
+
+    li, o = t["lineitem"], t["orders"]
+    rep = (
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("lineitem->part", li, "l_partkey", t["part"], "p_partkey"))
+        .unionByName(
+            edge("lineitem->supplier", li, "l_suppkey", t["supplier"], "s_suppkey")
+        )
+        .unionByName(edge("orders->customer", o, "o_custkey", t["customer"], "c_custkey"))
+    )
+    return rep
+
+
+Q_FK_AUDIT_SQL = """
+SELECT 'lineitem->orders' AS fk_edge, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+FROM lineitem
+UNION ALL
+SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+FROM lineitem
+UNION ALL
+SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+FROM lineitem
+UNION ALL
+SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+FROM orders
+"""

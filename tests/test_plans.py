@@ -216,6 +216,8 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "similarity_topk": {"BroadcastNestedLoopJoin"},
         "ivf_topk": {"BroadcastNestedLoopJoin"},
         "rfm_segments": {"BroadcastNestedLoopJoin"},  # one-row medians
+        "skew_report": {"BroadcastNestedLoopJoin"},  # one-row totals
+        "fk_audit": {"BroadcastNestedLoopJoin"},  # one-row orphan counts
     }
     offenders = {}
     for name in ALL_QUERIES:
