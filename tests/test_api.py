@@ -152,3 +152,65 @@ def test_generator_sources_shapes(spark):
     cat = catalog_source(spark, 10)
     assert cat.isStreaming
     assert [f.name for f in cat.schema.fields] == ["user_id", "time", "product_id"]
+
+
+def test_observed_batch_metrics_free_of_extra_pass(spark):
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.metrics import observed
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), F.when(F.col("id") % 100 == 0, None).otherwise(F.col("id")).alias("k")
+    )
+    df2, obs = observed(
+        df,
+        n_rows=F.count(F.lit(1)),
+        null_keys=F.sum(F.col("k").isNull().cast("long")),
+    )
+    assert df2.count() == 1000
+    got = obs.get
+    assert got == {"n_rows": 1000, "null_keys": 10}
+
+
+def test_observed_stream_metrics_per_batch(spark, tmp_path):
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.metrics import observed_stream
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    d = tmp_path / "obs"
+    d.mkdir()
+    for i in range(2):
+        sub = str(tmp_path / f"s{i}")
+        spark.range(i * 10, i * 10 + 10).selectExpr("id AS v").coalesce(
+            1
+        ).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = str(d / f"{i:04d}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (2000 + i, 2000 + i))
+    stream = observed_stream(
+        file_replay(spark, str(d), "v long", files_per_trigger=1),
+        "quality",
+        n_rows=F.count(F.lit(1)),
+        max_v=F.max("v"),
+    )
+    name = "obs_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    per_batch = [
+        p["observedMetrics"]["quality"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("quality")
+    ]
+    q.stop()
+    assert {(m["n_rows"], m["max_v"]) for m in per_batch} == {(10, 9), (10, 19)}
