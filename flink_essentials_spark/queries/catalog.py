@@ -702,6 +702,8 @@ _REGISTRY: list[Query] = [
     Query("rfm_segments", relational.q_rfm_segments, relational.Q_RFM_SEGMENTS_SQL),
     Query("skew_report", relational.q_skew_report, relational.Q_SKEW_REPORT_SQL),
     Query("fk_audit", relational.q_fk_audit, relational.Q_FK_AUDIT_SQL),
+    Query("event_transitions", dataflow.q_event_transitions, dataflow.Q_EVENT_TRANSITIONS_SQL),
+    Query("interarrival_stats", dataflow.q_interarrival_stats, dataflow.Q_INTERARRIVAL_STATS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -855,3 +855,92 @@ SELECT s.user_id,
        c.purchase_ts IS NOT NULL AS converted
 FROM first_signup s LEFT JOIN first_conv c ON s.user_id = c.user_id
 """
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-sequence mining: per-user event-type transition counts
+    (the Markov matrix funnels and recommender features start from).
+    One lag() window per user over time order — ties broken by
+    event_id so the sequence is total-ordered and engine-identical."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.unix_millis("ts"), "event_id"
+    )
+    seq = t["events"].select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+Q_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         ) AS prev_type,
+         event_type AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interarrival-gap statistics (engagement cadence): gaps
+    from one lag() pass (integer ms), then count / exact mean (integer
+    sum ÷ count, one division) / exact median (type-7) / max per user
+    — aggregated once more into a per-event-type cadence profile? No:
+    per-user rows keep the window partitioned and the oracle direct."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.unix_millis("ts"), "event_id")
+    gaps = t["events"].select(
+        "user_id",
+        (
+            F.unix_millis("ts")
+            - F.lag(F.unix_millis("ts")).over(w)
+        ).alias("gap_ms"),
+    )
+    return (
+        gaps.filter(F.col("gap_ms").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (F.sum("gap_ms").cast("double") / F.count(F.lit(1))).alias(
+                "mean_gap_ms"
+            ),
+            F.percentile("gap_ms", F.lit(0.5)).alias("median_gap_ms"),
+            F.max("gap_ms").alias("max_gap_ms"),
+        )
+    )
+
+
+Q_INTERARRIVAL_STATS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         ) AS gap_ms
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_ms) AS DOUBLE) / COUNT(*) AS mean_gap_ms,
+       quantile_cont(gap_ms, 0.5) AS median_gap_ms,
+       MAX(gap_ms) AS max_gap_ms
+FROM gaps WHERE gap_ms IS NOT NULL
+GROUP BY user_id
+"""
