@@ -902,3 +902,63 @@ def bigram_lm_score(
             6,
         ).alias("avg_log2_prob"),
     )
+
+
+def pmi_pairs(
+    df,
+    min_doc_freq: int = 10,
+    min_pair_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information over co-occurring term pairs —
+    the collocation/phrase-mining statistic (tokenizer merge
+    candidates, retrieval query expansion). PMI = log2(N·c_ab /
+    (c_a·c_b)) over document-level co-occurrence.
+
+    Scale bounds are explicit: the pair self-join runs over the
+    FREQUENT vocabulary only (doc_freq ≥ ``min_doc_freq``), so the
+    per-doc pair explosion is Σ k² with k = frequent terms per doc,
+    not vocabulary²; ``min_pair_count`` prunes the long tail before
+    the count table materializes. All counts are exact integers; the
+    one log2 is rounded to 6 (libm, the char_entropy precedent)."""
+    toks = tokenize(F.col(text_col))
+    dt = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(toks)).alias("word")
+    )
+    freq = (
+        dt.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_doc_freq)
+    )
+    ft = dt.join(F.broadcast(freq.select("word")), "word")
+    a = ft.select("doc_id", F.col("word").alias("word_a"))
+    b = ft.select("doc_id", F.col("word").alias("word_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pair_count)
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    fa = freq.select(F.col("word").alias("word_a"), F.col("c").alias("c_a"))
+    fb = freq.select(F.col("word").alias("word_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(fa), "word_a")
+        .join(F.broadcast(fb), "word_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word_a",
+            "word_b",
+            "c_ab",
+            F.round(
+                F.log2(
+                    F.col("n_docs").cast("double")
+                    * F.col("c_ab")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -704,6 +704,7 @@ _REGISTRY: list[Query] = [
     Query("fk_audit", relational.q_fk_audit, relational.Q_FK_AUDIT_SQL),
     Query("event_transitions", dataflow.q_event_transitions, dataflow.Q_EVENT_TRANSITIONS_SQL),
     Query("interarrival_stats", dataflow.q_interarrival_stats, dataflow.Q_INTERARRIVAL_STATS_SQL),
+    Query("pmi_pairs", llmdata.q_pmi_pairs, llmdata.Q_PMI_PAIRS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -2383,3 +2383,30 @@ SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
 FROM bi d JOIN lm l USING (bigram)
 GROUP BY d.doc_id
 """
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (text.pmi_pairs): PMI over document-level
+    co-occurrence of the frequent vocabulary (doc_freq ≥ 10, pair
+    count ≥ 5)."""
+    return text.pmi_pairs(load_tables(spark, sf_dir)["documents"])
+
+
+Q_PMI_PAIRS_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents
+), freq AS (
+  SELECT word, COUNT(*) AS c FROM dt GROUP BY word HAVING COUNT(*) >= 10
+), ft AS (
+  SELECT d.doc_id, d.word FROM dt d JOIN freq USING (word)
+), pairs AS (
+  SELECT a.word AS word_a, b.word AS word_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT word_a, word_b, c_ab,
+       round(log2(CAST(n_docs AS DOUBLE) * c_ab / (fa.c * fb.c)), 6) AS pmi
+FROM pairs
+JOIN freq fa ON word_a = fa.word
+JOIN freq fb ON word_b = fb.word, n
+"""

@@ -218,6 +218,7 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "rfm_segments": {"BroadcastNestedLoopJoin"},  # one-row medians
         "skew_report": {"BroadcastNestedLoopJoin"},  # one-row totals
         "fk_audit": {"BroadcastNestedLoopJoin"},  # one-row orphan counts
+        "pmi_pairs": {"BroadcastNestedLoopJoin"},  # one-row doc total
     }
     offenders = {}
     for name in ALL_QUERIES:
