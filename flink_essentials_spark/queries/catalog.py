@@ -509,7 +509,13 @@ _REGISTRY: list[Query] = [
     Query("keyed_tumbling_windows", dataflow.q_keyed_tumbling_windows, dataflow.Q_KEYED_TUMBLING_WINDOWS_SQL),
     Query("sliding_windows", dataflow.q_sliding_windows, dataflow.Q_SLIDING_WINDOWS_SQL),
     Query("session_windows", dataflow.q_session_windows, dataflow.Q_SESSION_WINDOWS_SQL),
-    Query("global_count_windows", dataflow.q_global_count_windows, dataflow.Q_GLOBAL_COUNT_WINDOWS_SQL),
+    # ROTATION (r5b): global_count_windows demoted (W5 family keeps
+    # the tail _all twin locally oracle-checked + the driver-green
+    # count_trigger_fires on the same count-window machinery). Slot
+    # goes to capped_sessions: the gap+duration-cap stateful op with
+    # the recursive-CTE oracle — semantics session_window cannot
+    # express, in both batch and streaming forms.
+    Query("capped_sessions", llmdata.q_capped_sessions, llmdata.Q_CAPPED_SESSIONS_SQL),
     # --- keyed/rolling agg (§2.4)
     Query("rolling_user_counts", dataflow.q_rolling_user_counts, dataflow.Q_ROLLING_USER_COUNTS_SQL),
     # --- multi-stream (§2.7)
@@ -522,7 +528,12 @@ _REGISTRY: list[Query] = [
     Query("first_window_counts", dataflow.q_first_window_counts, dataflow.Q_FIRST_WINDOW_COUNTS_SQL),
     # --- triggers & evictors (§2.6) — the stateful operator itself under oracle
     Query("count_trigger_fires", dataflow.q_count_trigger_fires, dataflow.Q_COUNT_TRIGGER_FIRES_SQL),
-    Query("count_evictor_fires", dataflow.q_count_evictor_fires, dataflow.Q_COUNT_EVICTOR_FIRES_SQL),
+    # ROTATION (r5b): count_evictor_fires demoted (trigger/evictor
+    # family keeps count_trigger_fires driver-green; the evictor op
+    # stays locally oracle-checked twice: _fires and _after_fires).
+    # Slot goes to link_rank — iterative graph analytics, a plan
+    # family (loop + checkpointed edge reuse) the head never had.
+    Query("link_rank", llmdata.q_link_rank, llmdata.Q_LINK_RANK_SQL),
     # --- in-engine top-k / pivot (EP3 upgrade)
     Query("topk_per_group", dataflow.q_topk_per_group, dataflow.Q_TOPK_PER_GROUP_SQL),
     # --- as-of join + quantiles (extension substrate)
@@ -652,6 +663,8 @@ _REGISTRY: list[Query] = [
     # demoted r5 (see head rotation notes) — still oracle-checked here
     Query("dedup_keep", llmdata.q_dedup_keep, llmdata.Q_DEDUP_KEEP_SQL),
     Query("url_stats", llmdata.q_url_stats, llmdata.Q_URL_STATS_SQL),
+    Query("count_evictor_fires", dataflow.q_count_evictor_fires, dataflow.Q_COUNT_EVICTOR_FIRES_SQL),
+    Query("global_count_windows", dataflow.q_global_count_windows, dataflow.Q_GLOBAL_COUNT_WINDOWS_SQL),
     Query("chunk_dedup", llmdata.q_chunk_dedup, llmdata.Q_CHUNK_DEDUP_SQL),
     Query("length_outliers", llmdata.q_length_outliers, llmdata.Q_LENGTH_OUTLIERS_SQL),
     Query("quantize_embeddings", llmdata.q_quantize_embeddings, llmdata.Q_QUANTIZE_EMBEDDINGS_SQL),
@@ -677,7 +690,6 @@ _REGISTRY: list[Query] = [
     # tail _all twin + pytest), json_props (format parsing also
     # pytest-pinned), session_windows (W4 family keeps
     # streaming_session_windows IF promoted instead).
-    Query("link_rank", llmdata.q_link_rank, llmdata.Q_LINK_RANK_SQL),
     Query("fuzzy_match", llmdata.q_fuzzy_match, llmdata.Q_FUZZY_MATCH_SQL),
     Query("inverted_index", llmdata.q_inverted_index, llmdata.Q_INVERTED_INDEX_SQL),
     Query("media_resize", llmdata.q_media_resize, llmdata.Q_MEDIA_RESIZE_SQL),
@@ -694,7 +706,6 @@ _REGISTRY: list[Query] = [
     Query("min_cost_supplier", relational.q_min_cost_supplier, relational.Q_MIN_COST_SUPPLIER_SQL),
     Query("sole_supplier_returns", relational.q_sole_supplier_returns, relational.Q_SOLE_SUPPLIER_RETURNS_SQL),
     Query("curriculum_mix", llmdata.q_curriculum_mix, llmdata.Q_CURRICULUM_MIX_SQL),
-    Query("capped_sessions", llmdata.q_capped_sessions, llmdata.Q_CAPPED_SESSIONS_SQL),
     Query("kfold", llmdata.q_kfold, llmdata.Q_KFOLD_SQL),
     Query("length_batches", llmdata.q_length_batches, llmdata.Q_LENGTH_BATCHES_SQL),
     Query("boilerplate", llmdata.q_boilerplate, llmdata.Q_BOILERPLATE_SQL),
