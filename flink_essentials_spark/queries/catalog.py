@@ -681,15 +681,16 @@ _REGISTRY: list[Query] = [
     Query("salted_user_totals", llmdata.q_salted_user_totals, llmdata.Q_SALTED_USER_TOTALS_SQL),
     Query("doc_length_quantiles", llmdata.q_doc_length_quantiles, llmdata.Q_DOC_LENGTH_QUANTILES_SQL),
     # new r5 breadth ops (tail: head is full; see rotation notes).
-    # r6 PROMOTION CANDIDATES, in priority order: link_rank (iterative
-    # graph family — nothing like it in the head), normalize_unicode
-    # (the only cross-ICU Python-stage oracle), scd2_intervals
-    # (dimension-build family), fuzzy_match (entity resolution).
-    # Demotion candidates: count_evictor_fires (trigger family would
-    # keep count_trigger_fires), global_count_windows (W5 keeps the
-    # tail _all twin + pytest), json_props (format parsing also
-    # pytest-pinned), session_windows (W4 family keeps
-    # streaming_session_windows IF promoted instead).
+    # link_rank + capped_sessions were promoted r5b (count_evictor_fires
+    # and global_count_windows demoted). r6 PROMOTION CANDIDATES, in
+    # priority order: normalize_unicode (the only cross-ICU
+    # Python-stage oracle), scd2_intervals (dimension-build family),
+    # fuzzy_match (entity resolution), char_dups (substring-dedup
+    # family), skew_report (ops observability). Demotion candidates:
+    # json_props (format parsing also pytest-pinned), session_windows
+    # (W4 family keeps streaming_session_windows in the local gate),
+    # wordcount (EP2 family: streaming_wordcount tail twin + tokenize
+    # pinned by many head rows).
     Query("fuzzy_match", llmdata.q_fuzzy_match, llmdata.Q_FUZZY_MATCH_SQL),
     Query("inverted_index", llmdata.q_inverted_index, llmdata.Q_INVERTED_INDEX_SQL),
     Query("media_resize", llmdata.q_media_resize, llmdata.Q_MEDIA_RESIZE_SQL),
