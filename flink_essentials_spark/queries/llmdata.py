@@ -1769,9 +1769,9 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     container → decode again for features. DuckDB predicts every
     resized pixel from the generator formula: resized position
     j ∈ [0,24) maps to source linear index
-    i = ((j÷12·h÷2)·w + (j%12÷3)·(w÷4)·?…) — see the SQL — and the
-    value is (doc_id + i) % 256; the 4|w and 2|h guarantees make the
-    floor mapping exact. Chained double mapInPandas (resize → decode),
+    i = (src_y*w + src_x)*3 + c with src = dst*in//out — see the SQL —
+    and the value is (doc_id + i) % 256; the 4|w and 2|h guarantees keep
+    the floor mapping exact. Chained double mapInPandas (resize → decode),
     both Arrow; JPEG rows are excluded because re-encoding at q90 is
     lossy by design (covered by round-trip tolerance tests)."""
     from flink_essentials_spark.functions import codecs, png
