@@ -524,3 +524,54 @@ def quantize_embeddings(
             "max_err",
         )
     )
+
+
+def source_centroid_cosines(
+    docs: DataFrame,
+    emb: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Domain-shift diagnostics: per-group embedding centroid, then the
+    pairwise cosine between group centroids — the quick answer to "is
+    crawl B just crawl A again?" at the distribution level (the
+    per-document answer is the near-dup path).
+
+    Plan: one posexplode to (group, dim, value) — the shuffle key is
+    (group, dim), so centroid computation is fully parallel and never
+    materializes a vector per group in one task; centroid components
+    round to 6 (mean accumulation order differs per engine) and the
+    pair cosine is computed FROM the rounded components (identical
+    inputs → identical outputs) with one dim-keyed self-join bounded by
+    groups², then rounded again."""
+    joined = emb.join(
+        docs.select(F.col(id_col).alias(vec_id_col), F.col(group_col).alias("g")),
+        vec_id_col,
+    )
+    dims = (
+        joined.select(
+            "g",
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v"),
+        )
+        .groupBy("g", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    a = dims.select(F.col("g").alias("source_a"), "dim", F.col("c").alias("ca"))
+    b = dims.select(F.col("g").alias("source_b"), "dim", F.col("c").alias("cb"))
+    return (
+        a.join(b, "dim")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                6,
+            ).alias("centroid_cos")
+        )
+    )

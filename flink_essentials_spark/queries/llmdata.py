@@ -2410,3 +2410,31 @@ FROM pairs
 JOIN freq fa ON word_a = fa.word
 JOIN freq fb ON word_b = fb.word, n
 """
+
+
+def q_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-level source overlap
+    (similarity.source_centroid_cosines): pairwise cosine between
+    per-source embedding centroids — the domain-shift twin of the
+    shingle-level source_overlap audit."""
+    t = load_tables(spark, sf_dir)
+    return similarity.source_centroid_cosines(t["documents"], t["embeddings"])
+
+
+Q_SOURCE_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), j AS (
+  SELECT d.source AS g, e.v FROM e JOIN documents d ON e.vec_id = d.doc_id
+), dims AS (
+  SELECT g, i - 1 AS dim, round(SUM(v[i]) / COUNT(*), 6) AS c
+  FROM j, unnest(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT a.g AS source_a, b.g AS source_b,
+       round(SUM(a.c * b.c)
+             / (sqrt(SUM(a.c * a.c)) * sqrt(SUM(b.c * b.c))), 6)
+         AS centroid_cos
+FROM dims a JOIN dims b ON a.dim = b.dim AND a.g < b.g
+GROUP BY 1, 2
+"""
