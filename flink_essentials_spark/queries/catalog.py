@@ -718,6 +718,7 @@ _REGISTRY: list[Query] = [
     Query("interarrival_stats", dataflow.q_interarrival_stats, dataflow.Q_INTERARRIVAL_STATS_SQL),
     Query("pmi_pairs", llmdata.q_pmi_pairs, llmdata.Q_PMI_PAIRS_SQL),
     Query("source_centroids", llmdata.q_source_centroids, llmdata.Q_SOURCE_CENTROIDS_SQL),
+    Query("revenue_concentration", relational.q_revenue_concentration, relational.Q_REVENUE_CONCENTRATION_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -844,3 +844,58 @@ SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
 FROM orders
 """
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / revenue-concentration report: customers bucket into
+    spend deciles and each decile reports its customer count, exact
+    total spend, and share of all revenue — the 'top 10% of customers
+    drive X%' analysis. The nine decile cuts are ONE one-row quantile
+    aggregate broadcast back (no global ntile sort); bucket = 1 +
+    count of cuts strictly below the spend, an exact comparison of a
+    cents-integer against type-7 quantiles that both engines
+    interpolate identically."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("spend_c"))
+    )
+    cuts = per_cust.agg(
+        F.percentile(
+            "spend_c",
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+        ).alias("cuts"),
+        F.sum("spend_c").alias("total_c"),
+    )
+    bucketed = per_cust.crossJoin(F.broadcast(cuts)).select(
+        (
+            1 + F.size(F.filter("cuts", lambda d: F.col("spend_c") > d))
+        ).alias("decile"),
+        "spend_c",
+        "total_c",
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend_c").alias("decile_spend_c"),
+        (F.sum("spend_c").cast("double") / F.first("total_c")).alias("share"),
+    )
+
+
+Q_REVENUE_CONCENTRATION_SQL = f"""
+WITH pc AS (
+  SELECT o_custkey, CAST(SUM({sql_cents("o_totalprice")}) AS BIGINT) AS spend_c
+  FROM orders GROUP BY o_custkey
+), cuts AS (
+  SELECT quantile_cont(spend_c,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q,
+         CAST(SUM(spend_c) AS BIGINT) AS total_c
+  FROM pc
+)
+SELECT 1 + len(list_filter(q, d -> spend_c > d)) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(spend_c) AS BIGINT) AS decile_spend_c,
+       CAST(SUM(spend_c) AS DOUBLE) / any_value(total_c) AS share
+FROM pc, cuts
+GROUP BY 1
+"""

@@ -219,6 +219,7 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "skew_report": {"BroadcastNestedLoopJoin"},  # one-row totals
         "fk_audit": {"BroadcastNestedLoopJoin"},  # one-row orphan counts
         "pmi_pairs": {"BroadcastNestedLoopJoin"},  # one-row doc total
+        "revenue_concentration": {"BroadcastNestedLoopJoin"},  # one-row cuts
     }
     offenders = {}
     for name in ALL_QUERIES:
