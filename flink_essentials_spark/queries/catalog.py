@@ -719,6 +719,8 @@ _REGISTRY: list[Query] = [
     Query("pmi_pairs", llmdata.q_pmi_pairs, llmdata.Q_PMI_PAIRS_SQL),
     Query("source_centroids", llmdata.q_source_centroids, llmdata.Q_SOURCE_CENTROIDS_SQL),
     Query("revenue_concentration", relational.q_revenue_concentration, relational.Q_REVENUE_CONCENTRATION_SQL),
+    Query("order_lines_integrity", relational.q_order_lines_integrity, relational.Q_ORDER_LINES_INTEGRITY_SQL),
+    Query("active_users", relational.q_active_users, relational.Q_ACTIVE_USERS_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

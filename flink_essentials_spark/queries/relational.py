@@ -899,3 +899,86 @@ SELECT 1 + len(list_filter(q, d -> spend_c > d)) AS decile,
 FROM pc, cuts
 GROUP BY 1
 """
+
+
+def q_order_lines_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit (the other half of fk_audit): per
+    order, l_linenumber must be exactly 1..n — count==max and min==1
+    and distinct==count. One aggregate over lineitem, one tiny summary
+    groupBy; emits one row per integrity class so the report is
+    non-vacuous even when every order is well-formed."""
+    t = load_tables(spark, sf_dir)
+    per_order = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_linenumber").alias("mn"),
+            F.max("l_linenumber").alias("mx"),
+            F.count_distinct("l_linenumber").alias("nd"),
+        )
+    )
+    classed = per_order.select(
+        (
+            (F.col("mn") == 1)
+            & (F.col("mx") == F.col("n"))
+            & (F.col("nd") == F.col("n"))
+        ).alias("is_complete")
+    )
+    return classed.groupBy("is_complete").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+Q_ORDER_LINES_INTEGRITY_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n, MIN(l_linenumber) AS mn,
+         MAX(l_linenumber) AS mx, COUNT(DISTINCT l_linenumber) AS nd
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT (mn = 1 AND mx = n AND nd = n) AS is_complete,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM per_order GROUP BY 1
+"""
+
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic active users + churn overlap: distinct users per 7-day
+    integer epoch bucket (calendar-free — the week-start/TZ drift
+    gotcha), plus how many were also active the PREVIOUS bucket
+    (retained) via a self-join on bucket+1. Distinct counts and integer
+    buckets — exact everywhere."""
+    t = load_tables(spark, sf_dir)
+    wk = (F.unix_millis("ts") / F.lit(604800000)).cast("long")
+    ub = t["events"].select(wk.alias("wk"), "user_id").distinct()
+    cur = ub.groupBy("wk").agg(F.count(F.lit(1)).alias("active_users"))
+    ret = (
+        ub.alias("a")
+        .join(
+            ub.select((F.col("wk") + 1).alias("wk"), "user_id").alias("b"),
+            ["wk", "user_id"],
+        )
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("retained_users"))
+    )
+    return cur.join(ret, "wk", "left").select(
+        "wk",
+        "active_users",
+        F.coalesce("retained_users", F.lit(0)).alias("retained_users"),
+    )
+
+
+Q_ACTIVE_USERS_SQL = """
+WITH ub AS (
+  SELECT DISTINCT epoch_ms(ts) // 604800000 AS wk, user_id FROM events
+), cur AS (
+  SELECT wk, CAST(COUNT(*) AS BIGINT) AS active_users FROM ub GROUP BY wk
+), ret AS (
+  SELECT a.wk, CAST(COUNT(*) AS BIGINT) AS retained_users
+  FROM ub a JOIN (SELECT wk + 1 AS wk, user_id FROM ub) b
+    ON a.wk = b.wk AND a.user_id = b.user_id
+  GROUP BY a.wk
+)
+SELECT c.wk, c.active_users, COALESCE(r.retained_users, 0) AS retained_users
+FROM cur c LEFT JOIN ret r ON c.wk = r.wk
+"""
