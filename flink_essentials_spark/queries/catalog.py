@@ -721,6 +721,8 @@ _REGISTRY: list[Query] = [
     Query("revenue_concentration", relational.q_revenue_concentration, relational.Q_REVENUE_CONCENTRATION_SQL),
     Query("order_lines_integrity", relational.q_order_lines_integrity, relational.Q_ORDER_LINES_INTEGRITY_SQL),
     Query("active_users", relational.q_active_users, relational.Q_ACTIVE_USERS_SQL),
+    Query("length_percentiles", llmdata.q_length_percentiles, llmdata.Q_LENGTH_PERCENTILES_SQL),
+    Query("oov_rate", llmdata.q_oov_rate, llmdata.Q_OOV_RATE_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

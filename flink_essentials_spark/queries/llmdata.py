@@ -2438,3 +2438,79 @@ SELECT a.g AS source_a, b.g AS source_b,
 FROM dims a JOIN dims b ON a.dim = b.dim AND a.g < b.g
 GROUP BY 1, 2
 """
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cumulative length distribution probe: percent_rank of
+    n_chars within each source for the doc_id % 50 == 0 sample rows —
+    (rank-1)/(n-1) is exact integer arithmetic, the window is
+    partitioned by source (never global), and the sampled output keeps
+    the row count bounded at any SF."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id", "source", "n_chars", F.percent_rank().over(w).alias("pr")
+    )
+    return ranked.filter(F.col("doc_id") % 50 == 0)
+
+
+Q_LENGTH_PERCENTILES_SQL = """
+SELECT doc_id, source, n_chars, pr FROM (
+  SELECT doc_id, source, n_chars,
+         percent_rank() OVER (
+           PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+  FROM documents
+) WHERE doc_id % 50 = 0
+"""
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-20 words by corpus
+    frequency (deterministic count-desc/word-asc cut), broadcast it,
+    and report each document's out-of-vocabulary token rate — the
+    eval run before shipping any tokenizer. Exact integers + one
+    division."""
+    from flink_essentials_spark.operators.transform import tokenize
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "word")
+        .limit(20)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    per_tok = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    ).join(F.broadcast(vocab), "word", "left")
+    return per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+        (
+            F.sum(F.col("in_vocab").isNull().cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )
+
+
+Q_OOV_RATE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents
+), vocab AS (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS c FROM words GROUP BY word
+    ORDER BY c DESC, word LIMIT 20
+  )
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS oov_rate
+FROM words w LEFT JOIN vocab v ON w.word = v.word
+GROUP BY doc_id
+"""
