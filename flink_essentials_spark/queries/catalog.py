@@ -723,6 +723,7 @@ _REGISTRY: list[Query] = [
     Query("active_users", relational.q_active_users, relational.Q_ACTIVE_USERS_SQL),
     Query("length_percentiles", llmdata.q_length_percentiles, llmdata.Q_LENGTH_PERCENTILES_SQL),
     Query("oov_rate", llmdata.q_oov_rate, llmdata.Q_OOV_RATE_SQL),
+    Query("lsh_recall", llmdata.q_lsh_recall, llmdata.Q_LSH_RECALL_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -2514,3 +2514,57 @@ SELECT doc_id,
 FROM words w LEFT JOIN vocab v ON w.word = v.word
 GROUP BY doc_id
 """
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-path self-evaluation: the LSH near-dup pipeline's
+    RECALL against the exact Jaccard ground truth at the same
+    threshold (0.5) — n_exact, n_lsh, n_common, and recall =
+    common/exact as one audited row. This is the measurement that
+    justifies shipping the sub-quadratic path at 100 TB; precision is
+    1.0 by construction (the LSH pipeline exact-verifies its
+    candidates), so recall is the open question. Exact integer counts,
+    one division."""
+    t = load_tables(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(t["documents"], n=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    lsh = dedup.lsh_near_dup_pairs(
+        t["documents"], n=3, num_hashes=16, bands=4, threshold=0.5
+    ).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_common = exact.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_exact")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+Q_LSH_RECALL_SQL = f"""
+WITH exact_pairs AS (
+  SELECT doc_a, doc_b FROM ({Q_DEDUP_JACCARD_SQL})
+), lsh_pairs AS (
+  SELECT doc_a, doc_b FROM ({Q_LSH_NEAR_DUPS_SQL})
+), c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM exact_pairs e JOIN lsh_pairs l
+    ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_pairs) AS n_exact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh_pairs) AS n_lsh,
+       n_common,
+       CAST(n_common AS DOUBLE)
+         / (SELECT COUNT(*) FROM exact_pairs) AS recall
+FROM c
+"""

@@ -220,6 +220,7 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "fk_audit": {"BroadcastNestedLoopJoin"},  # one-row orphan counts
         "pmi_pairs": {"BroadcastNestedLoopJoin"},  # one-row doc total
         "revenue_concentration": {"BroadcastNestedLoopJoin"},  # one-row cuts
+        "lsh_recall": {"BroadcastNestedLoopJoin"},  # three one-row counts
     }
     offenders = {}
     for name in ALL_QUERIES:
