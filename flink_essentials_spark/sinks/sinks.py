@@ -268,3 +268,40 @@ def upsert_parquet(
         "rows_inserted": n_after - n_before,
         "rows_after": n_after,
     }
+
+
+def erase_keys(
+    spark, path: str, keys_df: DataFrame, key_cols: list[str]
+) -> dict:
+    """Keyed erasure — the right-to-be-forgotten / takedown primitive:
+    rewrite a parquet directory WITHOUT any row matching the given key
+    set (left-anti join), using the same crash-safe two-rename swap as
+    upsert_parquet. At 100 TB: partition the layout on (a prefix of)
+    the erasure key and rewrite only affected partitions; with a table
+    format, use its delete API — this is the plain-parquet unit both
+    reduce to.
+
+    Returns {"rows_before", "rows_erased", "rows_after"}.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    current = spark.read.parquet(path)
+    kept = current.join(
+        keys_df.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    dest = tempfile.mkdtemp(prefix="erase_", dir=os.path.dirname(path.rstrip("/")))
+    kept.write.mode("overwrite").parquet(dest)
+    n_before = current.count()
+    n_after = spark.read.parquet(dest).count()
+    old = path.rstrip("/") + ".preerase-" + _uuid.uuid4().hex[:8]
+    os.rename(path, old)
+    os.rename(dest, path)
+    shutil.rmtree(old)
+    return {
+        "rows_before": n_before,
+        "rows_erased": n_before - n_after,
+        "rows_after": n_after,
+    }

@@ -252,3 +252,24 @@ def test_streaming_cdc_apply_via_foreachbatch_upsert(spark, tmp_path):
     q.stop()
     got = {r["k"]: r["v"] for r in spark.read.parquet(dim).collect()}
     assert got == {1: 10, 2: 21, 3: 31, 4: 40}
+
+
+def test_erase_keys_removes_all_matching_rows(spark, tmp_path):
+    """Right-to-be-forgotten: every row for the erased keys is gone,
+    everything else byte-identical, backup cleaned up."""
+    import glob
+
+    from flink_essentials_spark.sinks.sinks import erase_keys
+
+    path = str(tmp_path / "events")
+    spark.createDataFrame(
+        [(u, i, f"payload-{u}-{i}") for u in range(5) for i in range(10)],
+        "user_id long, seq long, payload string",
+    ).write.parquet(path)
+    to_erase = spark.createDataFrame([(1,), (3,)], "user_id long")
+    stats = erase_keys(spark, path, to_erase, ["user_id"])
+    assert stats == {"rows_before": 50, "rows_erased": 20, "rows_after": 30}
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("user_id").isin(1, 3)).count() == 0
+    assert back.count() == 30
+    assert not glob.glob(path + ".preerase-*")
