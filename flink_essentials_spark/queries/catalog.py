@@ -724,6 +724,8 @@ _REGISTRY: list[Query] = [
     Query("length_percentiles", llmdata.q_length_percentiles, llmdata.Q_LENGTH_PERCENTILES_SQL),
     Query("oov_rate", llmdata.q_oov_rate, llmdata.Q_OOV_RATE_SQL),
     Query("lsh_recall", llmdata.q_lsh_recall, llmdata.Q_LSH_RECALL_SQL),
+    Query("user_features", llmdata.q_user_features, llmdata.Q_USER_FEATURES_SQL),
+    Query("sql_surface", llmdata.q_sql_surface, llmdata.Q_SQL_SURFACE_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -2568,3 +2568,71 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_pairs) AS n_exact,
          / (SELECT COUNT(*) FROM exact_pairs) AS recall
 FROM c
 """
+
+
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature-table build — the training-data
+    materialization every ML pipeline runs: per-user features computed
+    ONLY from events strictly before a fixed cutoff (mid-range
+    constant), so no post-cutoff leakage can reach a model trained on
+    the table. One filtered scan → one groupBy; every feature is
+    exact (integer counts/ms, exact-decimal value sum → one
+    division). The as-of join family handles the per-example dynamic
+    cutoff; this is the single-cutoff batch form."""
+    from flink_essentials_spark.queries.util import dec
+
+    cutoff_ms = 1705276800000  # 2024-01-15 UTC, mid-range of events
+    ev = load_tables(spark, sf_dir)["events"]
+    pre = ev.filter(F.unix_millis("ts") < cutoff_ms)
+    return pre.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.unix_millis("ts")).alias("last_seen_ms"),
+        F.count_distinct("event_type").alias("n_event_types"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+        (
+            F.sum(dec("value")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )
+
+
+Q_USER_FEATURES_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(epoch_ms(ts)) AS last_seen_ms,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_value
+FROM events
+WHERE epoch_ms(ts) < 1705276800000
+GROUP BY user_id
+"""
+
+
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end end-to-end: tables registered as temp views
+    and the query expressed as ONE spark.sql() string (same Catalyst
+    plan as the DataFrame form — this row proves the surface, the
+    others prove the operators). ANSI-portable text, so the oracle is
+    the nearly-identical statement."""
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("v_orders")
+    t["customer"].createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o.o_custkey) AS n_customers
+        FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+Q_SQL_SURFACE_SQL = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
