@@ -726,6 +726,7 @@ _REGISTRY: list[Query] = [
     Query("lsh_recall", llmdata.q_lsh_recall, llmdata.Q_LSH_RECALL_SQL),
     Query("user_features", llmdata.q_user_features, llmdata.Q_USER_FEATURES_SQL),
     Query("sql_surface", llmdata.q_sql_surface, llmdata.Q_SQL_SURFACE_SQL),
+    Query("null_safe_join", dataflow.q_null_safe_join, dataflow.Q_NULL_SAFE_JOIN_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -944,3 +944,43 @@ SELECT user_id,
 FROM gaps WHERE gap_ms IS NOT NULL
 GROUP BY user_id
 """
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-key join semantics end-to-end: a nullable bucket key
+    (every 97th event's key is NULL — dirty-dimension reality) joined
+    to a dimension that includes a NULL row, with Spark's eqNullSafe
+    (<=>) so NULL matches NULL instead of dropping — then counts per
+    dimension label. The oracle uses DuckDB's IS NOT DISTINCT FROM,
+    the ANSI spelling of the same operator; a plain equi-join would
+    silently lose the 103 NULL-key events, which the 'unknown' row
+    makes visible."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.when(F.col("event_id") % 97 == 0, None)
+        .otherwise(F.col("user_id") % 20)
+        .cast("long")
+        .alias("k")
+    )
+    dim_rows = [(i, f"bucket-{i}") for i in range(20)] + [(None, "unknown")]
+    dim = spark.createDataFrame(dim_rows, "k long, label string")
+    return (
+        ev.join(F.broadcast(dim), ev["k"].eqNullSafe(dim["k"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+Q_NULL_SAFE_JOIN_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 97 = 0 THEN NULL
+              ELSE user_id % 20 END AS k
+  FROM events
+), dim AS (
+  SELECT unnest(range(20)) AS k, 'bucket-' || unnest(range(20)) AS label
+  UNION ALL SELECT NULL, 'unknown'
+)
+SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ev e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+GROUP BY d.label
+"""
