@@ -273,3 +273,40 @@ def test_erase_keys_removes_all_matching_rows(spark, tmp_path):
     assert back.filter(F.col("user_id").isin(1, 3)).count() == 0
     assert back.count() == 30
     assert not glob.glob(path + ".preerase-*")
+
+
+def test_versioned_store_snapshots_rollback_and_crash_safety(spark, tmp_path):
+    """Versioned store: committed-pointer reads, time travel, instant
+    rollback, vacuum retention — and crash safety: a fully-written but
+    UNCOMMITTED version directory is invisible to readers."""
+    import os
+
+    import pytest
+
+    from flink_essentials_spark.sinks import versioned as V
+
+    base = str(tmp_path / "tbl")
+    v1 = V.write_version(spark, base, spark.range(0, 10).selectExpr("id AS v"))
+    v2 = V.write_version(spark, base, spark.range(0, 20).selectExpr("id AS v"))
+    assert (v1, v2) == (1, 2)
+    assert V.read_current(spark, base).count() == 20
+    assert V.read_version(spark, base, 1).count() == 10  # time travel
+
+    # crash simulation: data dir appears without a pointer commit
+    spark.range(0, 99).selectExpr("id AS v").write.parquet(
+        os.path.join(base, "v=3")
+    )
+    assert V.read_current(spark, base).count() == 20  # still v2
+    # the next writer skips past the orphan (no overwrite of v=3)
+    v4 = V.write_version(spark, base, spark.range(0, 5).selectExpr("id AS v"))
+    assert v4 == 4 and V.read_current(spark, base).count() == 5
+
+    V.rollback(base, 1)
+    assert V.read_current(spark, base).count() == 10
+    with pytest.raises(FileNotFoundError):
+        V.read_version(spark, base, 9)
+
+    removed = V.vacuum(base, keep=1)
+    # committed v1 must survive even though it is old
+    assert 1 not in removed
+    assert V.read_current(spark, base).count() == 10
