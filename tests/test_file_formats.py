@@ -310,3 +310,49 @@ def test_versioned_store_snapshots_rollback_and_crash_safety(spark, tmp_path):
     # committed v1 must survive even though it is old
     assert 1 not in removed
     assert V.read_current(spark, base).count() == 10
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    """Two incremental refreshes must equal the one-shot aggregate over
+    the concatenated history — for count, sum, min and max — and each
+    refresh commits a readable snapshot (time-travelable)."""
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.sinks import versioned as V
+
+    base = str(tmp_path / "rollup")
+    b1 = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 10)], "k string, v long"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 3), ("b", 2), ("c", 7)], "k string, v long"
+    )
+    aggs = {
+        "n": ("count", None),
+        "total": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    v1 = refresh_rollup(spark, base, b1, ["k"], aggs)
+    v2 = refresh_rollup(spark, base, b2, ["k"], aggs)
+    assert (v1, v2) == (1, 2)
+
+    got = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in V.read_current(spark, base).collect()
+    }
+    full = b1.unionByName(b2)
+    want = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in full.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
+    # snapshot 1 is still the batch-1-only rollup
+    snap1 = {r["k"]: r["n"] for r in V.read_version(spark, base, 1).collect()}
+    assert snap1 == {"a": 2, "b": 1}
