@@ -727,6 +727,8 @@ _REGISTRY: list[Query] = [
     Query("user_features", llmdata.q_user_features, llmdata.Q_USER_FEATURES_SQL),
     Query("sql_surface", llmdata.q_sql_surface, llmdata.Q_SQL_SURFACE_SQL),
     Query("null_safe_join", dataflow.q_null_safe_join, dataflow.Q_NULL_SAFE_JOIN_SQL),
+    Query("grouping_sets", dataflow.q_grouping_sets, dataflow.Q_GROUPING_SETS_SQL),
+    Query("weekly_growth", dataflow.q_weekly_growth, dataflow.Q_WEEKLY_GROWTH_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

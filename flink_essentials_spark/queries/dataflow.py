@@ -984,3 +984,78 @@ SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM ev e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
 GROUP BY d.label
 """
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS beyond ROLLUP/CUBE: the (event_type),
+    (user bucket), and grand-total aggregates in ONE pass — disjoint
+    dimension slices a rollup cannot express — with grouping_id
+    disambiguating NULL-as-slice from NULL-as-value. Single shuffle,
+    Catalyst expands the sets."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket"), "event_id"
+    )
+    return (
+        ev.groupingSets(
+            [["event_type"], ["user_bucket"], []],
+            "event_type",
+            "user_bucket",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT event_type, user_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(event_type, user_bucket) AS BIGINT) AS gid
+FROM (SELECT event_type, user_id % 10 AS user_bucket FROM events)
+GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+"""
+
+
+def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week order-volume growth: integer 7-day epoch buckets
+    (calendar-free), then lag() over the AGGREGATED series — the
+    unpartitioned window is over weeks, not rows, so it is a few dozen
+    rows at any SF (the scale-safe place for a global window). Growth
+    divides two exact integers."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    wk = (F.unix_millis(F.col("o_orderdate").cast("timestamp")) / F.lit(604800000)).cast("long")
+    weekly = t["orders"].groupBy(wk.alias("wk")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = W.orderBy("wk")
+    out = weekly.select(
+        "wk",
+        "n_orders",
+        F.lag("n_orders").over(w).alias("prev_orders"),
+    )
+    return out.select(
+        "wk",
+        "n_orders",
+        "prev_orders",
+        (
+            (F.col("n_orders") - F.col("prev_orders")).cast("double")
+            / F.col("prev_orders")
+        ).alias("wow_growth"),
+    )
+
+
+Q_WEEKLY_GROWTH_SQL = """
+WITH weekly AS (
+  SELECT epoch_ms(o_orderdate) // 604800000 AS wk,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT wk, n_orders,
+       lag(n_orders) OVER (ORDER BY wk) AS prev_orders,
+       CAST(n_orders - lag(n_orders) OVER (ORDER BY wk) AS DOUBLE)
+         / lag(n_orders) OVER (ORDER BY wk) AS wow_growth
+FROM weekly
+"""
