@@ -356,3 +356,40 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     # snapshot 1 is still the batch-1-only rollup
     snap1 = {r["k"]: r["n"] for r in V.read_version(spark, base, 1).collect()}
     assert snap1 == {"a": 2, "b": 1}
+
+
+def test_streaming_snapshot_ingestion_via_versioned_store(spark, tmp_path):
+    """foreachBatch + versioned store: every micro-batch commits an
+    immutable snapshot (running rollup), readers always see a complete
+    committed version, and history stays time-travelable per batch."""
+    import os
+
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.sinks import versioned as V
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    base = str(tmp_path / "snap")
+    replay = tmp_path / "in"
+    replay.mkdir()
+    batches = [[("a", 1), ("b", 2)], [("a", 10), ("c", 3)]]
+    for i, rows in enumerate(batches):
+        sub = str(tmp_path / f"s{i}")
+        spark.createDataFrame(rows, "k string, v long").coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = str(replay / f"{i:04d}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (3000 + i, 3000 + i))
+    stream = file_replay(spark, str(replay), "k string, v long", files_per_trigger=1)
+    aggs = {"n": ("count", None), "total": ("sum", "v")}
+    q = for_each_batch(
+        stream, lambda bdf, epoch: refresh_rollup(spark, base, bdf, ["k"], aggs)
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert V.list_versions(base) == [1, 2]
+    cur = {r["k"]: (r["n"], r["total"]) for r in V.read_current(spark, base).collect()}
+    assert cur == {"a": (2, 11), "b": (1, 2), "c": (1, 3)}
+    snap1 = {r["k"]: (r["n"], r["total"]) for r in V.read_version(spark, base, 1).collect()}
+    assert snap1 == {"a": (1, 1), "b": (1, 2)}
