@@ -729,6 +729,7 @@ _REGISTRY: list[Query] = [
     Query("null_safe_join", dataflow.q_null_safe_join, dataflow.Q_NULL_SAFE_JOIN_SQL),
     Query("grouping_sets", dataflow.q_grouping_sets, dataflow.Q_GROUPING_SETS_SQL),
     Query("weekly_growth", dataflow.q_weekly_growth, dataflow.Q_WEEKLY_GROWTH_SQL),
+    Query("timestamp_parsing", llmdata.q_timestamp_parsing, llmdata.Q_TIMESTAMP_PARSING_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -2636,3 +2636,60 @@ SELECT c.c_mktsegment,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """
+
+
+def q_timestamp_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time timestamp parsing under oracle: deterministic date
+    strings (a fifth of them deliberately malformed) go through
+    try_to_timestamp with an explicit pattern — malformed rows become
+    NULL instead of failing the job (the PERMISSIVE counterpart for
+    typed parsing). DuckDB's try_strptime mirrors the semantics;
+    valid rows must agree to the millisecond and the valid/invalid
+    split must match exactly."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    raw = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("not-a-date"))
+        .otherwise(
+            F.concat(
+                F.lit("2024-"),
+                F.lpad(((F.col("doc_id") % 12) + 1).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+            )
+        )
+        .alias("raw"),
+    )
+    parsed = raw.select(
+        "doc_id",
+        F.unix_millis(F.try_to_timestamp(F.col("raw"), F.lit("yyyy-MM-dd"))).alias(
+            "ts_ms"
+        ),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("ts_ms").alias("n_valid"),
+        F.sum(F.col("ts_ms").isNull().cast("long")).alias("n_invalid"),
+        F.min("ts_ms").alias("min_ms"),
+        F.max("ts_ms").alias("max_ms"),
+    )
+
+
+Q_TIMESTAMP_PARSING_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'not-a-date'
+              ELSE '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                   || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         END AS raw
+  FROM documents
+), parsed AS (
+  SELECT doc_id, epoch_ms(try_strptime(raw, '%Y-%m-%d')) AS ts_ms FROM raw
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(ts_ms) AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN ts_ms IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_invalid,
+       MIN(ts_ms) AS min_ms, MAX(ts_ms) AS max_ms
+FROM parsed
+"""
