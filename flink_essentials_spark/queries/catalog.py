@@ -730,6 +730,7 @@ _REGISTRY: list[Query] = [
     Query("grouping_sets", dataflow.q_grouping_sets, dataflow.Q_GROUPING_SETS_SQL),
     Query("weekly_growth", dataflow.q_weekly_growth, dataflow.Q_WEEKLY_GROWTH_SQL),
     Query("timestamp_parsing", llmdata.q_timestamp_parsing, llmdata.Q_TIMESTAMP_PARSING_SQL),
+    Query("price_band_join", relational.q_price_band_join, relational.Q_PRICE_BAND_JOIN_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

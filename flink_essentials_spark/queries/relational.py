@@ -982,3 +982,52 @@ WITH ub AS (
 SELECT c.wk, c.active_users, COALESCE(r.retained_users, 0) AS retained_users
 FROM cur c LEFT JOIN ret r ON c.wk = r.wk
 """
+
+
+def q_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join rewritten as an equi-join — the scale pattern for
+    banded dimensions: joining parts to price bands with
+    `price BETWEEN lo AND hi` plans a nested-loop theta-join; when the
+    bands are REGULAR (width 100 here) each row instead computes its
+    band key arithmetically and hash-joins — linear, broadcastable,
+    and exactly what interval_join does for time. The oracle keeps the
+    declarative BETWEEN form, proving the rewrite preserves semantics.
+    Band edges: cents-integer comparison, so boundary rows cannot
+    straddle engines."""
+    t = load_tables(spark, sf_dir)
+    # band width $5 (500 cents): the testdata's retail prices span
+    # 900.00-999.99, giving ~20 populated bands (checked non-vacuous)
+    bands = spark.range(0, 2000).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 500).alias("lo_c"),
+        ((F.col("id") + 1) * 500 - 1).alias("hi_c"),
+    )
+    parts = t["part"].select(
+        "p_partkey", cents("p_retailprice").alias("price_c")
+    )
+    keyed = parts.select(
+        "p_partkey", "price_c", (F.col("price_c") / 500).cast("long").alias("band_id")
+    )
+    return (
+        keyed.join(F.broadcast(bands), "band_id")
+        .groupBy("band_id", "lo_c", "hi_c")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("price_c").alias("sum_price_c"),
+        )
+    )
+
+
+Q_PRICE_BAND_JOIN_SQL = f"""
+WITH bands AS (
+  SELECT i AS band_id, i * 500 AS lo_c, (i + 1) * 500 - 1 AS hi_c
+  FROM (SELECT unnest(range(2000)) AS i)
+), parts AS (
+  SELECT p_partkey, {sql_cents("p_retailprice")} AS price_c FROM part
+)
+SELECT b.band_id, b.lo_c, b.hi_c,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(p.price_c) AS BIGINT) AS sum_price_c
+FROM parts p JOIN bands b ON p.price_c BETWEEN b.lo_c AND b.hi_c
+GROUP BY 1, 2, 3
+"""
