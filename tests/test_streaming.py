@@ -492,3 +492,63 @@ def test_capped_sessions_streaming_matches_batch(spark, replay_dir):
         if r["key"] >= 0
     }
     assert got == want
+
+
+def test_dynamic_rules_refresh_per_micro_batch(spark, replay_dir, tmp_path):
+    """Flink's broadcast-state pattern (a control stream updating rules
+    applied to the data stream) in Spark form: foreachBatch re-reads
+    the CURRENT rules snapshot per micro-batch — batch 0 scores with
+    rules v1, batch 1 with rules v2 after the control plane commits a
+    new version between batches (sinks.versioned gives the atomic
+    rule swap)."""
+    import os
+
+    from flink_essentials_spark.sinks import versioned as V
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    rules_base = str(tmp_path / "rules")
+    V.write_version(
+        spark,
+        rules_base,
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, mult long"),
+    )
+
+    for i in range(2):
+        sub = str(tmp_path / f"s{i}")
+        spark.createDataFrame(
+            [("a", 10 + i), ("b", 20 + i)], "k string, v long"
+        ).coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(replay_dir, f"{i:04d}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (5000 + i, 5000 + i))
+
+    stream = file_replay(spark, replay_dir, "k string, v long", files_per_trigger=1)
+    seen = []
+
+    def apply_rules(bdf, epoch):
+        rules = V.read_current(spark, rules_base)
+        out = (
+            bdf.join(F.broadcast(rules), "k")
+            .selectExpr("k", "v * mult AS scored")
+            .collect()
+        )
+        seen.append(sorted((r["k"], r["scored"]) for r in out))
+        if epoch == 0:  # control plane updates the rules mid-stream
+            V.write_version(
+                spark,
+                rules_base,
+                spark.createDataFrame(
+                    [("a", 100), ("b", 200)], "k string, mult long"
+                ),
+            )
+
+    q = for_each_batch(stream, apply_rules)
+    q.processAllAvailable()
+    q.stop()
+    assert seen == [
+        [("a", 10), ("b", 40)],          # rules v1: 10*1, 20*2
+        [("a", 1100), ("b", 4200)],      # rules v2: 11*100, 21*200
+    ]
