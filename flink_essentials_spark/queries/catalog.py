@@ -731,6 +731,7 @@ _REGISTRY: list[Query] = [
     Query("weekly_growth", dataflow.q_weekly_growth, dataflow.Q_WEEKLY_GROWTH_SQL),
     Query("timestamp_parsing", llmdata.q_timestamp_parsing, llmdata.Q_TIMESTAMP_PARSING_SQL),
     Query("price_band_join", relational.q_price_band_join, relational.Q_PRICE_BAND_JOIN_SQL),
+    Query("type_day_cube", dataflow.q_type_day_cube, dataflow.Q_TYPE_DAY_CUBE_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -1059,3 +1059,28 @@ SELECT wk, n_orders,
          / lag(n_orders) OVER (ORDER BY wk) AS wow_growth
 FROM weekly
 """
+
+
+def q_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, integer epoch-day): all four aggregation
+    granularities — per (type, day), per type, per day, grand total —
+    in one pass with grouping_id disambiguation; completes the
+    grouping-variant set (ROLLUP in time_rollup/parts_rollup, explicit
+    GROUPING SETS in grouping_sets)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_type",
+        (F.unix_millis("ts") / F.lit(86400000)).cast("long").alias("day_bucket"),
+    )
+    return ev.cube("event_type", "day_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+Q_TYPE_DAY_CUBE_SQL = """
+SELECT event_type, day_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(event_type, day_bucket) AS BIGINT) AS gid
+FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS day_bucket FROM events)
+GROUP BY CUBE (event_type, day_bucket)
+"""
