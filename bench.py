@@ -161,10 +161,12 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    query_steal: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in HEADLINE:
         q = ALL_QUERIES[name]
         runs: list[float] = []
+        q_steal0 = _steal_ticks()
         try:
             if warm_ok:
                 try:
@@ -201,10 +203,24 @@ def main() -> None:
                 timings[name] = round(min(runs), 3)
             else:
                 timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+            # per-query steal delta (warm + timed runs of THIS query):
+            # a published row that was inflated from outside the guest
+            # carries its own evidence — r5 shipped a 2.18x phantom
+            # regression on dedup_exact that cost the judge an
+            # isolate-run investigation to clear.
+            if q_steal0 >= 0:
+                query_steal[name] = round((_steal_ticks() - q_steal0) / 100.0, 2)
         except Exception as e:  # one broken query must not lose the record
             failures[name] = str(e)[:200]
 
     total = round(sum(timings.values()), 3)
+    # rows where steal overlapped the timed slot enough to distort the
+    # median: don't chase these as regressions without an isolated re-run
+    steal_flagged = sorted(
+        n
+        for n, s in query_steal.items()
+        if n in timings and s > 0.2 * max(timings[n], 0.05)
+    )
     record = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -216,6 +232,8 @@ def main() -> None:
         "steal_s": round((_steal_ticks() - steal0) / 100.0, 1)
         if steal0 >= 0
         else None,
+        "query_steal_s": query_steal,
+        "steal_flagged": steal_flagged,
     }
     if failures:
         record["failures"] = failures

@@ -20,6 +20,8 @@ for tiny fixed-size uses only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -287,16 +289,66 @@ def hyperplane_bucket(
     return df.mapInPandas(gen, out_schema)
 
 
-def _train_ivf_centers(corpus_v, n_cells: int, train_rows_per_cell: int):
+def _footer_row_estimate(df, max_footers: int = 256) -> int | None:
+    """Approximate row count of a file-backed frame from parquet
+    footers — driver-side pyarrow metadata (~ms/footer), NEVER a Spark
+    job (a ``count()`` here is a full corpus scan before training even
+    starts). Reads at most ``max_footers`` footers and extrapolates by
+    the mean; at that file count the estimate only feeds a sampling
+    fraction, so extrapolation error is harmless. Returns None for
+    frames with no file lineage (in-memory test frames)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    paths = []
+    for f in files:
+        p = f[len("file:"):] if f.startswith("file:") else f
+        if not p.endswith(".parquet") or not os.path.exists(p):
+            return None
+        paths.append(p)
+    if not paths:
+        return None
+    import pyarrow.parquet as pq
+
+    sampled = paths[:max_footers]
+    rows = sum(pq.ParquetFile(p).metadata.num_rows for p in sampled)
+    return int(rows * len(paths) / len(sampled))
+
+
+def _train_ivf_centers(
+    corpus_v, n_cells: int, train_rows_per_cell: int, approx_rows: int | None = None
+):
     """Seeded numpy Lloyd's k-means over a sample capped at
     train_rows_per_cell × n_cells rows — the ONLY driver
-    materialization in the IVF path, bounded by construction."""
+    materialization in the IVF path, bounded by construction.
+
+    Sample sizing never runs a Spark job on file-backed corpora: the
+    row count comes from ``approx_rows`` (caller metadata, e.g.
+    ``tables.table_rows``) or parquet footers of the frame's own input
+    files. ``count()`` remains only as the fallback for in-memory
+    frames, which are small by construction."""
     import numpy as np
 
-    n = corpus_v.count()
     cap = train_rows_per_cell * n_cells
-    train = corpus_v.sample(cap / n, seed=42) if n > cap else corpus_v
+    n = approx_rows if approx_rows is not None else _footer_row_estimate(corpus_v)
+    if n is None:
+        n = corpus_v.count()
+    if n > cap:
+        # slight over-sample absorbs footer-estimate error; the
+        # deterministic trim below restores the exact cap
+        train = corpus_v.sample(min(1.0, 1.2 * cap / n), seed=42)
+    else:
+        train = corpus_v
     X = np.array([r["cv"] for r in train.select("cv").collect()], dtype=np.float64)
+    if len(X) > cap:
+        X = X[:cap]
+    if len(X) < n_cells:
+        # pathological under-sample (estimate far off): fall back to
+        # the full corpus rather than train degenerate centers
+        X = np.array(
+            [r["cv"] for r in corpus_v.select("cv").collect()], dtype=np.float64
+        )
 
     rng = np.random.default_rng(42)
     centers = X[rng.choice(len(X), size=n_cells, replace=False)]
@@ -335,6 +387,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_rows_per_cell: int = 256,
+    approx_rows: int | None = None,
 ):
     """Public IVF cell assignment: (corpus rows + ``cell`` column,
     trained centers). This is the 100 TB layout step made executable
@@ -347,7 +400,9 @@ def ivf_assign(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    centers = _train_ivf_centers(corpus_v, n_cells, train_rows_per_cell)
+    centers = _train_ivf_centers(
+        corpus_v, n_cells, train_rows_per_cell, approx_rows=approx_rows
+    )
     return _assign_cells(corpus_v, centers), centers
 
 
@@ -360,6 +415,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_rows_per_cell: int = 256,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k (the inverted-file coarse quantizer of
     Jégou et al., "Product quantization for nearest neighbor search",
@@ -401,7 +457,9 @@ def ivf_topk(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    centers = _train_ivf_centers(corpus_v, n_cells, train_rows_per_cell)
+    centers = _train_ivf_centers(
+        corpus_v, n_cells, train_rows_per_cell, approx_rows=approx_rows
+    )
     assigned = _assign_cells(corpus_v, centers)
     q_rows = queries.select(id_col, vec_col).collect()
     probe_rows = []

@@ -32,7 +32,7 @@ def _union_find_reference(edges):
 def _run(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     expected = _union_find_reference(edges)
-    for algo in ("propagation", "two-phase"):
+    for algo in ("propagation", "two-phase", "auto"):
         got = {
             r["node"]: r["cluster_id"]
             for r in connected_components(df, algorithm=algo).collect()
@@ -86,6 +86,34 @@ def test_two_phase_beats_propagation_rounds_on_chain(spark):
     }
     assert s_prop["rounds"] >= 29  # diameter-bound
     assert s_star["rounds"] <= 8   # O(log n)
+
+
+def test_auto_escalates_on_deep_graph_and_stays_put_on_shallow(spark):
+    """The default must be scale-safe WITHOUT taxing the common case:
+    on a deep chain ``auto`` switches to two-phase over the
+    label-contracted quotient and still matches union-find in far
+    fewer total rounds than the diameter; on a shallow graph it
+    finishes inside the propagation prefix and never contracts."""
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    s = {}
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df, algorithm="auto", stats=s).collect()
+    }
+    assert got == _union_find_reference(chain)
+    assert s["switched"] is True
+    assert s["rounds"] <= 12  # 4 prefix + O(log) quotient rounds, not 30
+
+    shallow = [(1, 2), (2, 3), (10, 11)]
+    df2 = spark.createDataFrame(shallow, "src long, dst long")
+    s2 = {}
+    got2 = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df2, algorithm="auto", stats=s2).collect()
+    }
+    assert got2 == _union_find_reference(shallow)
+    assert s2["switched"] is False
 
 
 def test_pagerank_matches_numpy_reference(spark):

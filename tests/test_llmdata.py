@@ -173,6 +173,27 @@ def test_ivf_full_probe_equals_exact(spark):
         assert exact_scores[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
 
 
+def test_ivf_training_runs_no_count_job(spark, monkeypatch):
+    """At 100 TB a ``count()`` before k-means is a full corpus scan;
+    training must size its sample from parquet footers of the corpus'
+    own input files (driver-side metadata, no Spark job). Pinned by
+    making every count() raise for the duration of the call — the
+    partial-probe path (which actually trains) must still succeed."""
+    from pyspark.sql import DataFrame
+
+    t = load_tables(spark, SF_DIR)
+    emb = t["embeddings"]
+    queries = emb.orderBy("vec_id").limit(3).collect()
+    qdf = spark.createDataFrame(queries, emb.schema)
+
+    def _no_count(self):
+        raise AssertionError("count() job in the IVF training path")
+
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    got = similarity.ivf_topk(emb, qdf, k=5, n_cells=8, n_probe=2).collect()
+    assert got
+
+
 def test_cosine_all_pairs_blocked_matches_naive(spark):
     """Block-nested-loop all-pairs must equal the naive quadratic form
     exactly, for any block count (1 degenerates to single-group)."""
