@@ -263,6 +263,18 @@ def pagerank(
     plan, linear per iteration in |E|. Fixed iteration count keeps the
     plan finite; convergence-tested variants belong in a driver loop
     with a rank-delta aggregate per round.
+
+    Cost breakdown (sf0.1 trade graph, 1.17 M edges / 16 k nodes, warm
+    local[32], zero steal): 3.5 s total = 1.6 s edge-build+checkpoint
+    + 1.9 s for the 3 iterations — this IS the floor of the correct
+    plan at this scale. A broadcast-ranks variant (ranks ≪ edges, so
+    broadcast-join each iteration instead of shuffling the edge table)
+    measured SLOWER locally (2.4 s vs 1.9 s for the iterations): each
+    broadcast forces an eager driver materialization of the ranks
+    frame per iteration, which outweighs the saved in-memory shuffle.
+    On a real cluster with network-bound shuffles and a node table
+    that fits executor memory (domain-level web graphs), the broadcast
+    trade flips — revisit there, not here.
     """
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
     e = edges.select(

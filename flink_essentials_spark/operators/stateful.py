@@ -70,8 +70,20 @@ class State:
     def __init__(self, data: dict[str, Any], now_ms: Callable[[], int]):
         self._data = data
         self._now_ms = now_ms
-        self.timer_ts: int | None = data.get("__timer__")
+        # timer registry: SORTED list of outstanding timestamps. One
+        # legacy '__timer__' scalar (pre-r6 checkpoints) migrates in.
+        legacy = data.pop("__timer__", None)
+        self._timers: list[int] = data.setdefault("__timers__", [])
+        if legacy is not None and legacy not in self._timers:
+            self._timers.append(legacy)
+            self._timers.sort()
         self._dirty = False
+
+    @property
+    def timer_ts(self) -> int | None:
+        """Earliest outstanding timer (None if none) — what the
+        streaming wrapper arms GroupStateTimeout with."""
+        return self._timers[0] if self._timers else None
 
     def now_ms(self) -> int:
         """Current time: wall clock in streaming, event time in batch replay."""
@@ -124,21 +136,56 @@ class State:
     # -- clear (KeyedState.scala:314-318)
     def clear(self) -> None:
         self._data.clear()
-        self.timer_ts = None
+        self._timers = self._data.setdefault("__timers__", [])
         self._dirty = True
 
-    # -- timers (KeyedState.scala:472-528; processing-time W-T3)
+    # -- timers (KeyedState.scala:472-528): a real per-key REGISTRY —
+    # many outstanding timestamps, one on_timer firing per timestamp,
+    # matching Flink's registerEventTimeTimer/registerProcessingTimeTimer
+    # contract (and the native TWS backend's handle.registerTimer).
     def register_timer(self, ts_ms: int) -> None:
-        """Event-time timer in event-time mode; timeout duration target
-        in processing-time mode."""
-        self.timer_ts = ts_ms
-        self._data["__timer__"] = ts_ms
+        """REPLACE-all idiom (the single-logical-timer re-arm pattern
+        every trigger processor uses); ``add_timer`` accumulates."""
+        self._timers.clear()
+        self._timers.append(int(ts_ms))
         self._dirty = True
+
+    def add_timer(self, ts_ms: int) -> None:
+        """Flink registerEventTimeTimer semantics: accumulate; firing
+        order is timestamp order; duplicate registration is a no-op."""
+        ts = int(ts_ms)
+        if ts not in self._timers:
+            self._timers.append(ts)
+            self._timers.sort()
+            self._dirty = True
+
+    def delete_timer(self, ts_ms: int) -> None:
+        try:
+            self._timers.remove(int(ts_ms))
+            self._dirty = True
+        except ValueError:
+            pass
 
     def clear_timer(self) -> None:
-        self.timer_ts = None
-        self._data.pop("__timer__", None)
+        self._timers.clear()
         self._dirty = True
+
+    def _pop_earliest_due(self, now_ms: int | None = None) -> int | None:
+        """Remove and return the earliest timer (if due); wrappers call
+        this in a loop so each timestamp fires exactly once."""
+        if not self._timers:
+            return None
+        if now_ms is not None and self._timers[0] > now_ms:
+            return None
+        self._dirty = True
+        return self._timers.pop(0)
+
+    def _is_empty(self) -> bool:
+        """True when the key holds no user state and no timers — the
+        wrapper may drop the state-store entry."""
+        return not self._timers and all(
+            k == "__timers__" for k in self._data
+        )
 
 
 class Emitter:
@@ -185,15 +232,41 @@ def keyed_process(
     timeout: str = "none",  # none | processing | event
     event_time_col: str | None = None,
     output_mode: str = "append",
+    backend: str = "auto",  # auto | tws | apply_in_pandas_with_state
 ) -> DataFrame:
     """Run a KeyedProcessor over a keyed (optionally streaming) frame.
 
-    Streaming frames go through ``applyInPandasWithState`` (true keyed
-    state + GroupStateTimeout timers). Batch frames replay each key's
-    rows in ``order_by`` order through the same processor, simulating
-    event-time timers deterministically.
+    Streaming backends (``backend``):
+
+    - ``"tws"`` — PySpark 4.1's native ``transformWithStateInPandas``
+      (operators/stateful_tws.py): per-name Value/List/Map state
+      variables, declarative TTL, a real multi-timer registry. Needs
+      the protobuf runtime; raises an actionable error without it.
+    - ``"apply_in_pandas_with_state"`` — the emulation below: pickled
+      state dict + GroupStateTimeout armed with the earliest entry of
+      the same multi-timer registry. Runs on any PySpark >= 3.4.
+    - ``"auto"`` (default) — tws when its runtime dependency is
+      present, else the emulation. This image lacks protobuf (see
+      stateful_tws module docstring), so auto resolves to the
+      emulation here; both backends present the identical State
+      surface to the processor.
+
+    Batch frames replay each key's rows in ``order_by`` order through
+    the same processor, simulating event-time timers deterministically.
     """
     if df.isStreaming:
+        if backend != "apply_in_pandas_with_state":
+            from flink_essentials_spark.operators.stateful_tws import (
+                keyed_process_tws,
+                tws_available,
+            )
+
+            if backend == "tws" or tws_available():
+                return keyed_process_tws(
+                    df, keys, processor, output_schema,
+                    timeout=timeout, event_time_col=event_time_col,
+                    output_mode=output_mode,
+                )
         return _keyed_process_streaming(
             df, keys, processor, output_schema, timeout, event_time_col, output_mode
         )
@@ -224,13 +297,28 @@ def _keyed_process_streaming(
         state = State(data, now_ms=lambda: int(_time.time() * 1000))
         out = Emitter()
         if group_state.hasTimedOut:
-            # fire-once semantics (mirrors _keyed_process_batch's
-            # clear_timer-before-on_timer): a stale '__timer__' left in
-            # state would re-arm every batch — ProcessingTimeTimeout
+            # GroupStateTimeout is armed with the EARLIEST registry
+            # entry; when it fires, every timer due against the time
+            # domain fires exactly once (pop-before-fire, mirroring
+            # _keyed_process_batch) — a stale entry left in state
+            # would re-arm every batch: ProcessingTimeTimeout
             # busy-loops a no-op timer forever, EventTimeTimeout calls
             # setTimeoutTimestamp at/behind the watermark and crashes.
-            state.clear_timer()
-            processor.on_timer(key, state, out)
+            domain_now = (
+                group_state.getCurrentWatermarkMs()
+                if timeout == "event"
+                else group_state.getCurrentProcessingTimeMs()
+            )
+            fired_any = False
+            while state._pop_earliest_due(domain_now) is not None:
+                fired_any = True
+                processor.on_timer(key, state, out)
+            if not fired_any and state._pop_earliest_due(None) is not None:
+                # the engine says the armed timeout expired even though
+                # the domain clock reads behind the target (batch
+                # timestamps lag wall time) — honor it once rather
+                # than re-arm a livelock
+                processor.on_timer(key, state, out)
         else:
             # applyInPandasWithState may split one key's micro-batch
             # across chunks (maxRecordsPerBatch); concatenate before
@@ -243,7 +331,7 @@ def _keyed_process_streaming(
                     pdf = pdf.sort_values(event_time_col)
                 for row in pdf.to_dict("records"):
                     processor.on_element(key, row, state, out)
-        if not data and state.timer_ts is None:
+        if state._is_empty():
             group_state.remove()
         else:
             group_state.update((pickle.dumps(data),))
@@ -255,7 +343,15 @@ def _keyed_process_streaming(
                         max(1, state.timer_ts - int(_time.time() * 1000))
                     )
                 elif timeout == "event":
-                    group_state.setTimeoutTimestamp(state.timer_ts)
+                    # a timer a processor registered at/behind the
+                    # current watermark must still be armable — clamp
+                    # one ms past it (fires next batch)
+                    group_state.setTimeoutTimestamp(
+                        max(
+                            state.timer_ts,
+                            group_state.getCurrentWatermarkMs() + 1,
+                        )
+                    )
         if out.rows:
             yield pd.DataFrame(out.rows)
 
@@ -285,17 +381,23 @@ def _keyed_process_batch(
         for row in pdf.to_dict("records"):
             if ts_col is not None:
                 row_ms = _to_ms(row[ts_col])
-                # fire due event-time timers before this element
-                while state.timer_ts is not None and state.timer_ts <= row_ms:
-                    now_holder["ms"] = state.timer_ts
-                    state.clear_timer()
+                # fire due event-time timers before this element —
+                # each registered timestamp fires exactly once, in
+                # timestamp order (pop-before-fire)
+                while True:
+                    fired = state._pop_earliest_due(row_ms)
+                    if fired is None:
+                        break
+                    now_holder["ms"] = fired
                     processor.on_timer(key, state, out)
                 now_holder["ms"] = row_ms
             processor.on_element(key, row, state, out)
-        if state.timer_ts is not None:
-            # end-of-input: watermark → ∞, pending timers fire
-            now_holder["ms"] = state.timer_ts
-            state.clear_timer()
+        while True:
+            # end-of-input: watermark → ∞, all pending timers fire
+            fired = state._pop_earliest_due(None)
+            if fired is None:
+                break
+            now_holder["ms"] = fired
             processor.on_timer(key, state, out)
         if not out.rows:
             return pd.DataFrame(columns=_schema_names(output_schema))

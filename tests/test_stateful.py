@@ -155,6 +155,123 @@ def test_event_time_timer_fires_between_elements_and_at_eof(spark):
     assert [r["n"] for r in sorted(out, key=lambda r: r["n"], reverse=True)] == [2, 2, 1]
 
 
+class MultiTimerScheduler(KeyedProcessor):
+    """Flink's registerEventTimeTimer REGISTRY semantics
+    (KeyedState.scala:472-528): the first event schedules THREE timers
+    (t+2 s, t+4 s, t+6 s) via add_timer; each outstanding timestamp
+    fires exactly ONCE, in timestamp order; one is deleted before it
+    can fire."""
+
+    def on_element(self, key, row, state: State, out: Emitter):
+        if state.get("armed") is None:
+            t0 = state.now_ms()
+            state.add_timer(t0 + 2_000)
+            state.add_timer(t0 + 4_000)
+            state.add_timer(t0 + 6_000)
+            state.add_timer(t0 + 4_000)  # duplicate: must be a no-op
+            state.delete_timer(t0 + 6_000)
+            state.put("armed", 1)
+        state.put("n", state.get("n", 0) + 1)
+
+    def on_timer(self, key, state: State, out: Emitter):
+        out.emit(user_id=key[0], n=state.get("n", 0), at=state.now_ms())
+
+
+def test_multiple_timers_fire_once_each_in_order(spark):
+    import pyspark.sql.functions as F
+
+    # one user, events at t = 0, 5, 10, 15, 20 s
+    df = fixtures.shopping_cart_events(spark, 5).withColumns(
+        {
+            "user_id": F.lit("Solo"),
+            "time": F.to_timestamp(F.lit(fixtures.START_TIME.isoformat()))
+            + F.make_interval(secs=(F.col("quantity") * 5.0).cast("double")),
+        }
+    )
+    out = keyed_process(
+        df, ["user_id"], MultiTimerScheduler(),
+        "user_id string, n long, at long", order_by="time",
+        event_time_col="time",
+    ).collect()
+    base_ms = int(fixtures.START_TIME.timestamp() * 1000)
+    fired = sorted((r["at"] - base_ms, r["n"]) for r in out)
+    # timer@2s fires before event@5s (1 element seen), timer@4s also
+    # before event@5s; timer@6s was deleted and must NOT fire; the
+    # duplicate 4s registration must not double-fire
+    assert fired == [(2_000, 1), (4_000, 1)]
+
+
+def test_tws_backend_gate(spark):
+    """The native transformWithStateInPandas backend: auto-selection
+    must resolve to the emulation when the protobuf runtime is absent,
+    and an explicit backend='tws' must raise the actionable
+    environment error (the Kafka-source posture). On an image WITH
+    protobuf this test instead asserts the backend constructs a
+    streaming plan."""
+    import pytest
+
+    from flink_essentials_spark.operators.stateful_tws import tws_available
+    from flink_essentials_spark.schemas import SHOPPING_CART_EVENT_SCHEMA
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="tws_gate_")
+    fixtures.shopping_cart_events(spark, 5).coalesce(1).write.parquet(
+        d, mode="overwrite"
+    )
+    sdf = file_replay(spark, d, SHOPPING_CART_EVENT_SCHEMA)
+    if tws_available():
+        out = keyed_process(
+            sdf, ["user_id"], RunningCounter(),
+            "user_id string, n long", backend="tws",
+        )
+        assert out.isStreaming
+    else:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            keyed_process(
+                sdf, ["user_id"], RunningCounter(),
+                "user_id string, n long", backend="tws",
+            )
+        # auto must still produce the emulation plan
+        out = keyed_process(
+            sdf, ["user_id"], RunningCounter(),
+            "user_id string, n long", backend="auto",
+        )
+        assert out.isStreaming
+
+
+def test_tws_live_roundtrip(spark, tmp_path):
+    """Live TWS micro-batch run — skipped where the protobuf runtime
+    is absent (this sandbox image; see stateful_tws docstring)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    import uuid
+
+    from flink_essentials_spark.schemas import SHOPPING_CART_EVENT_SCHEMA
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    d = str(tmp_path / "replay")
+    fixtures.shopping_cart_events(spark, 20).coalesce(1).write.parquet(d)
+    sdf = file_replay(spark, d, SHOPPING_CART_EVENT_SCHEMA)
+    out = keyed_process(
+        sdf, ["user_id"], RunningCounter(),
+        "user_id string, n long", backend="tws", event_time_col="time",
+    )
+    rows = run_to_memory(
+        spark, out, f"tws_{uuid.uuid4().hex[:8]}"
+    ).collect()
+    per_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["n"])):
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    assert per_user == {
+        u: [1, 2, 3, 4] for u in ("Bob", "Alice", "Sam", "Tom", "Rob")
+    }
+
+
 def test_running_count_declarative_equivalent(spark):
     got = {
         (r["user_id"], r["cnt"])
