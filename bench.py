@@ -51,6 +51,11 @@ HEADLINE = [
     # local gate (r4: ~12 s); benched so its replay/sentinel overhead
     # gets per-round optimization pressure (r4 verdict #6)
     "streaming_session_windows",
+    # the keyed stateful processor (applyInPandasWithState +
+    # EventTimeTimeout timers) on the real streaming path — benched so
+    # the python-stateful micro-batch cost is tracked per round
+    # (r5 verdict #7)
+    "streaming_capped_sessions",
     # training-data extensions
     "wordcount",
     "dedup_exact",

@@ -424,6 +424,115 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def q_streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEYED STATEFUL PROCESSOR on the real streaming path, under
+    oracle: CappedSessionProcessor (gap+duration-capped sessionization,
+    O(1) state per key) through applyInPandasWithState with
+    EventTimeTimeout timers — the ProcessFunction form of W4/ST6.
+    Events are compressed 60x (the q_capped_sessions fixture) and
+    replayed TIME-ORDERED in three range-bucket micro-batches with a
+    1 s watermark; idle sessions close via event-time timers as the
+    watermark sweeps past prev+gap, and two far-future sentinel
+    batches flush the rest (the one-batch enforcement lag). Disjoint
+    increasing batch time ranges guarantee no session closes early: a
+    continuation within the gap implies its timer target exceeds the
+    prior batch's watermark. Final session set equals the batch
+    recurrence — the same recursive-CTE DuckDB oracle as
+    capped_sessions."""
+    import datetime
+    import glob as _glob
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_essentials_spark.operators.stateful import keyed_process
+    from flink_essentials_spark.operators.windows import CappedSessionProcessor
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+    from flink_essentials_spark.streaming.watermarks import with_event_time
+
+    t = load_tables(spark, sf_dir)
+    base = 1704067200000  # 2024-01-01 UTC, before every event
+    ms = F.unix_millis(F.col("ts"))
+    compressed = (
+        F.lit(base) + F.floor((ms - F.lit(base)) / F.lit(60)).cast("long")
+    )
+    ev = t["events"].select(
+        "user_id",
+        F.timestamp_millis(compressed).alias("cts"),
+        compressed.alias("ts_ms"),
+    )
+    bounds = ev.agg(
+        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    bucket = F.least(
+        F.lit(2),
+        F.floor((F.col("ts_ms") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)).cast(
+            "int"
+        ),
+    )
+    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    stage_dir = os.path.join(replay_dir, "_stage")
+    ev.withColumn("b", bucket).coalesce(1).write.partitionBy("b").parquet(
+        stage_dir
+    )
+    base_mtime = _time.time() - 3600
+    nxt = 0
+    for i in range(3):
+        for f in sorted(_glob.glob(os.path.join(stage_dir, f"b={i}", "*.parquet"))):
+            dst = os.path.join(replay_dir, f"{nxt:04d}.parquet")
+            os.rename(f, dst)
+            os.utime(dst, (base_mtime + nxt, base_mtime + nxt))
+            nxt += 1
+    for d in (40, 50):  # sentinel batches: advance, then enforce+flush
+        s_ms = hi + d * 86400000
+        tbl = pa.table(
+            {
+                "user_id": pa.array([-1], pa.int64()),
+                "cts": pa.array(
+                    [datetime.datetime.utcfromtimestamp(s_ms / 1000)],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "ts_ms": pa.array([s_ms], pa.int64()),
+            }
+        )
+        dst = os.path.join(replay_dir, f"{nxt:04d}.parquet")
+        pq.write_table(tbl, dst)
+        os.utime(dst, (base_mtime + nxt, base_mtime + nxt))
+        nxt += 1
+    stream = with_event_time(
+        file_replay(
+            spark,
+            replay_dir,
+            "user_id long, cts timestamp, ts_ms long",
+            files_per_trigger=1,
+        ),
+        "cts",
+        "1 second",
+    )
+    out = keyed_process(
+        stream,
+        ["user_id"],
+        CappedSessionProcessor(1800000, 7200000),
+        "key long, session_start_ms long, session_end_ms long, n_events long",
+        timeout="event",
+        event_time_col="cts",
+        output_mode="append",
+    )
+    name = "scs_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return run_to_memory(spark, out, name, output_mode="append").filter(
+            F.col("key") >= 0
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def q_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static SCD2 enrichment — the time-versioned dimension
     lookup: events replayed as a stream join the validity-interval
@@ -503,12 +612,22 @@ _REGISTRY: list[Query] = [
     Query("order_priority", relational.q_order_priority, relational.Q_ORDER_PRIORITY_SQL),
     # --- element-wise (SURVEY §2.3)
     Query("map_flatmap_filter", dataflow.q_map_flatmap_filter, dataflow.Q_MAP_FLATMAP_FILTER_SQL),
-    Query("wordcount", dataflow.q_wordcount, dataflow.Q_WORDCOUNT_SQL),
+    # ROTATION (r6): wordcount demoted per the r5 rotation notes (EP2
+    # family: the streaming_wordcount tail twin shares its oracle and
+    # tokenization is pinned by several head rows). Slot goes to
+    # min_cost_supplier — the TPC-H Q2 min-per-group correlated-join
+    # shape, a relational plan family the head never had.
+    Query("min_cost_supplier", relational.q_min_cost_supplier, relational.Q_MIN_COST_SUPPLIER_SQL),
     # --- windows (§2.5)
     Query("tumbling_windows", dataflow.q_tumbling_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
     Query("keyed_tumbling_windows", dataflow.q_keyed_tumbling_windows, dataflow.Q_KEYED_TUMBLING_WINDOWS_SQL),
     Query("sliding_windows", dataflow.q_sliding_windows, dataflow.Q_SLIDING_WINDOWS_SQL),
-    Query("session_windows", dataflow.q_session_windows, dataflow.Q_SESSION_WINDOWS_SQL),
+    # ROTATION (r6): session_windows demoted per the r5 rotation notes
+    # (W4 family keeps capped_sessions driver-green + the
+    # streaming_session_windows local-gate/bench row on the same
+    # assignment semantics). Slot goes to sole_supplier_returns — the
+    # TPC-H Q21 exists/anti multi-correlation shape.
+    Query("sole_supplier_returns", relational.q_sole_supplier_returns, relational.Q_SOLE_SUPPLIER_RETURNS_SQL),
     # ROTATION (r5b): global_count_windows demoted (W5 family keeps
     # the tail _all twin locally oracle-checked + the driver-green
     # count_trigger_fires on the same count-window machinery). Slot
@@ -538,7 +657,15 @@ _REGISTRY: list[Query] = [
     Query("topk_per_group", dataflow.q_topk_per_group, dataflow.Q_TOPK_PER_GROUP_SQL),
     # --- as-of join + quantiles (extension substrate)
     Query("as_of_join", dataflow.q_as_of_join, dataflow.Q_AS_OF_JOIN_SQL),
-    Query("json_props", dataflow.q_json_props, dataflow.Q_JSON_PROPS_SQL),
+    # ROTATION (r6): json_props demoted per the r5 rotation notes
+    # (format parsing is also pytest-pinned; get_json_object shape
+    # carries no distinct plan family). Slot goes to the NEW
+    # incremental_rollup — the versioned-store + partial-aggregate
+    # materialized-view refresh loop (functions/incremental.py +
+    # sinks/versioned.py), previously test-only: three history batches
+    # folded through atomic snapshot commits must equal the one-shot
+    # GROUP BY, which is the oracle.
+    Query("incremental_rollup", llmdata.q_incremental_rollup, llmdata.Q_INCREMENTAL_ROLLUP_SQL),
     # --- streaming path (oracle checks final state)
     # ROTATION (r3): the driver checks only the first 50 rows, so head
     # rows whose capability stays driver-covered by a sibling rotate to
@@ -703,9 +830,15 @@ _REGISTRY: list[Query] = [
     Query("resample_ffill", llmdata.q_resample_ffill, llmdata.Q_RESAMPLE_FFILL_SQL),
     Query("mad_outliers", llmdata.q_mad_outliers, llmdata.Q_MAD_OUTLIERS_SQL),
     Query("streaming_scd2_enrich", q_streaming_scd2_enrich, Q_STREAMING_SCD2_ENRICH_SQL),
+    # r6: the stateful-processor (applyInPandasWithState+EventTimeTimeout)
+    # path under oracle and in the BENCH — tail row (capped_sessions
+    # keeps the family driver-green; this twin shares its oracle)
+    Query("streaming_capped_sessions", q_streaming_capped_sessions, llmdata.Q_CAPPED_SESSIONS_SQL),
     Query("char_dups", llmdata.q_char_dups, llmdata.Q_CHAR_DUPS_SQL),
-    Query("min_cost_supplier", relational.q_min_cost_supplier, relational.Q_MIN_COST_SUPPLIER_SQL),
-    Query("sole_supplier_returns", relational.q_sole_supplier_returns, relational.Q_SOLE_SUPPLIER_RETURNS_SQL),
+    # demoted r6 (see head rotation notes) — still oracle-checked here
+    Query("wordcount", dataflow.q_wordcount, dataflow.Q_WORDCOUNT_SQL),
+    Query("session_windows", dataflow.q_session_windows, dataflow.Q_SESSION_WINDOWS_SQL),
+    Query("json_props", dataflow.q_json_props, dataflow.Q_JSON_PROPS_SQL),
     Query("curriculum_mix", llmdata.q_curriculum_mix, llmdata.Q_CURRICULUM_MIX_SQL),
     Query("kfold", llmdata.q_kfold, llmdata.Q_KFOLD_SQL),
     Query("length_batches", llmdata.q_length_batches, llmdata.Q_LENGTH_BATCHES_SQL),

@@ -2693,3 +2693,67 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        MIN(ts_ms) AS min_ms, MAX(ts_ms) AS max_ms
 FROM parsed
 """
+
+
+# --- incremental aggregate maintenance (materialized-view refresh) ----------
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance under oracle: orders history
+    arrives as THREE batches (o_orderkey mod 3); each
+    functions.incremental.refresh_rollup folds one batch's PARTIAL
+    aggregates into the stored rollup through the versioned store
+    (atomic _CURRENT pointer commit, sinks/versioned.py) — cost per
+    refresh is O(batch + groups), never O(history), the 100 TB
+    refresh-loop contract. After the third refresh the STORED rollup
+    must equal the one-shot GROUP BY over the full table, which is
+    exactly the DuckDB oracle. Money stays integer (cents) end-to-end
+    so the three-way partial merge is bit-exact in any order."""
+    import tempfile
+
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.queries import util
+    from flink_essentials_spark.sinks import versioned
+
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="fes_rollup_")
+    prepared = t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        util.cents("o_totalprice").alias("price_cents"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("odate_ms"),
+    )
+    aggs = {
+        "n_orders": ("count", ""),
+        "sum_price_cents": ("sum", "price_cents"),
+        "max_price_cents": ("max", "price_cents"),
+        "min_odate_ms": ("min", "odate_ms"),
+    }
+    for b in range(3):
+        refresh_rollup(
+            spark,
+            base,
+            prepared.filter(F.col("o_orderkey") % 3 == b),
+            ["o_orderpriority"],
+            aggs,
+        )
+    return versioned.read_current(spark, base).select(
+        "o_orderpriority",
+        "n_orders",
+        "sum_price_cents",
+        "max_price_cents",
+        "min_odate_ms",
+    )
+
+
+Q_INCREMENTAL_ROLLUP_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_price_cents,
+       CAST(MIN(epoch_ms(o_orderdate)) AS BIGINT) AS min_odate_ms
+FROM orders
+GROUP BY o_orderpriority
+"""
