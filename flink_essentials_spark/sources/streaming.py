@@ -124,7 +124,8 @@ def kafka_topic(
     """Kafka source (the production unbounded source named in the
     project north star). Requires the ``spark-sql-kafka-0-10``
     connector on the classpath — it is NOT bundled in this
-    environment, so this raises a clear error instead of an opaque
+    environment (re-verified every round; r6: no kafka jar under
+    pyspark/jars), so this raises a clear error instead of an opaque
     DATA_SOURCE_NOT_FOUND. With ``value_schema``, the JSON value is
     parsed into columns (the usual event-stream shape); otherwise the
     raw (key, value, topic, partition, offset, timestamp) frame
