@@ -6,6 +6,18 @@ bounded memory regardless of cardinality. Engine-specific sketch bits
 differ across engines, so DuckDB oracles use the EXACT counterparts;
 the approx forms are exposed for bench/production use and their error
 bound is unit-tested instead.
+
+``hll_registers``/``hll_estimate`` add a PORTABLE HyperLogLog
+(Flajolet et al. 2007): the register table is plain rows
+(group, bucket, max rho) built from the md5-prefix hash both engines
+share, so (a) a DuckDB oracle reproduces the ENTIRE sketch — the rare
+case of an approximate metric under exact cross-engine parity — and
+(b) the registers are max-mergeable by construction, which is what an
+incremental rollup needs for distinct counts at 100 TB:
+``functions.incremental.refresh_rollup`` with keys+bucket and a
+``("max","rho")`` aggregate maintains the sketch in O(batch) per
+refresh, and the estimate is derived at read time (the same shape as
+its avg-from-sum/count rule).
 """
 
 from __future__ import annotations
@@ -19,6 +31,247 @@ def cardinality_stats(df: DataFrame, *cols: str, rsd: float = 0.05) -> DataFrame
         *[F.approx_count_distinct(c, rsd).alias(f"approx_{c}") for c in cols],
         *[F.countDistinct(c).alias(f"exact_{c}") for c in cols],
     )
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """HLL register table: (group..., bucket, rho) with rho maxed per
+    bucket. Hash = md5-prefix 60-bit int (cross-engine identical, the
+    sampling.py idiom); bucket = low ``p`` bits; rho = leading-zero
+    count of the remaining ``60-p`` bits + 1, computed with pure
+    integer ops (``length(bin(w))`` — no float log2 whose floor could
+    disagree at powers of two). Mergeable: max per (group, bucket)."""
+    m = 1 << p
+    width = 60 - p
+    hv = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(hv, p)
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            *group_cols,
+            hv.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+import math as _math
+
+
+def _lc_lut(p: int) -> list[str]:
+    """repr'd ln(m/V) for V = 1..m: the linear-counting log values.
+    There are only m possible arguments, so the logs are computed ONCE
+    driver-side and injected as identical literals into BOTH engines —
+    the correction becomes libm-independent (ln() is the one function
+    whose last ulp differs between JVM Math.log and C libm; a literal
+    table removes it from the query entirely). p is capped so the
+    lookup literal stays small."""
+    if p > 12:
+        raise ValueError("p > 12: linear-counting LUT literal too large")
+    m = 1 << p
+    return [repr(_math.log(m / v)) for v in range(1, m + 1)]
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """HLL estimate per group from a register table, WITH the standard
+    small-range linear-counting correction — deterministic across
+    engines end to end.
+
+    Exact-parity arithmetic: the harmonic-mean denominator is computed
+    as ``zeros + s_num / 2^rmax`` where ``s_num = Σ 2^(rmax-rho)`` is
+    an EXACT int64 sum (each term ≤ 2^52, ≤ 2^p terms), the division
+    by a power of two is exact, and constant·m²/S is one division of
+    identical doubles. The small-range branch (raw ≤ 2.5m and some
+    register empty) uses m·ln(m/zeros) with the ln values injected
+    from a driver-side literal table (``_lc_lut``) rather than the
+    engine's libm. Emits the integer sketch state (n_set, rmax,
+    s_num) alongside the estimate so the oracle pins the registers
+    too."""
+    m = 1 << p
+    alpha_mm = float(repr((0.7213 / (1.0 + 1.079 / m)) * m * m))
+    lut = _lc_lut(p)
+    g = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_set"), F.max("rho").alias("rmax")
+    )
+    joined = registers.join(g.select(*group_cols, "rmax"), group_cols)
+    # python-API shiftleft takes only a literal shift — the SQL form
+    # accepts a column expression
+    s = joined.groupBy(*group_cols).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), rmax - rho)")).alias("s_num")
+    )
+    out = g.join(s, group_cols)
+    zeros = F.lit(m) - F.col("n_set")
+    denom = zeros.cast("double") + F.col("s_num").cast(
+        "double"
+    ) / F.expr("shiftleft(CAST(1 AS BIGINT), rmax)").cast("double")
+    raw = F.lit(alpha_mm) / denom
+    lc = F.lit(float(m)) * F.element_at(
+        F.array(*[F.lit(float(v)) for v in lut]), zeros.cast("int")
+    )
+    est = F.when((zeros == 0) | (raw > 2.5 * m), raw).otherwise(lc)
+    return out.select(
+        *group_cols,
+        "n_set",
+        "rmax",
+        "s_num",
+        F.round(est, 4).alias("est"),
+    )
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width_bits: int = 10,
+) -> DataFrame:
+    """Portable Count-Min sketch (Cormode & Muthukrishnan 2005):
+    ``depth`` independent hash rows × ``2^width_bits`` counters,
+    emitted as plain rows (d, bucket, cnt) — SUM-mergeable (batch
+    sketches union + groupBy-sum ≡ one-shot; the heavy-hitter story
+    for the incremental rollup loop). Row hashes are disjoint 12-bit
+    slices of the same cross-engine md5-prefix int (depth ≤ 5 at
+    width ≤ 12 bits), so a DuckDB oracle reproduces every counter —
+    integer arithmetic end-to-end, no parity caveats at all."""
+    if depth * width_bits > 60:
+        raise ValueError("depth*width_bits must fit the 60-bit md5 prefix")
+    m = 1 << width_bits
+    hv = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rows = [
+        df.select(
+            F.lit(d).alias("d"),
+            F.shiftright(hv, d * width_bits).bitwiseAND(F.lit(m - 1)).alias(
+                "bucket"
+            ),
+        )
+        for d in range(depth)
+    ]
+    union = rows[0]
+    for r in rows[1:]:
+        union = union.unionByName(r)
+    return union.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width_bits: int = 10,
+) -> DataFrame:
+    """Point-query the sketch for each item: min over the ``depth``
+    counters the item hashes to — an upper bound on the true count
+    (collisions only ever inflate). The sketch is depth × 2^width_bits
+    rows REGARDLESS of stream size, so each per-row counter slice is
+    broadcast and the probes never shuffle."""
+    m = 1 << width_bits
+    hv = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    keep = list(items.columns)
+    probes = items.select(
+        "*",
+        *[
+            F.shiftright(hv, d * width_bits)
+            .bitwiseAND(F.lit(m - 1))
+            .alias(f"b{d}")
+            for d in range(depth)
+        ],
+    )
+    est = None
+    for d in range(depth):
+        side = sketch.filter(F.col("d") == d).select(
+            F.col("bucket").alias(f"b{d}"), F.col("cnt").alias(f"c{d}")
+        )
+        probes = probes.join(F.broadcast(side), f"b{d}")
+        c = F.col(f"c{d}")
+        est = c if est is None else F.least(est, c)
+    return probes.select(*keep, est.alias("est_cnt"))
+
+
+def sql_cm(
+    table_expr: str,
+    value_expr: str,
+    items_sql: str,
+    item_col: str = "item",
+    depth: int = 4,
+    width_bits: int = 10,
+) -> str:
+    """DuckDB mirror of cm_sketch→cm_estimate for oracle SQL.
+    ``items_sql`` selects the probe rows (must include ``item_col``);
+    its other columns pass through, so exact counts can ride along
+    for self-evaluation."""
+    m = 1 << width_bits
+    hv = f"(('0x' || substring(md5(CAST({value_expr} AS VARCHAR)), 1, 15))::BIGINT)"
+    sketch_rows = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, ({hv} >> {d * width_bits}) & {m - 1} AS bucket "
+        f"FROM {table_expr}"
+        for d in range(depth)
+    )
+    ihv = (
+        f"(('0x' || substring(md5(CAST({item_col} AS VARCHAR)), 1, 15))::BIGINT)"
+    )
+    mins = ", ".join(
+        f"(SELECT cnt FROM sk WHERE d = {d} "
+        f"AND bucket = ({ihv} >> {d * width_bits}) & {m - 1})"
+        for d in range(depth)
+    )
+    return f"""
+WITH sk AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({sketch_rows}) GROUP BY 1, 2
+), it AS ({items_sql})
+SELECT it.*, least({mins}) AS est_cnt FROM it
+"""
+
+
+def sql_hll(
+    table_expr: str, group_col: str, value_expr: str, p: int = 8
+) -> str:
+    """DuckDB mirror of hll_registers→hll_estimate for oracle SQL."""
+    m = 1 << p
+    width = 60 - p
+    alpha_mm = repr((0.7213 / (1.0 + 1.079 / m)) * m * m)
+    lut = ", ".join(_lc_lut(p))
+    raw = (
+        f"({alpha_mm} / (({m} - gg.n_set) + s.s_num / (1::BIGINT << gg.rmax)))"
+    )
+    lc = f"({repr(float(m))} * list_extract([{lut}], {m} - gg.n_set))"
+    return f"""
+WITH h AS (
+  SELECT {group_col} AS g,
+         ('0x' || substring(md5(CAST({value_expr} AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM {table_expr}
+), r AS (
+  SELECT g, hv & {m - 1} AS bucket,
+         MAX(CASE WHEN hv >> {p} = 0 THEN {width + 1}
+                  ELSE {width + 1} - length(bin(hv >> {p})) END) AS rho
+  FROM h GROUP BY 1, 2
+), gg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_set, MAX(rho) AS rmax
+  FROM r GROUP BY 1
+), s AS (
+  SELECT r.g,
+         CAST(SUM(1::BIGINT << (gg.rmax - r.rho)) AS BIGINT) AS s_num
+  FROM r JOIN gg ON r.g = gg.g GROUP BY 1
+)
+SELECT gg.g AS {group_col}, gg.n_set, CAST(gg.rmax AS INTEGER) AS rmax,
+       s.s_num,
+       round(CASE WHEN gg.n_set = {m} OR {raw} > {repr(2.5 * m)}
+                  THEN {raw} ELSE {lc} END, 4) AS est
+FROM gg JOIN s ON gg.g = s.g
+"""
 
 
 def quantiles(df: DataFrame, col: str, probs: list[float], accuracy: int = 10000) -> DataFrame:

@@ -740,7 +740,14 @@ _REGISTRY: list[Query] = [
     # and bench-visible)
     Query("video_frames", llmdata.q_video_frames, llmdata.Q_VIDEO_FRAMES_SQL),
     # --- cardinality
-    Query("cardinality", llmdata.q_cardinality, llmdata.Q_CARDINALITY_SQL),
+    # ROTATION (r6): cardinality demoted — its oracle checks only the
+    # EXACT countDistinct column (the builtin approx sketch is engine-
+    # specific, unit-tested not oracle-able). Slot goes to
+    # hll_cardinality, which strictly dominates: a portable mergeable
+    # HLL whose registers AND estimate are under exact cross-engine
+    # oracle parity, with the exact count riding along as per-row
+    # self-evaluation.
+    Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),
     # =====================================================================
     # TAIL: the driver evaluates only the FIRST 50 registry entries per
     # round (CORRECTNESS_r01.json truncated at exactly 50). Everything
@@ -834,8 +841,13 @@ _REGISTRY: list[Query] = [
     # path under oracle and in the BENCH — tail row (capped_sessions
     # keeps the family driver-green; this twin shares its oracle)
     Query("streaming_capped_sessions", q_streaming_capped_sessions, llmdata.Q_CAPPED_SESSIONS_SQL),
+    # r6: Count-Min heavy hitters — the SUM-mergeable counter sketch
+    # under exact cross-engine oracle (hll_cardinality carries the
+    # sketch family in the head; r7 promotion candidate)
+    Query("heavy_hitters", llmdata.q_heavy_hitters, llmdata.Q_HEAVY_HITTERS_SQL),
     Query("char_dups", llmdata.q_char_dups, llmdata.Q_CHAR_DUPS_SQL),
     # demoted r6 (see head rotation notes) — still oracle-checked here
+    Query("cardinality", llmdata.q_cardinality, llmdata.Q_CARDINALITY_SQL),
     Query("wordcount", dataflow.q_wordcount, dataflow.Q_WORDCOUNT_SQL),
     Query("session_windows", dataflow.q_session_windows, dataflow.Q_SESSION_WINDOWS_SQL),
     Query("json_props", dataflow.q_json_props, dataflow.Q_JSON_PROPS_SQL),

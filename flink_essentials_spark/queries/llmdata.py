@@ -2757,3 +2757,90 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-user estimate per event type
+    (functions.approx.hll_registers/hll_estimate) — an APPROXIMATE
+    metric under EXACT cross-engine oracle parity: both engines build
+    identical registers from the shared md5-prefix hash and derive the
+    identical estimate with integer-exact arithmetic. The exact
+    distinct count rides along, so every row self-reports its sketch
+    error (the lsh_recall discipline). Registers are max-mergeable —
+    the distinct-count story for the incremental rollup loop at
+    100 TB (sketch maintained O(batch) per refresh, estimate derived
+    at read time)."""
+    from flink_essentials_spark.functions import approx
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    regs = approx.hll_registers(ev, ["event_type"], "user_id", p=8)
+    est = approx.hll_estimate(regs, ["event_type"], p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_set", "rmax", "s_num", "est", "exact_users"
+    )
+
+
+def _hll_cardinality_sql() -> str:
+    from flink_essentials_spark.functions.approx import sql_hll
+
+    hll = sql_hll("events", "event_type", "user_id", p=8)
+    return f"""
+WITH hll AS ({hll}),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT hll.event_type, hll.n_set, hll.rmax, hll.s_num, hll.est, ex.exact_users
+FROM hll JOIN ex ON hll.event_type = ex.event_type
+"""
+
+
+Q_HLL_CARDINALITY_SQL = _hll_cardinality_sql()
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a portable Count-Min sketch
+    (functions.approx.cm_sketch/cm_estimate): token counts maintained
+    in depth*2^10 counters REGARDLESS of corpus size (SUM-mergeable —
+    the incremental hot-key story), point-queried for the exact top-10
+    tokens with the exact counts riding along as self-evaluation.
+    Every counter is integer arithmetic over the cross-engine md5
+    hash, so DuckDB reproduces the sketch bit for bit; est_cnt >=
+    exact_cnt always (collisions only inflate) and the margin IS the
+    measured sketch error. Tie-broken top-10 (cnt desc, token asc)
+    keeps the probe set deterministic in both engines."""
+    from flink_essentials_spark.functions import approx
+    from flink_essentials_spark.operators.transform import tokenize
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    sketch = approx.cm_sketch(toks, "token", depth=4, width_bits=10)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "token").limit(10)
+    return approx.cm_estimate(
+        sketch, top, "token", depth=4, width_bits=10
+    ).select("token", "exact_cnt", "est_cnt")
+
+
+def _heavy_hitters_sql() -> str:
+    from flink_essentials_spark.functions.approx import sql_cm
+
+    return sql_cm(
+        f"(SELECT unnest({_SQL_TOKENS}) AS token FROM documents)",
+        "token",
+        f"""SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+  GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 10""",
+        item_col="token",
+        depth=4,
+        width_bits=10,
+    )
+
+
+Q_HEAVY_HITTERS_SQL = _heavy_hitters_sql()

@@ -373,6 +373,98 @@ def test_approx_cardinality_within_rsd(spark):
     assert got["approx_event_type"] >= 4
 
 
+def test_hll_estimate_accuracy_and_small_range(spark):
+    """Portable HLL (p=8 → rsd ≈ 1.04/√256 = 6.5%): the raw estimate
+    must land within 4 rsd of exact on a real-cardinality column, and
+    a tiny-cardinality group (where raw HLL overestimates and linear
+    counting would apply) must still identify the right order of
+    magnitude via its n_set register count."""
+    t = load_tables(spark, SF_DIR)
+    ev = t["events"]
+    regs = approx.hll_registers(ev, ["event_type"], "user_id", p=8)
+    est = {
+        r["event_type"]: r
+        for r in approx.hll_estimate(regs, ["event_type"], p=8).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(est[et]["est"] - n) <= max(5, 4 * 0.065 * n), (et, est[et], n)
+    # tiny cardinality: 3 distinct values → exactly 3 registers set
+    tiny = spark.createDataFrame(
+        [("g", i % 3) for i in range(50)], "grp string, v long"
+    )
+    tr = approx.hll_registers(tiny, ["grp"], "v", p=8).collect()
+    assert len(tr) == 3
+
+
+def test_hll_registers_merge_incrementally(spark, tmp_path):
+    """The 100 TB distinct-count story: HLL registers maintained by
+    functions.incremental.refresh_rollup (keys + bucket, max(rho))
+    across three history batches must equal the one-shot sketch — and
+    therefore yield the IDENTICAL estimate."""
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.sinks import versioned
+
+    t = load_tables(spark, SF_DIR)
+    ev = t["events"].select("event_id", "event_type", "user_id")
+    base = str(tmp_path / "hll_rollup")
+    for b in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == b)
+        regs = approx.hll_registers(batch, ["event_type"], "user_id", p=8)
+        refresh_rollup(
+            spark, base, regs, ["event_type", "bucket"],
+            {"rho": ("max", "rho")},
+        )
+    stored = versioned.read_current(spark, base)
+    oneshot = approx.hll_registers(ev, ["event_type"], "user_id", p=8)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+    got = {
+        r["event_type"]: r["est"]
+        for r in approx.hll_estimate(stored, ["event_type"], p=8).collect()
+    }
+    want = {
+        r["event_type"]: r["est"]
+        for r in approx.hll_estimate(oneshot, ["event_type"], p=8).collect()
+    }
+    assert got == want
+
+
+def test_cm_sketch_upper_bound_and_merge(spark):
+    """Count-Min guarantees: est >= exact for every probed item
+    (collisions only inflate), and per-batch sketches SUM-merge to the
+    one-shot sketch (union + groupBy-sum — the incremental hot-key
+    maintenance path)."""
+    from flink_essentials_spark.operators.transform import tokenize
+
+    t = load_tables(spark, SF_DIR)
+    toks = t["documents"].select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    sketch = approx.cm_sketch(toks, "token", depth=4, width_bits=10)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "token").limit(20)
+    for r in approx.cm_estimate(sketch, top, "token", 4, 10).collect():
+        assert r["est_cnt"] >= r["exact_cnt"], r
+
+    halves = [toks.filter(F.col("doc_id") % 2 == b) for b in (0, 1)]
+    merged = (
+        approx.cm_sketch(halves[0], "token", 4, 10)
+        .unionByName(approx.cm_sketch(halves[1], "token", 4, 10))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sketch.collect())
+    )
+
+
 def test_approx_quantiles_bracket_exact(spark):
     t = load_tables(spark, SF_DIR)
     qs = approx.quantiles(t["events"], "value", [0.25, 0.5, 0.75]).collect()[0]
