@@ -231,6 +231,63 @@ def test_streaming_processing_time_timeout_fires(spark, replay_dir):
         q.stop()
 
 
+def test_streaming_interval_join_left_outer_null_emission(spark, replay_dir):
+    """Stream-stream LEFT OUTER interval join (J3's outer extension):
+    a left row with no right match within the time bound is held in
+    state and emitted NULL-padded only once the watermark passes its
+    join window — never earlier (it might still match), never dropped.
+    Three batches: data, watermark-advancing sentinels on BOTH sides
+    (the join watermark is the MIN across inputs), and one more to
+    enforce the advance (the one-batch lag)."""
+    import datetime as dt
+    import os
+
+    from flink_essentials_spark.operators.joins import interval_join
+    from flink_essentials_spark.streaming.watermarks import with_event_time
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    far1, far2 = mk(86400 * 40), mk(86400 * 50)
+
+    ldir, rdir = os.path.join(replay_dir, "l"), os.path.join(replay_dir, "r")
+    # left: user 1 (will match) + user 2 (no right row at all)
+    lbatches = [
+        spark.createDataFrame(
+            [(1, mk(10)), (2, mk(12))], "user_id long, lts timestamp"
+        ),
+        spark.createDataFrame([(-9, far1)], "user_id long, lts timestamp"),
+        spark.createDataFrame([(-9, far2)], "user_id long, lts timestamp"),
+    ]
+    rbatches = [
+        spark.createDataFrame([(1, mk(11))], "user_id long, rts timestamp"),
+        spark.createDataFrame([(-8, far1)], "user_id long, rts timestamp"),
+        spark.createDataFrame([(-8, far2)], "user_id long, rts timestamp"),
+    ]
+    _write_files(lbatches, ldir)
+    _write_files(rbatches, rdir)
+    left = with_event_time(
+        file_replay(spark, ldir, "user_id long, lts timestamp",
+                    files_per_trigger=1),
+        "lts", "1 second",
+    )
+    right = with_event_time(
+        file_replay(spark, rdir, "user_id long, rts timestamp",
+                    files_per_trigger=1),
+        "rts", "1 second",
+    ).withColumnRenamed("user_id", "r_user")
+    out = interval_join(
+        left, right, "user_id", "r_user", "lts", "rts",
+        "10 seconds", "10 seconds",
+        lower_exclusive=False, upper_exclusive=False, how="left_outer",
+    ).select("user_id", "lts", "rts")
+    rows = run_to_memory(spark, out, _mem("loj")).collect()
+    got = {
+        (r["user_id"], r["rts"] is not None) for r in rows if r["user_id"] > 0
+    }
+    # user 1 matched inner; user 2 emitted NULL-padded by the watermark
+    assert got == {(1, True), (2, False)}
+
+
 def test_streaming_dropDuplicates_exactly_once_per_key(spark, replay_dir):
     """Streaming exact dedup: a sku replayed in two different
     micro-batches is emitted once (state store remembers keys)."""
