@@ -294,6 +294,89 @@ def decode_media(df: DataFrame, *, fake: bool = False) -> DataFrame:
     )
 
 
+AHASH_SCHEMA = "media_id long, width int, height int, hash_hi long, hash_lo long"
+
+
+def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash per image — the multimodal near-dup
+    fingerprint: decode (PPM/BMP/PNG/JPEG via the pure-numpy codecs),
+    integer BT.601 luma (299R+587G+114B; 1000·v for grayscale — the
+    same scale, so gray and RGB encodings of identical content hash
+    identically), area-average to a ``grid×grid`` raster, bit b set
+    iff block-mean > global mean. INTEGER-EXACT end to end: the mean
+    comparison is cross-multiplied (``s_b·N > S·n_b``, all int64), and
+    blocks left empty by tiny images (w or h < grid) threshold false
+    on 0>0 — so an independent engine recomputing the pixel formulas
+    reproduces every bit (oracle ``image_dedup``). Emitted as two
+    32-bit halves (hash_hi = bits 32..63) to keep the value unsigned-
+    exact in any engine. Equal-hash grouping is the scale-safe
+    near-dup step: groupBy(hash), never pairwise; robust to container
+    and colorspace differences by construction (tested: the same
+    pixels through PPM, BMP and PNG share one hash).
+
+    Scale: one Arrow-batched decode pass, output 5 ints per image —
+    the groupBy shuffles fingerprints, not payloads."""
+    from flink_essentials_spark.functions import png as _png
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, his, los = [], [], [], [], []
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime_type"]
+            ):
+                payload = bytes(payload)
+                if mime == codecs.PPM_MIME:
+                    arr = codecs.decode_ppm(payload)
+                elif mime == codecs.BMP_MIME:
+                    arr = codecs.decode_bmp(payload)
+                elif mime == _png.PNG_MIME:
+                    arr = _png.decode_png(payload)
+                elif mime == jpeg.JPEG_MIME:
+                    arr = jpeg.decode_jpeg(payload)
+                else:
+                    continue
+                a = arr.astype(np.int64)
+                if a.ndim == 3:
+                    luma = 299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+                else:
+                    luma = 1000 * a
+                h, w = luma.shape
+                bx = (np.arange(w) * grid) // w
+                by = (np.arange(h) * grid) // h
+                idx = (by[:, None] * grid + bx[None, :]).ravel()
+                # float64 bincount sums stay exact: block sums are
+                # bounded by 255000·w·h ≪ 2^53
+                sums = np.bincount(
+                    idx, weights=luma.ravel(), minlength=grid * grid
+                ).astype(np.int64)
+                n = np.bincount(idx, minlength=grid * grid).astype(np.int64)
+                bits = (sums * int(n.sum())) > (int(sums.sum()) * n)
+                hi = lo = 0
+                for b in np.nonzero(bits)[0]:
+                    if b >= 32:
+                        hi |= 1 << (int(b) - 32)
+                    else:
+                        lo |= 1 << int(b)
+                ids.append(int(mid))
+                ws.append(w)
+                hs.append(h)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "hash_hi": pd.Series(his, dtype="int64"),
+                    "hash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", "payload", "mime_type").mapInPandas(
+        op, schema=AHASH_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = (
     "media_id long, modality string, mime_type string, "
     "width int, height int, payload binary"
