@@ -78,6 +78,8 @@ HEADLINE = [
     # multimodal (real decode path)
     "media_features",
     "video_frames",
+    # r6: perceptual-hash image dedup (decode → aHash → group)
+    "image_dedup",
     # r5 additions: iterative graph, retrieval build, python-stage
     # normalization, the ER blocking join
     "link_rank",

@@ -877,6 +877,10 @@ _REGISTRY: list[Query] = [
     # under exact cross-engine oracle (hll_cardinality carries the
     # sketch family in the head; r7 promotion candidate)
     Query("heavy_hitters", llmdata.q_heavy_hitters, llmdata.Q_HEAVY_HITTERS_SQL),
+    # r6: perceptual-hash image dedup over the real decode path —
+    # DuckDB recomputes every hash bit from the generator formulas
+    # (r7 promotion candidate: first multimodal DEDUP row)
+    Query("image_dedup", llmdata.q_image_dedup, llmdata.Q_IMAGE_DEDUP_SQL),
     Query("char_dups", llmdata.q_char_dups, llmdata.Q_CHAR_DUPS_SQL),
     # demoted r6 (see head rotation notes) — still oracle-checked here
     Query("cardinality", llmdata.q_cardinality, llmdata.Q_CARDINALITY_SQL),

@@ -2844,3 +2844,76 @@ def _heavy_hitters_sql() -> str:
 
 
 Q_HEAVY_HITTERS_SQL = _heavy_hitters_sql()
+
+
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: perceptual average-hash over REAL decoded
+    images (multimodal.image_ahash — PPM/PNG/BMP/JPEG through the
+    pure-numpy codecs), grouped by hash — the scale-safe image-dedup
+    step (groupBy fingerprints, never pairwise, payloads never
+    shuffle). The synthetic corpus guarantees true duplicates (pixel
+    formulas repeat every 768 doc_ids per container class) and the
+    hash is integer-exact end to end, so DuckDB recomputes every bit
+    from the generator formulas: gradient images via the block-mean
+    cross-multiplied threshold, flat JPEGs degenerating to hash 0 (a
+    flat image has no structure — all flat images are perceptual
+    duplicates by design, brightness-invariance included). Emits the
+    duplicate groups (hash, n_images, canonical id)."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.synthetic_real_media(spark, t["documents"]).filter(
+        F.col("modality") == "image"
+    )
+    hashes = multimodal.image_ahash(media)
+    return (
+        hashes.groupBy("hash_hi", "hash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("media_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_images") > 1)
+    )
+
+
+Q_IMAGE_DEDUP_SQL = """
+WITH imgs AS (
+  SELECT doc_id, ((doc_id % 8) + 1) * 4 AS w, ((doc_id % 4) + 1) * 2 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), flat AS (
+  SELECT doc_id, 0::BIGINT AS hash_hi, 0::BIGINT AS hash_lo
+  FROM imgs WHERE doc_id % 6 = 3
+), px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS p
+  FROM imgs WHERE doc_id % 6 = 0
+), lum AS (
+  SELECT doc_id,
+         299 * ((doc_id + 3 * p) % 256)
+           + 587 * ((doc_id + 3 * p + 1) % 256)
+           + 114 * ((doc_id + 3 * p + 2) % 256) AS luma,
+         ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS b
+  FROM px
+), blocks AS (
+  SELECT doc_id, b, SUM(luma) AS s_b, COUNT(*) AS n_b
+  FROM lum GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, SUM(s_b) AS s_all, SUM(n_b) AS n_all
+  FROM blocks GROUP BY 1
+), bits AS (
+  SELECT blocks.doc_id, b
+  FROM blocks JOIN tot ON blocks.doc_id = tot.doc_id
+  WHERE s_b * n_all > s_all * n_b
+), grad AS (
+  SELECT i.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN b >= 32 THEN 1::BIGINT << (b - 32) END),
+                       0) AS BIGINT) AS hash_hi,
+         CAST(COALESCE(SUM(CASE WHEN b < 32 THEN 1::BIGINT << b END),
+                       0) AS BIGINT) AS hash_lo
+  FROM (SELECT doc_id FROM imgs WHERE doc_id % 6 = 0) i
+  LEFT JOIN bits ON i.doc_id = bits.doc_id
+  GROUP BY 1
+), all_h AS (
+  SELECT * FROM flat UNION ALL SELECT * FROM grad
+)
+SELECT hash_hi, hash_lo, CAST(COUNT(*) AS BIGINT) AS n_images,
+       MIN(doc_id) AS canonical_id
+FROM all_h GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""

@@ -362,6 +362,41 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert out.count() == 10
 
 
+def test_image_ahash_container_independent_and_invariances(spark):
+    """The perceptual-hash contract: (a) the same pixels through PPM,
+    BMP and PNG produce ONE hash (container independence — what makes
+    equal-hash grouping a cross-encoding dedup); (b) a global
+    brightness shift leaves the hash unchanged (mean-relative bits);
+    (c) a flat image hashes to 0 (no structure); (d) structurally
+    different images separate."""
+    import numpy as np
+
+    from flink_essentials_spark.functions import codecs, png
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 200, size=(16, 24, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(codecs.encode_ppm(arr)), codecs.PPM_MIME),
+        (2, bytearray(codecs.encode_bmp(arr)), codecs.BMP_MIME),
+        (3, bytearray(png.encode_png(arr)), png.PNG_MIME),
+        (4, bytearray(codecs.encode_ppm(arr + 50)), codecs.PPM_MIME),
+        (5, bytearray(codecs.encode_ppm(np.full((16, 24, 3), 77, np.uint8))),
+         codecs.PPM_MIME),
+        (6, bytearray(codecs.encode_ppm(arr[::-1].copy())), codecs.PPM_MIME),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime_type string"
+    )
+    got = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in multimodal.image_ahash(df).collect()
+    }
+    assert got[1] == got[2] == got[3]          # container independence
+    assert got[4] == got[1]                    # brightness invariance
+    assert got[5] == (0, 0)                    # flat → no structure
+    assert got[6] != got[1]                    # vertical flip separates
+
+
 # --- approx aggregates vs exact anchors -------------------------------------
 
 
