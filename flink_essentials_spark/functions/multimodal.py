@@ -377,6 +377,67 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
+ENVELOPE_SCHEMA = "media_id long, n_samples long, hash_hi long, hash_lo long"
+
+
+def audio_envelope_hash(df: DataFrame, windows: int = 64) -> DataFrame:
+    """Perceptual audio fingerprint — the 1-D sibling of
+    :func:`image_ahash`: decode WAV (pure-stdlib codec), square the
+    int16 samples (energy), area-average into ``windows`` buckets,
+    bit w set iff window energy-mean > global energy-mean. The same
+    cross-multiplied integer comparison (``e_w·N > E·n_w``, exact
+    int64: per-window sums ≤ 2^30·n ≪ 2^63) makes the hash
+    loudness-shape-derived yet ENGINE-EXACT, so an independent engine
+    can recompute every bit from a sample formula (oracle
+    ``audio_fingerprints``). Amplitude scaling leaves the bits
+    unchanged (mean-relative); silence hashes to 0. Emitted as two
+    32-bit halves like image_ahash; equal-hash grouping is the same
+    scale-safe near-dup step."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, his, los = [], [], [], []
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime_type"]
+            ):
+                if mime != codecs.WAV_MIME:
+                    continue
+                samples, _rate = codecs.decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                energy = s * s
+                n = s.size
+                idx = (np.arange(n) * windows) // n
+                # float64 bincount stays exact: window sums are
+                # < 2^30·n ≪ 2^53 for any realistic clip length
+                sums = np.bincount(
+                    idx, weights=energy, minlength=windows
+                ).astype(np.int64)
+                cnt = np.bincount(idx, minlength=windows).astype(np.int64)
+                bits = (sums * n) > (int(energy.sum()) * cnt)
+                hi = lo = 0
+                for b in np.nonzero(bits)[0]:
+                    if b >= 32:
+                        hi |= 1 << (int(b) - 32)
+                    else:
+                        lo |= 1 << int(b)
+                ids.append(int(mid))
+                ns.append(n)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "hash_hi": pd.Series(his, dtype="int64"),
+                    "hash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", "payload", "mime_type").mapInPandas(
+        op, schema=ENVELOPE_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = (
     "media_id long, modality string, mime_type string, "
     "width int, height int, payload binary"

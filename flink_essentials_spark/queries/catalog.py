@@ -881,6 +881,9 @@ _REGISTRY: list[Query] = [
     # DuckDB recomputes every hash bit from the generator formulas
     # (r7 promotion candidate: first multimodal DEDUP row)
     Query("image_dedup", llmdata.q_image_dedup, llmdata.Q_IMAGE_DEDUP_SQL),
+    # r6: the audio sibling — energy-envelope fingerprint bits over
+    # the real WAV decode, DuckDB-recomputed from the sample formula
+    Query("audio_fingerprints", llmdata.q_audio_fingerprints, llmdata.Q_AUDIO_FINGERPRINTS_SQL),
     Query("char_dups", llmdata.q_char_dups, llmdata.Q_CHAR_DUPS_SQL),
     # demoted r6 (see head rotation notes) — still oracle-checked here
     Query("cardinality", llmdata.q_cardinality, llmdata.Q_CARDINALITY_SQL),

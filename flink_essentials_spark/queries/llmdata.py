@@ -2917,3 +2917,53 @@ SELECT hash_hi, hash_lo, CAST(COUNT(*) AS BIGINT) AS n_images,
        MIN(doc_id) AS canonical_id
 FROM all_h GROUP BY 1, 2 HAVING COUNT(*) > 1
 """
+
+
+def q_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual fingerprints over the REAL WAV decode path
+    (multimodal.audio_envelope_hash): energy-envelope bits per clip,
+    integer-exact, recomputed bit-for-bit by DuckDB from the sample
+    formula s_i = ((doc_id*31 + i*7) % 65536) - 32768. The synthetic
+    corpus has no repeated clips below doc_id 65536 (the sample
+    stream's period), so this row pins the FINGERPRINT itself; the
+    equal-hash near-dup grouping step is exercised by image_dedup on
+    the modality that does repeat."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.synthetic_real_media(spark, t["documents"]).filter(
+        F.col("modality") == "audio"
+    )
+    return multimodal.audio_envelope_hash(media).select(
+        "media_id", "n_samples", "hash_hi", "hash_lo"
+    )
+
+
+Q_AUDIO_FINGERPRINTS_SQL = """
+WITH auds AS (
+  SELECT doc_id, ((doc_id % 50) + 10) * 50 AS n
+  FROM documents WHERE doc_id % 3 = 1
+), smp AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM auds
+), en AS (
+  SELECT doc_id, n, (i * 64) // n AS w,
+         ((doc_id * 31 + i * 7) % 65536 - 32768)
+           * ((doc_id * 31 + i * 7) % 65536 - 32768) AS energy
+  FROM smp
+), wins AS (
+  SELECT doc_id, n, w, SUM(energy) AS e_w, COUNT(*) AS n_w
+  FROM en GROUP BY 1, 2, 3
+), tot AS (
+  SELECT doc_id, SUM(e_w) AS te, SUM(n_w) AS tn
+  FROM wins GROUP BY 1
+), bits AS (
+  SELECT wins.doc_id, w
+  FROM wins JOIN tot ON wins.doc_id = tot.doc_id
+  WHERE e_w * tn > te * n_w
+)
+SELECT a.doc_id AS media_id, CAST(a.n AS BIGINT) AS n_samples,
+       CAST(COALESCE(SUM(CASE WHEN b.w >= 32 THEN 1::BIGINT << (b.w - 32) END),
+                     0) AS BIGINT) AS hash_hi,
+       CAST(COALESCE(SUM(CASE WHEN b.w < 32 THEN 1::BIGINT << b.w END),
+                     0) AS BIGINT) AS hash_lo
+FROM auds a LEFT JOIN bits b ON a.doc_id = b.doc_id
+GROUP BY 1, 2
+"""

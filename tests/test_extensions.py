@@ -397,6 +397,41 @@ def test_image_ahash_container_independent_and_invariances(spark):
     assert got[6] != got[1]                    # vertical flip separates
 
 
+def test_audio_envelope_hash_invariances(spark):
+    """Energy-envelope fingerprint contract: amplitude scaling leaves
+    the hash unchanged (mean-relative bits), silence hashes to 0, and
+    reordering the loud section moves the bits."""
+    import numpy as np
+
+    from flink_essentials_spark.functions import codecs
+
+    rng = np.random.default_rng(11)
+    quiet = rng.integers(-500, 500, size=1500).astype(np.int16)
+    loud = rng.integers(-20000, 20000, size=500).astype(np.int16)
+    clip = np.concatenate([quiet, loud])
+    rows = [
+        (1, bytearray(codecs.encode_wav(clip, 16000)), codecs.WAV_MIME),
+        (2, bytearray(codecs.encode_wav((clip // 2).astype(np.int16), 16000)),
+         codecs.WAV_MIME),
+        (3, bytearray(codecs.encode_wav(np.zeros(2000, np.int16), 16000)),
+         codecs.WAV_MIME),
+        (4, bytearray(codecs.encode_wav(np.concatenate([loud, quiet]), 16000)),
+         codecs.WAV_MIME),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime_type string"
+    )
+    got = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in multimodal.audio_envelope_hash(df).collect()
+    }
+    assert got[2] == got[1]        # amplitude invariance (exact halving
+    #                                changes energies 4x uniformly; the
+    #                                mean-relative bits survive)
+    assert got[3] == (0, 0)        # silence → no structure
+    assert got[4] != got[1]        # loud section moved → bits move
+
+
 # --- approx aggregates vs exact anchors -------------------------------------
 
 
