@@ -884,6 +884,10 @@ _REGISTRY: list[Query] = [
     # r6: the audio sibling — energy-envelope fingerprint bits over
     # the real WAV decode, DuckDB-recomputed from the sample formula
     Query("audio_fingerprints", llmdata.q_audio_fingerprints, llmdata.Q_AUDIO_FINGERPRINTS_SQL),
+    # r6: TPC-H Q11/Q22 shapes — pure-integer scalar-threshold compares
+    # (no doubles in any filter), broadcast one-row globals
+    Query("important_parts", relational.q_important_parts, relational.Q_IMPORTANT_PARTS_SQL),
+    Query("idle_rich_customers", relational.q_idle_rich_customers, relational.Q_IDLE_RICH_CUSTOMERS_SQL),
     Query("char_dups", llmdata.q_char_dups, llmdata.Q_CHAR_DUPS_SQL),
     # demoted r6 (see head rotation notes) — still oracle-checked here
     Query("cardinality", llmdata.q_cardinality, llmdata.Q_CARDINALITY_SQL),

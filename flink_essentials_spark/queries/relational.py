@@ -1031,3 +1031,94 @@ SELECT b.band_id, b.lo_c, b.hi_c,
 FROM parts p JOIN bands b ON p.price_c BETWEEN b.lo_c AND b.hi_c
 GROUP BY 1, 2, 3
 """
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: groups whose value exceeds a
+    FRACTION of the global total) over the lineitem-derived part
+    catalog. The classic plan trap is recomputing the global sum in a
+    correlated subquery; here it is one partial-aggregated global
+    (broadcast as a one-row frame) against the per-part aggregate.
+    Parity is PURE INTEGER: with threshold fraction 1/2000,
+    ``part_value_c * 2000 > global_c`` compares exact longs — no
+    doubles anywhere in the filter."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_partkey", cents("l_extendedprice").alias("val_c")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("val_c").alias("part_value_c"))
+    total = li.agg(F.sum("val_c").alias("global_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value_c") * 2000 > F.col("global_c"))
+        .select("l_partkey", "part_value_c")
+    )
+
+
+Q_IMPORTANT_PARTS_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, {sql_cents("l_extendedprice")} AS val_c FROM lineitem
+), per_part AS (
+  SELECT l_partkey, CAST(SUM(val_c) AS BIGINT) AS part_value_c
+  FROM li GROUP BY 1
+), total AS (SELECT CAST(SUM(val_c) AS BIGINT) AS global_c FROM li)
+SELECT l_partkey, part_value_c
+FROM per_part, total
+WHERE part_value_c * 2000 > global_c
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-customer sales opportunity): customers
+    in a nation subset with an account balance ABOVE the subset's
+    average positive balance and no URGENT orders (this testdata's
+    order coverage is dense — every customer has SOME order, so the
+    Q22 "no orders at all" predicate would be vacuous; the
+    priority-restricted anti join keeps the identical plan shape with
+    a non-empty answer) — scalar threshold + anti join per nation. The average-threshold compare is PURE
+    INTEGER (``bal_c * n > sum_c`` cross-multiplied — the exact
+    rational form of ``bal > avg``), so no double ever enters the
+    filter; the anti join plans as a broadcast left-anti against the
+    order keys."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_nationkey") <= 10).select(
+        "c_custkey", "c_nationkey", cents("c_acctbal").alias("bal_c")
+    )
+    pos = cust.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_c"), F.count(F.lit(1)).alias("n_pos")
+    )
+    orders = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_c"))
+        .join(orders, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("bal_c").alias("total_bal_c"),
+        )
+    )
+
+
+Q_IDLE_RICH_CUSTOMERS_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, {sql_cents("c_acctbal")} AS bal_c
+  FROM customer WHERE c_nationkey <= 10
+), pos AS (
+  SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_c,
+         CAST(COUNT(*) AS BIGINT) AS n_pos
+  FROM cust WHERE bal_c > 0
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+FROM cust, pos
+WHERE bal_c * n_pos > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""

@@ -221,6 +221,8 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "pmi_pairs": {"BroadcastNestedLoopJoin"},  # one-row doc total
         "revenue_concentration": {"BroadcastNestedLoopJoin"},  # one-row cuts
         "lsh_recall": {"BroadcastNestedLoopJoin"},  # three one-row counts
+        "important_parts": {"BroadcastNestedLoopJoin"},  # one-row global sum
+        "idle_rich_customers": {"BroadcastNestedLoopJoin"},  # one-row avg
     }
     offenders = {}
     for name in ALL_QUERIES:
