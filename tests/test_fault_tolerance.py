@@ -56,6 +56,42 @@ def test_state_survives_query_restart(spark, tmp_path):
     assert got2 == {u: 4 for u in ("Bob", "Alice", "Sam", "Tom", "Rob")}
 
 
+def test_available_now_trigger_batch_drain_and_continuation(spark, tmp_path):
+    """Trigger.AvailableNow — the scheduled-drain mode a production
+    ingest loop runs (start, drain everything available, STOP ON ITS
+    OWN, cron restarts later): the query terminates by itself after
+    consuming all current input, and a later run from the same
+    checkpoint picks up exactly the files that arrived in between —
+    incremental, no reprocessing."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    first = fixtures.shopping_cart_events(spark, 10)  # 2 events/user
+    first.coalesce(1).write.parquet(src)
+
+    def drain(name):
+        sdf = file_replay(spark, src, SHOPPING_CART_EVENT_SCHEMA)
+        counts = sdf.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # availableNow terminates ON ITS OWN — that IS the contract
+        assert q.awaitTermination(120)
+        return {r["user_id"]: r["cnt"] for r in spark.table(name).collect()}
+
+    got1 = drain("an1_" + uuid.uuid4().hex[:8])
+    assert got1 == {u: 2 for u in ("Bob", "Alice", "Sam", "Tom", "Rob")}
+
+    more = fixtures.shopping_cart_events(spark, 20).exceptAll(first)
+    more.coalesce(1).write.mode("append").parquet(src)
+    got2 = drain("an2_" + uuid.uuid4().hex[:8])
+    assert got2 == {u: 4 for u in ("Bob", "Alice", "Sam", "Tom", "Rob")}
+
+
 def test_custom_processor_state_survives_restart(spark, tmp_path):
     """The KeyedState restore contract for CUSTOM state (pickled dict in
     the state store, not a built-in agg): a count trigger that buffered
