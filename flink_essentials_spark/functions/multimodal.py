@@ -438,6 +438,72 @@ def audio_envelope_hash(df: DataFrame, windows: int = 64) -> DataFrame:
     )
 
 
+THASH_SCHEMA = "media_id long, n_frames int, hash_hi long, hash_lo long"
+
+
+def video_temporal_hash(df: DataFrame, windows: int = 64) -> DataFrame:
+    """Temporal brightness fingerprint over REAL MJPEG-AVI decode —
+    the video member of the perceptual-hash family (image_ahash /
+    audio_envelope_hash): per frame, the integer luma sum (1000·gray,
+    the shared scale); frames area-mapped into ``windows`` buckets;
+    bit w set iff the window's mean frame brightness exceeds the
+    clip's mean — the same cross-multiplied integer compare, so the
+    bits are scene-brightness-shape, engine-exact, and recomputable
+    from a frame formula (oracle ``video_fingerprints``). Frames in
+    one clip share dimensions, so per-frame sums compare directly."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, his, los = [], [], [], []
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime_type"]
+            ):
+                if mime != avi.AVI_MIME:
+                    continue
+                frames, _fps = avi.parse_avi_mjpeg(bytes(payload))
+                fsums = []
+                for fr in frames:
+                    a = jpeg.decode_jpeg(fr).astype(np.int64)
+                    luma = (
+                        299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+                        if a.ndim == 3
+                        else 1000 * a
+                    )
+                    fsums.append(int(luma.sum()))
+                n = len(fsums)
+                if n == 0:
+                    continue
+                fsums_a = np.array(fsums, dtype=np.int64)
+                idx = (np.arange(n) * windows) // n
+                s = np.bincount(idx, weights=fsums_a, minlength=windows).astype(
+                    np.int64
+                )
+                cnt = np.bincount(idx, minlength=windows).astype(np.int64)
+                bits = (s * n) > (int(fsums_a.sum()) * cnt)
+                hi = lo = 0
+                for b in np.nonzero(bits)[0]:
+                    if b >= 32:
+                        hi |= 1 << (int(b) - 32)
+                    else:
+                        lo |= 1 << int(b)
+                ids.append(int(mid))
+                nfs.append(n)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "hash_hi": pd.Series(his, dtype="int64"),
+                    "hash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", "payload", "mime_type").mapInPandas(
+        op, schema=THASH_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = (
     "media_id long, modality string, mime_type string, "
     "width int, height int, payload binary"

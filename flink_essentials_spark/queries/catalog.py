@@ -884,6 +884,9 @@ _REGISTRY: list[Query] = [
     # r6: the audio sibling — energy-envelope fingerprint bits over
     # the real WAV decode, DuckDB-recomputed from the sample formula
     Query("audio_fingerprints", llmdata.q_audio_fingerprints, llmdata.Q_AUDIO_FINGERPRINTS_SQL),
+    # r6: video member of the fingerprint family (frame-brightness
+    # envelope over real MJPEG-AVI decode)
+    Query("video_fingerprints", llmdata.q_video_fingerprints, llmdata.Q_VIDEO_FINGERPRINTS_SQL),
     # r6: TPC-H Q11/Q22 shapes — pure-integer scalar-threshold compares
     # (no doubles in any filter), broadcast one-row globals
     Query("important_parts", relational.q_important_parts, relational.Q_IMPORTANT_PARTS_SQL),

@@ -2967,3 +2967,52 @@ SELECT a.doc_id AS media_id, CAST(a.n AS BIGINT) AS n_samples,
 FROM auds a LEFT JOIN bits b ON a.doc_id = b.doc_id
 GROUP BY 1, 2
 """
+
+
+def q_video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video temporal fingerprints over the REAL MJPEG-AVI decode path
+    (multimodal.video_temporal_hash): per-frame integer luma sums →
+    brightness-envelope bits, recomputed bit-for-bit by DuckDB from
+    the generator's frame formula (flat frame i of clip doc_id has
+    value (doc_id*7 + i*13) % 256 over w×h pixels — frames decode
+    bit-exactly, see synthetic_real_media). Completes the perceptual
+    fingerprint family across all three modalities."""
+    t = load_tables(spark, sf_dir)
+    media = multimodal.synthetic_real_media(spark, t["documents"]).filter(
+        F.col("mime_type") == "video/x-msvideo"
+    )
+    return multimodal.video_temporal_hash(media).select(
+        "media_id", "n_frames", "hash_hi", "hash_lo"
+    )
+
+
+Q_VIDEO_FINGERPRINTS_SQL = """
+WITH vids AS (
+  SELECT doc_id, (doc_id % 5) + 2 AS n,
+         ((doc_id % 8) + 1) * 4 AS w, ((doc_id % 4) + 1) * 2 AS h
+  FROM documents WHERE doc_id % 6 = 2
+), fr AS (
+  SELECT doc_id, n, w, h, unnest(range(n)) AS i FROM vids
+), fs AS (
+  SELECT doc_id, n, i,
+         1000 * ((doc_id * 7 + i * 13) % 256) * w * h AS fsum
+  FROM fr
+), wins AS (
+  SELECT doc_id, n, (i * 64) // n AS wdx,
+         SUM(fsum) AS s_w, COUNT(*) AS n_w
+  FROM fs GROUP BY 1, 2, 3
+), tot AS (
+  SELECT doc_id, SUM(s_w) AS ts, SUM(n_w) AS tn FROM wins GROUP BY 1
+), bits AS (
+  SELECT wins.doc_id, wdx
+  FROM wins JOIN tot ON wins.doc_id = tot.doc_id
+  WHERE s_w * tn > ts * n_w
+)
+SELECT v.doc_id AS media_id, CAST(v.n AS INTEGER) AS n_frames,
+       CAST(COALESCE(SUM(CASE WHEN b.wdx >= 32 THEN 1::BIGINT << (b.wdx - 32) END),
+                     0) AS BIGINT) AS hash_hi,
+       CAST(COALESCE(SUM(CASE WHEN b.wdx < 32 THEN 1::BIGINT << b.wdx END),
+                     0) AS BIGINT) AS hash_lo
+FROM vids v LEFT JOIN bits b ON v.doc_id = b.doc_id
+GROUP BY 1, 2
+"""
