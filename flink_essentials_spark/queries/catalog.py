@@ -887,6 +887,9 @@ _REGISTRY: list[Query] = [
     # r6: video member of the fingerprint family (frame-brightness
     # envelope over real MJPEG-AVI decode)
     Query("video_fingerprints", llmdata.q_video_fingerprints, llmdata.Q_VIDEO_FINGERPRINTS_SQL),
+    # r6: Z-order (Morton) layout keys — multi-dimensional data
+    # skipping; file-pruning payoff measured in test_plans
+    Query("zorder_keys", llmdata.q_zorder_keys, llmdata.Q_ZORDER_KEYS_SQL),
     # r6: TPC-H Q11/Q22 shapes — pure-integer scalar-threshold compares
     # (no doubles in any filter), broadcast one-row globals
     Query("important_parts", relational.q_important_parts, relational.Q_IMPORTANT_PARTS_SQL),

@@ -3016,3 +3016,56 @@ SELECT v.doc_id AS media_id, CAST(v.n AS INTEGER) AS n_frames,
 FROM vids v LEFT JOIN bits b ON v.doc_id = b.doc_id
 GROUP BY 1, 2
 """
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over events(user_id, value-cents)
+    — the multi-dimensional data-skipping key (functions/layout.py)
+    under oracle: both engines derive the column bounds in-query (the
+    one-row broadcast scalar pattern) and interleave 8 bit-planes per
+    dimension with pure integer arithmetic, so every key matches
+    bit-for-bit. The layout payoff (a 2-D box predicate touching ~4x
+    fewer files than a 1-D sort) is measured in
+    tests/test_plans.py::test_zorder_layout_prunes_2d_boxes."""
+    from flink_essentials_spark.functions.layout import morton_key
+    from flink_essentials_spark.queries.util import cents
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_id", "user_id", cents("value").alias("v_c")
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("a_lo"),
+        F.max("user_id").alias("a_hi"),
+        F.min("v_c").alias("b_lo"),
+        F.max("v_c").alias("b_hi"),
+    )
+    key = morton_key("user_id", ("a_lo", "a_hi"), "v_c", ("b_lo", "b_hi"))
+    return ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id", key.alias("zkey")
+    )
+
+
+Q_ZORDER_KEYS_SQL = None  # assembled below (needs the layout helper)
+
+
+def _zorder_keys_sql() -> str:
+    from flink_essentials_spark.functions.layout import morton_sql
+    from flink_essentials_spark.queries.util import sql_cents
+
+    key = morton_sql(
+        "user_id", ("a_lo", "a_hi"), "v_c", ("b_lo", "b_hi"), intdiv="//"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, {sql_cents("value")} AS v_c FROM events
+), bounds AS (
+  SELECT MIN(user_id) AS a_lo, MAX(user_id) AS a_hi,
+         MIN(v_c) AS b_lo, MAX(v_c) AS b_hi
+  FROM ev
+)
+SELECT event_id, {key} AS zkey FROM ev, bounds
+"""
+
+
+Q_ZORDER_KEYS_SQL = _zorder_keys_sql()
