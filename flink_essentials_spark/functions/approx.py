@@ -235,6 +235,94 @@ SELECT it.*, least({mins}) AS est_cnt FROM it
 """
 
 
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Portable Bloom filter as rows (word, bits): k bit positions per
+    value from disjoint 12-bit slices of the shared md5-prefix hash
+    (m_bits ≤ 4096 ⇒ 12 bits each; k ≤ 5 slices fit the 60-bit
+    prefix), packed into 32-bit-indexed words and merged with BIT_OR —
+    the associative aggregate that makes the filter build one shuffle
+    of at most m_bits/32 rows and incremental maintenance a groupBy-OR.
+    The classic 100 TB use: build on the small join side, broadcast,
+    pre-filter the big side before the real join (bloom_might_contain)
+    — rows the filter rejects are DEFINITELY absent (no false
+    negatives); false positives only cost a little extra join input.
+    Cross-engine exact: every word is integer arithmetic over md5."""
+    if k * 12 > 60 or m_bits > 4096 or m_bits & (m_bits - 1):
+        raise ValueError("need k*12 <= 60 and m_bits a power of two <= 4096")
+    hv = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rows = [
+        df.select(
+            F.shiftright(hv, 12 * i).bitwiseAND(F.lit(m_bits - 1)).alias("pos")
+        )
+        for i in range(k)
+    ]
+    union = rows[0]
+    for r in rows[1:]:
+        union = union.unionByName(r)
+    return (
+        union.select(
+            # 32-bit words: shift stays < 32 (DuckDB raises on a 63-bit
+            # shift into the sign; Spark wraps silently — neither is a
+            # portable word encoding)
+            F.expr("pos div 32").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Filter ``probe`` to rows the Bloom filter MIGHT contain (all k
+    bits set). The filter is ≤ m_bits/32 rows → broadcast; each of the
+    k probes is a broadcast join on the word index — the probe side
+    never shuffles, and a rejected row is DEFINITELY not in the built
+    set (no false negatives; verified against the exact semi join in
+    tests)."""
+    hv = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    out = probe
+    for i in range(k):
+        pos = F.shiftright(hv, 12 * i).bitwiseAND(F.lit(m_bits - 1))
+        out = out.withColumn(f"__p{i}", pos)
+        out = out.withColumn(f"__w{i}", F.expr(f"__p{i} div 32")).withColumn(
+            f"__b{i}",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 32 AS INT))"
+            ),
+        )
+    for i in range(k):
+        side = bloom.select(
+            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__s{i}")
+        )
+        out = out.join(F.broadcast(side), f"__w{i}").filter(
+            F.col(f"__s{i}").bitwiseAND(F.col(f"__b{i}")) == F.col(f"__b{i}")
+        )
+    return out.drop(
+        *[
+            c
+            for i in range(k)
+            for c in (f"__p{i}", f"__w{i}", f"__b{i}", f"__s{i}")
+        ]
+    )
+
+
 def sql_hll(
     table_expr: str, group_col: str, value_expr: str, p: int = 8
 ) -> str:

@@ -3069,3 +3069,69 @@ SELECT event_id, {key} AS zkey FROM ev, bounds
 
 
 Q_ZORDER_KEYS_SQL = _zorder_keys_sql()
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (functions.approx.bloom_build /
+    bloom_might_contain) under oracle: the filter is built by BIT_OR
+    over md5-slice positions (128 words for 4096 bits — broadcastable
+    at any build-side size, mergeable for incremental maintenance),
+    then customers are pre-filtered for membership in the
+    urgent-order customer set. Every surviving row carries its exact
+    membership flag, so the oracle pins the precise surviving set AND
+    the false-positive behavior; the no-false-negative guarantee is
+    asserted in tests. At 100 TB this is the semi-join pushdown: ship
+    128 words instead of the key set, drop the provably-absent rows
+    before the real join shuffles."""
+    from flink_essentials_spark.functions import approx
+
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("v"))
+    bloom = approx.bloom_build(urgent, "v", m_bits=4096, k=3)
+    cust = t["customer"].select(F.col("c_custkey").alias("v"))
+    passed = approx.bloom_might_contain(cust, bloom, "v", m_bits=4096, k=3)
+    members = urgent.distinct().withColumn("is_member", F.lit(1))
+    return passed.join(members, "v", "left").select(
+        F.col("v").alias("c_custkey"),
+        F.coalesce("is_member", F.lit(0)).alias("is_member"),
+    )
+
+
+_BLOOM_HV = "(('0x' || substring(md5(CAST({v} AS VARCHAR)), 1, 15))::BIGINT)"
+
+
+def _bloom_prefilter_sql(m_bits: int = 4096, k: int = 3) -> str:
+    hv_build = _BLOOM_HV.format(v="v")
+    slices = "\nUNION ALL\n".join(
+        f"SELECT (({hv_build} >> {12 * i}) & {m_bits - 1}) AS pos FROM vals"
+        for i in range(k)
+    )
+    probe_checks = " AND ".join(
+        f"""EXISTS (SELECT 1 FROM words w
+        WHERE w.word = (({hv_build} >> {12 * i}) & {m_bits - 1}) // 32
+          AND (w.bits & (1::BIGINT <<
+               CAST((({hv_build} >> {12 * i}) & {m_bits - 1}) % 32 AS INT)))
+              = (1::BIGINT <<
+               CAST((({hv_build} >> {12 * i}) & {m_bits - 1}) % 32 AS INT)))"""
+        for i in range(k)
+    )
+    return f"""
+WITH vals AS (
+  SELECT o_custkey AS v FROM orders WHERE o_orderpriority = '1-URGENT'
+), pos AS ({slices}
+), words AS (
+  SELECT pos // 32 AS word,
+         BIT_OR(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+), probe AS (SELECT c_custkey AS v FROM customer)
+SELECT v AS c_custkey,
+       CAST(CASE WHEN v IN (SELECT v FROM vals) THEN 1 ELSE 0 END AS INTEGER)
+         AS is_member
+FROM probe
+WHERE {probe_checks}
+"""
+
+
+Q_BLOOM_PREFILTER_SQL = _bloom_prefilter_sql()

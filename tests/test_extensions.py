@@ -432,6 +432,35 @@ def test_audio_envelope_hash_invariances(spark):
     assert got[4] != got[1]        # loud section moved → bits move
 
 
+def test_bloom_filter_no_false_negatives_and_prunes(spark):
+    """Bloom-prefilter guarantees: every true member survives the
+    filter (no false negatives — rejecting one would drop join rows),
+    and the filter actually prunes (survivors ≪ probe side) with a
+    false-positive rate in the ballpark the (m, k, n) parameters
+    predict."""
+    t = load_tables(spark, SF_DIR)
+    urgent = t["orders"].filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("v"))
+    bloom = approx.bloom_build(urgent, "v", m_bits=4096, k=3)
+    cust = t["customer"].select(F.col("c_custkey").alias("v"))
+    passed = {r["v"] for r in
+              approx.bloom_might_contain(cust, bloom, "v", 4096, 3).collect()}
+    members = {r["v"] for r in urgent.distinct().collect()}
+    probe_all = {r["v"] for r in cust.collect()}
+    true_members = members & probe_all
+    assert true_members <= passed              # no false negatives
+    assert len(passed) < len(probe_all)        # it actually prunes
+    non_members = probe_all - members
+    fp = len(passed - true_members)
+    # theoretical fp rate (1 - e^{-kn/m})^k; allow generous slack
+    import math
+
+    n = len(members)
+    rate = (1 - math.exp(-3 * n / 4096)) ** 3
+    assert fp <= max(10, 3 * rate * len(non_members)), (fp, rate)
+
+
 # --- approx aggregates vs exact anchors -------------------------------------
 
 
