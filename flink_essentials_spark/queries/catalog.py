@@ -841,15 +841,21 @@ _REGISTRY: list[Query] = [
     Query("doc_length_quantiles", llmdata.q_doc_length_quantiles, llmdata.Q_DOC_LENGTH_QUANTILES_SQL),
     # new r5 breadth ops (tail: head is full; see rotation notes).
     # link_rank + capped_sessions were promoted r5b (count_evictor_fires
-    # and global_count_windows demoted). r6 PROMOTION CANDIDATES, in
-    # priority order: normalize_unicode (the only cross-ICU
-    # Python-stage oracle), scd2_intervals (dimension-build family),
-    # fuzzy_match (entity resolution), char_dups (substring-dedup
-    # family), skew_report (ops observability). Demotion candidates:
-    # json_props (format parsing also pytest-pinned), session_windows
-    # (W4 family keeps streaming_session_windows in the local gate),
-    # wordcount (EP2 family: streaming_wordcount tail twin + tokenize
-    # pinned by many head rows).
+    # and global_count_windows demoted). r6 promoted min_cost_supplier /
+    # sole_supplier_returns / incremental_rollup / hll_cardinality
+    # (wordcount, session_windows, json_props, cardinality demoted).
+    # r7 PROMOTION CANDIDATES, in priority order: image_dedup (first
+    # multimodal DEDUP row — decode + perceptual hash + grouping),
+    # bloom_prefilter (join-pruning sketch, exact FP accounting),
+    # zorder_keys (layout family), heavy_hitters (Count-Min),
+    # normalize_unicode (the only cross-ICU Python-stage oracle),
+    # streaming_capped_sessions (python-stateful streaming under
+    # oracle). Demotion candidates: language_id_ngram (language family
+    # double-covered: quality_score head + language_id tail),
+    # rolling_fingerprint (fingerprint family now 4-deep),
+    # pii_redact (regex-transform family, pytest-pinned),
+    # video_frames (video decode also covered by media_features'
+    # decode path + video_fingerprints tail).
     Query("fuzzy_match", llmdata.q_fuzzy_match, llmdata.Q_FUZZY_MATCH_SQL),
     Query("inverted_index", llmdata.q_inverted_index, llmdata.Q_INVERTED_INDEX_SQL),
     Query("media_resize", llmdata.q_media_resize, llmdata.Q_MEDIA_RESIZE_SQL),
