@@ -86,6 +86,11 @@ HEADLINE = [
     "inverted_index",
     "normalize_unicode",
     "fuzzy_match",
+    # r6 additions: portable sketches + layout keys
+    "hll_cardinality",
+    "heavy_hitters",
+    "bloom_prefilter",
+    "zorder_keys",
 ]
 
 

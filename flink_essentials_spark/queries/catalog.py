@@ -899,6 +899,9 @@ _REGISTRY: list[Query] = [
     # r6: Bloom-filter join pruning — BIT_OR-mergeable 64-word filter,
     # exact surviving set + FP flags under oracle
     Query("bloom_prefilter", llmdata.q_bloom_prefilter, llmdata.Q_BLOOM_PREFILTER_SQL),
+    # r6: declarative data-quality expectations gate (one-pass per-rule
+    # violation counts + quarantine total, fail-on-unprovable NULLs)
+    Query("data_expectations", llmdata.q_data_expectations, llmdata.Q_DATA_EXPECTATIONS_SQL),
     # r6: TPC-H Q11/Q22 shapes — pure-integer scalar-threshold compares
     # (no doubles in any filter), broadcast one-row globals
     Query("important_parts", relational.q_important_parts, relational.Q_IMPORTANT_PARTS_SQL),

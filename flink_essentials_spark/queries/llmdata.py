@@ -3135,3 +3135,63 @@ WHERE {probe_checks}
 
 
 Q_BLOOM_PREFILTER_SQL = _bloom_prefilter_sql()
+
+
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations gate (functions/expectations.py) under
+    oracle: four declarative rules over events in ONE aggregate pass —
+    per-rule violation counts plus the quarantine total (rows failing
+    ANY rule). Rules are chosen so some genuinely fail (value >= 1
+    fails 178 rows at sf0.01) and some genuinely hold (clean columns
+    reporting 0 is the normal dashboard state — the row stays
+    non-vacuous through n_rows). NULL discipline: an unprovable rule
+    counts as violated (cond <=> TRUE on both engines)."""
+    from flink_essentials_spark.functions import expectations
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    rules = {
+        "value_at_least_1": F.col("value") >= 1.0,
+        "nonneg_value": F.col("value") >= 0.0,
+        "known_type": F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        ),
+        "has_user": F.col("user_id").isNotNull(),
+    }
+    report = expectations.violation_report(ev, rules)
+    any_fail = F.count_if(
+        ~(
+            (F.col("value") >= 1.0)
+            & (F.col("value") >= 0.0)
+            & F.col("event_type").isin(
+                "click", "view", "purchase", "signup", "error"
+            )
+            & F.col("user_id").isNotNull()
+        ).eqNullSafe(True)
+    ).alias("n_quarantined")
+    return report.crossJoin(F.broadcast(ev.agg(any_fail)))
+
+
+Q_DATA_EXPECTATIONS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (
+         WHERE NOT ((value >= 1.0) IS NOT DISTINCT FROM TRUE)
+       ) AS BIGINT) AS fail_value_at_least_1,
+       CAST(COUNT(*) FILTER (
+         WHERE NOT ((value >= 0.0) IS NOT DISTINCT FROM TRUE)
+       ) AS BIGINT) AS fail_nonneg_value,
+       CAST(COUNT(*) FILTER (
+         WHERE NOT ((event_type IN
+           ('click','view','purchase','signup','error'))
+           IS NOT DISTINCT FROM TRUE)
+       ) AS BIGINT) AS fail_known_type,
+       CAST(COUNT(*) FILTER (
+         WHERE NOT ((user_id IS NOT NULL) IS NOT DISTINCT FROM TRUE)
+       ) AS BIGINT) AS fail_has_user,
+       CAST(COUNT(*) FILTER (
+         WHERE NOT (((value >= 1.0) AND (value >= 0.0)
+           AND event_type IN ('click','view','purchase','signup','error')
+           AND user_id IS NOT NULL) IS NOT DISTINCT FROM TRUE)
+       ) AS BIGINT) AS n_quarantined
+FROM events
+"""

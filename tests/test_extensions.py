@@ -461,6 +461,35 @@ def test_bloom_filter_no_false_negatives_and_prunes(spark):
     assert fp <= max(10, 3 * rate * len(non_members)), (fp, rate)
 
 
+def test_expectations_split_partitions_input_and_fails_on_null(spark):
+    """validate() contract: valid ∪ quarantine == input exactly (same
+    multiset), the two are disjoint by rule, each quarantined row
+    names EVERY rule it fails, and a NULL predicate FAILS the rule
+    (an expectation you cannot prove is violated)."""
+    from flink_essentials_spark.functions import expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -3.0, "a"), (3, None, "b"), (4, 5.0, None)],
+        "id long, v double, tag string",
+    )
+    rules = {
+        "v_pos": F.col("v") > 0,
+        "tagged": F.col("tag").isNotNull(),
+    }
+    valid, quar = expectations.validate(df, rules)
+    vids = {r["id"] for r in valid.collect()}
+    qrows = {r["id"]: sorted(r["failed_rules"]) for r in quar.collect()}
+    assert vids == {1}
+    assert qrows == {
+        2: ["v_pos"],          # false
+        3: ["v_pos"],          # NULL predicate → fail
+        4: ["tagged"],
+    }
+    assert valid.count() + quar.count() == df.count()
+    rep = expectations.violation_report(df, rules).first()
+    assert (rep["n_rows"], rep["fail_v_pos"], rep["fail_tagged"]) == (4, 2, 1)
+
+
 # --- approx aggregates vs exact anchors -------------------------------------
 
 
