@@ -3158,18 +3158,17 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "has_user": F.col("user_id").isNotNull(),
     }
-    report = expectations.violation_report(ev, rules)
-    any_fail = F.count_if(
-        ~(
-            (F.col("value") >= 1.0)
-            & (F.col("value") >= 0.0)
-            & F.col("event_type").isin(
-                "click", "view", "purchase", "signup", "error"
-            )
-            & F.col("user_id").isNotNull()
-        ).eqNullSafe(True)
-    ).alias("n_quarantined")
-    return report.crossJoin(F.broadcast(ev.agg(any_fail)))
+    all_pass = None
+    for cond in rules.values():
+        all_pass = cond if all_pass is None else (all_pass & cond)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.count_if(~cond.eqNullSafe(True)).alias(f"fail_{name}")
+            for name, cond in rules.items()
+        ],
+        F.count_if(~all_pass.eqNullSafe(True)).alias("n_quarantined"),
+    )
 
 
 Q_DATA_EXPECTATIONS_SQL = """
