@@ -896,7 +896,7 @@ _REGISTRY: list[Query] = [
     # r6: Z-order (Morton) layout keys — multi-dimensional data
     # skipping; file-pruning payoff measured in test_plans
     Query("zorder_keys", llmdata.q_zorder_keys, llmdata.Q_ZORDER_KEYS_SQL),
-    # r6: Bloom-filter join pruning — BIT_OR-mergeable 64-word filter,
+    # r6: Bloom-filter join pruning — BIT_OR-mergeable 128-word filter,
     # exact surviving set + FP flags under oracle
     Query("bloom_prefilter", llmdata.q_bloom_prefilter, llmdata.Q_BLOOM_PREFILTER_SQL),
     # r6: declarative data-quality expectations gate (one-pass per-rule
