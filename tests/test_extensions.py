@@ -490,6 +490,53 @@ def test_expectations_split_partitions_input_and_fails_on_null(spark):
     assert (rep["n_rows"], rep["fail_v_pos"], rep["fail_tagged"]) == (4, 2, 1)
 
 
+def test_expectations_streaming_gate_splits_per_micro_batch(spark, tmp_path):
+    """The production shape of the expectations gate: an ingest stream
+    split per micro-batch (foreachBatch → validate → two sinks). The
+    union of the valid and quarantine sinks after the run must equal
+    the batch split of the same data — the gate loses nothing and
+    duplicates nothing across batch boundaries."""
+    import os
+    import uuid
+
+    from flink_essentials_spark.functions import expectations
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    vdir, qdir = str(tmp_path / "valid"), str(tmp_path / "quar")
+    df = spark.createDataFrame(
+        [(i, float(i - 3), "t" if i % 4 else None) for i in range(20)],
+        "id long, v double, tag string",
+    )
+    df.repartition(3).write.parquet(src)
+    rules = {
+        "v_pos": F.col("v") > 0,
+        "tagged": F.col("tag").isNotNull(),
+    }
+
+    def gate(bdf, epoch_id):
+        valid, quar = expectations.validate(bdf, rules)
+        valid.write.mode("append").parquet(vdir)
+        quar.select(
+            "id", "v", "tag", F.to_json(F.col("failed_rules")).alias("why")
+        ).write.mode("append").parquet(qdir)
+
+    sdf = file_replay(spark, src, "id long, v double, tag string",
+                      files_per_trigger=1)
+    q = for_each_batch(sdf, gate, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    bvalid, bquar = expectations.validate(df, rules)
+    got_valid = {r["id"] for r in spark.read.parquet(vdir).collect()}
+    got_quar = {r["id"] for r in spark.read.parquet(qdir).collect()}
+    assert got_valid == {r["id"] for r in bvalid.collect()}
+    assert got_quar == {r["id"] for r in bquar.collect()}
+    assert got_valid.isdisjoint(got_quar)
+    assert len(got_valid) + len(got_quar) == 20
+
+
 # --- approx aggregates vs exact anchors -------------------------------------
 
 
