@@ -147,19 +147,22 @@ def cm_sketch(
     hv = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    rows = [
-        df.select(
-            F.lit(d).alias("d"),
-            F.shiftright(hv, d * width_bits).bitwiseAND(F.lit(m - 1)).alias(
-                "bucket"
-            ),
+    # ONE scan: a union of per-row selects would re-evaluate the
+    # upstream (tokenize/explode in the heavy-hitter case) depth times;
+    # posexplode over the slice array hashes each value once
+    slices = F.posexplode(
+        F.array(
+            *[
+                F.shiftright(hv, d * width_bits).bitwiseAND(F.lit(m - 1))
+                for d in range(depth)
+            ]
         )
-        for d in range(depth)
-    ]
-    union = rows[0]
-    for r in rows[1:]:
-        union = union.unionByName(r)
-    return union.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        df.select(slices.alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def cm_estimate(
@@ -257,15 +260,17 @@ def bloom_build(
     hv = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    rows = [
-        df.select(
-            F.shiftright(hv, 12 * i).bitwiseAND(F.lit(m_bits - 1)).alias("pos")
-        )
-        for i in range(k)
-    ]
-    union = rows[0]
-    for r in rows[1:]:
-        union = union.unionByName(r)
+    # one scan (see cm_sketch): explode the k slice positions per value
+    union = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.shiftright(hv, 12 * i).bitwiseAND(F.lit(m_bits - 1))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
     return (
         union.select(
             # 32-bit words: shift stays < 32 (DuckDB raises on a 63-bit

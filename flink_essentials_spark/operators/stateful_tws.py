@@ -14,16 +14,27 @@ processing-time and event-time modes.
 This module is the full backend, selected by
 ``keyed_process(..., backend="tws")`` or automatically when available.
 
-ENVIRONMENT GATE: the TWS Python driver worker speaks a protobuf
-protocol to the JVM (``pyspark/sql/streaming/proto/StateMessage_pb2``)
-and therefore needs the ``protobuf`` runtime package. This sandbox
-image ships PySpark 4.1.2 WITHOUT ``google.protobuf`` (verified this
-round: ``StreamingPythonRunnerInitializationException: ImportError:
-cannot import name 'descriptor' from 'google.protobuf'``), and
-installing packages is out of scope — so ``tws_available()`` is False
-here and ``keyed_process`` keeps the ``applyInPandasWithState``
-emulation (operators/stateful.py) as the documented fallback, exactly
-the Kafka-source posture (sources/streaming.py). On any image with
+ENVIRONMENT GATE: the TWS Python workers speak a protobuf protocol to
+the JVM state server (``pyspark/sql/streaming/proto/StateMessage_pb2``
+via ``stateful_processor_api_client``) and therefore need the
+``protobuf`` runtime package. This sandbox image ships PySpark 4.1.2
+WITHOUT ``google.protobuf``, and installing packages is out of scope.
+Verified empirically this round on BOTH execution paths:
+
+- streaming: ``StreamingPythonRunnerInitializationException:
+  ImportError: cannot import name 'descriptor' from 'google.protobuf'``
+  from the TWS driver worker;
+- batch (Spark 4.1 runs transformWithStateInPandas on batch frames
+  too): after priming the StateStoreCoordinator endpoint with a first
+  streaming query (batch TWS presumes it exists —
+  ``RpcEndpointNotFoundException`` otherwise), the EXECUTOR python
+  worker dies on the same protobuf import inside
+  ``stateful_processor_api_client``.
+
+So ``tws_available()`` is False here on hard evidence, and
+``keyed_process`` keeps the ``applyInPandasWithState`` emulation
+(operators/stateful.py) as the documented fallback, exactly the
+Kafka-source posture (sources/streaming.py). On any image with
 protobuf present the gated test (tests/test_stateful.py) exercises
 this backend live.
 
