@@ -902,6 +902,9 @@ _REGISTRY: list[Query] = [
     # r6: declarative data-quality expectations gate (one-pass per-rule
     # violation counts + quarantine total, fail-on-unprovable NULLs)
     Query("data_expectations", llmdata.q_data_expectations, llmdata.Q_DATA_EXPECTATIONS_SQL),
+    # r6: versioned-store time travel under oracle — rollback to v2 +
+    # read-through-current == GROUP BY over the first two batches
+    Query("time_travel", llmdata.q_time_travel, llmdata.Q_TIME_TRAVEL_SQL),
     # r6: TPC-H Q11/Q22 shapes — pure-integer scalar-threshold compares
     # (no doubles in any filter), broadcast one-row globals
     Query("important_parts", relational.q_important_parts, relational.Q_IMPORTANT_PARTS_SQL),

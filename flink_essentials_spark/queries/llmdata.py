@@ -3194,3 +3194,53 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        ) AS BIGINT) AS n_quarantined
 FROM events
 """
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel under oracle (sinks/versioned.py): the
+    orders rollup is committed as THREE successive versions (one
+    incremental refresh per o_orderkey%3 batch); the query ROLLS BACK
+    to version 2 by pointer and reads through the CURRENT pointer —
+    which must equal the GROUP BY over only the first TWO batches
+    (keys %3 in {0,1}), exactly what the DuckDB oracle computes. Pins
+    the whole commit protocol end to end: per-version isolation
+    (later writes don't leak into older snapshots), pointer-based
+    rollback, and read-through-current."""
+    import tempfile
+
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.queries import util
+    from flink_essentials_spark.sinks import versioned
+
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="fes_tt_")
+    prepared = t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        util.cents("o_totalprice").alias("price_cents"),
+    )
+    aggs = {
+        "n_orders": ("count", ""),
+        "sum_price_cents": ("sum", "price_cents"),
+    }
+    for b in range(3):
+        refresh_rollup(
+            spark, base,
+            prepared.filter(F.col("o_orderkey") % 3 == b),
+            ["o_orderpriority"], aggs,
+        )
+    versioned.rollback(base, 2)
+    return versioned.read_current(spark, base).select(
+        "o_orderpriority", "n_orders", "sum_price_cents"
+    )
+
+
+Q_TIME_TRAVEL_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_orderpriority
+"""

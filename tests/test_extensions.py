@@ -537,6 +537,43 @@ def test_expectations_streaming_gate_splits_per_micro_batch(spark, tmp_path):
     assert len(got_valid) + len(got_quar) == 20
 
 
+def test_hll_maintained_over_a_stream_equals_batch(spark, tmp_path):
+    """The full 100 TB distinct-count loop LIVE: an ingest stream's HLL
+    registers folded into the versioned rollup per micro-batch
+    (foreachBatch → hll_registers → refresh_rollup), final stored
+    sketch == the one-shot batch sketch — so the streaming estimate is
+    the batch estimate, with only sketch-sized state ever stored."""
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.sinks import versioned
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "rollup")
+    t = load_tables(spark, SF_DIR)
+    ev = t["events"].select("event_type", "user_id")
+    ev.repartition(3).write.parquet(src)
+
+    def fold(bdf, epoch_id):
+        regs = approx.hll_registers(bdf, ["event_type"], "user_id", p=8)
+        refresh_rollup(
+            spark, base, regs, ["event_type", "bucket"],
+            {"rho": ("max", "rho")},
+        )
+
+    sdf = file_replay(spark, src, "event_type string, user_id long",
+                      files_per_trigger=1)
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    stored = versioned.read_current(spark, base)
+    oneshot = approx.hll_registers(ev, ["event_type"], "user_id", p=8)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+
+
 # --- approx aggregates vs exact anchors -------------------------------------
 
 
