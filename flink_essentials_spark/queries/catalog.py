@@ -905,6 +905,9 @@ _REGISTRY: list[Query] = [
     # r6: versioned-store time travel under oracle — rollback to v2 +
     # read-through-current == GROUP BY over the first two batches
     Query("time_travel", llmdata.q_time_travel, llmdata.Q_TIME_TRAVEL_SQL),
+    # r6: degree-oriented triangle count over the near-dup graph —
+    # orientation trick verified against the naive a<b<c join oracle
+    Query("triangle_stats", llmdata.q_triangle_stats, llmdata.Q_TRIANGLE_STATS_SQL),
     # r6: TPC-H Q11/Q22 shapes — pure-integer scalar-threshold compares
     # (no doubles in any filter), broadcast one-row globals
     Query("important_parts", relational.q_important_parts, relational.Q_IMPORTANT_PARTS_SQL),

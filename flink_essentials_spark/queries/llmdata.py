@@ -3244,3 +3244,49 @@ FROM orders
 WHERE o_orderkey % 3 IN (0, 1)
 GROUP BY o_orderpriority
 """
+
+
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the verified LSH near-dup pair graph
+    (graph.triangle_count, degree-oriented two-join formulation —
+    wedge fan-out bounded by oriented out-degree, hub-safe) — the
+    clustering-density statistic of the duplicate graph. The DuckDB
+    oracle recomputes by the NAIVE definition (a<b<c three-way
+    self-join over the same pair SQL), so the orientation trick is
+    verified against the definition itself."""
+    from flink_essentials_spark.functions.graph import triangle_count
+
+    t = load_tables(spark, sf_dir)
+    pairs = dedup.lsh_near_dup_pairs(
+        t["documents"], n=3, num_hashes=16, bands=4, threshold=0.5
+    ).select("doc_a", "doc_b")
+    return triangle_count(pairs, "doc_a", "doc_b")
+
+
+Q_TRIANGLE_STATS_SQL = f"""
+WITH cands AS ({_minhash_lsh_sql()}),
+sets AS (
+  SELECT doc_id, {_sql_shingles(3)} AS sh FROM documents
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cands JOIN sets a ON cands.doc_a = a.doc_id
+             JOIN sets b ON cands.doc_b = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+        >= 0.5
+),
+e AS (
+  SELECT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM pairs WHERE doc_a <> doc_b
+  GROUP BY 1, 2
+),
+nodes AS (
+  SELECT u AS n FROM e UNION SELECT v FROM e
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+"""

@@ -116,6 +116,26 @@ def test_auto_escalates_on_deep_graph_and_stays_put_on_shallow(spark):
     assert s2["switched"] is False
 
 
+def test_triangle_count_known_graphs(spark):
+    """Degree-oriented triangle count vs hand-counted graphs: K4 has 4,
+    a path has 0, a star hub has 0 (the case the naive wedge join
+    explodes on), two triangles sharing an edge count 2; duplicate
+    and reversed edges must not inflate."""
+    from flink_essentials_spark.functions.graph import triangle_count
+
+    def n_tri(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df).first()["n_triangles"]
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert n_tri(k4) == 4
+    assert n_tri([(i, i + 1) for i in range(6)]) == 0
+    assert n_tri([(0, i) for i in range(1, 8)]) == 0          # star
+    assert n_tri([(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]) == 2
+    # noise: duplicates, reversals, self-loops
+    assert n_tri([(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)]) == 1
+
+
 def test_pagerank_matches_numpy_reference(spark):
     """pagerank's join-agg plan must equal the dense numpy iteration of
     the same unnormalized update on a small weighted digraph."""

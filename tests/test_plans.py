@@ -224,6 +224,7 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "important_parts": {"BroadcastNestedLoopJoin"},  # one-row global sum
         "idle_rich_customers": {"BroadcastNestedLoopJoin"},  # one-row avg
         "zorder_keys": {"BroadcastNestedLoopJoin"},  # one-row bounds
+        "triangle_stats": {"BroadcastNestedLoopJoin"},  # three one-row counts
     }
     offenders = {}
     for name in ALL_QUERIES:
