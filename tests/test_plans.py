@@ -358,3 +358,58 @@ def test_zorder_layout_prunes_2d_boxes(spark, tmp_path):
         & (F.col("v_c") >= va) & (F.col("v_c") <= vb)
     )
     assert matches.count() == only_candidates.count()
+
+
+def test_aqe_skew_join_splits_hot_partitions(spark):
+    """The skew posture must be REAL, not just a conf line: a join
+    whose left side is dominated by one hot key must show AQE's
+    skew-split in the executed plan (``skew=true`` on the sort-merge
+    join) once the skew thresholds are scaled to the fixture. This is
+    the runtime half of the salting story: AQE handles skewed JOINS
+    automatically; skewed AGGREGATIONS still need the explicit
+    salting operator (partitioning.salted_sum)."""
+    import contextlib
+    import io
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 200k rows, 90% on one hot key; dim side 100 keys. A PURE
+        # join frame, executed via collect ON THE SAME DataFrame: a
+        # .write wraps a fresh (unexecuted) query execution whose
+        # explain shows the initial plan, and a downstream aggregate
+        # can suppress the split (OptimizeSkewedJoin bails when the
+        # skewed exchange must satisfy the agg's distribution).
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = fact.join(dim, "k").select(
+            "k", (F.col("v") + F.col("w")).alias("s")
+        )
+        assert len(j.collect()) == 200_000
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
