@@ -3290,3 +3290,61 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
         FROM e e1 JOIN e e2 ON e1.v = e2.u
                   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
 """
+
+
+def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per (event_type, day) via the portable HLL —
+    the time-series dashboard query that COUNT(DISTINCT) cannot serve
+    at 100 TB (full shuffle of every key per window) but a sketch per
+    bucket can (register-table shuffle only, and yesterday's buckets
+    are mergeable history via refresh_rollup). Day buckets are pure
+    integer epoch arithmetic (engine-calendar-free); the exact
+    distinct count rides along per bucket, so every row self-reports
+    its sketch error."""
+    from flink_essentials_spark.functions import approx
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_type",
+        "user_id",
+        (F.unix_millis("ts") / F.lit(86400000)).cast("long").alias("day"),
+    )
+    regs = approx.hll_registers(ev, ["event_type", "day"], "user_id", p=8)
+    est = approx.hll_estimate(regs, ["event_type", "day"], p=8)
+    exact = ev.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, ["event_type", "day"]).select(
+        "event_type", "day", "n_set", "rmax", "s_num", "est", "exact_users"
+    )
+
+
+def _windowed_distinct_sql() -> str:
+    from flink_essentials_spark.functions.approx import sql_hll
+
+    hll = sql_hll(
+        "(SELECT event_type || '|' || CAST(epoch_ms(ts) // 86400000 AS VARCHAR)"
+        " AS g2, user_id FROM events)",
+        "g2",
+        "user_id",
+        p=8,
+    )
+    return f"""
+WITH hll AS ({hll}),
+split AS (
+  SELECT string_split(g2, '|')[1] AS event_type,
+         CAST(string_split(g2, '|')[2] AS BIGINT) AS day,
+         n_set, rmax, s_num, est
+  FROM hll
+),
+ex AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, s.day, s.n_set, s.rmax, s.s_num, s.est, ex.exact_users
+FROM split s JOIN ex ON s.event_type = ex.event_type AND s.day = ex.day
+"""
+
+
+Q_WINDOWED_DISTINCT_SQL = _windowed_distinct_sql()
