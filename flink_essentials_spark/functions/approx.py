@@ -238,6 +238,72 @@ SELECT it.*, least({mins}) AS est_cnt FROM it
 """
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    value_col,
+    lo: int,
+    hi: int,
+    bins: int,
+    qs: list[float],
+) -> DataFrame:
+    """Mergeable quantiles from a fixed-bin integer histogram — the
+    monitoring-percentile scale path: the histogram is SUM-mergeable
+    (incremental refresh, cross-partition combine is exact), and the
+    q-quantile is simply the first bin whose cumulative count reaches
+    ``ceil(q·N)`` — pure integer arithmetic, so unlike t-digest/KLL
+    the answer is deterministic, engine-portable, and ORACLE-exact.
+    Error is bounded by the bin width (the caller picks resolution);
+    the exact-anchor comparison lives in the oracle row itself.
+    ``value_col`` must already be integer-valued (cents, ms, counts —
+    the repo's parity discipline). Returns (q, bin_idx, bin_lo,
+    bin_hi, cum_cnt, n_rows) per requested quantile."""
+    value_col = F.col(value_col) if isinstance(value_col, str) else value_col
+    width_num = hi - lo + 1
+    # integer division throughout ('div'): double '/'+floor can misbin
+    # exactly-on-boundary values after rounding
+    num = ((value_col - lo) * bins).cast("long")
+    histo = (
+        df.select(num.alias("__num"))
+        .select(
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(F.lit(0).cast("long"), F.expr(f"__num div {width_num}")),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # bins ≤ a few thousand: the cumulative walk is a tiny single-
+    # partition window over the HISTOGRAM, never over the data
+    from pyspark.sql import Window as W
+
+    cum = histo.withColumn(
+        "cum", F.sum("cnt").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("n_rows", F.sum("cnt").over(W.partitionBy()))
+    out = None
+    for q in qs:
+        need = F.ceil(F.lit(q) * F.col("n_rows")).cast("long")
+        hit = (
+            cum.filter(F.col("cum") >= need)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.col("bin").alias("bin_idx"),
+                F.expr(f"{lo} + (bin * {width_num}) div {bins}").alias(
+                    "bin_lo"
+                ),
+                F.expr(f"{lo} + ((bin + 1) * {width_num}) div {bins}").alias(
+                    "bin_hi"
+                ),
+                F.col("cum").alias("cum_cnt"),
+                "n_rows",
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
 def bloom_build(
     df: DataFrame,
     value_col: str,

@@ -911,6 +911,9 @@ _REGISTRY: list[Query] = [
     # r6: distinct-per-time-window via the portable HLL (sketch-sized
     # shuffle per bucket; exact count rides along as self-eval)
     Query("windowed_distinct", llmdata.q_windowed_distinct, llmdata.Q_WINDOWED_DISTINCT_SQL),
+    # r6: mergeable histogram quantiles — the sketch family's
+    # percentile member, integer-exact end to end
+    Query("histogram_quantiles", llmdata.q_histogram_quantiles, llmdata.Q_HISTOGRAM_QUANTILES_SQL),
     # r6: TPC-H Q11/Q22 shapes — pure-integer scalar-threshold compares
     # (no doubles in any filter), broadcast one-row globals
     Query("important_parts", relational.q_important_parts, relational.Q_IMPORTANT_PARTS_SQL),

@@ -3348,3 +3348,50 @@ FROM split s JOIN ex ON s.event_type = ex.event_type AND s.day = ex.day
 
 
 Q_WINDOWED_DISTINCT_SQL = _windowed_distinct_sql()
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles (approx.histogram_quantiles) under oracle:
+    p50/p90/p99 of event value-cents from a 500-bin integer histogram
+    — the monitoring-percentile scale path (histogram SUM-merges
+    across batches/partitions; the quantile walk runs over 500 bins,
+    never the data). Integer arithmetic end to end: bin assignment,
+    cumulative counts, and the ceil(q·N) rank all match DuckDB
+    bit-for-bit."""
+    from flink_essentials_spark.functions import approx
+    from flink_essentials_spark.queries import util
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(util.cents("value").alias("v_c"))
+    return approx.histogram_quantiles(
+        ev, "v_c", lo=0, hi=49999, bins=500, qs=[0.5, 0.9, 0.99]
+    )
+
+
+def _histogram_quantiles_sql() -> str:
+    parts = []
+    for q in (0.5, 0.9, 0.99):
+        parts.append(f"""(
+  SELECT CAST({q!r} AS DOUBLE) AS q, bin AS bin_idx,
+         CAST(0 + (bin * 50000) // 500 AS BIGINT) AS bin_lo,
+         CAST(0 + ((bin + 1) * 50000) // 500 AS BIGINT) AS bin_hi,
+         CAST(cum AS BIGINT) AS cum_cnt, CAST(n_rows AS BIGINT) AS n_rows
+  FROM c WHERE cum >= CEIL({q!r} * n_rows) ORDER BY bin LIMIT 1
+)""")
+    sel = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH h AS (
+  SELECT LEAST(499, GREATEST(0,
+           (CAST(round(value * 100) AS BIGINT) * 500) // 50000)) AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1
+), c AS (
+  SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+         SUM(cnt) OVER () AS n_rows
+  FROM h
+)
+{sel}
+"""
+
+
+Q_HISTOGRAM_QUANTILES_SQL = _histogram_quantiles_sql()

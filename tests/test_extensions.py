@@ -574,6 +574,29 @@ def test_hll_maintained_over_a_stream_equals_batch(spark, tmp_path):
     )
 
 
+def test_histogram_quantiles_bracket_exact_and_merge(spark):
+    """Histogram-quantile guarantees: each reported bin BRACKETS the
+    exact percentile (bin_lo <= exact p <= bin_hi), and per-batch
+    histograms SUM-merge to the one-shot answer (recomputing quantiles
+    from merged counts — the incremental refresh path)."""
+    import math
+
+    t = load_tables(spark, SF_DIR)
+    from flink_essentials_spark.queries import util
+
+    ev = t["events"].select(util.cents("value").alias("v_c"))
+    got = {
+        r["q"]: (r["bin_lo"], r["bin_hi"])
+        for r in approx.histogram_quantiles(
+            ev, "v_c", 0, 49999, 500, [0.5, 0.9, 0.99]
+        ).collect()
+    }
+    vals = sorted(r["v_c"] for r in ev.collect())
+    for q, (lo, hi) in got.items():
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        assert lo <= exact < hi, (q, lo, exact, hi)
+
+
 # --- approx aggregates vs exact anchors -------------------------------------
 
 
