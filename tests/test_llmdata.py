@@ -173,6 +173,64 @@ def test_ivf_full_probe_equals_exact(spark):
         assert exact_scores[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
 
 
+def test_pq_adc_identity_reconstruction_and_recall(spark):
+    """Product quantization contract: (a) ADC distance computed from
+    the lookup tables EQUALS ||q - reconstruct(codes)||² (algebraic
+    identity — the approximation is quantization, never the scorer);
+    (b) more codebook entries → lower reconstruction error;
+    (c) PQ top-10 recall vs exact cosine top-10 clears a floor on the
+    real embeddings table (8 subspaces × 16 codes at d=64 = 32x
+    compression)."""
+    t = load_tables(spark, SF_DIR)
+    emb = t["embeddings"]
+    books = similarity.pq_train(emb, m_sub=8, n_codes=16)
+    codes_df = similarity.pq_encode(emb, books)
+    queries = emb.orderBy("vec_id").limit(3)
+
+    # (a) ADC == reconstructed distance, per (query, neighbor)
+    got = similarity.pq_topk(codes_df, queries, books, k=5).collect()
+    assert got
+    codes_map = {r["neighbor_id"]: list(r["codes"]) for r in codes_df.collect()}
+    qmap = {r["vec_id"]: np.asarray(list(r["embedding"])) for r in queries.collect()}
+    for r in got:
+        rec = similarity.pq_reconstruct(codes_map[r["neighbor_id"]], books)
+        want = float(((qmap[r["query_id"]] - rec) ** 2).sum())
+        assert abs(r["adc_dist"] - want) < 1e-9, r
+
+    # (b) monotone reconstruction error in codebook size
+    def recon_err(n_codes):
+        b = similarity.pq_train(emb, m_sub=8, n_codes=n_codes)
+        cdf = similarity.pq_encode(emb, b)
+        rows = emb.join(cdf, emb["vec_id"] == cdf["neighbor_id"]).select(
+            "embedding", "codes"
+        ).collect()
+        errs = [
+            float(
+                (
+                    (np.asarray(list(r["embedding"]))
+                     - similarity.pq_reconstruct(list(r["codes"]), b)) ** 2
+                ).sum()
+            )
+            for r in rows[:200]
+        ]
+        return sum(errs) / len(errs)
+
+    assert recon_err(32) < recon_err(4)
+
+    # (c) recall@10 vs exact L2 over the same corpus
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    pq10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk(codes_df, queries, books, k=10).collect()
+    }
+    # cosine vs L2 rankings differ in principle; on this near-unit-norm
+    # synthetic table they largely agree — require a reasonable overlap
+    assert len(exact & pq10) / len(exact) >= 0.3, len(exact & pq10) / len(exact)
+
+
 def test_ivf_training_runs_no_count_job(spark, monkeypatch):
     """At 100 TB a ``count()`` before k-means is a full corpus scan;
     training must size its sample from parquet footers of the corpus'
