@@ -914,6 +914,9 @@ _REGISTRY: list[Query] = [
     # r6: mergeable histogram quantiles — the sketch family's
     # percentile member, integer-exact end to end
     Query("histogram_quantiles", llmdata.q_histogram_quantiles, llmdata.Q_HISTOGRAM_QUANTILES_SQL),
+    # r6: hard-negative mining (ANN candidates minus near-dup
+    # positives) — the contrastive-training composition row
+    Query("hard_negatives", llmdata.q_hard_negatives, llmdata.Q_HARD_NEGATIVES_SQL),
     # r6: TPC-H Q11/Q22 shapes — pure-integer scalar-threshold compares
     # (no doubles in any filter), broadcast one-row globals
     Query("important_parts", relational.q_important_parts, relational.Q_IMPORTANT_PARTS_SQL),

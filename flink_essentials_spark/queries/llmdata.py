@@ -3395,3 +3395,73 @@ WITH h AS (
 
 
 Q_HISTOGRAM_QUANTILES_SQL = _histogram_quantiles_sql()
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training staple: for
+    each query vector, the top-5 most similar corpus vectors that are
+    NOT positives (cosine >= 0.35 near-dup pairs are the positive
+    set) — similar enough to be hard, verified not to be duplicates.
+    Pure composition of two verified operators: brute-force cosine
+    top-k (re-ranked after removing positives) left-anti the
+    cosine_all_pairs positive pairs. Oracle composes the same two SQL
+    pieces. Scale shape: the positive set is the small near-dup pair
+    list (broadcast anti join); candidate generation is the documented
+    cosine_topk plan (LSH/IVF are its sub-quadratic drop-ins)."""
+    from flink_essentials_spark.functions.similarity import cosine_topk
+    from flink_essentials_spark.tables import table_rows
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    # wide candidate list, then drop positives, then keep top-5
+    cands = cosine_topk(emb, queries, k=20)
+    pairs = similarity.cosine_all_pairs(
+        emb, 0.35,
+        num_blocks=similarity.auto_blocks(table_rows(sf_dir, "embeddings")),
+    ).select("vec_a", "vec_b")
+    positives = pairs.select(
+        F.col("vec_a").alias("query_id"), F.col("vec_b").alias("neighbor_id")
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("query_id"), F.col("vec_a").alias("neighbor_id")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    negs = cands.join(F.broadcast(positives), ["query_id", "neighbor_id"], "left_anti")
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        negs.withColumn("nrk", F.row_number().over(w))
+        .filter(F.col("nrk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "nrk")
+    )
+
+
+Q_HARD_NEGATIVES_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) AS cos_sim
+  FROM q JOIN c ON query_id <> neighbor_id
+),
+cands AS (
+  SELECT query_id, neighbor_id, cos_sim
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored)
+  WHERE rk <= 20
+),
+negs AS (
+  SELECT * FROM cands WHERE cos_sim < 0.35
+)
+SELECT query_id, neighbor_id, cos_sim, nrk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS nrk
+      FROM negs)
+WHERE nrk <= 5
+"""

@@ -225,6 +225,8 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "idle_rich_customers": {"BroadcastNestedLoopJoin"},  # one-row avg
         "zorder_keys": {"BroadcastNestedLoopJoin"},  # one-row bounds
         "triangle_stats": {"BroadcastNestedLoopJoin"},  # three one-row counts
+        # same documented-small-query-set broadcast as similarity_topk
+        "hard_negatives": {"BroadcastNestedLoopJoin"},
     }
     offenders = {}
     for name in ALL_QUERIES:
