@@ -917,6 +917,9 @@ _REGISTRY: list[Query] = [
     # r6: hard-negative mining (ANN candidates minus near-dup
     # positives) — the contrastive-training composition row
     Query("hard_negatives", llmdata.q_hard_negatives, llmdata.Q_HARD_NEGATIVES_SQL),
+    # r6: deterministic random-negative sampling (generated candidates,
+    # no corpus join; engine-reproducible integer arithmetic)
+    Query("negative_samples", llmdata.q_negative_samples, llmdata.Q_NEGATIVE_SAMPLES_SQL),
     # r6: TPC-H Q11/Q22 shapes — pure-integer scalar-threshold compares
     # (no doubles in any filter), broadcast one-row globals
     Query("important_parts", relational.q_important_parts, relational.Q_IMPORTANT_PARTS_SQL),

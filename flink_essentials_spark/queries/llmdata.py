@@ -3465,3 +3465,74 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM negs)
 WHERE nrk <= 5
 """
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RANDOM-negative sampling — the other half of
+    contrastive pair building (q_hard_negatives mines the hard ones):
+    per anchor (vec_id < 50), 4 pseudo-random candidate ids from pure
+    integer arithmetic (Knuth multiplicative step mod corpus size —
+    reproducible across runs AND engines, no RNG state), self-hits
+    skipped, near-dup positives removed by broadcast anti-join. The
+    corpus size comes from parquet footers on the Spark side and an
+    in-query COUNT in the oracle — same value, no count job in the
+    hot path. Scale shape: candidates are GENERATED (no join against
+    the corpus to pick them), the positive filter broadcasts, output
+    is (anchor, negative, slot)."""
+    from flink_essentials_spark.tables import table_rows
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    n = table_rows(sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("anchor")
+    )
+    slots = anchors.select(
+        "anchor", F.explode(F.array(*[F.lit(j) for j in (1, 2, 3, 4)])).alias("slot")
+    )
+    cand = F.pmod(
+        F.col("anchor") * F.lit(2654435761) + F.col("slot") * F.lit(40503),
+        F.lit(n),
+    ).cast("long")
+    gen = slots.select("anchor", "slot", cand.alias("negative")).filter(
+        F.col("negative") != F.col("anchor")
+    )
+    pairs = similarity.cosine_all_pairs(
+        emb, 0.35,
+        num_blocks=similarity.auto_blocks(n),
+    ).select("vec_a", "vec_b")
+    positives = pairs.select(
+        F.col("vec_a").alias("anchor"), F.col("vec_b").alias("negative")
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("anchor"), F.col("vec_a").alias("negative")
+        )
+    )
+    return gen.join(F.broadcast(positives), ["anchor", "negative"], "left_anti")
+
+
+Q_NEGATIVE_SAMPLES_SQL = """
+WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+anchors AS (SELECT vec_id AS anchor FROM embeddings WHERE vec_id < 50),
+slots AS (
+  SELECT anchor, unnest([1, 2, 3, 4]) AS slot FROM anchors
+),
+gen AS (
+  SELECT anchor, CAST(slot AS INTEGER) AS slot,
+         (anchor * 2654435761 + slot * 40503) % n.n AS negative
+  FROM slots, n
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pos AS (
+  SELECT a.vec_id AS anchor, b.vec_id AS negative
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+              6) >= 0.35
+)
+SELECT anchor, slot, negative
+FROM gen
+WHERE negative <> anchor
+  AND NOT EXISTS (SELECT 1 FROM pos
+                  WHERE pos.anchor = gen.anchor AND pos.negative = gen.negative)
+"""
