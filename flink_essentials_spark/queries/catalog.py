@@ -741,9 +741,18 @@ _REGISTRY: list[Query] = [
     # --- text analysis (§2.11)
     Query("bpe_token_stats", llmdata.q_bpe_token_stats, llmdata.Q_BPE_TOKEN_STATS_SQL),
     Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
-    Query("language_id_ngram", llmdata.q_language_id_ngram, llmdata.Q_LANGUAGE_ID_NGRAM_SQL),
-    Query("rolling_fingerprint", llmdata.q_rolling_fingerprint, llmdata.Q_ROLLING_FINGERPRINT_SQL),
-    Query("pii_redact", llmdata.q_pii_redact, llmdata.Q_PII_REDACT_SQL),
+    # ROTATION (r7): language_id_ngram demoted (language family stays
+    # covered by quality_score head + language_id tail) → heavy_hitters:
+    # the Count-Min counter sketch under exact cross-engine oracle.
+    Query("heavy_hitters", llmdata.q_heavy_hitters, llmdata.Q_HEAVY_HITTERS_SQL),
+    # ROTATION (r7): rolling_fingerprint demoted (fingerprint family
+    # 4-deep in the tail) → image_dedup: first multimodal-DEDUP driver
+    # row (real JPEG/PNG decode → perceptual aHash → equal-hash groups).
+    Query("image_dedup", llmdata.q_image_dedup, llmdata.Q_IMAGE_DEDUP_SQL),
+    # ROTATION (r7): pii_redact demoted (regex-transform family,
+    # pytest-pinned) → zorder_keys: Z-order layout keys, the
+    # multi-dimensional data-skipping family's first driver row.
+    Query("zorder_keys", llmdata.q_zorder_keys, llmdata.Q_ZORDER_KEYS_SQL),
     Query("contamination", llmdata.q_contamination, llmdata.Q_CONTAMINATION_SQL),
     Query("pack_sequences", llmdata.q_pack_sequences, llmdata.Q_PACK_SEQUENCES_SQL),
     Query("repetition_stats", llmdata.q_repetition_stats, llmdata.Q_REPETITION_STATS_SQL),
@@ -758,12 +767,11 @@ _REGISTRY: list[Query] = [
     Query("cohort_retention", llmdata.q_cohort_retention, llmdata.Q_COHORT_RETENTION_SQL),
     # --- multimodal (§2.11)
     Query("media_features", llmdata.q_media_features, llmdata.Q_MEDIA_FEATURES_SQL),
-    # real video decode (MJPEG-AVI container + per-frame JPEG, r3) —
-    # took the head slot of ivf_topk, whose row became informationless
-    # after the full-probe short-circuit (same plan AND same oracle as
-    # similarity_topk; IVF partial-probe machinery stays pytest-pinned
-    # and bench-visible)
-    Query("video_frames", llmdata.q_video_frames, llmdata.Q_VIDEO_FRAMES_SQL),
+    # ROTATION (r7): video_frames demoted (video decode stays covered
+    # by media_features' decode head row + video_fingerprints tail) →
+    # bloom_prefilter: BIT_OR-mergeable Bloom join pruning with exact
+    # surviving-set + false-positive accounting under oracle.
+    Query("bloom_prefilter", llmdata.q_bloom_prefilter, llmdata.Q_BLOOM_PREFILTER_SQL),
     # --- cardinality
     # ROTATION (r6): cardinality demoted — its oracle checks only the
     # EXACT countDistinct column (the builtin approx sketch is engine-
@@ -844,18 +852,19 @@ _REGISTRY: list[Query] = [
     # and global_count_windows demoted). r6 promoted min_cost_supplier /
     # sole_supplier_returns / incremental_rollup / hll_cardinality
     # (wordcount, session_windows, json_props, cardinality demoted).
-    # r7 PROMOTION CANDIDATES, in priority order: image_dedup (first
-    # multimodal DEDUP row — decode + perceptual hash + grouping),
-    # bloom_prefilter (join-pruning sketch, exact FP accounting),
-    # zorder_keys (layout family), heavy_hitters (Count-Min),
-    # normalize_unicode (the only cross-ICU Python-stage oracle),
+    # ROTATION (r7, done): promoted heavy_hitters / image_dedup /
+    # zorder_keys / bloom_prefilter; demoted language_id_ngram /
+    # rolling_fingerprint / pii_redact / video_frames (families stay
+    # covered — see the in-place head notes).
+    # r8 PROMOTION CANDIDATES, in priority order: ivfpq_topk (r7 IVF×PQ
+    # composition, if its slot-earning recall row lands),
+    # bpe_trained_merges (r7 iterative trainer), normalize_unicode
+    # (the only cross-ICU Python-stage oracle),
     # streaming_capped_sessions (python-stateful streaming under
-    # oracle). Demotion candidates: language_id_ngram (language family
-    # double-covered: quality_score head + language_id tail),
-    # rolling_fingerprint (fingerprint family now 4-deep),
-    # pii_redact (regex-transform family, pytest-pinned),
-    # video_frames (video decode also covered by media_features'
-    # decode path + video_fingerprints tail).
+    # oracle). Demotion candidates: pick from head rows whose oracle
+    # FAMILY is double-covered: simhash_pairs (dedup family 5-deep in
+    # head), cohort_retention (bucketed groupBy family), fuzzy-era
+    # window rows (sliding_windows vs keyed_tumbling overlap).
     Query("fuzzy_match", llmdata.q_fuzzy_match, llmdata.Q_FUZZY_MATCH_SQL),
     Query("inverted_index", llmdata.q_inverted_index, llmdata.Q_INVERTED_INDEX_SQL),
     Query("media_resize", llmdata.q_media_resize, llmdata.Q_MEDIA_RESIZE_SQL),
@@ -879,26 +888,18 @@ _REGISTRY: list[Query] = [
             "FROM events", "FROM events WHERE user_id % 4 = 0"
         ),
     ),
-    # r6: Count-Min heavy hitters — the SUM-mergeable counter sketch
-    # under exact cross-engine oracle (hll_cardinality carries the
-    # sketch family in the head; r7 promotion candidate)
-    Query("heavy_hitters", llmdata.q_heavy_hitters, llmdata.Q_HEAVY_HITTERS_SQL),
-    # r6: perceptual-hash image dedup over the real decode path —
-    # DuckDB recomputes every hash bit from the generator formulas
-    # (r7 promotion candidate: first multimodal DEDUP row)
-    Query("image_dedup", llmdata.q_image_dedup, llmdata.Q_IMAGE_DEDUP_SQL),
+    # demoted r7 (head slots went to heavy_hitters / image_dedup /
+    # zorder_keys / bloom_prefilter) — still oracle-checked here
+    Query("language_id_ngram", llmdata.q_language_id_ngram, llmdata.Q_LANGUAGE_ID_NGRAM_SQL),
+    Query("rolling_fingerprint", llmdata.q_rolling_fingerprint, llmdata.Q_ROLLING_FINGERPRINT_SQL),
+    Query("pii_redact", llmdata.q_pii_redact, llmdata.Q_PII_REDACT_SQL),
+    Query("video_frames", llmdata.q_video_frames, llmdata.Q_VIDEO_FRAMES_SQL),
     # r6: the audio sibling — energy-envelope fingerprint bits over
     # the real WAV decode, DuckDB-recomputed from the sample formula
     Query("audio_fingerprints", llmdata.q_audio_fingerprints, llmdata.Q_AUDIO_FINGERPRINTS_SQL),
     # r6: video member of the fingerprint family (frame-brightness
     # envelope over real MJPEG-AVI decode)
     Query("video_fingerprints", llmdata.q_video_fingerprints, llmdata.Q_VIDEO_FINGERPRINTS_SQL),
-    # r6: Z-order (Morton) layout keys — multi-dimensional data
-    # skipping; file-pruning payoff measured in test_plans
-    Query("zorder_keys", llmdata.q_zorder_keys, llmdata.Q_ZORDER_KEYS_SQL),
-    # r6: Bloom-filter join pruning — BIT_OR-mergeable 128-word filter,
-    # exact surviving set + FP flags under oracle
-    Query("bloom_prefilter", llmdata.q_bloom_prefilter, llmdata.Q_BLOOM_PREFILTER_SQL),
     # r6: declarative data-quality expectations gate (one-pass per-rule
     # violation counts + quarantine total, fail-on-unprovable NULLs)
     Query("data_expectations", llmdata.q_data_expectations, llmdata.Q_DATA_EXPECTATIONS_SQL),
