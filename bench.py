@@ -67,6 +67,9 @@ HEADLINE = [
     "simhash_pairs",
     "similarity_topk",
     "ivf_topk",
+    # r7: the composed IVF-PQ (IVFADC) pipeline — coarse cells +
+    # residual PQ codes + ADC over probed cells
+    "ivfpq_topk",
     "embedding_near_dups",
     "quality_score",
     "bpe_token_stats",

@@ -344,11 +344,20 @@ def _train_ivf_centers(
     if len(X) > cap:
         X = X[:cap]
     if len(X) < n_cells:
-        # pathological under-sample (estimate far off): fall back to
-        # the full corpus rather than train degenerate centers
+        # pathological under-sample (estimate far off): re-collect a
+        # BOUNDED slice rather than train degenerate centers. limit()
+        # keeps the driver materialization capped even if the corpus is
+        # huge and the footer estimate was arbitrarily wrong (r6
+        # verdict: the previous full-corpus collect() fallback was
+        # unbounded at scale).
         X = np.array(
-            [r["cv"] for r in corpus_v.select("cv").collect()], dtype=np.float64
+            [r["cv"] for r in corpus_v.select("cv").limit(cap).collect()],
+            dtype=np.float64,
         )
+        if len(X) < n_cells:
+            raise ValueError(
+                f"IVF training needs >= {n_cells} rows; corpus has {len(X)}"
+            )
 
     rng = np.random.default_rng(42)
     centers = X[rng.choice(len(X), size=n_cells, replace=False)]
@@ -670,6 +679,18 @@ def pq_train(
     X = np.array([r["cv"] for r in train.collect()], dtype=np.float64)
     if len(X) > train_cap:
         X = X[:train_cap]
+    if len(X) < n_codes:
+        # pathological under-sample (footer estimate far off): bounded
+        # re-collect, mirroring _train_ivf_centers — rng.choice with
+        # replace=False would raise on a short sample (r6 advice).
+        X = np.array(
+            [r["cv"] for r in corpus_v.limit(train_cap).collect()],
+            dtype=np.float64,
+        )
+        if len(X) < n_codes:
+            raise ValueError(
+                f"PQ training needs >= {n_codes} rows; corpus has {len(X)}"
+            )
     d = X.shape[1]
     if d % m_sub:
         raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
@@ -792,6 +813,240 @@ def pq_topk(
     scored = codes_df.mapInPandas(
         score, "query_id long, neighbor_id long, adc_dist double"
     ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the two halves composed — coarse k-means cells (ivf_topk's
+# quantizer) + product-quantized RESIDUALS searched by ADC within the
+# probed cells only. This is the billion-scale ANN configuration of
+# Jégou et al., "Product quantization for nearest neighbor search",
+# TPAMI 2011 (IVFADC, §5): search cost drops to
+# O(n_probe/n_cells · corpus) AND the per-vector memory drops from
+# d floats to m_sub bytes-ish codes; raw vectors are never shuffled
+# or stored in the index.
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_subspaces(X, m_sub: int, n_codes: int, iters: int = 8):
+    """Seeded per-subspace Lloyd's k-means over a driver sample
+    (numpy). Shared by pq_train and ivfpq residual training."""
+    import numpy as np
+
+    d = X.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    dsub = d // m_sub
+    rng = np.random.default_rng(42)
+    books = np.empty((m_sub, n_codes, dsub))
+    for m in range(m_sub):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        centers = S[rng.choice(len(S), size=n_codes, replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            lab = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = S[lab == c]
+                if len(members):
+                    centers[c] = members.mean(axis=0)
+        books[m] = centers
+    return books
+
+
+def _first_vectors_by_id(corpus_v, n: int):
+    """The n lowest-id vectors as a numpy array — the deterministic,
+    cross-engine-reproducible 'sample init / zero Lloyd iterations'
+    training used by the oracle-checked registry row (a DuckDB oracle
+    cannot run k-means; random-sample init IS the standard k-means
+    seed, so this is the t=0 point of the same algorithm). Bounded
+    driver materialization: exactly n rows."""
+    import numpy as np
+
+    rows = corpus_v.orderBy("neighbor_id").limit(n).collect()
+    if len(rows) < n:
+        raise ValueError(f"need >= {n} rows for deterministic init")
+    return np.array([r["cv"] for r in rows], dtype=np.float64)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows_per_cell: int = 256,
+    pq_train_cap: int = 4096,
+    deterministic_init: bool = False,
+    approx_rows: int | None = None,
+) -> DataFrame:
+    """IVF-PQ (IVFADC) approximate top-k.
+
+    Index side (all distributed, one Arrow/BLAS pass each):
+      1. coarse quantizer: ``n_cells`` k-means centers (bounded driver
+         sample, seeded Lloyd's — or, with ``deterministic_init``, the
+         ``n_cells`` lowest-id vectors: sample init, zero iterations,
+         reproducible by the DuckDB oracle);
+      2. every corpus vector is assigned its nearest cell and reduced
+         to the RESIDUAL v − c(cell) — residuals are what PQ encodes
+         (Jégou §5: residual energy ≪ vector energy, so the same code
+         budget buys far lower quantization error);
+      3. per-subspace codebooks over residuals (``m_sub`` × ``n_codes``),
+         trained on a bounded sample (or lowest-id residuals under
+         ``deterministic_init``);
+      4. one encode pass → (neighbor_id, cell, codes): the 100 TB
+         layout stores THIS — m_sub small ints + a cell id per vector,
+         partitioned by cell, raw vectors dropped.
+
+    Search side: each query picks its ``n_probe`` nearest cells
+    driver-side (centers are tiny), builds one (m_sub × n_codes) LUT
+    of partial squared distances PER PROBED CELL from the query's
+    residual in that cell, and every code row in a probed cell scores
+    as m_sub table lookups + a sum (ADC). Corpus-side work is a scan
+    of int codes in the probed cells only — no float vector is touched.
+
+    Output (query_id, neighbor_id, adc_dist, rk) — same shape as
+    pq_topk; embeddings being unit-norm makes the L2 ranking the
+    cosine ranking (recall-floor vs exact cosine pinned in tests).
+    """
+    import numpy as np
+
+    corpus_v = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    if deterministic_init:
+        centers = _first_vectors_by_id(corpus_v, n_cells)
+    else:
+        centers = _train_ivf_centers(
+            corpus_v, n_cells, train_rows_per_cell, approx_rows=approx_rows
+        )
+    dim = centers.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+
+    def _residuals(X):
+        # nearest cell per row (argmin ||x-c||² via the matmul identity,
+        # ties -> lowest cell, matching the oracle's ORDER BY d2, cell)
+        scores = X @ centers.T - 0.5 * (centers**2).sum(axis=1)
+        cells = scores.argmax(axis=1)
+        return X - centers[cells], cells
+
+    # --- residual PQ codebooks (driver-side, bounded)
+    if deterministic_init:
+        R0, _ = _residuals(_first_vectors_by_id(corpus_v, n_codes))
+        books = np.stack(
+            [R0[:, m * dsub : (m + 1) * dsub] for m in range(m_sub)]
+        )
+    else:
+        n = (
+            approx_rows
+            if approx_rows is not None
+            else _footer_row_estimate(corpus_v)
+        )
+        if n is None:
+            n = corpus_v.count()
+        if n > pq_train_cap:
+            train = corpus_v.sample(min(1.0, 1.2 * pq_train_cap / n), seed=42)
+        else:
+            train = corpus_v
+        X = np.array(
+            [r["cv"] for r in train.select("cv").collect()], dtype=np.float64
+        )
+        if len(X) > pq_train_cap:
+            X = X[:pq_train_cap]
+        if len(X) < n_codes:
+            X = np.array(
+                [r["cv"] for r in corpus_v.select("cv").limit(pq_train_cap).collect()],
+                dtype=np.float64,
+            )
+            if len(X) < n_codes:
+                raise ValueError(
+                    f"IVF-PQ training needs >= {n_codes} rows; corpus has {len(X)}"
+                )
+        R, _ = _residuals(X)
+        books = _lloyd_subspaces(R, m_sub, n_codes)
+
+    # --- one distributed encode pass: (neighbor_id, cell, codes)
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            R, cells = _residuals(M)
+            codes = np.empty((len(M), m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                S = R[:, m * dsub : (m + 1) * dsub]
+                sc = S @ books[m].T - 0.5 * (books[m] ** 2).sum(axis=1)
+                codes[:, m] = sc.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    codes_df = corpus_v.mapInPandas(
+        enc, "neighbor_id long, cell int, codes array<int>"
+    )
+
+    # --- probes: n_probe nearest cells + per-(query, cell) residual LUT
+    spark = corpus.sparkSession
+    q_rows = queries.select(id_col, vec_col).collect()
+    luts = {}
+    probe_rows = []
+    for r in q_rows:
+        qid = int(r[0])
+        qv = np.asarray(list(r[1]), dtype=np.float64)
+        d2 = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d2, kind="stable")[:n_probe]:
+            cell = int(cell)
+            qr = qv - centers[cell]
+            lut = np.empty((m_sub, n_codes))
+            for m in range(m_sub):
+                qs = qr[m * dsub : (m + 1) * dsub]
+                lut[m] = ((books[m] - qs) ** 2).sum(axis=1)
+            luts[(qid, cell)] = lut
+            probe_rows.append((qid, cell))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for (qid, cell), g in pdf.groupby(["query_id", "cell"]):
+                lut = luts[(int(qid), int(cell))]
+                C = np.array(g["codes"].tolist(), dtype=np.int64)
+                dist = lut[np.arange(m_sub)[None, :], C].sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(g), qid, dtype=np.int64),
+                        "neighbor_id": g["neighbor_id"].to_numpy(),
+                        "adc_dist": dist,
+                    }
+                )
+
+    scored = (
+        F.broadcast(probes)
+        .join(codes_df, "cell")
+        .select("query_id", "cell", "neighbor_id", "codes")
+        .mapInPandas(score, "query_id long, neighbor_id long, adc_dist double")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))

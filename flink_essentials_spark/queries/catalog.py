@@ -798,6 +798,11 @@ _REGISTRY: list[Query] = [
     Query("media_stats", llmdata.q_media_stats, llmdata.Q_MEDIA_STATS_SQL),
     Query("streaming_enrich", q_streaming_enrich, Q_STREAMING_ENRICH_SQL),
     Query("ivf_topk", llmdata.q_ivf_topk, llmdata.Q_SIMILARITY_TOPK_SQL),
+    # r7: the composed IVF-PQ (IVFADC) pipeline under FULL oracle —
+    # partial probe + residual PQ codes + ADC LUT sums, deterministic
+    # sample-init codebooks replicated arithmetically by DuckDB
+    # (r8 promotion candidate: the billion-scale ANN configuration)
+    Query("ivfpq_topk", llmdata.q_ivfpq_topk, llmdata.Q_IVFPQ_TOPK_SQL),
     Query("fizzbuzz", dataflow.q_fizzbuzz, dataflow.Q_FIZZBUZZ_SQL),
     Query("explode_quantity", dataflow.q_explode_quantity, dataflow.Q_EXPLODE_QUANTITY_SQL),
     Query("region_revenue", relational.q_region_revenue, relational.Q_REGION_REVENUE_SQL),

@@ -351,6 +351,114 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011) top-5 under FULL oracle: the
+    registry config runs the complete composed pipeline — coarse-cell
+    assignment, residual PQ encoding, per-(query, probed-cell) ADC
+    LUTs, partial probe (2 of 4 cells) — with ``deterministic_init``
+    (coarse centers = the 4 lowest-id vectors, residual codebooks =
+    the 16 lowest-id residuals: k-means' random-sample init at ZERO
+    Lloyd iterations), which DuckDB replicates arithmetically
+    (list_dot_product distances, ROW_NUMBER argmins, LUT-join ADC
+    sums). The Lloyd-trained default is pinned separately by the
+    recall-floor test (tests/test_similarity_pq.py). Every adc_dist,
+    code assignment and rank matches bit-for-round(6) cross-engine."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    res = similarity.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_cells=4,
+        n_probe=2,
+        m_sub=8,
+        n_codes=16,
+        deterministic_init=True,
+    )
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        "rk",
+    )
+
+
+Q_IVFPQ_TOPK_SQL = """
+WITH ev AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ctr AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+  FROM (SELECT * FROM ev ORDER BY vec_id LIMIT 4)
+), asg AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, t.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, e.v)
+                      - 2 * list_dot_product(e.v, t.c)
+                      + list_dot_product(t.c, t.c), t.cell) AS crk
+    FROM ev e CROSS JOIN ctr t)
+  WHERE crk = 1
+), resid AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(generate_series(1, 64), i -> a.v[i] - t.c[i]) AS r
+  FROM asg a JOIN ctr t USING (cell)
+), book AS (
+  SELECT m.m, ROW_NUMBER() OVER (PARTITION BY m.m ORDER BY b.vec_id) - 1 AS code,
+         list_slice(b.r, m.m * 8 + 1, m.m * 8 + 8) AS e
+  FROM (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT 16) b
+  CROSS JOIN range(0, 8) m(m)
+), rsl AS (
+  SELECT r.vec_id, r.cell, m.m, list_slice(r.r, m.m * 8 + 1, m.m * 8 + 8) AS rs
+  FROM resid r CROSS JOIN range(0, 8) m(m)
+), enc AS (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT r.vec_id, r.cell, r.m, b.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY r.vec_id, r.m
+             ORDER BY list_dot_product(r.rs, r.rs)
+                      - 2 * list_dot_product(r.rs, b.e)
+                      + list_dot_product(b.e, b.e), b.code) AS krk
+    FROM rsl r JOIN book b ON r.m = b.m)
+  WHERE krk = 1
+), qry AS (
+  SELECT vec_id AS query_id, v AS q FROM ev WHERE vec_id < 10
+), qprobe AS (
+  SELECT query_id, q, cell FROM (
+    SELECT query_id, q, t.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY list_dot_product(q, q) - 2 * list_dot_product(q, t.c)
+                      + list_dot_product(t.c, t.c), t.cell) AS prk
+    FROM qry CROSS JOIN ctr t)
+  WHERE prk <= 2
+), lut AS (
+  SELECT qs.query_id, qs.cell, qs.m, b.code,
+         list_dot_product(qs.qs, qs.qs) - 2 * list_dot_product(qs.qs, b.e)
+           + list_dot_product(b.e, b.e) AS pd
+  FROM (
+    SELECT p.query_id, p.cell, m.m,
+           list_slice(list_transform(generate_series(1, 64),
+                                     i -> p.q[i] - t.c[i]),
+                      m.m * 8 + 1, m.m * 8 + 8) AS qs
+    FROM qprobe p JOIN ctr t USING (cell)
+    CROSS JOIN range(0, 8) m(m)) qs
+  JOIN book b ON qs.m = b.m
+), scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, SUM(l.pd) AS adc
+  FROM enc e
+  JOIN lut l ON l.cell = e.cell AND l.m = e.m AND l.code = e.code
+  WHERE l.query_id <> e.vec_id
+  GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= 5
+"""
+
+
 # --- text analysis -----------------------------------------------------------
 
 

@@ -231,6 +231,59 @@ def test_pq_adc_identity_reconstruction_and_recall(spark):
     assert len(exact & pq10) / len(exact) >= 0.3, len(exact & pq10) / len(exact)
 
 
+def test_ivfpq_recall_and_rank_contract(spark):
+    """IVF-PQ composition (IVFADC): (a) recall@10 vs exact cosine
+    clears a floor at a fine-codebook full-probe config (the residual
+    quantization limit on this near-random synthetic table — real
+    clustered corpora do far better); (b) ranks are contiguous 1..k
+    with ADC distances nonnegative and nondecreasing in rank; (c) a
+    partial probe returns only neighbors that full probe also scores
+    identically (the probed-cell candidates score independently of
+    how many other cells were probed)."""
+    t = load_tables(spark, SF_DIR)
+    emb = t["embeddings"]
+    queries = emb.orderBy("vec_id").limit(5)
+    exact = {}
+    for r in similarity.cosine_topk(emb, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    full = similarity.ivfpq_topk(
+        emb, queries, k=10, n_cells=8, n_probe=8, m_sub=32, n_codes=64
+    ).collect()
+    got = {}
+    for r in full:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    per_q = {}
+    for r in full:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r["adc_dist"] for r in rows]
+        assert all(d >= 0 for d in dists)
+        assert dists == sorted(dists)
+
+    # (c) same index seeds -> a partial probe's (query, neighbor) ADC
+    # must equal the full probe's score for that same pair
+    full_scores = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in similarity.ivfpq_topk(
+            emb, queries, k=500, n_cells=8, n_probe=8, m_sub=32, n_codes=64
+        ).collect()
+    }
+    partial = similarity.ivfpq_topk(
+        emb, queries, k=10, n_cells=8, n_probe=2, m_sub=32, n_codes=64
+    ).collect()
+    assert partial
+    for r in partial:
+        assert full_scores[(r["query_id"], r["neighbor_id"])] == r["adc_dist"]
+
+
 def test_ivf_training_runs_no_count_job(spark, monkeypatch):
     """At 100 TB a ``count()`` before k-means is a full corpus scan;
     training must size its sample from parquet footers of the corpus'
@@ -250,6 +303,9 @@ def test_ivf_training_runs_no_count_job(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "count", _no_count)
     got = similarity.ivf_topk(emb, qdf, k=5, n_cells=8, n_probe=2).collect()
     assert got
+    # the composed IVF-PQ trains BOTH quantizers — still no count job
+    got2 = similarity.ivfpq_topk(emb, qdf, k=5, n_cells=8, n_probe=2).collect()
+    assert got2
 
 
 def test_cosine_all_pairs_blocked_matches_naive(spark):
