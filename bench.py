@@ -73,6 +73,9 @@ HEADLINE = [
     "embedding_near_dups",
     "quality_score",
     "bpe_token_stats",
+    # r7: the iterative tokenizer trainer (8 merge rounds; one corpus
+    # scan + vocab-sized iterations with localCheckpoint)
+    "bpe_trained_merges",
     "stratified_sample",
     "training_pipeline",
     # r4 additions: chunking/audit/quantization breadth

@@ -962,3 +962,96 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016): start
+    from character symbols, then repeat ``n_merges`` times: count
+    adjacent symbol pairs corpus-wide, pick the most frequent pair
+    (ties: lexicographic left, right — deterministic cross-engine),
+    and merge it greedily left-to-right everywhere. Returns the merge
+    TABLE (step, left_sym, right_sym, merged, n_occurrences) — the
+    artifact a tokenizer ships; ``bpe_merge_pairs`` is this loop's
+    single-iteration statistic.
+
+    Scale shape: the corpus is scanned ONCE (word-count groupBy —
+    the only corpus-sized shuffle); every iteration then runs on the
+    VOCABULARY (distinct words + counts), which is orders of magnitude
+    smaller and stays distributed: pair counts are a vocab-sized
+    partial-agg shuffle, the argmax is a driver top-1 (one row), and
+    the merge-apply is one Arrow-batched mapInPandas pass. The vocab
+    is localCheckpoint()ed each iteration — iterative plans get no
+    ReusedExchange across passes (fresh expr ids), so without it every
+    iteration would replay the whole lineage including the corpus scan
+    (the pagerank lesson). Greedy application uses the standard
+    left-to-right non-overlapping rule (an 'aaa' run under merge (a,a)
+    gives ['aa','a']), implemented as a fold that the DuckDB oracle
+    replicates exactly via list_reduce.
+    """
+    from flink_essentials_spark.operators.transform import tokenize
+
+    spark = df.sparkSession
+    words = df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    vocab = wc.select(
+        "n",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("symbols"),
+    ).localCheckpoint()
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            vocab.filter(F.size("symbols") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("symbols") - 1)
+                ).alias("i"),
+                "symbols",
+            )
+            .select(
+                F.element_at("symbols", F.col("i")).alias("left_sym"),
+                F.element_at("symbols", F.col("i") + 1).alias("right_sym"),
+                "n",
+            )
+        )
+        best = (
+            pairs.groupBy("left_sym", "right_sym")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "left_sym", "right_sym")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["left_sym"], best[0]["right_sym"]
+        merges.append((step, a, b, a + b, int(best[0]["cnt"])))
+
+        def apply(batches, a=a, b=b):
+            import pandas as pd
+
+            for pdf in batches:
+                out = []
+                for syms in pdf["symbols"]:
+                    acc = []
+                    for x in syms:
+                        if acc and acc[-1] == a and x == b:
+                            acc[-1] = a + b
+                        else:
+                            acc.append(x)
+                    out.append(acc)
+                yield pd.DataFrame({"n": pdf["n"], "symbols": out})
+
+        vocab = vocab.mapInPandas(
+            apply, "n long, symbols array<string>"
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, "
+        "n_occurrences long",
+    )

@@ -877,6 +877,10 @@ _REGISTRY: list[Query] = [
     Query("containment_pairs", llmdata.q_containment, llmdata.Q_CONTAINMENT_PAIRS_SQL),
     Query("corpus_trend", llmdata.q_corpus_trend, llmdata.Q_CORPUS_TREND_SQL),
     Query("bpe_merge_pairs", llmdata.q_bpe_merge_pairs, llmdata.Q_BPE_MERGE_PAIRS_SQL),
+    # r7: the iterative BPE TRAINER (8 unrolled merge rounds under
+    # oracle — argmax pair + greedy merge-apply per round); the row
+    # above is its single-iteration statistic (r8 promotion candidate)
+    Query("bpe_trained_merges", llmdata.q_bpe_trained_merges, llmdata.Q_BPE_TRAINED_MERGES_SQL),
     Query("scd2_intervals", llmdata.q_scd2_intervals, llmdata.Q_SCD2_INTERVALS_SQL),
     Query("normalize_unicode", llmdata.q_normalize_unicode, llmdata.Q_NORMALIZE_UNICODE_SQL),
     Query("resample_ffill", llmdata.q_resample_ffill, llmdata.Q_RESAMPLE_FFILL_SQL),

@@ -2061,6 +2061,59 @@ ORDER BY n_occurrences DESC, pair LIMIT 50
 """
 
 
+def q_bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE TRAINING (text.bpe_train): 8 merge rounds — count
+    adjacent symbol pairs over the vocabulary, argmax (count desc,
+    pair asc), greedy left-to-right merge-apply, repeat — emitting the
+    merge table a tokenizer ships. The DuckDB oracle unrolls all 8
+    rounds as CTEs (the link_rank unrolled-iteration pattern) and
+    replicates the greedy apply exactly with a list_reduce fold on a
+    space-joined accumulator (symbols are \\w-only, so the space
+    separator is safe). All counts are exact integers."""
+    return text.bpe_train(
+        load_tables(spark, sf_dir)["documents"], n_merges=8
+    )
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    ctes = [
+        f"""words AS (
+  SELECT unnest({_SQL_TOKENS}) AS word FROM documents
+), v0 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         list_transform(generate_series(1, length(word)), i -> word[i])
+           AS symbols
+  FROM words GROUP BY word
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""b{k} AS (
+  SELECT symbols[i] AS l, symbols[i + 1] AS r, SUM(n) AS cnt
+  FROM v{k - 1}, unnest(range(1, len(symbols))) t(i)
+  GROUP BY 1, 2
+  ORDER BY cnt DESC, l, r LIMIT 1
+), v{k} AS (
+  SELECT v.n,
+         str_split(list_reduce(v.symbols,
+           (acc, x) -> CASE WHEN x = b.r
+                            AND (acc = b.l OR ends_with(acc, ' ' || b.l))
+                       THEN acc || b.r ELSE acc || ' ' || x END), ' ')
+           AS symbols
+  FROM v{k - 1} v CROSS JOIN b{k} b
+)"""
+        )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, l AS left_sym, r AS right_sym, l || r AS merged,"
+        f" CAST(cnt AS BIGINT) AS n_occurrences FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + steps
+
+
+Q_BPE_TRAINED_MERGES_SQL = _bpe_train_sql(8)
+
+
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build (operators.joins.validity_intervals): the
     event log becomes per-user validity intervals [valid_from_ms,

@@ -748,6 +748,30 @@ def test_bpe_merge_pairs_hand_counts(spark):
     assert got == {"an": 6, "na": 5, "ba": 3, "nd": 1, "da": 1}
 
 
+def test_bpe_train_greedy_merges_golden(spark):
+    """Hand-derived 3-round BPE training: pins (a) occurrence-weighted
+    pair counts, (b) the lexicographic (left, right) tie-break, (c)
+    GREEDY left-to-right merge application — an 'aaaa' run under merge
+    (a,a) becomes [aa, aa], never [aa, a, a] — and (d) early stop when
+    no pairs remain."""
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa ab"), (2, "aaaa ab ab")], "doc_id long, text string"
+    )
+    # vocab: aaaa x3 -> [a,a,a,a]; ab x3 -> [a,b]
+    # round 1: (a,a)=9 vs (a,b)=3 -> merge (a,a); aaaa -> [aa,aa] (greedy)
+    # round 2: (aa,aa)=3 vs (a,b)=3 tie -> 'a' < 'aa' -> merge (a,b)
+    # round 3: (aa,aa)=3 -> merge; round 4: no pairs -> stop at 3 rows
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["n_occurrences"])
+        for r in text.bpe_train(df, n_merges=8).orderBy("step").collect()
+    ]
+    assert got == [
+        (1, "a", "a", "aa", 9),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "aa", "aaaa", 3),
+    ]
+
+
 def test_validity_intervals_half_open_chain(spark):
     """Intervals chain per key: each valid_to equals the next
     valid_from; the last state is open (NULL)."""
