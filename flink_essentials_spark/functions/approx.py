@@ -196,8 +196,12 @@ def cm_estimate(
         side = sketch.filter(F.col("d") == d).select(
             F.col("bucket").alias(f"b{d}"), F.col("cnt").alias(f"c{d}")
         )
-        probes = probes.join(F.broadcast(side), f"b{d}")
-        c = F.col(f"c{d}")
+        # LEFT join + coalesce(0): an item whose (d, bucket) counter is
+        # absent from the sketch (never seen) must deterministically
+        # estimate 0, not silently drop the probe row (r6 advice — the
+        # inner join diverged from the oracle's NULL-ignoring least()).
+        probes = probes.join(F.broadcast(side), f"b{d}", "left")
+        c = F.coalesce(F.col(f"c{d}"), F.lit(0))
         est = c if est is None else F.least(est, c)
     return probes.select(*keep, est.alias("est_cnt"))
 
@@ -224,9 +228,12 @@ def sql_cm(
     ihv = (
         f"(('0x' || substring(md5(CAST({item_col} AS VARCHAR)), 1, 15))::BIGINT)"
     )
+    # COALESCE(..., 0): an unseen item's counter is absent from sk;
+    # both engines must then return est_cnt = 0 (least() over scalar
+    # subqueries would silently IGNORE the NULL otherwise — r6 advice)
     mins = ", ".join(
-        f"(SELECT cnt FROM sk WHERE d = {d} "
-        f"AND bucket = ({ihv} >> {d * width_bits}) & {m - 1})"
+        f"COALESCE((SELECT cnt FROM sk WHERE d = {d} "
+        f"AND bucket = ({ihv} >> {d * width_bits}) & {m - 1}), 0)"
         for d in range(depth)
     )
     return f"""
@@ -236,6 +243,33 @@ WITH sk AS (
 ), it AS ({items_sql})
 SELECT it.*, least({mins}) AS est_cnt FROM it
 """
+
+
+def histogram_bins(
+    df: DataFrame, value_col, lo: int, hi: int, bins: int
+) -> DataFrame:
+    """The fixed-bin integer histogram itself, as (bin, cnt) rows —
+    the SUM-mergeable state behind :func:`histogram_quantiles`,
+    exposed so the incremental/streaming maintenance loop
+    (foreachBatch → refresh_rollup with a ('sum','cnt') spec) can
+    store and fold it per micro-batch; quantiles recompute from the
+    merged counts at read time."""
+    value_col = F.col(value_col) if isinstance(value_col, str) else value_col
+    width_num = hi - lo + 1
+    # integer division throughout ('div'): double '/'+floor can misbin
+    # exactly-on-boundary values after rounding
+    num = ((value_col - lo) * bins).cast("long")
+    return (
+        df.select(num.alias("__num"))
+        .select(
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(F.lit(0).cast("long"), F.expr(f"__num div {width_num}")),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def histogram_quantiles(
@@ -257,22 +291,8 @@ def histogram_quantiles(
     ``value_col`` must already be integer-valued (cents, ms, counts —
     the repo's parity discipline). Returns (q, bin_idx, bin_lo,
     bin_hi, cum_cnt, n_rows) per requested quantile."""
-    value_col = F.col(value_col) if isinstance(value_col, str) else value_col
+    histo = histogram_bins(df, value_col, lo, hi, bins)
     width_num = hi - lo + 1
-    # integer division throughout ('div'): double '/'+floor can misbin
-    # exactly-on-boundary values after rounding
-    num = ((value_col - lo) * bins).cast("long")
-    histo = (
-        df.select(num.alias("__num"))
-        .select(
-            F.least(
-                F.lit(bins - 1),
-                F.greatest(F.lit(0).cast("long"), F.expr(f"__num div {width_num}")),
-            ).alias("bin")
-        )
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     # bins ≤ a few thousand: the cumulative walk is a tiny single-
     # partition window over the HISTOGRAM, never over the data
     from pyspark.sql import Window as W

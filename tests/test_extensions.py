@@ -574,6 +574,99 @@ def test_hll_maintained_over_a_stream_equals_batch(spark, tmp_path):
     )
 
 
+def test_cm_maintained_over_a_stream_equals_batch(spark, tmp_path):
+    """Count-Min live-maintenance e2e (the HLL test's SUM-merge
+    sibling): per micro-batch, the batch's CM counter rows fold into
+    the versioned rollup (foreachBatch → cm_sketch → refresh_rollup
+    sum-merge); the final stored sketch must equal the one-shot batch
+    sketch — so streaming heavy-hitter estimates are the batch
+    estimates, with depth × width counters of state regardless of
+    stream length."""
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.sinks import versioned
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "rollup")
+    t = load_tables(spark, SF_DIR)
+    ev = t["events"].select("event_type", "user_id")
+    ev.repartition(3).write.parquet(src)
+
+    def fold(bdf, epoch_id):
+        sk = approx.cm_sketch(bdf, "event_type", depth=4, width_bits=10)
+        refresh_rollup(
+            spark, base, sk, ["d", "bucket"], {"cnt": ("sum", "cnt")}
+        )
+
+    sdf = file_replay(spark, src, "event_type string, user_id long",
+                      files_per_trigger=1)
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    stored = versioned.read_current(spark, base)
+    oneshot = approx.cm_sketch(ev, "event_type", depth=4, width_bits=10)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+
+
+def test_histogram_maintained_over_a_stream_equals_batch(spark, tmp_path):
+    """Histogram live-maintenance e2e (bin-SUM merge): per micro-batch
+    bin counts fold into the rollup; the final stored histogram equals
+    the one-shot batch histogram, and quantiles recomputed from the
+    maintained bins equal the direct histogram_quantiles answer."""
+    import math
+
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.queries import util
+    from flink_essentials_spark.sinks import versioned
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "rollup")
+    t = load_tables(spark, SF_DIR)
+    ev = t["events"].select(util.cents("value").alias("v_c"))
+    ev.repartition(3).write.parquet(src)
+
+    def fold(bdf, epoch_id):
+        bins = approx.histogram_bins(bdf, "v_c", 0, 49999, 500)
+        refresh_rollup(spark, base, bins, ["bin"], {"cnt": ("sum", "cnt")})
+
+    sdf = file_replay(spark, src, "v_c long", files_per_trigger=1)
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    stored = versioned.read_current(spark, base)
+    oneshot = approx.histogram_bins(ev, "v_c", 0, 49999, 500)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+    # quantiles from the MAINTAINED bins == quantiles computed directly
+    direct = sorted(
+        map(tuple, approx.histogram_quantiles(
+            ev, "v_c", 0, 49999, 500, [0.5, 0.9]
+        ).collect())
+    )
+    rows = sorted((r["bin"], r["cnt"]) for r in stored.collect())
+    n = sum(c for _, c in rows)
+    recomputed = []
+    for qv in (0.5, 0.9):
+        need, cum = math.ceil(qv * n), 0
+        for b, c in rows:
+            cum += c
+            if cum >= need:
+                recomputed.append(
+                    (qv, b, (b * 50000) // 500, ((b + 1) * 50000) // 500,
+                     cum, n)
+                )
+                break
+    assert sorted(recomputed) == direct
+
+
 def test_histogram_quantiles_bracket_exact_and_merge(spark):
     """Histogram-quantile guarantees: each reported bin BRACKETS the
     exact percentile (bin_lo <= exact p <= bin_hi), and per-batch
@@ -698,6 +791,41 @@ def test_cm_sketch_upper_bound_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, sketch.collect())
     )
+
+
+def test_cm_estimate_unseen_item_returns_zeroish_row(spark):
+    """An item never fed to the sketch must still come back — with the
+    min over its (possibly absent => 0) bucket counters, never a
+    silently dropped probe row (r6 advice: the inner join diverged
+    from the oracle's NULL-ignoring least). Expected value recomputed
+    independently from the same md5-slice arithmetic in Python."""
+    import hashlib
+
+    depth, wb = 4, 10
+    m = 1 << wb
+    vals = ["alpha", "beta", "gamma"]
+    df = spark.createDataFrame([(v,) for v in vals], "token string")
+    sketch = approx.cm_sketch(df, "token", depth=depth, width_bits=wb)
+    probes = spark.createDataFrame(
+        [("never-seen-token-xyz",), ("alpha",)], "token string"
+    )
+    got = {
+        r["token"]: r["est_cnt"]
+        for r in approx.cm_estimate(sketch, probes, "token", depth, wb).collect()
+    }
+
+    def buckets(v):
+        hv = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        return [(d, (hv >> (d * wb)) & (m - 1)) for d in range(depth)]
+
+    counters = {}
+    for v in vals:
+        for key in buckets(v):
+            counters[key] = counters.get(key, 0) + 1
+    for probe in ("never-seen-token-xyz", "alpha"):
+        want = min(counters.get(key, 0) for key in buckets(probe))
+        assert got[probe] == want, (probe, got[probe], want)
+    assert got["alpha"] >= 1
 
 
 def test_approx_quantiles_bracket_exact(spark):
