@@ -1055,3 +1055,68 @@ def bpe_train(
         "step int, left_sym string, right_sym string, merged string, "
         "n_occurrences long",
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge list (``bpe_train`` output order) and
+    emit per-document token economics: n_words, n_chars (word chars —
+    what the tokenizer actually sees), n_bpe_tokens after all merges,
+    and chars_per_token. This is the train→ENCODE half of the
+    tokenizer loop — the number every data pipeline budgets by.
+
+    Scale shape: merges apply to the DISTINCT-WORD vocabulary, not the
+    corpus — one Arrow-batched mapInPandas over distinct words runs
+    the greedy fold once per (word, merge), then a word-level join
+    (AQE-sized; the vocab side is tiny relative to the corpus) fans
+    the per-word token counts back to documents for an integer
+    groupBy. Corpus text is scanned once.
+    """
+    from flink_essentials_spark.operators.transform import tokenize
+
+    doc_words = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
+    )
+    vocab = doc_words.select("word").distinct()
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            counts = []
+            for w in pdf["word"]:
+                syms = list(w)
+                for a, b in merges:
+                    acc = []
+                    for x in syms:
+                        if acc and acc[-1] == a and x == b:
+                            acc[-1] = a + b
+                        else:
+                            acc.append(x)
+                    syms = acc
+                counts.append(len(syms))
+            yield pd.DataFrame({"word": pdf["word"], "n_sym": counts})
+
+    per_word = vocab.mapInPandas(enc, "word string, n_sym int")
+    return (
+        doc_words.join(per_word, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            (
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens")
+            ).alias("chars_per_token"),
+        )
+    )

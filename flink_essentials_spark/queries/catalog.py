@@ -881,6 +881,9 @@ _REGISTRY: list[Query] = [
     # oracle — argmax pair + greedy merge-apply per round); the row
     # above is its single-iteration statistic (r8 promotion candidate)
     Query("bpe_trained_merges", llmdata.q_bpe_trained_merges, llmdata.Q_BPE_TRAINED_MERGES_SQL),
+    # r7: the ENCODE half — trained merges applied to the vocab, token
+    # economics joined back per doc (train+encode under one oracle)
+    Query("bpe_encoded_docs", llmdata.q_bpe_encoded_docs, llmdata.Q_BPE_ENCODED_DOCS_SQL),
     Query("scd2_intervals", llmdata.q_scd2_intervals, llmdata.Q_SCD2_INTERVALS_SQL),
     Query("normalize_unicode", llmdata.q_normalize_unicode, llmdata.Q_NORMALIZE_UNICODE_SQL),
     Query("resample_ffill", llmdata.q_resample_ffill, llmdata.Q_RESAMPLE_FFILL_SQL),

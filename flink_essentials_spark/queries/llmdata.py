@@ -2075,12 +2075,17 @@ def q_bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_sql(n_merges: int = 8) -> str:
+def _bpe_train_ctes(n_merges: int = 8) -> str:
+    """The shared unrolled-training CTE chain: v0 = per-word char
+    symbols + counts, then (b{k} = argmax pair, v{k} = greedy
+    merge-apply via list_reduce) per round. ``word`` is carried
+    through so the encode oracle can map final symbols back to
+    documents."""
     ctes = [
         f"""words AS (
   SELECT unnest({_SQL_TOKENS}) AS word FROM documents
 ), v0 AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
          list_transform(generate_series(1, length(word)), i -> word[i])
            AS symbols
   FROM words GROUP BY word
@@ -2094,7 +2099,7 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
   GROUP BY 1, 2
   ORDER BY cnt DESC, l, r LIMIT 1
 ), v{k} AS (
-  SELECT v.n,
+  SELECT v.word, v.n,
          str_split(list_reduce(v.symbols,
            (acc, x) -> CASE WHEN x = b.r
                             AND (acc = b.l OR ends_with(acc, ' ' || b.l))
@@ -2103,15 +2108,53 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
   FROM v{k - 1} v CROSS JOIN b{k} b
 )"""
         )
+    return ",\n".join(ctes)
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
     steps = "\nUNION ALL\n".join(
         f"SELECT {k} AS step, l AS left_sym, r AS right_sym, l || r AS merged,"
         f" CAST(cnt AS BIGINT) AS n_occurrences FROM b{k}"
         for k in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + steps
+    return "WITH " + _bpe_train_ctes(n_merges) + "\n" + steps
 
 
 Q_BPE_TRAINED_MERGES_SQL = _bpe_train_sql(8)
+
+
+def q_bpe_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train→ENCODE tokenizer loop end to end (text.bpe_train +
+    text.bpe_encode): 8 trained merges applied to the distinct-word
+    vocabulary, per-word token counts joined back to documents —
+    per-doc n_words / n_chars / n_bpe_tokens plus chars_per_token
+    (one division over exact integers). The oracle reuses the unrolled
+    training CTEs (word carried through) and reads token counts off
+    the final vocabulary state."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in text.bpe_train(docs, n_merges=8).orderBy("step").collect()
+    ]
+    return text.bpe_encode(docs, merges)
+
+
+Q_BPE_ENCODED_DOCS_SQL = f"""
+WITH {_bpe_train_ctes(8)},
+encw AS (
+  SELECT word, len(symbols) AS n_sym FROM v8
+), dw AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(length(d.word)) AS BIGINT)::DOUBLE
+         / CAST(SUM(e.n_sym) AS BIGINT) AS chars_per_token
+FROM dw d JOIN encw e USING (word)
+GROUP BY doc_id
+"""
 
 
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -771,6 +771,18 @@ def test_bpe_train_greedy_merges_golden(spark):
         (3, "aa", "aa", "aaaa", 3),
     ]
 
+    # encode with the trained merges: 'aaaa' -> [aa,aa] -> [aaaa] (1
+    # token), 'ab' -> [ab] (1 token); per-doc integer economics
+    merges = [(l, r) for _, l, r, _, _ in got]
+    enc = {
+        r["doc_id"]: (
+            r["n_words"], r["n_chars"], r["n_bpe_tokens"],
+            r["chars_per_token"],
+        )
+        for r in text.bpe_encode(df, merges).collect()
+    }
+    assert enc == {1: (3, 10, 3, 10 / 3), 2: (3, 8, 3, 8 / 3)}
+
 
 def test_validity_intervals_half_open_chain(spark):
     """Intervals chain per key: each valid_to equals the next
