@@ -873,12 +873,18 @@ def _first_vectors_by_id(corpus_v, n: int):
     return np.array([r["cv"] for r in rows], dtype=np.float64)
 
 
-def ivfpq_topk(
+def _ivfpq_assign(X, centers):
+    """Nearest cell + residual per row (argmin ||x-c||² via the matmul
+    identity; ties -> lowest cell, matching the oracle's ORDER BY
+    d2, cell)."""
+    scores = X @ centers.T - 0.5 * (centers**2).sum(axis=1)
+    cells = scores.argmax(axis=1)
+    return X - centers[cells], cells
+
+
+def ivfpq_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 2,
     m_sub: int = 8,
     n_codes: int = 16,
     id_col: str = "vec_id",
@@ -887,10 +893,16 @@ def ivfpq_topk(
     pq_train_cap: int = 4096,
     deterministic_init: bool = False,
     approx_rows: int | None = None,
-) -> DataFrame:
-    """IVF-PQ (IVFADC) approximate top-k.
+):
+    """Build the IVF-PQ index: returns ``(codes_df, centers, books)``
+    where ``codes_df`` is (neighbor_id, cell, codes array<int>) — the
+    100 TB layout stores THIS, partitioned by ``cell`` (raw vectors
+    dropped; ~m_sub small ints per vector), and a probe becomes a
+    partition-pruned scan of ``n_probe`` directories (plan-audited in
+    tests/test_plans.py). ``centers``/``books`` are tiny numpy arrays
+    the caller keeps driver-side (or re-derives — training is seeded).
 
-    Index side (all distributed, one Arrow/BLAS pass each):
+    Index construction (all distributed, one Arrow/BLAS pass each):
       1. coarse quantizer: ``n_cells`` k-means centers (bounded driver
          sample, seeded Lloyd's — or, with ``deterministic_init``, the
          ``n_cells`` lowest-id vectors: sample init, zero iterations,
@@ -902,20 +914,7 @@ def ivfpq_topk(
       3. per-subspace codebooks over residuals (``m_sub`` × ``n_codes``),
          trained on a bounded sample (or lowest-id residuals under
          ``deterministic_init``);
-      4. one encode pass → (neighbor_id, cell, codes): the 100 TB
-         layout stores THIS — m_sub small ints + a cell id per vector,
-         partitioned by cell, raw vectors dropped.
-
-    Search side: each query picks its ``n_probe`` nearest cells
-    driver-side (centers are tiny), builds one (m_sub × n_codes) LUT
-    of partial squared distances PER PROBED CELL from the query's
-    residual in that cell, and every code row in a probed cell scores
-    as m_sub table lookups + a sum (ADC). Corpus-side work is a scan
-    of int codes in the probed cells only — no float vector is touched.
-
-    Output (query_id, neighbor_id, adc_dist, rk) — same shape as
-    pq_topk; embeddings being unit-norm makes the L2 ranking the
-    cosine ranking (recall-floor vs exact cosine pinned in tests).
+      4. one encode pass → (neighbor_id, cell, codes).
     """
     import numpy as np
 
@@ -934,16 +933,9 @@ def ivfpq_topk(
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     dsub = dim // m_sub
 
-    def _residuals(X):
-        # nearest cell per row (argmin ||x-c||² via the matmul identity,
-        # ties -> lowest cell, matching the oracle's ORDER BY d2, cell)
-        scores = X @ centers.T - 0.5 * (centers**2).sum(axis=1)
-        cells = scores.argmax(axis=1)
-        return X - centers[cells], cells
-
     # --- residual PQ codebooks (driver-side, bounded)
     if deterministic_init:
-        R0, _ = _residuals(_first_vectors_by_id(corpus_v, n_codes))
+        R0, _ = _ivfpq_assign(_first_vectors_by_id(corpus_v, n_codes), centers)
         books = np.stack(
             [R0[:, m * dsub : (m + 1) * dsub] for m in range(m_sub)]
         )
@@ -973,7 +965,7 @@ def ivfpq_topk(
                 raise ValueError(
                     f"IVF-PQ training needs >= {n_codes} rows; corpus has {len(X)}"
                 )
-        R, _ = _residuals(X)
+        R, _ = _ivfpq_assign(X, centers)
         books = _lloyd_subspaces(R, m_sub, n_codes)
 
     # --- one distributed encode pass: (neighbor_id, cell, codes)
@@ -984,7 +976,7 @@ def ivfpq_topk(
             if not len(pdf):
                 continue
             M = np.array(pdf["cv"].tolist(), dtype=np.float64)
-            R, cells = _residuals(M)
+            R, cells = _ivfpq_assign(M, centers)
             codes = np.empty((len(M), m_sub), dtype=np.int32)
             for m in range(m_sub):
                 S = R[:, m * dsub : (m + 1) * dsub]
@@ -1001,9 +993,36 @@ def ivfpq_topk(
     codes_df = corpus_v.mapInPandas(
         enc, "neighbor_id long, cell int, codes array<int>"
     )
+    return codes_df, centers, books
 
-    # --- probes: n_probe nearest cells + per-(query, cell) residual LUT
-    spark = corpus.sparkSession
+
+def ivfpq_search(
+    codes_df: DataFrame,
+    centers,
+    books,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search over an ``ivfpq_index`` (stored or in-flight): each
+    query picks its ``n_probe`` nearest cells driver-side (centers are
+    tiny), builds one (m_sub × n_codes) LUT of partial squared
+    distances PER PROBED CELL from the query's residual in that cell,
+    and every code row in a probed cell scores as m_sub table lookups
+    + a sum. Corpus-side work is a scan of int codes in the probed
+    cells only — no float vector is touched; when ``codes_df`` is read
+    from a cell-partitioned store, the cell filter is partition
+    pruning and the un-probed cells' files are never opened.
+
+    Output (query_id, neighbor_id, adc_dist, rk) — same shape as
+    pq_topk; on unit-norm embeddings the L2 ranking is the cosine
+    ranking (recall-floor vs exact cosine pinned in tests)."""
+    import numpy as np
+
+    m_sub, n_codes, dsub = books.shape
+    spark = codes_df.sparkSession
     q_rows = queries.select(id_col, vec_col).collect()
     luts = {}
     probe_rows = []
@@ -1021,6 +1040,13 @@ def ivfpq_topk(
             luts[(qid, cell)] = lut
             probe_rows.append((qid, cell))
     probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    # STATIC filter on the union of probed cells: on a cell-partitioned
+    # store this is planning-time partition pruning (the un-probed
+    # cells' files are never opened — pinned by test_plans); the
+    # broadcast join alone would rely on dynamic partition pruning
+    # kicking in, which Spark may decline for small in-memory dims.
+    probed_cells = sorted({cell for _, cell in probe_rows})
+    pruned = codes_df.filter(F.col("cell").isin(probed_cells))
 
     def score(batches):
         import pandas as pd
@@ -1042,7 +1068,7 @@ def ivfpq_topk(
 
     scored = (
         F.broadcast(probes)
-        .join(codes_df, "cell")
+        .join(pruned, "cell")
         .select("query_id", "cell", "neighbor_id", "codes")
         .mapInPandas(score, "query_id long, neighbor_id long, adc_dist double")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1052,4 +1078,40 @@ def ivfpq_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rk")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows_per_cell: int = 256,
+    pq_train_cap: int = 4096,
+    deterministic_init: bool = False,
+    approx_rows: int | None = None,
+) -> DataFrame:
+    """IVF-PQ (IVFADC) approximate top-k in one call:
+    :func:`ivfpq_index` + :func:`ivfpq_search`. See those for the
+    index layout and the ADC search shape."""
+    codes_df, centers, books = ivfpq_index(
+        corpus,
+        n_cells=n_cells,
+        m_sub=m_sub,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        train_rows_per_cell=train_rows_per_cell,
+        pq_train_cap=pq_train_cap,
+        deterministic_init=deterministic_init,
+        approx_rows=approx_rows,
+    )
+    return ivfpq_search(
+        codes_df, centers, books, queries, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
     )

@@ -289,6 +289,60 @@ def test_ivf_cells_as_partition_column_prune(spark, tmp_path):
     assert q.count() == sum(per_cell.get(c, 0) for c in probe_cells)
 
 
+def test_ivfpq_codes_partitioned_store_prunes_and_searches(spark, tmp_path):
+    """The full billion-scale ANN layout e2e: ivfpq_index's CODES
+    (cell + m_sub ints per vector — no raw vectors) written partitioned
+    BY CELL, then ivfpq_search against the STORED codes: results must
+    equal searching the in-flight index, and the probe must prune to
+    the probed cells' directories (corrupted other-cell files never
+    opened)."""
+    import os
+
+    import numpy as np
+
+    from flink_essentials_spark.functions.similarity import (
+        ivfpq_index,
+        ivfpq_search,
+    )
+    from flink_essentials_spark.sinks.sinks import write_partitioned
+    from flink_essentials_spark.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    queries = emb.orderBy("vec_id").limit(3)
+    codes_df, centers, books = ivfpq_index(emb, n_cells=4, m_sub=8, n_codes=16)
+    want = sorted(
+        map(tuple, ivfpq_search(codes_df, centers, books, queries,
+                                k=5, n_probe=2).collect())
+    )
+
+    write_partitioned(codes_df, str(tmp_path / "pq"), "cell")
+    stored = spark.read.schema(
+        "neighbor_id long, codes array<int>, cell int"
+    ).parquet(str(tmp_path / "pq"))
+
+    # corrupt every NON-probed cell dir; probed cells = union over the
+    # 3 queries of their 2 nearest centers (driver-side, same argsort)
+    probed = set()
+    for r in queries.collect():
+        qv = np.asarray(list(r["embedding"]), dtype=np.float64)
+        d2 = ((centers - qv) ** 2).sum(axis=1)
+        probed.update(int(c) for c in np.argsort(d2, kind="stable")[:2])
+    assert len(probed) < 4, "fixture must leave at least one cell unprobed"
+    for root, _, files in os.walk(str(tmp_path / "pq")):
+        if any(f"cell={c}" in root for c in probed):
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "wb") as fh:
+                    fh.write(b"never opened by a pruned ADC probe")
+
+    got = sorted(
+        map(tuple, ivfpq_search(stored, centers, books, queries,
+                                k=5, n_probe=2).collect())
+    )
+    assert got == want
+
+
 def test_zorder_layout_prunes_2d_boxes(spark, tmp_path):
     """The Z-order payoff, measured with parquet footer stats (the
     exact mechanism a 100 TB scan uses for file skipping): the same
