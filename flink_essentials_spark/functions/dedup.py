@@ -213,21 +213,11 @@ def minhash_lsh_pairs(
     """LSH candidate pairs: band the signature (bands × rows), join docs
     whose band signature collides, dedup pairs. At scale each band join
     is an equi-join on a compact key — linear-ish in candidates."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, n, num_hashes, text_col, id_col, shingles_df=shingles_df
     )
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_sig"),
-    ).cache()  # both self-join legs; see ngram_jaccard_pairs
+    # cached: both self-join legs; see ngram_jaccard_pairs
+    banded = _banded(sigs, num_hashes, bands).cache()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -625,3 +615,115 @@ def char_window_dups(
             "dup_ratio"
         ),
     )
+
+
+def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Signature → (doc_id, band, band_sig) rows (the LSH bucket key)."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.col("signature"), b * rows_per_band + 1, rows_per_band
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+
+
+def lsh_incremental_pairs(
+    new_docs: DataFrame,
+    store_base: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL near-dup maintenance — the shape a 100 TB corpus
+    actually runs dedup in: documents arrive in batches, and each
+    batch does O(batch · collisions) work, never re-scanning the
+    accumulated corpus text. The store keeps two O(corpus)-row but
+    narrow tables: band signatures (bands rows × small int arrays per
+    doc) and shingle sets (for exact verification); each call
+
+      1. shingles + banded MinHash signatures for the NEW docs only,
+      2. candidate pairs = new banded rows equi-joined against the
+         ACCUMULATED banded rows (prior ∪ new) on (band, band_sig) —
+         prior×prior pairs can never re-emit because one side is
+         always new,
+      3. exact-Jaccard verification of candidates against the
+         accumulated shingle store, ``threshold`` filter,
+      4. appends the new docs' rows to both store tables (plain
+         parquet append here; swap for the versioned store / a table
+         format for concurrent writers).
+
+    Returns this batch's verified pairs, eagerly materialized BEFORE
+    the state append so the verify join reads a consistent snapshot.
+    The union of returned pairs across batches equals the one-shot
+    :func:`lsh_near_dup_pairs` over the full corpus (pinned by the
+    streaming e2e test), because a pair's later-arriving doc always
+    sees the earlier doc's banded rows."""
+    import os
+
+    spark = new_docs.sparkSession
+    sig_path = os.path.join(store_base, "band_sigs")
+    sh_path = os.path.join(store_base, "shingles")
+
+    sets_new = shingle_sets(new_docs, n, text_col, id_col).cache()
+    sigs_new = minhash_signatures(
+        new_docs, n, num_hashes, text_col, id_col, shingles_df=sets_new
+    )
+    banded_new = _banded(sigs_new, num_hashes, bands).cache()
+
+    def _maybe(path: str, schema: str) -> DataFrame | None:
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return spark.read.schema(schema).parquet(path)
+        return None
+
+    prior_banded = _maybe(sig_path, "doc_id long, band int, band_sig array<long>")
+    prior_sets = _maybe(sh_path, "doc_id long, sh array<string>")
+    all_banded = (
+        banded_new if prior_banded is None
+        else prior_banded.unionByName(banded_new)
+    )
+    all_sets = (
+        sets_new if prior_sets is None else prior_sets.unionByName(sets_new)
+    )
+
+    a, b = banded_new.alias("a"), all_banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = all_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = all_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    pairs = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("n_common"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .localCheckpoint()
+    )
+    banded_new.write.mode("append").parquet(sig_path)
+    sets_new.write.mode("append").parquet(sh_path)
+    return pairs

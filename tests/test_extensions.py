@@ -667,6 +667,46 @@ def test_histogram_maintained_over_a_stream_equals_batch(spark, tmp_path):
     assert sorted(recomputed) == direct
 
 
+def test_lsh_incremental_dedup_over_a_stream_equals_oneshot(spark, tmp_path):
+    """Incremental near-dup maintenance LIVE: documents stream in
+    micro-batches, each batch computes its own signatures/shingles,
+    joins against the ACCUMULATED band store (never re-scanning prior
+    text), emits that batch's verified pairs, and appends its rows to
+    the store. The union of per-batch pairs must equal the one-shot
+    lsh_near_dup_pairs over the full corpus — incremental dedup loses
+    nothing and re-emits nothing."""
+    from flink_essentials_spark.functions import dedup as dd
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "dedup_store")
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    docs.repartition(3).write.parquet(src)
+
+    emitted = []
+
+    def fold(bdf, epoch_id):
+        pairs = dd.lsh_incremental_pairs(
+            bdf, store, n=3, num_hashes=16, bands=4, threshold=0.5
+        )
+        emitted.extend(map(tuple, pairs.collect()))
+
+    sdf = file_replay(spark, src, "doc_id long, text string",
+                      files_per_trigger=1)
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    oneshot = sorted(
+        map(tuple, dd.lsh_near_dup_pairs(
+            docs, n=3, num_hashes=16, bands=4, threshold=0.5
+        ).collect())
+    )
+    assert sorted(emitted) == oneshot
+    assert len(emitted) == len(set(emitted)), "a pair was emitted twice"
+
+
 def test_histogram_quantiles_bracket_exact_and_merge(spark):
     """Histogram-quantile guarantees: each reported bin BRACKETS the
     exact percentile (bin_lo <= exact p <= bin_hi), and per-batch
