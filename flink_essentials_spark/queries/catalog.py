@@ -906,6 +906,9 @@ _REGISTRY: list[Query] = [
     Query("rolling_fingerprint", llmdata.q_rolling_fingerprint, llmdata.Q_ROLLING_FINGERPRINT_SQL),
     Query("pii_redact", llmdata.q_pii_redact, llmdata.Q_PII_REDACT_SQL),
     Query("video_frames", llmdata.q_video_frames, llmdata.Q_VIDEO_FRAMES_SQL),
+    # r7: k-anonymity release audit — distinct-individual counts per
+    # quasi-identifier tuple + at-risk flag + scalar risky total
+    Query("k_anonymity", llmdata.q_k_anonymity, llmdata.Q_K_ANONYMITY_SQL),
     # r6: the audio sibling — energy-envelope fingerprint bits over
     # the real WAV decode, DuckDB-recomputed from the sample formula
     Query("audio_fingerprints", llmdata.q_audio_fingerprints, llmdata.Q_AUDIO_FINGERPRINTS_SQL),

@@ -735,6 +735,62 @@ FROM spiked
 """
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-audit sibling of pii_redact: k-anonymity over the
+    quasi-identifier tuple (event_type, value band, day) — a released
+    dataset row is re-identifiable when its quasi-identifier group
+    contains fewer than k distinct individuals. One groupBy emits per
+    group the DISTINCT-user count, row count, and the at-risk flag
+    (n_users < 5); the aggregate risky-rows total rides along via a
+    broadcast one-row crossJoin (the corpus_mixture scalar pattern).
+    All bucketing is explicit integer floor-division on exact cents /
+    epoch-ms (the window_anomaly lesson: Spark cast truncates, DuckDB
+    CAST rounds — '//' on both sides)."""
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"]
+    g = (
+        ev.select(
+            "event_type",
+            (cents("value") / F.lit(10000)).cast("long").alias("value_band"),
+            F.floor(F.unix_millis("ts") / F.lit(86400000)).alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "value_band", "day")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("at_risk", F.col("n_users") < 5)
+    )
+    total = g.agg(
+        F.sum(F.when(F.col("at_risk"), F.col("n_rows")).otherwise(0)).alias(
+            "risky_rows_total"
+        )
+    )
+    return g.crossJoin(F.broadcast(total))
+
+
+Q_K_ANONYMITY_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) // 10000 AS value_band,
+         epoch_ms(ts) // 86400000 AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events
+  GROUP BY 1, 2, 3
+), flagged AS (
+  SELECT *, n_users < 5 AS at_risk FROM g
+), tot AS (
+  SELECT CAST(SUM(CASE WHEN at_risk THEN n_rows ELSE 0 END) AS BIGINT)
+           AS risky_rows_total
+  FROM flagged
+)
+SELECT f.*, t.risky_rows_total FROM flagged f CROSS JOIN tot t
+"""
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL audit under oracle: deterministic synthetic URLs
     (pure functions of doc_id — one https URL per doc, a second http

@@ -212,6 +212,7 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "idle_customers": {"BroadcastNestedLoopJoin"},  # one-row avg threshold
         "length_outliers": {"BroadcastNestedLoopJoin"},  # one-row moments
         "tfidf_terms": {"BroadcastNestedLoopJoin"},  # one-row n_docs total
+        "k_anonymity": {"BroadcastNestedLoopJoin"},  # one-row risky total
         "window_anomaly": {"BroadcastNestedLoopJoin"},  # one-row moments
         "similarity_topk": {"BroadcastNestedLoopJoin"},
         "ivf_topk": {"BroadcastNestedLoopJoin"},
