@@ -968,7 +968,31 @@ def ivfpq_index(
         R, _ = _ivfpq_assign(X, centers)
         books = _lloyd_subspaces(R, m_sub, n_codes)
 
-    # --- one distributed encode pass: (neighbor_id, cell, codes)
+    codes_df = ivfpq_encode(corpus, centers, books, id_col=id_col, vec_col=vec_col)
+    return codes_df, centers, books
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    centers,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against a FIXED trained index (centers + books):
+    one distributed Arrow/BLAS pass → (neighbor_id, cell, codes).
+    This is the index-maintenance primitive — newly arriving vectors
+    encode and APPEND to the cell-partitioned code store without
+    retraining or touching existing rows (streaming e2e pinned in
+    tests); quantizers retrain on a schedule, not per batch."""
+    import numpy as np
+
+    m_sub, n_codes, dsub = books.shape
+    corpus_v = vectors.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+
     def enc(batches):
         import pandas as pd
 
@@ -990,10 +1014,9 @@ def ivfpq_index(
                 }
             )
 
-    codes_df = corpus_v.mapInPandas(
+    return corpus_v.mapInPandas(
         enc, "neighbor_id long, cell int, codes array<int>"
     )
-    return codes_df, centers, books
 
 
 def ivfpq_search(

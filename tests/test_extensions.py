@@ -667,6 +667,57 @@ def test_histogram_maintained_over_a_stream_equals_batch(spark, tmp_path):
     assert sorted(recomputed) == direct
 
 
+def test_ivfpq_codes_maintained_over_a_stream_equals_oneshot(spark, tmp_path):
+    """ANN-index freshness LIVE: embeddings stream in micro-batches,
+    each batch encodes against the FIXED trained quantizers
+    (ivfpq_encode) and appends to the code store — no retraining, no
+    touching existing rows. Final stored codes == one-shot encode of
+    the full corpus, and ADC search over the streamed store == search
+    over the one-shot index."""
+    from flink_essentials_spark.functions.similarity import (
+        ivfpq_encode,
+        ivfpq_index,
+        ivfpq_search,
+    )
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "codes")
+    emb = load_tables(spark, SF_DIR)["embeddings"].select("vec_id", "embedding")
+    emb.repartition(3).write.parquet(src)
+
+    codes_df, centers, books = ivfpq_index(emb, n_cells=4, m_sub=8, n_codes=16)
+
+    def fold(bdf, epoch_id):
+        ivfpq_encode(bdf, centers, books).write.mode("append").parquet(store)
+
+    sdf = file_replay(spark, src, "vec_id long, embedding array<float>",
+                      files_per_trigger=1)
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    stored = spark.read.schema(
+        "neighbor_id long, cell int, codes array<int>"
+    ).parquet(store)
+    assert sorted(
+        (r["neighbor_id"], r["cell"], tuple(r["codes"]))
+        for r in stored.collect()
+    ) == sorted(
+        (r["neighbor_id"], r["cell"], tuple(r["codes"]))
+        for r in codes_df.collect()
+    )
+    queries = emb.orderBy("vec_id").limit(3)
+    got = sorted(map(tuple, ivfpq_search(
+        stored, centers, books, queries, k=5, n_probe=2
+    ).collect()))
+    want = sorted(map(tuple, ivfpq_search(
+        codes_df, centers, books, queries, k=5, n_probe=2
+    ).collect()))
+    assert got == want
+
+
 def test_lsh_incremental_dedup_over_a_stream_equals_oneshot(spark, tmp_path):
     """Incremental near-dup maintenance LIVE: documents stream in
     micro-batches, each batch computes its own signatures/shingles,
