@@ -78,6 +78,8 @@ HEADLINE = [
     "ivfpq_topk",
     "embedding_near_dups",
     "quality_score",
+    # r7: privacy-audit family (k-anonymity groupBy + scalar total)
+    "k_anonymity",
     "bpe_token_stats",
     # r7: the iterative tokenizer trainer (8 merge rounds; one corpus
     # scan + vocab-sized iterations with localCheckpoint)

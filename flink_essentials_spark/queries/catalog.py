@@ -909,6 +909,10 @@ _REGISTRY: list[Query] = [
     # r7: k-anonymity release audit — distinct-individual counts per
     # quasi-identifier tuple + at-risk flag + scalar risky total
     Query("k_anonymity", llmdata.q_k_anonymity, llmdata.Q_K_ANONYMITY_SQL),
+    # r7: the release MECHANISM sibling — Laplace inverse-CDF noise
+    # over deterministic md5 uniforms (oracle-able plumbing; swap the
+    # seeded draw for a real RNG in production)
+    Query("dp_release", llmdata.q_dp_release, llmdata.Q_DP_RELEASE_SQL),
     # r6: the audio sibling — energy-envelope fingerprint bits over
     # the real WAV decode, DuckDB-recomputed from the sample formula
     Query("audio_fingerprints", llmdata.q_audio_fingerprints, llmdata.Q_AUDIO_FINGERPRINTS_SQL),

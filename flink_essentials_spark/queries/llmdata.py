@@ -791,6 +791,57 @@ SELECT f.*, t.risky_rows_total FROM flagged f CROSS JOIN tot t
 """
 
 
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy RELEASE mechanism plumbing (the audit's
+    sibling): per-group counts + Laplace(sensitivity/eps) noise via
+    inverse-CDF sampling, eps=1, count sensitivity 1. The uniform
+    draw is DETERMINISTIC — an md5-derived 60-bit integer per group
+    over 2^60 (a power of two, so the division is float-exact) — which
+    makes the mechanism oracle-checkable end to end but NOT private;
+    production swaps the seeded draw for a real RNG and this row keeps
+    the arithmetic honest (inverse-CDF: -b·sign(u-½)·ln(1-2|u-½|)).
+    Only n_noisy is the release column; n_exact rides along as
+    self-evaluation. ln() is the one transcendental — both engines'
+    1-ulp libm differences vanish under round(,6)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp1:"), F.col("event_type"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (hv.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    centered = u - F.lit(0.5)
+    lap = (
+        -F.signum(centered)
+        * F.ln(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )  # b = sensitivity/eps = 1
+    return g.select(
+        "event_type",
+        "n_exact",
+        F.round(lap, 6).alias("noise"),
+        F.round(F.col("n_exact") + lap, 6).alias("n_noisy"),
+    )
+
+
+Q_DP_RELEASE_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+), d AS (
+  SELECT *,
+         ((('0x' || substring(md5('dp1:' || event_type), 1, 15))::BIGINT
+           + 0.5) / 1152921504606846976.0 - 0.5) AS centered
+  FROM g
+)
+SELECT event_type, n_exact,
+       round(-sign(centered) * ln(1 - 2 * abs(centered)), 6) AS noise,
+       round(n_exact + (-sign(centered) * ln(1 - 2 * abs(centered))), 6)
+         AS n_noisy
+FROM d
+"""
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL audit under oracle: deterministic synthetic URLs
     (pure functions of doc_id — one https URL per doc, a second http
