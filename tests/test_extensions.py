@@ -758,6 +758,56 @@ def test_lsh_incremental_dedup_over_a_stream_equals_oneshot(spark, tmp_path):
     assert len(emitted) == len(set(emitted)), "a pair was emitted twice"
 
 
+def test_erasure_propagates_to_incremental_stores(spark, tmp_path):
+    """Right-to-be-forgotten across DERIVED stores: erasing a doc_id
+    with erase_keys from the incremental dedup store (band_sigs +
+    shingles) and its vec_id from the ANN code store must (a) leave no
+    row for it anywhere, (b) stop later dedup batches from ever
+    pairing against it, and (c) drop it from ADC search results —
+    takedown is a store rewrite, not a recompute of the corpus."""
+    import os
+
+    from flink_essentials_spark.functions import dedup as dd
+    from flink_essentials_spark.functions.similarity import (
+        ivfpq_index,
+        ivfpq_search,
+    )
+    from flink_essentials_spark.sinks.sinks import erase_keys
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    store = str(tmp_path / "dedup_store")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    pairs0 = dd.lsh_incremental_pairs(first, store)
+    target = int(pairs0.first()["doc_a"])  # a doc that provably pairs
+
+    keys = spark.createDataFrame([(target,)], "doc_id long")
+    for sub in ("band_sigs", "shingles"):
+        stats = erase_keys(spark, os.path.join(store, sub), keys, ["doc_id"])
+        assert stats["rows_erased"] > 0
+        kept = spark.read.parquet(os.path.join(store, sub))
+        assert kept.filter(F.col("doc_id") == target).count() == 0
+
+    # a later batch (the odd half) can no longer pair with the erased doc
+    pairs1 = dd.lsh_incremental_pairs(docs.filter(F.col("doc_id") % 2 == 1), store)
+    assert pairs1.filter(
+        (F.col("doc_a") == target) | (F.col("doc_b") == target)
+    ).count() == 0
+
+    # ANN store: erase the same id and ADC search must not return it
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    codes_df, centers, books = ivfpq_index(emb, n_cells=4, m_sub=8, n_codes=16)
+    cstore = str(tmp_path / "codes")
+    codes_df.write.parquet(cstore)
+    vkeys = spark.createDataFrame([(0,)], "neighbor_id long")
+    erase_keys(spark, cstore, vkeys, ["neighbor_id"])
+    stored = spark.read.schema(
+        "neighbor_id long, cell int, codes array<int>"
+    ).parquet(cstore)
+    queries = emb.orderBy("vec_id").limit(3)
+    res = ivfpq_search(stored, centers, books, queries, k=500, n_probe=4)
+    assert res.filter(F.col("neighbor_id") == 0).count() == 0
+
+
 def test_histogram_quantiles_bracket_exact_and_merge(spark):
     """Histogram-quantile guarantees: each reported bin BRACKETS the
     exact percentile (bin_lo <= exact p <= bin_hi), and per-batch
