@@ -758,6 +758,42 @@ def test_lsh_incremental_dedup_over_a_stream_equals_oneshot(spark, tmp_path):
     assert len(emitted) == len(set(emitted)), "a pair was emitted twice"
 
 
+def test_incremental_dedup_store_compacts_and_keeps_working(spark, tmp_path):
+    """Small-file hygiene for the append-only dedup store: after N
+    micro-batches the band/shingle tables hold N small files each;
+    compact_files must rewrite them without changing a row, and the
+    NEXT incremental batch against the compacted store must behave
+    exactly as against the uncompacted one (same emitted pairs)."""
+    import os
+
+    from flink_essentials_spark.functions import dedup as dd
+    from flink_essentials_spark.sinks.sinks import compact_files
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    store = str(tmp_path / "store")
+    for b in range(3):
+        dd.lsh_incremental_pairs(docs.filter(F.col("doc_id") % 4 == b), store)
+
+    sig_dir = os.path.join(store, "band_sigs")
+    before = sorted(map(tuple, spark.read.parquet(sig_dir).collect()))
+    n_files_before = sum(
+        f.endswith(".parquet") for f in os.listdir(sig_dir)
+    )
+    stats = compact_files(spark, sig_dir)
+    assert stats["files_after"] < n_files_before or n_files_before == 1
+    assert sorted(map(tuple, spark.read.parquet(sig_dir).collect())) == before
+
+    last = dd.lsh_incremental_pairs(docs.filter(F.col("doc_id") % 4 == 3), store)
+    # same final batch against an uncompacted twin store
+    twin = str(tmp_path / "twin")
+    for b in range(3):
+        dd.lsh_incremental_pairs(docs.filter(F.col("doc_id") % 4 == b), twin)
+    want = dd.lsh_incremental_pairs(docs.filter(F.col("doc_id") % 4 == 3), twin)
+    assert sorted(map(tuple, last.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_erasure_propagates_to_incremental_stores(spark, tmp_path):
     """Right-to-be-forgotten across DERIVED stores: erasing a doc_id
     with erase_keys from the incremental dedup store (band_sigs +
