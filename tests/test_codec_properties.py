@@ -109,3 +109,64 @@ def test_gif_rgb_lossless_within_palette(arr_and_k):
     idx = (arr[:, :, 0].astype(np.int64) + arr[:, :, 1]) % len(palette)
     img = palette[idx]
     assert np.array_equal(gif.decode_gif(gif.encode_gif_rgb(img)), img)
+
+
+# --- BPE greedy-fold equivalence (the invariant the oracle's
+# list_reduce fold relies on) -----------------------------------------
+
+
+def _greedy_scan(syms, a, b):
+    """Reference greedy left-to-right non-overlapping merge: scan with
+    explicit skip — the textbook definition."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _engine_fold(syms, a, b):
+    """The engine's fold (text.bpe_train/bpe_encode inner loop)."""
+    acc = []
+    for x in syms:
+        if acc and acc[-1] == a and x == b:
+            acc[-1] = a + b
+        else:
+            acc.append(x)
+    return acc
+
+
+def _string_fold(syms, a, b):
+    """The DuckDB oracle's list_reduce fold on a space-joined
+    accumulator, replicated literally."""
+    acc = None
+    for x in syms:
+        if acc is None:
+            acc = x
+        elif x == b and (acc == a or acc.endswith(" " + a)):
+            acc = acc + b
+        else:
+            acc = acc + " " + x
+    return [] if acc is None else acc.split(" ")
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "ab", "ba", "aa", "c"]), max_size=12),
+    st.sampled_from(["a", "b", "ab", "aa", "c"]),
+    st.sampled_from(["a", "b", "ab", "aa", "c"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_merge_folds_agree_with_greedy_scan(syms, a, b):
+    """All three formulations of one BPE merge application must agree
+    on adversarial symbol streams (overlapping runs, symbols that are
+    substrings/concatenations of each other): the textbook greedy
+    scan, the engine's list fold, and the oracle's space-joined string
+    fold. The alphabet deliberately contains 'ab' == 'a'+'b' and 'aa'
+    so a wrong suffix check or a cascading re-match would be caught."""
+    want = _greedy_scan(syms, a, b)
+    assert _engine_fold(syms, a, b) == want
+    assert _string_fold(syms, a, b) == want
