@@ -725,7 +725,11 @@ _REGISTRY: list[Query] = [
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),
     Query("dedup_jaccard", llmdata.q_dedup_jaccard, llmdata.Q_DEDUP_JACCARD_SQL),
     Query("lsh_near_dups", llmdata.q_lsh_near_dups, llmdata.Q_LSH_NEAR_DUPS_SQL),
-    Query("simhash_pairs", llmdata.q_simhash_pairs, llmdata.Q_SIMHASH_PAIRS_SQL),
+    # ROTATION (r7b): simhash_pairs demoted (dedup family 6-deep in
+    # head: exact/jaccard/lsh/clusters/source_overlap all above) →
+    # ivfpq_topk: the composed IVFADC pipeline under full oracle —
+    # the r7 flagship (partial probe + residual PQ + ADC LUT sums).
+    Query("ivfpq_topk", llmdata.q_ivfpq_topk, llmdata.Q_IVFPQ_TOPK_SQL),
     # full dedup chain: pairs → connected components → keeper per
     # cluster (promoted r4 — the most production-relevant LLM op)
     Query("dedup_clusters", llmdata.q_dedup_clusters, llmdata.Q_DEDUP_CLUSTERS_SQL),
@@ -764,7 +768,10 @@ _REGISTRY: list[Query] = [
     # cohort_retention); its slot goes to tfidf_terms, the corpus-wide
     # term-weighting op (biggest bench query — r4 verdict #4).
     Query("tfidf_terms", llmdata.q_tfidf_terms, llmdata.Q_TFIDF_TERMS_SQL),
-    Query("cohort_retention", llmdata.q_cohort_retention, llmdata.Q_COHORT_RETENTION_SQL),
+    # ROTATION (r7b): cohort_retention demoted (integer-bucketed
+    # groupBy family multiply covered in head) → bpe_trained_merges:
+    # the iterative tokenizer trainer under unrolled-CTE oracle.
+    Query("bpe_trained_merges", llmdata.q_bpe_trained_merges, llmdata.Q_BPE_TRAINED_MERGES_SQL),
     # --- multimodal (§2.11)
     Query("media_features", llmdata.q_media_features, llmdata.Q_MEDIA_FEATURES_SQL),
     # ROTATION (r7): video_frames demoted (video decode stays covered
@@ -798,11 +805,10 @@ _REGISTRY: list[Query] = [
     Query("media_stats", llmdata.q_media_stats, llmdata.Q_MEDIA_STATS_SQL),
     Query("streaming_enrich", q_streaming_enrich, Q_STREAMING_ENRICH_SQL),
     Query("ivf_topk", llmdata.q_ivf_topk, llmdata.Q_SIMILARITY_TOPK_SQL),
-    # r7: the composed IVF-PQ (IVFADC) pipeline under FULL oracle —
-    # partial probe + residual PQ codes + ADC LUT sums, deterministic
-    # sample-init codebooks replicated arithmetically by DuckDB
-    # (r8 promotion candidate: the billion-scale ANN configuration)
-    Query("ivfpq_topk", llmdata.q_ivfpq_topk, llmdata.Q_IVFPQ_TOPK_SQL),
+    # demoted r7b (slots went to ivfpq_topk / bpe_trained_merges) —
+    # still oracle-checked here
+    Query("simhash_pairs", llmdata.q_simhash_pairs, llmdata.Q_SIMHASH_PAIRS_SQL),
+    Query("cohort_retention", llmdata.q_cohort_retention, llmdata.Q_COHORT_RETENTION_SQL),
     Query("fizzbuzz", dataflow.q_fizzbuzz, dataflow.Q_FIZZBUZZ_SQL),
     Query("explode_quantity", dataflow.q_explode_quantity, dataflow.Q_EXPLODE_QUANTITY_SQL),
     Query("region_revenue", relational.q_region_revenue, relational.Q_REGION_REVENUE_SQL),
@@ -861,15 +867,16 @@ _REGISTRY: list[Query] = [
     # zorder_keys / bloom_prefilter; demoted language_id_ngram /
     # rolling_fingerprint / pii_redact / video_frames (families stay
     # covered — see the in-place head notes).
-    # r8 PROMOTION CANDIDATES, in priority order: ivfpq_topk (r7 IVF×PQ
-    # composition, if its slot-earning recall row lands),
-    # bpe_trained_merges (r7 iterative trainer), normalize_unicode
-    # (the only cross-ICU Python-stage oracle),
-    # streaming_capped_sessions (python-stateful streaming under
-    # oracle). Demotion candidates: pick from head rows whose oracle
-    # FAMILY is double-covered: simhash_pairs (dedup family 5-deep in
-    # head), cohort_retention (bucketed groupBy family), fuzzy-era
-    # window rows (sliding_windows vs keyed_tumbling overlap).
+    # ROTATION (r7b, done): ivfpq_topk and bpe_trained_merges promoted
+    # into the head (simhash_pairs / cohort_retention demoted — dedup
+    # and bucketed-groupBy families stay multiply covered above).
+    # r8 PROMOTION CANDIDATES, in priority order: bpe_encoded_docs
+    # (train→encode composition), k_anonymity or dp_release (privacy
+    # family), normalize_unicode (the only cross-ICU Python-stage
+    # oracle), streaming_capped_sessions (python-stateful streaming
+    # under oracle). Demotion candidates: sliding_windows vs
+    # keyed_tumbling overlap, fuzzy_match (regex-join family),
+    # explode_quantity (flatMap family double-covered).
     Query("fuzzy_match", llmdata.q_fuzzy_match, llmdata.Q_FUZZY_MATCH_SQL),
     Query("inverted_index", llmdata.q_inverted_index, llmdata.Q_INVERTED_INDEX_SQL),
     Query("media_resize", llmdata.q_media_resize, llmdata.Q_MEDIA_RESIZE_SQL),
@@ -877,10 +884,6 @@ _REGISTRY: list[Query] = [
     Query("containment_pairs", llmdata.q_containment, llmdata.Q_CONTAINMENT_PAIRS_SQL),
     Query("corpus_trend", llmdata.q_corpus_trend, llmdata.Q_CORPUS_TREND_SQL),
     Query("bpe_merge_pairs", llmdata.q_bpe_merge_pairs, llmdata.Q_BPE_MERGE_PAIRS_SQL),
-    # r7: the iterative BPE TRAINER (8 unrolled merge rounds under
-    # oracle — argmax pair + greedy merge-apply per round); the row
-    # above is its single-iteration statistic (r8 promotion candidate)
-    Query("bpe_trained_merges", llmdata.q_bpe_trained_merges, llmdata.Q_BPE_TRAINED_MERGES_SQL),
     # r7: the ENCODE half — trained merges applied to the vocab, token
     # economics joined back per doc (train+encode under one oracle)
     Query("bpe_encoded_docs", llmdata.q_bpe_encoded_docs, llmdata.Q_BPE_ENCODED_DOCS_SQL),
