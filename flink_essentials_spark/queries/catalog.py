@@ -817,6 +817,13 @@ _REGISTRY: list[Query] = [
     Query("token_stats", llmdata.q_token_stats, llmdata.Q_TOKEN_STATS_SQL),
     Query("forecast_revenue", relational.q_forecast_revenue, relational.Q_FORECAST_REVENUE_SQL),
     Query("supplier_balance_rank", relational.q_supplier_balance_rank, relational.Q_SUPPLIER_BALANCE_RANK_SQL),
+    # r7: three more TPC-H shapes with genuinely new plan patterns —
+    # Q3 (filtered fact joins + TakeOrdered top-k), Q13 (LEFT join
+    # with predicate in the JOIN CONDITION → zero-inclusive histogram),
+    # Q17 (correlated scalar threshold as an all-integer agg join)
+    Query("shipping_priority", relational.q_shipping_priority, relational.Q_SHIPPING_PRIORITY_SQL),
+    Query("customer_distribution", relational.q_customer_distribution, relational.Q_CUSTOMER_DISTRIBUTION_SQL),
+    Query("small_qty_revenue", relational.q_small_qty_revenue, relational.Q_SMALL_QTY_REVENUE_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),
     Query("promo_share", relational.q_promo_share, relational.Q_PROMO_SHARE_SQL),
     Query("large_orders", relational.q_large_orders, relational.Q_LARGE_ORDERS_SQL),

@@ -1122,3 +1122,140 @@ WHERE bal_c * n_pos > sum_c
                   AND o.o_orderpriority = '1-URGENT')
 GROUP BY 1
 """
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped-as-of-date
+    orders of one market segment by pending revenue. Plan: two fact
+    joins with the segment filter PUSHED to the customer scan, exact
+    integer-cents revenue, top-k via TakeOrderedAndProject (never a
+    global sort) with an orderkey tiebreak so the limit boundary is
+    engine-independent."""
+    t = load_tables(spark, sf_dir)
+    cutoff = "1998-01-01"
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > F.lit(cutoff))
+        .join(
+            t["orders"].filter(F.col("o_orderdate") < F.lit(cutoff)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_e4) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_ms"
+            ),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+Q_SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey,
+       epoch_ms(o_orderdate) AS o_orderdate_ms,
+       o_orderpriority,
+       CAST(SUM({_C_DISC_PRICE}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly k qualifying orders — including k = 0, which is the
+    whole point and forces a LEFT OUTER join with the order filter in
+    the JOIN CONDITION (filtering afterwards would silently drop the
+    zero-order customers; a WHERE would turn the join inner). Output
+    is the (c_count → custdist) histogram, all integer counts."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q_CUSTOMER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity order revenue), per brand: the
+    revenue locked in lineitems whose quantity is below 20% of their
+    part's average quantity — the correlated-scalar-subquery pattern
+    realized as a per-part aggregate join. The threshold compare is
+    ALL-INTEGER: qty < 0.2·avg(qty) ⟺ 5·n·qty_c < sum_qty_c (both
+    sides exact int64 — no float boundary can diverge cross-engine).
+    Per-part thresholds shuffle once on l_partkey; the part dim
+    broadcasts."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum(cents("l_quantity")).alias("sum_qc"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    return (
+        li.join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(
+            F.lit(5) * F.col("n_li") * cents("l_quantity") < F.col("sum_qc")
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(cents("l_extendedprice")) / F.lit(700.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+Q_SMALL_QTY_REVENUE_SQL = f"""
+WITH thresholds AS (
+  SELECT l_partkey AS t_partkey,
+         SUM({_C_QTY}) AS sum_qc,
+         CAST(COUNT(*) AS BIGINT) AS n_li
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(SUM({_C_EXT}) AS DOUBLE) / 700.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines
+FROM lineitem
+JOIN thresholds ON l_partkey = t_partkey
+JOIN part ON l_partkey = p_partkey
+WHERE 5 * n_li * {_C_QTY} < sum_qc
+GROUP BY p_brand
+"""
