@@ -822,6 +822,12 @@ _REGISTRY: list[Query] = [
     # with predicate in the JOIN CONDITION → zero-inclusive histogram),
     # Q17 (correlated scalar threshold as an all-integer agg join)
     Query("shipping_priority", relational.q_shipping_priority, relational.Q_SHIPPING_PRIORITY_SQL),
+    # r7: Flesch reading ease (integer word/sentence/syllable counts),
+    # autoregressive next-event training pairs (keyed total-order
+    # window), PSI drift report between stream halves
+    Query("readability", llmdata.q_readability, llmdata.Q_READABILITY_SQL),
+    Query("next_event_pairs", llmdata.q_next_event_pairs, llmdata.Q_NEXT_EVENT_PAIRS_SQL),
+    Query("psi_drift", llmdata.q_psi_drift, llmdata.Q_PSI_DRIFT_SQL),
     Query("customer_distribution", relational.q_customer_distribution, relational.Q_CUSTOMER_DISTRIBUTION_SQL),
     Query("small_qty_revenue", relational.q_small_qty_revenue, relational.Q_SMALL_QTY_REVENUE_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),

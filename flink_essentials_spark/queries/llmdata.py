@@ -3847,3 +3847,170 @@ WHERE negative <> anchor
   AND NOT EXISTS (SELECT 1 FROM pos
                   WHERE pos.anchor = gen.anchor AND pos.negative = gen.negative)
 """
+
+
+# --- r7 analytics breadth: readability, training pairs, drift ---------------
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from integer counts only:
+    words (the tokenizer), sentences (runs of [.!?], floored at 1),
+    syllables (vowel-group runs over the lowercased text — counting
+    them globally equals the per-word sum because non-word characters
+    break runs). The score is the standard formula over two integer
+    ratios, evaluated in the same literal order in both engines, so
+    round(,6) parity is exact."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from flink_essentials_spark.operators.transform import tokenize
+
+    words = F.size(tokenize(F.col("text"))).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    )
+    syll = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (syll / words)
+    )
+    return docs.filter(words > 0).select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.cast("long").alias("n_syllables"),
+        F.round(score, 6).alias("flesch"),
+    )
+
+
+Q_READABILITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_words,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (n_words / n_sentences)
+                     - 84.6 * (n_syllables / n_words), 6) AS flesch
+FROM base WHERE n_words > 0
+"""
+
+
+def q_next_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autoregressive training-pair builder: per user, events ordered
+    by (ts, type, value-cents) — a TOTAL order up to fully identical
+    rows, so both engines' window order agrees — emit (position,
+    event, next event). This is the sequence-modeling dataset shape
+    (context → next token) at the event level; the window is KEYED by
+    user (distributed), never global."""
+    from flink_essentials_spark.queries.util import cents
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_type",
+        cents("value").alias("value_c"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_type", "value_c")
+    return (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).alias("pos"),
+            "event_type",
+            F.lead("event_type").over(w).alias("next_event_type"),
+        )
+        .filter(F.col("next_event_type").isNotNull())
+    )
+
+
+Q_NEXT_EVENT_PAIRS_SQL = """
+WITH ordered AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER w AS pos,
+         event_type,
+         lead(event_type) OVER w AS next_event_type
+  FROM (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_c
+        FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_type, value_c)
+)
+SELECT user_id, pos, event_type, next_event_type
+FROM ordered WHERE next_event_type IS NOT NULL
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between the first and
+    second halves of the event stream (split at the integer midpoint
+    epoch-ms): per value-band bucket, both periods' counts, exact
+    integer-derived proportions, and the PSI contribution
+    (p−q)·ln(p/q) — the model-monitoring staple. Totals come from a
+    window over the BUCKET rows (a handful), not the data. ln() is the
+    only transcendental; identical operands + round(,6) keep parity."""
+    from flink_essentials_spark.queries.util import cents
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.unix_millis("ts").alias("ts_ms"),
+        F.floor(cents("value") / F.lit(10000)).alias("bucket"),
+    )
+    # floor-div midpoint: Spark cast-long TRUNCATES while DuckDB CAST
+    # ROUNDS — explicit floor keeps an odd (min+max) from moving mid
+    bounds = ev.agg(
+        F.floor((F.min("ts_ms") + F.max("ts_ms")) / F.lit(2))
+        .cast("long")
+        .alias("mid")
+    )
+    g = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("ts_ms") < F.col("mid")).cast("long")).alias("n_a"),
+            F.sum((F.col("ts_ms") >= F.col("mid")).cast("long")).alias("n_b"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    w = W.partitionBy()
+    p = F.col("n_a").cast("double") / F.sum("n_a").over(w)
+    q = F.col("n_b").cast("double") / F.sum("n_b").over(w)
+    return g.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(p, 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round((p - q) * F.ln(p / q), 6).alias("psi_contrib"),
+    )
+
+
+Q_PSI_DRIFT_SQL = """
+WITH ev AS (
+  SELECT epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) // 10000 AS bucket
+  FROM events
+), b AS (
+  SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS mid FROM ev
+), g AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN ts_ms <  mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN ts_ms >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM ev CROSS JOIN b
+  GROUP BY bucket
+), gg AS (
+  SELECT * FROM g WHERE n_a > 0 AND n_b > 0
+)
+SELECT bucket, n_a, n_b,
+       round(CAST(n_a AS DOUBLE) / SUM(n_a) OVER (), 6) AS p,
+       round(CAST(n_b AS DOUBLE) / SUM(n_b) OVER (), 6) AS q,
+       round((CAST(n_a AS DOUBLE) / SUM(n_a) OVER ()
+              - CAST(n_b AS DOUBLE) / SUM(n_b) OVER ())
+             * ln((CAST(n_a AS DOUBLE) / SUM(n_a) OVER ())
+                  / (CAST(n_b AS DOUBLE) / SUM(n_b) OVER ())), 6)
+         AS psi_contrib
+FROM gg
+"""
