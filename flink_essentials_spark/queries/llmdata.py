@@ -4014,3 +4014,70 @@ SELECT bucket, n_a, n_b,
          AS psi_contrib
 FROM gg
 """
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE-statistics primitive a lakehouse
+    runs before planning): ONE scan computes, per profiled column,
+    row/null/exact-distinct counts plus numeric min/max — emitted as
+    one row per column via a stack() unpivot of a single wide
+    aggregate (never one job per column). Numeric extremes go through
+    cents for exact parity; string columns carry NULL extremes."""
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"]
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("nn_user"),
+        F.count_distinct("user_id").alias("nd_user"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.sum(F.col("value").isNull().cast("long")).alias("nn_value"),
+        F.count_distinct(cents("value")).alias("nd_value"),
+        F.min(cents("value")).alias("min_value"),
+        F.max(cents("value")).alias("max_value"),
+        F.sum(F.col("event_type").isNull().cast("long")).alias("nn_et"),
+        F.count_distinct("event_type").alias("nd_et"),
+        F.sum(F.col("ts").isNull().cast("long")).alias("nn_ts"),
+        F.count_distinct(F.unix_millis("ts")).alias("nd_ts"),
+        F.min(F.unix_millis("ts")).alias("min_ts"),
+        F.max(F.unix_millis("ts")).alias("max_ts"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " 'user_id',    n_rows, nn_user,  nd_user,  min_user,  max_user,"
+            " 'value_c',    n_rows, nn_value, nd_value, min_value, max_value,"
+            " 'event_type', n_rows, nn_et,    nd_et,    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),"
+            " 'ts_ms',      n_rows, nn_ts,    nd_ts,    min_ts,    max_ts"
+            ") AS (col_name, n_rows, n_nulls, n_distinct, min_v, max_v)"
+        )
+    )
+
+
+Q_TABLE_PROFILE_SQL = """
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_user,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_user,
+         MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_value,
+         CAST(COUNT(DISTINCT CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS nd_value,
+         MIN(CAST(round(value * 100) AS BIGINT)) AS min_value,
+         MAX(CAST(round(value * 100) AS BIGINT)) AS max_value,
+         CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_et,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nd_et,
+         CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ts,
+         CAST(COUNT(DISTINCT epoch_ms(ts)) AS BIGINT) AS nd_ts,
+         MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts
+  FROM events
+)
+SELECT 'user_id' AS col_name, n_rows, nn_user AS n_nulls, nd_user AS n_distinct,
+       min_user AS min_v, max_user AS max_v FROM a
+UNION ALL
+SELECT 'value_c', n_rows, nn_value, nd_value, min_value, max_value FROM a
+UNION ALL
+SELECT 'event_type', n_rows, nn_et, nd_et, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM a
+UNION ALL
+SELECT 'ts_ms', n_rows, nn_ts, nd_ts, min_ts, max_ts FROM a
+"""
