@@ -830,6 +830,8 @@ _REGISTRY: list[Query] = [
     Query("psi_drift", llmdata.q_psi_drift, llmdata.Q_PSI_DRIFT_SQL),
     # r7: ANALYZE-style table profiling — one scan, stack() unpivot
     Query("table_profile", llmdata.q_table_profile, llmdata.Q_TABLE_PROFILE_SQL),
+    # r7: ordered funnel (strictly-after anchors, keyed agg+join chain)
+    Query("funnel_conversion", llmdata.q_funnel_conversion, llmdata.Q_FUNNEL_CONVERSION_SQL),
     Query("customer_distribution", relational.q_customer_distribution, relational.Q_CUSTOMER_DISTRIBUTION_SQL),
     Query("small_qty_revenue", relational.q_small_qty_revenue, relational.Q_SMALL_QTY_REVENUE_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),

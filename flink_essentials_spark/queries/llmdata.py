@@ -4081,3 +4081,85 @@ SELECT 'event_type', n_rows, nn_et, nd_et, CAST(NULL AS BIGINT), CAST(NULL AS BI
 UNION ALL
 SELECT 'ts_ms', n_rows, nn_ts, nd_ts, min_ts, max_ts FROM a
 """
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): a user
+    converts at stage k only if stage k's FIRST qualifying event comes
+    strictly after their stage-(k−1) anchor — the sequential-pattern
+    shape that a naive per-stage COUNT(DISTINCT) gets wrong (it counts
+    users who purchased BEFORE viewing). Three keyed aggregate+join
+    passes (anchor k feeds the stage-k+1 filter), every join on
+    user_id, all integer epoch-ms. Output: one row per stage with
+    converted-user counts and the step conversion rate (exact-integer
+    division at the end)."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+
+    def first_after(stage: str, anchors, anchor_col: str, out_col: str):
+        e = ev.filter(F.col("event_type") == stage)
+        if anchors is not None:
+            e = e.join(anchors, "user_id").filter(
+                F.col("ts_ms") > F.col(anchor_col)
+            )
+        return e.groupBy("user_id").agg(F.min("ts_ms").alias(out_col))
+
+    s1 = first_after("view", None, "", "t1")
+    s2 = first_after("click", s1, "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+    n1 = s1.agg(F.count(F.lit(1)).alias("n"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n"))
+    rows = None
+    for stage, ndf, prev in (("1_view", n1, None), ("2_click", n2, n1),
+                             ("3_purchase", n3, n2)):
+        r = ndf.select(
+            F.lit(stage).alias("stage"),
+            F.col("n").alias("n_users"),
+        )
+        if prev is not None:
+            r = r.crossJoin(
+                F.broadcast(prev.select(F.col("n").alias("n_prev")))
+            ).select(
+                "stage",
+                "n_users",
+                F.round(
+                    F.col("n_users").cast("double") / F.col("n_prev"), 6
+                ).alias("step_rate"),
+            )
+        else:
+            r = r.select(
+                "stage", "n_users", F.lit(None).cast("double").alias("step_rate")
+            )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+Q_FUNNEL_CONVERSION_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), s1 AS (
+  SELECT user_id, MIN(ts_ms) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts_ms) AS t2
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts_ms > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts_ms) AS t3
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t2
+  GROUP BY e.user_id
+), c AS (
+  SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+         CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
+         CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n3
+)
+SELECT '1_view' AS stage, n1 AS n_users, CAST(NULL AS DOUBLE) AS step_rate FROM c
+UNION ALL
+SELECT '2_click', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM c
+UNION ALL
+SELECT '3_purchase', n3, round(CAST(n3 AS DOUBLE) / n2, 6) FROM c
+"""

@@ -214,6 +214,7 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "tfidf_terms": {"BroadcastNestedLoopJoin"},  # one-row n_docs total
         "k_anonymity": {"BroadcastNestedLoopJoin"},  # one-row risky total
         "psi_drift": {"BroadcastNestedLoopJoin"},  # one-row midpoint scalar
+        "funnel_conversion": {"BroadcastNestedLoopJoin"},  # one-row stage counts
         "window_anomaly": {"BroadcastNestedLoopJoin"},  # one-row moments
         "similarity_topk": {"BroadcastNestedLoopJoin"},
         "ivf_topk": {"BroadcastNestedLoopJoin"},
