@@ -33,6 +33,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     # batch relational substrate
     "pricing_summary",
+    # r7: multi-join top-k (TPC-H Q3) and the correlated-threshold
+    # integer join (Q17) — new relational plan shapes
+    "shipping_priority",
+    "small_qty_revenue",
     "top_customers",
     "region_revenue",
     "order_priority",
@@ -80,6 +84,11 @@ HEADLINE = [
     "quality_score",
     # r7: privacy-audit family (k-anonymity groupBy + scalar total)
     "k_anonymity",
+    # r7: keyed full-table window (sequence training pairs), the
+    # 3-stage funnel join chain, and the one-scan ANALYZE profile
+    "next_event_pairs",
+    "funnel_conversion",
+    "table_profile",
     "bpe_token_stats",
     # r7: the iterative tokenizer trainer (8 merge rounds; one corpus
     # scan + vocab-sized iterations with localCheckpoint)
