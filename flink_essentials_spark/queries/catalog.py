@@ -832,6 +832,8 @@ _REGISTRY: list[Query] = [
     Query("table_profile", llmdata.q_table_profile, llmdata.Q_TABLE_PROFILE_SQL),
     # r7: ordered funnel (strictly-after anchors, keyed agg+join chain)
     Query("funnel_conversion", llmdata.q_funnel_conversion, llmdata.Q_FUNNEL_CONVERSION_SQL),
+    # r7: signed hashing-trick vectorizer (no-vocabulary featurization)
+    Query("hashed_features", llmdata.q_hashed_features, llmdata.Q_HASHED_FEATURES_SQL),
     Query("customer_distribution", relational.q_customer_distribution, relational.Q_CUSTOMER_DISTRIBUTION_SQL),
     Query("small_qty_revenue", relational.q_small_qty_revenue, relational.Q_SMALL_QTY_REVENUE_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),

@@ -4163,3 +4163,50 @@ SELECT '2_click', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM c
 UNION ALL
 SELECT '3_purchase', n3, round(CAST(n3 AS DOUBLE) / n2, 6) FROM c
 """
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick vectorizer (Weinberger et al. 2009): each
+    document becomes a fixed-D sparse term-frequency vector with NO
+    vocabulary pass — dimension = md5-bucket of the token, weight =
+    term count, sign = one md5 bit (the signed variant that makes
+    collisions cancel in expectation). Emitted exploded as (doc_id,
+    dim, weight) — the layout a downstream cosine/linear model joins
+    on dim. One tokenize scan → one (doc, dim) groupBy; D=64 here."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from flink_essentials_spark.operators.transform import tokenize
+
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("w")
+    )
+    hv = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    return (
+        toks.select(
+            "doc_id",
+            F.pmod(hv, F.lit(64)).alias("dim"),
+            (F.when(F.shiftright(hv, 6).bitwiseAND(F.lit(1)) == 1, 1)
+             .otherwise(-1)).alias("sgn"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
+Q_HASHED_FEATURES_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                            w -> w <> '')) AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         (('0x' || substring(md5(w), 1, 15))::BIGINT % 64 + 64) % 64 AS dim,
+         CASE WHEN ((('0x' || substring(md5(w), 1, 15))::BIGINT >> 6) & 1) = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+)
+SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, dim
+HAVING SUM(sgn) <> 0
+"""
