@@ -950,3 +950,41 @@ def test_bigram_lm_score_hand_computed(spark):
     d3 = round((math.log2(1) + math.log2(1 / 3)) / 2, 6)
     assert got == {1: (2, d12), 2: (2, d12), 3: (2, d3)}
     assert got[3][1] < got[1][1]
+
+
+def test_funnel_requires_strict_order(spark, monkeypatch, tmp_path):
+    """The funnel's defining semantics on a hand fixture: a user whose
+    purchase precedes their first view does NOT convert; equal
+    timestamps do NOT convert (strictly after); a properly ordered
+    view→click→purchase user converts through all stages."""
+    import datetime
+
+    from flink_essentials_spark.queries import llmdata as L
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # u1: proper order -> full conversion
+        (1, "view", ts(1)), (1, "click", ts(2)), (1, "purchase", ts(3)),
+        # u2: purchase BEFORE view -> stops after click
+        (2, "purchase", ts(1)), (2, "view", ts(2)), (2, "click", ts(3)),
+        # u3: click at the SAME instant as view -> strictly-after fails
+        (3, "view", ts(5)), (3, "click", ts(5)),
+        # u4: view only
+        (4, "view", ts(1)),
+    ]
+    ev = spark.createDataFrame(
+        [(u, e, t, 1.0) for u, e, t in rows],
+        "user_id long, event_type string, ts timestamp, value double",
+    )
+    monkeypatch.setattr(
+        L, "load_tables", lambda _spark, _sf: {"events": ev}
+    )
+    got = {
+        r["stage"]: (r["n_users"], r["step_rate"])
+        for r in L.q_funnel_conversion(spark, "ignored").collect()
+    }
+    assert got["1_view"] == (4, None)
+    assert got["2_click"] == (2, 0.5)       # u1 and u2 (view ts2 < click ts3)
+    assert got["3_purchase"] == (1, 0.5)    # only u1
