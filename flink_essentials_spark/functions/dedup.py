@@ -644,6 +644,7 @@ def lsh_incremental_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    epoch_id: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup maintenance — the shape a 100 TB corpus
     actually runs dedup in: documents arrive in batches, and each
@@ -668,12 +669,26 @@ def lsh_incremental_pairs(
     The union of returned pairs across batches equals the one-shot
     :func:`lsh_near_dup_pairs` over the full corpus (pinned by the
     streaming e2e test), because a pair's later-arriving doc always
-    sees the earlier doc's banded rows."""
+    sees the earlier doc's banded rows.
+
+    EXACTLY-ONCE REPLAY: foreachBatch delivers at-least-once — a crash
+    between the state append and the checkpoint commit REPLAYS the
+    batch, and a blind append would then double every row. Pass the
+    foreachBatch ``epoch_id`` and each batch's rows land in their own
+    ``epoch=<id>`` directory written with OVERWRITE: a replay rewrites
+    the same directory (idempotent), prior state excludes the replayed
+    epoch, and the returned pairs are identical (pinned by the replay
+    test)."""
     import os
 
     spark = new_docs.sparkSession
     sig_path = os.path.join(store_base, "band_sigs")
     sh_path = os.path.join(store_base, "shingles")
+
+    def _dest(base: str) -> str:
+        if epoch_id is None:
+            return base
+        return os.path.join(base, f"epoch={int(epoch_id)}")
 
     sets_new = shingle_sets(new_docs, n, text_col, id_col).cache()
     sigs_new = minhash_signatures(
@@ -682,11 +697,30 @@ def lsh_incremental_pairs(
     banded_new = _banded(sigs_new, num_hashes, bands).cache()
 
     def _maybe(path: str, schema: str) -> DataFrame | None:
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
-            return spark.read.schema(schema).parquet(path)
-        return None
+        """Prior state = everything under ``path`` EXCEPT the current
+        epoch's directory (a replayed epoch must not see its own
+        earlier half-written rows). Supports flat legacy files and
+        epoch= subdirectories side by side."""
+        if not os.path.isdir(path):
+            return None
+        # legacy flat appends: list the FILES (passing the dir itself
+        # would trigger partition discovery over the epoch= subdirs
+        # and conflict with root-level data files)
+        parts = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+        for d in sorted(os.listdir(path)):
+            full = os.path.join(path, d)
+            if not (d.startswith("epoch=") and os.path.isdir(full)):
+                continue
+            if epoch_id is not None and d == f"epoch={int(epoch_id)}":
+                continue
+            parts.append(full)
+        if not parts:
+            return None
+        return spark.read.schema(schema).parquet(*parts)
 
     prior_banded = _maybe(sig_path, "doc_id long, band int, band_sig array<long>")
     prior_sets = _maybe(sh_path, "doc_id long, sh array<string>")
@@ -724,6 +758,12 @@ def lsh_incremental_pairs(
         .filter(F.col("jaccard") >= threshold)
         .localCheckpoint()
     )
-    banded_new.write.mode("append").parquet(sig_path)
-    sets_new.write.mode("append").parquet(sh_path)
+    if epoch_id is None:
+        banded_new.write.mode("append").parquet(sig_path)
+        sets_new.write.mode("append").parquet(sh_path)
+    else:
+        # per-epoch OVERWRITE: a replayed batch rewrites its own
+        # directory instead of double-appending (exactly-once state)
+        banded_new.write.mode("overwrite").parquet(_dest(sig_path))
+        sets_new.write.mode("overwrite").parquet(_dest(sh_path))
     return pairs

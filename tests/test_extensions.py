@@ -739,7 +739,8 @@ def test_lsh_incremental_dedup_over_a_stream_equals_oneshot(spark, tmp_path):
 
     def fold(bdf, epoch_id):
         pairs = dd.lsh_incremental_pairs(
-            bdf, store, n=3, num_hashes=16, bands=4, threshold=0.5
+            bdf, store, n=3, num_hashes=16, bands=4, threshold=0.5,
+            epoch_id=epoch_id,
         )
         emitted.extend(map(tuple, pairs.collect()))
 
@@ -756,6 +757,40 @@ def test_lsh_incremental_dedup_over_a_stream_equals_oneshot(spark, tmp_path):
     )
     assert sorted(emitted) == oneshot
     assert len(emitted) == len(set(emitted)), "a pair was emitted twice"
+
+
+def test_lsh_incremental_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the state append
+    but before the checkpoint commit REPLAYS the batch. With epoch_id
+    the replayed call must (a) return the SAME pairs and (b) leave the
+    store with the SAME rows (its epoch directory is overwritten, not
+    double-appended) — and a blind-append call without epoch_id is the
+    documented non-replay-safe mode (rows double)."""
+    from flink_essentials_spark.functions import dedup as dd
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    store = str(tmp_path / "store")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+
+    dd.lsh_incremental_pairs(b0, store, epoch_id=0)
+    first = sorted(map(tuple, dd.lsh_incremental_pairs(
+        b1, store, epoch_id=1
+    ).collect()))
+    import os
+
+    sig_dir = os.path.join(store, "band_sigs")
+    rows_after_first = sorted(
+        map(tuple, spark.read.parquet(sig_dir).drop("epoch").collect())
+    )
+    # replay epoch 1 (same batch, same epoch id)
+    replay = sorted(map(tuple, dd.lsh_incremental_pairs(
+        b1, store, epoch_id=1
+    ).collect()))
+    assert replay == first
+    assert sorted(
+        map(tuple, spark.read.parquet(sig_dir).drop("epoch").collect())
+    ) == rows_after_first
 
 
 def test_incremental_dedup_store_compacts_and_keeps_working(spark, tmp_path):
