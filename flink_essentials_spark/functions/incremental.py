@@ -47,6 +47,7 @@ def refresh_rollup(
     batch: DataFrame,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
+    epoch_id: int | None = None,
 ) -> int:
     """Fold one new batch into the stored rollup and commit a new
     snapshot. ``aggs`` maps output column → (kind, source_col) with
@@ -54,7 +55,18 @@ def refresh_rollup(
 
     Cost: one partial aggregate over the BATCH + one merge groupBy
     over (stored rows ∪ batch partials) — the stored side is
-    rollup-sized (group count), not history-sized."""
+    rollup-sized (group count), not history-sized.
+
+    EXACTLY-ONCE REPLAY: foreachBatch is at-least-once, and SUM/count
+    merges are NOT idempotent — a replayed batch would double its
+    contribution (max/min merges survive replays by accident; sums do
+    not). Pass the foreachBatch ``epoch_id``: each commit tags its
+    version before the atomic pointer swap, and a replay whose epoch
+    equals the committed tag is skipped (returns the current version
+    unchanged). A crash BEFORE the swap leaves the old tag, so the
+    replay correctly re-applies."""
+    if epoch_id is not None and versioned.committed_epoch(base) == int(epoch_id):
+        return versioned._read_pointer(base)
     part = _partial(batch, keys, aggs)
     if versioned.list_versions(base):
         cur = versioned.read_current(spark, base)
@@ -63,4 +75,4 @@ def refresh_rollup(
         )
     else:
         merged = part
-    return versioned.write_version(spark, base, merged)
+    return versioned.write_version(spark, base, merged, epoch_id=epoch_id)

@@ -56,16 +56,44 @@ def list_versions(base: str) -> list[int]:
     return sorted(out)
 
 
-def write_version(spark: SparkSession, base: str, df: DataFrame) -> int:
+def write_version(
+    spark: SparkSession, base: str, df: DataFrame, epoch_id: int | None = None
+) -> int:
     """Write ``df`` as the next version and commit it. Returns the new
     version number. The data directory is complete before the pointer
-    moves, so concurrent readers never see a partial table."""
+    moves, so concurrent readers never see a partial table.
+
+    ``epoch_id`` tags the version with its source micro-batch BEFORE
+    the pointer swap (an ``_epoch`` metadata file — underscore-prefixed,
+    so parquet readers ignore it): the atomic pointer commit then
+    covers data AND provenance together, which is what makes
+    at-least-once foreachBatch replays detectable
+    (:func:`committed_epoch`)."""
     os.makedirs(base, exist_ok=True)
     cur = _read_pointer(base) or 0
     new = max([cur] + list_versions(base)) + 1
     df.write.mode("errorifexists").parquet(os.path.join(base, f"v={new}"))
+    if epoch_id is not None:
+        with open(os.path.join(base, f"v={new}", "_epoch"), "w") as f:
+            f.write(str(int(epoch_id)))
     _commit_pointer(base, new)
     return new
+
+
+def committed_epoch(base: str) -> int | None:
+    """The epoch tag of the CURRENTLY COMMITTED version (None when the
+    store is empty or the version carries no tag). A replayed batch
+    compares its epoch against this: equal ⇒ the merge already
+    committed and must be skipped; a crash before the pointer swap
+    leaves the previous tag in place ⇒ the replay re-applies."""
+    cur = _read_pointer(base)
+    if cur is None:
+        return None
+    p = os.path.join(base, f"v={cur}", "_epoch")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
 
 
 def read_current(spark: SparkSession, base: str) -> DataFrame:

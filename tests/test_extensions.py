@@ -558,7 +558,7 @@ def test_hll_maintained_over_a_stream_equals_batch(spark, tmp_path):
         regs = approx.hll_registers(bdf, ["event_type"], "user_id", p=8)
         refresh_rollup(
             spark, base, regs, ["event_type", "bucket"],
-            {"rho": ("max", "rho")},
+            {"rho": ("max", "rho")}, epoch_id=epoch_id,
         )
 
     sdf = file_replay(spark, src, "event_type string, user_id long",
@@ -596,7 +596,8 @@ def test_cm_maintained_over_a_stream_equals_batch(spark, tmp_path):
     def fold(bdf, epoch_id):
         sk = approx.cm_sketch(bdf, "event_type", depth=4, width_bits=10)
         refresh_rollup(
-            spark, base, sk, ["d", "bucket"], {"cnt": ("sum", "cnt")}
+            spark, base, sk, ["d", "bucket"], {"cnt": ("sum", "cnt")},
+            epoch_id=epoch_id,
         )
 
     sdf = file_replay(spark, src, "event_type string, user_id long",
@@ -633,7 +634,8 @@ def test_histogram_maintained_over_a_stream_equals_batch(spark, tmp_path):
 
     def fold(bdf, epoch_id):
         bins = approx.histogram_bins(bdf, "v_c", 0, 49999, 500)
-        refresh_rollup(spark, base, bins, ["bin"], {"cnt": ("sum", "cnt")})
+        refresh_rollup(spark, base, bins, ["bin"], {"cnt": ("sum", "cnt")},
+                       epoch_id=epoch_id)
 
     sdf = file_replay(spark, src, "v_c long", files_per_trigger=1)
     q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
@@ -757,6 +759,30 @@ def test_lsh_incremental_dedup_over_a_stream_equals_oneshot(spark, tmp_path):
     )
     assert sorted(emitted) == oneshot
     assert len(emitted) == len(set(emitted)), "a pair was emitted twice"
+
+
+def test_refresh_rollup_replay_skips_committed_epoch(spark, tmp_path):
+    """SUM merges are not replay-idempotent, so refresh_rollup with an
+    epoch_id must SKIP a batch whose epoch already committed (same
+    version back, stored sums unchanged) while a NEW epoch still
+    merges; without epoch_id a replay doubles the sums (the documented
+    non-replay-safe mode)."""
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.sinks import versioned
+
+    base = str(tmp_path / "rollup")
+    b = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], "k string, v long")
+    v1 = refresh_rollup(spark, base, b, ["k"], {"s": ("sum", "v")}, epoch_id=0)
+    want = sorted(map(tuple, versioned.read_current(spark, base).collect()))
+    # replay of epoch 0: same version, same rows
+    v1b = refresh_rollup(spark, base, b, ["k"], {"s": ("sum", "v")}, epoch_id=0)
+    assert v1b == v1
+    assert sorted(map(tuple, versioned.read_current(spark, base).collect())) == want
+    # a genuinely new epoch still merges
+    v2 = refresh_rollup(spark, base, b, ["k"], {"s": ("sum", "v")}, epoch_id=1)
+    assert v2 > v1
+    doubled = {k: s for k, s in versioned.read_current(spark, base).collect()}
+    assert doubled == {"a": 6, "b": 10}
 
 
 def test_lsh_incremental_replay_is_idempotent(spark, tmp_path):
@@ -958,7 +984,7 @@ def test_hll_registers_merge_incrementally(spark, tmp_path):
         regs = approx.hll_registers(batch, ["event_type"], "user_id", p=8)
         refresh_rollup(
             spark, base, regs, ["event_type", "bucket"],
-            {"rho": ("max", "rho")},
+            {"rho": ("max", "rho")}, epoch_id=epoch_id,
         )
     stored = versioned.read_current(spark, base)
     oneshot = approx.hll_registers(ev, ["event_type"], "user_id", p=8)
