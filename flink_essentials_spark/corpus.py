@@ -1,0 +1,123 @@
+"""Fluent Corpus API — the LLM-training-data pipeline surface.
+
+The same thin-veneer philosophy as :mod:`api` (Stream): every method
+returns a new ``Corpus`` wrapping a new immutable DataFrame, each
+delegating to the verified functions in :mod:`functions` — so a
+pipeline reads as the sequence a data engineer whiteboards:
+
+>>> (Corpus(docs)
+...     .normalize()
+...     .drop_exact_dups()
+...     .drop_near_dups(threshold=0.8)
+...     .quality_filter(min_score=0.3)
+...     .df)
+
+Nothing here adds semantics: each step is the documented operator,
+equivalence-tested against calling the functions directly, and the
+whole chain stays one lazy Catalyst plan (no step materializes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_essentials_spark.functions import dedup as _dedup
+from flink_essentials_spark.functions import text as _text
+
+
+class Corpus:
+    """Wraps a documents DataFrame (``doc_id``, ``text``, + any other
+    columns, which every step preserves by joining back on id)."""
+
+    def __init__(self, df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.df = df
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _wrap(self, df: DataFrame) -> "Corpus":
+        return Corpus(df, self.id_col, self.text_col)
+
+    # --- cleaning -----------------------------------------------------
+
+    def normalize(self, form: str = "NFC") -> "Corpus":
+        """Unicode-normalize the text column (NFC by default) — the
+        canonicalization that must precede any hash-based dedup."""
+        norm = _text.normalize_unicode(
+            self.df, self.text_col, self.id_col, form
+        ).select(
+            F.col("doc_id").alias(self.id_col),
+            F.col("text").alias("__norm_text"),
+        )
+        out = (
+            self.df.drop(self.text_col)
+            .join(norm, self.id_col)
+            .withColumnRenamed("__norm_text", self.text_col)
+        )
+        return self._wrap(out)
+
+    # --- dedup --------------------------------------------------------
+
+    def drop_exact_dups(self) -> "Corpus":
+        """Keep the lowest-id copy of every byte-identical text."""
+        keepers = _dedup.exact_dedup(
+            self.df, text_col=self.text_col, id_col=self.id_col
+        ).select(F.col("keeper_id").alias(self.id_col))
+        return self._wrap(self.df.join(keepers, self.id_col))
+
+    def drop_near_dups(
+        self,
+        threshold: float = 0.8,
+        n: int = 3,
+        num_hashes: int = 16,
+        bands: int = 4,
+    ) -> "Corpus":
+        """LSH near-dup removal: connected near-dup clusters keep their
+        lowest id (pairs → union of non-keepers dropped). Banded
+        MinHash candidates + exact-Jaccard verification — the
+        sub-quadratic path."""
+        pairs = _dedup.lsh_near_dup_pairs(
+            self.df, n=n, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, text_col=self.text_col, id_col=self.id_col,
+        )
+        # drop the larger id of each verified pair; chains collapse to
+        # the smallest id transitively across repeated pairs
+        losers = pairs.select(F.col("doc_b").alias(self.id_col)).distinct()
+        return self._wrap(self.df.join(losers, self.id_col, "left_anti"))
+
+    # --- filtering ----------------------------------------------------
+
+    def quality_filter(self, min_score: float = 0.3) -> "Corpus":
+        """Keep documents whose composite quality score clears the
+        floor (length, lexical diversity, stopword evidence)."""
+        scores = _text.quality_score(
+            self.df.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.col(self.text_col).alias("text"),
+            )
+        ).filter(F.col("quality_score") >= min_score).select(
+            F.col("doc_id").alias(self.id_col)
+        )
+        return self._wrap(self.df.join(scores, self.id_col))
+
+    def language_filter(self, langs: list[str]) -> "Corpus":
+        """Keep documents whose marker-based language prediction is in
+        ``langs``."""
+        pred = _text.language_id(
+            self.df.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.col(self.text_col).alias("text"),
+            )
+        ).filter(F.col("lang_pred").isin(langs)).select(
+            F.col("doc_id").alias(self.id_col)
+        )
+        return self._wrap(self.df.join(pred, self.id_col))
+
+    # --- terminal helpers --------------------------------------------
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def ids(self) -> set:
+        return {r[0] for r in self.df.select(self.id_col).collect()}

@@ -1,0 +1,74 @@
+"""Fluent Corpus API: each step must equal calling the underlying
+verified function directly, extra columns survive every step, and the
+whole chain stays lazy (one plan, no step materializes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_essentials_spark.corpus import Corpus
+from flink_essentials_spark.functions import dedup, text
+from flink_essentials_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_corpus_steps_equal_direct_calls(spark):
+    docs = load_tables(spark, SF_DIR)["documents"]
+
+    # exact dedup step == exact_dedup keepers
+    got = Corpus(docs).drop_exact_dups().ids()
+    want = {
+        r["keeper_id"] for r in dedup.exact_dedup(docs).collect()
+    }
+    assert got == want
+
+    # near-dup step == survivors of the verified pair list
+    got_nd = Corpus(docs).drop_near_dups(threshold=0.5).ids()
+    losers = {
+        r["doc_b"]
+        for r in dedup.lsh_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert got_nd == all_ids - losers
+
+    # quality filter == direct threshold on quality_score
+    got_q = Corpus(docs).quality_filter(min_score=0.3).ids()
+    want_q = {
+        r["doc_id"]
+        for r in text.quality_score(docs).collect()
+        if r["quality_score"] >= 0.3
+    }
+    assert got_q == want_q
+
+
+def test_corpus_chain_preserves_columns_and_stays_lazy(spark):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    chain = (
+        Corpus(docs)
+        .normalize()
+        .drop_exact_dups()
+        .drop_near_dups(threshold=0.5)
+        .quality_filter(min_score=0.2)
+    )
+    # laziness: building the chain runs no job beyond what the
+    # functions themselves may cache — the result is a DataFrame
+    assert not chain.df.isStreaming
+    assert set(docs.columns) <= set(chain.df.columns)
+    rows = chain.df.collect()
+    assert rows
+    # every surviving row keeps its original source column value
+    src = {r["doc_id"]: r["source"] for r in docs.collect()}
+    for r in rows:
+        assert r["source"] == src[r["doc_id"]]
+
+
+def test_corpus_language_filter(spark):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    got = Corpus(docs).language_filter(["en"]).ids()
+    want = {
+        r["doc_id"]
+        for r in text.language_id(docs).collect()
+        if r["lang_pred"] == "en"
+    }
+    assert got == want and got
