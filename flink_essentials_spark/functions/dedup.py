@@ -766,4 +766,9 @@ def lsh_incremental_pairs(
         # directory instead of double-appending (exactly-once state)
         banded_new.write.mode("overwrite").parquet(_dest(sig_path))
         sets_new.write.mode("overwrite").parquet(_dest(sh_path))
+    # release this batch's cache: pairs is already localCheckpoint()ed
+    # and the state is on disk — without this, a long-running ingest
+    # accumulates one cached batch per micro-batch in executor memory
+    banded_new.unpersist()
+    sets_new.unpersist()
     return pairs
