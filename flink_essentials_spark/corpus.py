@@ -121,3 +121,33 @@ class Corpus:
 
     def ids(self) -> set:
         return {r[0] for r in self.df.select(self.id_col).collect()}
+
+    # --- sampling / packing ------------------------------------------
+
+    def sample(self, rate: float) -> "Corpus":
+        """Deterministic id-hash sample — a pure pushed-down filter,
+        stable under reruns and repartitioning."""
+        from flink_essentials_spark.functions import sampling
+
+        return self._wrap(sampling.hash_sample(self.df, rate, self.id_col))
+
+    def stratified_sample(
+        self, rates: dict, strata_col: str
+    ) -> "Corpus":
+        """Per-stratum deterministic sampling (mixture weighting);
+        unlisted strata drop."""
+        from flink_essentials_spark.functions import sampling
+
+        return self._wrap(
+            sampling.stratified_hash_sample(
+                self.df, rates, strata_col, self.id_col
+            )
+        )
+
+    def pack(self, seq_len: int) -> DataFrame:
+        """Terminal step: GPT-style concat-and-chunk packing spans for
+        the surviving documents (returns the span table, not a Corpus —
+        the output schema is spans, no longer documents)."""
+        return _text.pack_sequences(
+            self.df, seq_len, text_col=self.text_col, id_col=self.id_col
+        )

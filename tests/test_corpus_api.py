@@ -72,3 +72,25 @@ def test_corpus_language_filter(spark):
         if r["lang_pred"] == "en"
     }
     assert got == want and got
+
+
+def test_corpus_sample_and_pack_steps(spark):
+    from flink_essentials_spark.functions import sampling, text as T
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    got = Corpus(docs).sample(0.25).ids()
+    want = {r["doc_id"] for r in sampling.hash_sample(docs, 0.25).collect()}
+    assert got == want and 0 < len(got) < docs.count()
+
+    got_s = Corpus(docs).stratified_sample({"web": 0.5}, "source").ids()
+    want_s = {
+        r["doc_id"]
+        for r in sampling.stratified_hash_sample(docs, {"web": 0.5}, "source").collect()
+    }
+    assert got_s == want_s
+
+    spans = Corpus(docs).sample(0.25).pack(128)
+    direct = T.pack_sequences(sampling.hash_sample(docs, 0.25), 128)
+    assert sorted(map(tuple, spans.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
