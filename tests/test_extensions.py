@@ -984,7 +984,7 @@ def test_hll_registers_merge_incrementally(spark, tmp_path):
         regs = approx.hll_registers(batch, ["event_type"], "user_id", p=8)
         refresh_rollup(
             spark, base, regs, ["event_type", "bucket"],
-            {"rho": ("max", "rho")}, epoch_id=epoch_id,
+            {"rho": ("max", "rho")}, epoch_id=b,
         )
     stored = versioned.read_current(spark, base)
     oneshot = approx.hll_registers(ev, ["event_type"], "user_id", p=8)
