@@ -459,6 +459,50 @@ WHERE rk <= 5
 """
 
 
+def q_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with EXACT re-ranking under FULL oracle (Jégou §5.3):
+    the deterministic-init ADC search produces a 20-candidate
+    shortlist per query (k=5 × rerank=4); only those ids join back to
+    the raw vectors for a true-cosine re-score and the final top-5.
+    The oracle reuses the whole IVFADC CTE chain with the shortlist
+    cut, then re-ranks by the same rounded cosine."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.ivfpq_topk_refined(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        rerank=4,
+        n_cells=4,
+        n_probe=2,
+        m_sub=8,
+        n_codes=16,
+        deterministic_init=True,
+    )
+
+
+Q_IVFPQ_REFINED_SQL = f"""
+WITH shortlist AS (
+{Q_IVFPQ_TOPK_SQL.replace("WHERE rk <= 5", "WHERE rk <= 20")}
+), ev2 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+  FROM shortlist s
+  JOIN ev2 q ON s.query_id = q.vec_id
+  JOIN ev2 c ON s.neighbor_id = c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM rescored)
+WHERE rk <= 5
+"""
+
+
 # --- text analysis -----------------------------------------------------------
 
 

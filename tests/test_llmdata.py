@@ -284,6 +284,44 @@ def test_ivfpq_recall_and_rank_contract(spark):
         assert full_scores[(r["query_id"], r["neighbor_id"])] == r["adc_dist"]
 
 
+def test_ivfpq_refined_rerank_improves_recall(spark):
+    """Exact re-ranking contract (Jégou §5.3): refined results carry
+    TRUE cosine scores (cross-checked against cosine_topk's scoring of
+    the same pairs), and recall@10 vs exact ground truth is at least
+    the plain-ADC recall at identical index parameters — touching only
+    rerank×k raw vectors per query."""
+    t = load_tables(spark, SF_DIR)
+    emb = t["embeddings"]
+    queries = emb.orderBy("vec_id").limit(5)
+    exact_top = {}
+    exact_scores = {}
+    for r in similarity.cosine_topk(emb, queries, k=500).collect():
+        exact_scores[(r["query_id"], r["neighbor_id"])] = r["cos_sim"]
+    for r in similarity.cosine_topk(emb, queries, k=10).collect():
+        exact_top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    kw = dict(n_cells=8, n_probe=4, m_sub=8, n_codes=16)
+    adc = {}
+    for r in similarity.ivfpq_topk(emb, queries, k=10, **kw).collect():
+        adc.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    refined_rows = similarity.ivfpq_topk_refined(
+        emb, queries, k=10, rerank=4, **kw
+    ).collect()
+    refined = {}
+    for r in refined_rows:
+        refined.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        # refined scores are the TRUE cosines
+        assert r["cos_sim"] == exact_scores[(r["query_id"], r["neighbor_id"])]
+
+    def recall(got):
+        return sum(
+            len(exact_top[q] & got.get(q, set())) / len(exact_top[q])
+            for q in exact_top
+        ) / len(exact_top)
+
+    assert recall(refined) >= recall(adc), (recall(refined), recall(adc))
+
+
 def test_ivf_training_runs_no_count_job(spark, monkeypatch):
     """At 100 TB a ``count()`` before k-means is a full corpus scan;
     training must size its sample from parquet footers of the corpus'
