@@ -891,13 +891,17 @@ _REGISTRY: list[Query] = [
     # ROTATION (r7b, done): ivfpq_topk and bpe_trained_merges promoted
     # into the head (simhash_pairs / cohort_retention demoted — dedup
     # and bucketed-groupBy families stay multiply covered above).
-    # r8 PROMOTION CANDIDATES, in priority order: bpe_encoded_docs
+    # r8 PROMOTION CANDIDATES, in priority order: ivfpq_refined (the
+    # production ANN config — ADC + exact re-rank), bpe_encoded_docs
     # (train→encode composition), k_anonymity or dp_release (privacy
-    # family), normalize_unicode (the only cross-ICU Python-stage
-    # oracle), streaming_capped_sessions (python-stateful streaming
-    # under oracle). Demotion candidates: sliding_windows vs
-    # keyed_tumbling overlap, fuzzy_match (regex-join family),
-    # explode_quantity (flatMap family double-covered).
+    # family), funnel_conversion (sequential-pattern shape),
+    # psi_drift (model-monitoring family), table_profile (ANALYZE),
+    # normalize_unicode (the only cross-ICU Python-stage oracle),
+    # streaming_capped_sessions (python-stateful streaming under
+    # oracle). Demotion candidates: sliding_windows vs keyed_tumbling
+    # overlap, fuzzy_match (regex-join family), explode_quantity
+    # (flatMap family double-covered), lsh_near_dups vs dedup_jaccard
+    # overlap (both verify exact Jaccard pairs).
     Query("fuzzy_match", llmdata.q_fuzzy_match, llmdata.Q_FUZZY_MATCH_SQL),
     Query("inverted_index", llmdata.q_inverted_index, llmdata.Q_INVERTED_INDEX_SQL),
     Query("media_resize", llmdata.q_media_resize, llmdata.Q_MEDIA_RESIZE_SQL),
