@@ -836,6 +836,9 @@ _REGISTRY: list[Query] = [
     Query("hashed_features", llmdata.q_hashed_features, llmdata.Q_HASHED_FEATURES_SQL),
     # r7: IVF-PQ + exact re-ranking (the Jégou §5.3 refinement config)
     Query("ivfpq_refined", llmdata.q_ivfpq_refined, llmdata.Q_IVFPQ_REFINED_SQL),
+    # r7: per-day histogram percentiles (windowed histogram member,
+    # as windowed_distinct is the windowed HLL member)
+    Query("windowed_quantiles", llmdata.q_windowed_quantiles, llmdata.Q_WINDOWED_QUANTILES_SQL),
     Query("customer_distribution", relational.q_customer_distribution, relational.Q_CUSTOMER_DISTRIBUTION_SQL),
     Query("small_qty_revenue", relational.q_small_qty_revenue, relational.Q_SMALL_QTY_REVENUE_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),

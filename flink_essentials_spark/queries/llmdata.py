@@ -4254,3 +4254,96 @@ SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS weight
 FROM h GROUP BY doc_id, dim
 HAVING SUM(sgn) <> 0
 """
+
+
+def q_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day percentile monitoring (the histogram family's windowed
+    member, as windowed_distinct is HLL's): each day's value
+    distribution becomes a 500-bin integer histogram and the
+    p50/p90 bins fall out of a cumulative walk over the BINS (a keyed
+    window over ~bins rows per day, never the data). All integer
+    arithmetic: cents values, floor-div day buckets, ceil(q·n)
+    thresholds on identical operands — bit-exact cross-engine."""
+    from flink_essentials_spark.queries.util import cents
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.floor(F.unix_millis("ts") / F.lit(86400000)).alias("day"),
+        cents("value").alias("v_c"),
+    )
+    hist = (
+        ev.select(
+            "day",
+            F.least(
+                F.lit(499).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.expr("(v_c * 500) div 50000"),
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("day").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n_rows", F.sum("cnt").over(W.partitionBy("day"))
+    )
+    out = None
+    for q in (0.5, 0.9):
+        need = F.ceil(F.lit(q) * F.col("n_rows")).cast("long")
+        hit = (
+            cum.filter(F.col("cum") >= need)
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("day").orderBy("bin")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                "day",
+                F.lit(q).alias("q"),
+                F.col("bin").alias("bin_idx"),
+                (F.col("bin") * 100).alias("bin_lo_c"),
+                ((F.col("bin") + 1) * 100).alias("bin_hi_c"),
+                F.col("cum").alias("cum_cnt"),
+                "n_rows",
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+Q_WINDOWED_QUANTILES_SQL = """
+WITH ev AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+), hist AS (
+  SELECT day,
+         least(CAST(499 AS BIGINT),
+               greatest(CAST(0 AS BIGINT), (v_c * 500) // 50000)) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT day, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY day ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY day) AS n_rows
+  FROM hist
+), hits AS (
+  SELECT day, q, bin, cum, n_rows,
+         ROW_NUMBER() OVER (PARTITION BY day, q ORDER BY bin) AS rk
+  FROM (SELECT c.*, qq.q FROM cum c
+        CROSS JOIN (SELECT CAST(0.5 AS DOUBLE) AS q
+                    UNION ALL SELECT CAST(0.9 AS DOUBLE)) qq)
+  WHERE cum >= CAST(ceil(q * n_rows) AS BIGINT)
+)
+SELECT day, q, bin AS bin_idx,
+       bin * 100 AS bin_lo_c, (bin + 1) * 100 AS bin_hi_c,
+       CAST(cum AS BIGINT) AS cum_cnt, CAST(n_rows AS BIGINT) AS n_rows
+FROM hits WHERE rk = 1
+"""
