@@ -839,6 +839,9 @@ _REGISTRY: list[Query] = [
     # r7: per-day histogram percentiles (windowed histogram member,
     # as windowed_distinct is the windowed HLL member)
     Query("windowed_quantiles", llmdata.q_windowed_quantiles, llmdata.Q_WINDOWED_QUANTILES_SQL),
+    # r7: CDC materialization (MERGE semantics: latest-per-key, delete
+    # survivors dropped) — the lakehouse ingest workload
+    Query("cdc_state", llmdata.q_cdc_state, llmdata.Q_CDC_STATE_SQL),
     Query("customer_distribution", relational.q_customer_distribution, relational.Q_CUSTOMER_DISTRIBUTION_SQL),
     Query("small_qty_revenue", relational.q_small_qty_revenue, relational.Q_SMALL_QTY_REVENUE_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),

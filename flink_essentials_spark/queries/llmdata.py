@@ -4347,3 +4347,46 @@ SELECT day, q, bin AS bin_idx,
        CAST(cum AS BIGINT) AS cum_cnt, CAST(n_rows AS BIGINT) AS n_rows
 FROM hits WHERE rk = 1
 """
+
+
+def q_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC materialization under oracle (functions/cdc.py): the event
+    log becomes a change stream — key user_id, op = delete on 'error'
+    events, upsert otherwise — and the final table state is the latest
+    change per key with delete survivors dropped (the MERGE INTO
+    semantics every lakehouse ingest runs). Deterministic total order:
+    (ts_ms, event_type, value_c) DESC. The incremental/streaming apply
+    loop is pinned equal to this one-shot in tests."""
+    from flink_essentials_spark.functions import cdc
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_type",
+        cents("value").alias("value_c"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    return cdc.cdc_state(
+        ev, ["user_id"], ["ts_ms", "event_type", "value_c"]
+    ).select("user_id", "ts_ms", "event_type", "value_c")
+
+
+Q_CDC_STATE_SQL = """
+WITH ch AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_c,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              ELSE 'upsert' END AS op
+  FROM events
+), latest AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY ts_ms DESC, event_type DESC, value_c DESC) AS rk
+  FROM ch
+)
+SELECT user_id, ts_ms, event_type, value_c
+FROM latest WHERE rk = 1 AND op <> 'delete'
+"""

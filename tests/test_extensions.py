@@ -1074,3 +1074,71 @@ def test_approx_quantiles_bracket_exact(spark):
     ).collect()[0]["p"]
     for got_v, exact_v in zip(qs["quantiles"], exact):
         assert abs(got_v - exact_v) <= max(1.0, 0.1 * abs(exact_v))
+
+
+def test_cdc_apply_stream_equals_oneshot_and_replays_idempotently(
+    spark, tmp_path
+):
+    """CDC ingestion applied batch-by-batch (cdc_apply: latest-per-key
+    compaction, delete keys removed, survivors merged): the final
+    store must equal the one-shot cdc_state materialization of the
+    whole log. Re-applying the last batch (an at-least-once
+    foreachBatch replay) must leave the store unchanged —
+    latest-per-key replacement has no additive component, so CDC needs
+    no epoch bookkeeping. Batches are split by TIME so later batches
+    carry later changes (the CDC contract: a key's changes arrive in
+    order across batches); the loop is the deterministic stand-in for
+    the micro-batch sequence."""
+    from flink_essentials_spark.functions import cdc
+    from flink_essentials_spark.queries.util import cents
+
+    t = load_tables(spark, SF_DIR)
+    ch = t["events"].select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_type",
+        cents("value").alias("value_c"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    # time-range buckets -> replay order == change order per key
+    lo, hi = ch.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    src = str(tmp_path / "src")
+    span = (hi - lo) // 3 + 1
+    ch.withColumn(
+        "b", ((F.col("ts_ms") - F.lit(lo)) / F.lit(span)).cast("int")
+    ).write.partitionBy("b").parquet(src)
+
+    store = str(tmp_path / "state")
+    order_cols = ["ts_ms", "event_type", "value_c"]
+
+    import os
+
+    bucket_dirs = sorted(
+        os.path.join(src, d) for d in os.listdir(src) if d.startswith("b=")
+    )
+    # apply buckets in time order (deterministic micro-batch order)
+    for d in bucket_dirs:
+        cdc.cdc_apply(
+            spark, store, spark.read.parquet(d), ["user_id"], order_cols
+        )
+
+    stored = sorted(
+        map(tuple, spark.read.parquet(store)
+            .select("user_id", "ts_ms", "event_type", "value_c").collect())
+    )
+    oneshot = sorted(
+        map(tuple, cdc.cdc_state(ch, ["user_id"], order_cols)
+            .select("user_id", "ts_ms", "event_type", "value_c").collect())
+    )
+    assert stored == oneshot
+
+    # replay the LAST bucket: state must not change
+    last = spark.read.parquet(bucket_dirs[-1])
+    cdc.cdc_apply(spark, store, last, ["user_id"], order_cols)
+    again = sorted(
+        map(tuple, spark.read.parquet(store)
+            .select("user_id", "ts_ms", "event_type", "value_c").collect())
+    )
+    assert again == stored
