@@ -110,3 +110,38 @@ def cdc_apply(
         "rows_after": n_after,
         "keys_changed": n_keys,
     }
+
+
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot comparison — the data-diff / regression-audit
+    primitive: one FULL OUTER join on the key classifies every key as
+    added / removed / changed / unchanged by null-pattern and value
+    comparison. One shuffle on the key; output is key + change_kind +
+    both sides' compared values (null on the missing side)."""
+    b = before.select(
+        *keys, *[F.col(c).alias(f"b_{c}") for c in compare_cols]
+    )
+    a = after.select(
+        *keys, *[F.col(c).alias(f"a_{c}") for c in compare_cols]
+    )
+    j = b.join(a, keys, "full_outer")
+    b_present = F.col(f"b_{compare_cols[0]}").isNotNull()
+    a_present = F.col(f"a_{compare_cols[0]}").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"b_{c}").eqNullSafe(F.col(f"a_{c}"))
+        same = eq if same is None else (same & eq)
+    kind = (
+        F.when(~b_present & a_present, "added")
+        .when(b_present & ~a_present, "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(*keys, kind.alias("change_kind"),
+                    *[f"b_{c}" for c in compare_cols],
+                    *[f"a_{c}" for c in compare_cols])

@@ -4390,3 +4390,68 @@ WITH ch AS (
 SELECT user_id, ts_ms, event_type, value_c
 FROM latest WHERE rk = 1 AND op <> 'delete'
 """
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-diff under oracle (cdc.snapshot_diff): the CDC state as of
+    a fixed mid-range cutoff versus the final state, every key
+    classified added / removed / changed / unchanged by one FULL OUTER
+    join — the regression-audit primitive a pipeline runs between
+    dataset releases. Keys can be REMOVED here because a later 'error'
+    change deletes a previously-live user (the delete semantics doing
+    real work)."""
+    from flink_essentials_spark.functions import cdc
+    from flink_essentials_spark.queries.util import cents
+
+    cutoff_ms = 1705276800000  # 2024-01-15 UTC, mid-range of events
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_type",
+        cents("value").alias("value_c"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    order_cols = ["ts_ms", "event_type", "value_c"]
+    before = cdc.cdc_state(ev.filter(F.col("ts_ms") < cutoff_ms),
+                           ["user_id"], order_cols)
+    after = cdc.cdc_state(ev, ["user_id"], order_cols)
+    return cdc.snapshot_diff(
+        before, after, ["user_id"], ["ts_ms", "value_c"]
+    )
+
+
+Q_SNAPSHOT_DIFF_SQL = """
+WITH ch AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_c,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              ELSE 'upsert' END AS op
+  FROM events
+), before_s AS (
+  SELECT user_id, ts_ms, value_c FROM (
+    SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY user_id
+             ORDER BY ts_ms DESC, event_type DESC, value_c DESC) AS rk
+    FROM ch WHERE ts_ms < 1705276800000)
+  WHERE rk = 1 AND op <> 'delete'
+), after_s AS (
+  SELECT user_id, ts_ms, value_c FROM (
+    SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY user_id
+             ORDER BY ts_ms DESC, event_type DESC, value_c DESC) AS rk
+    FROM ch)
+  WHERE rk = 1 AND op <> 'delete'
+)
+SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+       CASE WHEN b.ts_ms IS NULL AND a.ts_ms IS NOT NULL THEN 'added'
+            WHEN b.ts_ms IS NOT NULL AND a.ts_ms IS NULL THEN 'removed'
+            WHEN b.ts_ms IS NOT DISTINCT FROM a.ts_ms
+                 AND b.value_c IS NOT DISTINCT FROM a.value_c
+              THEN 'unchanged'
+            ELSE 'changed' END AS change_kind,
+       b.ts_ms AS b_ts_ms, b.value_c AS b_value_c,
+       a.ts_ms AS a_ts_ms, a.value_c AS a_value_c
+FROM before_s b FULL OUTER JOIN after_s a ON b.user_id = a.user_id
+"""
