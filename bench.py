@@ -78,8 +78,10 @@ HEADLINE = [
     "similarity_topk",
     "ivf_topk",
     # r7: the composed IVF-PQ (IVFADC) pipeline — coarse cells +
-    # residual PQ codes + ADC over probed cells
+    # residual PQ codes + ADC over probed cells — and its exact
+    # re-ranking config (the production setup)
     "ivfpq_topk",
+    "ivfpq_refined",
     "embedding_near_dups",
     "quality_score",
     # r7: privacy-audit family (k-anonymity groupBy + scalar total)
@@ -89,6 +91,10 @@ HEADLINE = [
     "next_event_pairs",
     "funnel_conversion",
     "table_profile",
+    # r7: CDC materialization (MERGE latest-per-key) and the per-day
+    # histogram percentiles
+    "cdc_state",
+    "windowed_quantiles",
     "bpe_token_stats",
     # r7: the iterative tokenizer trainer (8 merge rounds; one corpus
     # scan + vocab-sized iterations with localCheckpoint)
