@@ -646,7 +646,11 @@ _REGISTRY: list[Query] = [
     # --- windows (§2.5)
     Query("tumbling_windows", dataflow.q_tumbling_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
     Query("keyed_tumbling_windows", dataflow.q_keyed_tumbling_windows, dataflow.Q_KEYED_TUMBLING_WINDOWS_SQL),
-    Query("sliding_windows", dataflow.q_sliding_windows, dataflow.Q_SLIDING_WINDOWS_SQL),
+    # ROTATION (r7c): sliding_windows demoted (window family is
+    # triple-covered: tumbling + keyed_tumbling above, session below)
+    # → funnel_conversion: the sequential-pattern analytics family's
+    # first driver row (strictly-after stage anchors).
+    Query("funnel_conversion", llmdata.q_funnel_conversion, llmdata.Q_FUNNEL_CONVERSION_SQL),
     # ROTATION (r6): session_windows demoted per the r5 rotation notes
     # (W4 family keeps capped_sessions driver-green + the
     # streaming_session_windows local-gate/bench row on the same
@@ -723,7 +727,10 @@ _REGISTRY: list[Query] = [
     Query("parts_rollup", relational.q_parts_rollup, relational.Q_PARTS_ROLLUP_SQL),
     # --- dedup (§2.11)
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),
-    Query("dedup_jaccard", llmdata.q_dedup_jaccard, llmdata.Q_DEDUP_JACCARD_SQL),
+    # ROTATION (r7c): dedup_jaccard demoted (its exact-Jaccard
+    # arithmetic stays head-visible inside lsh_near_dups' verify step)
+    # → k_anonymity: the privacy-audit family's first driver row.
+    Query("k_anonymity", llmdata.q_k_anonymity, llmdata.Q_K_ANONYMITY_SQL),
     Query("lsh_near_dups", llmdata.q_lsh_near_dups, llmdata.Q_LSH_NEAR_DUPS_SQL),
     # ROTATION (r7b): simhash_pairs demoted (dedup family 6-deep in
     # head: exact/jaccard/lsh/clusters/source_overlap all above) →
@@ -830,8 +837,9 @@ _REGISTRY: list[Query] = [
     Query("psi_drift", llmdata.q_psi_drift, llmdata.Q_PSI_DRIFT_SQL),
     # r7: ANALYZE-style table profiling — one scan, stack() unpivot
     Query("table_profile", llmdata.q_table_profile, llmdata.Q_TABLE_PROFILE_SQL),
-    # r7: ordered funnel (strictly-after anchors, keyed agg+join chain)
-    Query("funnel_conversion", llmdata.q_funnel_conversion, llmdata.Q_FUNNEL_CONVERSION_SQL),
+    # demoted r7c (head slot went to funnel_conversion) — still
+    # oracle-checked here
+    Query("sliding_windows", dataflow.q_sliding_windows, dataflow.Q_SLIDING_WINDOWS_SQL),
     # r7: signed hashing-trick vectorizer (no-vocabulary featurization)
     Query("hashed_features", llmdata.q_hashed_features, llmdata.Q_HASHED_FEATURES_SQL),
     # r7: IVF-PQ + exact re-ranking (the Jégou §5.3 refinement config)
@@ -942,9 +950,9 @@ _REGISTRY: list[Query] = [
     Query("rolling_fingerprint", llmdata.q_rolling_fingerprint, llmdata.Q_ROLLING_FINGERPRINT_SQL),
     Query("pii_redact", llmdata.q_pii_redact, llmdata.Q_PII_REDACT_SQL),
     Query("video_frames", llmdata.q_video_frames, llmdata.Q_VIDEO_FRAMES_SQL),
-    # r7: k-anonymity release audit — distinct-individual counts per
-    # quasi-identifier tuple + at-risk flag + scalar risky total
-    Query("k_anonymity", llmdata.q_k_anonymity, llmdata.Q_K_ANONYMITY_SQL),
+    # demoted r7c (head slot went to k_anonymity; the exact-Jaccard
+    # arithmetic stays head-visible in lsh_near_dups' verify step)
+    Query("dedup_jaccard", llmdata.q_dedup_jaccard, llmdata.Q_DEDUP_JACCARD_SQL),
     # r7: the release MECHANISM sibling — Laplace inverse-CDF noise
     # over deterministic md5 uniforms (oracle-able plumbing; swap the
     # seeded draw for a real RNG in production)
