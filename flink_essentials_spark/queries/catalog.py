@@ -852,6 +852,9 @@ _REGISTRY: list[Query] = [
     Query("cdc_state", llmdata.q_cdc_state, llmdata.Q_CDC_STATE_SQL),
     # r7: snapshot data-diff (full-outer added/removed/changed audit)
     Query("snapshot_diff", llmdata.q_snapshot_diff, llmdata.Q_SNAPSHOT_DIFF_SQL),
+    # r7: time-series subsequence similarity (keyed lead() windows,
+    # all-integer distance, global TakeOrdered top-k)
+    Query("ts_pattern_match", llmdata.q_ts_pattern_match, llmdata.Q_TS_PATTERN_MATCH_SQL),
     Query("customer_distribution", relational.q_customer_distribution, relational.Q_CUSTOMER_DISTRIBUTION_SQL),
     Query("small_qty_revenue", relational.q_small_qty_revenue, relational.Q_SMALL_QTY_REVENUE_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),

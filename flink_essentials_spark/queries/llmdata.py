@@ -4455,3 +4455,66 @@ SELECT COALESCE(b.user_id, a.user_id) AS user_id,
        a.ts_ms AS a_ts_ms, a.value_c AS a_value_c
 FROM before_s b FULL OUTER JOIN after_s a ON b.user_id = a.user_id
 """
+
+
+def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the EDBT 2019
+    streaming-similarity workload, PAPERS.md): every length-4 sliding
+    window of each user's value series is scored against a fixed query
+    pattern by squared Euclidean distance, global top-20 matches win.
+    The windows come from lead() over a KEYED total order (never a
+    global sort), the distance is pure int64 arithmetic on cents
+    (max (5e6)²·4 ≪ 2^53 — exact), and the top-k is
+    TakeOrderedAndProject with full tiebreak (dist, user, pos)."""
+    from flink_essentials_spark.queries.util import cents
+    from pyspark.sql import Window as W
+
+    pattern = [500, 1000, 1500, 2000]  # rising-ramp query, cents
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_type",
+        cents("value").alias("v0"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_type", "v0")
+    win = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("pos"),
+        "v0",
+        F.lead("v0", 1).over(w).alias("v1"),
+        F.lead("v0", 2).over(w).alias("v2"),
+        F.lead("v0", 3).over(w).alias("v3"),
+    ).filter(F.col("v3").isNotNull())
+    dist = sum(
+        (F.col(f"v{i}") - F.lit(p)) * (F.col(f"v{i}") - F.lit(p))
+        for i, p in enumerate(pattern)
+    )
+    return (
+        win.select("user_id", "pos", dist.alias("dist"))
+        .orderBy("dist", "user_id", "pos")
+        .limit(20)
+    )
+
+
+Q_TS_PATTERN_MATCH_SQL = """
+WITH s AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v0
+  FROM events
+), win AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER w AS pos,
+         v0,
+         lead(v0, 1) OVER w AS v1,
+         lead(v0, 2) OVER w AS v2,
+         lead(v0, 3) OVER w AS v3
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_type, v0)
+)
+SELECT user_id, pos,
+       (v0 - 500) * (v0 - 500) + (v1 - 1000) * (v1 - 1000)
+       + (v2 - 1500) * (v2 - 1500) + (v3 - 2000) * (v3 - 2000) AS dist
+FROM win WHERE v3 IS NOT NULL
+ORDER BY dist, user_id, pos
+LIMIT 20
+"""
