@@ -459,3 +459,61 @@ def quantiles(df: DataFrame, col: str, probs: list[float], accuracy: int = 10000
         F.min(col).alias("min_v"),
         F.max(col).alias("max_v"),
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int = 256,
+    salt: str = "bk1:",
+) -> DataFrame:
+    """Deterministic bottom-k uniform sample — the MERGEABLE,
+    unbounded-domain member of the quantile family (the fixed-range
+    histogram's complement): keep the k rows whose md5-prefix hash of
+    the UNIQUE ``id_col`` is smallest. Merging partial sketches is
+    union + re-trim to the k smallest hashes (same operator — pinned
+    ≡ one-shot by test), so per-batch samples maintain a live sample
+    of the whole stream with k rows of state. Engine-neutral hash, so
+    a DuckDB oracle reproduces the exact member set. The plan is
+    TakeOrderedAndProject (distributed partial top-k), never a global
+    sort."""
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("__h", hv).orderBy("__h").limit(k)
+
+
+def bottomk_quantiles(
+    sample: DataFrame, value_col: str, qs: list[float]
+) -> DataFrame:
+    """Quantile estimates off a :func:`bottomk_sample` (k rows — the
+    rank window is over the SKETCH, never the data): the q-quantile is
+    the ceil(q·n)-th smallest sampled value, ties broken by the sample
+    hash for full determinism. Returns (q, est_value, n_sample)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col(value_col), F.col("__h"))
+    ranked = sample.select(
+        F.col(value_col).alias("__v"),
+        F.col("__h"),
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("__n"),
+    )
+    out = None
+    for q in qs:
+        hit = (
+            ranked.filter(
+                F.col("__rk") == F.ceil(F.lit(q) * F.col("__n")).cast("int")
+            )
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.col("__v").alias("est_value"),
+                F.col("__n").cast("long").alias("n_sample"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

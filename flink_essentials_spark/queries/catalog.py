@@ -855,6 +855,8 @@ _REGISTRY: list[Query] = [
     # r7: time-series subsequence similarity (keyed lead() windows,
     # all-integer distance, global TakeOrdered top-k)
     Query("ts_pattern_match", llmdata.q_ts_pattern_match, llmdata.Q_TS_PATTERN_MATCH_SQL),
+    # r7: bottom-k hash-sample quantiles (mergeable, unbounded domain)
+    Query("sample_quantiles", llmdata.q_sample_quantiles, llmdata.Q_SAMPLE_QUANTILES_SQL),
     Query("customer_distribution", relational.q_customer_distribution, relational.Q_CUSTOMER_DISTRIBUTION_SQL),
     Query("small_qty_revenue", relational.q_small_qty_revenue, relational.Q_SMALL_QTY_REVENUE_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),

@@ -4518,3 +4518,42 @@ FROM win WHERE v3 IS NOT NULL
 ORDER BY dist, user_id, pos
 LIMIT 20
 """
+
+
+def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from the deterministic bottom-k hash sample
+    (approx.bottomk_sample) — the UNBOUNDED-domain mergeable member of
+    the quantile family (the fixed-range histogram's complement):
+    256 rows of state regardless of stream size, merge = union +
+    re-trim (≡ one-shot, pinned in tests), and the entire sample
+    membership is engine-neutral md5 arithmetic so DuckDB reproduces
+    the est_values EXACTLY (the sketch is under oracle; its accuracy
+    vs true quantiles is a separate pytest bracket)."""
+    from flink_essentials_spark.functions import approx
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", cents("value").alias("v_c")
+    )
+    sample = approx.bottomk_sample(ev, "event_id", k=256)
+    return approx.bottomk_quantiles(sample, "v_c", [0.25, 0.5, 0.9])
+
+
+Q_SAMPLE_QUANTILES_SQL = """
+WITH s AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v_c,
+         ('0x' || substring(md5('bk1:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events ORDER BY h LIMIT 256
+), ranked AS (
+  SELECT v_c, h, ROW_NUMBER() OVER (ORDER BY v_c, h) AS rk,
+         COUNT(*) OVER () AS n
+  FROM s
+), qq AS (
+  SELECT CAST(0.25 AS DOUBLE) AS q
+  UNION ALL SELECT CAST(0.5 AS DOUBLE)
+  UNION ALL SELECT CAST(0.9 AS DOUBLE)
+)
+SELECT q, v_c AS est_value, CAST(n AS BIGINT) AS n_sample
+FROM ranked CROSS JOIN qq
+WHERE rk = CAST(ceil(q * n) AS INT)
+"""

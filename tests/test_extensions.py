@@ -1142,3 +1142,45 @@ def test_cdc_apply_stream_equals_oneshot_and_replays_idempotently(
             .select("user_id", "ts_ms", "event_type", "value_c").collect())
     )
     assert again == stored
+
+
+def test_bottomk_sample_merges_and_brackets_quantiles(spark):
+    """Bottom-k hash sample contract: (a) per-batch samples merged by
+    union + re-trim equal the one-shot sample EXACTLY (membership is
+    deterministic — the k smallest global hashes); (b) quantile
+    estimates off the 256-row sample bracket the exact percentiles
+    within a loose uniform-sampling tolerance."""
+    from flink_essentials_spark.functions import approx as ax
+    from flink_essentials_spark.queries import util
+
+    t = load_tables(spark, SF_DIR)
+    ev = t["events"].select("event_id", util.cents("value").alias("v_c"))
+
+    oneshot = {
+        r["__h"] for r in ax.bottomk_sample(ev, "event_id", k=64).collect()
+    }
+    parts = [
+        ax.bottomk_sample(ev.filter(F.col("event_id") % 3 == b), "event_id", k=64)
+        for b in range(3)
+    ]
+    merged_df = parts[0]
+    for p in parts[1:]:
+        merged_df = merged_df.unionByName(p)
+    merged = {
+        r["__h"]
+        for r in merged_df.orderBy("__h").limit(64).collect()
+    }
+    assert merged == oneshot and len(oneshot) == 64
+
+    ests = {
+        r["q"]: r["est_value"]
+        for r in ax.bottomk_quantiles(
+            ax.bottomk_sample(ev, "event_id", k=256), "v_c", [0.5]
+        ).collect()
+    }
+    vals = sorted(r["v_c"] for r in ev.collect())
+    exact_p50 = vals[len(vals) // 2]
+    # 256 uniform samples: median standard error ~ 1/(2*sqrt(256)) of
+    # the distribution span — allow 15% of span
+    span = vals[-1] - vals[0]
+    assert abs(ests[0.5] - exact_p50) <= 0.15 * span, (ests, exact_p50)
