@@ -1202,3 +1202,104 @@ def ivfpq_topk_refined(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    eps: float = 0.3,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "far",
+    train_rows_per_cell: int = 256,
+    deterministic_init: bool = False,
+    approx_rows: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication in embedding space — cluster with k-means, then
+    within each cluster greedily drop any member whose cosine
+    similarity to a HIGHER-PRIORITY member reaches ``eps``.
+
+    Priority is the paper's ordering: members sort by similarity to
+    their cluster centroid (``keep="far"`` keeps low-centroid-sim
+    examples first — the configuration the paper found best preserves
+    diversity; ``keep="near"`` keeps prototypical examples first),
+    ties broken by id. A member is a duplicate iff its max cosine to
+    any EARLIER member in that order is >= ``eps`` — exactly the
+    upper-triangular-max formulation of the reference implementation,
+    independent of whether the earlier member was itself dropped.
+
+    Scale shape: the quadratic pairwise step never leaves a cluster —
+    k-means (bounded driver sample, see :func:`_train_ivf_centers`)
+    splits the corpus into ``n_cells`` cells, one distributed BLAS
+    assignment pass (:func:`_assign_cells`), then ONE applyInPandas
+    task per cell computes its chunked Gram matrix (1024-row strips,
+    so peak memory is strip × cell, not cell²). Size ``n_cells`` ≈
+    corpus/target_cell so a cell fits an executor — the same knob the
+    paper runs at web scale. Cross-cluster near-dups are invisible by
+    construction (the paper's accepted approximation; raise
+    ``n_cells`` quality via more Lloyd iterations, or catch the
+    residue with the exact :func:`cosine_all_pairs` on the survivors).
+
+    Returns one row per input: (id, cell, cent_sim, max_prior_sim,
+    is_dup) — ``cent_sim`` doubles as the D4/prototypicality curation
+    score. All similarities round to 6 (DuckDB-reproducible); with
+    ``deterministic_init`` the WHOLE pipeline (centers = lowest-id
+    vectors, zero Lloyd iterations = k-means' t=0) is under full SQL
+    oracle in the registry (Q_SEMANTIC_DEDUP_SQL).
+    """
+    import numpy as np
+
+    if keep not in ("far", "near"):
+        raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
+    corpus_v = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    if deterministic_init:
+        centers = _first_vectors_by_id(corpus_v, n_cells)
+    else:
+        centers = _train_ivf_centers(
+            corpus_v, n_cells, train_rows_per_cell, approx_rows=approx_rows
+        )
+    assigned = _assign_cells(corpus_v, centers)
+    cnorm = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    far = keep == "far"
+
+    def dedup_cell(pdf):
+        import pandas as pd
+
+        cell = int(pdf["cell"].iloc[0])
+        ids = pdf["neighbor_id"].to_numpy(np.int64)
+        M = np.array(pdf["cv"].tolist(), dtype=np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        cs = np.round(Mn @ cnorm[cell], 6)
+        order = np.lexsort((ids, cs if far else -cs))
+        Mo, ids_o, cs_o = Mn[order], ids[order], cs[order]
+        n = len(ids_o)
+        mx = np.full(n, -np.inf)
+        for s in range(0, n, 1024):
+            e = min(s + 1024, n)
+            S = np.round(Mo[s:e] @ Mo[:e].T, 6)
+            S = np.where(
+                np.arange(e)[None, :] < np.arange(s, e)[:, None], S, -np.inf
+            )
+            mx[s:e] = S.max(axis=1)
+        seen = np.isfinite(mx)
+        return pd.DataFrame(
+            {
+                id_col: ids_o,
+                "cell": np.int32(cell),
+                "cent_sim": cs_o,
+                # None (not NaN) where no prior member exists — Spark
+                # NULL, matching the oracle's LEFT-JOIN-no-match
+                "max_prior_sim": [float(v) if f else None for v, f in zip(mx, seen)],
+                "is_dup": seen & (mx >= eps),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        dedup_cell,
+        f"{id_col} long, cell int, cent_sim double, "
+        "max_prior_sim double, is_dup boolean",
+    )

@@ -857,6 +857,11 @@ _REGISTRY: list[Query] = [
     Query("ts_pattern_match", llmdata.q_ts_pattern_match, llmdata.Q_TS_PATTERN_MATCH_SQL),
     # r7: bottom-k hash-sample quantiles (mergeable, unbounded domain)
     Query("sample_quantiles", llmdata.q_sample_quantiles, llmdata.Q_SAMPLE_QUANTILES_SQL),
+    # r7d: SemDeDup (Abbas et al. 2023) — embedding-space semantic
+    # dedup: k-means cells + within-cell priority-ordered greedy drop,
+    # cent_sim doubling as the D4 prototypicality score. Full oracle
+    # via deterministic init (the IVFADC t=0 trick).
+    Query("semantic_dedup", llmdata.q_semantic_dedup, llmdata.Q_SEMANTIC_DEDUP_SQL),
     Query("customer_distribution", relational.q_customer_distribution, relational.Q_CUSTOMER_DISTRIBUTION_SQL),
     Query("small_qty_revenue", relational.q_small_qty_revenue, relational.Q_SMALL_QTY_REVENUE_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),

@@ -1112,6 +1112,63 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) under FULL oracle: 4 deterministic
+    k-means cells (lowest-id init, zero Lloyd — the same t=0 point the
+    IVFADC oracle uses), members priority-ordered by centroid
+    similarity ASC (the paper's keep-far-from-centroid configuration),
+    a member is a duplicate iff its max cosine to any earlier member
+    reaches 0.3. DuckDB replicates every stage: L2 argmin assignment,
+    round-6 centroid sims, the priority ROW_NUMBER, and the
+    upper-triangular max via a prio<prio self-join. The Lloyd-trained
+    default path is pinned by tests/test_similarity_pq.py instead."""
+    t = load_tables(spark, sf_dir)
+    return similarity.semantic_dedup(
+        t["embeddings"], eps=0.3, n_cells=4, keep="far", deterministic_init=True
+    )
+
+
+Q_SEMANTIC_DEDUP_SQL = """
+WITH ev AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ctr AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+  FROM (SELECT * FROM ev ORDER BY vec_id LIMIT 4)
+), asg AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, t.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, e.v)
+                      - 2 * list_dot_product(e.v, t.c)
+                      + list_dot_product(t.c, t.c), t.cell) AS crk
+    FROM ev e CROSS JOIN ctr t)
+  WHERE crk = 1
+), cs AS (
+  SELECT a.vec_id, a.v, a.cell,
+         round(list_dot_product(a.v, t.c)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(t.c, t.c))), 6) AS cent_sim
+  FROM asg a JOIN ctr t USING (cell)
+), pri AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY cell ORDER BY cent_sim ASC, vec_id) AS prio
+  FROM cs
+), mx AS (
+  SELECT a.vec_id,
+         max(round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6)) AS mps
+  FROM pri a JOIN pri b ON a.cell = b.cell AND b.prio < a.prio
+  GROUP BY a.vec_id
+)
+SELECT p.vec_id, p.cell, p.cent_sim,
+       m.mps AS max_prior_sim,
+       COALESCE(m.mps >= 0.3, FALSE) AS is_dup
+FROM pri p LEFT JOIN mx m ON p.vec_id = m.vec_id
+"""
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (GPT-2 pre-tokenizer regex, JVM-side)."""
     from flink_essentials_spark.functions.text import bpe_token_stats

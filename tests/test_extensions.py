@@ -1184,3 +1184,84 @@ def test_bottomk_sample_merges_and_brackets_quantiles(spark):
     # the distribution span — allow 15% of span
     span = vals[-1] - vals[0]
     assert abs(ests[0.5] - exact_p50) <= 0.15 * span, (ests, exact_p50)
+
+
+# --- SemDeDup ----------------------------------------------------------------
+
+
+def test_semantic_dedup_single_cell_equals_numpy_greedy(spark):
+    """n_cells=1 degenerates to global greedy dedup: an independent
+    numpy reimplementation (sort by round-6 centroid sim ASC then id,
+    upper-triangular max >= eps) must reproduce every flag and every
+    max_prior_sim exactly."""
+    import numpy as np
+
+    from flink_essentials_spark.functions.similarity import semantic_dedup
+
+    emb = load_tables(spark, SF_DIR)["embeddings"].filter(F.col("vec_id") < 120)
+    got = {
+        r["vec_id"]: (r["is_dup"], r["max_prior_sim"])
+        for r in semantic_dedup(
+            emb, eps=0.3, n_cells=1, keep="far", deterministic_init=True
+        ).collect()
+    }
+
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([i for i, _ in rows])
+    M = np.array([v for _, v in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    c = Mn[0]  # center = lowest-id vector, normalized
+    cs = np.round(Mn @ c, 6)
+    order = np.lexsort((ids, cs))
+    S = np.round(Mn[order] @ Mn[order].T, 6)
+    for pos, idx in enumerate(order):
+        vid = int(ids[idx])
+        if pos == 0:
+            assert got[vid] == (False, None)
+        else:
+            mps = S[pos, :pos].max()
+            assert got[vid][0] == bool(mps >= 0.3)
+            assert got[vid][1] == pytest.approx(mps, abs=0)
+    assert len(got) == len(ids)
+
+
+def test_semantic_dedup_lloyd_survivor_property(spark):
+    """Default Lloyd-trained path: one output row per input, is_dup ⇔
+    max_prior_sim >= eps, the first-priority member of every cell
+    survives with NULL max_prior_sim, and — the algorithm's guarantee —
+    no two SURVIVORS in the same cell have cosine >= eps (every later
+    survivor counts every earlier survivor among its priors)."""
+    import numpy as np
+
+    from flink_essentials_spark.functions.similarity import semantic_dedup
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    eps = 0.25
+    out = semantic_dedup(emb, eps=eps, n_cells=4, keep="far").collect()
+    assert len(out) == emb.count()
+    firsts = 0
+    for r in out:
+        if r["max_prior_sim"] is None:
+            firsts += 1
+            assert not r["is_dup"]
+        else:
+            assert r["is_dup"] == (r["max_prior_sim"] >= eps)
+    assert firsts == 4  # exactly one priority-first member per cell
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    by_cell: dict[int, list[int]] = {}
+    for r in out:
+        if not r["is_dup"]:
+            by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    for cell, members in by_cell.items():
+        K = np.array([vecs[m] for m in members])
+        Kn = K / np.linalg.norm(K, axis=1, keepdims=True)
+        S = np.round(Kn @ Kn.T, 6)
+        np.fill_diagonal(S, -1.0)
+        assert S.max() < eps, f"cell {cell} kept a near-dup pair"
