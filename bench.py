@@ -73,6 +73,9 @@ HEADLINE = [
     # training-data extensions
     "wordcount",
     "dedup_exact",
+    # r8: stride-1 exact-substring span dedup (the suffix-array member
+    # — heaviest dedup scan: one (pos, hash) pair per character)
+    "duplicate_spans",
     "lsh_near_dups",
     "simhash_pairs",
     "similarity_topk",

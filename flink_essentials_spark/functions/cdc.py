@@ -10,10 +10,15 @@ Two layers:
 - :func:`cdc_apply` — merge that compacted batch into a parquet store:
   matched keys are replaced (or removed, when the latest op is a
   delete), new keys append. Same crash-safe two-rename swap as
-  sinks.upsert_parquet. APPLY IS IDEMPOTENT: re-applying the same
-  batch reproduces the same state (latest-per-key replacement has no
-  additive component), so at-least-once foreachBatch replays are safe
-  with no epoch bookkeeping — unlike SUM-merging rollups.
+  sinks.upsert_parquet, PLUS entry-time recovery of an interrupted
+  swap: a crash between the two renames leaves the pre-merge state in
+  a ``.precdc-*`` sibling and nothing at ``path`` — on the next apply
+  that sibling is renamed back before the missing-path first-create
+  branch can reinitialize the store from a single batch. APPLY IS
+  IDEMPOTENT: re-applying the same batch reproduces the same state
+  (latest-per-key replacement has no additive component), so
+  at-least-once foreachBatch replays are safe with no epoch
+  bookkeeping — unlike SUM-merging rollups.
 
 At 100 TB: partition the store on a key prefix and run the same merge
 per affected partition; with a table format, MERGE INTO is this exact
@@ -75,14 +80,34 @@ def cdc_apply(
     """Merge one change batch into the parquet store at ``path``
     (created if absent): compact the batch to latest-per-key, drop
     every matched key from the current state, then add back the
-    non-delete survivors. Crash-safe two-rename swap; idempotent under
-    re-application of the same batch.
+    non-delete survivors. Crash-safe two-rename swap with entry-time
+    recovery of an interrupted swap; idempotent under re-application
+    of the same batch.
 
     Returns {"rows_before", "rows_after", "keys_changed"}."""
+    import glob
     import os
     import shutil
     import tempfile
     import uuid as _uuid
+
+    orphans = sorted(
+        glob.glob(path.rstrip("/") + ".precdc-*"), key=os.path.getmtime
+    )
+    if orphans:
+        if os.path.isdir(path):
+            # the swap completed before the crash — the live dir is the
+            # merged state; the orphans are dead pre-merge copies
+            for o in orphans:
+                shutil.rmtree(o)
+        else:
+            # crashed BETWEEN the two renames: the newest orphan IS the
+            # pre-merge state. Restore it so this (replayed) batch
+            # merges into real prior state instead of taking the
+            # first-create branch and silently dropping history.
+            os.rename(orphans[-1], path)
+            for o in orphans[:-1]:
+                shutil.rmtree(o)
 
     latest = cdc_latest(changes, keys, order_cols, op_col)
     survivors = latest.filter(F.col(op_col) != delete_op)

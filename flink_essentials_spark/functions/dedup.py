@@ -22,7 +22,7 @@ oracle reproduces every stage bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_essentials_spark.functions.text import word_hash
@@ -614,6 +614,89 @@ def char_window_dups(
         (F.col("n_dup_windows").cast("double") / F.col("n_windows")).alias(
             "dup_ratio"
         ),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-substring SPANS at stride 1 — the suffix-array
+    member of the family (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): a position p in doc d is
+    duplicated iff the length-``window`` substring starting at p
+    appears verbatim in ANOTHER document, and overlapping/adjacent
+    duplicated positions merge into maximal spans. Any cross-document
+    match of length >= ``window`` contains a shared window at SOME
+    stride-1 offset under every alignment — the guarantee
+    :func:`char_window_dups`'s strided form trades away — so the spans
+    are exactly the characters participating in such a match, which is
+    what the paper's suffix array computes.
+
+    Plan (no suffix array materialization, no string shuffle): the
+    scan stage explodes one (pos, xxhash64(window)) pair per offset —
+    16-byte rows, the text itself never leaves the scan; one
+    groupBy(hash) finds hashes seen in >= 2 distinct docs; the
+    surviving positions join back (8-byte key) and merge per doc via
+    gaps-and-islands over a KEYED window (no global sort). Window
+    equality is 64-bit-hash equality, the same contract as
+    char_window_dups / source_overlap (collision odds ~ n²/2⁶⁴; the
+    DuckDB oracle groups by the window STRING, so the gate itself
+    cross-checks the hash grouping). Returns one row per maximal span:
+    (doc_id, span_start, span_end, span_len, n_windows), 1-based
+    inclusive character positions.
+    """
+    L = F.length(F.col(text_col))
+    idx = F.when(
+        L >= window,
+        F.sequence(F.lit(1), (L - window + 1).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("__t"),
+            F.explode(idx).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.expr(f"substring(__t, pos, {window})")).alias(
+                "whash"
+            ),
+        )
+    )
+    shared = (
+        wins.groupBy("whash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("whash")
+    )
+    # no distinct needed: wins is unique per (doc, pos) by construction
+    # and shared is unique per hash — the join cannot duplicate
+    dup_pos = wins.join(shared, "whash").select("doc_id", "pos")
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    # merge [p, p+window) intervals: a new island starts when the gap
+    # to the previous duplicated position exceeds the window length
+    # (first row: NULL condition -> otherwise -> 1, both engines)
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(by_doc) <= window, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = dup_pos.withColumn("__brk", brk).withColumn(
+        "__isl", F.sum("__brk").over(by_doc)
+    )
+    return (
+        islands.groupBy("doc_id", "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).cast("long").alias("span_end"),
+            (F.max("pos") + F.lit(window) - F.min("pos"))
+            .cast("long")
+            .alias("span_len"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
     )
 
 

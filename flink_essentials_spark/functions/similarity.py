@@ -379,10 +379,16 @@ def _assign_cells(corpus_v, centers):
             if not len(pdf):
                 continue
             M = np.array(pdf["cv"].tolist(), dtype=np.float64)
-            # argmin ||x-c||² = argmax (x·c − ½||c||²): one matmul
-            scores = M @ centers.T - 0.5 * (centers**2).sum(axis=1)
+            # SAME algebraic form as the oracle's assignment ORDER BY —
+            # (v·v − 2 v·c) + c·c, not the ½||c||² matmul shortcut — so
+            # both engines rank the same operand values to within
+            # summation-order ulps (r7 ADVICE: forms differing by more
+            # than accumulation order can flip a near-tie)
+            D = ((M * M).sum(axis=1)[:, None] - 2.0 * (M @ centers.T)) + (
+                centers * centers
+            ).sum(axis=1)
             out = pdf[["neighbor_id", "cv"]].copy()
-            out["cell"] = scores.argmax(axis=1).astype(np.int32)
+            out["cell"] = D.argmin(axis=1).astype(np.int32)
             yield out
 
     return corpus_v.mapInPandas(
@@ -735,9 +741,11 @@ def pq_encode(
             codes = np.empty((len(M), m_sub), dtype=np.int32)
             for m in range(m_sub):
                 S = M[:, m * dsub : (m + 1) * dsub]
-                # argmin ||s-c||² = argmax (s·c − ½||c||²)
-                scores = S @ books[m].T - 0.5 * (books[m] ** 2).sum(axis=1)
-                codes[:, m] = scores.argmax(axis=1)
+                # oracle's expanded form (s·s − 2 s·e) + e·e, argmin
+                D = ((S * S).sum(axis=1)[:, None] - 2.0 * (S @ books[m].T)) + (
+                    books[m] * books[m]
+                ).sum(axis=1)
+                codes[:, m] = D.argmin(axis=1)
             out = pdf[[id_col]].copy()
             out.columns = ["neighbor_id"]
             out["codes"] = list(codes)
@@ -788,7 +796,13 @@ def pq_topk(
         lut = np.empty((m_sub, n_codes))
         for m in range(m_sub):
             qs = qv[m * dsub : (m + 1) * dsub]
-            lut[m] = ((books[m] - qs) ** 2).sum(axis=1)
+            # oracle's expanded form (q·q − 2 q·e) + e·e — the rounded
+            # adc_dist must agree with DuckDB at the round(,6) boundary
+            # to summation-order ulps, so both sides evaluate the same
+            # operands in the same association
+            lut[m] = ((qs @ qs) - 2.0 * (books[m] @ qs)) + (
+                books[m] * books[m]
+            ).sum(axis=1)
         luts[int(r[0])] = lut
 
     def score(batches):
@@ -874,11 +888,14 @@ def _first_vectors_by_id(corpus_v, n: int):
 
 
 def _ivfpq_assign(X, centers):
-    """Nearest cell + residual per row (argmin ||x-c||² via the matmul
-    identity; ties -> lowest cell, matching the oracle's ORDER BY
-    d2, cell)."""
-    scores = X @ centers.T - 0.5 * (centers**2).sum(axis=1)
-    cells = scores.argmax(axis=1)
+    """Nearest cell + residual per row. Distances use the oracle's own
+    expanded form (v·v − 2 v·c) + c·c — not the ½||c||² matmul
+    shortcut — so a near-tie ranks identically in both engines; argmin
+    ties -> lowest cell, matching the oracle's ORDER BY d2, cell."""
+    D = ((X * X).sum(axis=1)[:, None] - 2.0 * (X @ centers.T)) + (
+        centers * centers
+    ).sum(axis=1)
+    cells = D.argmin(axis=1)
     return X - centers[cells], cells
 
 
@@ -1004,8 +1021,11 @@ def ivfpq_encode(
             codes = np.empty((len(M), m_sub), dtype=np.int32)
             for m in range(m_sub):
                 S = R[:, m * dsub : (m + 1) * dsub]
-                sc = S @ books[m].T - 0.5 * (books[m] ** 2).sum(axis=1)
-                codes[:, m] = sc.argmax(axis=1)
+                # oracle's expanded form (r·r − 2 r·e) + e·e, argmin
+                D = ((S * S).sum(axis=1)[:, None] - 2.0 * (S @ books[m].T)) + (
+                    books[m] * books[m]
+                ).sum(axis=1)
+                codes[:, m] = D.argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf["neighbor_id"].to_numpy(),
@@ -1017,6 +1037,31 @@ def ivfpq_encode(
     return corpus_v.mapInPandas(
         enc, "neighbor_id long, cell int, codes array<int>"
     )
+
+
+def _probe_residuals(q_rows, centers, n_probe):
+    """Per-query probe list + residual payload for :func:`ivfpq_search`:
+    for each query, its ``n_probe`` nearest cells (stable argsort, ties
+    by cell id) and the d-dim residual against each probed centroid.
+    The residual dict is what ships to executors — d doubles per probe,
+    NOT the (m_sub × n_codes) LUT, so the payload is independent of the
+    PQ codebook size (pinned by test_ivfpq_residual_payload_bounded)."""
+    import numpy as np
+
+    residuals = {}
+    probe_rows = []
+    for r in q_rows:
+        qid = int(r[0])
+        qv = np.asarray(list(r[1]), dtype=np.float64)
+        # oracle's expanded probe ordering (q·q − 2 q·c) + c·c
+        d2 = ((qv @ qv) - 2.0 * (centers @ qv)) + (centers * centers).sum(
+            axis=1
+        )
+        for cell in np.argsort(d2, kind="stable")[:n_probe]:
+            cell = int(cell)
+            residuals[(qid, cell)] = qv - centers[cell]
+            probe_rows.append((qid, cell))
+    return residuals, probe_rows
 
 
 def ivfpq_search(
@@ -1041,27 +1086,23 @@ def ivfpq_search(
 
     Output (query_id, neighbor_id, adc_dist, rk) — same shape as
     pq_topk; on unit-norm embeddings the L2 ranking is the cosine
-    ranking (recall-floor vs exact cosine pinned in tests)."""
+    ranking (recall-floor vs exact cosine pinned in tests).
+
+    LUTs are NOT built driver-side: the driver ships only each query's
+    d-dim residual per probed cell (an ``sc.broadcast``, torrent-
+    distributed once per executor — not a per-task pickled closure),
+    and each worker derives the (m_sub × n_codes) LUT from the
+    broadcast codebooks on first use (microseconds of numpy, memoized
+    per task). Payload per probe is d doubles, independent of
+    m_sub × n_codes — a 100k-query batch at d=64/n_probe=8 ships
+    ~410 MB of residuals where the 8×256 LUTs would be ~13 GB."""
     import numpy as np
 
     m_sub, n_codes, dsub = books.shape
     spark = codes_df.sparkSession
     q_rows = queries.select(id_col, vec_col).collect()
-    luts = {}
-    probe_rows = []
-    for r in q_rows:
-        qid = int(r[0])
-        qv = np.asarray(list(r[1]), dtype=np.float64)
-        d2 = ((centers - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d2, kind="stable")[:n_probe]:
-            cell = int(cell)
-            qr = qv - centers[cell]
-            lut = np.empty((m_sub, n_codes))
-            for m in range(m_sub):
-                qs = qr[m * dsub : (m + 1) * dsub]
-                lut[m] = ((books[m] - qs) ** 2).sum(axis=1)
-            luts[(qid, cell)] = lut
-            probe_rows.append((qid, cell))
+    residuals, probe_rows = _probe_residuals(q_rows, centers, n_probe)
+    bc = spark.sparkContext.broadcast((books, residuals))
     probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
     # STATIC filter on the union of probed cells: on a cell-partitioned
     # store this is planning-time partition pruning (the un-probed
@@ -1074,11 +1115,30 @@ def ivfpq_search(
     def score(batches):
         import pandas as pd
 
+        w_books, w_res = bc.value
+        lut_cache = {}
+
+        def lut_for(key):
+            lut = lut_cache.get(key)
+            if lut is None:
+                qr = w_res[key]
+                lut = np.empty((m_sub, n_codes))
+                for m in range(m_sub):
+                    qs = qr[m * dsub : (m + 1) * dsub]
+                    # oracle's expanded form (r·r − 2 r·e) + e·e (see
+                    # pq_topk: rounded adc_dist parity at the round(,6)
+                    # boundary needs identical operands/association)
+                    lut[m] = ((qs @ qs) - 2.0 * (w_books[m] @ qs)) + (
+                        w_books[m] * w_books[m]
+                    ).sum(axis=1)
+                lut_cache[key] = lut
+            return lut
+
         for pdf in batches:
             if not len(pdf):
                 continue
             for (qid, cell), g in pdf.groupby(["query_id", "cell"]):
-                lut = luts[(int(qid), int(cell))]
+                lut = lut_for((int(qid), int(cell)))
                 C = np.array(g["codes"].tolist(), dtype=np.int64)
                 dist = lut[np.arange(m_sub)[None, :], C].sum(axis=1)
                 yield pd.DataFrame(
@@ -1263,7 +1323,7 @@ def semantic_dedup(
             corpus_v, n_cells, train_rows_per_cell, approx_rows=approx_rows
         )
     assigned = _assign_cells(corpus_v, centers)
-    cnorm = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    cnorms = np.linalg.norm(centers, axis=1)
     far = keep == "far"
 
     def dedup_cell(pdf):
@@ -1272,15 +1332,23 @@ def semantic_dedup(
         cell = int(pdf["cell"].iloc[0])
         ids = pdf["neighbor_id"].to_numpy(np.int64)
         M = np.array(pdf["cv"].tolist(), dtype=np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        cs = np.round(Mn @ cnorm[cell], 6)
+        # dot-then-divide, the oracle's exact cosine form
+        # dot(a,b)/(sqrt(dot(a,a))·sqrt(dot(b,b))) — NOT normalize-then-
+        # dot, which evaluates different FP operands and could disagree
+        # at a round(,6) boundary (r7 ADVICE)
+        norms = np.linalg.norm(M, axis=1)
+        cs = np.round((M @ centers[cell]) / (norms * cnorms[cell]), 6)
         order = np.lexsort((ids, cs if far else -cs))
-        Mo, ids_o, cs_o = Mn[order], ids[order], cs[order]
+        Mo, ids_o, cs_o, norms_o = M[order], ids[order], cs[order], norms[order]
         n = len(ids_o)
         mx = np.full(n, -np.inf)
         for s in range(0, n, 1024):
             e = min(s + 1024, n)
-            S = np.round(Mo[s:e] @ Mo[:e].T, 6)
+            S = np.round(
+                (Mo[s:e] @ Mo[:e].T)
+                / (norms_o[s:e, None] * norms_o[None, :e]),
+                6,
+            )
             S = np.where(
                 np.arange(e)[None, :] < np.arange(s, e)[:, None], S, -np.inf
             )

@@ -644,7 +644,13 @@ _REGISTRY: list[Query] = [
     # shape, a relational plan family the head never had.
     Query("min_cost_supplier", relational.q_min_cost_supplier, relational.Q_MIN_COST_SUPPLIER_SQL),
     # --- windows (§2.5)
-    Query("tumbling_windows", dataflow.q_tumbling_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
+    # ROTATION (r8): tumbling_windows demoted (window family stays
+    # driver-covered by keyed_tumbling_windows on the same assignment
+    # arithmetic; W1's unkeyed form stays locally oracle-checked) →
+    # psi_drift: the model-monitoring family's first driver row
+    # (population-stability index between stream halves, floor-div
+    # integer midpoint on both engines).
+    Query("psi_drift", llmdata.q_psi_drift, llmdata.Q_PSI_DRIFT_SQL),
     Query("keyed_tumbling_windows", dataflow.q_keyed_tumbling_windows, dataflow.Q_KEYED_TUMBLING_WINDOWS_SQL),
     # ROTATION (r7c): sliding_windows demoted (window family is
     # triple-covered: tumbling + keyed_tumbling above, session below)
@@ -667,13 +673,22 @@ _REGISTRY: list[Query] = [
     # --- keyed/rolling agg (§2.4)
     Query("rolling_user_counts", dataflow.q_rolling_user_counts, dataflow.Q_ROLLING_USER_COUNTS_SQL),
     # --- multi-stream (§2.7)
-    Query("union_streams", dataflow.q_union_streams, dataflow.Q_UNION_STREAMS_SQL),
+    # ROTATION (r8): union_streams demoted (J1's union-then-aggregate
+    # shape is plan-trivial and the multi-stream family keeps THREE
+    # driver rows: window_join / interval_join / connect_tagged) →
+    # dp_release: the differential-privacy release mechanism, the
+    # privacy family's MECHANISM sibling to k_anonymity's audit.
+    Query("dp_release", llmdata.q_dp_release, llmdata.Q_DP_RELEASE_SQL),
     Query("window_join", dataflow.q_window_join, dataflow.Q_WINDOW_JOIN_SQL),
     Query("interval_join", dataflow.q_interval_join, dataflow.Q_INTERVAL_JOIN_SQL),
     Query("connect_tagged", dataflow.q_connect_tagged, dataflow.Q_CONNECT_TAGGED_SQL),
     # --- keyed state analogs (§2.9)
     Query("map_state_counts", dataflow.q_map_state_counts, dataflow.Q_MAP_STATE_COUNTS_SQL),
-    Query("first_window_counts", dataflow.q_first_window_counts, dataflow.Q_FIRST_WINDOW_COUNTS_SQL),
+    # ROTATION (r8): first_window_counts demoted (ST1/ST3 keyed-state
+    # analogs stay driver-covered by map_state_counts; the first-seen
+    # window form stays locally oracle-checked) → table_profile: the
+    # ANALYZE-style one-scan column-profiling family (stack() unpivot).
+    Query("table_profile", llmdata.q_table_profile, llmdata.Q_TABLE_PROFILE_SQL),
     # --- triggers & evictors (§2.6) — the stateful operator itself under oracle
     Query("count_trigger_fires", dataflow.q_count_trigger_fires, dataflow.Q_COUNT_TRIGGER_FIRES_SQL),
     # ROTATION (r5b): count_evictor_fires demoted (trigger/evictor
@@ -724,7 +739,12 @@ _REGISTRY: list[Query] = [
     # --- set ops / time & dimensional rollups (promoted r3)
     Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
     Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
-    Query("parts_rollup", relational.q_parts_rollup, relational.Q_PARTS_ROLLUP_SQL),
+    # ROTATION (r8): parts_rollup demoted (the ROLLUP grouping-set plan
+    # family stays driver-covered by time_rollup on another dimension
+    # pair) → sample_quantiles: the bottom-k hash-sample quantile
+    # sketch — the mergeable unbounded-domain percentile member, whose
+    # 256-row deterministic membership is itself under oracle.
+    Query("sample_quantiles", llmdata.q_sample_quantiles, llmdata.Q_SAMPLE_QUANTILES_SQL),
     # --- dedup (§2.11)
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),
     # ROTATION (r7c): dedup_jaccard demoted (its exact-Jaccard
@@ -747,10 +767,22 @@ _REGISTRY: list[Query] = [
     # bench query — r4 verdict #4).
     Query("source_overlap", llmdata.q_source_overlap, llmdata.Q_SOURCE_OVERLAP_SQL),
     # --- similarity search (§2.11)
-    Query("similarity_topk", llmdata.q_similarity_topk, llmdata.Q_SIMILARITY_TOPK_SQL),
+    # ROTATION (r8): similarity_topk demoted (brute-force cosine top-k
+    # is the ANN family's BASELINE; the family keeps ivfpq_topk driver-
+    # green above and the exact-cosine arithmetic stays head-visible in
+    # embedding_near_dups and ivfpq_refined's re-rank) → ivfpq_refined:
+    # the production ANN configuration (ADC shortlist → exact re-rank,
+    # Jégou §5.3), recall ≥ plain ADC pinned in tests.
+    Query("ivfpq_refined", llmdata.q_ivfpq_refined, llmdata.Q_IVFPQ_REFINED_SQL),
     Query("embedding_near_dups", llmdata.q_embedding_near_dups, llmdata.Q_EMBEDDING_NEAR_DUPS_SQL),
     # --- text analysis (§2.11)
-    Query("bpe_token_stats", llmdata.q_bpe_token_stats, llmdata.Q_BPE_TOKEN_STATS_SQL),
+    # ROTATION (r8): bpe_token_stats demoted (the BPE family is now
+    # covered DEEPER driver-side: bpe_trained_merges below + the
+    # promoted encode composition; the regex token counter stays
+    # locally oracle-checked) → bpe_encoded_docs: trained merges
+    # APPLIED to the vocabulary, per-doc token economics joined back —
+    # train→encode under one unrolled-CTE oracle.
+    Query("bpe_encoded_docs", llmdata.q_bpe_encoded_docs, llmdata.Q_BPE_ENCODED_DOCS_SQL),
     Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
     # ROTATION (r7): language_id_ngram demoted (language family stays
     # covered by quality_score head + language_id tail) → heavy_hitters:
@@ -764,9 +796,23 @@ _REGISTRY: list[Query] = [
     # pytest-pinned) → zorder_keys: Z-order layout keys, the
     # multi-dimensional data-skipping family's first driver row.
     Query("zorder_keys", llmdata.q_zorder_keys, llmdata.Q_ZORDER_KEYS_SQL),
-    Query("contamination", llmdata.q_contamination, llmdata.Q_CONTAMINATION_SQL),
+    # ROTATION (r8): contamination demoted (the distinct-(source,
+    # shingle)-overlap audit family stays driver-covered by
+    # source_overlap above on the same shingle machinery) →
+    # semantic_dedup: SemDeDup (Abbas et al. 2023) — embedding-space
+    # dedup via k-means cells + within-cell priority-ordered greedy
+    # drop, cent_sim doubling as the D4 prototypicality score; full
+    # oracle via deterministic init (the IVFADC t=0 trick).
+    Query("semantic_dedup", llmdata.q_semantic_dedup, llmdata.Q_SEMANTIC_DEDUP_SQL),
     Query("pack_sequences", llmdata.q_pack_sequences, llmdata.Q_PACK_SEQUENCES_SQL),
-    Query("repetition_stats", llmdata.q_repetition_stats, llmdata.Q_REPETITION_STATS_SQL),
+    # ROTATION (r8b): repetition_stats demoted (text-quality scan
+    # family stays driver-covered by quality_score) → duplicate_spans:
+    # the NEW stride-1 exact-substring span dedup (Lee et al. 2022
+    # suffix-array member — the r7 verdict's one named-algorithm gap;
+    # char_dups' strided form remains the linear-cost approximation),
+    # mid-text misaligned-spike fixture, string-grouped oracle
+    # cross-checking the engine's hash grouping.
+    Query("duplicate_spans", llmdata.q_duplicate_spans, llmdata.Q_DUPLICATE_SPANS_SQL),
     Query("stratified_sample", llmdata.q_stratified_sample, llmdata.Q_STRATIFIED_SAMPLE_SQL),
     Query("training_pipeline", llmdata.q_training_pipeline, llmdata.Q_TRAINING_PIPELINE_SQL),
     # --- corpus audit / analytics breadth (promoted r4)
@@ -834,16 +880,13 @@ _REGISTRY: list[Query] = [
     # window), PSI drift report between stream halves
     Query("readability", llmdata.q_readability, llmdata.Q_READABILITY_SQL),
     Query("next_event_pairs", llmdata.q_next_event_pairs, llmdata.Q_NEXT_EVENT_PAIRS_SQL),
-    Query("psi_drift", llmdata.q_psi_drift, llmdata.Q_PSI_DRIFT_SQL),
-    # r7: ANALYZE-style table profiling — one scan, stack() unpivot
-    Query("table_profile", llmdata.q_table_profile, llmdata.Q_TABLE_PROFILE_SQL),
+    # psi_drift / table_profile promoted r8 (see head rotation notes)
     # demoted r7c (head slot went to funnel_conversion) — still
     # oracle-checked here
     Query("sliding_windows", dataflow.q_sliding_windows, dataflow.Q_SLIDING_WINDOWS_SQL),
     # r7: signed hashing-trick vectorizer (no-vocabulary featurization)
     Query("hashed_features", llmdata.q_hashed_features, llmdata.Q_HASHED_FEATURES_SQL),
-    # r7: IVF-PQ + exact re-ranking (the Jégou §5.3 refinement config)
-    Query("ivfpq_refined", llmdata.q_ivfpq_refined, llmdata.Q_IVFPQ_REFINED_SQL),
+    # ivfpq_refined promoted r8 (see head rotation notes)
     # r7: per-day histogram percentiles (windowed histogram member,
     # as windowed_distinct is the windowed HLL member)
     Query("windowed_quantiles", llmdata.q_windowed_quantiles, llmdata.Q_WINDOWED_QUANTILES_SQL),
@@ -855,13 +898,18 @@ _REGISTRY: list[Query] = [
     # r7: time-series subsequence similarity (keyed lead() windows,
     # all-integer distance, global TakeOrdered top-k)
     Query("ts_pattern_match", llmdata.q_ts_pattern_match, llmdata.Q_TS_PATTERN_MATCH_SQL),
-    # r7: bottom-k hash-sample quantiles (mergeable, unbounded domain)
-    Query("sample_quantiles", llmdata.q_sample_quantiles, llmdata.Q_SAMPLE_QUANTILES_SQL),
-    # r7d: SemDeDup (Abbas et al. 2023) — embedding-space semantic
-    # dedup: k-means cells + within-cell priority-ordered greedy drop,
-    # cent_sim doubling as the D4 prototypicality score. Full oracle
-    # via deterministic init (the IVFADC t=0 trick).
-    Query("semantic_dedup", llmdata.q_semantic_dedup, llmdata.Q_SEMANTIC_DEDUP_SQL),
+    # sample_quantiles / semantic_dedup promoted r8 (head rotation
+    # notes); the r8-demoted head rows land here — every family they
+    # covered keeps a driver row (see the in-place head comments):
+    Query("tumbling_windows", dataflow.q_tumbling_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
+    Query("union_streams", dataflow.q_union_streams, dataflow.Q_UNION_STREAMS_SQL),
+    Query("first_window_counts", dataflow.q_first_window_counts, dataflow.Q_FIRST_WINDOW_COUNTS_SQL),
+    Query("parts_rollup", relational.q_parts_rollup, relational.Q_PARTS_ROLLUP_SQL),
+    Query("similarity_topk", llmdata.q_similarity_topk, llmdata.Q_SIMILARITY_TOPK_SQL),
+    Query("bpe_token_stats", llmdata.q_bpe_token_stats, llmdata.Q_BPE_TOKEN_STATS_SQL),
+    Query("contamination", llmdata.q_contamination, llmdata.Q_CONTAMINATION_SQL),
+    # demoted r8b (head slot went to duplicate_spans)
+    Query("repetition_stats", llmdata.q_repetition_stats, llmdata.Q_REPETITION_STATS_SQL),
     Query("customer_distribution", relational.q_customer_distribution, relational.Q_CUSTOMER_DISTRIBUTION_SQL),
     Query("small_qty_revenue", relational.q_small_qty_revenue, relational.Q_SMALL_QTY_REVENUE_SQL),
     Query("shipmode_priority", relational.q_shipmode_priority, relational.Q_SHIPMODE_PRIORITY_SQL),
@@ -917,17 +965,22 @@ _REGISTRY: list[Query] = [
     # ROTATION (r7b, done): ivfpq_topk and bpe_trained_merges promoted
     # into the head (simhash_pairs / cohort_retention demoted — dedup
     # and bucketed-groupBy families stay multiply covered above).
-    # r8 PROMOTION CANDIDATES, in priority order: ivfpq_refined (the
-    # production ANN config — ADC + exact re-rank), bpe_encoded_docs
-    # (train→encode composition), k_anonymity or dp_release (privacy
-    # family), funnel_conversion (sequential-pattern shape),
-    # psi_drift (model-monitoring family), table_profile (ANALYZE),
-    # normalize_unicode (the only cross-ICU Python-stage oracle),
+    # ROTATION (r8, done): promoted ivfpq_refined / bpe_encoded_docs /
+    # dp_release / psi_drift / table_profile / semantic_dedup /
+    # sample_quantiles; demoted tumbling_windows / union_streams /
+    # first_window_counts / parts_rollup / similarity_topk /
+    # bpe_token_stats / contamination (families stay covered — see the
+    # in-place head notes).
+    # r9 PROMOTION CANDIDATES, in priority order: normalize_unicode
+    # (the only cross-ICU Python-stage oracle), cdc_state (lakehouse
+    # MERGE materialization family), snapshot_diff (data-diff audit),
     # streaming_capped_sessions (python-stateful streaming under
-    # oracle). Demotion candidates: sliding_windows vs keyed_tumbling
-    # overlap, fuzzy_match (regex-join family), explode_quantity
-    # (flatMap family double-covered), lsh_near_dups vs dedup_jaccard
-    # overlap (both verify exact Jaccard pairs).
+    # oracle), readability or hashed_features (featurization),
+    # windowed_quantiles (windowed-percentile member). Demotion
+    # candidates: rolling_user_counts vs map_state_counts overlap
+    # (both are keyed running counts), set_ops (plan-trivial),
+    # repetition_stats vs quality_score overlap, doc_chunks vs
+    # pack_sequences overlap (both context-window packers).
     Query("fuzzy_match", llmdata.q_fuzzy_match, llmdata.Q_FUZZY_MATCH_SQL),
     Query("inverted_index", llmdata.q_inverted_index, llmdata.Q_INVERTED_INDEX_SQL),
     Query("media_resize", llmdata.q_media_resize, llmdata.Q_MEDIA_RESIZE_SQL),
@@ -935,9 +988,7 @@ _REGISTRY: list[Query] = [
     Query("containment_pairs", llmdata.q_containment, llmdata.Q_CONTAINMENT_PAIRS_SQL),
     Query("corpus_trend", llmdata.q_corpus_trend, llmdata.Q_CORPUS_TREND_SQL),
     Query("bpe_merge_pairs", llmdata.q_bpe_merge_pairs, llmdata.Q_BPE_MERGE_PAIRS_SQL),
-    # r7: the ENCODE half — trained merges applied to the vocab, token
-    # economics joined back per doc (train+encode under one oracle)
-    Query("bpe_encoded_docs", llmdata.q_bpe_encoded_docs, llmdata.Q_BPE_ENCODED_DOCS_SQL),
+    # bpe_encoded_docs promoted r8 (see head rotation notes)
     Query("scd2_intervals", llmdata.q_scd2_intervals, llmdata.Q_SCD2_INTERVALS_SQL),
     Query("normalize_unicode", llmdata.q_normalize_unicode, llmdata.Q_NORMALIZE_UNICODE_SQL),
     Query("resample_ffill", llmdata.q_resample_ffill, llmdata.Q_RESAMPLE_FFILL_SQL),
@@ -963,10 +1014,7 @@ _REGISTRY: list[Query] = [
     # demoted r7c (head slot went to k_anonymity; the exact-Jaccard
     # arithmetic stays head-visible in lsh_near_dups' verify step)
     Query("dedup_jaccard", llmdata.q_dedup_jaccard, llmdata.Q_DEDUP_JACCARD_SQL),
-    # r7: the release MECHANISM sibling — Laplace inverse-CDF noise
-    # over deterministic md5 uniforms (oracle-able plumbing; swap the
-    # seeded draw for a real RNG in production)
-    Query("dp_release", llmdata.q_dp_release, llmdata.Q_DP_RELEASE_SQL),
+    # dp_release promoted r8 (see head rotation notes)
     # r6: the audio sibling — energy-envelope fingerprint bits over
     # the real WAV decode, DuckDB-recomputed from the sample formula
     Query("audio_fingerprints", llmdata.q_audio_fingerprints, llmdata.Q_AUDIO_FINGERPRINTS_SQL),

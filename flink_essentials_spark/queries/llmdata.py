@@ -383,7 +383,12 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_IVFPQ_TOPK_SQL = """
+def _ivfpq_topk_sql(rank_cut: int) -> str:
+    """One parameterized template for the IVFADC CTE chain (the
+    _bpe_train_sql pattern): both the plain top-k oracle and the
+    refined-search shortlist derive from it with the rank cut as an
+    argument — no fragile str.replace on the final clause."""
+    return f"""
 WITH ev AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), ctr AS (
@@ -455,8 +460,11 @@ SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rk
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY adc, neighbor_id) AS rk
       FROM scored)
-WHERE rk <= 5
+WHERE rk <= {rank_cut}
 """
+
+
+Q_IVFPQ_TOPK_SQL = _ivfpq_topk_sql(5)
 
 
 def q_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,7 +491,7 @@ def q_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_IVFPQ_REFINED_SQL = f"""
 WITH shortlist AS (
-{Q_IVFPQ_TOPK_SQL.replace("WHERE rk <= 5", "WHERE rk <= 20")}
+{_ivfpq_topk_sql(20)}
 ), ev2 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), rescored AS (
@@ -796,7 +804,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         ev.select(
             "event_type",
-            (cents("value") / F.lit(10000)).cast("long").alias("value_band"),
+            F.floor(cents("value") / F.lit(10000)).cast("long").alias("value_band"),
             F.floor(F.unix_millis("ts") / F.lit(86400000)).alias("day"),
             "user_id",
         )
@@ -2546,6 +2554,81 @@ _CHAR_DUPS_BOILER = (
     " open data license terms version two point zero for"
     " benchmark evaluation"
 )
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring SPANS at stride 1
+    (dedup.duplicate_spans — the Lee et al. 2022 suffix-array member;
+    char_dups' strided form is the linear-cost approximation). The
+    fixture spikes the char_dups boilerplate MID-TEXT at a
+    doc-dependent offset ((doc_id % 7) * 13) — the misaligned-repeat
+    case end-aligned strided windows can MISS by construction and the
+    stride-1 guarantee always finds: every spiked doc must emit its
+    maximal boilerplate span regardless of alignment. The oracle
+    groups by the window STRING (collision-free), cross-checking the
+    engine's 64-bit hash grouping."""
+    t = load_tables(spark, sf_dir)
+    spiked = (
+        t["documents"]
+        .withColumn(
+            "__off",
+            F.least((F.col("doc_id") % 7) * 13, F.length("text")).cast(
+                "int"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 25 == 3,
+                F.concat(
+                    F.expr("substring(text, 1, __off)"),
+                    F.lit(_CHAR_DUPS_BOILER),
+                    F.expr("substring(text, __off + 1, length(text))"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return dedup.duplicate_spans(spiked, window=40)
+
+
+Q_DUPLICATE_SPANS_SQL = f"""
+WITH spiked AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 25 = 3
+              THEN substring(text, 1, off) || '{_CHAR_DUPS_BOILER}'
+                   || substring(text, off + 1, length(text))
+              ELSE text END AS text
+  FROM (SELECT doc_id, text,
+               least((doc_id % 7) * 13, length(text)) AS off
+        FROM documents)
+), w AS (
+  SELECT doc_id, i AS pos, substring(text, i, 40) AS win
+  FROM spiked, UNNEST(CASE WHEN length(text) >= 40
+                           THEN generate_series(1, length(text) - 39)
+                           ELSE [] END) s(i)
+), shared AS (
+  SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+), dp AS (
+  SELECT doc_id, pos FROM w WHERE win IN (SELECT win FROM shared)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 40
+              THEN 0 ELSE 1 END AS brk
+  FROM dp
+), g AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 39 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 40 - MIN(pos) AS BIGINT) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM g GROUP BY doc_id, island
+"""
 
 Q_CHAR_DUPS_SQL = f"""
 WITH spiked AS (

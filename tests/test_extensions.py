@@ -1143,6 +1143,33 @@ def test_cdc_apply_stream_equals_oneshot_and_replays_idempotently(
     )
     assert again == stored
 
+    # CRASH RECOVERY between the two swap renames: the pre-merge state
+    # sits in a .precdc-* sibling and nothing lives at `path`. The
+    # replayed apply must restore the sibling and merge into REAL prior
+    # state — not take the first-create branch and reinitialize the
+    # store from the single replayed batch.
+    os.rename(store, store + ".precdc-deadbeef")
+    cdc.cdc_apply(spark, store, last, ["user_id"], order_cols)
+    recovered = sorted(
+        map(tuple, spark.read.parquet(store)
+            .select("user_id", "ts_ms", "event_type", "value_c").collect())
+    )
+    assert recovered == stored
+    assert not os.path.isdir(store + ".precdc-deadbeef")
+
+    # completed-swap leftover (crash between rename(dest, path) and the
+    # rmtree): live store wins, the orphan is garbage-collected
+    import shutil as _sh
+
+    _sh.copytree(store, store + ".precdc-feedface")
+    cdc.cdc_apply(spark, store, last, ["user_id"], order_cols)
+    assert not os.path.isdir(store + ".precdc-feedface")
+    final = sorted(
+        map(tuple, spark.read.parquet(store)
+            .select("user_id", "ts_ms", "event_type", "value_c").collect())
+    )
+    assert final == stored
+
 
 def test_bottomk_sample_merges_and_brackets_quantiles(spark):
     """Bottom-k hash sample contract: (a) per-batch samples merged by

@@ -322,6 +322,38 @@ def test_ivfpq_refined_rerank_improves_recall(spark):
     assert recall(refined) >= recall(adc), (recall(refined), recall(adc))
 
 
+def test_ivfpq_residual_payload_bounded():
+    """The search payload shipped to executors is the RESIDUAL dict
+    (d doubles per probe), not per-query ADC LUTs: its pickled size
+    must scale with n_queries × n_probe × d and stay independent of
+    the PQ codebook size m_sub × n_codes — a 100k-query batch at the
+    8×256 production codebook would otherwise ship ~13 GB of LUTs
+    (r7 verdict #3). Worker-side LUT build correctness rides on the
+    oracle rows (ivfpq_topk / ivfpq_refined, unchanged)."""
+    import pickle
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    d, n_q, n_probe = 64, 512, 4
+    centers = rng.standard_normal((16, d))
+    q_rows = [(i, rng.standard_normal(d).tolist()) for i in range(n_q)]
+    residuals, probe_rows = similarity._probe_residuals(
+        q_rows, centers, n_probe
+    )
+    assert len(probe_rows) == n_q * n_probe
+    assert all(v.shape == (d,) for v in residuals.values())
+    payload = len(pickle.dumps(residuals))
+    # d doubles + key/dict overhead per probe; the 8x256 LUT would be
+    # 2048 doubles per probe (~32x) — pin the residual-sized bound
+    assert payload < n_q * n_probe * (8 * d + 200), payload
+    # each residual must reconstruct the query against its probed cell
+    for (qid, cell), r in list(residuals.items())[:16]:
+        np.testing.assert_allclose(
+            r + centers[cell], np.asarray(q_rows[qid][1]), atol=1e-12
+        )
+
+
 def test_ivf_training_runs_no_count_job(spark, monkeypatch):
     """At 100 TB a ``count()`` before k-means is a full corpus scan;
     training must size its sample from parquet footers of the corpus'
@@ -893,6 +925,46 @@ def test_char_window_dups_shared_suffix(spark):
     }
     assert got[1][0] == 3 and got[2][0] == 3
     assert got[3][0] == 0
+
+
+def test_duplicate_spans_stride1_guarantee_and_merge(spark):
+    """The stride-1 member's contract (Lee et al. 2022): (a) a shared
+    substring of length >= window is found at ANY alignment — here a
+    60-char block sits MID-TEXT at different offsets in two docs, the
+    case char_window_dups' end-aligned strided windows miss by
+    construction; (b) overlapping duplicated windows merge into ONE
+    maximal span whose bounds are exactly the shared block; (c) docs
+    shorter than the window emit nothing and unrelated docs emit
+    nothing."""
+    block = "<<this sixty character duplicated block appears mid text!!>>"
+    assert len(block) == 60
+    df = spark.createDataFrame(
+        [
+            (1, "a" * 17 + block + "b" * 23),
+            (2, "c" * 5 + block + "d" * 41),
+            (3, "nothing shared with the others here at all " + "z" * 40),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.duplicate_spans(df, window=40).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_len"], r["n_windows"])
+        )
+    # one maximal span per spiked doc, exactly covering the block:
+    # 60 - 40 + 1 = 21 stride-1 windows merge into [off+1, off+60]
+    assert got[1] == [(18, 77, 60, 21)]
+    assert got[2] == [(6, 65, 60, 21)]
+    assert 3 not in got and 4 not in got
+    # the strided end-aligned form misses this misaligned mid-text
+    # repeat entirely (documented recall trade this member closes)
+    strided = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in dedup.char_window_dups(df, window=40, stride=5).collect()
+    }
+    assert strided[1] == 0 and strided[2] == 0
 
 
 def test_curriculum_mix_interleave_ratio(spark):

@@ -242,6 +242,50 @@ def test_no_scale_killers_in_any_registry_plan(spark):
     assert not offenders, offenders
 
 
+def test_no_partitionless_window_over_unbounded_data(spark):
+    """Mechanized guard for the 'No Partition Defined for Window'
+    hazard (r7 verdict #3-minor): sweep EVERY batch registry plan for
+    windowspecdefinition specs with no partition column (all spec
+    columns carry a sort direction, or the spec is empty) — a global
+    window forces Exchange SinglePartition over its input, which is a
+    scale-killer unless that input is bounded by construction. The
+    allowlist is the audited bounded-series forms; anything new must
+    either partition its window or justify a row here."""
+    import re
+
+    allowed = {
+        # window over the per-task partition-offsets aggregate (one row
+        # per task, bounded by parallelism — the documented distributed
+        # total-order pattern, see test_nonkeyed_global_count_windows_*)
+        "pack_sequences",
+        "global_count_windows_all",
+        # windows over one-row scalar aggregates (broadcast threshold)
+        "psi_drift",
+        # window over the 256-row bottom-k sample (bounded by k)
+        "sample_quantiles",
+        # window over histogram bins (bounded by bin count)
+        "histogram_quantiles",
+        # window over the per-week aggregate (bounded series)
+        "weekly_growth",
+    }
+    offenders = {}
+    for name in ALL_QUERIES:
+        if name.startswith("streaming_") or name in allowed:
+            continue
+        plan = plan_of(spark, name)
+        for m in re.finditer(
+            r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+        ):
+            cols = [
+                c.strip()
+                for c in m.group(1).rstrip(", ").split(", ")
+                if c.strip()
+            ]
+            if all((" ASC" in c or " DESC" in c) for c in cols):
+                offenders.setdefault(name, []).append(m.group(1)[:80])
+    assert not offenders, offenders
+
+
 def test_ivf_cells_as_partition_column_prune(spark, tmp_path):
     """The IVF scale layout, executed end to end: assign cells
     (similarity.ivf_assign), write the corpus partitioned BY CELL, and
