@@ -185,6 +185,134 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join on the REAL streaming
+    path (J3's outer extension, under oracle): purchases LEFT-joined
+    to same-user signups within (−10 min, +10 min) exclusive. Unlike
+    the inner tail twin (whose 90-day watermark disables eviction),
+    this row runs the PRODUCTION configuration — a 1 s watermark over
+    TIME-ORDERED range-bucket replay, so join state is evicted as the
+    watermark sweeps. An unmatched purchase is held until the
+    watermark passes purchase_ts + 10 min and only then emits its
+    NULL-padded row (never earlier — it might still match; never
+    dropped). Mid-replay eviction is lossless because batch time
+    ranges are DISJOINT and increasing: a signup old enough to evict
+    is out of interval range of every later-bucket purchase, and a
+    purchase whose null row may emit can no longer match any future
+    signup — the same argument as streaming_session_windows. Two
+    far-future sentinel batches carry one row per SIDE (the join
+    watermark is the MIN across inputs) to advance then enforce+flush;
+    sentinel users are filtered from the SINK table. Final set equals
+    the batch left-outer interval join — the oracle."""
+    import datetime
+    import glob as _glob
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_essentials_spark.operators.joins import interval_join
+    from flink_essentials_spark.queries.util import ms
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "user_id", "event_type", "ts")
+    bounds = ev.agg(
+        F.min(F.unix_millis("ts")).alias("lo"),
+        F.max(F.unix_millis("ts")).alias("hi"),
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    bucket = F.least(
+        F.lit(2),
+        F.floor(
+            (F.unix_millis("ts") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)
+        ).cast("int"),
+    )
+    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    stage_dir = os.path.join(replay_dir, "_stage")
+    ev.withColumn("b", bucket).coalesce(1).write.partitionBy("b").parquet(
+        stage_dir
+    )
+    base_mtime = _time.time() - 3600
+    nxt = 0
+    for i in range(3):
+        for f in sorted(_glob.glob(os.path.join(stage_dir, f"b={i}", "*.parquet"))):
+            dst = os.path.join(replay_dir, f"{nxt:04d}.parquet")
+            os.rename(f, dst)
+            os.utime(dst, (base_mtime + nxt, base_mtime + nxt))
+            nxt += 1
+    for d in (40, 50):  # sentinel batches: advance, then enforce+flush
+        s_ts = datetime.datetime.utcfromtimestamp((hi + d * 86400000) / 1000)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                # one row per SIDE so both filtered streams advance
+                "event_type": pa.array(["signup", "purchase"], pa.string()),
+                "ts": pa.array([s_ts, s_ts], pa.timestamp("us", tz="UTC")),
+            }
+        )
+        dst = os.path.join(replay_dir, f"{nxt:04d}.parquet")
+        pq.write_table(tbl, dst)
+        os.utime(dst, (base_mtime + nxt, base_mtime + nxt))
+        nxt += 1
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    signups = (
+        file_replay(spark, replay_dir, schema, files_per_trigger=1)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("su"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 second")
+    )
+    buys = (
+        file_replay(spark, replay_dir, schema, files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 second")
+    )
+    out = interval_join(
+        buys, signups, "user_id", "su", "purchase_ts", "signup_ts",
+        "10 minutes", "10 minutes",
+        lower_exclusive=True, upper_exclusive=True, how="left_outer",
+    ).select(
+        "user_id", "purchase_id",
+        ms("purchase_ts").alias("purchase_ts_ms"),
+        "signup_id",
+        ms("signup_ts").alias("signup_ts_ms"),
+    )
+    name = "soj_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_to_memory(spark, out, name, output_mode="append").filter(
+            F.col("user_id") >= 0
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+Q_STREAMING_OUTER_JOIN_SQL = """
+SELECT e.user_id, e.event_id AS purchase_id,
+       epoch_ms(e.ts) AS purchase_ts_ms,
+       s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts_ms
+FROM events e LEFT JOIN events s
+  ON e.user_id = s.user_id
+ AND s.event_type = 'signup'
+ AND epoch_ms(e.ts) > epoch_ms(s.ts) - 600000
+ AND epoch_ms(e.ts) < epoch_ms(s.ts) + 600000
+WHERE e.event_type = 'purchase'
+"""
+
+
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join — the production dimension-lookup
     shape: events replayed as a stream, inner-joined per micro-batch to
@@ -933,6 +1061,10 @@ _REGISTRY: list[Query] = [
     Query("language_id", llmdata.q_language_id, llmdata.Q_LANGUAGE_ID_SQL),
     # new r4 breadth ops (tail: head is full; see rotation notes)
     Query("streaming_interval_join", q_streaming_interval_join, dataflow.Q_INTERVAL_JOIN_SQL),
+    # r8: the OUTER extension under oracle, in the PRODUCTION config
+    # (1 s watermark, live state eviction, null-padded emission by
+    # watermark) — r9 promotion candidate
+    Query("streaming_outer_join", q_streaming_outer_join, Q_STREAMING_OUTER_JOIN_SQL),
     # demoted r5 (see head rotation notes) — still oracle-checked here
     Query("dedup_keep", llmdata.q_dedup_keep, llmdata.Q_DEDUP_KEEP_SQL),
     Query("url_stats", llmdata.q_url_stats, llmdata.Q_URL_STATS_SQL),
