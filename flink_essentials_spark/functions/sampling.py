@@ -163,3 +163,68 @@ def kfold_assign(
     rn = F.row_number().over(part.orderBy(u.asc(), F.col(id_col)))
     out = df.withColumn("fold", ((rn - 1) % k).cast("int"))
     return out
+
+
+def token_budget_select(
+    df: DataFrame,
+    budgets: DataFrame,
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    bands: int = 32,
+) -> DataFrame:
+    """Budget-constrained corpus selection — the "fill each source's
+    token budget with its best documents" step of assembling a
+    training mixture: per source, documents rank by (quality DESC,
+    id) and are kept greedily while the running token total stays
+    within that source's budget (``budgets``: one small row per
+    source with columns (source, budget)).
+
+    The running total is NOT one window per source (that is a
+    single-task scan per source at 100 TB). Two-phase banded prefix
+    sum instead: quality (in [0, 1]) quantizes into ``bands`` buckets
+    — equal quality ⇒ equal band, so band-major order equals the
+    global (quality DESC, id) order — then per-(source, band) token
+    totals prefix-sum over the tiny source × band series, and each
+    row's exact cum_tokens is its band's offset plus a window cumsum
+    partitioned by (source, BAND): parallelism sources × bands
+    instead of sources. Result is identical to the naive per-source
+    cumsum; every window in the plan is keyed.
+
+    Returns every input row + (budget, cum_tokens, selected)."""
+    from pyspark.sql import Window as W
+
+    q = F.col(quality_col)
+    band = F.least(F.floor(q * bands).cast("int"), F.lit(bands - 1))
+    banded = df.withColumn("__band", band)
+    totals = banded.groupBy(source_col, "__band").agg(
+        F.sum(tokens_col).alias("__band_tokens")
+    )
+    w_bands = (
+        W.partitionBy(source_col)
+        .orderBy(F.desc("__band"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        source_col,
+        "__band",
+        F.coalesce(F.sum("__band_tokens").over(w_bands), F.lit(0)).alias(
+            "__offset"
+        ),
+    )
+    w_in = (
+        W.partitionBy(source_col, "__band")
+        .orderBy(F.desc(quality_col), id_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        banded.join(F.broadcast(offsets), [source_col, "__band"])
+        .join(F.broadcast(budgets), source_col)
+        .withColumn(
+            "cum_tokens",
+            (F.col("__offset") + F.sum(tokens_col).over(w_in)).cast("long"),
+        )
+        .withColumn("selected", F.col("cum_tokens") <= F.col("budget"))
+        .drop("__band", "__offset")
+    )

@@ -1065,6 +1065,9 @@ _REGISTRY: list[Query] = [
     # (1 s watermark, live state eviction, null-padded emission by
     # watermark) — r9 promotion candidate
     Query("streaming_outer_join", q_streaming_outer_join, Q_STREAMING_OUTER_JOIN_SQL),
+    # r8: budget-constrained corpus selection (banded two-phase prefix
+    # sum, every window keyed) — r9 promotion candidate
+    Query("token_budget_select", llmdata.q_token_budget_select, llmdata.Q_TOKEN_BUDGET_SELECT_SQL),
     # demoted r5 (see head rotation notes) — still oracle-checked here
     Query("dedup_keep", llmdata.q_dedup_keep, llmdata.Q_DEDUP_KEEP_SQL),
     Query("url_stats", llmdata.q_url_stats, llmdata.Q_URL_STATS_SQL),

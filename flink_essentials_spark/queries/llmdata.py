@@ -1249,6 +1249,57 @@ WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)))::BIGINT % 10000
 """
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection
+    (sampling.token_budget_select — the banded two-phase prefix sum,
+    every window keyed): per source, documents ranked by lexical
+    diversity fill 60% of that source's total token budget. Quality
+    is one exact-integer division (n_uniq / max(n_tokens, 1)) so both
+    engines order identical doubles; budgets and cum_tokens are
+    all-integer (sum·3 div 5 — positive, so truncate == floor)."""
+    from flink_essentials_spark.functions.sampling import token_budget_select
+    from flink_essentials_spark.operators.transform import tokenize
+
+    t = load_tables(spark, sf_dir)
+    toks = tokenize(F.col("text"))
+    scored = t["documents"].select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("quality"),
+    )
+    budgets = scored.groupBy("source").agg(
+        F.expr("sum(n_tokens) * 3 div 5").alias("budget")
+    )
+    return token_budget_select(scored, budgets)
+
+
+Q_TOKEN_BUDGET_SELECT_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE)
+           / greatest(len({_SQL_TOKENS}), 1) AS quality
+  FROM documents
+), b AS (
+  SELECT source, CAST(SUM(n_tokens) * 3 // 5 AS BIGINT) AS budget
+  FROM scored GROUP BY source
+), c AS (
+  SELECT s.*, b.budget,
+         CAST(SUM(n_tokens) OVER (
+              PARTITION BY s.source ORDER BY quality DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored s JOIN b USING (source)
+)
+SELECT doc_id, source, n_tokens, quality, budget, cum_tokens,
+       cum_tokens <= budget AS selected
+FROM c
+"""
+
+
 def q_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-n-gram language-ID heuristic (bigram profile argmax)."""
     from flink_essentials_spark.functions.text import language_id_ngram

@@ -967,6 +967,51 @@ def test_duplicate_spans_stride1_guarantee_and_merge(spark):
     assert strided[1] == 0 and strided[2] == 0
 
 
+def test_token_budget_select_banded_equals_naive(spark):
+    """The banded two-phase prefix sum must equal the naive per-source
+    global cumsum for every row — including quality TIES (same band by
+    construction) and values exactly on a band boundary — and fill
+    each budget greedily by (quality DESC, id). Fixture: two sources,
+    hand-set qualities with a duplicated value and an exact boundary
+    (8/32 = 0.25), budget = 10 tokens per source."""
+    from pyspark.sql import Window
+
+    from flink_essentials_spark.functions.sampling import token_budget_select
+
+    rows = [
+        # (doc_id, source, n_tokens, quality)
+        (1, "a", 4, 0.9),
+        (2, "a", 4, 0.25),   # exact band boundary at bands=32
+        (3, "a", 4, 0.25),   # tie -> same band, id breaks the tie
+        (4, "a", 4, 0.1),
+        (5, "b", 6, 0.5),
+        (6, "b", 6, 0.5),
+        (7, "b", 6, 0.4),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long, quality double"
+    )
+    budgets = spark.createDataFrame(
+        [("a", 10), ("b", 10)], "source string, budget long"
+    )
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["selected"])
+        for r in token_budget_select(df, budgets).collect()
+    }
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = df.withColumn("ct", F.sum("n_tokens").over(w)).collect()
+    assert len(got) == len(rows)
+    for r in naive:
+        assert got[r["doc_id"]] == (r["ct"], r["ct"] <= 10), r
+    # greedy fill: a keeps docs 1,2 (8 tokens; doc 3 would exceed);
+    # b keeps doc 5 only (6 tokens; doc 6 would exceed)
+    assert {d for d, (_, s) in got.items() if s} == {1, 2, 5}
+
+
 def test_curriculum_mix_interleave_ratio(spark):
     """Sorting by mix_key interleaves strata at the weight ratio: in
     any prefix of the sorted mix, stratum counts track 2:1 within one
