@@ -58,3 +58,35 @@ def violation_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             for name, cond in rules.items()
         ],
     )
+
+
+def corpus_checksum(
+    df: DataFrame,
+    content_cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Order-independent content fingerprint — the dataset-versioning /
+    replica-verification primitive: two tables hold identical content
+    (as multisets of rows over ``content_cols``) iff their checksums
+    match, regardless of row order, partitioning, or engine. Per
+    group: row count, a 60-bit md5-based XOR signature (XOR is
+    commutative/associative → order-free, and overflow-free where a
+    SUM of hashes would trip ANSI mode), and a bounded SUM signature
+    (each term mod 2³², so 2^31 rows fit int64) that catches the
+    duplicate-pair case XOR alone cancels. One aggregation pass, no
+    shuffle beyond the groupBy.
+    """
+    row_repr = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in content_cols]
+    )
+    h = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("long")
+    # bit_xor has no Column-API aggregate helper — SQL expr over the
+    # pre-computed hash column
+    xor_sig = F.expr("bit_xor(__h)").alias("xor_sig")
+    sum_sig = F.sum(F.pmod(F.col("__h"), F.lit(1 << 32))).alias("sum_sig")
+    hashed = df.withColumn("__h", h)
+    if group_cols:
+        return hashed.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n_rows"), xor_sig, sum_sig
+        )
+    return hashed.agg(F.count(F.lit(1)).alias("n_rows"), xor_sig, sum_sig)

@@ -313,6 +313,135 @@ WHERE e.event_type = 'purchase'
 """
 
 
+def q_streaming_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS on the real streaming path: a
+    stream-stream interval join feeding a downstream event-time
+    tumbling-window aggregation, both stateful, one query in append
+    mode — the multi-stateful pipeline Spark supports since 3.4/3.5
+    (join state + window state compose; the aggregation's input
+    watermark is derived from the join's output watermark). Purchases
+    inner-join same-user signups within (−10 min, +10 min) exclusive
+    under a 1 s watermark over time-ordered range-bucket replay (live
+    state eviction, the q_streaming_outer_join argument for
+    losslessness), then the joined pairs roll up per (user, 1-day
+    tumbling window). Each real window emits once the watermark
+    passes its end — the two far-future sentinel batches advance then
+    enforce+flush; sentinel users filter from the SINK table (never
+    in-plan: a grouping-column filter would push below the watermark
+    node, the CLAUDE.md lesson). Final set equals the batch
+    join-then-rollup — the oracle."""
+    import datetime
+    import glob as _glob
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_essentials_spark.operators.joins import interval_join
+    from flink_essentials_spark.queries.util import ms
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "user_id", "event_type", "ts")
+    bounds = ev.agg(
+        F.min(F.unix_millis("ts")).alias("lo"),
+        F.max(F.unix_millis("ts")).alias("hi"),
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    bucket = F.least(
+        F.lit(2),
+        F.floor(
+            (F.unix_millis("ts") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)
+        ).cast("int"),
+    )
+    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    stage_dir = os.path.join(replay_dir, "_stage")
+    ev.withColumn("b", bucket).coalesce(1).write.partitionBy("b").parquet(
+        stage_dir
+    )
+    base_mtime = _time.time() - 3600
+    nxt = 0
+    for i in range(3):
+        for f in sorted(_glob.glob(os.path.join(stage_dir, f"b={i}", "*.parquet"))):
+            dst = os.path.join(replay_dir, f"{nxt:04d}.parquet")
+            os.rename(f, dst)
+            os.utime(dst, (base_mtime + nxt, base_mtime + nxt))
+            nxt += 1
+    for d in (40, 50):  # sentinel batches: advance, then enforce+flush
+        s_ts = datetime.datetime.utcfromtimestamp((hi + d * 86400000) / 1000)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["signup", "purchase"], pa.string()),
+                "ts": pa.array([s_ts, s_ts], pa.timestamp("us", tz="UTC")),
+            }
+        )
+        dst = os.path.join(replay_dir, f"{nxt:04d}.parquet")
+        pq.write_table(tbl, dst)
+        os.utime(dst, (base_mtime + nxt, base_mtime + nxt))
+        nxt += 1
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    signups = (
+        file_replay(spark, replay_dir, schema, files_per_trigger=1)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("su"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 second")
+    )
+    buys = (
+        file_replay(spark, replay_dir, schema, files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 second")
+    )
+    joined = interval_join(
+        buys, signups, "user_id", "su", "purchase_ts", "signup_ts",
+        "10 minutes", "10 minutes",
+        lower_exclusive=True, upper_exclusive=True,
+    )
+    rolled = (
+        joined.groupBy(
+            F.window("purchase_ts", "1 day"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "user_id",
+            ms(F.col("window.start")).alias("window_start_ms"),
+            "n_pairs",
+        )
+    )
+    name = "sjr_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_to_memory(spark, rolled, name, output_mode="append").filter(
+            F.col("user_id") >= 0
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+Q_STREAMING_JOIN_ROLLUP_SQL = """
+WITH j AS (
+  SELECT e.user_id, e.ts AS pts
+  FROM events e JOIN events s
+    ON e.user_id = s.user_id AND s.event_type = 'signup'
+   AND epoch_ms(e.ts) > epoch_ms(s.ts) - 600000
+   AND epoch_ms(e.ts) < epoch_ms(s.ts) + 600000
+  WHERE e.event_type = 'purchase'
+)
+SELECT user_id,
+       epoch_ms(pts) // 86400000 * 86400000 AS window_start_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1, 2
+"""
+
+
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join — the production dimension-lookup
     shape: events replayed as a stream, inner-joined per micro-batch to
@@ -1065,9 +1194,16 @@ _REGISTRY: list[Query] = [
     # (1 s watermark, live state eviction, null-padded emission by
     # watermark) — r9 promotion candidate
     Query("streaming_outer_join", q_streaming_outer_join, Q_STREAMING_OUTER_JOIN_SQL),
+    # r8: CHAINED stateful operators — stream-stream join feeding a
+    # windowed aggregation in ONE append-mode query (the multi-
+    # stateful pipeline) — r9 promotion candidate
+    Query("streaming_join_rollup", q_streaming_join_rollup, Q_STREAMING_JOIN_ROLLUP_SQL),
     # r8: budget-constrained corpus selection (banded two-phase prefix
     # sum, every window keyed) — r9 promotion candidate
     Query("token_budget_select", llmdata.q_token_budget_select, llmdata.Q_TOKEN_BUDGET_SELECT_SQL),
+    # r8: order-independent corpus fingerprint (XOR + bounded-SUM
+    # signatures) — the replica-verification / data-versioning audit
+    Query("corpus_checksum", llmdata.q_corpus_checksum, llmdata.Q_CORPUS_CHECKSUM_SQL),
     # demoted r5 (see head rotation notes) — still oracle-checked here
     Query("dedup_keep", llmdata.q_dedup_keep, llmdata.Q_DEDUP_KEEP_SQL),
     Query("url_stats", llmdata.q_url_stats, llmdata.Q_URL_STATS_SQL),

@@ -1249,6 +1249,38 @@ WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)))::BIGINT % 10000
 """
 
 
+def q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-source corpus fingerprint
+    (expectations.corpus_checksum): row count + 60-bit md5 XOR
+    signature + bounded-SUM signature over (doc_id, text). Two
+    replicas of a 100 TB corpus hold identical content iff these
+    match — regardless of row order, partitioning, or engine, which
+    is exactly what the cross-engine oracle demonstrates. XOR is the
+    overflow-free order-free fold; the mod-2³² SUM rides along to
+    catch duplicate-pair cancellation."""
+    from flink_essentials_spark.functions.expectations import corpus_checksum
+
+    t = load_tables(spark, sf_dir)
+    return corpus_checksum(
+        t["documents"], ["doc_id", "text"], group_cols=["source"]
+    )
+
+
+Q_CORPUS_CHECKSUM_SQL = """
+WITH h AS (
+  SELECT source,
+         ('0x' || substring(
+            md5(CAST(doc_id AS VARCHAR) || chr(31) || text), 1, 15)
+         )::BIGINT AS hv
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       bit_xor(hv) AS xor_sig,
+       CAST(SUM(hv % 4294967296) AS BIGINT) AS sum_sig
+FROM h GROUP BY source
+"""
+
+
 def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget-constrained corpus selection
     (sampling.token_budget_select — the banded two-phase prefix sum,
