@@ -990,9 +990,13 @@ _REGISTRY: list[Query] = [
     # head row whose oracle DUPLICATES another head row (interval_join
     # checks the identical SQL; the stream-stream state-join path stays
     # pinned by tests/test_streaming.py and the tail oracle). Its slot
-    # goes to doc_chunks: context-window chunking, the most
-    # production-core LLM-data op added in r4.
-    Query("doc_chunks", llmdata.q_doc_chunks, llmdata.Q_DOC_CHUNKS_SQL),
+    # went to doc_chunks (r4).
+    # ROTATION (r8c): doc_chunks demoted (context-window family stays
+    # driver-covered by pack_sequences) → streaming_join_rollup: the
+    # CHAINED multi-stateful pipeline (stream-stream join feeding a
+    # windowed aggregation in one append-mode query) — the engine
+    # capability this round added, driver-visible immediately.
+    Query("streaming_join_rollup", q_streaming_join_rollup, Q_STREAMING_JOIN_ROLLUP_SQL),
     # --- set ops / time & dimensional rollups (promoted r3)
     Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
     Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
@@ -1194,10 +1198,9 @@ _REGISTRY: list[Query] = [
     # (1 s watermark, live state eviction, null-padded emission by
     # watermark) — r9 promotion candidate
     Query("streaming_outer_join", q_streaming_outer_join, Q_STREAMING_OUTER_JOIN_SQL),
-    # r8: CHAINED stateful operators — stream-stream join feeding a
-    # windowed aggregation in ONE append-mode query (the multi-
-    # stateful pipeline) — r9 promotion candidate
-    Query("streaming_join_rollup", q_streaming_join_rollup, Q_STREAMING_JOIN_ROLLUP_SQL),
+    # streaming_join_rollup promoted r8c (see head rotation notes);
+    # doc_chunks demoted there — still oracle-checked here
+    Query("doc_chunks", llmdata.q_doc_chunks, llmdata.Q_DOC_CHUNKS_SQL),
     # r8: budget-constrained corpus selection (banded two-phase prefix
     # sum, every window keyed) — r9 promotion candidate
     Query("token_budget_select", llmdata.q_token_budget_select, llmdata.Q_TOKEN_BUDGET_SELECT_SQL),
