@@ -1,0 +1,124 @@
+"""Property-based invariants for the r8 algorithmic operators
+(hypothesis): each op is compared EXACTLY against a brute-force
+pure-Python reference on adversarial small inputs — tiny alphabets so
+natural cross-doc repeats and island merges occur, boundary qualities
+so band-edge ties occur. Example counts are small because every
+example runs a Spark job; the point is adversarial shapes, not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# --- duplicate_spans ---------------------------------------------------------
+
+
+def _ref_duplicate_spans(texts: dict[int, str], window: int):
+    """Brute-force reference: position p of doc d is duplicated iff
+    text[p:p+window] occurs in ANOTHER doc; runs of positions with
+    gaps <= window merge into (start, end, len, n_windows) spans
+    (1-based inclusive, matching the operator's contract)."""
+    wins: dict[str, set[int]] = {}
+    for d, t in texts.items():
+        for p in range(len(t) - window + 1):
+            wins.setdefault(t[p : p + window], set()).add(d)
+    spans = []
+    for d, t in texts.items():
+        dup = [
+            p + 1
+            for p in range(len(t) - window + 1)
+            if len(wins[t[p : p + window]]) >= 2
+        ]
+        run: list[int] = []
+        for p in dup + [None]:
+            if run and (p is None or p - run[-1] > window):
+                spans.append(
+                    (d, run[0], run[-1] + window - 1,
+                     run[-1] + window - run[0], len(run))
+                )
+                run = []
+            if p is not None:
+                run.append(p)
+    return sorted(spans)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab", min_size=0, max_size=60),
+             min_size=2, max_size=4),
+    st.text(alphabet="ab", min_size=10, max_size=20),
+    st.data(),
+)
+def test_duplicate_spans_matches_bruteforce(spark, docs, block, data):
+    """A shared block inserted at arbitrary offsets into two docs,
+    over a 2-letter alphabet (so plenty of NATURAL repeats and island
+    merges also occur): the operator's spans equal the brute-force
+    reference exactly — every duplicated position found (stride-1
+    guarantee), every merge boundary right."""
+    from flink_essentials_spark.functions.dedup import duplicate_spans
+
+    texts = {i + 1: t for i, t in enumerate(docs)}
+    # spike the block into two distinct docs at arbitrary offsets
+    for d in (1, 2):
+        off = data.draw(st.integers(0, len(texts[d])), label=f"off{d}")
+        texts[d] = texts[d][:off] + block + texts[d][off:]
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"],
+         r["n_windows"])
+        for r in duplicate_spans(df, window=8).collect()
+    )
+    assert got == _ref_duplicate_spans(texts, 8)
+
+
+# --- token_budget_select -----------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(1, 9),
+            st.sampled_from([0.0, 0.25, 0.5, 0.5, 0.75, 1.0]),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 40),
+)
+def test_token_budget_select_matches_greedy_reference(spark, rows, budget):
+    """For arbitrary row sets — duplicate qualities, boundary values
+    0.0/1.0 (band-edge), tiny budgets — the banded two-phase cumsum
+    equals the greedy (quality DESC, id) fill per source, row for
+    row."""
+    from flink_essentials_spark.functions.sampling import (
+        token_budget_select,
+    )
+
+    data = [
+        (i + 1, src, toks, q) for i, (src, toks, q) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "doc_id long, source string, n_tokens long, quality double"
+    )
+    budgets = spark.createDataFrame(
+        [("a", budget), ("b", budget)], "source string, budget long"
+    )
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["selected"])
+        for r in token_budget_select(df, budgets).collect()
+    }
+    ref = {}
+    for src in {d[1] for d in data}:
+        cum = 0
+        for did, _, toks, _q in sorted(
+            (d for d in data if d[1] == src), key=lambda d: (-d[3], d[0])
+        ):
+            cum += toks
+            ref[did] = (cum, cum <= budget)
+    assert got == ref
