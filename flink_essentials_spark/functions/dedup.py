@@ -648,12 +648,31 @@ def duplicate_spans(
     (doc_id, span_start, span_end, span_len, n_windows), 1-based
     inclusive character positions.
     """
+    wins = _stride1_windows(df, window, text_col, id_col)
+    shared = (
+        wins.groupBy("whash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("whash")
+    )
+    # no distinct needed: wins is unique per (doc, pos) by construction
+    # and shared is unique per hash — the join cannot duplicate
+    dup_pos = wins.join(shared, "whash").select("doc_id", "pos")
+    return _merge_spans(dup_pos, window)
+
+
+def _stride1_windows(
+    df: DataFrame, window: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, pos, whash) for every stride-1 window — the scan-stage
+    explode both the batch and incremental span ops share; the text
+    itself never leaves the scan."""
     L = F.length(F.col(text_col))
     idx = F.when(
         L >= window,
         F.sequence(F.lit(1), (L - window + 1).cast("int")),
     ).otherwise(F.array().cast("array<int>"))
-    wins = (
+    return (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.col(text_col).alias("__t"),
@@ -667,15 +686,11 @@ def duplicate_spans(
             ),
         )
     )
-    shared = (
-        wins.groupBy("whash")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("whash")
-    )
-    # no distinct needed: wins is unique per (doc, pos) by construction
-    # and shared is unique per hash — the join cannot duplicate
-    dup_pos = wins.join(shared, "whash").select("doc_id", "pos")
+
+
+def _merge_spans(dup_pos: DataFrame, window: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated positions into maximal
+    spans, per doc over a KEYED window (no global sort)."""
     by_doc = Window.partitionBy("doc_id").orderBy("pos")
     # merge [p, p+window) intervals: a new island starts when the gap
     # to the previous duplicated position exceeds the window length
@@ -698,6 +713,83 @@ def duplicate_spans(
         )
         .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
     )
+
+
+def incremental_duplicate_spans(
+    new_docs: DataFrame,
+    store_base: str,
+    window: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    epoch_id: int | None = None,
+) -> DataFrame:
+    """INGEST-TIME exact substring decontamination — the incremental
+    member of :func:`duplicate_spans` (the same shape
+    :func:`lsh_incremental_pairs` gives LSH dedup): documents arrive
+    in batches; each batch's duplicate spans are computed against the
+    ACCUMULATED corpus plus the batch itself, at O(batch · matches)
+    cost — prior text is never re-scanned, only its narrow
+    (doc_id, whash) window-hash store is joined.
+
+    CONTRACT (pinned by the e2e test): the spans returned for batch i
+    equal ``duplicate_spans(all docs ingested through batch i)``
+    restricted to batch i's docs. Earlier docs' spans against
+    later-arriving text are by construction not re-emitted — the
+    ingest-quarantine semantic (screen what ARRIVES), not a
+    retroactive audit (run the batch op for that).
+
+    EXACTLY-ONCE REPLAY: same per-epoch OVERWRITE protocol as the LSH
+    store — pass foreachBatch's ``epoch_id`` and a replayed batch
+    rewrites its own ``epoch=<id>`` directory while prior-state reads
+    exclude it (replay-idempotence pinned).
+    """
+    import os
+
+    spark = new_docs.sparkSession
+    wh_path = os.path.join(store_base, "window_hashes")
+
+    wins_new = _stride1_windows(new_docs, window, text_col, id_col)
+    # the persisted store needs only DISTINCT (doc, hash) membership —
+    # positions stay batch-local
+    store_new = wins_new.select("doc_id", "whash").distinct().cache()
+
+    prior = None
+    if os.path.isdir(wh_path):
+        parts = [
+            os.path.join(wh_path, f)
+            for f in sorted(os.listdir(wh_path))
+            if f.endswith(".parquet")
+        ]
+        for d in sorted(os.listdir(wh_path)):
+            full = os.path.join(wh_path, d)
+            if not (d.startswith("epoch=") and os.path.isdir(full)):
+                continue
+            if epoch_id is not None and d == f"epoch={int(epoch_id)}":
+                continue
+            parts.append(full)
+        if parts:
+            prior = spark.read.schema("doc_id long, whash long").parquet(
+                *parts
+            )
+    all_members = (
+        store_new if prior is None else prior.unionByName(store_new)
+    )
+    shared = (
+        all_members.groupBy("whash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("whash")
+    )
+    dup_pos = wins_new.join(shared, "whash").select("doc_id", "pos")
+    spans = _merge_spans(dup_pos, window).localCheckpoint()
+    if epoch_id is None:
+        store_new.write.mode("append").parquet(wh_path)
+    else:
+        store_new.write.mode("overwrite").parquet(
+            os.path.join(wh_path, f"epoch={int(epoch_id)}")
+        )
+    store_new.unpersist()
+    return spans
 
 
 def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:

@@ -1207,6 +1207,10 @@ _REGISTRY: list[Query] = [
     # r8: order-independent corpus fingerprint (XOR + bounded-SUM
     # signatures) — the replica-verification / data-versioning audit
     Query("corpus_checksum", llmdata.q_corpus_checksum, llmdata.Q_CORPUS_CHECKSUM_SQL),
+    # r8: ingest-time decontamination — incremental_duplicate_spans
+    # folded over three batches, final batch == one-shot restricted
+    # (the incremental_rollup oracle pattern)
+    Query("incremental_decontamination", llmdata.q_incremental_decontamination, llmdata.Q_INCREMENTAL_DECONTAMINATION_SQL),
     # demoted r5 (see head rotation notes) — still oracle-checked here
     Query("dedup_keep", llmdata.q_dedup_keep, llmdata.Q_DEDUP_KEEP_SQL),
     Query("url_stats", llmdata.q_url_stats, llmdata.Q_URL_STATS_SQL),

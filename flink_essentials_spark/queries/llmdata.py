@@ -5,6 +5,8 @@ oracle (md5-derived hashing makes every stage engine-reproducible).
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2650,10 +2652,16 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximal boilerplate span regardless of alignment. The oracle
     groups by the window STRING (collision-free), cross-checking the
     engine's 64-bit hash grouping."""
-    t = load_tables(spark, sf_dir)
-    spiked = (
-        t["documents"]
-        .withColumn(
+    return dedup.duplicate_spans(
+        _midtext_spiked(load_tables(spark, sf_dir)["documents"]), window=40
+    )
+
+
+def _midtext_spiked(docs: DataFrame) -> DataFrame:
+    """The duplicate_spans fixture: boilerplate inserted MID-TEXT at a
+    doc-dependent offset into every doc_id % 25 == 3 document."""
+    return (
+        docs.withColumn(
             "__off",
             F.least((F.col("doc_id") % 7) * 13, F.length("text")).cast(
                 "int"
@@ -2673,7 +2681,6 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("text"),
         )
     )
-    return dedup.duplicate_spans(spiked, window=40)
 
 
 Q_DUPLICATE_SPANS_SQL = f"""
@@ -2712,6 +2719,36 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_windows
 FROM g GROUP BY doc_id, island
 """
+
+
+def q_incremental_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time decontamination
+    (dedup.incremental_duplicate_spans) folded over three batches of
+    the spiked corpus: batches doc_id%3 ∈ {0, 1} build the window-hash
+    store (their spans discarded), then the FINAL batch's arriving
+    docs screen against the accumulated store plus themselves. Because
+    the last batch completes the corpus, its result equals the ONE-
+    SHOT duplicate_spans restricted to its docs — which is the oracle
+    (the incremental_rollup 'fold == one-shot' pattern). Prior batches
+    contribute only their narrow (doc, hash) store rows — their text
+    is never re-scanned."""
+    spiked = _midtext_spiked(load_tables(spark, sf_dir)["documents"])
+    store = tempfile.mkdtemp(prefix="fes_spanstore_")
+    for i in (0, 1):
+        dedup.incremental_duplicate_spans(
+            spiked.filter(F.col("doc_id") % 3 == i),
+            store,
+            window=40,
+            epoch_id=i,
+        )
+    return dedup.incremental_duplicate_spans(
+        spiked.filter(F.col("doc_id") % 3 == 2), store, window=40, epoch_id=2
+    )
+
+
+Q_INCREMENTAL_DECONTAMINATION_SQL = (
+    f"SELECT * FROM ({Q_DUPLICATE_SPANS_SQL}) WHERE doc_id % 3 = 2"
+)
 
 Q_CHAR_DUPS_SQL = f"""
 WITH spiked AS (

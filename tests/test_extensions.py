@@ -761,6 +761,74 @@ def test_lsh_incremental_dedup_over_a_stream_equals_oneshot(spark, tmp_path):
     assert len(emitted) == len(set(emitted)), "a pair was emitted twice"
 
 
+def test_incremental_duplicate_spans_contract_and_replay(spark, tmp_path):
+    """Ingest-time exact substring decontamination
+    (dedup.incremental_duplicate_spans): each batch's spans must equal
+    the BATCH operator over every doc ingested so far, RESTRICTED to
+    the arriving docs — prior text is never re-scanned (only its
+    (doc, whash) store joins) and never re-emitted. Fixture: block X
+    is split across batches 0 and 1 (batch 0 emits nothing — no match
+    exists yet; batch 1 emits doc 5's span against the STORE), block Y
+    is within batch 2 (both sides emit). A replayed epoch returns the
+    same spans and leaves the store unchanged (per-epoch OVERWRITE)."""
+    from flink_essentials_spark.functions import dedup as dd
+
+    X = "shared contamination block number one!! "  # 40 chars
+    Y = "another shared block for batch two ok?! "  # 40 chars
+    assert len(X) == 40 and len(Y) == 40
+    mk = lambda i, t: (i, t)  # noqa: E731
+    batches = [
+        [mk(1, "alpha " * 10 + X + "tail one"),
+         mk(2, "totally unrelated text " + "z" * 40)],
+        [mk(5, "prefix five " + X + "suffix five"),
+         mk(6, "more unrelated material " + "w" * 40)],
+        [mk(7, "seven starts " + Y + "seven ends"),
+         mk(8, Y + "eight has it at the very front")],
+    ]
+    store = str(tmp_path / "span_store")
+    dfs = [
+        spark.createDataFrame(rows, "doc_id long, text string")
+        for rows in batches
+    ]
+    seen = None
+    per_batch = []
+    for i, b in enumerate(dfs):
+        got = sorted(
+            map(tuple, dd.incremental_duplicate_spans(
+                b, store, window=40, epoch_id=i
+            ).collect())
+        )
+        seen = b if seen is None else seen.unionByName(b)
+        want = sorted(
+            map(tuple, dd.duplicate_spans(seen, window=40)
+                .join(b.select("doc_id"), "doc_id").collect())
+        )
+        assert got == want, (i, got, want)
+        per_batch.append(got)
+    # batch 0 saw no match yet; batch 1 matched the STORE; batch 2
+    # matched within itself — all three paths genuinely exercised
+    assert per_batch[0] == []
+    assert {r[0] for r in per_batch[1]} == {5}
+    assert {r[0] for r in per_batch[2]} == {7, 8}
+
+    # replay epoch 2: same spans back, store rows unchanged
+    import os
+
+    wh_dir = os.path.join(store, "window_hashes")
+    before = sorted(
+        map(tuple, spark.read.parquet(wh_dir).drop("epoch").collect())
+    )
+    replay = sorted(
+        map(tuple, dd.incremental_duplicate_spans(
+            dfs[2], store, window=40, epoch_id=2
+        ).collect())
+    )
+    assert replay == per_batch[2]
+    assert sorted(
+        map(tuple, spark.read.parquet(wh_dir).drop("epoch").collect())
+    ) == before
+
+
 def test_refresh_rollup_replay_skips_committed_epoch(spark, tmp_path):
     """SUM merges are not replay-idempotent, so refresh_rollup with an
     epoch_id must SKIP a batch whose epoch already committed (same
