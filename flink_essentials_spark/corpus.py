@@ -116,6 +116,60 @@ class Corpus:
 
     # --- terminal helpers --------------------------------------------
 
+    def decontaminate(
+        self, benchmark: DataFrame, window: int = 40
+    ) -> "Corpus":
+        """Drop every document sharing a verbatim length->=window
+        substring with the ``benchmark`` table (same id/text columns;
+        benchmark ids must not collide with corpus ids) — the
+        eval-set decontamination step, at stride-1 fidelity
+        (dedup.duplicate_spans over the union; a doc is contaminated
+        iff it emits a span whose match can only be the benchmark
+        when the corpus side was already exact-deduped — so run
+        drop_exact_dups first, or accept corpus-internal dups also
+        dropping, which is usually desired)."""
+        both = self.df.select(
+            F.col(self.id_col), F.col(self.text_col)
+        ).unionByName(
+            benchmark.select(
+                F.col(self.id_col), F.col(self.text_col)
+            )
+        )
+        flagged = (
+            _dedup.duplicate_spans(
+                both, window=window, text_col=self.text_col,
+                id_col=self.id_col,
+            )
+            .select(F.col("doc_id").alias(self.id_col))
+            .distinct()
+        )
+        return self._wrap(
+            self.df.join(flagged, self.id_col, "left_anti")
+        )
+
+    def budget_select(
+        self,
+        budgets: DataFrame,
+        quality_col: str,
+        tokens_col: str,
+        source_col: str = "source",
+    ) -> "Corpus":
+        """Keep each source's best documents up to its token budget
+        (sampling.token_budget_select — banded two-phase prefix sum,
+        every window keyed); the bookkeeping columns are dropped, the
+        surviving rows keep the input schema."""
+        from flink_essentials_spark.functions import sampling
+
+        selected = sampling.token_budget_select(
+            self.df, budgets, quality_col=quality_col,
+            tokens_col=tokens_col, source_col=source_col,
+            id_col=self.id_col,
+        )
+        return self._wrap(
+            selected.filter(F.col("selected"))
+            .drop("budget", "cum_tokens", "selected")
+        )
+
     def count(self) -> int:
         return self.df.count()
 

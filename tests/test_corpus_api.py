@@ -94,3 +94,47 @@ def test_corpus_sample_and_pack_steps(spark):
     assert sorted(map(tuple, spans.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_corpus_decontaminate_and_budget_select(spark):
+    """decontaminate drops exactly the docs sharing a verbatim
+    length->=window substring with the benchmark (stride-1: the
+    mid-text insert IS found) and nothing else; budget_select keeps
+    exactly the greedy per-source fill with the input schema."""
+    from flink_essentials_spark.functions import sampling
+
+    block = "this benchmark sentence is exactly forty"
+    assert len(block) == 40
+    docs = spark.createDataFrame(
+        [
+            (1, "clean document with entirely original text " + "a" * 20, "s"),
+            (2, "prefix text " + block + " suffix text here", "s"),
+            (3, "another clean one " + "b" * 40, "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(1000, "benchmark item: " + block + " plus more")],
+        "doc_id long, text string",
+    )
+    got = Corpus(docs).decontaminate(bench, window=40).ids()
+    assert got == {1, 3}
+    # extra columns survive
+    assert "source" in Corpus(docs).decontaminate(bench, window=40).df.columns
+
+    scored = docs.select(
+        "doc_id", "source",
+        F.length("text").cast("long").alias("n_toks"),
+        (F.col("doc_id") / 10.0).alias("q"),
+    )
+    budgets = spark.createDataFrame([("s", 200)], "source string, budget long")
+    got_b = Corpus(scored).budget_select(
+        budgets, quality_col="q", tokens_col="n_toks"
+    )
+    direct = sampling.token_budget_select(
+        scored, budgets, quality_col="q", tokens_col="n_toks"
+    )
+    assert got_b.ids() == {
+        r["doc_id"] for r in direct.collect() if r["selected"]
+    }
+    assert sorted(got_b.df.columns) == sorted(scored.columns)
