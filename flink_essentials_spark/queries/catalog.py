@@ -928,7 +928,12 @@ _REGISTRY: list[Query] = [
     # express, in both batch and streaming forms.
     Query("capped_sessions", llmdata.q_capped_sessions, llmdata.Q_CAPPED_SESSIONS_SQL),
     # --- keyed/rolling agg (§2.4)
-    Query("rolling_user_counts", dataflow.q_rolling_user_counts, dataflow.Q_ROLLING_USER_COUNTS_SQL),
+    # ROTATION (r8d): rolling_user_counts demoted (A1/A2 keyed rolling
+    # counts stay driver-covered by map_state_counts' running keyed
+    # state) → token_budget_select: budget-constrained corpus
+    # selection via the banded two-phase prefix sum (every window
+    # keyed — the scale-safe global-cumsum pattern).
+    Query("token_budget_select", llmdata.q_token_budget_select, llmdata.Q_TOKEN_BUDGET_SELECT_SQL),
     # --- multi-stream (§2.7)
     # ROTATION (r8): union_streams demoted (J1's union-then-aggregate
     # shape is plan-trivial and the multi-stream family keeps THREE
@@ -998,7 +1003,12 @@ _REGISTRY: list[Query] = [
     # capability this round added, driver-visible immediately.
     Query("streaming_join_rollup", q_streaming_join_rollup, Q_STREAMING_JOIN_ROLLUP_SQL),
     # --- set ops / time & dimensional rollups (promoted r3)
-    Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
+    # ROTATION (r8d): set_ops demoted (union/intersect/except are
+    # plan-trivial set algebra, pinned locally + by pytest) →
+    # incremental_decontamination: ingest-time exact substring
+    # screening against the accumulated window-hash store (fold ==
+    # one-shot restricted, the incremental_rollup oracle pattern).
+    Query("incremental_decontamination", llmdata.q_incremental_decontamination, llmdata.Q_INCREMENTAL_DECONTAMINATION_SQL),
     Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
     # ROTATION (r8): parts_rollup demoted (the ROLLUP grouping-set plan
     # family stays driver-covered by time_rollup on another dimension
@@ -1201,16 +1211,16 @@ _REGISTRY: list[Query] = [
     # streaming_join_rollup promoted r8c (see head rotation notes);
     # doc_chunks demoted there — still oracle-checked here
     Query("doc_chunks", llmdata.q_doc_chunks, llmdata.Q_DOC_CHUNKS_SQL),
-    # r8: budget-constrained corpus selection (banded two-phase prefix
-    # sum, every window keyed) — r9 promotion candidate
-    Query("token_budget_select", llmdata.q_token_budget_select, llmdata.Q_TOKEN_BUDGET_SELECT_SQL),
+    # token_budget_select / incremental_decontamination promoted r8d
+    # (rolling_user_counts / set_ops demoted there)
+    Query("rolling_user_counts", dataflow.q_rolling_user_counts, dataflow.Q_ROLLING_USER_COUNTS_SQL),
+    Query("set_ops", dataflow.q_set_ops, dataflow.Q_SET_OPS_SQL),
     # r8: order-independent corpus fingerprint (XOR + bounded-SUM
     # signatures) — the replica-verification / data-versioning audit
     Query("corpus_checksum", llmdata.q_corpus_checksum, llmdata.Q_CORPUS_CHECKSUM_SQL),
-    # r8: ingest-time decontamination — incremental_duplicate_spans
-    # folded over three batches, final batch == one-shot restricted
-    # (the incremental_rollup oracle pattern)
-    Query("incremental_decontamination", llmdata.q_incremental_decontamination, llmdata.Q_INCREMENTAL_DECONTAMINATION_SQL),
+    # r8: per-day Count-Min — completes the windowed-sketch matrix
+    # (HLL: windowed_distinct; histogram: windowed_quantiles)
+    Query("windowed_heavy_hitters", llmdata.q_windowed_heavy_hitters, llmdata.Q_WINDOWED_HEAVY_HITTERS_SQL),
     # demoted r5 (see head rotation notes) — still oracle-checked here
     Query("dedup_keep", llmdata.q_dedup_keep, llmdata.Q_DEDUP_KEEP_SQL),
     Query("url_stats", llmdata.q_url_stats, llmdata.Q_URL_STATS_SQL),

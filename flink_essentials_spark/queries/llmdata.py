@@ -3461,6 +3461,107 @@ def _heavy_hitters_sql() -> str:
 Q_HEAVY_HITTERS_SQL = _heavy_hitters_sql()
 
 
+def q_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day heavy hitters — the Count-Min member of the windowed-
+    sketch matrix (windowed_distinct is the HLL member,
+    windowed_quantiles the histogram member): one CM sketch per day
+    bucket over event users (depth 4 × 2^10 counters per day,
+    SUM-mergeable within and across days), probed for each day's
+    exact top-3 users with exact counts riding along as
+    self-evaluation; est_cnt >= exact_cnt always. Day bucketing is
+    integer division on epoch-ms (both engines); every counter is
+    integer md5 arithmetic, reproduced bit-for-bit by the oracle."""
+    depth, width_bits = 4, 10
+    m = 1 << width_bits
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"), "user_id"
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    slices = F.posexplode(
+        F.array(
+            *[
+                F.shiftright(hv, d * width_bits).bitwiseAND(F.lit(m - 1))
+                for d in range(depth)
+            ]
+        )
+    )
+    sketch = (
+        ev.select("day", slices.alias("d", "bucket"))
+        .groupBy("day", "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window as W
+
+    exact = ev.groupBy("day", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    by_day = W.partitionBy("day").orderBy(
+        F.desc("exact_cnt"), "user_id"
+    )
+    top = (
+        exact.withColumn("rk", F.row_number().over(by_day))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
+    probes = top.select(
+        "*",
+        *[
+            F.shiftright(hv, d * width_bits)
+            .bitwiseAND(F.lit(m - 1))
+            .alias(f"b{d}")
+            for d in range(depth)
+        ],
+    )
+    est = None
+    for d in range(depth):
+        side = sketch.filter(F.col("d") == d).select(
+            "day", F.col("bucket").alias(f"b{d}"), F.col("cnt").alias(f"c{d}")
+        )
+        probes = probes.join(F.broadcast(side), ["day", f"b{d}"], "left")
+        c = F.coalesce(F.col(f"c{d}"), F.lit(0))
+        est = c if est is None else F.least(est, c)
+    return probes.select("day", "user_id", "exact_cnt", est.alias("est_cnt"))
+
+
+def _windowed_heavy_hitters_sql() -> str:
+    depth, width_bits = 4, 10
+    m = 1 << width_bits
+    hv = "(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
+    sketch_rows = "\nUNION ALL\n".join(
+        f"SELECT day, {d} AS d, ({hv} >> {d * width_bits}) & {m - 1} AS bucket "
+        "FROM ev"
+        for d in range(depth)
+    )
+    mins = ", ".join(
+        f"COALESCE((SELECT cnt FROM sk WHERE sk.day = top.day AND d = {d} "
+        f"AND bucket = ({hv} >> {d * width_bits}) & {m - 1}), 0)"
+        for d in range(depth)
+    )
+    return f"""
+WITH ev AS (
+  SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+), sk AS (
+  SELECT day, d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({sketch_rows}) GROUP BY 1, 2, 3
+), ex AS (
+  SELECT day, user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM ev GROUP BY 1, 2
+), top AS (
+  SELECT day, user_id, exact_cnt FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY day ORDER BY exact_cnt DESC, user_id) AS rk
+    FROM ex)
+  WHERE rk <= 3
+)
+SELECT day, user_id, exact_cnt, least({mins}) AS est_cnt FROM top
+"""
+
+
+Q_WINDOWED_HEAVY_HITTERS_SQL = _windowed_heavy_hitters_sql()
+
+
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup: perceptual average-hash over REAL decoded
     images (multimodal.image_ahash — PPM/PNG/BMP/JPEG through the
