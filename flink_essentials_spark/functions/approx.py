@@ -517,3 +517,126 @@ def bottomk_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketches with SET ALGEBRA
+# (Beyer et al. 2007, "On synopses for distinct-value estimation under
+# multiset operations"): per group keep the k smallest engine-neutral
+# hashes of the DISTINCT values. Unlike HLL registers (union-only),
+# KMV sketches support INTERSECTION estimates: the k smallest hashes
+# of A∪B are exactly the k smallest of (bottomk(A) ∪ bottomk(B)), and
+# the fraction of them present in BOTH sketches estimates Jaccard.
+# Distinct estimate: (k-1)·M / h_k with M = hash space (2^60 here —
+# the md5-15-hex-prefix hash every portable sketch in this repo uses),
+# exact below k. Everything is deterministic integer/hash arithmetic,
+# so a DuckDB oracle reproduces the full sketch AND the estimates
+# bit-for-bit; accuracy vs the exact sets is a separate pytest bracket.
+# ---------------------------------------------------------------------------
+
+KMV_SPACE = 1 << 60  # md5 15-hex-prefix hash range
+
+
+def kmv_retrim(df: DataFrame, k: int) -> DataFrame:
+    """Trim a (g, h) hash table to the per-group bottom-k — both the
+    sketch BUILD step and the MERGE step (merging partial sketches is
+    union + re-trim; ≡ one-shot is pinned in tests). The window is
+    keyed by group and runs over ≤ (partial sketches × k) rows per
+    group, never the data."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("g").orderBy("h")
+    return (
+        df.select("g", "h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 128,
+    salt: str = "kmv1:",
+) -> DataFrame:
+    """Per-group KMV sketch: (g, h, rk), rk ≤ k over distinct-value
+    hashes. k rows of state per group regardless of input size."""
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(value_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return kmv_retrim(
+        df.select(F.col(group_col).alias("g"), hv.alias("h")), k
+    )
+
+
+def kmv_pair_estimates(sketch: DataFrame, k: int) -> DataFrame:
+    """Union / intersection / Jaccard estimates for EVERY unordered
+    group pair, from the sketches alone (≤ 2k rows per pair — the data
+    is never revisited). For each pair the k smallest hashes of the
+    two sketches' union form a valid KMV sketch of A∪B; m = how many
+    of those live in both sketches.
+
+      est_union        = (k-1)·M / h_k   (exact count when < k seen)
+      est_jaccard      = m / n_sk
+      est_intersection = est_jaccard · est_union
+
+    The estimate arithmetic is single-division IEEE on exact integer
+    operands, identically parenthesized in the DuckDB oracle — no
+    rounding needed for parity. Passing a huge k (> any group's
+    cardinality) on the UNTRIMMED hash table degrades every estimate
+    to the exact value — the query layer uses that as a self-eval.
+
+    Group-pair expansion is a broadcast cross join of the DISTINCT
+    group list with itself (groups are bounded — sources, languages,
+    shards — never data-sized); per-pair dedup and ranking are keyed
+    by (a, b)."""
+    groups = sketch.select("g").distinct()
+    pairs = (
+        F.broadcast(groups.select(F.col("g").alias("ga")))
+        .crossJoin(groups.select(F.col("g").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    ra = sketch.join(F.broadcast(pairs), F.col("g") == F.col("ga")).select(
+        "ga", "gb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    )
+    rb = sketch.join(F.broadcast(pairs), F.col("g") == F.col("gb")).select(
+        "ga", "gb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+    )
+    from pyspark.sql import Window as W
+
+    u = (
+        ra.unionByName(rb)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    w = W.partitionBy("ga", "gb").orderBy("h")
+    trimmed = u.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    agg = trimmed.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n_sk"),
+        F.max("h").alias("h_k"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("m"),
+    )
+    est_union = F.when(
+        F.col("n_sk") == k,
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("h_k"),
+    ).otherwise(F.col("n_sk").cast("double"))
+    est_j = F.col("m").cast("double") / F.col("n_sk")
+    return agg.select(
+        "ga",
+        "gb",
+        "n_sk",
+        "m",
+        est_union.alias("est_union"),
+        est_j.alias("est_jaccard"),
+        (est_j * est_union).alias("est_intersection"),
+    )

@@ -228,3 +228,110 @@ def token_budget_select(
         .withColumn("selected", F.col("cum_tokens") <= F.col("budget"))
         .drop("__band", "__offset")
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "dsir1:",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much its hashed-n-gram profile looks like the TARGET slice
+    (``target``: a boolean Column, e.g. ``F.col("lang") == "en"`` or a
+    trusted-source flag) versus the rest of the corpus.
+
+    Features are unigrams + word bigrams hashed into ``n_buckets``
+    dimensions (the paper's hashed bag-of-n-grams; the engine-neutral
+    md5-prefix hash every sampler here uses). Two Laplace-smoothed
+    bag models p_target / p_raw fit in one aggregation over the
+    (doc, dim) count table, and
+
+        score(doc) = Σ_dim c_doc[dim] · log2 λ[dim],
+        λ[dim]     = p_target[dim] / p_raw[dim]
+
+    High scores = "distributed like the target" — the selection step
+    keeps the top-k (or samples ∝ exp score). Deterministic: no RNG,
+    so the oracle reproduces every score; the Gumbel-resampling
+    variant of the paper is one extra hash-derived term.
+
+    Plan: ONE tokenize scan explodes both n-gram orders → one
+    (doc, dim) groupBy (the only data-sized shuffle) → the
+    ``n_buckets``-row log-ratio table (built via a one-row totals
+    broadcast) broadcast-joins back → per-doc sum. λ is log2 of ONE
+    IEEE division of exact integer products (< 2^53 at any plausible
+    corpus scale: products are n_gram-count × corpus-total), so both
+    engines take log2 of the identical double; the per-doc sum is
+    rounded to 6 because summation order differs (the lm_score libm
+    precedent)."""
+    from flink_essentials_spark.operators.transform import tokenize
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(target, 1).otherwise(0).alias("is_t"),
+        tokenize(F.col(text_col)).alias("w"),
+    )
+    uni = base.select("doc_id", "is_t", F.explode("w").alias("f"))
+    bi = base.select(
+        "doc_id",
+        "is_t",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("f"),
+    )
+    dim = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("f"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % n_buckets
+    )
+    dd = (
+        uni.unionByName(bi)
+        .select("doc_id", "is_t", dim.alias("dim"))
+        .groupBy("doc_id", "is_t", "dim")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dims = dd.groupBy("dim").agg(
+        F.sum(F.when(F.col("is_t") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.sum(F.when(F.col("is_t") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("nr"),
+    )
+    tot = dims.agg(
+        F.sum("nt").cast("long").alias("tt"),
+        F.sum("nr").cast("long").alias("tr"),
+    )
+    D = F.lit(int(n_buckets))
+    ratio = dims.crossJoin(F.broadcast(tot)).select(
+        "dim",
+        F.log2(
+            ((F.col("nt") + 1) * (F.col("tr") + D)).cast("double")
+            / ((F.col("nr") + 1) * (F.col("tt") + D)).cast("double")
+        ).alias("lr"),
+    )
+    return dd.join(F.broadcast(ratio), "dim").groupBy("doc_id").agg(
+        F.max("is_t").alias("is_target"),
+        F.sum("c").cast("long").alias("n_feats"),
+        F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("dsir_score"),
+    )
+
+
+def dsir_select(scores: DataFrame, k: int) -> DataFrame:
+    """Top-k selection off :func:`dsir_scores` — deterministic rank by
+    (score DESC, doc_id). TakeOrderedAndProject (per-partition partial
+    top-k), never a global sort/window."""
+    return scores.orderBy(F.desc("dsir_score"), "doc_id").limit(k)

@@ -1259,7 +1259,10 @@ _REGISTRY: list[Query] = [
     # first_window_counts / parts_rollup / similarity_topk /
     # bpe_token_stats / contamination (families stay covered — see the
     # in-place head notes).
-    # r9 PROMOTION CANDIDATES, in priority order: normalize_unicode
+    # r9 PROMOTION CANDIDATES, in priority order: dsir_weights (the
+    # named distribution-matching data-selection algorithm),
+    # kmv_set_ops (sketch set algebra: the intersection estimates HLL
+    # can't do), then: normalize_unicode
     # (the only cross-ICU Python-stage oracle), cdc_state (lakehouse
     # MERGE materialization family), snapshot_diff (data-diff audit),
     # streaming_capped_sessions (python-stateful streaming under
@@ -1269,6 +1272,10 @@ _REGISTRY: list[Query] = [
     # (both are keyed running counts), set_ops (plan-trivial),
     # repetition_stats vs quality_score overlap, doc_chunks vs
     # pack_sequences overlap (both context-window packers).
+    # r8-continuation additions (tail until the r9 rotation): DSIR
+    # importance weights + KMV sketch set algebra
+    Query("dsir_weights", llmdata.q_dsir_weights, llmdata.Q_DSIR_WEIGHTS_SQL),
+    Query("kmv_set_ops", llmdata.q_kmv_set_ops, llmdata.Q_KMV_SET_OPS_SQL),
     Query("fuzzy_match", llmdata.q_fuzzy_match, llmdata.Q_FUZZY_MATCH_SQL),
     Query("inverted_index", llmdata.q_inverted_index, llmdata.Q_INVERTED_INDEX_SQL),
     Query("media_resize", llmdata.q_media_resize, llmdata.Q_MEDIA_RESIZE_SQL),

@@ -4918,3 +4918,182 @@ SELECT q, v_c AS est_value, CAST(n AS BIGINT) AS n_sample
 FROM ranked CROSS JOIN qq
 WHERE rk = CAST(ceil(q * n) AS INT)
 """
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (sampling.dsir_scores, Xie et al. 2023):
+    hashed unigram+bigram bag models for the lang='en' TARGET slice vs
+    the rest, per-doc log2 likelihood-ratio score — the
+    distribution-matching member of the data-selection family
+    (quality_score filters on absolute quality; this scores "looks
+    like the target corpus"). At sf0.01 the top-218 by score holds
+    173/218 true-en docs vs a 44% base rate. Scores for ALL docs are
+    under oracle; the top-k cut (dsir_select) is pinned in pytest
+    instead, because ranking unrounded doubles across engines at a
+    rounding boundary is the documented flake the repo avoids."""
+    from flink_essentials_spark.functions.sampling import dsir_scores
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dsir_scores(docs, F.col("lang") == "en", n_buckets=1024)
+
+
+Q_DSIR_WEIGHTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+         {_SQL_TOKENS} AS w
+  FROM documents
+), uni AS (
+  SELECT doc_id, is_t, unnest(w) AS f FROM toks
+), bi AS (
+  SELECT doc_id, is_t,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS f
+  FROM toks
+), feats AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM bi
+), dd AS (
+  SELECT doc_id, is_t,
+         ('0x' || substring(md5('dsir1:' || f), 1, 15))::BIGINT % 1024 AS dim,
+         COUNT(*) AS c
+  FROM feats GROUP BY 1, 2, 3
+), dims AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN is_t = 1 THEN c ELSE 0 END) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN is_t = 0 THEN c ELSE 0 END) AS BIGINT) AS nr
+  FROM dd GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(nt) AS BIGINT) AS tt, CAST(SUM(nr) AS BIGINT) AS tr
+  FROM dims
+), ratio AS (
+  SELECT dim,
+         log2(CAST((nt + 1) * (tr + 1024) AS DOUBLE)
+              / CAST((nr + 1) * (tt + 1024) AS DOUBLE)) AS lr
+  FROM dims, tot
+)
+SELECT dd.doc_id, MAX(dd.is_t) AS is_target,
+       CAST(SUM(dd.c) AS BIGINT) AS n_feats,
+       round(SUM(dd.c * r.lr), 6) AS dsir_score
+FROM dd JOIN ratio r USING (dim)
+GROUP BY 1
+"""
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra (approx.kmv_sketch/kmv_pair_estimates,
+    Beyer et al. 2007): per-source bottom-128 sketches over distinct
+    word BIGRAMS (the ~900-element universe; unigram vocab is only ~31
+    here), then union / intersection / Jaccard ESTIMATES for every
+    source pair from the sketches alone — the set-algebra member the
+    union-only HLL registers can't express (vocabulary overlap between
+    crawl sources is the LLM-data use). The exact values ride along as
+    self-eval (same operator with k > universe, which degrades every
+    estimate to exact — the lsh_recall pattern: the exact pass is the
+    audit, not the production path). Sketch membership and estimate
+    arithmetic are deterministic hash/integer work with one identically
+    parenthesized IEEE division, so every column is under exact oracle
+    parity."""
+    from flink_essentials_spark.functions import approx
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    from flink_essentials_spark.operators.transform import tokenize
+
+    base = docs.select("source", tokenize(F.col("text")).alias("w"))
+    bi = base.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("b"),
+    )
+    sk = approx.kmv_sketch(bi, "source", "b", k=128)
+    est = approx.kmv_pair_estimates(sk.select("g", "h"), k=128)
+    full = approx.kmv_sketch(bi, "source", "b", k=1 << 40)
+    exact = approx.kmv_pair_estimates(full.select("g", "h"), k=1 << 40).select(
+        "ga",
+        "gb",
+        F.col("n_sk").alias("exact_union"),
+        F.col("m").alias("exact_intersection"),
+        F.col("est_jaccard").alias("exact_jaccard"),
+    )
+    return est.join(exact, ["ga", "gb"]).select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        "n_sk",
+        "m",
+        "est_union",
+        "est_jaccard",
+        "est_intersection",
+        "exact_union",
+        "exact_intersection",
+        "exact_jaccard",
+    )
+
+
+Q_KMV_SET_OPS_SQL = f"""
+WITH toks AS (
+  SELECT source, {_SQL_TOKENS} AS w FROM documents
+), bi AS (
+  SELECT source AS g,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS b
+  FROM toks
+), d AS (
+  SELECT DISTINCT g,
+         ('0x' || substring(md5('kmv1:' || b), 1, 15))::BIGINT AS h
+  FROM bi
+), sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+    FROM d
+  ) WHERE rk <= 128
+), gs AS (
+  SELECT DISTINCT g FROM d
+), pairs AS (
+  SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g
+), u AS (
+  SELECT ga, gb, h,
+         MAX(CASE WHEN s.g = ga THEN 1 ELSE 0 END) AS ia,
+         MAX(CASE WHEN s.g = gb THEN 1 ELSE 0 END) AS ib
+  FROM pairs JOIN sk s ON s.g = ga OR s.g = gb
+  GROUP BY 1, 2, 3
+), est AS (
+  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(h) AS h_k,
+         CAST(SUM(ia * ib) AS BIGINT) AS m
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+        FROM u)
+  WHERE rk <= 128 GROUP BY 1, 2
+), ue AS (
+  SELECT ga, gb, h,
+         MAX(CASE WHEN s.g = ga THEN 1 ELSE 0 END) AS ia,
+         MAX(CASE WHEN s.g = gb THEN 1 ELSE 0 END) AS ib
+  FROM pairs JOIN d s ON s.g = ga OR s.g = gb
+  GROUP BY 1, 2, 3
+), ex AS (
+  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS exact_union,
+         CAST(SUM(ia * ib) AS BIGINT) AS exact_intersection
+  FROM ue GROUP BY 1, 2
+)
+SELECT est.ga AS source_a, est.gb AS source_b, est.n_sk, est.m,
+       CASE WHEN est.n_sk = 128
+            THEN 127.0 * 1152921504606846976 / est.h_k
+            ELSE CAST(est.n_sk AS DOUBLE) END AS est_union,
+       CAST(est.m AS DOUBLE) / est.n_sk AS est_jaccard,
+       (CAST(est.m AS DOUBLE) / est.n_sk)
+         * (CASE WHEN est.n_sk = 128
+                 THEN 127.0 * 1152921504606846976 / est.h_k
+                 ELSE CAST(est.n_sk AS DOUBLE) END) AS est_intersection,
+       ex.exact_union, ex.exact_intersection,
+       CAST(ex.exact_intersection AS DOUBLE) / ex.exact_union
+         AS exact_jaccard
+FROM est JOIN ex ON est.ga = ex.ga AND est.gb = ex.gb
+"""

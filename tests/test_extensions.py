@@ -1360,3 +1360,125 @@ def test_semantic_dedup_lloyd_survivor_property(spark):
         S = np.round(Kn @ Kn.T, 6)
         np.fill_diagonal(S, -1.0)
         assert S.max() < eps, f"cell {cell} kept a near-dup pair"
+
+
+# --- KMV set algebra ---------------------------------------------------------
+
+
+def test_kmv_sketch_merges_and_estimates_set_ops(spark):
+    """KMV contract: (a) per-batch sketches merged by union + re-trim
+    equal the one-shot sketch EXACTLY (deterministic membership, the
+    bottomk_sample property lifted to the per-group form); (b) pair
+    estimates on KNOWN overlapping sets land near truth (k=64 → ~12.5%
+    relative sigma on union); (c) the huge-k path degrades every
+    estimate to the exact value — the self-eval the registry row
+    rides on."""
+    from flink_essentials_spark.functions import approx as ax
+
+    rows = [("a", v) for v in range(1000)] + [("b", v) for v in range(500, 1500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+
+    oneshot = {
+        (r["g"], r["h"]) for r in ax.kmv_sketch(df, "g", "v", k=64).collect()
+    }
+    parts = [
+        ax.kmv_sketch(df.filter(F.col("v") % 3 == b), "g", "v", k=64)
+        for b in range(3)
+    ]
+    merged_df = parts[0].select("g", "h")
+    for p in parts[1:]:
+        merged_df = merged_df.unionByName(p.select("g", "h"))
+    merged = {
+        (r["g"], r["h"]) for r in ax.kmv_retrim(merged_df, 64).collect()
+    }
+    assert merged == oneshot and len(oneshot) == 128  # 64 per group
+
+    est = ax.kmv_pair_estimates(
+        ax.kmv_sketch(df, "g", "v", k=64).select("g", "h"), k=64
+    ).collect()
+    assert len(est) == 1
+    e = est[0]
+    assert abs(e["est_union"] - 1500) <= 0.4 * 1500, e
+    assert abs(e["est_jaccard"] - 500 / 1500) <= 0.15, e
+    assert abs(e["est_intersection"] - 500) <= 0.5 * 500, e
+
+    exact = ax.kmv_pair_estimates(
+        ax.kmv_sketch(df, "g", "v", k=1 << 40).select("g", "h"), k=1 << 40
+    ).collect()[0]
+    assert exact["est_union"] == 1500.0
+    assert exact["m"] == 500
+    assert exact["est_intersection"] == 500.0
+
+
+# --- DSIR --------------------------------------------------------------------
+
+
+def test_dsir_scores_match_reference_and_separate_target(spark):
+    """dsir_scores vs an independent hashlib+math reimplementation of
+    the paper's hashed-n-gram likelihood ratio (same salt, buckets,
+    Laplace smoothing): every (is_target, n_feats, score-to-6) must
+    agree, and docs written in the target vocabulary must outscore
+    docs written in the raw vocabulary. dsir_select returns the
+    deterministic top-k."""
+    import hashlib
+    import math
+
+    from flink_essentials_spark.functions.sampling import dsir_scores, dsir_select
+
+    docs = [
+        (0, "alpha beta alpha gamma", 1),
+        (1, "beta alpha beta beta", 1),
+        (2, "delta epsilon zeta delta", 0),
+        (3, "zeta zeta epsilon delta epsilon", 0),
+        (4, "alpha beta delta epsilon", 0),  # mixed, flagged raw
+    ]
+    df = spark.createDataFrame(
+        [(i, t, f) for i, t, f in docs], "doc_id long, text string, flag int"
+    )
+    D = 64
+    got = {
+        r["doc_id"]: r
+        for r in dsir_scores(
+            df, F.col("flag") == 1, n_buckets=D, salt="dsir1:"
+        ).collect()
+    }
+
+    def feats(text):
+        w = text.split()
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def dim(f):
+        h = int(hashlib.md5(("dsir1:" + f).encode()).hexdigest()[:15], 16)
+        return h % D
+
+    nt, nr = {}, {}
+    for _, t, flag in docs:
+        for f in feats(t):
+            d = dim(f)
+            (nt if flag else nr)[d] = (nt if flag else nr).get(d, 0) + 1
+    tt, tr = sum(nt.values()), sum(nr.values())
+    for i, t, flag in docs:
+        cs = {}
+        for f in feats(t):
+            cs[dim(f)] = cs.get(dim(f), 0) + 1
+        score = sum(
+            c
+            * math.log2(
+                ((nt.get(d, 0) + 1) * (tr + D)) / ((nr.get(d, 0) + 1) * (tt + D))
+            )
+            for d, c in cs.items()
+        )
+        r = got[i]
+        assert r["is_target"] == flag and r["n_feats"] == len(feats(t))
+        assert abs(r["dsir_score"] - round(score, 6)) <= 1e-5, (i, r, score)
+
+    # target-vocab docs outscore raw-vocab docs; the mixed doc sits
+    # between the pure-target and pure-raw groups
+    s = {i: got[i]["dsir_score"] for i, _, _ in docs}
+    assert min(s[0], s[1]) > max(s[2], s[3])
+    assert s[2] < s[4] < s[0]
+
+    top = dsir_select(
+        dsir_scores(df, F.col("flag") == 1, n_buckets=D), 2
+    ).collect()
+    assert {r["doc_id"] for r in top} == {0, 1}

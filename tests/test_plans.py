@@ -230,6 +230,13 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "triangle_stats": {"BroadcastNestedLoopJoin"},  # three one-row counts
         # same documented-small-query-set broadcast as similarity_topk
         "hard_negatives": {"BroadcastNestedLoopJoin"},
+        # one-row totals broadcast (the corpus_mixture pattern)
+        "dsir_weights": {"BroadcastNestedLoopJoin"},
+        # group-pair expansion: broadcast cross join of the DISTINCT
+        # source list with itself (sources are bounded, never
+        # data-sized; the sketches the pairs join against are k rows
+        # per group)
+        "kmv_set_ops": {"BroadcastNestedLoopJoin"},
     }
     offenders = {}
     for name in ALL_QUERIES:
