@@ -127,6 +127,10 @@ HEADLINE = [
     "heavy_hitters",
     "bloom_prefilter",
     "zorder_keys",
+    # r8 additions: DSIR distribution-matching selection + KMV sketch
+    # set algebra (union/intersection/Jaccard across source pairs)
+    "dsir_weights",
+    "kmv_set_ops",
 ]
 
 

@@ -1103,15 +1103,17 @@ _REGISTRY: list[Query] = [
     # bloom_prefilter: BIT_OR-mergeable Bloom join pruning with exact
     # surviving-set + false-positive accounting under oracle.
     Query("bloom_prefilter", llmdata.q_bloom_prefilter, llmdata.Q_BLOOM_PREFILTER_SQL),
-    # --- cardinality
-    # ROTATION (r6): cardinality demoted — its oracle checks only the
-    # EXACT countDistinct column (the builtin approx sketch is engine-
-    # specific, unit-tested not oracle-able). Slot goes to
-    # hll_cardinality, which strictly dominates: a portable mergeable
-    # HLL whose registers AND estimate are under exact cross-engine
-    # oracle parity, with the exact count riding along as per-row
-    # self-evaluation.
-    Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),
+    # --- data selection (distribution matching)
+    # ROTATION (r8e): hll_cardinality demoted (the HLL family stays
+    # covered twice in the local gate — hll_cardinality itself plus
+    # windowed_distinct, both full-oracle; the sketch family keeps
+    # THREE head rows: heavy_hitters, bloom_prefilter,
+    # sample_quantiles). Slot goes to dsir_weights — DSIR importance
+    # weights (Xie et al. 2023), the named distribution-matching
+    # data-selection algorithm: hashed unigram+bigram bag models for a
+    # target slice vs the rest, per-doc log2 likelihood-ratio scores,
+    # ALL under full oracle.
+    Query("dsir_weights", llmdata.q_dsir_weights, llmdata.Q_DSIR_WEIGHTS_SQL),
     # =====================================================================
     # TAIL: the driver evaluates only the FIRST 50 registry entries per
     # round (CORRECTNESS_r01.json truncated at exactly 50). Everything
@@ -1259,10 +1261,9 @@ _REGISTRY: list[Query] = [
     # first_window_counts / parts_rollup / similarity_topk /
     # bpe_token_stats / contamination (families stay covered — see the
     # in-place head notes).
-    # r9 PROMOTION CANDIDATES, in priority order: dsir_weights (the
-    # named distribution-matching data-selection algorithm),
-    # kmv_set_ops (sketch set algebra: the intersection estimates HLL
-    # can't do), then: normalize_unicode
+    # r9 PROMOTION CANDIDATES, in priority order: kmv_set_ops (sketch
+    # set algebra: the intersection estimates HLL can't do; dsir_weights
+    # was promoted r8e), then: normalize_unicode
     # (the only cross-ICU Python-stage oracle), cdc_state (lakehouse
     # MERGE materialization family), snapshot_diff (data-diff audit),
     # streaming_capped_sessions (python-stateful streaming under
@@ -1272,10 +1273,12 @@ _REGISTRY: list[Query] = [
     # (both are keyed running counts), set_ops (plan-trivial),
     # repetition_stats vs quality_score overlap, doc_chunks vs
     # pack_sequences overlap (both context-window packers).
-    # r8-continuation additions (tail until the r9 rotation): DSIR
-    # importance weights + KMV sketch set algebra
-    Query("dsir_weights", llmdata.q_dsir_weights, llmdata.Q_DSIR_WEIGHTS_SQL),
+    # r8-continuation addition (tail until the r9 rotation): KMV
+    # sketch set algebra (dsir_weights went straight to head, r8e)
     Query("kmv_set_ops", llmdata.q_kmv_set_ops, llmdata.Q_KMV_SET_OPS_SQL),
+    # demoted r8e (head slot went to dsir_weights) — portable
+    # mergeable HLL stays full-oracle here AND via windowed_distinct
+    Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),
     Query("fuzzy_match", llmdata.q_fuzzy_match, llmdata.Q_FUZZY_MATCH_SQL),
     Query("inverted_index", llmdata.q_inverted_index, llmdata.Q_INVERTED_INDEX_SQL),
     Query("media_resize", llmdata.q_media_resize, llmdata.Q_MEDIA_RESIZE_SQL),
