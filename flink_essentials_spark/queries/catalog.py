@@ -1276,6 +1276,12 @@ _REGISTRY: list[Query] = [
     # r8-continuation addition (tail until the r9 rotation): KMV
     # sketch set algebra (dsir_weights went straight to head, r8e)
     Query("kmv_set_ops", llmdata.q_kmv_set_ops, llmdata.Q_KMV_SET_OPS_SQL),
+    # r8-continuation additions: the two canonical published corpus
+    # filter rulesets (Gopher A1 doc heuristics, C4 §2.2 line rules)
+    # over deterministically decorated corpora — r9 promotion
+    # candidates alongside kmv_set_ops
+    Query("gopher_rules", llmdata.q_gopher_rules, llmdata.Q_GOPHER_RULES_SQL),
+    Query("c4_filters", llmdata.q_c4_filters, llmdata.Q_C4_FILTERS_SQL),
     # demoted r8e (head slot went to dsir_weights) — portable
     # mergeable HLL stays full-oracle here AND via windowed_distinct
     Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),

@@ -5097,3 +5097,187 @@ SELECT est.ga AS source_a, est.gb AS source_b, est.n_sk, est.m,
          AS exact_jaccard
 FROM est JOIN ex ON est.ga = ex.ga AND est.gb = ex.gb
 """
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality ruleset (quality_rules.gopher_quality,
+    Rae et al. 2021 App. A1) over a deterministically decorated corpus
+    — the synthetic docs have no symbols, bullets, or most required
+    stopwords, so three spikes (the boilerplate-fixture discipline)
+    give every rule both outcomes: doc_id%3 docs gain required
+    stopwords, %11 docs gain '#' symbol runs, %9 docs gain a
+    bullet/ellipsis block. Every ratio is one division of exact
+    integer operands — bit-exact oracle, no rounding."""
+    from flink_essentials_spark.functions.quality_rules import gopher_quality
+
+    t = load_tables(spark, sf_dir)
+    spiked = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, " and of that with").otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0, " # # # # # # # # # # # #"
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                "\n- first bullet item here...\n* second bullet item"
+                "\n• third point goes here...",
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return gopher_quality(spiked)
+
+
+Q_GOPHER_RULES_SQL = r"""
+WITH spiked AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' and of that with' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' # # # # # # # # # # # #' ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+                 THEN chr(10) || '- first bullet item here...'
+                   || chr(10) || '* second bullet item'
+                   || chr(10) || '• third point goes here...'
+                 ELSE '' END AS text
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))
+           AS n_words,
+         length(regexp_replace(text, '\s+', '', 'g')) AS word_chars,
+         length(text) - length(replace(text, '#', '')) AS hash_cnt,
+         length(text) - length(replace(text, '...', '')) AS ell3,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
+           AS lines,
+         len(list_filter(list_filter(string_split_regex(text, '\s+'),
+                                     w -> w <> ''),
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         len(list_intersect(
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           w -> w <> ''),
+               ['the','be','to','of','and','that','have','with']))
+           AS n_required_stopwords
+  FROM spiked
+), r AS (
+  SELECT doc_id, n_words,
+         CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
+         CAST(hash_cnt * 3 + ell3 AS DOUBLE) / (n_words * 3)
+           AS symbol_ratio,
+         len(lines) AS n_lines,
+         CAST(len(list_filter(lines, l -> ltrim(l) LIKE '- %'
+                   OR ltrim(l) LIKE '* %' OR ltrim(l) LIKE '•%'))
+              AS DOUBLE) / len(lines) AS bullet_ratio,
+         CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...'
+                   OR rtrim(l) LIKE '%…'))
+              AS DOUBLE) / len(lines) AS ellipsis_ratio,
+         CAST(n_alpha AS DOUBLE) / n_words AS alpha_ratio,
+         n_required_stopwords
+  FROM sig
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_lines,
+       bullet_ratio, ellipsis_ratio, alpha_ratio, n_required_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+        AND n_required_stopwords >= 2) AS gopher_pass
+FROM r
+"""
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (quality_rules.c4_clean, Raffel et al.
+    2020 §2.2) over a deterministic line-structured rebuild of the
+    corpus (the docs ship as one unpunctuated line): words regroup
+    into 6-word lines, line i gains terminal '.' when (doc_id+i)%3!=0,
+    %13 docs get 'javascript ' injected into line 0, %19 docs an
+    appended 'lorem ipsum' sentence, %17 docs a '{' line — so kept
+    lines, sentence counts, and all three drop flags vary. Rebuilt
+    kept text is verified order-preserved by md5 (the boilerplate
+    pattern)."""
+    from flink_essentials_spark.functions.quality_rules import c4_clean
+    from flink_essentials_spark.operators.transform import tokenize
+
+    t = load_tables(spark, sf_dir)
+    w = tokenize(F.col("text"))
+    nl = F.floor((F.size(w) + 5) / 6).cast("int")
+    d = F.col("doc_id")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.when((i == 0) & (d % 13 == 0), "javascript ").otherwise(""),
+            F.array_join(F.slice(w, i * 6 + 1, 6), " "),
+            F.when((d + i) % 3 != 0, ".").otherwise(""),
+        ),
+    )
+    spiked = t["documents"].select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                lines,
+                F.when(
+                    d % 19 == 0, F.array(F.lit("lorem ipsum dolor sit amet."))
+                ).otherwise(F.array().cast("array<string>")),
+                F.when(d % 17 == 0, F.array(F.lit("function() {"))).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return c4_clean(spiked)
+
+
+Q_C4_FILTERS_SQL = (
+    r"""
+WITH spiked AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(0, (len(w) + 5) // 6), i ->
+             CASE WHEN i = 0 AND doc_id % 13 = 0
+                  THEN 'javascript ' ELSE '' END
+             || array_to_string(list_slice(w, i * 6 + 1, i * 6 + 6), ' ')
+             || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)
+           || CASE WHEN doc_id % 19 = 0
+                   THEN ['lorem ipsum dolor sit amet.']
+                   ELSE [] END
+           || CASE WHEN doc_id % 17 = 0 THEN ['function() {'] ELSE [] END,
+           chr(10)) AS text
+  FROM (SELECT doc_id, """
+    + _SQL_TOKENS
+    + r""" AS w FROM documents)
+), base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
+           AS lines
+  FROM spiked
+), kept AS (
+  SELECT doc_id, text, lines,
+         coalesce(array_to_string(
+           list_filter(lines, l ->
+             regexp_matches(rtrim(l), '[.!?"'']$')
+             AND len(list_filter(string_split_regex(l, '\s+'),
+                                 w -> w <> '')) >= 5
+             AND NOT contains(lower(l), 'javascript')),
+           chr(10)), '') AS kept_text,
+         len(list_filter(lines, l ->
+             regexp_matches(rtrim(l), '[.!?"'']$')
+             AND len(list_filter(string_split_regex(l, '\s+'),
+                                 w -> w <> '')) >= 5
+             AND NOT contains(lower(l), 'javascript'))) AS n_lines_kept
+  FROM base
+)
+SELECT doc_id, len(lines) AS n_lines, n_lines_kept,
+       length(kept_text) - length(regexp_replace(kept_text, '[.!?]', '', 'g'))
+         AS n_sentences,
+       contains(text, '{') AS has_brace,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       md5(kept_text) AS clean_md5,
+       (length(kept_text) - length(regexp_replace(kept_text, '[.!?]', '', 'g'))
+          >= 3
+        AND NOT contains(text, '{')
+        AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
+FROM kept
+"""
+)

@@ -1482,3 +1482,104 @@ def test_dsir_scores_match_reference_and_separate_target(spark):
         dsir_scores(df, F.col("flag") == 1, n_buckets=D), 2
     ).collect()
     assert {r["doc_id"] for r in top} == {0, 1}
+
+
+# --- Gopher / C4 quality rulesets -------------------------------------------
+
+
+def test_gopher_quality_rules_each_rule_fires(spark):
+    """Crafted docs, one per rule violation, so every Gopher rule is
+    pinned including the two the corpus fixture never trips (mean word
+    length > 10, bullet ratio > 0.9). Hand-derived expectations."""
+    from flink_essentials_spark.functions.quality_rules import gopher_quality
+
+    good = (
+        "the cat and the dog have been to town with that red ball "
+        "and they play of a game that everyone loves to watch " * 3
+    )
+    docs = [
+        (0, good),  # passes everything
+        (1, "the and of short text"),  # too few words
+        (2, "supercalifragilistic " * 60 + "the and of that"),  # mean len > 10
+        (3, good + " " + "# " * 40),  # symbol ratio > 0.1
+        (4, "- " + good + "\n- " + good),  # every line bulleted
+        (5, good + "...\n" + good + "...\n" + good + "..."),  # ellipsis lines
+        (6, " ".join(["123"] * 60) + " the and"),  # alpha ratio < 0.8
+        (7, "cat dog bird fish " * 20),  # no required stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert got[0]["gopher_pass"] is True
+    for i in range(1, 8):
+        assert got[i]["gopher_pass"] is False, (i, got[i])
+    assert got[1]["n_words"] < 50
+    assert got[2]["mean_word_len"] > 10.0
+    assert got[3]["symbol_ratio"] > 0.1
+    assert got[4]["bullet_ratio"] > 0.9
+    assert got[5]["ellipsis_ratio"] > 0.3
+    assert got[6]["alpha_ratio"] < 0.8
+    assert got[7]["n_required_stopwords"] < 2
+    # signal spot-checks
+    assert got[4]["n_lines"] == 2 and got[4]["bullet_ratio"] == 1.0
+    assert got[5]["ellipsis_ratio"] == 1.0
+    assert got[0]["n_required_stopwords"] >= 6
+
+
+def test_c4_clean_line_rules(spark):
+    """C4 §2.2 line rules on crafted docs: terminal punctuation, the
+    5-word minimum, the javascript line drop, and the three document
+    drop flags; kept text is rebuilt order-preserved."""
+    import hashlib
+
+    from flink_essentials_spark.functions.quality_rules import c4_clean
+
+    docs = [
+        (0, "the quick brown fox jumps.\nno punct line here at all\n"
+            "short line.\nanother good sentence right here!\n"
+            "is this a question line?"),
+        (1, "enable javascript to view this.\na fine sentence sits here."),
+        (2, "function foo() { return 1; }\na fine sentence sits here."),
+        (3, "lorem ipsum dolor sit amet.\nmore words follow in this line."),
+        (4, "one good sentence is here.\nsecond good sentence is here.\n"
+            "third good sentence is here."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_clean(df).collect()}
+
+    r0 = got[0]
+    kept0 = "the quick brown fox jumps.\nanother good sentence right here!\nis this a question line?"
+    assert r0["n_lines"] == 5 and r0["n_lines_kept"] == 3
+    assert r0["n_sentences"] == 3 and r0["c4_keep"] is True
+    assert r0["clean_md5"] == hashlib.md5(kept0.encode()).hexdigest()
+
+    assert got[1]["n_lines_kept"] == 1  # javascript line dropped
+    assert got[1]["c4_keep"] is False  # only 1 sentence survives
+    assert got[2]["has_brace"] is True and got[2]["c4_keep"] is False
+    assert got[3]["has_lorem"] is True and got[3]["c4_keep"] is False
+    assert got[4]["n_sentences"] == 3 and got[4]["c4_keep"] is True
+
+
+def test_quality_rules_non_vacuous_at_sf001():
+    """Both registry fixtures must exercise both outcomes of their
+    pass flags and most per-rule splits at the gate SF (the vacuous-
+    oracle lesson) — DuckDB-only, no Spark session."""
+    import duckdb
+
+    import flink_essentials_spark.queries.llmdata as m
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    g = con.execute(m.Q_GOPHER_RULES_SQL).df()
+    assert set(g.gopher_pass.unique()) == {True, False}
+    assert (g.n_words < 50).any() and (g.symbol_ratio > 0.1).any()
+    assert (g.ellipsis_ratio > 0.3).any() and (g.alpha_ratio < 0.8).any()
+    assert (g.n_required_stopwords < 2).any() and (
+        g.n_required_stopwords >= 2
+    ).any()
+    c4 = con.execute(m.Q_C4_FILTERS_SQL).df()
+    assert set(c4.c4_keep.unique()) == {True, False}
+    assert c4.has_brace.any() and c4.has_lorem.any()
+    assert (c4.n_lines_kept < c4.n_lines).any() and (c4.n_lines_kept > 0).any()
