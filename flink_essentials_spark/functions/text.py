@@ -1120,3 +1120,197 @@ def bpe_encode(
             ).alias("chars_per_token"),
         )
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+# "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+# algorithm). Guarantee: any shared substring of length >= k + w - 1
+# yields at least one shared selected fingerprint, while only ~2/(w+1)
+# of all k-gram hashes are kept. Selection is the VALUE-min of each
+# w-window of k-gram hashes — tie position doesn't affect the selected
+# fingerprint SET, so plain min is exact and engine-neutral.
+#
+# Shape note: a per-row array formulation (transform over windows of a
+# transform over grams) re-evaluates the inner gram expression per
+# window — Catalyst inlines single-use aliases into lambda bodies, so
+# the "materialize then slice" trick quadratics (measured: 370 s for
+# 500 docs). The distributed form below explodes (pos, gram-hash) rows
+# and takes the w-row running min with a window function — linear, one
+# doc-keyed shuffle, and it handles a single 1 GB document (grams
+# never sit in one array).
+# ---------------------------------------------------------------------------
+
+
+def _winnow_fp_rows(
+    df: DataFrame, k: int, w: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Distinct selected winnowing fingerprints as (doc_id, nh, h)
+    rows; nh = k-gram count. Docs with no k-gram (< k canonical chars)
+    drop out."""
+    from pyspark.sql import Window as W
+
+    clean = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = df.select(F.col(id_col).alias("doc_id"), clean.alias("clean")).select(
+        "doc_id",
+        "clean",
+        F.greatest(F.length("clean") - (k - 1), F.lit(0)).alias("nh"),
+    )
+    rows = base.select(
+        "doc_id",
+        "nh",
+        F.explode(
+            F.when(
+                F.col("nh") >= 1, F.sequence(F.lit(1), F.col("nh"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        F.col("clean"),
+    ).select(
+        "doc_id",
+        "nh",
+        "i",
+        word_hash(F.col("clean").substr(F.col("i"), F.lit(k))).alias("h"),
+    )
+    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    sel = rows.withColumn("mh", F.min("h").over(win)).filter(
+        # window START positions: 1..nh-w+1, or the single all-grams
+        # window when nh < w (the running min at i=1 then spans all)
+        (F.col("i") <= F.col("nh") - (w - 1)) | (F.col("i") == 1)
+    )
+    return sel.select("doc_id", "nh", F.col("mh").alias("h")).distinct()
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc winnowing fingerprint summary: distinct selected k-gram
+    hashes counted and folded into an order-independent bit_xor
+    signature. Text is canonicalized to lowercase [a-z0-9] (the
+    paper's whitespace/punctuation-insensitive matching).
+
+    Returns (doc_id, n_kgrams, n_windows, n_fingerprints, fp_xor).
+    The doc-keyed window shuffle and the groupBy share the doc_id
+    partitioning; docs too short for one k-gram drop out.
+    """
+    fps = _winnow_fp_rows(df, k, w, text_col, id_col)
+    return (
+        fps.groupBy("doc_id", "nh")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.expr("bit_xor(h)").alias("fp_xor"),
+        )
+        .select(
+            "doc_id",
+            F.col("nh").alias("n_kgrams"),
+            F.greatest(
+                F.col("nh") - (w - 1), F.least(F.col("nh"), F.lit(1))
+            ).alias("n_windows"),
+            "n_fingerprints",
+            "fp_xor",
+        )
+    )
+
+
+def winnowing_match_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc pairs sharing >= ``min_shared`` winnowing fingerprints —
+    the MOSS near-dup/plagiarism detector. By the winnowing guarantee
+    a shared substring of length >= k+w-1 canonical chars forces >= 1
+    shared fingerprint, so min_shared=2 tolerates one chance collision.
+
+    Scale shape: fingerprints equi-join on the hash (banded, never
+    all-pairs — the LSH discipline); pair counts are a keyed groupBy.
+    """
+    fp = _winnow_fp_rows(df, k, w, text_col, id_col).select("doc_id", "h")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document to a fixed term set (Robertson
+    et al., Okapi BM25; idf in the always-positive Lucene form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    Plan: per-term tf columns are scan-stage array filters (no explode
+    — terms are a bounded query set); N / avgdl / per-term df collapse
+    into ONE scalar aggregate broadcast back over the corpus (the
+    idle_customers one-row pattern). Per-term scores are added in
+    FIXED left-to-right term order so both engines sum identical
+    operands; ln() is libm (the lm_score precedent) so the final score
+    is rounded to 6.
+
+    Returns (doc_id, dl, tf_<term>..., bm25_score).
+    """
+    toks = tokenize(F.col(text_col))
+
+    def _tf(term: str) -> Column:
+        # NB: a lambda with a second (default) arg would change
+        # F.filter's arity contract — the 2-arg form receives the
+        # ELEMENT INDEX as its second parameter
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = df.select(
+        id_col,
+        F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"tf_{t}") for t in terms],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + (F.lit(b) * F.col("dl").cast("double")) / avgdl
+    )
+    score = None
+    for t in terms:
+        tf = F.col(f"tf_{t}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        s = (idf * (tf * F.lit(k1 + 1.0))) / (tf + norm)
+        score = s if score is None else score + s
+    return joined.select(
+        id_col,
+        "dl",
+        *[f"tf_{t}" for t in terms],
+        F.round(score, 6).alias("bm25_score"),
+    )

@@ -1282,6 +1282,11 @@ _REGISTRY: list[Query] = [
     # candidates alongside kmv_set_ops
     Query("gopher_rules", llmdata.q_gopher_rules, llmdata.Q_GOPHER_RULES_SQL),
     Query("c4_filters", llmdata.q_c4_filters, llmdata.Q_C4_FILTERS_SQL),
+    # r8-continuation additions: winnowing/MOSS fingerprint selection
+    # (Schleimer et al. 2003) and query-conditioned Okapi BM25 —
+    # further r9 promotion candidates
+    Query("winnowing_fp", llmdata.q_winnowing_fp, llmdata.Q_WINNOWING_FP_SQL),
+    Query("bm25_scores", llmdata.q_bm25_scores, llmdata.Q_BM25_SCORES_SQL),
     # demoted r8e (head slot went to dsir_weights) — portable
     # mergeable HLL stays full-oracle here AND via windowed_distinct
     Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),

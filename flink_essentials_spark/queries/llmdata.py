@@ -5281,3 +5281,107 @@ SELECT doc_id, len(lines) AS n_lines, n_lines_kept,
 FROM kept
 """
 )
+
+
+def q_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summaries (text.winnowing_fingerprints,
+    Schleimer et al. 2003 / MOSS; k=5, w=4): per doc the k-gram count,
+    window count, distinct selected fingerprints, and their
+    order-independent bit_xor signature — all deterministic hash/
+    integer work under exact oracle parity. The ~2/(w+1) selection
+    density and the shared-substring guarantee are pinned in pytest."""
+    from flink_essentials_spark.functions.text import winnowing_fingerprints
+
+    t = load_tables(spark, sf_dir)
+    return winnowing_fingerprints(t["documents"], k=5, w=4)
+
+
+Q_WINNOWING_FP_SQL = r"""
+WITH c AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS clean
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN length(clean) >= 5
+              THEN list_transform(range(1, length(clean) - 3),
+                     i -> ('0x' || substring(md5(substring(clean, i, 5)),
+                                             1, 15))::BIGINT)
+              ELSE [] END AS grams
+  FROM c
+), s AS (
+  SELECT doc_id, len(grams) AS n_kgrams,
+         CASE WHEN len(grams) >= 4 THEN len(grams) - 3
+              WHEN len(grams) >= 1 THEN 1 ELSE 0 END AS n_windows,
+         CASE WHEN len(grams) >= 1
+              THEN list_distinct(list_transform(
+                     range(1, greatest(len(grams) - 3, 1) + 1),
+                     j -> list_min(list_slice(grams, j, j + 3))))
+              ELSE [] END AS fps
+  FROM g
+)
+SELECT doc_id, n_kgrams, n_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       bit_xor(h) AS fp_xor
+FROM s, UNNEST(fps) AS t(h)
+GROUP BY 1, 2, 3
+"""
+
+
+def _bm25_sql(terms: list[str], k1: float, b: float) -> str:
+    """Parameterized BM25 oracle — one template for any term set, all
+    float literals emitted via repr() (the link_rank lesson), the
+    expression tree shaped identically to text.bm25_scores."""
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in terms
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in terms
+    )
+    avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+    norm = (
+        f"{k1!r} * ({(1.0 - b)!r} + ({b!r} * CAST(dl AS DOUBLE)) / {avgdl})"
+    )
+    score = " + ".join(
+        f"(ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (CAST(tf_{t} AS DOUBLE) * {(k1 + 1.0)!r}))"
+        f" / (CAST(tf_{t} AS DOUBLE) + {norm})"
+        for t in terms
+    )
+    tf_names = ", ".join(f"tf_{t}" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(w) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id, dl, {tf_names},
+       round({score}, 6) AS bm25_score
+FROM base CROSS JOIN stats
+"""
+
+
+_BM25_TERMS = ["spark", "window", "filter", "merge"]
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance (text.bm25_scores, Lucene idf form) of
+    every document to the fixed query {spark, window, filter, merge}
+    — the retrieval scorer a decontamination / hard-negative pipeline
+    ranks with (tfidf_terms is the per-doc summary; this is the
+    query-conditioned member). One scalar-aggregate broadcast, fixed
+    term-order summation, round(,6) for the libm ln (the lm_score
+    precedent)."""
+    from flink_essentials_spark.functions.text import bm25_scores
+
+    t = load_tables(spark, sf_dir)
+    return bm25_scores(t["documents"], _BM25_TERMS, k1=1.2, b=0.75)
+
+
+Q_BM25_SCORES_SQL = _bm25_sql(_BM25_TERMS, 1.2, 0.75)

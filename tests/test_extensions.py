@@ -1583,3 +1583,111 @@ def test_quality_rules_non_vacuous_at_sf001():
     assert set(c4.c4_keep.unique()) == {True, False}
     assert c4.has_brace.any() and c4.has_lorem.any()
     assert (c4.n_lines_kept < c4.n_lines).any() and (c4.n_lines_kept > 0).any()
+
+
+# --- Winnowing / BM25 -------------------------------------------------------
+
+
+def _brute_winnow(text: str, k: int, w: int) -> set[int]:
+    """Independent reference: hashlib k-gram hashes, min per window."""
+    import hashlib
+
+    import re as _re
+
+    clean = _re.sub(r"[^a-z0-9]", "", text.lower())
+    hs = [
+        int(hashlib.md5(clean[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(clean) - k + 1)
+    ]
+    if not hs:
+        return set()
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnowing_matches_brute_force_and_guarantee(spark):
+    """winnowing_fingerprints vs the hashlib reference on mixed-length
+    docs (including shorter-than-one-window and shorter-than-one-gram
+    edge cases), plus the paper's two contracts: density ~2/(w+1) and
+    a shared substring of length >= k+w-1 forces a shared fingerprint
+    (winnowing_match_pairs finds the planted pair)."""
+    from functools import reduce
+
+    from flink_essentials_spark.functions.text import (
+        winnowing_fingerprints,
+        winnowing_match_pairs,
+    )
+
+    shared = "the common plagiarized passage sits right here"
+    docs = [
+        (0, "A completely original essay about winnowing and hashing, "
+            "padded with enough prose to produce many k-grams. " + shared),
+        (1, "Different document entirely, other words throughout; "
+            + shared + " and then it diverges again into new content."),
+        (2, "tinydoc"),   # 3 grams: fewer than one full window
+        (3, "ab"),        # < k canonical chars -> drops out
+        (4, "unrelated text with no overlap to anything else at all, "
+            "carrying on for a while to get a fair fingerprint count."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in winnowing_fingerprints(df, k=5, w=4).collect()}
+
+    assert 3 not in got and 2 in got  # 'ab' < k chars drops out
+    for i, text in docs:
+        if i == 3:
+            continue
+        ref = _brute_winnow(text, 5, 4)
+        r = got[i]
+        assert r["n_fingerprints"] == len(ref), (i, r)
+        assert r["fp_xor"] == reduce(lambda a, b: a ^ b, ref), i
+        # density: distinct selections never exceed window count
+        assert r["n_fingerprints"] <= r["n_windows"]
+    # expected selection density ~= 2/(w+1) = 0.4; generous bracket
+    r0 = got[0]
+    assert 0.1 <= r0["n_fingerprints"] / r0["n_windows"] <= 0.7
+
+    pairs = winnowing_match_pairs(df, k=5, w=4, min_shared=2).collect()
+    assert any(p["doc_a"] == 0 and p["doc_b"] == 1 for p in pairs)
+    assert not any(
+        {p["doc_a"], p["doc_b"]} == {0, 4} for p in pairs
+    ), "unrelated docs must not match"
+
+
+def test_bm25_matches_reference(spark):
+    """bm25_scores vs an independent math.log reimplementation of
+    Okapi BM25 (Lucene idf), and the ranking sanity check: a doc
+    saturated with query terms outranks one with a single hit."""
+    import math
+
+    from flink_essentials_spark.functions.text import bm25_scores
+
+    docs = [
+        (0, "spark window spark merge filter spark window"),
+        (1, "one lonely filter mention inside much other text padding"),
+        (2, "nothing relevant in this document at all"),
+        (3, "window window window window window window window window"),
+    ]
+    terms = ["spark", "window", "filter", "merge"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bm25_scores(df, terms).collect()}
+
+    toks = {i: t.split() for i, t in docs}
+    N = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    dfs = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    k1, b = 1.2, 0.75
+    for i, _ in docs:
+        dl = len(toks[i])
+        score = 0.0
+        for t in terms:
+            tf = toks[i].count(t)
+            idf = math.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            score += (idf * (tf * (k1 + 1.0))) / (
+                tf + k1 * ((1.0 - b) + (b * dl) / avgdl)
+            )
+        r = got[i]
+        assert r["dl"] == dl and r["tf_spark"] == toks[i].count("spark")
+        assert abs(r["bm25_score"] - score) < 1e-6, (i, r, score)
+    assert got[0]["bm25_score"] > got[1]["bm25_score"] > got[2]["bm25_score"]
+    assert got[2]["bm25_score"] == 0.0

@@ -237,6 +237,9 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # data-sized; the sketches the pairs join against are k rows
         # per group)
         "kmv_set_ops": {"BroadcastNestedLoopJoin"},
+        # one-row corpus-stats broadcast (N/avgdl/df — the
+        # idle_customers pattern)
+        "bm25_scores": {"BroadcastNestedLoopJoin"},
     }
     offenders = {}
     for name in ALL_QUERIES:
