@@ -131,6 +131,12 @@ HEADLINE = [
     # set algebra (union/intersection/Jaccard across source pairs)
     "dsir_weights",
     "kmv_set_ops",
+    # r8 additions: published filter rulesets (scan-stage), winnowing
+    # fingerprint selection (explode + doc-keyed window min), BM25
+    "gopher_rules",
+    "c4_filters",
+    "winnowing_fp",
+    "bm25_scores",
 ]
 
 

@@ -1314,3 +1314,92 @@ def bm25_scores(
         *[f"tf_{t}" for t in terms],
         F.round(score, 6).alias("bm25_score"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_r: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS of
+    ln(freq) on ln(rank) over the ``top_r`` most frequent words —
+    the power-law audit (slope ~ -1 for natural language; a synthetic
+    or template-heavy corpus shows up as a flat or broken slope).
+
+    Scale shape: one tokenize explode + word groupBy, then
+    ``orderBy().limit(top_r)`` (TakeOrderedAndProject — per-partition
+    partial top-k, never a global sort or a partitionless window);
+    ranks come from sorting the collected top-R array INSIDE the one
+    summary row. The OLS sums fold over that array in rank order, so
+    both engines add identical operands in identical order (ln is
+    libm — the lm_score precedent — hence round(,6) on the emitted
+    slope/intercept; the fold init 0.0+x1 == x1 bit-exactly, matching
+    DuckDB's init-less list_reduce).
+
+    Returns one row: (n_points, top_word, top_count, slope,
+    intercept).
+    """
+    toks = tokenize(F.col(text_col))
+    counts = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), "w").limit(top_r)
+    one = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("w").alias("w"),
+                    F.col("cnt").alias("cnt"),
+                )
+            )
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+    n = F.size(arr)
+    idx = F.sequence(F.lit(1), n)
+
+    def _fold(vals: Column) -> Column:
+        return F.aggregate(
+            vals, F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    lnr = F.transform(idx, lambda i: F.log(i.cast("double")))
+    lnf = F.transform(
+        idx, lambda i: F.log(F.element_at(arr, i)["cnt"].cast("double"))
+    )
+    sums = one.select(
+        n.alias("n_points"),
+        F.element_at(arr, 1)["w"].alias("top_word"),
+        F.element_at(arr, 1)["cnt"].alias("top_count"),
+        _fold(lnr).alias("sx"),
+        _fold(lnf).alias("sy"),
+        _fold(F.zip_with(lnr, lnf, lambda a, b: a * b)).alias("sxy"),
+        _fold(F.zip_with(lnr, lnr, lambda a, b: a * b)).alias("sxx"),
+    )
+    nd = F.col("n_points").cast("double")
+    with_slope = sums.select(
+        "n_points",
+        "top_word",
+        "top_count",
+        "sx",
+        "sy",
+        (
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope_raw"),
+    )
+    return with_slope.select(
+        "n_points",
+        "top_word",
+        "top_count",
+        F.round("slope_raw", 6).alias("slope"),
+        F.round(
+            (F.col("sy") - F.col("slope_raw") * F.col("sx"))
+            / F.col("n_points").cast("double"),
+            6,
+        ).alias("intercept"),
+    )

@@ -1287,6 +1287,8 @@ _REGISTRY: list[Query] = [
     # further r9 promotion candidates
     Query("winnowing_fp", llmdata.q_winnowing_fp, llmdata.Q_WINNOWING_FP_SQL),
     Query("bm25_scores", llmdata.q_bm25_scores, llmdata.Q_BM25_SCORES_SQL),
+    # r8-continuation: Zipf rank-frequency law fit (ordered-fold OLS)
+    Query("zipf_fit", llmdata.q_zipf_fit, llmdata.Q_ZIPF_FIT_SQL),
     # demoted r8e (head slot went to dsir_weights) — portable
     # mergeable HLL stays full-oracle here AND via windowed_distinct
     Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),

@@ -5385,3 +5385,57 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_BM25_SCORES_SQL = _bm25_sql(_BM25_TERMS, 1.2, 0.75)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency power-law fit (text.zipf_fit): OLS of
+    ln(freq) on ln(rank) over the top-100 words — the corpus-law
+    audit member of the profiling family (table_profile summarizes
+    columns; this tests the distributional LAW the text should obey).
+    Ranks come from TakeOrderedAndProject + an in-row sorted array;
+    OLS sums fold in rank order so both engines add identical
+    operands in identical order (fold init 0.0+x1 == x1 matches
+    DuckDB's init-less list_reduce)."""
+    from flink_essentials_spark.functions.text import zipf_fit
+
+    t = load_tables(spark, sf_dir)
+    return zipf_fit(t["documents"], top_r=100)
+
+
+Q_ZIPF_FIT_SQL = f"""
+WITH counts AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents)
+  GROUP BY w
+), top AS (
+  SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 100
+), ranked AS (
+  SELECT w, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rk FROM top
+), lists AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+         list(ln(rk) ORDER BY rk) AS lnr,
+         list(ln(cnt) ORDER BY rk) AS lnf,
+         list(ln(rk) * ln(cnt) ORDER BY rk) AS lxy,
+         list(ln(rk) * ln(rk) ORDER BY rk) AS lxx,
+         list(w ORDER BY rk)[1] AS top_word,
+         list(cnt ORDER BY rk)[1] AS top_count
+  FROM ranked
+), sums AS (
+  SELECT n_points, top_word, top_count,
+         list_reduce(lnr, (a, b) -> a + b) AS sx,
+         list_reduce(lnf, (a, b) -> a + b) AS sy,
+         list_reduce(lxy, (a, b) -> a + b) AS sxy,
+         list_reduce(lxx, (a, b) -> a + b) AS sxx
+  FROM lists
+), s2 AS (
+  SELECT n_points, top_word, top_count, sx, sy,
+         (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS slope_raw
+  FROM sums
+)
+SELECT n_points, top_word, top_count,
+       round(slope_raw, 6) AS slope,
+       round((sy - slope_raw * sx) / CAST(n_points AS DOUBLE), 6)
+         AS intercept
+FROM s2
+"""

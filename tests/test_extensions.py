@@ -1691,3 +1691,33 @@ def test_bm25_matches_reference(spark):
         assert abs(r["bm25_score"] - score) < 1e-6, (i, r, score)
     assert got[0]["bm25_score"] > got[1]["bm25_score"] > got[2]["bm25_score"]
     assert got[2]["bm25_score"] == 0.0
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """zipf_fit vs numpy.polyfit on the identical (ln rank, ln freq)
+    points, and exponent recovery: a corpus where word i appears
+    floor(1000/i) times must fit slope ~ -1."""
+    import numpy as np
+
+    from flink_essentials_spark.functions.text import zipf_fit
+
+    words = [f"w{i:03d}" for i in range(1, 41)]
+    text_parts = []
+    for i, w in enumerate(words, start=1):
+        text_parts += [w] * (1000 // i)
+    # spread across a few docs (the operator aggregates corpus-wide)
+    chunks = [" ".join(text_parts[j::7]) for j in range(7)]
+    df = spark.createDataFrame(
+        list(enumerate(chunks)), "doc_id long, text string"
+    )
+    r = zipf_fit(df, top_r=100).collect()[0]
+    assert r["n_points"] == 40
+    assert r["top_word"] == "w001" and r["top_count"] == 1000
+
+    freqs = sorted((1000 // i for i in range(1, 41)), reverse=True)
+    x = np.log(np.arange(1, 41, dtype=float))
+    y = np.log(np.array(freqs, dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(r["slope"] - slope) < 1e-6
+    assert abs(r["intercept"] - intercept) < 1e-6
+    assert -1.05 < r["slope"] < -0.95
