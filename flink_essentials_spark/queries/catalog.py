@@ -1036,7 +1036,12 @@ _REGISTRY: list[Query] = [
     # to source_overlap, the corpus-audit shingle-overlap matrix (most
     # production-relevant r4 op still driver-invisible, and the #2
     # bench query — r4 verdict #4).
-    Query("source_overlap", llmdata.q_source_overlap, llmdata.Q_SOURCE_OVERLAP_SQL),
+    # ROTATION (r8f): source_overlap demoted (exact distinct-shingle
+    # overlap, tail-checked) -> kmv_set_ops: the KMV bottom-k sketch
+    # answers the same cross-source overlap question from k-row
+    # sketches (union/intersection/Jaccard estimates + exact
+    # self-eval), the set algebra HLL registers can't express.
+    Query("kmv_set_ops", llmdata.q_kmv_set_ops, llmdata.Q_KMV_SET_OPS_SQL),
     # --- similarity search (§2.11)
     # ROTATION (r8): similarity_topk demoted (brute-force cosine top-k
     # is the ANN family's BASELINE; the family keeps ivfpq_topk driver-
@@ -1054,9 +1059,13 @@ _REGISTRY: list[Query] = [
     # APPLIED to the vocabulary, per-doc token economics joined back —
     # train→encode under one unrolled-CTE oracle.
     Query("bpe_encoded_docs", llmdata.q_bpe_encoded_docs, llmdata.Q_BPE_ENCODED_DOCS_SQL),
-    Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
+    # ROTATION (r8f): quality_score demoted (the ad-hoc score; the
+    # text-quality family keeps its strongest member driver-visible)
+    # -> gopher_rules: the published Gopher A1 ruleset — every rule
+    # under bit-exact oracle over a spiked corpus with both outcomes.
+    Query("gopher_rules", llmdata.q_gopher_rules, llmdata.Q_GOPHER_RULES_SQL),
     # ROTATION (r7): language_id_ngram demoted (language family stays
-    # covered by quality_score head + language_id tail) → heavy_hitters:
+    # covered by quality_score (tail since r8f) + language_id tail) → heavy_hitters:
     # the Count-Min counter sketch under exact cross-engine oracle.
     Query("heavy_hitters", llmdata.q_heavy_hitters, llmdata.Q_HEAVY_HITTERS_SQL),
     # ROTATION (r7): rolling_fingerprint demoted (fingerprint family
@@ -1089,9 +1098,11 @@ _REGISTRY: list[Query] = [
     # --- corpus audit / analytics breadth (promoted r4)
     # ROTATION (r5): url_stats demoted — its oracle family is a plain
     # spiked groupBy-count, multiply covered in the head (wordcount,
-    # cohort_retention); its slot goes to tfidf_terms, the corpus-wide
-    # term-weighting op (biggest bench query — r4 verdict #4).
-    Query("tfidf_terms", llmdata.q_tfidf_terms, llmdata.Q_TFIDF_TERMS_SQL),
+    # cohort_retention); its slot went to tfidf_terms (r4 verdict #4).
+    # ROTATION (r8f): tfidf_terms demoted (corpus term-weighting stays
+    # tail-checked) -> bm25_scores: the query-conditioned Okapi BM25
+    # retrieval scorer, the stronger named member of the family.
+    Query("bm25_scores", llmdata.q_bm25_scores, llmdata.Q_BM25_SCORES_SQL),
     # ROTATION (r7b): cohort_retention demoted (integer-bucketed
     # groupBy family multiply covered in head) → bpe_trained_merges:
     # the iterative tokenizer trainer under unrolled-CTE oracle.
@@ -1273,20 +1284,18 @@ _REGISTRY: list[Query] = [
     # (both are keyed running counts), set_ops (plan-trivial),
     # repetition_stats vs quality_score overlap, doc_chunks vs
     # pack_sequences overlap (both context-window packers).
-    # r8-continuation addition (tail until the r9 rotation): KMV
-    # sketch set algebra (dsir_weights went straight to head, r8e)
-    Query("kmv_set_ops", llmdata.q_kmv_set_ops, llmdata.Q_KMV_SET_OPS_SQL),
-    # r8-continuation additions: the two canonical published corpus
-    # filter rulesets (Gopher A1 doc heuristics, C4 §2.2 line rules)
-    # over deterministically decorated corpora — r9 promotion
-    # candidates alongside kmv_set_ops
-    Query("gopher_rules", llmdata.q_gopher_rules, llmdata.Q_GOPHER_RULES_SQL),
+    # demoted r8f (head slots went to gopher_rules / bm25_scores /
+    # kmv_set_ops) — still oracle-checked here
+    Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
+    Query("tfidf_terms", llmdata.q_tfidf_terms, llmdata.Q_TFIDF_TERMS_SQL),
+    Query("source_overlap", llmdata.q_source_overlap, llmdata.Q_SOURCE_OVERLAP_SQL),
+    # r8-continuation additions (tail): C4 line ruleset, winnowing,
+    # zipf — r9 promotion candidates
     Query("c4_filters", llmdata.q_c4_filters, llmdata.Q_C4_FILTERS_SQL),
     # r8-continuation additions: winnowing/MOSS fingerprint selection
     # (Schleimer et al. 2003) and query-conditioned Okapi BM25 —
     # further r9 promotion candidates
     Query("winnowing_fp", llmdata.q_winnowing_fp, llmdata.Q_WINNOWING_FP_SQL),
-    Query("bm25_scores", llmdata.q_bm25_scores, llmdata.Q_BM25_SCORES_SQL),
     # r8-continuation: Zipf rank-frequency law fit (ordered-fold OLS)
     Query("zipf_fit", llmdata.q_zipf_fit, llmdata.Q_ZIPF_FIT_SQL),
     # demoted r8e (head slot went to dsir_weights) — portable
