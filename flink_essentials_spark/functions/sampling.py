@@ -335,3 +335,103 @@ def dsir_select(scores: DataFrame, k: int) -> DataFrame:
     (score DESC, doc_id). TakeOrderedAndProject (per-partition partial
     top-k), never a global sort/window."""
     return scores.orderBy(F.desc("dsir_score"), "doc_id").limit(k)
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.7,
+    strata_col: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-sampling
+    rule of Conneau & Lample 2019 / XLM-R: sample stratum i with
+    probability p_i^alpha / sum_j p_j^alpha, p_i its corpus share) —
+    alpha < 1 upweights small strata, alpha = 1 is proportional
+    (corpus_mixture), alpha = 0 uniform.
+
+    Engine-parity shape: per-stratum sizes reduce to exact integer
+    sums; the bounded stratum table collapses into ONE sorted in-row
+    array so the pow-sum folds in stratum order (identical operand
+    order in the DuckDB oracle's init-less list_reduce — the zipf_fit
+    discipline); shares are single divisions of exact ints, weights
+    round to 6 for libm pow. Strata are bounded (sources/languages),
+    never data-sized.
+
+    Returns (stratum, n_docs, sum_size, share, weight).
+    """
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).cast("long").alias("sum_size"),
+    )
+    one = per.agg(
+        F.sort_array(
+            F.collect_list(F.struct("stratum", "n_docs", "sum_size"))
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+    tot = F.aggregate(
+        F.transform(arr, lambda s: s["sum_size"]),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    powsum = F.aggregate(
+        F.transform(
+            arr,
+            lambda s: F.pow(
+                s["sum_size"].cast("double") / F.col("__tot"), F.lit(alpha)
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    staged = one.select(arr.alias("arr"), tot.alias("__tot")).select(
+        "arr", "__tot", powsum.alias("__powsum")
+    )
+    s = F.col("s")
+    return staged.select(
+        F.explode("arr").alias("s"), "__tot", "__powsum"
+    ).select(
+        s["stratum"].alias("stratum"),
+        s["n_docs"].alias("n_docs"),
+        s["sum_size"].alias("sum_size"),
+        (s["sum_size"].cast("double") / F.col("__tot")).alias("share"),
+        F.round(
+            F.pow(s["sum_size"].cast("double") / F.col("__tot"), F.lit(alpha))
+            / F.col("__powsum"),
+            6,
+        ).alias("weight"),
+    )
+
+
+def dsir_resample(
+    scores: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    score_col: str = "dsir_score",
+    id_col: str = "doc_id",
+    salt: str = "gumbel1:",
+) -> DataFrame:
+    """The paper's actual DSIR selection step — importance RESAMPLING
+    via the Gumbel-top-k trick (sampling k docs without replacement
+    with probability ∝ exp(score/temperature) == top-k by
+    score/temperature + Gumbel noise). The Gumbel variates are
+    DERANDOMIZED from the doc id (u = (h + 0.5) / 2^60 with the
+    engine-neutral md5 hash, g = -ln(-ln(u))), so selection is
+    reproducible on any engine/partitioning — the repo's
+    hash-not-RNG sampling discipline. Top-k is TakeOrderedAndProject.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(float(1 << 60))
+    g = -F.log(-F.log(u))
+    key = F.col(score_col) / F.lit(temperature) + g
+    return (
+        scores.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), id_col)
+        .limit(k)
+    )

@@ -1403,3 +1403,75 @@ def zipf_fit(
             6,
         ).alias("intercept"),
     )
+
+
+def content_chunks(
+    df: DataFrame,
+    k: int = 8,
+    mask_bits: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the Rabin-fingerprint boundary scheme
+    of rsync / LBFS, Muthitacharoen et al. 2001): a chunk boundary
+    falls after position ``i`` whenever the hash of the k chars ending
+    at ``i`` is 0 mod 2^mask_bits — so an insertion shifts boundaries
+    only LOCALLY and unchanged regions keep identical chunk hashes
+    (the property fixed-window chunking lacks; avg chunk ~2^mask_bits
+    chars). The pure form, no min/max clamps — those are stateful and
+    break the locality guarantee at the clamp points.
+
+    Distributed shape (the winnowing lesson — no per-row array
+    re-evaluation): candidate positions explode to rows, boundary
+    rows survive a scan-stage filter (~n/2^mask_bits of them), the
+    end-of-doc sentinel unions in, and chunk extents come from a
+    doc-keyed lag window; chunk text extraction joins back to the doc
+    table on the same key. Docs shorter than one window emit one
+    whole-doc chunk.
+
+    Returns (doc_id, chunk_idx, start_pos, chunk_len, chunk_md5).
+    """
+    text = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        text.alias("__text"),
+        F.length(text).alias("__n"),
+    ).filter(F.col("__n") > 0)
+    pos = base.select(
+        "doc_id",
+        "__text",
+        F.explode(
+            F.when(
+                F.col("__n") >= k, F.sequence(F.lit(k), F.col("__n"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    )
+    h = word_hash(F.col("__text").substr(F.col("i") - (k - 1), F.lit(k)))
+    bnd = pos.filter(h % (1 << mask_bits) == 0).select("doc_id", F.col("i").alias("endpos"))
+    ends = bnd.unionByName(
+        base.select("doc_id", F.col("__n").alias("endpos"))
+    ).distinct()
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("endpos")
+    extents = ends.select(
+        "doc_id",
+        "endpos",
+        (F.lag("endpos", 1, 0).over(w) + 1).alias("start_pos"),
+        F.row_number().over(w).alias("chunk_idx"),
+    )
+    return extents.join(base, "doc_id").select(
+        "doc_id",
+        "chunk_idx",
+        "start_pos",
+        (F.col("endpos") - F.col("start_pos") + 1).alias("chunk_len"),
+        F.md5(
+            F.encode(
+                F.col("__text").substr(
+                    F.col("start_pos"),
+                    F.col("endpos") - F.col("start_pos") + 1,
+                ),
+                "utf-8",
+            )
+        ).alias("chunk_md5"),
+    )

@@ -1298,6 +1298,11 @@ _REGISTRY: list[Query] = [
     Query("winnowing_fp", llmdata.q_winnowing_fp, llmdata.Q_WINNOWING_FP_SQL),
     # r8-continuation: Zipf rank-frequency law fit (ordered-fold OLS)
     Query("zipf_fit", llmdata.q_zipf_fit, llmdata.Q_ZIPF_FIT_SQL),
+    # r8-continuation: content-defined chunking (rsync/LBFS Rabin
+    # boundaries — insertion-robust, unlike fixed-window doc_chunks)
+    # and temperature-scaled mixture weights (XLM-R sampling rule)
+    Query("content_chunks", llmdata.q_content_chunks, llmdata.Q_CONTENT_CHUNKS_SQL),
+    Query("temperature_mix", llmdata.q_temperature_mix, llmdata.Q_TEMPERATURE_MIX_SQL),
     # demoted r8e (head slot went to dsir_weights) — portable
     # mergeable HLL stays full-oracle here AND via windowed_distinct
     Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),

@@ -5439,3 +5439,94 @@ SELECT n_points, top_word, top_count,
          AS intercept
 FROM s2
 """
+
+
+def q_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (text.content_chunks, the rsync/LBFS
+    Rabin-boundary scheme; k=8, mask 5 bits -> ~32-char chunks):
+    boundary rows from a scan-stage hash filter, extents from a
+    doc-keyed lag window, chunk md5s from a same-key join-back — the
+    insertion-robust counterpart of the fixed-window doc_chunks (the
+    locality property is pinned in pytest)."""
+    from flink_essentials_spark.functions.text import content_chunks
+
+    t = load_tables(spark, sf_dir)
+    return content_chunks(t["documents"], k=8, mask_bits=5)
+
+
+Q_CONTENT_CHUNKS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) > 0
+), b AS (
+  SELECT doc_id, i AS endpos
+  FROM base,
+       UNNEST(CASE WHEN n >= 8 THEN generate_series(8, n) ELSE [] END) s(i)
+  WHERE (('0x' || substring(md5(substring(text, i - 7, 8)), 1, 15))::BIGINT
+         % 32) = 0
+), e AS (
+  SELECT DISTINCT doc_id, endpos FROM (
+    SELECT doc_id, endpos FROM b
+    UNION ALL
+    SELECT doc_id, n AS endpos FROM base
+  )
+), c AS (
+  SELECT doc_id, endpos,
+         lag(endpos, 1, 0) OVER (PARTITION BY doc_id ORDER BY endpos) + 1
+           AS start_pos,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY endpos)
+           AS chunk_idx
+  FROM e
+)
+SELECT c.doc_id, chunk_idx, start_pos,
+       endpos - start_pos + 1 AS chunk_len,
+       md5(substring(base.text, start_pos, endpos - start_pos + 1))
+         AS chunk_md5
+FROM c JOIN base USING (doc_id)
+"""
+
+
+def _temperature_mix_sql(alpha: float) -> str:
+    """Parameterized oracle for sampling.temperature_mix — the
+    zipf_fit ordered-fold discipline, alpha emitted via repr()."""
+    return f"""
+WITH per AS (
+  SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_size
+  FROM documents GROUP BY 1
+), one AS (
+  SELECT list(stratum ORDER BY stratum) AS ss,
+         list(n_docs ORDER BY stratum) AS nd,
+         list(sum_size ORDER BY stratum) AS sz
+  FROM per
+), t AS (
+  SELECT ss, nd, sz, list_reduce(sz, (a, b) -> a + b) AS tot FROM one
+), p AS (
+  SELECT ss, nd, sz, tot,
+         list_reduce(list_transform(sz,
+             x -> pow(CAST(x AS DOUBLE) / tot, {alpha!r})),
+           (a, b) -> a + b) AS powsum
+  FROM t
+)
+SELECT ss[i] AS stratum, nd[i] AS n_docs, sz[i] AS sum_size,
+       CAST(sz[i] AS DOUBLE) / tot AS share,
+       round(pow(CAST(sz[i] AS DOUBLE) / tot, {alpha!r}) / powsum, 6)
+         AS weight
+FROM p, UNNEST(generate_series(1, len(ss))) s(i)
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (sampling.temperature_mix,
+    Conneau & Lample 2019; alpha=0.7 over sources by char volume) —
+    the sampling rule that upweights small strata; corpus_mixture is
+    its alpha=1 proportional sibling. Bounded strata collapse to one
+    sorted in-row array so the pow-sum folds in identical order in
+    both engines."""
+    from flink_essentials_spark.functions.sampling import temperature_mix
+
+    t = load_tables(spark, sf_dir)
+    return temperature_mix(t["documents"], alpha=0.7)
+
+
+Q_TEMPERATURE_MIX_SQL = _temperature_mix_sql(0.7)

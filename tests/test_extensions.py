@@ -1721,3 +1721,117 @@ def test_zipf_fit_recovers_planted_exponent(spark):
     assert abs(r["slope"] - slope) < 1e-6
     assert abs(r["intercept"] - intercept) < 1e-6
     assert -1.05 < r["slope"] < -0.95
+
+
+# --- content-defined chunking / temperature mix / DSIR resampling -----------
+
+
+def test_content_chunks_reconstruction_and_insertion_robustness(spark):
+    """CDC contracts: (a) chunks tile the document exactly (ordered
+    concat == original, lengths sum to n); (b) the rsync property — an
+    insertion near the front leaves the tail chunk hashes IDENTICAL,
+    while fixed-window chunking shifts every downstream chunk; (c)
+    agreement with a brute-force hashlib reference."""
+    import hashlib
+
+    from flink_essentials_spark.functions.text import content_chunks
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors carry bright lanterns across the narrow wooden bridge "
+        "toward the harbor where three tall ships wait under the stars "
+        "and the old keeper writes careful notes about every arrival"
+    )
+    docs = [(0, base_text), (1, "INSERTED PREFIX " + base_text), (2, "tiny")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = content_chunks(df, k=8, mask_bits=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in docs:
+        cs = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert sum(c["chunk_len"] for c in cs) == len(text)
+        assert cs[0]["start_pos"] == 1
+        rebuilt_md5 = [
+            hashlib.md5(
+                text[c["start_pos"] - 1 : c["start_pos"] - 1 + c["chunk_len"]].encode()
+            ).hexdigest()
+            for c in cs
+        ]
+        assert [c["chunk_md5"] for c in cs] == rebuilt_md5
+
+        # brute-force boundary reference
+        bounds = [
+            p
+            for p in range(8, len(text) + 1)
+            if int(hashlib.md5(text[p - 8 : p].encode()).hexdigest()[:15], 16)
+            % 16
+            == 0
+        ]
+        ends = sorted(set(bounds) | {len(text)})
+        assert [c["chunk_len"] for c in cs] == [
+            e - s for s, e in zip([0] + ends[:-1], ends)
+        ]
+    # rsync property: every chunk hash of doc 0 that starts after the
+    # first boundary following the insertion point reappears in doc 1
+    h0 = {c["chunk_md5"] for c in by_doc[0][1:]}
+    h1 = {c["chunk_md5"] for c in by_doc[1]}
+    assert h0 <= h1, "tail chunks must survive a front insertion"
+    assert len(by_doc[2]) == 1  # short doc -> one whole-doc chunk
+
+
+def test_temperature_mix_limits_and_reference(spark):
+    """alpha=1 reproduces exact proportional shares; alpha=0.5
+    matches a python reference and strictly upweights the smallest
+    stratum; weights always sum to ~1."""
+    from flink_essentials_spark.functions.sampling import temperature_mix
+
+    rows = [("big", 1, 800), ("mid", 1, 150), ("small", 1, 50)]
+    df = spark.createDataFrame(
+        [(s, i, n) for s, (_, i, n) in zip([r[0] for r in rows], rows)],
+        "source string, doc_id long, n_chars long",
+    )
+    w1 = {r["stratum"]: r for r in temperature_mix(df, alpha=1.0).collect()}
+    assert abs(w1["big"]["weight"] - 0.8) < 1e-6
+    assert abs(w1["small"]["weight"] - 0.05) < 1e-6
+    assert abs(w1["big"]["share"] - 0.8) < 1e-15  # share is exact
+
+    w5 = {r["stratum"]: r for r in temperature_mix(df, alpha=0.5).collect()}
+    ps = {"big": 0.8, "mid": 0.15, "small": 0.05}
+    z = sum(p**0.5 for p in ps.values())
+    for s, p in ps.items():
+        assert abs(w5[s]["weight"] - p**0.5 / z) < 1e-6
+    assert w5["small"]["weight"] > w1["small"]["weight"]
+    assert abs(sum(r["weight"] for r in w5.values()) - 1.0) < 1e-5
+
+
+def test_dsir_resample_gumbel_topk(spark):
+    """Gumbel-top-k resampling: deterministic (two runs identical),
+    matches a hashlib+math reference exactly, and selection
+    concentrates on high-score docs while still reachable for low
+    scores (it is sampling, not truncation: with score gaps small vs
+    Gumbel noise the order can invert)."""
+    import hashlib
+    import math
+
+    from flink_essentials_spark.functions.sampling import dsir_resample
+
+    docs = [(i, float(i % 7) - 3.0) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, dsir_score double")
+    a = dsir_resample(df, 20).collect()
+    b = dsir_resample(df, 20).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+
+    def key(i, s):
+        h = int(
+            hashlib.md5(f"gumbel1:{i}".encode()).hexdigest()[:15], 16
+        )
+        u = (h + 0.5) / float(1 << 60)
+        return s + (-math.log(-math.log(u)))
+
+    ref = sorted(docs, key=lambda d: (-key(*d), d[0]))[:20]
+    assert [r["doc_id"] for r in a] == [i for i, _ in ref]
+    # concentration: mean selected score far above corpus mean
+    sel_mean = sum(s for _, s in ref) / 20
+    all_mean = sum(s for _, s in docs) / len(docs)
+    assert sel_mean > all_mean + 1.0
