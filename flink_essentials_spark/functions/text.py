@@ -1475,3 +1475,53 @@ def content_chunks(
             )
         ).alias("chunk_md5"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): rank every document within its stratum by LM quality
+    (here the corpus-self-trained bigram LM of
+    :func:`bigram_lm_score` — CCNet's is a KenLM 5-gram; the pipeline
+    is the algorithm) and split each stratum into ``n_buckets``
+    equal-population buckets — bucket 0 = head (best), last = tail.
+    Per-stratum bucketing is the point: it prevents one source's
+    distribution from swallowing another's head.
+
+    Ranking uses the ROUNDED score (cross-engine identical per the
+    lm_score oracle) with doc-id tiebreak, so bucket assignment is
+    deterministic on any engine; the bucket index is explicit floor
+    division on both sides (the window_anomaly discipline). Windows
+    are keyed by stratum — never partitionless.
+    """
+    from pyspark.sql import Window as W
+
+    scores = bigram_lm_score(df, text_col=text_col, id_col=id_col)
+    src = df.select(F.col(id_col).alias("doc_id"), strata_col)
+    j = scores.join(src, "doc_id")
+    w = W.partitionBy(strata_col).orderBy(
+        F.desc("avg_log2_prob"), "doc_id"
+    )
+    wn = W.partitionBy(strata_col)
+    ranked = j.select(
+        "doc_id",
+        strata_col,
+        "avg_log2_prob",
+        F.row_number().over(w).alias("ppl_rank"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return ranked.select(
+        "doc_id",
+        strata_col,
+        "avg_log2_prob",
+        "ppl_rank",
+        F.floor((F.lit(n_buckets) * (F.col("ppl_rank") - 1)) / F.col("__n"))
+        .cast("int")
+        .alias("bucket"),
+    )

@@ -1303,6 +1303,8 @@ _REGISTRY: list[Query] = [
     # and temperature-scaled mixture weights (XLM-R sampling rule)
     Query("content_chunks", llmdata.q_content_chunks, llmdata.Q_CONTENT_CHUNKS_SQL),
     Query("temperature_mix", llmdata.q_temperature_mix, llmdata.Q_TEMPERATURE_MIX_SQL),
+    # r8-continuation: CCNet per-source perplexity bucketing
+    Query("ccnet_buckets", llmdata.q_ccnet_buckets, llmdata.Q_CCNET_BUCKETS_SQL),
     # demoted r8e (head slot went to dsir_weights) — portable
     # mergeable HLL stays full-oracle here AND via windowed_distinct
     Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),

@@ -5530,3 +5530,56 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_TEMPERATURE_MIX_SQL = _temperature_mix_sql(0.7)
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet per-source perplexity terciles (text.ccnet_buckets,
+    Wenzek et al. 2020): corpus-self-trained bigram-LM scores ranked
+    WITHIN each source, split head/middle/tail — the named quality-
+    bucketing pipeline (lm_score emits the raw scores; this adds the
+    stratified selection step). Deterministic: ranks order by the
+    rounded score + doc-id tiebreak; bucket is explicit floor
+    division on both sides."""
+    from flink_essentials_spark.functions.text import ccnet_buckets
+
+    t = load_tables(spark, sf_dir)
+    return ccnet_buckets(t["documents"], n_buckets=3)
+
+
+Q_CCNET_BUCKETS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS w FROM documents
+), bi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS bigram
+  FROM toks
+), uni AS (
+  SELECT unnest(w) AS word FROM toks
+), bc AS (
+  SELECT bigram, COUNT(*) AS n_bi FROM bi GROUP BY bigram
+), uc AS (
+  SELECT word, COUNT(*) AS n_uni FROM uni GROUP BY word
+), lm AS (
+  SELECT b.bigram, b.n_bi, u.n_uni
+  FROM bc b JOIN uc u ON split_part(b.bigram, ' ', 1) = u.word
+), scored AS (
+  SELECT d.doc_id,
+         round(SUM(log2(CAST(l.n_bi AS DOUBLE) / l.n_uni)) / COUNT(*), 6)
+           AS avg_log2_prob
+  FROM bi d JOIN lm l USING (bigram)
+  GROUP BY d.doc_id
+), ranked AS (
+  SELECT s.doc_id, docs.source, s.avg_log2_prob,
+         ROW_NUMBER() OVER (PARTITION BY docs.source
+                            ORDER BY s.avg_log2_prob DESC, s.doc_id)
+           AS ppl_rank,
+         COUNT(*) OVER (PARTITION BY docs.source) AS n
+  FROM scored s JOIN documents docs USING (doc_id)
+)
+SELECT doc_id, source, avg_log2_prob, ppl_rank,
+       (3 * (ppl_rank - 1)) // n AS bucket
+FROM ranked
+"""

@@ -1835,3 +1835,39 @@ def test_dsir_resample_gumbel_topk(spark):
     sel_mean = sum(s for _, s in ref) / 20
     all_mean = sum(s for _, s in docs) / len(docs)
     assert sel_mean > all_mean + 1.0
+
+
+def test_ccnet_buckets_stratified_equal_population(spark):
+    """CCNet bucketing: ranks follow the (rounded score desc, doc_id)
+    order WITHIN each source, the bucket index is the explicit floor
+    formula, and bucket populations per source differ by at most 1 —
+    one big source cannot swallow a small source's head."""
+    from flink_essentials_spark.functions.text import ccnet_buckets
+
+    # rare continuations push scores down: 'b z'/'b y'... appear once
+    # each while 'b c' dominates, so docs using them rank lower
+    rows = []
+    i = 0
+    for src, n in [("web", 5), ("books", 4)]:
+        for k in range(n):
+            cont = "c" if k == 0 else f"r{src}{k}"
+            rows.append((i, src, f"a b {cont} a b c"))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = ccnet_buckets(df, n_buckets=3).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"web", "books"}
+    for src, rs in by_src.items():
+        n = len(rs)
+        rs.sort(key=lambda r: r["ppl_rank"])
+        # rank order == (score desc, doc_id) order
+        ref = sorted(rs, key=lambda r: (-r["avg_log2_prob"], r["doc_id"]))
+        assert [r["doc_id"] for r in rs] == [r["doc_id"] for r in ref]
+        assert [r["ppl_rank"] for r in rs] == list(range(1, n + 1))
+        for r in rs:
+            assert r["bucket"] == (3 * (r["ppl_rank"] - 1)) // n
+        sizes = [sum(1 for r in rs if r["bucket"] == b) for b in range(3)]
+        assert max(sizes) - min(sizes) <= 1
+    assert len(by_src["web"]) == 5 and len(by_src["books"]) == 4
