@@ -1305,6 +1305,9 @@ _REGISTRY: list[Query] = [
     Query("temperature_mix", llmdata.q_temperature_mix, llmdata.Q_TEMPERATURE_MIX_SQL),
     # r8-continuation: CCNet per-source perplexity bucketing
     Query("ccnet_buckets", llmdata.q_ccnet_buckets, llmdata.Q_CCNET_BUCKETS_SQL),
+    # r8-continuation: EWMA control chart (Roberts 1959) — truncated
+    # lambda=1/2 exact-integer form, one keyed window exchange
+    Query("ewma_anomaly", llmdata.q_ewma_anomaly, llmdata.Q_EWMA_ANOMALY_SQL),
     # demoted r8e (head slot went to dsir_weights) — portable
     # mergeable HLL stays full-oracle here AND via windowed_distinct
     Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),

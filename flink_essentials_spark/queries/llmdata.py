@@ -5583,3 +5583,70 @@ SELECT doc_id, source, avg_log2_prob, ppl_rank,
        (3 * (ppl_rank - 1)) // n AS bucket
 FROM ranked
 """
+
+
+def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart per user (timeseries.ewma_control, Roberts
+    1959): each event's value in cents vs the truncated lambda=1/2
+    EWMA of the user's 16 PRIOR values; flagged when the deviation
+    exceeds 2.5 of the user's sigma. One keyed window exchange carries
+    the lag terms AND the per-key moments — no join, no second scan.
+    Parity is exact-integer: EWMA numerator/denominator are BIGINTs
+    (cents x powers of two), sigma's radicand n*ss - sm^2 is one
+    BIGINT, so both engines divide/sqrt identical operands and the
+    flag set matches bit-for-bit with no rounding."""
+    from flink_essentials_spark.functions.timeseries import ewma_control
+    from flink_essentials_spark.queries.util import cents
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+        cents("value").alias("value_c"),
+    )
+    return ewma_control(
+        ev, "user_id", ["ts_ms", "event_id"], "value_c", depth=16, threshold=2.5
+    )
+
+
+def _ewma_anomaly_sql(depth: int, threshold: float) -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    num = " + ".join(
+        f"COALESCE(lag(value_c, {i}) OVER w, 0) * {1 << (depth - i)}"
+        for i in range(1, depth + 1)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value_c, {i}) OVER w IS NOT NULL"
+        f" THEN {1 << (depth - i)} ELSE 0 END)"
+        for i in range(1, depth + 1)
+    )
+    return f"""
+WITH v AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         {sql_cents('value')} AS value_c
+  FROM events
+), e AS (
+  SELECT user_id, ts_ms, event_id, value_c,
+         {num} AS num,
+         {den} AS den,
+         COUNT(*) OVER wk AS n,
+         CAST(SUM(value_c) OVER wk AS BIGINT) AS sm,
+         CAST(SUM(value_c * value_c) OVER wk AS BIGINT) AS ss
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id),
+         wk AS (PARTITION BY user_id)
+)
+SELECT user_id, ts_ms, event_id, value_c,
+       CAST(num AS DOUBLE) / den AS ewma,
+       (value_c - CAST(num AS DOUBLE) / den)
+         / (sqrt(CAST(n * ss - sm * sm AS DOUBLE)) / n) AS z
+FROM e
+WHERE den > 0
+  AND abs(value_c - CAST(num AS DOUBLE) / den)
+      > {threshold!r} * sqrt(CAST(n * ss - sm * sm AS DOUBLE)) / n
+"""
+
+
+Q_EWMA_ANOMALY_SQL = _ewma_anomaly_sql(16, 2.5)

@@ -1871,3 +1871,48 @@ def test_ccnet_buckets_stratified_equal_population(spark):
         sizes = [sum(1 for r in rs if r["bucket"] == b) for b in range(3)]
         assert max(sizes) - min(sizes) <= 1
     assert len(by_src["web"]) == 5 and len(by_src["books"]) == 4
+
+
+def test_ewma_control_hand_computed(spark):
+    """Truncated EWMA control chart vs a python reference on a series
+    with one planted spike: same flags, same baseline values; the
+    first observation of a key is never flagged (no baseline), and
+    truncation at depth is honored."""
+    from flink_essentials_spark.functions.timeseries import ewma_control
+
+    vals = [100, 102, 98, 101, 99, 100, 500, 101, 100, 99]
+    rows = [(1, t, t, v) for t, v in enumerate(vals)]
+    # second key: constant series -> sigma 0, nothing flagged
+    rows += [(2, t, 100 + t, 50) for t in range(5)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_ms long, event_id long, value_c long"
+    )
+    got = ewma_control(
+        df, "user_id", ["ts_ms", "event_id"], "value_c", depth=3, threshold=2.0
+    ).collect()
+
+    # python reference (depth 3, lambda 1/2, prior-only)
+    import math
+
+    n = len(vals)
+    sm, ss = sum(vals), sum(v * v for v in vals)
+    sigma = math.sqrt(n * ss - sm * sm) / n
+    expect = {}
+    for t in range(1, n):
+        prior = vals[max(0, t - 3) : t][::-1]  # most recent first
+        num = sum(x * (1 << (3 - i)) for i, x in enumerate(prior, start=1))
+        den = sum(1 << (3 - i) for i in range(1, len(prior) + 1))
+        ewma = num / den
+        if abs(vals[t] - ewma) > 2.0 * sigma:
+            expect[t] = ewma
+    assert expect, "fixture must flag something"
+    got_by_t = {r["ts_ms"]: r for r in got if r["user_id"] == 1}
+    assert set(got_by_t) == set(expect)
+    for t, e in expect.items():
+        assert got_by_t[t]["ewma"] == e
+        assert abs(got_by_t[t]["z"]) > 2.0
+    # the spike at t=6 must be flagged, and the post-spike drop vs the
+    # spike-inflated baseline is the classic EWMA echo — whatever the
+    # reference says, the engine agrees (checked above); key 2 silent
+    assert 6 in got_by_t
+    assert not [r for r in got if r["user_id"] == 2]
