@@ -1525,3 +1525,57 @@ def ccnet_buckets(
         .cast("int")
         .alias("bucket"),
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau 2004, "TextRank:
+    Bringing Order into Texts"): build the corpus word co-occurrence
+    graph — an undirected edge per ADJACENT token pair, weighted by
+    corpus-wide occurrence count — and run fixed-iteration weighted
+    PageRank over it (:func:`graph.pagerank`); a word's rank is its
+    keyword salience. The classic unsupervised keyword extractor; at
+    corpus scale the graph is vocabulary-sized, tiny next to the text
+    that produced it.
+
+    Scale shape: adjacent pairs are built INSIDE the scan stage
+    (slice+zip on the token array — no positional self-join), so the
+    only shuffles are the vocabulary-sized edge groupBy and the
+    pagerank iterations, each linear in |E|. Self-loops (repeated
+    adjacent words) are dropped per the paper's simple-graph
+    convention; the unordered pair is canonicalized with
+    least/greatest before counting, then symmetrized so no node
+    dangles.
+    """
+    from flink_essentials_spark.functions.graph import pagerank
+    from flink_essentials_spark.operators.transform import tokenize
+
+    t = tokenize(F.col(text_col))
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(
+                F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    edges = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    ranks = pagerank(sym, iterations=iterations, damping=damping, weight_col="w")
+    return ranks.select(
+        F.col("node").alias("word"), F.round("rank", 6).alias("rank")
+    )

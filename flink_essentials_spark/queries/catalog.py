@@ -1308,6 +1308,9 @@ _REGISTRY: list[Query] = [
     # r8-continuation: EWMA control chart (Roberts 1959) — truncated
     # lambda=1/2 exact-integer form, one keyed window exchange
     Query("ewma_anomaly", llmdata.q_ewma_anomaly, llmdata.Q_EWMA_ANOMALY_SQL),
+    # r8-continuation: TextRank keyword salience (Mihalcea & Tarau
+    # 2004) — co-occurrence graph + unrolled weighted pagerank
+    Query("textrank_keywords", llmdata.q_textrank_keywords, llmdata.Q_TEXTRANK_SQL),
     # demoted r8e (head slot went to dsir_weights) — portable
     # mergeable HLL stays full-oracle here AND via windowed_distinct
     Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),

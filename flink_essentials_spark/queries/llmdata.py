@@ -5650,3 +5650,62 @@ WHERE den > 0
 
 
 Q_EWMA_ANOMALY_SQL = _ewma_anomaly_sql(16, 2.5)
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword salience (text.textrank_keywords, Mihalcea &
+    Tarau 2004) over the documents corpus: undirected adjacent-token
+    co-occurrence graph, 3 weighted-PageRank iterations at damping
+    0.85. Pairs are built in the scan stage (slice+zip, no positional
+    join); the oracle unrolls the same iterations as CTEs over the
+    identical canonicalized edge list. Parity: integer edge weights
+    make out-weights exact; rank sums drift only in the last ulp,
+    absorbed by round(...,6) on ~1.0-scale values (the link_rank
+    contract)."""
+    from flink_essentials_spark.functions.text import textrank_keywords
+
+    t = load_tables(spark, sf_dir)
+    return textrank_keywords(t["documents"], iterations=3, damping=0.85)
+
+
+def _textrank_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    d, omd = repr(damping), repr(1.0 - damping)
+    cte = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS w FROM documents
+), adj AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+         THEN list_transform(range(1, len(w)),
+              i -> {{'a': least(w[i], w[i + 1]),
+                     'b': greatest(w[i], w[i + 1])}})
+         ELSE [] END) AS p
+  FROM toks
+), pairs AS (
+  SELECT p.a AS a, p.b AS b, COUNT(*) AS cnt
+  FROM adj WHERE p.a <> p.b GROUP BY 1, 2
+), e AS (
+  SELECT a AS src, b AS dst, CAST(cnt AS DOUBLE) AS w FROM pairs
+  UNION ALL
+  SELECT b, a, CAST(cnt AS DOUBLE) FROM pairs
+), we AS (
+  SELECT src, dst, w, SUM(w) OVER (PARTITION BY src) AS out_w FROM e
+), r0 AS (
+  SELECT DISTINCT src AS node, 1.0 AS rank FROM e
+)"""
+    for k in range(1, iterations + 1):
+        cte += f""", r{k} AS (
+  SELECT p.node, {omd} + {d} * COALESCE(s.s, 0.0) AS rank
+  FROM (SELECT node FROM r{k - 1}) p
+  LEFT JOIN (
+    SELECT we.dst AS node, SUM(r.rank * we.w / we.out_w) AS s
+    FROM r{k - 1} r JOIN we ON r.node = we.src
+    GROUP BY 1
+  ) s ON p.node = s.node
+)"""
+    return (
+        cte
+        + f"\nSELECT node AS word, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
+Q_TEXTRANK_SQL = _textrank_sql(3, 0.85)

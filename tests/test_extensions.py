@@ -1916,3 +1916,51 @@ def test_ewma_control_hand_computed(spark):
     # reference says, the engine agrees (checked above); key 2 silent
     assert 6 in got_by_t
     assert not [r for r in got if r["user_id"] == 2]
+
+
+def test_textrank_keywords_reference(spark):
+    """TextRank vs a pure-python reimplementation on a designed
+    corpus: a hub word co-occurring with many others must outrank
+    peripheral words; every score matches the reference to the
+    round(,6) contract; self-loops (repeated adjacent words) and
+    single-token docs contribute nothing."""
+    from flink_essentials_spark.functions.text import textrank_keywords
+
+    docs = [
+        "data quality data systems",
+        "data pipelines move data data",   # 'data data' self-loop dropped
+        "quality checks guard pipelines",
+        "systems fail",
+        "data",                            # single token -> no edges
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r["word"]: r["rank"] for r in textrank_keywords(df).collect()}
+
+    # python reference
+    from collections import Counter, defaultdict
+
+    edges = Counter()
+    for d in docs:
+        w = d.split()
+        for a, b in zip(w, w[1:]):
+            if a != b:
+                edges[(min(a, b), max(a, b))] += 1
+    adj = defaultdict(dict)
+    for (a, b), c in edges.items():
+        adj[a][b] = c
+        adj[b][a] = c
+    ranks = {v: 1.0 for v in adj}
+    for _ in range(3):
+        out_w = {u: sum(adj[u].values()) for u in adj}
+        nxt = {}
+        for v in adj:
+            s = sum(ranks[u] * adj[u][v] / out_w[u] for u in adj[v])
+            nxt[v] = 0.15 + 0.85 * s
+        ranks = nxt
+    assert set(got) == set(ranks)
+    for w_, r in ranks.items():
+        assert abs(got[w_] - r) < 2e-6, (w_, got[w_], r)
+    assert got["data"] == max(got.values())
+    assert got["data"] > got["fail"]
