@@ -1311,6 +1311,9 @@ _REGISTRY: list[Query] = [
     # r8-continuation: TextRank keyword salience (Mihalcea & Tarau
     # 2004) — co-occurrence graph + unrolled weighted pagerank
     Query("textrank_keywords", llmdata.q_textrank_keywords, llmdata.Q_TEXTRANK_SQL),
+    # r8-continuation: Hilbert-curve layout keys — broadcast curve
+    # table vs an independent chained-CTE recurrence in the oracle
+    Query("hilbert_keys", llmdata.q_hilbert_keys, llmdata.Q_HILBERT_KEYS_SQL),
     # demoted r8e (head slot went to dsir_weights) — portable
     # mergeable HLL stays full-oracle here AND via windowed_distinct
     Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),

@@ -5709,3 +5709,64 @@ WITH toks AS (
 
 
 Q_TEXTRANK_SQL = _textrank_sql(3, 0.85)
+
+
+def q_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys over events(user_id, value-cents) —
+    the locality-preserving companion to zorder_keys (layout.py):
+    consecutive keys are always Manhattan-adjacent cells, so range-
+    partitioned files own even tighter 2-D boxes than Z-order. The
+    engine side broadcast-joins the 65k-cell curve table built by a
+    vectorized numpy run of the per-level reflect+swap recurrence
+    (layout.hilbert_cells — the inline expression form is ~4^bits
+    nodes, kept for small grids); the oracle re-derives every key
+    INDEPENDENTLY with the chained-CTE recurrence
+    (layout.hilbert_sql_ctes), so the two implementations cross-check
+    cell by cell. Coordinate scaling is the zorder_keys exact-integer
+    contract: in-query bounds, one integer division per axis."""
+    from flink_essentials_spark.functions.layout import _scaled, hilbert_cells
+    from flink_essentials_spark.queries.util import cents
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_id", "user_id", cents("value").alias("v_c")
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("a_lo"),
+        F.max("user_id").alias("a_hi"),
+        F.min("v_c").alias("b_lo"),
+        F.max("v_c").alias("b_hi"),
+    )
+    scaled = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        F.expr(_scaled("user_id", "a_lo", "a_hi", 8, "div")).alias("cell_x"),
+        F.expr(_scaled("v_c", "b_lo", "b_hi", 8, "div")).alias("cell_y"),
+    )
+    cells = hilbert_cells(spark, bits=8)
+    return scaled.join(F.broadcast(cells), ["cell_x", "cell_y"]).select(
+        "event_id", "hkey"
+    )
+
+
+def _hilbert_keys_sql() -> str:
+    from flink_essentials_spark.functions.layout import (
+        _scaled,
+        hilbert_sql_ctes,
+    )
+    from flink_essentials_spark.queries.util import sql_cents
+
+    sx = _scaled("user_id", "a_lo", "a_hi", 8, "//")
+    sy = _scaled("v_c", "b_lo", "b_hi", 8, "//")
+    source = f"""SELECT event_id, {sx} AS x, {sy} AS y
+  FROM (SELECT event_id, user_id, {sql_cents('value')} AS v_c FROM events) ev,
+       (SELECT MIN(user_id) AS a_lo, MAX(user_id) AS a_hi,
+               MIN({sql_cents('value')}) AS b_lo,
+               MAX({sql_cents('value')}) AS b_hi
+        FROM events) bounds"""
+    return (
+        hilbert_sql_ctes(source, "event_id", "x", "y", bits=8)
+        + "\nSELECT event_id, d AS hkey FROM lvl0"
+    )
+
+
+Q_HILBERT_KEYS_SQL = _hilbert_keys_sql()

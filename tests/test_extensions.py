@@ -1964,3 +1964,54 @@ def test_textrank_keywords_reference(spark):
         assert abs(got[w_] - r) < 2e-6, (w_, got[w_], r)
     assert got["data"] == max(got.values())
     assert got["data"] > got["fail"]
+
+
+def test_hilbert_curve_bijection_adjacency_and_twins(spark):
+    """The Hilbert key is a bijection onto [0, 4^bits) whose
+    CONSECUTIVE keys are always Manhattan-adjacent cells (the locality
+    contract Z-order lacks), and the two engine-side builders — the
+    inline Column recurrence and the vectorized numpy curve table —
+    agree cell by cell."""
+    from flink_essentials_spark.functions.layout import (
+        hilbert_cells,
+        hilbert_key,
+    )
+    from pyspark.sql import functions as F
+
+    bits, n = 4, 16
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("cell_x"),
+        F.floor(F.col("id") / n).alias("cell_y"),
+    )
+    col_form = {
+        (r["cell_x"], r["cell_y"]): r["h"]
+        for r in grid.select(
+            "cell_x",
+            "cell_y",
+            hilbert_key(F.col("cell_x"), F.col("cell_y"), bits).alias("h"),
+        ).collect()
+    }
+    # bijection
+    assert sorted(col_form.values()) == list(range(n * n))
+    # adjacency: d and d+1 are Manhattan neighbors
+    inv = {d: xy for xy, d in col_form.items()}
+    for d in range(1, n * n):
+        (x0, y0), (x1, y1) = inv[d - 1], inv[d]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, d
+    # numpy curve table matches the Column recurrence
+    cells = {
+        (r["cell_x"], r["cell_y"]): r["hkey"]
+        for r in hilbert_cells(spark, bits=bits).collect()
+    }
+    assert cells == col_form
+    # the default bits=8 table is a bijection too (the query's grid)
+    big = hilbert_cells(spark, bits=8)
+    agg = big.agg(
+        F.countDistinct("hkey").alias("nd"),
+        F.min("hkey").alias("lo"),
+        F.max("hkey").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert (agg["nd"], agg["lo"], agg["hi"], agg["n"]) == (
+        65536, 0, 65535, 65536,
+    )
