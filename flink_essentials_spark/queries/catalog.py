@@ -1314,6 +1314,9 @@ _REGISTRY: list[Query] = [
     # r8-continuation: Hilbert-curve layout keys — broadcast curve
     # table vs an independent chained-CTE recurrence in the oracle
     Query("hilbert_keys", llmdata.q_hilbert_keys, llmdata.Q_HILBERT_KEYS_SQL),
+    # r8-continuation: label-propagation communities (Raghavan 2007)
+    # — synchronous + total tie order, exact-integer argmax
+    Query("lpa_communities", llmdata.q_lpa_communities, llmdata.Q_LPA_SQL),
     # demoted r8e (head slot went to dsir_weights) — portable
     # mergeable HLL stays full-oracle here AND via windowed_distinct
     Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),

@@ -5770,3 +5770,71 @@ def _hilbert_keys_sql() -> str:
 
 
 Q_HILBERT_KEYS_SQL = _hilbert_keys_sql()
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label-propagation communities (graph.label_propagation,
+    Raghavan et al. 2007) over the customer↔supplier trade graph — the
+    same symmetrized integer-weighted edges link_rank scores, but
+    clustered: 3 synchronous rounds, each node adopting the neighbor
+    label with the maximum incident lineitem count (ties to the
+    minimum label). Everything is exact integer arithmetic — weight
+    sums are BIGINTs and the (weight DESC, label ASC) argmax is a total
+    order — so the oracle's unrolled CTEs replay the rounds
+    bit-for-bit with no rounding anywhere."""
+    from flink_essentials_spark.functions.graph import label_propagation
+
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sym = pairs.select(
+        F.col("cust").alias("src"),
+        (F.col("supp") + F.lit(1000000000)).alias("dst"),
+        "cnt",
+    ).unionAll(
+        pairs.select(
+            (F.col("supp") + F.lit(1000000000)).alias("src"),
+            F.col("cust").alias("dst"),
+            "cnt",
+        )
+    )
+    return label_propagation(sym, iterations=3, weight_col="cnt")
+
+
+def _lpa_sql(iterations: int = 3) -> str:
+    cte = """
+WITH pairs AS (
+  SELECT o_custkey AS cust, l_suppkey AS supp, COUNT(*) AS cnt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cust AS src, supp + 1000000000 AS dst, cnt AS w FROM pairs
+  UNION ALL
+  SELECT supp + 1000000000, cust, cnt FROM pairs
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM e
+)"""
+    for k in range(1, iterations + 1):
+        cte += f""", l{k} AS (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, l.label,
+           ROW_NUMBER() OVER (PARTITION BY e.dst
+                              ORDER BY SUM(e.w) DESC, l.label) AS rk
+    FROM l{k - 1} l JOIN e ON l.node = e.src
+    GROUP BY e.dst, l.label
+  ) WHERE rk = 1
+)"""
+    return cte + f"\nSELECT node, label FROM l{iterations}"
+
+
+Q_LPA_SQL = _lpa_sql(3)

@@ -2015,3 +2015,56 @@ def test_hilbert_curve_bijection_adjacency_and_twins(spark):
     assert (agg["nd"], agg["lo"], agg["hi"], agg["n"]) == (
         65536, 0, 65535, 65536,
     )
+
+
+def test_label_propagation_splits_weak_bridge(spark):
+    """Two K4 cliques joined by ONE weak edge: connected components
+    merges them into one cluster; weighted LPA keeps two communities
+    (each clique converges to its min node label), and matches a
+    python reimplementation of the synchronous min-tie-break rounds
+    exactly."""
+    from flink_essentials_spark.functions.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    cliq_a = [(u, v) for u in range(4) for v in range(4) if u < v]
+    cliq_b = [(u, v) for u in range(10, 14) for v in range(10, 14) if u < v]
+    bridge = [(3, 10)]
+    und = cliq_a + cliq_b + bridge
+    edges = und + [(v, u) for u, v in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=3).collect()
+    }
+
+    # python reference: synchronous, weight 1, min tie-break
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+    lab = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v in adj:
+            score = defaultdict(int)
+            for u in adj[v]:
+                score[lab[u]] += 1
+            best = max(score.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        lab = nxt
+    assert got == lab
+
+    # communities: clique A all labeled 0, clique B all labeled 10
+    assert {got[v] for v in range(4)} == {0}
+    assert {got[v] for v in range(10, 14)} == {10}
+    # CC would have merged them
+    cc = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df.selectExpr("src AS a", "dst AS b"),
+                                      "a", "b").collect()
+    }
+    assert len(set(cc.values())) == 1
