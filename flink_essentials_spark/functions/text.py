@@ -1579,3 +1579,130 @@ def textrank_keywords(
     return ranks.select(
         F.col("node").alias("word"), F.round("rank", 6).alias("rank")
     )
+
+
+def wordpiece_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 1000,
+    max_piece: int = 3,
+) -> DataFrame:
+    """Corpus-derived WordPiece vocabulary (Schuster & Nakajima 2012;
+    the BERT tokenizer's greedy counterpart to BPE): every substring
+    of length 2..max_piece whose occurrence-weighted corpus frequency
+    reaches ``min_freq``, in BOTH positional forms — word-initial
+    (``ab``) and continuation (``##ab``) — plus every single-character
+    form unconditionally, which makes the greedy encoder total over
+    the training corpus (no [UNK] on seen characters).
+
+    Scale shape: substring enumeration runs over DISTINCT words
+    weighted by their counts (the dictionary trick — corpus text is
+    scanned once for the word histogram; piece stats never touch raw
+    text again), so the explode is vocabulary-sized, not corpus-sized.
+    Returns (piece, freq)."""
+    from flink_essentials_spark.operators.transform import tokenize
+
+    wc = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    def piece_lambda(L):
+        # a ONE-parameter lambda: pyspark treats a second lambda
+        # parameter as the element INDEX, so `lambda i, L=L` silently
+        # rebinds L — the closure factory is the only safe capture
+        def fn(i):
+            sub = F.substring(F.col("w"), i, F.lit(L))
+            return F.struct(
+                F.when(i == 1, sub)
+                .otherwise(F.concat(F.lit("##"), sub))
+                .alias("piece")
+            )
+
+        return fn
+
+    pieces = []
+    for L in range(1, max_piece + 1):
+        # guard: F.sequence(1, 0) generates DESCENDING [1, 0]
+        idx = F.when(
+            F.length("w") >= L,
+            F.sequence(F.lit(1), F.length("w") - F.lit(L - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        pieces.append(F.transform(idx, piece_lambda(L)))
+    subs = (
+        wc.filter(F.length("w") >= 1)
+        .select("n", F.explode(F.flatten(F.array(*pieces))).alias("p"))
+        .groupBy(F.col("p.piece").alias("piece"))
+        .agg(F.sum("n").alias("freq"))
+    )
+    return subs.filter(
+        (F.col("freq") >= min_freq)
+        | (F.length(F.regexp_replace("piece", "^##", "")) == 1)
+    )
+
+
+def wordpiece_encode_words(
+    df: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 1000,
+    max_piece: int = 3,
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece encoding of every DISTINCT
+    corpus word against :func:`wordpiece_vocab` — the BERT tokenizer's
+    encode step (match the longest vocab prefix, emit, continue with
+    ``##`` continuation forms; an unmatched character emits ``[UNK]``
+    and advances one). Encoding runs per distinct word (dictionary
+    encoding — decode cost is one hash join back to the corpus, never
+    a re-tokenization), with the vocabulary carried as a one-row
+    broadcast array (the scalar-crossJoin pattern; no driver collect).
+
+    The greedy scan is one F.aggregate fold over character positions
+    with a (pos, emitted) struct accumulator — interpreted, but over
+    vocabulary-sized input. Returns (word, n, pieces, n_pieces) with
+    ``pieces`` space-joined."""
+    from flink_essentials_spark.operators.transform import tokenize
+
+    wc = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = wordpiece_vocab(
+        df, text_col=text_col, min_freq=min_freq, max_piece=max_piece
+    ).agg(F.collect_list("piece").alias("v"))
+
+    def form(i, L):
+        sub = F.col("w").substr(i, F.lit(L))
+        return F.when(i == 1, sub).otherwise(F.concat(F.lit("##"), sub))
+
+    def step(acc, i):
+        branches = None
+        for L in range(max_piece, 0, -1):
+            cand = form(i, L)
+            cond = (i + F.lit(L - 1) <= F.length("w")) & F.array_contains(
+                F.col("v"), cand
+            )
+            nxt = F.struct(
+                (i + F.lit(L)).alias("pos"),
+                F.concat(acc["out"], cand, F.lit(" ")).alias("out"),
+            )
+            branches = (
+                F.when(cond, nxt) if branches is None else branches.when(cond, nxt)
+            )
+        unk = F.struct(
+            (i + F.lit(1)).alias("pos"),
+            F.concat(acc["out"], F.lit("[UNK] ")).alias("out"),
+        )
+        return F.when(i != acc["pos"], acc).otherwise(branches.otherwise(unk))
+
+    st = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.struct(F.lit(1).alias("pos"), F.lit("").alias("out")),
+        step,
+    )
+    return wc.crossJoin(F.broadcast(vocab)).select(
+        F.col("w").alias("word"),
+        "n",
+        F.trim(st["out"]).alias("pieces"),
+        F.size(F.split(F.trim(st["out"]), " ")).alias("n_pieces"),
+    )

@@ -1317,6 +1317,9 @@ _REGISTRY: list[Query] = [
     # r8-continuation: label-propagation communities (Raghavan 2007)
     # — synchronous + total tie order, exact-integer argmax
     Query("lpa_communities", llmdata.q_lpa_communities, llmdata.Q_LPA_SQL),
+    # r8-continuation: WordPiece greedy longest-match encoding — the
+    # BERT tokenizer member; dictionary-encoded, fold oracle
+    Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
     # demoted r8e (head slot went to dsir_weights) — portable
     # mergeable HLL stays full-oracle here AND via windowed_distinct
     Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),

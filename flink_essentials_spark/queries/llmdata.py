@@ -5838,3 +5838,72 @@ WITH pairs AS (
 
 
 Q_LPA_SQL = _lpa_sql(3)
+
+
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy WordPiece encoding (text.wordpiece_encode_words,
+    Schuster & Nakajima 2012 — the BERT tokenizer's longest-match
+    counterpart to the BPE trainer): corpus-derived vocabulary
+    (substring forms at frequency >= 1000 plus all single-char forms),
+    then every DISTINCT corpus word encoded by the longest-prefix
+    fold. The oracle replays the identical greedy scan as a DuckDB
+    list_reduce with a string accumulator (the BPE fold pattern);
+    everything is string/integer arithmetic — no rounding anywhere."""
+    from flink_essentials_spark.functions.text import wordpiece_encode_words
+
+    t = load_tables(spark, sf_dir)
+    return wordpiece_encode_words(t["documents"], min_freq=1000, max_piece=3)
+
+
+def _wordpiece_sql(min_freq: int = 1000, max_piece: int = 3) -> str:
+    def cand(L: int) -> str:
+        return (
+            f"CASE WHEN CAST(xs AS INT) = 1 THEN substring(w, CAST(xs AS INT), {L}) "
+            f"ELSE '##' || substring(w, CAST(xs AS INT), {L}) END"
+        )
+
+    branches = ""
+    for L in range(max_piece, 1, -1):
+        branches += f"""
+          WHEN CAST(xs AS INT) + {L - 1} <= len(w) AND list_contains(v, {cand(L)})
+          THEN CAST(CAST(xs AS INT) + {L} AS VARCHAR) || '|' || split_part(acc, '|', 2) || {cand(L)} || ' '"""
+    branches += f"""
+          WHEN list_contains(v, {cand(1)})
+          THEN CAST(CAST(xs AS INT) + 1 AS VARCHAR) || '|' || split_part(acc, '|', 2) || {cand(1)} || ' '
+          ELSE CAST(CAST(xs AS INT) + 1 AS VARCHAR) || '|' || split_part(acc, '|', 2) || '[UNK] '"""
+    lens = ", ".join(str(L) for L in range(1, max_piece + 1))
+    return f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+), wc AS (
+  SELECT w, COUNT(*) AS n FROM toks GROUP BY w
+), subs AS (
+  SELECT CASE WHEN i = 1 THEN sub ELSE '##' || sub END AS piece, SUM(n) AS freq
+  FROM (
+    SELECT w, n, i, L, substring(w, i, L) AS sub
+    FROM wc, UNNEST(generate_series(1, len(w))) s(i), UNNEST([{lens}]) t(L)
+    WHERE i + L - 1 <= len(w)
+  ) GROUP BY 1
+), vocab AS (
+  SELECT list(piece) AS v FROM subs
+  WHERE freq >= {min_freq} OR len(replace(piece, '##', '')) = 1
+), enc AS (
+  SELECT w, n, list_reduce(
+    list_prepend('1|', list_transform(generate_series(1, len(w)),
+                                      i -> CAST(i AS VARCHAR))),
+    (acc, xs) -> CASE
+      WHEN CAST(xs AS INT) <> CAST(split_part(acc, '|', 1) AS INT) THEN acc
+      ELSE (CASE{branches}
+        END)
+      END) AS st
+  FROM wc, vocab
+)
+SELECT w AS word, CAST(n AS BIGINT) AS n,
+       trim(split_part(st, '|', 2)) AS pieces,
+       CAST(len(string_split(trim(split_part(st, '|', 2)), ' ')) AS INT)
+         AS n_pieces
+FROM enc
+"""
+
+
+Q_WORDPIECE_SQL = _wordpiece_sql(1000, 3)

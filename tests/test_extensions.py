@@ -2068,3 +2068,64 @@ def test_label_propagation_splits_weak_bridge(spark):
                                       "a", "b").collect()
     }
     assert len(set(cc.values())) == 1
+
+
+def test_wordpiece_encode_reference_and_roundtrip(spark):
+    """WordPiece greedy longest-match vs a python reimplementation of
+    the same vocab derivation + encode on a designed corpus: pieces
+    match exactly, every encoding round-trips (strip ## and
+    concatenate == word), and a frequent bigram is preferred over two
+    single chars (the longest-match contract)."""
+    from flink_essentials_spark.functions.text import wordpiece_encode_words
+
+    docs = [("abab abab cd", 40), ("abc cd", 3)]
+    rows = []
+    i = 0
+    for text, reps in docs:
+        for _ in range(reps):
+            rows.append((i, text))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["word"]: (r["pieces"], r["n"]) for r in wordpiece_encode_words(
+            df, min_freq=50, max_piece=3
+        ).collect()
+    }
+
+    # python reference
+    from collections import Counter
+
+    words = Counter()
+    for text, reps in docs:
+        for w in text.split():
+            words[w] += reps
+    subs = Counter()
+    for w, n in words.items():
+        for ln in (1, 2, 3):
+            for j in range(len(w) - ln + 1):
+                form = w[j : j + ln] if j == 0 else "##" + w[j : j + ln]
+                subs[form] += n
+    vocab = {p for p, f in subs.items() if f >= 50 or len(p.replace("##", "")) == 1}
+
+    def encode(w):
+        pos, out = 0, []
+        while pos < len(w):
+            for ln in (3, 2, 1):
+                if pos + ln <= len(w):
+                    cand = w[pos : pos + ln] if pos == 0 else "##" + w[pos : pos + ln]
+                    if cand in vocab:
+                        out.append(cand)
+                        pos += ln
+                        break
+            else:
+                out.append("[UNK]")
+                pos += 1
+        return " ".join(out)
+
+    ref = {w: (encode(w), n) for w, n in words.items()}
+    assert got == ref
+    # round-trip: no UNK here, so pieces reassemble the word
+    for w, (p, _) in got.items():
+        assert p.replace(" ##", "").replace(" ", "") == w
+    # longest-match: 'abab' must use multi-char pieces, not 4 singles
+    assert got["abab"][0].count(" ") + 1 <= 2
