@@ -1706,3 +1706,96 @@ def wordpiece_encode_words(
         F.trim(st["out"]).alias("pieces"),
         F.size(F.split(F.trim(st["out"]), " ")).alias("n_pieces"),
     )
+
+
+def unigram_segment_words(
+    df: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 1000,
+    max_piece: int = 3,
+    max_word: int = 12,
+) -> DataFrame:
+    """Unigram-LM Viterbi segmentation (Kudo 2018, "Subword
+    Regularization" — the SentencePiece objective): over the SAME
+    corpus-derived piece vocabulary :func:`wordpiece_vocab` builds,
+    find each distinct word's GLOBALLY optimal segmentation — minimum
+    total piece cost — where WordPiece's greedy longest-prefix scan
+    only finds a local one. Piece cost is the exact integer
+    bit-length surprisal ``bitlen(total_freq) - bitlen(freq)`` (an
+    integer-log2 -log p; bit lengths via base-2 string conversion, so
+    both engines compute the identical integers — no floating log),
+    and ties break by fewer pieces then lexicographic piece string, a
+    total order.
+
+    The DP is one F.aggregate fold over character positions whose
+    accumulator is the best[0..i] array (Viterbi's table), with the
+    vocabulary carried as a one-row broadcast MAP — per-word work is
+    O(len·max_piece) with no join, the dictionary-encode shape that
+    scales by distinct words. Words longer than ``max_word`` are
+    excluded (the oracle unrolls one CTE level per position).
+    Returns (word, n, cost, n_pieces, pieces)."""
+    from flink_essentials_spark.operators.transform import tokenize
+
+    INF = 10**9
+    wc = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("w") <= max_word)
+    )
+    vocab = wordpiece_vocab(
+        df, text_col=text_col, min_freq=min_freq, max_piece=max_piece
+    ).agg(
+        F.map_from_entries(F.collect_list(F.struct("piece", "freq"))).alias(
+            "vm"
+        ),
+        F.sum("freq").alias("total"),
+    )
+
+    def bl(c):
+        return F.length(F.conv(c.cast("string"), 10, 2))
+
+    def form(i, L):
+        sub = F.substring(F.col("w"), i - F.lit(L - 1), F.lit(L))
+        return F.when(i - F.lit(L - 1) == 1, sub).otherwise(
+            F.concat(F.lit("##"), sub)
+        )
+
+    bad = F.struct(
+        F.lit(INF).alias("cost"), F.lit(INF).alias("np"), F.lit("~").alias("s")
+    )
+
+    def step(acc, i):
+        cands = []
+        for L in range(1, max_piece + 1):
+            prev = F.element_at(acc, i - F.lit(L - 1))
+            piece = form(i, L)
+            freq = F.element_at(F.col("vm"), piece)
+            cost = bl(F.col("total")) - bl(freq)
+            cands.append(
+                F.when(
+                    (i >= L) & freq.isNotNull() & (prev["cost"] < F.lit(INF)),
+                    F.struct(
+                        (prev["cost"] + cost).alias("cost"),
+                        (prev["np"] + 1).alias("np"),
+                        F.concat(prev["s"], piece, F.lit(" ")).alias("s"),
+                    ),
+                ).otherwise(bad)
+            )
+        return F.array_append(acc, F.least(*cands))
+
+    init = F.array(
+        F.struct(F.lit(0).alias("cost"), F.lit(0).alias("np"), F.lit("").alias("s"))
+    )
+    dp = F.aggregate(F.sequence(F.lit(1), F.length("w")), init, step)
+    return (
+        wc.crossJoin(F.broadcast(vocab))
+        .select("w", "n", F.element_at(dp, F.length("w") + 1).alias("b"))
+        .select(
+            F.col("w").alias("word"),
+            "n",
+            F.col("b.cost").alias("cost"),
+            F.col("b.np").alias("n_pieces"),
+            F.trim("b.s").alias("pieces"),
+        )
+    )

@@ -1320,6 +1320,9 @@ _REGISTRY: list[Query] = [
     # r8-continuation: WordPiece greedy longest-match encoding — the
     # BERT tokenizer member; dictionary-encoded, fold oracle
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
+    # r8-continuation: unigram-LM Viterbi segmentation (Kudo 2018) —
+    # global optimum over the same vocab, unrolled-DP oracle
+    Query("unigram_segments", llmdata.q_unigram_segments, llmdata.Q_UNIGRAM_SQL),
     # demoted r8e (head slot went to dsir_weights) — portable
     # mergeable HLL stays full-oracle here AND via windowed_distinct
     Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),

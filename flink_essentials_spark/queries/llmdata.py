@@ -5907,3 +5907,118 @@ FROM enc
 
 
 Q_WORDPIECE_SQL = _wordpiece_sql(1000, 3)
+
+
+def q_unigram_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi segmentation (text.unigram_segment_words,
+    Kudo 2018 / SentencePiece) of every distinct corpus word over the
+    SAME vocabulary wordpiece_encode greedy-scans — the globally
+    optimal segmentation under integer bit-length surprisal costs,
+    ties to fewer pieces then lexicographic pieces. The oracle unrolls
+    the Viterbi table as one CTE level per character position with
+    correlated vocab lookups; every quantity is integer/string
+    arithmetic, so the DP choices replay bit-for-bit."""
+    from flink_essentials_spark.functions.text import unigram_segment_words
+
+    t = load_tables(spark, sf_dir)
+    return unigram_segment_words(
+        t["documents"], min_freq=1000, max_piece=3, max_word=12
+    )
+
+
+def _unigram_sql(
+    min_freq: int = 1000, max_piece: int = 3, max_word: int = 12
+) -> str:
+    INF = 10**9
+
+    def piece_txt(i: int, L: int) -> str:
+        start = i - L + 1
+        sub = f"substring(w, {start}, {L})"
+        return sub if start == 1 else f"'##' || {sub}"
+
+    lens = ", ".join(str(L) for L in range(1, max_piece + 1))
+    sql = f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+), wc AS (
+  SELECT w, COUNT(*) AS n FROM toks GROUP BY w
+), subs AS (
+  SELECT CASE WHEN i = 1 THEN sub ELSE '##' || sub END AS piece, SUM(n) AS freq
+  FROM (
+    SELECT w, n, i, L, substring(w, i, L) AS sub
+    FROM wc, UNNEST(generate_series(1, len(w))) s(i), UNNEST([{lens}]) t(L)
+    WHERE i + L - 1 <= len(w)
+  ) GROUP BY 1
+), vocabt AS (
+  SELECT piece, freq FROM subs
+  WHERE freq >= {min_freq} OR len(replace(piece, '##', '')) = 1
+), tot AS (
+  SELECT length(bin(SUM(freq))) AS blt FROM vocabt
+), lvl0 AS (
+  SELECT w, n, blt, 0 AS c0, 0 AS p0, '' AS s0
+  FROM wc, tot WHERE len(w) <= {max_word}
+)"""
+    for i in range(1, max_word + 1):
+        fq_cols = []
+        cand_cols = []
+        tags = []
+        for L in range(1, max_piece + 1):
+            tag = "abc"[L - 1]
+            tags.append(tag)
+            if i < L:
+                cand_cols.append(
+                    f"{INF} AS c{tag}{i}, {INF} AS p{tag}{i}, '~' AS s{tag}{i}"
+                )
+                fq_cols.append("NULL AS fq" + tag)
+                continue
+            fq_cols.append(
+                f"(SELECT v.freq FROM vocabt v WHERE v.piece = {piece_txt(i, L)})"
+                f" AS fq{tag}"
+            )
+            cond = f"fq{tag} IS NOT NULL AND c{i - L} < {INF}"
+            cand_cols.append(
+                f"CASE WHEN {cond} THEN c{i - L} + blt - length(bin(fq{tag}))"
+                f" ELSE {INF} END AS c{tag}{i},\n"
+                f"      CASE WHEN {cond} THEN p{i - L} + 1 ELSE {INF} END AS p{tag}{i},\n"
+                f"      CASE WHEN {cond} THEN s{i - L} || {piece_txt(i, L)} || ' '"
+                f" ELSE '~' END AS s{tag}{i}"
+            )
+        trip = {t_: f"(c{t_}{i}, p{t_}{i}, s{t_}{i})" for t_ in tags}
+        a, b, c = tags
+        best = {}
+        for comp, pre in (("c", "c"), ("p", "p"), ("s", "s")):
+            best[comp] = (
+                f"CASE WHEN {trip[a]} <= {trip[b]} AND {trip[a]} <= {trip[c]}"
+                f" THEN {pre}{a}{i}"
+                f" WHEN {trip[b]} <= {trip[c]} THEN {pre}{b}{i}"
+                f" ELSE {pre}{c}{i} END"
+            )
+        sql += f""", lvl{i} AS (
+  SELECT * EXCLUDE (fqa, fqb, fqc, ca{i}, pa{i}, sa{i}, cb{i}, pb{i}, sb{i}, cc{i}, pc{i}, sc{i}),
+    {best['c']} AS c{i},
+    {best['p']} AS p{i},
+    {best['s']} AS s{i}
+  FROM (
+    SELECT *,
+      {','.join(cand_cols)}
+    FROM (
+      SELECT *, {','.join(fq_cols)} FROM lvl{i - 1}
+    )
+  )
+)"""
+    pick = lambda p: (
+        "CASE len(w) "
+        + " ".join(f"WHEN {i} THEN {p}{i}" for i in range(1, max_word + 1))
+        + " END"
+    )
+    sql += f"""
+SELECT w AS word, CAST(n AS BIGINT) AS n,
+       CAST({pick('c')} AS INT) AS cost,
+       CAST({pick('p')} AS INT) AS n_pieces,
+       trim({pick('s')}) AS pieces
+FROM lvl{max_word}
+"""
+    return sql
+
+
+Q_UNIGRAM_SQL = _unigram_sql(1000, 3, 12)

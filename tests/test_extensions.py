@@ -2129,3 +2129,81 @@ def test_wordpiece_encode_reference_and_roundtrip(spark):
         assert p.replace(" ##", "").replace(" ", "") == w
     # longest-match: 'abab' must use multi-char pieces, not 4 singles
     assert got["abab"][0].count(" ") + 1 <= 2
+
+
+def test_unigram_viterbi_global_optimum_vs_greedy(spark):
+    """Viterbi segmentation matches a python DP reference exactly and
+    is globally optimal: on a corpus designed so the greedy
+    longest-prefix scan takes a poor first piece ('abc ##d'), the
+    unigram segmenter finds the strictly cheaper 'ab ##cd'; for every
+    word its cost is <= the cost of the greedy segmentation under the
+    same integer bit-length surprisal."""
+    from flink_essentials_spark.functions.text import (
+        unigram_segment_words,
+        wordpiece_encode_words,
+    )
+
+    words = [("abcd", 51), ("abxx", 300), ("qcd", 300)]
+    rows = []
+    i = 0
+    for w, reps in words:
+        for _ in range(reps):
+            rows.append((i, w))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["word"]: (r["cost"], r["n_pieces"], r["pieces"])
+        for r in unigram_segment_words(df, min_freq=50).collect()
+    }
+    greedy = {
+        r["word"]: r["pieces"]
+        for r in wordpiece_encode_words(df, min_freq=50).collect()
+    }
+
+    # python reference: same vocab, same costs, same tie-breaks
+    from collections import Counter
+
+    wc = Counter(dict(words))
+    subs = Counter()
+    for w, n in wc.items():
+        for ln in (1, 2, 3):
+            for j in range(len(w) - ln + 1):
+                form = w[j : j + ln] if j == 0 else "##" + w[j : j + ln]
+                subs[form] += n
+    vocab = {
+        p: f for p, f in subs.items() if f >= 50 or len(p.replace("##", "")) == 1
+    }
+    T = sum(vocab.values()).bit_length()
+
+    def cost(piece):
+        return T - vocab[piece].bit_length()
+
+    def viterbi(w):
+        INF = (10**9, 10**9, "~")
+        best = [(0, 0, "")] + [INF] * len(w)
+        for i2 in range(1, len(w) + 1):
+            cands = []
+            for ln in (1, 2, 3):
+                if i2 >= ln and best[i2 - ln][0] < 10**9:
+                    p = (
+                        w[i2 - ln : i2]
+                        if i2 - ln == 0
+                        else "##" + w[i2 - ln : i2]
+                    )
+                    if p in vocab:
+                        pr = best[i2 - ln]
+                        cands.append(
+                            (pr[0] + cost(p), pr[1] + 1, pr[2] + p + " ")
+                        )
+            best[i2] = min(cands) if cands else INF
+        c, np_, s = best[len(w)]
+        return (c, np_, s.strip())
+
+    for w, _ in words:
+        assert got[w] == viterbi(w), (w, got[w], viterbi(w))
+        g_cost = sum(cost(p) for p in greedy[w].split(" "))
+        assert got[w][0] <= g_cost
+    # the designed strict case
+    assert greedy["abcd"] == "abc ##d"
+    assert got["abcd"][2] == "ab ##cd"
+    assert got["abcd"][0] < sum(cost(p) for p in greedy["abcd"].split(" "))
