@@ -137,6 +137,16 @@ HEADLINE = [
     "c4_filters",
     "winnowing_fp",
     "bm25_scores",
+    # r8-continuation: tokenizer trio completion (greedy WordPiece +
+    # unigram Viterbi), TextRank, EWMA control chart, CCNet buckets,
+    # Hilbert layout keys, label-propagation communities
+    "wordpiece_encode",
+    "unigram_segments",
+    "textrank_keywords",
+    "ewma_anomaly",
+    "ccnet_buckets",
+    "hilbert_keys",
+    "lpa_communities",
 ]
 
 

@@ -412,3 +412,121 @@ def label_propagation(
             .select("node", "label")
         )
     return labels
+
+
+def dbscan_2d(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int = 4,
+    min_samples: int = 5,
+) -> DataFrame:
+    """DBSCAN density clustering (Ester, Kriegel, Sander & Xu 1996)
+    over 2-D INTEGER features — the density member of the clustering
+    family (k-means cells: similarity.semantic_dedup; connectivity:
+    :func:`connected_components`): cores are points with at least
+    ``min_samples`` points (self included, the sklearn convention)
+    within euclidean ``eps``; clusters are connected components of the
+    core-core eps-graph (cluster id = min core id); non-core points
+    within eps of a core become border points of their MINIMUM
+    adjacent cluster (a deterministic stand-in for the paper's
+    first-found assignment); the rest is noise (cluster_id -1).
+
+    Scale shape: the eps-graph is built with the textbook cell
+    bucketing — each point lands in one (x div eps, y div eps) cell
+    and probes its 3x3 cell neighborhood, so candidate pairs are a
+    cell-local equi-join (linear in points x local density), never an
+    all-pairs product. Distances are exact integer arithmetic; for
+    high-dimensional inputs build the eps-graph with the blocked
+    all-pairs / ANN machinery in functions/similarity.py instead of
+    cells.
+
+    Returns (id, x, y, role, cluster_id) with role in
+    core/border/noise."""
+    f = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    e = F.lit(int(eps))
+    probe = f.select(
+        "pid",
+        "x",
+        "y",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(-1), F.lit(1)),
+                    lambda dx: F.transform(
+                        F.sequence(F.lit(-1), F.lit(1)),
+                        lambda dy: F.struct(
+                            (F.floor(F.col("x") / e) + dx).alias("cx"),
+                            (F.floor(F.col("y") / e) + dy).alias("cy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("cell"),
+    )
+    build = f.select(
+        F.col("pid").alias("qid"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        F.struct(
+            F.floor(F.col("x") / e).alias("cx"),
+            F.floor(F.col("y") / e).alias("cy"),
+        ).alias("cell"),
+    )
+    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    pairs = (
+        probe.join(build, "cell")
+        .filter((F.col("pid") != F.col("qid")) & (d2 <= F.lit(int(eps * eps))))
+        .select("pid", "qid")
+    )
+    deg = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("deg"))
+    pts = f.join(deg, "pid", "left").select(
+        "pid", "x", "y",
+        (F.coalesce("deg", F.lit(0)) + 1 >= min_samples).alias("is_core"),
+    )
+    cores = pts.filter("is_core").select(F.col("pid").alias("cid"))
+    core_edges = (
+        pairs.join(cores, pairs["pid"] == cores["cid"]).drop("cid")
+        .join(cores, pairs["qid"] == cores["cid"]).drop("cid")
+    )
+    comp = connected_components(core_edges, "pid", "qid").select(
+        F.col("node").alias("pid"), F.col("cluster_id").alias("core_cluster")
+    )
+    # isolated cores (no core neighbor) form singleton clusters
+    core_cluster = (
+        cores.join(comp, cores["cid"] == comp["pid"], "left")
+        .select(
+            F.col("cid").alias("pid"),
+            F.coalesce("core_cluster", F.col("cid")).alias("cluster_id"),
+        )
+    )
+    border = (
+        pairs.join(
+            core_cluster.withColumnRenamed("pid", "qid"), "qid"
+        )
+        .groupBy("pid")
+        .agg(F.min("cluster_id").alias("border_cluster"))
+    )
+    return (
+        pts.join(core_cluster.withColumnRenamed("cluster_id", "cc"), "pid", "left")
+        .join(border, "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            "x",
+            "y",
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("border_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.when(F.col("is_core"), F.col("cc"))
+            .otherwise(F.coalesce("border_cluster", F.lit(-1)))
+            .alias("cluster_id"),
+        )
+    )

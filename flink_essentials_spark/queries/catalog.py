@@ -1017,7 +1017,16 @@ _REGISTRY: list[Query] = [
     # 256-row deterministic membership is itself under oracle.
     Query("sample_quantiles", llmdata.q_sample_quantiles, llmdata.Q_SAMPLE_QUANTILES_SQL),
     # --- dedup (§2.11)
-    Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),
+    # ROTATION (r8g): dedup_exact demoted (the md5-groupBy member is
+    # the plan-trivial row of the head's DEEPEST family — dedup keeps
+    # SEVEN driver rows: lsh_near_dups, dedup_clusters, semantic_dedup,
+    # duplicate_spans, embedding_near_dups, image_dedup,
+    # incremental_decontamination) → unigram_segments: unigram-LM
+    # Viterbi segmentation (Kudo 2018 / SentencePiece) — the globally
+    # optimal tokenizer member over the same vocabulary the greedy
+    # encoders scan, integer bit-length surprisal costs, unrolled-DP
+    # oracle.
+    Query("unigram_segments", llmdata.q_unigram_segments, llmdata.Q_UNIGRAM_SQL),
     # ROTATION (r7c): dedup_jaccard demoted (its exact-Jaccard
     # arithmetic stays head-visible inside lsh_near_dups' verify step)
     # → k_anonymity: the privacy-audit family's first driver row.
@@ -1067,7 +1076,14 @@ _REGISTRY: list[Query] = [
     # ROTATION (r7): language_id_ngram demoted (language family stays
     # covered by quality_score (tail since r8f) + language_id tail) → heavy_hitters:
     # the Count-Min counter sketch under exact cross-engine oracle.
-    Query("heavy_hitters", llmdata.q_heavy_hitters, llmdata.Q_HEAVY_HITTERS_SQL),
+    # ROTATION (r8g): heavy_hitters demoted (the sketch family keeps
+    # THREE driver rows — bloom_prefilter, sample_quantiles,
+    # kmv_set_ops — and Count-Min stays locally oracle-checked twice:
+    # heavy_hitters itself + the windowed_heavy_hitters twin) →
+    # ewma_anomaly: the EWMA control chart (Roberts 1959), truncated
+    # lambda=1/2 exact-integer form — per-key lag terms AND moments in
+    # ONE keyed window exchange, flags bit-exact with no rounding.
+    Query("ewma_anomaly", llmdata.q_ewma_anomaly, llmdata.Q_EWMA_ANOMALY_SQL),
     # ROTATION (r7): rolling_fingerprint demoted (fingerprint family
     # 4-deep in the tail) → image_dedup: first multimodal-DEDUP driver
     # row (real JPEG/PNG decode → perceptual aHash → equal-hash groups).
@@ -1093,7 +1109,14 @@ _REGISTRY: list[Query] = [
     # mid-text misaligned-spike fixture, string-grouped oracle
     # cross-checking the engine's hash grouping.
     Query("duplicate_spans", llmdata.q_duplicate_spans, llmdata.Q_DUPLICATE_SPANS_SQL),
-    Query("stratified_sample", llmdata.q_stratified_sample, llmdata.Q_STRATIFIED_SAMPLE_SQL),
+    # ROTATION (r8g): stratified_sample demoted (the sampling family
+    # keeps FOUR driver rows — training_pipeline composes the same
+    # per-stratum sampler end-to-end, plus pack_sequences,
+    # token_budget_select, dsir_weights) → textrank_keywords: TextRank
+    # (Mihalcea & Tarau 2004) — corpus co-occurrence graph built in
+    # the scan stage + unrolled weighted-PageRank oracle, the named
+    # unsupervised keyword extractor.
+    Query("textrank_keywords", llmdata.q_textrank_keywords, llmdata.Q_TEXTRANK_SQL),
     Query("training_pipeline", llmdata.q_training_pipeline, llmdata.Q_TRAINING_PIPELINE_SQL),
     # --- corpus audit / analytics breadth (promoted r4)
     # ROTATION (r5): url_stats demoted — its oracle family is a plain
@@ -1305,24 +1328,27 @@ _REGISTRY: list[Query] = [
     Query("temperature_mix", llmdata.q_temperature_mix, llmdata.Q_TEMPERATURE_MIX_SQL),
     # r8-continuation: CCNet per-source perplexity bucketing
     Query("ccnet_buckets", llmdata.q_ccnet_buckets, llmdata.Q_CCNET_BUCKETS_SQL),
-    # r8-continuation: EWMA control chart (Roberts 1959) — truncated
-    # lambda=1/2 exact-integer form, one keyed window exchange
-    Query("ewma_anomaly", llmdata.q_ewma_anomaly, llmdata.Q_EWMA_ANOMALY_SQL),
-    # r8-continuation: TextRank keyword salience (Mihalcea & Tarau
-    # 2004) — co-occurrence graph + unrolled weighted pagerank
-    Query("textrank_keywords", llmdata.q_textrank_keywords, llmdata.Q_TEXTRANK_SQL),
     # r8-continuation: Hilbert-curve layout keys — broadcast curve
     # table vs an independent chained-CTE recurrence in the oracle
+    # (layout family stays driver-covered by zorder_keys)
     Query("hilbert_keys", llmdata.q_hilbert_keys, llmdata.Q_HILBERT_KEYS_SQL),
     # r8-continuation: label-propagation communities (Raghavan 2007)
-    # — synchronous + total tie order, exact-integer argmax
+    # — synchronous + total tie order, exact-integer argmax (graph
+    # family stays driver-covered by link_rank + dedup_clusters)
     Query("lpa_communities", llmdata.q_lpa_communities, llmdata.Q_LPA_SQL),
     # r8-continuation: WordPiece greedy longest-match encoding — the
     # BERT tokenizer member; dictionary-encoded, fold oracle
+    # (tokenizer family driver rows: bpe_trained_merges,
+    # bpe_encoded_docs, unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
-    # r8-continuation: unigram-LM Viterbi segmentation (Kudo 2018) —
-    # global optimum over the same vocab, unrolled-DP oracle
-    Query("unigram_segments", llmdata.q_unigram_segments, llmdata.Q_UNIGRAM_SQL),
+    # r8-continuation: DBSCAN density clustering (Ester et al. 1996)
+    # — cell-bucketed eps-graph, recursive-CTE component oracle
+    Query("dbscan_users", llmdata.q_dbscan_users, llmdata.Q_DBSCAN_SQL),
+    # demoted r8g (head slots went to unigram_segments /
+    # textrank_keywords / ewma_anomaly) — all still oracle-checked here
+    Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),
+    Query("stratified_sample", llmdata.q_stratified_sample, llmdata.Q_STRATIFIED_SAMPLE_SQL),
+    Query("heavy_hitters", llmdata.q_heavy_hitters, llmdata.Q_HEAVY_HITTERS_SQL),
     # demoted r8e (head slot went to dsir_weights) — portable
     # mergeable HLL stays full-oracle here AND via windowed_distinct
     Query("hll_cardinality", llmdata.q_hll_cardinality, llmdata.Q_HLL_CARDINALITY_SQL),

@@ -6022,3 +6022,76 @@ FROM lvl{max_word}
 
 
 Q_UNIGRAM_SQL = _unigram_sql(1000, 3, 12)
+
+
+def q_dbscan_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (graph.dbscan_2d, Ester et al. 1996)
+    over per-user integer features — event count x total spend in
+    hundred-dollar units (exact floor division) — eps 4, min_samples 5
+    (sklearn's self-inclusive convention). Cores/borders/noise all
+    occur on the shipped data at both SFs. The engine builds the
+    eps-graph with 3x3 cell bucketing (never all-pairs); the oracle
+    recomputes it as a distance self-join and resolves the core-core
+    components with a recursive CTE (the dedup_clusters pattern).
+    Every quantity is exact integer arithmetic."""
+    from flink_essentials_spark.functions.graph import dbscan_2d
+    from flink_essentials_spark.queries.util import cents
+
+    t = load_tables(spark, sf_dir)
+    f = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.floor(F.sum(cents("value")) / F.lit(10000)).alias("y"),
+        )
+    )
+    return dbscan_2d(f, "user_id", "x", "y", eps=4, min_samples=5)
+
+
+Q_DBSCAN_SQL = f"""
+WITH RECURSIVE f AS (
+  SELECT user_id AS pid, COUNT(*) AS x,
+         CAST(SUM({{vc}}) // 10000 AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), pairs AS (
+  SELECT a.pid AS pid, b.pid AS qid
+  FROM f a JOIN f b
+    ON a.pid <> b.pid
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 16
+), deg AS (
+  SELECT pid, COUNT(*) AS deg FROM pairs GROUP BY pid
+), pts AS (
+  SELECT f.pid, f.x, f.y,
+         COALESCE(d.deg, 0) + 1 >= 5 AS is_core
+  FROM f LEFT JOIN deg d USING (pid)
+), core_edges AS (
+  SELECT p.pid AS a, p.qid AS b
+  FROM pairs p
+  JOIN pts ca ON ca.pid = p.pid AND ca.is_core
+  JOIN pts cb ON cb.pid = p.qid AND cb.is_core
+), reach(node, lbl) AS (
+  SELECT a, a FROM core_edges
+  UNION
+  SELECT e.a, r.lbl FROM core_edges e JOIN reach r ON r.node = e.b
+), comp AS (
+  SELECT node AS pid, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+), core_cluster AS (
+  SELECT p.pid, COALESCE(c.cluster_id, p.pid) AS cluster_id
+  FROM pts p LEFT JOIN comp c USING (pid)
+  WHERE p.is_core
+), border AS (
+  SELECT p.pid, MIN(cc.cluster_id) AS border_cluster
+  FROM pairs p JOIN core_cluster cc ON cc.pid = p.qid
+  GROUP BY p.pid
+)
+SELECT p.pid AS user_id, p.x, p.y,
+       CASE WHEN p.is_core THEN 'core'
+            WHEN b.border_cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CASE WHEN p.is_core THEN cc.cluster_id
+            ELSE COALESCE(b.border_cluster, -1) END AS cluster_id
+FROM pts p
+LEFT JOIN core_cluster cc USING (pid)
+LEFT JOIN border b USING (pid)
+""".replace("{vc}", "CAST(round(value * 100) AS BIGINT)")

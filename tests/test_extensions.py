@@ -2207,3 +2207,60 @@ def test_unigram_viterbi_global_optimum_vs_greedy(spark):
     assert greedy["abcd"] == "abc ##d"
     assert got["abcd"][2] == "ab ##cd"
     assert got["abcd"][0] < sum(cost(p) for p in greedy["abcd"].split(" "))
+
+
+def test_dbscan_reference_and_roles(spark):
+    """dbscan_2d vs a plain-python DBSCAN with the same conventions
+    (self-inclusive min_samples, min-core-id cluster labels, borders
+    to the minimum adjacent cluster) on a designed layout: two dense
+    blobs bridged only through a border point, plus isolated noise."""
+    from flink_essentials_spark.functions.graph import dbscan_2d
+
+    pts = {}
+    pid = 0
+    for cx, cy in [(0, 0), (100, 100)]:  # two blobs of 6
+        for dx, dy in [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2)]:
+            pts[pid] = (cx + dx, cy + dy)
+            pid += 1
+    pts[pid] = (6, 0); pid += 1       # border: near blob 1 edge
+    pts[pid] = (50, 50); pid += 1     # noise
+    pts[pid] = (200, 0); pid += 1     # noise pair (deg 1 each)
+    pts[pid] = (201, 0); pid += 1
+    df = spark.createDataFrame(
+        [(k, x, y) for k, (x, y) in pts.items()], "pid long, x long, y long"
+    )
+    got = {
+        r["pid"]: (r["role"], r["cluster_id"])
+        for r in dbscan_2d(df, "pid", "x", "y", eps=4, min_samples=5).collect()
+    }
+
+    eps2, ms = 16, 5
+    ids = sorted(pts)
+    def nbrs(i):
+        xi, yi = pts[i]
+        return [
+            j for j in ids
+            if j != i
+            and (pts[j][0] - xi) ** 2 + (pts[j][1] - yi) ** 2 <= eps2
+        ]
+    core = {i for i in ids if len(nbrs(i)) + 1 >= ms}
+    # components over core-core edges (min-id label)
+    label = {i: i for i in core}
+    changed = True
+    while changed:
+        changed = False
+        for i in core:
+            for j in nbrs(i):
+                if j in core and label[j] < label[i]:
+                    label[i] = label[j]; changed = True
+    ref = {}
+    for i in ids:
+        if i in core:
+            ref[i] = ("core", label[i])
+        else:
+            adj = [label[j] for j in nbrs(i) if j in core]
+            ref[i] = ("border", min(adj)) if adj else ("noise", -1)
+    assert got == ref
+    roles = {r for r, _ in got.values()}
+    assert roles == {"core", "border", "noise"}
+    assert len({c for r, c in got.values() if r == "core"}) == 2
