@@ -1799,3 +1799,81 @@ def unigram_segment_words(
             F.trim("b.s").alias("pieces"),
         )
     )
+
+
+def kneser_ney_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1998's interpolated form — the smoothing KenLM
+    ships): the production-grade upgrade of :func:`bigram_lm_score`'s
+    MLE, redistributing discounted mass to a CONTINUATION prior
+    (how many distinct contexts a word follows) instead of raw
+    frequency:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0)/c(w1.)
+                   + D·N1+(w1 •)/c(w1.) · N1+(• w2)/N1+(• •)
+
+    with discount D = 3/4 — a RATIONAL, so scaling by 4·c(w1.)·N1+(••)
+    makes numerator and denominator exact BIGINTs: both engines divide
+    identical integers and log2 identical doubles (per-doc sums then
+    round to 6, the bigram_lm_score/char_entropy libm contract).
+    c(w1.) is the CONTEXT count (bigrams starting at w1), per the
+    paper, not the unigram token count.
+
+    Plan: one tokenize pass feeds the bigram explode; the model is
+    three vocabulary-bounded aggregates (bigram counts, per-context
+    count+distinct-continuations, per-word distinct-left-contexts)
+    joined back onto doc bigrams — the bigram_lm_score shape plus two
+    sketch-sized joins. Returns (doc_id, n_bigrams, avg_log2_pkn)."""
+    toks = tokenize(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("w"))
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    bc = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bi"))
+    typed = bc.select(
+        "bigram",
+        "c_bi",
+        F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part("bigram", F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    ctx = typed.groupBy("w1").agg(
+        F.sum("c_bi").alias("c_ctx"),
+        F.count(F.lit(1)).alias("n_cont"),
+    )
+    left = typed.groupBy("w2").agg(F.count(F.lit(1)).alias("n_left"))
+    nbt = typed.agg(F.count(F.lit(1)).alias("n_types"))
+    lm = (
+        typed.join(ctx, "w1")
+        .join(left, "w2")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "bigram",
+            # P = [max(4c-3,0)·Nbt + 3·n_cont·n_left] / [4·c_ctx·Nbt]
+            (
+                F.greatest(4 * F.col("c_bi") - 3, F.lit(0)) * F.col("n_types")
+                + 3 * F.col("n_cont") * F.col("n_left")
+            ).alias("p_num"),
+            (4 * F.col("c_ctx") * F.col("n_types")).alias("p_den"),
+        )
+    )
+    scored = bi.join(lm, "bigram")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.log2(F.col("p_num").cast("double") / F.col("p_den")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_log2_pkn"),
+    )

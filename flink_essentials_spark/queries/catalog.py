@@ -1344,6 +1344,9 @@ _REGISTRY: list[Query] = [
     # r8-continuation: DBSCAN density clustering (Ester et al. 1996)
     # — cell-bucketed eps-graph, recursive-CTE component oracle
     Query("dbscan_users", llmdata.q_dbscan_users, llmdata.Q_DBSCAN_SQL),
+    # r8-continuation: interpolated Kneser-Ney bigram LM (1995) —
+    # discount 3/4 as exact rationals, continuation prior
+    Query("kneser_ney_lm", llmdata.q_kneser_ney_lm, llmdata.Q_KNESER_NEY_SQL),
     # demoted r8g (head slots went to unigram_segments /
     # textrank_keywords / ewma_anomaly) — all still oracle-checked here
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),

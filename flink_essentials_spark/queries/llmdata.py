@@ -6095,3 +6095,57 @@ FROM pts p
 LEFT JOIN core_cluster cc USING (pid)
 LEFT JOIN border b USING (pid)
 """.replace("{vc}", "CAST(round(value * 100) AS BIGINT)")
+
+
+def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scores per document
+    (text.kneser_ney_score, Kneser & Ney 1995 / Chen & Goodman 1998)
+    — the smoothed upgrade of the MLE lm_score row: discount 3/4 as
+    exact rationals (numerator/denominator BIGINTs after scaling by
+    4·c_ctx·N_types), continuation prior from distinct left-context
+    counts. round(,6) absorbs only libm log2, never the probability
+    arithmetic."""
+    from flink_essentials_spark.functions.text import kneser_ney_score
+
+    t = load_tables(spark, sf_dir)
+    return kneser_ney_score(t["documents"])
+
+
+Q_KNESER_NEY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS w FROM documents
+), bi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS bigram
+  FROM toks
+), bc AS (
+  SELECT bigram, COUNT(*) AS c_bi FROM bi GROUP BY bigram
+), typed AS (
+  SELECT bigram, c_bi,
+         split_part(bigram, ' ', 1) AS w1,
+         split_part(bigram, ' ', 2) AS w2
+  FROM bc
+), ctx AS (
+  SELECT w1, CAST(SUM(c_bi) AS BIGINT) AS c_ctx, COUNT(*) AS n_cont
+  FROM typed GROUP BY w1
+), lft AS (
+  SELECT w2, COUNT(*) AS n_left FROM typed GROUP BY w2
+), nbt AS (
+  SELECT COUNT(*) AS n_types FROM typed
+), lm AS (
+  SELECT t.bigram,
+         GREATEST(4 * t.c_bi - 3, 0) * n.n_types
+           + 3 * c.n_cont * l.n_left AS p_num,
+         4 * c.c_ctx * n.n_types AS p_den
+  FROM typed t JOIN ctx c USING (w1) JOIN lft l USING (w2), nbt n
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(SUM(log2(CAST(p_num AS DOUBLE) / p_den)) / COUNT(*), 6)
+         AS avg_log2_pkn
+FROM bi d JOIN lm USING (bigram)
+GROUP BY d.doc_id
+"""

@@ -2264,3 +2264,66 @@ def test_dbscan_reference_and_roles(spark):
     roles = {r for r, _ in got.values()}
     assert roles == {"core", "border", "noise"}
     assert len({c for r, c in got.values() if r == "core"}) == 2
+
+
+def test_kneser_ney_hand_computed_continuation_prior(spark):
+    """Interpolated KN on a corpus built for the textbook 'francisco'
+    effect: 'francisco' is FREQUENT but follows only one context while
+    'cat' follows three, so the continuation prior favors 'cat'
+    despite lower raw frequency; every per-doc score matches hand
+    math with D=3/4 exactly."""
+    import math
+
+    from flink_essentials_spark.functions.text import kneser_ney_score
+
+    docs = (
+        [(i, "san francisco") for i in range(10)]
+        + [(10, "the cat"), (11, "a cat"), (12, "my cat")]
+        + [(13, "san cat")]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_log2_pkn"])
+        for r in kneser_ney_score(df).collect()
+    }
+
+    # model: bigram counts
+    from collections import Counter
+
+    bis = Counter()
+    for _, t_ in docs:
+        w = t_.split()
+        for a, b in zip(w, w[1:]):
+            bis[(a, b)] += 1
+    ctx_count = Counter()
+    n_cont = Counter()
+    n_left = Counter()
+    for (a, b), c in bis.items():
+        ctx_count[a] += c
+        n_cont[a] += 1
+        n_left[b] += 1
+    n_types = len(bis)
+
+    def pkn(a, b):
+        num = max(4 * bis[(a, b)] - 3, 0) * n_types + 3 * n_cont[a] * n_left[b]
+        den = 4 * ctx_count[a] * n_types
+        return num / den
+
+    for doc_id, t_ in docs:
+        w = t_.split()
+        scores = [math.log2(pkn(a, b)) for a, b in zip(w, w[1:])]
+        assert got[doc_id] == (
+            len(scores),
+            round(sum(scores) / len(scores), 6),
+        ), doc_id
+    # continuation prior: P_cont(cat)=4/5 > P_cont(francisco)=1/5 —
+    # 'cat' follows four distinct contexts, 'francisco' one, so the
+    # smoothed mass favors 'cat' beyond what raw frequency would give
+    assert n_left[("cat")] == 4 and n_left[("francisco")] == 1
+    assert pkn("san", "cat") > (3 / (4 * ctx_count["san"])) * (1 / 5) * 3
+    # probabilities over each context sum to 1 (KN is normalized)
+    for a in ctx_count:
+        s = sum(pkn(a, b) for b in {bb for (aa, bb) in bis if aa == a})
+        # sums to 1 only over the FULL vocab; over seen continuations
+        # it is <= 1
+        assert s <= 1 + 1e-12
