@@ -640,3 +640,142 @@ def kmv_pair_estimates(sketch: DataFrame, k: int) -> DataFrame:
         est_j.alias("est_jaccard"),
         (est_j * est_union).alias("est_intersection"),
     )
+
+
+def cs_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 3,
+    width_bits: int = 10,
+) -> DataFrame:
+    """Portable Count-Sketch (Charikar, Chen & Farach-Colton 2002,
+    "Finding frequent items in data streams"): like the Count-Min rows
+    above but each update carries a pairwise-independent SIGN, making
+    the per-row estimate s(x)·C[h(x)] UNBIASED — collisions cancel in
+    expectation instead of only ever inflating. Counters emitted as
+    plain (d, bucket, cnt) rows, SUM-mergeable like cm_sketch.
+    Buckets are disjoint width_bits slices of the cross-engine
+    md5-prefix int; the sign for row d is bit depth*width_bits+d —
+    integer arithmetic end-to-end, zero parity caveats."""
+    if depth * width_bits + depth > 60:
+        raise ValueError("bucket+sign bits must fit the 60-bit md5 prefix")
+    m = 1 << width_bits
+    hv = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    slices = F.posexplode(
+        F.array(
+            *[
+                F.struct(
+                    F.shiftright(hv, d * width_bits)
+                    .bitwiseAND(F.lit(m - 1))
+                    .alias("bucket"),
+                    (
+                        1
+                        - 2
+                        * F.shiftright(hv, depth * width_bits + d).bitwiseAND(
+                            F.lit(1)
+                        )
+                    ).alias("sign"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(slices.alias("d", "bs"))
+        .groupBy("d", F.col("bs.bucket").alias("bucket"))
+        .agg(F.sum("bs.sign").alias("cnt"))
+    )
+
+
+def cs_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 3,
+    width_bits: int = 10,
+) -> DataFrame:
+    """Point-query: median over the depth signed counters — for
+    depth 3 the median is the exact integer a+b+c-max-min, so the
+    estimate is reproducible on any engine with no percentile
+    semantics in play. Sketch slices broadcast; probes never
+    shuffle (the cm_estimate layout)."""
+    if depth != 3:
+        raise ValueError("the arithmetic median form is depth=3 only")
+    m = 1 << width_bits
+    hv = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    keep = list(items.columns)
+    probes = items.select(
+        "*",
+        *[
+            F.shiftright(hv, d * width_bits)
+            .bitwiseAND(F.lit(m - 1))
+            .alias(f"b{d}")
+            for d in range(depth)
+        ],
+        *[
+            (
+                1
+                - 2
+                * F.shiftright(hv, depth * width_bits + d).bitwiseAND(F.lit(1))
+            ).alias(f"s{d}")
+            for d in range(depth)
+        ],
+    )
+    for d in range(depth):
+        side = sketch.filter(F.col("d") == d).select(
+            F.col("bucket").alias(f"b{d}"), F.col("cnt").alias(f"c{d}")
+        )
+        probes = probes.join(F.broadcast(side), f"b{d}", "left")
+    ests = [
+        (F.col(f"s{d}") * F.coalesce(F.col(f"c{d}"), F.lit(0))).alias(f"e{d}")
+        for d in range(depth)
+    ]
+    staged = probes.select(*keep, *ests)
+    e = [F.col(f"e{d}") for d in range(depth)]
+    med = e[0] + e[1] + e[2] - F.greatest(*e) - F.least(*e)
+    return staged.select(*keep, med.alias("est"))
+
+
+def sql_cs(
+    table_expr: str,
+    value_expr: str,
+    items_sql: str,
+    item_col: str = "item",
+    depth: int = 3,
+    width_bits: int = 10,
+) -> str:
+    """DuckDB mirror of cs_sketch→cs_estimate for oracle SQL (the
+    sql_cm layout with signed updates and the arithmetic 3-median)."""
+    if depth != 3:
+        raise ValueError("the arithmetic median form is depth=3 only")
+    m = 1 << width_bits
+    hv = f"(('0x' || substring(md5(CAST({value_expr} AS VARCHAR)), 1, 15))::BIGINT)"
+    sketch_rows = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, ({hv} >> {d * width_bits}) & {m - 1} AS bucket, "
+        f"1 - 2 * (({hv} >> {depth * width_bits + d}) & 1) AS sign "
+        f"FROM {table_expr}"
+        for d in range(depth)
+    )
+    ihv = (
+        f"(('0x' || substring(md5(CAST({item_col} AS VARCHAR)), 1, 15))::BIGINT)"
+    )
+    ests = ", ".join(
+        f"(1 - 2 * (({ihv} >> {depth * width_bits + d}) & 1))"
+        f" * COALESCE((SELECT cnt FROM sk WHERE d = {d} "
+        f"AND bucket = ({ihv} >> {d * width_bits}) & {m - 1}), 0) AS e{d}"
+        for d in range(depth)
+    )
+    return f"""
+WITH sk AS (
+  SELECT d, bucket, CAST(SUM(sign) AS BIGINT) AS cnt
+  FROM ({sketch_rows}) GROUP BY 1, 2
+), it AS ({items_sql}),
+probed AS (SELECT it.*, {ests} FROM it)
+SELECT * EXCLUDE (e0, e1, e2),
+       e0 + e1 + e2 - greatest(e0, e1, e2) - least(e0, e1, e2) AS est_cnt
+FROM probed
+"""

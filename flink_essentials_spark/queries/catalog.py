@@ -1347,6 +1347,9 @@ _REGISTRY: list[Query] = [
     # r8-continuation: interpolated Kneser-Ney bigram LM (1995) —
     # discount 3/4 as exact rationals, continuation prior
     Query("kneser_ney_lm", llmdata.q_kneser_ney_lm, llmdata.Q_KNESER_NEY_SQL),
+    # r8-continuation: Count-Sketch (Charikar 2002) — the unbiased
+    # signed counter sketch; depth-3 arithmetic median
+    Query("count_sketch", llmdata.q_count_sketch, llmdata.Q_COUNT_SKETCH_SQL),
     # demoted r8g (head slots went to unigram_segments /
     # textrank_keywords / ewma_anomaly) — all still oracle-checked here
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),

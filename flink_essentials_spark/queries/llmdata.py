@@ -6149,3 +6149,53 @@ SELECT d.doc_id,
 FROM bi d JOIN lm USING (bigram)
 GROUP BY d.doc_id
 """
+
+
+def q_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch token frequencies (approx.cs_sketch/cs_estimate,
+    Charikar et al. 2002) — the UNBIASED counter sketch next to
+    Count-Min's overestimate-only heavy_hitters: signed updates cancel
+    collisions in expectation, the depth-3 median is the exact integer
+    a+b+c-max-min. EVERY distinct token is probed with its exact count
+    riding along, so the signed error itself is under oracle. Integer
+    md5 arithmetic end-to-end; sketch stays 3*2^10 counters at any
+    corpus size and is SUM-mergeable."""
+    from flink_essentials_spark.functions import approx
+    from flink_essentials_spark.operators.transform import tokenize
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    sketch = approx.cs_sketch(toks, "token", depth=3, width_bits=10)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return approx.cs_estimate(
+        sketch, exact, "token", depth=3, width_bits=10
+    ).select(
+        "token",
+        "exact_cnt",
+        F.col("est").alias("est_cnt"),
+        (F.col("est") - F.col("exact_cnt")).alias("err"),
+    )
+
+
+def _count_sketch_sql() -> str:
+    from flink_essentials_spark.functions.approx import sql_cs
+
+    inner = sql_cs(
+        f"(SELECT unnest({_SQL_TOKENS}) AS token FROM documents)",
+        "token",
+        f"SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt "
+        f"FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents) "
+        f"GROUP BY token",
+        item_col="token",
+        depth=3,
+        width_bits=10,
+    )
+    return (
+        f"SELECT token, exact_cnt, est_cnt, est_cnt - exact_cnt AS err "
+        f"FROM ({inner})"
+    )
+
+
+Q_COUNT_SKETCH_SQL = _count_sketch_sql()

@@ -2327,3 +2327,60 @@ def test_kneser_ney_hand_computed_continuation_prior(spark):
         # sums to 1 only over the FULL vocab; over seen continuations
         # it is <= 1
         assert s <= 1 + 1e-12
+
+
+def test_count_sketch_unbiased_signed_collisions(spark):
+    """Count-Sketch under FORCED collisions (width_bits=2 → 4 buckets
+    for 40 items): estimates match a python reimplementation of the
+    signed-median exactly, and unlike Count-Min the signed errors go
+    BOTH directions (unbiasedness in action) while CM's are >= 0 on
+    the identical stream."""
+    import hashlib
+
+    from flink_essentials_spark.functions import approx
+
+    items = [(f"k{i}",) for i in range(40) for _ in range(i % 5 + 1)]
+    df = spark.createDataFrame(items, "v string")
+    sk = approx.cs_sketch(df, "v", depth=3, width_bits=2)
+    distinct = df.groupBy("v").count()
+    got = {
+        r["v"]: r["est"]
+        for r in approx.cs_estimate(sk, distinct, "v", depth=3, width_bits=2)
+        .select("v", "est")
+        .collect()
+    }
+
+    def hv(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    from collections import Counter
+
+    counters = Counter()
+    stream = Counter(v for v, in items)
+    for v, c in stream.items():
+        h = hv(v)
+        for d in range(3):
+            b = (h >> (d * 2)) & 3
+            s = 1 - 2 * ((h >> (6 + d)) & 1)
+            counters[(d, b)] += s * c
+    ref = {}
+    for v in stream:
+        h = hv(v)
+        es = []
+        for d in range(3):
+            b = (h >> (d * 2)) & 3
+            s = 1 - 2 * ((h >> (6 + d)) & 1)
+            es.append(s * counters[(d, b)])
+        ref[v] = sum(es) - max(es) - min(es)
+    assert got == ref
+    errs = [got[v] - stream[v] for v in stream]
+    assert any(e < 0 for e in errs) and any(e > 0 for e in errs)
+    # CM on the same stream only ever overestimates
+    cm = approx.cm_sketch(df, "v", depth=3, width_bits=2)
+    cm_est = {
+        r["v"]: r["est_cnt"]
+        for r in approx.cm_estimate(cm, distinct, "v", depth=3, width_bits=2)
+        .select("v", "est_cnt")
+        .collect()
+    }
+    assert all(cm_est[v] >= stream[v] for v in stream)
