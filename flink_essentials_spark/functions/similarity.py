@@ -1371,3 +1371,70 @@ def semantic_dedup(
         f"{id_col} long, cell int, cent_sim double, "
         "max_prior_sim double, is_dup boolean",
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    k: int = 16,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection, Achlioptas 2003
+    "Database-friendly random projections" (the ±1 variant): project
+    d-dim vectors to k dims through a deterministic sign matrix
+    R[j][i] = ±1 derived from the cross-engine md5 bit of
+    ``rp:i:j``, scaled by 1/sqrt(k) — with k a perfect square the
+    scale is an exact dyadic rational, and every projected coordinate
+    is an ORDER-PINNED left fold over the input dims, so both engines
+    produce bit-identical doubles with no rounding anywhere.
+
+    The matrix lives in ONE broadcast row (k·d signs — bytes, not a
+    driver-side collect); each row's projection is k ordered folds in
+    the scan stage, no shuffle at all. At cluster scale this is the
+    dimensionality-reduction front of the ANN stack (project → then
+    IVF/LSH the short vectors); squared norms ride along so the JL
+    distortion is itself observable in the output."""
+    root = k**0.5
+    if root != int(root):
+        raise ValueError("k must be a perfect square for the exact scale")
+    sign = lambda i, j: 1 - 2 * F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rp:"), i.cast("string"), F.lit(":"), j.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long").bitwiseAND(F.lit(1))
+    rmat = df.sparkSession.range(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda j: F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: sign(i, j).cast("double"),
+            ),
+        ).alias("R")
+    )
+    v = F.col(vec_col).cast("array<double>")
+    fold = lambda terms: F.aggregate(
+        terms, F.lit(0.0), lambda acc, x: acc + x
+    )
+    proj = F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda j: fold(
+            F.zip_with(
+                v,
+                F.element_at(F.col("R"), j),
+                lambda a, r: a * r,
+            )
+        )
+        / F.lit(float(int(root))),
+    )
+    n2 = lambda arr: fold(F.zip_with(arr, arr, lambda a, b: a * b))
+    return df.crossJoin(F.broadcast(rmat)).select(
+        F.col(id_col),
+        proj.alias("proj"),
+        n2(v).alias("n2_orig"),
+        n2(proj).alias("n2_proj"),
+    )

@@ -1350,6 +1350,9 @@ _REGISTRY: list[Query] = [
     # r8-continuation: Count-Sketch (Charikar 2002) — the unbiased
     # signed counter sketch; depth-3 arithmetic median
     Query("count_sketch", llmdata.q_count_sketch, llmdata.Q_COUNT_SKETCH_SQL),
+    # r8-continuation: JL random projection (Achlioptas 2003 ±1) —
+    # order-pinned folds, exact dyadic scale, zero rounding
+    Query("random_projection", llmdata.q_random_projection, llmdata.Q_RANDOM_PROJECTION_SQL),
     # demoted r8g (head slots went to unigram_segments /
     # textrank_keywords / ewma_anomaly) — all still oracle-checked here
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),

@@ -6199,3 +6199,59 @@ def _count_sketch_sql() -> str:
 
 
 Q_COUNT_SKETCH_SQL = _count_sketch_sql()
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 (similarity.random_projection,
+    Achlioptas 2003 ±1 variant): deterministic md5-bit sign matrix in
+    one broadcast row, each coordinate an order-pinned left fold, the
+    1/sqrt(16)=1/4 scale exact — projected vectors AND both squared
+    norms match DuckDB bit-for-bit with zero rounding (the JL
+    distortion is itself an oracle-checked output)."""
+    from flink_essentials_spark.functions.similarity import random_projection
+
+    t = load_tables(spark, sf_dir)
+    return random_projection(t["embeddings"], dim=64, k=16)
+
+
+def _random_projection_sql(dim: int = 64, k: int = 16) -> str:
+    import math
+
+    root = int(math.isqrt(k))
+    sign = (
+        "(1 - 2 * ((('0x' || substring(md5('rp:' || i || ':' || j), 1, 15))::BIGINT) & 1))"
+    )
+    return f"""
+WITH r AS (
+  SELECT list_transform(range(1, {k + 1}), j ->
+           list_transform(range(1, {dim + 1}), i ->
+             CAST({sign} AS DOUBLE))) AS R
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT vec_id,
+       list_transform(range(1, {k + 1}), j ->
+         list_reduce(
+           list_prepend(0.0, list_transform(range(1, {dim + 1}),
+                                            i -> v[i] * R[j][i])),
+           (a, b) -> a + b) / {float(root)!r}) AS proj,
+       list_reduce(
+         list_prepend(0.0, list_transform(range(1, {dim + 1}),
+                                          i -> v[i] * v[i])),
+         (a, b) -> a + b) AS n2_orig,
+       list_reduce(
+         list_prepend(0.0, list_transform(range(1, {k + 1}), j ->
+           (list_reduce(
+              list_prepend(0.0, list_transform(range(1, {dim + 1}),
+                                               i -> v[i] * R[j][i])),
+              (a, b) -> a + b) / {float(root)!r})
+           * (list_reduce(
+                list_prepend(0.0, list_transform(range(1, {dim + 1}),
+                                                 i -> v[i] * R[j][i])),
+                (a, b) -> a + b) / {float(root)!r}))),
+         (a, b) -> a + b) AS n2_proj
+FROM e, r
+"""
+
+
+Q_RANDOM_PROJECTION_SQL = _random_projection_sql(64, 16)

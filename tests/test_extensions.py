@@ -2384,3 +2384,54 @@ def test_count_sketch_unbiased_signed_collisions(spark):
         .collect()
     }
     assert all(cm_est[v] >= stream[v] for v in stream)
+
+
+def test_random_projection_jl_distortion(spark):
+    """JL property: squared norms and sampled pairwise squared
+    distances survive the 64→16 projection within loose multiplicative
+    bounds, the mean norm ratio concentrates near 1, and the engine
+    matches a numpy reimplementation of the same md5-sign matrix
+    bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    from flink_essentials_spark import load_tables
+    from flink_essentials_spark.functions.similarity import random_projection
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    rows = random_projection(t["embeddings"], dim=64, k=16).collect()
+    ratios = [r["n2_proj"] / r["n2_orig"] for r in rows]
+    assert 0.8 < sum(ratios) / len(ratios) < 1.2
+    assert all(0.15 < x < 3.5 for x in ratios)
+
+    # numpy twin on the same sign matrix
+    R = np.array(
+        [
+            [
+                1 - 2 * (int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[:15], 16) & 1)
+                for i in range(1, 65)
+            ]
+            for j in range(1, 17)
+        ],
+        dtype=np.float64,
+    )
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in t["embeddings"].limit(50).collect()
+    }
+    by_id = {r["vec_id"]: r for r in rows}
+    for vid, v in emb.items():
+        want = [
+            float(sum(v[i] * R[j][i] for i in range(64)) / 4.0)
+            for j in range(16)
+        ]
+        assert by_id[vid]["proj"] == want
+    # pairwise distance preservation on a few sampled pairs
+    ids = sorted(emb)[:10]
+    for a, b in zip(ids, ids[1:]):
+        d_orig = float(((emb[a] - emb[b]) ** 2).sum())
+        pa = np.array(by_id[a]["proj"])
+        pb = np.array(by_id[b]["proj"])
+        d_proj = float(((pa - pb) ** 2).sum())
+        assert 0.15 < d_proj / d_orig < 3.5
