@@ -1353,6 +1353,9 @@ _REGISTRY: list[Query] = [
     # r8-continuation: JL random projection (Achlioptas 2003 ±1) —
     # order-pinned folds, exact dyadic scale, zero rounding
     Query("random_projection", llmdata.q_random_projection, llmdata.Q_RANDOM_PROJECTION_SQL),
+    # r8-continuation: 2-D skyline / Pareto front (Börzsönyi 2001) —
+    # banded two-phase dominance, NOT-EXISTS oracle
+    Query("pareto_suppliers", llmdata.q_pareto_suppliers, llmdata.Q_PARETO_SQL),
     # demoted r8g (head slots went to unigram_segments /
     # textrank_keywords / ewma_anomaly) — all still oracle-checked here
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),

