@@ -1295,18 +1295,25 @@ _REGISTRY: list[Query] = [
     # first_window_counts / parts_rollup / similarity_topk /
     # bpe_token_stats / contamination (families stay covered — see the
     # in-place head notes).
-    # r9 PROMOTION CANDIDATES, in priority order: kmv_set_ops (sketch
-    # set algebra: the intersection estimates HLL can't do; dsir_weights
-    # was promoted r8e), then: normalize_unicode
+    # r9 PROMOTION CANDIDATES, in priority order (kmv_set_ops /
+    # unigram_segments / textrank_keywords / ewma_anomaly were promoted
+    # r8f/r8g): dbscan_users (completes the clustering matrix
+    # driver-side: k-means via semantic_dedup + density + CC),
+    # kneser_ney_lm (the smoothed LM member), count_sketch (the
+    # unbiased sketch member), random_projection (bit-exact JL),
+    # pareto_suppliers (the skyline plan shape), wordpiece_encode or
+    # lpa_communities, then the standing list: normalize_unicode
     # (the only cross-ICU Python-stage oracle), cdc_state (lakehouse
     # MERGE materialization family), snapshot_diff (data-diff audit),
     # streaming_capped_sessions (python-stateful streaming under
     # oracle), readability or hashed_features (featurization),
     # windowed_quantiles (windowed-percentile member). Demotion
     # candidates: rolling_user_counts vs map_state_counts overlap
-    # (both are keyed running counts), set_ops (plan-trivial),
-    # repetition_stats vs quality_score overlap, doc_chunks vs
-    # pack_sequences overlap (both context-window packers).
+    # (both are keyed running counts), repetition_stats vs
+    # quality_score overlap, bpe_encoded_docs vs unigram_segments
+    # (two encoder rows over the same vocab family), time_rollup's
+    # ROLLUP shape vs type_day_cube's CUBE (tail), hilbert_keys vs
+    # zorder_keys if hilbert is promoted instead.
     # demoted r8f (head slots went to gopher_rules / bm25_scores /
     # kmv_set_ops) — still oracle-checked here
     Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
