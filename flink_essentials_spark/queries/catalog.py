@@ -1363,6 +1363,10 @@ _REGISTRY: list[Query] = [
     # r8-continuation: 2-D skyline / Pareto front (Börzsönyi 2001) —
     # banded two-phase dominance, NOT-EXISTS oracle
     Query("pareto_suppliers", llmdata.q_pareto_suppliers, llmdata.Q_PARETO_SQL),
+    # r8-continuation: Fellegi-Sunter probabilistic record linkage
+    # (1969) — data-estimated u as exact integer ratios, log-odds
+    # bands; the decision-theoretic layer over fuzzy_match's blocks
+    Query("record_linkage", llmdata.q_record_linkage, llmdata.Q_RECORD_LINKAGE_SQL),
     # demoted r8g (head slots went to unigram_segments /
     # textrank_keywords / ewma_anomaly) — all still oracle-checked here
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),

@@ -6295,3 +6295,128 @@ WHERE NOT EXISTS (
   WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y)
 )
 """
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
+    1969, "A Theory for Record Linkage") over the fuzzy_match dirty-
+    twin roster: blocked candidate pairs scored by per-field agreement
+    log-odds sum(log2 m/u vs log2 (1-m)/(1-u)) and bucketed into the
+    paper's link / possible / non_link decision bands. m is the fixed
+    dyadic 15/16; the u-probabilities for nation and segment are
+    ESTIMATED from the data as sum(cnt^2)/N^2 — kept as exact integer
+    numerator/denominator so each log2 sees ONE division of identical
+    BIGINTs on both engines (the corpus-moments contract); the name
+    field uses fixed u=1/16. round(,6) absorbs only libm log2."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("dirty_name"),
+        F.col("c_nationkey").alias("d_nation"),
+        F.col("c_mktsegment").alias("d_segment"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_key"),
+        F.col("c_name").alias("clean_name"),
+        F.col("c_nationkey").alias("c_nation"),
+        F.col("c_mktsegment").alias("c_segment"),
+    )
+    # u estimates as exact integer ratios: u = sum(cnt^2) / N^2
+    def u_of(col):
+        byv = cust.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return byv.agg(
+            F.sum(F.col("c") * F.col("c")).alias("num"),
+            (F.sum("c") * F.sum("c")).alias("den"),
+        )
+    un = u_of("c_nationkey").select(
+        F.col("num").alias("un_num"), F.col("den").alias("un_den")
+    )
+    us = u_of("c_mktsegment").select(
+        F.col("num").alias("us_num"), F.col("den").alias("us_den")
+    )
+    pairs = (
+        dirty.withColumn("blk", F.substring("dirty_name", 10, 7))
+        .join(
+            clean.withColumn("blk", F.substring("clean_name", 10, 7)), "blk"
+        )
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(us))
+    )
+
+    def fw(agree, num, den):
+        # log2(m/u) with m = 15/16: agree -> (15*den)/(16*num),
+        # disagree -> den/(16*(den-num)) — one exact division each
+        return F.when(
+            agree,
+            F.log2((15 * F.col(den)).cast("double") / (16 * F.col(num))),
+        ).otherwise(
+            F.log2(
+                F.col(den).cast("double")
+                / (16 * (F.col(den) - F.col(num)))
+            )
+        )
+
+    name_agree = F.levenshtein("dirty_name", "clean_name") <= 1
+    name_w = F.when(name_agree, F.log2(F.lit(15.0))).otherwise(
+        F.log2(F.lit(1.0) / 15.0)
+    )
+    weight = (
+        name_w
+        + fw(F.col("d_nation") == F.col("c_nation"), "un_num", "un_den")
+        + fw(F.col("d_segment") == F.col("c_segment"), "us_num", "us_den")
+    )
+    return pairs.select(
+        "dirty_key",
+        "clean_key",
+        F.round(weight, 6).alias("weight"),
+        F.when(weight >= 4.0, F.lit("link"))
+        .when(weight <= 0.0, F.lit("non_link"))
+        .otherwise(F.lit("possible"))
+        .alias("decision"),
+    )
+
+
+Q_RECORD_LINKAGE_SQL = """
+WITH un AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS num,
+         CAST(SUM(c) * SUM(c) AS BIGINT) AS den
+  FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_nationkey)
+), us AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS num,
+         CAST(SUM(c) * SUM(c) AS BIGINT) AS den
+  FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_mktsegment)
+), dirty AS (
+  SELECT c_custkey AS dirty_key,
+         substring(c_name, 1, length(c_name) - 1) AS dirty_name,
+         c_nationkey AS d_nation, c_mktsegment AS d_segment
+  FROM customer WHERE c_custkey % 10 = 0
+), clean AS (
+  SELECT c_custkey AS clean_key, c_name AS clean_name,
+         c_nationkey AS c_nation, c_mktsegment AS c_segment
+  FROM customer
+), pairs AS (
+  SELECT d.*, c.*, un.num AS un_num, un.den AS un_den,
+         us.num AS us_num, us.den AS us_den
+  FROM dirty d
+  JOIN clean c ON substring(d.dirty_name, 10, 7) = substring(c.clean_name, 10, 7),
+  un, us
+), scored AS (
+  SELECT dirty_key, clean_key,
+    (CASE WHEN levenshtein(dirty_name, clean_name) <= 1
+          THEN log2(15.0) ELSE log2(1.0 / 15.0) END)
+    + (CASE WHEN d_nation = c_nation
+            THEN log2(CAST(15 * un_den AS DOUBLE) / (16 * un_num))
+            ELSE log2(CAST(un_den AS DOUBLE) / (16 * (un_den - un_num))) END)
+    + (CASE WHEN d_segment = c_segment
+            THEN log2(CAST(15 * us_den AS DOUBLE) / (16 * us_num))
+            ELSE log2(CAST(us_den AS DOUBLE) / (16 * (us_den - us_num))) END)
+      AS weight
+  FROM pairs
+)
+SELECT dirty_key, clean_key, round(weight, 6) AS weight,
+       CASE WHEN weight >= 4.0 THEN 'link'
+            WHEN weight <= 0.0 THEN 'non_link'
+            ELSE 'possible' END AS decision
+FROM scored
+"""

@@ -2481,3 +2481,68 @@ def test_pareto_front_brute_force_with_ties(spark):
     for p, x, y in pts:
         if (x, y) in front_xy:
             assert p in got, (p, x, y)
+
+
+def test_record_linkage_decision_theory(spark):
+    """Fellegi-Sunter on the dirty-twin roster: the true twin of every
+    dirty record scores 'link' (all three fields agree), a same-block
+    record disagreeing on every field scores below zero, weights match
+    a python reimplementation of the same exact-integer u-estimates,
+    and the three decision bands partition the pairs."""
+    import math
+
+    from flink_essentials_spark.queries.llmdata import q_record_linkage
+    from flink_essentials_spark import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_record_linkage(spark, sf).collect()
+    by_pair = {(r["dirty_key"], r["clean_key"]): r for r in rows}
+
+    t = load_tables(spark, sf)
+    cust = {
+        r["c_custkey"]: r
+        for r in t["customer"].collect()
+    }
+    from collections import Counter
+
+    nat = Counter(r["c_nationkey"] for r in cust.values())
+    seg = Counter(r["c_mktsegment"] for r in cust.values())
+    N = len(cust)
+
+    def w_field(agree, counts):
+        num = sum(c * c for c in counts.values())
+        den = N * N
+        if agree:
+            return math.log2((15 * den) / (16 * num))
+        return math.log2(den / (16 * (den - num)))
+
+    def lev_le1(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1] <= 1
+
+    checked = 0
+    for (dk, ck), r in by_pair.items():
+        d, c = cust[dk], cust[ck]
+        dn = d["c_name"][:-1]
+        w = (
+            (math.log2(15.0) if lev_le1(dn, c["c_name"]) else math.log2(1.0 / 15.0))
+            + w_field(d["c_nationkey"] == c["c_nationkey"], nat)
+            + w_field(d["c_mktsegment"] == c["c_mktsegment"], seg)
+        )
+        assert abs(r["weight"] - w) < 2e-6, (dk, ck)
+        checked += 1
+        if dk == ck:  # the true twin: all fields agree -> link
+            assert r["decision"] == "link"
+    assert checked == len(rows) and checked > 0
+    assert {r["decision"] for r in rows} == {"link", "possible", "non_link"}

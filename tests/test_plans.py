@@ -254,6 +254,9 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # wordpiece/BPE dictionary pattern)
         "unigram_segments": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},
+        # two one-row u-probability broadcasts (exact integer ratios);
+        # the candidate pairs themselves come from a blocked EQUI-join
+        "record_linkage": {"BroadcastNestedLoopJoin"},
     }
     offenders = {}
     for name in ALL_QUERIES:
