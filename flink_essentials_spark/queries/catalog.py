@@ -204,6 +204,24 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark is the MIN across inputs) to advance then enforce+flush;
     sentinel users are filtered from the SINK table. Final set equals
     the batch left-outer interval join — the oracle."""
+    return _streaming_interval_join_sink(spark, sf_dir, "left_outer")
+
+
+def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the symmetric closure
+    of q_streaming_outer_join (same production config: 1 s watermark,
+    time-ordered range-bucket replay, live state eviction): unmatched
+    rows on EITHER side emit their null-padded row once the watermark
+    passes their join window. The eviction-losslessness argument is
+    the left-outer one applied to both sides; the two-sided sentinels
+    flush both pending sets. Final set equals the batch FULL interval
+    join — the oracle."""
+    return _streaming_interval_join_sink(spark, sf_dir, "full_outer")
+
+
+def _streaming_interval_join_sink(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
     import datetime
     import glob as _glob
     import os
@@ -282,9 +300,12 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = interval_join(
         buys, signups, "user_id", "su", "purchase_ts", "signup_ts",
         "10 minutes", "10 minutes",
-        lower_exclusive=True, upper_exclusive=True, how="left_outer",
+        lower_exclusive=True, upper_exclusive=True, how=how,
     ).select(
-        "user_id", "purchase_id",
+        # coalesce covers full_outer's signup-only rows; on left rows
+        # it is the identity (user_id always present there)
+        F.coalesce("user_id", "su").alias("user_id"),
+        "purchase_id",
         ms("purchase_ts").alias("purchase_ts_ms"),
         "signup_id",
         ms("signup_ts").alias("signup_ts_ms"),
@@ -310,6 +331,21 @@ FROM events e LEFT JOIN events s
  AND epoch_ms(e.ts) > epoch_ms(s.ts) - 600000
  AND epoch_ms(e.ts) < epoch_ms(s.ts) + 600000
 WHERE e.event_type = 'purchase'
+"""
+
+Q_STREAMING_FULL_OUTER_JOIN_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+)
+SELECT COALESCE(p.user_id, s.user_id) AS user_id,
+       p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ts_ms,
+       s.event_id AS signup_id, epoch_ms(s.ts) AS signup_ts_ms
+FROM p FULL JOIN s
+  ON p.user_id = s.user_id
+ AND epoch_ms(p.ts) > epoch_ms(s.ts) - 600000
+ AND epoch_ms(p.ts) < epoch_ms(s.ts) + 600000
 """
 
 
@@ -1244,6 +1280,9 @@ _REGISTRY: list[Query] = [
     # (1 s watermark, live state eviction, null-padded emission by
     # watermark) — r9 promotion candidate
     Query("streaming_outer_join", q_streaming_outer_join, Q_STREAMING_OUTER_JOIN_SQL),
+    # r8-continuation: the symmetric closure — FULL OUTER stream-stream
+    # interval join, both pending sets flushed by the sentinels
+    Query("streaming_full_outer_join", q_streaming_full_outer_join, Q_STREAMING_FULL_OUTER_JOIN_SQL),
     # streaming_join_rollup promoted r8c (see head rotation notes);
     # doc_chunks demoted there — still oracle-checked here
     Query("doc_chunks", llmdata.q_doc_chunks, llmdata.Q_DOC_CHUNKS_SQL),
