@@ -147,6 +147,14 @@ HEADLINE = [
     "ccnet_buckets",
     "hilbert_keys",
     "lpa_communities",
+    # r8-continuation 3: density clustering, smoothed LM, unbiased
+    # sketch, JL projection, skyline, probabilistic record linkage
+    "dbscan_users",
+    "kneser_ney_lm",
+    "count_sketch",
+    "random_projection",
+    "pareto_suppliers",
+    "record_linkage",
 ]
 
 

@@ -97,3 +97,92 @@ def ewma_control(
             ((F.col("value_c") - ewma) / sigma).alias("z"),
         )
     )
+
+
+def burst_detect(
+    df: DataFrame,
+    key_col: str,
+    ts_ms_col: str,
+    id_col: str,
+    switch_cost: int = 2,
+) -> DataFrame:
+    """Two-state burst detection (Kleinberg 2002, "Bursty and
+    Hierarchical Structure in Streams" — the discrete two-state
+    member): per key, label every inter-arrival gap base (q0) or
+    burst (q1) by the minimum-cost state sequence, where a state pays
+    1 per gap that contradicts it (q0 penalized by SHORT gaps, q1 by
+    long ones; short = below half the key's mean gap, an exact
+    integer threshold) and entering the burst state pays
+    ``switch_cost`` — the smoothing that separates a genuine burst
+    run from isolated short gaps.
+
+    The optimal path is a 2-state Viterbi carried as ONE F.aggregate
+    fold per key over the 0/1 short-gap indicators, accumulator =
+    both states' (cost, burst_gaps) tuples — all integers, ties to
+    fewer burst gaps, fully deterministic. One groupBy per key feeds
+    the fold; sequences are per-key bounded, nothing data-sized sits
+    in a single partition. Returns (key, n_gaps, burst_gaps, dp_cost).
+    """
+    lam = int(switch_cost)
+    ordered = (
+        df.groupBy(F.col(key_col).alias("k"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(ts_ms_col).alias("t"), F.col(id_col)))
+            ).alias("seq")
+        )
+        .filter(F.size("seq") >= 2)
+    )
+    ts = F.transform(F.col("seq"), lambda s: s["t"])
+    gaps = F.zip_with(
+        F.slice(ts, 2, F.size(ts) - 1),
+        F.slice(ts, 1, F.size(ts) - 1),
+        lambda a, b: a - b,
+    )
+    staged = ordered.select(
+        "k",
+        gaps.alias("g"),
+    ).select(
+        "k",
+        "g",
+        F.size("g").alias("n_gaps"),
+        # threshold: half the key's mean gap, exact integer division
+        F.expr("aggregate(g, 0L, (a, x) -> a + x) div (2 * size(g))").alias(
+            "thr"
+        ),
+    )
+    bits = F.transform(
+        F.col("g"), lambda x: F.when(x < F.col("thr"), F.lit(1)).otherwise(F.lit(0))
+    )
+
+    def tmin(c_a, b_a, c_b, b_b):
+        take_a = (c_a < c_b) | ((c_a == c_b) & (b_a <= b_b))
+        return F.when(take_a, F.struct(c_a.alias("c"), b_a.alias("b"))).otherwise(
+            F.struct(c_b.alias("c"), b_b.alias("b"))
+        )
+
+    def step(acc, bit):
+        m0 = tmin(acc["c0"], acc["b0"], acc["c1"], acc["b1"])
+        m1 = tmin(acc["c0"] + F.lit(lam), acc["b0"], acc["c1"], acc["b1"])
+        return F.struct(
+            (m0["c"] + bit).alias("c0"),
+            m0["b"].alias("b0"),
+            (m1["c"] + (1 - bit)).alias("c1"),
+            (m1["b"] + 1).alias("b1"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("c0"),
+        F.lit(0).cast("long").alias("b0"),
+        # the path cannot START in q1 without paying the switch
+        F.lit(lam).cast("long").alias("c1"),
+        F.lit(0).cast("long").alias("b1"),
+    )
+    dp = F.aggregate(bits, init, step)
+    best = tmin(dp["c0"], dp["b0"], dp["c1"], dp["b1"])
+    return staged.select(
+        F.col("k").alias(key_col),
+        "n_gaps",
+        best["b"].alias("burst_gaps"),
+        best["c"].alias("dp_cost"),
+    )

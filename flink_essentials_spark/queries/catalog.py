@@ -1406,6 +1406,9 @@ _REGISTRY: list[Query] = [
     # (1969) — data-estimated u as exact integer ratios, log-odds
     # bands; the decision-theoretic layer over fuzzy_match's blocks
     Query("record_linkage", llmdata.q_record_linkage, llmdata.Q_RECORD_LINKAGE_SQL),
+    # r8-continuation: Kleinberg two-state burst detection (2002) —
+    # per-key integer Viterbi fold, string-accumulator oracle
+    Query("burst_detection", llmdata.q_burst_detection, llmdata.Q_BURST_DETECTION_SQL),
     # demoted r8g (head slots went to unigram_segments /
     # textrank_keywords / ewma_anomaly) — all still oracle-checked here
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),

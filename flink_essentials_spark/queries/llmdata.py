@@ -6420,3 +6420,78 @@ SELECT dirty_key, clean_key, round(weight, 6) AS weight,
             ELSE 'possible' END AS decision
 FROM scored
 """
+
+
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg two-state burst detection (timeseries.burst_detect,
+    Kleinberg 2002) over each user's event stream: inter-arrival gaps
+    labeled base/burst by the min-cost state sequence (short gap =
+    below half the user's mean gap — exact integer division both
+    engines; entering the burst state costs 2). The oracle replays
+    the identical Viterbi as a DuckDB list_reduce fold over the same
+    0/1 indicators with a string-encoded two-state accumulator — all
+    integers, ties to fewer burst gaps, bit-for-bit deterministic."""
+    from flink_essentials_spark.functions.timeseries import burst_detect
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id"
+    )
+    return burst_detect(ev, "user_id", "ts_ms", "event_id", switch_cost=2)
+
+
+def _burst_detection_sql(lam: int = 2) -> str:
+    c0 = "CAST(split_part(acc, ',', 1) AS BIGINT)"
+    b0 = "CAST(split_part(acc, ',', 2) AS BIGINT)"
+    c1 = "CAST(split_part(acc, ',', 3) AS BIGINT)"
+    b1 = "CAST(split_part(acc, ',', 4) AS BIGINT)"
+    xi = "CAST(x AS BIGINT)"
+    t0 = f"({c0} < {c1} OR ({c0} = {c1} AND {b0} <= {b1}))"
+    t1 = f"({c0} + {lam} < {c1} OR ({c0} + {lam} = {c1} AND {b0} <= {b1}))"
+    fold = f"""list_reduce(
+      list_prepend('0,0,{lam},0', bits),
+      (acc, x) ->
+        CAST((CASE WHEN {t0} THEN {c0} ELSE {c1} END) + {xi} AS VARCHAR)
+        || ',' ||
+        CAST(CASE WHEN {t0} THEN {b0} ELSE {b1} END AS VARCHAR)
+        || ',' ||
+        CAST((CASE WHEN {t1} THEN {c0} + {lam} ELSE {c1} END) + (1 - {xi}) AS VARCHAR)
+        || ',' ||
+        CAST((CASE WHEN {t1} THEN {b0} ELSE {b1} END) + 1 AS VARCHAR)
+    )"""
+    fc0 = "CAST(split_part(st, ',', 1) AS BIGINT)"
+    fb0 = "CAST(split_part(st, ',', 2) AS BIGINT)"
+    fc1 = "CAST(split_part(st, ',', 3) AS BIGINT)"
+    fb1 = "CAST(split_part(st, ',', 4) AS BIGINT)"
+    f0 = f"({fc0} < {fc1} OR ({fc0} = {fc1} AND {fb0} <= {fb1}))"
+    return f"""
+WITH seq AS (
+  SELECT user_id,
+         list(epoch_ms(ts) ORDER BY epoch_ms(ts), event_id) AS ts_list
+  FROM events GROUP BY user_id
+), gaps AS (
+  SELECT user_id,
+         list_transform(range(1, len(ts_list)),
+                        i -> ts_list[i + 1] - ts_list[i]) AS g
+  FROM seq WHERE len(ts_list) >= 2
+), thr AS (
+  SELECT user_id, g, len(g) AS n_gaps,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), g),
+                          (a, b) -> a + b) // (2 * len(g)) AS BIGINT) AS t
+  FROM gaps
+), bitted AS (
+  SELECT user_id, n_gaps,
+         list_transform(g, x -> CASE WHEN x < t THEN '1' ELSE '0' END)
+           AS bits
+  FROM thr
+), folded AS (
+  SELECT user_id, n_gaps, {fold} AS st FROM bitted
+)
+SELECT user_id, CAST(n_gaps AS INT) AS n_gaps,
+       CASE WHEN {f0} THEN {fb0} ELSE {fb1} END AS burst_gaps,
+       CASE WHEN {f0} THEN {fc0} ELSE {fc1} END AS dp_cost
+FROM folded
+"""
+
+
+Q_BURST_DETECTION_SQL = _burst_detection_sql(2)

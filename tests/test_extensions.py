@@ -2546,3 +2546,51 @@ def test_record_linkage_decision_theory(spark):
             assert r["decision"] == "link"
     assert checked == len(rows) and checked > 0
     assert {r["decision"] for r in rows} == {"link", "possible", "non_link"}
+
+
+def test_burst_detect_viterbi_reference_and_smoothing(spark):
+    """Kleinberg two-state DP vs a python Viterbi with identical
+    costs on designed gap patterns: a solid run of short gaps is a
+    burst, an ISOLATED short gap is smoothed away by the switch cost,
+    and every (cost, burst_gaps) pair matches the reference."""
+    from flink_essentials_spark.functions.timeseries import burst_detect
+
+    # key 1: 8 long gaps (1000), one isolated short gap (10), 8 long
+    # key 2: 6 long, then 6 short in a row (a real burst), then 4 long
+    def times(gaps):
+        t, out = 0, [0]
+        for g in gaps:
+            t += g
+            out.append(t)
+        return out
+
+    g1 = [1000] * 8 + [10] + [1000] * 8
+    g2 = [1000] * 6 + [10] * 6 + [1000] * 4
+    rows = []
+    for k, gs in ((1, g1), (2, g2)):
+        for i, t_ in enumerate(times(gs)):
+            rows.append((k, t_, i))
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, event_id long")
+    got = {
+        r["user_id"]: (r["n_gaps"], r["burst_gaps"], r["dp_cost"])
+        for r in burst_detect(df, "user_id", "ts_ms", "event_id", 2).collect()
+    }
+
+    def ref(gaps, lam=2):
+        thr = sum(gaps) // (2 * len(gaps))
+        bits = [1 if g < thr else 0 for g in gaps]
+        c0, b0, c1, b1 = 0, 0, lam, 0
+        for x in bits:
+            m0 = (c0, b0) if (c0, b0) <= (c1, b1) else (c1, b1)
+            m1 = (c0 + lam, b0) if (c0 + lam, b0) <= (c1, b1) else (c1, b1)
+            c0, b0 = m0[0] + x, m0[1]
+            c1, b1 = m1[0] + (1 - x), m1[1] + 1
+        best = (c0, b0) if (c0, b0) <= (c1, b1) else (c1, b1)
+        return (len(gaps), best[1], best[0])
+
+    assert got[1] == ref(g1)
+    assert got[2] == ref(g2)
+    # isolated short gap: cheaper to absorb (cost 1) than to switch
+    # (cost 2) -> zero burst gaps; the solid run IS a burst
+    assert got[1][1] == 0 and got[1][2] == 1
+    assert got[2][1] == 6 and got[2][2] == 2
