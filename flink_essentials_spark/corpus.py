@@ -205,3 +205,44 @@ class Corpus:
         return _text.pack_sequences(
             self.df, seq_len, text_col=self.text_col, id_col=self.id_col
         )
+
+    # --- vocabulary / salience terminals -------------------------------
+
+    def keywords(self, iterations: int = 3, damping: float = 0.85) -> DataFrame:
+        """Terminal step: TextRank keyword salience over the surviving
+        corpus (functions.text.textrank_keywords) — (word, rank)."""
+        return _text.textrank_keywords(
+            self.df, text_col=self.text_col,
+            iterations=iterations, damping=damping,
+        )
+
+    def tokenize_wordpiece(
+        self, min_freq: int = 1000, max_piece: int = 3
+    ) -> DataFrame:
+        """Terminal step: greedy WordPiece encoding of every distinct
+        surviving word against the corpus-derived vocabulary —
+        (word, n, pieces, n_pieces)."""
+        return _text.wordpiece_encode_words(
+            self.df, text_col=self.text_col,
+            min_freq=min_freq, max_piece=max_piece,
+        )
+
+    def tokenize_unigram(
+        self, min_freq: int = 1000, max_piece: int = 3, max_word: int = 12
+    ) -> DataFrame:
+        """Terminal step: unigram-LM Viterbi segmentation (globally
+        optimal) over the same vocabulary —
+        (word, n, cost, n_pieces, pieces)."""
+        return _text.unigram_segment_words(
+            self.df, text_col=self.text_col,
+            min_freq=min_freq, max_piece=max_piece, max_word=max_word,
+        )
+
+    def perplexity_buckets(self, n_buckets: int = 3) -> DataFrame:
+        """Terminal step: CCNet per-source quality bucketing over the
+        surviving corpus — (doc_id, source, avg_log2_prob, ppl_rank,
+        bucket)."""
+        return _text.ccnet_buckets(
+            self.df, n_buckets=n_buckets, text_col=self.text_col,
+            id_col=self.id_col,
+        )

@@ -138,3 +138,41 @@ def test_corpus_decontaminate_and_budget_select(spark):
         r["doc_id"] for r in direct.collect() if r["selected"]
     }
     assert sorted(got_b.df.columns) == sorted(scored.columns)
+
+
+def test_corpus_vocabulary_terminals_equal_direct_calls(spark):
+    """The r8 terminals (keywords / tokenize_wordpiece /
+    tokenize_unigram / perplexity_buckets) are thin veneers: each
+    equals the direct functions.text call on the wrapped frame, and
+    each composes after a filter step (operating on survivors only)."""
+    from flink_essentials_spark.corpus import Corpus
+    from flink_essentials_spark.functions import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "data moves fast data wins", "web"),
+            (2, "data moves fast", "web"),
+            (3, "slow other words here", "books"),
+            (4, "data data data", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    c = Corpus(df)
+    assert sorted(c.keywords().collect()) == sorted(
+        t.textrank_keywords(df).collect()
+    )
+    assert sorted(c.tokenize_wordpiece(min_freq=3).collect()) == sorted(
+        t.wordpiece_encode_words(df, min_freq=3).collect()
+    )
+    assert sorted(c.tokenize_unigram(min_freq=3).collect()) == sorted(
+        t.unigram_segment_words(df, min_freq=3).collect()
+    )
+    assert sorted(c.perplexity_buckets(2).collect()) == sorted(
+        t.ccnet_buckets(df, n_buckets=2).collect()
+    )
+    # composes after filtering: survivors only feed the vocabulary
+    survivors = c.sample(1.0)  # identity sample keeps the chain lazy
+    filtered = Corpus(df.filter("doc_id != 4"))
+    kw_all = {r["word"] for r in c.keywords().collect()}
+    kw_f = {r["word"] for r in filtered.keywords().collect()}
+    assert kw_f <= kw_all and survivors.count() == 4
