@@ -84,3 +84,107 @@ def pareto_front(
         )
         .select(F.col("pid").alias(id_col), "x", "y")
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.022,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Apriori association rules over 2-itemsets (Agrawal & Srikant
+    1994, "Fast Algorithms for Mining Association Rules"): frequent
+    items, frequent PAIRS from the pruned baskets, and both directed
+    rules per pair with support count, confidence and lift — the
+    market-basket staple.
+
+    Scale shape: the Apriori prune is real — baskets are first
+    filtered to frequent items by a broadcast semi-join, then pairs
+    are generated INSIDE the scan stage (collect the basket's item
+    array per key, explode the a<b combinations) so there is no
+    basket self-join; pair counts shuffle on the (a, b) key only.
+    Every measure is exact-integer derived: confidence = n_ab/n_a and
+    lift = n_ab·N/(n_a·n_b) are each ONE division of exact BIGINTs,
+    so any engine reproduces them bit-for-bit.
+
+    ``min_support`` is the RELATIVE support fraction (converted to
+    an exact rational, so the threshold n·den >= num·N is pure
+    integer comparison on every engine). Returns (antecedent,
+    consequent, n_pair, n_ante, confidence, lift) for pairs at or
+    above support, filtered to ``confidence >= min_confidence``."""
+    from fractions import Fraction
+
+    fr = Fraction(str(min_support))
+    num, den = fr.numerator, fr.denominator
+    b = baskets.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    n_baskets = b.agg(F.countDistinct("bk").alias("n_b"))
+    item_counts = b.groupBy("it").agg(F.count(F.lit(1)).alias("n_i"))
+    frequent = (
+        item_counts.crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("n_i") * den >= num * F.col("n_b"))
+        .select("it")
+    )
+    pruned = b.join(F.broadcast(frequent), "it", "left_semi")
+    arrs = pruned.groupBy("bk").agg(
+        F.sort_array(F.collect_set("it")).alias("items")
+    )
+    idx = F.sequence(F.lit(1), F.size("items"))
+    pairs = arrs.filter(F.size("items") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    # guard: F.sequence(n+1, n) DESCENDS — the last
+                    # index must contribute an empty combination list
+                    lambda i: F.when(
+                        i < F.size(F.col("items")),
+                        F.transform(
+                            F.sequence(i + 1, F.size(F.col("items"))),
+                            lambda j: F.struct(
+                                F.element_at(F.col("items"), i).alias("a"),
+                                F.element_at(F.col("items"), j).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<a:string,b:string>>")
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pair_counts = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .crossJoin(F.broadcast(n_baskets.withColumnRenamed("n_b", "n_b0")))
+        .filter(F.col("n_ab") * den >= num * F.col("n_b0"))
+        .drop("n_b0")
+    )
+    both = pair_counts.select("a", "b", "n_ab").unionAll(
+        pair_counts.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "n_ab"
+        )
+    )
+    ia = item_counts.select(F.col("it").alias("a"), F.col("n_i").alias("n_a"))
+    ib = item_counts.select(F.col("it").alias("b"), F.col("n_i").alias("n_b2"))
+    out = (
+        both.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            F.col("n_ab").alias("n_pair"),
+            F.col("n_a").alias("n_ante"),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_ab") * F.col("n_b")).cast("double")
+                / (F.col("n_a") * F.col("n_b2"))
+            ).alias("lift"),
+        )
+    )
+    if min_confidence > 0:
+        out = out.filter(F.col("confidence") >= float(min_confidence))
+    return out

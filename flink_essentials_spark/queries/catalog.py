@@ -1409,6 +1409,9 @@ _REGISTRY: list[Query] = [
     # r8-continuation: Kleinberg two-state burst detection (2002) —
     # per-key integer Viterbi fold, string-accumulator oracle
     Query("burst_detection", llmdata.q_burst_detection, llmdata.Q_BURST_DETECTION_SQL),
+    # r8-continuation: Apriori association rules (Agrawal 1994) —
+    # relative support as an exact rational, scan-stage combinations
+    Query("association_rules", llmdata.q_association_rules, llmdata.Q_ASSOCIATION_RULES_SQL),
     # demoted r8g (head slots went to unigram_segments /
     # textrank_keywords / ewma_anomaly) — all still oracle-checked here
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),

@@ -6495,3 +6495,62 @@ FROM folded
 
 
 Q_BURST_DETECTION_SQL = _burst_detection_sql(2)
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori association rules (analytics.association_rules, Agrawal
+    & Srikant 1994) over order→brand baskets at 2.2% relative support
+    (an exact 11/500 rational, so the threshold is pure integer
+    comparison and discriminates at every SF): frequent-item prune
+    (broadcast semi-join), scan-stage pair combinations (no basket
+    self-join), both directed rules with confidence and lift — each
+    measure ONE division of exact BIGINTs, bit-exact cross-engine."""
+    from flink_essentials_spark.functions.analytics import association_rules
+
+    t = load_tables(spark, sf_dir)
+    baskets = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .join(
+            t["part"].select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("order_id"), "p_brand")
+    )
+    return association_rules(
+        baskets, "order_id", "p_brand", min_support=0.022
+    )
+
+
+Q_ASSOCIATION_RULES_SQL = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), nb AS (
+  SELECT COUNT(DISTINCT bk) AS n_b FROM b
+), ic AS (
+  SELECT it, COUNT(*) AS n_i FROM b GROUP BY it
+), freq AS (
+  SELECT it FROM ic, nb WHERE n_i * 500 >= 11 * n_b
+), pb AS (
+  SELECT bk, it FROM b WHERE it IN (SELECT it FROM freq)
+), pc AS (
+  SELECT b1.it AS a, b2.it AS bb, COUNT(*) AS n_ab
+  FROM pb b1 JOIN pb b2 ON b1.bk = b2.bk AND b1.it < b2.it
+  GROUP BY 1, 2
+), fp AS (
+  SELECT a, bb, n_ab FROM pc, nb WHERE n_ab * 500 >= 11 * n_b
+), dirs AS (
+  SELECT a, bb AS b, n_ab FROM fp
+  UNION ALL
+  SELECT bb, a, n_ab FROM fp
+)
+SELECT d.a AS antecedent, d.b AS consequent,
+       CAST(d.n_ab AS BIGINT) AS n_pair,
+       CAST(ia.n_i AS BIGINT) AS n_ante,
+       CAST(d.n_ab AS DOUBLE) / ia.n_i AS confidence,
+       CAST(d.n_ab * nb.n_b AS DOUBLE) / (ia.n_i * ib.n_i) AS lift
+FROM dirs d
+JOIN ic ia ON ia.it = d.a
+JOIN ic ib ON ib.it = d.b, nb
+"""

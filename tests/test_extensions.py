@@ -2594,3 +2594,46 @@ def test_burst_detect_viterbi_reference_and_smoothing(spark):
     # (cost 2) -> zero burst gaps; the solid run IS a burst
     assert got[1][1] == 0 and got[1][2] == 1
     assert got[2][1] == 6 and got[2][2] == 2
+
+
+def test_association_rules_reference_and_prune(spark):
+    """Apriori on a designed basket set vs hand math: the planted
+    {x,y} co-purchase reaches support with confidence(x→y) and lift
+    computed exactly; a rare item is PRUNED before pair generation
+    (its pair with x never surfaces even though x is frequent); both
+    directed rules appear for every surviving pair."""
+    from flink_essentials_spark.functions.analytics import association_rules
+
+    rows = []
+    # 10 baskets: x,y together in 6; x alone in 2; y alone in 1;
+    # rare item r once (with x) — below 20% support, pruned
+    bid = 0
+    for _ in range(6):
+        rows += [(bid, "x"), (bid, "y")]; bid += 1
+    for _ in range(2):
+        rows += [(bid, "x")]; bid += 1
+    rows += [(bid, "y")]; bid += 1
+    rows += [(bid, "x"), (bid, "r")]; bid += 1
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "bk", "it", min_support=0.2).collect()
+    }
+    assert set(got) == {("x", "y"), ("y", "x")}
+    # n(x)=9, n(y)=7, n(x,y)=6, N=10
+    xy = got[("x", "y")]
+    assert (xy["n_pair"], xy["n_ante"]) == (6, 9)
+    assert xy["confidence"] == 6 / 9
+    assert xy["lift"] == (6 * 10) / (9 * 7)
+    yx = got[("y", "x")]
+    assert (yx["n_pair"], yx["n_ante"]) == (6, 7)
+    assert yx["confidence"] == 6 / 7
+    assert yx["lift"] == xy["lift"]
+    # min_confidence filter keeps only the strong direction
+    conf = {
+        (r["antecedent"], r["consequent"])
+        for r in association_rules(
+            df, "bk", "it", min_support=0.2, min_confidence=0.8
+        ).collect()
+    }
+    assert conf == {("y", "x")}

@@ -257,6 +257,9 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # two one-row u-probability broadcasts (exact integer ratios);
         # the candidate pairs themselves come from a blocked EQUI-join
         "record_linkage": {"BroadcastNestedLoopJoin"},
+        # one-row basket-count broadcasts for the relative-support
+        # thresholds; items/pairs join via broadcast EQUI/semi-joins
+        "association_rules": {"BroadcastNestedLoopJoin"},
     }
     offenders = {}
     for name in ALL_QUERIES:
