@@ -117,11 +117,23 @@ def association_rules(
 
     fr = Fraction(str(min_support))
     num, den = fr.numerator, fr.denominator
-    b = baskets.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-    ).distinct()
+    # the distinct basket table feeds FIVE consumers (N, item counts,
+    # the prune, pair generation) and Catalyst does not share
+    # uncached subtrees — materialize it once (the pagerank/LPA
+    # localCheckpoint discipline; at cluster scale use a reliable
+    # checkpoint dir). item_counts is vocabulary-sized and reused
+    # three times, so it gets the same treatment.
+    b = (
+        baskets.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     n_baskets = b.agg(F.countDistinct("bk").alias("n_b"))
-    item_counts = b.groupBy("it").agg(F.count(F.lit(1)).alias("n_i"))
+    item_counts = (
+        b.groupBy("it").agg(F.count(F.lit(1)).alias("n_i")).localCheckpoint()
+    )
     frequent = (
         item_counts.crossJoin(F.broadcast(n_baskets))
         .filter(F.col("n_i") * den >= num * F.col("n_b"))
