@@ -1412,6 +1412,9 @@ _REGISTRY: list[Query] = [
     # r8-continuation: Apriori association rules (Agrawal 1994) —
     # relative support as an exact rational, scan-stage combinations
     Query("association_rules", llmdata.q_association_rules, llmdata.Q_ASSOCIATION_RULES_SQL),
+    # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
+    # two fold oracles composed as subqueries
+    Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),
     # demoted r8g (head slots went to unigram_segments /
     # textrank_keywords / ewma_anomaly) — all still oracle-checked here
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),

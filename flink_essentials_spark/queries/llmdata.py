@@ -6554,3 +6554,41 @@ FROM dirs d
 JOIN ic ia ON ia.it = d.a
 JOIN ic ib ON ib.it = d.b, nb
 """
+
+
+def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer economics head-to-head: greedy WordPiece vs the
+    unigram-LM Viterbi optimum over the SAME corpus vocabulary, per
+    distinct word — piece counts side by side and the pieces the
+    global optimum saves (always >= 0 under equal costs is NOT
+    guaranteed — the DP optimizes surprisal cost, not count — which
+    is exactly why the comparison is worth materializing). Oracle
+    composes the two existing fold oracles as subqueries."""
+    from flink_essentials_spark.functions.text import (
+        unigram_segment_words,
+        wordpiece_encode_words,
+    )
+
+    t = load_tables(spark, sf_dir)
+    wp = wordpiece_encode_words(t["documents"], min_freq=1000).select(
+        "word", "n", F.col("n_pieces").alias("greedy_pieces")
+    )
+    us = unigram_segment_words(t["documents"], min_freq=1000).select(
+        "word", F.col("n_pieces").alias("viterbi_pieces")
+    )
+    return wp.join(us, "word").select(
+        "word",
+        "n",
+        "greedy_pieces",
+        "viterbi_pieces",
+        (F.col("greedy_pieces") - F.col("viterbi_pieces")).alias("saved"),
+    )
+
+
+Q_TOKENIZER_COMPARE_SQL = f"""
+SELECT w.word, w.n, w.n_pieces AS greedy_pieces,
+       u.n_pieces AS viterbi_pieces,
+       w.n_pieces - u.n_pieces AS saved
+FROM ({Q_WORDPIECE_SQL.strip()}) w
+JOIN ({Q_UNIGRAM_SQL.strip()}) u USING (word)
+"""

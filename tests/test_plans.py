@@ -260,6 +260,9 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # one-row basket-count broadcasts for the relative-support
         # thresholds; items/pairs join via broadcast EQUI/semi-joins
         "association_rules": {"BroadcastNestedLoopJoin"},
+        # composes wordpiece_encode + unigram_segments, inheriting
+        # both one-row vocabulary broadcasts; the compare is equi-join
+        "tokenizer_compare": {"BroadcastNestedLoopJoin"},
     }
     offenders = {}
     for name in ALL_QUERIES:
