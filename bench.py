@@ -155,6 +155,8 @@ HEADLINE = [
     "random_projection",
     "pareto_suppliers",
     "record_linkage",
+    "burst_detection",
+    "association_rules",
 ]
 
 
