@@ -552,3 +552,14 @@ def test_aqe_skew_join_splits_hot_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ewma_single_keyed_exchange(spark):
+    """ewma_anomaly's contract: the lag terms AND the per-key moments
+    ride ONE hashpartitioning exchange on user_id — no join, no second
+    scan, no extra shuffle (the claim in functions/timeseries.py)."""
+    plan = plan_of(spark, "ewma_anomaly")
+    tree = plan.split("\n(1)")[0]
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
