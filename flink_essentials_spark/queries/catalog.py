@@ -1415,6 +1415,9 @@ _REGISTRY: list[Query] = [
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),
+    # r8-continuation: l-diversity audit (Machanavajjhala 2007) —
+    # completes the privacy trio (k-anonymity + DP release + this)
+    Query("l_diversity", llmdata.q_l_diversity, llmdata.Q_L_DIVERSITY_SQL),
     # demoted r8g (head slots went to unigram_segments /
     # textrank_keywords / ewma_anomaly) — all still oracle-checked here
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),

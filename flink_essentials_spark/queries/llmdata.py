@@ -6592,3 +6592,55 @@ SELECT w.word, w.n, w.n_pieces AS greedy_pieces,
 FROM ({Q_WORDPIECE_SQL.strip()}) w
 JOIN ({Q_UNIGRAM_SQL.strip()}) u USING (word)
 """
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, "l-Diversity:
+    Privacy Beyond k-Anonymity") — the k_anonymity sibling that
+    catches the attack k-anonymity misses: a group can contain k
+    distinct USERS yet a single SENSITIVE value (here event_type), so
+    membership alone discloses it. Same quasi-identifier grouping
+    discipline (value band x day, exact integer floor-division both
+    engines); per group the distinct-sensitive-value count, the
+    count of its most common sensitive value (the entropy/recursive
+    variants build on exactly these two integers), and the
+    below-l flag at l=3. The dominant count comes from a keyed
+    two-level aggregate — no window over data, no collect."""
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.floor(cents("value") / F.lit(10000)).cast("long").alias("value_band"),
+        F.floor(F.unix_millis("ts") / F.lit(86400000)).alias("day"),
+        "event_type",
+    )
+    per_value = ev.groupBy("value_band", "day", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_value.groupBy("value_band", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sensitive"),
+            F.max("n").alias("dominant_n"),
+            F.sum("n").alias("n_rows"),
+        )
+        .withColumn("below_l", F.col("n_sensitive") < 3)
+    )
+
+
+Q_L_DIVERSITY_SQL = """
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) // 10000 AS value_band,
+         epoch_ms(ts) // 86400000 AS day,
+         event_type
+  FROM events
+), pv AS (
+  SELECT value_band, day, event_type, COUNT(*) AS n
+  FROM ev GROUP BY 1, 2, 3
+)
+SELECT value_band, day,
+       CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+       CAST(MAX(n) AS BIGINT) AS dominant_n,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       COUNT(*) < 3 AS below_l
+FROM pv GROUP BY 1, 2
+"""
