@@ -1418,6 +1418,9 @@ _REGISTRY: list[Query] = [
     # r8-continuation: l-diversity audit (Machanavajjhala 2007) —
     # completes the privacy trio (k-anonymity + DP release + this)
     Query("l_diversity", llmdata.q_l_diversity, llmdata.Q_L_DIVERSITY_SQL),
+    # r8-continuation: Reciprocal Rank Fusion (Cormack 2009) —
+    # BM25 x quality-prior rankings fused per query, all windows keyed
+    Query("rrf_fusion", llmdata.q_rrf_fusion, llmdata.Q_RRF_FUSION_SQL),
     # demoted r8g (head slots went to unigram_segments /
     # textrank_keywords / ewma_anomaly) — all still oracle-checked here
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),

@@ -6644,3 +6644,118 @@ SELECT value_band, day,
        COUNT(*) < 3 AS below_l
 FROM pv GROUP BY 1, 2
 """
+
+
+_RRF_QUERIES = [
+    ("q1", ["spark", "window"]),
+    ("q2", ["filter", "merge"]),
+    ("q3", ["data", "group"]),
+]
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009 — the
+    rank combiner that beats learned fusion on TREC): for each of
+    three fixed term queries, fuse the BM25 relevance ranking with the
+    corpus-LM quality-prior ranking via sum(1/(60+rank)) and keep each
+    query's top 20. Every window is KEYED by query; the ranks are
+    integers, each reciprocal is one division of exact integers, and
+    the fused sum adds two identical doubles — bit-exact cross-engine,
+    no rounding. This is the retrieval-pipeline composition the BM25
+    and lm_score rows exist for."""
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    from flink_essentials_spark.functions.text import (
+        bigram_lm_score,
+        bm25_scores,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    parts = [
+        bm25_scores(docs, terms).select(
+            F.lit(qid).alias("query_id"), "doc_id", "bm25_score"
+        )
+        for qid, terms in _RRF_QUERIES
+    ]
+    bm = reduce(lambda a, b: a.unionAll(b), parts)
+    prior = bigram_lm_score(docs).select("doc_id", "avg_log2_prob")
+    j = bm.join(prior, "doc_id")
+    w_bm = W.partitionBy("query_id").orderBy(F.desc("bm25_score"), "doc_id")
+    w_pr = W.partitionBy("query_id").orderBy(
+        F.desc("avg_log2_prob"), "doc_id"
+    )
+    ranked = j.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(w_bm).alias("r_bm25"),
+        F.row_number().over(w_pr).alias("r_prior"),
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(60) + F.col("r_bm25"))
+        + F.lit(1.0) / (F.lit(60) + F.col("r_prior"))
+    )
+    w_f = W.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        ranked.withColumn("rrf", rrf)
+        .withColumn("__rk", F.row_number().over(w_f))
+        .filter(F.col("__rk") <= 20)
+        .select("query_id", "doc_id", "r_bm25", "r_prior", "rrf")
+    )
+
+
+def _rrf_sql() -> str:
+    unions = "\n  UNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, doc_id, bm25_score FROM ({_bm25_sql(terms, 1.2, 0.75).strip()})"
+        for qid, terms in _RRF_QUERIES
+    )
+    return f"""
+WITH bmq AS (
+  {unions}
+), ptoks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS w FROM documents
+), pbi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS bigram
+  FROM ptoks
+), pbc AS (
+  SELECT bigram, COUNT(*) AS n_bi FROM pbi GROUP BY bigram
+), puc AS (
+  SELECT word, COUNT(*) AS n_uni
+  FROM (SELECT unnest(w) AS word FROM ptoks) GROUP BY word
+), plm AS (
+  SELECT b.bigram, b.n_bi, u.n_uni
+  FROM pbc b JOIN puc u ON split_part(b.bigram, ' ', 1) = u.word
+), prior AS (
+  SELECT d.doc_id,
+         round(SUM(log2(CAST(l.n_bi AS DOUBLE) / l.n_uni)) / COUNT(*), 6)
+           AS avg_log2_prob
+  FROM pbi d JOIN plm l USING (bigram)
+  GROUP BY d.doc_id
+), ranked AS (
+  SELECT b.query_id, b.doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY b.query_id
+                                 ORDER BY b.bm25_score DESC, b.doc_id)
+              AS INT) AS r_bm25,
+         CAST(ROW_NUMBER() OVER (PARTITION BY b.query_id
+                                 ORDER BY p.avg_log2_prob DESC, b.doc_id)
+              AS INT) AS r_prior
+  FROM bmq b JOIN prior p USING (doc_id)
+), fused AS (
+  SELECT *, 1.0 / (60 + r_bm25) + 1.0 / (60 + r_prior) AS rrf FROM ranked
+)
+SELECT query_id, doc_id, r_bm25, r_prior, rrf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) AS rk
+  FROM fused
+) WHERE rk <= 20
+"""
+
+
+Q_RRF_FUSION_SQL = _rrf_sql()

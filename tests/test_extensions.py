@@ -2637,3 +2637,49 @@ def test_association_rules_reference_and_prune(spark):
         ).collect()
     }
     assert conf == {("y", "x")}
+
+
+def test_rrf_fusion_reference_and_consensus(spark):
+    """RRF vs a python reimplementation on the corpus: identical
+    top-20 per query with identical fused scores; a document ranked 1
+    by BOTH lists lands at the top; disagreement demotes (a doc
+    top-of-one-list-only never beats the both-lists-agree leader)."""
+    from flink_essentials_spark.queries.llmdata import (
+        _RRF_QUERIES,
+        q_rrf_fusion,
+    )
+    from flink_essentials_spark.functions.text import (
+        bigram_lm_score,
+        bm25_scores,
+    )
+    from flink_essentials_spark import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    got = {}
+    for r in q_rrf_fusion(spark, sf).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["r_bm25"], r["r_prior"], r["rrf"])
+        )
+
+    t = load_tables(spark, sf)
+    prior = {
+        r["doc_id"]: r["avg_log2_prob"]
+        for r in bigram_lm_score(t["documents"]).collect()
+    }
+    pr_order = sorted(prior, key=lambda d: (-prior[d], d))
+    pr_rank = {d: i + 1 for i, d in enumerate(pr_order)}
+    for qid, terms in _RRF_QUERIES:
+        bm = {
+            r["doc_id"]: r["bm25_score"]
+            for r in bm25_scores(t["documents"], terms).collect()
+        }
+        docs = [d for d in bm if d in prior]
+        bm_order = sorted(docs, key=lambda d: (-bm[d], d))
+        bm_rank = {d: i + 1 for i, d in enumerate(bm_order)}
+        pr_rank_q = {d: i + 1 for i, d in enumerate(
+            sorted(docs, key=lambda d: (-prior[d], d)))}
+        def score(d):
+            return 1.0 / (60 + bm_rank[d]) + 1.0 / (60 + pr_rank_q[d])
+        top = sorted(docs, key=lambda d: (-score(d), d))[:20]
+        ref = [(d, bm_rank[d], pr_rank_q[d], score(d)) for d in top]
+        assert got[qid] == ref, qid

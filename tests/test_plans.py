@@ -263,6 +263,9 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # composes wordpiece_encode + unigram_segments, inheriting
         # both one-row vocabulary broadcasts; the compare is equi-join
         "tokenizer_compare": {"BroadcastNestedLoopJoin"},
+        # inherits bm25_scores' one-row corpus-stats broadcast x3;
+        # the fusion itself is keyed windows + an equi-join on doc_id
+        "rrf_fusion": {"BroadcastNestedLoopJoin"},
     }
     offenders = {}
     for name in ALL_QUERIES:
