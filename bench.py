@@ -165,6 +165,31 @@ def sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _parse_only(argv: list[str]) -> list[str]:
+    """`--only a,b` / `--only=a,b` (repeatable) — bench just that subset
+    under the SAME warm-up + timing + output contract. Purpose (r8
+    verdict #3): adjudicating one steal-phantom row took two full
+    10-minute re-runs; an isolate mode makes it a ~30-second check for
+    driver, judge and builder alike. Accepts any registry query name,
+    not only HEADLINE rows."""
+    names: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--only" and i + 1 < len(argv):
+            names.extend(x for x in argv[i + 1].split(",") if x)
+            i += 2
+        elif a.startswith("--only="):
+            names.extend(x for x in a.split("=", 1)[1].split(",") if x)
+            i += 1
+        else:
+            sys.exit(f"usage: bench.py [--only name1,name2]  (got {a!r})")
+    unknown = [n for n in names if n not in ALL_QUERIES]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+    return names
+
+
 def _steal_ticks() -> int:
     """Cumulative host-CPU-steal ticks (field 8 of /proc/stat cpu) —
     recorded in the bench JSON so a noisy number carries its own
@@ -179,6 +204,8 @@ def _steal_ticks() -> int:
 
 
 def main() -> None:
+    only = _parse_only(sys.argv[1:])
+    bench_list = only if only else HEADLINE
     spark = get_spark("bench")
     steal0 = _steal_ticks()
     # warm the JVM once so timings measure queries, not first-use costs:
@@ -241,7 +268,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     query_steal: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in bench_list:
         q = ALL_QUERIES[name]
         runs: list[float] = []
         q_steal0 = _steal_ticks()

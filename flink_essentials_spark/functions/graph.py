@@ -18,6 +18,13 @@ union-find reference):
   set itself is rewritten toward a star per component, converging in
   O(log n) rounds regardless of diameter — the choice for adversarial
   long-chain graphs at scale (measured on a 30-path: 5 rounds vs 30).
+- ``hybrid`` — one distributed min-neighbor contraction pass (rep =
+  min(self, neighbors); edges rewritten between reps) then a bounded
+  single-task union-find on the contracted graph, falling back to
+  two-phase when the contraction leaves more than ``uf_bound`` edges.
+  The choice for LOCALLY-DENSE graphs (DBSCAN core eps-graphs), where
+  near-clique neighborhoods collapse to ~1 node each and the full edge
+  set is touched exactly once.
 - ``auto`` (default) — propagation for up to ``switch_after`` rounds;
   if unconverged, CONTRACT the graph by current labels (quotient on
   the partial clustering) and finish with two-phase on the contracted
@@ -67,11 +74,16 @@ def connected_components(
     diameter — opt-in when the caller KNOWS the graph is shallow.
     ``algorithm="two-phase"``: alternating large-star/small-star
     (Kiveris et al., SoCC 2014), O(log n) rounds on any graph shape.
+    ``algorithm="hybrid"``: one min-neighbor contraction pass + bounded
+    single-task union-find finisher (two-phase fallback) — opt-in for
+    locally-dense graphs like DBSCAN core eps-graphs.
     All verified against a union-find reference; ``stats["rounds"]``
     reports the rounds a call took (``stats["switched"]`` marks an
     auto-escalation)."""
     if algorithm == "two-phase":
         return _cc_two_phase(edges, src, dst, max_iter, stats)
+    if algorithm == "hybrid":
+        return _cc_hybrid(edges, src, dst, max_iter, stats)
     if algorithm == "auto":
         prop_budget = switch_after
     elif algorithm == "propagation":
@@ -149,6 +161,109 @@ def connected_components(
         stats["switched"] = True
     return labels.join(qcc, "label", "left").select(
         "node", F.coalesce(F.col("qcid"), F.col("label")).alias("cluster_id")
+    )
+
+
+def _cc_hybrid(edges, src, dst, max_iter, stats, uf_bound: int = 4_000_000):
+    """Contract-then-finish components for LOCALLY-DENSE graphs (the
+    DBSCAN core-core eps-graph: every dense neighborhood is near-clique,
+    so edge count is quadratic in local density while the number of
+    distinct neighborhoods is tiny).
+
+    One distributed min-neighbor contraction pass — every node maps to
+    min(self, neighbors), edges are rewritten between representatives —
+    collapses each near-clique to ~1 node (measured on the sf0.1 DBSCAN
+    graph: 250,448 edges -> 628). The contracted graph is then counted
+    (~0.2 s on a checkpointed frame) and finished either by a
+    single-task union-find (when it fits ``uf_bound`` edges — the
+    bounded-small-side pattern also used for codebook training) or by
+    :func:`_cc_two_phase` (O(log n) rounds) when it does not. The
+    iterative finisher therefore runs on blob-representatives, never on
+    raw edges — at 100 TB the contraction is the only pass that touches
+    the full edge set, and it is a single join+groupBy.
+
+    Not the default: on already-shallow SPARSE graphs (LSH near-dup
+    pairs) the contraction pass costs as much as a propagation round
+    and wins nothing; ``auto`` remains the general choice."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # rep(node) = min(self, neighbors): the component-min node is a
+    # fixpoint (rep(g) = g), so min-of-reps per component = min node id
+    # and the finisher's min-root contract composes exactly.
+    m = (
+        e.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("rep"))
+        .localCheckpoint()
+    )
+    re_ = (
+        e.join(m.select(F.col("a").alias("a0"), F.col("rep").alias("ra")),
+               F.col("a") == F.col("a0"))
+        .join(m.select(F.col("a").alias("b0"), F.col("rep").alias("rb")),
+              F.col("b") == F.col("b0"))
+        .filter(F.col("ra") != F.col("rb"))
+        .select(
+            F.least("ra", "rb").alias("a"), F.greatest("ra", "rb").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = re_.count()
+    if stats is not None:
+        stats["contracted_edges"] = n_edges
+    if n_edges > uf_bound:
+        if stats is not None:
+            stats["hybrid"] = "two-phase"
+        roots = _cc_two_phase(re_, "a", "b", max_iter, stats).select(
+            F.col("node").alias("rep"), F.col("cluster_id").alias("root")
+        )
+    else:
+        if stats is not None:
+            stats["hybrid"] = "union-find"
+            stats["rounds"] = 1
+        node_t = e.schema["a"].dataType
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [T.StructField("rep", node_t), T.StructField("root", node_t)]
+        )
+
+        def _uf(batches):
+            import pandas as pd
+
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            parts = [p for p in batches]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            for u, v in zip(pdf["a"], pdf["b"]):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+            nodes = sorted(set(pdf["a"]).union(pdf["b"]))
+            yield pd.DataFrame(
+                {"rep": nodes, "root": [find(x) for x in nodes]}
+            )
+
+        roots = re_.repartition(1).mapInPandas(_uf, out_schema)
+    # blobs fully collapsed by contraction have no representative edge
+    # and resolve through the coalesce (their rep IS the component min)
+    return m.join(roots, "rep", "left").select(
+        F.col("a").alias("node"),
+        F.coalesce(F.col("root"), F.col("rep")).alias("cluster_id"),
     )
 
 
@@ -456,7 +571,7 @@ def dbscan_2d(
         F.col(id_col).alias("pid"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
-    )
+    ).localCheckpoint()  # read 3x (probe, build, pts); cut the re-scan
     e = F.lit(int(eps))
     probe = f.select(
         "pid",
@@ -493,6 +608,10 @@ def dbscan_2d(
         probe.join(build, "cell")
         .filter((F.col("pid") != F.col("qid")) & (d2 <= F.lit(int(eps * eps))))
         .select("pid", "qid")
+        # the eps-graph feeds deg, core_edges AND border: without a cut
+        # the 3x3-cell self-join would replan/re-run 3-4x (the
+        # association_rules 17->9-exchange lesson, analytics.py)
+        .localCheckpoint()
     )
     deg = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("deg"))
     pts = f.join(deg, "pid", "left").select(
@@ -504,7 +623,14 @@ def dbscan_2d(
         pairs.join(cores, pairs["pid"] == cores["cid"]).drop("cid")
         .join(cores, pairs["qid"] == cores["cid"]).drop("cid")
     )
-    comp = connected_components(core_edges, "pid", "qid").select(
+    # the core-core eps-graph is locally dense (near-cliques inside each
+    # dense region): hybrid contracts it to blob-representatives in one
+    # pass before any iteration (r9 measurement at sf0.1: auto = 6
+    # rounds / 5.8 s on 250k edges; hybrid = contraction to 628 edges +
+    # single-task union-find, ~2 s)
+    comp = connected_components(
+        core_edges, "pid", "qid", algorithm="hybrid"
+    ).select(
         F.col("node").alias("pid"), F.col("cluster_id").alias("core_cluster")
     )
     # isolated cores (no core neighbor) form singleton clusters

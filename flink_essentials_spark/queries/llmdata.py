@@ -5013,9 +5013,14 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("b"),
     )
-    sk = approx.kmv_sketch(bi, "source", "b", k=128)
+    # ONE ranked hash table serves both passes: the bottom-128 sketch is
+    # a filter of the k=2^40 (untrimmed) ranking, and pair_estimates
+    # reads its sketch 3x (groups/ra/rb) — without the checkpoint the
+    # tokenize+distinct+window pipeline replanned 6x (r9: 42 exchanges
+    # in the tail plan, cut to single-digit)
+    full = approx.kmv_sketch(bi, "source", "b", k=1 << 40).localCheckpoint()
+    sk = full.filter(F.col("rk") <= 128)
     est = approx.kmv_pair_estimates(sk.select("g", "h"), k=128)
-    full = approx.kmv_sketch(bi, "source", "b", k=1 << 40)
     exact = approx.kmv_pair_estimates(full.select("g", "h"), k=1 << 40).select(
         "ga",
         "gb",

@@ -32,7 +32,7 @@ def _union_find_reference(edges):
 def _run(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     expected = _union_find_reference(edges)
-    for algo in ("propagation", "two-phase", "auto"):
+    for algo in ("propagation", "two-phase", "auto", "hybrid"):
         got = {
             r["node"]: r["cluster_id"]
             for r in connected_components(df, algorithm=algo).collect()
@@ -114,6 +114,25 @@ def test_auto_escalates_on_deep_graph_and_stays_put_on_shallow(spark):
     }
     assert got2 == _union_find_reference(shallow)
     assert s2["switched"] is False
+
+
+def test_hybrid_two_phase_fallback_matches(spark):
+    """hybrid with a tiny uf_bound must route through the two-phase
+    finisher (contracted chain still exceeds the bound) and match the
+    union-find reference — the 100 TB fallback path, exercised."""
+    from flink_essentials_spark.functions.graph import _cc_hybrid
+
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    s = {}
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in _cc_hybrid(df, "src", "dst", 50, s, uf_bound=2).collect()
+    }
+    assert got == _union_find_reference(chain)
+    assert s["hybrid"] == "two-phase"
+    # contraction halves the chain before the finisher sees it
+    assert s["contracted_edges"] < 30
 
 
 def test_triangle_count_known_graphs(spark):

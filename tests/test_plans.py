@@ -557,6 +557,31 @@ def test_aqe_skew_join_splits_hot_partitions(spark):
                 spark.conf.set(k, v)
 
 
+def test_heavy_row_exchange_budgets(spark):
+    """Pinned exchange/join budgets for the most expensive bench rows
+    (r8 verdict #5): silent plan fat on a 2-3 s row hides behind bench
+    noise, but an exchange-count regression is deterministic at
+    explain time. Budgets are the r9 measured tail-plan counts (the
+    iterative/checkpointed prefixes execute eagerly and do not appear
+    in the final plan — their round counts are pinned by their own
+    tests). A failure here means a reuse lost its checkpoint or a
+    broadcast fell back to shuffle."""
+    budgets = {
+        # (max_exchanges, max_joins)
+        "dbscan_users": (16, 10),
+        "kmv_set_ops": (20, 9),  # 42 before the r9 ranked-table reuse
+        "dsir_weights": (15, 2),
+        "lpa_communities": (9, 3),
+        "kneser_ney_lm": (17, 4),
+    }
+    for name, (max_x, max_j) in budgets.items():
+        plan = plan_of(spark, name)
+        tree = plan.split("\n(1)")[0]
+        assert tree.count("Exchange") <= max_x, (
+            name, tree.count("Exchange"), max_x)
+        assert tree.count("Join") <= max_j, (name, tree.count("Join"), max_j)
+
+
 def test_ewma_single_keyed_exchange(spark):
     """ewma_anomaly's contract: the lag terms AND the per-key moments
     ride ONE hashpartitioning exchange on user_id — no join, no second
