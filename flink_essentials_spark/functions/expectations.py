@@ -75,9 +75,27 @@ def corpus_checksum(
     (each term mod 2³², so 2^31 rows fit int64) that catches the
     duplicate-pair case XOR alone cancels. One aggregation pass, no
     shuffle beyond the groupBy.
+
+    Row encoding: each column is length-prefixed (``len:value``) and
+    NULL is tagged ``N`` — so ('a', NULL) vs (NULL, 'a'), NULL vs
+    empty string, and values containing any would-be separator byte
+    all encode distinctly (a plain concat_ws SKIPS nulls and a fixed
+    separator shifts boundaries — both would break the iff claim).
+    Every piece starts with a digit or ``N``, so the concatenation
+    parses unambiguously.
     """
-    row_repr = F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in content_cols]
+    row_repr = F.concat(
+        *[
+            F.coalesce(
+                F.concat(
+                    F.length(F.col(c).cast("string")).cast("string"),
+                    F.lit(":"),
+                    F.col(c).cast("string"),
+                ),
+                F.lit("N"),
+            )
+            for c in content_cols
+        ]
     )
     h = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("long")
     # bit_xor has no Column-API aggregate helper — SQL expr over the

@@ -507,12 +507,14 @@ def label_propagation(
     pagerank lesson); the label lineage is used once per round, so a
     fixed iteration count keeps the plan finite without eager cuts.
 
-    The argmax is ``max(struct(ws, -label))`` rather than a
+    The argmax is ``min(struct(-ws, label))`` rather than a
     row_number window: the second groupBy lands on the key the first
     one already partitioned (no new exchange) and skips the window
     SORT entirely — measured 2.4 s vs 4.6 s warm for 3 rounds on the
-    sf0.1 trade graph (1.17 M edges). Exact integers throughout, so
-    the struct comparison is the identical total order.
+    sf0.1 trade graph (1.17 M edges). Exact integer WEIGHTS keep the
+    struct comparison a total order, and only the weight sum is
+    negated — node ids / labels may be any orderable type (strings
+    included, e.g. word graphs).
     """
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
     e = edges.select(
@@ -528,11 +530,14 @@ def label_propagation(
             .agg(F.sum("w").alias("ws"))
             .groupBy("node")
             .agg(
-                F.max(
-                    F.struct(F.col("ws"), (-F.col("label")).alias("nl"))
+                # min over (-ws, label): max weight sum, ties -> MIN
+                # label. The negation rides on ws (always numeric), so
+                # string labels order correctly too (r8 advice).
+                F.min(
+                    F.struct((-F.col("ws")).alias("nws"), F.col("label"))
                 ).alias("m")
             )
-            .select("node", (-F.col("m.nl")).alias("label"))
+            .select("node", F.col("m.label").alias("label"))
         )
     return labels
 

@@ -1272,7 +1272,12 @@ Q_CORPUS_CHECKSUM_SQL = """
 WITH h AS (
   SELECT source,
          ('0x' || substring(
-            md5(CAST(doc_id AS VARCHAR) || chr(31) || text), 1, 15)
+            md5(
+              coalesce(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+                       || ':' || CAST(doc_id AS VARCHAR), 'N')
+              || coalesce(CAST(length(text) AS VARCHAR)
+                       || ':' || text, 'N')
+            ), 1, 15)
          )::BIGINT AS hv
   FROM documents
 )
@@ -5209,7 +5214,12 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl = F.floor((F.size(w) + 5) / 6).cast("int")
     d = F.col("doc_id")
     lines = F.transform(
-        F.sequence(F.lit(0), nl - 1),
+        # guard nl=0: F.sequence(0, -1) generates the DESCENDING [0,-1]
+        # (the documented gotcha) — two garbage lines where the oracle's
+        # range(0,0) is empty
+        F.when(nl >= 1, F.sequence(F.lit(0), nl - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
         lambda i: F.concat(
             F.when((i == 0) & (d % 13 == 0), "javascript ").otherwise(""),
             F.array_join(F.slice(w, i * 6 + 1, 6), " "),
@@ -5650,7 +5660,7 @@ SELECT user_id, ts_ms, event_id, value_c,
 FROM e
 WHERE den > 0
   AND abs(value_c - CAST(num AS DOUBLE) / den)
-      > {threshold!r} * sqrt(CAST(n * ss - sm * sm AS DOUBLE)) / n
+      > {threshold!r} * (sqrt(CAST(n * ss - sm * sm AS DOUBLE)) / n)
 """
 
 

@@ -2070,6 +2070,25 @@ def test_label_propagation_splits_weak_bridge(spark):
     assert len(set(cc.values())) == 1
 
 
+def test_label_propagation_string_node_ids(spark):
+    """The argmax negates only the (numeric) weight sum, so STRING node
+    ids — word graphs, the textrank reuse — must work and tie-break to
+    the lexicographically minimum label (r8 advice: the old
+    max(struct(ws, -label)) form failed at analysis time here)."""
+    from flink_essentials_spark.functions.graph import label_propagation
+
+    und = [("ant", "bee"), ("bee", "cat"), ("ant", "cat"), ("cat", "dog")]
+    edges = und + [(v, u) for u, v in und]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    # the triangle converges to its min label "ant"
+    assert got["ant"] == "ant" and got["bee"] == "ant" and got["cat"] == "ant"
+    assert set(got) == {"ant", "bee", "cat", "dog"}
+
+
 def test_wordpiece_encode_reference_and_roundtrip(spark):
     """WordPiece greedy longest-match vs a python reimplementation of
     the same vocab derivation + encode on a designed corpus: pieces
