@@ -955,7 +955,13 @@ _REGISTRY: list[Query] = [
     # streaming_session_windows local-gate/bench row on the same
     # assignment semantics). Slot goes to sole_supplier_returns — the
     # TPC-H Q21 exists/anti multi-correlation shape.
-    Query("sole_supplier_returns", relational.q_sole_supplier_returns, relational.Q_SOLE_SUPPLIER_RETURNS_SQL),
+    # ROTATION (r9): sole_supplier_returns demoted (relational family
+    # keeps four driver rows: pricing_summary / top_customers /
+    # order_priority / min_cost_supplier; the Q21 exists/anti shape
+    # stays locally oracle-checked) -> association_rules: Apriori
+    # (Agrawal & Srikant 1994) — broadcast frequent-item prune,
+    # relative support as an exact rational, checkpointed baskets.
+    Query("association_rules", llmdata.q_association_rules, llmdata.Q_ASSOCIATION_RULES_SQL),
     # ROTATION (r5b): global_count_windows demoted (W5 family keeps
     # the tail _all twin locally oracle-checked + the driver-green
     # count_trigger_fires on the same count-window machinery). Slot
@@ -978,8 +984,19 @@ _REGISTRY: list[Query] = [
     # privacy family's MECHANISM sibling to k_anonymity's audit.
     Query("dp_release", llmdata.q_dp_release, llmdata.Q_DP_RELEASE_SQL),
     Query("window_join", dataflow.q_window_join, dataflow.Q_WINDOW_JOIN_SQL),
-    Query("interval_join", dataflow.q_interval_join, dataflow.Q_INTERVAL_JOIN_SQL),
-    Query("connect_tagged", dataflow.q_connect_tagged, dataflow.Q_CONNECT_TAGGED_SQL),
+    # ROTATION (r9): interval_join demoted (temporal-join family keeps
+    # window_join + as_of_join + streaming_join_rollup driver rows;
+    # J3 incl/excl bounds stay locally green + pytest-pinned) ->
+    # burst_detection: Kleinberg 2002 two-state burst automaton —
+    # per-key integer Viterbi with switch-cost smoothing.
+    Query("burst_detection", llmdata.q_burst_detection, llmdata.Q_BURST_DETECTION_SQL),
+    # ROTATION (r9): connect_tagged demoted (J4's tagged CoProcess
+    # union is plan-trivial — union+tag — and stays pytest-pinned +
+    # locally green; multi-stream keeps window_join +
+    # streaming_join_rollup driver rows) -> kneser_ney_lm:
+    # interpolated Kneser-Ney bigram LM (1995), discount 3/4 as
+    # exact rationals, continuation prior.
+    Query("kneser_ney_lm", llmdata.q_kneser_ney_lm, llmdata.Q_KNESER_NEY_SQL),
     # --- keyed state analogs (§2.9)
     Query("map_state_counts", dataflow.q_map_state_counts, dataflow.Q_MAP_STATE_COUNTS_SQL),
     # ROTATION (r8): first_window_counts demoted (ST1/ST3 keyed-state
@@ -994,9 +1011,20 @@ _REGISTRY: list[Query] = [
     # stays locally oracle-checked twice: _fires and _after_fires).
     # Slot goes to link_rank — iterative graph analytics, a plan
     # family (loop + checkpointed edge reuse) the head never had.
-    Query("link_rank", llmdata.q_link_rank, llmdata.Q_LINK_RANK_SQL),
+    # ROTATION (r9): link_rank demoted (iterative-graph family keeps
+    # textrank_keywords' weighted PageRank driver-visible — same
+    # loop + checkpointed-edge plan family) -> dbscan_users: DBSCAN
+    # (Ester et al. 1996), cell-bucketed eps-graph + the r9 hybrid
+    # contract-then-finish components; completes the clustering
+    # matrix driver-side (k-means cells / density / connectivity).
+    Query("dbscan_users", llmdata.q_dbscan_users, llmdata.Q_DBSCAN_SQL),
     # --- in-engine top-k / pivot (EP3 upgrade)
-    Query("topk_per_group", dataflow.q_topk_per_group, dataflow.Q_TOPK_PER_GROUP_SQL),
+    # ROTATION (r9): topk_per_group demoted (the keyed window-rank
+    # machinery stays driver-visible inside rrf_fusion's per-query
+    # ranks, and top_customers keeps the global top-k) ->
+    # rrf_fusion: Reciprocal Rank Fusion (Cormack 2009), BM25 x
+    # quality-prior rankings fused per query, all windows keyed.
+    Query("rrf_fusion", llmdata.q_rrf_fusion, llmdata.Q_RRF_FUSION_SQL),
     # --- as-of join + quantiles (extension substrate)
     Query("as_of_join", dataflow.q_as_of_join, dataflow.Q_AS_OF_JOIN_SQL),
     # ROTATION (r6): json_props demoted per the r5 rotation notes
@@ -1026,7 +1054,13 @@ _REGISTRY: list[Query] = [
     # join coverage is abundant in the head; the stream-static
     # broadcast shape stays pytest-pinned). Demoted rows stay locally
     # oracle-checked every round.
-    Query("streaming_dedup", q_streaming_dedup, Q_STREAMING_DEDUP_SQL),
+    # ROTATION (r9): streaming_dedup demoted (incremental-dedup family
+    # keeps incremental_decontamination driver-green; the
+    # dropDuplicatesWithinWatermark path stays pytest-pinned + the
+    # tail watermark twin stays locally green) -> record_linkage:
+    # Fellegi-Sunter 1969 — blocked pairs scored by per-field
+    # agreement log-odds with data-estimated u-probabilities.
+    Query("record_linkage", llmdata.q_record_linkage, llmdata.Q_RECORD_LINKAGE_SQL),
     # ROTATION (r4b): streaming_interval_join demoted — it was the last
     # head row whose oracle DUPLICATES another head row (interval_join
     # checks the identical SQL; the stream-stream state-join path stays
@@ -1051,7 +1085,12 @@ _REGISTRY: list[Query] = [
     # pair) → sample_quantiles: the bottom-k hash-sample quantile
     # sketch — the mergeable unbounded-domain percentile member, whose
     # 256-row deterministic membership is itself under oracle.
-    Query("sample_quantiles", llmdata.q_sample_quantiles, llmdata.Q_SAMPLE_QUANTILES_SQL),
+    # ROTATION (r9): sample_quantiles demoted (sketch family keeps
+    # kmv_set_ops + bloom_prefilter driver rows; the bottom-k
+    # quantile member stays locally green) -> count_sketch:
+    # Charikar 2002 — the UNBIASED signed counter sketch beside
+    # Count-Min; depth-3 arithmetic median, signed error under oracle.
+    Query("count_sketch", llmdata.q_count_sketch, llmdata.Q_COUNT_SKETCH_SQL),
     # --- dedup (§2.11)
     # ROTATION (r8g): dedup_exact demoted (the md5-groupBy member is
     # the plan-trivial row of the head's DEEPEST family — dedup keeps
@@ -1094,8 +1133,18 @@ _REGISTRY: list[Query] = [
     # embedding_near_dups and ivfpq_refined's re-rank) → ivfpq_refined:
     # the production ANN configuration (ADC shortlist → exact re-rank,
     # Jégou §5.3), recall ≥ plain ADC pinned in tests.
-    Query("ivfpq_refined", llmdata.q_ivfpq_refined, llmdata.Q_IVFPQ_REFINED_SQL),
-    Query("embedding_near_dups", llmdata.q_embedding_near_dups, llmdata.Q_EMBEDDING_NEAR_DUPS_SQL),
+    # ROTATION (r9): ivfpq_refined demoted (ANN family keeps ivfpq_topk
+    # — the ADC path — driver-green; re-rank recall >= plain ADC
+    # stays pytest-pinned and the row locally green) ->
+    # random_projection: JL (Achlioptas 2003 +-1), md5-sign matrix
+    # in one broadcast row, bit-exact with zero rounding.
+    Query("random_projection", llmdata.q_random_projection, llmdata.Q_RANDOM_PROJECTION_SQL),
+    # ROTATION (r9): embedding_near_dups demoted (near-dup family keeps
+    # lsh_near_dups + semantic_dedup driver rows; exact-cosine pair
+    # arithmetic stays head-visible in semantic_dedup's within-cell
+    # step) -> pareto_suppliers: 2-D skyline (Borzsonyi 2001),
+    # banded two-phase dominance vs the NOT-EXISTS oracle.
+    Query("pareto_suppliers", llmdata.q_pareto_suppliers, llmdata.Q_PARETO_SQL),
     # --- text analysis (§2.11)
     # ROTATION (r8): bpe_token_stats demoted (the BPE family is now
     # covered DEEPER driver-side: bpe_trained_merges below + the
@@ -1103,7 +1152,12 @@ _REGISTRY: list[Query] = [
     # locally oracle-checked) → bpe_encoded_docs: trained merges
     # APPLIED to the vocabulary, per-doc token economics joined back —
     # train→encode under one unrolled-CTE oracle.
-    Query("bpe_encoded_docs", llmdata.q_bpe_encoded_docs, llmdata.Q_BPE_ENCODED_DOCS_SQL),
+    # ROTATION (r9): bpe_encoded_docs demoted (encoder economics stay
+    # driver-covered by unigram_segments + bpe_trained_merges; the
+    # train->encode composition stays locally green) -> l_diversity:
+    # Machanavajjhala 2007 — completes the privacy trio driver-side
+    # (k_anonymity + dp_release + this).
+    Query("l_diversity", llmdata.q_l_diversity, llmdata.Q_L_DIVERSITY_SQL),
     # ROTATION (r8f): quality_score demoted (the ad-hoc score; the
     # text-quality family keeps its strongest member driver-visible)
     # -> gopher_rules: the published Gopher A1 ruleset — every rule
@@ -1334,25 +1388,22 @@ _REGISTRY: list[Query] = [
     # first_window_counts / parts_rollup / similarity_topk /
     # bpe_token_stats / contamination (families stay covered — see the
     # in-place head notes).
-    # r9 PROMOTION CANDIDATES, in priority order (kmv_set_ops /
-    # unigram_segments / textrank_keywords / ewma_anomaly were promoted
-    # r8f/r8g): dbscan_users (completes the clustering matrix
-    # driver-side: k-means via semantic_dedup + density + CC),
-    # kneser_ney_lm (the smoothed LM member), count_sketch (the
-    # unbiased sketch member), random_projection (bit-exact JL),
-    # pareto_suppliers (the skyline plan shape), wordpiece_encode or
-    # lpa_communities, then the standing list: normalize_unicode
-    # (the only cross-ICU Python-stage oracle), cdc_state (lakehouse
-    # MERGE materialization family), snapshot_diff (data-diff audit),
-    # streaming_capped_sessions (python-stateful streaming under
-    # oracle), readability or hashed_features (featurization),
-    # windowed_quantiles (windowed-percentile member). Demotion
-    # candidates: rolling_user_counts vs map_state_counts overlap
-    # (both are keyed running counts), repetition_stats vs
-    # quality_score overlap, bpe_encoded_docs vs unigram_segments
-    # (two encoder rows over the same vocab family), time_rollup's
-    # ROLLUP shape vs type_day_cube's CUBE (tail), hilbert_keys vs
-    # zorder_keys if hilbert is promoted instead.
+    # r10 PROMOTION CANDIDATES (the r9 rotation promoted the ten named
+    # algorithms from the r8 verdict: association_rules, record_linkage,
+    # burst_detection, dbscan_users, kneser_ney_lm, count_sketch,
+    # random_projection, pareto_suppliers, rrf_fusion, l_diversity).
+    # Remaining driver-invisible candidates, in priority order:
+    # wordpiece_encode or lpa_communities (last r8 named algorithms),
+    # normalize_unicode (the only cross-ICU Python-stage oracle),
+    # cdc_state (lakehouse MERGE materialization), snapshot_diff
+    # (data-diff audit), streaming_capped_sessions (python-stateful
+    # streaming under oracle), readability or hashed_features
+    # (featurization), windowed_quantiles (windowed percentiles), plus
+    # any r9-new algorithms. Demotion candidates (genuine redundancy):
+    # map_state_counts vs the capped_sessions keyed-state coverage,
+    # time_rollup's ROLLUP vs type_day_cube's CUBE (tail), hilbert_keys
+    # vs zorder_keys if hilbert is promoted, psi_drift vs ewma_anomaly
+    # (two drift monitors), gopher_rules vs the local c4_filters.
     # demoted r8f (head slots went to gopher_rules / bm25_scores /
     # kmv_set_ops) — still oracle-checked here
     Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
@@ -1379,48 +1430,33 @@ _REGISTRY: list[Query] = [
     # (layout family stays driver-covered by zorder_keys)
     Query("hilbert_keys", llmdata.q_hilbert_keys, llmdata.Q_HILBERT_KEYS_SQL),
     # r8-continuation: label-propagation communities (Raghavan 2007)
-    # — synchronous + total tie order, exact-integer argmax (graph
-    # family stays driver-covered by link_rank + dedup_clusters)
+    # — synchronous + total tie order (graph family stays driver-
+    # covered by dbscan_users + textrank_keywords + dedup_clusters)
     Query("lpa_communities", llmdata.q_lpa_communities, llmdata.Q_LPA_SQL),
     # r8-continuation: WordPiece greedy longest-match encoding — the
     # BERT tokenizer member; dictionary-encoded, fold oracle
     # (tokenizer family driver rows: bpe_trained_merges,
-    # bpe_encoded_docs, unigram_segments)
+    # unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
-    # r8-continuation: DBSCAN density clustering (Ester et al. 1996)
-    # — cell-bucketed eps-graph, recursive-CTE component oracle
-    Query("dbscan_users", llmdata.q_dbscan_users, llmdata.Q_DBSCAN_SQL),
-    # r8-continuation: interpolated Kneser-Ney bigram LM (1995) —
-    # discount 3/4 as exact rationals, continuation prior
-    Query("kneser_ney_lm", llmdata.q_kneser_ney_lm, llmdata.Q_KNESER_NEY_SQL),
-    # r8-continuation: Count-Sketch (Charikar 2002) — the unbiased
-    # signed counter sketch; depth-3 arithmetic median
-    Query("count_sketch", llmdata.q_count_sketch, llmdata.Q_COUNT_SKETCH_SQL),
-    # r8-continuation: JL random projection (Achlioptas 2003 ±1) —
-    # order-pinned folds, exact dyadic scale, zero rounding
-    Query("random_projection", llmdata.q_random_projection, llmdata.Q_RANDOM_PROJECTION_SQL),
-    # r8-continuation: 2-D skyline / Pareto front (Börzsönyi 2001) —
-    # banded two-phase dominance, NOT-EXISTS oracle
-    Query("pareto_suppliers", llmdata.q_pareto_suppliers, llmdata.Q_PARETO_SQL),
-    # r8-continuation: Fellegi-Sunter probabilistic record linkage
-    # (1969) — data-estimated u as exact integer ratios, log-odds
-    # bands; the decision-theoretic layer over fuzzy_match's blocks
-    Query("record_linkage", llmdata.q_record_linkage, llmdata.Q_RECORD_LINKAGE_SQL),
-    # r8-continuation: Kleinberg two-state burst detection (2002) —
-    # per-key integer Viterbi fold, string-accumulator oracle
-    Query("burst_detection", llmdata.q_burst_detection, llmdata.Q_BURST_DETECTION_SQL),
-    # r8-continuation: Apriori association rules (Agrawal 1994) —
-    # relative support as an exact rational, scan-stage combinations
-    Query("association_rules", llmdata.q_association_rules, llmdata.Q_ASSOCIATION_RULES_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),
-    # r8-continuation: l-diversity audit (Machanavajjhala 2007) —
-    # completes the privacy trio (k-anonymity + DP release + this)
-    Query("l_diversity", llmdata.q_l_diversity, llmdata.Q_L_DIVERSITY_SQL),
-    # r8-continuation: Reciprocal Rank Fusion (Cormack 2009) —
-    # BM25 x quality-prior rankings fused per query, all windows keyed
-    Query("rrf_fusion", llmdata.q_rrf_fusion, llmdata.Q_RRF_FUSION_SQL),
+    # demoted r9 — head slots went to the ten named-algorithm
+    # promotions (association_rules, record_linkage, burst_detection,
+    # dbscan_users, kneser_ney_lm, count_sketch, random_projection,
+    # pareto_suppliers, rrf_fusion, l_diversity); every demoted
+    # family keeps >=1 driver row (see the per-slot r9 notes above)
+    # and all ten stay full-oracle here
+    Query("sole_supplier_returns", relational.q_sole_supplier_returns, relational.Q_SOLE_SUPPLIER_RETURNS_SQL),
+    Query("interval_join", dataflow.q_interval_join, dataflow.Q_INTERVAL_JOIN_SQL),
+    Query("connect_tagged", dataflow.q_connect_tagged, dataflow.Q_CONNECT_TAGGED_SQL),
+    Query("link_rank", llmdata.q_link_rank, llmdata.Q_LINK_RANK_SQL),
+    Query("topk_per_group", dataflow.q_topk_per_group, dataflow.Q_TOPK_PER_GROUP_SQL),
+    Query("streaming_dedup", q_streaming_dedup, Q_STREAMING_DEDUP_SQL),
+    Query("sample_quantiles", llmdata.q_sample_quantiles, llmdata.Q_SAMPLE_QUANTILES_SQL),
+    Query("ivfpq_refined", llmdata.q_ivfpq_refined, llmdata.Q_IVFPQ_REFINED_SQL),
+    Query("embedding_near_dups", llmdata.q_embedding_near_dups, llmdata.Q_EMBEDDING_NEAR_DUPS_SQL),
+    Query("bpe_encoded_docs", llmdata.q_bpe_encoded_docs, llmdata.Q_BPE_ENCODED_DOCS_SQL),
     # demoted r8g (head slots went to unigram_segments /
     # textrank_keywords / ewma_anomaly) — all still oracle-checked here
     Query("dedup_exact", llmdata.q_dedup_exact, llmdata.Q_DEDUP_EXACT_SQL),
