@@ -324,6 +324,114 @@ def histogram_quantiles(
     return out
 
 
+def dd_sketch(
+    df: DataFrame,
+    value_col,
+    group_cols: list[str] | None = None,
+    sub_bits: int = 3,
+) -> DataFrame:
+    """Base-2 DDSketch-style mergeable quantile sketch (Masson, Rim &
+    Lee, "DDSketch: a fast and fully-mergeable quantile sketch with
+    relative-error guarantees", VLDB 2019) — the RELATIVE-error,
+    unbounded-range member of the quantile matrix
+    (:func:`histogram_quantiles` = fixed-range absolute error;
+    ``sample_quantiles`` = bottom-k hash sample). The paper's
+    log-gamma buckets are replaced by base-2 octaves with ``2^s``
+    LINEAR sub-bins per octave, which keeps every bucket boundary an
+    exact integer (cross-engine bit parity; IEEE log() would drift):
+
+      bl     = bit-length(v)            (v >= 1, integer-valued)
+      p      = 2^(bl-1)                 (the octave floor)
+      sub    = ((v - p) * 2^s) div p    (0 .. 2^s - 1)
+      bucket = (bl - 1) * 2^s + sub
+      lb     = p + (sub * p) div 2^s    (bucket lower bound)
+
+    Relative error of reading lb for any v in the bucket is < 2^-s
+    (bucket width p/2^s over a value >= p); 63*2^s buckets cover all
+    of int64 with NO [lo, hi) range parameter. The sketch is a plain
+    (group, bucket) count — mergeable by cnt SUM (cross-partition,
+    cross-batch, cross-day), deterministic, and oracle-exact. Returns
+    (group..., bucket, lb, cnt)."""
+    gc = list(group_cols or [])
+    two_s = 1 << sub_bits
+    base = df.select(
+        *gc, F.col(value_col).cast("long").alias("__v")
+    ).filter(F.col("__v") >= 1)
+    bl = F.length(F.conv(F.col("__v"), 10, 2))
+    staged = base.select(
+        *gc, "__v", bl.alias("__bl")
+    ).select(
+        *gc,
+        "__v",
+        "__bl",
+        F.expr("shiftleft(CAST(1 AS BIGINT), __bl - 1)").alias("__p"),
+    )
+    sub = ((F.col("__v") - F.col("__p")) * F.lit(two_s)) / F.col("__p")
+    # integer floor division: operands are non-negative longs
+    sub = F.floor(sub).cast("long")
+    return (
+        staged.select(
+            *gc,
+            ((F.col("__bl") - 1).cast("long") * F.lit(two_s) + sub).alias(
+                "bucket"
+            ),
+            (
+                F.col("__p")
+                + F.floor((sub * F.col("__p")) / F.lit(two_s)).cast("long")
+            ).alias("lb"),
+        )
+        .groupBy(*gc, "bucket", "lb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dd_merge(sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge partial DD sketches (any union of per-partition /
+    per-batch / per-shard sketch rows): bucket-wise count sum — the
+    whole point of the representation; ≡ one-shot build is pinned in
+    tests."""
+    gc = list(group_cols or [])
+    return sketches.groupBy(*gc, "bucket", "lb").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def dd_quantiles(
+    sketch: DataFrame,
+    qs: list[tuple[int, int]],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile read-out from a DD sketch: per group the q-quantile
+    estimate is the lower bound of the first bucket whose cumulative
+    count reaches ceil(q·n) — pure integer arithmetic (``qs`` are
+    exact rationals (num, den), e.g. (1, 2) for p50). The cumulative
+    walk is a keyed window over the SKETCH (≤ 63·2^s rows per group),
+    never over the data. Returns (group..., q_num, q_den, n, est)."""
+    from pyspark.sql import Window as W
+
+    gc = list(group_cols or [])
+    w = W.partitionBy(*gc).orderBy("bucket") if gc else W.orderBy("bucket")
+    wg = W.partitionBy(*gc) if gc else W.partitionBy()
+    cum = sketch.withColumn(
+        "__cum", F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("__n", F.sum("cnt").over(wg))
+    out = None
+    for num, den in qs:
+        need = F.expr(f"(__n * {int(num)} + {int(den)} - 1) div {int(den)}")
+        hit = (
+            cum.filter(F.col("__cum") >= need)
+            .groupBy(*gc)
+            .agg(
+                F.lit(int(num)).alias("q_num"),
+                F.lit(int(den)).alias("q_den"),
+                F.max("__n").alias("n"),
+                F.min_by("lb", "bucket").alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
 def bloom_build(
     df: DataFrame,
     value_col: str,

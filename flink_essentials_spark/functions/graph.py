@@ -479,6 +479,73 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS hubs & authorities (Kleinberg 1999,
+    "Authoritative sources in a hyperlinked environment") — the
+    directional complement of :func:`pagerank`: a node is a good HUB
+    when it points at good authorities and a good AUTHORITY when good
+    hubs point at it (curated-list vs. trusted-source scoring for a
+    crawl corpus; on a bipartite interaction graph: active curators
+    vs. canonical items).
+
+    Uses the UNNORMALIZED integer formulation: ``h_0 = 1``;
+    ``a_k(v) = Σ_{u→v} h_{k-1}(u)``; ``h_k(v) = Σ_{v→w} a_k(w)``.
+    Kleinberg's per-round L2 normalization only rescales — the ranking
+    is invariant — so dropping it keeps every score an exact BIGINT
+    and the whole operator under bit-exact cross-engine oracle. Scores
+    grow like (max degree)^(2·iterations); with the default 2
+    iterations that is deg⁴, safe in int64 for degrees to ~50k (ANSI
+    mode ERRORS rather than wraps past that). At larger depth/degree,
+    switch to the standard normalized double form — ranking-identical,
+    oracle then needs round().
+
+    Scale shape: the deduplicated edge list is localCheckpointed (re-
+    read 2× per iteration — the pagerank lesson); each half-step is
+    one shuffle join + one partial-aggregated groupBy, linear in |E|.
+    Returns (node, hub, authority) over all nodes (either endpoint);
+    sinks keep hub 0, sources authority 0.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    a = None
+    for _ in range(iterations):
+        a_sum = (
+            e.join(h.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        a = nodes.join(
+            a_sum.select(F.col("dst").alias("node"), "s"), "node", "left"
+        ).select("node", F.coalesce("s", F.lit(0)).cast("long").alias("auth"))
+        h_sum = (
+            e.join(a.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+        )
+        h = nodes.join(
+            h_sum.select(F.col("src").alias("node"), "s"), "node", "left"
+        ).select("node", F.coalesce("s", F.lit(0)).cast("long").alias("hub"))
+    return (
+        h.join(a, "node")
+        .select("node", "hub", F.col("auth").alias("authority"))
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 3,

@@ -1438,6 +1438,17 @@ _REGISTRY: list[Query] = [
     # (tokenizer family driver rows: bpe_trained_merges,
     # unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
+    # r9: base-2 DDSketch quantiles (Masson et al. VLDB 2019) —
+    # relative-error mergeable sketch with exact integer octave/
+    # sub-bin boundaries; completes the quantile matrix beside
+    # histogram_quantiles (fixed-range) and sample_quantiles
+    # (bottom-k); est vs exact k-th smallest as self-eval
+    Query("ddsketch_quantiles", llmdata.q_ddsketch_quantiles, llmdata.Q_DDSKETCH_SQL),
+    # r9: HITS hubs & authorities (Kleinberg 1999) — unnormalized
+    # integer half-steps over the directed customer->supplier graph,
+    # unrolled-CTE oracle, zero rounding (graph family driver rows:
+    # dbscan_users, textrank_keywords, dedup_clusters)
+    Query("hits_authority", llmdata.q_hits_authority, llmdata.Q_HITS_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

@@ -5855,6 +5855,174 @@ WITH pairs AS (
 Q_LPA_SQL = _lpa_sql(3)
 
 
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-error mergeable quantiles (approx.dd_sketch, Masson et
+    al. VLDB 2019) over per-type event values in cents — the
+    unbounded-range member completing the quantile matrix
+    (histogram_quantiles = fixed-range, sample_quantiles = bottom-k
+    hash sample): base-2 octaves with 8 linear sub-bins, every bucket
+    boundary an exact integer, sketch mergeable by count sum. p50/p95
+    estimates (first-bucket-at-ceil(q·n) lower bounds) ride beside the
+    EXACT k-th-smallest values as self-eval (the kmv/lsh_recall
+    pattern); the <=1/8 relative-error contract is property-pinned in
+    tests. Every column is integer arithmetic — zero rounding."""
+    from flink_essentials_spark.functions.approx import dd_quantiles, dd_sketch
+    from flink_essentials_spark.queries.util import cents
+
+    t = load_tables(spark, sf_dir)
+    vals = (
+        t["events"]
+        .select("event_type", cents("value").alias("v"))
+        .filter(F.col("v") >= 1)
+    )
+    est = (
+        dd_quantiles(
+            dd_sketch(vals, "v", ["event_type"]),
+            [(1, 2), (19, 20)],
+            ["event_type"],
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("q_num") == 1, F.col("est"))).alias("est_p50"),
+            F.max(F.when(F.col("q_num") == 19, F.col("est"))).alias(
+                "est_p95"
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    n = vals.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranked = vals.withColumn(
+        "rn", F.row_number().over(W.partitionBy("event_type").orderBy("v"))
+    ).join(F.broadcast(n), "event_type")
+    exact = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v"))
+        ).alias("exact_p50"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("v"))
+        ).alias("exact_p95"),
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n", "est_p50", "exact_p50", "est_p95", "exact_p95"
+    )
+
+
+def _ddsketch_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    p = "(CAST(1 AS BIGINT) << (length(bin(v)) - 1))"
+    sub = f"((v - {p}) * 8) // {p}"
+    return f"""
+WITH vv AS (
+  SELECT event_type, {sql_cents('value')} AS v FROM events
+  WHERE {sql_cents('value')} >= 1
+), n AS (
+  SELECT event_type, COUNT(*) AS n FROM vv GROUP BY 1
+), r AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn
+  FROM vv
+), ex AS (
+  SELECT r.event_type,
+         MAX(n.n) AS n,
+         MAX(CASE WHEN rn = (n.n + 1) // 2 THEN v END) AS exact_p50,
+         MAX(CASE WHEN rn = (19 * n.n + 19) // 20 THEN v END) AS exact_p95
+  FROM r JOIN n ON r.event_type = n.event_type GROUP BY 1
+), b AS (
+  SELECT event_type,
+         (length(bin(v)) - 1) * 8 + {sub} AS bucket,
+         {p} + ({sub} * {p}) // 8 AS lb
+  FROM vv
+), sk AS (
+  SELECT event_type, bucket, lb, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3
+), cum AS (
+  SELECT event_type, bucket, lb,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS nn
+  FROM sk
+), est AS (
+  SELECT event_type,
+         arg_min(lb, bucket) FILTER (WHERE cum >= (nn + 1) // 2)
+           AS est_p50,
+         arg_min(lb, bucket) FILTER (WHERE cum >= (19 * nn + 19) // 20)
+           AS est_p95
+  FROM cum GROUP BY 1
+)
+SELECT ex.event_type, ex.n, est.est_p50, ex.exact_p50,
+       est.est_p95, ex.exact_p95
+FROM ex JOIN est ON ex.event_type = est.event_type
+"""
+
+
+Q_DDSKETCH_SQL = _ddsketch_sql()
+
+
+def q_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graph.hits, Kleinberg 1999) over the
+    DIRECTED customer→supplier interaction graph (distinct trade pairs
+    from lineitem⋈orders): customers are scored as hubs (breadth of
+    good suppliers bought from), suppliers as authorities (how many
+    strong hubs buy from them) — the directional scoring the
+    symmetric link_rank/lpa rows cannot express. 2 iterations of the
+    unnormalized integer formulation (normalization only rescales the
+    ranking), so every hub/authority score is an exact BIGINT and the
+    oracle's unrolled CTEs replay the half-steps bit-for-bit — zero
+    rounding."""
+    from flink_essentials_spark.functions.graph import hits
+
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000000)).alias("dst"),
+        )
+    )
+    return hits(pairs, iterations=2)
+
+
+def _hits_sql(iterations: int = 2) -> str:
+    cte = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), n AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), h0 AS (
+  SELECT node, CAST(1 AS BIGINT) AS hub FROM n
+)"""
+    for k in range(1, iterations + 1):
+        cte += f""", a{k} AS (
+  SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS auth
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS s
+    FROM h{k - 1} h JOIN e ON h.node = e.src GROUP BY 1
+  ) s ON n.node = s.node
+), h{k} AS (
+  SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS hub
+  FROM n LEFT JOIN (
+    SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS s
+    FROM a{k} a JOIN e ON a.node = e.dst GROUP BY 1
+  ) s ON n.node = s.node
+)"""
+    return (
+        cte
+        + f"""
+SELECT h.node, h.hub, a.auth AS authority
+FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node"""
+    )
+
+
+Q_HITS_SQL = _hits_sql(2)
+
+
 def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy WordPiece encoding (text.wordpiece_encode_words,
     Schuster & Nakajima 2012 — the BERT tokenizer's longest-match

@@ -996,6 +996,42 @@ def test_histogram_quantiles_bracket_exact_and_merge(spark):
         assert lo <= exact < hi, (q, lo, exact, hi)
 
 
+def test_dd_sketch_relative_error_and_merge(spark):
+    """DD-sketch guarantees, property-pinned: (1) the quantile
+    estimate is the bucket lower bound, so est <= exact < est·(1+2^-s)
+    (+1 for integer granularity at tiny values) for EVERY quantile on
+    an adversarial value spread spanning 9 octaves; (2) per-batch
+    sketches SUM-merge (dd_merge) to the one-shot sketch exactly —
+    the 100 TB incremental-refresh path."""
+    vals = [1, 2, 3] + [7] * 40 + [100] * 30 + [129, 130, 255] + list(
+        range(300, 400, 7)
+    ) + [500] * 25
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = approx.dd_sketch(df, "v")
+    qs = [(1, 100), (1, 4), (1, 2), (3, 4), (19, 20), (1, 1)]
+    got = {
+        (r["q_num"], r["q_den"]): r["est"]
+        for r in approx.dd_quantiles(sk, qs).collect()
+    }
+    svals = sorted(vals)
+    import math
+
+    for (num, den), est in got.items():
+        exact = svals[math.ceil(len(svals) * num / den) - 1]
+        assert est <= exact, ((num, den), est, exact)
+        assert exact * 8 < est * 9 + 8, ((num, den), est, exact)
+
+    # merge invariance: 3 hash-split partial sketches -> identical rows
+    parts = [
+        approx.dd_sketch(df.filter(F.col("v") % 3 == b), "v")
+        for b in range(3)
+    ]
+    merged = approx.dd_merge(parts[0].unionByName(parts[1]).unionByName(parts[2]))
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in sk.collect()
+    }
+
+
 # --- approx aggregates vs exact anchors -------------------------------------
 
 

@@ -135,6 +135,26 @@ def test_hybrid_two_phase_fallback_matches(spark):
     assert s["contracted_edges"] < 30
 
 
+def test_hits_hand_computed(spark):
+    """Integer HITS vs hand-computed half-steps on a tiny directed
+    bipartite graph (1,2,3 buy from 10,11,20): h0=1; a1 = in-degree;
+    h1 = sum of adjacent a1; a2/h2 one more half-step each. Sinks keep
+    hub 0, sources authority 0."""
+    from flink_essentials_spark.functions.graph import hits
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 20)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, iterations=2).collect()
+    }
+    assert got == {
+        1: (8, 0), 2: (5, 0), 3: (1, 0),
+        10: (0, 5), 11: (0, 3), 20: (0, 1),
+    }
+
+
 def test_triangle_count_known_graphs(spark):
     """Degree-oriented triangle count vs hand-counted graphs: K4 has 4,
     a path has 0, a star hub has 0 (the case the naive wedge join
