@@ -200,3 +200,69 @@ def association_rules(
     if min_confidence > 0:
         out = out.filter(F.col("confidence") >= float(min_confidence))
     return out
+
+
+def trend_lines(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    min_points: int = 3,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend (the exact normal
+    equations for one regressor) over INTEGER (x, y) — the
+    trend-detection member of the time-series family beside
+    ewma_control's level-shift flags: slope of y over x per key, with
+    intercept and R². The monitoring read: is this user's spend /
+    this source's quality drifting up or down, and how linear is it.
+
+        num   = n·Σxy − Σx·Σy          (exact BIGINT)
+        den   = n·Σx² − (Σx)²          (exact BIGINT, 0 iff x constant)
+        slope = num / den              (ONE division → bit-exact)
+        intercept = (Σy − slope·Σx)/n  (doubles on exact operands)
+        R²    = num² / (den·den_y)     (den_y = n·Σy² − (Σy)²)
+
+    x is CENTERED per key (x − min x) before the sums so the BIGINT
+    products stay bounded by n·Δx·y — int64-safe for millions of
+    points per key at day-granularity x and cent-granularity y.
+    Centering shifts the intercept to the key's own time origin
+    (x = min x), the natural per-key reading. The centering min rides
+    the SAME keyed hashpartitioning the aggregate needs (window +
+    groupBy on one exchange — the ewma_control plan shape). Keys with
+    fewer than ``min_points`` rows or constant x are dropped; R² is
+    NULL when y is constant. Returns (key, n, slope, intercept, r2)."""
+    w = W.partitionBy(key_col)
+    d = df.select(
+        key_col,
+        F.col(x_col).cast("long").alias("__x0"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).withColumn("__x", F.col("__x0") - F.min("__x0").over(w))
+    a = d.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    staged = a.select(
+        key_col, "n", "sx", "sy",
+        num.alias("__num"), den.alias("__den"), deny.alias("__deny"),
+    ).filter((F.col("n") >= int(min_points)) & (F.col("__den") > 0))
+    slope = F.col("__num").cast("double") / F.col("__den")
+    return staged.select(
+        key_col,
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+        ).alias("intercept"),
+        F.when(
+            F.col("__deny") > 0,
+            (F.col("__num").cast("double") * F.col("__num"))
+            / (F.col("__den").cast("double") * F.col("__deny")),
+        ).alias("r2"),
+    )

@@ -1877,3 +1877,84 @@ def kneser_ney_score(
             6,
         ).alias("avg_log2_pkn"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    delta: int = 2,
+    min_count: int = 3,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """word2phrase collocation mining (Mikolov et al. 2013,
+    "Distributed representations of words and phrases and their
+    compositionality" §4) — the phrase-detection pass an LLM-data
+    pipeline runs before tokenizer training so "new york" becomes one
+    unit: adjacent word pairs scored by the discounted PMI ratio
+
+        score(a,b) = (count(ab) - delta) * N / (count(a) * count(b))
+
+    where N = total tokens; ``delta`` discounts rare accidents, and
+    ``score > threshold`` marks a phrase. The score is ONE division of
+    exact BIGINT operands (products bounded: counts <= N, so each side
+    < N^2 — int64-safe to corpora of ~3B tokens per shard; shard
+    larger corpora before the ratio), so it is bit-identical
+    cross-engine with zero rounding.
+
+    Scale shape: bigram/unigram counting is scan-stage explode +
+    groupBy (map-side combined); unigram counts join back on the
+    vocabulary (vocabulary-sized, broadcast below the threshold —
+    Zipf keeps word vocabularies in the millions regardless of corpus
+    size); the one-row total-token aggregate rides a broadcast
+    crossJoin (BNLJ — audited in the test_plans allowlist). Returns
+    (w1, w2, n_ab, n_a, n_b, score, is_phrase) for pairs with
+    ``n_ab >= min_count``."""
+    toks = docs.select(tokenize(F.col(text_col)).alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    total = uni.agg(F.sum("n_uni").cast("long").alias("n_total"))
+    bi = toks.select(
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pair_counts = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_count))
+    )
+    scored = (
+        pair_counts.join(
+            F.broadcast(uni.select(F.col("t").alias("w1"), F.col("n_uni").alias("n_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("w2"), F.col("n_uni").alias("n_b"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                ((F.col("n_ab") - F.lit(int(delta))) * F.col("n_total"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("score"),
+        )
+    )
+    return scored.withColumn(
+        "is_phrase", F.col("score") > F.lit(float(threshold))
+    )

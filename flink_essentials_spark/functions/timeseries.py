@@ -186,3 +186,42 @@ def burst_detect(
         best["b"].alias("burst_gaps"),
         best["c"].alias("dp_cost"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Robust MAD outlier screen (the Hampel identifier — Hampel 1974;
+    Leys et al. 2013 recommend it over z-scores, whose mean AND spread
+    a single spike corrupts) per bounded group: med = median(v),
+    mad = median(|v − med|), a row is an outlier when
+    |v − med| > k·mad. Integer k on the raw MAD keeps every quantity
+    either an exact integer or an interpolated midpoint ((a+b)/2 — a
+    dyadic-exact double in both engines), so the flags are
+    bit-deterministic with no consistency-constant float literal.
+
+    Plan shape: both medians ride windows on the SAME group key the
+    final aggregate uses — one keyed hashpartitioning exchange total
+    (the ewma_control lesson). Exact per-group medians buffer the
+    group's values, so groups must be BOUNDED (type×day here); the
+    unbounded-group scale path is approx.dd_sketch's p50. Returns
+    (group..., n, med, mad, n_outliers)."""
+    gc = list(group_cols)
+    w = Window.partitionBy(*gc)
+    staged = (
+        df.select(*gc, F.col(value_col).cast("long").alias("__v"))
+        .withColumn("__med", F.expr("percentile(__v, 0.5)").over(w))
+        .withColumn("__dev", F.abs(F.col("__v") - F.col("__med")))
+        .withColumn("__mad", F.expr("percentile(__dev, 0.5)").over(w))
+    )
+    return staged.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("__med").alias("med"),
+        F.max("__mad").alias("mad"),
+        F.count_if(F.col("__dev") > F.lit(int(k)) * F.col("__mad"))
+        .cast("long")
+        .alias("n_outliers"),
+    )

@@ -1438,6 +1438,18 @@ _REGISTRY: list[Query] = [
     # (tokenizer family driver rows: bpe_trained_merges,
     # unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
+    # r9: Hampel/MAD robust outlier screen (Leys 2013) — exact
+    # interpolated medians, integer k, one keyed exchange; the
+    # robust sibling of length_outliers' z-scores
+    Query("mad_outliers", llmdata.q_mad_outliers, llmdata.Q_MAD_OUTLIERS_SQL),
+    # r9: per-key OLS trend lines — exact normal equations; slope one
+    # BIGINT division, intercept/R2 fixed-association doubles; the
+    # trend member of the time-series family beside ewma_anomaly
+    Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
+    # r9: word2phrase PMI collocations (Mikolov 2013) — the phrase-
+    # detection pass before tokenizer training; discounted-PMI score
+    # as ONE exact-BIGINT division, zero rounding
+    Query("pmi_collocations", llmdata.q_pmi_collocations, llmdata.Q_PMI_COLLOCATIONS_SQL),
     # r9: base-2 DDSketch quantiles (Masson et al. VLDB 2019) —
     # relative-error mergeable sketch with exact integer octave/
     # sub-bin boundaries; completes the quantile matrix beside

@@ -6023,6 +6023,161 @@ FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node"""
 Q_HITS_SQL = _hits_sql(2)
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier screen (timeseries.mad_outliers, the Hampel
+    identifier; Leys et al. 2013) per (event_type, day-index) group
+    over value cents: med/MAD are exact-or-midpoint interpolated
+    medians (dyadic doubles in both engines), the flag |v−med| > 3·mad
+    uses an integer k so no consistency-constant float literal enters
+    the comparison. Day bucketing is integer epoch arithmetic (the
+    cohort_retention pattern); both outcomes occur at both SFs
+    (~1.2k outliers / 10k events at sf0.01)."""
+    from flink_essentials_spark.functions.timeseries import mad_outliers
+    from flink_essentials_spark.queries.util import cents
+
+    t = load_tables(spark, sf_dir)
+    v = t["events"].select(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        cents("value").alias("v"),
+    )
+    return mad_outliers(v, ["event_type", "day"], "v", k=3)
+
+
+def _mad_outliers_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    return f"""
+WITH v AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         {sql_cents('value')} AS v
+  FROM events
+), m AS (
+  SELECT *, CAST(median(v) OVER (PARTITION BY event_type, day) AS DOUBLE)
+            AS med
+  FROM v
+), d AS (
+  SELECT *, abs(v - med) AS dev FROM m
+), dm AS (
+  SELECT *, CAST(median(dev) OVER (PARTITION BY event_type, day) AS DOUBLE)
+            AS mad
+  FROM d
+)
+SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(med) AS med, MAX(mad) AS mad,
+       CAST(COUNT(*) FILTER (WHERE dev > 3 * mad) AS BIGINT) AS n_outliers
+FROM dm GROUP BY 1, 2
+"""
+
+
+Q_MAD_OUTLIERS_SQL = _mad_outliers_sql()
+
+
+def q_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS spend trend (analytics.trend_lines — exact normal
+    equations): x = integer day index (epoch_ms div 86400000, the
+    calendar-free bucketing), centered per user; y = value cents.
+    slope is ONE division of exact-BIGINT normal-equation terms;
+    intercept and R² are fixed-association doubles over the same
+    exact operands — bit-identical cross-engine, zero rounding. The
+    centering min and the moment sums share one keyed exchange (the
+    ewma_control plan shape)."""
+    from flink_essentials_spark.functions.analytics import trend_lines
+    from flink_essentials_spark.queries.util import cents
+
+    t = load_tables(spark, sf_dir)
+    v = t["events"].select(
+        "user_id",
+        F.expr("unix_millis(ts) div 86400000").alias("x0"),
+        cents("value").alias("y"),
+    )
+    return trend_lines(v, "user_id", "x0", "y", min_points=3)
+
+
+def _trend_lines_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    return f"""
+WITH v AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS x0,
+         {sql_cents('value')} AS y
+  FROM events
+), c AS (
+  SELECT user_id, x0 - MIN(x0) OVER (PARTITION BY user_id) AS x, y
+  FROM v
+), a AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM c GROUP BY 1
+), s AS (
+  SELECT user_id, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den,
+         n * syy - sy * sy AS deny
+  FROM a WHERE n >= 3 AND n * sxx - sx * sx > 0
+), sl AS (
+  SELECT user_id, n, sx, sy, num, den, deny,
+         CAST(num AS DOUBLE) / den AS slope
+  FROM s
+)
+SELECT user_id, n, slope,
+       (CAST(sy AS DOUBLE) - slope * sx) / n AS intercept,
+       CASE WHEN deny > 0
+            THEN (CAST(num AS DOUBLE) * num) / (CAST(den AS DOUBLE) * deny)
+       END AS r2
+FROM sl
+"""
+
+
+Q_TREND_LINES_SQL = _trend_lines_sql()
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2phrase collocation mining (text.pmi_collocations, Mikolov
+    et al. 2013 §4) over the documents corpus: adjacent word pairs
+    scored by the discounted PMI ratio (n_ab - delta)·N / (n_a·n_b),
+    delta 2, min count 3, phrase threshold 1.0 — the phrase-detection
+    pass run before tokenizer training. The score is one division of
+    exact BIGINT operands, bit-identical cross-engine; the is_phrase
+    flag has both outcomes on the shipped corpus at both SFs."""
+    from flink_essentials_spark.functions.text import pmi_collocations
+
+    t = load_tables(spark, sf_dir)
+    return pmi_collocations(t["documents"], "text")
+
+
+Q_PMI_COLLOCATIONS_SQL = f"""
+WITH toks AS (
+  SELECT {_SQL_TOKENS} AS w FROM documents
+), uni AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_uni
+  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_uni) AS BIGINT) AS n_total FROM uni
+), bi AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+         THEN list_transform(range(1, len(w)),
+                             i -> w[i] || ' ' || w[i + 1])
+         ELSE [] END) AS b
+  FROM toks
+), pc AS (
+  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT pc.w1, pc.w2, pc.n_ab, a.n_uni AS n_a, b2.n_uni AS n_b,
+       ((pc.n_ab - 2) * t.n_total) / (a.n_uni * b2.n_uni) AS score,
+       ((pc.n_ab - 2) * t.n_total) / (a.n_uni * b2.n_uni) > 1.0
+         AS is_phrase
+FROM pc
+JOIN uni a ON pc.w1 = a.t
+JOIN uni b2 ON pc.w2 = b2.t, tot t
+"""
+
+
 def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy WordPiece encoding (text.wordpiece_encode_words,
     Schuster & Nakajima 2012 — the BERT tokenizer's longest-match

@@ -996,6 +996,95 @@ def test_histogram_quantiles_bracket_exact_and_merge(spark):
         assert lo <= exact < hi, (q, lo, exact, hi)
 
 
+def test_mad_outliers_hand_computed(spark):
+    """Hampel screen vs hand math: odd group med/mad exact integers,
+    even group interpolated midpoints; the spike is the only flagged
+    row; and the whole plan rides ONE keyed exchange (both medians +
+    the aggregate on the same group key)."""
+    import contextlib
+    import io
+
+    from flink_essentials_spark.functions.timeseries import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 100),
+         ("b", 1), ("b", 2), ("b", 3), ("b", 10)],
+        "g string, v long",
+    )
+    out = mad_outliers(df, ["g"], "v", k=3)
+    # explain BEFORE collect: after execution AQE prints Final +
+    # Initial plans and every node would count twice
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    tree = buf.getvalue().split("\n(1)")[0]
+    assert tree.count("Exchange") == 1
+    got = {r["g"]: (r["n"], r["med"], r["mad"], r["n_outliers"])
+           for r in out.collect()}
+    assert got == {"a": (5, 3.0, 1.0, 1), "b": (4, 2.5, 1.0, 1)}
+
+
+def test_trend_lines_hand_math_and_numpy(spark):
+    """OLS trend vs hand math (perfect line -> slope 2, intercept 1,
+    R2 1; flat tent -> slope 0) and vs numpy lstsq on random integer
+    points; constant-x and too-few-point keys are dropped."""
+    import numpy as np
+
+    from flink_essentials_spark.functions.analytics import trend_lines
+
+    rows = (
+        [("a", x, 2 * x + 1) for x in range(3)]
+        + [("b", 0, 0), ("b", 1, 1), ("b", 2, 0)]
+        + [("c", 5, 1), ("c", 5, 2), ("c", 5, 3)]   # constant x
+        + [("d", 0, 0), ("d", 1, 9)]                 # n < 3
+        + [("e", int(x), int(y)) for x, y in
+           zip(range(10, 30), np.random.RandomState(7).randint(0, 500, 20))]
+    )
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    got = {r["k"]: r for r in trend_lines(df, "k", "x", "y").collect()}
+    assert set(got) == {"a", "b", "e"}
+    assert (got["a"]["slope"], got["a"]["intercept"], got["a"]["r2"]) == (
+        2.0, 1.0, 1.0)
+    assert got["b"]["slope"] == 0.0 and got["b"]["r2"] == 0.0
+    xs = np.array([r[1] for r in rows if r[0] == "e"], dtype=float)
+    ys = np.array([r[2] for r in rows if r[0] == "e"], dtype=float)
+    slope_np, icept_np = np.polyfit(xs, ys, 1)
+    # numpy fits on uncentered x: slope identical; intercept shifts by
+    # slope*min(x) under the per-key centering
+    assert abs(got["e"]["slope"] - slope_np) < 1e-9
+    assert abs(got["e"]["intercept"] - (icept_np + slope_np * xs.min())) < 1e-6
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """word2phrase scores vs hand math on a tiny corpus: N=8 tokens,
+    score(a,b) = (n_ab - delta)·N / (n_a·n_b) with delta=0,
+    min_count=1 — every pair checked exactly."""
+    from flink_essentials_spark.functions.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [("new york new york is big",), ("york city",)], "text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["n_ab"], r["n_a"], r["n_b"], r["score"],
+                             r["is_phrase"])
+        for r in pmi_collocations(df, "text", delta=0, min_count=1).collect()
+    }
+    assert got == {
+        ("new", "york"): (2, 2, 3, 2 * 8 / 6, True),
+        ("york", "new"): (1, 3, 2, 1 * 8 / 6, True),
+        ("york", "is"): (1, 3, 1, 8 / 3, True),
+        ("is", "big"): (1, 1, 1, 8.0, True),
+        ("york", "city"): (1, 3, 1, 8 / 3, True),
+    }
+    # the discount kills singleton pairs
+    got2 = {
+        (r["w1"], r["w2"])
+        for r in pmi_collocations(df, "text", delta=1, min_count=1)
+        .filter("is_phrase").collect()
+    }
+    assert got2 == {("new", "york")}
+
+
 def test_dd_sketch_relative_error_and_merge(spark):
     """DD-sketch guarantees, property-pinned: (1) the quantile
     estimate is the bucket lower bound, so est <= exact < est·(1+2^-s)

@@ -253,6 +253,8 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # one-row vocabulary-array broadcast (vocab-bounded, the
         # wordpiece/BPE dictionary pattern)
         "unigram_segments": {"BroadcastNestedLoopJoin"},
+        # one-row total-token broadcast (corpus_mixture pattern)
+        "pmi_collocations": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},
         # two one-row u-probability broadcasts (exact integer ratios);
         # the candidate pairs themselves come from a blocked EQUI-join
