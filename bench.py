@@ -157,6 +157,16 @@ HEADLINE = [
     "record_linkage",
     "burst_detection",
     "association_rules",
+    # r9 additions: HITS, DDSketch quantiles, word2phrase PMI, OLS
+    # trends, Hampel/MAD screen
+    "hits_authority",
+    "ddsketch_quantiles",
+    "pmi_collocations",
+    "trend_lines",
+    "mad_outliers",
+    "vocab_richness",
+    "ams_f2",
+    "greedy_coverage",
 ]
 
 

@@ -266,3 +266,65 @@ def trend_lines(
             / (F.col("__den").cast("double") * F.col("__deny")),
         ).alias("r2"),
     )
+
+
+def greedy_coverage(
+    pairs: DataFrame, set_col: str, item_col: str, k: int = 3
+) -> DataFrame:
+    """Greedy maximum-coverage selection (the classic greedy for
+    submodular maximization — Nemhauser, Wolsey & Fisher 1978 prove
+    it reaches (1 − 1/e) of the optimal coverage): pick ``k`` sets,
+    each round the one covering the most NOT-yet-covered items, ties
+    to the smallest set id. The corpus-assembly read: which k sources
+    together cover the most vocabulary — the marginal-gain curve is
+    the diminishing-returns evidence for stopping the crawl.
+
+    Scale shape: the distinct (set, item) table is localCheckpointed
+    (re-read every round); each round is one anti-join against the
+    covered items + one map-side-combined count per candidate set;
+    only the ONE-ROW argmax is collected per round (the bounded
+    driver-side argmax pattern, same as codebook training) and the
+    covered-item set stays distributed. Returns (rank, set_id,
+    marginal_gain, covered_total)."""
+    sw = (
+        pairs.select(
+            F.col(set_col).alias("g"), F.col(item_col).alias("it")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    chosen: list = []
+    covered = None
+    out_rows = []
+    total = 0
+    for r in range(1, int(k) + 1):
+        cand = sw.filter(~F.col("g").isin(chosen)) if chosen else sw
+        if covered is not None:
+            cand = cand.join(covered, "it", "left_anti")
+        best = (
+            cand.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("g"))
+            .first()
+        )
+        if best is None:
+            break
+        chosen.append(best["g"])
+        total += best["gain"]
+        out_rows.append((r, best["g"], int(best["gain"]), int(total)))
+        picked = sw.filter(F.col("g") == F.lit(best["g"])).select("it")
+        covered = (
+            picked if covered is None else covered.union(picked).distinct()
+        ).localCheckpoint()
+    from pyspark.sql import types as T
+
+    set_t = sw.schema["g"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType()),
+            T.StructField("set_id", set_t),
+            T.StructField("marginal_gain", T.LongType()),
+            T.StructField("covered_total", T.LongType()),
+        ]
+    )
+    return sw.sparkSession.createDataFrame(out_rows, schema)

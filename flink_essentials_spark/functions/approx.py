@@ -887,3 +887,76 @@ SELECT * EXCLUDE (e0, e1, e2),
        e0 + e1 + e2 - greatest(e0, e1, e2) - least(e0, e1, e2) AS est_cnt
 FROM probed
 """
+
+
+def ams_f2(
+    df: DataFrame, key_col: str, depth: int = 5, salt: str = "ams"
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy
+    1996, "The space complexity of approximating the frequency
+    moments" — the Gödel-prize F2 estimator): F2 = Σ_k f_k² is the
+    self-join size, the quantity a planner needs to predict skew and
+    shuffle cost without materializing per-key counts. Each of
+    ``depth`` rows keeps ONE counter Z_j = Σ rows sign_j(key) (±1
+    md5-derived four-wise-independent-in-spirit signs); E[Z²] = F2.
+
+    Everything is exact integer arithmetic: the signs are ±1, each
+    Z_j is an exact BIGINT accumulated row-by-row in the scan (NO
+    per-key groupBy — the sketch never touches per-key state, which
+    is the whole point), Z² < n² stays in int64 to ~3B rows per
+    sketch, and the estimate is ONE division of the Z² sum by
+    ``depth``. Z_j counters are SUM-mergeable across partitions and
+    batches. The exact F2 (groupBy + sum of squared counts) rides
+    along as self-eval. Returns one row
+    (n_rows, n_keys, exact_f2, est_f2)."""
+    js = F.explode(
+        F.array(*[F.lit(j) for j in range(depth)])
+    ).alias("j")
+    signed = df.select(F.col(key_col).cast("string").alias("k")).select(
+        "k", js
+    ).select(
+        "j",
+        F.when(
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(salt),
+                                F.col("j").cast("string"),
+                                F.lit(":"),
+                                F.col("k"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2),
+            )
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    z = signed.groupBy("j").agg(F.sum("s").cast("long").alias("z"))
+    est = z.agg(
+        (
+            F.sum(F.col("z") * F.col("z")).cast("double") / F.lit(int(depth))
+        ).alias("est_f2")
+    )
+    exact = (
+        df.groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_rows", "n_keys", "exact_f2", "est_f2"
+    )

@@ -1958,3 +1958,62 @@ def pmi_collocations(
     return scored.withColumn(
         "is_phrase", F.col("score") > F.lit(float(threshold))
     )
+
+
+def ngrams_col(w: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings from a token array column
+    (empty array when the doc has fewer than n tokens — guarded
+    against the descending-F.sequence gotcha)."""
+    L = F.size(w)
+    return F.when(
+        L >= n,
+        F.transform(
+            F.sequence(F.lit(1), L - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def vocab_richness(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Vocabulary-richness estimators over word n-gram TYPES — the
+    how-much-corpus-haven't-we-seen audit an LLM-data pipeline runs
+    before deciding whether more crawling still buys new content:
+
+    - Chao1 richness (Chao 1984): estimated TRUE number of n-gram
+      types D + f1²/(2·f2), from the singleton/doubleton counts alone.
+    - Good-Turing unseen mass (Good 1953): probability the next token
+      is an unseen type, f1/N.
+
+    Both are single divisions of exact BIGINT operands (counts of
+    counts), so the estimators are bit-identical cross-engine. The
+    frequency-of-frequencies profile is two chained counts — scan →
+    groupBy(type) → one-row aggregate — fully map-side-combinable at
+    any scale. Returns one row (n_tokens, vocab, f1, f2, chao1,
+    p_unseen)."""
+    toks = docs.select(tokenize(F.col(text_col)).alias("w"))
+    g = (
+        toks.select(F.explode(ngrams_col(F.col("w"), n)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return g.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.count_if(F.col("c") == 1).cast("long").alias("f1"),
+        F.count_if(F.col("c") == 2).cast("long").alias("f2"),
+    ).select(
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        (
+            F.col("vocab").cast("double")
+            + (F.col("f1") * F.col("f1")).cast("double")
+            / (2 * F.col("f2"))
+        ).alias("chao1"),
+        (F.col("f1").cast("double") / F.col("n_tokens")).alias("p_unseen"),
+    )

@@ -1438,6 +1438,15 @@ _REGISTRY: list[Query] = [
     # (tokenizer family driver rows: bpe_trained_merges,
     # unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
+    # r9: Chao1 + Good-Turing vocabulary richness (frequency-of-
+    # frequencies over trigram types) — single exact-BIGINT divisions
+    Query("vocab_richness", llmdata.q_vocab_richness, llmdata.Q_VOCAB_RICHNESS_SQL),
+    # r9: AMS F2 sketch (Alon-Matias-Szegedy 1996) — self-join-size
+    # estimate from 5 signed row-wise counters, exact F2 self-eval
+    Query("ams_f2", llmdata.q_ams_f2, llmdata.Q_AMS_F2_SQL),
+    # r9: greedy maximum coverage (Nemhauser-Wolsey-Fisher 1978) —
+    # 3-round marginal-gain source selection, unrolled-CTE oracle
+    Query("greedy_coverage", llmdata.q_greedy_coverage, llmdata.Q_GREEDY_COVERAGE_SQL),
     # r9: Hampel/MAD robust outlier screen (Leys 2013) — exact
     # interpolated medians, integer k, one keyed exchange; the
     # robust sibling of length_outliers' z-scores

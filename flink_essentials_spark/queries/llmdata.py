@@ -6023,6 +6023,144 @@ FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node"""
 Q_HITS_SQL = _hits_sql(2)
 
 
+_SQL_TRIGRAMS = (
+    "unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) ELSE [] END)"
+)
+
+
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness estimators (text.vocab_richness) over word
+    TRIGRAM types: Chao1 richness (Chao 1984, D + f1²/(2·f2)) and
+    Good-Turing unseen mass (Good 1953, f1/N) from the frequency-of-
+    frequencies profile — the crawl-more-or-stop audit. Trigrams are
+    the right granularity on this corpus (unigram f1 = 0 at both SFs —
+    the vacuous-oracle check); both estimators are single divisions of
+    exact BIGINT counts, bit-identical cross-engine."""
+    from flink_essentials_spark.functions.text import vocab_richness
+
+    t = load_tables(spark, sf_dir)
+    return vocab_richness(t["documents"], "text", n=3)
+
+
+Q_VOCAB_RICHNESS_SQL = f"""
+WITH toks AS (
+  SELECT {_SQL_TOKENS} AS w FROM documents
+), g AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT {_SQL_TRIGRAMS} AS t FROM toks) GROUP BY 1
+), a AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM g
+)
+SELECT n_tokens, vocab, f1, f2,
+       CAST(vocab AS DOUBLE) + CAST(f1 * f1 AS DOUBLE) / (2 * f2) AS chao1,
+       CAST(f1 AS DOUBLE) / n_tokens AS p_unseen
+FROM a
+"""
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 sketch (approx.ams_f2, Alon-Matias-Szegedy 1996) over
+    event user frequencies: the self-join-size / skew estimate from 5
+    signed counters that never touch per-key state — every Z_j an
+    exact row-wise BIGINT sum of ±1 md5 signs, the estimate ONE
+    division, the exact F2 riding along as self-eval. Mergeable by
+    counter sum; bit-identical cross-engine."""
+    from flink_essentials_spark.functions.approx import ams_f2
+
+    t = load_tables(spark, sf_dir)
+    return ams_f2(t["events"], "user_id", depth=5)
+
+
+Q_AMS_F2_SQL = """
+WITH s AS (
+  SELECT j,
+         CASE WHEN ('0x' || substring(
+                md5('ams' || j || ':' || CAST(user_id AS VARCHAR)), 1, 15)
+              )::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM events, UNNEST([0, 1, 2, 3, 4]) AS t(j)
+), z AS (
+  SELECT j, CAST(SUM(s) AS BIGINT) AS z FROM s GROUP BY 1
+), est AS (
+  SELECT CAST(SUM(z * z) AS DOUBLE) / 5 AS est_f2 FROM z
+), ex AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c * c) AS BIGINT) AS exact_f2
+  FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1)
+)
+SELECT n_rows, n_keys, exact_f2, est_f2 FROM ex, est
+"""
+
+
+def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage source selection
+    (analytics.greedy_coverage, Nemhauser-Wolsey-Fisher 1978): the 3
+    sources whose union covers the most trigram vocabulary, picked by
+    marginal gain with deterministic tie-break — the diminishing-
+    returns crawl-budget curve. The oracle unrolls the identical 3
+    greedy rounds as CTEs (anti-join on covered items, argmax by
+    (gain DESC, source)); every number is an exact BIGINT count."""
+    from flink_essentials_spark.functions.analytics import greedy_coverage
+    from flink_essentials_spark.functions.text import ngrams_col
+    from flink_essentials_spark.operators.transform import tokenize
+
+    t = load_tables(spark, sf_dir)
+    pairs = t["documents"].select(
+        "source",
+        F.explode(ngrams_col(tokenize(F.col("text")), 3)).alias("t"),
+    )
+    return greedy_coverage(pairs, "source", "t", k=3)
+
+
+Q_GREEDY_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT source, {_SQL_TOKENS} AS w FROM documents
+), sw AS (
+  SELECT DISTINCT source AS g, t AS it
+  FROM (SELECT source, {_SQL_TRIGRAMS} AS t FROM toks)
+), g1 AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS gain FROM sw GROUP BY 1
+), p1 AS (
+  SELECT g, gain FROM g1 ORDER BY gain DESC, g LIMIT 1
+), c1 AS (
+  SELECT it FROM sw WHERE g IN (SELECT g FROM p1)
+), g2 AS (
+  SELECT s.g, CAST(COUNT(*) AS BIGINT) AS gain FROM sw s
+  WHERE s.g NOT IN (SELECT g FROM p1)
+    AND s.it NOT IN (SELECT it FROM c1)
+  GROUP BY 1
+), p2 AS (
+  SELECT g, gain FROM g2 ORDER BY gain DESC, g LIMIT 1
+), c2 AS (
+  SELECT it FROM c1
+  UNION
+  SELECT it FROM sw WHERE g IN (SELECT g FROM p2)
+), g3 AS (
+  SELECT s.g, CAST(COUNT(*) AS BIGINT) AS gain FROM sw s
+  WHERE s.g NOT IN (SELECT g FROM p1 UNION SELECT g FROM p2)
+    AND s.it NOT IN (SELECT it FROM c2)
+  GROUP BY 1
+), p3 AS (
+  SELECT g, gain FROM g3 ORDER BY gain DESC, g LIMIT 1
+)
+SELECT CAST(1 AS BIGINT) AS rank, p1.g AS set_id,
+       p1.gain AS marginal_gain, p1.gain AS covered_total
+FROM p1
+UNION ALL
+SELECT CAST(2 AS BIGINT), p2.g, p2.gain, p1.gain + p2.gain
+FROM p1, p2
+UNION ALL
+SELECT CAST(3 AS BIGINT), p3.g, p3.gain, p1.gain + p2.gain + p3.gain
+FROM p1, p2, p3
+"""
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust MAD outlier screen (timeseries.mad_outliers, the Hampel
     identifier; Leys et al. 2013) per (event_type, day-index) group

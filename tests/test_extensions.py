@@ -996,6 +996,61 @@ def test_histogram_quantiles_bracket_exact_and_merge(spark):
         assert lo <= exact < hi, (q, lo, exact, hi)
 
 
+def test_vocab_richness_hand_computed(spark):
+    """Chao1/Good-Turing vs hand math: 'a b c a b c' has trigrams
+    {abc:2, bca:1, cab:1} -> D=3, f1=2, f2=1, N=4; chao1 = 3 + 4/2,
+    p_unseen = 2/4."""
+    from flink_essentials_spark.functions.text import vocab_richness
+
+    df = spark.createDataFrame([("a b c a b c",)], "text string")
+    r = vocab_richness(df, "text", n=3).collect()[0]
+    assert (r["n_tokens"], r["vocab"], r["f1"], r["f2"]) == (4, 3, 2, 1)
+    assert r["chao1"] == 5.0 and r["p_unseen"] == 0.5
+
+
+def test_ams_f2_exact_on_single_key_and_sane(spark):
+    """AMS property: with ONE distinct key every Z_j = ±n, so the
+    estimate is EXACTLY F2 = n² regardless of the signs; on multi-key
+    data the exact self-eval column is the true Σf² and the sketch
+    lands within a loose factor (5 counters)."""
+    from flink_essentials_spark.functions.approx import ams_f2
+
+    one = spark.range(0, 37).select(F.lit("k").alias("u"))
+    r = ams_f2(one, "u").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["exact_f2"]) == (37, 1, 37 * 37)
+    assert r["est_f2"] == float(37 * 37)
+
+    multi = spark.range(0, 300).select((F.col("id") % 17).alias("u"))
+    m = ams_f2(multi, "u").collect()[0]
+    # 17 keys with counts 18 or 17: F2 = 11*18^2 + 6*17^2
+    assert m["exact_f2"] == 11 * 324 + 6 * 289
+    assert 0.2 * m["exact_f2"] < m["est_f2"] < 5 * m["exact_f2"]
+
+
+def test_greedy_coverage_hand_computed(spark):
+    """Greedy max-coverage vs hand math: A{1,2,3,4} first, then C
+    (marginal 2 beats B's 1), then the loop STOPS early when no
+    remaining set adds coverage; with a fresh item E gets picked
+    third."""
+    from flink_essentials_spark.functions.analytics import greedy_coverage
+
+    rows = (
+        [("A", i) for i in (1, 2, 3, 4)]
+        + [("B", i) for i in (3, 4, 5)]
+        + [("C", i) for i in (5, 6)]
+        + [("D", 1)]
+    )
+    df = spark.createDataFrame(rows, "s string, it long")
+    got = [tuple(r) for r in
+           greedy_coverage(df, "s", "it", k=3).orderBy("rank").collect()]
+    assert got == [(1, "A", 4, 4), (2, "C", 2, 6)]
+
+    df2 = spark.createDataFrame(rows + [("E", 7)], "s string, it long")
+    got2 = [tuple(r) for r in
+            greedy_coverage(df2, "s", "it", k=3).orderBy("rank").collect()]
+    assert got2 == [(1, "A", 4, 4), (2, "C", 2, 6), (3, "E", 1, 7)]
+
+
 def test_mad_outliers_hand_computed(spark):
     """Hampel screen vs hand math: odd group med/mad exact integers,
     even group interpolated midpoints; the spike is the only flagged
