@@ -947,3 +947,60 @@ def lsh_incremental_pairs(
     banded_new.unpersist()
     sets_new.unpersist()
     return pairs
+
+
+def sw_score(
+    s1: Column, s2: Column, match: int = 2, mismatch: int = -1, gap: int = -1
+) -> Column:
+    """Smith-Waterman LOCAL alignment score (Smith & Waterman 1981,
+    "Identification of common molecular subsequences") between two
+    short strings — the alignment-quality layer above
+    :func:`fuzzy_match_blocked`'s edit distance: unlike Levenshtein it
+    rewards the best matching REGION (shared substring with small
+    edits) and ignores unrelated prefixes/suffixes, which is what
+    ranks ER candidates whose names share a core but differ at the
+    edges.
+
+        H[i][j] = max(0, H[i-1][j-1] + s(a_i, b_j),
+                         H[i-1][j] + gap, H[i][j-1] + gap)
+
+    Implemented as a nested F.aggregate fold (row-by-row DP; the inner
+    fold carries the left-cell dependency) — integer scores
+    throughout, so the DuckDB oracle's nested list_reduce
+    string-accumulator fold (the burst_detection/wordpiece pattern)
+    replays it exactly. Higher-order folds run interpreted: use on
+    BOUNDED strings over BLOCKED candidate pairs (names, titles,
+    ids — the ER setting), never on document bodies."""
+    n2 = F.length(s2)
+    init = F.struct(
+        F.array_repeat(F.lit(0), (n2 + 1).cast("int")).alias("row"),
+        F.lit(0).alias("best"),
+    )
+
+    def outer(acc, ch):
+        def inner(iacc, j):
+            diag = F.element_at(acc["row"], j)
+            up = F.element_at(acc["row"], j + 1)
+            left = F.element_at(iacc, F.size(iacc))
+            sc = F.when(
+                F.substring(s2, j, F.lit(1)) == ch, F.lit(int(match))
+            ).otherwise(F.lit(int(mismatch)))
+            h = F.greatest(
+                F.lit(0), diag + sc, up + F.lit(int(gap)),
+                left + F.lit(int(gap)),
+            )
+            return F.concat(iacc, F.array(h))
+
+        new_row = F.aggregate(
+            F.sequence(F.lit(1), n2), F.array(F.lit(0)), inner
+        )
+        return F.struct(
+            new_row.alias("row"),
+            F.greatest(acc["best"], F.array_max(new_row)).alias("best"),
+        )
+
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(s1)),
+        lambda i: F.substring(s1, i, F.lit(1)),
+    )
+    return F.aggregate(chars, init, outer)["best"]

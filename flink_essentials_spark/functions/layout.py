@@ -202,3 +202,44 @@ def hilbert_cells(spark, bits: int = 8) -> DataFrame:
     return spark.createDataFrame(
         pd.DataFrame({"cell_x": x, "cell_y": y, "hkey": d})
     )
+
+
+def rendezvous_shard(
+    df, key_col: str, n_shards: int = 8, salt: str = "hrw"
+):
+    """Rendezvous / highest-random-weight sharding (Thaler &
+    Ravishankar 1998 — the consistent-placement scheme behind cache
+    routing and shard maps): key k goes to argmax_s hash(s, k) over
+    the shard list. Adding or removing a shard remaps ONLY the keys
+    whose argmax was that shard (~1/n of keys move, vs ~all for
+    mod-n) — the property that matters when a 100 TB corpus gains a
+    shard and you cannot afford to rewrite every file; pinned by the
+    minimal-disruption test.
+
+    Scan-stage only: explode the bounded shard list per row, one
+    groupBy(key) max(struct(h, s)) argmax — no join, no window over
+    data. The md5 weights are the repo's cross-engine hash, so the
+    whole assignment is under exact oracle. Returns df plus a
+    ``shard`` column."""
+    from pyspark.sql import functions as F
+
+    hv = lambda s: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}"),
+                    F.lit(str(s)),
+                    F.lit(":"),
+                    F.col(key_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    best = F.greatest(
+        *[F.struct(hv(s).alias("h"), F.lit(s).alias("s")) for s in range(n_shards)]
+    ) if n_shards > 1 else F.struct(hv(0).alias("h"), F.lit(0).alias("s"))
+    return df.withColumn("shard", best.getField("s"))

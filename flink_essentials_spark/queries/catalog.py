@@ -1438,6 +1438,12 @@ _REGISTRY: list[Query] = [
     # (tokenizer family driver rows: bpe_trained_merges,
     # unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
+    # r9: Smith-Waterman local alignment (1981) — nested-fold integer
+    # DP over blocked ER pairs; nested list_reduce oracle
+    Query("sw_alignment", llmdata.q_sw_alignment, llmdata.Q_SW_ALIGNMENT_SQL),
+    # r9: rendezvous/HRW shard map (Thaler-Ravishankar 1998) — pure
+    # scan-stage argmax placement; minimal-disruption property pinned
+    Query("rendezvous_shards", llmdata.q_rendezvous_shards, llmdata.Q_RENDEZVOUS_SQL),
     # r9: Chao1 + Good-Turing vocabulary richness (frequency-of-
     # frequencies over trigram types) — single exact-BIGINT divisions
     Query("vocab_richness", llmdata.q_vocab_richness, llmdata.Q_VOCAB_RICHNESS_SQL),

@@ -6029,6 +6029,129 @@ _SQL_TRIGRAMS = (
 )
 
 
+def q_sw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smith-Waterman local alignment (dedup.sw_score, 1981) over the
+    fuzzy_match blocked ER pairs (dirty last-char-dropped customer
+    twins vs the clean roster, 7-digit block): the score that ranks
+    candidates by best shared REGION, beside the Levenshtein distance
+    column. Integer DP throughout; the oracle replays the identical
+    recurrence with a nested list_reduce string-accumulator fold (the
+    bounded-DP pattern)."""
+    from flink_essentials_spark.functions.dedup import sw_score
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias(
+            "dirty_name"
+        ),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_key"),
+        F.col("c_name").alias("clean_name"),
+    )
+    pairs = dirty.join(
+        clean,
+        F.substring("dirty_name", 10, 7) == F.substring("clean_name", 10, 7),
+    )
+    return pairs.select(
+        "dirty_key",
+        "clean_key",
+        sw_score(F.col("dirty_name"), F.col("clean_name"))
+        .cast("long")
+        .alias("sw"),
+        F.levenshtein("dirty_name", "clean_name").alias("distance"),
+    )
+
+
+# the validated nested-fold SW recurrence (match 2 / mismatch -1 /
+# gap -1): outer fold keeps every DP row ';'-joined (prev row = last
+# segment — no let-binding inside DuckDB lambdas), global max at the end
+_SQL_SW = """
+  list_max(list_transform(string_split(replace(
+    list_reduce(
+      list_prepend('0' || repeat(',0', length({s2})),
+                   list_transform(range(1, length({s1}) + 1), i -> {s1}[i])),
+      (acc, ch) ->
+        acc || ';' ||
+        list_reduce(
+          list_prepend('0', list_transform(range(1, length({s2}) + 1),
+                                           j -> CAST(j AS VARCHAR))),
+          (iacc, js) ->
+            iacc || ',' ||
+            greatest(0,
+              string_split(string_split(acc, ';')[-1], ',')[js::INT]::INT
+                + CASE WHEN {s2}[js::INT] = ch THEN 2 ELSE -1 END,
+              string_split(string_split(acc, ';')[-1], ',')[js::INT + 1]::INT
+                - 1,
+              string_split(iacc, ',')[-1]::INT - 1)
+        )
+    ), ';', ','), ','), x -> x::INT))::BIGINT
+"""
+
+Q_SW_ALIGNMENT_SQL = f"""
+WITH dirty AS (
+  SELECT c_custkey AS dirty_key,
+         substring(c_name, 1, length(c_name) - 1) AS dirty_name
+  FROM customer WHERE c_custkey % 10 = 0
+), clean AS (
+  SELECT c_custkey AS clean_key, c_name AS clean_name FROM customer
+)
+SELECT dirty_key, clean_key,
+       {_SQL_SW.format(s1='dirty_name', s2='clean_name')} AS sw,
+       CAST(levenshtein(dirty_name, clean_name) AS INTEGER) AS distance
+FROM dirty JOIN clean
+  ON substring(dirty_name, 10, 7) = substring(clean_name, 10, 7)
+"""
+
+
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW shard map (layout.rendezvous_shard, Thaler &
+    Ravishankar 1998) over document ids into 8 shards, summarized per
+    shard (count, id checksum, id range) — the consistent-placement
+    layout member beside zorder_keys/hilbert_keys: adding a shard
+    moves only ~1/n of keys (pinned by the minimal-disruption test).
+    Pure scan-stage argmax over 8 md5 weights (greatest over (h, s)
+    structs — no explode, no join, no window); the oracle replays the
+    same argmax as ROW_NUMBER ORDER BY h DESC, s DESC. All integers."""
+    from flink_essentials_spark.functions.layout import rendezvous_shard
+
+    t = load_tables(spark, sf_dir)
+    return (
+        rendezvous_shard(t["documents"].select("doc_id"), "doc_id", 8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+Q_RENDEZVOUS_SQL = """
+WITH a AS (
+  SELECT doc_id, s,
+         ('0x' || substring(
+            md5('hrw' || s || ':' || CAST(doc_id AS VARCHAR)), 1, 15)
+         )::BIGINT AS h
+  FROM documents, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(s)
+), pick AS (
+  SELECT doc_id, s AS shard FROM (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY h DESC, s DESC) AS rn
+    FROM a
+  ) WHERE rn = 1
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM pick GROUP BY 1
+"""
+
+
 def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-richness estimators (text.vocab_richness) over word
     TRIGRAM types: Chao1 richness (Chao 1984, D + f1²/(2·f2)) and

@@ -996,6 +996,47 @@ def test_histogram_quantiles_bracket_exact_and_merge(spark):
         assert lo <= exact < hi, (q, lo, exact, hi)
 
 
+def test_sw_score_textbook_cases(spark):
+    """Smith-Waterman vs textbook hand math (match 2 / mismatch -1 /
+    gap -1): identical strings score 2·len, disjoint alphabets 0,
+    tomato/tomjto keeps the full-length local alignment (5 matches +
+    1 mismatch = 9), and self-alignment dominates any other pairing."""
+    from flink_essentials_spark.functions.dedup import sw_score
+
+    df = spark.createDataFrame(
+        [("gattaca", "gcatgcu", 5), ("abc", "abc", 6), ("abc", "xyz", 0),
+         ("tomato", "tomjto", 9), ("banana", "ananas", 10)],
+        "s1 string, s2 string, want long",
+    )
+    rows = df.select(
+        "want", sw_score(F.col("s1"), F.col("s2")).cast("long").alias("sw")
+    ).collect()
+    for r in rows:
+        assert r["sw"] == r["want"], r
+
+
+def test_rendezvous_minimal_disruption(spark):
+    """THE rendezvous-hashing property: growing 8 -> 9 shards, every
+    key either keeps its shard or moves to the NEW shard (the argmax
+    only changes if the new weight wins), and roughly 1/9 of keys
+    move. Mod-9 placement would move ~8/9."""
+    from flink_essentials_spark.functions.layout import rendezvous_shard
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["shard"]
+         for r in rendezvous_shard(df, "k", 8).collect()}
+    b = {r["k"]: r["shard"]
+         for r in rendezvous_shard(df, "k", 9).collect()}
+    moved = 0
+    for k, old in a.items():
+        if b[k] != old:
+            assert b[k] == 8, (k, old, b[k])
+            moved += 1
+    assert 0.04 < moved / 2000 < 0.20, moved
+    # all 8 original shards are populated (balance sanity)
+    assert set(a.values()) == set(range(8))
+
+
 def test_vocab_richness_hand_computed(spark):
     """Chao1/Good-Turing vs hand math: 'a b c a b c' has trigrams
     {abc:2, bca:1, cab:1} -> D=3, f1=2, f2=1, N=4; chao1 = 3 + 4/2,
