@@ -167,6 +167,8 @@ HEADLINE = [
     "vocab_richness",
     "ams_f2",
     "greedy_coverage",
+    "rendezvous_shards",
+    "sw_alignment",
 ]
 
 

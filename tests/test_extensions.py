@@ -1014,6 +1014,36 @@ def test_sw_score_textbook_cases(spark):
     for r in rows:
         assert r["sw"] == r["want"], r
 
+    # the vectorized numpy batch path computes the IDENTICAL scores
+    # (it is the production plan; the fold is the readable reference)
+    from flink_essentials_spark.functions.dedup import sw_scores_batch
+
+    import random
+
+    rng = random.Random(11)
+    rand = [
+        (
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 12))),
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 12))),
+        )
+        for _ in range(40)
+    ]
+    rdf = spark.createDataFrame(
+        [(a, b) for a, b in rand], "s1 string, s2 string"
+    )
+    fold = {
+        (r["s1"], r["s2"]): r["sw"]
+        for r in rdf.select(
+            "s1", "s2",
+            sw_score(F.col("s1"), F.col("s2")).cast("long").alias("sw"),
+        ).collect()
+    }
+    batch = {
+        (r["s1"], r["s2"]): r["sw"]
+        for r in sw_scores_batch(rdf, "s1", "s2").collect()
+    }
+    assert fold == batch
+
 
 def test_rendezvous_minimal_disruption(spark):
     """THE rendezvous-hashing property: growing 8 -> 9 shards, every
