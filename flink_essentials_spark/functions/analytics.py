@@ -328,3 +328,83 @@ def greedy_coverage(
         ]
     )
     return sw.sparkSession.createDataFrame(out_rows, schema)
+
+
+def silhouette_audit(
+    clustered: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette audit (Rousseeuw 1987,
+    "Silhouettes: a graphical aid to the interpretation and validation
+    of cluster analysis"; the centroid variant is the standard
+    large-data form) over integer 2-D features: per point
+    a = dist(point, own centroid), b = min dist to any OTHER
+    centroid, sil = (b − a)/max(a, b) — negative sil means the point
+    sits closer to a foreign cluster than its own, the
+    mis-assignment signal.
+
+    Parity discipline: centroids are exact rationals (Σx/n), so
+    dist = sqrt((n·x − Σx)² + (n·y − Σy)²)/n has an exact-BIGINT
+    radicand — both engines sqrt the identical value. Per-cluster
+    output aggregates ONLY order-independent stats (count, count of
+    negatives, MIN/MAX sil) — never a float SUM, whose accumulation
+    order would differ between engines. Guard sil = 0 when a = b = 0.
+
+    Scale shape: one groupBy for centroids (cluster-bounded), a
+    broadcast cross join of points × the centroid table (BNLJ with a
+    bounded side — allowlisted), one keyed aggregate back. Returns
+    (cluster_id, n, n_neg, min_sil, max_sil)."""
+    pts = clustered.select(
+        F.col(id_col).alias("pid"),
+        F.col(cluster_col).alias("cid"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    cents = pts.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    d = pts.crossJoin(
+        F.broadcast(
+            cents.select(
+                F.col("cid").alias("ccid"), "n", "sx", "sy"
+            )
+        )
+    ).select(
+        "pid",
+        "cid",
+        "ccid",
+        (
+            F.sqrt(
+                (
+                    (F.col("n") * F.col("x") - F.col("sx"))
+                    * (F.col("n") * F.col("x") - F.col("sx"))
+                    + (F.col("n") * F.col("y") - F.col("sy"))
+                    * (F.col("n") * F.col("y") - F.col("sy"))
+                ).cast("double")
+            )
+            / F.col("n")
+        ).alias("dist"),
+    )
+    ab = d.groupBy("pid", "cid").agg(
+        F.max(F.when(F.col("ccid") == F.col("cid"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("ccid") != F.col("cid"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    sil = F.when(
+        F.greatest("a", "b") > 0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(F.lit(0.0))
+    return ab.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("b") < F.col("a")).cast("long").alias("n_neg"),
+        F.min(sil).alias("min_sil"),
+        F.max(sil).alias("max_sil"),
+    )

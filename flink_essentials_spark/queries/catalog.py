@@ -1438,6 +1438,10 @@ _REGISTRY: list[Query] = [
     # (tokenizer family driver rows: bpe_trained_merges,
     # unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
+    # r9: simplified-silhouette cluster audit (Rousseeuw 1987) over
+    # the DBSCAN clustering — exact-radicand centroid distances,
+    # order-independent stats only
+    Query("silhouette_audit", llmdata.q_silhouette_audit, llmdata.Q_SILHOUETTE_SQL),
     # r9: Smith-Waterman local alignment (1981) — nested-fold integer
     # DP over blocked ER pairs; nested list_reduce oracle
     Query("sw_alignment", llmdata.q_sw_alignment, llmdata.Q_SW_ALIGNMENT_SQL),

@@ -6699,6 +6699,71 @@ LEFT JOIN border b USING (pid)
 """.replace("{vc}", "CAST(round(value * 100) AS BIGINT)")
 
 
+def q_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit (analytics.silhouette_audit, Rousseeuw
+    1987 — the centroid-based simplified silhouette) over the
+    dbscan_users clustering: per cluster the count of points whose
+    nearest FOREIGN centroid beats their own (negative silhouette =
+    the mis-assignment signal) plus min/max silhouette. Centroid
+    distances have exact-BIGINT radicands (sqrt((n·x−Σx)²+…)/n) and
+    the aggregate uses only order-independent stats (counts, MIN/MAX)
+    — no float sums, so the audit is bit-deterministic cross-engine
+    on top of the full recursive-CTE DBSCAN oracle."""
+    from flink_essentials_spark.functions.analytics import silhouette_audit
+    from flink_essentials_spark.functions.graph import dbscan_2d
+    from flink_essentials_spark.queries.util import cents
+
+    t = load_tables(spark, sf_dir)
+    f = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.floor(F.sum(cents("value")) / F.lit(10000)).alias("y"),
+        )
+    )
+    clustered = dbscan_2d(f, "user_id", "x", "y", eps=4, min_samples=5)
+    return silhouette_audit(
+        clustered.filter(F.col("cluster_id") != -1),
+        "user_id",
+        "cluster_id",
+        "x",
+        "y",
+    )
+
+
+Q_SILHOUETTE_SQL = f"""
+WITH dbs AS (
+  {Q_DBSCAN_SQL}
+), pt AS (
+  SELECT user_id AS pid, x, y, cluster_id AS cid
+  FROM dbs WHERE cluster_id <> -1
+), cl AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+  FROM pt GROUP BY 1
+), d AS (
+  SELECT p.pid, p.cid, c.cid AS ccid,
+         sqrt(CAST((c.n * p.x - c.sx) * (c.n * p.x - c.sx)
+                 + (c.n * p.y - c.sy) * (c.n * p.y - c.sy) AS DOUBLE))
+           / c.n AS dist
+  FROM pt p, cl c
+), ab AS (
+  SELECT pid, cid,
+         MAX(CASE WHEN ccid = cid THEN dist END) AS a,
+         MIN(CASE WHEN ccid <> cid THEN dist END) AS b
+  FROM d GROUP BY 1, 2
+)
+SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE b < a) AS BIGINT) AS n_neg,
+       MIN(CASE WHEN greatest(a, b) > 0
+                THEN (b - a) / greatest(a, b) ELSE 0.0 END) AS min_sil,
+       MAX(CASE WHEN greatest(a, b) > 0
+                THEN (b - a) / greatest(a, b) ELSE 0.0 END) AS max_sil
+FROM ab GROUP BY 1
+"""
+
+
 def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scores per document
     (text.kneser_ney_score, Kneser & Ney 1995 / Chen & Goodman 1998)

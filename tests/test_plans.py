@@ -255,6 +255,10 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "unigram_segments": {"BroadcastNestedLoopJoin"},
         # one-row total-token broadcast (corpus_mixture pattern)
         "pmi_collocations": {"BroadcastNestedLoopJoin"},
+        # points x bounded centroid table (the similarity_topk pattern)
+        "silhouette_audit": {"BroadcastNestedLoopJoin"},
+        # one-row sketch-estimate broadcast (corpus_mixture pattern)
+        "ams_f2": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},
         # two one-row u-probability broadcasts (exact integer ratios);
         # the candidate pairs themselves come from a blocked EQUI-join
