@@ -163,7 +163,7 @@ HEADLINE = [
     "ddsketch_quantiles",
     "pmi_collocations",
     "trend_lines",
-    "mad_outliers",
+    "hampel_outliers",
     "vocab_richness",
     "ams_f2",
     "greedy_coverage",

@@ -1457,10 +1457,11 @@ _REGISTRY: list[Query] = [
     # r9: greedy maximum coverage (Nemhauser-Wolsey-Fisher 1978) —
     # 3-round marginal-gain source selection, unrolled-CTE oracle
     Query("greedy_coverage", llmdata.q_greedy_coverage, llmdata.Q_GREEDY_COVERAGE_SQL),
-    # r9: Hampel/MAD robust outlier screen (Leys 2013) — exact
-    # interpolated medians, integer k, one keyed exchange; the
-    # robust sibling of length_outliers' z-scores
-    Query("mad_outliers", llmdata.q_mad_outliers, llmdata.Q_MAD_OUTLIERS_SQL),
+    # r9: Hampel per-(type, day) outlier screen (Leys 2013) — exact
+    # interpolated medians over integer cents, integer k, one keyed
+    # exchange; the bounded-group, zero-rounding sibling of the r5
+    # per-type mad_outliers control chart
+    Query("hampel_outliers", llmdata.q_hampel_outliers, llmdata.Q_HAMPEL_OUTLIERS_SQL),
     # r9: per-key OLS trend lines — exact normal equations; slope one
     # BIGINT division, intercept/R2 fixed-association doubles; the
     # trend member of the time-series family beside ewma_anomaly

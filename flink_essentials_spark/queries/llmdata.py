@@ -6287,7 +6287,7 @@ FROM p1, p2, p3
 """
 
 
-def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust MAD outlier screen (timeseries.mad_outliers, the Hampel
     identifier; Leys et al. 2013) per (event_type, day-index) group
     over value cents: med/MAD are exact-or-midpoint interpolated
@@ -6308,7 +6308,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(v, ["event_type", "day"], "v", k=3)
 
 
-def _mad_outliers_sql() -> str:
+def _hampel_outliers_sql() -> str:
     from flink_essentials_spark.queries.util import sql_cents
 
     return f"""
@@ -6334,7 +6334,7 @@ FROM dm GROUP BY 1, 2
 """
 
 
-Q_MAD_OUTLIERS_SQL = _mad_outliers_sql()
+Q_HAMPEL_OUTLIERS_SQL = _hampel_outliers_sql()
 
 
 def q_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
