@@ -1398,8 +1398,14 @@ _REGISTRY: list[Query] = [
     # cdc_state (lakehouse MERGE materialization), snapshot_diff
     # (data-diff audit), streaming_capped_sessions (python-stateful
     # streaming under oracle), readability or hashed_features
-    # (featurization), windowed_quantiles (windowed percentiles), plus
-    # any r9-new algorithms. Demotion candidates (genuine redundancy):
+    # (featurization), windowed_quantiles (windowed percentiles), and
+    # the r9-new named algorithms: hits_authority (directional graph
+    # scoring), ddsketch_quantiles (the relative-error quantile
+    # member), pmi_collocations (phrase mining), sw_alignment
+    # (vectorized ER alignment), greedy_coverage (submodular
+    # selection), silhouette_audit (cluster eval), ams_f2,
+    # vocab_richness, trend_lines, hampel_outliers,
+    # rendezvous_shards. Demotion candidates (genuine redundancy):
     # map_state_counts vs the capped_sessions keyed-state coverage,
     # time_rollup's ROLLUP vs type_day_cube's CUBE (tail), hilbert_keys
     # vs zorder_keys if hilbert is promoted, psi_drift vs ewma_anomaly
