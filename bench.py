@@ -169,6 +169,9 @@ HEADLINE = [
     "greedy_coverage",
     "rendezvous_shards",
     "sw_alignment",
+    "silhouette_audit",
+    "kcenter_seeds",
+    "mink_surprisal",
 ]
 
 

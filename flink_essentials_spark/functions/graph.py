@@ -736,3 +736,70 @@ def dbscan_2d(
             .alias("cluster_id"),
         )
     )
+
+
+def kcenter_seeds(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Farthest-first traversal (Gonzalez 1985, "Clustering to
+    minimize the maximum intercluster distance" — the 2-approximation
+    for k-center, and the deterministic seeding k-means++ randomizes):
+    seed 1 = the MINIMUM id (a fixed deterministic start); each
+    further seed is the point with the maximum distance to its
+    nearest chosen seed, ties to the minimum id. The coreset /
+    diverse-sample selector: k points that provably spread over the
+    data.
+
+    All distances are exact integer squares; each round updates the
+    per-point min-distance column against ONE new broadcast seed
+    (localCheckpointed — the iterative-plan lesson) and collects only
+    the single argmax row (bounded driver argmax, the greedy_coverage
+    pattern). Returns (rank, id, x, y, d2) with d2 = squared distance
+    to the nearest EARLIER seed (0 for the first)."""
+    f = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).localCheckpoint()
+    first = f.orderBy("pid").first()
+    seeds = [(1, first["pid"], first["x"], first["y"], 0)]
+    d = f.filter(F.col("pid") != F.lit(first["pid"])).select(
+        "pid", "x", "y",
+        (
+            (F.col("x") - F.lit(first["x"])) * (F.col("x") - F.lit(first["x"]))
+            + (F.col("y") - F.lit(first["y"]))
+            * (F.col("y") - F.lit(first["y"]))
+        ).alias("dmin"),
+    ).localCheckpoint()
+    for r in range(2, int(k) + 1):
+        best = d.orderBy(F.desc("dmin"), F.asc("pid")).first()
+        if best is None:
+            break
+        seeds.append((r, best["pid"], best["x"], best["y"], best["dmin"]))
+        nd = (
+            (F.col("x") - F.lit(best["x"])) * (F.col("x") - F.lit(best["x"]))
+            + (F.col("y") - F.lit(best["y"]))
+            * (F.col("y") - F.lit(best["y"]))
+        )
+        d = d.filter(F.col("pid") != F.lit(best["pid"])).select(
+            "pid", "x", "y", F.least(F.col("dmin"), nd).alias("dmin")
+        ).localCheckpoint()
+    from pyspark.sql import types as T
+
+    id_t = f.schema["pid"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType()),
+            T.StructField("id", id_t),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+            T.StructField("d2", T.LongType()),
+        ]
+    )
+    return f.sparkSession.createDataFrame(
+        [(r, p, x, y, int(dd)) for r, p, x, y, dd in seeds], schema
+    )

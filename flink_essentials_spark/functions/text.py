@@ -2017,3 +2017,75 @@ def vocab_richness(
         ).alias("chao1"),
         (F.col("f1").cast("double") / F.col("n_tokens")).alias("p_unseen"),
     )
+
+
+def mink_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_pct_num: int = 1,
+    k_pct_den: int = 5,
+) -> DataFrame:
+    """Min-K% Prob membership score (Shi et al. 2023, "Detecting
+    pretraining data from large language models") in integer-surprisal
+    form: per document, the summed surprisal of its
+    k = ceil(n·k_pct) HIGHEST-surprisal tokens under the corpus-self
+    unigram model — the membership/contamination detector (a document
+    whose least-likely tokens are still likely was probably seen).
+    Token surprisal = bit-length(N div c_w), an exact integer (the
+    unigram_segments cost idiom): the top-k sum is a BIGINT
+    (tie-invariant — equal costs contribute equally regardless of
+    rank order), the per-token average ONE division. Vocabulary joins
+    broadcast (Zipf-bounded); ranking is a doc-keyed window. Returns
+    (id, n_tokens, k, mink_cost, mink_avg)."""
+    from pyspark.sql import Window as W
+
+    tok = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokenize(F.col(text_col))).alias("w"),
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").cast("long").alias("n_total"))
+    costed = (
+        tok.join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__id",
+            F.length(F.bin(F.expr("n_total div c"))).cast("long").alias(
+                "cost"
+            ),
+        )
+    )
+    kn, kd = int(k_pct_num), int(k_pct_den)
+    ranked = costed.select(
+        "__id",
+        "cost",
+        F.row_number()
+        .over(W.partitionBy("__id").orderBy(F.desc("cost")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("__id")).alias("n"),
+    )
+    return (
+        ranked.groupBy("__id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.expr(f"(max(n) * {kn} + {kd} - 1) div {kd}").alias("k"),
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.expr(f"(n * {kn} + {kd} - 1) div {kd}"),
+                    F.col("cost"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("mink_cost"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "k",
+            "mink_cost",
+            (F.col("mink_cost").cast("double") / F.col("k")).alias(
+                "mink_avg"
+            ),
+        )
+    )

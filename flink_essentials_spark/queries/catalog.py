@@ -1444,6 +1444,12 @@ _REGISTRY: list[Query] = [
     # (tokenizer family driver rows: bpe_trained_merges,
     # unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
+    # r9: Min-K% Prob membership score (Shi et al. 2023) in integer-
+    # surprisal form — the pretraining-data / contamination detector
+    Query("mink_surprisal", llmdata.q_mink_surprisal, llmdata.Q_MINK_SURPRISAL_SQL),
+    # r9: Gonzalez farthest-first k-center seeds (1985) — the
+    # deterministic seeding/coreset member of the clustering family
+    Query("kcenter_seeds", llmdata.q_kcenter_seeds, llmdata.Q_KCENTER_SQL),
     # r9: simplified-silhouette cluster audit (Rousseeuw 1987) over
     # the DBSCAN clustering — exact-radicand centroid distances,
     # order-independent stats only

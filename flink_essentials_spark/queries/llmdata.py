@@ -6699,6 +6699,121 @@ LEFT JOIN border b USING (pid)
 """.replace("{vc}", "CAST(round(value * 100) AS BIGINT)")
 
 
+def q_mink_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% Prob membership score (Shi et al. 2023, "Detecting
+    pretraining data from large language models") in the repo's
+    integer-surprisal form: per document, the summed surprisal of its
+    k = ceil(20%·n) HIGHEST-surprisal tokens under the corpus-self
+    unigram model — the membership/contamination detector (a document
+    whose least-likely tokens are still likely was probably seen by
+    the model). Token surprisal = bit-length(N div c_w), an exact
+    integer (the unigram_segments cost idiom), so the top-k sum is a
+    BIGINT (tie-invariant: equal costs contribute equally) and the
+    per-token average is ONE division. Vocabulary joins broadcast;
+    ranking is a doc-keyed window."""
+    from flink_essentials_spark.functions.text import mink_surprisal
+
+    t = load_tables(spark, sf_dir)
+    return mink_surprisal(t["documents"], "text", "doc_id")
+
+
+Q_MINK_SURPRISAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS t FROM toks
+), uni AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uni
+), costed AS (
+  SELECT doc_id, CAST(length(bin(tot.n_total // u.c)) AS BIGINT) AS cost
+  FROM tok JOIN uni u ON tok.t = u.t, tot
+), ranked AS (
+  SELECT doc_id, cost,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cost DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM costed
+), agg AS (
+  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+         CAST((MAX(n) + 4) // 5 AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN rn <= (n + 4) // 5 THEN cost ELSE 0 END)
+              AS BIGINT) AS mink_cost
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, k, mink_cost,
+       CAST(mink_cost AS DOUBLE) / k AS mink_avg
+FROM agg
+"""
+
+
+def q_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first traversal (graph.kcenter_seeds, Gonzalez 1985 —
+    the k-center 2-approximation and the deterministic ancestor of
+    k-means++ seeding) over the same per-user integer features the
+    DBSCAN row clusters: 4 seeds, start = minimum user id, each next
+    seed the point farthest (exact integer d²) from its nearest chosen
+    seed, ties to minimum id. The oracle unrolls the identical rounds
+    as CTEs — the coreset/diverse-seed member of the clustering
+    family (cells / density / connectivity / eval / seeding)."""
+    from flink_essentials_spark.functions.graph import kcenter_seeds
+    from flink_essentials_spark.queries.util import cents
+
+    t = load_tables(spark, sf_dir)
+    f = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.floor(F.sum(cents("value")) / F.lit(10000)).alias("y"),
+        )
+    )
+    return kcenter_seeds(f, "user_id", "x", "y", k=4)
+
+
+def _kcenter_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    d2 = "({p}.x - {s}.x) * ({p}.x - {s}.x) + ({p}.y - {s}.y) * ({p}.y - {s}.y)"
+    return f"""
+WITH f AS (
+  SELECT user_id AS pid, CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM({sql_cents('value')}) // 10000 AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), s1 AS (
+  SELECT pid, x, y FROM f ORDER BY pid LIMIT 1
+), d1 AS (
+  SELECT f.pid, f.x, f.y, {d2.format(p='f', s='s')} AS dmin
+  FROM f, s1 s WHERE f.pid <> s.pid
+), s2 AS (
+  SELECT pid, x, y, dmin FROM d1 ORDER BY dmin DESC, pid LIMIT 1
+), dd2 AS (
+  SELECT d.pid, d.x, d.y,
+         LEAST(d.dmin, {d2.format(p='d', s='s')}) AS dmin
+  FROM d1 d, s2 s WHERE d.pid <> s.pid
+), s3 AS (
+  SELECT pid, x, y, dmin FROM dd2 ORDER BY dmin DESC, pid LIMIT 1
+), dd3 AS (
+  SELECT d.pid, d.x, d.y,
+         LEAST(d.dmin, {d2.format(p='d', s='s')}) AS dmin
+  FROM dd2 d, s3 s WHERE d.pid <> s.pid
+), s4 AS (
+  SELECT pid, x, y, dmin FROM dd3 ORDER BY dmin DESC, pid LIMIT 1
+)
+SELECT CAST(1 AS BIGINT) AS rank, pid AS id, x, y,
+       CAST(0 AS BIGINT) AS d2 FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), pid, x, y, CAST(dmin AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), pid, x, y, CAST(dmin AS BIGINT) FROM s3
+UNION ALL
+SELECT CAST(4 AS BIGINT), pid, x, y, CAST(dmin AS BIGINT) FROM s4
+"""
+
+
+Q_KCENTER_SQL = _kcenter_sql()
+
+
 def q_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-quality audit (analytics.silhouette_audit, Rousseeuw
     1987 — the centroid-based simplified silhouette) over the

@@ -996,6 +996,41 @@ def test_histogram_quantiles_bracket_exact_and_merge(spark):
         assert lo <= exact < hi, (q, lo, exact, hi)
 
 
+def test_mink_surprisal_hand_computed(spark):
+    """Min-K% integer surprisal vs hand math on a 2-doc corpus:
+    N=7, counts a:5/b:1/c:1 -> cost(a)=bitlen(7//5)=1,
+    cost(b)=cost(c)=bitlen(7)=3; k=ceil(20% n)=1 for both docs, so
+    mink = the single rarest-token cost (3)."""
+    from flink_essentials_spark.functions.text import mink_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["k"], r["mink_cost"], r["mink_avg"])
+        for r in mink_surprisal(docs, "text", "doc_id").collect()
+    }
+    assert got == {1: (5, 1, 3, 3.0), 2: (2, 1, 3, 3.0)}
+
+
+def test_kcenter_seeds_hand_computed(spark):
+    """Farthest-first on a line (x = 0,1,2,10,20): start at min id
+    (x=0), then the far end (d²=400), then the middle gap point
+    (d²=100), then x=2 (d²=4) — each the exact farthest-from-chosen."""
+    from flink_essentials_spark.functions.graph import kcenter_seeds
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 1, 0), (3, 2, 0), (4, 10, 0), (5, 20, 0)],
+        "pid long, x long, y long",
+    )
+    got = [
+        (r["rank"], r["id"], r["d2"])
+        for r in kcenter_seeds(df, "pid", "x", "y", k=4)
+        .orderBy("rank").collect()
+    ]
+    assert got == [(1, 1, 0), (2, 5, 400), (3, 4, 100), (4, 3, 4)]
+
+
 def test_sw_score_textbook_cases(spark):
     """Smith-Waterman vs textbook hand math (match 2 / mismatch -1 /
     gap -1): identical strings score 2·len, disjoint alphabets 0,

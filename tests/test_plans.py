@@ -259,6 +259,8 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "silhouette_audit": {"BroadcastNestedLoopJoin"},
         # one-row sketch-estimate broadcast (corpus_mixture pattern)
         "ams_f2": {"BroadcastNestedLoopJoin"},
+        # one-row total-token broadcast (corpus_mixture pattern)
+        "mink_surprisal": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},
         # two one-row u-probability broadcasts (exact integer ratios);
         # the candidate pairs themselves come from a blocked EQUI-join
