@@ -613,6 +613,56 @@ def test_cm_maintained_over_a_stream_equals_batch(spark, tmp_path):
     )
 
 
+def test_ddsketch_maintained_over_a_stream_equals_batch(spark, tmp_path):
+    """DDSketch live-maintenance e2e (bucket-SUM merge — completes the
+    streaming sketch matrix: HLL / Count-Min / histogram / DDSketch):
+    per micro-batch dd_sketch rows fold into the versioned rollup;
+    the final stored sketch equals the one-shot batch sketch, so
+    relative-error quantiles over an unbounded stream cost 63·2^s
+    rows of state, and the p50/p95 read-out from the MAINTAINED
+    sketch equals the direct answer."""
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.queries import util
+    from flink_essentials_spark.sinks import versioned
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "rollup")
+    t = load_tables(spark, SF_DIR)
+    ev = t["events"].select(util.cents("value").alias("v_c"))
+    ev.repartition(3).write.parquet(src)
+
+    def fold(bdf, epoch_id):
+        sk = approx.dd_sketch(bdf, "v_c")
+        refresh_rollup(
+            spark, base, sk, ["bucket", "lb"], {"cnt": ("sum", "cnt")},
+            epoch_id=epoch_id,
+        )
+
+    sdf = file_replay(spark, src, "v_c long", files_per_trigger=1)
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    stored = versioned.read_current(spark, base)
+    oneshot = approx.dd_sketch(ev, "v_c")
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+    got = sorted(
+        map(tuple, approx.dd_quantiles(
+            stored, [(1, 2), (19, 20)]
+        ).collect())
+    )
+    direct = sorted(
+        map(tuple, approx.dd_quantiles(
+            oneshot, [(1, 2), (19, 20)]
+        ).collect())
+    )
+    assert got == direct and len(got) == 2
+
+
 def test_histogram_maintained_over_a_stream_equals_batch(spark, tmp_path):
     """Histogram live-maintenance e2e (bin-SUM merge): per micro-batch
     bin counts fold into the rollup; the final stored histogram equals
