@@ -521,28 +521,33 @@ def hits(
         .distinct()
         .localCheckpoint()
     )
+    # SPARSE intermediates: a node absent from a half-step table has
+    # score 0, and a zero contributes nothing to the next sum — so the
+    # per-iteration zero-fill joins against the node list are pure
+    # plan fat; only the FINAL output left-joins + coalesces
     h = nodes.select("node", F.lit(1).cast("long").alias("hub"))
     a = None
     for _ in range(iterations):
-        a_sum = (
+        a = (
             e.join(h.select(F.col("node").alias("src"), "hub"), "src")
             .groupBy("dst")
-            .agg(F.sum("hub").alias("s"))
+            .agg(F.sum("hub").cast("long").alias("auth"))
+            .select(F.col("dst").alias("node"), "auth")
         )
-        a = nodes.join(
-            a_sum.select(F.col("dst").alias("node"), "s"), "node", "left"
-        ).select("node", F.coalesce("s", F.lit(0)).cast("long").alias("auth"))
-        h_sum = (
+        h = (
             e.join(a.select(F.col("node").alias("dst"), "auth"), "dst")
             .groupBy("src")
-            .agg(F.sum("auth").alias("s"))
+            .agg(F.sum("auth").cast("long").alias("hub"))
+            .select(F.col("src").alias("node"), "hub")
         )
-        h = nodes.join(
-            h_sum.select(F.col("src").alias("node"), "s"), "node", "left"
-        ).select("node", F.coalesce("s", F.lit(0)).cast("long").alias("hub"))
     return (
-        h.join(a, "node")
-        .select("node", "hub", F.col("auth").alias("authority"))
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("authority"),
+        )
     )
 
 
