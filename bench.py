@@ -172,6 +172,7 @@ HEADLINE = [
     "silhouette_audit",
     "kcenter_seeds",
     "mink_surprisal",
+    "pca_features",
 ]
 
 

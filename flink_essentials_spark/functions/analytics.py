@@ -408,3 +408,73 @@ def silhouette_audit(
         F.min(sil).alias("min_sil"),
         F.max(sil).alias("max_sil"),
     )
+
+
+def pca_2d(
+    df: DataFrame, x_col: str, y_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Exact 2-D principal component analysis (Pearson 1901, "On
+    lines and planes of closest fit to systems of points in space")
+    over integer features — the covariance eigenstructure in CLOSED
+    FORM, so none of the iterative-SVD nondeterminism applies:
+
+      cxx = n·Σx² − (Σx)²   cyy = n·Σy² − (Σy)²   cxy = n·Σxy − Σx·Σy
+      λ± = ((cxx+cyy) ± sqrt((cxx−cyy)² + 4·cxy²)) / 2
+
+    All c terms are exact BIGINTs (the n²-scaled central moments);
+    squaring them would overflow int64, so the discriminant is
+    computed in DOUBLES with pinned association (d1·d1 + 4·(d2·d2)
+    over exactly-cast operands — IEEE products of identical inputs
+    are identical, so both engines sqrt the same value); λ, the
+    explained-variance ratio λ₁/(λ₁+λ₂) and Pearson
+    r = cxy/(sqrt(cxx)·sqrt(cyy)) follow the same discipline —
+    bit-identical cross-engine, zero rounding. One aggregate pass.
+    Returns (group..., n, cxx, cyy, cxy, lam1, lam2, var_ratio,
+    pearson_r)."""
+    gc = list(group_cols or [])
+    d = df.select(
+        *gc,
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    a = d.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    s = a.select(
+        *gc,
+        "n",
+        cxx.alias("cxx"),
+        cyy.alias("cyy"),
+        cxy.alias("cxy"),
+    )
+    d1 = (F.col("cxx") - F.col("cyy")).cast("double")
+    d2 = F.col("cxy").cast("double")
+    disc = F.sqrt(d1 * d1 + 4 * (d2 * d2))
+    lam1 = ((F.col("cxx") + F.col("cyy")).cast("double") + disc) / 2
+    lam2 = ((F.col("cxx") + F.col("cyy")).cast("double") - disc) / 2
+    return s.select(
+        *gc,
+        "n",
+        "cxx",
+        "cyy",
+        "cxy",
+        lam1.alias("lam1"),
+        lam2.alias("lam2"),
+        F.when(lam1 + lam2 > 0, lam1 / (lam1 + lam2)).alias("var_ratio"),
+        F.when(
+            (F.col("cxx") > 0) & (F.col("cyy") > 0),
+            F.col("cxy").cast("double")
+            / (
+                F.sqrt(F.col("cxx").cast("double"))
+                * F.sqrt(F.col("cyy").cast("double"))
+            ),
+        ).alias("pearson_r"),
+    )

@@ -1444,6 +1444,10 @@ _REGISTRY: list[Query] = [
     # (tokenizer family driver rows: bpe_trained_merges,
     # unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
+    # r9: exact 2-D PCA (Pearson 1901) — closed-form covariance
+    # eigenvalues, explained-variance ratio, Pearson r; no iterative
+    # SVD, pinned-association doubles over exact BIGINT moments
+    Query("pca_features", llmdata.q_pca_features, llmdata.Q_PCA_SQL),
     # r9: Min-K% Prob membership score (Shi et al. 2023) in integer-
     # surprisal form — the pretraining-data / contamination detector
     Query("mink_surprisal", llmdata.q_mink_surprisal, llmdata.Q_MINK_SURPRISAL_SQL),

@@ -6699,6 +6699,76 @@ LEFT JOIN border b USING (pid)
 """.replace("{vc}", "CAST(round(value * 100) AS BIGINT)")
 
 
+def q_pca_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-D PCA (analytics.pca_2d, Pearson 1901) of the per-user
+    (activity, spend) feature cloud, per event-type slice: closed-form
+    covariance eigenvalues (no iterative SVD), explained-variance
+    ratio, and Pearson correlation — the is-this-feature-pair-
+    redundant audit. Central moments are exact BIGINTs; the
+    discriminant/λ/ratio arithmetic is pinned-association doubles over
+    those exact operands, bit-identical cross-engine."""
+    from flink_essentials_spark.functions.analytics import pca_2d
+    from flink_essentials_spark.queries.util import cents
+
+    t = load_tables(spark, sf_dir)
+    f = (
+        t["events"]
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.floor(F.sum(cents("value")) / F.lit(1000)).alias("y"),
+        )
+    )
+    return pca_2d(f, "x", "y", ["event_type"])
+
+
+def _pca_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    return f"""
+WITH f AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM({sql_cents('value')}) // 1000 AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM f GROUP BY 1
+), c AS (
+  SELECT event_type, n,
+         n * sxx - sx * sx AS cxx,
+         n * syy - sy * sy AS cyy,
+         n * sxy - sx * sy AS cxy
+  FROM a
+), e AS (
+  SELECT event_type, n, cxx, cyy, cxy,
+         sqrt(CAST(cxx - cyy AS DOUBLE) * CAST(cxx - cyy AS DOUBLE)
+              + 4 * (CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))) AS disc
+  FROM c
+)
+SELECT event_type, n, cxx, cyy, cxy,
+       (CAST(cxx + cyy AS DOUBLE) + disc) / 2 AS lam1,
+       (CAST(cxx + cyy AS DOUBLE) - disc) / 2 AS lam2,
+       CASE WHEN (CAST(cxx + cyy AS DOUBLE) + disc) / 2
+               + (CAST(cxx + cyy AS DOUBLE) - disc) / 2 > 0
+            THEN ((CAST(cxx + cyy AS DOUBLE) + disc) / 2)
+               / ((CAST(cxx + cyy AS DOUBLE) + disc) / 2
+                  + (CAST(cxx + cyy AS DOUBLE) - disc) / 2)
+       END AS var_ratio,
+       CASE WHEN cxx > 0 AND cyy > 0
+            THEN CAST(cxy AS DOUBLE)
+               / (sqrt(CAST(cxx AS DOUBLE)) * sqrt(CAST(cyy AS DOUBLE)))
+       END AS pearson_r
+FROM e
+"""
+
+
+Q_PCA_SQL = _pca_sql()
+
+
 def q_mink_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-K% Prob membership score (Shi et al. 2023, "Detecting
     pretraining data from large language models") in the repo's

@@ -1046,6 +1046,44 @@ def test_histogram_quantiles_bracket_exact_and_merge(spark):
         assert lo <= exact < hi, (q, lo, exact, hi)
 
 
+def test_pca_2d_matches_numpy_eigens(spark):
+    """Closed-form 2-D PCA vs numpy: eigenvalues of the n²-scaled
+    covariance matrix, explained-variance ratio, and Pearson r all
+    match numpy's eigvalsh/corrcoef; a perfectly-collinear cloud gets
+    var_ratio 1 and r 1."""
+    import numpy as np
+
+    from flink_essentials_spark.functions.analytics import pca_2d
+
+    rng = np.random.RandomState(3)
+    xs = rng.randint(0, 100, 60)
+    ys = (2 * xs + rng.randint(-10, 10, 60)).astype(int)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], "x long, y long"
+    )
+    r = pca_2d(df, "x", "y").collect()[0]
+    n = len(xs)
+    m = np.array(
+        [
+            [n * (xs * xs).sum() - xs.sum() ** 2,
+             n * (xs * ys).sum() - xs.sum() * ys.sum()],
+            [n * (xs * ys).sum() - xs.sum() * ys.sum(),
+             n * (ys * ys).sum() - ys.sum() ** 2],
+        ],
+        dtype=float,
+    )
+    lam = np.linalg.eigvalsh(m)
+    assert abs(r["lam1"] - lam[1]) / lam[1] < 1e-12
+    assert abs(r["lam2"] - lam[0]) / max(abs(lam[0]), 1) < 1e-9
+    assert abs(r["pearson_r"] - np.corrcoef(xs, ys)[0, 1]) < 1e-12
+
+    line = spark.createDataFrame(
+        [(i, 3 * i) for i in range(10)], "x long, y long"
+    )
+    rl = pca_2d(line, "x", "y").collect()[0]
+    assert rl["var_ratio"] == 1.0 and rl["pearson_r"] == 1.0
+
+
 def test_mink_surprisal_hand_computed(spark):
     """Min-K% integer surprisal vs hand math on a 2-doc corpus:
     N=7, counts a:5/b:1/c:1 -> cost(a)=bitlen(7//5)=1,
