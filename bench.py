@@ -173,6 +173,7 @@ HEADLINE = [
     "kcenter_seeds",
     "mink_surprisal",
     "pca_features",
+    "url_canonical",
 ]
 
 

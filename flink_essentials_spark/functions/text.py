@@ -2089,3 +2089,53 @@ def mink_surprisal(
             ),
         )
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """RFC 3986-style URL normalization as pure scan-stage Column ops
+    — the variant-collapsing step before URL-level dedup / frequency
+    counting in a web corpus (the same page arrives as HTTPS://Host:443
+    /p#frag, https://host/p?utm_source=x, ...): lowercase scheme and
+    host, drop default ports (80/http, 443/https), strip the fragment,
+    normalize an empty path to '/', drop utm_* tracking parameters,
+    and SORT the surviving query parameters. Everything is
+    substring/array arithmetic inside whole-stage codegen — no UDF, no
+    regex backtracking in the hot path."""
+    u0 = F.substring_index(url, "#", 1)
+    scheme = F.lower(F.substring_index(u0, "://", 1))
+    tail = F.substring_index(u0, "://", -1)
+    hostport = F.substring_index(tail, "/", 1)
+    rest = F.substring(tail, F.length(hostport) + 1, F.lit(1 << 20))
+    path = F.when(rest == "", F.lit("/")).otherwise(
+        F.substring_index(rest, "?", 1)
+    )
+    qstr = F.when(
+        F.instr(rest, "?") > 0,
+        F.substring(rest, F.instr(rest, "?") + 1, F.lit(1 << 20)),
+    ).otherwise(F.lit(""))
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port = F.when(
+        F.instr(hostport, ":") > 0, F.substring_index(hostport, ":", -1)
+    ).otherwise(F.lit(""))
+    keep_port = ~(
+        (port == "")
+        | ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80"))
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(qstr, "&"),
+            lambda p: (~p.startswith("utm_")) & (p != ""),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        qpart,
+    )

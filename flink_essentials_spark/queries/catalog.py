@@ -1444,6 +1444,10 @@ _REGISTRY: list[Query] = [
     # (tokenizer family driver rows: bpe_trained_merges,
     # unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
+    # r9: RFC 3986 URL canonicalization + variant dedup — scan-stage
+    # normalization (lowercase/default-port/fragment/utm/param-sort);
+    # oracle rebuilds canonical forms arithmetically (url_stats trick)
+    Query("url_canonical", llmdata.q_url_canonical, llmdata.Q_URL_CANONICAL_SQL),
     # r9: exact 2-D PCA (Pearson 1901) — closed-form covariance
     # eigenvalues, explained-variance ratio, Pearson r; no iterative
     # SVD, pinned-association doubles over exact BIGINT moments

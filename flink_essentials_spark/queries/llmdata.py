@@ -943,6 +943,87 @@ FROM spiked GROUP BY domain
 """
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + variant dedup (text.canonical_url, RFC
+    3986 normalization): three deterministic MESSY variants are spiked
+    per document (uppercase scheme/host + default port + fragment +
+    utm params; a clean twin on even ids; an http default-port form
+    with unsorted params on %3 ids), regex-extracted case-insensitively
+    and collapsed by the scan-stage canonicalizer — lowercase
+    scheme/host, default-port drop, fragment strip, utm_* removal,
+    sorted query params. The oracle rebuilds each CANONICAL form
+    arithmetically (the url_stats pattern — immune to string-fn
+    dialect drift): variants 1+2 collapse to one https canonical per
+    (d%5, d%11) class, variant 3 keeps its '?a=1&b=2' http canonical,
+    so any canonicalization miss shows up as a count mismatch."""
+    t = load_tables(spark, sf_dir)
+    d = F.col("doc_id")
+    m5 = (d % 5).cast("string")
+    m11 = (d % 11).cast("string")
+    spiked = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see HTTPS://Shop"), m5, F.lit(".Example.COM:443/item/"),
+            m11, F.lit("?utm_source=a#top"),
+            F.when(
+                d % 2 == 0,
+                F.concat(
+                    F.lit(" dup https://shop"), m5,
+                    F.lit(".example.com/item/"), m11,
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" alt http://shop"), m5,
+                    F.lit(".example.com:80/item/"), m11,
+                    F.lit("?b=2&a=1&utm_x=9"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    urls = spiked.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"(?i)https?://[^\s]+"), 0
+            )
+        ).alias("url"),
+    )
+    return (
+        urls.select("doc_id", text.canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+Q_URL_CANONICAL_SQL = """
+WITH v AS (
+  SELECT doc_id,
+         'https://shop' || (doc_id % 5) || '.example.com/item/'
+           || (doc_id % 11) AS canon
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'https://shop' || (doc_id % 5) || '.example.com/item/'
+           || (doc_id % 11)
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id,
+         'http://shop' || (doc_id % 5) || '.example.com/item/'
+           || (doc_id % 11) || '?a=1&b=2'
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT canon AS canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM v GROUP BY 1
+"""
+
+
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition (mixture weights) per (lang, source)."""
     t = load_tables(spark, sf_dir)

@@ -1046,6 +1046,32 @@ def test_histogram_quantiles_bracket_exact_and_merge(spark):
         assert lo <= exact < hi, (q, lo, exact, hi)
 
 
+def test_canonical_url_cases(spark):
+    """RFC 3986 normalization edge cases: case folding, default-port
+    drop (scheme-aware: 8080 survives), fragment strip, empty-path
+    '/', utm_* removal, and query-parameter sorting."""
+    from flink_essentials_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTPS://Shop2.Example.COM:443/item/7?utm_source=a#top",
+         "https://shop2.example.com/item/7"),
+        ("https://shop2.example.com/item/7",
+         "https://shop2.example.com/item/7"),
+        ("http://shop2.example.com:80/item/7?b=2&a=1&utm_x=9",
+         "http://shop2.example.com/item/7?a=1&b=2"),
+        ("http://host.org", "http://host.org/"),
+        ("http://host.org:8080/x", "http://host.org:8080/x"),
+        ("https://h.io/p/q/?z=1&y=2#f", "https://h.io/p/q/?y=2&z=1"),
+        # https on port 80 is NOT default -> kept
+        ("https://h.io:80/", "https://h.io:80/"),
+    ]
+    df = spark.createDataFrame(cases, "u string, want string")
+    for r in df.select(
+        "u", "want", canonical_url(F.col("u")).alias("got")
+    ).collect():
+        assert r["got"] == r["want"], (r["u"], r["got"], r["want"])
+
+
 def test_pca_2d_matches_numpy_eigens(spark):
     """Closed-form 2-D PCA vs numpy: eigenvalues of the n²-scaled
     covariance matrix, explained-variance ratio, and Pearson r all
