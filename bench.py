@@ -174,6 +174,7 @@ HEADLINE = [
     "mink_surprisal",
     "pca_features",
     "url_canonical",
+    "weighted_jaccard",
 ]
 
 

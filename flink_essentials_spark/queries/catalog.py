@@ -1444,6 +1444,10 @@ _REGISTRY: list[Query] = [
     # (tokenizer family driver rows: bpe_trained_merges,
     # unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
+    # r9: weighted Jaccard / histogram intersection (Swain-Ballard
+    # 1991) between source word-count vectors — the multiset sibling
+    # of kmv_set_ops; one word-keyed inner join covers the union
+    Query("weighted_jaccard", llmdata.q_weighted_jaccard, llmdata.Q_WEIGHTED_JACCARD_SQL),
     # r9: RFC 3986 URL canonicalization + variant dedup — scan-stage
     # normalization (lowercase/default-port/fragment/utm/param-sort);
     # oracle rebuilds canonical forms arithmetically (url_stats trick)

