@@ -362,7 +362,9 @@ def silhouette_audit(
         F.col(cluster_col).alias("cid"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
-    )
+    ).localCheckpoint()  # read 2x (centroids + the distance cross join);
+    # the upstream is typically a full clustering plan (dbscan) — never
+    # re-run it per consumer
     cents = pts.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
