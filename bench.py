@@ -175,6 +175,7 @@ HEADLINE = [
     "pca_features",
     "url_canonical",
     "weighted_jaccard",
+    "sorted_neighborhood",
 ]
 
 

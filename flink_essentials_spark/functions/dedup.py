@@ -1079,3 +1079,74 @@ def sw_scores_batch(
             yield out
 
     return df.mapInPandas(run, out_schema)
+
+
+def sorted_neighborhood(
+    records: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood ER blocking (Hernández & Stolfo 1995, "The
+    merge/purge problem for large databases"): sort all records by a
+    fuzzy key, slide a width-``window`` window, and emit every pair
+    inside it — the blocking-free candidate generator that catches
+    near-dups equi-blocks split (a typo in the blocking prefix).
+
+    Scale shape: the global rank uses the distributed range-sort +
+    per-partition rank + partition-offset scheme (the
+    global_count_windows pattern — no single-partition window over the
+    data); pairs are then ONE equi-join on rank (each row joins to its
+    ``window-1`` successors via an exploded delta), linear in n·window.
+    The sort key is made total by (key, id), so ranks — and therefore
+    the candidate set — are deterministic. Returns (id_a, key_a, id_b,
+    key_b, rank_gap) with 1 <= rank_gap < window."""
+    from pyspark.sql import Window as W
+
+    base = records.select(
+        F.col(id_col).alias("rid"), F.col(key_col).alias("k")
+    )
+    ranged = base.repartitionByRange(F.col("k"), F.col("rid"))
+    part = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__rn",
+        F.row_number().over(W.partitionBy("__pid").orderBy("k", "rid")),
+    )
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    ranked = (
+        part.join(F.broadcast(offsets), "__pid")
+        .select(
+            "rid", "k", (F.col("__offset") + F.col("__rn")).alias("rk")
+        )
+        .localCheckpoint()  # both sides of the pair join read it
+    )
+    probes = ranked.select(
+        F.col("rid").alias("id_a"),
+        F.col("k").alias("key_a"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(window) - 1))
+        ).alias("rank_gap"),
+        F.col("rk"),
+    ).select(
+        "id_a", "key_a", "rank_gap", (F.col("rk") + F.col("rank_gap")).alias("rk2")
+    )
+    return probes.join(
+        ranked.select(
+            F.col("rid").alias("id_b"),
+            F.col("k").alias("key_b"),
+            F.col("rk").alias("rk2"),
+        ),
+        "rk2",
+    ).select("id_a", "key_a", "id_b", "key_b", "rank_gap")

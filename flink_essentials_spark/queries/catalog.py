@@ -1444,6 +1444,10 @@ _REGISTRY: list[Query] = [
     # (tokenizer family driver rows: bpe_trained_merges,
     # unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
+    # r9: sorted-neighborhood ER blocking (Hernandez-Stolfo 1995) —
+    # blocking-free candidate generation via the distributed global
+    # rank + rank equi-join; no single-partition window
+    Query("sorted_neighborhood", llmdata.q_sorted_neighborhood, llmdata.Q_SORTED_NEIGHBORHOOD_SQL),
     # r9: weighted Jaccard / histogram intersection (Swain-Ballard
     # 1991) between source word-count vectors — the multiset sibling
     # of kmv_set_ops; one word-keyed inner join covers the union

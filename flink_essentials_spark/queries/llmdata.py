@@ -943,6 +943,55 @@ FROM spiked GROUP BY domain
 """
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER candidates (dedup.sorted_neighborhood,
+    Hernández & Stolfo 1995) over the dirty-twin roster (every 10th
+    customer's name minus its last character, id-shifted, unioned with
+    the clean roster): sort by (name, id), slide a width-3 window —
+    the blocking-FREE generator whose sort brings each twin adjacent
+    to its original even when a prefix block would have split them.
+    Output pairs carry their rank gap and Levenshtein distance; the
+    oracle replays the identical total order with ROW_NUMBER. The
+    global rank is the distributed range-sort + partition-offset
+    scheme — no single-partition window over the data."""
+    from flink_essentials_spark.functions.dedup import sorted_neighborhood
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + F.lit(1000000000)).alias("rid"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("name"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("name")
+    )
+    u = dirty.unionByName(clean)
+    pairs = sorted_neighborhood(u, "rid", "name", window=3)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "rank_gap",
+        F.levenshtein("key_a", "key_b").alias("distance"),
+    )
+
+
+Q_SORTED_NEIGHBORHOOD_SQL = """
+WITH u AS (
+  SELECT c_custkey + 1000000000 AS rid,
+         substring(c_name, 1, length(c_name) - 1) AS name
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_name FROM customer
+), r AS (
+  SELECT rid, name, ROW_NUMBER() OVER (ORDER BY name, rid) AS rk FROM u
+)
+SELECT a.rid AS id_a, b.rid AS id_b,
+       CAST(b.rk - a.rk AS INTEGER) AS rank_gap,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 2
+"""
+
+
 def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted Jaccard / histogram-intersection similarity (Swain &
     Ballard 1991; the multiset refinement of kmv_set_ops' SET

@@ -1046,6 +1046,27 @@ def test_histogram_quantiles_bracket_exact_and_merge(spark):
         assert lo <= exact < hi, (q, lo, exact, hi)
 
 
+def test_sorted_neighborhood_hand_computed(spark):
+    """SNM window-3 over a known sort order: exactly the gap-1 and
+    gap-2 pairs of the (key, id) total order, nothing else — and a
+    twin that a prefix block would MISS ('aa9'/'ab0' share no prefix
+    block but are rank-adjacent) is captured."""
+    from flink_essentials_spark.functions.dedup import sorted_neighborhood
+
+    df = spark.createDataFrame(
+        [(1, "aa9"), (2, "ab0"), (3, "ac"), (4, "zz")],
+        "rid long, k string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["rank_gap"])
+        for r in sorted_neighborhood(df, "rid", "k", window=3).collect()
+    }
+    assert got == {
+        (1, 2, 1), (2, 3, 1), (3, 4, 1),
+        (1, 3, 2), (2, 4, 2),
+    }
+
+
 def test_weighted_jaccard_hand_computed(spark):
     """Histogram intersection vs hand math: sources A='a a b', B='a b b c'
     -> sum_min = min(2,1)+min(1,2) = 2; J_w = 2/(3+4-2) = 0.4;
