@@ -176,6 +176,7 @@ HEADLINE = [
     "url_canonical",
     "weighted_jaccard",
     "sorted_neighborhood",
+    "langid_agreement",
 ]
 
 

@@ -1444,6 +1444,10 @@ _REGISTRY: list[Query] = [
     # (tokenizer family driver rows: bpe_trained_merges,
     # unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
+    # r9: language-ID confusion matrix + Cohen's kappa (1960) — the
+    # chance-corrected agreement eval of the engine's own predictor,
+    # kappa as one exact-BIGINT division
+    Query("langid_agreement", llmdata.q_langid_agreement, llmdata.Q_LANGID_AGREEMENT_SQL),
     # r9: sorted-neighborhood ER blocking (Hernandez-Stolfo 1995) —
     # blocking-free candidate generation via the distributed global
     # rank + rank equi-join; no single-partition window

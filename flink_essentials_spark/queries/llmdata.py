@@ -1599,6 +1599,91 @@ FROM scored
 Q_LANGUAGE_ID_NGRAM_SQL = _ngram_sql()
 
 
+def q_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation harness over the n-gram language
+    identifier: the (true label, prediction) confusion matrix against
+    the corpus's lang column, with overall accuracy and COHEN'S KAPPA
+    (Cohen 1960, "A coefficient of agreement for nominal scales") —
+    chance-corrected agreement as ONE exact-BIGINT division:
+    κ = (N·trace − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k). The
+    eval member of the self-audit family (lsh_recall / kmv exact /
+    tokenizer_compare): the engine's own predictor is measured, under
+    full oracle, with zero rounding beyond the predictor's documented
+    round(,6) scores."""
+    from flink_essentials_spark.functions.text import language_id_ngram
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pred = language_id_ngram(docs).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", F.col("lang").alias("lang_true")).join(
+        pred, "doc_id"
+    )
+    conf = joined.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rowt = joined.groupBy(F.col("lang_true").alias("k")).agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    colt = joined.groupBy(F.col("lang_pred").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = rowt.join(colt, "k").agg(
+        F.sum(F.col("r") * F.col("c")).cast("long").alias("s")
+    )
+    totals = joined.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("lang_true") == F.col("lang_pred"))
+        .cast("long")
+        .alias("trace"),
+    )
+    stats = totals.crossJoin(F.broadcast(s)).select(
+        "n_total",
+        (F.col("trace").cast("double") / F.col("n_total")).alias("accuracy"),
+        F.when(
+            F.col("n_total") * F.col("n_total") - F.col("s") != 0,
+            (F.col("n_total") * F.col("trace") - F.col("s")).cast("double")
+            / (F.col("n_total") * F.col("n_total") - F.col("s")),
+        ).alias("kappa"),
+    )
+    return conf.crossJoin(F.broadcast(stats))
+
+
+Q_LANGID_AGREEMENT_SQL = f"""
+WITH pred AS (
+  {Q_LANGUAGE_ID_NGRAM_SQL}
+), j AS (
+  SELECT d.doc_id, d.lang AS lang_true, p.lang_pred
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+), conf AS (
+  SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2
+), rowt AS (
+  SELECT lang_true AS k, CAST(COUNT(*) AS BIGINT) AS r FROM j GROUP BY 1
+), colt AS (
+  SELECT lang_pred AS k, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1
+), sm AS (
+  SELECT CAST(SUM(r * c) AS BIGINT) AS s
+  FROM rowt JOIN colt ON rowt.k = colt.k
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN lang_true = lang_pred THEN 1 ELSE 0 END)
+              AS BIGINT) AS trace
+  FROM j
+), stats AS (
+  SELECT n_total,
+         CAST(trace AS DOUBLE) / n_total AS accuracy,
+         CASE WHEN n_total * n_total - s <> 0
+              THEN CAST(n_total * trace - s AS DOUBLE)
+                   / (n_total * n_total - s)
+         END AS kappa
+  FROM tot, sm
+)
+SELECT conf.lang_true, conf.lang_pred, conf.n,
+       stats.n_total, stats.accuracy, stats.kappa
+FROM conf, stats
+"""
+
+
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone composition: an end-to-end training-data filter —
     exact-dedup keepers ∩ quality threshold ∩ language = en ∩ token

@@ -1046,6 +1046,33 @@ def test_histogram_quantiles_bracket_exact_and_merge(spark):
         assert lo <= exact < hi, (q, lo, exact, hi)
 
 
+def test_cohens_kappa_hand_computed(spark):
+    """The kappa arithmetic used by langid_agreement, pinned on the
+    textbook case: truths (a,a,b,b) vs preds (a,b,b,b) -> trace 3,
+    S = 2·1 + 2·3 = 8, kappa = (4·3 − 8)/(16 − 8) = 0.5, accuracy
+    0.75 — matching sklearn.metrics.cohen_kappa_score's definition."""
+    j = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b")],
+        "lang_true string, lang_pred string",
+    )
+    rowt = j.groupBy(F.col("lang_true").alias("k")).agg(
+        F.count(F.lit(1)).alias("r"))
+    colt = j.groupBy(F.col("lang_pred").alias("k")).agg(
+        F.count(F.lit(1)).alias("c"))
+    s = rowt.join(colt, "k").agg(
+        F.sum(F.col("r") * F.col("c")).cast("long").alias("s"))
+    tot = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("lang_true") == F.col("lang_pred"))
+        .cast("long").alias("trace"))
+    r = tot.crossJoin(s).select(
+        (F.col("trace").cast("double") / F.col("n")).alias("acc"),
+        ((F.col("n") * F.col("trace") - F.col("s")).cast("double")
+         / (F.col("n") * F.col("n") - F.col("s"))).alias("kappa"),
+    ).collect()[0]
+    assert r["acc"] == 0.75 and r["kappa"] == 0.5
+
+
 def test_sorted_neighborhood_hand_computed(spark):
     """SNM window-3 over a known sort order: exactly the gap-1 and
     gap-2 pairs of the (key, id) total order, nothing else — and a

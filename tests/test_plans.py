@@ -261,6 +261,8 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "ams_f2": {"BroadcastNestedLoopJoin"},
         # one-row total-token broadcast (corpus_mixture pattern)
         "mink_surprisal": {"BroadcastNestedLoopJoin"},
+        # two one-row stats broadcasts (corpus_mixture pattern)
+        "langid_agreement": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},
         # two one-row u-probability broadcasts (exact integer ratios);
         # the candidate pairs themselves come from a blocked EQUI-join
