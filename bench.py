@@ -177,6 +177,7 @@ HEADLINE = [
     "weighted_jaccard",
     "sorted_neighborhood",
     "langid_agreement",
+    "source_concentration",
 ]
 
 

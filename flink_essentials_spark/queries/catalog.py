@@ -1444,6 +1444,9 @@ _REGISTRY: list[Query] = [
     # (tokenizer family driver rows: bpe_trained_merges,
     # unigram_segments)
     Query("wordpiece_encode", llmdata.q_wordpiece_encode, llmdata.Q_WORDPIECE_SQL),
+    # r9: Herfindahl-Hirschman source concentration per language —
+    # HHI + effective source count, single exact-BIGINT divisions
+    Query("source_concentration", llmdata.q_source_concentration, llmdata.Q_SOURCE_CONCENTRATION_SQL),
     # r9: language-ID confusion matrix + Cohen's kappa (1960) — the
     # chance-corrected agreement eval of the engine's own predictor,
     # kappa as one exact-BIGINT division

@@ -1599,6 +1599,65 @@ FROM scored
 Q_LANGUAGE_ID_NGRAM_SQL = _ngram_sql()
 
 
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index (Herfindahl 1950 /
+    Hirschman 1945) of source shares per language — the
+    is-this-corpus-dominated-by-one-crawl audit a mixture designer
+    runs before weighting: HHI = Σ share_i² = Σ c_i² / N² (ONE
+    division of exact BIGINTs; c_i ≤ N ≤ corpus size keeps Σc² in
+    int64 to ~3B docs per slice) and the effective source count
+    1/HHI (a second division of the identical double). Two chained
+    map-side-combinable aggregates — scan-bounded at any scale."""
+    t = load_tables(spark, sf_dir)
+    per = (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_sources",
+            (
+                F.col("sum_sq").cast("double")
+                / (F.col("n_docs") * F.col("n_docs"))
+            ).alias("hhi"),
+            (
+                F.lit(1.0)
+                / (
+                    F.col("sum_sq").cast("double")
+                    / (F.col("n_docs") * F.col("n_docs"))
+                )
+            ).alias("effective_sources"),
+        )
+    )
+
+
+Q_SOURCE_CONCENTRATION_SQL = """
+WITH per AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), a AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(SUM(c * c) AS BIGINT) AS sum_sq
+  FROM per GROUP BY 1
+)
+SELECT lang, n_docs, n_sources,
+       CAST(sum_sq AS DOUBLE) / (n_docs * n_docs) AS hhi,
+       1.0 / (CAST(sum_sq AS DOUBLE) / (n_docs * n_docs))
+         AS effective_sources
+FROM a
+"""
+
+
 def q_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-evaluation harness over the n-gram language
     identifier: the (true label, prediction) confusion matrix against

@@ -1046,6 +1046,28 @@ def test_histogram_quantiles_bracket_exact_and_merge(spark):
         assert lo <= exact < hi, (q, lo, exact, hi)
 
 
+def test_hhi_hand_computed(spark):
+    """HHI vs hand math: shares (1/2, 1/4, 1/4) -> HHI = 6/16 = 0.375,
+    effective sources = 16/6; a single-source slice gets HHI 1.0."""
+    from flink_essentials_spark.queries.llmdata import (  # noqa: F401
+        q_source_concentration,
+    )
+
+    docs = spark.createDataFrame(
+        [("en", "a")] * 2 + [("en", "b"), ("en", "c"), ("de", "x")],
+        "lang string, source string",
+    )
+    per = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    a = per.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    got = {
+        r["lang"]: r["sq"] / (r["n"] * r["n"]) for r in a.collect()
+    }
+    assert got == {"en": 6 / 16, "de": 1.0}
+
+
 def test_cohens_kappa_hand_computed(spark):
     """The kappa arithmetic used by langid_agreement, pinned on the
     textbook case: truths (a,a,b,b) vs preds (a,b,b,b) -> trace 3,
