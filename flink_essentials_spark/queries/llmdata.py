@@ -7414,13 +7414,27 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64→16 (similarity.random_projection,
     Achlioptas 2003 ±1 variant): deterministic md5-bit sign matrix in
     one broadcast row, each coordinate an order-pinned left fold, the
-    1/sqrt(16)=1/4 scale exact — projected vectors AND both squared
+    1/sqrt(16)=1/4 scale exact — projected coordinates AND both squared
     norms match DuckDB bit-for-bit with zero rounding (the JL
-    distortion is itself an oracle-checked output)."""
+    distortion is itself an oracle-checked output).
+
+    The driver-visible shape is SCALAR-ONLY (r9 verdict #1): the
+    projection array is posexploded to one (vec_id, j, coord) row per
+    dimension — the external driver's pandas canonicalizer cannot
+    sort/hash array columns, so k multiplies ROWS, never width."""
     from flink_essentials_spark.functions.similarity import random_projection
 
     t = load_tables(spark, sf_dir)
-    return random_projection(t["embeddings"], dim=64, k=16)
+    rp = random_projection(t["embeddings"], dim=64, k=16)
+    return rp.select(
+        "vec_id", F.posexplode("proj").alias("j0", "coord"), "n2_orig", "n2_proj"
+    ).select(
+        "vec_id",
+        (F.col("j0") + 1).cast("long").alias("j"),
+        "coord",
+        "n2_orig",
+        "n2_proj",
+    )
 
 
 def _random_projection_sql(dim: int = 64, k: int = 16) -> str:
@@ -7463,7 +7477,18 @@ FROM e, r
 """
 
 
-Q_RANDOM_PROJECTION_SQL = _random_projection_sql(64, 16)
+def _random_projection_scalar_sql(dim: int = 64, k: int = 16) -> str:
+    # Driver-visible scalar shape: UNNEST the proj list to one row per
+    # output dimension (generate_series is a scalar LIST function in
+    # DuckDB 1.0 — the CLAUDE.md UNNEST pattern).
+    return f"""
+SELECT vec_id, j, proj[j] AS coord, n2_orig, n2_proj
+FROM ({_random_projection_sql(dim, k)}) q,
+     UNNEST(generate_series(1, {k})) AS t(j)
+"""
+
+
+Q_RANDOM_PROJECTION_SQL = _random_projection_scalar_sql(64, 16)
 
 
 def q_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,6 +56,38 @@ def con_sf001():
     return c
 
 
+def test_head50_output_schemas_are_atomic(con):
+    """The external driver's canonicalizer sorts result rows through
+    pandas before hashing; a list/struct/map column raises
+    ``TypeError: unhashable type`` and REDDENS the row even when the
+    math is exact — the sole red driver row of round 9
+    (random_projection, array<double> proj).  Every driver-visible
+    (head-50) query must therefore emit only atomic columns; complex
+    types belong in tail rows, whose stringifying local checker copes.
+    DuckDB-side check is sufficient: oracle and Spark schemas must
+    match anyway, so a complex Spark column with a scalar oracle is
+    caught by the ordinary hash gate."""
+    oracles = entrymod.oracle_sql()
+    head = list(entrymod.queries())[:50]
+    offenders = {}
+    for name in head:
+        sql = oracles.get(name)
+        if sql is None:  # rows-only driver check; no pandas canon path
+            continue
+        schema = con.sql(f"SELECT * FROM ({sql}) LIMIT 0").fetch_arrow_table().schema
+        bad = {
+            f.name: str(f.type)
+            for f in schema
+            if any(t in str(f.type) for t in ("list", "struct", "map"))
+        }
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "head-50 (driver-visible) queries emitting complex-typed columns "
+        f"(scalar-ize or demote below the tail marker): {offenders}"
+    )
+
+
 def test_no_vacuous_oracles_at_driver_sf(con_sf001):
     """A 0-row oracle passes the hash gate trivially (empty == empty)
     and verifies nothing — the r4 verdict found three such rows
