@@ -943,7 +943,14 @@ _REGISTRY: list[Query] = [
     # psi_drift: the model-monitoring family's first driver row
     # (population-stability index between stream halves, floor-div
     # integer midpoint on both engines).
-    Query("psi_drift", llmdata.q_psi_drift, llmdata.Q_PSI_DRIFT_SQL),
+    # ROTATION (r10): psi_drift demoted (drift-monitoring family keeps
+    # ewma_anomaly driver-green — the r9 verdict's documented
+    # psi-vs-ewma redundancy pair; PSI stays locally oracle-checked)
+    # -> ddsketch_quantiles: DDSketch (Masson et al. 2019) — the
+    # relative-error quantile sketch, base-2 octave buckets with
+    # exact-integer boundaries, SUM-mergeable across partitions, the
+    # streaming-maintained member of the sketch matrix.
+    Query("ddsketch_quantiles", llmdata.q_ddsketch_quantiles, llmdata.Q_DDSKETCH_SQL),
     Query("keyed_tumbling_windows", dataflow.q_keyed_tumbling_windows, dataflow.Q_KEYED_TUMBLING_WINDOWS_SQL),
     # ROTATION (r7c): sliding_windows demoted (window family is
     # triple-covered: tumbling + keyed_tumbling above, session below)
@@ -983,7 +990,14 @@ _REGISTRY: list[Query] = [
     # dp_release: the differential-privacy release mechanism, the
     # privacy family's MECHANISM sibling to k_anonymity's audit.
     Query("dp_release", llmdata.q_dp_release, llmdata.Q_DP_RELEASE_SQL),
-    Query("window_join", dataflow.q_window_join, dataflow.Q_WINDOW_JOIN_SQL),
+    # ROTATION (r10): window_join demoted (temporal-join family keeps
+    # as_of_join + streaming_join_rollup driver rows — the latter IS a
+    # window join feeding a windowed aggregate; J2 stays locally
+    # oracle-checked + plan-audited) -> sw_alignment: Smith-Waterman
+    # 1981 local alignment, numpy DP vectorized ACROSS Arrow batches
+    # over pre-blocked candidate pairs only (the 102 s interpreted
+    # fold measured down to ~2.6 s at sf0.1).
+    Query("sw_alignment", llmdata.q_sw_alignment, llmdata.Q_SW_ALIGNMENT_SQL),
     # ROTATION (r9): interval_join demoted (temporal-join family keeps
     # window_join + as_of_join + streaming_join_rollup driver rows;
     # J3 incl/excl bounds stay locally green + pytest-pinned) ->
@@ -998,7 +1012,20 @@ _REGISTRY: list[Query] = [
     # exact rationals, continuation prior.
     Query("kneser_ney_lm", llmdata.q_kneser_ney_lm, llmdata.Q_KNESER_NEY_SQL),
     # --- keyed state analogs (§2.9)
-    Query("map_state_counts", dataflow.q_map_state_counts, dataflow.Q_MAP_STATE_COUNTS_SQL),
+    # ROTATION (r10): map_state_counts demoted (the r9 verdict's
+    # documented redundancy vs capped_sessions' keyed-state coverage;
+    # ST3's running keyed counts stay locally oracle-checked) ->
+    # streaming_capped_sessions: the SAME gap+cap session operator in
+    # its live python-stateful streaming form (applyInPandasWithState,
+    # file-replay source, far-future flush sentinels) — the only
+    # python-stateful STREAMING query under full DuckDB oracle.
+    Query(
+        "streaming_capped_sessions",
+        q_streaming_capped_sessions,
+        llmdata.Q_CAPPED_SESSIONS_SQL.replace(
+            "FROM events", "FROM events WHERE user_id % 4 = 0"
+        ),
+    ),
     # ROTATION (r8): first_window_counts demoted (ST1/ST3 keyed-state
     # analogs stay driver-covered by map_state_counts; the first-seen
     # window form stays locally oracle-checked) → table_profile: the
@@ -1079,7 +1106,13 @@ _REGISTRY: list[Query] = [
     # screening against the accumulated window-hash store (fold ==
     # one-shot restricted, the incremental_rollup oracle pattern).
     Query("incremental_decontamination", llmdata.q_incremental_decontamination, llmdata.Q_INCREMENTAL_DECONTAMINATION_SQL),
-    Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
+    # ROTATION (r10): time_rollup demoted (the r9 verdict's documented
+    # redundancy — its ROLLUP grouping sets mirror type_day_cube's
+    # CUBE in the tail; stays locally oracle-checked) ->
+    # hits_authority: Kleinberg 1999 HITS — unrolled integer
+    # half-steps over the sparse link graph, hub/authority scores
+    # exact-BIGINT, sparse intermediates (zero-fill joins dropped).
+    Query("hits_authority", llmdata.q_hits_authority, llmdata.Q_HITS_SQL),
     # ROTATION (r8): parts_rollup demoted (the ROLLUP grouping-set plan
     # family stays driver-covered by time_rollup on another dimension
     # pair) → sample_quantiles: the bottom-k hash-sample quantile
@@ -1162,7 +1195,14 @@ _REGISTRY: list[Query] = [
     # text-quality family keeps its strongest member driver-visible)
     # -> gopher_rules: the published Gopher A1 ruleset — every rule
     # under bit-exact oracle over a spiked corpus with both outcomes.
-    Query("gopher_rules", llmdata.q_gopher_rules, llmdata.Q_GOPHER_RULES_SQL),
+    # ROTATION (r10): gopher_rules demoted (the r9 verdict's documented
+    # gopher-vs-c4 redundancy pair — the text-quality ruleset family
+    # stays locally oracle-checked twice: gopher_rules itself + the
+    # c4_filters line ruleset on the same spiked corpus) ->
+    # langid_agreement: the model-self-eval family's first driver row
+    # — language-ID confusion matrix with Cohen's kappa (1960) as ONE
+    # exact-BIGINT division, per-cell counts under oracle.
+    Query("langid_agreement", llmdata.q_langid_agreement, llmdata.Q_LANGID_AGREEMENT_SQL),
     # ROTATION (r7): language_id_ngram demoted (language family stays
     # covered by quality_score (tail since r8f) + language_id tail) → heavy_hitters:
     # the Count-Min counter sketch under exact cross-engine oracle.
@@ -1189,8 +1229,19 @@ _REGISTRY: list[Query] = [
     # dedup via k-means cells + within-cell priority-ordered greedy
     # drop, cent_sim doubling as the D4 prototypicality score; full
     # oracle via deterministic init (the IVFADC t=0 trick).
-    Query("semantic_dedup", llmdata.q_semantic_dedup, llmdata.Q_SEMANTIC_DEDUP_SQL),
-    Query("pack_sequences", llmdata.q_pack_sequences, llmdata.Q_PACK_SEQUENCES_SQL),
+    # ROTATION (r10): semantic_dedup demoted (the dedup family is the
+    # head's deepest — lsh_near_dups, dedup_clusters, image_dedup,
+    # incremental_decontamination all stay driver-green; SemDeDup
+    # stays locally oracle-checked) -> greedy_coverage: submodular
+    # greedy set cover (Nemhauser et al. 1978) — k bounded one-row
+    # driver argmaxes, the covered set stays distributed.
+    Query("greedy_coverage", llmdata.q_greedy_coverage, llmdata.Q_GREEDY_COVERAGE_SQL),
+    # ROTATION (r10): pack_sequences demoted (the packing/selection
+    # family keeps token_budget_select + training_pipeline + dsir_weights
+    # driver rows; the FFD packer stays locally oracle-checked) ->
+    # pmi_collocations: word2phrase PMI phrase mining (Mikolov et al.
+    # 2013) — bigram/unigram count joins, score an exact rational.
+    Query("pmi_collocations", llmdata.q_pmi_collocations, llmdata.Q_PMI_COLLOCATIONS_SQL),
     # ROTATION (r8b): repetition_stats demoted (text-quality scan
     # family stays driver-covered by quality_score) → duplicate_spans:
     # the NEW stride-1 exact-substring span dedup (Lee et al. 2022
@@ -1198,7 +1249,13 @@ _REGISTRY: list[Query] = [
     # char_dups' strided form remains the linear-cost approximation),
     # mid-text misaligned-spike fixture, string-grouped oracle
     # cross-checking the engine's hash grouping.
-    Query("duplicate_spans", llmdata.q_duplicate_spans, llmdata.Q_DUPLICATE_SPANS_SQL),
+    # ROTATION (r10): duplicate_spans demoted (the stride-1 substring
+    # machinery stays driver-visible through incremental_decontamination,
+    # which composes the SAME span store; one-shot form stays locally
+    # green) -> silhouette_audit: Rousseeuw 1987 centroid silhouette
+    # over the MATERIALIZED dbscan clustering (the r9 verdict #3
+    # index/audit split) — cluster-eval joins the self-eval family.
+    Query("silhouette_audit", llmdata.q_silhouette_audit, llmdata.Q_SILHOUETTE_SQL),
     # ROTATION (r8g): stratified_sample demoted (the sampling family
     # keeps FOUR driver rows — training_pipeline composes the same
     # per-stratum sampler end-to-end, plus pack_sequences,
@@ -1206,7 +1263,14 @@ _REGISTRY: list[Query] = [
     # (Mihalcea & Tarau 2004) — corpus co-occurrence graph built in
     # the scan stage + unrolled weighted-PageRank oracle, the named
     # unsupervised keyword extractor.
-    Query("textrank_keywords", llmdata.q_textrank_keywords, llmdata.Q_TEXTRANK_SQL),
+    # ROTATION (r10): textrank_keywords demoted (keyword/term-weighting
+    # keeps bm25_scores driver-green and textrank stays locally
+    # oracle-checked; its weighted-PageRank iteration shape is now
+    # driver-covered by hits_authority + lpa below) ->
+    # lpa_communities: label propagation (Raghavan et al. 2007) —
+    # synchronous min-label rounds over the sparse edge list, the last
+    # r8 named algorithm still driver-invisible.
+    Query("lpa_communities", llmdata.q_lpa_communities, llmdata.Q_LPA_SQL),
     Query("training_pipeline", llmdata.q_training_pipeline, llmdata.Q_TRAINING_PIPELINE_SQL),
     # --- corpus audit / analytics breadth (promoted r4)
     # ROTATION (r5): url_stats demoted — its oracle family is a plain
@@ -1226,7 +1290,14 @@ _REGISTRY: list[Query] = [
     # by media_features' decode head row + video_fingerprints tail) →
     # bloom_prefilter: BIT_OR-mergeable Bloom join pruning with exact
     # surviving-set + false-positive accounting under oracle.
-    Query("bloom_prefilter", llmdata.q_bloom_prefilter, llmdata.Q_BLOOM_PREFILTER_SQL),
+    # ROTATION (r10): bloom_prefilter demoted (the sketch family keeps
+    # THREE driver rows after this rotation — count_sketch,
+    # kmv_set_ops, ddsketch_quantiles — and the Bloom member stays
+    # locally oracle-checked; its join-pruning role is also
+    # plan-pinned by pytest) -> normalize_unicode: the only
+    # cross-ICU Python-stage oracle (NFKC fold via mapInPandas vs
+    # DuckDB's nfc_normalize + arithmetic fold), Arrow-batched.
+    Query("normalize_unicode", llmdata.q_normalize_unicode, llmdata.Q_NORMALIZE_UNICODE_SQL),
     # --- data selection (distribution matching)
     # ROTATION (r8e): hll_cardinality demoted (the HLL family stays
     # covered twice in the local gate — hll_cardinality itself plus
@@ -1246,6 +1317,20 @@ _REGISTRY: list[Query] = [
     # tools/check_correctness.py. Keep every DISTINCT operator above
     # this line; add new first-class queries ABOVE, demote duplicates.
     # =====================================================================
+    # demoted r10 (head slots went to ddsketch_quantiles, sw_alignment,
+    # streaming_capped_sessions, hits_authority, langid_agreement,
+    # greedy_coverage, pmi_collocations, silhouette_audit,
+    # lpa_communities, normalize_unicode) — all still oracle-checked here
+    Query("psi_drift", llmdata.q_psi_drift, llmdata.Q_PSI_DRIFT_SQL),
+    Query("window_join", dataflow.q_window_join, dataflow.Q_WINDOW_JOIN_SQL),
+    Query("map_state_counts", dataflow.q_map_state_counts, dataflow.Q_MAP_STATE_COUNTS_SQL),
+    Query("time_rollup", dataflow.q_time_rollup, dataflow.Q_TIME_ROLLUP_SQL),
+    Query("gopher_rules", llmdata.q_gopher_rules, llmdata.Q_GOPHER_RULES_SQL),
+    Query("semantic_dedup", llmdata.q_semantic_dedup, llmdata.Q_SEMANTIC_DEDUP_SQL),
+    Query("pack_sequences", llmdata.q_pack_sequences, llmdata.Q_PACK_SEQUENCES_SQL),
+    Query("duplicate_spans", llmdata.q_duplicate_spans, llmdata.Q_DUPLICATE_SPANS_SQL),
+    Query("textrank_keywords", llmdata.q_textrank_keywords, llmdata.Q_TEXTRANK_SQL),
+    Query("bloom_prefilter", llmdata.q_bloom_prefilter, llmdata.Q_BLOOM_PREFILTER_SQL),
     Query("streaming_wordcount", q_streaming_wordcount, dataflow.Q_WORDCOUNT_SQL),
     Query("streaming_windows", q_streaming_windows, dataflow.Q_TUMBLING_WINDOWS_SQL),
     Query("streaming_watermark_dedup", q_streaming_watermark_dedup, Q_STREAMING_DEDUP_SQL),
@@ -1435,10 +1520,7 @@ _REGISTRY: list[Query] = [
     # table vs an independent chained-CTE recurrence in the oracle
     # (layout family stays driver-covered by zorder_keys)
     Query("hilbert_keys", llmdata.q_hilbert_keys, llmdata.Q_HILBERT_KEYS_SQL),
-    # r8-continuation: label-propagation communities (Raghavan 2007)
-    # — synchronous + total tie order (graph family stays driver-
-    # covered by dbscan_users + textrank_keywords + dedup_clusters)
-    Query("lpa_communities", llmdata.q_lpa_communities, llmdata.Q_LPA_SQL),
+    # lpa_communities promoted r10 (see head rotation notes)
     # r8-continuation: WordPiece greedy longest-match encoding — the
     # BERT tokenizer member; dictionary-encoded, fold oracle
     # (tokenizer family driver rows: bpe_trained_merges,
@@ -1447,10 +1529,7 @@ _REGISTRY: list[Query] = [
     # r9: Herfindahl-Hirschman source concentration per language —
     # HHI + effective source count, single exact-BIGINT divisions
     Query("source_concentration", llmdata.q_source_concentration, llmdata.Q_SOURCE_CONCENTRATION_SQL),
-    # r9: language-ID confusion matrix + Cohen's kappa (1960) — the
-    # chance-corrected agreement eval of the engine's own predictor,
-    # kappa as one exact-BIGINT division
-    Query("langid_agreement", llmdata.q_langid_agreement, llmdata.Q_LANGID_AGREEMENT_SQL),
+    # langid_agreement promoted r10 (see head rotation notes)
     # r9: sorted-neighborhood ER blocking (Hernandez-Stolfo 1995) —
     # blocking-free candidate generation via the distributed global
     # rank + rank equi-join; no single-partition window
@@ -1473,13 +1552,7 @@ _REGISTRY: list[Query] = [
     # r9: Gonzalez farthest-first k-center seeds (1985) — the
     # deterministic seeding/coreset member of the clustering family
     Query("kcenter_seeds", llmdata.q_kcenter_seeds, llmdata.Q_KCENTER_SQL),
-    # r9: simplified-silhouette cluster audit (Rousseeuw 1987) over
-    # the DBSCAN clustering — exact-radicand centroid distances,
-    # order-independent stats only
-    Query("silhouette_audit", llmdata.q_silhouette_audit, llmdata.Q_SILHOUETTE_SQL),
-    # r9: Smith-Waterman local alignment (1981) — nested-fold integer
-    # DP over blocked ER pairs; nested list_reduce oracle
-    Query("sw_alignment", llmdata.q_sw_alignment, llmdata.Q_SW_ALIGNMENT_SQL),
+    # silhouette_audit / sw_alignment promoted r10 (head rotation notes)
     # r9: rendezvous/HRW shard map (Thaler-Ravishankar 1998) — pure
     # scan-stage argmax placement; minimal-disruption property pinned
     Query("rendezvous_shards", llmdata.q_rendezvous_shards, llmdata.Q_RENDEZVOUS_SQL),
@@ -1489,9 +1562,7 @@ _REGISTRY: list[Query] = [
     # r9: AMS F2 sketch (Alon-Matias-Szegedy 1996) — self-join-size
     # estimate from 5 signed row-wise counters, exact F2 self-eval
     Query("ams_f2", llmdata.q_ams_f2, llmdata.Q_AMS_F2_SQL),
-    # r9: greedy maximum coverage (Nemhauser-Wolsey-Fisher 1978) —
-    # 3-round marginal-gain source selection, unrolled-CTE oracle
-    Query("greedy_coverage", llmdata.q_greedy_coverage, llmdata.Q_GREEDY_COVERAGE_SQL),
+    # greedy_coverage promoted r10 (see head rotation notes)
     # r9: Hampel per-(type, day) outlier screen (Leys 2013) — exact
     # interpolated medians over integer cents, integer k, one keyed
     # exchange; the bounded-group, zero-rounding sibling of the r5
@@ -1501,21 +1572,8 @@ _REGISTRY: list[Query] = [
     # BIGINT division, intercept/R2 fixed-association doubles; the
     # trend member of the time-series family beside ewma_anomaly
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
-    # r9: word2phrase PMI collocations (Mikolov 2013) — the phrase-
-    # detection pass before tokenizer training; discounted-PMI score
-    # as ONE exact-BIGINT division, zero rounding
-    Query("pmi_collocations", llmdata.q_pmi_collocations, llmdata.Q_PMI_COLLOCATIONS_SQL),
-    # r9: base-2 DDSketch quantiles (Masson et al. VLDB 2019) —
-    # relative-error mergeable sketch with exact integer octave/
-    # sub-bin boundaries; completes the quantile matrix beside
-    # histogram_quantiles (fixed-range) and sample_quantiles
-    # (bottom-k); est vs exact k-th smallest as self-eval
-    Query("ddsketch_quantiles", llmdata.q_ddsketch_quantiles, llmdata.Q_DDSKETCH_SQL),
-    # r9: HITS hubs & authorities (Kleinberg 1999) — unnormalized
-    # integer half-steps over the directed customer->supplier graph,
-    # unrolled-CTE oracle, zero rounding (graph family driver rows:
-    # dbscan_users, textrank_keywords, dedup_clusters)
-    Query("hits_authority", llmdata.q_hits_authority, llmdata.Q_HITS_SQL),
+    # pmi_collocations / ddsketch_quantiles / hits_authority promoted
+    # r10 (see head rotation notes)
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),
@@ -1552,21 +1610,12 @@ _REGISTRY: list[Query] = [
     Query("bpe_merge_pairs", llmdata.q_bpe_merge_pairs, llmdata.Q_BPE_MERGE_PAIRS_SQL),
     # bpe_encoded_docs promoted r8 (see head rotation notes)
     Query("scd2_intervals", llmdata.q_scd2_intervals, llmdata.Q_SCD2_INTERVALS_SQL),
-    Query("normalize_unicode", llmdata.q_normalize_unicode, llmdata.Q_NORMALIZE_UNICODE_SQL),
+    # normalize_unicode promoted r10 (see head rotation notes)
     Query("resample_ffill", llmdata.q_resample_ffill, llmdata.Q_RESAMPLE_FFILL_SQL),
     Query("mad_outliers", llmdata.q_mad_outliers, llmdata.Q_MAD_OUTLIERS_SQL),
     Query("streaming_scd2_enrich", q_streaming_scd2_enrich, Q_STREAMING_SCD2_ENRICH_SQL),
-    # r6: the stateful-processor (applyInPandasWithState+EventTimeTimeout)
-    # path under oracle and in the BENCH — tail row (capped_sessions
-    # keeps the family driver-green; this twin samples the keyspace 4x,
-    # see its docstring)
-    Query(
-        "streaming_capped_sessions",
-        q_streaming_capped_sessions,
-        llmdata.Q_CAPPED_SESSIONS_SQL.replace(
-            "FROM events", "FROM events WHERE user_id % 4 = 0"
-        ),
-    ),
+    # streaming_capped_sessions promoted r10 (see head rotation notes —
+    # the python-stateful streaming path is now driver-visible)
     # demoted r7 (head slots went to heavy_hitters / image_dedup /
     # zorder_keys / bloom_prefilter) — still oracle-checked here
     Query("language_id_ngram", llmdata.q_language_id_ngram, llmdata.Q_LANGUAGE_ID_NGRAM_SQL),
