@@ -220,11 +220,17 @@ def trend_lines(
         den   = n·Σx² − (Σx)²          (exact BIGINT, 0 iff x constant)
         slope = num / den              (ONE division → bit-exact)
         intercept = (Σy − slope·Σx)/n  (doubles on exact operands)
-        R²    = num² / (den·den_y)     (den_y = n·Σy² − (Σy)²)
+        R²    = num² / (den·den_y)     (den_y = n·Σy² − (Σy)² in DOUBLE)
 
     x is CENTERED per key (x − min x) before the sums so the BIGINT
-    products stay bounded by n·Δx·y — int64-safe for millions of
-    points per key at day-granularity x and cent-granularity y.
+    products in num/den stay bounded by n·Δx·y — int64-safe for
+    millions of points per key at day-granularity x and
+    cent-granularity y. den_y is NOT centered-x-bounded (it grows as
+    n²·y², past int64 near ~3k cent-scale rows per key), so it is
+    computed in DOUBLE from the BIGINT sums — both engines cast the
+    identical exact operands and run the identical IEEE ops, so
+    parity holds at any scale and ANSI mode can never overflow; R²
+    itself is a double either way.
     Centering shifts the intercept to the key's own time origin
     (x = min x), the natural per-key reading. The centering min rides
     the SAME keyed hashpartitioning the aggregate needs (window +
@@ -247,7 +253,9 @@ def trend_lines(
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    deny = F.col("n").cast("double") * F.col("syy").cast("double") - F.col(
+        "sy"
+    ).cast("double") * F.col("sy").cast("double")
     staged = a.select(
         key_col, "n", "sx", "sy",
         num.alias("__num"), den.alias("__den"), deny.alias("__deny"),

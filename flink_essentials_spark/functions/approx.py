@@ -366,18 +366,29 @@ def dd_sketch(
         "__bl",
         F.expr("shiftleft(CAST(1 AS BIGINT), __bl - 1)").alias("__p"),
     )
-    sub = ((F.col("__v") - F.col("__p")) * F.lit(two_s)) / F.col("__p")
-    # integer floor division: operands are non-negative longs
-    sub = F.floor(sub).cast("long")
+    # INTEGER division throughout (r9 ADVICE): the double form
+    # ((v-p)*2^s)/p then floor() is exact only while (v-p)*2^s < 2^53,
+    # and the naive integer multiply overflows int64 for top-octave v
+    # (p = 2^62, (v-p)*8 = 2^65). When p >= 2^s the divisor p div 2^s
+    # is exact (p a power of two), so (v-p) div (p div 2^s) equals
+    # ((v-p)*2^s) div p with every intermediate <= v — exact over the
+    # FULL int64 domain in both engines; the multiply form only runs
+    # for v < 2^s, where it is trivially small.
+    sub = F.expr(
+        f"CASE WHEN __p < {two_s} THEN ((__v - __p) * {two_s}) div __p "
+        f"ELSE (__v - __p) div (__p div {two_s}) END"
+    ).alias("__sub")
     return (
-        staged.select(
+        staged.select(*gc, "__bl", "__p", sub)
+        .select(
             *gc,
-            ((F.col("__bl") - 1).cast("long") * F.lit(two_s) + sub).alias(
-                "bucket"
-            ),
             (
-                F.col("__p")
-                + F.floor((sub * F.col("__p")) / F.lit(two_s)).cast("long")
+                (F.col("__bl") - 1).cast("long") * F.lit(two_s)
+                + F.col("__sub")
+            ).alias("bucket"),
+            F.expr(
+                f"CASE WHEN __p < {two_s} THEN __p + (__sub * __p) div {two_s} "
+                f"ELSE __p + __sub * (__p div {two_s}) END"
             ).alias("lb"),
         )
         .groupBy(*gc, "bucket", "lb")

@@ -499,10 +499,13 @@ def hits(
     is invariant — so dropping it keeps every score an exact BIGINT
     and the whole operator under bit-exact cross-engine oracle. Scores
     grow like (max degree)^(2·iterations); with the default 2
-    iterations that is deg⁴, safe in int64 for degrees to ~50k (ANSI
-    mode ERRORS rather than wraps past that). At larger depth/degree,
-    switch to the standard normalized double form — ranking-identical,
-    oracle then needs round().
+    iterations that is deg⁴, safe in int64 for degrees to ~50k. The
+    bound is ENFORCED (r9 ADVICE): one cheap degree aggregate over the
+    already-checkpointed edge list raises ValueError with the measured
+    max degree BEFORE iterating, instead of an opaque ANSI overflow
+    mid-query. At larger depth/degree, switch to the standard
+    normalized double form — ranking-identical, oracle then needs
+    round().
 
     Scale shape: the deduplicated edge list is localCheckpointed (re-
     read 2× per iteration — the pagerank lesson); each half-step is
@@ -521,6 +524,26 @@ def hits(
         .distinct()
         .localCheckpoint()
     )
+    # Overflow guard: exact-BIGINT scores are bounded by
+    # maxdeg^(2·iterations) (each half-step multiplies by at most one
+    # node's degree). ONE aggregate over the checkpointed edge list —
+    # a bounded one-row driver read, the documented argmax pattern;
+    # total degree (in+out) is a conservative stand-in for max(in, out).
+    maxdeg = (
+        e.select(F.col("src").alias("n"))
+        .union(e.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d"))
+        .first()[0]
+        or 1
+    )
+    if int(maxdeg) ** (2 * int(iterations)) >= 1 << 63:
+        raise ValueError(
+            f"hits: max degree {maxdeg} at {iterations} iterations "
+            f"overflows int64 (bound maxdeg^(2*it) >= 2^63); lower "
+            f"iterations or use a normalized double-score variant"
+        )
     # SPARSE intermediates: a node absent from a half-step table has
     # score 0, and a zero contributes nothing to the next sum — so the
     # per-iteration zero-fill joins against the node list are pure

@@ -6737,7 +6737,8 @@ WITH v AS (
   SELECT user_id, n, sx, sy,
          n * sxy - sx * sy AS num,
          n * sxx - sx * sx AS den,
-         n * syy - sy * sy AS deny
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
   FROM a WHERE n >= 3 AND n * sxx - sx * sx > 0
 ), sl AS (
   SELECT user_id, n, sx, sy, num, den, deny,

@@ -1498,6 +1498,41 @@ def test_dd_sketch_relative_error_and_merge(spark):
     }
 
 
+def test_dd_sketch_exact_buckets_over_full_int64_domain(spark):
+    """The r9 ADVICE finding, mechanized: sub-bin bucketing must be
+    EXACT integer arithmetic over the whole int64 domain — the old
+    double form ((v-p)*2^s)/p misplaces values past ~2^50, and a naive
+    integer multiply overflows for top-octave v under ANSI mode.
+    Pins every (bucket, lb) against python bigints for values at and
+    beyond both hazard lines, including int64 max."""
+    vals = [
+        1,
+        (1 << 50) - 1,
+        (1 << 50) + 1,
+        (1 << 53) + 3,
+        (1 << 60) + (1 << 57) + 12345,
+        (1 << 62) + 7,
+        (1 << 62) + (1 << 61) + (1 << 40),
+        (1 << 63) - 1,
+    ]
+    s = 3
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["bucket"]: (r["lb"], r["cnt"])
+        for r in approx.dd_sketch(df, "v", sub_bits=s).collect()
+    }
+    want = {}
+    for v in vals:
+        p = 1 << (v.bit_length() - 1)
+        sub = ((v - p) * (1 << s)) // p  # python ints never overflow
+        bucket = (v.bit_length() - 1) * (1 << s) + sub
+        lb = p + (sub * p) // (1 << s)
+        assert lb <= v, (v, lb)
+        n = want.get(bucket, (lb, 0))[1]
+        want[bucket] = (lb, n + 1)
+    assert got == want
+
+
 # --- approx aggregates vs exact anchors -------------------------------------
 
 

@@ -155,6 +155,30 @@ def test_hits_hand_computed(spark):
     }
 
 
+def test_hits_overflow_guard_raises_before_iterating(spark):
+    """The int64 bound maxdeg^(2·it) is ENFORCED (r9 ADVICE): a hub of
+    degree 60k at 4 iterations (deg^8 ≈ 2^127) must raise an actionable
+    ValueError up front, not an opaque ANSI overflow mid-query. The
+    same graph at 1 iteration stays comfortably exact and must run."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.graph import hits
+
+    deg = 60_000
+    df = spark.range(deg).select(
+        F.lit(0).alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    with _pytest.raises(ValueError, match="overflows int64"):
+        hits(df, iterations=4)
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, iterations=1).collect()
+    }
+    assert got[0] == (deg, 0)
+    assert got[1] == (0, 1)
+
+
 def test_triangle_count_known_graphs(spark):
     """Degree-oriented triangle count vs hand-counted graphs: K4 has 4,
     a path has 0, a star hub has 0 (the case the naive wedge join
