@@ -287,6 +287,7 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    raw_min: dict[str, float] = {}
     query_steal: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in bench_list:
@@ -329,6 +330,7 @@ def main() -> None:
                 timings[name] = round(min(runs), 3)
             else:
                 timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+            raw_min[name] = min(runs)
             # per-query steal delta (warm + timed runs of THIS query):
             # a published row that was inflated from outside the guest
             # carries its own evidence — r5 shipped a 2.18x phantom
@@ -347,6 +349,34 @@ def main() -> None:
         for n, s in query_steal.items()
         if n in timings and s > 0.2 * max(timings[n], 0.05)
     )
+    # AUTO-ADJUDICATION (r9 verdict #4): a steal-flagged row's median is
+    # already suspect; instead of leaving phantom regressions for the
+    # judge to isolate-run by hand (r9: source_concentration published
+    # 2.58 s, adjudicated 0.56 s), re-run each flagged row 2 more times
+    # AFTER the sweep — a later time slot rarely lands in the same
+    # burst — and publish min(all samples) as the adjudicated value.
+    # Steal is one-sided noise, so the min is the honest estimator of
+    # the plan's true cost. Sub-0.3 s rows are skipped: their absolute
+    # error is below run-to-run jitter and re-running them buys nothing.
+    adjudicated: dict[str, float] = {}
+    for name in steal_flagged:
+        if name not in timings or timings[name] < 0.3:
+            continue
+        q = ALL_QUERIES[name]
+        extra: list[float] = []
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                q.fn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                extra.append(time.time() - t0)
+        except Exception:
+            continue  # keep the sweep value; adjudication is best-effort
+        adjudicated[name] = round(min([raw_min[name], *extra]), 3)
+    adj_total = round(
+        sum(adjudicated.get(n, t) for n, t in timings.items()), 3
+    )
     steal_s = (
         round((_steal_ticks() - steal0) / 100.0, 1) if steal0 >= 0 else None
     )
@@ -357,6 +387,8 @@ def main() -> None:
         "queries": timings,
         "query_steal_s": query_steal,
     }
+    if adjudicated:
+        detail["adjudicated"] = adjudicated
     if failures:
         detail["failures"] = failures
     print(json.dumps(detail))
@@ -373,6 +405,9 @@ def main() -> None:
         # host-steal seconds during this bench run (100 ticks/s): >10 s
         # here means the totals above carry guest-invisible noise
         "steal_s": steal_s,
+        # total with each flagged row replaced by its post-sweep
+        # isolate-re-run min — the steal-corrected headline
+        "value_adj": adj_total,
         "steal_flagged": steal_flagged,
     }
     if failures:
