@@ -276,6 +276,18 @@ def trend_lines(
     )
 
 
+def _coverage_round(sw: DataFrame, chosen: list, covered) -> DataFrame:
+    """ONE greedy-coverage round's candidate-scoring plan, extracted so
+    the plan-budget sweep can pin its exchange/join counts (the final
+    greedy_coverage output is a bounded createDataFrame — the cost
+    lives here): anti-join against the covered items, then one
+    map-side-combined count per candidate set."""
+    cand = sw.filter(~F.col("g").isin(chosen)) if chosen else sw
+    if covered is not None:
+        cand = cand.join(covered, "it", "left_anti")
+    return cand.groupBy("g").agg(F.count(F.lit(1)).alias("gain"))
+
+
 def greedy_coverage(
     pairs: DataFrame, set_col: str, item_col: str, k: int = 3
 ) -> DataFrame:
@@ -306,12 +318,8 @@ def greedy_coverage(
     out_rows = []
     total = 0
     for r in range(1, int(k) + 1):
-        cand = sw.filter(~F.col("g").isin(chosen)) if chosen else sw
-        if covered is not None:
-            cand = cand.join(covered, "it", "left_anti")
         best = (
-            cand.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("gain"))
+            _coverage_round(sw, chosen, covered)
             .orderBy(F.desc("gain"), F.asc("g"))
             .first()
         )

@@ -583,6 +583,19 @@ def test_heavy_row_exchange_budgets(spark):
         "dsir_weights": (15, 2),
         "lpa_communities": (9, 3),
         "kneser_ney_lm": (17, 4),
+        # r10 (r9 verdict #5): the new 1-3 s rows where plan fat would
+        # hide behind steal noise. hits: 2 iterations x (2 joins + 2
+        # partial-aggregated groupBys) + the final sparse left-joins;
+        # silhouette: the audit alone over the MATERIALIZED assignment
+        # (centroid agg + broadcast cross join + 2 keyed aggs);
+        # sw_alignment's DP runs in one mapInPandas over the eagerly
+        # pre-blocked pairs — its tail plan must stay join-light;
+        # weighted_jaccard: per-source word vectors + ONE word-keyed
+        # inner join covering the union.
+        "hits_authority": (17, 9),
+        "silhouette_audit": (4, 1),
+        "sw_alignment": (2, 2),
+        "weighted_jaccard": (14, 3),
     }
     for name, (max_x, max_j) in budgets.items():
         plan = plan_of(spark, name)
@@ -590,6 +603,39 @@ def test_heavy_row_exchange_budgets(spark):
         assert tree.count("Exchange") <= max_x, (
             name, tree.count("Exchange"), max_x)
         assert tree.count("Join") <= max_j, (name, tree.count("Join"), max_j)
+
+
+def test_greedy_coverage_round_plan_budget(spark):
+    """greedy_coverage's cost lives in the PER-ROUND candidate scoring
+    (the returned frame is a bounded createDataFrame), so the budget
+    pins _coverage_round directly: round 1 is ONE map-side-combined
+    aggregate (1 exchange, 0 joins); later rounds add exactly one
+    left-anti join against the covered set (2 exchanges, 1 join)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.analytics import _coverage_round
+
+    sw = (
+        spark.range(100)
+        .select((F.col("id") % 7).alias("g"), (F.col("id") % 31).alias("it"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cov = sw.filter(F.col("g") == 0).select("it").localCheckpoint()
+
+    def counts(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        tree = buf.getvalue().split("\n(1)")[0]
+        return tree.count("Exchange"), tree.count("Join")
+
+    assert counts(_coverage_round(sw, [], None)) == (1, 0)
+    x, j = counts(_coverage_round(sw, [0], cov))
+    assert x <= 2 and j == 1, (x, j)
 
 
 def test_ewma_single_keyed_exchange(spark):
