@@ -225,3 +225,110 @@ def mad_outliers(
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    key_col: str,
+    split_col: str,
+    value_col: str,
+    bands: int = 64,
+    crit_sq: float = 1.8496,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per key (Kolmogorov
+    1933; Smirnov 1948 two-sample form) — the NONPARAMETRIC member of
+    the drift family beside psi_drift's binned divergence and
+    ewma_control's level shifts: D = sup_v |F_a(v) − F_b(v)| between
+    the two samples tagged by boolean ``split_col`` (a = true), with
+    the large-sample rejection rule D > c(α)·sqrt((n_a+n_b)/(n_a·n_b)),
+    c(0.05) = 1.36 (``crit_sq`` = c², compared in squares so no sqrt
+    enters the parity path).
+
+    Exactness: the sup runs over the pooled distinct values; at each,
+    |cum_a·n_b − cum_b·n_a| is an exact BIGINT (≤ n_a·n_b), so
+    d = d_num/(n_a·n_b) is ONE division of exact operands and the
+    reject flag compares d_num² against crit_sq·(n_a+n_b)·n_a·n_b in
+    doubles built from the same exact BIGINTs — both engines divide
+    and multiply identical operands (the cross-engine ratio rule).
+
+    Scale shape: counts pre-aggregate to one row per (key, value) —
+    the ECDF support, not the data — and the per-key cumulative is the
+    BANDED two-phase prefix sum (token_budget_select pattern): value
+    range splits into ``bands`` dyadic bands via per-key min/max, band
+    totals prefix over the tiny key×band series, and each distinct
+    value's cumulative is its band offset plus a (key, band)-keyed
+    window cumsum. No per-key single-task sort; every window is keyed
+    by (key, band). Returns (key, n_a, n_b, d_num, d, reject)."""
+    k = F.col(key_col)
+    g = (
+        df.select(
+            k.alias("__k"),
+            F.col(split_col).cast("boolean").alias("__a"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        .groupBy("__k", "__v")
+        .agg(
+            F.sum(F.col("__a").cast("long")).alias("__ca"),
+            F.sum((~F.col("__a")).cast("long")).alias("__cb"),
+        )
+    )
+    # dyadic banding on the per-key value span: equal v => equal band,
+    # band-major order == value order, so the two-phase cumsum equals
+    # the naive per-key ordered cumsum (floor-div on both engines)
+    bounds = g.groupBy("__k").agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.sum("__ca").alias("__na"),
+        F.sum("__cb").alias("__nb"),
+    )
+    banded = g.join(F.broadcast(bounds), "__k").withColumn(
+        "__band",
+        F.expr(f"((__v - __lo) * {int(bands)}) div (__hi - __lo + 1)"),
+    )
+    totals = banded.groupBy("__k", "__band").agg(
+        F.sum("__ca").alias("__ba"), F.sum("__cb").alias("__bb")
+    )
+    w_bands = (
+        Window.partitionBy("__k")
+        .orderBy("__band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__k",
+        "__band",
+        F.coalesce(F.sum("__ba").over(w_bands), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("__bb").over(w_bands), F.lit(0)).alias("__ob"),
+    )
+    w_in = (
+        Window.partitionBy("__k", "__band")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        banded.join(F.broadcast(offsets), ["__k", "__band"])
+        .withColumn("__cuma", F.col("__oa") + F.sum("__ca").over(w_in))
+        .withColumn("__cumb", F.col("__ob") + F.sum("__cb").over(w_in))
+    )
+    stats = cum.groupBy("__k").agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.max(
+            F.abs(F.col("__cuma") * F.col("__nb") - F.col("__cumb") * F.col("__na"))
+        ).alias("d_num"),
+    )
+    d = F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b"))
+    lhs = F.col("d_num").cast("double") * F.col("d_num")
+    rhs = (
+        F.lit(float(crit_sq))
+        * (F.col("n_a") + F.col("n_b"))
+        * F.col("n_a")
+        * F.col("n_b")
+    )
+    return stats.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        F.col("__k").alias(key_col),
+        "n_a",
+        "n_b",
+        "d_num",
+        d.alias("d"),
+        (lhs > rhs).alias("reject"),
+    )

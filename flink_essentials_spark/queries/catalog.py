@@ -1574,6 +1574,10 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: Kolmogorov–Smirnov two-sample drift (1933/1948) — the
+    # nonparametric sup-norm member of the drift family; exact-BIGINT
+    # ECDF sup via the banded two-phase prefix sum, squared rejection
+    Query("ks_drift", llmdata.q_ks_drift, llmdata.Q_KS_DRIFT_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

@@ -8018,3 +8018,72 @@ FROM (
 
 
 Q_RRF_FUSION_SQL = _rrf_sql()
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample drift test per event_type
+    (timeseries.ks_two_sample; Kolmogorov 1933 / Smirnov 1948): event
+    values (cents) in the FIRST half of the stream vs the SECOND
+    (split at the integer-midpoint epoch-ms, the psi_drift fixture) —
+    the nonparametric sup-norm member of the drift family. d_num is an
+    exact BIGINT sup over the pooled ECDF support, d ONE division of
+    exact operands, and the α=0.05 rejection compares squares built
+    from the same BIGINTs — bit-identical cross-engine with zero
+    rounding. The cumulative runs as the banded two-phase prefix sum
+    (every window keyed by (type, band))."""
+    from flink_essentials_spark.functions.timeseries import ks_two_sample
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"]
+    ts = F.unix_millis(F.col("ts"))
+    b = ev.agg(
+        F.floor((F.min(ts) + F.max(ts)) / F.lit(2)).cast("long").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        (ts < F.col("mid")).alias("is_a"),
+        cents("value").alias("v"),
+    )
+    return ks_two_sample(tagged, "event_type", "is_a", "v")
+
+
+def _ks_drift_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, {sql_cents('value')} AS v
+  FROM events
+), b AS (
+  SELECT CAST(FLOOR((MIN(ts_ms) + MAX(ts_ms)) / 2) AS BIGINT) AS mid FROM ev
+), g AS (
+  SELECT event_type, v,
+         CAST(SUM(CASE WHEN ts_ms < mid THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN ts_ms >= mid THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM ev, b GROUP BY 1, 2
+), t AS (
+  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb
+  FROM g GROUP BY 1
+), c AS (
+  SELECT g.event_type,
+         CAST(SUM(ca) OVER (PARTITION BY g.event_type ORDER BY v)
+              AS BIGINT) AS cuma,
+         CAST(SUM(cb) OVER (PARTITION BY g.event_type ORDER BY v)
+              AS BIGINT) AS cumb,
+         na, nb
+  FROM g JOIN t USING (event_type)
+), s AS (
+  SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+         CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+  FROM c GROUP BY 1
+)
+SELECT event_type, n_a, n_b, d_num,
+       CAST(d_num AS DOUBLE) / (n_a * n_b) AS d,
+       CAST(d_num AS DOUBLE) * d_num
+         > 1.8496 * (n_a + n_b) * n_a * n_b AS reject
+FROM s WHERE n_a > 0 AND n_b > 0
+"""
+
+
+Q_KS_DRIFT_SQL = _ks_drift_sql()

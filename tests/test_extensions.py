@@ -3239,3 +3239,48 @@ def test_rrf_fusion_reference_and_consensus(spark):
         top = sorted(docs, key=lambda d: (-score(d), d))[:20]
         ref = [(d, bm_rank[d], pr_rank_q[d], score(d)) for d in top]
         assert got[qid] == ref, qid
+
+
+def test_ks_two_sample_brute_force_and_both_outcomes(spark):
+    """KS two-sample vs a brute-force python ECDF sup on two keys: a
+    genuinely DRIFTED key (sample b shifted +50: D = 1 -> reject) and a
+    same-distribution key (interleaved values: tiny D -> accept). Also
+    pins the banded two-phase cumulative against the naive definition
+    for a value span much wider than the band count."""
+    from flink_essentials_spark.functions.timeseries import ks_two_sample
+
+    rows = []
+    # drifted key: a = 0..39, b = 1000..1039 (disjoint -> D = 1)
+    for i in range(40):
+        rows.append(("drift", True, i))
+        rows.append(("drift", False, 1000 + i))
+    # stable key: identical multisets, wide span (forces many bands)
+    for i in range(0, 4000, 37):
+        rows.append(("same", True, i))
+        rows.append(("same", False, i))
+    df = spark.createDataFrame(rows, "k string, is_a boolean, v long")
+    got = {
+        r["k"]: (r["n_a"], r["n_b"], r["d_num"], r["d"], r["reject"])
+        for r in ks_two_sample(df, "k", "is_a", "v", bands=8).collect()
+    }
+
+    def brute(pairs):
+        a = sorted(v for t, v in pairs if t)
+        b = sorted(v for t, v in pairs if not t)
+        na, nb = len(a), len(b)
+        best = 0
+        for v in sorted(set(a) | set(b)):
+            ca = sum(1 for x in a if x <= v)
+            cb = sum(1 for x in b if x <= v)
+            best = max(best, abs(ca * nb - cb * na))
+        return na, nb, best
+
+    for key in ("drift", "same"):
+        pairs = [(t, v) for k, t, v in rows if k == key]
+        na, nb, dn = brute(pairs)
+        g = got[key]
+        assert g[:3] == (na, nb, dn), (key, g, (na, nb, dn))
+        assert g[3] == dn / (na * nb)
+        want_reject = dn * dn > 1.8496 * (na + nb) * na * nb
+        assert g[4] == want_reject, key
+    assert got["drift"][4] is True and got["same"][4] is False
