@@ -971,3 +971,121 @@ def ams_f2(
     return exact.crossJoin(F.broadcast(est)).select(
         "n_rows", "n_keys", "exact_f2", "est_f2"
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[tuple[int, int]],
+    buckets: int = 4096,
+) -> DataFrame:
+    """EXACT distributed quantiles in O(log_B(domain)) bounded passes —
+    the histogram-refinement descendant of Munro & Paterson 1980
+    ("Selection and sorting with limited storage": selection over a
+    stream needs multiple passes under bounded memory), and the EXACT
+    member of the quantile matrix beside dd_sketch (relative error),
+    histogram_quantiles (fixed-range absolute) and sample_quantiles
+    (bottom-k): no sort, no error bound — the true ceil(q·n)-th
+    smallest element.
+
+    Each quantile keeps a candidate interval [lo, hi] and the exact
+    count of values below lo. Per round ONE job buckets every active
+    interval's values into ``buckets`` integer cells (step =
+    ceil(width/B), a python int — pure integer div, no overflow at any
+    domain width) and the driver walks the ≤ |qs|·B cumulative to pick
+    the cell holding the target rank; when step reaches 1 the cell IS
+    the value. log_4096 of a 2^63 domain is 6 rounds; value domains
+    like cents (~1e8) finish in 3. Every driver read is a bounded
+    (quantile, bucket) count table — the codebook-training argmax
+    pattern, never the data.
+
+    The value column is localCheckpointed once (iterative plans get no
+    ReusedExchange across rounds); on a parquet source at cluster
+    scale the alternative is re-scanning with the BETWEEN filter
+    pushed to row-group stats — later rounds then touch a vanishing
+    fraction of the files. Returns (q_num, q_den, n, value)."""
+    from pyspark.sql import types as T
+
+    v = (
+        df.select(F.col(value_col).cast("long").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .localCheckpoint()
+    )
+    head = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+    ).first()
+    n, glo, ghi = head["n"], head["lo"], head["hi"]
+    if n and (int(ghi) - int(glo)) >= (1 << 63) - 1:
+        # (v - lo) must stay in int64: a span >= 2^63 (data touching
+        # BOTH extremes of the long line) would overflow the bucketing
+        # subtraction under ANSI mode — fail actionably up front
+        raise ValueError(
+            f"exact_quantiles: value span [{glo}, {ghi}] >= 2^63; "
+            f"shift/scale the column below a full-int64 span first"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("q_num", T.LongType()),
+            T.StructField("q_den", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("value", T.LongType()),
+        ]
+    )
+    if not n:
+        return df.sparkSession.createDataFrame([], schema)
+    # state per quantile: (rank r in 1..n, lo, hi, count below lo)
+    state = {
+        i: [(n * num + den - 1) // den, glo, ghi, 0]
+        for i, (num, den) in enumerate(qs)
+    }
+    while True:
+        active = {i: s for i, s in state.items() if s[1] < s[2]}
+        if not active:
+            break
+        # ONE job for all active quantiles: tag rows with (qi, bucket)
+        parts = []
+        steps = {}
+        for i, (r, lo, hi, below) in active.items():
+            step = (hi - lo + buckets) // buckets  # ceil(width/B) >= 1
+            steps[i] = step
+            parts.append(
+                v.filter(F.col("__v").between(lo, hi)).select(
+                    F.lit(i).alias("qi"),
+                    # integer div, not double-divide-then-cast: doubles
+                    # misplace values past 2^53 (the dd_sketch lesson)
+                    F.expr(
+                        f"(__v - CAST({int(lo)} AS BIGINT)) "
+                        f"div CAST({int(step)} AS BIGINT)"
+                    ).alias("b"),
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        counts = {
+            (row["qi"], row["b"]): row["c"]
+            for row in u.groupBy("qi", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        for i, (r, lo, hi, below) in active.items():
+            step = steps[i]
+            cum = below
+            for b in range((hi - lo) // step + 1):
+                c = counts.get((i, b), 0)
+                if cum + c >= r:
+                    state[i] = [
+                        r,
+                        lo + b * step,
+                        min(hi, lo + (b + 1) * step - 1),
+                        cum,
+                    ]
+                    break
+                cum += c
+    rows = [
+        (int(qs[i][0]), int(qs[i][1]), int(n), int(s[1]))
+        for i, s in state.items()
+    ]
+    return df.sparkSession.createDataFrame(rows, schema)

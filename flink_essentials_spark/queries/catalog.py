@@ -1574,6 +1574,11 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: exact distributed quantiles in bounded passes (Munro &
+    # Paterson 1980 multi-pass selection, 4096-ary refinement) — the
+    # EXACT member of the quantile matrix; driver reads only bounded
+    # (quantile, bucket) count tables
+    Query("exact_quantiles", llmdata.q_exact_quantiles, llmdata.Q_EXACT_QUANTILES_SQL),
     # r10: Kolmogorov–Smirnov two-sample drift (1933/1948) — the
     # nonparametric sup-norm member of the drift family; exact-BIGINT
     # ECDF sup via the banded two-phase prefix sum, squared rejection

@@ -8087,3 +8087,46 @@ FROM s WHERE n_a > 0 AND n_b > 0
 
 
 Q_KS_DRIFT_SQL = _ks_drift_sql()
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global p50/p95/p99 of event value cents in bounded passes
+    (approx.exact_quantiles — Munro & Paterson 1980 multi-pass
+    selection via 4096-ary histogram refinement): no sort, no sketch
+    error — the true ceil(q·n)-th smallest elements, 3 refinement
+    jobs for the cent domain. Completes the quantile matrix as its
+    EXACT member (dd_sketch relative / histogram absolute /
+    sample_quantiles bottom-k)."""
+    from flink_essentials_spark.functions.approx import exact_quantiles
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        cents("value").alias("v")
+    )
+    return exact_quantiles(ev, "v", [(1, 2), (19, 20), (99, 100)])
+
+
+def _exact_quantiles_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    parts = []
+    for num, den in [(1, 2), (19, 20), (99, 100)]:
+        parts.append(
+            f"SELECT CAST({num} AS BIGINT) AS q_num, "
+            f"CAST({den} AS BIGINT) AS q_den, n.n, r.v AS value "
+            f"FROM r, n WHERE rn = (n.n * {num} + {den} - 1) // {den}"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH ev AS (
+  SELECT {sql_cents('value')} AS v FROM events
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev
+), r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM ev
+)
+{body}
+"""
+
+
+Q_EXACT_QUANTILES_SQL = _exact_quantiles_sql()

@@ -3284,3 +3284,39 @@ def test_ks_two_sample_brute_force_and_both_outcomes(spark):
         want_reject = dn * dn > 1.8496 * (na + nb) * na * nb
         assert g[4] == want_reject, key
     assert got["drift"][4] is True and got["same"][4] is False
+
+
+def test_exact_quantiles_brute_force_and_wide_domain(spark):
+    """exact_quantiles returns the TRUE ceil(q·n)-th smallest element —
+    pinned against python sorted() on an adversarial multiset spanning
+    the full int64 domain (the bisection's integer-div bucketing must
+    stay exact out to 2^62; duplicates and negative values included)."""
+    import math
+
+    from flink_essentials_spark.functions.approx import exact_quantiles
+
+    vals = (
+        [-(1 << 61), -7, -7, 0, 1, 1, 1, 2, 3]
+        + list(range(100, 2000, 13))
+        + [(1 << 53) + 1, (1 << 61) + 12345]
+        + [42] * 50
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100), (1, 1)]
+    got = {
+        (r["q_num"], r["q_den"]): (r["n"], r["value"])
+        for r in exact_quantiles(df, "v", qs, buckets=16).collect()
+    }
+    s = sorted(vals)
+    for num, den in qs:
+        r = math.ceil(len(s) * num / den)
+        assert got[(num, den)] == (len(s), s[r - 1]), (num, den)
+    # a span touching both int64 extremes cannot bucket in int64 —
+    # must fail actionably, not with an opaque mid-query ANSI overflow
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(-(1 << 62),), ((1 << 62),)], "v long"
+    )
+    with _pytest.raises(ValueError, match="span"):
+        exact_quantiles(bad, "v", [(1, 2)])
