@@ -1089,3 +1089,69 @@ def exact_quantiles(
         for i, s in state.items()
     ]
     return df.sparkSession.createDataFrame(rows, schema)
+
+
+def mg_exact_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    num: int = 1,
+    den: int = 50,
+    k: int | None = None,
+) -> DataFrame:
+    """DETERMINISTIC exact heavy hitters in two passes: Misra–Gries
+    1982 ("Finding repeated elements") per-partition summaries for
+    guaranteed-recall candidates, then one exact rescan for perfect
+    precision — the deterministic sibling of cm_sketch's Count-Min
+    estimates (upper bounds) and the classic answer to "which items
+    exceed share num/den of a 100 TB stream" without ever shuffling
+    the full item domain.
+
+    Guarantee: an MG summary with ``k`` counters over a partition of
+    n_p items undercounts any item by at most n_p/(k+1) (Agarwal et
+    al. 2012, "Mergeable summaries", give the batched merge used
+    here: add counts, then subtract the (k+1)-th largest from all and
+    drop non-positives). An item absent from EVERY partition summary
+    therefore has global count ≤ Σ n_p/(k+1) = n/(k+1) ≤ n·num/den
+    when k ≥ den/num − 1 (default k = den). The candidate union is a
+    superset of the true hitters; the exact pass restores precision.
+
+    Determinism: candidate SETS vary with partition layout, but the
+    output — every item whose EXACT count satisfies cnt·den > n·num —
+    does not (recall is guaranteed regardless of layout, and the
+    integer filter is layout-free), so the operator sits under a plain
+    GROUP BY/HAVING oracle.
+
+    Scale shape: phase 1 streams Arrow batches through one python
+    pass holding k counters (candidates ≤ partitions·k rows — bytes);
+    phase 2 is a broadcast semi-join + count on candidates only plus
+    one scalar total. Returns (item, cnt, n)."""
+    import pandas as pd
+
+    kk = int(k if k is not None else den)
+    if kk * num < den - num:
+        raise ValueError(
+            f"k={kk} too small for threshold {num}/{den}: need "
+            f"k >= den/num - 1 for guaranteed recall"
+        )
+
+    def mg(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for it, c in pdf["__it"].value_counts().items():
+                acc[it] = acc.get(it, 0) + int(c)
+            if len(acc) > kk:
+                cut = sorted(acc.values(), reverse=True)[kk]
+                acc = {i: c - cut for i, c in acc.items() if c > cut}
+        yield pd.DataFrame({"__it": list(acc.keys())})
+
+    items = df.select(F.col(item_col).cast("string").alias("__it"))
+    cands = items.mapInPandas(mg, "__it string").distinct()
+    total = items.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        items.join(F.broadcast(cands), "__it", "left_semi")
+        .groupBy("__it")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(int(den)) > F.col("n") * F.lit(int(num)))
+        .select(F.col("__it").alias(item_col), "cnt", "n")
+    )

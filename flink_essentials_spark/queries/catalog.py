@@ -1574,6 +1574,9 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: Misra–Gries 1982 + exact rescan — deterministic exact heavy
+    # hitters in two passes; candidates never exceed partitions×k rows
+    Query("mg_heavy_hitters", llmdata.q_mg_heavy_hitters, llmdata.Q_MG_HEAVY_HITTERS_SQL),
     # r10: exact distributed quantiles in bounded passes (Munro &
     # Paterson 1980 multi-pass selection, 4096-ary refinement) — the
     # EXACT member of the quantile matrix; driver reads only bounded

@@ -8130,3 +8130,34 @@ WITH ev AS (
 
 
 Q_EXACT_QUANTILES_SQL = _exact_quantiles_sql()
+
+
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT heavy hitters over the document token
+    stream (approx.mg_exact_heavy_hitters — Misra–Gries 1982 summaries
+    + one exact rescan): every token above a 2% share (1/50), exact
+    counts, no sketch error. The candidate pass streams Arrow batches
+    through k=50 python counters per partition and ships bytes, the
+    exact pass is a broadcast semi-join — the full token domain never
+    shuffles. Output is layout-independent (guaranteed recall + exact
+    filter), so it sits under a plain GROUP BY/HAVING oracle — the
+    deterministic sibling of heavy_hitters' Count-Min upper bounds."""
+    from flink_essentials_spark.functions.approx import mg_exact_heavy_hitters
+    from flink_essentials_spark.operators.transform import tokenize
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    return mg_exact_heavy_hitters(toks, "token", num=1, den=50)
+
+
+Q_MG_HEAVY_HITTERS_SQL = f"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, n.n
+FROM tok, n
+GROUP BY token, n.n
+HAVING COUNT(*) * 50 > n.n * 1
+"""

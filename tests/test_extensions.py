@@ -3320,3 +3320,35 @@ def test_exact_quantiles_brute_force_and_wide_domain(spark):
     )
     with _pytest.raises(ValueError, match="span"):
         exact_quantiles(bad, "v", [(1, 2)])
+
+
+def test_mg_exact_heavy_hitters_layout_independent(spark):
+    """The MG + exact-rescan contract: output equals the plain
+    GROUP BY/HAVING truth for EVERY partition layout (candidate sets
+    may differ; the result must not), including an adversarial stream
+    where a true hitter sits just above threshold amid k-filling
+    decoys, and a near-hitter just below must NOT appear."""
+    from flink_essentials_spark.functions.approx import mg_exact_heavy_hitters
+
+    items = (
+        ["hot"] * 30  # 30/1000 = 3% > 1/50
+        + ["warm"] * 20  # exactly 2% — strict > excludes it
+        + [f"d{i}" for i in range(950)]  # 950 singletons fill counters
+    )
+    assert len(items) == 1000
+    truth = {("hot", 30, 1000)}
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(
+            [(x,) for x in items], "it string"
+        ).repartition(parts)
+        got = {
+            (r["it"], r["cnt"], r["n"])
+            for r in mg_exact_heavy_hitters(df, "it", num=1, den=50).collect()
+        }
+        assert got == truth, (parts, got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="too small"):
+        mg_exact_heavy_hitters(
+            spark.createDataFrame([("a",)], "it string"), "it", 1, 50, k=10
+        )
