@@ -332,3 +332,70 @@ def ks_two_sample(
         d.alias("d"),
         (lhs > rhs).alias("reject"),
     )
+
+
+def cusum_control(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    kappa_div: int = 20,
+    h_mult: int = 8,
+) -> DataFrame:
+    """Per-key CUSUM control chart (Page 1954, "Continuous inspection
+    schemes") — the CHANGEPOINT member of the drift family beside
+    ewma_control's level tracker and ks_two_sample's distribution
+    test: one-sided cumulative sums S⁺/S⁻ detect sustained mean
+    shifts of either sign, alarm when either exceeds h.
+
+    The textbook recursion S⁺_t = max(0, S⁺_{t-1} + x_t − μ − κ) is
+    NOT a plain window sum, but its closed form is: with cum_t the
+    running sum of deviations, S⁺_t = cum_t − min(0, min_{j≤t} cum_j)
+    — a cumulative sum minus a running minimum, two expressions over
+    the SAME keyed ordered window. Everything is integer: the
+    reference μ = Σx div n (positive values ⇒ truncating div ==
+    floor-div in both engines), slack κ = max(1, μ div kappa_div),
+    threshold h = h_mult·κ — so flags and maxima are bit-exact
+    cross-engine with zero rounding.
+
+    Plan shape: the per-key reference, both cumulative chains and the
+    final aggregate ride ONE hashpartitioning exchange on the key
+    (the ewma_control contract). Exact while n_key·max|x−μ| < 2^63.
+    Returns (key, n, mu, kappa, s_plus_max, s_minus_max, n_alarms)."""
+    w_k = Window.partitionBy(key_col)
+    w_o = Window.partitionBy(key_col).orderBy(*order_cols)
+    w_run = w_o.rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(value_col).cast("long")
+    staged = (
+        df.select(key_col, *order_cols, x.alias("__x"))
+        .withColumn("__n", F.count(F.lit(1)).over(w_k))
+        .withColumn("__sx", F.sum("__x").over(w_k))
+        .withColumn("__mu", F.expr("__sx div __n"))
+        .withColumn(
+            "__kap", F.greatest(F.lit(1), F.expr(f"__mu div {int(kappa_div)}"))
+        )
+        .withColumn(
+            "__cp", F.sum(F.col("__x") - F.col("__mu") - F.col("__kap")).over(w_run)
+        )
+        .withColumn(
+            "__cm",
+            F.sum(F.col("__mu") - F.col("__kap") - F.col("__x")).over(w_run),
+        )
+        .withColumn(
+            "__sp", F.col("__cp") - F.least(F.lit(0), F.min("__cp").over(w_run))
+        )
+        .withColumn(
+            "__sm", F.col("__cm") - F.least(F.lit(0), F.min("__cm").over(w_run))
+        )
+    )
+    h = F.lit(int(h_mult)) * F.col("__kap")
+    return staged.groupBy(key_col).agg(
+        F.max("__n").alias("n"),
+        F.max("__mu").alias("mu"),
+        F.max("__kap").alias("kappa"),
+        F.max("__sp").alias("s_plus_max"),
+        F.max("__sm").alias("s_minus_max"),
+        F.count_if((F.col("__sp") > h) | (F.col("__sm") > h))
+        .cast("long")
+        .alias("n_alarms"),
+    )

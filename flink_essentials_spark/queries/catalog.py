@@ -1574,6 +1574,9 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: Page 1954 CUSUM changepoint screen — cum-minus-running-min
+    # closed form of the max(0, ...) recursion on one keyed window
+    Query("cusum_shifts", llmdata.q_cusum_shifts, llmdata.Q_CUSUM_SHIFTS_SQL),
     # r10: Misra–Gries 1982 + exact rescan — deterministic exact heavy
     # hitters in two passes; candidates never exceed partitions×k rows
     Query("mg_heavy_hitters", llmdata.q_mg_heavy_hitters, llmdata.Q_MG_HEAVY_HITTERS_SQL),

@@ -8161,3 +8161,71 @@ FROM tok, n
 GROUP BY token, n.n
 HAVING COUNT(*) * 50 > n.n * 1
 """
+
+
+def q_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM changepoint screen (timeseries.cusum_control,
+    Page 1954) over spend cents in event-time order: one-sided
+    cumulative sums vs the user's own integer reference mean, slack
+    κ = μ div 20, alarm at 150κ — the sustained-shift detector beside
+    ewma_anomaly's spike flags and ks_drift's distribution test. The
+    recursion runs as cum − running-min on ONE keyed ordered window;
+    every quantity is an exact BIGINT."""
+    from flink_essentials_spark.functions.timeseries import cusum_control
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "event_id",
+        cents("value").alias("v"),
+    )
+    # h_mult 150: spend values have coefficient of variation ~1, so
+    # the walk's natural excursion is large in κ = μ/20 units — 150κ
+    # sits at the observed median of max(S)/κ and splits the keyspace
+    # into alarmed and quiet halves (both outcomes under oracle)
+    return cusum_control(
+        ev, "user_id", ["ts_ms", "event_id"], "v", h_mult=150
+    )
+
+
+def _cusum_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         {sql_cents('value')} AS v
+  FROM events
+), a AS (
+  SELECT user_id, ts_ms, event_id, v,
+         CAST(COUNT(*) OVER wk AS BIGINT) AS n,
+         CAST(SUM(v) OVER wk AS BIGINT) AS sx
+  FROM ev WINDOW wk AS (PARTITION BY user_id)
+), b AS (
+  SELECT *, sx // n AS mu,
+         GREATEST(1, (sx // n) // 20) AS kap
+  FROM a
+), c AS (
+  SELECT *,
+         CAST(SUM(v - mu - kap) OVER wo AS BIGINT) AS cp,
+         CAST(SUM(mu - kap - v) OVER wo AS BIGINT) AS cm
+  FROM b WINDOW wo AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                       ROWS UNBOUNDED PRECEDING)
+), d AS (
+  SELECT *,
+         cp - LEAST(0, CAST(MIN(cp) OVER wo AS BIGINT)) AS sp,
+         cm - LEAST(0, CAST(MIN(cm) OVER wo AS BIGINT)) AS sm
+  FROM c WINDOW wo AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                       ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, MAX(n) AS n, MAX(mu) AS mu, MAX(kap) AS kappa,
+       CAST(MAX(sp) AS BIGINT) AS s_plus_max,
+       CAST(MAX(sm) AS BIGINT) AS s_minus_max,
+       CAST(COUNT(*) FILTER (WHERE sp > 150 * kap OR sm > 150 * kap)
+            AS BIGINT) AS n_alarms
+FROM d GROUP BY 1
+"""
+
+
+Q_CUSUM_SHIFTS_SQL = _cusum_sql()

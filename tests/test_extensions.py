@@ -3352,3 +3352,41 @@ def test_mg_exact_heavy_hitters_layout_independent(spark):
         mg_exact_heavy_hitters(
             spark.createDataFrame([("a",)], "it string"), "it", 1, 50, k=10
         )
+
+
+def test_cusum_control_matches_textbook_recursion(spark):
+    """The cum-minus-running-min closed form equals the textbook
+    S⁺/S⁻ recursion, pinned by a brute-force python replay on a key
+    with an injected mean shift (alarms fire) and a stationary key
+    (none). Integer reference/slack reproduced exactly."""
+    from flink_essentials_spark.functions.timeseries import cusum_control
+
+    series = {
+        "shift": [100] * 20 + [160] * 20,  # sustained +60% shift
+        "flat": [100, 101, 99, 100, 102, 98, 100] * 6,
+    }
+    rows = [
+        (k, i, v) for k, vs in series.items() for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    got = {
+        r["k"]: (
+            r["n"], r["mu"], r["kappa"],
+            r["s_plus_max"], r["s_minus_max"], r["n_alarms"],
+        )
+        for r in cusum_control(df, "k", ["i"], "v", 20, 8).collect()
+    }
+    for k, vs in series.items():
+        n = len(vs)
+        mu = sum(vs) // n
+        kap = max(1, mu // 20)
+        sp = sm = 0
+        spmax = smmax = alarms = 0
+        for x in vs:
+            sp = max(0, sp + x - mu - kap)
+            sm = max(0, sm + mu - kap - x)
+            spmax, smmax = max(spmax, sp), max(smmax, sm)
+            if sp > 8 * kap or sm > 8 * kap:
+                alarms += 1
+        assert got[k] == (n, mu, kap, spmax, smmax, alarms), k
+    assert got["shift"][5] > 0 and got["flat"][5] == 0
