@@ -2139,3 +2139,98 @@ def canonical_url(url: Column) -> Column:
         path,
         qpart,
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    mask_bits: int = 6,
+    max_len: int = 256,
+) -> DataFrame:
+    """Content-defined chunking (Muthitacharoen, Chen & Mazières,
+    "A low-bandwidth network file system", SOSP 2001 — the LBFS
+    boundary scheme every storage dedup system descends from): cut a
+    document AFTER position p whenever the hash of the ``window``
+    chars ending at p satisfies h ≡ mask (mod 2^mask_bits), expected
+    chunk 2^mask_bits chars. Unlike chunk_documents' fixed stride,
+    boundaries move WITH the content: inserting a byte shifts only
+    the chunks that touch it — every later chunk re-aligns and its
+    hash still matches, which is what makes chunk-level dedup robust
+    to edits (the property test pins exactly this).
+
+    Determinism/parity: the boundary decision uses the cross-engine
+    md5-prefix integer of the literal window substring, so a DuckDB
+    oracle reproduces every cut; oversized gaps split at fixed
+    ``max_len`` offsets from the preceding cut — a stateless closed
+    form, so no sequential pass exists anywhere (LBFS' min-size
+    suppression IS sequential and is deliberately dropped; the
+    window length already lower-bounds repeat cuts in practice).
+
+    Scale shape: pure scan-stage array expressions per document (cut
+    list → boundary pairs → sub-chunks), one explode to chunk rows,
+    and ONE keyed exchange for the corpus-wide copy count per chunk
+    hash. Returns (doc_id, start, len, chunk_md5, n_copies)."""
+    from pyspark.sql import Window as W
+
+    m = 1 << mask_bits
+    mask = m - 1
+    w = int(window)
+    cuts = (
+        f"CASE WHEN length(__t) >= {w} THEN "
+        f"filter(transform(sequence(1, length(__t) - {w} + 1), i -> "
+        f"IF(CAST(conv(substring(md5(substring(__t, i, {w})), 1, 15), 16, 10) "
+        f"AS BIGINT) % {m} = {mask}, i + {w} - 1, -1)), e -> e > 0) "
+        f"ELSE array() END"
+    )
+    bnds = (
+        f"array_sort(array_distinct(concat(array(0), {cuts}, "
+        f"array(length(__t)))))"
+    )
+    staged = (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+        )
+        .filter(F.length("__t") > 0)
+        .withColumn("__b", F.expr(bnds))
+        .withColumn(
+            "__pair",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__b", 1, F.size("__b") - 1),
+                    F.expr("slice(__b, 2, size(__b) - 1)"),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "__t",
+            F.col("__pair")["0"].alias("__a"),
+            F.col("__pair")["1"].alias("__z"),
+        )
+        .withColumn(
+            "__j",
+            F.explode(
+                F.expr(f"sequence(0, (__z - __a - 1) div {int(max_len)})")
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("__a") + F.col("__j") * max_len + 1)
+            .cast("long")
+            .alias("start"),
+            F.least(
+                F.lit(max_len), F.col("__z") - F.col("__a") - F.col("__j") * max_len
+            )
+            .cast("long")
+            .alias("len"),
+            F.md5(F.expr("substring(__t, __a + __j * " + str(int(max_len)) + " + 1, "
+                         f"least({int(max_len)}, __z - __a - __j * {int(max_len)}))"))
+            .alias("chunk_md5"),
+        )
+    )
+    return staged.withColumn(
+        "n_copies",
+        F.count(F.lit(1)).over(W.partitionBy("chunk_md5")).cast("long"),
+    )

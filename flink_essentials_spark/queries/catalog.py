@@ -1574,6 +1574,10 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: LBFS content-defined chunking (SOSP 2001) — md5-window cut
+    # points, stateless max-split, corpus copy count; insertion-robust
+    # chunk dedup beside the fixed-stride chunkers
+    Query("cdc_chunks", llmdata.q_cdc_chunks, llmdata.Q_CDC_CHUNKS_SQL),
     # r10: Page 1954 CUSUM changepoint screen — cum-minus-running-min
     # closed form of the max(0, ...) recursion on one keyed window
     Query("cusum_shifts", llmdata.q_cusum_shifts, llmdata.Q_CUSUM_SHIFTS_SQL),

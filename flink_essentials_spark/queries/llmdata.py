@@ -8229,3 +8229,51 @@ FROM d GROUP BY 1
 
 
 Q_CUSUM_SHIFTS_SQL = _cusum_sql()
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the documents corpus
+    (text.cdc_chunks — LBFS, Muthitacharoen et al. SOSP 2001):
+     md5-prefix rolling-window cuts (16-char window, expected 64-char
+    chunks, 256 max), corpus-wide copy count per chunk hash — the
+    insertion-robust sibling of chunk_dedup's fixed-stride chunks.
+    Every boundary is replayed arithmetically by the DuckDB oracle."""
+    from flink_essentials_spark.functions.text import cdc_chunks
+
+    t = load_tables(spark, sf_dir)
+    return cdc_chunks(t["documents"])
+
+
+Q_CDC_CHUNKS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, text AS t, length(text) AS L FROM documents WHERE length(text) > 0
+), c AS (
+  SELECT doc_id, t,
+    list_sort(list_distinct(
+      [CAST(0 AS BIGINT)] ||
+      CASE WHEN L >= 16 THEN
+        list_filter(list_transform(range(1, L - 16 + 2),
+          i -> CASE WHEN (('0x' || substring(md5(substring(t, CAST(i AS INTEGER), 16)), 1, 15))::BIGINT % 64) = 63
+                    THEN CAST(i + 15 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+          e -> e > 0)
+      ELSE [] END ||
+      [CAST(L AS BIGINT)]
+    )) AS bnds
+  FROM d
+), p AS (
+  SELECT doc_id, t, bnds[CAST(i AS INTEGER)] AS a,
+         bnds[CAST(i AS INTEGER) + 1] AS z
+  FROM c, UNNEST(CASE WHEN len(bnds) > 1 THEN range(1, len(bnds)) ELSE [] END) AS u(i)
+), s AS (
+  SELECT doc_id, t, a, z, j
+  FROM p, UNNEST(range(0, (z - a - 1) // 256 + 1)) AS v(j)
+)
+SELECT doc_id,
+       CAST(a + j * 256 + 1 AS BIGINT) AS start,
+       CAST(LEAST(256, z - a - j * 256) AS BIGINT) AS len,
+       md5(substring(t, CAST(a + j * 256 + 1 AS INTEGER),
+                     CAST(LEAST(256, z - a - j * 256) AS INTEGER))) AS chunk_md5,
+       CAST(COUNT(*) OVER (PARTITION BY md5(substring(t, CAST(a + j * 256 + 1 AS INTEGER),
+                     CAST(LEAST(256, z - a - j * 256) AS INTEGER)))) AS BIGINT) AS n_copies
+FROM s
+"""

@@ -3390,3 +3390,43 @@ def test_cusum_control_matches_textbook_recursion(spark):
                 alarms += 1
         assert got[k] == (n, mu, kap, spmax, smmax, alarms), k
     assert got["shift"][5] > 0 and got["flat"][5] == 0
+
+
+def test_cdc_chunks_insertion_robust(spark):
+    """THE content-defined-chunking property (vs fixed stride): after
+    inserting one char into the middle of a doc, every chunk strictly
+    after the first post-edit boundary keeps its hash — only the
+    chunk(s) touching the edit change. A fixed-stride chunker shifts
+    EVERY later chunk. Also pins coverage (chunks tile the text) and
+    the max-size bound."""
+    import hashlib
+    import random
+
+    from flink_essentials_spark.functions.text import cdc_chunks
+
+    rng = random.Random(7)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(4000))
+    edited = base[:1500] + "X" + base[1500:]
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    by_doc = {1: [], 2: []}
+    for r in rows:
+        by_doc[r["doc_id"]].append((r["start"], r["len"], r["chunk_md5"]))
+    for d, txt in ((1, base), (2, edited)):
+        cs = sorted(by_doc[d])
+        # tiling: starts/lens cover the text exactly, max bound holds
+        assert cs[0][0] == 1
+        pos = 1
+        for st, ln, h in cs:
+            assert st == pos and 1 <= ln <= 256
+            assert h == hashlib.md5(
+                txt[st - 1 : st - 1 + ln].encode()
+            ).hexdigest()
+            pos = st + ln
+        assert pos == len(txt) + 1
+    # robustness: chunk hash multisets AFTER the edit region coincide
+    tail1 = {h for st, ln, h in by_doc[1] if st > 1800}
+    tail2 = {h for st, ln, h in by_doc[2] if st > 1800}
+    assert tail1 and tail1 == tail2
