@@ -178,6 +178,14 @@ HEADLINE = [
     "sorted_neighborhood",
     "langid_agreement",
     "source_concentration",
+    # r10 additions: exact quantiles in bounded passes, KS drift,
+    # Misra-Gries exact heavy hitters, CUSUM changepoints, LBFS
+    # content-defined chunking
+    "exact_quantiles",
+    "ks_drift",
+    "mg_heavy_hitters",
+    "cusum_shifts",
+    "cdc_chunks",
 ]
 
 

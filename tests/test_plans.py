@@ -596,6 +596,14 @@ def test_heavy_row_exchange_budgets(spark):
         "silhouette_audit": (4, 1),
         "sw_alignment": (2, 2),
         "weighted_jaccard": (14, 3),
+        # r10 rows: ks_drift's banded two-phase cumulative re-reads the
+        # (key, value) aggregate thrice (bounds/bands/totals — reuse
+        # shows as ReusedExchange, still counted); mg's two passes are
+        # one python summary + one broadcast-semi rescan; cdc is a
+        # scan-stage explode + ONE chunk-hash window
+        "ks_drift": (20, 7),
+        "mg_heavy_hitters": (8, 2),
+        "cdc_chunks": (2, 0),
     }
     for name, (max_x, max_j) in budgets.items():
         plan = plan_of(spark, name)
@@ -636,6 +644,18 @@ def test_greedy_coverage_round_plan_budget(spark):
     assert counts(_coverage_round(sw, [], None)) == (1, 0)
     x, j = counts(_coverage_round(sw, [0], cov))
     assert x <= 2 and j == 1, (x, j)
+
+
+def test_cusum_single_keyed_exchange(spark):
+    """cusum_shifts inherits the ewma contract: reference mean, both
+    cumulative chains, the running minima and the final aggregate all
+    ride ONE hashpartitioning exchange on user_id — no join, no
+    second scan (the claim in functions/timeseries.cusum_control)."""
+    plan = plan_of(spark, "cusum_shifts")
+    tree = plan.split("\n(1)")[0]
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
 
 
 def test_ewma_single_keyed_exchange(spark):
