@@ -1150,3 +1150,43 @@ def sorted_neighborhood(
         ),
         "rk2",
     ).select("id_a", "key_a", "id_b", "key_b", "rank_gap")
+
+
+def soundex_code(col: Column) -> Column:
+    """American Soundex phonetic key (Russell & Odell, US patents
+    1261167/1435663, 1918/1922) — the classic phonetic BLOCKING key of
+    record-linkage systems (Fellegi-Sunter implementations block on
+    it): first letter + the first three consonant-class digits, equal
+    for spelling variants that sound alike ("jain" == "join" == J500).
+
+    This is the SIMPLIFIED variant in which H and W separate runs
+    exactly like vowels (the standard's H/W-adjacency exception is
+    dropped) — documented because both engines must agree, and they do
+    by construction: the key is one translate() + six global
+    digit-run collapses + zero-removal, an expression chain the DuckDB
+    oracle replicates verbatim. Input must be alphabetic; scan-stage
+    only, no shuffle."""
+    u = F.upper(col)
+    mapped = F.translate(
+        u,
+        "BFPVCGJKQSXZDTLMNRAEIOUYHW",
+        "11112222222233455600000000",
+    )
+    for d in "123456":
+        mapped = F.regexp_replace(mapped, d + "{2,}", d)
+    tail = F.regexp_replace(F.substring(mapped, 2, 1000), "0", "")
+    return F.concat(
+        F.substring(u, 1, 1),
+        F.substring(F.concat(tail, F.lit("000")), 1, 3),
+    )
+
+
+def _sql_soundex(expr: str) -> str:
+    """The DuckDB replica of :func:`soundex_code` — identical chain."""
+    s = f"translate(upper({expr}), 'BFPVCGJKQSXZDTLMNRAEIOUYHW', '11112222222233455600000000')"
+    for d in "123456":
+        s = f"regexp_replace({s}, '{d}{{2,}}', '{d}', 'g')"
+    return (
+        f"substring(upper({expr}), 1, 1) || "
+        f"substring(regexp_replace(substring({s}, 2), '0', '', 'g') || '000', 1, 3)"
+    )

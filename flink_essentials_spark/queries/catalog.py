@@ -1574,6 +1574,10 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: Russell-Odell Soundex phonetic blocking (1918) — ER-family
+    # candidate generation; expression-chain key replicated verbatim
+    # by the oracle, pure-phonetic recall vs exact hits both populated
+    Query("soundex_blocking", llmdata.q_soundex_blocking, llmdata.Q_SOUNDEX_BLOCKING_SQL),
     # r10: LBFS content-defined chunking (SOSP 2001) — md5-window cut
     # points, stateless max-split, corpus copy count; insertion-robust
     # chunk dedup beside the fixed-stride chunkers

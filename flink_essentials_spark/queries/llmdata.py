@@ -8277,3 +8277,68 @@ SELECT doc_id,
                      CAST(LEAST(256, z - a - j * 256) AS INTEGER)))) AS BIGINT) AS n_copies
 FROM s
 """
+
+
+def q_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking recall demo under oracle
+    (dedup.soundex_code, Russell-Odell Soundex 1918): the distinct
+    corpus vocabulary plus a deterministic 'dirty' twin per
+    consonant-initial word (every non-initial vowel flattened to 'a' —
+    a mutation Soundex is INVARIANT to, so the phonetic key recovers
+    exactly the matches a raw equality join on the misspelled surface
+    misses). Blocked equi-join on the code; is_exact separates surface
+    hits from pure-phonetic recall (both outcomes populated). Keys are
+    an expression chain replicated verbatim by the DuckDB oracle."""
+    from flink_essentials_spark.functions.dedup import soundex_code
+    from flink_essentials_spark.operators.transform import tokenize
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    dirty = vocab.filter(~F.substring("w", 1, 1).isin(*"aeiou")).select(
+        F.concat(
+            F.substring("w", 1, 1),
+            F.regexp_replace(F.substring("w", 2, 1000), "[aeiou]", "a"),
+        ).alias("dirty_w")
+    )
+    clean = vocab.select(
+        F.col("w").alias("clean_w"), soundex_code(F.col("w")).alias("code")
+    )
+    return (
+        dirty.select("dirty_w", soundex_code(F.col("dirty_w")).alias("code"))
+        .join(clean, "code")
+        .select(
+            "code",
+            "dirty_w",
+            "clean_w",
+            (F.col("dirty_w") == F.col("clean_w")).alias("is_exact"),
+        )
+    )
+
+
+def _soundex_blocking_sql() -> str:
+    from flink_essentials_spark.functions.dedup import _sql_soundex
+
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]+$')
+), dirty AS (
+  SELECT substring(w, 1, 1) ||
+         regexp_replace(substring(w, 2), '[aeiou]', 'a', 'g') AS dirty_w
+  FROM vocab WHERE substring(w, 1, 1) NOT IN ('a','e','i','o','u')
+), d2 AS (
+  SELECT dirty_w, {_sql_soundex('dirty_w')} AS code FROM dirty
+), c2 AS (
+  SELECT w AS clean_w, {_sql_soundex('w')} AS code FROM vocab
+)
+SELECT d2.code, dirty_w, clean_w, dirty_w = clean_w AS is_exact
+FROM d2 JOIN c2 ON d2.code = c2.code
+"""
+
+
+Q_SOUNDEX_BLOCKING_SQL = _soundex_blocking_sql()

@@ -3430,3 +3430,46 @@ def test_cdc_chunks_insertion_robust(spark):
     tail1 = {h for st, ln, h in by_doc[1] if st > 1800}
     tail2 = {h for st, ln, h in by_doc[2] if st > 1800}
     assert tail1 and tail1 == tail2
+
+
+def test_soundex_code_reference_values(spark):
+    """Soundex (simplified H/W-as-vowel variant, as documented on
+    dedup.soundex_code) vs an independent python reference on the
+    classic vectors — run collapses (jackson: c/k/s one class-2 run),
+    vowel invariance (robert/rupert), padding and truncation."""
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.dedup import soundex_code
+
+    def ref(w):
+        m = {}
+        for ch in "BFPV":
+            m[ch] = "1"
+        for ch in "CGJKQSXZ":
+            m[ch] = "2"
+        for ch in "DT":
+            m[ch] = "3"
+        m["L"] = "4"
+        for ch in "MN":
+            m[ch] = "5"
+        m["R"] = "6"
+        u = w.upper()
+        digits = "".join(m.get(ch, "0") for ch in u)
+        out = digits[0]
+        for d in digits[1:]:
+            if d != out[-1]:
+                out += d
+        return (u[0] + out[1:].replace("0", "") + "000")[:4]
+
+    words = [
+        "robert", "rupert", "jackson", "jain", "join", "scan",
+        "merge", "a", "lee", "pfister", "tymczak", "honeyman",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["c"]
+        for r in df.select("w", soundex_code(F.col("w")).alias("c")).collect()
+    }
+    assert got == {w: ref(w) for w in words}
+    assert got["robert"] == got["rupert"] == "R163"
+    assert got["jain"] == got["join"]
