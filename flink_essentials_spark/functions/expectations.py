@@ -108,3 +108,41 @@ def corpus_checksum(
             F.count(F.lit(1)).alias("n_rows"), xor_sig, sum_sig
         )
     return hashed.agg(F.count(F.lit(1)).alias("n_rows"), xor_sig, sum_sig)
+
+
+def fd_profile(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Approximate functional-dependency discovery for the declared
+    column pairs — TANE's g3 error measure (Huhtala, Kärkkäinen,
+    Porkka & Toivonen, "TANE: an efficient algorithm for discovering
+    functional and approximate dependencies", Computer J. 1999): for
+    each candidate lhs → rhs, g3 = the minimum number of rows that
+    must be removed for the dependency to hold exactly = n − Σ_lhs
+    max_rhs count(lhs, rhs). g3 = 0 means the FD holds; small g3/n
+    flags a NEAR-dependency — the schema-inference / data-quality
+    audit read (is this column derivable from that one, modulo dirty
+    rows).
+
+    Plan shape per pair: one (lhs, rhs) count aggregate, one lhs
+    re-aggregate (map-side combinable, strictly smaller), one scalar
+    fold — all exact BIGINT; pairs union into one frame. The lattice
+    search of full TANE is driver-side candidate management over the
+    same primitive; profiling declared pairs is the distributed core.
+    Returns (lhs, rhs, n, n_groups, g3, holds)."""
+    out = None
+    for lhs, rhs in pairs:
+        per = (
+            df.groupBy(F.col(lhs).alias("__l"), F.col(rhs).alias("__r"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy("__l")
+            .agg(F.sum("__c").alias("__cnt"), F.max("__c").alias("__mx"))
+            .agg(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.sum("__cnt").alias("n"),
+                F.count(F.lit(1)).alias("n_groups"),
+                (F.sum("__cnt") - F.sum("__mx")).alias("g3"),
+                (F.sum("__cnt") == F.sum("__mx")).alias("holds"),
+            )
+        )
+        out = per if out is None else out.unionByName(per)
+    return out

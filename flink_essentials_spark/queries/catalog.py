@@ -1574,6 +1574,9 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: TANE g3 approximate-FD profiling (Huhtala et al. 1999) —
+    # schema-inference audit; held and violated candidates both present
+    Query("fd_profile", llmdata.q_fd_profile, llmdata.Q_FD_PROFILE_SQL),
     # r10: Russell-Odell Soundex phonetic blocking (1918) — ER-family
     # candidate generation; expression-chain key replicated verbatim
     # by the oracle, pure-phonetic recall vs exact hits both populated

@@ -8342,3 +8342,48 @@ FROM d2 JOIN c2 ON d2.code = c2.code
 
 
 Q_SOUNDEX_BLOCKING_SQL = _soundex_blocking_sql()
+
+
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over customer
+    (expectations.fd_profile — TANE g3, Huhtala et al. 1999): the key
+    FDs c_custkey→c_name / c_name→c_custkey hold (g3 = 0) while the
+    cross-attribute candidates c_nationkey→c_mktsegment and its
+    reverse carry large g3 — both outcomes under exact-BIGINT oracle."""
+    from flink_essentials_spark.functions.expectations import fd_profile
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    return fd_profile(
+        cust,
+        [
+            ("c_custkey", "c_name"),
+            ("c_name", "c_custkey"),
+            ("c_nationkey", "c_mktsegment"),
+            ("c_mktsegment", "c_nationkey"),
+        ],
+    )
+
+
+def _fd_profile_sql() -> str:
+    parts = []
+    for lhs, rhs in [
+        ("c_custkey", "c_name"),
+        ("c_name", "c_custkey"),
+        ("c_nationkey", "c_mktsegment"),
+        ("c_mktsegment", "c_nationkey"),
+    ]:
+        parts.append(f"""
+SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(SUM(cnt) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(cnt) - SUM(mx) AS BIGINT) AS g3,
+       SUM(cnt) = SUM(mx) AS holds
+FROM (
+  SELECT l, SUM(c) AS cnt, MAX(c) AS mx FROM (
+    SELECT {lhs} AS l, {rhs} AS r, COUNT(*) AS c FROM customer GROUP BY 1, 2
+  ) GROUP BY l
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+Q_FD_PROFILE_SQL = _fd_profile_sql()

@@ -3473,3 +3473,30 @@ def test_soundex_code_reference_values(spark):
     assert got == {w: ref(w) for w in words}
     assert got["robert"] == got["rupert"] == "R163"
     assert got["jain"] == got["join"]
+
+
+def test_fd_profile_g3_hand_computed(spark):
+    """TANE g3 on a hand-built table: key FD holds (g3=0); a near-FD
+    with exactly two dirty rows reports g3=2 (minimum removals); an
+    unrelated pair reports the full scatter. Also pins n_groups."""
+    from flink_essentials_spark.functions.expectations import fd_profile
+
+    rows = [
+        # (id, dept, city): id->dept key; dept->city holds EXCEPT two
+        # dirty rows in sales; city->dept scatters
+        (1, "sales", "nyc"), (2, "sales", "nyc"), (3, "sales", "nyc"),
+        (4, "sales", "sfo"), (5, "sales", "sfo"),  # 2 dirty rows
+        (6, "eng", "sea"), (7, "eng", "sea"),
+        (8, "hr", "nyc"),
+    ]
+    df = spark.createDataFrame(rows, "id long, dept string, city string")
+    got = {
+        (r["lhs"], r["rhs"]): (r["n"], r["n_groups"], r["g3"], r["holds"])
+        for r in fd_profile(
+            df, [("id", "dept"), ("dept", "city"), ("city", "dept")]
+        ).collect()
+    }
+    assert got[("id", "dept")] == (8, 8, 0, True)
+    assert got[("dept", "city")] == (8, 3, 2, False)
+    # city->dept: nyc holds 3 sales + 1 hr (keep 3), sfo 2, sea 2 -> g3=1
+    assert got[("city", "dept")] == (8, 3, 1, False)
