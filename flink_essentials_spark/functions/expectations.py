@@ -146,3 +146,64 @@ def fd_profile(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
         )
         out = per if out is None else out.unionByName(per)
     return out
+
+
+import math as _math
+
+
+def benford_audit(
+    df: DataFrame, value_col: str, min_value: int = 1
+) -> DataFrame:
+    """Benford first-significant-digit audit (Newcomb 1881; Benford
+    1938) — the classic fabricated-numbers screen for financial /
+    telemetry columns: observed counts of leading digits 1-9 vs the
+    Benford expectation n·log10(1+1/d), with each digit's chi-square
+    contribution (obs − exp)²/exp.
+
+    Parity: the leading digit is the first character of the integer's
+    decimal string — no float log10 of the VALUE anywhere; the nine
+    log10(1+1/d) constants are injected as repr() literals into both
+    engines (the hll _lc_lut pattern), so exp and chi2_contrib are
+    identical doubles built from exact BIGINT counts. One 9-ary
+    groupBy, fully map-side-combinable; values below ``min_value``
+    are excluded (zero/negatives have no leading digit).
+    Returns (digit, obs, n, exp, chi2_contrib)."""
+    from pyspark.sql import Window as W
+
+    v = F.col(value_col).cast("long")
+    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    g = (
+        df.filter(v >= int(min_value))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .withColumn("n", F.sum("obs").over(W.partitionBy()))
+    )
+    p_lit = F.element_at(
+        F.array(
+            *[F.lit(float(repr(_math.log10(1 + 1 / d)))) for d in range(1, 10)]
+        ),
+        F.col("digit"),
+    )
+    exp = F.col("n").cast("double") * p_lit
+    return g.select(
+        "digit",
+        "obs",
+        "n",
+        exp.alias("exp"),
+        (
+            (F.col("obs").cast("double") - exp)
+            * (F.col("obs").cast("double") - exp)
+            / exp
+        ).alias("chi2_contrib"),
+    )
+
+
+def sql_benford_lut() -> str:
+    """The identical repr() literals for the DuckDB oracle: a
+    list-literal indexed by digit."""
+    return (
+        "["
+        + ", ".join(repr(_math.log10(1 + 1 / d)) for d in range(1, 10))
+        + "]"
+    )

@@ -1574,6 +1574,12 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: Pearson 1900 chi-square 2x2 independence per event_type —
+    # categorical composition drift beside ks_drift's value drift
+    Query("chi2_independence", llmdata.q_chi2_independence, llmdata.Q_CHI2_SQL),
+    # r10: Benford first-digit audit (Newcomb 1881/Benford 1938) —
+    # string-head digit, repr-injected log10 table, exact chi2 terms
+    Query("benford_audit", llmdata.q_benford_audit, llmdata.Q_BENFORD_SQL),
     # r10: TANE g3 approximate-FD profiling (Huhtala et al. 1999) —
     # schema-inference audit; held and violated candidates both present
     Query("fd_profile", llmdata.q_fd_profile, llmdata.Q_FD_PROFILE_SQL),

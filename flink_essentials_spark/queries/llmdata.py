@@ -8387,3 +8387,127 @@ FROM (
 
 
 Q_FD_PROFILE_SQL = _fd_profile_sql()
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals in cents
+    (expectations.benford_audit, Newcomb 1881 / Benford 1938): the
+    fabricated-numbers screen — observed leading-digit counts vs
+    n·log10(1+1/d) with per-digit chi-square contributions. TPC-H
+    uniform prices are decidedly NOT Benford, which is exactly what
+    the audit should say: large contributions, bit-exact cross-engine
+    (digit = first decimal character, log10 constants repr-injected)."""
+    from flink_essentials_spark.functions.expectations import benford_audit
+    from flink_essentials_spark.queries.util import cents
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    return benford_audit(orders.select(cents("o_totalprice").alias("v")), "v")
+
+
+def _benford_sql() -> str:
+    from flink_essentials_spark.functions.expectations import sql_benford_lut
+    from flink_essentials_spark.queries.util import sql_cents
+
+    return f"""
+WITH v AS (
+  SELECT {sql_cents('o_totalprice')} AS v FROM orders
+), g AS (
+  SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM v WHERE v >= 1 GROUP BY 1
+), t AS (
+  SELECT digit, obs, CAST(SUM(obs) OVER () AS BIGINT) AS n FROM g
+)
+SELECT digit, obs, n,
+       CAST(n AS DOUBLE) * ({sql_benford_lut()})[digit] AS exp,
+       (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * ({sql_benford_lut()})[digit])
+       * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * ({sql_benford_lut()})[digit])
+       / (CAST(n AS DOUBLE) * ({sql_benford_lut()})[digit]) AS chi2_contrib
+FROM t
+"""
+
+
+Q_BENFORD_SQL = _benford_sql()
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square 2×2 independence test (Pearson 1900, "On the
+    criterion that a given system of deviations...") per event_type:
+    is the type's share independent of stream half (the psi/ks split
+    fixture)? Cells a/b (type in half 1/2) and c/d (others) are exact
+    BIGINTs; χ² = n·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is computed in
+    doubles built from those BIGINTs with pinned association, and the
+    α=0.05 flag compares against the 3.841 literal — deterministic
+    cross-engine, no transcendentals. The distribution-audit sibling
+    of ks_drift (values) for CATEGORICAL composition drift."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    b = ev.agg(
+        F.floor((F.min("ts_ms") + F.max("ts_ms")) / F.lit(2))
+        .cast("long")
+        .alias("mid")
+    )
+    g = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("ts_ms") < F.col("mid")).cast("long")).alias("a"),
+            F.sum((F.col("ts_ms") >= F.col("mid")).cast("long")).alias("b"),
+        )
+        .withColumn("n1", F.sum("a").over(W.partitionBy()))
+        .withColumn("n2", F.sum("b").over(W.partitionBy()))
+        .select(
+            "event_type",
+            "a",
+            "b",
+            (F.col("n1") - F.col("a")).alias("c"),
+            (F.col("n2") - F.col("b")).alias("d"),
+        )
+    )
+    diff = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    den = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    )
+    chi2 = n * diff * diff / den
+    return g.select(
+        "event_type", "a", "b", "c", "d",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("significant"),
+    )
+
+
+Q_CHI2_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms FROM events
+), m AS (
+  SELECT CAST(FLOOR((MIN(ts_ms) + MAX(ts_ms)) / 2) AS BIGINT) AS mid FROM ev
+), g AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN ts_ms < mid THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN ts_ms >= mid THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM ev, m GROUP BY 1
+), t AS (
+  SELECT event_type, a, b,
+         CAST(SUM(a) OVER () AS BIGINT) - a AS c,
+         CAST(SUM(b) OVER () AS BIGINT) - b AS d
+  FROM g
+)
+SELECT event_type, a, b, c, d,
+       CAST(a + b + c + d AS DOUBLE)
+         * CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+         / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+            * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2,
+       CAST(a + b + c + d AS DOUBLE)
+         * CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+         / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+            * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) > 3.841
+         AS significant
+FROM t
+"""

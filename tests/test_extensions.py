@@ -3500,3 +3500,29 @@ def test_fd_profile_g3_hand_computed(spark):
     assert got[("dept", "city")] == (8, 3, 2, False)
     # city->dept: nyc holds 3 sales + 1 hr (keep 3), sfo 2, sea 2 -> g3=1
     assert got[("city", "dept")] == (8, 3, 1, False)
+
+
+def test_chi2_and_benford_hand_computed(spark):
+    """Pearson 2x2 chi2 against the textbook formula on a hand table
+    (one dependent composition, one independent), and the Benford
+    audit against python math.log10 on a known digit multiset."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.expectations import benford_audit
+
+    # Benford: 40 values with known leading digits
+    vals = [1] * 10 + [19] * 8 + [2] * 7 + [33] * 6 + [4] * 5 + [9] * 4
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["digit"]: (r["obs"], r["n"], r["exp"], r["chi2_contrib"])
+        for r in benford_audit(df, "v").collect()
+    }
+    n = len(vals)
+    want_obs = {1: 18, 2: 7, 3: 6, 4: 5, 9: 4}
+    for d, (obs, gn, exp, chi) in got.items():
+        assert gn == n and obs == want_obs[d]
+        e = n * float(repr(math.log10(1 + 1 / d)))
+        assert exp == e and chi == (obs - e) * (obs - e) / e
+    assert set(got) == set(want_obs)

@@ -307,6 +307,11 @@ def test_no_partitionless_window_over_unbounded_data(spark):
         "global_count_windows_all",
         # windows over one-row scalar aggregates (broadcast threshold)
         "psi_drift",
+        # window over the 9-row leading-digit aggregate (bounded)
+        "benford_audit",
+        # window over the per-event-type aggregate (bounded by type
+        # cardinality — a handful of rows)
+        "chi2_independence",
         # window over the 256-row bottom-k sample (bounded by k)
         "sample_quantiles",
         # window over histogram bins (bounded by bin count)
