@@ -1574,6 +1574,9 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: Jaro-Winkler ER comparator (1989/1990) over blocked pairs —
+    # oracle is DuckDB's NATIVE implementation (independent codebase)
+    Query("jaro_winkler", llmdata.q_jaro_winkler, llmdata.Q_JARO_WINKLER_SQL),
     # r10: Pearson 1900 chi-square 2x2 independence per event_type —
     # categorical composition drift beside ks_drift's value drift
     Query("chi2_independence", llmdata.q_chi2_independence, llmdata.Q_CHI2_SQL),

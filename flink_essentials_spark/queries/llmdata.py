@@ -8511,3 +8511,48 @@ SELECT event_type, a, b, c, d,
          AS significant
 FROM t
 """
+
+
+def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler ER scoring (dedup.jw_scores_batch; Jaro 1989 +
+    Winkler 1990 prefix boost) over the fuzzy_match dirty-twin
+    fixture's BLOCKED candidates: every dirty name scored against its
+    block's clean roster, round(jw, 6). The oracle is DuckDB's NATIVE
+    jaro_winkler_similarity — an independent implementation
+    cross-check, the strongest oracle form this repo has (two
+    unrelated codebases must agree on every pair)."""
+    from flink_essentials_spark.functions.dedup import jw_scores_batch
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("dirty_name"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_key"),
+        F.col("c_name").alias("clean_name"),
+    )
+    pairs = dirty.join(
+        clean,
+        F.substring("dirty_name", 10, 7) == F.substring("clean_name", 10, 7),
+    )
+    return jw_scores_batch(pairs, "dirty_name", "clean_name").select(
+        "dirty_key",
+        "clean_key",
+        F.round("jw", 6).alias("jw"),
+    )
+
+
+Q_JARO_WINKLER_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS dirty_key,
+         substring(c_name, 1, length(c_name) - 1) AS dirty_name
+  FROM customer WHERE c_custkey % 10 = 0
+), clean AS (
+  SELECT c_custkey AS clean_key, c_name AS clean_name FROM customer
+)
+SELECT dirty_key, clean_key,
+       round(jaro_winkler_similarity(dirty_name, clean_name), 6) AS jw
+FROM dirty JOIN clean
+  ON substring(dirty_name, 10, 7) = substring(clean_name, 10, 7)
+"""

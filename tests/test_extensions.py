@@ -3526,3 +3526,33 @@ def test_chi2_and_benford_hand_computed(spark):
         e = n * float(repr(math.log10(1 + 1 / d)))
         assert exp == e and chi == (obs - e) * (obs - e) / e
     assert set(got) == set(want_obs)
+
+
+def test_jaro_winkler_classic_vectors(spark):
+    """Jaro-Winkler against the published test vectors (Winkler 1990
+    table values) plus edge cases — empty string, identity, full
+    reversal — through the Arrow-batch scorer."""
+    from flink_essentials_spark.functions.dedup import (
+        _jaro_winkler,
+        jw_scores_batch,
+    )
+
+    vectors = {
+        ("martha", "marhta"): 0.961111,
+        ("dixon", "dicksonx"): 0.813333,
+        ("jellyfish", "smellyfish"): 0.896296,
+        ("duane", "dwayne"): 0.84,
+        ("abc", "abc"): 1.0,
+        ("a", ""): 0.0,
+        ("abcdefgh", "hgfedcba"): 0.5,
+    }
+    for (a, b), want in vectors.items():
+        assert round(_jaro_winkler(a, b), 6) == want, (a, b)
+    df = spark.createDataFrame(
+        [(a, b) for a, b in vectors], "a string, b string"
+    )
+    got = {
+        (r["a"], r["b"]): round(r["jw"], 6)
+        for r in jw_scores_batch(df, "a", "b").collect()
+    }
+    assert got == vectors
