@@ -186,6 +186,11 @@ HEADLINE = [
     "mg_heavy_hitters",
     "cusum_shifts",
     "cdc_chunks",
+    "soundex_blocking",
+    "fd_profile",
+    "benford_audit",
+    "chi2_independence",
+    "jaro_winkler",
 ]
 
 

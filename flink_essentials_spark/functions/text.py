@@ -2234,3 +2234,94 @@ def cdc_chunks(
         "n_copies",
         F.count(F.lit(1)).over(W.partitionBy("chunk_md5")).cast("long"),
     )
+
+
+def _ac_automaton(patterns: list[str]):
+    """Build the Aho–Corasick goto/fail/output automaton (Aho &
+    Corasick 1975, "Efficient string matching: an aid to bibliographic
+    search"). States are dict nodes; output lists carry pattern
+    indices. Built once per worker from the broadcast pattern list —
+    pattern sets are blocklist-sized (KBs), documents are not."""
+    goto: list[dict] = [{}]
+    out: list[list[int]] = [[]]
+    fail = [0]
+    for pi, p in enumerate(patterns):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                fail.append(0)
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(pi)
+    from collections import deque
+
+    q = deque()
+    for s in goto[0].values():
+        fail[s] = 0
+        q.append(s)
+    while q:
+        r = q.popleft()
+        for ch, s in goto[r].items():
+            q.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, out
+
+
+def blocklist_scan(
+    df: DataFrame,
+    patterns: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ONE-pass multi-pattern substring counting via Aho–Corasick
+    (1975) — the blocklist/keyword scanner of a C4-style filtering
+    pipeline: with P patterns, a regex-per-pattern scan costs P
+    passes over 100 TB of text; the automaton costs one, independent
+    of P. Counts EVERY occurrence (overlaps included — a match is
+    recorded at each end position, the textbook semantics).
+
+    The automaton builds per worker from the tiny broadcast pattern
+    list; documents stream through mapInPandas Arrow batches and
+    never shuffle. The DuckDB oracle counts matches position-by-
+    position (substring equality at every start offset) — an
+    independent formulation of the same semantics. Returns
+    (doc_id, pattern, n_hits) for patterns with >= 1 hit."""
+    import pandas as pd
+
+    pats = list(patterns)
+
+    def scan(batches):
+        goto, fail, out = _ac_automaton(pats)
+        for pdf in batches:
+            ids, ps, ns = [], [], []
+            for did, txt in zip(pdf["__id"], pdf["__t"]):
+                counts = [0] * len(pats)
+                s = 0
+                for ch in str(txt):
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    for pi in out[s]:
+                        counts[pi] += 1
+                for pi, c in enumerate(counts):
+                    if c:
+                        ids.append(did)
+                        ps.append(pats[pi])
+                        ns.append(c)
+            yield pd.DataFrame({"__id": ids, "pattern": ps, "n_hits": ns})
+
+    staged = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    )
+    id_t = staged.schema["__id"].dataType.simpleString()
+    return staged.mapInPandas(
+        scan, f"__id {id_t}, pattern string, n_hits long"
+    ).withColumnRenamed("__id", id_col)

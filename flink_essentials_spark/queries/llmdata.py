@@ -8556,3 +8556,37 @@ SELECT dirty_key, clean_key,
 FROM dirty JOIN clean
   ON substring(dirty_name, 10, 7) = substring(clean_name, 10, 7)
 """
+
+
+_BLOCKLIST = ["join", "batch", "slow scan", "shuffle", "qzx-absent"]
+
+
+def q_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern blocklist scan over the corpus
+    (text.blocklist_scan — Aho-Corasick 1975): occurrence counts for a
+    5-pattern blocklist (one multi-word phrase, one absent pattern) in
+    ONE pass, overlaps counted at every end position. The DuckDB
+    oracle re-counts by substring equality at every start offset — an
+    independent formulation of identical semantics."""
+    from flink_essentials_spark.functions.text import blocklist_scan
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return blocklist_scan(docs, _BLOCKLIST)
+
+
+def _blocklist_sql() -> str:
+    pats = ", ".join(
+        f"('{p}', {len(p)})" for p in _BLOCKLIST
+    )
+    return f"""
+WITH p(pattern, plen) AS (VALUES {pats}),
+d AS (SELECT doc_id, text, length(text) AS L FROM documents)
+SELECT doc_id, pattern, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM d, p,
+     UNNEST(CASE WHEN L >= plen THEN range(1, L - plen + 2) ELSE [] END) AS u(i)
+WHERE substring(text, CAST(i AS INTEGER), plen) = pattern
+GROUP BY doc_id, pattern
+"""
+
+
+Q_BLOCKLIST_SCAN_SQL = _blocklist_sql()

@@ -3556,3 +3556,37 @@ def test_jaro_winkler_classic_vectors(spark):
         for r in jw_scores_batch(df, "a", "b").collect()
     }
     assert got == vectors
+
+
+def test_blocklist_scan_overlaps_and_phrase(spark):
+    """Aho-Corasick counts vs a brute-force every-offset scan on
+    adversarial fixtures: self-overlapping pattern (aa in aaaa = 3),
+    shared-suffix outputs (ushers hits she+he+hers), a multi-word
+    phrase, and an absent pattern contributing no row."""
+    from flink_essentials_spark.functions.text import blocklist_scan
+
+    docs = [
+        (1, "aaaa"),
+        (2, "ushers and she and hers"),
+        (3, "a slow scan is a slow scan"),
+        (4, "nothing here"),
+    ]
+    pats = ["aa", "she", "he", "hers", "slow scan", "zz"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["pattern"]): r["n_hits"]
+        for r in blocklist_scan(df, pats).collect()
+    }
+
+    def brute(txt, p):
+        return sum(
+            1 for i in range(len(txt) - len(p) + 1) if txt[i : i + len(p)] == p
+        )
+
+    want = {
+        (d, p): brute(t, p) for d, t in docs for p in pats if brute(t, p)
+    }
+    assert got == want
+    assert got[(1, "aa")] == 3 and got[(3, "slow scan")] == 2
+    assert (4, "zz") not in got
+    assert got[(2, "hers")] == 1
