@@ -1438,3 +1438,54 @@ def random_projection(
         n2(v).alias("n2_orig"),
         n2(proj).alias("n2_proj"),
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 10_000,
+) -> DataFrame:
+    """EXACT distributed Gram-matrix accumulation G = XᵀX over the
+    embedding corpus — the second-moment primitive behind PCA,
+    covariance, ridge regression and whitening at 100 TB (the full-d
+    sibling of pca_features' closed-form 2-D case): vectors quantize
+    to integers (floor(v·scale) — float→double is exact, one double
+    multiply, floor; identical in both engines), so every entry of G
+    is an exact BIGINT and the oracle reproduces it bit-for-bit.
+
+    Scale shape — the blocked-BLAS map-side combine: each Arrow batch
+    contributes a d×d numpy int64 QᵀQ block; one partial matrix per
+    PARTITION ships (d(d+1)/2 rows — KBs), and a single bounded
+    groupBy sums blocks. The data-sized table never shuffles and no
+    (row × d²) explode ever materializes — that form survives only as
+    the independent DuckDB oracle formulation. Eigendecomposition of
+    the returned 64×64 is a driver-side afterthought (the bounded
+    argmax pattern). Returns (i, j, s) for the upper triangle,
+    1-indexed."""
+    import numpy as np
+    import pandas as pd
+
+    d = int(dim)
+
+    def gram(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            q = np.floor(m * float(scale)).astype(np.int64)
+            acc += q.T @ q
+        iu = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": (iu[0] + 1).astype("int64"),
+                "j": (iu[1] + 1).astype("int64"),
+                "s": acc[iu],
+            }
+        )
+
+    return (
+        df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+        .mapInPandas(gram, "i long, j long, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )

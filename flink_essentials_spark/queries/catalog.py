@@ -1574,6 +1574,9 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: exact distributed Gram matrix (X'X) — per-partition numpy
+    # int64 blocks + one bounded groupBy; the PCA/covariance primitive
+    Query("gram_matrix", llmdata.q_gram_matrix, llmdata.Q_GRAM_MATRIX_SQL),
     # r10: Aho-Corasick multi-pattern blocklist scan (1975) — one pass
     # for P patterns; oracle re-counts by per-offset substring equality
     Query("blocklist_scan", llmdata.q_blocklist_scan, llmdata.Q_BLOCKLIST_SCAN_SQL),

@@ -8590,3 +8590,34 @@ GROUP BY doc_id, pattern
 
 
 Q_BLOCKLIST_SCAN_SQL = _blocklist_sql()
+
+
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64×64 Gram matrix of the quantized embedding corpus
+    (similarity.gram_matrix): per-partition numpy int64 blocks,
+    one bounded 2080-row groupBy — XᵀX without shuffling the data or
+    exploding row×d² pairs (that form is the independent oracle). n
+    rides along so downstream covariance is one subtraction away."""
+    from flink_essentials_spark.functions.similarity import gram_matrix
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    g = gram_matrix(emb, "embedding", dim=64)
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    return g.crossJoin(F.broadcast(n))
+
+
+Q_GRAM_MATRIX_SQL = """
+WITH e AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 10000) AS BIGINT)) AS q
+  FROM embeddings
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(SUM(q[CAST(i AS INTEGER)] * q[CAST(j AS INTEGER)]) AS BIGINT) AS s,
+       n.n
+FROM e, n, UNNEST(range(1, 65)) AS a(i), UNNEST(range(1, 65)) AS b(j)
+WHERE j >= i
+GROUP BY i, j, n.n
+"""

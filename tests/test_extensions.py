@@ -3590,3 +3590,31 @@ def test_blocklist_scan_overlaps_and_phrase(spark):
     assert got[(1, "aa")] == 3 and got[(3, "slow scan")] == 2
     assert (4, "zz") not in got
     assert got[(2, "hers")] == 2  # ushers + hers
+
+
+def test_gram_matrix_exact_and_partition_invariant(spark):
+    """Gram accumulation equals numpy's one-shot QtQ on the full
+    matrix and is invariant to partition layout (block sums commute);
+    quantization floor matches Spark double semantics on negatives."""
+    import numpy as np
+
+    from flink_essentials_spark.functions.similarity import gram_matrix
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(scale=0.2, size=(97, 8)).astype(np.float32)
+    q = np.floor(m.astype(np.float64) * 10000.0).astype(np.int64)
+    want = q.T @ q
+    rows = [(row.tolist(),) for row in m]
+    for parts in (1, 5, 32):
+        df = spark.createDataFrame(
+            rows, "embedding array<float>"
+        ).repartition(parts)
+        got = {
+            (r["i"], r["j"]): r["s"]
+            for r in gram_matrix(df, "embedding", dim=8).collect()
+        }
+        assert got == {
+            (i + 1, j + 1): int(want[i, j])
+            for i in range(8)
+            for j in range(i, 8)
+        }, parts
