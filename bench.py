@@ -191,6 +191,8 @@ HEADLINE = [
     "benford_audit",
     "chi2_independence",
     "jaro_winkler",
+    "blocklist_scan",
+    "gram_matrix",
 ]
 
 

@@ -3618,3 +3618,66 @@ def test_gram_matrix_exact_and_partition_invariant(spark):
             for i in range(8)
             for j in range(i, 8)
         }, parts
+
+
+def test_ks_drift_maintained_over_a_stream_equals_batch(spark, tmp_path):
+    """KS drift joins the streaming-maintained monitor matrix (HLL /
+    Count-Min / histogram / DDSketch / now KS): the sufficient state
+    for the two-sample test is the (key, value, ca, cb) count table —
+    SUM-mergeable, so refresh_rollup maintains it per micro-batch and
+    the KS statistic read out of the MAINTAINED table equals the
+    one-shot batch answer bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.functions.timeseries import ks_two_sample
+    from flink_essentials_spark.queries import util
+    from flink_essentials_spark.sinks import versioned
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "rollup")
+    t = load_tables(spark, SF_DIR)
+    ev = t["events"].select(
+        F.col("event_type").alias("k"),
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        util.cents("value").alias("v"),
+    )
+    ev.repartition(3).write.parquet(src)
+
+    def fold(bdf, epoch_id):
+        cnts = bdf.groupBy("k", "v").agg(
+            F.sum(F.col("is_a").cast("long")).alias("ca"),
+            F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+        )
+        refresh_rollup(
+            spark, base, cnts, ["k", "v"],
+            {"ca": ("sum", "ca"), "cb": ("sum", "cb")},
+            epoch_id=epoch_id,
+        )
+
+    sdf = file_replay(
+        spark, src, "k string, is_a boolean, v long", files_per_trigger=1
+    )
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    stored = versioned.read_current(spark, base)
+    # read the KS statistic out of the maintained count table by
+    # re-expanding it to tagged rows (ca/cb weights -> explode)
+    expanded = stored.select(
+        "k", "v",
+        F.explode(
+            F.concat(
+                F.array_repeat(F.lit(True), F.col("ca").cast("int")),
+                F.array_repeat(F.lit(False), F.col("cb").cast("int")),
+            )
+        ).alias("is_a"),
+    )
+    got = sorted(
+        map(tuple, ks_two_sample(expanded, "k", "is_a", "v").collect())
+    )
+    direct = sorted(map(tuple, ks_two_sample(ev, "k", "is_a", "v").collect()))
+    assert got == direct and len(got) >= 3
