@@ -271,6 +271,10 @@ def ks_two_sample(
             F.sum(F.col("__a").cast("long")).alias("__ca"),
             F.sum((~F.col("__a")).cast("long")).alias("__cb"),
         )
+        # the ECDF support table feeds THREE consumers (key bounds,
+        # banding, band totals) — materialize once instead of
+        # re-aggregating the raw data per consumer
+        .localCheckpoint()
     )
     # dyadic banding on the per-key value span: equal v => equal band,
     # band-major order == value order, so the two-phase cumsum equals

@@ -601,12 +601,11 @@ def test_heavy_row_exchange_budgets(spark):
         "silhouette_audit": (4, 1),
         "sw_alignment": (2, 2),
         "weighted_jaccard": (14, 3),
-        # r10 rows: ks_drift's banded two-phase cumulative re-reads the
-        # (key, value) aggregate thrice (bounds/bands/totals — reuse
-        # shows as ReusedExchange, still counted); mg's two passes are
-        # one python summary + one broadcast-semi rescan; cdc is a
-        # scan-stage explode + ONE chunk-hash window
-        "ks_drift": (20, 7),
+        # r10 rows: ks_drift's ECDF support table is localCheckpointed
+        # (one aggregate, three consumers — was 20 exchanges unchecked);
+        # mg's two passes are one python summary + one broadcast-semi
+        # rescan; cdc is a scan-stage explode + ONE chunk-hash window
+        "ks_drift": (9, 3),
         "mg_heavy_hitters": (8, 2),
         "cdc_chunks": (2, 0),
     }
