@@ -1473,28 +1473,30 @@ _REGISTRY: list[Query] = [
     # first_window_counts / parts_rollup / similarity_topk /
     # bpe_token_stats / contamination (families stay covered — see the
     # in-place head notes).
-    # r10 PROMOTION CANDIDATES (the r9 rotation promoted the ten named
-    # algorithms from the r8 verdict: association_rules, record_linkage,
-    # burst_detection, dbscan_users, kneser_ney_lm, count_sketch,
-    # random_projection, pareto_suppliers, rrf_fusion, l_diversity).
-    # Remaining driver-invisible candidates, in priority order:
-    # wordpiece_encode or lpa_communities (last r8 named algorithms),
-    # normalize_unicode (the only cross-ICU Python-stage oracle),
-    # cdc_state (lakehouse MERGE materialization), snapshot_diff
-    # (data-diff audit), streaming_capped_sessions (python-stateful
-    # streaming under oracle), readability or hashed_features
-    # (featurization), windowed_quantiles (windowed percentiles), and
-    # the r9-new named algorithms: hits_authority (directional graph
-    # scoring), ddsketch_quantiles (the relative-error quantile
-    # member), pmi_collocations (phrase mining), sw_alignment
-    # (vectorized ER alignment), greedy_coverage (submodular
-    # selection), silhouette_audit (cluster eval), ams_f2,
-    # vocab_richness, trend_lines, hampel_outliers,
-    # rendezvous_shards. Demotion candidates (genuine redundancy):
-    # map_state_counts vs the capped_sessions keyed-state coverage,
-    # time_rollup's ROLLUP vs type_day_cube's CUBE (tail), hilbert_keys
-    # vs zorder_keys if hilbert is promoted, psi_drift vs ewma_anomaly
-    # (two drift monitors), gopher_rules vs the local c4_filters.
+    # r11 PROMOTION CANDIDATES (the r10 rotation promoted the ten
+    # r9-verdict named algorithms: ddsketch_quantiles, sw_alignment,
+    # streaming_capped_sessions, hits_authority, langid_agreement,
+    # greedy_coverage, pmi_collocations, silhouette_audit,
+    # lpa_communities, normalize_unicode). Remaining driver-invisible
+    # candidates, in priority order: the r10-new named algorithms —
+    # exact_quantiles (Munro-Paterson bounded-pass EXACT quantiles),
+    # ks_drift (nonparametric two-sample drift), mg_heavy_hitters
+    # (deterministic exact heavy hitters), cusum_shifts (changepoint
+    # screen), cdc_chunks (content-defined chunking), gram_matrix
+    # (the X'X primitive), blocklist_scan (Aho-Corasick), jaro_winkler
+    # (independent-implementation oracle), fd_profile (TANE g3),
+    # soundex_blocking, chi2_independence, benford_audit — plus the
+    # standing candidates wordpiece_encode, cdc_state (lakehouse
+    # MERGE), snapshot_diff, windowed_quantiles, readability,
+    # hashed_features, ams_f2, vocab_richness, trend_lines,
+    # hampel_outliers, rendezvous_shards, kcenter_seeds,
+    # mink_surprisal, pca_features. Demotion candidates (genuine
+    # redundancy): hilbert_keys vs zorder_keys (if one promotes),
+    # unigram_segments vs bpe_trained_merges (tokenizer family
+    # double-covered), incremental_rollup vs streaming-maintained
+    # twins, ewma_anomaly vs the now-deeper drift bench (ks/cusum
+    # driver-eligible), image_dedup vs media_features (decode family),
+    # count_trigger_fires vs capped_sessions (count-window machinery).
     # demoted r8f (head slots went to gopher_rules / bm25_scores /
     # kmv_set_ops) — still oracle-checked here
     Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
