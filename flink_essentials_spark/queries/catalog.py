@@ -1576,6 +1576,9 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: DataFrame PIVOT surface (static value list — no extra
+    # distinct job); oracle is the conditional-aggregation equivalent
+    Query("pivot_report", llmdata.q_pivot_report, llmdata.Q_PIVOT_REPORT_SQL),
     # r10: exact distributed Gram matrix (X'X) — per-partition numpy
     # int64 blocks + one bounded groupBy; the PCA/covariance primitive
     Query("gram_matrix", llmdata.q_gram_matrix, llmdata.Q_GRAM_MATRIX_SQL),

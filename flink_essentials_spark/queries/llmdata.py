@@ -8621,3 +8621,40 @@ FROM e, n, UNNEST(range(1, 65)) AS a(i), UNNEST(range(1, 65)) AS b(j)
 WHERE j >= i
 GROUP BY i, j, n.n
 """
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix via the DataFrame PIVOT surface
+    (relational reshaping — groupBy(day).pivot(event_type).count()
+    with an EXPLICIT value list, so the output schema is static and
+    Catalyst skips the extra distinct-values job a bare pivot needs):
+    one row per integer day, one count column per type. The oracle is
+    the conditional-aggregation form — the classical equivalent."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"), "event_type"
+    )
+    out = ev.groupBy("day").pivot("event_type", _PIVOT_TYPES).count()
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in _PIVOT_TYPES],
+    )
+
+
+def _pivot_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}"
+        for t in _PIVOT_TYPES
+    )
+    return f"""
+SELECT epoch_ms(ts) // 86400000 AS day,
+       {cols}
+FROM events GROUP BY 1
+"""
+
+
+Q_PIVOT_REPORT_SQL = _pivot_sql()
