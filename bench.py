@@ -193,6 +193,8 @@ HEADLINE = [
     "jaro_winkler",
     "blocklist_scan",
     "gram_matrix",
+    "wavelet_synopsis",
+    "pivot_report",
 ]
 
 

@@ -263,6 +263,17 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "mink_surprisal": {"BroadcastNestedLoopJoin"},
         # two one-row stats broadcasts (corpus_mixture pattern)
         "langid_agreement": {"BroadcastNestedLoopJoin"},
+        # one-row stream-midpoint scalar broadcast (psi_drift pattern)
+        "chi2_independence": {"BroadcastNestedLoopJoin"},
+        # one-row corpus-count broadcast onto the bounded 2080-row
+        # Gram triangle (corpus_mixture pattern)
+        "gram_matrix": {"BroadcastNestedLoopJoin"},
+        # one-row total-count broadcast onto the bounded candidate
+        # counts (corpus_mixture pattern)
+        "mg_heavy_hitters": {"BroadcastNestedLoopJoin"},
+        # one-row global time-bounds broadcast for bucketing
+        # (zorder_keys scalar-bounds pattern)
+        "wavelet_synopsis": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},
         # two one-row u-probability broadcasts (exact integer ratios);
         # the candidate pairs themselves come from a blocked EQUI-join
