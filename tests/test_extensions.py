@@ -3723,3 +3723,45 @@ def test_wavelet_synopsis_reconstructs_series(spark):
     assert set(by_type) == set(truth)
     for t, c in by_type.items():
         assert inverse(c) == truth[t], t
+
+
+def test_gram_matrix_maintained_over_a_stream_equals_batch(spark, tmp_path):
+    """The Gram matrix is SUM-mergeable per entry, so refresh_rollup
+    maintains X'X incrementally per micro-batch (the streaming-PCA /
+    online-covariance state path) and the stored matrix equals the
+    one-shot batch computation exactly."""
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.functions.similarity import gram_matrix
+    from flink_essentials_spark.sinks import versioned
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "rollup")
+    t = load_tables(spark, SF_DIR)
+    emb = t["embeddings"].select("embedding")
+    emb.repartition(3).write.parquet(src)
+
+    def fold(bdf, epoch_id):
+        g = gram_matrix(bdf, "embedding", dim=64)
+        refresh_rollup(
+            spark, base, g, ["i", "j"], {"s": ("sum", "s")},
+            epoch_id=epoch_id,
+        )
+
+    sdf = file_replay(
+        spark, src, "embedding array<float>", files_per_trigger=1
+    )
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    stored = sorted(
+        map(tuple, versioned.read_current(spark, base).collect())
+    )
+    oneshot = sorted(
+        map(tuple, gram_matrix(emb, "embedding", dim=64).collect())
+    )
+    assert stored == oneshot and len(stored) == 64 * 65 // 2
