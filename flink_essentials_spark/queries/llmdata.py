@@ -8781,3 +8781,147 @@ WITH ev AS (
 
 
 Q_WAVELET_SQL = _wavelet_sql()
+
+
+_NDCG_L = 232792560  # lcm(2..21): every 1/(rank+1) discount scales exact
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval: NDCG@20 of the BM25 ranking against
+    graded relevance derived from the corpus-LM prior ranking
+    (Järvelin & Kekäläinen 2002, "Cumulated gain-based evaluation of
+    IR techniques" — using their gain 2^rel−1 with the RECIPROCAL-rank
+    discount 1/(rank+1), a sanctioned discount choice that keeps the
+    whole metric EXACT: terms scale by L = lcm(2..21) into BIGINTs, so
+    DCG and IDCG are exact integer sums — order-free — and ndcg is ONE
+    division; a log2 discount would make the score an order-dependent
+    double sum, unhashable cross-engine). Relevance grades: prior-rank
+    bands of 25 (top band rel 4 .. rel 0). The graded sibling of
+    lsh_recall in the self-eval family."""
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    from flink_essentials_spark.functions.text import (
+        bigram_lm_score,
+        bm25_scores,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    parts = [
+        bm25_scores(docs, terms).select(
+            F.lit(qid).alias("query_id"), "doc_id", "bm25_score"
+        )
+        for qid, terms in _RRF_QUERIES
+    ]
+    bm = reduce(lambda a, b: a.unionAll(b), parts)
+    prior = bigram_lm_score(docs).select("doc_id", "avg_log2_prob")
+    j = bm.join(prior, "doc_id")
+    w_bm = W.partitionBy("query_id").orderBy(F.desc("bm25_score"), "doc_id")
+    w_pr = W.partitionBy("query_id").orderBy(
+        F.desc("avg_log2_prob"), "doc_id"
+    )
+    ranked = j.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(w_bm).alias("r_bm25"),
+        F.row_number().over(w_pr).alias("r_prior"),
+    ).withColumn(
+        "rel",
+        F.greatest(F.lit(0), F.lit(4) - F.expr("(r_prior - 1) div 25")),
+    ).withColumn(
+        "gain", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT)) - 1")
+    )
+    w_ideal = W.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
+    staged = ranked.withColumn("r_ideal", F.row_number().over(w_ideal))
+    agg = staged.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("r_bm25") <= 20,
+                F.col("gain") * F.expr(f"{_NDCG_L} div (r_bm25 + 1)"),
+            ).otherwise(F.lit(0))
+        ).alias("dcg_s"),
+        F.sum(
+            F.when(
+                F.col("r_ideal") <= 20,
+                F.col("gain") * F.expr(f"{_NDCG_L} div (r_ideal + 1)"),
+            ).otherwise(F.lit(0))
+        ).alias("idcg_s"),
+    )
+    return agg.select(
+        "query_id",
+        "dcg_s",
+        "idcg_s",
+        (F.col("dcg_s").cast("double") / F.col("idcg_s")).alias("ndcg"),
+    )
+
+
+def _ndcg_sql() -> str:
+    unions = "\n  UNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, doc_id, bm25_score "
+        f"FROM ({_bm25_sql(terms, 1.2, 0.75).strip()})"
+        for qid, terms in _RRF_QUERIES
+    )
+    return f"""
+WITH bmq AS (
+  {unions}
+), ptoks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS w FROM documents
+), pbi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS bigram
+  FROM ptoks
+), pbc AS (
+  SELECT bigram, COUNT(*) AS n_bi FROM pbi GROUP BY bigram
+), puc AS (
+  SELECT word, COUNT(*) AS n_uni
+  FROM (SELECT unnest(w) AS word FROM ptoks) GROUP BY word
+), plm AS (
+  SELECT b.bigram, b.n_bi, u.n_uni
+  FROM pbc b JOIN puc u ON split_part(b.bigram, ' ', 1) = u.word
+), prior AS (
+  SELECT d.doc_id,
+         round(SUM(log2(CAST(l.n_bi AS DOUBLE) / l.n_uni)) / COUNT(*), 6)
+           AS avg_log2_prob
+  FROM pbi d JOIN plm l USING (bigram)
+  GROUP BY d.doc_id
+), ranked AS (
+  SELECT b.query_id, b.doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY b.query_id
+                                 ORDER BY b.bm25_score DESC, b.doc_id)
+              AS INT) AS r_bm25,
+         CAST(ROW_NUMBER() OVER (PARTITION BY b.query_id
+                                 ORDER BY p.avg_log2_prob DESC, b.doc_id)
+              AS INT) AS r_prior
+  FROM bmq b JOIN prior p USING (doc_id)
+), graded AS (
+  SELECT *, GREATEST(0, 4 - (r_prior - 1) // 25) AS rel FROM ranked
+), g2 AS (
+  SELECT *, CAST((1 << rel) - 1 AS BIGINT) AS gain,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id) AS INT)
+           AS r_ideal
+  FROM graded
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN r_bm25 <= 20
+                     THEN gain * ({_NDCG_L} // (r_bm25 + 1))
+                     ELSE 0 END) AS BIGINT) AS dcg_s,
+       CAST(SUM(CASE WHEN r_ideal <= 20
+                     THEN gain * ({_NDCG_L} // (r_ideal + 1))
+                     ELSE 0 END) AS BIGINT) AS idcg_s,
+       CAST(SUM(CASE WHEN r_bm25 <= 20
+                     THEN gain * ({_NDCG_L} // (r_bm25 + 1))
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN r_ideal <= 20
+                         THEN gain * ({_NDCG_L} // (r_ideal + 1))
+                         ELSE 0 END) AS BIGINT) AS ndcg
+FROM g2 GROUP BY 1
+"""
+
+
+Q_NDCG_SQL = _ndcg_sql()
