@@ -1576,6 +1576,9 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: 10%-trimmed mean per type (Tukey robust location) — keyed
+    # rank windows, exact kept-sum, one division
+    Query("trimmed_mean", llmdata.q_trimmed_mean, llmdata.Q_TRIMMED_MEAN_SQL),
     # r10: NDCG@20 ranking eval (Järvelin-Kekäläinen 2002, reciprocal
     # discount) — exact-integer DCG/IDCG, the graded self-eval member
     Query("ndcg_eval", llmdata.q_ndcg_eval, llmdata.Q_NDCG_SQL),

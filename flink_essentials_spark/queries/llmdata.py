@@ -8925,3 +8925,59 @@ FROM g2 GROUP BY 1
 
 
 Q_NDCG_SQL = _ndcg_sql()
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of spend cents per event_type (the classic
+    robust location estimator — Tukey; beside mad_outliers' scale and
+    cusum's shifts): drop the lowest and highest n div 10 observations
+    by (value, event_id) rank, then ONE exact division of the
+    remaining integer sum. Ranks ride a keyed window; the trim
+    boundary is integer div on both engines; the kept-sum is an exact
+    BIGINT, so the mean is bit-identical cross-engine."""
+    from pyspark.sql import Window as W
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", "event_id", cents("value").alias("v")
+    )
+    w = W.partitionBy("event_type").orderBy("v", "event_id")
+    wk = W.partitionBy("event_type")
+    staged = ev.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wk)
+    )
+    kept = staged.filter(
+        (F.col("rk") > F.expr("n div 10"))
+        & (F.col("rk") <= F.col("n") - F.expr("n div 10"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("v").alias("kept_sum"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("trimmed_mean"),
+    )
+
+
+def _trimmed_mean_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id, {sql_cents('value')} AS v FROM events
+), r AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM ev
+)
+SELECT event_type, MAX(n) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(v) AS BIGINT) AS kept_sum,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS trimmed_mean
+FROM r WHERE rk > n // 10 AND rk <= n - n // 10
+GROUP BY 1
+"""
+
+
+Q_TRIMMED_MEAN_SQL = _trimmed_mean_sql()
