@@ -227,38 +227,18 @@ def mad_outliers(
     )
 
 
-def ks_two_sample(
+def _ecdf_cums(
     df: DataFrame,
     key_col: str,
     split_col: str,
     value_col: str,
-    bands: int = 64,
-    crit_sq: float = 1.8496,
+    bands: int,
 ) -> DataFrame:
-    """Two-sample Kolmogorov–Smirnov drift test per key (Kolmogorov
-    1933; Smirnov 1948 two-sample form) — the NONPARAMETRIC member of
-    the drift family beside psi_drift's binned divergence and
-    ewma_control's level shifts: D = sup_v |F_a(v) − F_b(v)| between
-    the two samples tagged by boolean ``split_col`` (a = true), with
-    the large-sample rejection rule D > c(α)·sqrt((n_a+n_b)/(n_a·n_b)),
-    c(0.05) = 1.36 (``crit_sq`` = c², compared in squares so no sqrt
-    enters the parity path).
-
-    Exactness: the sup runs over the pooled distinct values; at each,
-    |cum_a·n_b − cum_b·n_a| is an exact BIGINT (≤ n_a·n_b), so
-    d = d_num/(n_a·n_b) is ONE division of exact operands and the
-    reject flag compares d_num² against crit_sq·(n_a+n_b)·n_a·n_b in
-    doubles built from the same exact BIGINTs — both engines divide
-    and multiply identical operands (the cross-engine ratio rule).
-
-    Scale shape: counts pre-aggregate to one row per (key, value) —
-    the ECDF support, not the data — and the per-key cumulative is the
-    BANDED two-phase prefix sum (token_budget_select pattern): value
-    range splits into ``bands`` dyadic bands via per-key min/max, band
-    totals prefix over the tiny key×band series, and each distinct
-    value's cumulative is its band offset plus a (key, band)-keyed
-    window cumsum. No per-key single-task sort; every window is keyed
-    by (key, band). Returns (key, n_a, n_b, d_num, d, reject)."""
+    """Shared two-sample ECDF machinery (ks_two_sample /
+    mann_whitney_u): per-key (value, ca, cb) support table with exact
+    banded two-phase cumulative counts __cuma/__cumb and key totals
+    __na/__nb — every window keyed by (key, band), support
+    localCheckpointed once for its three consumers."""
     k = F.col(key_col)
     g = (
         df.select(
@@ -313,6 +293,42 @@ def ks_two_sample(
         .withColumn("__cuma", F.col("__oa") + F.sum("__ca").over(w_in))
         .withColumn("__cumb", F.col("__ob") + F.sum("__cb").over(w_in))
     )
+    return cum
+
+
+def ks_two_sample(
+    df: DataFrame,
+    key_col: str,
+    split_col: str,
+    value_col: str,
+    bands: int = 64,
+    crit_sq: float = 1.8496,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per key (Kolmogorov
+    1933; Smirnov 1948 two-sample form) — the NONPARAMETRIC member of
+    the drift family beside psi_drift's binned divergence and
+    ewma_control's level shifts: D = sup_v |F_a(v) − F_b(v)| between
+    the two samples tagged by boolean ``split_col`` (a = true), with
+    the large-sample rejection rule D > c(α)·sqrt((n_a+n_b)/(n_a·n_b)),
+    c(0.05) = 1.36 (``crit_sq`` = c², compared in squares so no sqrt
+    enters the parity path).
+
+    Exactness: the sup runs over the pooled distinct values; at each,
+    |cum_a·n_b − cum_b·n_a| is an exact BIGINT (≤ n_a·n_b), so
+    d = d_num/(n_a·n_b) is ONE division of exact operands and the
+    reject flag compares d_num² against crit_sq·(n_a+n_b)·n_a·n_b in
+    doubles built from the same exact BIGINTs — both engines divide
+    and multiply identical operands (the cross-engine ratio rule).
+
+    Scale shape: counts pre-aggregate to one row per (key, value) —
+    the ECDF support, not the data — and the per-key cumulative is the
+    BANDED two-phase prefix sum (token_budget_select pattern): value
+    range splits into ``bands`` dyadic bands via per-key min/max, band
+    totals prefix over the tiny key×band series, and each distinct
+    value's cumulative is its band offset plus a (key, band)-keyed
+    window cumsum. No per-key single-task sort; every window is keyed
+    by (key, band). Returns (key, n_a, n_b, d_num, d, reject)."""
+    cum = _ecdf_cums(df, key_col, split_col, value_col, bands)
     stats = cum.groupBy("__k").agg(
         F.max("__na").alias("n_a"),
         F.max("__nb").alias("n_b"),
@@ -402,4 +418,49 @@ def cusum_control(
         F.count_if((F.col("__sp") > h) | (F.col("__sm") > h))
         .cast("long")
         .alias("n_alarms"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    key_col: str,
+    split_col: str,
+    value_col: str,
+    bands: int = 64,
+) -> DataFrame:
+    """Per-key Mann–Whitney U / Wilcoxon rank-sum (Mann & Whitney
+    1947; Wilcoxon 1945) with midrank tie handling — the rank-based
+    two-sample sibling of :func:`ks_two_sample` (KS tests sup-distance;
+    U tests stochastic dominance), and its normalization U/(n_a·n_b)
+    is the AUC: the probability a random sample-a value ranks above a
+    random sample-b value — THE threshold-free eval statistic.
+
+    All exact: from the same banded ECDF cumulative, each distinct
+    value's doubled pooled MIDRANK is 2·(pooled count before) + count
+    + 1 (an integer — doubling absorbs the tie half), R1·2 = Σ ca ·
+    midrank2, u2 = 2·U = R1·2 − 2·(Σ_{j≤i} handled by the closed form)
+    ... specifically u2 = r1_2 − n_a·(n_a + 1), and auc = u2 /
+    (2·n_a·n_b) is ONE division of exact BIGINTs. Same plan shape and
+    cost as the KS pass (shared _ecdf_cums; every window keyed).
+    Returns (key, n_a, n_b, u2, auc)."""
+    cum = _ecdf_cums(df, key_col, split_col, value_col, bands)
+    midrank2 = (
+        2 * (F.col("__cuma") + F.col("__cumb") - F.col("__ca") - F.col("__cb"))
+        + (F.col("__ca") + F.col("__cb"))
+        + 1
+    )
+    stats = cum.groupBy("__k").agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.sum(F.col("__ca") * midrank2).alias("r1_2"),
+    )
+    u2 = F.col("r1_2") - F.col("n_a") * (F.col("n_a") + 1)
+    return stats.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        F.col("__k").alias(key_col),
+        "n_a",
+        "n_b",
+        u2.alias("u2"),
+        (
+            u2.cast("double") / (F.lit(2) * F.col("n_a") * F.col("n_b"))
+        ).alias("auc"),
     )

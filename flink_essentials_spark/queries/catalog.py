@@ -1576,6 +1576,9 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: Mann-Whitney U / AUC (1947) — midrank ties on the shared
+    # banded ECDF; the stochastic-dominance sibling of ks_drift
+    Query("mann_whitney", llmdata.q_mann_whitney, llmdata.Q_MANN_WHITNEY_SQL),
     # r10: 10%-trimmed mean per type (Tukey robust location) — keyed
     # rank windows, exact kept-sum, one division
     Query("trimmed_mean", llmdata.q_trimmed_mean, llmdata.Q_TRIMMED_MEAN_SQL),

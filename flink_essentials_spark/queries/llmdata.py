@@ -8981,3 +8981,65 @@ GROUP BY 1
 
 
 Q_TRIMMED_MEAN_SQL = _trimmed_mean_sql()
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U / AUC per event_type between stream halves
+    (timeseries.mann_whitney_u; Mann & Whitney 1947, Wilcoxon 1945,
+    midrank ties): u2 = 2U exact BIGINT from the shared banded ECDF
+    cumulative, auc = U/(n_a·n_b) — the probability a first-half value
+    outranks a second-half value, the threshold-free drift/eval
+    statistic beside ks_drift's sup-distance."""
+    from flink_essentials_spark.functions.timeseries import mann_whitney_u
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"]
+    ts = F.unix_millis(F.col("ts"))
+    b = ev.agg(
+        F.floor((F.min(ts) + F.max(ts)) / F.lit(2)).cast("long").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        (ts < F.col("mid")).alias("is_a"),
+        cents("value").alias("v"),
+    )
+    return mann_whitney_u(tagged, "event_type", "is_a", "v")
+
+
+def _mann_whitney_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, {sql_cents('value')} AS v
+  FROM events
+), b AS (
+  SELECT CAST(FLOOR((MIN(ts_ms) + MAX(ts_ms)) / 2) AS BIGINT) AS mid FROM ev
+), g AS (
+  SELECT event_type, v,
+         CAST(SUM(CASE WHEN ts_ms < mid THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN ts_ms >= mid THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM ev, b GROUP BY 1, 2
+), t AS (
+  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb
+  FROM g GROUP BY 1
+), c AS (
+  SELECT g.event_type, ca, cb, na, nb,
+         CAST(SUM(ca + cb) OVER (PARTITION BY g.event_type ORDER BY v)
+              AS BIGINT) AS cumt
+  FROM g JOIN t USING (event_type)
+), s AS (
+  SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+         CAST(SUM(ca * (2 * (cumt - ca - cb) + (ca + cb) + 1))
+              AS BIGINT) AS r1_2
+  FROM c GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       r1_2 - n_a * (n_a + 1) AS u2,
+       CAST(r1_2 - n_a * (n_a + 1) AS DOUBLE) / (2 * n_a * n_b) AS auc
+FROM s WHERE n_a > 0 AND n_b > 0
+"""
+
+
+Q_MANN_WHITNEY_SQL = _mann_whitney_sql()

@@ -3765,3 +3765,31 @@ def test_gram_matrix_maintained_over_a_stream_equals_batch(spark, tmp_path):
         map(tuple, gram_matrix(emb, "embedding", dim=64).collect())
     )
     assert stored == oneshot and len(stored) == 64 * 65 // 2
+
+
+def test_mann_whitney_u_matches_scipy_free_reference(spark):
+    """U and AUC vs a brute-force pairwise comparison (AUC = (#pairs
+    a>b + 0.5·#ties)/(n_a·n_b)) on fixtures with heavy ties, total
+    separation (AUC 1), and identical samples (AUC 0.5)."""
+    from flink_essentials_spark.functions.timeseries import mann_whitney_u
+
+    series = {
+        "sep": [(True, v) for v in (10, 11, 12)] + [(False, v) for v in (1, 2, 3)],
+        "same": [(t, v) for v in (5, 5, 7, 9) for t in (True, False)],
+        "ties": [(True, 1), (True, 2), (True, 2), (False, 2), (False, 3)],
+    }
+    rows = [(k, t, v) for k, vs in series.items() for t, v in vs]
+    df = spark.createDataFrame(rows, "k string, is_a boolean, v long")
+    got = {
+        r["k"]: (r["n_a"], r["n_b"], r["u2"], r["auc"])
+        for r in mann_whitney_u(df, "k", "is_a", "v", bands=4).collect()
+    }
+    for k, vs in series.items():
+        a = [v for t, v in vs if t]
+        b = [v for t, v in vs if not t]
+        wins = sum(1 for x in a for y in b if x > y)
+        ties = sum(1 for x in a for y in b if x == y)
+        u2 = 2 * wins + ties
+        auc = u2 / (2 * len(a) * len(b))
+        assert got[k] == (len(a), len(b), u2, auc), k
+    assert got["sep"][3] == 1.0 and got["same"][3] == 0.5
