@@ -195,6 +195,9 @@ HEADLINE = [
     "gram_matrix",
     "wavelet_synopsis",
     "pivot_report",
+    "ndcg_eval",
+    "trimmed_mean",
+    "mann_whitney",
 ]
 
 

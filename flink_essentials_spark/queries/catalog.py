@@ -1576,6 +1576,9 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: CM-sketch join-size estimation (Cormode-Muthukrishnan 2005
+    # inner products) vs exact — the optimizer-cardinality self-eval
+    Query("cm_join_size", llmdata.q_cm_join_size, llmdata.Q_CM_JOIN_SIZE_SQL),
     # r10: Mann-Whitney U / AUC (1947) — midrank ties on the shared
     # banded ECDF; the stochastic-dominance sibling of ks_drift
     Query("mann_whitney", llmdata.q_mann_whitney, llmdata.Q_MANN_WHITNEY_SQL),

@@ -9043,3 +9043,89 @@ FROM s WHERE n_a > 0 AND n_b > 0
 
 
 Q_MANN_WHITNEY_SQL = _mann_whitney_sql()
+
+
+def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min sketches (Cormode &
+    Muthukrishnan 2005 §4.2 — the inner-product estimator): |R ⋈ S| on
+    user_id between the two stream halves is estimated as the MIN over
+    depth rows of the bucket-wise dot product of the halves' sketches
+    (an upper bound — collisions only inflate), next to the exact join
+    size — the query-optimizer cardinality primitive, self-evaluated.
+    Everything is integer (counter products summed in BIGINT), so est,
+    exact and the error are bit-identical cross-engine."""
+    from flink_essentials_spark.functions.approx import cm_sketch
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    b = ev.agg(
+        F.floor((F.min("ts_ms") + F.max("ts_ms")) / F.lit(2))
+        .cast("long")
+        .alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(b)).localCheckpoint()
+    ra = tagged.filter(F.col("ts_ms") < F.col("mid"))
+    rb = tagged.filter(F.col("ts_ms") >= F.col("mid"))
+    sa = cm_sketch(ra, "user_id").withColumnRenamed("cnt", "ca")
+    sb = cm_sketch(rb, "user_id").withColumnRenamed("cnt", "cb")
+    dots = (
+        sa.join(sb, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .agg(F.min("dot").alias("est"))
+    )
+    exact = (
+        ra.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("na"))
+        .join(
+            rb.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb")),
+            "user_id",
+        )
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("exact"))
+    )
+    return dots.crossJoin(F.broadcast(exact)).select(
+        "est", "exact", (F.col("est") - F.col("exact")).alias("err")
+    )
+
+
+def _cm_join_size_sql() -> str:
+    # mirror approx.cm_sketch: depth 4 x 10-bit slices of the 60-bit
+    # md5-prefix int of CAST(user_id AS VARCHAR)
+    hv = "(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
+    slices = " UNION ALL ".join(
+        f"SELECT user_id, half, {d} AS d, ({hv} >> {d * 10}) & 1023 AS bucket FROM ev"
+        for d in range(4)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+), m AS (
+  SELECT CAST(FLOOR((MIN(ts_ms) + MAX(ts_ms)) / 2) AS BIGINT) AS mid FROM e0
+), ev AS (
+  SELECT user_id, ts_ms < mid AS half FROM e0, m
+), s AS (
+  {slices}
+), sk AS (
+  SELECT half, d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM s GROUP BY 1, 2, 3
+), dots AS (
+  SELECT a.d, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
+  FROM sk a JOIN sk b ON a.d = b.d AND a.bucket = b.bucket
+  WHERE a.half AND NOT b.half
+  GROUP BY 1
+), est AS (
+  SELECT CAST(MIN(dot) AS BIGINT) AS est FROM dots
+), exact AS (
+  SELECT CAST(SUM(na * nb) AS BIGINT) AS exact FROM (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN half THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN half THEN 0 ELSE 1 END) AS BIGINT) AS nb
+    FROM ev GROUP BY 1
+  ) WHERE na > 0 AND nb > 0
+)
+SELECT est, exact, est - exact AS err FROM est, exact
+"""
+
+
+Q_CM_JOIN_SIZE_SQL = _cm_join_size_sql()
