@@ -619,6 +619,16 @@ def test_heavy_row_exchange_budgets(spark):
         "ks_drift": (9, 3),
         "mg_heavy_hitters": (8, 2),
         "cdc_chunks": (2, 0),
+        # shares _ecdf_cums with ks_drift — identical budget; a
+        # divergence between the two signals a one-sided plan change
+        "mann_whitney": (9, 3),
+        # BM25 per query + bigram-LM prior + 3 keyed rank windows +
+        # the final keyed aggregate
+        "ndcg_eval": (22, 6),
+        # two CM sketches (bounded) + sketch equi-join + exact join
+        "cm_join_size": (10, 3),
+        # the ewma/cusum single-keyed-exchange contract
+        "trimmed_mean": (1, 0),
     }
     for name, (max_x, max_j) in budgets.items():
         plan = plan_of(spark, name)
