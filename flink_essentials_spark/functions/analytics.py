@@ -496,3 +496,93 @@ def pca_2d(
             ),
         ).alias("pearson_r"),
     )
+
+
+def son_frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    num: int = 11,
+    den: int = 500,
+) -> DataFrame:
+    """SON two-pass distributed frequent-pair mining (Savasere,
+    Omiecinski & Navathe, "An efficient algorithm for mining
+    association rules in large databases", VLDB 1995 — the
+    partition-based Apriori; a.k.a. the SON algorithm of Mining of
+    Massive Datasets ch. 6): pass 1 runs an in-memory pair counter
+    per PARTITION and keeps pairs locally frequent at the SAME
+    relative threshold; pass 2 exactly counts the candidate union.
+
+    Guarantee (monotonicity over a partition of the baskets): a pair
+    with global support ≥ (num/den)·n must reach the relative
+    threshold in at least one partition — if support_p < (num/den)·n_p
+    for all p, summing gives support < (num/den)·n. So the candidate
+    union has perfect recall, the exact pass has perfect precision,
+    and the OUTPUT is partition-layout independent (the Misra-Gries
+    two-pass contract, applied to itemsets) — a plain pair-count
+    GROUP BY/HAVING oracle checks it.
+
+    Scale shape: pass 1 groups each basket's items locally (Arrow
+    batches through one python pass; candidates ≤ partitions ×
+    locally-frequent pairs — bytes); pass 2 re-derives pair
+    occurrences ONLY for broadcast candidates. Returns
+    (item_a, item_b, n_pair, n_baskets) with item_a < item_b."""
+    import itertools
+
+    import pandas as pd
+
+    b = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__it")
+    ).distinct()
+    grouped = b.groupBy("__b").agg(
+        F.sort_array(F.collect_set("__it")).alias("__items")
+    )
+
+    def local_pairs(batches):
+        counts: dict = {}
+        n_baskets = 0
+        for pdf in batches:
+            for items in pdf["__items"]:
+                n_baskets += 1
+                for pair in itertools.combinations(list(items), 2):
+                    counts[pair] = counts.get(pair, 0) + 1
+        keep = [
+            p for p, c in counts.items() if c * den >= num * n_baskets
+        ]
+        yield pd.DataFrame(
+            {
+                "__a": [p[0] for p in keep],
+                "__z": [p[1] for p in keep],
+            }
+        )
+
+    cands = grouped.mapInPandas(
+        local_pairs, "__a string, __z string"
+    ).distinct()
+    pairs = (
+        grouped.select(
+            "__b", F.explode(F.expr(
+                "flatten(transform(__items, (x, i) -> "
+                "transform(slice(__items, i + 2, size(__items)), "
+                "y -> struct(x AS a, y AS z))))"
+            )).alias("p")
+        )
+        .select("__b", F.col("p.a").alias("__a"), F.col("p.z").alias("__z"))
+        .join(F.broadcast(cands), ["__a", "__z"], "left_semi")
+    )
+    totals = grouped.agg(F.count(F.lit(1)).alias("n_baskets"))
+    return (
+        pairs.groupBy("__a", "__z")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("n_pair") * F.lit(int(den))
+            >= F.col("n_baskets") * F.lit(int(num))
+        )
+        .select(
+            F.col("__a").alias("item_a"),
+            F.col("__z").alias("item_b"),
+            "n_pair",
+            "n_baskets",
+        )
+    )

@@ -1576,6 +1576,9 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: SON two-pass frequent pairs (VLDB 1995) — partition-local
+    # Apriori candidates + exact recount; the MG contract for itemsets
+    Query("son_frequent_pairs", llmdata.q_son_frequent_pairs, llmdata.Q_SON_FREQUENT_PAIRS_SQL),
     # r10: CM-sketch join-size estimation (Cormode-Muthukrishnan 2005
     # inner products) vs exact — the optimizer-cardinality self-eval
     Query("cm_join_size", llmdata.q_cm_join_size, llmdata.Q_CM_JOIN_SIZE_SQL),

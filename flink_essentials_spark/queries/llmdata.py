@@ -9139,3 +9139,42 @@ SELECT est, exact, est - exact AS err FROM est, exact
 
 
 Q_CM_JOIN_SIZE_SQL = _cm_join_size_sql()
+
+
+def q_son_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SON two-pass frequent brand pairs (analytics.son_frequent_pairs,
+    Savasere-Omiecinski-Navathe VLDB 1995) over the order→brand
+    baskets at the association_rules threshold (11/500): per-partition
+    in-memory Apriori candidates (guaranteed recall by support
+    monotonicity over partitions), one exact candidate-only recount —
+    output layout-independent, oracle a plain pair-count HAVING."""
+    from flink_essentials_spark.functions.analytics import son_frequent_pairs
+
+    t = load_tables(spark, sf_dir)
+    baskets = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .join(
+            t["part"].select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("order_id"), "p_brand")
+    )
+    return son_frequent_pairs(baskets, "order_id", "p_brand", 11, 500)
+
+
+Q_SON_FREQUENT_PAIRS_SQL = """
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), n AS (
+  SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets FROM b
+), pairs AS (
+  SELECT a.bk, a.it AS item_a, z.it AS item_b
+  FROM b a JOIN b z ON a.bk = z.bk AND a.it < z.it
+)
+SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n_pair, n.n_baskets
+FROM pairs, n
+GROUP BY item_a, item_b, n.n_baskets
+HAVING COUNT(*) * 500 >= n.n_baskets * 11
+"""

@@ -3793,3 +3793,40 @@ def test_mann_whitney_u_matches_scipy_free_reference(spark):
         auc = u2 / (2 * len(a) * len(b))
         assert got[k] == (len(a), len(b), u2, auc), k
     assert got["sep"][3] == 1.0 and got["same"][3] == 0.5
+
+
+def test_son_frequent_pairs_layout_independent(spark):
+    """SON output equals the plain pair-count truth for every basket
+    partition layout — partition-local candidate sets differ, the
+    exact recount does not. Threshold straddled: one pair just above,
+    one just below."""
+    import itertools
+
+    from flink_essentials_spark.functions.analytics import son_frequent_pairs
+
+    baskets = []
+    for b in range(20):
+        items = ["x", "y"] if b < 12 else ["x", "z"]
+        if b % 5 == 0:
+            items.append("w")
+        for it in items:
+            baskets.append((b, it))
+    df0 = spark.createDataFrame(baskets, "bk long, it string")
+    truth = {}
+    per = {}
+    for b, it in baskets:
+        per.setdefault(b, set()).add(it)
+    for items in per.values():
+        for p in itertools.combinations(sorted(items), 2):
+            truth[p] = truth.get(p, 0) + 1
+    want = {
+        (a, z, c, 20) for (a, z), c in truth.items() if c * 500 >= 20 * 11
+    }
+    for parts in (1, 3, 16):
+        got = {
+            tuple(r)
+            for r in son_frequent_pairs(
+                df0.repartition(parts), "bk", "it", 11, 500
+            ).collect()
+        }
+        assert got == want, (parts, got, want)
