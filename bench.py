@@ -198,6 +198,8 @@ HEADLINE = [
     "ndcg_eval",
     "trimmed_mean",
     "mann_whitney",
+    "cm_join_size",
+    "son_frequent_pairs",
 ]
 
 

@@ -629,6 +629,9 @@ def test_heavy_row_exchange_budgets(spark):
         "cm_join_size": (10, 3),
         # the ewma/cusum single-keyed-exchange contract
         "trimmed_mean": (1, 0),
+        # basket build join + grouped baskets + candidate semi-join +
+        # exact recount (pass 1's python summary is scan-stage)
+        "son_frequent_pairs": (11, 5),
     }
     for name, (max_x, max_j) in budgets.items():
         plan = plan_of(spark, name)
