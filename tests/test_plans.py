@@ -274,6 +274,15 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # one-row global time-bounds broadcast for bucketing
         # (zorder_keys scalar-bounds pattern)
         "wavelet_synopsis": {"BroadcastNestedLoopJoin"},
+        # one-row exact-join-size broadcast beside the one-row sketch
+        # estimate (corpus_mixture pattern)
+        "cm_join_size": {"BroadcastNestedLoopJoin"},
+        # one-row corpus-stats broadcasts inherited from the BM25 /
+        # LM-prior machinery (the bm25_scores/rrf pattern)
+        "ndcg_eval": {"BroadcastNestedLoopJoin"},
+        # one-row basket-total broadcast for the relative-support
+        # threshold (the association_rules pattern)
+        "son_frequent_pairs": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},
         # two one-row u-probability broadcasts (exact integer ratios);
         # the candidate pairs themselves come from a blocked EQUI-join
