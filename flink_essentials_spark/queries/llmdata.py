@@ -6406,14 +6406,9 @@ def q_sw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("clean_key"),
         F.col("c_name").alias("clean_name"),
     )
-    # 8-digit block (vs fuzzy_match's 7): the JW comparator runs in
-    # python, so candidate volume IS the cost — 8 digits keep ~10
-    # candidates per dirty name at any SF (the dirty twin drops only
-    # the 9th digit), measured 150k -> 15k pairs / 2.6 s -> ~0.4 s at
-    # sf0.1 with identical matches
     pairs = dirty.join(
         clean,
-        F.substring("dirty_name", 10, 8) == F.substring("clean_name", 10, 8),
+        F.substring("dirty_name", 10, 7) == F.substring("clean_name", 10, 7),
     ).select(
         "dirty_key",
         "clean_key",
