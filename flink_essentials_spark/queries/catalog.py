@@ -1576,6 +1576,9 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: Yang-Pedersen ICML 1997 chi-square term selection — the
+    # per-language vocabulary selector; exact 2x2 cells per (term, lang)
+    Query("chi2_terms", llmdata.q_chi2_terms, llmdata.Q_CHI2_TERMS_SQL),
     # r10: SON two-pass frequent pairs (VLDB 1995) — partition-local
     # Apriori candidates + exact recount; the MG contract for itemsets
     Query("son_frequent_pairs", llmdata.q_son_frequent_pairs, llmdata.Q_SON_FREQUENT_PAIRS_SQL),

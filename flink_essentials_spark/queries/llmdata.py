@@ -9173,3 +9173,90 @@ FROM pairs, n
 GROUP BY item_a, item_b, n.n_baskets
 HAVING COUNT(*) * 500 >= n.n_baskets * 11
 """
+
+
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term–class feature selection (Yang & Pedersen, "A
+    comparative study on feature selection in text categorization",
+    ICML 1997 — their CHI statistic, the strongest selector in the
+    study): per (term, lang), the 2×2 presence table (docs of the lang
+    containing the term / not, other-lang docs containing it / not),
+    χ² via the same exact-BIGINT-cells + pinned-association-doubles
+    formula as chi2_independence, top 5 terms per lang by (χ², term).
+    The per-language vocabulary selector of the corpus-curation
+    family — scan-stage distinct (doc, term) explode, two bounded
+    aggregates, every window keyed by lang."""
+    from pyspark.sql import Window as W
+
+    from flink_essentials_spark.operators.transform import tokenize
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    dt = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("w")
+    )
+    n_docs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    tl = dt.groupBy("w", "lang").agg(F.count(F.lit(1)).alias("a0"))
+    tw = dt.groupBy("w").agg(F.count(F.lit(1)).alias("n_term"))
+    g = (
+        tl.join(F.broadcast(tw), "w")
+        .join(F.broadcast(n_docs), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w",
+            "lang",
+            F.col("a0").alias("a"),
+            (F.col("n_term") - F.col("a0")).alias("b"),
+            (F.col("n_lang") - F.col("a0")).alias("c"),
+            (
+                F.col("n_all") - F.col("n_term") - F.col("n_lang") + F.col("a0")
+            ).alias("d"),
+        )
+    )
+    diff = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    den = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    )
+    chi2 = n * diff * diff / den
+    scored = g.select("lang", "w", "a", "b", "c", "d", chi2.alias("chi2"))
+    w_rank = W.partitionBy("lang").orderBy(F.desc("chi2"), "w")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "w", "a", "b", "c", "d", F.col("chi2"), F.col("rk").cast("long").alias("rk"))
+    )
+
+
+Q_CHI2_TERMS_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, lang, unnest({_SQL_TOKENS}) AS w FROM documents
+), nl AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM documents GROUP BY 1
+), na AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents
+), tl AS (
+  SELECT w, lang, CAST(COUNT(*) AS BIGINT) AS a0 FROM dt GROUP BY 1, 2
+), tw AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_term FROM dt GROUP BY 1
+), g AS (
+  SELECT tl.w, tl.lang, a0 AS a, n_term - a0 AS b, n_lang - a0 AS c,
+         n_all - n_term - n_lang + a0 AS d
+  FROM tl JOIN tw USING (w) JOIN nl USING (lang), na
+), s AS (
+  SELECT lang, w, a, b, c, d,
+         CAST(a + b + c + d AS DOUBLE)
+           * CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+           / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+              * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
+  FROM g
+)
+SELECT lang, w, a, b, c, d, chi2, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY chi2 DESC, w) AS BIGINT) AS rk
+  FROM s
+) WHERE rk <= 5
+"""
