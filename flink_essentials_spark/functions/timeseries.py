@@ -327,7 +327,10 @@ def ks_two_sample(
     totals prefix over the tiny key×band series, and each distinct
     value's cumulative is its band offset plus a (key, band)-keyed
     window cumsum. No per-key single-task sort; every window is keyed
-    by (key, band). Returns (key, n_a, n_b, d_num, d, reject)."""
+    by (key, band). Exact while n_a·n_b < 2^63 (the cross-product
+    d_num bound — ~3e9 rows per side per key; beyond that, ANSI mode
+    errors rather than wraps — pre-bucket values or sample a side).
+    Returns (key, n_a, n_b, d_num, d, reject)."""
     cum = _ecdf_cums(df, key_col, split_col, value_col, bands)
     stats = cum.groupBy("__k").agg(
         F.max("__na").alias("n_a"),
@@ -441,8 +444,9 @@ def mann_whitney_u(
     midrank2, u2 = 2·U = R1·2 − 2·(Σ_{j≤i} handled by the closed form)
     ... specifically u2 = r1_2 − n_a·(n_a + 1), and auc = u2 /
     (2·n_a·n_b) is ONE division of exact BIGINTs. Same plan shape and
-    cost as the KS pass (shared _ecdf_cums; every window keyed).
-    Returns (key, n_a, n_b, u2, auc)."""
+    cost as the KS pass (shared _ecdf_cums; every window keyed); same
+    exactness domain too (r1_2 ≤ 2n², so keys up to ~2e9 rows — ANSI
+    errors, never wraps, past it). Returns (key, n_a, n_b, u2, auc)."""
     cum = _ecdf_cums(df, key_col, split_col, value_col, bands)
     midrank2 = (
         2 * (F.col("__cuma") + F.col("__cumb") - F.col("__ca") - F.col("__cb"))
