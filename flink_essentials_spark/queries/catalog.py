@@ -1576,6 +1576,10 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: pairwise ER evaluation vs constructed ground truth
+    # (Christen 2012 protocol) — precision/recall/F1 as single
+    # exact-operand divisions; the ER self-eval member
+    Query("er_eval", llmdata.q_er_eval, llmdata.Q_ER_EVAL_SQL),
     # r10: Yang-Pedersen ICML 1997 chi-square term selection — the
     # per-language vocabulary selector; exact 2x2 cells per (term, lang)
     Query("chi2_terms", llmdata.q_chi2_terms, llmdata.Q_CHI2_TERMS_SQL),

@@ -9260,3 +9260,88 @@ SELECT lang, w, a, b, c, d, chi2, rk FROM (
   FROM s
 ) WHERE rk <= 5
 """
+
+
+def q_er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution evaluation against constructed ground truth
+    (the pairwise precision/recall/F1 protocol of record-linkage
+    evaluation — Christen 2012, "Data Matching", ch. 7): the dirty-twin
+    fixture KNOWS each dirty record's true identity (its own custkey),
+    so the blocked Levenshtein matcher's predictions (distance ≤ 1)
+    score exactly. precision = correct/predicted and recall =
+    correct/truth are each ONE division of exact BIGINTs, and F1 =
+    2·correct/(truth + predicted) — the harmonic mean computed as a
+    single exact-operand division, no chained float math. The ER
+    family's self-eval member beside langid_agreement's kappa."""
+    from flink_essentials_spark import functions as _f  # noqa: F401
+    from flink_essentials_spark.functions import dedup
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("dirty_name"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_key"), F.col("c_name").alias("clean_name")
+    )
+    pred = dedup.fuzzy_match_blocked(
+        dirty,
+        clean,
+        "dirty_key",
+        "dirty_name",
+        "clean_key",
+        "clean_name",
+        block=lambda name: F.substring(name, 10, 7),
+        max_distance=1,
+    ).select("dirty_key", "clean_key")
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    n_truth = dirty.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_correct = pred.filter(F.col("dirty_key") == F.col("clean_key")).agg(
+        F.count(F.lit(1)).alias("n_correct")
+    )
+    return (
+        n_correct.crossJoin(F.broadcast(n_pred))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "n_truth",
+            "n_pred",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n_pred")).alias(
+                "precision"
+            ),
+            (F.col("n_correct").cast("double") / F.col("n_truth")).alias(
+                "recall"
+            ),
+            (
+                (F.lit(2) * F.col("n_correct")).cast("double")
+                / (F.col("n_truth") + F.col("n_pred"))
+            ).alias("f1"),
+        )
+    )
+
+
+Q_ER_EVAL_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS dirty_key,
+         substring(c_name, 1, length(c_name) - 1) AS dirty_name
+  FROM customer WHERE c_custkey % 10 = 0
+), clean AS (
+  SELECT c_custkey AS clean_key, c_name AS clean_name FROM customer
+), pred AS (
+  SELECT dirty_key, clean_key
+  FROM dirty JOIN clean
+    ON substring(dirty_name, 10, 7) = substring(clean_name, 10, 7)
+  WHERE levenshtein(dirty_name, clean_name) <= 1
+), s AS (
+  SELECT CAST((SELECT COUNT(*) FROM dirty) AS BIGINT) AS n_truth,
+         CAST((SELECT COUNT(*) FROM pred) AS BIGINT) AS n_pred,
+         CAST((SELECT COUNT(*) FROM pred WHERE dirty_key = clean_key)
+              AS BIGINT) AS n_correct
+)
+SELECT n_truth, n_pred, n_correct,
+       CAST(n_correct AS DOUBLE) / n_pred AS precision,
+       CAST(n_correct AS DOUBLE) / n_truth AS recall,
+       CAST(2 * n_correct AS DOUBLE) / (n_truth + n_pred) AS f1
+FROM s
+"""
