@@ -200,6 +200,8 @@ HEADLINE = [
     "mann_whitney",
     "cm_join_size",
     "son_frequent_pairs",
+    "chi2_terms",
+    "er_eval",
 ]
 
 
