@@ -831,3 +831,50 @@ def kcenter_seeds(
     return f.sparkSession.createDataFrame(
         [(r, p, x, y, int(dd)) for r, p, x, y, dd in seeds], schema
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, "Assortative
+    mixing in networks") of the DIRECTED graph: the Pearson
+    correlation between out-degree(src) and in-degree(dst) across
+    edges — positive means hubs trade with hubs (assortative),
+    negative means hubs serve the periphery (the usual shape of
+    interaction graphs). The structural one-number audit beside the
+    per-node HITS/pagerank scores.
+
+    Exactness (the trend_lines/pca discipline): degrees are exact
+    integer counts; all five edge-wise moments (Σx, Σy, Σxy, Σx²,
+    Σy²) are exact BIGINT sums; num = m·Σxy − Σx·Σy and
+    denx = m·Σx² − (Σx)² stay exact while m·deg² < 2^63, and r =
+    num / sqrt(denx·deny) is computed from identical doubles with
+    pinned association (sqrt of one exact-derived double product).
+    Plan: two degree aggregates + two broadcast-joined lookups + ONE
+    moment aggregate — linear in |E|, no iteration. Returns one row
+    (m, num, denx, deny, assortativity)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("x"))
+    ind = e.groupBy("d").agg(F.count(F.lit(1)).alias("y"))
+    j = e.join(F.broadcast(outd), "s").join(F.broadcast(ind), "d")
+    a = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return a.select(
+        "m",
+        num.alias("num"),
+        denx.alias("denx"),
+        deny.alias("deny"),
+        (
+            num.cast("double")
+            / F.sqrt(denx.cast("double") * deny.cast("double"))
+        ).alias("assortativity"),
+    )

@@ -9345,3 +9345,55 @@ SELECT n_truth, n_pred, n_correct,
        CAST(2 * n_correct AS DOUBLE) / (n_truth + n_pred) AS f1
 FROM s
 """
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (graph.degree_assortativity, Newman 2002)
+    of the customer→supplier trade graph — do high-degree customers
+    buy from high-degree suppliers? One scan + two degree lookups +
+    exact BIGINT moments; r from identical pinned-association doubles."""
+    from flink_essentials_spark.functions.graph import degree_assortativity
+
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000000)).alias("dst"),
+        )
+    )
+    return degree_assortativity(pairs)
+
+
+Q_DEGREE_ASSORTATIVITY_SQL = """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS s, l.l_suppkey + 1000000000 AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), od AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY 1
+), id AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS y FROM e GROUP BY 1
+), j AS (
+  SELECT x, y FROM e JOIN od USING (s) JOIN id USING (d)
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM j
+)
+SELECT m,
+       m * sxy - sx * sy AS num,
+       m * sxx - sx * sx AS denx,
+       m * syy - sy * sy AS deny,
+       CAST(m * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                * CAST(m * syy - sy * sy AS DOUBLE)) AS assortativity
+FROM a
+"""

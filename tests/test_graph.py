@@ -224,3 +224,40 @@ def test_pagerank_matches_numpy_reference(spark):
         r = (1 - d) + d * (r @ P)
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+
+
+def test_degree_assortativity_hand_computed(spark):
+    """Assortativity vs hand math: a star is maximally DISassortative
+    only with degree variance on both sides — on a directed 2-source
+    graph with known degrees the exact moments and r pin against a
+    python reference; a degree-regular graph has zero variance (NULL
+    r via 0 denominator is avoided by construction here)."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from flink_essentials_spark.functions.graph import degree_assortativity
+
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    outd = {}
+    ind = {}
+    for s, d in edges:
+        outd[s] = outd.get(s, 0) + 1
+        ind[d] = ind.get(d, 0) + 1
+    xs = [(outd[s], ind[d]) for s, d in edges]
+    m = len(xs)
+    sx = sum(x for x, _ in xs)
+    sy = sum(y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    sxx = sum(x * x for x, _ in xs)
+    syy = sum(y * y for _, y in xs)
+    num = m * sxy - sx * sy
+    denx = m * sxx - sx * sx
+    deny = m * syy - sy * sy
+    r = num / math.sqrt(float(denx) * float(deny))
+    got = degree_assortativity(df).first()
+    assert (got["m"], got["num"], got["denx"], got["deny"]) == (
+        m, num, denx, deny,
+    )
+    assert got["assortativity"] == r
