@@ -1576,6 +1576,9 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: Spearman 1904 rank correlation (arrival rank vs doubled
+    # value midrank) — rank-robust trend beside trend_lines' OLS
+    Query("spearman_trend", llmdata.q_spearman_trend, llmdata.Q_SPEARMAN_SQL),
     # r10: Newman 2002 degree assortativity — the one-number structural
     # audit of the trade graph; exact BIGINT moments, pinned sqrt
     Query("degree_assortativity", llmdata.q_degree_assortativity, llmdata.Q_DEGREE_ASSORTATIVITY_SQL),

@@ -9397,3 +9397,112 @@ SELECT m,
                 * CAST(m * syy - sy * sy AS DOUBLE)) AS assortativity
 FROM a
 """
+
+
+def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (Spearman 1904) between event order
+    and spend per event_type — the rank-robust, outlier-immune sibling
+    of trend_lines' OLS slope: x = arrival rank (unique via
+    (ts, event_id)), y = DOUBLED value midrank (ties take the exact
+    average rank; doubling absorbs the half, keeping every quantity an
+    integer), rho = Pearson on the rank pairs from exact BIGINT
+    moments — the assortativity/trend_lines pinned-association
+    discipline, one keyed exchange for both rank windows + moments."""
+    from pyspark.sql import Window as W
+
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "event_id",
+        cents("value").alias("v"),
+    )
+    w_t = W.partitionBy("event_type").orderBy("ts_ms", "event_id")
+    w_k = W.partitionBy("event_type")
+    w_v = W.partitionBy("event_type", "v")
+    # doubled midrank of v: 2*(count of strictly smaller) + (ties + 1)
+    staged = (
+        ev.withColumn("x", F.row_number().over(w_t).cast("long"))
+        .withColumn(
+            "lt",
+            F.count(F.lit(1)).over(
+                W.partitionBy("event_type")
+                .orderBy("v")
+                .rangeBetween(W.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn("ties", F.count(F.lit(1)).over(w_v))
+        .withColumn("y2", 2 * F.col("lt") + F.col("ties") + 1)
+    )
+    a = staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.col("x") * F.col("y2")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+    )
+    # rank moments grow as n^4 (y2 <= 2n, syy <= 4n^3), past int64 near
+    # n ~ 5e4 rows/key — the trend_lines deny lesson applies to ALL
+    # three normal-equation terms here: build them in DOUBLE from the
+    # exact BIGINT sums (identical casts + IEEE ops in both engines)
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    denx = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
+    return a.select(
+        "event_type",
+        "n",
+        num.alias("num"),
+        denx.alias("denx"),
+        deny.alias("deny"),
+        (num / F.sqrt(denx * deny)).alias("rho"),
+    )
+
+
+def _spearman_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
+         {sql_cents('value')} AS v
+  FROM events
+), r AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY ts_ms, event_id) AS BIGINT) AS x,
+         2 * (CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY v
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS BIGINT))
+           + CAST(COUNT(*) OVER (PARTITION BY event_type, v) AS BIGINT)
+           + 1 AS y2
+  FROM ev
+), a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y2) AS BIGINT) AS sy,
+         CAST(SUM(x * y2) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y2 * y2) AS BIGINT) AS syy
+  FROM r GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+       CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+       CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+FROM a
+"""
+
+
+Q_SPEARMAN_SQL = _spearman_sql()
