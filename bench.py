@@ -202,6 +202,8 @@ HEADLINE = [
     "son_frequent_pairs",
     "chi2_terms",
     "er_eval",
+    "degree_assortativity",
+    "spearman_trend",
 ]
 
 
