@@ -283,6 +283,10 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # one-row basket-total broadcast for the relative-support
         # threshold (the association_rules pattern)
         "son_frequent_pairs": {"BroadcastNestedLoopJoin"},
+        # one-row corpus-total broadcast (corpus_mixture pattern)
+        "chi2_terms": {"BroadcastNestedLoopJoin"},
+        # three one-row count broadcasts (the lsh_recall pattern)
+        "er_eval": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},
         # two one-row u-probability broadcasts (exact integer ratios);
         # the candidate pairs themselves come from a blocked EQUI-join
