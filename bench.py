@@ -204,6 +204,7 @@ HEADLINE = [
     "er_eval",
     "degree_assortativity",
     "spearman_trend",
+    "kendall_tau",
 ]
 
 

@@ -468,3 +468,99 @@ def mann_whitney_u(
             u2.cast("double") / (F.lit(2) * F.col("n_a") * F.col("n_b"))
         ).alias("auc"),
     )
+
+
+def _count_inversions(vals: list) -> int:
+    """Mergesort inversion count (strict: equal elements are NOT
+    inversions) — O(n log n), the asymptotic win over the O(n²) pair
+    scan the oracle uses as its independent formulation."""
+
+    def rec(a):
+        n = len(a)
+        if n < 2:
+            return a, 0
+        left, il = rec(a[: n // 2])
+        right, ir = rec(a[n // 2 :])
+        merged = []
+        inv = il + ir
+        i = j = 0
+        while i < len(left) and j < len(right):
+            if left[i] <= right[j]:
+                merged.append(left[i])
+                i += 1
+            else:
+                merged.append(right[j])
+                j += 1
+                inv += len(left) - i
+        merged.extend(left[i:])
+        merged.extend(right[j:])
+        return merged, inv
+
+    return rec(list(vals))[1]
+
+
+def kendall_tau(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key Kendall rank correlation τ-b (Kendall 1938, "A new
+    measure of rank correlation"; the tie-corrected τ-b form) between
+    the arrival order (unique x by ``order_cols``) and the integer
+    value — the inversion-based sibling of Spearman's ρ: with D the
+    discordant-pair count (mergesort inversions, O(n log n) per key
+    vs the textbook O(n²) pair scan — which survives as the
+    INDEPENDENT DuckDB-oracle formulation), t2 the tied-y pair count,
+    n0 = n(n−1)/2:  S = n0 − t2 − 2D and τ_b = S/√(n0·(n0−t2)).
+    Every count is an exact python/BIGINT integer; τ divides doubles
+    built from them (pinned sqrt).
+
+    Groups must be BOUNDED (the mad_outliers caveat): each key's
+    sequence sorts in one Arrow-grouped python task. Returns
+    (key, n, n0, t2, d, s, tau_b)."""
+    import pandas as pd
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__o" + str(i) for i in range(len(order_cols))])
+        vals = pdf["__v"].tolist()
+        n = len(vals)
+        n0 = n * (n - 1) // 2
+        from collections import Counter
+
+        t2 = sum(c * (c - 1) // 2 for c in Counter(vals).values())
+        d = _count_inversions(vals)
+        s = n0 - t2 - 2 * d
+        import math
+
+        denom = float(n0) * float(n0 - t2)
+        # math.sqrt, not **0.5: pow(x, .5) is not guaranteed to equal
+        # the correctly-rounded sqrt the SQL engines use
+        tau = s / math.sqrt(denom) if denom > 0 else None
+        return pd.DataFrame(
+            {
+                "k": [pdf["__k"].iloc[0]],
+                "n": [n],
+                "n0": [n0],
+                "t2": [t2],
+                "d": [d],
+                "s": [s],
+                "tau_b": [tau],
+            }
+        )
+
+    staged = df.select(
+        F.col(key_col).alias("__k"),
+        *[
+            F.col(c).alias(f"__o{i}")
+            for i, c in enumerate(order_cols)
+        ],
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    out = staged.groupBy("__k").applyInPandas(
+        per_key,
+        "k string, n long, n0 long, t2 long, d long, s long, tau_b double",
+    )
+    return out.select(
+        F.col("k").alias(key_col), "n", "n0", "t2", "d", "s", "tau_b"
+    )

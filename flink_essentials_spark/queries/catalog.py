@@ -1576,6 +1576,9 @@ _REGISTRY: list[Query] = [
     Query("trend_lines", llmdata.q_trend_lines, llmdata.Q_TREND_LINES_SQL),
     # pmi_collocations / ddsketch_quantiles / hits_authority promoted
     # r10 (see head rotation notes)
+    # r10: Kendall 1938 tau-b — O(n log n) mergesort inversions vs the
+    # oracle's O(n^2) pair join; two independent formulations
+    Query("kendall_tau", llmdata.q_kendall_tau, llmdata.Q_KENDALL_SQL),
     # r10: Spearman 1904 rank correlation (arrival rank vs doubled
     # value midrank) — rank-robust trend beside trend_lines' OLS
     Query("spearman_trend", llmdata.q_spearman_trend, llmdata.Q_SPEARMAN_SQL),

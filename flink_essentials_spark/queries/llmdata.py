@@ -9506,3 +9506,65 @@ FROM a
 
 
 Q_SPEARMAN_SQL = _spearman_sql()
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b per event_type between arrival order and spend
+    (timeseries.kendall_tau, Kendall 1938): discordant pairs via
+    O(n log n) mergesort inversions in one Arrow-grouped task per key;
+    the DuckDB oracle recounts them with the textbook O(n²) strict
+    pair join — two independent formulations of the identical
+    statistic, every count an exact BIGINT, τ one division against a
+    pinned sqrt. Completes the rank-correlation pair with
+    spearman_trend."""
+    from flink_essentials_spark.functions.timeseries import kendall_tau
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "event_id",
+        cents("value").alias("v"),
+    )
+    return kendall_tau(ev, "event_type", ["ts_ms", "event_id"], "v")
+
+
+def _kendall_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
+         {sql_cents('value')} AS v
+  FROM events
+), r AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts_ms, event_id) AS rk
+  FROM ev
+), base AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n0
+  FROM r GROUP BY 1
+), ties AS (
+  SELECT event_type,
+         CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS t2
+  FROM (SELECT event_type, v, COUNT(*) AS c FROM r GROUP BY 1, 2)
+  GROUP BY 1
+), disc AS (
+  SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS d
+  FROM r a JOIN r b
+    ON a.event_type = b.event_type AND a.rk < b.rk AND a.v > b.v
+  GROUP BY 1
+)
+SELECT base.event_type, n, n0, t2,
+       COALESCE(d, 0) AS d,
+       n0 - t2 - 2 * COALESCE(d, 0) AS s,
+       CAST(n0 - t2 - 2 * COALESCE(d, 0) AS DOUBLE)
+         / sqrt(CAST(n0 AS DOUBLE) * CAST(n0 - t2 AS DOUBLE)) AS tau_b
+FROM base JOIN ties USING (event_type)
+LEFT JOIN disc ON base.event_type = disc.event_type
+"""
+
+
+Q_KENDALL_SQL = _kendall_sql()

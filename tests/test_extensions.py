@@ -3916,3 +3916,53 @@ def test_spearman_trend_matches_scipy_free_reference(spark):
     for k, vs in rows.items():
         assert abs(got[k] - ref_rho([v * 100 for v in vs])) < 1e-12, k
     assert got["up"] == 1.0 and got["down"] == -1.0
+
+
+def test_kendall_tau_hand_vectors(spark):
+    """tau-b vs brute-force pair counting on monotone (+1),
+    anti-monotone (-1), and tie-heavy vectors; mergesort inversions
+    must match the O(n^2) count exactly."""
+    from flink_essentials_spark.functions.timeseries import (
+        _count_inversions,
+        kendall_tau,
+    )
+
+    series = {
+        "up": [1, 2, 3, 4, 5],
+        "down": [5, 4, 3, 2, 1],
+        "ties": [10, 10, 20, 15, 20, 20],
+    }
+    rows = [
+        (k, i, i, v) for k, vs in series.items() for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, event_id long, v long"
+    )
+    got = {
+        r["event_type"]: (r["n0"], r["t2"], r["d"], r["s"], r["tau_b"])
+        for r in kendall_tau(
+            df, "event_type", ["ts_ms", "event_id"], "v"
+        ).collect()
+    }
+    import math
+
+    for k, vs in series.items():
+        n = len(vs)
+        n0 = n * (n - 1) // 2
+        d = sum(
+            1
+            for i in range(n)
+            for j in range(i + 1, n)
+            if vs[i] > vs[j]
+        )
+        t2 = sum(
+            1
+            for i in range(n)
+            for j in range(i + 1, n)
+            if vs[i] == vs[j]
+        )
+        assert _count_inversions(vs) == d, k
+        s = n0 - t2 - 2 * d
+        tau = s / math.sqrt(float(n0) * float(n0 - t2))
+        assert got[k] == (n0, t2, d, s, tau), k
+    assert got["up"][4] == 1.0 and got["down"][4] == -1.0
