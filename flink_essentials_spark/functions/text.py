@@ -1316,6 +1316,80 @@ def bm25_scores(
     )
 
 
+def bm25_multi(
+    df: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document to SEVERAL term-set queries in
+    ONE corpus scan (the r10-verdict shared-ranking fix for
+    rrf_fusion/ndcg_eval, which previously unioned one bm25_scores
+    branch — one scan + one stats aggregate — per query): per-term tf
+    columns for the UNION of all query terms are scan-stage array
+    filters, N / avgdl / per-term df collapse into ONE scalar-aggregate
+    broadcast, and each query's score adds its own terms in the same
+    fixed left-to-right order as bm25_scores (identical float ops, so
+    scores are bit-identical to the per-query oracle). The per-query
+    rows unpivot via stack — no second scan, no union of scans.
+
+    Returns (doc_id, query_id, bm25_score) — every doc appears once
+    per query."""
+    toks = tokenize(F.col(text_col))
+    terms: list[str] = []
+    for _, ts in queries:
+        for t in ts:
+            if t not in terms:
+                terms.append(t)
+
+    def _tf(term: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = df.select(
+        id_col,
+        F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"tf_{t}") for t in terms],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + (F.lit(b) * F.col("dl").cast("double")) / avgdl
+    )
+
+    def _score(q_terms: list[str]) -> Column:
+        score = None
+        for t in q_terms:
+            tf = F.col(f"tf_{t}").cast("double")
+            idf = F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+                / (F.col(f"df_{t}") + F.lit(0.5))
+            )
+            s = (idf * (tf * F.lit(k1 + 1.0))) / (tf + norm)
+            score = s if score is None else score + s
+        return F.round(score, 6)
+
+    scored = joined.select(
+        id_col,
+        *[_score(ts).alias(f"__s_{i}") for i, (_, ts) in enumerate(queries)],
+    )
+    pairs = ", ".join(f"'{qid}', __s_{i}" for i, (qid, _) in enumerate(queries))
+    return scored.selectExpr(
+        id_col,
+        f"stack({len(queries)}, {pairs}) AS (query_id, bm25_score)",
+    )
+
+
 def zipf_fit(
     df: DataFrame,
     top_r: int = 100,

@@ -258,7 +258,14 @@ def _ecdf_cums(
     )
     # dyadic banding on the per-key value span: equal v => equal band,
     # band-major order == value order, so the two-phase cumsum equals
-    # the naive per-key ordered cumsum (floor-div on both engines)
+    # the naive per-key ordered cumsum (floor-div on both engines).
+    # Divide-first form when span >= bands — the multiply form
+    # (v-lo)*bands overflows int64 under ANSI once span*bands >= 2^63
+    # (the dd_sketch/exact_quantiles overflow family); dividing first
+    # never multiplies, at the cost of up to ~2*bands bands (banding
+    # granularity only shapes the plan, never the exact results).
+    # Residual domain edge: __hi - __lo itself errors under ANSI if a
+    # key's span exceeds int64 — pre-bucket such values upstream.
     bounds = g.groupBy("__k").agg(
         F.min("__v").alias("__lo"),
         F.max("__v").alias("__hi"),
@@ -267,7 +274,11 @@ def _ecdf_cums(
     )
     banded = g.join(F.broadcast(bounds), "__k").withColumn(
         "__band",
-        F.expr(f"((__v - __lo) * {int(bands)}) div (__hi - __lo + 1)"),
+        F.expr(
+            f"CASE WHEN (__hi - __lo + 1) >= {int(bands)} "
+            f"THEN (__v - __lo) div ((__hi - __lo + 1) div {int(bands)}) "
+            f"ELSE (__v - __lo) END"
+        ),
     )
     totals = banded.groupBy("__k", "__band").agg(
         F.sum("__ca").alias("__ba"), F.sum("__cb").alias("__bb")
@@ -294,6 +305,155 @@ def _ecdf_cums(
         .withColumn("__cumb", F.col("__ob") + F.sum("__cb").over(w_in))
     )
     return cum
+
+
+def banded_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    bands: int = 64,
+    rank_col: str = "__rank",
+) -> DataFrame:
+    """Exact per-key dense ROW rank (row_number over (value,
+    tiebreaks...) ascending) with NO single-task per-key sort — the
+    scale-safe replacement for ``row_number() over (partition by
+    <low-cardinality key>)``: per-key value span splits into ~``bands``
+    monotone bands (the _ecdf_cums two-phase shape), band totals prefix
+    over the tiny key×band series, and every data-sized window is keyed
+    by (key, band). Equal values always land in the same band (the band
+    is a function of the value), so offset + within-band row_number ==
+    the global per-key row_number for ANY banding — band granularity
+    shapes the plan, never the ranks.
+
+    ``value_col`` must be numeric: integral types band via the
+    overflow-free divide-first form; fractional types band via float
+    division (banding floats is safe here because band boundaries
+    cannot change the exact ranks). Ordering is (value ASC,
+    tiebreaks ASC); for a DESC rank pass the negated value. Returns
+    df's columns plus ``rank_col`` (long, 1-based)."""
+    kc = list(key_cols)
+    dtype = df.schema[value_col].dataType.simpleString()
+    v = F.col(value_col)
+    bounds = df.groupBy(*kc).agg(
+        F.min(value_col).alias("__br_lo"), F.max(value_col).alias("__br_hi")
+    )
+    j = df.join(F.broadcast(bounds), kc)
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        band = F.expr(
+            f"CASE WHEN (__br_hi - __br_lo + 1) >= {int(bands)} "
+            f"THEN ({value_col} - __br_lo) "
+            f"div ((__br_hi - __br_lo + 1) div {int(bands)}) "
+            f"ELSE ({value_col} - __br_lo) END"
+        )
+    else:
+        span = F.col("__br_hi").cast("double") - F.col("__br_lo").cast("double")
+        band = (
+            F.least(
+                F.lit(int(bands) - 1),
+                F.floor(
+                    F.when(
+                        span > 0,
+                        (v.cast("double") - F.col("__br_lo").cast("double"))
+                        / span
+                        * F.lit(int(bands)),
+                    ).otherwise(F.lit(0.0))
+                ),
+            )
+        ).cast("long")
+    banded = j.withColumn("__br_band", band)
+    btot = banded.groupBy(*kc, "__br_band").agg(
+        F.count(F.lit(1)).alias("__br_n")
+    )
+    w_b = (
+        Window.partitionBy(*kc)
+        .orderBy("__br_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = btot.select(
+        *kc,
+        "__br_band",
+        F.coalesce(F.sum("__br_n").over(w_b), F.lit(0)).alias("__br_off"),
+    )
+    w_in = Window.partitionBy(*kc, "__br_band").orderBy(
+        v, *[F.col(c) for c in tiebreak_cols]
+    )
+    return (
+        banded.join(F.broadcast(offs), kc + ["__br_band"])
+        .withColumn(
+            rank_col,
+            (F.col("__br_off") + F.row_number().over(w_in)).cast("long"),
+        )
+        .drop("__br_lo", "__br_hi", "__br_band", "__br_off")
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    bands: int = 64,
+) -> DataFrame:
+    """Spearman rank correlation (Spearman 1904) between arrival order
+    and an integer value per key — the rank-robust association member:
+    x = arrival rank (unique via ``order_cols``; banded_rank over the
+    first order column, so no per-key single-task sort), y = DOUBLED
+    value midrank (exact average rank over ties; doubling keeps it an
+    integer) straight off the banded ECDF support — y2(v) = 2·(count
+    below) + ties + 1 per DISTINCT value, joined back by (key, value).
+    rho = Pearson on the (x, y2) pairs from exact BIGINT moments; the
+    three normal-equation terms are built in DOUBLE from the exact
+    sums (the trend_lines deny lesson — rank moments grow as n^4).
+
+    ``order_cols[0]`` must be numeric (the banding axis; ties broken by
+    the remaining order columns). Returns (key, n, num, denx, deny,
+    rho)."""
+    staged = df.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    ranked = banded_rank(
+        staged,
+        ["__k"],
+        "__o0",
+        [f"__o{i}" for i in range(1, len(order_cols))],
+        bands=bands,
+        rank_col="__x",
+    )
+    cum = _ecdf_cums(
+        staged.withColumn("__one", F.lit(True)), "__k", "__one", "__v", bands
+    )
+    y2tab = cum.select(
+        "__k",
+        "__v",
+        (
+            2 * (F.col("__cuma") - F.col("__ca")) + F.col("__ca") + 1
+        ).alias("__y2"),
+    )
+    rows = ranked.join(y2tab, ["__k", "__v"])
+    a = rows.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y2").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y2")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y2") * F.col("__y2")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    denx = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
+    return a.select(
+        F.col("__k").alias(key_col),
+        "n",
+        num.alias("num"),
+        denx.alias("denx"),
+        deny.alias("deny"),
+        (num / F.sqrt(denx * deny)).alias("rho"),
+    )
 
 
 def ks_two_sample(
@@ -499,68 +659,146 @@ def _count_inversions(vals: list) -> int:
     return rec(list(vals))[1]
 
 
+def _band_expr(value: str, lo: str, hi: str, bands: int) -> "F.Column":
+    """Overflow-free monotone banding (divide-first; the _ecdf_cums
+    form): equal values share a band, band order == value order."""
+    return F.expr(
+        f"CASE WHEN ({hi} - {lo} + 1) >= {int(bands)} "
+        f"THEN ({value} - {lo}) div (({hi} - {lo} + 1) div {int(bands)}) "
+        f"ELSE ({value} - {lo}) END"
+    )
+
+
 def kendall_tau(
     df: DataFrame,
     key_col: str,
     order_cols: list[str],
     value_col: str,
+    bands: int = 16,
 ) -> DataFrame:
     """Per-key Kendall rank correlation τ-b (Kendall 1938, "A new
     measure of rank correlation"; the tie-corrected τ-b form) between
     the arrival order (unique x by ``order_cols``) and the integer
-    value — the inversion-based sibling of Spearman's ρ: with D the
-    discordant-pair count (mergesort inversions, O(n log n) per key
-    vs the textbook O(n²) pair scan — which survives as the
-    INDEPENDENT DuckDB-oracle formulation), t2 the tied-y pair count,
+    value: with D the discordant-pair count, t2 the tied-y pair count,
     n0 = n(n−1)/2:  S = n0 − t2 − 2D and τ_b = S/√(n0·(n0−t2)).
-    Every count is an exact python/BIGINT integer; τ divides doubles
-    built from them (pinned sqrt).
+    Every count is an exact BIGINT; τ divides doubles built from them
+    (pinned sqrt). The DuckDB oracle recounts D with the textbook O(n²)
+    strict pair join — an independent formulation.
 
-    Groups must be BOUNDED (the mad_outliers caveat): each key's
-    sequence sorts in one Arrow-grouped python task. Returns
-    (key, n, n0, t2, d, s, tau_b)."""
+    Scale shape — BANDED inversion count, no single-task per-key sort
+    (the banded-ECDF discipline of ks_two_sample/mann_whitney_u applied
+    to the 2-D dominance count): both axes band monotonically (time
+    bands T on ``order_cols[0]``, value bands B on the value, ~``bands``
+    each, divide-first so no overflow), and D decomposes exactly as
+
+        D = D_cross + Σ(D_within_t − D_within_t∩b) + D_within_v
+
+    where D_cross covers pairs in DIFFERENT time AND value bands —
+    computable from the tiny per-key (T×B) count cube alone, since
+    band order resolves both comparisons — and the within-band terms
+    are exact mergesort inversion counts (O(m log m)) over BOUNDED
+    (key, band) Arrow groups; pairs sharing both bands appear in both
+    within-passes, hence the inclusion–exclusion subtraction, fused
+    into the time-band pass. ``order_cols[0]`` must be numeric (the
+    time-banding axis). Returns (key, n, n0, t2, d, s, tau_b)."""
+    import numpy as np
     import pandas as pd
 
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__o" + str(i) for i in range(len(order_cols))])
+    ktype = df.schema[key_col].dataType.simpleString()
+    ocols = [f"__o{i}" for i in range(len(order_cols))]
+    staged = df.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c).alias(a) for c, a in zip(order_cols, ocols)],
+        F.col(value_col).cast("long").alias("__v"),
+    ).withColumn("__t", F.col("__o0").cast("long"))
+    bounds = staged.groupBy("__k").agg(
+        F.min("__t").alias("__tlo"),
+        F.max("__t").alias("__thi"),
+        F.min("__v").alias("__vlo"),
+        F.max("__v").alias("__vhi"),
+    )
+    banded = (
+        staged.join(F.broadcast(bounds), "__k")
+        .withColumn("__tb", _band_expr("__t", "__tlo", "__thi", bands))
+        .withColumn("__vb", _band_expr("__v", "__vlo", "__vhi", bands))
+        .drop("__tlo", "__thi", "__vlo", "__vhi")
+        # feeds FOUR consumers (cube, two inversion passes, tie/count
+        # aggregates) — materialize once
+        .localCheckpoint()
+    )
+
+    def cross_from_cube(pdf: pd.DataFrame) -> pd.DataFrame:
+        # D_cross = sum over t1<t2, b1>b2 of cnt[t1][b1]*cnt[t2][b2]:
+        # prefix over time bands, suffix over value bands — O(T*B)
+        ts = np.unique(pdf["__tb"].to_numpy())
+        bs = np.unique(pdf["__vb"].to_numpy())
+        m = np.zeros((len(ts), len(bs)), dtype=np.int64)
+        ti = np.searchsorted(ts, pdf["__tb"].to_numpy())
+        bi = np.searchsorted(bs, pdf["__vb"].to_numpy())
+        np.add.at(m, (ti, bi), pdf["__n"].to_numpy())
+        earlier = np.cumsum(m, axis=0) - m  # sum over t1 < t2, per b
+        # for each (t2, b2): sum over b1 > b2 of earlier[t2][b1]
+        higher = earlier[:, ::-1].cumsum(axis=1)[:, ::-1] - earlier
+        d = int((m * higher).sum())
+        return pd.DataFrame({"k": [pdf["__k"].iloc[0]], "d": [d]})
+
+    cube = banded.groupBy("__k", "__tb", "__vb").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    d_cross = cube.groupBy("__k").applyInPandas(
+        cross_from_cube, f"k {ktype}, d long"
+    )
+
+    def inv_time_band(pdf: pd.DataFrame) -> pd.DataFrame:
+        # within one (key, time-band) group: ALL-pair inversions minus
+        # the same-value-band pairs (those are pass 2's, subtracted
+        # here so inclusion-exclusion closes)
+        pdf = pdf.sort_values(ocols)
         vals = pdf["__v"].tolist()
-        n = len(vals)
-        n0 = n * (n - 1) // 2
-        from collections import Counter
-
-        t2 = sum(c * (c - 1) // 2 for c in Counter(vals).values())
         d = _count_inversions(vals)
-        s = n0 - t2 - 2 * d
-        import math
+        for _, sub in pdf.groupby("__vb", sort=False):
+            d -= _count_inversions(sub["__v"].tolist())
+        return pd.DataFrame({"k": [pdf["__k"].iloc[0]], "d": [d]})
 
-        denom = float(n0) * float(n0 - t2)
-        # math.sqrt, not **0.5: pow(x, .5) is not guaranteed to equal
-        # the correctly-rounded sqrt the SQL engines use
-        tau = s / math.sqrt(denom) if denom > 0 else None
+    def inv_value_band(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ocols)
         return pd.DataFrame(
             {
                 "k": [pdf["__k"].iloc[0]],
-                "n": [n],
-                "n0": [n0],
-                "t2": [t2],
-                "d": [d],
-                "s": [s],
-                "tau_b": [tau],
+                "d": [_count_inversions(pdf["__v"].tolist())],
             }
         )
 
-    staged = df.select(
-        F.col(key_col).alias("__k"),
-        *[
-            F.col(c).alias(f"__o{i}")
-            for i, c in enumerate(order_cols)
-        ],
-        F.col(value_col).cast("long").alias("__v"),
+    d_t = banded.groupBy("__k", "__tb").applyInPandas(
+        inv_time_band, f"k {ktype}, d long"
     )
-    out = staged.groupBy("__k").applyInPandas(
-        per_key,
-        "k string, n long, n0 long, t2 long, d long, s long, tau_b double",
+    d_v = banded.groupBy("__k", "__vb").applyInPandas(
+        inv_value_band, f"k {ktype}, d long"
     )
-    return out.select(
-        F.col("k").alias(key_col), "n", "n0", "t2", "d", "s", "tau_b"
+    d_all = (
+        d_cross.unionAll(d_t)
+        .unionAll(d_v)
+        .groupBy("k")
+        .agg(F.sum("d").alias("d"))
+    )
+    base = banded.groupBy("__k", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    stats = base.groupBy("__k").agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.expr("__c * (__c - 1) div 2")).alias("t2"),
+    )
+    joined = stats.withColumn(
+        "n0", F.expr("n * (n - 1) div 2")
+    ).join(d_all, F.col("__k") == F.col("k"))
+    s = F.col("n0") - F.col("t2") - 2 * F.col("d")
+    denom = F.col("n0").cast("double") * (F.col("n0") - F.col("t2")).cast(
+        "double"
+    )
+    return joined.select(
+        F.col("__k").alias(key_col),
+        "n",
+        "n0",
+        "t2",
+        "d",
+        s.alias("s"),
+        F.when(denom > 0, s.cast("double") / F.sqrt(denom)).alias("tau_b"),
     )

@@ -5,6 +5,7 @@ oracle (md5-derived hashing makes every stage engine-reproducible).
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -7242,7 +7243,20 @@ SELECT CAST(4 AS BIGINT), pid, x, y, CAST(dmin AS BIGINT) FROM s4
 Q_KCENTER_SQL = _kcenter_sql()
 
 
-_CLUSTER_STORE: dict[str, str] = {}
+_CLUSTER_STORE: dict[tuple, str] = {}
+
+
+def _events_fingerprint(sf_dir: str) -> tuple:
+    """(mtime_ns, size) of the events parquet under sf_dir — cache key
+    component so a driver-side testdata regeneration UNDER THE SAME
+    PATH (the documented data-drift scenario) invalidates the stored
+    clustering instead of silently serving a stale assignment."""
+    p = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(p)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 def _dbscan_assignment_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7257,7 +7271,8 @@ def _dbscan_assignment_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.functions.graph import dbscan_2d
     from flink_essentials_spark.queries.util import cents
 
-    path = _CLUSTER_STORE.get(sf_dir)
+    store_key = (sf_dir, _events_fingerprint(sf_dir))
+    path = _CLUSTER_STORE.get(store_key)
     if path is None:
         t = load_tables(spark, sf_dir)
         f = (
@@ -7271,7 +7286,7 @@ def _dbscan_assignment_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         clustered = dbscan_2d(f, "user_id", "x", "y", eps=4, min_samples=5)
         path = tempfile.mkdtemp(prefix="fes_clusterstore_") + "/assign"
         clustered.write.mode("overwrite").parquet(path)
-        _CLUSTER_STORE[sf_dir] = path
+        _CLUSTER_STORE[store_key] = path
     return spark.read.parquet(path)
 
 
@@ -7912,54 +7927,71 @@ _RRF_QUERIES = [
 ]
 
 
+def _rrf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (query_id, doc_id, bm25_score, avg_log2_prob) candidate
+    table for the retrieval-eval family (rrf_fusion / ndcg_eval): BM25
+    for all queries in ONE corpus scan (text.bm25_multi) joined to the
+    corpus-LM prior, then localCheckpointed — it feeds one banded-rank
+    pass per ranking, each of which reads its input several times
+    (bounds + band totals + final window), so materializing once is
+    the ks_drift ECDF-checkpoint precedent."""
+    from flink_essentials_spark.functions.text import (
+        bigram_lm_score,
+        bm25_multi,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    bm = bm25_multi(docs, _RRF_QUERIES)
+    prior = bigram_lm_score(docs).select("doc_id", "avg_log2_prob")
+    return bm.join(prior, "doc_id").localCheckpoint()
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009 — the
     rank combiner that beats learned fusion on TREC): for each of
     three fixed term queries, fuse the BM25 relevance ranking with the
     corpus-LM quality-prior ranking via sum(1/(60+rank)) and keep each
-    query's top 20. Every window is KEYED by query; the ranks are
-    integers, each reciprocal is one division of exact integers, and
-    the fused sum adds two identical doubles — bit-exact cross-engine,
-    no rounding. This is the retrieval-pipeline composition the BM25
-    and lm_score rows exist for."""
-    from functools import reduce
+    query's top 20. The ranks are integers, each reciprocal is one
+    division of exact integers, and the fused sum adds two identical
+    doubles — bit-exact cross-engine, no rounding. Scale shape (the
+    r10-verdict fix): BM25 for all queries in ONE scan (bm25_multi),
+    the shared candidate table localCheckpointed, and every ranking a
+    BANDED rank (timeseries.banded_rank) — no ``row_number() over
+    (partition by query_id)`` full-corpus sort anywhere; every
+    data-sized window is keyed by (query, band). This is the
+    retrieval-pipeline composition the BM25 and lm_score rows exist
+    for."""
+    from flink_essentials_spark.functions.timeseries import banded_rank
 
-    from pyspark.sql import Window as W
-
-    from flink_essentials_spark.functions.text import (
-        bigram_lm_score,
-        bm25_scores,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    parts = [
-        bm25_scores(docs, terms).select(
-            F.lit(qid).alias("query_id"), "doc_id", "bm25_score"
-        )
-        for qid, terms in _RRF_QUERIES
-    ]
-    bm = reduce(lambda a, b: a.unionAll(b), parts)
-    prior = bigram_lm_score(docs).select("doc_id", "avg_log2_prob")
-    j = bm.join(prior, "doc_id")
-    w_bm = W.partitionBy("query_id").orderBy(F.desc("bm25_score"), "doc_id")
-    w_pr = W.partitionBy("query_id").orderBy(
-        F.desc("avg_log2_prob"), "doc_id"
-    )
-    ranked = j.select(
-        "query_id",
-        "doc_id",
-        F.row_number().over(w_bm).alias("r_bm25"),
-        F.row_number().over(w_pr).alias("r_prior"),
-    )
+    j = _rrf_candidates(spark, sf_dir)
+    rb = banded_rank(
+        j.select("query_id", "doc_id", (-F.col("bm25_score")).alias("nbm")),
+        ["query_id"],
+        "nbm",
+        ["doc_id"],
+        rank_col="rb",
+    ).select("query_id", "doc_id", F.col("rb").cast("int").alias("r_bm25"))
+    rp = banded_rank(
+        j.select(
+            "query_id", "doc_id", (-F.col("avg_log2_prob")).alias("npr")
+        ),
+        ["query_id"],
+        "npr",
+        ["doc_id"],
+        rank_col="rp",
+    ).select("query_id", "doc_id", F.col("rp").cast("int").alias("r_prior"))
     rrf = (
         F.lit(1.0) / (F.lit(60) + F.col("r_bm25"))
         + F.lit(1.0) / (F.lit(60) + F.col("r_prior"))
     )
-    w_f = W.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    fused = (
+        rb.join(rp, ["query_id", "doc_id"])
+        .withColumn("rrf", rrf)
+        .withColumn("nrrf", -F.col("rrf"))
+        .localCheckpoint()
+    )
     return (
-        ranked.withColumn("rrf", rrf)
-        .withColumn("__rk", F.row_number().over(w_f))
+        banded_rank(fused, ["query_id"], "nrrf", ["doc_id"], rank_col="__rk")
         .filter(F.col("__rk") <= 20)
         .select("query_id", "doc_id", "r_bm25", "r_prior", "rrf")
     )
@@ -8802,44 +8834,52 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     division; a log2 discount would make the score an order-dependent
     double sum, unhashable cross-engine). Relevance grades: prior-rank
     bands of 25 (top band rel 4 .. rel 0). The graded sibling of
-    lsh_recall in the self-eval family."""
-    from functools import reduce
+    lsh_recall in the self-eval family.
 
-    from pyspark.sql import Window as W
+    Scale shape (the r10-verdict fix): shares the single-scan
+    checkpointed candidate table with rrf_fusion (_rrf_candidates —
+    no per-query BM25 recompute), r_bm25/r_prior are BANDED ranks
+    (no full-corpus ``row_number() over (partition by query_id)``),
+    and the ideal ranking runs ONLY over rel>0 docs — at most 100 per
+    query BY CONSTRUCTION (rel>0 ⇔ prior rank ≤ 100), banded by rel
+    itself; rel-0 docs have gain 2⁰−1 = 0 and contribute nothing to
+    either sum, and they always sort after every rel>0 doc in the
+    ideal order, so dropping them changes neither dcg nor idcg."""
+    from flink_essentials_spark.functions.timeseries import banded_rank
 
-    from flink_essentials_spark.functions.text import (
-        bigram_lm_score,
-        bm25_scores,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    parts = [
-        bm25_scores(docs, terms).select(
-            F.lit(qid).alias("query_id"), "doc_id", "bm25_score"
+    j = _rrf_candidates(spark, sf_dir)
+    rb = banded_rank(
+        j.select("query_id", "doc_id", (-F.col("bm25_score")).alias("nbm")),
+        ["query_id"],
+        "nbm",
+        ["doc_id"],
+        rank_col="r_bm25",
+    ).select("query_id", "doc_id", "r_bm25")
+    rp = banded_rank(
+        j.select(
+            "query_id", "doc_id", (-F.col("avg_log2_prob")).alias("npr")
+        ),
+        ["query_id"],
+        "npr",
+        ["doc_id"],
+        rank_col="r_prior",
+    ).select("query_id", "doc_id", "r_prior")
+    graded = (
+        rb.join(rp, ["query_id", "doc_id"])
+        .withColumn(
+            "rel",
+            F.greatest(F.lit(0), F.lit(4) - F.expr("(r_prior - 1) div 25")),
         )
-        for qid, terms in _RRF_QUERIES
-    ]
-    bm = reduce(lambda a, b: a.unionAll(b), parts)
-    prior = bigram_lm_score(docs).select("doc_id", "avg_log2_prob")
-    j = bm.join(prior, "doc_id")
-    w_bm = W.partitionBy("query_id").orderBy(F.desc("bm25_score"), "doc_id")
-    w_pr = W.partitionBy("query_id").orderBy(
-        F.desc("avg_log2_prob"), "doc_id"
+        .filter(F.col("rel") > 0)
+        .withColumn(
+            "gain",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT)) - 1"),
+        )
+        .withColumn("nrel", -F.col("rel"))
     )
-    ranked = j.select(
-        "query_id",
-        "doc_id",
-        F.row_number().over(w_bm).alias("r_bm25"),
-        F.row_number().over(w_pr).alias("r_prior"),
-    ).withColumn(
-        "rel",
-        F.greatest(F.lit(0), F.lit(4) - F.expr("(r_prior - 1) div 25")),
-    ).withColumn(
-        "gain", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT)) - 1")
+    staged = banded_rank(
+        graded, ["query_id"], "nrel", ["doc_id"], rank_col="r_ideal"
     )
-    w_ideal = W.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
-    staged = ranked.withColumn("r_ideal", F.row_number().over(w_ideal))
     agg = staged.groupBy("query_id").agg(
         F.sum(
             F.when(
@@ -8936,30 +8976,45 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10%-trimmed mean of spend cents per event_type (the classic
     robust location estimator — Tukey; beside mad_outliers' scale and
     cusum's shifts): drop the lowest and highest n div 10 observations
-    by (value, event_id) rank, then ONE exact division of the
-    remaining integer sum. Ranks ride a keyed window; the trim
-    boundary is integer div on both engines; the kept-sum is an exact
-    BIGINT, so the mean is bit-identical cross-engine."""
-    from pyspark.sql import Window as W
+    by value rank, then ONE exact division of the remaining integer
+    sum. Scale shape — NO per-key rank window (the r10-verdict fix):
+    the kept-sum falls straight out of the banded ECDF support
+    (timeseries._ecdf_cums, the ks_drift/mann_whitney machinery) —
+    per DISTINCT value, copies trimmed from the bottom are
+    clamp(cut − below, 0, c) and from the top clamp(cum − (n − cut),
+    0, c), so kept = c − bot − top per support row; the trim regions
+    land inside tie groups identically however ties are ordered, so
+    this equals the row_number formulation the DuckDB oracle keeps
+    (its (v, event_id) tie-break never changes the kept MULTISET).
+    Every quantity is an exact BIGINT; the mean is one division."""
+    from flink_essentials_spark.functions.timeseries import _ecdf_cums
     from flink_essentials_spark.queries.util import cents
 
     ev = load_tables(spark, sf_dir)["events"].select(
-        "event_type", "event_id", cents("value").alias("v")
+        "event_type", F.lit(True).alias("one"), cents("value").alias("v")
     )
-    w = W.partitionBy("event_type").orderBy("v", "event_id")
-    wk = W.partitionBy("event_type")
-    staged = ev.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wk)
+    cum = _ecdf_cums(ev, "event_type", "one", "v", 64)
+    cut = F.expr("__na div 10")
+    below = F.col("__cuma") - F.col("__ca")
+    bot = F.greatest(F.lit(0), F.least(F.col("__ca"), cut - below))
+    top = F.greatest(
+        F.lit(0),
+        F.least(F.col("__ca"), F.col("__cuma") - (F.col("__na") - cut)),
     )
-    kept = staged.filter(
-        (F.col("rk") > F.expr("n div 10"))
-        & (F.col("rk") <= F.col("n") - F.expr("n div 10"))
+    kept = F.col("__ca") - bot - top
+    agg = cum.groupBy("__k").agg(
+        F.max("__na").alias("n"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(kept * F.col("__v")).alias("kept_sum"),
     )
-    return kept.groupBy("event_type").agg(
-        F.max("n").alias("n"),
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("v").alias("kept_sum"),
-        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("trimmed_mean"),
+    return agg.select(
+        F.col("__k").alias("event_type"),
+        "n",
+        "n_kept",
+        "kept_sum",
+        (F.col("kept_sum").cast("double") / F.col("n_kept")).alias(
+            "trimmed_mean"
+        ),
     )
 
 
@@ -9202,6 +9257,15 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tl.join(F.broadcast(tw), "w")
         .join(F.broadcast(n_docs), "lang")
         .crossJoin(F.broadcast(total))
+        # zero-marginal guard: a term present in EVERY doc makes
+        # c+d = 0 (and a single-language corpus makes b+d = 0) — the
+        # chi2 division then yields engine-dependent ±Infinity. Such
+        # terms carry no class signal anyway; drop them symmetrically
+        # on both sides BEFORE scoring.
+        .filter(
+            (F.col("n_term") < F.col("n_all"))
+            & (F.col("n_lang") < F.col("n_all"))
+        )
         .select(
             "w",
             "lang",
@@ -9246,6 +9310,7 @@ WITH dt AS (
   SELECT tl.w, tl.lang, a0 AS a, n_term - a0 AS b, n_lang - a0 AS c,
          n_all - n_term - n_lang + a0 AS d
   FROM tl JOIN tw USING (w) JOIN nl USING (lang), na
+  WHERE n_term < n_all AND n_lang < n_all
 ), s AS (
   SELECT lang, w, a, b, c, d,
          CAST(a + b + c + d AS DOUBLE)
@@ -9402,14 +9467,13 @@ FROM a
 def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation (Spearman 1904) between event order
     and spend per event_type — the rank-robust, outlier-immune sibling
-    of trend_lines' OLS slope: x = arrival rank (unique via
-    (ts, event_id)), y = DOUBLED value midrank (ties take the exact
-    average rank; doubling absorbs the half, keeping every quantity an
-    integer), rho = Pearson on the rank pairs from exact BIGINT
-    moments — the assortativity/trend_lines pinned-association
-    discipline, one keyed exchange for both rank windows + moments."""
-    from pyspark.sql import Window as W
-
+    of trend_lines' OLS slope (timeseries.spearman_rho): x = arrival
+    rank via BANDED rank (no per-key single-task sort — the r10-verdict
+    fix), y = DOUBLED value midrank straight off the banded ECDF
+    support, rho = Pearson on the rank pairs from exact BIGINT moments
+    built in DOUBLE (the trend_lines deny lesson). Every window is
+    keyed by (event_type, band)."""
+    from flink_essentials_spark.functions.timeseries import spearman_rho
     from flink_essentials_spark.queries.util import cents
 
     ev = load_tables(spark, sf_dir)["events"].select(
@@ -9418,48 +9482,7 @@ def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         cents("value").alias("v"),
     )
-    w_t = W.partitionBy("event_type").orderBy("ts_ms", "event_id")
-    w_k = W.partitionBy("event_type")
-    w_v = W.partitionBy("event_type", "v")
-    # doubled midrank of v: 2*(count of strictly smaller) + (ties + 1)
-    staged = (
-        ev.withColumn("x", F.row_number().over(w_t).cast("long"))
-        .withColumn(
-            "lt",
-            F.count(F.lit(1)).over(
-                W.partitionBy("event_type")
-                .orderBy("v")
-                .rangeBetween(W.unboundedPreceding, -1)
-            ),
-        )
-        .withColumn("ties", F.count(F.lit(1)).over(w_v))
-        .withColumn("y2", 2 * F.col("lt") + F.col("ties") + 1)
-    )
-    a = staged.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y2").alias("sy"),
-        F.sum(F.col("x") * F.col("y2")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
-    )
-    # rank moments grow as n^4 (y2 <= 2n, syy <= 4n^3), past int64 near
-    # n ~ 5e4 rows/key — the trend_lines deny lesson applies to ALL
-    # three normal-equation terms here: build them in DOUBLE from the
-    # exact BIGINT sums (identical casts + IEEE ops in both engines)
-    nd = F.col("n").cast("double")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    num = nd * F.col("sxy").cast("double") - sxd * syd
-    denx = nd * F.col("sxx").cast("double") - sxd * sxd
-    deny = nd * F.col("syy").cast("double") - syd * syd
-    return a.select(
-        "event_type",
-        "n",
-        num.alias("num"),
-        denx.alias("denx"),
-        deny.alias("deny"),
-        (num / F.sqrt(denx * deny)).alias("rho"),
-    )
+    return spearman_rho(ev, "event_type", ["ts_ms", "event_id"], "v")
 
 
 def _spearman_sql() -> str:
@@ -9510,13 +9533,15 @@ Q_SPEARMAN_SQL = _spearman_sql()
 
 def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall τ-b per event_type between arrival order and spend
-    (timeseries.kendall_tau, Kendall 1938): discordant pairs via
-    O(n log n) mergesort inversions in one Arrow-grouped task per key;
-    the DuckDB oracle recounts them with the textbook O(n²) strict
-    pair join — two independent formulations of the identical
-    statistic, every count an exact BIGINT, τ one division against a
-    pinned sqrt. Completes the rank-correlation pair with
-    spearman_trend."""
+    (timeseries.kendall_tau, Kendall 1938): discordant pairs via the
+    BANDED inversion decomposition — cross-band pairs from the tiny
+    per-key time×value band cube, within-band pairs by O(m log m)
+    mergesort inversions over bounded (key, band) Arrow groups (the
+    r10-verdict fix; no single-task per-key sort). The DuckDB oracle
+    recounts them with the textbook O(n²) strict pair join — two
+    independent formulations of the identical statistic, every count
+    an exact BIGINT, τ one division against a pinned sqrt. Completes
+    the rank-correlation pair with spearman_trend."""
     from flink_essentials_spark.functions.timeseries import kendall_tau
     from flink_essentials_spark.queries.util import cents
 
