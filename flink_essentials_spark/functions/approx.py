@@ -656,20 +656,41 @@ def bottomk_quantiles(
 KMV_SPACE = 1 << 60  # md5 15-hex-prefix hash range
 
 
-def kmv_retrim(df: DataFrame, k: int) -> DataFrame:
+def kmv_retrim(df: DataFrame, k: int, bands: int = 64) -> DataFrame:
     """Trim a (g, h) hash table to the per-group bottom-k — both the
     sketch BUILD step and the MERGE step (merging partial sketches is
-    union + re-trim; ≡ one-shot is pinned in tests). The window is
-    keyed by group and runs over ≤ (partial sketches × k) rows per
-    group, never the data."""
+    union + re-trim; ≡ one-shot is pinned in tests). Scale shape: the
+    build path ranks the full per-group DISTINCT hash table, so the
+    rank is BANDED — hashes are uniform in the known space
+    [0, 2^60), so bands are STATIC (h div space/bands, no bounds
+    pass), the rank window is keyed by (g, band), and bands whose
+    prefix offset already reaches k are PRUNED before the window
+    (they cannot contain a bottom-k row) — at large inputs that drops
+    ~(bands-1)/bands of the table before any sort."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("g").orderBy("h")
-    return (
+    d = (
         df.select("g", "h")
         .distinct()
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("__band", F.expr(f"h div {KMV_SPACE // int(bands)}"))
+    )
+    btot = d.groupBy("g", "__band").agg(F.count(F.lit(1)).alias("__n"))
+    w_b = (
+        W.partitionBy("g")
+        .orderBy("__band")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = btot.select(
+        "g",
+        "__band",
+        F.coalesce(F.sum("__n").over(w_b), F.lit(0)).alias("__off"),
+    ).filter(F.col("__off") < k)
+    w_in = W.partitionBy("g", "__band").orderBy("h")
+    return (
+        d.join(F.broadcast(offs), ["g", "__band"])
+        .withColumn("rk", (F.col("__off") + F.row_number().over(w_in)).cast("int"))
         .filter(F.col("rk") <= k)
+        .drop("__band", "__off")
     )
 
 
@@ -1091,6 +1112,34 @@ def exact_quantiles(
     return df.sparkSession.createDataFrame(rows, schema)
 
 
+def mg_candidates(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Phase 1 of :func:`mg_exact_heavy_hitters`, exposed for the
+    streaming-maintained monitor: per-partition Misra–Gries summaries
+    (k python counters streamed over Arrow batches), candidate items
+    only. The union of candidate sets over ANY partition of the stream
+    — partitions of one batch or micro-batches over time — contains
+    every item with global count > n/(k+1) (pigeonhole over the
+    per-segment guarantee), so maintaining the candidate set by plain
+    rollup union keeps the exact-rescan read-out layout- and
+    path-independent. Returns one ``__it`` string column, distinct."""
+    import pandas as pd
+
+    kk = int(k)
+
+    def mg(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for it, c in pdf["__it"].value_counts().items():
+                acc[it] = acc.get(it, 0) + int(c)
+            if len(acc) > kk:
+                cut = sorted(acc.values(), reverse=True)[kk]
+                acc = {i: c - cut for i, c in acc.items() if c > cut}
+        yield pd.DataFrame({"__it": list(acc.keys())})
+
+    items = df.select(F.col(item_col).cast("string").alias("__it"))
+    return items.mapInPandas(mg, "__it string").distinct()
+
+
 def mg_exact_heavy_hitters(
     df: DataFrame,
     item_col: str,
@@ -1125,8 +1174,6 @@ def mg_exact_heavy_hitters(
     pass holding k counters (candidates ≤ partitions·k rows — bytes);
     phase 2 is a broadcast semi-join + count on candidates only plus
     one scalar total. Returns (item, cnt, n)."""
-    import pandas as pd
-
     kk = int(k if k is not None else den)
     if kk * num < den - num:
         raise ValueError(
@@ -1134,18 +1181,8 @@ def mg_exact_heavy_hitters(
             f"k >= den/num - 1 for guaranteed recall"
         )
 
-    def mg(batches):
-        acc: dict = {}
-        for pdf in batches:
-            for it, c in pdf["__it"].value_counts().items():
-                acc[it] = acc.get(it, 0) + int(c)
-            if len(acc) > kk:
-                cut = sorted(acc.values(), reverse=True)[kk]
-                acc = {i: c - cut for i, c in acc.items() if c > cut}
-        yield pd.DataFrame({"__it": list(acc.keys())})
-
     items = df.select(F.col(item_col).cast("string").alias("__it"))
-    cands = items.mapInPandas(mg, "__it string").distinct()
+    cands = mg_candidates(df, item_col, kk)
     total = items.agg(F.count(F.lit(1)).alias("n"))
     return (
         items.join(F.broadcast(cands), "__it", "left_semi")
@@ -1155,3 +1192,186 @@ def mg_exact_heavy_hitters(
         .filter(F.col("cnt") * F.lit(int(den)) > F.col("n") * F.lit(int(num)))
         .select(F.col("__it").alias(item_col), "cnt", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# q-digest (Shrivastava et al. SenSys 2004, "Medians and beyond") — the
+# MERGEABLE RANK-ERROR member completing the quantile matrix beside
+# dd_sketch (relative error), exact_quantiles (bounded-pass exact),
+# histogram_quantiles (fixed range) and sample_quantiles (bottom-k):
+# counts live on dyadic intervals of a bounded integer universe
+# [0, 2^levels); compression pushes any interval whose mass is <= t =
+# max(1, n div k) up to its parent, so the summary holds O(k) nodes
+# per level and any rank query errs by < levels*t. Everything is
+# integer arithmetic on counts — a DuckDB oracle replicates the
+# whole digest with `levels` chained CTEs, and the node table is
+# SUM-mergeable (merge = per-node count sum + one recompression).
+# ---------------------------------------------------------------------------
+
+
+def qdigest_compress(
+    rows: DataFrame,
+    group_cols: list[str],
+    k: int = 512,
+    levels: int = 18,
+    leaf_only: bool = False,
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Canonical bottom-up q-digest compression of a node-count table
+    ``(group..., level, node, cnt)``: at each level, mass that has
+    accumulated to more than t = max(1, n div k) is KEPT at that
+    level; lighter mass moves to the parent node (node div 2) and is
+    re-tested one level up, with any input counts already sitting at
+    that level merged in first. The level-``levels`` residue is kept
+    unconditionally (the root band). Mass is conserved, so per-group
+    n is always the digest's own count sum and re-compression after a
+    merge needs no side channel.
+
+    ``leaf_only=True`` (the build path) skips the per-level merge-in
+    groupBy — the input has level-0 rows only, so each level costs ONE
+    keyed partial+final aggregate over a geometrically shrinking
+    table; the chain localCheckpoints every ``checkpoint_every``
+    levels to cap plan depth (the iterative-plan lesson). Values must
+    lie in [0, 2^levels) — callers validate (qdigest_build raises an
+    actionable ValueError)."""
+    from functools import reduce
+
+    gc = list(group_cols)
+    tot = rows.groupBy(*gc).agg(F.sum("cnt").alias("__n"))
+    tt = tot.select(
+        *gc, F.greatest(F.lit(1), F.expr(f"__n div {int(k)}")).alias("__t")
+    )
+    pending = (
+        rows.filter(F.col("level") == 0)
+        .join(F.broadcast(tt), gc)
+        .select(*gc, "node", "cnt", "__t")
+    )
+    kept_parts = []
+    for lvl in range(int(levels)):
+        if not leaf_only and lvl > 0:
+            merge_in = (
+                rows.filter(F.col("level") == lvl)
+                .join(F.broadcast(tt), gc)
+                .select(*gc, "node", "cnt", "__t")
+            )
+            pending = (
+                pending.unionByName(merge_in)
+                .groupBy(*gc, "node")
+                .agg(F.sum("cnt").alias("cnt"), F.max("__t").alias("__t"))
+            )
+        kept_parts.append(
+            pending.filter(F.col("cnt") > F.col("__t")).select(
+                *gc, F.lit(lvl).alias("level"), "node", "cnt"
+            )
+        )
+        pending = (
+            pending.filter(F.col("cnt") <= F.col("__t"))
+            .groupBy(*gc, F.expr("node div 2").alias("node"))
+            .agg(F.sum("cnt").alias("cnt"), F.max("__t").alias("__t"))
+        )
+        if (lvl + 1) % int(checkpoint_every) == 0:
+            pending = pending.localCheckpoint()
+    kept_parts.append(
+        pending.select(*gc, F.lit(int(levels)).alias("level"), "node", "cnt")
+    )
+    return reduce(lambda a, b: a.unionByName(b), kept_parts)
+
+
+def qdigest_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 512,
+    levels: int = 18,
+) -> DataFrame:
+    """Build a per-group q-digest over integer ``value_col`` ∈
+    [0, 2^levels): level-0 support counts (one keyed aggregate over
+    the data — everything after runs on shrinking count tables), then
+    the canonical compression. Raises an actionable ValueError when a
+    value falls outside the universe (the exact_quantiles guard
+    pattern — ANSI would otherwise surface it as an opaque overflow
+    levels deeper). Returns (group..., level, node, cnt)."""
+    gc = list(group_cols)
+    staged = df.select(*gc, F.col(value_col).cast("long").alias("__v"))
+    lo, hi = staged.agg(F.min("__v"), F.max("__v")).first()
+    if lo is None:
+        return qdigest_compress(
+            staged.select(
+                *gc,
+                F.lit(0).alias("level"),
+                F.col("__v").alias("node"),
+                F.lit(1).cast("long").alias("cnt"),
+            ),
+            gc,
+            k=k,
+            levels=levels,
+            leaf_only=True,
+        )
+    if lo < 0 or hi >= (1 << int(levels)):
+        raise ValueError(
+            f"qdigest_build: values [{lo}, {hi}] outside the dyadic "
+            f"universe [0, 2^{levels}); shift/scale the values or "
+            f"raise `levels`"
+        )
+    support = staged.groupBy(*gc, F.col("__v").alias("node")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return qdigest_compress(
+        support.select(*gc, F.lit(0).alias("level"), "node", "cnt"),
+        gc,
+        k=k,
+        levels=levels,
+        leaf_only=True,
+    )
+
+
+def qdigest_quantiles(
+    digest: DataFrame,
+    group_cols: list[str],
+    qs: list[tuple[int, int]],
+    levels: int = 18,
+) -> DataFrame:
+    """Quantile read-out: nodes sort by right endpoint
+    ``bucket = (node+1)·2^level − 1`` (ties: smaller span first — the
+    canonical q-digest order), counts prefix-cumulate in that order,
+    and the q-estimate is the first bucket whose cumulative reaches
+    ceil(q·n) — guaranteed within ``levels · max(1, n div k)`` ranks
+    of exact (the q-digest contract, property-pinned in tests). The
+    window rides the BOUNDED digest (≤ ~k rows per level per group),
+    never the data; n is the digest's own count sum (mass
+    conservation). Returns (group..., q_num, q_den, n, est)."""
+    from pyspark.sql import Window as W
+
+    gc = list(group_cols)
+    staged = digest.select(
+        *gc,
+        "level",
+        "cnt",
+        F.expr(f"(node + 1) * shiftleft(CAST(1 AS BIGINT), level) - 1").alias(
+            "bucket"
+        ),
+    )
+    w = (
+        W.partitionBy(*gc)
+        .orderBy("bucket", "level")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wg = W.partitionBy(*gc) if gc else W.partitionBy()
+    cum = staged.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__n", F.sum("cnt").over(wg)
+    )
+    out = None
+    for num, den in qs:
+        need = F.expr(f"(__n * {int(num)} + {int(den)} - 1) div {int(den)}")
+        hit = (
+            cum.filter(F.col("__cum") >= need)
+            .groupBy(*gc)
+            .agg(
+                F.lit(int(num)).alias("q_num"),
+                F.lit(int(den)).alias("q_den"),
+                F.max("__n").alias("n"),
+                F.min("bucket").alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -124,16 +124,18 @@ def curriculum_mix_key(
     for value, wt in weights.items():
         cond = F.col(strata_col) == value
         chain = F.when(cond, F.lit(int(wt))) if chain is None else chain.when(cond, F.lit(int(wt)))
-    from pyspark.sql import Window as W
+    # within-stratum rank via BANDED rank: strata are low-cardinality,
+    # so a plain row_number over (partition by stratum) would sort each
+    # stratum's entire corpus in one task (the r10-verdict weak shape)
+    from flink_essentials_spark.functions.timeseries import banded_rank
 
-    rn = F.row_number().over(
-        W.partitionBy(strata_col).orderBy(id_col)
-    )
-    return (
+    staged = (
         df.select(id_col, strata_col)
         .withColumn("wt", chain)
         .filter(F.col("wt").isNotNull())
-        .withColumn("rn", rn)
+    )
+    return (
+        banded_rank(staged, [strata_col], id_col, [], rank_col="rn")
         .select(
             id_col,
             strata_col,
@@ -151,18 +153,23 @@ def kfold_assign(
     within each stratum and take rank % k — folds are balanced to ±1
     row per stratum by CONSTRUCTION, which plain hash-bucket splitting
     cannot guarantee. Partition-invariant and engine-neutral like
-    every sampler here; one window per stratum (the window is
-    partitioned — no global sort)."""
-    from pyspark.sql import Window as W
+    every sampler here; ranks are BANDED (timeseries.banded_rank) so
+    neither the per-stratum nor the unstratified form ever sorts a
+    whole stratum — or the whole table — in one task."""
+    from flink_essentials_spark.functions.timeseries import banded_rank
 
     u = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
         .cast("bigint")
     )
-    part = W.partitionBy(strata_col) if strata_col else W.partitionBy(F.lit(1))
-    rn = F.row_number().over(part.orderBy(u.asc(), F.col(id_col)))
-    out = df.withColumn("fold", ((rn - 1) % k).cast("int"))
-    return out
+    keys = [strata_col] if strata_col else []
+    ranked = banded_rank(
+        df.withColumn("__u", u), keys, "__u", [id_col], rank_col="__rn"
+    )
+    return (
+        ranked.withColumn("fold", ((F.col("__rn") - 1) % k).cast("int"))
+        .drop("__u", "__rn")
+    )
 
 
 def token_budget_select(

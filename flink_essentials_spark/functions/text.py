@@ -1571,24 +1571,29 @@ def ccnet_buckets(
     Ranking uses the ROUNDED score (cross-engine identical per the
     lm_score oracle) with doc-id tiebreak, so bucket assignment is
     deterministic on any engine; the bucket index is explicit floor
-    division on both sides (the window_anomaly discipline). Windows
-    are keyed by stratum — never partitionless.
+    division on both sides (the window_anomaly discipline). The rank
+    is a BANDED rank (timeseries.banded_rank) — strata are
+    low-cardinality, so a plain per-stratum row_number would sort each
+    stratum's whole corpus in one task (the r10-verdict weak shape).
     """
-    from pyspark.sql import Window as W
+    from flink_essentials_spark.functions.timeseries import banded_rank
 
     scores = bigram_lm_score(df, text_col=text_col, id_col=id_col)
     src = df.select(F.col(id_col).alias("doc_id"), strata_col)
-    j = scores.join(src, "doc_id")
-    w = W.partitionBy(strata_col).orderBy(
-        F.desc("avg_log2_prob"), "doc_id"
+    j = scores.join(src, "doc_id").withColumn(
+        "__nscore", -F.col("avg_log2_prob")
     )
-    wn = W.partitionBy(strata_col)
-    ranked = j.select(
-        "doc_id",
-        strata_col,
-        "avg_log2_prob",
-        F.row_number().over(w).alias("ppl_rank"),
-        F.count(F.lit(1)).over(wn).alias("__n"),
+    n_strat = j.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    ranked = (
+        banded_rank(j, [strata_col], "__nscore", ["doc_id"], rank_col="__rk")
+        .join(F.broadcast(n_strat), strata_col)
+        .select(
+            "doc_id",
+            strata_col,
+            "avg_log2_prob",
+            F.col("__rk").cast("int").alias("ppl_rank"),
+            "__n",
+        )
     )
     return ranked.select(
         "doc_id",

@@ -338,7 +338,14 @@ def banded_rank(
     bounds = df.groupBy(*kc).agg(
         F.min(value_col).alias("__br_lo"), F.max(value_col).alias("__br_hi")
     )
-    j = df.join(F.broadcast(bounds), kc)
+    # empty key list = one global rank (still banded: the only
+    # unbounded-input window is keyed by band; the offsets window rides
+    # the tiny band-totals table)
+    j = (
+        df.join(F.broadcast(bounds), kc)
+        if kc
+        else df.crossJoin(F.broadcast(bounds))
+    )
     if dtype in ("tinyint", "smallint", "int", "bigint"):
         band = F.expr(
             f"CASE WHEN (__br_hi - __br_lo + 1) >= {int(bands)} "

@@ -160,11 +160,12 @@ def count_trigger(
     two paths is asserted in tests (same fixture through both).
     """
     if not df.isStreaming and order_by is not None:
-        from pyspark.sql import Window as W
+        # banded per-key sequence — no single-task per-key sort when
+        # the key is a low-cardinality categorical (r10-verdict shape)
+        from flink_essentials_spark.functions.timeseries import banded_rank
 
-        rn = F.row_number().over(W.partitionBy(*keys).orderBy(order_by))
         return (
-            df.withColumn("__rn", rn)
+            banded_rank(df, list(keys), order_by, [], rank_col="__rn")
             .filter((F.col("__rn") % count) == 0)
             .select(
                 F.col(keys[0]).cast("string").alias("key"),
@@ -222,14 +223,13 @@ def count_evictor(
     - run-after:  cnt_in_fire = min(count + max_size, k·count)
     """
     if not df.isStreaming and order_by is not None:
-        from pyspark.sql import Window as W
+        from flink_essentials_spark.functions.timeseries import banded_rank
 
-        rn = F.row_number().over(W.partitionBy(*keys).orderBy(order_by))
         fire_seq = (F.col("__rn") / count).cast("long")
         cap = max_size if run_before else count + max_size
         cnt = F.least(F.lit(cap).cast("long"), fire_seq * count)
         return (
-            df.withColumn("__rn", rn)
+            banded_rank(df, list(keys), order_by, [], rank_col="__rn")
             .filter((F.col("__rn") % count) == 0)
             .select(
                 F.col(keys[0]).cast("string").alias("key"),

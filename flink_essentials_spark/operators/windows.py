@@ -133,10 +133,18 @@ def global_count_windows(
     from pyspark.sql import Window as W
 
     if keys:
-        w = W.partitionBy(*keys).orderBy(order_by)
-        bucket = F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(count))
+        # per-key sequence via BANDED rank (timeseries.banded_rank) —
+        # keys are often low-cardinality categoricals, and a plain
+        # row_number over (partition by key) would sort each key's
+        # whole history in one task (the r10-verdict weak shape)
+        from flink_essentials_spark.functions.timeseries import banded_rank
+
+        ranked = banded_rank(
+            df, list(keys), order_by, [], rank_col="__rn"
+        )
+        bucket = F.floor((F.col("__rn") - F.lit(1)) / F.lit(count))
         return (
-            df.withColumn("window_seq", bucket)
+            ranked.withColumn("window_seq", bucket)
             .groupBy(*keys, "window_seq")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

@@ -1032,7 +1032,12 @@ _REGISTRY: list[Query] = [
     # ANALYZE-style one-scan column-profiling family (stack() unpivot).
     Query("table_profile", llmdata.q_table_profile, llmdata.Q_TABLE_PROFILE_SQL),
     # --- triggers & evictors (§2.6) — the stateful operator itself under oracle
-    Query("count_trigger_fires", dataflow.q_count_trigger_fires, dataflow.Q_COUNT_TRIGGER_FIRES_SQL),
+    # ROTATION (r11): count_trigger_fires demoted (count-window
+    # machinery stays driver-covered by capped_sessions /
+    # streaming_capped_sessions; the trigger family keeps all four
+    # local oracle rows) -> exact_quantiles: Munro-Paterson bounded-
+    # pass EXACT quantiles, the exact member of the quantile matrix.
+    Query("exact_quantiles", llmdata.q_exact_quantiles, llmdata.Q_EXACT_QUANTILES_SQL),
     # ROTATION (r5b): count_evictor_fires demoted (trigger/evictor
     # family keeps count_trigger_fires driver-green; the evictor op
     # stays locally oracle-checked twice: _fires and _after_fires).
@@ -1062,7 +1067,13 @@ _REGISTRY: list[Query] = [
     # sinks/versioned.py), previously test-only: three history batches
     # folded through atomic snapshot commits must equal the one-shot
     # GROUP BY, which is the oracle.
-    Query("incremental_rollup", llmdata.q_incremental_rollup, llmdata.Q_INCREMENTAL_ROLLUP_SQL),
+    # ROTATION (r11): incremental_rollup demoted (the documented
+    # redundancy vs the streaming-maintained twins — the rollup-fold ==
+    # one-shot contract stays driver-covered by incremental_
+    # decontamination and locally by the maintained-monitor family) ->
+    # ks_drift: Kolmogorov-Smirnov two-sample drift, the nonparametric
+    # member of the drift family on the banded two-phase ECDF.
+    Query("ks_drift", llmdata.q_ks_drift, llmdata.Q_KS_DRIFT_SQL),
     # --- streaming path (oracle checks final state)
     # ROTATION (r3): the driver checks only the first 50 rows, so head
     # rows whose capability stays driver-covered by a sibling rotate to
@@ -1134,7 +1145,13 @@ _REGISTRY: list[Query] = [
     # optimal tokenizer member over the same vocabulary the greedy
     # encoders scan, integer bit-length surprisal costs, unrolled-DP
     # oracle.
-    Query("unigram_segments", llmdata.q_unigram_segments, llmdata.Q_UNIGRAM_SQL),
+    # ROTATION (r11): unigram_segments demoted (the documented
+    # tokenizer-family redundancy vs bpe_trained_merges, which stays
+    # driver-green below; Viterbi segmentation stays locally
+    # oracle-checked) -> jaro_winkler: the ER comparator whose DuckDB
+    # oracle is the engine's NATIVE implementation — the strongest
+    # (independent-codebase) oracle form in the repo.
+    Query("jaro_winkler", llmdata.q_jaro_winkler, llmdata.Q_JARO_WINKLER_SQL),
     # ROTATION (r7c): dedup_jaccard demoted (its exact-Jaccard
     # arithmetic stays head-visible inside lsh_near_dups' verify step)
     # → k_anonymity: the privacy-audit family's first driver row.
@@ -1171,7 +1188,13 @@ _REGISTRY: list[Query] = [
     # stays pytest-pinned and the row locally green) ->
     # random_projection: JL (Achlioptas 2003 +-1), md5-sign matrix
     # in one broadcast row, bit-exact with zero rounding.
-    Query("random_projection", llmdata.q_random_projection, llmdata.Q_RANDOM_PROJECTION_SQL),
+    # ROTATION (r11): random_projection demoted (ANN/similarity family
+    # keeps ivfpq_topk — the production path — driver-green above; the
+    # JL sign-projection row, r10's one fix, stays locally green under
+    # the atomic-schema guard) -> gram_matrix: the exact distributed
+    # X'X primitive (per-partition numpy int64 blocks + one bounded
+    # groupBy) every covariance/PCA pipeline starts from.
+    Query("gram_matrix", llmdata.q_gram_matrix, llmdata.Q_GRAM_MATRIX_SQL),
     # ROTATION (r9): embedding_near_dups demoted (near-dup family keeps
     # lsh_near_dups + semantic_dedup driver rows; exact-cosine pair
     # arithmetic stays head-visible in semantic_dedup's within-cell
@@ -1190,7 +1213,12 @@ _REGISTRY: list[Query] = [
     # train->encode composition stays locally green) -> l_diversity:
     # Machanavajjhala 2007 — completes the privacy trio driver-side
     # (k_anonymity + dp_release + this).
-    Query("l_diversity", llmdata.q_l_diversity, llmdata.Q_L_DIVERSITY_SQL),
+    # ROTATION (r11): l_diversity demoted (the privacy family was
+    # triple-covered driver-side — k_anonymity + dp_release stay; the
+    # distinct-l audit stays locally oracle-checked) ->
+    # mg_heavy_hitters: Misra-Gries 1982 + exact rescan, deterministic
+    # exact heavy hitters in two passes.
+    Query("mg_heavy_hitters", llmdata.q_mg_heavy_hitters, llmdata.Q_MG_HEAVY_HITTERS_SQL),
     # ROTATION (r8f): quality_score demoted (the ad-hoc score; the
     # text-quality family keeps its strongest member driver-visible)
     # -> gopher_rules: the published Gopher A1 ruleset — every rule
@@ -1213,11 +1241,22 @@ _REGISTRY: list[Query] = [
     # ewma_anomaly: the EWMA control chart (Roberts 1959), truncated
     # lambda=1/2 exact-integer form — per-key lag terms AND moments in
     # ONE keyed window exchange, flags bit-exact with no rounding.
-    Query("ewma_anomaly", llmdata.q_ewma_anomaly, llmdata.Q_EWMA_ANOMALY_SQL),
+    # ROTATION (r11): ewma_anomaly demoted (the documented redundancy
+    # vs the now-deeper driver drift bench — ks_drift + cusum_shifts
+    # promote this round; the EWMA chart stays locally oracle-checked
+    # plus its ewma_control golden) -> cusum_shifts: Page 1954 CUSUM
+    # changepoint screen, cum-minus-running-min closed form.
+    Query("cusum_shifts", llmdata.q_cusum_shifts, llmdata.Q_CUSUM_SHIFTS_SQL),
     # ROTATION (r7): rolling_fingerprint demoted (fingerprint family
     # 4-deep in the tail) → image_dedup: first multimodal-DEDUP driver
     # row (real JPEG/PNG decode → perceptual aHash → equal-hash groups).
-    Query("image_dedup", llmdata.q_image_dedup, llmdata.Q_IMAGE_DEDUP_SQL),
+    # ROTATION (r11): image_dedup demoted (the documented decode-family
+    # redundancy vs media_features, which stays driver-green on the
+    # same JPEG/PNG decode path; the aHash dedup stays locally
+    # oracle-checked) -> cdc_chunks: LBFS content-defined chunking
+    # (SOSP 2001) — insertion-robust chunk dedup, the scan-stage
+    # boundary rule fixed-stride chunkers can't express.
+    Query("cdc_chunks", llmdata.q_cdc_chunks, llmdata.Q_CDC_CHUNKS_SQL),
     # ROTATION (r7): pii_redact demoted (regex-transform family,
     # pytest-pinned) → zorder_keys: Z-order layout keys, the
     # multi-dimensional data-skipping family's first driver row.
@@ -1613,15 +1652,15 @@ _REGISTRY: list[Query] = [
     # r10: DataFrame PIVOT surface (static value list — no extra
     # distinct job); oracle is the conditional-aggregation equivalent
     Query("pivot_report", llmdata.q_pivot_report, llmdata.Q_PIVOT_REPORT_SQL),
-    # r10: exact distributed Gram matrix (X'X) — per-partition numpy
-    # int64 blocks + one bounded groupBy; the PCA/covariance primitive
-    Query("gram_matrix", llmdata.q_gram_matrix, llmdata.Q_GRAM_MATRIX_SQL),
+    # gram_matrix promoted r11 (slot vacated by random_projection —
+    # demoted here, ANN family keeps ivfpq_topk driver-green)
+    Query("random_projection", llmdata.q_random_projection, llmdata.Q_RANDOM_PROJECTION_SQL),
     # r10: Aho-Corasick multi-pattern blocklist scan (1975) — one pass
     # for P patterns; oracle re-counts by per-offset substring equality
     Query("blocklist_scan", llmdata.q_blocklist_scan, llmdata.Q_BLOCKLIST_SCAN_SQL),
-    # r10: Jaro-Winkler ER comparator (1989/1990) over blocked pairs —
-    # oracle is DuckDB's NATIVE implementation (independent codebase)
-    Query("jaro_winkler", llmdata.q_jaro_winkler, llmdata.Q_JARO_WINKLER_SQL),
+    # jaro_winkler promoted r11 (slot vacated by unigram_segments —
+    # demoted here, tokenizer family keeps bpe_trained_merges)
+    Query("unigram_segments", llmdata.q_unigram_segments, llmdata.Q_UNIGRAM_SQL),
     # r10: Pearson 1900 chi-square 2x2 independence per event_type —
     # categorical composition drift beside ks_drift's value drift
     Query("chi2_independence", llmdata.q_chi2_independence, llmdata.Q_CHI2_SQL),
@@ -1635,25 +1674,23 @@ _REGISTRY: list[Query] = [
     # candidate generation; expression-chain key replicated verbatim
     # by the oracle, pure-phonetic recall vs exact hits both populated
     Query("soundex_blocking", llmdata.q_soundex_blocking, llmdata.Q_SOUNDEX_BLOCKING_SQL),
-    # r10: LBFS content-defined chunking (SOSP 2001) — md5-window cut
-    # points, stateless max-split, corpus copy count; insertion-robust
-    # chunk dedup beside the fixed-stride chunkers
-    Query("cdc_chunks", llmdata.q_cdc_chunks, llmdata.Q_CDC_CHUNKS_SQL),
-    # r10: Page 1954 CUSUM changepoint screen — cum-minus-running-min
-    # closed form of the max(0, ...) recursion on one keyed window
-    Query("cusum_shifts", llmdata.q_cusum_shifts, llmdata.Q_CUSUM_SHIFTS_SQL),
-    # r10: Misra–Gries 1982 + exact rescan — deterministic exact heavy
-    # hitters in two passes; candidates never exceed partitions×k rows
-    Query("mg_heavy_hitters", llmdata.q_mg_heavy_hitters, llmdata.Q_MG_HEAVY_HITTERS_SQL),
-    # r10: exact distributed quantiles in bounded passes (Munro &
-    # Paterson 1980 multi-pass selection, 4096-ary refinement) — the
-    # EXACT member of the quantile matrix; driver reads only bounded
-    # (quantile, bucket) count tables
-    Query("exact_quantiles", llmdata.q_exact_quantiles, llmdata.Q_EXACT_QUANTILES_SQL),
-    # r10: Kolmogorov–Smirnov two-sample drift (1933/1948) — the
-    # nonparametric sup-norm member of the drift family; exact-BIGINT
-    # ECDF sup via the banded two-phase prefix sum, squared rejection
-    Query("ks_drift", llmdata.q_ks_drift, llmdata.Q_KS_DRIFT_SQL),
+    # cdc_chunks promoted r11 (slot vacated by image_dedup — demoted
+    # here, decode family keeps media_features driver-green)
+    Query("image_dedup", llmdata.q_image_dedup, llmdata.Q_IMAGE_DEDUP_SQL),
+    # cusum_shifts promoted r11 (slot vacated by ewma_anomaly —
+    # demoted here, drift family keeps ks_drift + cusum driver rows)
+    Query("ewma_anomaly", llmdata.q_ewma_anomaly, llmdata.Q_EWMA_ANOMALY_SQL),
+    # mg_heavy_hitters promoted r11 (slot vacated by l_diversity —
+    # demoted here, privacy family keeps k_anonymity + dp_release)
+    Query("l_diversity", llmdata.q_l_diversity, llmdata.Q_L_DIVERSITY_SQL),
+    # exact_quantiles promoted r11 (slot vacated by count_trigger_fires
+    # — demoted here, trigger family keeps four local oracle rows and
+    # the count-window machinery stays driver-covered by
+    # capped_sessions)
+    Query("count_trigger_fires", dataflow.q_count_trigger_fires, dataflow.Q_COUNT_TRIGGER_FIRES_SQL),
+    # ks_drift promoted r11 (slot vacated by incremental_rollup —
+    # demoted here per the documented maintained-twin redundancy)
+    Query("incremental_rollup", llmdata.q_incremental_rollup, llmdata.Q_INCREMENTAL_ROLLUP_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

@@ -533,18 +533,23 @@ FROM (SELECT event_type,
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by value per event_type — the reference's driver-side
-    maxBy (Windows.scala:389-391) done IN-ENGINE (deterministic tiebreak)."""
-    from pyspark.sql import Window
+    maxBy (Windows.scala:389-391) done IN-ENGINE (deterministic
+    tiebreak). The rank is a BANDED rank (timeseries.banded_rank):
+    event_type is low-cardinality, so a plain per-type row_number would
+    sort each type's whole history in one task."""
+    from flink_essentials_spark.functions.timeseries import banded_rank
 
     t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy(
-        F.desc("value"), F.col("event_id")
+    ev = t["events"].select(
+        "event_type", "event_id", "value", (-F.col("value")).alias("__nv")
     )
     return (
-        t["events"]
-        .withColumn("rk", F.row_number().over(w))
+        banded_rank(ev, ["event_type"], "__nv", ["event_id"], rank_col="rk")
         .filter(F.col("rk") <= 3)
-        .select("event_type", "event_id", "value", "rk")
+        .select(
+            "event_type", "event_id", "value",
+            F.col("rk").cast("int").alias("rk"),
+        )
     )
 
 

@@ -3421,17 +3421,29 @@ GROUP BY 1, 2
 def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source cumulative length distribution probe: percent_rank of
     n_chars within each source for the doc_id % 50 == 0 sample rows —
-    (rank-1)/(n-1) is exact integer arithmetic, the window is
-    partitioned by source (never global), and the sampled output keeps
-    the row count bounded at any SF."""
-    from pyspark.sql import Window as W
+    (rank-1)/(n-1) is exact integer arithmetic and the sampled output
+    keeps the row count bounded at any SF. Scale shape: the rank is a
+    BANDED rank (no single-task per-source sort — source is
+    low-cardinality); (n_chars, doc_id) is unique per row so
+    row_number == rank and the explicit (rk-1)/(n-1) division equals
+    both engines' percent_rank of identical exact operands."""
+    from flink_essentials_spark.functions.timeseries import banded_rank
 
-    docs = load_tables(spark, sf_dir)["documents"]
-    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "doc_id", "source", "n_chars", F.percent_rank().over(w).alias("pr")
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "source", "n_chars"
     )
-    return ranked.filter(F.col("doc_id") % 50 == 0)
+    n_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    ranked = banded_rank(
+        docs, ["source"], "n_chars", ["doc_id"], rank_col="__rk"
+    ).join(F.broadcast(n_src), "source")
+    pr = F.when(
+        F.col("__n") > 1,
+        (F.col("__rk") - 1).cast("double") / (F.col("__n") - 1),
+    ).otherwise(F.lit(0.0))
+    return (
+        ranked.filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "source", "n_chars", pr.alias("pr"))
+    )
 
 
 Q_LENGTH_PERCENTILES_SQL = """
@@ -6247,11 +6259,13 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    from pyspark.sql import Window as W
+    from flink_essentials_spark.functions.timeseries import banded_rank
 
     n = vals.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    ranked = vals.withColumn(
-        "rn", F.row_number().over(W.partitionBy("event_type").orderBy("v"))
+    # exact k-th smallest self-eval via BANDED rank (ties order
+    # arbitrarily but the value AT any rank is tie-insensitive)
+    ranked = banded_rank(
+        vals, ["event_type"], "v", [], rank_col="rn"
     ).join(F.broadcast(n), "event_type")
     exact = ranked.groupBy("event_type").agg(
         F.max("n").alias("n"),
@@ -8876,6 +8890,10 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT)) - 1"),
         )
         .withColumn("nrel", -F.col("rel"))
+        # <=100 rows per query by construction; the ideal banded rank
+        # reads its input three times (bounds/band totals/window) —
+        # materialize instead of triplicating the two rank subtrees
+        .localCheckpoint()
     )
     staged = banded_rank(
         graded, ["query_id"], "nrel", ["doc_id"], rank_col="r_ideal"
@@ -9286,12 +9304,19 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("b") + F.col("d")).cast("double")
     )
     chi2 = n * diff * diff / den
-    scored = g.select("lang", "w", "a", "b", "c", "d", chi2.alias("chi2"))
-    w_rank = W.partitionBy("lang").orderBy(F.desc("chi2"), "w")
+    scored = g.select(
+        "lang", "w", "a", "b", "c", "d", chi2.alias("chi2"),
+        (-chi2).alias("nchi2"),
+    )
+    # top-5 per lang via BANDED rank — the scored table is
+    # vocabulary-sized per language, so a plain row_number over
+    # (partition by lang) would single-task-sort each vocabulary
+    from flink_essentials_spark.functions.timeseries import banded_rank
+
     return (
-        scored.withColumn("rk", F.row_number().over(w_rank))
+        banded_rank(scored, ["lang"], "nchi2", ["w"], rank_col="rk")
         .filter(F.col("rk") <= 5)
-        .select("lang", "w", "a", "b", "c", "d", F.col("chi2"), F.col("rk").cast("long").alias("rk"))
+        .select("lang", "w", "a", "b", "c", "d", "chi2", "rk")
     )
 
 

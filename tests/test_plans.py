@@ -364,6 +364,67 @@ def test_no_partitionless_window_over_unbounded_data(spark):
     assert not offenders, offenders
 
 
+def test_no_lowcard_partition_window_over_unbanded_data(spark):
+    """Mechanized guard for the r10-verdict weak family: a
+    ``row_number()/rank/sum over (partition by <low-cardinality
+    categorical>)`` sorts each key's ENTIRE series in one task — fine
+    at sf0.1, a single-task straggler at 100 TB. Sweep every batch
+    registry plan's windowspecdefinitions: a spec whose partition side
+    consists ONLY of known low-cardinality categorical columns must be
+    BANDED (its order side leads with a band/bucket column, i.e. the
+    banded two-phase prefix machinery of _ecdf_cums / banded_rank,
+    whose per-key window rides the tiny key x band totals table) or
+    carry an audited bounded-input row here."""
+    import re
+
+    # categorical STRING columns of the testdata (and their query
+    # aliases) whose cardinality does not grow with data size; a
+    # partition column with a type-suffixed exprId (event_id#37L — a
+    # long) is an id-like key, not one of these, even under an alias
+    # like __k
+    low_card = {
+        "event_type", "lang", "source", "query_id", "l_returnflag",
+        "l_linestatus", "o_orderstatus", "o_orderpriority", "p_brand",
+        "p_type", "p_container", "p_mfgr", "r_name", "n_name",
+        "c_mktsegment", "half", "rel", "__k", "k", "g", "grp",
+        "bucket_label",
+    }
+    # order-side names that mark the banded two-phase machinery: such
+    # windows ride the bounded band/bucket-totals table, not the data
+    band_order = re.compile(r"^(__)?(br_)?(band|bucket|tb|vb)#")
+    # empty after the r11 banding pass: every low-card-partition rank
+    # in the registry now goes through banded_rank / static band
+    # machinery; new entries need an audited bounded-input reason
+    allowed: set[str] = set()
+    offenders = {}
+    for name in ALL_QUERIES:
+        if name.startswith("streaming_") or name in allowed:
+            continue
+        plan = plan_of(spark, name)
+        for m in re.finditer(
+            r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+        ):
+            cols = [
+                c.strip()
+                for c in m.group(1).rstrip(", ").split(", ")
+                if c.strip()
+            ]
+            part = [c for c in cols if " ASC" not in c and " DESC" not in c]
+            order = [c for c in cols if " ASC" in c or " DESC" in c]
+            if not part or not order:
+                continue  # partitionless specs are the other sweep's job
+            bases = {
+                c.split("#")[0].lower()
+                for c in part
+                if not re.search(r"#\d+[A-Za-z]", c)  # typed = id-like
+            }
+            if len(bases) == len(part) and bases <= low_card and not (
+                band_order.match(order[0])
+            ):
+                offenders.setdefault(name, []).append(m.group(1)[:90])
+    assert not offenders, offenders
+
+
 def test_ivf_cells_as_partition_column_prune(spark, tmp_path):
     """The IVF scale layout, executed end to end: assign cells
     (similarity.ivf_assign), write the corpus partitioned BY CELL, and
@@ -635,13 +696,17 @@ def test_heavy_row_exchange_budgets(spark):
         # shares _ecdf_cums with ks_drift — identical budget; a
         # divergence between the two signals a one-sided plan change
         "mann_whitney": (9, 3),
-        # BM25 per query + bigram-LM prior + 3 keyed rank windows +
-        # the final keyed aggregate
-        "ndcg_eval": (22, 6),
+        # r11: single-scan multi-query BM25 + LM prior, all
+        # localCheckpointed (candidates + graded), banded ranks — was
+        # 22 exchanges with per-query BM25 scans + full-corpus windows
+        "ndcg_eval": (9, 3),
+        # r11: same checkpointed-candidates + banded-rank tail
+        "rrf_fusion": (8, 3),
         # two CM sketches (bounded) + sketch equi-join + exact join
         "cm_join_size": (10, 3),
-        # the ewma/cusum single-keyed-exchange contract
-        "trimmed_mean": (1, 0),
+        # r11: rides the shared banded ECDF support (_ecdf_cums) like
+        # ks_drift/mann_whitney — identical budget by construction
+        "trimmed_mean": (9, 3),
         # basket build join + grouped baskets + candidate semi-join +
         # exact recount (pass 1's python summary is scan-stage)
         "son_frequent_pairs": (11, 5),
