@@ -186,6 +186,8 @@ HEADLINE = [
     "mg_heavy_hitters",
     "cusum_shifts",
     "cdc_chunks",
+    # r11: the mergeable rank-error quantile member (q-digest)
+    "qdigest_summary",
     "soundex_blocking",
     "fd_profile",
     "benford_audit",

@@ -1691,6 +1691,11 @@ _REGISTRY: list[Query] = [
     # ks_drift promoted r11 (slot vacated by incremental_rollup —
     # demoted here per the documented maintained-twin redundancy)
     Query("incremental_rollup", llmdata.q_incremental_rollup, llmdata.Q_INCREMENTAL_ROLLUP_SQL),
+    # r11: q-digest (Shrivastava 2004) — the mergeable rank-error
+    # quantile member (r10 verdict #6); 18-level push-up compression
+    # replayed by the oracle as chained CTEs, merge law + error
+    # contract property-pinned in tests
+    Query("qdigest_summary", llmdata.q_qdigest_summary, llmdata.Q_QDIGEST_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

@@ -8729,6 +8729,75 @@ def _haar_positions(n: int = 16):
     return out
 
 
+_QDIGEST_K = 512
+_QDIGEST_LEVELS = 18
+
+
+def q_qdigest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type q-digest of spend cents (approx.qdigest_build;
+    Shrivastava et al. SenSys 2004) — the MERGEABLE RANK-ERROR member
+    completing the quantile matrix (dd_sketch = relative error,
+    exact_quantiles = bounded-pass exact): counts on dyadic intervals
+    of [0, 2^18), any interval with mass ≤ n div 512 pushed to its
+    parent, so the summary is O(k) nodes per level, SUM-mergeable by
+    node, and any rank read-out errs < levels·t. Pure integer counts —
+    the DuckDB oracle replays the identical 18-level push-up as
+    chained CTEs, bit-for-bit. The quantile read-out + error contract
+    + merge law are property-pinned in tests."""
+    from flink_essentials_spark.functions.approx import qdigest_build
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", cents("value").alias("v")
+    )
+    return qdigest_build(
+        ev, "v", ["event_type"], k=_QDIGEST_K, levels=_QDIGEST_LEVELS
+    )
+
+
+def _qdigest_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    parts = [
+        f"""
+WITH ev AS (
+  SELECT event_type, {sql_cents('value')} AS v FROM events
+), t AS (
+  SELECT event_type,
+         GREATEST(1, COUNT(*) // {_QDIGEST_K}) AS t
+  FROM ev GROUP BY 1
+), p0 AS (
+  SELECT event_type, v AS node, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+)"""
+    ]
+    for lvl in range(_QDIGEST_LEVELS):
+        parts.append(
+            f""", k{lvl} AS (
+  SELECT p.event_type, CAST({lvl} AS INTEGER) AS level, node, cnt
+  FROM p{lvl} p JOIN t USING (event_type) WHERE cnt > t
+), p{lvl + 1} AS (
+  SELECT p.event_type, node // 2 AS node, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM p{lvl} p JOIN t USING (event_type) WHERE cnt <= t GROUP BY 1, 2
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT * FROM k{lvl}" for lvl in range(_QDIGEST_LEVELS)
+    )
+    parts.append(
+        f"""
+{unions}
+UNION ALL
+SELECT event_type, CAST({_QDIGEST_LEVELS} AS INTEGER) AS level, node, cnt
+FROM p{_QDIGEST_LEVELS}
+"""
+    )
+    return "".join(parts)
+
+
+Q_QDIGEST_SQL = _qdigest_sql()
+
+
 def q_wavelet_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haar wavelet synopsis of each event type's 16-bucket daily
     volume series (Matias-Vitter-Wang SIGMOD 1998 wavelet histograms;

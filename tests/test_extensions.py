@@ -3767,6 +3767,71 @@ def test_gram_matrix_maintained_over_a_stream_equals_batch(spark, tmp_path):
     assert stored == oneshot and len(stored) == 64 * 65 // 2
 
 
+def test_qdigest_error_contract_and_merge_law(spark):
+    """The q-digest contract (Shrivastava 2004), both halves: (a) any
+    quantile read out of the digest errs by < levels·t ranks against
+    the exactly-sorted values, and (b) MERGING two half-stream digests
+    (per-node count union + one recompression) preserves mass exactly
+    and satisfies the same rank-error contract — the mergeable
+    rank-error member of the quantile matrix, beside dd_sketch
+    (relative error) and exact_quantiles (exact). Also pins the size
+    bound: a digest never exceeds ~(k + levels) nodes per group."""
+    import bisect
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.approx import (
+        qdigest_build,
+        qdigest_compress,
+        qdigest_quantiles,
+    )
+    from flink_essentials_spark.queries.util import cents
+
+    K, L = 512, 18
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "event_type", "user_id", cents("value").alias("v")
+    )
+    qs = [(1, 4), (1, 2), (19, 20)]
+    exact = defaultdict(list)
+    for r in ev.collect():
+        exact[r["event_type"]].append(r["v"])
+    for vs in exact.values():
+        vs.sort()
+
+    def check_contract(digest, tag):
+        rows = qdigest_quantiles(digest, ["event_type"], qs, levels=L).collect()
+        assert len(rows) == len(qs) * len(exact), tag
+        for r in rows:
+            s = exact[r["event_type"]]
+            n = len(s)
+            assert r["n"] == n, tag  # mass conservation
+            need = (n * r["q_num"] + r["q_den"] - 1) // r["q_den"]
+            t = max(1, n // K)
+            lo = bisect.bisect_left(s, r["est"])
+            hi = bisect.bisect_right(s, r["est"])
+            assert lo - L * t <= need <= hi + L * t, (tag, dict(r.asDict()))
+
+    one_shot = qdigest_build(ev, "v", ["event_type"], k=K, levels=L)
+    rows = one_shot.collect()
+    per_group = defaultdict(int)
+    for r in rows:
+        per_group[r["event_type"]] += 1
+    assert max(per_group.values()) <= 2 * (K + L)
+    check_contract(one_shot, "one-shot")
+
+    half_a = qdigest_build(
+        ev.filter(F.col("user_id") % 2 == 0), "v", ["event_type"], k=K, levels=L
+    )
+    half_b = qdigest_build(
+        ev.filter(F.col("user_id") % 2 == 1), "v", ["event_type"], k=K, levels=L
+    )
+    merged = qdigest_compress(
+        half_a.unionByName(half_b), ["event_type"], k=K, levels=L
+    )
+    check_contract(merged, "merged")
+
+
 def test_mg_heavy_hitters_maintained_over_a_stream_equals_batch(
     spark, tmp_path
 ):
