@@ -186,8 +186,10 @@ HEADLINE = [
     "mg_heavy_hitters",
     "cusum_shifts",
     "cdc_chunks",
-    # r11: the mergeable rank-error quantile member (q-digest)
+    # r11: the mergeable rank-error quantile member (q-digest) and the
+    # exact-integer A-ES weighted reservoir sampler
     "qdigest_summary",
+    "weighted_reservoir",
     "soundex_blocking",
     "fd_profile",
     "benford_audit",

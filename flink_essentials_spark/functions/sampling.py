@@ -442,3 +442,84 @@ def dsir_resample(
         .orderBy(F.desc("gumbel_key"), id_col)
         .limit(k)
     )
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wres1:",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Weighted random sampling without replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir" —
+    algorithm A-ES: keep the k items with the largest key u^(1/w)),
+    made EXACT-integer and engine-neutral via the max-of-uniforms
+    identity: for integer weight w, max(u_1..u_w) of w iid uniforms
+    has CDF x^w — the SAME law as u^(1/w) — so the key is the MAX of
+    ``w`` salted md5-prefix hashes, an exact BIGINT both engines
+    reproduce bit-for-bit (no pow/ln whose last ulp could flip a
+    selection at the boundary). The repo's hash-not-RNG sampling
+    discipline extended to weights.
+
+    ``weight_col`` must be a positive integer ≤ ``max_weight`` (the
+    key costs one hashed row per weight unit via a scan-stage
+    sequence explode — bounded fan-out; an oversized weight raises at
+    plan time via the guarded sequence). Rows with weight < 1 never
+    qualify. Top-k is TakeOrderedAndProject (per-partition partial
+    top-k — never a global sort). Returns the k sampled rows:
+    (id, weight, prio)."""
+    w = F.col(weight_col).cast("int")
+    guarded = df.select(
+        F.col(id_col).alias("__id"), w.alias("__w")
+    ).filter(F.col("__w") >= 1)
+    # plan-time bound: sequence() raises on spans > max_weight via the
+    # explicit least/greatest clamp + an ANSI-visible assertion column
+    copies = guarded.select(
+        "__id",
+        "__w",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.when(F.col("__w") <= int(max_weight), F.col("__w")).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"weighted_reservoir: weight exceeds "
+                                f"max_weight={int(max_weight)} for id "
+                            ),
+                            F.col("__id").cast("string"),
+                        )
+                    ).cast("int")
+                ),
+            )
+        ).alias("__i"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col("__i").cast("string"),
+                    F.lit(":"),
+                    F.col("__id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keys = copies.select("__id", "__w", h.alias("__h"))
+    pr = keys.groupBy("__id", "__w").agg(F.max("__h").alias("prio"))
+    return (
+        pr.orderBy(F.desc("prio"), "__id")
+        .limit(int(k))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__w").cast("long").alias("weight"),
+            "prio",
+        )
+    )

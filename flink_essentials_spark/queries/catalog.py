@@ -1696,6 +1696,10 @@ _REGISTRY: list[Query] = [
     # replayed by the oracle as chained CTEs, merge law + error
     # contract property-pinned in tests
     Query("qdigest_summary", llmdata.q_qdigest_summary, llmdata.Q_QDIGEST_SQL),
+    # r11: A-ES weighted reservoir sampling (Efraimidis-Spirakis 2006)
+    # via the exact-integer max-of-w-uniforms identity — no pow/ln at
+    # the selection boundary; full oracle via the same construction
+    Query("weighted_reservoir", llmdata.q_weighted_reservoir, llmdata.Q_WEIGHTED_RESERVOIR_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

@@ -8729,6 +8729,47 @@ def _haar_positions(n: int = 16):
     return out
 
 
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (sampling.weighted_reservoir;
+    Efraimidis-Spirakis 2006 A-ES) of 64 documents with source weights
+    4:2:1 — the without-replacement weighted sampler completing the
+    sampling family (hash_sample = Bernoulli, weighted_sample =
+    rational priorities, temperature_mix = with-replacement shares).
+    EXACT-integer E-S: the key u^(1/w) is replaced by its
+    distribution-identical max-of-w-salted-hashes (CDF x^w both ways),
+    so selection is bit-deterministic cross-engine — no pow/ln at the
+    selection boundary. Scan-stage bounded explode + one
+    TakeOrderedAndProject."""
+    from flink_essentials_spark.functions.sampling import weighted_reservoir
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    w = (
+        F.when(F.col("source") == "src0", F.lit(4))
+        .when(F.col("source") == "src1", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return weighted_reservoir(docs.withColumn("w", w), "w", 64)
+
+
+Q_WEIGHTED_RESERVOIR_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 ELSE 1 END AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, w, i
+  FROM d, UNNEST(generate_series(1, w)) AS t(i)
+), k AS (
+  SELECT doc_id, CAST(w AS BIGINT) AS weight,
+         MAX(('0x' || substring(md5('wres1:' || CAST(i AS VARCHAR) || ':'
+                                     || CAST(doc_id AS VARCHAR)), 1, 15)
+             )::BIGINT) AS prio
+  FROM c GROUP BY doc_id, w
+)
+SELECT doc_id, weight, prio FROM k ORDER BY prio DESC, doc_id LIMIT 64
+"""
+
+
 _QDIGEST_K = 512
 _QDIGEST_LEVELS = 18
 

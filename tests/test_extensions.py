@@ -3767,6 +3767,63 @@ def test_gram_matrix_maintained_over_a_stream_equals_batch(spark, tmp_path):
     assert stored == oneshot and len(stored) == 64 * 65 // 2
 
 
+def test_weighted_reservoir_exact_es_semantics(spark):
+    """A-ES weighted reservoir via the max-of-w-uniforms identity:
+    (a) keys recompute exactly from python md5 (the integer identity,
+    no float anywhere); (b) selection is layout-independent
+    (repartition → identical sample); (c) on the 4:2:1-weighted corpus
+    the heavier source is over-represented in the sample relative to
+    its corpus share (the weighting actually binds on this fixture);
+    (d) weight bound violations raise actionably."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.sampling import weighted_reservoir
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "source")
+    w = (
+        F.when(F.col("source") == "src0", F.lit(4))
+        .when(F.col("source") == "src1", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    dfw = docs.withColumn("w", w)
+    got = sorted(
+        map(tuple, weighted_reservoir(dfw, "w", 32).collect())
+    )
+
+    # (a) exact python recomputation of every selected key
+    for doc_id, weight, prio in got:
+        expect = max(
+            int(
+                hashlib.md5(f"wres1:{i}:{doc_id}".encode()).hexdigest()[:15],
+                16,
+            )
+            for i in range(1, int(weight) + 1)
+        )
+        assert prio == expect, doc_id
+
+    # (b) layout independence
+    relayout = sorted(
+        map(tuple, weighted_reservoir(dfw.repartition(7), "w", 32).collect())
+    )
+    assert relayout == got
+
+    # (c) the weighting binds: src0 (weight 4) over-represented
+    srcs = {r["doc_id"]: r["source"] for r in docs.collect()}
+    share_corpus = sum(1 for s in srcs.values() if s == "src0") / len(srcs)
+    share_sample = sum(1 for d, _, _ in got if srcs[d] == "src0") / len(got)
+    assert share_sample > share_corpus
+
+    # (d) oversized weights raise actionably at execution
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_weight"):
+        weighted_reservoir(
+            dfw.withColumn("w", F.lit(100)), "w", 4, max_weight=8
+        ).collect()
+
+
 def test_qdigest_error_contract_and_merge_law(spark):
     """The q-digest contract (Shrivastava 2004), both halves: (a) any
     quantile read out of the digest errs by < levels·t ranks against
@@ -4020,17 +4077,15 @@ def test_son_frequent_pairs_layout_independent(spark):
 def test_spearman_trend_matches_scipy_free_reference(spark):
     """Spearman rho (midrank ties) vs a python reference on a
     monotone key (rho 1), an anti-monotone key (rho -1), and a
-    tie-heavy key — midranks computed independently."""
-    from flink_essentials_spark.queries.llmdata import q_spearman_trend  # noqa: F401
-    from flink_essentials_spark.queries.util import cents  # noqa: F401
+    tie-heavy key — midranks computed independently. Drives the
+    PRODUCTION pipeline (timeseries.spearman_rho — the helper
+    q_spearman_trend calls), so a regression in the query's rank/
+    moment machinery fails here, not only in the slow oracle gate
+    (r10 ADVICE #4)."""
     import math
 
-    from pyspark.sql import functions as F
-    from flink_essentials_spark.functions import timeseries  # noqa: F401
+    from flink_essentials_spark.functions.timeseries import spearman_rho
 
-    # drive the same arithmetic through a local frame via the query's
-    # building blocks: construct events-like rows and call the query
-    # logic indirectly by replicating it in python on the same data
     rows = {
         "up": [10, 20, 30, 40, 50],
         "down": [50, 40, 30, 20, 10],
@@ -4063,39 +4118,10 @@ def test_spearman_trend_matches_scipy_free_reference(spark):
     df = spark.createDataFrame(
         data, "event_type string, ts_ms long, event_id long, v long"
     )
-    # inline the query's rank/moment pipeline on this frame
-    from pyspark.sql import Window as W
-
-    w_t = W.partitionBy("event_type").orderBy("ts_ms", "event_id")
-    w_v = W.partitionBy("event_type", "v")
-    staged = (
-        df.withColumn("x", F.row_number().over(w_t).cast("long"))
-        .withColumn(
-            "lt",
-            F.count(F.lit(1)).over(
-                W.partitionBy("event_type").orderBy("v")
-                .rangeBetween(W.unboundedPreceding, -1)
-            ),
-        )
-        .withColumn("ties", F.count(F.lit(1)).over(w_v))
-        .withColumn("y2", 2 * F.col("lt") + F.col("ties") + 1)
-    )
-    a = staged.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"), F.sum("y2").alias("sy"),
-        F.sum(F.col("x") * F.col("y2")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
-    )
-    nd = F.col("n").cast("double")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    num = nd * F.col("sxy").cast("double") - sxd * syd
-    denx = nd * F.col("sxx").cast("double") - sxd * sxd
-    deny = nd * F.col("syy").cast("double") - syd * syd
     got = {
         r["event_type"]: r["rho"]
-        for r in a.select(
-            "event_type", (num / F.sqrt(denx * deny)).alias("rho")
+        for r in spearman_rho(
+            df, "event_type", ["ts_ms", "event_id"], "v", bands=4
         ).collect()
     }
     for k, vs in rows.items():
