@@ -186,10 +186,12 @@ HEADLINE = [
     "mg_heavy_hitters",
     "cusum_shifts",
     "cdc_chunks",
-    # r11: the mergeable rank-error quantile member (q-digest) and the
-    # exact-integer A-ES weighted reservoir sampler
+    # r11: the mergeable rank-error quantile member (q-digest), the
+    # exact-integer A-ES weighted reservoir sampler, and the
+    # Heaps'-law vocabulary-growth audit
     "qdigest_summary",
     "weighted_reservoir",
+    "heaps_fit",
     "soundex_blocking",
     "fd_profile",
     "benford_audit",

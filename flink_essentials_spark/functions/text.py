@@ -2404,3 +2404,102 @@ def blocklist_scan(
     return staged.mapInPandas(
         scan, f"__id {id_t}, pattern string, n_hits long"
     ).withColumnRenamed("__id", id_col)
+
+
+def heaps_fit(
+    df: DataFrame,
+    checkpoints: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth (Heaps 1978; Herdan 1960):
+    V(n) ≈ K·n^β — distinct vocabulary grows as a power of corpus
+    token count (β ≈ 0.4–0.6 for natural language; template spam shows
+    up as a flat curve, id-like noise as β → 1). The growth-law
+    sibling of zipf_fit's rank-frequency audit.
+
+    Scale shape: document arrival rank is a BANDED global rank (no
+    single-task sort), each word's FIRST-occurrence rank is one
+    min-aggregate over the exploded tokens, and every checkpoint is a
+    conditional aggregate — V(r) = words first seen within the first r
+    docs, n(r) = tokens in those docs — so the whole curve costs two
+    passes regardless of checkpoint count. OLS of ln V on ln n runs
+    over the bounded checkpoint list with FIXED left-to-right adds
+    (both engines sum identical operands in identical order; ln is
+    libm, so the emitted slope/intercept round to 6 — the zipf_fit
+    discipline). Returns one row: (n_points, n_last, v_last, slope,
+    intercept).
+
+    ``ngram`` sets the vocabulary UNIT (default 1 = words): a corpus
+    with a small closed word list (synthetic/template text) saturates
+    instantly — word n-grams restore a growing vocabulary, and the
+    law is stated for any unit. n(r) counts the unit occurrences."""
+    from flink_essentials_spark.functions.timeseries import banded_rank
+    from flink_essentials_spark.operators.transform import tokenize
+
+    cps = [int(r) for r in checkpoints]
+    n = int(ngram)
+    words = tokenize(F.col(text_col))
+    if n == 1:
+        units = words
+    else:
+        units = F.expr(
+            f"CASE WHEN size(__ws) >= {n} THEN "
+            f"transform(sequence(1, size(__ws) - {n - 1}), "
+            f"i -> array_join(slice(__ws, i, {n}), ' ')) "
+            f"ELSE array() END"
+        )
+    staged = (
+        df.select(id_col, words.alias("__ws"))
+        if n > 1
+        else df.select(id_col, F.col(text_col))
+    )
+    docs = staged.select(id_col, units.alias("__toks"))
+    ranked = banded_rank(
+        docs.select(id_col, F.size("__toks").alias("__ntok")),
+        [],
+        id_col,
+        [],
+        rank_col="__rk",
+    ).localCheckpoint()  # feeds the token join AND the checkpoint aggs
+    toks = docs.select(id_col, F.explode("__toks").alias("__w")).join(
+        ranked.select(id_col, "__rk"), id_col
+    )
+    first = toks.groupBy("__w").agg(F.min("__rk").alias("__first"))
+    v_aggs = first.agg(
+        *[
+            F.count_if(F.col("__first") <= r).alias(f"v{r}")
+            for r in cps
+        ]
+    )
+    n_aggs = ranked.agg(
+        *[
+            F.sum(F.when(F.col("__rk") <= r, F.col("__ntok")).otherwise(0))
+            .alias(f"n{r}")
+            for r in cps
+        ]
+    )
+    one = v_aggs.crossJoin(F.broadcast(n_aggs))
+    lnn = [F.log(F.col(f"n{r}").cast("double")) for r in cps]
+    lnv = [F.log(F.col(f"v{r}").cast("double")) for r in cps]
+
+    def chain(terms):
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        return s
+
+    m = float(len(cps))
+    sx = chain(lnn)
+    sy = chain(lnv)
+    sxy = chain([a * b for a, b in zip(lnn, lnv)])
+    sxx = chain([a * a for a in lnn])
+    slope_raw = (F.lit(m) * sxy - sx * sy) / (F.lit(m) * sxx - sx * sx)
+    return one.select(
+        F.lit(len(cps)).cast("long").alias("n_points"),
+        F.col(f"n{cps[-1]}").alias("n_last"),
+        F.col(f"v{cps[-1]}").alias("v_last"),
+        F.round(slope_raw, 6).alias("slope"),
+        F.round((sy - slope_raw * sx) / F.lit(m), 6).alias("intercept"),
+    )

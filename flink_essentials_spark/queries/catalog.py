@@ -1700,6 +1700,10 @@ _REGISTRY: list[Query] = [
     # via the exact-integer max-of-w-uniforms identity — no pow/ln at
     # the selection boundary; full oracle via the same construction
     Query("weighted_reservoir", llmdata.q_weighted_reservoir, llmdata.Q_WEIGHTED_RESERVOIR_SQL),
+    # r11: Heaps'-law vocabulary-growth fit (Heaps 1978) — banded
+    # arrival rank + first-occurrence min + checkpoint conditional
+    # aggregates; the growth-law audit beside zipf_fit
+    Query("heaps_fit", llmdata.q_heaps_fit, llmdata.Q_HEAPS_FIT_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

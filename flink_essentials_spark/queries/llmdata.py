@@ -8729,6 +8729,92 @@ def _haar_positions(n: int = 16):
     return out
 
 
+_HEAPS_CHECKPOINTS = [16, 32, 64, 128, 256, 448]
+
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (text.heaps_fit; Heaps 1978) —
+    OLS of ln(vocab) on ln(units) at six document-arrival checkpoints:
+    the growth-law audit beside zipf_fit's rank-frequency law
+    (template-heavy corpora flatten the curve; id-like noise pushes
+    β → 1). Vocabulary unit = word TRIGRAMS: the synthetic corpus has
+    a closed ~31-word list, so the word curve saturates at the first
+    checkpoint (slope exactly 0 — a vacuous fit); the trigram
+    vocabulary keeps growing through every checkpoint (828 → 15328 at
+    sf0.01), which is what makes the fit non-vacuous. Banded arrival
+    rank, one min-aggregate per unit's first occurrence, conditional
+    aggregates per checkpoint, fixed-order ln sums (round 6, the zipf
+    discipline)."""
+    from flink_essentials_spark.functions.text import heaps_fit
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return heaps_fit(docs, _HEAPS_CHECKPOINTS, ngram=3)
+
+
+def _heaps_sql() -> str:
+    cps = _HEAPS_CHECKPOINTS
+    m = float(len(cps))
+    v_cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (first_rk <= {r}) AS BIGINT) AS v{r}"
+        for r in cps
+    )
+    n_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN rk <= {r} THEN ntok ELSE 0 END) AS BIGINT)"
+        f" AS n{r}"
+        for r in cps
+    )
+    lnn = [f"ln(CAST(n{r} AS DOUBLE))" for r in cps]
+    lnv = [f"ln(CAST(v{r} AS DOUBLE))" for r in cps]
+    sx = " + ".join(lnn)
+    sy = " + ".join(lnv)
+    sxy = " + ".join(f"{a} * {b}" for a, b in zip(lnn, lnv))
+    sxx = " + ".join(f"{a} * {a}" for a in lnn)
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents
+), d AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_transform(range(1, len(ws) - 1),
+                                  i -> ws[i] || ' ' || ws[i + 1]
+                                       || ' ' || ws[i + 2])
+              ELSE [] END AS w
+  FROM d0
+), ranked AS (
+  SELECT doc_id, len(w) AS ntok,
+         CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rk
+  FROM d
+), firsts AS (
+  SELECT t.word, MIN(r.rk) AS first_rk
+  FROM (SELECT doc_id, unnest(w) AS word FROM d) t
+  JOIN ranked r USING (doc_id)
+  GROUP BY t.word
+), v AS (
+  SELECT {v_cols} FROM firsts
+), n AS (
+  SELECT {n_cols} FROM ranked
+), one AS (
+  SELECT * FROM v, n
+), s AS (
+  SELECT *,
+         ({sx}) AS sx, ({sy}) AS sy, ({sxy}) AS sxy, ({sxx}) AS sxx
+  FROM one
+), s2 AS (
+  SELECT *,
+         ({m} * sxy - sx * sy) / ({m} * sxx - sx * sx) AS slope_raw
+  FROM s
+)
+SELECT CAST({len(cps)} AS BIGINT) AS n_points,
+       n{cps[-1]} AS n_last, v{cps[-1]} AS v_last,
+       round(slope_raw, 6) AS slope,
+       round((sy - slope_raw * sx) / {m}, 6) AS intercept
+FROM s2
+"""
+
+
+Q_HEAPS_FIT_SQL = _heaps_sql()
+
+
 def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted reservoir sample (sampling.weighted_reservoir;
     Efraimidis-Spirakis 2006 A-ES) of 64 documents with source weights
