@@ -192,6 +192,8 @@ HEADLINE = [
     "qdigest_summary",
     "weighted_reservoir",
     "heaps_fit",
+    "welch_drift",
+    "gini_lengths",
     "soundex_blocking",
     "fd_profile",
     "benford_audit",

@@ -1704,6 +1704,13 @@ _REGISTRY: list[Query] = [
     # arrival rank + first-occurrence min + checkpoint conditional
     # aggregates; the growth-law audit beside zipf_fit
     Query("heaps_fit", llmdata.q_heaps_fit, llmdata.Q_HEAPS_FIT_SQL),
+    # r11: Welch 1947 unequal-variance t — the PARAMETRIC mean-shift
+    # member completing the drift matrix; exact-BIGINT (n, Σv, Σv²)
+    # state, double normal-equation terms (trend_lines deny lesson)
+    Query("welch_drift", llmdata.q_welch_drift, llmdata.Q_WELCH_DRIFT_SQL),
+    # r11: Gini 1912 inequality of doc lengths per source — banded
+    # rank + the exact-integer closed form, one final division
+    Query("gini_lengths", llmdata.q_gini_lengths, llmdata.Q_GINI_LENGTHS_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

@@ -8066,6 +8066,172 @@ FROM (
 Q_RRF_FUSION_SQL = _rrf_sql()
 
 
+def q_welch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947, "The generalization
+    of 'Student's' problem") on spend cents between stream halves per
+    event_type — the PARAMETRIC mean-shift member completing the drift
+    matrix (ks_drift = nonparametric distribution, cusum = changepoint,
+    chi2_independence = categorical, psi = binned, ewma = control
+    chart). Sufficient statistics are exact BIGINTs (n, Σv, Σv²); the
+    three normal-equation-style quantities build in DOUBLE from them
+    (n·Σv² overflows int64 at scale — the trend_lines deny lesson),
+    means are single divisions of exact operands, and t divides by a
+    pinned sqrt. The Welch–Satterthwaite df is the standard double
+    formula over the same pinned operands. Returns (event_type, n_a,
+    n_b, mean_a, mean_b, t, df)."""
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"]
+    ts = F.unix_millis(F.col("ts"))
+    b = ev.agg(
+        F.floor((F.min(ts) + F.max(ts)) / F.lit(2)).cast("long").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        (ts < F.col("mid")).alias("is_a"),
+        cents("value").alias("v"),
+    )
+    a = tagged.groupBy("event_type").agg(
+        F.sum(F.col("is_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("v")).otherwise(0)).alias("s_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("v")).otherwise(0)).alias("s_b"),
+        F.sum(
+            F.when(F.col("is_a"), F.col("v") * F.col("v")).otherwise(0)
+        ).alias("ss_a"),
+        F.sum(
+            F.when(~F.col("is_a"), F.col("v") * F.col("v")).otherwise(0)
+        ).alias("ss_b"),
+    ).filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    mean_a = d("s_a") / d("n_a")
+    mean_b = d("s_b") / d("n_b")
+    var_a = (d("n_a") * d("ss_a") - d("s_a") * d("s_a")) / (
+        d("n_a") * (d("n_a") - F.lit(1.0))
+    )
+    var_b = (d("n_b") * d("ss_b") - d("s_b") * d("s_b")) / (
+        d("n_b") * (d("n_b") - F.lit(1.0))
+    )
+    se2_a = var_a / d("n_a")
+    se2_b = var_b / d("n_b")
+    t = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
+    df = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (d("n_a") - F.lit(1.0))
+        + se2_b * se2_b / (d("n_b") - F.lit(1.0))
+    )
+    return a.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        t.alias("t"),
+        df.alias("df"),
+    )
+
+
+def _welch_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    da, db_, na, nb = (
+        "CAST(s_a AS DOUBLE)",
+        "CAST(s_b AS DOUBLE)",
+        "CAST(n_a AS DOUBLE)",
+        "CAST(n_b AS DOUBLE)",
+    )
+    var_a = f"({na} * CAST(ss_a AS DOUBLE) - {da} * {da}) / ({na} * ({na} - 1.0))"
+    var_b = f"({nb} * CAST(ss_b AS DOUBLE) - {db_} * {db_}) / ({nb} * ({nb} - 1.0))"
+    se2a = f"(({var_a}) / {na})"
+    se2b = f"(({var_b}) / {nb})"
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, {sql_cents('value')} AS v
+  FROM events
+), b AS (
+  SELECT CAST(FLOOR((MIN(ts_ms) + MAX(ts_ms)) / 2) AS BIGINT) AS mid FROM ev
+), a AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN ts_ms < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN ts_ms >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN ts_ms < mid THEN v ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN ts_ms >= mid THEN v ELSE 0 END) AS BIGINT) AS s_b,
+         CAST(SUM(CASE WHEN ts_ms < mid THEN v * v ELSE 0 END) AS BIGINT)
+           AS ss_a,
+         CAST(SUM(CASE WHEN ts_ms >= mid THEN v * v ELSE 0 END) AS BIGINT)
+           AS ss_b
+  FROM ev, b GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       {da} / {na} AS mean_a,
+       {db_} / {nb} AS mean_b,
+       ({da} / {na} - {db_} / {nb}) / sqrt({se2a} + {se2b}) AS t,
+       ({se2a} + {se2b}) * ({se2a} + {se2b})
+         / ({se2a} * {se2a} / ({na} - 1.0)
+            + {se2b} * {se2b} / ({nb} - 1.0)) AS df
+FROM a WHERE n_a > 1 AND n_b > 1
+"""
+
+
+Q_WELCH_DRIFT_SQL = _welch_sql()
+
+
+def q_gini_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient (Gini 1912) of document lengths per source —
+    the distributional-inequality audit beside source_concentration's
+    HHI (concentration over sources vs inequality within one): with
+    rk the BANDED ascending length rank (tie order cannot change the
+    sum — equal values permute among themselves), the classic closed
+    form G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx) is EXACT BIGINT arithmetic
+    end-to-end and one final division — bit-identical cross-engine.
+    Returns (source, n, sum_chars, gini_num, gini)."""
+    from flink_essentials_spark.functions.timeseries import banded_rank
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "source", "doc_id", "n_chars"
+    )
+    ranked = banded_rank(
+        docs, ["source"], "n_chars", ["doc_id"], rank_col="rk"
+    )
+    a = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.col("rk") * F.col("n_chars")).alias("rx"),
+    )
+    num = 2 * F.col("rx") - (F.col("n") + 1) * F.col("sum_chars")
+    return a.select(
+        "source",
+        "n",
+        "sum_chars",
+        num.alias("gini_num"),
+        (
+            num.cast("double") / (F.col("n") * F.col("sum_chars")).cast("double")
+        ).alias("gini"),
+    )
+
+
+Q_GINI_LENGTHS_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+  FROM documents
+), a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(rk * n_chars) AS BIGINT) AS rx
+  FROM r GROUP BY 1
+)
+SELECT source, n, sum_chars,
+       2 * rx - (n + 1) * sum_chars AS gini_num,
+       CAST(2 * rx - (n + 1) * sum_chars AS DOUBLE)
+         / CAST(n * sum_chars AS DOUBLE) AS gini
+FROM a
+"""
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kolmogorov–Smirnov two-sample drift test per event_type
     (timeseries.ks_two_sample; Kolmogorov 1933 / Smirnov 1948): event
