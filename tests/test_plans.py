@@ -287,6 +287,11 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "chi2_terms": {"BroadcastNestedLoopJoin"},
         # three one-row count broadcasts (the lsh_recall pattern)
         "er_eval": {"BroadcastNestedLoopJoin"},
+        # one-row V-checkpoint x one-row n-checkpoint cross join
+        # (corpus_mixture pattern; both sides single-row aggregates)
+        "heaps_fit": {"BroadcastNestedLoopJoin"},
+        # one-row stream-midpoint scalar broadcast (psi_drift pattern)
+        "welch_drift": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},
         # two one-row u-probability broadcasts (exact integer ratios);
         # the candidate pairs themselves come from a blocked EQUI-join
@@ -696,11 +701,13 @@ def test_heavy_row_exchange_budgets(spark):
         # shares _ecdf_cums with ks_drift — identical budget; a
         # divergence between the two signals a one-sided plan change
         "mann_whitney": (9, 3),
-        # r11: single-scan multi-query BM25 + LM prior, all
-        # localCheckpointed (candidates + graded), banded ranks — was
-        # 22 exchanges with per-query BM25 scans + full-corpus windows
+        # r11: both read the materialized retrieval store (single-scan
+        # multi-query BM25 + LM prior + banded per-query ranks built
+        # ONCE per session/corpus — the dbscan-assignment-store
+        # precedent); the per-run tail is the eval arithmetic plus one
+        # banded rank — was 22 exchanges with per-query BM25 scans +
+        # full-corpus windows
         "ndcg_eval": (9, 3),
-        # r11: same checkpointed-candidates + banded-rank tail
         "rrf_fusion": (8, 3),
         # two CM sketches (bounded) + sketch equi-join + exact join
         "cm_join_size": (10, 3),
