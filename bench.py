@@ -194,6 +194,7 @@ HEADLINE = [
     "heaps_fit",
     "welch_drift",
     "gini_lengths",
+    "mcnemar_rules",
     "soundex_blocking",
     "fd_profile",
     "benford_audit",

@@ -1711,6 +1711,9 @@ _REGISTRY: list[Query] = [
     # r11: Gini 1912 inequality of doc lengths per source — banded
     # rank + the exact-integer closed form, one final division
     Query("gini_lengths", llmdata.q_gini_lengths, llmdata.Q_GINI_LENGTHS_SQL),
+    # r11: McNemar 1947 paired test between two quality rules on the
+    # same docs — the PAIRED categorical member; discordant cells only
+    Query("mcnemar_rules", llmdata.q_mcnemar_rules, llmdata.Q_MCNEMAR_RULES_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

@@ -8263,6 +8263,61 @@ FROM a
 """
 
 
+def q_mcnemar_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (McNemar 1947, "Note on the sampling
+    error of the difference between correlated proportions") between
+    two quality rules evaluated on the SAME documents per language —
+    the PAIRED member of the categorical-test family
+    (chi2_independence tests unpaired composition; this asks whether
+    rule A fails where rule B passes more often than the reverse):
+    a = length rule (n_chars ≥ 300), b = type-token richness rule
+    (3·distinct ≥ tokens). Only the discordant cells matter:
+    χ² = (n01 − n10)²/(n01 + n10). Every cell is an exact BIGINT and
+    χ² is one division of exact-operand doubles — bit-identical
+    cross-engine. Pure scan-stage flags + one keyed aggregate."""
+    from flink_essentials_spark.operators.transform import tokenize
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = tokenize(F.col("text"))
+    staged = docs.select(
+        "lang",
+        (F.col("n_chars") >= 300).alias("ra"),
+        (3 * F.size(F.array_distinct(toks)) >= F.size(toks)).alias("rb"),
+    )
+    a = staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("ra") & ~F.col("rb")).alias("n10"),
+        F.count_if(~F.col("ra") & F.col("rb")).alias("n01"),
+    ).filter(F.col("n10") + F.col("n01") > 0)
+    diff = (F.col("n10") - F.col("n01")).cast("double")
+    tot = (F.col("n10") + F.col("n01")).cast("double")
+    return a.select(
+        "lang", "n", "n10", "n01", (diff * diff / tot).alias("chi2")
+    )
+
+
+Q_MCNEMAR_RULES_SQL = f"""
+WITH t AS (
+  SELECT lang, n_chars, {_SQL_TOKENS} AS w FROM documents
+), u AS (
+  SELECT lang, n_chars >= 300 AS ra,
+         3 * len(list_distinct(w)) >= len(w) AS rb
+  FROM t
+), a AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n10,
+         CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n01
+  FROM u GROUP BY 1
+)
+SELECT lang, n, n10, n01,
+       CAST(n10 - n01 AS DOUBLE) * CAST(n10 - n01 AS DOUBLE)
+         / CAST(n10 + n01 AS DOUBLE) AS chi2
+FROM a WHERE n10 + n01 > 0
+"""
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kolmogorov–Smirnov two-sample drift test per event_type
     (timeseries.ks_two_sample; Kolmogorov 1933 / Smirnov 1948): event

@@ -3889,6 +3889,72 @@ def test_qdigest_error_contract_and_merge_law(spark):
     check_contract(merged, "merged")
 
 
+def test_qdigest_maintained_over_a_stream_equals_batch(spark, tmp_path):
+    """q-digest joins the streaming-maintained monitor matrix: each
+    micro-batch's digest (bounded node table) folds into the rollup
+    store by per-(level, node) count SUM, and ONE recompression at
+    read time yields a digest with exactly the one-shot mass whose
+    quantile read-outs satisfy the same rank-error contract — the
+    mergeable-quantiles story (dd_sketch's SUM-merge sibling with
+    rank error instead of relative error)."""
+    import bisect
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.approx import (
+        qdigest_build,
+        qdigest_compress,
+        qdigest_quantiles,
+    )
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.queries import util
+    from flink_essentials_spark.sinks import versioned
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    K, L = 512, 18
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "rollup")
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        F.col("event_type").alias("k"), util.cents("value").alias("v")
+    )
+    ev.repartition(3).write.parquet(src)
+
+    def fold(bdf, epoch_id):
+        d = qdigest_build(bdf, "v", ["k"], k=K, levels=L)
+        refresh_rollup(
+            spark, base, d, ["k", "level", "node"],
+            {"cnt": ("sum", "cnt")}, epoch_id=epoch_id,
+        )
+
+    sdf = file_replay(spark, src, "k string, v long", files_per_trigger=1)
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    merged = qdigest_compress(
+        versioned.read_current(spark, base), ["k"], k=K, levels=L
+    )
+    got = qdigest_quantiles(merged, ["k"], [(1, 2), (19, 20)], levels=L)
+    exact = defaultdict(list)
+    for r in ev.collect():
+        exact[r["k"]].append(r["v"])
+    for vs in exact.values():
+        vs.sort()
+    rows = got.collect()
+    assert len(rows) == 2 * len(exact)
+    for r in rows:
+        s = exact[r["k"]]
+        n = len(s)
+        assert r["n"] == n  # exact mass through fold + recompression
+        need = (n * r["q_num"] + r["q_den"] - 1) // r["q_den"]
+        t = max(1, n // K)
+        lo = bisect.bisect_left(s, r["est"])
+        hi = bisect.bisect_right(s, r["est"])
+        assert lo - L * t <= need <= hi + L * t, dict(r.asDict())
+
+
 def test_mg_heavy_hitters_maintained_over_a_stream_equals_batch(
     spark, tmp_path
 ):
