@@ -195,6 +195,7 @@ HEADLINE = [
     "welch_drift",
     "gini_lengths",
     "mcnemar_rules",
+    "knn_hubness",
     "soundex_blocking",
     "fd_profile",
     "benford_audit",

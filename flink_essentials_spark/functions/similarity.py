@@ -1489,3 +1489,188 @@ def gram_matrix(
         .groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
     )
+
+
+def knn_hubness(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Hubness audit of the embedding space (Radovanović, Nanopoulos &
+    Ivanović, JMLR 2010, "Hubs in space: popular nearest neighbors in
+    high-dimensional data"): N_k(x) = how often x appears in other
+    points' exact k-nearest-neighbor lists; a heavily right-skewed N_k
+    distribution (hubs + antihubs) is the known high-dimensional
+    failure mode that silently degrades ANN recall and k-NN dedup —
+    the ANN-HEALTH self-eval beside lsh_recall's retrieval check.
+
+    Exactness: neighbors rank by the integer dot product of the
+    per-dimension scalar-quantized codes (the quantize_embeddings
+    formula verbatim — the space the stored index actually searches),
+    ties broken by neighbor id, so the k-NN lists, every N_k count and
+    the final moments are exact integers; the skewness
+    g1 = m3 / (m2·sqrt(m2)) builds its central moments in DOUBLE from
+    the exact BIGINT raw sums (Σx, Σx², Σx³ — the trend_lines deny
+    lesson) with a pinned sqrt.
+
+    Scale shape: the cosine_all_pairs block discipline — rows hash
+    into ``num_blocks`` blocks, a broadcast block-pair index fans each
+    block to its ~B pairs, each (i, j) task computes one exact BLAS
+    block matmul (float64 is exact here: dots ≤ d·(levels-1)² < 2^53)
+    and emits only per-vector PER-BLOCK top-k partials (≤ B·k rows per
+    vector); the global top-k merges bounded candidate lists, never
+    the matrix. Requires ids < 2^21 (asserted task-side) for the
+    composite (dot, id) sort key. Returns one row:
+    (n_vecs, k, max_nk, n_zero, skew)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    kk = int(k)
+    vals = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "dim", "val"
+        ),
+    )
+    book = vals.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo")
+    code = (
+        F.when(span == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.col("val") - F.col("lo")) * (levels - 1) / span + 0.5
+            )
+        )
+        .cast("int")
+    )
+    q = (
+        vals.join(F.broadcast(book), "dim")
+        .withColumn("code", code)
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "code"))),
+                lambda s: s["code"],
+            ).alias("__q")
+        )
+    )
+    rows = q.select(
+        F.pmod(F.xxhash64(F.col("__id")), F.lit(num_blocks))
+        .cast("int")
+        .alias("__blk"),
+        "__id",
+        "__q",
+    )
+    index = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
+        "i int, j int",
+    )
+    side_a = rows.join(F.broadcast(index), index["i"] == rows["__blk"]).select(
+        "i", "j", F.lit(0).alias("__side"), "__id", "__q"
+    )
+    side_b = rows.join(
+        F.broadcast(index.filter(F.col("i") != F.col("j"))),
+        index["j"] == rows["__blk"],
+    ).select("i", "j", F.lit(1).alias("__side"), "__id", "__q")
+
+    def topk_rows(ids_a, ids_b, D, exclude_self):
+        assert ids_b.max(initial=0) < (1 << 21), "knn_hubness: ids >= 2^21"
+        comp = D.astype(np.int64) * (1 << 21) - ids_b[None, :]
+        if exclude_self:
+            eq = ids_a[:, None] == ids_b[None, :]
+            comp[eq] = np.iinfo(np.int64).min // 2
+        take = min(kk, comp.shape[1])
+        order = np.argsort(-comp, axis=1)[:, :take]
+        r = np.repeat(ids_a, take)
+        c = order.ravel()
+        return pd.DataFrame(
+            {
+                "vec": r,
+                "nb": ids_b[c],
+                "dot": D[
+                    np.repeat(np.arange(len(ids_a)), take), c
+                ].astype(np.int64),
+            }
+        )
+
+    def partial(pdf):
+        empty = pd.DataFrame(
+            {
+                "vec": pd.Series(dtype="int64"),
+                "nb": pd.Series(dtype="int64"),
+                "dot": pd.Series(dtype="int64"),
+            }
+        )
+        a = pdf[pdf["__side"] == 0]
+        if not len(a):
+            return empty
+        ids_a = a["__id"].to_numpy(dtype=np.int64)
+        A = np.array(a["__q"].tolist(), dtype=np.float64)
+        if int(pdf["i"].iloc[0]) == int(pdf["j"].iloc[0]):
+            D = A @ A.T
+            return topk_rows(ids_a, ids_a, D, exclude_self=True)
+        b = pdf[pdf["__side"] == 1]
+        if not len(b):
+            return empty
+        ids_b = b["__id"].to_numpy(dtype=np.int64)
+        B = np.array(b["__q"].tolist(), dtype=np.float64)
+        D = A @ B.T
+        return pd.concat(
+            [
+                topk_rows(ids_a, ids_b, D, exclude_self=False),
+                topk_rows(ids_b, ids_a, D.T, exclude_self=False),
+            ]
+        )
+
+    partials = (
+        side_a.unionByName(side_b)
+        .groupBy("i", "j")
+        .applyInPandas(partial, "vec long, nb long, dot long")
+    )
+    knn = partials.groupBy("vec").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("dot")).alias("nd"), "nb"))
+            ),
+            1,
+            kk,
+        ).alias("__top")
+    )
+    counts = (
+        knn.select(F.explode("__top").alias("s"))
+        .select(F.col("s.nb").alias("__id"))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    nk = q.select("__id").join(counts, "__id", "left").select(
+        F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("x")
+    )
+    m = nk.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("sxxx"),
+        F.max("x").alias("max_nk"),
+        F.count_if(F.col("x") == 0).alias("n_zero"),
+    )
+    nd = F.col("n_vecs").cast("double")
+    mu = F.col("sx").cast("double") / nd
+    m2 = F.col("sxx").cast("double") / nd - mu * mu
+    m3 = (
+        F.col("sxxx").cast("double") / nd
+        - F.lit(3.0) * mu * (F.col("sxx").cast("double") / nd)
+        + F.lit(2.0) * mu * mu * mu
+    )
+    return m.select(
+        "n_vecs",
+        F.lit(kk).cast("long").alias("k"),
+        "max_nk",
+        "n_zero",
+        (m3 / (m2 * F.sqrt(m2))).alias("skew"),
+    )

@@ -1714,6 +1714,9 @@ _REGISTRY: list[Query] = [
     # r11: McNemar 1947 paired test between two quality rules on the
     # same docs — the PAIRED categorical member; discordant cells only
     Query("mcnemar_rules", llmdata.q_mcnemar_rules, llmdata.Q_MCNEMAR_RULES_SQL),
+    # r11: Radovanović 2010 hubness audit — N_5 skewness over exact
+    # quantized-space kNN (blocked BLAS partial top-k; ANN health)
+    Query("knn_hubness", llmdata.q_knn_hubness, llmdata.Q_KNN_HUBNESS_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

@@ -8263,6 +8263,83 @@ FROM a
 """
 
 
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding corpus
+    (similarity.knn_hubness; Radovanović et al. JMLR 2010): skewness
+    of the N_5 distribution — how often each vector appears in other
+    vectors' exact 5-NN lists in the quantized index space — plus the
+    hub maximum and the antihub (N_5 = 0) count. The ANN-health
+    self-eval beside lsh_recall: right-skewed N_k is the
+    high-dimensionality failure mode that silently costs ANN recall.
+    Exact end-to-end: integer code dots, id tie-breaks, BIGINT
+    moments, pinned-double skewness."""
+    from flink_essentials_spark.functions.similarity import (
+        auto_blocks,
+        knn_hubness,
+    )
+    from flink_essentials_spark.tables import table_rows
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return knn_hubness(
+        emb, k=5, num_blocks=auto_blocks(table_rows(sf_dir, "embeddings"))
+    )
+
+
+Q_KNN_HUBNESS_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), x AS (
+  SELECT vec_id, i - 1 AS dim, v[i] AS val
+  FROM e, UNNEST(generate_series(1, len(v))) AS t(i)
+), book AS (
+  SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM x GROUP BY dim
+), c AS (
+  SELECT vec_id,
+         list(CASE WHEN hi = lo THEN 0
+              ELSE CAST(floor((val - lo) * 254 / (hi - lo) + 0.5) AS INTEGER)
+              END ORDER BY x.dim) AS q
+  FROM x JOIN book USING (dim) GROUP BY vec_id
+), d AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) AS BIGINT)
+           AS dot
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+), top AS (
+  SELECT va, vb,
+         ROW_NUMBER() OVER (PARTITION BY va ORDER BY dot DESC, vb) AS rk
+  FROM d
+), cnt AS (
+  SELECT vb AS vec_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM top WHERE rk <= 5 GROUP BY vb
+), nk AS (
+  SELECT e.vec_id, COALESCE(cnt.c, 0) AS x FROM e LEFT JOIN cnt USING (vec_id)
+), mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * x * x) AS BIGINT) AS sxxx,
+         CAST(MAX(x) AS BIGINT) AS max_nk,
+         CAST(SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM nk
+)
+SELECT n_vecs, CAST(5 AS BIGINT) AS k, max_nk, n_zero,
+       (CAST(sxxx AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+        - 3.0 * (CAST(sx AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+              * (CAST(sxx AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+        + 2.0 * (CAST(sx AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+              * (CAST(sx AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+              * (CAST(sx AS DOUBLE) / CAST(n_vecs AS DOUBLE)))
+       / ((CAST(sxx AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+             * (CAST(sx AS DOUBLE) / CAST(n_vecs AS DOUBLE)))
+          * sqrt(CAST(sxx AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+                 - (CAST(sx AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / CAST(n_vecs AS DOUBLE))))
+       AS skew
+FROM mo
+"""
+
+
 def q_mcnemar_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McNemar's paired test (McNemar 1947, "Note on the sampling
     error of the difference between correlated proportions") between
