@@ -3767,6 +3767,95 @@ def test_gram_matrix_maintained_over_a_stream_equals_batch(spark, tmp_path):
     assert stored == oneshot and len(stored) == 64 * 65 // 2
 
 
+def test_banded_rank_equals_row_number(spark):
+    """banded_rank == row_number over (value, tiebreaks) for every
+    band count, on longs (negatives + heavy ties), doubles, a
+    zero-span key, a key smaller than the band count, and the global
+    (keys=[]) form — banding granularity must never change a rank."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.timeseries import banded_rank
+
+    rows = []
+    vals = [5, -3, 5, 0, 7, -3, 2, 2, 2, 100, -50, 9999999]
+    rows += [("a", i, v) for i, v in enumerate(vals)]
+    rows += [("b", i, 42) for i in range(5)]  # zero span
+    rows += [("c", 0, 1), ("c", 1, 0)]  # tiny key
+    df = spark.createDataFrame(rows, "k string, id long, v long")
+    want = df.select(
+        "k",
+        "id",
+        F.row_number()
+        .over(W.partitionBy("k").orderBy("v", "id"))
+        .cast("long")
+        .alias("rk"),
+    )
+    wanted = {(r["k"], r["id"]): r["rk"] for r in want.collect()}
+    for bands in (1, 2, 4, 64, 1000):
+        got = banded_rank(df, ["k"], "v", ["id"], bands=bands, rank_col="rk")
+        assert {
+            (r["k"], r["id"]): r["rk"] for r in got.collect()
+        } == wanted, bands
+
+    # doubles (float banding) and the global form
+    dfd = df.select("k", "id", (F.col("v") / 7.0).alias("v"))
+    wantd = {
+        (r["k"], r["id"]): r["rk"]
+        for r in dfd.select(
+            "k",
+            "id",
+            F.row_number()
+            .over(W.partitionBy("k").orderBy("v", "id"))
+            .cast("long")
+            .alias("rk"),
+        ).collect()
+    }
+    gotd = banded_rank(dfd, ["k"], "v", ["id"], bands=8, rank_col="rk")
+    assert {(r["k"], r["id"]): r["rk"] for r in gotd.collect()} == wantd
+
+    wantg = {
+        r["id"]: r["rk"]
+        for r in df.filter(F.col("k") == "a")
+        .select(
+            "id",
+            F.row_number()
+            .over(W.partitionBy().orderBy("v", "id"))
+            .cast("long")
+            .alias("rk"),
+        )
+        .collect()
+    }
+    gotg = banded_rank(
+        df.filter(F.col("k") == "a"), [], "v", ["id"], bands=4, rank_col="rk"
+    )
+    assert {r["id"]: r["rk"] for r in gotg.collect()} == wantg
+
+
+def test_bm25_multi_bit_identical_to_per_query_scores(spark):
+    """bm25_multi's single-scan scores must equal bm25_scores run
+    per query BIT-FOR-BIT (same float op order is the whole design
+    claim) — on the real corpus, every (query, doc)."""
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.text import bm25_multi, bm25_scores
+    from flink_essentials_spark.queries.llmdata import _RRF_QUERIES
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    multi = {
+        (r["query_id"], r["doc_id"]): r["bm25_score"]
+        for r in bm25_multi(docs, _RRF_QUERIES).collect()
+    }
+    for qid, terms in _RRF_QUERIES:
+        per = {
+            (qid, r["doc_id"]): r["bm25_score"]
+            for r in bm25_scores(docs, terms).collect()
+        }
+        for key, v in per.items():
+            assert multi[key] == v, key
+    assert len(multi) == 3 * docs.count()
+
+
 def test_weighted_reservoir_exact_es_semantics(spark):
     """A-ES weighted reservoir via the max-of-w-uniforms identity:
     (a) keys recompute exactly from python md5 (the integer identity,
