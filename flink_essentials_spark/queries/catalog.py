@@ -1512,30 +1512,29 @@ _REGISTRY: list[Query] = [
     # first_window_counts / parts_rollup / similarity_topk /
     # bpe_token_stats / contamination (families stay covered — see the
     # in-place head notes).
-    # r11 PROMOTION CANDIDATES (the r10 rotation promoted the ten
-    # r9-verdict named algorithms: ddsketch_quantiles, sw_alignment,
-    # streaming_capped_sessions, hits_authority, langid_agreement,
-    # greedy_coverage, pmi_collocations, silhouette_audit,
-    # lpa_communities, normalize_unicode). Remaining driver-invisible
-    # candidates, in priority order: the r10-new named algorithms —
-    # exact_quantiles (Munro-Paterson bounded-pass EXACT quantiles),
-    # ks_drift (nonparametric two-sample drift), mg_heavy_hitters
-    # (deterministic exact heavy hitters), cusum_shifts (changepoint
-    # screen), cdc_chunks (content-defined chunking), gram_matrix
-    # (the X'X primitive), blocklist_scan (Aho-Corasick), jaro_winkler
-    # (independent-implementation oracle), fd_profile (TANE g3),
-    # soundex_blocking, chi2_independence, benford_audit — plus the
-    # standing candidates wordpiece_encode, cdc_state (lakehouse
-    # MERGE), snapshot_diff, windowed_quantiles, readability,
-    # hashed_features, ams_f2, vocab_richness, trend_lines,
-    # hampel_outliers, rendezvous_shards, kcenter_seeds,
-    # mink_surprisal, pca_features. Demotion candidates (genuine
-    # redundancy): hilbert_keys vs zorder_keys (if one promotes),
-    # unigram_segments vs bpe_trained_merges (tokenizer family
-    # double-covered), incremental_rollup vs streaming-maintained
-    # twins, ewma_anomaly vs the now-deeper drift bench (ks/cusum
-    # driver-eligible), image_dedup vs media_features (decode family),
-    # count_trigger_fires vs capped_sessions (count-window machinery).
+    # r12 PROMOTION CANDIDATES (the r11 rotation promoted seven
+    # r10-verdict named algorithms: exact_quantiles, ks_drift,
+    # jaro_winkler, gram_matrix, mg_heavy_hitters, cusum_shifts,
+    # cdc_chunks). Remaining driver-invisible candidates, in priority
+    # order: the r11-new named algorithms — qdigest_summary (mergeable
+    # rank-error quantiles, 18-CTE oracle), knn_hubness (ANN-health
+    # N_5 skewness, exact quantized kNN), weighted_reservoir (A-ES
+    # exact-integer sampling), heaps_fit (vocab growth law),
+    # welch_drift (parametric drift member), mcnemar_rules (paired
+    # categorical), gini_lengths — plus the standing candidates
+    # blocklist_scan (Aho-Corasick), fd_profile (TANE g3),
+    # soundex_blocking, chi2_independence, benford_audit,
+    # wordpiece_encode, cdc_state, snapshot_diff, windowed_quantiles,
+    # ams_f2, trend_lines, hampel_outliers, rendezvous_shards,
+    # kcenter_seeds, mink_surprisal, pca_features. Demotion candidates
+    # (genuine redundancy): hilbert_keys vs zorder_keys (if one
+    # promotes), funnel_conversion vs cohort-style session machinery,
+    # token_budget_select vs curriculum/sampling family depth,
+    # count_sketch vs cm_join_size (Count-Min double-covered if the
+    # latter promotes), kmv_set_ops vs weighted_jaccard (set-overlap
+    # family), burst_detection vs cusum_shifts (both changepoint/burst
+    # — cusum now driver-green), pareto_suppliers vs gini/banded
+    # dominance (banded two-phase family multiply covered).
     # demoted r8f (head slots went to gopher_rules / bm25_scores /
     # kmv_set_ops) — still oracle-checked here
     Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
