@@ -196,6 +196,10 @@ HEADLINE = [
     "gini_lengths",
     "mcnemar_rules",
     "knn_hubness",
+    # r11: CART stump split search (banded-ECDF sufficient stats) and
+    # the true-DL/Levenshtein pair vs DuckDB's independent natives
+    "decision_stump",
+    "damerau_lev",
     "soundex_blocking",
     "fd_profile",
     "benford_audit",

@@ -1716,6 +1716,15 @@ _REGISTRY: list[Query] = [
     # r11: Radovanović 2010 hubness audit — N_5 skewness over exact
     # quantized-space kNN (blocked BLAS partial top-k; ANN health)
     Query("knn_hubness", llmdata.q_knn_hubness, llmdata.Q_KNN_HUBNESS_SQL),
+    # r11: CART (Breiman 1984) decision-stump Gini split search —
+    # the supervised-training primitive; cumulative class counts ==
+    # the banded ECDF support, argmin-impurity as struct-MAX
+    Query("decision_stump", llmdata.q_decision_stump, llmdata.Q_DECISION_STUMP_SQL),
+    # r11: true Damerau-Levenshtein (Lowrance-Wagner 1975 DP, numpy
+    # pair-batched) + Levenshtein over blocked transposed-prefix
+    # twins — BOTH against DuckDB's independent natives (the
+    # jaro_winkler oracle form)
+    Query("damerau_lev", llmdata.q_damerau_lev, llmdata.Q_DAMERAU_LEV_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

@@ -10126,3 +10126,173 @@ LEFT JOIN disc ON base.event_type = disc.event_type
 
 
 Q_KENDALL_SQL = _kendall_sql()
+
+
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART decision-stump split search per source (Breiman, Friedman,
+    Olshen & Stone, "Classification and Regression Trees", 1984 — the
+    Gini split criterion; Holte 1993 showed one-split rules are a
+    strong baseline): the n_chars threshold that best separates
+    English from non-English documents within each source — the
+    supervised-training primitive behind every length-based quality
+    filter (does a length cut actually carry language signal here?).
+    Scale shape: the split-search sufficient statistics — cumulative
+    class counts at every candidate threshold — ARE the banded ECDF
+    support (timeseries._ecdf_cums: every window keyed by
+    (source, band), no per-key sort), and the argmin-impurity is a
+    struct-MAX aggregate (the lpa argmax discipline), never a rank
+    window. Exactness: all counts BIGINT; each side purity
+    (la²+lb²)/nl is ONE division of exactly-representable integers
+    (exact while per-key class counts < 2^26, the l²+r² < 2^53
+    bound), their sum and the final gini arithmetic elementwise
+    IEEE — bit-identical cross-engine with no rounding. Thresholds
+    tie-break to the smallest split value on identical scores."""
+    from flink_essentials_spark.functions.timeseries import _ecdf_cums
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "source",
+        (F.col("lang") == "en").alias("is_en"),
+        F.col("n_chars").alias("v"),
+    )
+    cum = _ecdf_cums(docs, "source", "is_en", "v", 64)
+    la, lb = F.col("__cuma"), F.col("__cumb")
+    ra, rb = F.col("__na") - la, F.col("__nb") - lb
+    nl, nr = la + lb, ra + rb
+    score = (la * la + lb * lb).cast("double") / nl.cast("double") + (
+        ra * ra + rb * rb
+    ).cast("double") / nr.cast("double")
+    cand = cum.filter(nr > 0).select(
+        F.col("__k").alias("source"),
+        (F.col("__na") + F.col("__nb")).alias("n"),
+        F.col("__v").alias("thr"),
+        la.alias("la"),
+        lb.alias("lb"),
+        ra.alias("ra"),
+        rb.alias("rb"),
+        score.alias("split_score"),
+    )
+    best = cand.groupBy("source").agg(
+        F.max(
+            F.struct(
+                F.col("split_score"),
+                (-F.col("thr")).alias("__nthr"),
+                F.col("thr"),
+                F.col("la"),
+                F.col("lb"),
+                F.col("ra"),
+                F.col("rb"),
+                F.col("n"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "source",
+        F.col("b.n").alias("n"),
+        F.col("b.thr").alias("thr"),
+        F.col("b.la").alias("la"),
+        F.col("b.lb").alias("lb"),
+        F.col("b.ra").alias("ra"),
+        F.col("b.rb").alias("rb"),
+        F.col("b.split_score").alias("split_score"),
+        (
+            (F.col("b.n").cast("double") - F.col("b.split_score"))
+            / F.col("b.n").cast("double")
+        ).alias("gini"),
+    )
+
+
+Q_DECISION_STUMP_SQL = """
+WITH d AS (
+  SELECT source, n_chars AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+  FROM documents
+), g AS (
+  SELECT source, v,
+         CAST(SUM(a) AS BIGINT) AS ca,
+         CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb
+  FROM d GROUP BY 1, 2
+), t AS (
+  SELECT source, CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb
+  FROM g GROUP BY 1
+), c AS (
+  SELECT g.source, v,
+         CAST(SUM(ca) OVER (PARTITION BY g.source ORDER BY v)
+              AS BIGINT) AS la,
+         CAST(SUM(cb) OVER (PARTITION BY g.source ORDER BY v)
+              AS BIGINT) AS lb,
+         na, nb
+  FROM g JOIN t USING (source)
+), s AS (
+  SELECT source, na + nb AS n, v AS thr, la, lb,
+         na - la AS ra, nb - lb AS rb,
+         CAST(la * la + lb * lb AS DOUBLE) / CAST(la + lb AS DOUBLE)
+           + CAST((na - la) * (na - la) + (nb - lb) * (nb - lb) AS DOUBLE)
+             / CAST(na - la + nb - lb AS DOUBLE) AS split_score
+  FROM c WHERE la + lb < na + nb
+)
+SELECT source, n, thr, la, lb, ra, rb, split_score,
+       (CAST(n AS DOUBLE) - split_score) / CAST(n AS DOUBLE) AS gini
+FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY split_score DESC, thr) = 1
+"""
+
+
+def q_damerau_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damerau-Levenshtein ER scoring (dedup.dl_scores_batch; Damerau
+    1964's metric, Lowrance & Wagner 1975's DP — true unrestricted DL
+    with adjacent transpositions) over a TRANSPOSED-prefix dirty-twin
+    fixture: every dirty name (its first two characters swapped — the
+    single most common human typo class Damerau measured at >80%)
+    scored against its 8-digit block's clean roster, alongside plain
+    Levenshtein on the same pairs. The twin rows show dl = 1 < lev =
+    2 — the transposition awareness that motivates the metric. BOTH
+    metrics are oracle-checked against DuckDB's NATIVE
+    damerau_levenshtein / levenshtein — two independent
+    implementations per metric (the jaro_winkler oracle form, the
+    strongest this repo has). Scale: blocked equi-join bounds the
+    candidate volume; the numpy pair-batched DP (vectorized across
+    pairs) rides the candidate partitioning with no extra shuffle."""
+    from flink_essentials_spark.functions.dedup import dl_scores_batch
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    dirty = cust.filter(F.col("c_custkey") % 10 == 3).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.concat(
+            F.expr("substring(c_name, 2, 1)"),
+            F.expr("substring(c_name, 1, 1)"),
+            F.expr("substring(c_name, 3)"),
+        ).alias("dirty_name"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_key"),
+        F.col("c_name").alias("clean_name"),
+    )
+    pairs = dirty.join(
+        clean,
+        F.substring("dirty_name", 10, 8) == F.substring("clean_name", 10, 8),
+    )
+    return dl_scores_batch(pairs, "dirty_name", "clean_name").select(
+        "dirty_key",
+        "clean_key",
+        "dl",
+        F.levenshtein("dirty_name", "clean_name").cast("long").alias("lev"),
+    )
+
+
+Q_DAMERAU_LEV_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS dirty_key,
+         substring(c_name, 2, 1) || substring(c_name, 1, 1)
+           || substring(c_name, 3) AS dirty_name
+  FROM customer WHERE c_custkey % 10 = 3
+), clean AS (
+  SELECT c_custkey AS clean_key, c_name AS clean_name FROM customer
+)
+SELECT dirty_key, clean_key,
+       CAST(damerau_levenshtein(dirty_name, clean_name) AS BIGINT) AS dl,
+       CAST(levenshtein(dirty_name, clean_name) AS BIGINT) AS lev
+FROM dirty JOIN clean
+  ON substring(dirty_name, 10, 8) = substring(clean_name, 10, 8)
+"""

@@ -4332,3 +4332,58 @@ def test_kendall_tau_hand_vectors(spark):
         tau = s / math.sqrt(float(n0) * float(n0 - t2))
         assert got[k] == (n0, t2, d, s, tau), k
     assert got["up"][4] == 1.0 and got["down"][4] == -1.0
+
+
+def test_decision_stump_matches_bruteforce_split_search(spark):
+    """q_decision_stump against a brute-force O(n·thresholds) split
+    search computed from a pyarrow scan — an independent reference
+    DISTINCT from the DuckDB oracle's window-cumsum formulation: for
+    every source, try every distinct n_chars as a <=-threshold, count
+    the four cells directly, and keep the max-purity / min-threshold
+    split. Pins the argmax tie-break and the exclude-empty-right-side
+    contract."""
+    import pyarrow.parquet as pq
+
+    from flink_essentials_spark.queries.llmdata import q_decision_stump
+
+    tbl = pq.read_table(
+        SF_DIR + "/documents.parquet", columns=["source", "lang", "n_chars"]
+    ).to_pylist()
+    by_src: dict[str, list[tuple[int, bool]]] = {}
+    for r in tbl:
+        by_src.setdefault(r["source"], []).append(
+            (r["n_chars"], r["lang"] == "en")
+        )
+    want = {}
+    for src, rows in by_src.items():
+        n = len(rows)
+        best = None
+        for thr in sorted({v for v, _ in rows}):
+            la = sum(1 for v, a in rows if v <= thr and a)
+            lb = sum(1 for v, a in rows if v <= thr and not a)
+            ra = sum(1 for v, a in rows if v > thr and a)
+            rb = sum(1 for v, a in rows if v > thr and not a)
+            if ra + rb == 0:
+                continue
+            s = (la * la + lb * lb) / (la + lb) + (ra * ra + rb * rb) / (
+                ra + rb
+            )
+            key = (s, -thr)
+            if best is None or key > best[0]:
+                best = (key, (n, thr, la, lb, ra, rb, s, (n - s) / n))
+        if best is not None:
+            want[src] = best[1]
+    got = {
+        r["source"]: (
+            r["n"],
+            r["thr"],
+            r["la"],
+            r["lb"],
+            r["ra"],
+            r["rb"],
+            r["split_score"],
+            r["gini"],
+        )
+        for r in q_decision_stump(spark, SF_DIR).collect()
+    }
+    assert got == want

@@ -122,3 +122,72 @@ def test_token_budget_select_matches_greedy_reference(spark, rows, budget):
             cum += toks
             ref[did] = (cum, cum <= budget)
     assert got == ref
+
+
+# --- damerau-levenshtein (batched DP) ---------------------------------------
+
+
+def _ref_dl(a: str, b: str) -> int:
+    """Scalar textbook Lowrance-Wagner 1975 true-DL reference (the
+    dict-based form straight from the paper's recurrence), over UTF-8
+    bytes to match the batched implementation's contract."""
+    A, B = a.encode("utf-8"), b.encode("utf-8")
+    la, lb = len(A), len(B)
+    inf = la + lb + 1
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    da: dict[int, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k, l = da.get(B[j - 1], 0), db
+            cost = 0 if A[i - 1] == B[j - 1] else 1
+            if cost == 0:
+                db = j
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[A[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", max_size=10),
+            st.text(alphabet="abc", max_size=10),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dl_batch_matches_textbook_reference(pairs):
+    """The numpy pair-batched DL equals the scalar textbook DP on
+    adversarial tiny-alphabet pairs (transpositions and long shared
+    runs occur constantly at |Σ|=3) — padding sentinels never leak
+    into the valid region whatever the length mix in the batch."""
+    from flink_essentials_spark.functions.dedup import _dl_batch
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    assert _dl_batch(a, b) == [_ref_dl(x, y) for x, y in pairs]
+
+
+def test_dl_batch_known_vectors():
+    """Published true-DL vectors: CA->ABC is 2 under unrestricted DL
+    (the case that separates it from OSA's 3), plus transposition,
+    empties, and multibyte UTF-8 (byte semantics)."""
+    from flink_essentials_spark.functions.dedup import _dl_batch
+
+    got = _dl_batch(
+        ["CA", "ab", "abc", "", "kitten", "héllo", "same"],
+        ["ABC", "ba", "ca", "abc", "sitting", "hello", "same"],
+    )
+    assert got == [2, 1, 2, 3, 3, 2, 0]
