@@ -200,6 +200,8 @@ HEADLINE = [
     # the true-DL/Levenshtein pair vs DuckDB's independent natives
     "decision_stump",
     "damerau_lev",
+    # r11: one-level Louvain mutual-best-merge over the trade graph
+    "louvain_merge",
     "soundex_blocking",
     "fd_profile",
     "benford_audit",

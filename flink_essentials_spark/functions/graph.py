@@ -878,3 +878,116 @@ def degree_assortativity(
             / F.sqrt(denx.cast("double") * deny.cast("double"))
         ).alias("assortativity"),
     )
+
+
+def louvain_merge_level(edges: DataFrame, weight_col: str = "cnt") -> DataFrame:
+    """One synchronous MUTUAL-BEST-MERGE sweep of Louvain phase 1
+    (Blondel, Guillaume, Lambiotte & Lefebvre 2008, "Fast unfolding of
+    communities in large networks"): from the singleton partition,
+    every node computes the modularity gain of joining each neighbor's
+    (still-singleton) community — ΔQ·(2m)² = 2m·w_uv − k_u·k_v, an
+    exact BIGINT — picks its best positive-gain neighbor (ties to the
+    smaller id), and a merge happens IFF the choice is MUTUAL. The
+    matching discipline is how deterministic parallel Louvain breaks
+    the sequential sweep's order dependence (Lu, Halappanavar &
+    Kalyanaraman, ParCo 2015 use exactly this mutual-pointer rule to
+    avoid community swaps); mutual-best pairs are disjoint by
+    construction, so the new partition needs NO connected-components
+    pass and the whole level is two bounded aggregates + one
+    self-equi-join — bounded rounds, CTE-oracle-expressible (the
+    property k-core's unbounded peeling lacks).
+
+    ``edges`` must be the SYMMETRIZED weighted edge list (src, dst,
+    weight_col), each undirected edge present in both directions, no
+    self-loops. Returns ONE row: (n_nodes, m2, n_pairs, dq_num,
+    q0_num, q1_num, q1) where m2 = 2m, q*_num are modularities scaled
+    by (2m)² (singleton baseline q0_num = −Σk², after-merge q1_num =
+    q0_num + dq_num, dq_num = 2·Σ pair gains — all exact BIGINTs),
+    and q1 is the ONE double division q1_num / m2². Exactness bounds
+    (documented, the dd_sketch family discipline): m2·w and k_u·k_v
+    must stay < 2^63 and m2² < 2^53 for the lossless double — at
+    2m ~ 10⁶ (sf0.1) every term is ≤ ~10¹², far inside both.
+
+    Scale shape: degree/total aggregates are partial+final; the
+    argmax is a struct-MAX groupBy (never a rank window); the
+    mutual check is an equi-self-join on (src, dst); the only
+    BroadcastNestedLoopJoins are one-row scalar broadcasts (m2, pair
+    sums — the corpus_mixture pattern). The edge list feeds three
+    consumers (degrees, total, scoring) — localCheckpointed once."""
+    e = edges.select(
+        F.col("src"), F.col("dst"), F.col(weight_col).alias("__w")
+    ).localCheckpoint()
+    deg = e.groupBy("src").agg(F.sum("__w").alias("__k"))
+    m2 = e.agg(F.sum("__w").alias("__m2"))
+    scored = (
+        e.join(
+            deg.withColumnRenamed("src", "__s").withColumnRenamed("__k", "__ks"),
+            F.col("src") == F.col("__s"),
+        )
+        .join(
+            deg.withColumnRenamed("src", "__d").withColumnRenamed("__k", "__kd"),
+            F.col("dst") == F.col("__d"),
+        )
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "src",
+            "dst",
+            "__w",
+            (F.col("__m2") * F.col("__w") - F.col("__ks") * F.col("__kd")).alias(
+                "__gain"
+            ),
+        )
+    )
+    best = (
+        scored.groupBy("src")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__gain"),
+                    (-F.col("dst")).alias("__nd"),
+                    F.col("dst"),
+                    F.col("__w"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "src",
+            F.col("b.dst").alias("best_dst"),
+            F.col("b.__gain").alias("gain"),
+            F.col("b.__w").alias("w"),
+        )
+        .filter(F.col("gain") > 0)
+        .localCheckpoint()
+    )
+    b2 = best.select(
+        F.col("src").alias("__r_src"), F.col("best_dst").alias("__r_dst")
+    )
+    mutual = best.join(
+        b2,
+        (F.col("src") == F.col("__r_dst"))
+        & (F.col("best_dst") == F.col("__r_src")),
+    ).filter(F.col("src") < F.col("best_dst"))
+    sums = mutual.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("gain"), F.lit(0)).alias("sum_gain"),
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("__k") * F.col("__k")).alias("sumk2"),
+    )
+    return (
+        base.crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(sums))
+        .select(
+            "n_nodes",
+            F.col("__m2").alias("m2"),
+            "n_pairs",
+            (2 * F.col("sum_gain")).alias("dq_num"),
+            (-F.col("sumk2")).alias("q0_num"),
+            (2 * F.col("sum_gain") - F.col("sumk2")).alias("q1_num"),
+            (
+                (2 * F.col("sum_gain") - F.col("sumk2")).cast("double")
+                / (F.col("__m2") * F.col("__m2")).cast("double")
+            ).alias("q1"),
+        )
+    )

@@ -954,9 +954,14 @@ _REGISTRY: list[Query] = [
     Query("keyed_tumbling_windows", dataflow.q_keyed_tumbling_windows, dataflow.Q_KEYED_TUMBLING_WINDOWS_SQL),
     # ROTATION (r7c): sliding_windows demoted (window family is
     # triple-covered: tumbling + keyed_tumbling above, session below)
-    # → funnel_conversion: the sequential-pattern analytics family's
-    # first driver row (strictly-after stage anchors).
-    Query("funnel_conversion", llmdata.q_funnel_conversion, llmdata.Q_FUNNEL_CONVERSION_SQL),
+    # → funnel_conversion (r7c-r10). ROTATION (r11b): funnel_conversion
+    # demoted per the documented redundancy note (sequential/session
+    # machinery stays driver-covered by capped_sessions +
+    # streaming_capped_sessions; event_transitions local-green) →
+    # decision_stump: CART (Breiman 1984) Gini split search — the
+    # supervised-training primitive; split-search sufficient stats ==
+    # the banded ECDF support, argmin-impurity as struct-MAX.
+    Query("decision_stump", llmdata.q_decision_stump, llmdata.Q_DECISION_STUMP_SQL),
     # ROTATION (r6): session_windows demoted per the r5 rotation notes
     # (W4 family keeps capped_sessions driver-green + the
     # streaming_session_windows local-gate/bench row on the same
@@ -1001,9 +1006,15 @@ _REGISTRY: list[Query] = [
     # ROTATION (r9): interval_join demoted (temporal-join family keeps
     # window_join + as_of_join + streaming_join_rollup driver rows;
     # J3 incl/excl bounds stay locally green + pytest-pinned) ->
-    # burst_detection: Kleinberg 2002 two-state burst automaton —
-    # per-key integer Viterbi with switch-cost smoothing.
-    Query("burst_detection", llmdata.q_burst_detection, llmdata.Q_BURST_DETECTION_SQL),
+    # burst_detection (r8-r10). ROTATION (r11b): burst_detection
+    # demoted per the documented redundancy note (changepoint/burst
+    # family driver-covered by cusum_shifts, green in r11's head) →
+    # damerau_lev: true Damerau-Levenshtein (Lowrance-Wagner 1975,
+    # numpy pair-batched DP) + Levenshtein over blocked
+    # transposed-prefix twins — BOTH against DuckDB's independent
+    # NATIVE implementations (the jaro_winkler oracle form, the
+    # strongest oracle in the repo).
+    Query("damerau_lev", llmdata.q_damerau_lev, llmdata.Q_DAMERAU_LEV_SQL),
     # ROTATION (r9): connect_tagged demoted (J4's tagged CoProcess
     # union is plan-trivial — union+tag — and stays pytest-pinned +
     # locally green; multi-stream keeps window_join +
@@ -1716,15 +1727,16 @@ _REGISTRY: list[Query] = [
     # r11: Radovanović 2010 hubness audit — N_5 skewness over exact
     # quantized-space kNN (blocked BLAS partial top-k; ANN health)
     Query("knn_hubness", llmdata.q_knn_hubness, llmdata.Q_KNN_HUBNESS_SQL),
-    # r11: CART (Breiman 1984) decision-stump Gini split search —
-    # the supervised-training primitive; cumulative class counts ==
-    # the banded ECDF support, argmin-impurity as struct-MAX
-    Query("decision_stump", llmdata.q_decision_stump, llmdata.Q_DECISION_STUMP_SQL),
-    # r11: true Damerau-Levenshtein (Lowrance-Wagner 1975 DP, numpy
-    # pair-batched) + Levenshtein over blocked transposed-prefix
-    # twins — BOTH against DuckDB's independent natives (the
-    # jaro_winkler oracle form)
-    Query("damerau_lev", llmdata.q_damerau_lev, llmdata.Q_DAMERAU_LEV_SQL),
+    # r11b: decision_stump + damerau_lev promoted to the head (see the
+    # in-place rotation notes); demoted here per the r12 redundancy
+    # candidates, both still full-oracle:
+    Query("funnel_conversion", llmdata.q_funnel_conversion, llmdata.Q_FUNNEL_CONVERSION_SQL),
+    Query("burst_detection", llmdata.q_burst_detection, llmdata.Q_BURST_DETECTION_SQL),
+    # r11b: one-level Louvain (Blondel 2008) as the deterministic
+    # mutual-best-merge matching (Lu 2015) over the trade graph —
+    # exact (2m)²-scaled modularity, no CC pass, no recursion (the
+    # bounded-round answer to the k-core CTE-oracle objection)
+    Query("louvain_merge", llmdata.q_louvain_merge, llmdata.Q_LOUVAIN_MERGE_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

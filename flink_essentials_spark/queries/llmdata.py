@@ -10296,3 +10296,91 @@ SELECT dirty_key, clean_key,
 FROM dirty JOIN clean
   ON substring(dirty_name, 10, 8) = substring(clean_name, 10, 8)
 """
+
+
+def q_louvain_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-level Louvain community merge (graph.louvain_merge_level;
+    Blondel et al. 2008) over the customer↔supplier trade graph — the
+    SAME symmetrized integer-weighted edges link_rank scores and
+    lpa_communities clusters, here coarsened by the deterministic
+    mutual-best-merge matching (the parallel-Louvain symmetry-break of
+    Lu et al. 2015). Completes the community family: LPA gives label
+    flooding, this gives the modularity-greedy merge step — with the
+    partition's modularity reported EXACTLY (scaled by (2m)², all
+    BIGINTs; one final double division). Every aggregate is
+    partial+final, the argmax a struct-MAX, the mutual check an
+    equi-self-join — no rank windows, no recursion, no CC pass."""
+    from flink_essentials_spark.functions.graph import louvain_merge_level
+
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sym = pairs.select(
+        F.col("cust").alias("src"),
+        (F.col("supp") + F.lit(1000000000)).alias("dst"),
+        "cnt",
+    ).unionAll(
+        pairs.select(
+            (F.col("supp") + F.lit(1000000000)).alias("src"),
+            F.col("cust").alias("dst"),
+            "cnt",
+        )
+    )
+    return louvain_merge_level(sym, "cnt")
+
+
+Q_LOUVAIN_MERGE_SQL = """
+WITH pairs AS (
+  SELECT o_custkey AS cust, l_suppkey AS supp, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cust AS src, supp + 1000000000 AS dst, cnt FROM pairs
+  UNION ALL
+  SELECT supp + 1000000000 AS src, cust AS dst, cnt FROM pairs
+), deg AS (
+  SELECT src AS node, CAST(SUM(cnt) AS BIGINT) AS k FROM e GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS m2 FROM e
+), scored AS (
+  SELECT e.src, e.dst, e.cnt,
+         m2 * e.cnt - ks.k * kd.k AS gain
+  FROM e
+  JOIN deg ks ON ks.node = e.src
+  JOIN deg kd ON kd.node = e.dst
+  CROSS JOIN tot
+), best AS (
+  SELECT src, dst AS best_dst, gain
+  FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY gain DESC, dst) = 1
+), mutual AS (
+  SELECT b1.src AS u, b1.best_dst AS v, b1.gain
+  FROM best b1 JOIN best b2
+    ON b1.src = b2.best_dst AND b1.best_dst = b2.src
+  WHERE b1.gain > 0 AND b2.gain > 0 AND b1.src < b1.best_dst
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(SUM(gain), 0) AS BIGINT) AS sum_gain
+  FROM mutual
+), base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(k * k) AS BIGINT) AS sumk2
+  FROM deg
+)
+SELECT n_nodes, m2, n_pairs,
+       2 * sum_gain AS dq_num,
+       -sumk2 AS q0_num,
+       2 * sum_gain - sumk2 AS q1_num,
+       CAST(2 * sum_gain - sumk2 AS DOUBLE) / CAST(m2 * m2 AS DOUBLE) AS q1
+FROM base, tot, sums
+"""

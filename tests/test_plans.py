@@ -290,6 +290,10 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # one-row V-checkpoint x one-row n-checkpoint cross join
         # (corpus_mixture pattern; both sides single-row aggregates)
         "heaps_fit": {"BroadcastNestedLoopJoin"},
+        # one-row m2-total + one-row pair-sums scalar broadcasts
+        # (corpus_mixture pattern); degrees/argmax/mutual-check are
+        # equi-joins and struct-MAX aggregates
+        "louvain_merge": {"BroadcastNestedLoopJoin"},
         # one-row stream-midpoint scalar broadcast (psi_drift pattern)
         "welch_drift": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},

@@ -191,3 +191,72 @@ def test_dl_batch_known_vectors():
         ["ABC", "ba", "ca", "abc", "sitting", "hello", "same"],
     )
     assert got == [2, 1, 2, 3, 3, 2, 0]
+
+
+# --- louvain one-level mutual-best merge -------------------------------------
+
+
+def _ref_louvain_merge(und_edges: dict[tuple[int, int], int]):
+    """Brute-force reference for one synchronous mutual-best-merge
+    sweep: undirected weighted edges {(u,v): w} with u<v, no
+    self-loops. Returns (n_nodes, m2, n_pairs, dq_num, q0_num,
+    q1_num, q1) with modularities scaled by (2m)^2."""
+    adj: dict[int, dict[int, int]] = {}
+    for (u, v), w in und_edges.items():
+        adj.setdefault(u, {})[v] = w
+        adj.setdefault(v, {})[u] = w
+    k = {u: sum(nb.values()) for u, nb in adj.items()}
+    m2 = sum(k.values())
+    best = {}
+    for u, nb in adj.items():
+        cands = [(m2 * w - k[u] * k[v], -v, v) for v, w in nb.items()]
+        g, _, v = max(cands)
+        if g > 0:
+            best[u] = (v, g)
+    pairs = [
+        (u, v, g)
+        for u, (v, g) in best.items()
+        if u < v and best.get(v, (None, 0))[0] == u
+    ]
+    sum_gain = sum(g for _, _, g in pairs)
+    sumk2 = sum(x * x for x in k.values())
+    q1_num = 2 * sum_gain - sumk2
+    return (
+        len(adj),
+        m2,
+        len(pairs),
+        2 * sum_gain,
+        -sumk2,
+        q1_num,
+        q1_num / (m2 * m2),
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        )
+        .filter(lambda t: t[0] != t[1])
+        .map(lambda t: (min(t), max(t))),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_louvain_merge_matches_bruteforce(spark, und_edges):
+    """louvain_merge_level against the brute-force sweep on adversarial
+    tiny weighted graphs — pins the argmax tie-break, the positive-gain
+    gate, the mutuality requirement, and the exact scaled-modularity
+    arithmetic (incl. the n_pairs=0 COALESCE path)."""
+    from flink_essentials_spark.functions.graph import louvain_merge_level
+
+    rows = []
+    for (u, v), w in und_edges.items():
+        rows.append((u, v, w))
+        rows.append((v, u, w))
+    e = spark.createDataFrame(rows, "src long, dst long, cnt long")
+    got = tuple(louvain_merge_level(e, "cnt").collect()[0])
+    assert got == _ref_louvain_merge(und_edges)
