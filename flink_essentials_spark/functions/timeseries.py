@@ -809,3 +809,76 @@ def kendall_tau(
         s.alias("s"),
         F.when(denom > 0, s.cast("double") / F.sqrt(denom)).alias("tau_b"),
     )
+
+
+def gini_stump(
+    df: DataFrame, key_col: str, class_col: str, value_col: str, bands: int = 64
+) -> DataFrame:
+    """CART decision-stump Gini split search per key (Breiman et al.
+    1984; Holte 1993's one-rule baseline): the <=-threshold on
+    ``value_col`` minimizing weighted Gini impurity against the
+    boolean ``class_col``, per ``key_col``. The split-search
+    sufficient statistics — cumulative class counts at every candidate
+    threshold — ARE the banded ECDF support (_ecdf_cums: every window
+    keyed by (key, band), no per-key sort); the argmin-impurity is a
+    struct-MAX aggregate, never a rank window. All counts BIGINT; each
+    side purity (la²+lb²)/nl is ONE division of exactly-representable
+    integers (exact while per-key class counts < 2^26), the score sum
+    and final gini elementwise IEEE — bit-identical cross-engine.
+    Ties break to the smallest threshold; the max-value row (empty
+    right side) is excluded. Keys with a single distinct value emit
+    no row. Output: (key_col, n, thr, la, lb, ra, rb, split_score,
+    gini)."""
+    cum = _ecdf_cums(
+        df.select(
+            F.col(key_col), F.col(class_col).alias("__cls"), F.col(value_col)
+        ),
+        key_col,
+        "__cls",
+        value_col,
+        bands,
+    )
+    la, lb = F.col("__cuma"), F.col("__cumb")
+    ra, rb = F.col("__na") - la, F.col("__nb") - lb
+    nl, nr = la + lb, ra + rb
+    score = (la * la + lb * lb).cast("double") / nl.cast("double") + (
+        ra * ra + rb * rb
+    ).cast("double") / nr.cast("double")
+    cand = cum.filter(nr > 0).select(
+        F.col("__k").alias(key_col),
+        (F.col("__na") + F.col("__nb")).alias("n"),
+        F.col("__v").alias("thr"),
+        la.alias("la"),
+        lb.alias("lb"),
+        ra.alias("ra"),
+        rb.alias("rb"),
+        score.alias("split_score"),
+    )
+    best = cand.groupBy(key_col).agg(
+        F.max(
+            F.struct(
+                F.col("split_score"),
+                (-F.col("thr")).alias("__nthr"),
+                F.col("thr"),
+                F.col("la"),
+                F.col("lb"),
+                F.col("ra"),
+                F.col("rb"),
+                F.col("n"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        key_col,
+        F.col("b.n").alias("n"),
+        F.col("b.thr").alias("thr"),
+        F.col("b.la").alias("la"),
+        F.col("b.lb").alias("lb"),
+        F.col("b.ra").alias("ra"),
+        F.col("b.rb").alias("rb"),
+        F.col("b.split_score").alias("split_score"),
+        (
+            (F.col("b.n").cast("double") - F.col("b.split_score"))
+            / F.col("b.n").cast("double")
+        ).alias("gini"),
+    )

@@ -10146,59 +10146,18 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact while per-key class counts < 2^26, the l²+r² < 2^53
     bound), their sum and the final gini arithmetic elementwise
     IEEE — bit-identical cross-engine with no rounding. Thresholds
-    tie-break to the smallest split value on identical scores."""
-    from flink_essentials_spark.functions.timeseries import _ecdf_cums
+    tie-break to the smallest split value on identical scores. The
+    pipeline is timeseries.gini_stump — shared with the brute-force
+    unit test and the streaming-maintained twin (the ADVICE-r10 #4
+    discipline: the test drives the PRODUCTION helper)."""
+    from flink_essentials_spark.functions.timeseries import gini_stump
 
     docs = load_tables(spark, sf_dir)["documents"].select(
         "source",
         (F.col("lang") == "en").alias("is_en"),
         F.col("n_chars").alias("v"),
     )
-    cum = _ecdf_cums(docs, "source", "is_en", "v", 64)
-    la, lb = F.col("__cuma"), F.col("__cumb")
-    ra, rb = F.col("__na") - la, F.col("__nb") - lb
-    nl, nr = la + lb, ra + rb
-    score = (la * la + lb * lb).cast("double") / nl.cast("double") + (
-        ra * ra + rb * rb
-    ).cast("double") / nr.cast("double")
-    cand = cum.filter(nr > 0).select(
-        F.col("__k").alias("source"),
-        (F.col("__na") + F.col("__nb")).alias("n"),
-        F.col("__v").alias("thr"),
-        la.alias("la"),
-        lb.alias("lb"),
-        ra.alias("ra"),
-        rb.alias("rb"),
-        score.alias("split_score"),
-    )
-    best = cand.groupBy("source").agg(
-        F.max(
-            F.struct(
-                F.col("split_score"),
-                (-F.col("thr")).alias("__nthr"),
-                F.col("thr"),
-                F.col("la"),
-                F.col("lb"),
-                F.col("ra"),
-                F.col("rb"),
-                F.col("n"),
-            )
-        ).alias("b")
-    )
-    return best.select(
-        "source",
-        F.col("b.n").alias("n"),
-        F.col("b.thr").alias("thr"),
-        F.col("b.la").alias("la"),
-        F.col("b.lb").alias("lb"),
-        F.col("b.ra").alias("ra"),
-        F.col("b.rb").alias("rb"),
-        F.col("b.split_score").alias("split_score"),
-        (
-            (F.col("b.n").cast("double") - F.col("b.split_score"))
-            / F.col("b.n").cast("double")
-        ).alias("gini"),
-    )
+    return gini_stump(docs, "source", "is_en", "v", 64)
 
 
 Q_DECISION_STUMP_SQL = """

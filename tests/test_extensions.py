@@ -4387,3 +4387,64 @@ def test_decision_stump_matches_bruteforce_split_search(spark):
         for r in q_decision_stump(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_decision_stump_maintained_over_a_stream_equals_batch(
+    spark, tmp_path
+):
+    """The decision stump joins the streaming-maintained monitor
+    matrix as its first SUPERVISED member: the split-search sufficient
+    state is the (key, value, ca, cb) class-count table — the same
+    SUM-mergeable shape KS drift maintains — so refresh_rollup folds
+    it per micro-batch, and the stump read out of the MAINTAINED
+    table (via timeseries.gini_stump, the production pipeline)
+    equals the one-shot batch answer bit-for-bit, doubles included."""
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.functions.timeseries import gini_stump
+    from flink_essentials_spark.sinks import versioned
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "rollup")
+    t = load_tables(spark, SF_DIR)
+    docs = t["documents"].select(
+        F.col("source").alias("k"),
+        (F.col("lang") == "en").alias("is_en"),
+        F.col("n_chars").alias("v"),
+    )
+    docs.repartition(3).write.parquet(src)
+
+    def fold(bdf, epoch_id):
+        cnts = bdf.groupBy("k", "v").agg(
+            F.sum(F.col("is_en").cast("long")).alias("ca"),
+            F.sum((~F.col("is_en")).cast("long")).alias("cb"),
+        )
+        refresh_rollup(
+            spark, base, cnts, ["k", "v"],
+            {"ca": ("sum", "ca"), "cb": ("sum", "cb")},
+            epoch_id=epoch_id,
+        )
+
+    sdf = file_replay(
+        spark, src, "k string, is_en boolean, v long", files_per_trigger=1
+    )
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    stored = versioned.read_current(spark, base)
+    expanded = stored.select(
+        "k", "v",
+        F.explode(
+            F.concat(
+                F.array_repeat(F.lit(True), F.col("ca").cast("int")),
+                F.array_repeat(F.lit(False), F.col("cb").cast("int")),
+            )
+        ).alias("is_en"),
+    )
+    got = sorted(map(tuple, gini_stump(expanded, "k", "is_en", "v").collect()))
+    direct = sorted(map(tuple, gini_stump(docs, "k", "is_en", "v").collect()))
+    assert got == direct and len(got) >= 3
