@@ -202,6 +202,8 @@ HEADLINE = [
     "damerau_lev",
     # r11: one-level Louvain mutual-best-merge over the trade graph
     "louvain_merge",
+    # r11: exact prefix-filter similarity self-join (PPJoin family)
+    "ppjoin_neardups",
     "soundex_blocking",
     "fd_profile",
     "benford_audit",

@@ -1737,6 +1737,11 @@ _REGISTRY: list[Query] = [
     # exact (2m)²-scaled modularity, no CC pass, no recursion (the
     # bounded-round answer to the k-core CTE-oracle objection)
     Query("louvain_merge", llmdata.q_louvain_merge, llmdata.Q_LOUVAIN_MERGE_SQL),
+    # r11b: EXACT set-similarity self-join via prefix filtering
+    # (Chaudhuri ICDE 2006 / PPJoin WWW 2008) — trigram Jaccard >= 1/2
+    # with exact-integer threshold; the brute-force oracle doubles as
+    # an empirical completeness proof of the prefix-filter theorem
+    Query("ppjoin_neardups", llmdata.q_ppjoin_neardups, llmdata.Q_PPJOIN_NEARDUPS_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),
