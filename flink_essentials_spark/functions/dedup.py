@@ -434,12 +434,16 @@ def source_overlap(
     bit-identical in any engine. (Measured ~30% faster than the
     equivalent shingle self-join at sf0.1; md5-hashing the shingle key
     costs more than the shuffle bytes it saves at this scale.)"""
+    # the exploded-distinct pair table feeds TWO consumers (sizes and
+    # the per-shingle source sets) — uncheckpointed, the shingle
+    # explode + distinct shuffle ran twice (the heaps_fit lesson)
     gs = (
         df.select(
             F.col(group_col).alias("g"),
             F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
         )
         .distinct()
+        .localCheckpoint()
     )
     sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
     by_shingle = gs.groupBy("shingle").agg(F.collect_set("g").alias("gset"))

@@ -1002,6 +1002,46 @@ def bpe_train(
         ).alias("symbols"),
     ).localCheckpoint()
 
+    # Bounded-vocab fast path (the q-digest bounded-ladder
+    # discipline): each distributed iteration costs two tiny jobs
+    # (top-1 collect + checkpoint) of pure scheduling overhead once
+    # the vocabulary is small — 8 merges measured 3.9 s at sf0.1 on a
+    # ~31-word vocab vs ~1.3 s driver-side. When the DISTINCT-WORD
+    # count table fits the driver (<= 65536 rows — the production
+    # tokenizer-training cap regime), run the IDENTICAL greedy ladder
+    # on the collected counts: same overlap-counted pair sums, same
+    # (cnt DESC, left, right) tie-break, same left-to-right fold —
+    # a pure execution-strategy switch, bit-identical output. At web
+    # scale the distributed loop below takes over.
+    head = vocab.limit(65537).collect()
+    if len(head) <= 65536:
+        vpy = [(r["n"], list(r["symbols"])) for r in head]
+        merges_py: list = []
+        for step in range(1, n_merges + 1):
+            cnt: dict = {}
+            for n_w, sym in vpy:
+                for p in zip(sym, sym[1:]):
+                    cnt[p] = cnt.get(p, 0) + n_w
+            if not cnt:
+                break
+            (a, b), c = min(
+                cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges_py.append((step, a, b, a + b, int(c)))
+            for idx, (n_w, sym) in enumerate(vpy):
+                acc: list = []
+                for x in sym:
+                    if acc and acc[-1] == a and x == b:
+                        acc[-1] = a + b
+                    else:
+                        acc.append(x)
+                vpy[idx] = (n_w, acc)
+        return spark.createDataFrame(
+            merges_py,
+            "step int, left_sym string, right_sym string, merged string, "
+            "n_occurrences long",
+        )
+
     merges = []
     for step in range(1, n_merges + 1):
         pairs = (
