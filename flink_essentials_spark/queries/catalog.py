@@ -1527,12 +1527,15 @@ _REGISTRY: list[Query] = [
     # r10-verdict named algorithms: exact_quantiles, ks_drift,
     # jaro_winkler, gram_matrix, mg_heavy_hitters, cusum_shifts,
     # cdc_chunks). Remaining driver-invisible candidates, in priority
-    # order: the r11-new named algorithms — qdigest_summary (mergeable
-    # rank-error quantiles, 18-CTE oracle), knn_hubness (ANN-health
-    # N_5 skewness, exact quantized kNN), weighted_reservoir (A-ES
-    # exact-integer sampling), heaps_fit (vocab growth law),
-    # welch_drift (parametric drift member), mcnemar_rules (paired
-    # categorical), gini_lengths — plus the standing candidates
+    # order: the r11-new named algorithms — ppjoin_neardups (EXACT
+    # prefix-filter similarity join, the completeness-proof oracle),
+    # louvain_merge (mutual-best-merge modularity), qdigest_summary
+    # (mergeable rank-error quantiles, 18-CTE oracle), knn_hubness
+    # (ANN-health N_5 skewness, exact quantized kNN),
+    # weighted_reservoir (A-ES exact-integer sampling), heaps_fit
+    # (vocab growth law), welch_drift (parametric drift member),
+    # mcnemar_rules (paired categorical), gini_lengths — plus the
+    # standing candidates
     # blocklist_scan (Aho-Corasick), fd_profile (TANE g3),
     # soundex_blocking, chi2_independence, benford_audit,
     # wordpiece_encode, cdc_state, snapshot_diff, windowed_quantiles,
