@@ -1284,7 +1284,11 @@ def _dl_batch(a_strs: list, b_strs: list) -> "list":
     (right) that can never equal a real byte or each other, so padded
     rows/cols never pollute the valid region (the target cell
     d[la+1][lb+1] reads only cells and last-occurrence entries
-    produced by real bytes)."""
+    produced by real bytes). Memory contract: the DP tensor is
+    P_chunk·(La+2)·(Lb+2)·4 bytes — the pair axis is CHUNKED so the
+    tensor never exceeds ~256 MB whatever the Arrow batch size and
+    string lengths (a full 10k-row batch of 256-byte strings would
+    otherwise allocate ~2.7 GB per task)."""
     import numpy as np
 
     ab = [s.encode("utf-8") for s in a_strs]
@@ -1301,6 +1305,13 @@ def _dl_batch(a_strs: list, b_strs: list) -> "list":
             "256-byte bound (the P×L² DP table memory contract) — "
             "truncate or block longer strings upstream"
         )
+    cells = (La + 2) * (Lb + 2)
+    chunk = max(1, (64 * 1024 * 1024) // cells)  # ~256 MB of int32
+    if P > chunk:
+        out: list = []
+        for lo in range(0, P, chunk):
+            out.extend(_dl_batch(a_strs[lo : lo + chunk], b_strs[lo : lo + chunk]))
+        return out
     a = np.full((P, max(La, 1)), 256, np.int16)
     b = np.full((P, max(Lb, 1)), 257, np.int16)
     for p, s in enumerate(ab):
