@@ -204,6 +204,8 @@ HEADLINE = [
     "louvain_merge",
     # r11: exact prefix-filter similarity self-join (PPJoin family)
     "ppjoin_neardups",
+    # r11: Brier + reliability-gap probabilistic classifier eval
+    "calibration_eval",
     "soundex_blocking",
     "fd_profile",
     "benford_audit",

@@ -1745,6 +1745,11 @@ _REGISTRY: list[Query] = [
     # with exact-integer threshold; the brute-force oracle doubles as
     # an empirical completeness proof of the prefix-filter theorem
     Query("ppjoin_neardups", llmdata.q_ppjoin_neardups, llmdata.Q_PPJOIN_NEARDUPS_SQL),
+    # r11b: Brier 1950 proper scoring rule + per-group reliability gap
+    # (the ECE bucket statistic) — the PROBABILISTIC classifier-eval
+    # member beside langid_agreement's hard-label kappa; exact
+    # rational arithmetic, one scan-stage conditional aggregate
+    Query("calibration_eval", llmdata.q_calibration_eval, llmdata.Q_CALIBRATION_EVAL_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

@@ -10459,3 +10459,84 @@ WHERE 3 * inter >= sa.s + sb.s
 
 
 Q_PPJOIN_NEARDUPS_SQL = _ppjoin_sql()
+
+
+def q_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic-forecast calibration eval (Brier 1950,
+    "Verification of forecasts expressed in terms of probability" —
+    THE proper scoring rule; the per-group |confidence − accuracy|
+    gap is the bucket statistic ECE n-weights, Naeini AAAI 2015 /
+    Guo ICML 2017): train/test split by md5 parity, the predictor
+    is the per-source empirical P(lang = en) from the TRAIN half (an
+    exact rational a/b), evaluated on the TEST half. The probabilistic
+    member of the classifier-eval family beside langid_agreement's
+    hard-label Cohen kappa. Exactness: Σ_test (p − y)² multiplied by
+    b²·n_test is the exact BIGINT identity n_test·a² − 2abk + b²k
+    (y ∈ {0,1}, k = test positives), and the calibration gap
+    |a/b − k/n_test| scaled by b·n_test is |a·n_test − k·b| — brier
+    and gap are each ONE division of exact integers, bit-identical
+    cross-engine (exact while per-source counts < 2^21, the nt·a²
+    < 2^63 bound). One scan-stage conditional aggregate — no join,
+    no window. The split is md5-PARITY of doc_id, NOT doc_id % 2:
+    the generator assigns doc_ids stepping by the (even) source
+    count, so raw parity is CONSTANT within every source and a
+    parity split is vacuous — the zero-row oracle guard caught
+    exactly this (the salted-hash split discipline of
+    weighted_sample/kfold)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    g = docs.select(
+        "source",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+        .isin("0", "2", "4", "6", "8", "a", "c", "e")
+        .alias("tr"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    agg = g.groupBy("source").agg(
+        F.sum(F.when(F.col("tr"), 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("tr"), F.col("y")).otherwise(0)).alias("en_train"),
+        F.sum(F.when(~F.col("tr"), 1).otherwise(0)).alias("n_test"),
+        F.sum(F.when(~F.col("tr"), F.col("y")).otherwise(0)).alias("en_test"),
+    )
+    b, a = F.col("n_train"), F.col("en_train")
+    nt, k = F.col("n_test"), F.col("en_test")
+    return agg.filter((b > 0) & (nt > 0)).select(
+        "source",
+        "n_train",
+        "en_train",
+        "n_test",
+        "en_test",
+        (
+            (nt * a * a - 2 * a * k * b + k * b * b).cast("double")
+            / (b * b * nt).cast("double")
+        ).alias("brier"),
+        (
+            F.abs(a * nt - k * b).cast("double") / (b * nt).cast("double")
+        ).alias("calib_gap"),
+    )
+
+
+Q_CALIBRATION_EVAL_SQL = """
+WITH d AS (
+  SELECT source, lang,
+         substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+           IN ('0','2','4','6','8','a','c','e') AS tr
+  FROM documents
+), g AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN tr AND lang = 'en' THEN 1 ELSE 0 END)
+              AS BIGINT) AS en_train,
+         CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN NOT tr AND lang = 'en' THEN 1 ELSE 0 END)
+              AS BIGINT) AS en_test
+  FROM d GROUP BY 1
+)
+SELECT source, n_train, en_train, n_test, en_test,
+       CAST(n_test * en_train * en_train
+            - 2 * en_train * en_test * n_train
+            + en_test * n_train * n_train AS DOUBLE)
+         / CAST(n_train * n_train * n_test AS DOUBLE) AS brier,
+       CAST(ABS(en_train * n_test - en_test * n_train) AS DOUBLE)
+         / CAST(n_train * n_test AS DOUBLE) AS calib_gap
+FROM g WHERE n_train > 0 AND n_test > 0
+"""
