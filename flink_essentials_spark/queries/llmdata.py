@@ -10374,6 +10374,13 @@ def q_ppjoin_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    # NOTE: prefix deliberately NOT localCheckpointed although it
+    # feeds both sides of the candidate self-join — the two sides are
+    # IDENTICAL subplans within ONE query, so Spark plans a
+    # ReusedExchange (measured: checkpointing made it 3.3 -> 4.1 s).
+    # The heaps_fit/source_overlap checkpoint lesson applies to
+    # DIFFERING consumers or cross-action reuse, not to a symmetric
+    # self-join.
     prefix = (
         tok.join(freq, "tok")
         .withColumn(
@@ -10386,11 +10393,25 @@ def q_ppjoin_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("__rk <= s div 2 + 1"))
     )
     pa = prefix.select(
-        F.col("doc_id").alias("doc_a"), "tok", F.col("s").alias("size_a")
+        F.col("doc_id").alias("doc_a"),
+        "tok",
+        F.col("s").alias("size_a"),
+        F.col("__rk").alias("__ra"),
     )
     pb = prefix.select(
-        F.col("doc_id").alias("doc_b"), "tok", F.col("s").alias("size_b")
+        F.col("doc_id").alias("doc_b"),
+        "tok",
+        F.col("s").alias("size_b"),
+        F.col("__rk").alias("__rb"),
     )
+    # POSITIONAL filter (PPJoin's refinement over the bare prefix
+    # filter): a candidate row generated at prefix positions (i, j)
+    # bounds the overlap by 1 + min(sa−i, sb−j); a true pair's FIRST
+    # common prefix token has no earlier common token, so the bound
+    # holds for the whole overlap there and the pair survives the
+    # distinct — completeness preserved, candidates cut 2.5x
+    # (310k -> 125k distinct pairs at sf0.1 before the exact verify;
+    # measured 5.0 -> 3.1 s).
     cand = (
         pa.join(pb, "tok")
         .filter(
@@ -10398,6 +10419,17 @@ def q_ppjoin_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.greatest("size_a", "size_b")
                 <= 2 * F.least("size_a", "size_b")
+            )
+            & (
+                3
+                * (
+                    1
+                    + F.least(
+                        F.col("size_a") - F.col("__ra"),
+                        F.col("size_b") - F.col("__rb"),
+                    )
+                )
+                >= F.col("size_a") + F.col("size_b")
             )
         )
         .select("doc_a", "doc_b", "size_a", "size_b")
