@@ -4448,3 +4448,43 @@ def test_decision_stump_maintained_over_a_stream_equals_batch(
     got = sorted(map(tuple, gini_stump(expanded, "k", "is_en", "v").collect()))
     direct = sorted(map(tuple, gini_stump(docs, "k", "is_en", "v").collect()))
     assert got == direct and len(got) >= 3
+
+
+def test_trade_pairs_store_reuses_and_invalidates(spark, tmp_path):
+    """The materialized trade-pairs store is keyed on BOTH fact-table
+    fingerprints: repeated calls in a session reuse the same parquet
+    path (no rebuild), and a testdata regeneration under the same
+    sf_dir (mtime/size change on lineitem OR orders) changes the key
+    so a stale rollup is never served — the r10-ADVICE cache lesson,
+    pinned for this store."""
+    import shutil
+
+    from flink_essentials_spark.queries import llmdata
+
+    src = str(tmp_path / "sf")
+    shutil.copytree(SF_DIR, src)
+    p1 = llmdata._trade_pairs(spark, src)
+    path1 = llmdata._TRADE_STORE[
+        (src, llmdata._table_fingerprint(src, "lineitem"),
+         llmdata._table_fingerprint(src, "orders"))
+    ]
+    p2 = llmdata._trade_pairs(spark, src)
+    assert len(llmdata._TRADE_STORE) >= 1
+    assert p1.schema == p2.schema
+    # same session + same fingerprints -> one store entry for this dir
+    keys_before = {k for k in llmdata._TRADE_STORE if k[0] == src}
+    assert len(keys_before) == 1
+    # regenerate lineitem under the SAME path (mtime/size drift)
+    import os
+
+    li = os.path.join(src, "lineitem.parquet")
+    with open(li, "ab") as f:
+        f.write(b"\x00")  # size change is enough for the fingerprint
+    fp_new = llmdata._table_fingerprint(src, "lineitem")
+    key_new = (src, fp_new, llmdata._table_fingerprint(src, "orders"))
+    assert key_new not in llmdata._TRADE_STORE
+    # cleanup: drop this test's entries so other tests are unaffected
+    for k in list(llmdata._TRADE_STORE):
+        if k[0] == src:
+            del llmdata._TRADE_STORE[k]
+    assert path1  # path existed and was recorded
