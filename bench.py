@@ -206,6 +206,8 @@ HEADLINE = [
     "ppjoin_neardups",
     # r11: Brier + reliability-gap probabilistic classifier eval
     "calibration_eval",
+    # r11: exact ALS half-step over the trade-pairs store
+    "als_half_step",
     "soundex_blocking",
     "fd_profile",
     "benford_audit",

@@ -1750,6 +1750,11 @@ _REGISTRY: list[Query] = [
     # member beside langid_agreement's hard-label kappa; exact
     # rational arithmetic, one scan-stage conditional aggregate
     Query("calibration_eval", llmdata.q_calibration_eval, llmdata.Q_CALIBRATION_EVAL_SQL),
+    # r11b: exact ALS half-step (Zhou 2008 ALS-WR) — the recommender-
+    # factorization family's first member: integer item factors +
+    # Cramer's-rule ridge solve, every factor ONE division of exact
+    # BIGINTs; single scan-stage groupBy over the trade-pairs store
+    Query("als_half_step", llmdata.q_als_half_step, llmdata.Q_ALS_HALF_STEP_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

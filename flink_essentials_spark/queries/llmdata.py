@@ -10572,3 +10572,75 @@ SELECT source, n_train, en_train, n_test, en_test,
          / CAST(n_train * n_test AS DOUBLE) AS calib_gap
 FROM g WHERE n_train > 0 AND n_test > 0
 """
+
+
+def q_als_half_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EXACT ALS half-step (Zhou, Wilkinson, Schreiber & Pan,
+    AAIM 2008 "Large-scale parallel collaborative filtering for the
+    Netflix prize" — ALS-WR; Koren, Bell & Volinsky 2009): the
+    recommender-factorization training primitive over the trade graph
+    (customers × suppliers, rating = lineitem count, the
+    _trade_pairs store's sixth consumer). Supplier factors are the
+    deterministic integer init y_i = (1 + supp mod 3, 1 + supp mod 5)
+    (k = 2); each customer's ridge normal equations
+    (Yᵤ'Yᵤ + λI)x = Yᵤ'r with λ = 1 are solved by CRAMER'S RULE on
+    exact BIGINT sums — a = Σy₁², b = Σy₁y₂, c = Σy₂²,
+    rhs = Σ r·y are order-independent integer aggregates, det =
+    (a+λ)(c+λ) − b² > 0 (PSD + λI), and each factor is ONE division
+    of exact integers: bit-identical cross-engine with zero rounding.
+    The whole half-step is a single scan-stage groupBy — the
+    map-side-combinable shape that makes ALS the canonical
+    distributed factorizer at 100 TB (per-user solves touch only that
+    user's ratings; k×k stays constant)."""
+    lam = 1
+    pairs = _trade_pairs(spark, sf_dir)
+    y1 = 1 + F.col("supp") % 3
+    y2 = 1 + F.col("supp") % 5
+    r = F.col("cnt")
+    g = pairs.groupBy("cust").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(y1 * y1).alias("a"),
+        F.sum(y1 * y2).alias("b"),
+        F.sum(y2 * y2).alias("c"),
+        F.sum(r * y1).alias("r1"),
+        F.sum(r * y2).alias("r2"),
+    )
+    det = (F.col("a") + lam) * (F.col("c") + lam) - F.col("b") * F.col("b")
+    x1n = F.col("r1") * (F.col("c") + lam) - F.col("r2") * F.col("b")
+    x2n = (F.col("a") + lam) * F.col("r2") - F.col("b") * F.col("r1")
+    return g.select(
+        "cust",
+        "n_items",
+        x1n.alias("x1_num"),
+        x2n.alias("x2_num"),
+        det.alias("det"),
+        (x1n.cast("double") / det.cast("double")).alias("x1"),
+        (x2n.cast("double") / det.cast("double")).alias("x2"),
+    )
+
+
+Q_ALS_HALF_STEP_SQL = """
+WITH pairs AS (
+  SELECT o_custkey AS cust, l_suppkey AS supp, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), g AS (
+  SELECT cust,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM((1 + supp % 3) * (1 + supp % 3)) AS BIGINT) AS a,
+         CAST(SUM((1 + supp % 3) * (1 + supp % 5)) AS BIGINT) AS b,
+         CAST(SUM((1 + supp % 5) * (1 + supp % 5)) AS BIGINT) AS c,
+         CAST(SUM(cnt * (1 + supp % 3)) AS BIGINT) AS r1,
+         CAST(SUM(cnt * (1 + supp % 5)) AS BIGINT) AS r2
+  FROM pairs GROUP BY 1
+)
+SELECT cust, n_items,
+       r1 * (c + 1) - r2 * b AS x1_num,
+       (a + 1) * r2 - b * r1 AS x2_num,
+       (a + 1) * (c + 1) - b * b AS det,
+       CAST(r1 * (c + 1) - r2 * b AS DOUBLE)
+         / CAST((a + 1) * (c + 1) - b * b AS DOUBLE) AS x1,
+       CAST((a + 1) * r2 - b * r1 AS DOUBLE)
+         / CAST((a + 1) * (c + 1) - b * b AS DOUBLE) AS x2
+FROM g
+"""

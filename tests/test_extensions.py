@@ -4488,3 +4488,59 @@ def test_trade_pairs_store_reuses_and_invalidates(spark, tmp_path):
         if k[0] == src:
             del llmdata._TRADE_STORE[k]
     assert path1  # path existed and was recorded
+
+
+def test_als_half_step_matches_fraction_elimination(spark):
+    """q_als_half_step against an INDEPENDENT exact solver: per
+    customer, build the ridge normal equations from a pyarrow scan
+    with python ints and solve by FRACTION-based Gaussian elimination
+    (not Cramer's rule — a different formulation of the same system),
+    then compare the exact rational factors and the emitted doubles."""
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    from flink_essentials_spark.queries.llmdata import q_als_half_step
+
+    li = pq.read_table(
+        SF_DIR + "/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).to_pylist()
+    od = pq.read_table(
+        SF_DIR + "/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pylist()
+    cust_of = {r["o_orderkey"]: r["o_custkey"] for r in od}
+    cnt: dict = {}
+    for r in li:
+        c = cust_of.get(r["l_orderkey"])
+        if c is not None:
+            k = (c, r["l_suppkey"])
+            cnt[k] = cnt.get(k, 0) + 1
+    sums: dict = {}
+    for (c, s), n in cnt.items():
+        y1, y2 = 1 + s % 3, 1 + s % 5
+        a, b, cc, r1, r2, ni = sums.get(c, (0, 0, 0, 0, 0, 0))
+        sums[c] = (
+            a + y1 * y1, b + y1 * y2, cc + y2 * y2,
+            r1 + n * y1, r2 + n * y2, ni + 1,
+        )
+    want = {}
+    for c, (a, b, cc, r1, r2, ni) in sums.items():
+        # eliminate: [[a+1, b], [b, cc+1]] x = [r1, r2]
+        m00, m01, m10, m11 = (
+            Fraction(a + 1), Fraction(b), Fraction(b), Fraction(cc + 1),
+        )
+        v0, v1 = Fraction(r1), Fraction(r2)
+        f = m10 / m00
+        m11p, v1p = m11 - f * m01, v1 - f * v0
+        x2 = v1p / m11p
+        x1 = (v0 - m01 * x2) / m00
+        want[c] = (ni, x1, x2)
+    got = q_als_half_step(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for row in got:
+        ni, x1, x2 = want[row["cust"]]
+        assert row["n_items"] == ni
+        assert Fraction(row["x1_num"], row["det"]) == x1, row["cust"]
+        assert Fraction(row["x2_num"], row["det"]) == x2, row["cust"]
+        assert row["x1"] == row["x1_num"] / row["det"]
+        assert row["x2"] == row["x2_num"] / row["det"]
