@@ -4544,3 +4544,76 @@ def test_als_half_step_matches_fraction_elimination(spark):
         assert Fraction(row["x2_num"], row["det"]) == x2, row["cust"]
         assert row["x1"] == row["x1_num"] / row["det"]
         assert row["x2"] == row["x2_num"] / row["det"]
+
+
+def test_als_stats_maintained_over_a_stream_equals_batch(spark, tmp_path):
+    """The maintained-monitor matrix gains its FACTORIZATION member:
+    ALS's per-customer normal-equation sufficient statistics
+    (n, a=Σy₁², b=Σy₁y₂, c=Σy₂², r1=Σry₁, r2=Σry₂) are SUM-mergeable
+    by construction — the online-recommender maintenance pattern —
+    so refresh_rollup folds them per micro-batch of new (cust, supp,
+    cnt) interactions, and the Cramer solve read out of the MAINTAINED
+    table equals the one-shot batch factors bit-for-bit, doubles
+    included."""
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.queries.llmdata import (
+        _trade_pairs,
+        q_als_half_step,
+    )
+    from flink_essentials_spark.sinks import versioned
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "rollup")
+    _trade_pairs(spark, SF_DIR).repartition(3).write.parquet(src)
+
+    def fold(bdf, epoch_id):
+        y1, y2 = 1 + F.col("supp") % 3, 1 + F.col("supp") % 5
+        stats = bdf.select(
+            "cust",
+            (y1 * y1).alias("a"),
+            (y1 * y2).alias("b"),
+            (y2 * y2).alias("c"),
+            (F.col("cnt") * y1).alias("r1"),
+            (F.col("cnt") * y2).alias("r2"),
+        )
+        refresh_rollup(
+            spark, base, stats, ["cust"],
+            {
+                "n_items": ("count", "a"),
+                "a": ("sum", "a"),
+                "b": ("sum", "b"),
+                "c": ("sum", "c"),
+                "r1": ("sum", "r1"),
+                "r2": ("sum", "r2"),
+            },
+            epoch_id=epoch_id,
+        )
+
+    sdf = file_replay(
+        spark, src, "cust long, supp long, cnt long", files_per_trigger=1
+    )
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    stored = versioned.read_current(spark, base)
+    det = (F.col("a") + 1) * (F.col("c") + 1) - F.col("b") * F.col("b")
+    x1n = F.col("r1") * (F.col("c") + 1) - F.col("r2") * F.col("b")
+    x2n = (F.col("a") + 1) * F.col("r2") - F.col("b") * F.col("r1")
+    got = sorted(
+        map(
+            tuple,
+            stored.select(
+                "cust", "n_items",
+                x1n.alias("x1_num"), x2n.alias("x2_num"), det.alias("det"),
+                (x1n.cast("double") / det.cast("double")).alias("x1"),
+                (x2n.cast("double") / det.cast("double")).alias("x2"),
+            ).collect(),
+        )
+    )
+    direct = sorted(map(tuple, q_als_half_step(spark, SF_DIR).collect()))
+    assert got == direct and len(got) >= 10
