@@ -1529,7 +1529,10 @@ _REGISTRY: list[Query] = [
     # cdc_chunks). Remaining driver-invisible candidates, in priority
     # order: the r11-new named algorithms — ppjoin_neardups (EXACT
     # prefix-filter similarity join, the completeness-proof oracle),
-    # louvain_merge (mutual-best-merge modularity), qdigest_summary
+    # als_half_step (exact ALS-WR factorization; the Fraction-
+    # elimination reference is independent), calibration_eval (Brier
+    # + reliability gap, exact rationals), louvain_merge
+    # (mutual-best-merge modularity), qdigest_summary
     # (mergeable rank-error quantiles, 18-CTE oracle), knn_hubness
     # (ANN-health N_5 skewness, exact quantized kNN),
     # weighted_reservoir (A-ES exact-integer sampling), heaps_fit
