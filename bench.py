@@ -208,6 +208,8 @@ HEADLINE = [
     "calibration_eval",
     # r11: exact ALS half-step over the trade-pairs store
     "als_half_step",
+    # r11: ID3 entropy-gain stump (weekend-vs-weekday spend split)
+    "info_gain_stump",
     "soundex_blocking",
     "fd_profile",
     "benford_audit",

@@ -1758,6 +1758,11 @@ _REGISTRY: list[Query] = [
     # Cramer's-rule ridge solve, every factor ONE division of exact
     # BIGINTs; single scan-stage groupBy over the trade-pairs store
     Query("als_half_step", llmdata.q_als_half_step, llmdata.Q_ALS_HALF_STEP_SQL),
+    # r11b: ID3 information-gain split (Quinlan 1986) — the ENTROPY
+    # criterion completing the split pair with decision_stump's Gini;
+    # weekend-vs-weekday spend per event_type, integer day-of-week,
+    # CASE-gated count·ln(p) terms in fixed expression order
+    Query("info_gain_stump", llmdata.q_info_gain_stump, llmdata.Q_INFO_GAIN_STUMP_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

@@ -10644,3 +10644,136 @@ SELECT cust, n_items,
          / CAST((a + 1) * (c + 1) - b * b AS DOUBLE) AS x2
 FROM g
 """
+
+
+def q_info_gain_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3 information-gain split search (Quinlan 1986, "Induction of
+    decision trees" — the ENTROPY criterion, completing the
+    split-criterion pair with decision_stump's CART Gini): per
+    event_type, the spend-cents threshold that best separates WEEKEND
+    from weekday events — temporal-behavior segmentation on the fact
+    stream. Weekend is pure integer arithmetic on epoch-ms (epoch day
+    % 7 ∈ {2, 3}: the Unix epoch was a Thursday — no calendar
+    functions, the cohort_retention discipline). The candidate
+    sufficient statistics ride the same banded ECDF support as the
+    Gini stump (every window keyed by (type, band)); the argmin of
+    weighted entropy is a struct-MIN aggregate. Determinism: every
+    entropy term is count·ln(count/side) where the division is
+    exact-int-to-double (identical cross-engine) and ln is libm (the
+    repo-wide jaro/zipf parity contract); terms sum in FIXED
+    expression order, zero-count terms are CASE-gated to 0 (never
+    0·ln 0 = NaN), and the emitted gain rounds to 6."""
+    from flink_essentials_spark.functions.timeseries import _ecdf_cums
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"]
+    tagged = ev.select(
+        "event_type",
+        F.expr("(unix_millis(ts) div 86400000) % 7 IN (2, 3)").alias("is_we"),
+        cents("value").alias("v"),
+    )
+    cum = _ecdf_cums(tagged, "event_type", "is_we", "v", 64)
+
+    def term(cnt, tot):
+        return F.when(cnt == 0, F.lit(0.0)).otherwise(
+            cnt.cast("double")
+            * F.log(cnt.cast("double") / tot.cast("double"))
+        )
+
+    la, lb = F.col("__cuma"), F.col("__cumb")
+    ra, rb = F.col("__na") - la, F.col("__nb") - lb
+    nl, nr = la + lb, ra + rb
+    n = F.col("__na") + F.col("__nb")
+    wh = -(term(la, nl) + term(lb, nl) + term(ra, nr) + term(rb, nr))
+    hpar = -(term(F.col("__na"), n) + term(F.col("__nb"), n))
+    cand = cum.filter(nr > 0).select(
+        F.col("__k").alias("event_type"),
+        n.alias("n"),
+        F.col("__v").alias("thr"),
+        la.alias("la"),
+        lb.alias("lb"),
+        ra.alias("ra"),
+        rb.alias("rb"),
+        wh.alias("wh"),
+        hpar.alias("hpar"),
+    )
+    best = cand.groupBy("event_type").agg(
+        F.min(
+            F.struct(
+                F.col("wh"),
+                F.col("thr"),
+                F.col("la"),
+                F.col("lb"),
+                F.col("ra"),
+                F.col("rb"),
+                F.col("n"),
+                F.col("hpar"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.n").alias("n"),
+        F.col("b.thr").alias("thr"),
+        F.col("b.la").alias("la"),
+        F.col("b.lb").alias("lb"),
+        F.col("b.ra").alias("ra"),
+        F.col("b.rb").alias("rb"),
+        F.round(
+            (F.col("b.hpar") - F.col("b.wh")) / F.col("b.n").cast("double"), 6
+        ).alias("info_gain_nats"),
+    )
+
+
+def _info_gain_stump_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    term = (
+        "CASE WHEN {c} = 0 THEN 0.0 ELSE CAST({c} AS DOUBLE) "
+        "* ln(CAST({c} AS DOUBLE) / CAST({t} AS DOUBLE)) END"
+    )
+    t_la = term.format(c="la", t="la + lb")
+    t_lb = term.format(c="lb", t="la + lb")
+    t_ra = term.format(c="na - la", t="na - la + nb - lb")
+    t_rb = term.format(c="nb - lb", t="na - la + nb - lb")
+    t_pa = term.format(c="na", t="na + nb")
+    t_pb = term.format(c="nb", t="na + nb")
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 86400000) % 7 IN (2, 3) AS is_we,
+         {sql_cents('value')} AS v
+  FROM events
+), g AS (
+  SELECT event_type, v,
+         CAST(SUM(CASE WHEN is_we THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN is_we THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM ev GROUP BY 1, 2
+), t AS (
+  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb
+  FROM g GROUP BY 1
+), c AS (
+  SELECT g.event_type, v,
+         CAST(SUM(ca) OVER (PARTITION BY g.event_type ORDER BY v)
+              AS BIGINT) AS la,
+         CAST(SUM(cb) OVER (PARTITION BY g.event_type ORDER BY v)
+              AS BIGINT) AS lb,
+         na, nb
+  FROM g JOIN t USING (event_type)
+), s AS (
+  SELECT event_type, na + nb AS n, v AS thr, la, lb,
+         na - la AS ra, nb - lb AS rb,
+         -(({t_la}) + ({t_lb}) + ({t_ra}) + ({t_rb})) AS wh,
+         -(({t_pa}) + ({t_pb})) AS hpar
+  FROM c WHERE la + lb < na + nb
+)
+SELECT event_type, n, thr, la, lb, ra, rb,
+       round((hpar - wh) / CAST(n AS DOUBLE), 6) AS info_gain_nats
+FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY wh, thr) = 1
+"""
+
+
+Q_INFO_GAIN_STUMP_SQL = _info_gain_stump_sql()
