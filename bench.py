@@ -210,6 +210,8 @@ HEADLINE = [
     "als_half_step",
     # r11: ID3 entropy-gain stump (weekend-vs-weekday spend split)
     "info_gain_stump",
+    # r11: Slope One deviations (memory-based recommender twin)
+    "slope_one_devs",
     "soundex_blocking",
     "fd_profile",
     "benford_audit",

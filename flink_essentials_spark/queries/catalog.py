@@ -1763,6 +1763,10 @@ _REGISTRY: list[Query] = [
     # weekend-vs-weekday spend per event_type, integer day-of-week,
     # CASE-gated count·ln(p) terms in fixed expression order
     Query("info_gain_stump", llmdata.q_info_gain_stump, llmdata.Q_INFO_GAIN_STUMP_SQL),
+    # r11b: Slope One deviations (Lemire 2005) — the MEMORY-based
+    # recommender beside ALS; scan-stage per-user pair combinations,
+    # exact-integer deviations, top-20 by banded global rank
+    Query("slope_one_devs", llmdata.q_slope_one_devs, llmdata.Q_SLOPE_ONE_DEVS_SQL),
     # r8-continuation: greedy-vs-Viterbi tokenizer economics — the
     # two fold oracles composed as subqueries
     Query("tokenizer_compare", llmdata.q_tokenizer_compare, llmdata.Q_TOKENIZER_COMPARE_SQL),

@@ -10777,3 +10777,86 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
 
 
 Q_INFO_GAIN_STUMP_SQL = _info_gain_stump_sql()
+
+
+def q_slope_one_devs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slope One collaborative-filtering deviations (Lemire &
+    Maclachlan, SDM 2005 "Slope One predictors for online
+    rating-based collaborative filtering") — the MEMORY-based
+    recommender beside als_half_step's model-based factorization:
+    for every co-rated supplier pair, the average rating deviation
+    dev(i, j) = Σ_u (r_ui − r_uj) / |co-raters| over the trade graph
+    (rating = lineitem count; the trade-pairs store's seventh
+    consumer). The item-pair model IS the deployable artifact —
+    prediction is one broadcast-join away. Exactness: dev_num and
+    n_co are BIGINT aggregates, dev is ONE division of exact
+    integers — bit-identical cross-engine. Scale shape: per-user
+    item-pair combinations are scan-stage (bounded by basket size —
+    the association_rules discipline), the equi-self-join keys on
+    cust, and the output is item-pair-bounded regardless of user
+    count. Top-20 pairs by |dev| via banded GLOBAL rank (no
+    single-task sort)."""
+    from flink_essentials_spark.functions.timeseries import banded_rank
+
+    tp = _trade_pairs(spark, sf_dir)
+    a = tp.select(
+        "cust", F.col("supp").alias("supp_a"), F.col("cnt").alias("r_a")
+    )
+    b = tp.select(
+        "cust", F.col("supp").alias("supp_b"), F.col("cnt").alias("r_b")
+    )
+    devs = (
+        a.join(b, "cust")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_co"),
+            F.sum(F.col("r_a") - F.col("r_b")).alias("dev_num"),
+        )
+    )
+    # banded_rank reads its input ~3x (bounds, band totals, final
+    # window) — checkpoint the pair model so the per-user pair
+    # self-join runs once (measured 4.9 -> ~2 s at sf0.1)
+    scored = devs.select(
+        "supp_a",
+        "supp_b",
+        "n_co",
+        "dev_num",
+        (F.col("dev_num").cast("double") / F.col("n_co").cast("double")).alias(
+            "dev"
+        ),
+        (-F.abs("dev_num")).alias("__nad"),
+    ).localCheckpoint()
+    ranked = banded_rank(
+        scored,
+        [],
+        "__nad",
+        ["supp_a", "supp_b"],
+        rank_col="rk",
+    )
+    return (
+        ranked.filter(F.col("rk") <= 20)
+        .select("supp_a", "supp_b", "n_co", "dev_num", "dev", "rk")
+    )
+
+
+Q_SLOPE_ONE_DEVS_SQL = """
+WITH pairs AS (
+  SELECT o_custkey AS cust, l_suppkey AS supp, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), d AS (
+  SELECT a.supp AS supp_a, b.supp AS supp_b,
+         CAST(COUNT(*) AS BIGINT) AS n_co,
+         CAST(SUM(a.cnt - b.cnt) AS BIGINT) AS dev_num
+  FROM pairs a JOIN pairs b
+    ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY 1, 2
+)
+SELECT supp_a, supp_b, n_co, dev_num,
+       CAST(dev_num AS DOUBLE) / CAST(n_co AS DOUBLE) AS dev,
+       CAST(ROW_NUMBER() OVER (ORDER BY -ABS(dev_num), supp_a, supp_b)
+            AS BIGINT) AS rk
+FROM d
+QUALIFY rk <= 20
+"""
