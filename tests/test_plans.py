@@ -294,6 +294,10 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # (corpus_mixture pattern); degrees/argmax/mutual-check are
         # equi-joins and struct-MAX aggregates
         "louvain_merge": {"BroadcastNestedLoopJoin"},
+        # banded GLOBAL rank (keys=[]) one-row bounds broadcast on the
+        # checkpointed pair model (the heaps_fit/chi2_terms pattern);
+        # the pair build itself is an equi-self-join on cust
+        "slope_one_devs": {"BroadcastNestedLoopJoin"},
         # one-row stream-midpoint scalar broadcast (psi_drift pattern)
         "welch_drift": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},
