@@ -984,10 +984,14 @@ _REGISTRY: list[Query] = [
     # --- keyed/rolling agg (§2.4)
     # ROTATION (r8d): rolling_user_counts demoted (A1/A2 keyed rolling
     # counts stay driver-covered by map_state_counts' running keyed
-    # state) → token_budget_select: budget-constrained corpus
-    # selection via the banded two-phase prefix sum (every window
-    # keyed — the scale-safe global-cumsum pattern).
-    Query("token_budget_select", llmdata.q_token_budget_select, llmdata.Q_TOKEN_BUDGET_SELECT_SQL),
+    # state) → token_budget_select (r8d-r11). ROTATION (r12):
+    # token_budget_select demoted per the documented redundancy note
+    # (curriculum/sampling family depth — the banded global-cumsum
+    # shape stays head-visible via decision_stump/ks_drift's ECDF and
+    # locally green) → blocklist_scan: Aho-Corasick 1975 multi-pattern
+    # scan, ONE pass for P patterns (the r10-verdict ask, two rounds
+    # waiting); mapInPandas automaton, per-offset substring oracle.
+    Query("blocklist_scan", llmdata.q_blocklist_scan, llmdata.Q_BLOCKLIST_SCAN_SQL),
     # --- multi-stream (§2.7)
     # ROTATION (r8): union_streams demoted (J1's union-then-aggregate
     # shape is plan-trivial and the multi-stream family keeps THREE
@@ -998,11 +1002,15 @@ _REGISTRY: list[Query] = [
     # ROTATION (r10): window_join demoted (temporal-join family keeps
     # as_of_join + streaming_join_rollup driver rows — the latter IS a
     # window join feeding a windowed aggregate; J2 stays locally
-    # oracle-checked + plan-audited) -> sw_alignment: Smith-Waterman
-    # 1981 local alignment, numpy DP vectorized ACROSS Arrow batches
-    # over pre-blocked candidate pairs only (the 102 s interpreted
-    # fold measured down to ~2.6 s at sf0.1).
-    Query("sw_alignment", llmdata.q_sw_alignment, llmdata.Q_SW_ALIGNMENT_SQL),
+    # oracle-checked + plan-audited) -> sw_alignment (r10-r11).
+    # ROTATION (r12): sw_alignment demoted (string-distance family
+    # keeps THREE driver rows: damerau_lev + jaro_winkler +
+    # record_linkage; the Smith-Waterman numpy-DP row stays locally
+    # green) -> ppjoin_neardups: EXACT set-similarity self-join via
+    # prefix filtering (Chaudhuri 2006 / PPJoin WWW 2008) — the
+    # exactness flagship of the near-dup family; trigram Jaccard >=
+    # 1/2 with exact-integer threshold, positional + size filters.
+    Query("ppjoin_neardups", llmdata.q_ppjoin_neardups, llmdata.Q_PPJOIN_NEARDUPS_SQL),
     # ROTATION (r9): interval_join demoted (temporal-join family keeps
     # window_join + as_of_join + streaming_join_rollup driver rows;
     # J3 incl/excl bounds stay locally green + pytest-pinned) ->
@@ -1142,10 +1150,15 @@ _REGISTRY: list[Query] = [
     # 256-row deterministic membership is itself under oracle.
     # ROTATION (r9): sample_quantiles demoted (sketch family keeps
     # kmv_set_ops + bloom_prefilter driver rows; the bottom-k
-    # quantile member stays locally green) -> count_sketch:
-    # Charikar 2002 — the UNBIASED signed counter sketch beside
-    # Count-Min; depth-3 arithmetic median, signed error under oracle.
-    Query("count_sketch", llmdata.q_count_sketch, llmdata.Q_COUNT_SKETCH_SQL),
+    # quantile member stays locally green) -> count_sketch (r9-r11).
+    # ROTATION (r12): count_sketch demoted per the documented
+    # redundancy note (signed-counter family stays driver-covered by
+    # mg_heavy_hitters + the Count-Min members locally green) ->
+    # qdigest_summary: q-digest (Shrivastava 2004), the mergeable
+    # RANK-ERROR quantile member — completes the driver-visible
+    # quantile matrix (DDSketch relative-error + Munro-Paterson exact
+    # + q-digest rank-error); 18-level push-up vs chained-CTE oracle.
+    Query("qdigest_summary", llmdata.q_qdigest_summary, llmdata.Q_QDIGEST_SQL),
     # --- dedup (§2.11)
     # ROTATION (r8g): dedup_exact demoted (the md5-groupBy member is
     # the plan-trivial row of the head's DEEPEST family — dedup keeps
@@ -1182,11 +1195,15 @@ _REGISTRY: list[Query] = [
     # production-relevant r4 op still driver-invisible, and the #2
     # bench query — r4 verdict #4).
     # ROTATION (r8f): source_overlap demoted (exact distinct-shingle
-    # overlap, tail-checked) -> kmv_set_ops: the KMV bottom-k sketch
-    # answers the same cross-source overlap question from k-row
-    # sketches (union/intersection/Jaccard estimates + exact
-    # self-eval), the set algebra HLL registers can't express.
-    Query("kmv_set_ops", llmdata.q_kmv_set_ops, llmdata.Q_KMV_SET_OPS_SQL),
+    # overlap, tail-checked) -> kmv_set_ops (r8f-r11). ROTATION (r12):
+    # kmv_set_ops demoted per the documented redundancy note
+    # (set-overlap family: weighted_jaccard + HLL members stay locally
+    # green and the KMV row keeps its pinned exchange budget) ->
+    # als_half_step: exact ALS-WR half-step (Zhou 2008) — the
+    # recommender-factorization member; integer item factors +
+    # Cramer's-rule ridge solve, every factor ONE division of exact
+    # BIGINTs; the Fraction-elimination reference test is independent.
+    Query("als_half_step", llmdata.q_als_half_step, llmdata.Q_ALS_HALF_STEP_SQL),
     # --- similarity search (§2.11)
     # ROTATION (r8): similarity_topk demoted (brute-force cosine top-k
     # is the ANN family's BASELINE; the family keeps ivfpq_topk driver-
@@ -1209,9 +1226,15 @@ _REGISTRY: list[Query] = [
     # ROTATION (r9): embedding_near_dups demoted (near-dup family keeps
     # lsh_near_dups + semantic_dedup driver rows; exact-cosine pair
     # arithmetic stays head-visible in semantic_dedup's within-cell
-    # step) -> pareto_suppliers: 2-D skyline (Borzsonyi 2001),
-    # banded two-phase dominance vs the NOT-EXISTS oracle.
-    Query("pareto_suppliers", llmdata.q_pareto_suppliers, llmdata.Q_PARETO_SQL),
+    # step) -> pareto_suppliers (r9-r11). ROTATION (r12):
+    # pareto_suppliers demoted per the documented redundancy note
+    # (the banded two-phase family is multiply head-covered via
+    # ks_drift/decision_stump/exact_quantiles; the skyline row stays
+    # locally green) -> louvain_merge: one-level Louvain (Blondel
+    # 2008) as the deterministic mutual-best-merge matching (Lu 2015)
+    # — exact (2m)²-scaled modularity, no CC pass, no recursion (the
+    # bounded-round answer to the k-core CTE-oracle objection).
+    Query("louvain_merge", llmdata.q_louvain_merge, llmdata.Q_LOUVAIN_MERGE_SQL),
     # --- text analysis (§2.11)
     # ROTATION (r8): bpe_token_stats demoted (the BPE family is now
     # covered DEEPER driver-side: bpe_trained_merges below + the
@@ -1523,35 +1546,28 @@ _REGISTRY: list[Query] = [
     # first_window_counts / parts_rollup / similarity_topk /
     # bpe_token_stats / contamination (families stay covered — see the
     # in-place head notes).
-    # r12 PROMOTION CANDIDATES (the r11 rotation promoted seven
-    # r10-verdict named algorithms: exact_quantiles, ks_drift,
-    # jaro_winkler, gram_matrix, mg_heavy_hitters, cusum_shifts,
-    # cdc_chunks). Remaining driver-invisible candidates, in priority
-    # order: the r11-new named algorithms — ppjoin_neardups (EXACT
-    # prefix-filter similarity join, the completeness-proof oracle),
-    # als_half_step (exact ALS-WR factorization; the Fraction-
-    # elimination reference is independent), calibration_eval (Brier
-    # + reliability gap, exact rationals), louvain_merge
-    # (mutual-best-merge modularity), qdigest_summary
-    # (mergeable rank-error quantiles, 18-CTE oracle), knn_hubness
-    # (ANN-health N_5 skewness, exact quantized kNN),
-    # weighted_reservoir (A-ES exact-integer sampling), heaps_fit
-    # (vocab growth law), welch_drift (parametric drift member),
-    # mcnemar_rules (paired categorical), gini_lengths — plus the
-    # standing candidates
-    # blocklist_scan (Aho-Corasick), fd_profile (TANE g3),
+    # ROTATION (r12, done): promoted blocklist_scan / ppjoin_neardups
+    # / qdigest_summary / als_half_step / louvain_merge (demoted:
+    # token_budget_select, sw_alignment, count_sketch, kmv_set_ops,
+    # pareto_suppliers — each per the documented redundancy notes
+    # in-place above; all five stay locally oracle-checked below).
+    # r13 PROMOTION CANDIDATES, in priority order: the remaining
+    # driver-invisible named algorithms — knn_hubness (ANN-health N_5
+    # skewness; sampled variant r12), calibration_eval (Brier +
+    # reliability gap, exact rationals), weighted_reservoir (A-ES
+    # exact-integer sampling), heaps_fit (vocab growth law),
+    # welch_drift (parametric drift member), mcnemar_rules (paired
+    # categorical), gini_lengths, info_gain_stump, slope_one_devs —
+    # plus the standing candidates fd_profile (TANE g3),
     # soundex_blocking, chi2_independence, benford_audit,
     # wordpiece_encode, cdc_state, snapshot_diff, windowed_quantiles,
     # ams_f2, trend_lines, hampel_outliers, rendezvous_shards,
     # kcenter_seeds, mink_surprisal, pca_features. Demotion candidates
     # (genuine redundancy): hilbert_keys vs zorder_keys (if one
     # promotes), funnel_conversion vs cohort-style session machinery,
-    # token_budget_select vs curriculum/sampling family depth,
-    # count_sketch vs cm_join_size (Count-Min double-covered if the
-    # latter promotes), kmv_set_ops vs weighted_jaccard (set-overlap
-    # family), burst_detection vs cusum_shifts (both changepoint/burst
-    # — cusum now driver-green), pareto_suppliers vs gini/banded
-    # dominance (banded two-phase family multiply covered).
+    # greedy_coverage vs token-budget/selection family, dp_release vs
+    # k_anonymity (privacy pair both head-visible), zorder_keys vs
+    # layout family depth, dsir_weights vs langid/quality family.
     # demoted r8f (head slots went to gopher_rules / bm25_scores /
     # kmv_set_ops) — still oracle-checked here
     Query("quality_score", llmdata.q_quality_score, llmdata.Q_QUALITY_SCORE_SQL),
@@ -1671,9 +1687,9 @@ _REGISTRY: list[Query] = [
     # gram_matrix promoted r11 (slot vacated by random_projection —
     # demoted here, ANN family keeps ivfpq_topk driver-green)
     Query("random_projection", llmdata.q_random_projection, llmdata.Q_RANDOM_PROJECTION_SQL),
-    # r10: Aho-Corasick multi-pattern blocklist scan (1975) — one pass
-    # for P patterns; oracle re-counts by per-offset substring equality
-    Query("blocklist_scan", llmdata.q_blocklist_scan, llmdata.Q_BLOCKLIST_SCAN_SQL),
+    # blocklist_scan promoted r12 (slot vacated by token_budget_select
+    # — demoted here; the banded global-cumsum selection stays green)
+    Query("token_budget_select", llmdata.q_token_budget_select, llmdata.Q_TOKEN_BUDGET_SELECT_SQL),
     # jaro_winkler promoted r11 (slot vacated by unigram_segments —
     # demoted here, tokenizer family keeps bpe_trained_merges)
     Query("unigram_segments", llmdata.q_unigram_segments, llmdata.Q_UNIGRAM_SQL),
@@ -1707,11 +1723,9 @@ _REGISTRY: list[Query] = [
     # ks_drift promoted r11 (slot vacated by incremental_rollup —
     # demoted here per the documented maintained-twin redundancy)
     Query("incremental_rollup", llmdata.q_incremental_rollup, llmdata.Q_INCREMENTAL_ROLLUP_SQL),
-    # r11: q-digest (Shrivastava 2004) — the mergeable rank-error
-    # quantile member (r10 verdict #6); 18-level push-up compression
-    # replayed by the oracle as chained CTEs, merge law + error
-    # contract property-pinned in tests
-    Query("qdigest_summary", llmdata.q_qdigest_summary, llmdata.Q_QDIGEST_SQL),
+    # qdigest_summary promoted r12 (slot vacated by count_sketch —
+    # demoted here; the signed-counter sketch stays locally green)
+    Query("count_sketch", llmdata.q_count_sketch, llmdata.Q_COUNT_SKETCH_SQL),
     # r11: A-ES weighted reservoir sampling (Efraimidis-Spirakis 2006)
     # via the exact-integer max-of-w-uniforms identity — no pow/ln at
     # the selection boundary; full oracle via the same construction
@@ -1738,26 +1752,20 @@ _REGISTRY: list[Query] = [
     # candidates, both still full-oracle:
     Query("funnel_conversion", llmdata.q_funnel_conversion, llmdata.Q_FUNNEL_CONVERSION_SQL),
     Query("burst_detection", llmdata.q_burst_detection, llmdata.Q_BURST_DETECTION_SQL),
-    # r11b: one-level Louvain (Blondel 2008) as the deterministic
-    # mutual-best-merge matching (Lu 2015) over the trade graph —
-    # exact (2m)²-scaled modularity, no CC pass, no recursion (the
-    # bounded-round answer to the k-core CTE-oracle objection)
-    Query("louvain_merge", llmdata.q_louvain_merge, llmdata.Q_LOUVAIN_MERGE_SQL),
-    # r11b: EXACT set-similarity self-join via prefix filtering
-    # (Chaudhuri ICDE 2006 / PPJoin WWW 2008) — trigram Jaccard >= 1/2
-    # with exact-integer threshold; the brute-force oracle doubles as
-    # an empirical completeness proof of the prefix-filter theorem
-    Query("ppjoin_neardups", llmdata.q_ppjoin_neardups, llmdata.Q_PPJOIN_NEARDUPS_SQL),
+    # louvain_merge promoted r12 (slot vacated by pareto_suppliers —
+    # demoted here; the banded 2-D skyline stays locally green)
+    Query("pareto_suppliers", llmdata.q_pareto_suppliers, llmdata.Q_PARETO_SQL),
+    # ppjoin_neardups promoted r12 (slot vacated by sw_alignment —
+    # demoted here; the numpy-DP local-alignment row stays green)
+    Query("sw_alignment", llmdata.q_sw_alignment, llmdata.Q_SW_ALIGNMENT_SQL),
     # r11b: Brier 1950 proper scoring rule + per-group reliability gap
     # (the ECE bucket statistic) — the PROBABILISTIC classifier-eval
     # member beside langid_agreement's hard-label kappa; exact
     # rational arithmetic, one scan-stage conditional aggregate
     Query("calibration_eval", llmdata.q_calibration_eval, llmdata.Q_CALIBRATION_EVAL_SQL),
-    # r11b: exact ALS half-step (Zhou 2008 ALS-WR) — the recommender-
-    # factorization family's first member: integer item factors +
-    # Cramer's-rule ridge solve, every factor ONE division of exact
-    # BIGINTs; single scan-stage groupBy over the trade-pairs store
-    Query("als_half_step", llmdata.q_als_half_step, llmdata.Q_ALS_HALF_STEP_SQL),
+    # als_half_step promoted r12 (slot vacated by kmv_set_ops —
+    # demoted here; the KMV sketch + exact self-eval stays green)
+    Query("kmv_set_ops", llmdata.q_kmv_set_ops, llmdata.Q_KMV_SET_OPS_SQL),
     # r11b: ID3 information-gain split (Quinlan 1986) — the ENTROPY
     # criterion completing the split pair with decision_stump's Gini;
     # weekend-vs-weekday spend per event_type, integer day-of-week,

@@ -358,6 +358,11 @@ def test_no_partitionless_window_over_unbounded_data(spark):
         # suffix max over the n_bands-row band aggregate (bounded by
         # construction; the data-sized windows are band-keyed)
         "pareto_suppliers",
+        # banded_rank(keys=[]) global rank: the flagged window is the
+        # band-offsets prefix sum riding the <= ~2*bands-row band-totals
+        # table (bounded by construction — the pareto_suppliers reason);
+        # every data-sized window is keyed by __br_band
+        "slope_one_devs",
     }
     offenders = {}
     for name in ALL_QUERIES:
