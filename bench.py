@@ -196,6 +196,7 @@ HEADLINE = [
     "gini_lengths",
     "mcnemar_rules",
     "knn_hubness",
+    "knn_hubness_sampled",
     # r11: CART stump split search (banded-ECDF sufficient stats) and
     # the true-DL/Levenshtein pair vs DuckDB's independent natives
     "decision_stump",

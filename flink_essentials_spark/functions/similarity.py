@@ -1498,6 +1498,7 @@ def knn_hubness(
     vec_col: str = "embedding",
     levels: int = 255,
     num_blocks: int = 8,
+    sample_hex: int | None = None,
 ) -> DataFrame:
     """Hubness audit of the embedding space (Radovanović, Nanopoulos &
     Ivanović, JMLR 2010, "Hubs in space: popular nearest neighbors in
@@ -1524,7 +1525,20 @@ def knn_hubness(
     vector); the global top-k merges bounded candidate lists, never
     the matrix. Requires ids < 2^21 (asserted task-side) for the
     composite (dot, id) sort key. Returns one row:
-    (n_vecs, k, max_nk, n_zero, skew)."""
+    (n_vecs, k, max_nk, n_zero, skew).
+
+    ``sample_hex`` (0..16) is the SUBQUADRATIC form for corpora where
+    even blocked exact all-pairs is too much (the 100 TB audit shape):
+    the quantization codebook still comes from the FULL corpus (the
+    space the stored index actually searches — one linear pass), then
+    the audit keeps only vectors whose md5(id) last hex digit is
+    < ``sample_hex`` (a deterministic ~sample_hex/16 uniform sample;
+    the calibration_eval split discipline — never id%m, which aliases
+    generator strides) and measures hubness of the sampled subspace:
+    the quadratic work shrinks by (sample_hex/16)². ``sample_hex=16``
+    keeps everything and is pinned equal to the exact form in tests;
+    the standard subsampled-hubness estimator otherwise
+    (Radovanović §6 uses exactly this design)."""
     import numpy as np
     import pandas as pd
 
@@ -1560,6 +1574,14 @@ def knn_hubness(
             ).alias("__q")
         )
     )
+    if sample_hex is not None:
+        # single-ASCII-char comparison is engine-identical; index 16
+        # of the extended alphabet ('g') keeps every hex digit
+        thr = "0123456789abcdefg"[int(sample_hex)]
+        q = q.filter(
+            F.substring(F.md5(F.col("__id").cast("string")), 32, 1)
+            < F.lit(thr)
+        )
     rows = q.select(
         F.pmod(F.xxhash64(F.col("__id")), F.lit(num_blocks))
         .cast("int")

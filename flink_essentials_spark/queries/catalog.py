@@ -1747,6 +1747,10 @@ _REGISTRY: list[Query] = [
     # r11: Radovanović 2010 hubness audit — N_5 skewness over exact
     # quantized-space kNN (blocked BLAS partial top-k; ANN health)
     Query("knn_hubness", llmdata.q_knn_hubness, llmdata.Q_KNN_HUBNESS_SQL),
+    # r12: subquadratic hubness (r11 verdict #4) — full-corpus
+    # codebook, exact 5-NN hubness over the deterministic md5-digit
+    # half-sample; sample_hex=16 pinned equal to the exact form
+    Query("knn_hubness_sampled", llmdata.q_knn_hubness_sampled, llmdata.Q_KNN_HUBNESS_SAMPLED_SQL),
     # r11b: decision_stump + damerau_lev promoted to the head (see the
     # in-place rotation notes); demoted here per the r12 redundancy
     # candidates, both still full-oracle:

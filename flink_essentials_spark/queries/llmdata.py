@@ -8296,7 +8296,12 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_KNN_HUBNESS_SQL = """
+def _knn_hubness_sql(sample_pred: str) -> str:
+    """Shared hubness oracle template: the codebook CTE always spans
+    the FULL corpus (the space the index searches); ``sample_pred``
+    restricts which vectors the kNN audit runs over ('TRUE' = exact
+    form). The nk base rides ``c`` (one row per audited vector)."""
+    return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), x AS (
@@ -8309,7 +8314,9 @@ WITH e AS (
          list(CASE WHEN hi = lo THEN 0
               ELSE CAST(floor((val - lo) * 254 / (hi - lo) + 0.5) AS INTEGER)
               END ORDER BY x.dim) AS q
-  FROM x JOIN book USING (dim) GROUP BY vec_id
+  FROM x JOIN book USING (dim)
+  WHERE {sample_pred}
+  GROUP BY vec_id
 ), d AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
          CAST(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) AS BIGINT)
@@ -8323,7 +8330,7 @@ WITH e AS (
   SELECT vb AS vec_id, CAST(COUNT(*) AS BIGINT) AS c
   FROM top WHERE rk <= 5 GROUP BY vb
 ), nk AS (
-  SELECT e.vec_id, COALESCE(cnt.c, 0) AS x FROM e LEFT JOIN cnt USING (vec_id)
+  SELECT c.vec_id, COALESCE(cnt.c, 0) AS x FROM c LEFT JOIN cnt USING (vec_id)
 ), mo AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
          CAST(SUM(x) AS BIGINT) AS sx,
@@ -8349,6 +8356,40 @@ SELECT n_vecs, CAST(5 AS BIGINT) AS k, max_nk, n_zero,
        AS skew
 FROM mo
 """
+
+
+Q_KNN_HUBNESS_SQL = _knn_hubness_sql("TRUE")
+
+_HUBNESS_SAMPLE_PRED = (
+    "substr(md5(CAST(vec_id AS VARCHAR)), 32, 1) < '8'"
+)
+
+
+def q_knn_hubness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBQUADRATIC hubness audit (similarity.knn_hubness with
+    sample_hex=8): codebook from the full corpus, exact 5-NN hubness
+    over the deterministic ~1/2 md5-digit sample — the form the audit
+    takes at 100 TB, where even blocked exact all-pairs is off the
+    table (quadratic work shrinks by the square of the sample rate;
+    run sample_hex=1 there for 1/256 of the pairs). The exact form
+    (q_knn_hubness) doubles as its oracle anchor: sample_hex=16 is
+    pinned equal to the unsampled audit in tests."""
+    from flink_essentials_spark.functions.similarity import (
+        auto_blocks,
+        knn_hubness,
+    )
+    from flink_essentials_spark.tables import table_rows
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return knn_hubness(
+        emb,
+        k=5,
+        num_blocks=auto_blocks(table_rows(sf_dir, "embeddings") // 2),
+        sample_hex=8,
+    )
+
+
+Q_KNN_HUBNESS_SAMPLED_SQL = _knn_hubness_sql(_HUBNESS_SAMPLE_PRED)
 
 
 def q_mcnemar_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

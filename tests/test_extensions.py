@@ -4617,3 +4617,31 @@ def test_als_stats_maintained_over_a_stream_equals_batch(spark, tmp_path):
     )
     direct = sorted(map(tuple, q_als_half_step(spark, SF_DIR).collect()))
     assert got == direct and len(got) >= 10
+
+
+def test_knn_hubness_sampled_full_sample_equals_exact(spark):
+    """The subquadratic hubness form anchored on the exact one
+    (r11 verdict #4): sample_hex=16 (every hex digit passes) must be
+    row-identical to the unsampled audit, and the half-sample's
+    n_vecs must equal the count of ids passing the md5-digit
+    predicate (the deterministic-sample contract — never id%m, which
+    aliases generator strides)."""
+    import hashlib
+
+    from flink_essentials_spark.functions.similarity import knn_hubness
+    from flink_essentials_spark.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    exact = knn_hubness(emb, k=5, num_blocks=3).collect()
+    full = knn_hubness(emb, k=5, num_blocks=3, sample_hex=16).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in full]
+
+    half = knn_hubness(emb, k=5, num_blocks=3, sample_hex=8).collect()
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    keep = [
+        i
+        for i in ids
+        if hashlib.md5(str(i).encode()).hexdigest()[31] < "8"
+    ]
+    assert half[0].n_vecs == len(keep)
+    assert 0 < len(keep) < len(ids)
