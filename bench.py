@@ -209,6 +209,8 @@ HEADLINE = [
     "calibration_eval",
     # r11: exact ALS half-step over the trade-pairs store
     "als_half_step",
+    "als_item_step",
+    "als_rmse",
     # r11: ID3 entropy-gain stump (weekend-vs-weekday spend split)
     "info_gain_stump",
     # r11: Slope One deviations (memory-based recommender twin)

@@ -1770,6 +1770,14 @@ _REGISTRY: list[Query] = [
     # als_half_step promoted r12 (slot vacated by kmv_set_ops —
     # demoted here; the KMV sketch + exact self-eval stays green)
     Query("kmv_set_ops", llmdata.q_kmv_set_ops, llmdata.Q_KMV_SET_OPS_SQL),
+    # r12: the alternating SECOND ALS half-step (r11 verdict #4) —
+    # quantized customer factors feed the item ridge solve; exact
+    # BIGINT sufficient statistics, fixed-tree double factors
+    Query("als_item_step", llmdata.q_als_item_step, llmdata.Q_ALS_ITEM_STEP_SQL),
+    # r12: held-out recommender eval — md5 25% test fold, full
+    # alternation trained on train only, exact-integer errors on the
+    # S² scale, DECIMAL(38,0) SSE accumulation
+    Query("als_rmse", llmdata.q_als_rmse, llmdata.Q_ALS_RMSE_SQL),
     # r11b: ID3 information-gain split (Quinlan 1986) — the ENTROPY
     # criterion completing the split pair with decision_stump's Gini;
     # weekend-vs-weekday spend per event_type, integer day-of-week,

@@ -5,6 +5,7 @@ oracle (md5-derived hashing makes every stage engine-reproducible).
 
 from __future__ import annotations
 
+import atexit as _atexit
 import os
 import tempfile
 
@@ -7247,6 +7248,37 @@ def _events_fingerprint(sf_dir: str) -> tuple:
     return _table_fingerprint(sf_dir, "events")
 
 
+_STORE_ROOTS: set[str] = set()
+
+
+def _alloc_store_dir(registry: dict[tuple, str], key: tuple, prefix: str) -> str:
+    """mkdtemp for a materialized-store entry with the lifecycle the
+    r11 advice asked for: any superseded entry for the same sf_dir
+    (key[0]) — i.e. a stale fingerprint after driver testdata
+    regeneration — is rmtree'd on replacement, and every root is
+    registered for atexit cleanup so long sessions don't leak disk.
+    The caller publishes ``registry[key]`` only AFTER the parquet
+    write succeeds (a failed write must not cache a dataless path)."""
+    import shutil
+
+    for stale in [k for k in registry if k and k[0] == key[0] and k != key]:
+        old = registry.pop(stale)
+        root = os.path.dirname(old.rstrip("/"))
+        _STORE_ROOTS.discard(root)
+        shutil.rmtree(root, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix=prefix)
+    _STORE_ROOTS.add(root)
+    return root
+
+
+@_atexit.register
+def _cleanup_store_roots() -> None:
+    import shutil
+
+    for root in _STORE_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _TRADE_STORE: dict[tuple, str] = {}
 
 
@@ -7283,7 +7315,10 @@ def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        path = tempfile.mkdtemp(prefix="fes_tradestore_") + "/pairs"
+        path = (
+            _alloc_store_dir(_TRADE_STORE, store_key, "fes_tradestore_")
+            + "/pairs"
+        )
         pairs.write.mode("overwrite").parquet(path)
         _TRADE_STORE[store_key] = path
     return spark.read.parquet(path)
@@ -7314,7 +7349,10 @@ def _dbscan_assignment_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         clustered = dbscan_2d(f, "user_id", "x", "y", eps=4, min_samples=5)
-        path = tempfile.mkdtemp(prefix="fes_clusterstore_") + "/assign"
+        path = (
+            _alloc_store_dir(_CLUSTER_STORE, store_key, "fes_clusterstore_")
+            + "/assign"
+        )
         clustered.write.mode("overwrite").parquet(path)
         _CLUSTER_STORE[store_key] = path
     return spark.read.parquet(path)
@@ -8015,7 +8053,10 @@ def _rrf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked = j.join(rb, ["query_id", "doc_id"]).join(
             rp, ["query_id", "doc_id"]
         )
-        path = tempfile.mkdtemp(prefix="fes_rrfstore_") + "/candidates"
+        path = (
+            _alloc_store_dir(_RRF_STORE, store_key, "fes_rrfstore_")
+            + "/candidates"
+        )
         ranked.write.mode("overwrite").parquet(path)
         _RRF_STORE[store_key] = path
     return spark.read.parquet(path)
@@ -10684,6 +10725,262 @@ SELECT cust, n_items,
        CAST((a + 1) * r2 - b * r1 AS DOUBLE)
          / CAST((a + 1) * (c + 1) - b * b AS DOUBLE) AS x2
 FROM g
+"""
+
+
+_ALS_S = 4096  # 2^12 — power-of-two quantization scale: x·S is EXACT
+
+
+def _als_cust_quant(pairs: DataFrame) -> DataFrame:
+    """Customer half-step factors (q_als_half_step's exact Cramer
+    solve) QUANTIZED to fixed-point BIGINTs xq = floor(x·S + 0.5)
+    with S = 2^12: the double division num/det is one IEEE op on
+    exact BIGINT operands (bit-identical cross-engine), ·S is exact
+    (power of two), +0.5/floor identical — so the quantized factors
+    are exact integers BOTH engines agree on, and the alternating
+    item step below can run on overflow-free integer sufficient
+    statistics (the gram_matrix quantize-then-int64 discipline)."""
+    lam = 1
+    y1 = 1 + F.col("supp") % 3
+    y2 = 1 + F.col("supp") % 5
+    r = F.col("cnt")
+    g = pairs.groupBy("cust").agg(
+        F.sum(y1 * y1).alias("a"),
+        F.sum(y1 * y2).alias("b"),
+        F.sum(y2 * y2).alias("c"),
+        F.sum(r * y1).alias("r1"),
+        F.sum(r * y2).alias("r2"),
+    )
+    det = (F.col("a") + lam) * (F.col("c") + lam) - F.col("b") * F.col("b")
+    x1n = F.col("r1") * (F.col("c") + lam) - F.col("r2") * F.col("b")
+    x2n = (F.col("a") + lam) * F.col("r2") - F.col("b") * F.col("r1")
+
+    def quant(num):
+        return F.floor(
+            num.cast("double") / det.cast("double") * F.lit(float(_ALS_S))
+            + F.lit(0.5)
+        ).cast("long")
+
+    return g.select("cust", quant(x1n).alias("xq1"), quant(x2n).alias("xq2"))
+
+
+def _als_item_factors(pairs: DataFrame, xq: DataFrame) -> DataFrame:
+    """The ALTERNATING second half-step (Zhou 2008 §3.1, step 2):
+    solve supplier factors from the quantized customer factors. In
+    quantized space the ridge system (X'X + λI)y = X'r becomes
+    (Xq'Xq + λS²I)·y = S·(Xq'r): a/b/c/r1/r2 are order-independent
+    exact-BIGINT aggregates (one equi-join pairs⋈factors + one
+    scan-stage groupBy — the same map-side-combinable 100 TB shape as
+    the customer step), and y1/y2 are evaluated in DOUBLE with a
+    FIXED expression tree over those exact integers — deterministic
+    cross-engine (the info_gain/libm-parity contract; the k×k matrix
+    never leaves the row)."""
+    s2 = _ALS_S * _ALS_S
+    j = pairs.join(xq, "cust")
+    q1, q2, r = F.col("xq1"), F.col("xq2"), F.col("cnt")
+    g = j.groupBy("supp").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(q1 * q1).alias("a"),
+        F.sum(q1 * q2).alias("b"),
+        F.sum(q2 * q2).alias("c"),
+        F.sum(r * q1).alias("r1"),
+        F.sum(r * q2).alias("r2"),
+    )
+    aa = (F.col("a") + F.lit(s2)).cast("double")
+    cc = (F.col("c") + F.lit(s2)).cast("double")
+    bb = F.col("b").cast("double")
+    sr1 = (F.col("r1") * F.lit(_ALS_S)).cast("double")
+    sr2 = (F.col("r2") * F.lit(_ALS_S)).cast("double")
+    dd = aa * cc - bb * bb
+    return g.select(
+        "supp",
+        "n_users",
+        "a",
+        "b",
+        "c",
+        "r1",
+        "r2",
+        ((sr1 * cc - sr2 * bb) / dd).alias("y1"),
+        ((aa * sr2 - bb * sr1) / dd).alias("y2"),
+    )
+
+
+def q_als_item_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alternating SECOND ALS half-step (Zhou, Wilkinson,
+    Schreiber & Pan, AAIM 2008 — ALS-WR; completes q_als_half_step
+    into one full alternation): customer factors from the exact
+    Cramer half-step, fixed-point-quantized at S = 2^12 (exact
+    cross-engine integers), then supplier factors solved from the
+    quantized ridge normal equations (Xq'Xq + λS²I)y = S·Xq'r. The
+    sufficient statistics are exact BIGINTs; y1/y2 are
+    fixed-expression-tree doubles over them. Two scan-stage groupBys
+    + one equi-join — the canonical distributed-ALS shape."""
+    pairs = _trade_pairs(spark, sf_dir)
+    return _als_item_factors(pairs, _als_cust_quant(pairs))
+
+
+def _als_sql_factor_ctes(pairs_cte: str) -> str:
+    """Shared oracle CTE block: quantized customer factors + item
+    normal equations over the pairs CTE named ``pairs_cte``."""
+    s = _ALS_S
+    s2 = s * s
+    return f"""g AS (
+  SELECT cust,
+         CAST(SUM((1 + supp % 3) * (1 + supp % 3)) AS BIGINT) AS a,
+         CAST(SUM((1 + supp % 3) * (1 + supp % 5)) AS BIGINT) AS b,
+         CAST(SUM((1 + supp % 5) * (1 + supp % 5)) AS BIGINT) AS c,
+         CAST(SUM(cnt * (1 + supp % 3)) AS BIGINT) AS r1,
+         CAST(SUM(cnt * (1 + supp % 5)) AS BIGINT) AS r2
+  FROM {pairs_cte} GROUP BY 1
+), xq AS (
+  SELECT cust,
+         CAST(floor(CAST(r1 * (c + 1) - r2 * b AS DOUBLE)
+                    / CAST((a + 1) * (c + 1) - b * b AS DOUBLE)
+                    * {s}.0 + 0.5) AS BIGINT) AS xq1,
+         CAST(floor(CAST((a + 1) * r2 - b * r1 AS DOUBLE)
+                    / CAST((a + 1) * (c + 1) - b * b AS DOUBLE)
+                    * {s}.0 + 0.5) AS BIGINT) AS xq2
+  FROM g
+), ig AS (
+  SELECT supp,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(xq1 * xq1) AS BIGINT) AS a,
+         CAST(SUM(xq1 * xq2) AS BIGINT) AS b,
+         CAST(SUM(xq2 * xq2) AS BIGINT) AS c,
+         CAST(SUM(cnt * xq1) AS BIGINT) AS r1,
+         CAST(SUM(cnt * xq2) AS BIGINT) AS r2
+  FROM {pairs_cte} JOIN xq USING (cust) GROUP BY 1
+), ifac AS (
+  SELECT supp, n_users, a, b, c, r1, r2,
+         (CAST(r1 * {s} AS DOUBLE) * CAST(c + {s2} AS DOUBLE)
+          - CAST(r2 * {s} AS DOUBLE) * CAST(b AS DOUBLE))
+         / (CAST(a + {s2} AS DOUBLE) * CAST(c + {s2} AS DOUBLE)
+            - CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS y1,
+         (CAST(a + {s2} AS DOUBLE) * CAST(r2 * {s} AS DOUBLE)
+          - CAST(b AS DOUBLE) * CAST(r1 * {s} AS DOUBLE))
+         / (CAST(a + {s2} AS DOUBLE) * CAST(c + {s2} AS DOUBLE)
+            - CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS y2
+  FROM ig
+)"""
+
+
+Q_ALS_ITEM_STEP_SQL = f"""
+WITH pairs AS (
+  SELECT o_custkey AS cust, l_suppkey AS supp, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), {_als_sql_factor_ctes("pairs")}
+SELECT supp, n_users, a, b, c, r1, r2, y1, y2 FROM ifac
+"""
+
+
+def q_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out recommender evaluation (the calibration_eval split
+    discipline): trade pairs split by md5(cust‖supp) last hex digit —
+    < '4' is the ~25% TEST fold (never key%m, which aliases generator
+    strides) — one full ALS alternation (exact customer Cramer solve
+    → S = 2^12 quantized factors → item ridge solve → factors
+    re-quantized) trains on TRAIN only, then predicts each test
+    pair's rating as x̂·ŷ. Every error is the exact integer
+    e = xq·yq − cnt·S² (prediction and rating on the S² scale); the
+    squared-error sum accumulates in DECIMAL(38,0) (BIGINT would
+    overflow at e² ~ 1e19 — the ANSI-overflow lesson), and RMSE/MAE
+    are divisions + sqrt over exact-operand doubles: bit-identical
+    cross-engine. One row: (n_train, n_test, sum_abs_err, rmse,
+    mae)."""
+    pairs = _trade_pairs(spark, sf_dir)
+    digit = F.substring(
+        F.md5(
+            F.concat_ws("_", F.col("cust").cast("string"),
+                        F.col("supp").cast("string"))
+        ),
+        32,
+        1,
+    )
+    tagged = pairs.withColumn("__test", digit < F.lit("4"))
+    train = tagged.filter(~F.col("__test")).drop("__test")
+    test = tagged.filter(F.col("__test")).drop("__test")
+    xq = _als_cust_quant(train)
+    yfac = _als_item_factors(train, xq)
+    s2 = _ALS_S * _ALS_S
+
+    def quant(col):
+        return F.floor(col * F.lit(float(_ALS_S)) + F.lit(0.5)).cast("long")
+
+    yq = yfac.select(
+        "supp", quant(F.col("y1")).alias("yq1"), quant(F.col("y2")).alias("yq2")
+    )
+    scored = (
+        test.join(xq, "cust")
+        .join(yq, "supp")
+        .select(
+            (
+                F.col("xq1") * F.col("yq1") + F.col("xq2") * F.col("yq2")
+                - F.col("cnt") * F.lit(s2)
+            ).alias("e")
+        )
+    )
+    n_train = train.groupBy().agg(F.count(F.lit(1)).alias("n_train"))
+    agg = scored.groupBy().agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.abs(F.col("e"))).alias("sum_abs_err"),
+        F.sum(
+            F.col("e").cast("decimal(38,0)") * F.col("e").cast("decimal(38,0)")
+        ).alias("__sse"),
+    )
+    sd = F.lit(float(s2))
+    return agg.crossJoin(F.broadcast(n_train)).select(
+        "n_train",
+        "n_test",
+        "sum_abs_err",
+        (
+            F.sqrt(
+                F.col("__sse").cast("double") / F.col("n_test").cast("double")
+            )
+            / sd
+        ).alias("rmse"),
+        (
+            F.col("sum_abs_err").cast("double")
+            / F.col("n_test").cast("double")
+            / sd
+        ).alias("mae"),
+    )
+
+
+Q_ALS_RMSE_SQL = f"""
+WITH allp AS (
+  SELECT o_custkey AS cust, l_suppkey AS supp, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT * FROM allp
+  WHERE substr(md5(CAST(cust AS VARCHAR) || '_' || CAST(supp AS VARCHAR)),
+               32, 1) >= '4'
+), test AS (
+  SELECT * FROM allp
+  WHERE substr(md5(CAST(cust AS VARCHAR) || '_' || CAST(supp AS VARCHAR)),
+               32, 1) < '4'
+), {_als_sql_factor_ctes("pairs")}, yq AS (
+  SELECT supp,
+         CAST(floor(y1 * {_ALS_S}.0 + 0.5) AS BIGINT) AS yq1,
+         CAST(floor(y2 * {_ALS_S}.0 + 0.5) AS BIGINT) AS yq2
+  FROM ifac
+), err AS (
+  SELECT xq1 * yq1 + xq2 * yq2 - cnt * {_ALS_S * _ALS_S} AS e
+  FROM test JOIN xq USING (cust) JOIN yq USING (supp)
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(abs(e)) AS BIGINT) AS sum_abs_err,
+         SUM(CAST(e AS DECIMAL(38,0)) * CAST(e AS DECIMAL(38,0))) AS sse
+  FROM err
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_train,
+       n_test, sum_abs_err,
+       sqrt(CAST(sse AS DOUBLE) / CAST(n_test AS DOUBLE))
+         / {_ALS_S * _ALS_S}.0 AS rmse,
+       CAST(sum_abs_err AS DOUBLE) / CAST(n_test AS DOUBLE)
+         / {_ALS_S * _ALS_S}.0 AS mae
+FROM agg
 """
 
 

@@ -4478,11 +4478,23 @@ def test_trade_pairs_store_reuses_and_invalidates(spark, tmp_path):
     import os
 
     li = os.path.join(src, "lineitem.parquet")
-    with open(li, "ab") as f:
-        f.write(b"\x00")  # size change is enough for the fingerprint
+    # rewrite the file VALIDLY (pyarrow re-encode): mtime_ns moves, so
+    # the fingerprint changes while the table stays readable — the
+    # rebuild below must actually succeed against the new file
+    import pyarrow.parquet as pq
+
+    pq.write_table(pq.read_table(li), li)
     fp_new = llmdata._table_fingerprint(src, "lineitem")
     key_new = (src, fp_new, llmdata._table_fingerprint(src, "orders"))
     assert key_new not in llmdata._TRADE_STORE
+    # rebuilding under the new fingerprint must rmtree the superseded
+    # store dir and drop its registry entry (r11 advice: fingerprint
+    # churn leaked one orphan dir per regeneration)
+    assert os.path.exists(path1)
+    llmdata._trade_pairs(spark, src)
+    assert key_new in llmdata._TRADE_STORE
+    assert not os.path.exists(os.path.dirname(path1.rstrip("/")))
+    assert len({k for k in llmdata._TRADE_STORE if k[0] == src}) == 1
     # cleanup: drop this test's entries so other tests are unaffected
     for k in list(llmdata._TRADE_STORE):
         if k[0] == src:
@@ -4645,3 +4657,131 @@ def test_knn_hubness_sampled_full_sample_equals_exact(spark):
     ]
     assert half[0].n_vecs == len(keep)
     assert 0 < len(keep) < len(ids)
+
+
+def test_als_item_step_and_rmse_match_fraction_reference(spark):
+    """The CHAINED alternation against an independent Python
+    reference: customer factors solved as exact Fractions and
+    quantized through the SAME IEEE double pipeline (python floats
+    ARE IEEE doubles — num/det, ·4096, +0.5, floor), then the item
+    ridge system built from python ints and solved by FRACTION
+    Gaussian elimination; the production query's BIGINT sufficient
+    statistics must match exactly and its double factors must equal
+    the fixed-tree evaluation. q_als_rmse's error sum is re-derived
+    from the same reference factors."""
+    import math
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    from flink_essentials_spark.queries.llmdata import (
+        _ALS_S,
+        q_als_item_step,
+        q_als_rmse,
+    )
+
+    li = pq.read_table(
+        SF_DIR + "/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).to_pylist()
+    od = pq.read_table(
+        SF_DIR + "/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pylist()
+    cust_of = {r["o_orderkey"]: r["o_custkey"] for r in od}
+    cnt: dict = {}
+    for r in li:
+        c = cust_of.get(r["l_orderkey"])
+        if c is not None:
+            k = (c, r["l_suppkey"])
+            cnt[k] = cnt.get(k, 0) + 1
+
+    def cust_quant(pairs):
+        sums: dict = {}
+        for (c, s), n in pairs.items():
+            y1, y2 = 1 + s % 3, 1 + s % 5
+            a, b, cc, r1, r2 = sums.get(c, (0, 0, 0, 0, 0))
+            sums[c] = (
+                a + y1 * y1, b + y1 * y2, cc + y2 * y2,
+                r1 + n * y1, r2 + n * y2,
+            )
+        xq = {}
+        for c, (a, b, cc, r1, r2) in sums.items():
+            det = (a + 1) * (cc + 1) - b * b
+            x1n = r1 * (cc + 1) - r2 * b
+            x2n = (a + 1) * r2 - b * r1
+            xq[c] = (
+                math.floor(x1n / det * float(_ALS_S) + 0.5),
+                math.floor(x2n / det * float(_ALS_S) + 0.5),
+            )
+        return xq
+
+    def item_solve(pairs, xq):
+        s2 = _ALS_S * _ALS_S
+        isums: dict = {}
+        for (c, s), n in pairs.items():
+            q1, q2 = xq[c]
+            nu, a, b, cc, r1, r2 = isums.get(s, (0, 0, 0, 0, 0, 0))
+            isums[s] = (
+                nu + 1, a + q1 * q1, b + q1 * q2, cc + q2 * q2,
+                r1 + n * q1, r2 + n * q2,
+            )
+        out = {}
+        for s, (nu, a, b, cc, r1, r2) in isums.items():
+            # Fraction elimination on [[a+S², b], [b, c+S²]] y = S·r
+            m00, m01, m11 = Fraction(a + s2), Fraction(b), Fraction(cc + s2)
+            v0, v1 = Fraction(_ALS_S * r1), Fraction(_ALS_S * r2)
+            f = m01 / m00
+            y2 = (v1 - f * v0) / (m11 - f * m01)
+            y1 = (v0 - m01 * y2) / m00
+            # the production doubles follow the FIXED Cramer tree
+            dd = float(a + s2) * float(cc + s2) - float(b) * float(b)
+            y1d = (float(_ALS_S * r1) * float(cc + s2)
+                   - float(_ALS_S * r2) * float(b)) / dd
+            y2d = (float(a + s2) * float(_ALS_S * r2)
+                   - float(b) * float(_ALS_S * r1)) / dd
+            out[s] = (nu, a, b, cc, r1, r2, y1, y2, y1d, y2d)
+        return out
+
+    xq_all = cust_quant(cnt)
+    ref = item_solve(cnt, xq_all)
+    got = q_als_item_step(spark, SF_DIR).collect()
+    assert len(got) == len(ref)
+    for row in got:
+        nu, a, b, cc, r1, r2, fy1, fy2, y1d, y2d = ref[row["supp"]]
+        assert (row["n_users"], row["a"], row["b"], row["c"],
+                row["r1"], row["r2"]) == (nu, a, b, cc, r1, r2)
+        assert row["y1"] == y1d and row["y2"] == y2d
+        # the double is the correctly-rounded-tree eval of the exact
+        # rational up to the two documented product roundings
+        assert abs(row["y1"] - float(fy1)) < 1e-6
+        assert abs(row["y2"] - float(fy2)) < 1e-6
+
+    # held-out eval re-derived from the same reference pipeline
+    import hashlib
+
+    def is_test(c, s):
+        return hashlib.md5(f"{c}_{s}".encode()).hexdigest()[31] < "4"
+
+    train = {k: v for k, v in cnt.items() if not is_test(*k)}
+    test = {k: v for k, v in cnt.items() if is_test(*k)}
+    xq_tr = cust_quant(train)
+    yfac = item_solve(train, xq_tr)
+    s2 = _ALS_S * _ALS_S
+    yq = {
+        s: (math.floor(v[8] * float(_ALS_S) + 0.5),
+            math.floor(v[9] * float(_ALS_S) + 0.5))
+        for s, v in yfac.items()
+    }
+    errs = [
+        xq_tr[c][0] * yq[s][0] + xq_tr[c][1] * yq[s][1] - n * s2
+        for (c, s), n in test.items()
+        if c in xq_tr and s in yq
+    ]
+    row = q_als_rmse(spark, SF_DIR).collect()[0]
+    assert row["n_train"] == len(train)
+    assert row["n_test"] == len(errs)
+    assert row["sum_abs_err"] == sum(abs(e) for e in errs)
+    sse = sum(e * e for e in errs)
+    assert row["rmse"] == math.sqrt(float(sse) / float(len(errs))) / s2
+    assert row["mae"] == (
+        float(sum(abs(e) for e in errs)) / float(len(errs)) / s2
+    )

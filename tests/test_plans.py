@@ -298,6 +298,9 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # checkpointed pair model (the heaps_fit/chi2_terms pattern);
         # the pair build itself is an equi-self-join on cust
         "slope_one_devs": {"BroadcastNestedLoopJoin"},
+        # one-row n_train aggregate broadcast-crossJoined onto the
+        # one-row test-error aggregate (idle_customers pattern)
+        "als_rmse": {"BroadcastNestedLoopJoin"},
         # one-row stream-midpoint scalar broadcast (psi_drift pattern)
         "welch_drift": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},
