@@ -882,3 +882,95 @@ def gini_stump(
             / F.col("b.n").cast("double")
         ).alias("gini"),
     )
+
+
+def welch_t_from_stats(stats: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Welch's t readout (Welch 1947) from the SUM-mergeable
+    sufficient-statistics table (key, n_a, n_b, s_a, s_b, ss_a, ss_b)
+    — the maintained-monitor contract: the one-shot query and the
+    streaming-maintained rollup both end in THIS readout, so the two
+    paths are bit-identical by construction (the ks_drift/
+    decision_stump matrix discipline). Means are single divisions of
+    exact operands; variances/t/df build in DOUBLE from the exact
+    BIGINTs with the fixed tree the oracle mirrors. Keys with
+    n_a <= 1 or n_b <= 1 are dropped (variance undefined)."""
+    a = stats.filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    mean_a = d("s_a") / d("n_a")
+    mean_b = d("s_b") / d("n_b")
+    var_a = (d("n_a") * d("ss_a") - d("s_a") * d("s_a")) / (
+        d("n_a") * (d("n_a") - F.lit(1.0))
+    )
+    var_b = (d("n_b") * d("ss_b") - d("s_b") * d("s_b")) / (
+        d("n_b") * (d("n_b") - F.lit(1.0))
+    )
+    se2_a = var_a / d("n_a")
+    se2_b = var_b / d("n_b")
+    t = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
+    df = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (d("n_a") - F.lit(1.0))
+        + se2_b * se2_b / (d("n_b") - F.lit(1.0))
+    )
+    return a.select(
+        key_col,
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        t.alias("t"),
+        df.alias("df"),
+    )
+
+
+def welch_t(
+    df: DataFrame, key_col: str, flag_col: str, value_col: str
+) -> DataFrame:
+    """One-shot Welch's t per key between the flag=true (a) and
+    flag=false (b) populations of ``value_col``: ONE scan-stage
+    conditional aggregate to the exact-BIGINT sufficient statistics
+    (n, Σv, Σv² per side — SUM-mergeable, the streaming-maintained
+    twin folds exactly these), then welch_t_from_stats."""
+    fl = F.col(flag_col)
+    v = F.col(value_col)
+    stats = df.groupBy(key_col).agg(
+        F.sum(fl.cast("long")).alias("n_a"),
+        F.sum((~fl).cast("long")).alias("n_b"),
+        F.sum(F.when(fl, v).otherwise(0)).alias("s_a"),
+        F.sum(F.when(~fl, v).otherwise(0)).alias("s_b"),
+        F.sum(F.when(fl, v * v).otherwise(0)).alias("ss_a"),
+        F.sum(F.when(~fl, v * v).otherwise(0)).alias("ss_b"),
+    )
+    return welch_t_from_stats(stats, key_col)
+
+
+def mcnemar_from_cells(cells: DataFrame, key_col: str = "lang") -> DataFrame:
+    """McNemar χ² readout (McNemar 1947) from the SUM-mergeable
+    discordant-cell table (key, n, n10, n01) — the maintained-monitor
+    contract (see welch_t_from_stats). χ² = (n10 − n01)²/(n10 + n01)
+    is one division of exact-operand doubles; keys with no
+    discordance are dropped (the statistic is undefined)."""
+    a = cells.filter(F.col("n10") + F.col("n01") > 0)
+    diff = (F.col("n10") - F.col("n01")).cast("double")
+    tot = (F.col("n10") + F.col("n01")).cast("double")
+    return a.select(
+        key_col, "n", "n10", "n01", (diff * diff / tot).alias("chi2")
+    )
+
+
+def mcnemar(
+    df: DataFrame, key_col: str, a_col: str, b_col: str
+) -> DataFrame:
+    """One-shot McNemar's paired test per key between boolean rule
+    columns ``a_col``/``b_col`` evaluated on the same rows: one
+    scan-stage aggregate to the exact-BIGINT cells (n, n10, n01 —
+    SUM-mergeable), then mcnemar_from_cells."""
+    ra, rb = F.col(a_col), F.col(b_col)
+    cells = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(ra & ~rb).alias("n10"),
+        F.count_if(~ra & rb).alias("n01"),
+    )
+    return mcnemar_from_cells(cells, key_col)

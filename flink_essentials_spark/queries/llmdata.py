@@ -8160,8 +8160,12 @@ def q_welch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n·Σv² overflows int64 at scale — the trend_lines deny lesson),
     means are single divisions of exact operands, and t divides by a
     pinned sqrt. The Welch–Satterthwaite df is the standard double
-    formula over the same pinned operands. Returns (event_type, n_a,
-    n_b, mean_a, mean_b, t, df)."""
+    formula over the same pinned operands. Tagged rows feed
+    timeseries.welch_t — the shared production readout whose
+    SUM-mergeable (n, Σv, Σv²) state also carries the
+    streaming-maintained twin (e2e-pinned in tests). Returns
+    (event_type, n_a, n_b, mean_a, mean_b, t, df)."""
+    from flink_essentials_spark.functions.timeseries import welch_t
     from flink_essentials_spark.queries.util import cents
 
     ev = load_tables(spark, sf_dir)["events"]
@@ -8174,46 +8178,7 @@ def q_welch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ts < F.col("mid")).alias("is_a"),
         cents("value").alias("v"),
     )
-    a = tagged.groupBy("event_type").agg(
-        F.sum(F.col("is_a").cast("long")).alias("n_a"),
-        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
-        F.sum(F.when(F.col("is_a"), F.col("v")).otherwise(0)).alias("s_a"),
-        F.sum(F.when(~F.col("is_a"), F.col("v")).otherwise(0)).alias("s_b"),
-        F.sum(
-            F.when(F.col("is_a"), F.col("v") * F.col("v")).otherwise(0)
-        ).alias("ss_a"),
-        F.sum(
-            F.when(~F.col("is_a"), F.col("v") * F.col("v")).otherwise(0)
-        ).alias("ss_b"),
-    ).filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
-
-    def d(c):
-        return F.col(c).cast("double")
-
-    mean_a = d("s_a") / d("n_a")
-    mean_b = d("s_b") / d("n_b")
-    var_a = (d("n_a") * d("ss_a") - d("s_a") * d("s_a")) / (
-        d("n_a") * (d("n_a") - F.lit(1.0))
-    )
-    var_b = (d("n_b") * d("ss_b") - d("s_b") * d("s_b")) / (
-        d("n_b") * (d("n_b") - F.lit(1.0))
-    )
-    se2_a = var_a / d("n_a")
-    se2_b = var_b / d("n_b")
-    t = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
-    df = (se2_a + se2_b) * (se2_a + se2_b) / (
-        se2_a * se2_a / (d("n_a") - F.lit(1.0))
-        + se2_b * se2_b / (d("n_b") - F.lit(1.0))
-    )
-    return a.select(
-        "event_type",
-        "n_a",
-        "n_b",
-        mean_a.alias("mean_a"),
-        mean_b.alias("mean_b"),
-        t.alias("t"),
-        df.alias("df"),
-    )
+    return welch_t(tagged, "event_type", "is_a", "v")
 
 
 def _welch_sql() -> str:
@@ -8444,7 +8409,10 @@ def q_mcnemar_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3·distinct ≥ tokens). Only the discordant cells matter:
     χ² = (n01 − n10)²/(n01 + n10). Every cell is an exact BIGINT and
     χ² is one division of exact-operand doubles — bit-identical
-    cross-engine. Pure scan-stage flags + one keyed aggregate."""
+    cross-engine. Flagged rows feed timeseries.mcnemar — the shared
+    production readout whose SUM-mergeable (n, n10, n01) cells also
+    carry the streaming-maintained twin (e2e-pinned in tests)."""
+    from flink_essentials_spark.functions.timeseries import mcnemar
     from flink_essentials_spark.operators.transform import tokenize
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -8454,16 +8422,7 @@ def q_mcnemar_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") >= 300).alias("ra"),
         (3 * F.size(F.array_distinct(toks)) >= F.size(toks)).alias("rb"),
     )
-    a = staged.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_if(F.col("ra") & ~F.col("rb")).alias("n10"),
-        F.count_if(~F.col("ra") & F.col("rb")).alias("n01"),
-    ).filter(F.col("n10") + F.col("n01") > 0)
-    diff = (F.col("n10") - F.col("n01")).cast("double")
-    tot = (F.col("n10") + F.col("n01")).cast("double")
-    return a.select(
-        "lang", "n", "n10", "n01", (diff * diff / tot).alias("chi2")
-    )
+    return mcnemar(staged, "lang", "ra", "rb")
 
 
 Q_MCNEMAR_RULES_SQL = f"""
