@@ -70,6 +70,9 @@ HEADLINE = [
     # noDataMicroBatches is already disabled. Any real reduction needs
     # the env-blocked TWS backend (JVM-side state), not query changes.
     "streaming_capped_sessions",
+    # r12: pinned-shape (128 keys x 2 batches) zero-work stateful row —
+    # its wall-clock IS the stateful-path tax; rows/s = sf rows / time
+    "streaming_state_throughput",
     # training-data extensions
     "wordcount",
     "dedup_exact",

@@ -434,3 +434,21 @@ def running_count(df: DataFrame, keys: Iterable[str]) -> DataFrame:
     Streaming: use output mode ``update`` for per-batch emission.
     """
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+class RunningCountProcessor(KeyedProcessor):
+    """Minimal per-key stateful counter: emits (key, cum) for every
+    element, cum = that key's running element count. The output
+    multiset per key is {1..n_key} REGARDLESS of how the stream is
+    micro-batched or ordered — which is what makes it the
+    THROUGHPUT bench processor (queries.catalog
+    q_streaming_state_throughput): zero algorithmic work, so its
+    wall-clock is purely the stateful-path cost (state round-trip per
+    key per batch + per-row python) at a pinned key count × batch
+    count, the denominator any state-store/backend comparison (TWS vs
+    applyInPandasWithState) needs."""
+
+    def on_element(self, key, row, state, out):
+        c = (state.get("c") or 0) + 1
+        state.put("c", c)
+        out.emit(key=key[0], cum=c)

@@ -905,6 +905,66 @@ def q_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def q_streaming_state_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THROUGHPUT-shaped stateful-path bench row (r11 verdict #7):
+    every events row flows through keyed_process →
+    RunningCountProcessor at a PINNED shape — 128 keys
+    (user_id % 128) × 2 micro-batches — so the row's wall-clock is a
+    rows/s denominator for the stateful path itself (state
+    round-trip per key per batch + per-row Arrow/python; zero
+    algorithmic work) that backend comparisons (native TWS vs the
+    applyInPandasWithState emulation, state-store tuning) can be
+    measured against. Output is (key, cum) per element — each key's
+    multiset is exactly {1..n_key} regardless of batching or order,
+    so the full DuckDB oracle is a generate_series expansion and no
+    mtime pinning or sentinels are needed.
+
+    Measured at sf0.1 (local[32], clean box, r12): 100k rows through
+    128 keys × 2 batches in ~2.5 s ≈ 40k rows/s end-to-end (incl. the
+    one-job replay write ~0.5 s) — consistent with the documented
+    ~6 ms/key/batch protocol floor (256 invocations ≈ 1.5 s) plus
+    per-row emit cost; the per-key tax, not row volume, dominates
+    until rows/key/batch ≫ 400."""
+    from flink_essentials_spark.operators.stateful import (
+        RunningCountProcessor,
+        keyed_process,
+    )
+    from flink_essentials_spark.sinks.sinks import run_to_memory
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    t = load_tables(spark, sf_dir)
+    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    t["events"].select(
+        (F.col("user_id") % 128).alias("key")
+    ).repartition(2).write.mode("overwrite").parquet(replay_dir)
+    stream = file_replay(spark, replay_dir, "key long", files_per_trigger=1)
+    out = keyed_process(
+        stream,
+        ["key"],
+        RunningCountProcessor(),
+        "key long, cum long",
+        output_mode="append",
+    )
+    name = "sst_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_to_memory(spark, out, name, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+Q_STREAMING_STATE_THROUGHPUT_SQL = """
+WITH r AS (
+  SELECT user_id % 128 AS key FROM events
+), n AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY 1
+)
+SELECT key, CAST(s AS BIGINT) AS cum
+FROM n, UNNEST(generate_series(1, c)) AS t(s)
+"""
+
+
 Q_STREAMING_SCD2_ENRICH_SQL = """
 WITH snap AS (
   SELECT o_custkey, o_orderdate AS vts, max(o_totalprice) AS price
@@ -1827,6 +1887,10 @@ _REGISTRY: list[Query] = [
     Query("resample_ffill", llmdata.q_resample_ffill, llmdata.Q_RESAMPLE_FFILL_SQL),
     Query("mad_outliers", llmdata.q_mad_outliers, llmdata.Q_MAD_OUTLIERS_SQL),
     Query("streaming_scd2_enrich", q_streaming_scd2_enrich, Q_STREAMING_SCD2_ENRICH_SQL),
+    # r12: pinned-shape stateful-path throughput row (128 keys x 2
+    # batches, zero algorithmic work) — the rows/s denominator for
+    # TWS-vs-emulation and state-store comparisons
+    Query("streaming_state_throughput", q_streaming_state_throughput, Q_STREAMING_STATE_THROUGHPUT_SQL),
     # streaming_capped_sessions promoted r10 (see head rotation notes —
     # the python-stateful streaming path is now driver-visible)
     # demoted r7 (head slots went to heavy_hitters / image_dedup /
