@@ -1347,23 +1347,58 @@ def _dl_batch(a_strs: list, b_strs: list) -> "list":
 
 
 def dl_scores_batch(
-    pairs: DataFrame, a_col: str, b_col: str, out_col: str = "dl"
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    out_col: str = "dl",
+    on_overflow: str = "error",
 ) -> DataFrame:
     """Damerau-Levenshtein distance for PRE-BLOCKED candidate pairs
     (the jw_scores_batch shape: candidate volume is bounded by the
     upstream blocking join, so the python comparator cost is paid on
     candidates — never on a cross product; at 100 TB the scoring
     rides the candidate table's partitioning with no extra shuffle).
-    Appends ``out_col`` (bigint). The batch DP is _dl_batch —
+    Appends ``out_col`` (bigint).
+
+    Rows are SPLIT BY LENGTH BUCKET (next power of two of the pair's
+    max UTF-8 byte length) before the DP, so each _dl_batch call
+    sizes its P·L² tensor from its own bucket's maxima — one 250-byte
+    outlier no longer inflates every short pair's DP table in the
+    batch (r11 advice). Pairs beyond the 256-byte DP contract:
+    ``on_overflow="error"`` (default) raises the documented
+    actionable error; ``"null"`` emits NULL for just those rows so
+    one long outlier can't fail a whole scoring job — callers can
+    filter/penalize nulls downstream. The batch DP is _dl_batch —
     transposition-aware true DL over UTF-8 bytes, matching DuckDB's
     native damerau_levenshtein bit-for-bit."""
+    if on_overflow not in ("error", "null"):
+        raise ValueError("dl_scores_batch: on_overflow must be error|null")
 
     def score(batches):
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = _dl_batch(
-                pdf[a_col].astype(str).tolist(), pdf[b_col].astype(str).tolist()
-            )
+            astr = pdf[a_col].astype(str).tolist()
+            bstr = pdf[b_col].astype(str).tolist()
+            out: list = [None] * len(astr)
+            buckets: dict[int, list[int]] = {}
+            for i, (x, y) in enumerate(zip(astr, bstr)):
+                m = max(len(x.encode("utf-8")), len(y.encode("utf-8")))
+                if m > 256:
+                    if on_overflow == "error":
+                        raise ValueError(
+                            f"dl_scores_batch: pair byte length {m} "
+                            "exceeds the 256-byte DP contract — pass "
+                            "on_overflow='null' or truncate upstream"
+                        )
+                    continue  # stays NULL
+                buckets.setdefault(max(1, m - 1).bit_length(), []).append(i)
+            for idxs in buckets.values():
+                vals = _dl_batch(
+                    [astr[i] for i in idxs], [bstr[i] for i in idxs]
+                )
+                for i, v in zip(idxs, vals):
+                    out[i] = v
+            pdf[out_col] = out
             yield pdf
 
     schema = ", ".join(

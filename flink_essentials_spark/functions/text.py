@@ -1013,8 +1013,11 @@ def bpe_train(
     # (cnt DESC, left, right) tie-break, same left-to-right fold —
     # a pure execution-strategy switch, bit-identical output. At web
     # scale the distributed loop below takes over.
-    head = vocab.limit(65537).collect()
-    if len(head) <= 65536:
+    # probe the SIZE first (cheap count on the checkpointed frame —
+    # r11 advice: don't collect 65537 full symbol-array rows just to
+    # learn the corpus is large-vocab)
+    if vocab.count() <= 65536:
+        head = vocab.collect()
         vpy = [(r["n"], list(r["symbols"])) for r in head]
         merges_py: list = []
         for step in range(1, n_merges + 1):

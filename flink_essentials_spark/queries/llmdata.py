@@ -10959,7 +10959,12 @@ def q_info_gain_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-int-to-double (identical cross-engine) and ln is libm (the
     repo-wide jaro/zipf parity contract); terms sum in FIXED
     expression order, zero-count terms are CASE-gated to 0 (never
-    0·ln 0 = NaN), and the emitted gain rounds to 6."""
+    0·ln 0 = NaN), and the emitted gain rounds to 6. Known residual
+    risk (r11 advice, accepted): the argmin struct-MIN compares the
+    UNROUNDED wh doubles, so a last-ulp JVM-vs-libm log divergence at
+    an exact near-tie between two thresholds could flip the selected
+    thr — unobserved across the gate's SFs; if it ever fires, scale/
+    round wh before the struct-MIN like the emitted gain column."""
     from flink_essentials_spark.functions.timeseries import _ecdf_cums
     from flink_essentials_spark.queries.util import cents
 

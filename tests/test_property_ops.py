@@ -193,6 +193,33 @@ def test_dl_batch_known_vectors():
     assert got == [2, 1, 2, 3, 3, 2, 0]
 
 
+def test_dl_scores_batch_buckets_and_overflow(spark):
+    """dl_scores_batch splits rows by length bucket before the DP
+    (one long pair no longer sizes every short pair's tensor) and the
+    on_overflow contract: 'null' leaves only the >256-byte rows NULL
+    while short rows in the SAME batch still score; default 'error'
+    raises (r11 advice)."""
+    import pytest
+
+    from flink_essentials_spark.functions.dedup import dl_scores_batch
+
+    long_s = "x" * 300
+    rows = [("CA", "ABC"), ("kitten", "sitting"), (long_s, "x"),
+            ("a" * 200, "a" * 199), ("", "abc")]
+    df = spark.createDataFrame(rows, "a string, b string").coalesce(1)
+    got = {
+        (r["a"][:8], r["b"][:8]): r["dl"]
+        for r in dl_scores_batch(df, "a", "b", on_overflow="null").collect()
+    }
+    assert got[("CA", "ABC")] == 2
+    assert got[("kitten", "sitting")] == 3
+    assert got[(long_s[:8], "x")] is None
+    assert got[("a" * 8, "a" * 8)] == 1
+    assert got[("", "abc")] == 3
+    with pytest.raises(Exception, match="256-byte"):
+        dl_scores_batch(df, "a", "b").collect()
+
+
 # --- louvain one-level mutual-best merge -------------------------------------
 
 
