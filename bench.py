@@ -200,6 +200,7 @@ HEADLINE = [
     "mcnemar_rules",
     "knn_hubness",
     "knn_hubness_sampled",
+    "spacesaving_topk",
     # r11: CART stump split search (banded-ECDF sufficient stats) and
     # the true-DL/Levenshtein pair vs DuckDB's independent natives
     "decision_stump",

@@ -1378,3 +1378,91 @@ def qdigest_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def ss_summaries(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition SPACE-SAVING stream summaries (Metwally, Agrawal
+    & El Abbadi, ICDT 2005 "Efficient computation of frequent and
+    top-k elements in data streams") — the replacement-policy sibling
+    of Misra–Gries: k counters; an untracked item EVICTS the minimum
+    counter and inherits its value (count = min + c, error = min), so
+    counters OVERESTIMATE (true ≤ count ≤ true + error) where MG
+    undercounts. Batched over Arrow value_counts in deterministic
+    (count DESC, item) order; the batched replacement is net +c, so
+    Σ counters = n_p exactly — hence min ≤ n_p/k and any item absent
+    from a partition's summary has in-partition count ≤ n_p/k (the
+    same pigeonhole MG gives, via the dual mechanics; invariants
+    property-pinned in tests). Emits (``__it``, est, err) per
+    partition — ≤ partitions·k rows of bytes."""
+    import pandas as pd
+
+    kk = int(k)
+
+    def ss(batches):
+        counts: dict = {}
+        errs: dict = {}
+        for pdf in batches:
+            vc = pdf["__it"].value_counts()
+            for it, c in sorted(
+                vc.items(), key=lambda kv: (-int(kv[1]), kv[0])
+            ):
+                c = int(c)
+                if it in counts:
+                    counts[it] += c
+                elif len(counts) < kk:
+                    counts[it] = c
+                    errs[it] = 0
+                else:
+                    victim = min(counts.items(), key=lambda kv: (kv[1], kv[0]))
+                    m = victim[1]
+                    del counts[victim[0]]
+                    errs.pop(victim[0], None)
+                    counts[it] = m + c
+                    errs[it] = m
+        yield pd.DataFrame(
+            {
+                "__it": list(counts.keys()),
+                "est": [int(counts[i]) for i in counts],
+                "err": [int(errs.get(i, 0)) for i in counts],
+            }
+        )
+
+    items = df.select(F.col(item_col).cast("string").alias("__it"))
+    return items.mapInPandas(ss, "__it string, est long, err long")
+
+
+def ss_exact_topk(
+    df: DataFrame, item_col: str, k: int = 64, m: int = 10
+) -> DataFrame:
+    """DETERMINISTIC exact top-m via space-saving candidates — the
+    stream-summary member beside mg_exact_heavy_hitters' threshold
+    form (same two-pass discipline, different summary mechanics and
+    TOP-K semantics): phase 1 unions per-partition space-saving
+    summaries (guaranteed recall of every item with global count >
+    n/k — see ss_summaries); phase 2 exact-recounts candidates via a
+    broadcast semi-join, keeps only the PROVABLY-recalled region
+    (cnt·k > n — layout-independence: a non-candidate can never
+    qualify), and ranks the ≤ k−1 surviving rows by (cnt DESC, item).
+    The final window rides a bounded aggregate (at most k−1 items can
+    exceed n/k), the documented sample_quantiles shape. Returns
+    (item, cnt, n, rk ≤ m)."""
+    items = df.select(F.col(item_col).cast("string").alias("__it"))
+    cands = ss_summaries(df, item_col, k).select("__it").distinct()
+    total = items.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        items.join(F.broadcast(cands), "__it", "left_semi")
+        .groupBy("__it")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(int(k)) > F.col("n"))
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.orderBy(F.col("cnt").desc(), F.col("__it"))
+    )
+    return (
+        exact.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= int(m))
+        .select(F.col("__it").alias(item_col), "cnt", "n", "rk")
+    )

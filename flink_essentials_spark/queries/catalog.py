@@ -1786,6 +1786,10 @@ _REGISTRY: list[Query] = [
     # qdigest_summary promoted r12 (slot vacated by count_sketch —
     # demoted here; the signed-counter sketch stays locally green)
     Query("count_sketch", llmdata.q_count_sketch, llmdata.Q_COUNT_SKETCH_SQL),
+    # r12: space-saving exact top-k (Metwally 2005) — the
+    # stream-summary TOP-K member beside mg_heavy_hitters' threshold
+    # form; overestimating evict-min counters, two-pass exact
+    Query("spacesaving_topk", llmdata.q_spacesaving_topk, llmdata.Q_SPACESAVING_TOPK_SQL),
     # r11: A-ES weighted reservoir sampling (Efraimidis-Spirakis 2006)
     # via the exact-integer max-of-w-uniforms identity — no pow/ln at
     # the selection boundary; full oracle via the same construction

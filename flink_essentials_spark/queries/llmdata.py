@@ -8590,6 +8590,43 @@ HAVING COUNT(*) * 50 > n.n * 1
 """
 
 
+def q_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact TOP-10 tokens via space-saving summaries
+    (approx.ss_exact_topk — Metwally 2005 stream-summary counters +
+    one exact rescan): the TOP-K member beside mg_heavy_hitters'
+    threshold form. Per-partition space-saving replacement
+    (overestimating counters, evict-min-and-inherit) guarantees every
+    token with share > 1/64 is a candidate; the exact pass recounts
+    candidates behind a broadcast semi-join, keeps the
+    provably-recalled region (cnt·64 > n — layout-independent by the
+    recall guarantee), and ranks the ≤ 63 survivors. The final
+    window rides that bounded aggregate (sample_quantiles shape)."""
+    from flink_essentials_spark.functions.approx import ss_exact_topk
+    from flink_essentials_spark.operators.transform import tokenize
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    return ss_exact_topk(toks, "token", k=64, m=10)
+
+
+Q_SPACESAVING_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+), c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+), f AS (
+  SELECT token, cnt, n.n FROM c, n WHERE cnt * 64 > n.n
+), r AS (
+  SELECT token, cnt, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rk
+  FROM f
+)
+SELECT token, cnt, n, rk FROM r WHERE rk <= 10
+"""
+
+
 def q_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user CUSUM changepoint screen (timeseries.cusum_control,
     Page 1954) over spend cents in event-time order: one-sided

@@ -4897,3 +4897,61 @@ def test_mcnemar_maintained_over_a_stream_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, mcnemar_from_cells(stored, "k").collect()))
     direct = sorted(map(tuple, mcnemar(docs, "k", "ra", "rb").collect()))
     assert got == direct and len(got) >= 2
+
+
+def test_space_saving_invariants_and_layout_independence(spark):
+    """The space-saving mechanics (Metwally 2005), pinned per
+    partition on one coalesced frame: Σ counters == n_p (batched
+    replacement is net +c), every tracked item OVERESTIMATES within
+    its error (true ≤ est ≤ true + err), min counter ≤ n_p/k, and
+    every item absent from the summary has true count ≤ the final
+    min. Then the two-pass exact top-k output is identical across
+    partition layouts (1, 3, 8 partitions) — the recall guarantee
+    makes the provably-recalled region layout-free."""
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.approx import (
+        ss_exact_topk,
+        ss_summaries,
+    )
+
+    rows = (
+        [("a",)] * 40 + [("b",)] * 25 + [("c",)] * 12 + [("d",)] * 9
+        + [(f"r{i}",) for i in range(30)] + [("e",)] * 4
+    )
+    df = spark.createDataFrame(rows, "it string")
+    one = df.coalesce(1)
+    summ = {r["__it"]: (r["est"], r["err"])
+            for r in ss_summaries(one, "it", 6).collect()}
+    true = {}
+    for (it,) in rows:
+        true[it] = true.get(it, 0) + 1
+    n = len(rows)
+    assert sum(e for e, _ in summ.values()) == n
+    assert len(summ) <= 6
+    for it, (est, err) in summ.items():
+        assert true[it] <= est <= true[it] + err
+    final_min = min(e for e, _ in summ.values())
+    assert final_min <= n / 6 + 1e-9
+    for it, c in true.items():
+        if it not in summ:
+            assert c <= final_min
+    # heavy items (count > n/6 = 20) are guaranteed candidates
+    for it, c in true.items():
+        if c * 6 > n:
+            assert it in summ
+
+    outs = [
+        sorted(
+            map(
+                tuple,
+                ss_exact_topk(
+                    df.repartition(p) if p > 1 else df.coalesce(1),
+                    "it", k=6, m=3,
+                ).collect(),
+            )
+        )
+        for p in (1, 3, 8)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert [r[0] for r in outs[0]] == ["a", "b"]  # only a,b exceed n/6

@@ -271,6 +271,9 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # one-row total-count broadcast onto the bounded candidate
         # counts (corpus_mixture pattern)
         "mg_heavy_hitters": {"BroadcastNestedLoopJoin"},
+        # same one-row total broadcast as mg_heavy_hitters (the
+        # space-saving top-k twin)
+        "spacesaving_topk": {"BroadcastNestedLoopJoin"},
         # one-row global time-bounds broadcast for bucketing
         # (zorder_keys scalar-bounds pattern)
         "wavelet_synopsis": {"BroadcastNestedLoopJoin"},
@@ -354,6 +357,9 @@ def test_no_partitionless_window_over_unbounded_data(spark):
         "chi2_independence",
         # window over the 256-row bottom-k sample (bounded by k)
         "sample_quantiles",
+        # window over the <= k-1 provably-recalled heavy items (at
+        # most k-1 counts can exceed n/k — bounded by construction)
+        "spacesaving_topk",
         # window over histogram bins (bounded by bin count)
         "histogram_quantiles",
         # window over the per-week aggregate (bounded series)
