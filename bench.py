@@ -201,6 +201,7 @@ HEADLINE = [
     "knn_hubness",
     "knn_hubness_sampled",
     "spacesaving_topk",
+    "hdbscan_core",
     # r11: CART stump split search (banded-ECDF sufficient stats) and
     # the true-DL/Levenshtein pair vs DuckDB's independent natives
     "decision_stump",

@@ -991,3 +991,122 @@ def louvain_merge_level(edges: DataFrame, weight_col: str = "cnt") -> DataFrame:
             ).alias("q1"),
         )
     )
+
+
+def hdbscan_core_2d(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """HDBSCAN's density substrate (Campello, Moulavi & Sander, PAKDD
+    2013, "Density-based clustering based on hierarchical density
+    estimates") restricted to the eps-bounded neighborhood graph —
+    the hierarchical member beside :func:`dbscan_2d`'s flat cut:
+    per point the squared CORE DISTANCE core2 = d² to its k-th
+    nearest neighbor (self included, so the (k−1)-th smallest
+    neighbor d² — the value at a rank, tie-insensitive), and per
+    eps-edge the squared MUTUAL REACHABILITY
+    mr2 = max(core2_a, core2_b, d²) — the edge weight HDBSCAN's MST
+    runs on. Both are EXACT integer arithmetic on 2-D integer
+    features. A point's core distance exists iff it has ≥ k−1
+    eps-neighbors (at this eps bound a sparser point cannot be core
+    at scale k — the standard eps-truncated hierarchy); output keeps
+    points with a core distance and ≥ 1 mutually-defined edge.
+
+    Scale shape: the dbscan_2d cell discipline — one (x div eps,
+    y div eps) bucketing, 3×3-cell equi-join (never all-pairs), the
+    checkpointed pair table feeding degree, k-NN selection (a
+    sort_array over each point's eps-ball — bounded by local
+    density, the same bound DBSCAN itself rides) and the two
+    edge-endpoint joins. Returns (id, n_eps, core2, n_mr, min_mr2,
+    max_mr2), all BIGINT."""
+    f = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).localCheckpoint()  # probe + build sides
+    e = F.lit(int(eps))
+    probe = f.select(
+        "pid",
+        "x",
+        "y",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(-1), F.lit(1)),
+                    lambda dx: F.transform(
+                        F.sequence(F.lit(-1), F.lit(1)),
+                        lambda dy: F.struct(
+                            (F.floor(F.col("x") / e) + dx).alias("cx"),
+                            (F.floor(F.col("y") / e) + dy).alias("cy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("cell"),
+    )
+    build = f.select(
+        F.col("pid").alias("qid"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        F.struct(
+            F.floor(F.col("x") / e).alias("cx"),
+            F.floor(F.col("y") / e).alias("cy"),
+        ).alias("cell"),
+    )
+    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    pairs = (
+        probe.join(build, "cell")
+        .filter(
+            (F.col("pid") != F.col("qid")) & (d2 <= F.lit(int(eps * eps)))
+        )
+        .select("pid", "qid", d2.alias("d2"))
+        # feeds degree, the k-NN selection AND both mr endpoints
+        .localCheckpoint()
+    )
+    core = (
+        pairs.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_eps"),
+            F.sort_array(F.collect_list("d2")).alias("__ds"),
+        )
+        .filter(F.col("n_eps") >= int(k) - 1)
+        .select(
+            "pid",
+            "n_eps",
+            F.element_at("__ds", int(k) - 1).cast("long").alias("core2"),
+        )
+    )
+    ca = core.select(F.col("pid"), F.col("core2").alias("__ca"))
+    cb = core.select(
+        F.col("pid").alias("qid"), F.col("core2").alias("__cb")
+    )
+    mr = (
+        pairs.join(ca, "pid")
+        .join(cb, "qid")
+        .select(
+            "pid",
+            F.greatest(F.col("__ca"), F.col("__cb"), F.col("d2")).alias(
+                "mr2"
+            ),
+        )
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_mr"),
+            F.min("mr2").alias("min_mr2"),
+            F.max("mr2").alias("max_mr2"),
+        )
+    )
+    return core.join(mr, "pid").select(
+        F.col("pid").alias(id_col),
+        "n_eps",
+        "core2",
+        "n_mr",
+        "min_mr2",
+        "max_mr2",
+    )

@@ -1790,6 +1790,10 @@ _REGISTRY: list[Query] = [
     # stream-summary TOP-K member beside mg_heavy_hitters' threshold
     # form; overestimating evict-min counters, two-pass exact
     Query("spacesaving_topk", llmdata.q_spacesaving_topk, llmdata.Q_SPACESAVING_TOPK_SQL),
+    # r12: HDBSCAN core + mutual-reachability distances (Campello
+    # 2013) over the materialized dbscan geometry — exact integer
+    # d², cell-bucketed eps-join, the MST-weight substrate
+    Query("hdbscan_core", llmdata.q_hdbscan_core, llmdata.Q_HDBSCAN_CORE_SQL),
     # r11: A-ES weighted reservoir sampling (Efraimidis-Spirakis 2006)
     # via the exact-integer max-of-w-uniforms identity — no pow/ln at
     # the selection boundary; full oracle via the same construction

@@ -7414,6 +7414,61 @@ FROM ab GROUP BY 1
 """
 
 
+def q_hdbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN density substrate over the user feature space
+    (graph.hdbscan_core_2d; Campello, Moulavi & Sander 2013) — the
+    HIERARCHICAL member beside dbscan_users' flat eps-cut, over the
+    SAME materialized geometry (_dbscan_assignment_store's (x, y)
+    points, eps = 4, k = 5): per point the exact squared core
+    distance (d² to the 5th nearest, self included) and the
+    min/max/count of squared MUTUAL-REACHABILITY edge weights
+    mr2 = max(core2_a, core2_b, d²) — the quantities HDBSCAN's MST
+    and stability hierarchy consume. All exact integers; the oracle
+    rebuilds them from a brute-force eps-join (list_sort rank
+    selection is tie-insensitive — a value at a rank)."""
+    from flink_essentials_spark.functions.graph import hdbscan_core_2d
+
+    pts = _dbscan_assignment_store(spark, sf_dir).select(
+        "user_id", "x", "y"
+    )
+    return hdbscan_core_2d(pts, "user_id", "x", "y", eps=4, k=5)
+
+
+def _hdbscan_sql() -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    return f"""
+WITH f AS (
+  SELECT user_id AS pid, COUNT(*) AS x,
+         CAST(SUM({sql_cents('value')}) // 10000 AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), p AS (
+  SELECT a.pid AS pid, b.pid AS qid,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM f a JOIN f b
+    ON a.pid <> b.pid
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 16
+), core AS (
+  SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_eps,
+         CAST(list_sort(list(d2))[4] AS BIGINT) AS core2
+  FROM p GROUP BY pid HAVING COUNT(*) >= 4
+), mr AS (
+  SELECT p.pid, GREATEST(ca.core2, cb.core2, p.d2) AS mr2
+  FROM p JOIN core ca ON ca.pid = p.pid JOIN core cb ON cb.pid = p.qid
+), agg AS (
+  SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_mr,
+         CAST(MIN(mr2) AS BIGINT) AS min_mr2,
+         CAST(MAX(mr2) AS BIGINT) AS max_mr2
+  FROM mr GROUP BY pid
+)
+SELECT c.pid AS user_id, c.n_eps, c.core2, a.n_mr, a.min_mr2, a.max_mr2
+FROM core c JOIN agg a USING (pid)
+"""
+
+
+Q_HDBSCAN_CORE_SQL = _hdbscan_sql()
+
+
 def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scores per document
     (text.kneser_ney_score, Kneser & Ney 1995 / Chen & Goodman 1998)

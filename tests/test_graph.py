@@ -261,3 +261,58 @@ def test_degree_assortativity_hand_computed(spark):
         m, num, denx, deny,
     )
     assert got["assortativity"] == r
+
+
+def test_hdbscan_core_matches_brute_force(spark):
+    """hdbscan_core_2d against a python brute-force reference on a
+    two-blob + noise layout: exact squared core distances (5th NN
+    incl. self = 4th neighbor d²), mutual-reachability aggregates,
+    and the eps-bound exclusions (sparse points have no core
+    distance; points whose eps-ball holds no OTHER core-defined
+    point emit no row)."""
+    from flink_essentials_spark.functions.graph import hdbscan_core_2d
+
+    pts = (
+        [(i, 0 + dx, 10 + dy) for i, (dx, dy) in enumerate(
+            [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (2, 2)]
+        )]
+        + [(10 + i, 30 + dx, 40 + dy) for i, (dx, dy) in enumerate(
+            [(0, 0), (1, 1), (2, 0), (0, 2), (1, 0)]
+        )]
+        + [(99, 100, 100)]  # isolated noise
+    )
+    eps, k = 4, 5
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    got = {
+        r["pid"]: (r["n_eps"], r["core2"], r["n_mr"], r["min_mr2"],
+                   r["max_mr2"])
+        for r in hdbscan_core_2d(df, "pid", "x", "y", eps=eps, k=k).collect()
+    }
+
+    def d2(a, b):
+        return (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2
+
+    nbrs = {
+        p[0]: sorted(
+            d2(p, q) for q in pts if q[0] != p[0] and d2(p, q) <= eps * eps
+        )
+        for p in pts
+    }
+    core = {
+        pid: ds[k - 2] for pid, ds in nbrs.items() if len(ds) >= k - 1
+    }
+    want = {}
+    for p in pts:
+        if p[0] not in core:
+            continue
+        mrs = [
+            max(core[p[0]], core[q[0]], d2(p, q))
+            for q in pts
+            if q[0] != p[0] and q[0] in core and d2(p, q) <= eps * eps
+        ]
+        if mrs:
+            want[p[0]] = (
+                len(nbrs[p[0]]), core[p[0]], len(mrs), min(mrs), max(mrs)
+            )
+    assert got == want
+    assert 99 not in got and len(got) >= 8
