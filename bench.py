@@ -202,6 +202,7 @@ HEADLINE = [
     "knn_hubness_sampled",
     "spacesaving_topk",
     "hdbscan_core",
+    "tdigest_centroids",
     # r11: CART stump split search (banded-ECDF sufficient stats) and
     # the true-DL/Levenshtein pair vs DuckDB's independent natives
     "decision_stump",

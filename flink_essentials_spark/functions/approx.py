@@ -1466,3 +1466,92 @@ def ss_exact_topk(
         .filter(F.col("rk") <= int(m))
         .select(F.col("__it").alias(item_col), "cnt", "n", "rk")
     )
+
+
+TDIGEST_DELTA = 32
+# embedded via repr on BOTH engines (the link_rank float-literal
+# lesson): delta / (2*pi) as the one shared double constant
+TDIGEST_COEF = TDIGEST_DELTA / (2.0 * 3.141592653589793)
+
+
+def tdigest_sorted(
+    df: DataFrame, key_col: str, value_col: str, delta: int = TDIGEST_DELTA
+) -> DataFrame:
+    """DETERMINISTIC t-digest (Dunning & Ertl 2019, "Computing
+    extremely accurate quantiles using t-digests") — the
+    centroid-merge member completing the quantile matrix (q-digest:
+    dyadic rank error; DDSketch: relative error; Munro-Paterson:
+    exact; bottom-k/histogram: sampling/fixed-range). The general
+    streaming MergingDigest is MERGE-ORDER-DEPENDENT (the reason the
+    repo skips HLL++-style empirical variants); this is the paper's
+    most accurate construction instead: ONE greedy left-to-right
+    clustering of the fully SORTED (value, count) stream under the
+    k1 scale function k(q) = (δ/2π)·asin(2q−1) — cluster accepts the
+    next value while k(q_right) − k(q_left) ≤ 1 — which pins the
+    merge order to the total order of the data and nothing else.
+
+    Cross-engine determinism: cluster weights/sums are exact BIGINTs;
+    every boundary test evaluates coef·asin(2·(W/n)−1) with W/n a
+    correctly-rounded double of exact integers, coef a repr-pinned
+    literal and asin the shared libm (the jaro parity contract) — so
+    a DuckDB list_reduce fold replays the construction bit-for-bit.
+
+    Scale shape: one scan-stage (key, value) count groupBy, then ONE
+    Arrow task per key over its bounded distinct-value support (the
+    q-digest ladder discipline — sequential greedy per group, never
+    a driver loop). Returns (key, idx, w, s, mean) — idx 1-based in
+    value order, mean = s/w as exact-operand double; Σw = n and
+    cluster means are non-decreasing by construction."""
+    import math
+
+    import pandas as pd
+
+    coef = float(TDIGEST_COEF) * (float(delta) / float(TDIGEST_DELTA))
+    kname = key_col
+
+    counts = df.groupBy(
+        F.col(key_col), F.col(value_col).cast("long").alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+
+    def build(pdf):
+        pdf = pdf.sort_values("__v")
+        vals = pdf["__v"].tolist()
+        cnts = pdf["__c"].tolist()
+        n = int(sum(cnts))
+        key = pdf[kname].iloc[0]
+        W0, w, s = 0, 0, 0
+        out = []
+        for v, c in zip(vals, cnts):
+            v, c = int(v), int(c)
+            if w == 0 or (
+                coef * math.asin(2.0 * ((W0 + w + c) / n) - 1.0)
+                - coef * math.asin(2.0 * (W0 / n) - 1.0)
+                <= 1.0
+            ):
+                w += c
+                s += v * c
+            else:
+                out.append((w, s))
+                W0 += w
+                w, s = c, v * c
+        out.append((w, s))
+        return pd.DataFrame(
+            {
+                kname: [key] * len(out),
+                "idx": range(1, len(out) + 1),
+                "w": [o[0] for o in out],
+                "s": [o[1] for o in out],
+            }
+        )
+
+    ktype = dict(counts.dtypes)[kname]
+    cents = counts.groupBy(kname).applyInPandas(
+        build, f"{kname} {ktype}, idx long, w long, s long"
+    )
+    return cents.select(
+        kname,
+        "idx",
+        "w",
+        "s",
+        (F.col("s").cast("double") / F.col("w").cast("double")).alias("mean"),
+    )

@@ -1794,6 +1794,10 @@ _REGISTRY: list[Query] = [
     # 2013) over the materialized dbscan geometry — exact integer
     # d², cell-bucketed eps-join, the MST-weight substrate
     Query("hdbscan_core", llmdata.q_hdbscan_core, llmdata.Q_HDBSCAN_CORE_SQL),
+    # r12: deterministic t-digest (Dunning & Ertl 2019) — sorted-
+    # stream greedy k1 clustering (merge order pinned by the data's
+    # total order); list_reduce fold oracle, bit-exact doubles
+    Query("tdigest_centroids", llmdata.q_tdigest_centroids, llmdata.Q_TDIGEST_CENTROIDS_SQL),
     # r11: A-ES weighted reservoir sampling (Efraimidis-Spirakis 2006)
     # via the exact-integer max-of-w-uniforms identity — no pow/ln at
     # the selection boundary; full oracle via the same construction

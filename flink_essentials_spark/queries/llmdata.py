@@ -8682,6 +8682,90 @@ SELECT token, cnt, n, rk FROM r WHERE rk <= 10
 """
 
 
+def q_tdigest_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic t-digest centroids (approx.tdigest_sorted;
+    Dunning & Ertl 2019) over spend cents per event_type — the
+    centroid-merge quantile member, built as the paper's
+    sorted-stream greedy clustering under the k1 scale function so
+    the merge order is pinned by the data's total order (the general
+    streaming MergingDigest is merge-order-dependent and is
+    deliberately NOT claimed — the HLL++ skip rationale). Exact
+    BIGINT weights/sums; boundary tests are repr-pinned-coefficient ×
+    libm asin over correctly-rounded exact-integer ratios; the
+    DuckDB oracle replays the whole construction as a list_reduce
+    fold on a string accumulator (the BPE general-fold lesson,
+    list_prepend as the init trick)."""
+    from flink_essentials_spark.functions.approx import tdigest_sorted
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", cents("value").alias("v")
+    )
+    return tdigest_sorted(ev, "event_type", "v")
+
+
+def _tdigest_sql() -> str:
+    from flink_essentials_spark.functions.approx import TDIGEST_COEF
+    from flink_essentials_spark.queries.util import sql_cents
+
+    coef = repr(TDIGEST_COEF)
+    w0 = "CAST(split_part(acc, '|', 1) AS BIGINT)"
+    cw = "CAST(split_part(acc, '|', 2) AS BIGINT)"
+    cs_ = "CAST(split_part(acc, '|', 3) AS BIGINT)"
+    ev_ = "CAST(split_part(e, ':', 1) AS BIGINT)"
+    ec = "CAST(split_part(e, ':', 2) AS BIGINT)"
+    return f"""
+WITH ev AS (
+  SELECT event_type AS k, {sql_cents('value')} AS v FROM events
+), c AS (
+  SELECT k, v, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2
+), lst AS (
+  SELECT k, CAST(SUM(c) AS BIGINT) AS n,
+         list(CAST(v AS VARCHAR) || ':' || CAST(c AS VARCHAR)
+              ORDER BY v) AS es
+  FROM c GROUP BY k
+), folded AS (
+  SELECT k,
+         list_reduce(
+           list_prepend('0|0|0|', es),
+           (acc, e) -> CASE WHEN {cw} = 0 OR
+               {coef} * asin(2.0 * (CAST({w0} + {cw} + {ec} AS DOUBLE)
+                                    / CAST(n AS DOUBLE)) - 1.0)
+               - {coef} * asin(2.0 * (CAST({w0} AS DOUBLE)
+                                      / CAST(n AS DOUBLE)) - 1.0)
+               <= 1.0
+             THEN split_part(acc, '|', 1) || '|'
+                  || CAST({cw} + {ec} AS VARCHAR) || '|'
+                  || CAST({cs_} + {ev_} * {ec} AS VARCHAR) || '|'
+                  || split_part(acc, '|', 4)
+             ELSE CAST({w0} + {cw} AS VARCHAR) || '|'
+                  || split_part(e, ':', 2) || '|'
+                  || CAST({ev_} * {ec} AS VARCHAR) || '|'
+                  || split_part(acc, '|', 4) || split_part(acc, '|', 2)
+                  || ',' || split_part(acc, '|', 3) || ';'
+           END
+         ) AS acc
+  FROM lst
+), fin AS (
+  SELECT k,
+         string_split(
+           split_part(acc, '|', 4) || split_part(acc, '|', 2) || ','
+             || split_part(acc, '|', 3),
+           ';') AS cs
+  FROM folded
+)
+SELECT k AS event_type, CAST(i AS BIGINT) AS idx,
+       CAST(split_part(cs[i], ',', 1) AS BIGINT) AS w,
+       CAST(split_part(cs[i], ',', 2) AS BIGINT) AS s,
+       CAST(CAST(split_part(cs[i], ',', 2) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(split_part(cs[i], ',', 1) AS BIGINT) AS DOUBLE) AS mean
+FROM fin, UNNEST(generate_series(1, len(cs))) AS t(i)
+"""
+
+
+Q_TDIGEST_CENTROIDS_SQL = _tdigest_sql()
+
+
 def q_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user CUSUM changepoint screen (timeseries.cusum_control,
     Page 1954) over spend cents in event-time order: one-sided
