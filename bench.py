@@ -203,6 +203,7 @@ HEADLINE = [
     "spacesaving_topk",
     "hdbscan_core",
     "tdigest_centroids",
+    "jackknife_variance",
     # r11: CART stump split search (banded-ECDF sufficient stats) and
     # the true-DL/Levenshtein pair vs DuckDB's independent natives
     "decision_stump",

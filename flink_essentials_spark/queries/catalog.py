@@ -1798,6 +1798,10 @@ _REGISTRY: list[Query] = [
     # stream greedy k1 clustering (merge order pinned by the data's
     # total order); list_reduce fold oracle, bit-exact doubles
     Query("tdigest_centroids", llmdata.q_tdigest_centroids, llmdata.Q_TDIGEST_CENTROIDS_SQL),
+    # r12: delete-one-block jackknife variance (Quenouille/Tukey) —
+    # the resampling member; md5-digit blocks, exact LOO means,
+    # fixed-order 16-element double folds on both engines
+    Query("jackknife_variance", llmdata.q_jackknife_variance, llmdata.Q_JACKKNIFE_VARIANCE_SQL),
     # r11: A-ES weighted reservoir sampling (Efraimidis-Spirakis 2006)
     # via the exact-integer max-of-w-uniforms identity — no pow/ln at
     # the selection boundary; full oracle via the same construction

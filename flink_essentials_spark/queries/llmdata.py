@@ -8682,6 +8682,128 @@ SELECT token, cnt, n, rk FROM r WHERE rk <= 10
 """
 
 
+_JK_B = 16  # delete-one-block jackknife block count (md5 hex digit)
+
+
+def q_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife (Quenouille 1949 / Tukey 1958;
+    the block form is the workhorse of large-scale genomics and web
+    measurement — one pass, B leave-one-out replicates) for the
+    per-language mean document length — the RESAMPLING member of the
+    statistics family (drift matrix tests shifts; this estimates the
+    SAMPLING VARIANCE of an estimator without distributional
+    assumptions). Docs split into B = 16 deterministic blocks by the
+    md5(doc_id) last hex digit (never id%m — generator strides
+    alias); per block the exact (n_b, Σ_b) sufficient statistics;
+    each leave-one-out mean m_(j) = (Σ−Σ_j)/(n−n_j) is ONE division
+    of exact BIGINTs.
+
+    Cross-engine double discipline: the jackknife variance
+    v = (B−1)/B · Σ_j (m_(j) − m̄)² sums 16 doubles — a SUM aggregate
+    would be order-nondeterministic, so both engines run the SAME
+    LEFT FOLD over the block-ordered replicate array (Spark
+    F.aggregate == DuckDB list_reduce with a prepended 0.0 init;
+    16 elements, so the interpreted-HOF cost is irrelevant) —
+    bit-identical results. Languages must populate ≥ 2 blocks (else
+    a replicate divides by zero). Returns (lang, n, mean, v_jack,
+    se_jack). Scale shape: one (lang, block) scan-stage aggregate +
+    one per-lang rollup — the map-side-combinable two-level shape;
+    B is a constant, never data-sized."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    blk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1), 16, 10
+    ).cast("int")
+    per = docs.groupBy(F.col("lang"), blk.alias("b")).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("n_chars").alias("sb"),
+    )
+    g = per.groupBy("lang").agg(
+        F.sum("nb").alias("n"),
+        F.sum("sb").alias("s"),
+        F.count(F.lit(1)).alias("nblocks"),
+        F.map_from_entries(
+            F.collect_list(F.struct("b", F.struct("nb", "sb")))
+        ).alias("m"),
+    ).filter(F.col("nblocks") >= 2)
+    ms = F.transform(
+        F.sequence(F.lit(0), F.lit(_JK_B - 1)),
+        lambda j: (
+            F.col("s") - F.coalesce(F.element_at("m", j)["sb"], F.lit(0))
+        ).cast("double")
+        / (
+            F.col("n") - F.coalesce(F.element_at("m", j)["nb"], F.lit(0))
+        ).cast("double"),
+    )
+    staged = g.select("lang", "n", "s", ms.alias("__ms"))
+    mbar = F.aggregate(
+        "__ms", F.lit(0.0), lambda a, x: a + x
+    ) / F.lit(float(_JK_B))
+    staged = staged.withColumn("__mbar", mbar)
+    v = (
+        F.aggregate(
+            "__ms",
+            F.lit(0.0),
+            lambda a, x: a
+            + (x - F.col("__mbar")) * (x - F.col("__mbar")),
+        )
+        * F.lit(float(_JK_B - 1))
+        / F.lit(float(_JK_B))
+    )
+    return staged.select(
+        "lang",
+        "n",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("mean"),
+        v.alias("v_jack"),
+        F.sqrt(v).alias("se_jack"),
+    )
+
+
+Q_JACKKNIFE_VARIANCE_SQL = f"""
+WITH d AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 32, 1))
+              AS BIGINT) AS b,
+         n_chars
+  FROM documents
+), per AS (
+  SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(n_chars) AS BIGINT) AS sb
+  FROM d GROUP BY 1, 2
+), g AS (
+  SELECT lang, CAST(SUM(nb) AS BIGINT) AS n, CAST(SUM(sb) AS BIGINT) AS s
+  FROM per GROUP BY 1 HAVING COUNT(*) >= 2
+), expand AS (
+  SELECT g.lang, g.n, g.s, t.j
+  FROM g, UNNEST(generate_series(0, {_JK_B - 1})) AS t(j)
+), loo AS (
+  SELECT e.lang, e.n, e.s, e.j,
+         COALESCE(p.nb, 0) AS nbj, COALESCE(p.sb, 0) AS sbj
+  FROM expand e LEFT JOIN per p ON p.lang = e.lang AND p.b = e.j
+), ms AS (
+  SELECT lang, n, s,
+         list(CAST(s - sbj AS DOUBLE) / CAST(n - nbj AS DOUBLE)
+              ORDER BY j) AS mlist
+  FROM loo GROUP BY lang, n, s
+), mb AS (
+  SELECT lang, n, s, mlist,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), mlist),
+                     (a, x) -> a + x) / {float(_JK_B)!r} AS mbar
+  FROM ms
+)
+SELECT lang, n,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(mlist, x -> (x - mbar) * (x - mbar))),
+                   (a, x) -> a + x)
+         * {float(_JK_B - 1)!r} / {float(_JK_B)!r} AS v_jack,
+       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(mlist, x -> (x - mbar) * (x - mbar))),
+                   (a, x) -> a + x)
+         * {float(_JK_B - 1)!r} / {float(_JK_B)!r}) AS se_jack
+FROM mb
+"""
+
+
 def q_tdigest_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic t-digest centroids (approx.tdigest_sorted;
     Dunning & Ertl 2019) over spend cents per event_type — the

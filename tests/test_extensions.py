@@ -5018,3 +5018,51 @@ def test_tdigest_sorted_invariants_and_quantile_accuracy(spark):
             # the centroid mean must sit within the cluster's value
             # range; its rank window [lo, hi] covers r by selection
             assert sv[min(int(lo), n - 1)] <= m <= sv[min(int(hi), n - 1)] + 1e-9
+
+
+def test_jackknife_variance_matches_python_reference(spark):
+    """q_jackknife_variance against an independent python reference:
+    blocks re-derived from md5 digits on a pyarrow scan, leave-one-
+    out means as python floats, variance summed in a DIFFERENT order
+    (sorted descending) — agreement to 1e-12 relative shows the
+    fixed-fold discipline computes the textbook quantity, while n /
+    mean / LOO structure match exactly. Also pins the classic sanity
+    v_jack > 0 and se = sqrt(v)."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from flink_essentials_spark.queries.llmdata import (
+        _JK_B,
+        q_jackknife_variance,
+    )
+
+    rows = pq.read_table(
+        SF_DIR + "/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).to_pylist()
+    per: dict = {}
+    for r in rows:
+        b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[31], 16)
+        n, s = per.setdefault(r["lang"], {}).get(b, (0, 0))
+        per[r["lang"]][b] = (n + 1, s + r["n_chars"])
+    got = {r["lang"]: r for r in q_jackknife_variance(spark, SF_DIR).collect()}
+    assert set(got) == {k for k, v in per.items() if len(v) >= 2}
+    for lang, blocks in per.items():
+        if len(blocks) < 2:
+            continue
+        n = sum(nb for nb, _ in blocks.values())
+        s = sum(sb for _, sb in blocks.values())
+        ms = [
+            (s - blocks.get(j, (0, 0))[1]) / (n - blocks.get(j, (0, 0))[0])
+            for j in range(_JK_B)
+        ]
+        mbar = sum(ms) / _JK_B
+        v = sum(sorted(((x - mbar) ** 2 for x in ms), reverse=True)) * (
+            _JK_B - 1
+        ) / _JK_B
+        r = got[lang]
+        assert r["n"] == n
+        assert r["mean"] == s / n
+        assert v > 0 and abs(r["v_jack"] - v) <= 1e-12 * max(v, 1e-30)
+        assert r["se_jack"] == math.sqrt(r["v_jack"])
