@@ -204,6 +204,7 @@ HEADLINE = [
     "hdbscan_core",
     "tdigest_centroids",
     "jackknife_variance",
+    "isotonic_calibration",
     # r11: CART stump split search (banded-ECDF sufficient stats) and
     # the true-DL/Levenshtein pair vs DuckDB's independent natives
     "decision_stump",

@@ -974,3 +974,73 @@ def mcnemar(
         F.count_if(~ra & rb).alias("n01"),
     )
     return mcnemar_from_cells(cells, key_col)
+
+
+def isotonic_fit(
+    stats: DataFrame,
+    key_col: str,
+    bin_col: str,
+    w_col: str,
+    s_col: str,
+) -> DataFrame:
+    """Isotonic regression by POOL-ADJACENT-VIOLATORS (Ayer et al.
+    1955; Barlow & Brunk 1972 — THE monotone-calibration algorithm,
+    Zadrozny & Elkan KDD 2002 for classifiers) over pre-binned
+    sufficient statistics (key, bin, w = count, s = Σy): per key the
+    nondecreasing fit minimizing weighted squared error, computed by
+    the exact-integer PAVA stack — pool while the previous block's
+    mean ≥ the next's, compared by CROSS-MULTIPLICATION
+    S_prev·W_next ≥ S_next·W_prev (no doubles anywhere in the
+    algorithm; pooling equal means is fit-invariant, and the fitted
+    value depends only on the pooled block's exact rational S/W, so
+    the emitted double — one correctly-rounded division — is
+    representation-independent and bit-identical cross-engine).
+
+    The DuckDB oracle replays NONE of this: it evaluates the
+    independent MINIMAX characterization f_j = max_{i≤j} min_{k≥j}
+    mean(i..k) with exact-fraction NOT-EXISTS selection over the
+    bounded bin³ lattice — two unrelated formulations of the theorem
+    agreeing on every value (the jaro_winkler oracle form).
+
+    Scale shape: bins are a CONSTANT per key (the caller pre-bins),
+    so one Arrow task per key over ≤bins rows — the q-digest ladder
+    discipline. Returns (key, bin, w, s, fit)."""
+    import pandas as pd
+
+    kname, bname = key_col, bin_col
+
+    def pava(pdf):
+        pdf = pdf.sort_values(bname)
+        key = pdf[kname].iloc[0]
+        blocks: list = []  # [n_bins, W, S]
+        for w, s in zip(pdf[w_col], pdf[s_col]):
+            blocks.append([1, int(w), int(s)])
+            while (
+                len(blocks) >= 2
+                and blocks[-2][2] * blocks[-1][1]
+                >= blocks[-1][2] * blocks[-2][1]
+            ):
+                b = blocks.pop()
+                blocks[-1][0] += b[0]
+                blocks[-1][1] += b[1]
+                blocks[-1][2] += b[2]
+        fits: list = []
+        for nb, wb, sb in blocks:
+            fits.extend([sb / wb] * nb)
+        out = pdf.copy()
+        out["fit"] = fits
+        return pd.DataFrame(
+            {
+                kname: [key] * len(out),
+                bname: out[bname].tolist(),
+                "w": out[w_col].tolist(),
+                "s": out[s_col].tolist(),
+                "fit": out["fit"].tolist(),
+            }
+        )
+
+    ktype = dict(stats.dtypes)[kname]
+    btype = dict(stats.dtypes)[bname]
+    return stats.groupBy(kname).applyInPandas(
+        pava, f"{kname} {ktype}, {bname} {btype}, w long, s long, fit double"
+    )

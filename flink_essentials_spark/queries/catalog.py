@@ -1802,6 +1802,10 @@ _REGISTRY: list[Query] = [
     # the resampling member; md5-digit blocks, exact LOO means,
     # fixed-order 16-element double folds on both engines
     Query("jackknife_variance", llmdata.q_jackknife_variance, llmdata.Q_JACKKNIFE_VARIANCE_SQL),
+    # r12: isotonic calibration curve (PAVA, Ayer 1955) — exact-
+    # integer pool-adjacent-violators vs the INDEPENDENT minimax
+    # characterization as oracle (two formulations of the theorem)
+    Query("isotonic_calibration", llmdata.q_isotonic_calibration, llmdata.Q_ISOTONIC_CALIBRATION_SQL),
     # r11: A-ES weighted reservoir sampling (Efraimidis-Spirakis 2006)
     # via the exact-integer max-of-w-uniforms identity — no pow/ln at
     # the selection boundary; full oracle via the same construction

@@ -8682,6 +8682,101 @@ SELECT token, cnt, n, rk FROM r WHERE rk <= 10
 """
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration curve (timeseries.isotonic_fit — PAVA,
+    Ayer 1955 / Zadrozny-Elkan KDD 2002): the monotone-nondecreasing
+    MLE of P(lang = en | length bucket) per source — the
+    calibration-CURVE member beside calibration_eval's scalar
+    Brier/ECE. Documents bucket into 16 global fixed-width length
+    bins (integer div on the broadcast span — the window_anomaly
+    floor discipline); per (source, bin) the exact (w, Σy) stats
+    feed the exact-integer PAVA stack. The oracle is the INDEPENDENT
+    minimax characterization f_j = max_{i≤j} min_{k≥j} mean(i..k),
+    selected by exact cross-multiplied NOT-EXISTS over the bounded
+    bin³ lattice — two unrelated formulations of the same theorem
+    (the jaro_winkler oracle form). Fit doubles are
+    representation-independent: any block representation of the same
+    rational divides to the identical double."""
+    from flink_essentials_spark.functions.timeseries import isotonic_fit
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    span = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    staged = docs.crossJoin(F.broadcast(span)).select(
+        "source",
+        F.least(
+            F.lit(15),
+            F.expr("((n_chars - lo) * 16) div (hi - lo + 1)"),
+        ).alias("bin"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    stats = staged.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("w"), F.sum("y").alias("s")
+    )
+    return isotonic_fit(stats, "source", "bin", "w", "s")
+
+
+Q_ISOTONIC_CALIBRATION_SQL = """
+WITH d AS (
+  SELECT source, n_chars,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), sp AS (
+  SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM d
+), bb AS (
+  SELECT source,
+         LEAST(15, ((n_chars - lo) * 16) // (hi - lo + 1)) AS bin, y
+  FROM d, sp
+), st AS (
+  SELECT source, CAST(bin AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(y) AS BIGINT) AS s
+  FROM bb GROUP BY 1, 2
+), seq AS (
+  SELECT source, bin, w, s,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY bin) AS r
+  FROM st
+), pre AS (
+  SELECT source, r,
+         SUM(w) OVER (PARTITION BY source ORDER BY r) AS cw,
+         SUM(s) OVER (PARTITION BY source ORDER BY r) AS cs
+  FROM seq
+), spans AS (
+  SELECT i.source, i.r AS i, k.r AS k,
+         k.cw - COALESCE(p.cw, 0) AS wik,
+         k.cs - COALESCE(p.cs, 0) AS sik
+  FROM pre i
+  JOIN pre k ON k.source = i.source AND k.r >= i.r
+  LEFT JOIN pre p ON p.source = i.source AND p.r = i.r - 1
+), cand AS (
+  SELECT s.source, q.r AS j, s.i, s.k, s.wik, s.sik
+  FROM spans s JOIN seq q
+    ON q.source = s.source AND s.i <= q.r AND s.k >= q.r
+), innermin AS (
+  SELECT c.source, c.j, c.i, c.k, c.wik, c.sik
+  FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2
+    WHERE c2.source = c.source AND c2.j = c.j AND c2.i = c.i
+      AND (c2.sik * c.wik < c.sik * c2.wik
+           OR (c2.sik * c.wik = c.sik * c2.wik AND c2.k < c.k))
+  )
+), outermax AS (
+  SELECT m.source, m.j, m.wik, m.sik
+  FROM innermin m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM innermin m2
+    WHERE m2.source = m.source AND m2.j = m.j
+      AND (m2.sik * m.wik > m.sik * m2.wik
+           OR (m2.sik * m.wik = m.sik * m2.wik AND m2.i < m.i))
+  )
+)
+SELECT q.source, q.bin, q.w, q.s,
+       CAST(o.sik AS DOUBLE) / CAST(o.wik AS DOUBLE) AS fit
+FROM seq q JOIN outermax o ON o.source = q.source AND o.j = q.r
+"""
+
+
 _JK_B = 16  # delete-one-block jackknife block count (md5 hex digit)
 
 

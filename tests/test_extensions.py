@@ -5066,3 +5066,57 @@ def test_jackknife_variance_matches_python_reference(spark):
         assert r["mean"] == s / n
         assert v > 0 and abs(r["v_jack"] - v) <= 1e-12 * max(v, 1e-30)
         assert r["se_jack"] == math.sqrt(r["v_jack"])
+
+
+def test_isotonic_fit_matches_quadratic_reference(spark):
+    """timeseries.isotonic_fit (stack PAVA) against an INDEPENDENT
+    O(n²) textbook formulation — repeatedly rescan for the first
+    adjacent violator and merge until none remain (a different
+    control structure over the same theorem) — on hand-built
+    violator-rich bin sets incl. ties, zeros, an already-monotone
+    key and a strictly-decreasing key (pools to one block = the
+    global mean). Also pins monotonicity and block-mean structure."""
+    from fractions import Fraction
+
+    from flink_essentials_spark.functions.timeseries import isotonic_fit
+
+    cases = {
+        "viol": [(0, 4, 1), (1, 2, 2), (2, 3, 0), (3, 5, 5), (4, 2, 1)],
+        "mono": [(0, 3, 0), (1, 4, 2), (2, 2, 2)],
+        "desc": [(0, 2, 2), (1, 3, 2), (2, 5, 1)],
+        "tie": [(0, 2, 1), (1, 4, 2), (2, 6, 3)],
+    }
+    rows = [(k, b, w, s) for k, bins in cases.items() for b, w, s in bins]
+    df = spark.createDataFrame(rows, "k string, bin long, w long, s long")
+    got = {
+        (r["k"], r["bin"]): (r["w"], r["s"], r["fit"])
+        for r in isotonic_fit(df, "k", "bin", "w", "s").collect()
+    }
+
+    def ref(bins):
+        blocks = [[1, w, s] for _, w, s in bins]
+        while True:
+            for i in range(len(blocks) - 1):
+                if (
+                    Fraction(blocks[i][2], blocks[i][1])
+                    >= Fraction(blocks[i + 1][2], blocks[i + 1][1])
+                ):
+                    a, b = blocks[i], blocks[i + 1]
+                    blocks[i : i + 2] = [
+                        [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
+                    ]
+                    break
+            else:
+                return [
+                    Fraction(s, w) for n, w, s in blocks for _ in range(n)
+                ]
+
+    for k, bins in cases.items():
+        fits = ref(bins)
+        assert all(a <= b for a, b in zip(fits, fits[1:]))
+        for (b, w, s), f in zip(bins, fits):
+            gw, gs, gf = got[(k, b)]
+            assert (gw, gs) == (w, s)
+            assert gf == f.numerator / f.denominator
+    # strictly-decreasing pools to the single global-mean block
+    assert len({got[("desc", b)][2] for b in range(3)}) == 1

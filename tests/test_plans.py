@@ -304,6 +304,9 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # one-row n_train aggregate broadcast-crossJoined onto the
         # one-row test-error aggregate (idle_customers pattern)
         "als_rmse": {"BroadcastNestedLoopJoin"},
+        # one-row global length-span broadcast for the fixed-width
+        # binning (psi_drift pattern)
+        "isotonic_calibration": {"BroadcastNestedLoopJoin"},
         # one-row stream-midpoint scalar broadcast (psi_drift pattern)
         "welch_drift": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},
