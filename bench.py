@@ -205,6 +205,7 @@ HEADLINE = [
     "tdigest_centroids",
     "jackknife_variance",
     "isotonic_calibration",
+    "peak_concurrency",
     # r11: CART stump split search (banded-ECDF sufficient stats) and
     # the true-DL/Levenshtein pair vs DuckDB's independent natives
     "decision_stump",

@@ -1806,6 +1806,10 @@ _REGISTRY: list[Query] = [
     # integer pool-adjacent-violators vs the INDEPENDENT minimax
     # characterization as oracle (two formulations of the theorem)
     Query("isotonic_calibration", llmdata.q_isotonic_calibration, llmdata.Q_ISOTONIC_CALIBRATION_SQL),
+    # r12: sweep-line peak concurrency — interval max-overlap via the
+    # banded ECDF (no low-card-partition time cumsum); struct-MIN
+    # first-peak readout
+    Query("peak_concurrency", llmdata.q_peak_concurrency, llmdata.Q_PEAK_CONCURRENCY_SQL),
     # r11: A-ES weighted reservoir sampling (Efraimidis-Spirakis 2006)
     # via the exact-integer max-of-w-uniforms identity — no pow/ln at
     # the selection boundary; full oracle via the same construction

@@ -8682,6 +8682,79 @@ SELECT token, cnt, n, rk FROM r WHERE rk <= 10
 """
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency (the classic interval-scheduling
+    maximum-overlap question — de Berg et al., Computational
+    Geometry §2, as a data op): per event_type the maximum number of
+    simultaneously-open 1-hour event windows [ts, ts+1h) and the
+    FIRST instant attaining it — capacity-planning telemetry. Each
+    event emits a start and an end point; at any boundary t the
+    active count is (starts ≤ t) − (ends ≤ t) — half-open semantics
+    fall out of processing end points at their timestamp. The two
+    cumulative counts ARE the banded two-phase ECDF machinery
+    (_ecdf_cums: every data-sized window keyed by (type, band) — a
+    plain per-type time-ordered cumsum would be the banned
+    low-card-partition sweep shape); peak + first-peak read out as
+    one struct-MIN aggregate over exact integers."""
+    from flink_essentials_spark.functions.timeseries import _ecdf_cums
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", F.unix_millis(F.col("ts")).alias("t")
+    )
+    pts = ev.select(
+        "event_type", F.lit(True).alias("is_start"), F.col("t").alias("v")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            F.lit(False).alias("is_start"),
+            (F.col("t") + F.lit(3600000)).alias("v"),
+        )
+    )
+    cum = _ecdf_cums(pts, "event_type", "is_start", "v", 64)
+    act = F.col("__cuma") - F.col("__cumb")
+    best = cum.groupBy("__k").agg(
+        F.max("__na").alias("n_events"),
+        F.min(F.struct((-act).alias("na"), F.col("__v").alias("v"))).alias(
+            "b"
+        ),
+    )
+    return best.select(
+        F.col("__k").alias("event_type"),
+        "n_events",
+        (-F.col("b.na")).cast("long").alias("peak"),
+        F.col("b.v").cast("long").alias("first_peak_ms"),
+    )
+
+
+Q_PEAK_CONCURRENCY_SQL = """
+WITH ev AS (
+  SELECT event_type AS k, epoch_ms(ts) AS t FROM events
+), pts AS (
+  SELECT k, t AS v, 1 AS da, 0 AS db FROM ev
+  UNION ALL
+  SELECT k, t + 3600000 AS v, 0 AS da, 1 AS db FROM ev
+), g AS (
+  SELECT k, v, CAST(SUM(da) AS BIGINT) AS ca, CAST(SUM(db) AS BIGINT) AS cb
+  FROM pts GROUP BY 1, 2
+), c AS (
+  SELECT k, v,
+         SUM(ca) OVER (PARTITION BY k ORDER BY v)
+           - SUM(cb) OVER (PARTITION BY k ORDER BY v) AS act
+  FROM g
+), n AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_events FROM ev GROUP BY 1
+), pk AS (
+  SELECT k, CAST(MAX(act) AS BIGINT) AS peak FROM c GROUP BY 1
+)
+SELECT c.k AS event_type, n.n_events, pk.peak,
+       CAST(MIN(c.v) AS BIGINT) AS first_peak_ms
+FROM c
+JOIN pk ON pk.k = c.k AND c.act = pk.peak
+JOIN n ON n.k = c.k
+GROUP BY 1, 2, 3
+"""
+
+
 def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic calibration curve (timeseries.isotonic_fit — PAVA,
     Ayer 1955 / Zadrozny-Elkan KDD 2002): the monotone-nondecreasing

@@ -5120,3 +5120,42 @@ def test_isotonic_fit_matches_quadratic_reference(spark):
             assert gf == f.numerator / f.denominator
     # strictly-decreasing pools to the single global-mean block
     assert len({got[("desc", b)][2] for b in range(3)}) == 1
+
+
+def test_peak_concurrency_matches_brute_force(spark):
+    """q_peak_concurrency's sweep-line against a per-millisecond
+    brute force over the sf0.001 events (small enough to enumerate
+    boundaries): for each type, concurrency at every boundary t =
+    #events with ts <= t < ts+1h, peak and FIRST attaining instant
+    must match, and half-open semantics pin that an interval is NOT
+    active at its own end point."""
+    import pyarrow.parquet as pq
+
+    from flink_essentials_spark.queries.llmdata import q_peak_concurrency
+    from flink_essentials_spark.tables import load_tables
+
+    # read through load_tables for the normalized TIMESTAMP, then
+    # collect (the sf0.001 events table is 1000 rows)
+    ev = load_tables(spark, SF_DIR)["events"]
+    from pyspark.sql import functions as F
+
+    rows = ev.select(
+        "event_type", F.unix_millis("ts").alias("t")
+    ).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["t"])
+    got = {
+        r["event_type"]: (r["n_events"], r["peak"], r["first_peak_ms"])
+        for r in q_peak_concurrency(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(by_type)
+    H = 3600000
+    for k, ts in by_type.items():
+        bounds = sorted({t for t in ts} | {t + H for t in ts})
+        best, first = -1, None
+        for b in bounds:
+            act = sum(1 for t in ts if t <= b < t + H)
+            if act > best:
+                best, first = act, b
+        assert got[k] == (len(ts), best, first), k
