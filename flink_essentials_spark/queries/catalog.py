@@ -1612,8 +1612,12 @@ _REGISTRY: list[Query] = [
     # pareto_suppliers — each per the documented redundancy notes
     # in-place above; all five stay locally oracle-checked below).
     # r13 PROMOTION CANDIDATES, in priority order: the remaining
-    # driver-invisible named algorithms — knn_hubness (ANN-health N_5
-    # skewness; sampled variant r12), calibration_eval (Brier +
+    # driver-invisible named algorithms — tdigest_centroids (bit-
+    # exact fold oracle, the strongest r12 member), isotonic_
+    # calibration (two-formulation oracle), spacesaving_topk,
+    # hdbscan_core, als_item_step/als_rmse (the completed
+    # alternation), jackknife_variance, peak_concurrency,
+    # knn_hubness (+ _sampled), calibration_eval (Brier +
     # reliability gap, exact rationals), weighted_reservoir (A-ES
     # exact-integer sampling), heaps_fit (vocab growth law),
     # welch_drift (parametric drift member), mcnemar_rules (paired
