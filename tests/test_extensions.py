@@ -5159,3 +5159,62 @@ def test_peak_concurrency_matches_brute_force(spark):
             if act > best:
                 best, first = act, b
         assert got[k] == (len(ts), best, first), k
+
+
+def test_isotonic_maintained_over_a_stream_equals_batch(spark, tmp_path):
+    """The maintained-monitor matrix gains the calibration-CURVE
+    member: isotonic_fit's per-(key, bin) sufficient statistics
+    (w, Σy) are SUM-mergeable, so refresh_rollup folds them per
+    micro-batch and the PAVA readout off the MAINTAINED table equals
+    the one-shot fit bit-for-bit (the fit is a function of the exact
+    rational block sums only)."""
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.functions.timeseries import isotonic_fit
+    from flink_essentials_spark.sinks import versioned
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "rollup")
+    docs = load_tables(spark, SF_DIR)["documents"].select(
+        F.col("source").alias("k"),
+        (F.col("n_chars") % 16).cast("long").alias("bin"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    docs.repartition(3).write.parquet(src)
+
+    def fold(bdf, epoch_id):
+        cells = bdf.groupBy("k", "bin").agg(
+            F.count(F.lit(1)).alias("w"), F.sum("y").alias("s")
+        )
+        refresh_rollup(
+            spark, base, cells, ["k", "bin"],
+            {"w": ("sum", "w"), "s": ("sum", "s")},
+            epoch_id=epoch_id,
+        )
+
+    sdf = file_replay(
+        spark, src, "k string, bin long, y long", files_per_trigger=1
+    )
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    stored = versioned.read_current(spark, base)
+    got = sorted(
+        map(tuple, isotonic_fit(stored, "k", "bin", "w", "s").collect())
+    )
+    direct = sorted(
+        map(
+            tuple,
+            isotonic_fit(
+                docs.groupBy("k", "bin").agg(
+                    F.count(F.lit(1)).alias("w"), F.sum("y").alias("s")
+                ),
+                "k", "bin", "w", "s",
+            ).collect(),
+        )
+    )
+    assert got == direct and len(got) >= 30
