@@ -1056,9 +1056,15 @@ _REGISTRY: list[Query] = [
     # ROTATION (r8): union_streams demoted (J1's union-then-aggregate
     # shape is plan-trivial and the multi-stream family keeps THREE
     # driver rows: window_join / interval_join / connect_tagged) →
-    # dp_release: the differential-privacy release mechanism, the
-    # privacy family's MECHANISM sibling to k_anonymity's audit.
-    Query("dp_release", llmdata.q_dp_release, llmdata.Q_DP_RELEASE_SQL),
+    # dp_release (r8-r11). ROTATION (r12b): dp_release demoted per the
+    # documented redundancy note (privacy pair — k_anonymity stays
+    # head-visible; the Laplace mechanism row stays locally green) →
+    # tdigest_centroids: deterministic t-digest (Dunning & Ertl 2019),
+    # the centroid-merge quantile member — sorted-stream greedy k1
+    # clustering pins the merge order to the data's total order; the
+    # oracle replays the whole construction as a list_reduce fold,
+    # doubles bit-exact.
+    Query("tdigest_centroids", llmdata.q_tdigest_centroids, llmdata.Q_TDIGEST_CENTROIDS_SQL),
     # ROTATION (r10): window_join demoted (temporal-join family keeps
     # as_of_join + streaming_join_rollup driver rows — the latter IS a
     # window join feeding a windowed aggregate; J2 stays locally
@@ -1365,10 +1371,15 @@ _REGISTRY: list[Query] = [
     # ROTATION (r10): semantic_dedup demoted (the dedup family is the
     # head's deepest — lsh_near_dups, dedup_clusters, image_dedup,
     # incremental_decontamination all stay driver-green; SemDeDup
-    # stays locally oracle-checked) -> greedy_coverage: submodular
-    # greedy set cover (Nemhauser et al. 1978) — k bounded one-row
-    # driver argmaxes, the covered set stays distributed.
-    Query("greedy_coverage", llmdata.q_greedy_coverage, llmdata.Q_GREEDY_COVERAGE_SQL),
+    # stays locally oracle-checked) -> greedy_coverage (r10-r11).
+    # ROTATION (r12b): greedy_coverage demoted per the documented
+    # redundancy note (selection family — the submodular row stays
+    # locally green beside the curriculum/token-budget members) ->
+    # isotonic_calibration: PAVA monotone calibration (Ayer 1955 /
+    # Zadrozny-Elkan 2002) — exact-integer pool-adjacent-violators
+    # against the INDEPENDENT minimax-characterization oracle (two
+    # formulations of the same theorem, bit-exact).
+    Query("isotonic_calibration", llmdata.q_isotonic_calibration, llmdata.Q_ISOTONIC_CALIBRATION_SQL),
     # ROTATION (r10): pack_sequences demoted (the packing/selection
     # family keeps token_budget_select + training_pipeline + dsir_weights
     # driver rows; the FFD packer stays locally oracle-checked) ->
@@ -1798,18 +1809,16 @@ _REGISTRY: list[Query] = [
     # 2013) over the materialized dbscan geometry — exact integer
     # d², cell-bucketed eps-join, the MST-weight substrate
     Query("hdbscan_core", llmdata.q_hdbscan_core, llmdata.Q_HDBSCAN_CORE_SQL),
-    # r12: deterministic t-digest (Dunning & Ertl 2019) — sorted-
-    # stream greedy k1 clustering (merge order pinned by the data's
-    # total order); list_reduce fold oracle, bit-exact doubles
-    Query("tdigest_centroids", llmdata.q_tdigest_centroids, llmdata.Q_TDIGEST_CENTROIDS_SQL),
+    # tdigest_centroids promoted r12b (slot vacated by dp_release —
+    # demoted here; the Laplace mechanism stays locally green)
+    Query("dp_release", llmdata.q_dp_release, llmdata.Q_DP_RELEASE_SQL),
     # r12: delete-one-block jackknife variance (Quenouille/Tukey) —
     # the resampling member; md5-digit blocks, exact LOO means,
     # fixed-order 16-element double folds on both engines
     Query("jackknife_variance", llmdata.q_jackknife_variance, llmdata.Q_JACKKNIFE_VARIANCE_SQL),
-    # r12: isotonic calibration curve (PAVA, Ayer 1955) — exact-
-    # integer pool-adjacent-violators vs the INDEPENDENT minimax
-    # characterization as oracle (two formulations of the theorem)
-    Query("isotonic_calibration", llmdata.q_isotonic_calibration, llmdata.Q_ISOTONIC_CALIBRATION_SQL),
+    # isotonic_calibration promoted r12b (slot vacated by
+    # greedy_coverage — demoted here; submodular cover stays green)
+    Query("greedy_coverage", llmdata.q_greedy_coverage, llmdata.Q_GREEDY_COVERAGE_SQL),
     # r12: sweep-line peak concurrency — interval max-overlap via the
     # banded ECDF (no low-card-partition time cumsum); struct-MIN
     # first-peak readout
