@@ -206,6 +206,7 @@ HEADLINE = [
     "jackknife_variance",
     "isotonic_calibration",
     "peak_concurrency",
+    "bleu_pairs",
     # r11: CART stump split search (banded-ECDF sufficient stats) and
     # the true-DL/Levenshtein pair vs DuckDB's independent natives
     "decision_stump",

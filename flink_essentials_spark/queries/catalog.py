@@ -1823,6 +1823,10 @@ _REGISTRY: list[Query] = [
     # banded ECDF (no low-card-partition time cumsum); struct-MIN
     # first-peak readout
     Query("peak_concurrency", llmdata.q_peak_concurrency, llmdata.Q_PEAK_CONCURRENCY_SQL),
+    # r12: BLEU-2 (Papineni 2002) between consecutive same-source
+    # docs — clipped n-gram precision as exact BIGINT gram joins;
+    # brevity penalty + geometric mean rounded to 6
+    Query("bleu_pairs", llmdata.q_bleu_pairs, llmdata.Q_BLEU_PAIRS_SQL),
     # r11: A-ES weighted reservoir sampling (Efraimidis-Spirakis 2006)
     # via the exact-integer max-of-w-uniforms identity — no pow/ln at
     # the selection boundary; full oracle via the same construction

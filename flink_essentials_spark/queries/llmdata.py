@@ -8682,6 +8682,155 @@ SELECT token, cnt, n, rk FROM r WHERE rk <= 10
 """
 
 
+def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 (Papineni et al. ACL 2002, "BLEU: a method for
+    automatic evaluation of machine translation") between each
+    sampled document and its SUCCESSOR in the same source (doc_ids
+    stride by the source count, so doc_id + S is the next doc of the
+    same template stream) — the n-gram-precision text-eval member
+    beside ndcg_eval's ranking eval and calibration_eval's
+    probability eval; on a template corpus it measures template
+    drift between consecutive generations. Modified n-gram precision
+    with CLIPPING (per gram min(cand_count, ref_count)) for n = 1, 2
+    as exact BIGINT sums via two (doc, gram)-keyed LEFT joins;
+    brevity penalty exp(1 − r/c) and the geometric mean
+    exp(½(ln p₁ + ln p₂)) evaluate libm exp/ln over
+    correctly-rounded exact-integer ratios (the jaro parity
+    contract); zero-match pairs CASE-gate to bleu = 0. Candidates
+    are the md5-digit 25% sample (never doc_id % m — ids stride by
+    the source count). Scale shape: one broadcast scalar, one
+    equi-join on the successor id, two gram-keyed aggregate joins —
+    no window, no all-pairs."""
+    from flink_essentials_spark.operators.transform import tokenize
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    s = docs.agg(F.countDistinct("source").alias("S"))
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("w"))
+    cand = (
+        toks.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+            < F.lit("4")
+        )
+        .crossJoin(F.broadcast(s))
+        .select("doc_id", "w", (F.col("doc_id") + F.col("S")).alias("ref_id"))
+    )
+    ref = toks.select(
+        F.col("doc_id").alias("ref_id"), F.col("w").alias("rw")
+    )
+    pairs = cand.join(ref, "ref_id").localCheckpoint()  # feeds 4 explodes
+
+    def bigrams(col):
+        return F.expr(
+            f"CASE WHEN size({col}) >= 2 THEN transform("
+            f"sequence(1, size({col}) - 1), "
+            f"i -> concat(element_at({col}, i), ' ', "
+            f"element_at({col}, i + 1))) ELSE array() END"
+        )
+
+    def prec(cexpr, rexpr, mname, tname):
+        cg = pairs.select(
+            "doc_id", F.explode(cexpr).alias("g")
+        ).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cc"))
+        rg = pairs.select(
+            "doc_id", F.explode(rexpr).alias("g")
+        ).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("rc"))
+        return (
+            cg.join(rg, ["doc_id", "g"], "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0)))
+                ).alias(mname),
+                F.sum("cc").alias(tname),
+            )
+        )
+    p1 = prec(F.col("w"), F.col("rw"), "m1", "t1")
+    p2 = prec(bigrams("w"), bigrams("rw"), "m2", "t2")
+    base = pairs.select(
+        "doc_id",
+        "ref_id",
+        F.size("w").cast("long").alias("c_len"),
+        F.size("rw").cast("long").alias("r_len"),
+    )
+    j = base.join(p1, "doc_id").join(p2, "doc_id").filter(F.col("t2") > 0)
+    cl, rl = F.col("c_len").cast("double"), F.col("r_len").cast("double")
+    bp = F.when(F.col("c_len") >= F.col("r_len"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - rl / cl)
+    )
+    lp = F.log(
+        F.col("m1").cast("double") / F.col("t1").cast("double")
+    ) + F.log(F.col("m2").cast("double") / F.col("t2").cast("double"))
+    bleu = F.when(
+        (F.col("m1") == 0) | (F.col("m2") == 0), F.lit(0.0)
+    ).otherwise(bp * F.exp(F.lit(0.5) * lp))
+    return j.select(
+        "doc_id", "ref_id", "c_len", "r_len", "m1", "t1", "m2", "t2",
+        # exp() differs from libm by a last ulp on the JVM — round to
+        # 6 (the repo's similarity-output convention); the exact
+        # BIGINT precision cells carry the full-precision signal
+        F.round(bleu, 6).alias("bleu"),
+    )
+
+
+Q_BLEU_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS w FROM documents
+), s AS (
+  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS S FROM documents
+), pairs AS (
+  SELECT c.doc_id, r.doc_id AS ref_id, c.w AS cw, r.w AS rw
+  FROM t c CROSS JOIN s JOIN t r ON r.doc_id = c.doc_id + s.S
+  WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 32, 1) < '4'
+), big AS (
+  SELECT doc_id, ref_id, cw, rw,
+         CASE WHEN len(cw) >= 2 THEN
+           [cw[i] || ' ' || cw[i + 1] FOR i IN generate_series(1, len(cw) - 1)]
+         ELSE [] END AS cw2,
+         CASE WHEN len(rw) >= 2 THEN
+           [rw[i] || ' ' || rw[i + 1] FOR i IN generate_series(1, len(rw) - 1)]
+         ELSE [] END AS rw2
+  FROM pairs
+), c1 AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cc
+  FROM (SELECT doc_id, unnest(cw) AS g FROM big) GROUP BY 1, 2
+), r1 AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS rc
+  FROM (SELECT doc_id, unnest(rw) AS g FROM big) GROUP BY 1, 2
+), j1 AS (
+  SELECT c1.doc_id,
+         CAST(SUM(LEAST(c1.cc, COALESCE(r1.rc, 0))) AS BIGINT) AS m1,
+         CAST(SUM(c1.cc) AS BIGINT) AS t1
+  FROM c1 LEFT JOIN r1 USING (doc_id, g) GROUP BY 1
+), c2 AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cc
+  FROM (SELECT doc_id, unnest(cw2) AS g FROM big) GROUP BY 1, 2
+), r2 AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS rc
+  FROM (SELECT doc_id, unnest(rw2) AS g FROM big) GROUP BY 1, 2
+), j2 AS (
+  SELECT c2.doc_id,
+         CAST(SUM(LEAST(c2.cc, COALESCE(r2.rc, 0))) AS BIGINT) AS m2,
+         CAST(SUM(c2.cc) AS BIGINT) AS t2
+  FROM c2 LEFT JOIN r2 USING (doc_id, g) GROUP BY 1
+)
+SELECT b.doc_id, b.ref_id,
+       CAST(len(b.cw) AS BIGINT) AS c_len,
+       CAST(len(b.rw) AS BIGINT) AS r_len,
+       j1.m1, j1.t1, j2.m2, j2.t2,
+       round(CASE WHEN j1.m1 = 0 OR j2.m2 = 0 THEN 0.0
+            ELSE (CASE WHEN len(b.cw) >= len(b.rw) THEN 1.0
+                       ELSE exp(1.0 - CAST(len(b.rw) AS DOUBLE)
+                                    / CAST(len(b.cw) AS DOUBLE)) END)
+                 * exp(0.5 * (ln(CAST(j1.m1 AS DOUBLE)
+                                 / CAST(j1.t1 AS DOUBLE))
+                              + ln(CAST(j2.m2 AS DOUBLE)
+                                   / CAST(j2.t2 AS DOUBLE))))
+       END, 6) AS bleu
+FROM big b JOIN j1 USING (doc_id) JOIN j2 USING (doc_id)
+WHERE j2.t2 > 0
+"""
+
+
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line peak concurrency (the classic interval-scheduling
     maximum-overlap question — de Berg et al., Computational

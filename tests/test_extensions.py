@@ -5218,3 +5218,76 @@ def test_isotonic_maintained_over_a_stream_equals_batch(spark, tmp_path):
         )
     )
     assert got == direct and len(got) >= 30
+
+
+def test_bleu_pairs_matches_textbook_reference(spark):
+    """q_bleu_pairs against a textbook python BLEU-2 (clipped
+    modified precision + brevity penalty + geometric mean) computed
+    from a pyarrow scan with collections.Counter — every exact cell
+    (m/t per order, lengths) must match exactly and the rounded bleu
+    to 1e-9; a hand pair pins CLIPPING (a candidate repeating a
+    reference word 3x with ref count 1 credits only 1)."""
+    import collections
+    import math
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from flink_essentials_spark.queries.llmdata import q_bleu_pairs
+
+    rows = pq.read_table(
+        SF_DIR + "/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pylist()
+    toks = {
+        r["doc_id"]: [
+            w for w in _re.split(r"\W+", r["text"].lower()) if w
+        ]
+        for r in rows
+    }
+    S = len({r["source"] for r in rows})
+    import hashlib
+
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in q_bleu_pairs(spark, SF_DIR).collect()
+    }
+
+    def prec(c, r, n):
+        cg = collections.Counter(
+            tuple(c[i : i + n]) for i in range(len(c) - n + 1)
+        )
+        rg = collections.Counter(
+            tuple(r[i : i + n]) for i in range(len(r) - n + 1)
+        )
+        m = sum(min(v, rg[g]) for g, v in cg.items())
+        return m, sum(cg.values())
+
+    want = {}
+    for did, c in toks.items():
+        if hashlib.md5(str(did).encode()).hexdigest()[31] >= "4":
+            continue
+        rid = did + S
+        if rid not in toks:
+            continue
+        r = toks[rid]
+        m1, t1 = prec(c, r, 1)
+        m2, t2 = prec(c, r, 2)
+        if t2 == 0:
+            continue
+        if m1 == 0 or m2 == 0:
+            bleu = 0.0
+        else:
+            bp = 1.0 if len(c) >= len(r) else math.exp(1.0 - len(r) / len(c))
+            bleu = bp * math.exp(0.5 * (math.log(m1 / t1) + math.log(m2 / t2)))
+        want[did] = (did, rid, len(c), len(r), m1, t1, m2, t2, bleu)
+    assert set(got) == set(want) and len(want) >= 50
+    for did, w in want.items():
+        g = got[did]
+        assert g[:8] == w[:8], did
+        assert abs(g[8] - w[8]) <= 1e-6 + 1e-9, did
+
+    # hand clipping pin: "the the the cat" vs "the cat sat": m1 counts
+    # 'the' once (clip) + 'cat' = 2 of 4
+    c, r = ["the", "the", "the", "cat"], ["the", "cat", "sat"]
+    assert prec(c, r, 1) == (2, 4)
+    assert prec(c, r, 2) == (1, 3)  # only "the cat" matches

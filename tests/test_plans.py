@@ -307,6 +307,8 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # one-row global length-span broadcast for the fixed-width
         # binning (psi_drift pattern)
         "isotonic_calibration": {"BroadcastNestedLoopJoin"},
+        # one-row source-count broadcast for the successor-id pairing
+        "bleu_pairs": {"BroadcastNestedLoopJoin"},
         # one-row stream-midpoint scalar broadcast (psi_drift pattern)
         "welch_drift": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},
