@@ -5291,3 +5291,48 @@ def test_bleu_pairs_matches_textbook_reference(spark):
     c, r = ["the", "the", "the", "cat"], ["the", "cat", "sat"]
     assert prec(c, r, 1) == (2, 4)
     assert prec(c, r, 2) == (1, 3)  # only "the cat" matches
+
+
+def test_textrank_keywords_matches_python_reference(spark):
+    """q_textrank_keywords' co-occurrence graph + 3-iteration PR
+    against a python mirror built from a pyarrow scan: window-2
+    adjacency (self-pairs dropped), symmetric counts, the
+    unnormalized damped recursion — ranks agree to the rounded 6
+    digits and the vocabulary matches exactly."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from flink_essentials_spark.queries.llmdata import q_textrank_keywords
+
+    texts = [
+        r["text"]
+        for r in pq.read_table(
+            SF_DIR + "/documents.parquet", columns=["text"]
+        ).to_pylist()
+    ]
+    und: dict = {}
+    for t in texts:
+        ws = [w for w in _re.split(r"\W+", t.lower()) if w]
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                k = (min(a, b), max(a, b))
+                und[k] = und.get(k, 0) + 1
+    out_w: dict = {}
+    for (u, v), w in und.items():
+        out_w[u] = out_w.get(u, 0) + w
+        out_w[v] = out_w.get(v, 0) + w
+    nodes = sorted(out_w)
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(3):
+        inc = {n: 0.0 for n in nodes}
+        for (u, v), w in und.items():
+            inc[v] += rank[u] * w / out_w[u]
+            inc[u] += rank[v] * w / out_w[v]
+        rank = {n: 0.15 + 0.85 * inc[n] for n in nodes}
+    got = {r["term"]: r["rank"] for r in q_textrank_keywords(spark, SF_DIR).collect()}
+    assert set(got) == set(nodes) and len(nodes) >= 25
+    for n in nodes:
+        assert abs(got[n] - rank[n]) < 2e-6, n
+    # the scores separate (not a vacuous uniform graph)
+    assert max(got.values()) - min(got.values()) > 0.01
