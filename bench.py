@@ -207,7 +207,6 @@ HEADLINE = [
     "isotonic_calibration",
     "peak_concurrency",
     "bleu_pairs",
-    "textrank_keywords",
     # r11: CART stump split search (banded-ECDF sufficient stats) and
     # the true-DL/Levenshtein pair vs DuckDB's independent natives
     "decision_stump",

@@ -1827,10 +1827,6 @@ _REGISTRY: list[Query] = [
     # docs — clipped n-gram precision as exact BIGINT gram joins;
     # brevity penalty + geometric mean rounded to 6
     Query("bleu_pairs", llmdata.q_bleu_pairs, llmdata.Q_BLEU_PAIRS_SQL),
-    # r12: TextRank keywords (Mihalcea 2004) — PageRank over the
-    # adjacent-token co-occurrence graph; data-sized co-occurrence
-    # aggregation, vocabulary-bounded iteration, unrolled CTE oracle
-    Query("textrank_keywords", llmdata.q_textrank_keywords, llmdata.Q_TEXTRANK_KEYWORDS_SQL),
     # r11: A-ES weighted reservoir sampling (Efraimidis-Spirakis 2006)
     # via the exact-integer max-of-w-uniforms identity — no pow/ln at
     # the selection boundary; full oracle via the same construction

@@ -8682,104 +8682,6 @@ SELECT token, cnt, n, rk FROM r WHERE rk <= 10
 """
 
 
-def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TextRank keyword scoring (Mihalcea & Tarau, EMNLP 2004
-    "TextRank: bringing order into text") — unsupervised keyword
-    extraction as PageRank over the word co-occurrence graph: nodes
-    are corpus words, undirected edges weight adjacent-token
-    co-occurrence counts (window 2, the paper's default), 3 damped
-    iterations via functions/graph.pagerank (the link_rank machinery
-    on a text graph). The co-occurrence aggregation is the data-sized
-    work (one explode + one count groupBy — scales with tokens); the
-    iteration runs over the VOCABULARY-bounded word graph. Oracle:
-    DuckDB rebuilds the same edges and unrolls the same 3 iterations
-    as CTEs; integer-valued double weights keep out-weight sums
-    exact, round(...,6) absorbs last-ulp rank drift (the link_rank
-    parity contract)."""
-    from flink_essentials_spark.functions import graph
-    from flink_essentials_spark.operators.transform import tokenize
-
-    docs = load_tables(spark, sf_dir)["documents"]
-    adj = (
-        docs.select(tokenize(F.col("text")).alias("w"))
-        .select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(w) >= 2 THEN transform("
-                    "sequence(1, size(w) - 1), "
-                    "i -> struct(element_at(w, i) AS a, "
-                    "element_at(w, i + 1) AS b)) "
-                    "ELSE array() END"
-                )
-            ).alias("p")
-        )
-        .select("p.a", "p.b")
-        .filter(F.col("a") != F.col("b"))
-    )
-    und = adj.select(
-        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-    ).groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
-    edges = und.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
-    ).unionByName(
-        und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
-    )
-    ranks = graph.pagerank(
-        edges.withColumn("w", F.col("w").cast("double")),
-        iterations=3,
-        damping=0.85,
-        weight_col="w",
-    )
-    return ranks.select(
-        F.col("node").alias("term"), F.round("rank", 6).alias("rank")
-    )
-
-
-def _textrank_sql(iterations: int = 3, damping: float = 0.85) -> str:
-    d, omd = repr(damping), repr(1.0 - damping)
-    cte = f"""
-WITH tk AS (
-  SELECT {_SQL_TOKENS} AS w FROM documents
-), adj AS (
-  SELECT p.a, p.b
-  FROM (
-    SELECT unnest(CASE WHEN len(w) >= 2 THEN
-             [struct_pack(a := w[i], b := w[i + 1])
-              FOR i IN generate_series(1, len(w) - 1)]
-           ELSE [] END) AS p
-    FROM tk
-  ) WHERE p.a <> p.b
-), und AS (
-  SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v, COUNT(*) AS w
-  FROM adj GROUP BY 1, 2
-), e AS (
-  SELECT u AS src, v AS dst, CAST(w AS DOUBLE) AS w FROM und
-  UNION ALL
-  SELECT v, u, CAST(w AS DOUBLE) FROM und
-), we AS (
-  SELECT src, dst, w, SUM(w) OVER (PARTITION BY src) AS out_w FROM e
-), r0 AS (
-  SELECT DISTINCT src AS node, 1.0 AS rank FROM e
-)"""
-    for k in range(1, iterations + 1):
-        cte += f""", r{k} AS (
-  SELECT p.node, {omd} + {d} * COALESCE(s.s, 0.0) AS rank
-  FROM (SELECT node FROM r{k - 1}) p
-  LEFT JOIN (
-    SELECT we.dst AS node, SUM(r.rank * we.w / we.out_w) AS s
-    FROM r{k - 1} r JOIN we ON r.node = we.src
-    GROUP BY 1
-  ) s ON p.node = s.node
-)"""
-    return (
-        cte
-        + f"\nSELECT node AS term, round(rank, 6) AS rank FROM r{iterations}"
-    )
-
-
-Q_TEXTRANK_KEYWORDS_SQL = _textrank_sql()
-
-
 def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLEU-2 (Papineni et al. ACL 2002, "BLEU: a method for
     automatic evaluation of machine translation") between each

@@ -5294,11 +5294,12 @@ def test_bleu_pairs_matches_textbook_reference(spark):
 
 
 def test_textrank_keywords_matches_python_reference(spark):
-    """q_textrank_keywords' co-occurrence graph + 3-iteration PR
-    against a python mirror built from a pyarrow scan: window-2
-    adjacency (self-pairs dropped), symmetric counts, the
+    """The PRODUCTION q_textrank_keywords (the r6 registry row)
+    end-to-end against a python mirror built from a raw pyarrow scan:
+    window-2 adjacency (self-pairs dropped), symmetric counts, the
     unnormalized damped recursion — ranks agree to the rounded 6
-    digits and the vocabulary matches exactly."""
+    digits and the corpus vocabulary matches exactly (complements the
+    synthetic-frame unit reference at test_textrank_keywords_reference)."""
     import re as _re
 
     import pyarrow.parquet as pq
@@ -5330,7 +5331,7 @@ def test_textrank_keywords_matches_python_reference(spark):
             inc[v] += rank[u] * w / out_w[u]
             inc[u] += rank[v] * w / out_w[v]
         rank = {n: 0.15 + 0.85 * inc[n] for n in nodes}
-    got = {r["term"]: r["rank"] for r in q_textrank_keywords(spark, SF_DIR).collect()}
+    got = {r["word"]: r["rank"] for r in q_textrank_keywords(spark, SF_DIR).collect()}
     assert set(got) == set(nodes) and len(nodes) >= 25
     for n in nodes:
         assert abs(got[n] - rank[n]) < 2e-6, n
