@@ -60,3 +60,23 @@ def test_guard_allowlist_lets_intended_empties_pass(
     out = capsys.readouterr().out
     assert rc == 0
     assert "PASS empty_q" in out
+
+
+def test_registry_has_no_duplicate_names():
+    """A duplicate registry name silently SHADOWS the earlier entry in
+    ALL_QUERIES (dict by name — latest wins), so the earlier row stops
+    being checked while still looking registered (the r12 textrank
+    near-miss: a re-implementation landed beside the r6 row and only
+    the per-gate count mismatch exposed it). Mechanized: _REGISTRY
+    names must be unique."""
+    import collections
+
+    from flink_essentials_spark.queries.catalog import ALL_QUERIES, _REGISTRY
+
+    dupes = [
+        n
+        for n, c in collections.Counter(q.name for q in _REGISTRY).items()
+        if c > 1
+    ]
+    assert not dupes, dupes
+    assert len(ALL_QUERIES) == len(_REGISTRY)
