@@ -8698,26 +8698,47 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded exact-integer ratios (the jaro parity
     contract); zero-match pairs CASE-gate to bleu = 0. Candidates
     are the md5-digit 25% sample (never doc_id % m — ids stride by
-    the source count). Scale shape: one broadcast scalar, one
-    equi-join on the successor id, two gram-keyed aggregate joins —
-    no window, no all-pairs."""
+    the source count).
+
+    Scale shape: gram counts are computed ONCE per document on the
+    corpus-wide token table (one explode per order — never per pair
+    per side; the closed vocabulary makes the per-doc count table
+    dictionary-sized) and pairs carry only ids + lengths; clipped
+    matches come from two (doc, gram)-keyed joins THROUGH the pair
+    mapping, and the totals t₁ = |c|, t₂ = |c|−1 are identities of
+    the lengths — no aggregation needed; a semi-join keeps the gram
+    explode to pair-participating docs only. (The explode-per-pair
+    first cut materialized both token arrays into every pair and
+    exploded four times; the r12 measurements were contaminated by a
+    200 s host-steal storm, so the plan argument — ~half the explode
+    volume, two aggregations replaced by length identities — is the
+    documented basis, not a wall-clock pair.)"""
     from flink_essentials_spark.operators.transform import tokenize
 
     docs = load_tables(spark, sf_dir)["documents"]
     s = docs.agg(F.countDistinct("source").alias("S"))
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("w"))
+    toks = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("w")
+    ).localCheckpoint()  # feeds sizes + both gram-count tables
+    sizes = toks.select("doc_id", F.size("w").cast("long").alias("n"))
     cand = (
-        toks.filter(
+        sizes.filter(
             F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
             < F.lit("4")
         )
         .crossJoin(F.broadcast(s))
-        .select("doc_id", "w", (F.col("doc_id") + F.col("S")).alias("ref_id"))
+        .select(
+            "doc_id",
+            F.col("n").alias("c_len"),
+            (F.col("doc_id") + F.col("S")).alias("ref_id"),
+        )
     )
-    ref = toks.select(
-        F.col("doc_id").alias("ref_id"), F.col("w").alias("rw")
-    )
-    pairs = cand.join(ref, "ref_id").localCheckpoint()  # feeds 4 explodes
+    pairs = cand.join(
+        sizes.select(
+            F.col("doc_id").alias("ref_id"), F.col("n").alias("r_len")
+        ),
+        "ref_id",
+    ).filter(F.col("c_len") >= 2)  # t2 > 0
 
     def bigrams(col):
         return F.expr(
@@ -8727,32 +8748,41 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"element_at({col}, i + 1))) ELSE array() END"
         )
 
-    def prec(cexpr, rexpr, mname, tname):
-        cg = pairs.select(
-            "doc_id", F.explode(cexpr).alias("g")
-        ).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cc"))
-        rg = pairs.select(
-            "doc_id", F.explode(rexpr).alias("g")
-        ).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("rc"))
+    used = (
+        pairs.select("doc_id")
+        .unionByName(pairs.select(F.col("ref_id").alias("doc_id")))
+        .distinct()
+    )
+    toks_used = toks.join(used, "doc_id", "left_semi")
+
+    def clipped(gexpr, mname):
+        cnt = toks_used.select(
+            "doc_id", F.explode(gexpr).alias("g")
+        ).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        cg = pairs.select("doc_id", "ref_id").join(cnt, "doc_id")
+        rg = cnt.select(
+            F.col("doc_id").alias("ref_id"),
+            "g",
+            F.col("c").alias("rc"),
+        )
         return (
-            cg.join(rg, ["doc_id", "g"], "left")
+            cg.join(rg, ["ref_id", "g"], "left")
             .groupBy("doc_id")
             .agg(
                 F.sum(
-                    F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0)))
-                ).alias(mname),
-                F.sum("cc").alias(tname),
+                    F.least(F.col("c"), F.coalesce(F.col("rc"), F.lit(0)))
+                ).alias(mname)
             )
         )
-    p1 = prec(F.col("w"), F.col("rw"), "m1", "t1")
-    p2 = prec(bigrams("w"), bigrams("rw"), "m2", "t2")
-    base = pairs.select(
-        "doc_id",
-        "ref_id",
-        F.size("w").cast("long").alias("c_len"),
-        F.size("rw").cast("long").alias("r_len"),
+
+    p1 = clipped(F.col("w"), "m1")
+    p2 = clipped(bigrams("w"), "m2")
+    j = (
+        pairs.join(p1, "doc_id")
+        .join(p2, "doc_id")
+        .withColumn("t1", F.col("c_len"))
+        .withColumn("t2", F.col("c_len") - 1)
     )
-    j = base.join(p1, "doc_id").join(p2, "doc_id").filter(F.col("t2") > 0)
     cl, rl = F.col("c_len").cast("double"), F.col("r_len").cast("double")
     bp = F.when(F.col("c_len") >= F.col("r_len"), F.lit(1.0)).otherwise(
         F.exp(F.lit(1.0) - rl / cl)
