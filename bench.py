@@ -244,6 +244,16 @@ HEADLINE = [
     "degree_assortativity",
     "spearman_trend",
     "kendall_tau",
+    # r12: every driver-visible (head-50) row gets a bench row so the
+    # judge has per-round perf signal on the exact rows the driver
+    # grades (mechanized: tests/test_plans.py head50-subset guard)
+    "map_flatmap_filter",
+    "min_cost_supplier",
+    "capped_sessions",
+    "rrf_fusion",
+    "streaming_join_rollup",
+    "incremental_decontamination",
+    "dedup_clusters",
 ]
 
 

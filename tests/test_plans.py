@@ -812,3 +812,25 @@ def test_ewma_single_keyed_exchange(spark):
     assert tree.count("Exchange") == 1
     assert "hashpartitioning(user_id" in plan
     assert "Join" not in plan
+
+
+def test_every_head50_row_is_benched():
+    """Every driver-visible (head-50) registry row must have a bench
+    HEADLINE row: the driver grades exactly these queries, so a
+    rotation that forgets the bench row ships a driver row with no
+    per-round perf signal (r12 found seven such rows)."""
+    import re
+
+    with open("/root/repo/flink_essentials_spark/queries/catalog.py") as f:
+        src = f.read()
+    head = src.split("# TAIL:")[0]
+    head50 = re.findall(
+        r'Query\(\s*\n?\s*"([a-z0-9_]+)"', head[head.index("_REGISTRY"):]
+    )
+    assert len(head50) == 50
+    with open("/root/repo/bench.py") as f:
+        bsrc = f.read()
+    block = bsrc[bsrc.index("HEADLINE = ["):]
+    hl = set(re.findall(r'"([a-z0-9_]+)"', block[: block.index("]")]))
+    missing = [n for n in head50 if n not in hl]
+    assert not missing, missing
