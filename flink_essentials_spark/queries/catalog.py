@@ -365,7 +365,15 @@ def q_streaming_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     enforce+flush; sentinel users filter from the SINK table (never
     in-plan: a grouping-column filter would push below the watermark
     node, the CLAUDE.md lesson). Final set equals the batch
-    join-then-rollup — the oracle."""
+    join-then-rollup — the oracle.
+
+    Cost shape (first benched r12: ~8-9 s at sf0.1): TWO file_replay
+    sources re-scan the 5-file replay per micro-batch and the chained
+    join+window state both checkpoint per batch — the engine's
+    chained-stateful floor, tracked by this row like capped_sessions
+    tracks the per-key protocol floor; no-data micro-batches are
+    disabled (no timers; flush rides the data sentinels — verified
+    identical by the oracle)."""
     import datetime
     import glob as _glob
     import os
@@ -453,13 +461,26 @@ def q_streaming_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "sjr_" + uuid.uuid4().hex[:8]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # no timers in this pipeline: join eviction and window emission
+    # both happen on watermark enforcement during DATA batches (the
+    # second sentinel exists precisely to be that batch), so the
+    # engine's extra no-data micro-batches after each watermark
+    # advance are pure overhead (the capped_sessions precedent;
+    # results verified identical either way by the oracle)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         return run_to_memory(spark, rolled, name, output_mode="append").filter(
             F.col("user_id") >= 0
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nd
+        )
 
 
 Q_STREAMING_JOIN_ROLLUP_SQL = """
