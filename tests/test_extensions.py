@@ -5337,3 +5337,73 @@ def test_textrank_keywords_matches_python_reference(spark):
         assert abs(got[n] - rank[n]) < 2e-6, n
     # the scores separate (not a vacuous uniform graph)
     assert max(got.values()) - min(got.values()) > 0.01
+
+
+def test_spacesaving_maintained_over_a_stream_equals_batch(spark, tmp_path):
+    """Space-saving joins the streaming-maintained monitor matrix via
+    the same candidate-union discipline as Misra-Gries: per
+    micro-batch the space-saving summary (bounded — ≤ partitions×k
+    rows) folds into the rollup store by plain union; an item absent
+    from EVERY segment's summary has count ≤ Σ n_seg/k = n/k
+    (Σ counters = n_seg per segment — the batched-replacement
+    invariant), so the maintained candidates still contain every item
+    in the provably-recalled region, and the exact top-k read-out off
+    the MAINTAINED store equals the one-shot ss_exact_topk exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from flink_essentials_spark.functions.approx import (
+        ss_exact_topk,
+        ss_summaries,
+    )
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.operators.transform import tokenize
+    from flink_essentials_spark.sinks import versioned
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "rollup")
+    docs = load_tables(spark, SF_DIR)["documents"]
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    toks.repartition(3).write.parquet(src)
+
+    def fold(bdf, epoch_id):
+        cands = (
+            ss_summaries(bdf, "token", 64)
+            .select("__it")
+            .distinct()
+            .select("__it", F.lit(1).alias("seen"))
+        )
+        refresh_rollup(
+            spark, base, cands, ["__it"], {"seen": ("sum", "seen")},
+            epoch_id=epoch_id,
+        )
+
+    sdf = file_replay(spark, src, "token string", files_per_trigger=1)
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    stored_cands = versioned.read_current(spark, base).select("__it")
+    items = toks.select(F.col("token").cast("string").alias("__it"))
+    total = items.agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("__it")))
+    got = sorted(
+        map(
+            tuple,
+            items.join(F.broadcast(stored_cands), "__it", "left_semi")
+            .groupBy("__it")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * 64 > F.col("n"))
+            .withColumn("rk", rk.cast("long"))
+            .filter(F.col("rk") <= 10)
+            .select(F.col("__it").alias("token"), "cnt", "n", "rk")
+            .collect(),
+        )
+    )
+    direct = sorted(
+        map(tuple, ss_exact_topk(toks, "token", k=64, m=10).collect())
+    )
+    assert got == direct and len(got) >= 5
