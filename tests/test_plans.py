@@ -818,19 +818,30 @@ def test_every_head50_row_is_benched():
     """Every driver-visible (head-50) registry row must have a bench
     HEADLINE row: the driver grades exactly these queries, so a
     rotation that forgets the bench row ships a driver row with no
-    per-round perf signal (r12 found seven such rows)."""
+    per-round perf signal (r12 found seven such rows). The head-50
+    names still come from parsing catalog.py source (the driver parses
+    the same way), but the path derives from __file__ and HEADLINE is
+    imported as plain data (r12-ADVICE: the old first-']' slice would
+    silently truncate on a comment containing ']')."""
+    import os
     import re
+    import sys
 
-    with open("/root/repo/flink_essentials_spark/queries/catalog.py") as f:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(
+        os.path.join(repo, "flink_essentials_spark", "queries", "catalog.py")
+    ) as f:
         src = f.read()
     head = src.split("# TAIL:")[0]
     head50 = re.findall(
         r'Query\(\s*\n?\s*"([a-z0-9_]+)"', head[head.index("_REGISTRY"):]
     )
     assert len(head50) == 50
-    with open("/root/repo/bench.py") as f:
-        bsrc = f.read()
-    block = bsrc[bsrc.index("HEADLINE = ["):]
-    hl = set(re.findall(r'"([a-z0-9_]+)"', block[: block.index("]")]))
+    sys.path.insert(0, repo)
+    try:
+        import bench
+    finally:
+        sys.path.remove(repo)
+    hl = set(bench.HEADLINE)
     missing = [n for n in head50 if n not in hl]
     assert not missing, missing
