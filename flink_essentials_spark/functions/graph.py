@@ -1023,6 +1023,52 @@ def hdbscan_core_2d(
     density, the same bound DBSCAN itself rides) and the two
     edge-endpoint joins. Returns (id, n_eps, core2, n_mr, min_mr2,
     max_mr2), all BIGINT."""
+    pairs, core = _eps_pairs_core(points, id_col, x_col, y_col, eps, k)
+    ca = core.select(F.col("pid"), F.col("core2").alias("__ca"))
+    cb = core.select(
+        F.col("pid").alias("qid"), F.col("core2").alias("__cb")
+    )
+    mr = (
+        pairs.join(ca, "pid")
+        .join(cb, "qid")
+        .select(
+            "pid",
+            F.greatest(F.col("__ca"), F.col("__cb"), F.col("d2")).alias(
+                "mr2"
+            ),
+        )
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_mr"),
+            F.min("mr2").alias("min_mr2"),
+            F.max("mr2").alias("max_mr2"),
+        )
+    )
+    return core.join(mr, "pid").select(
+        F.col("pid").alias(id_col),
+        "n_eps",
+        "core2",
+        "n_mr",
+        "min_mr2",
+        "max_mr2",
+    )
+
+
+def _eps_pairs_core(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int,
+    k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared HDBSCAN density substrate (factored out of
+    hdbscan_core_2d so the MST/condense stage rides the identical
+    cell-bucketed geometry): returns (pairs, core) where pairs =
+    (pid, qid, d2) — BOTH directions of every eps-edge, exact integer
+    d², localCheckpointed (it feeds degree, the k-NN selection and
+    both mutual-reachability endpoint joins) — and core = (pid,
+    n_eps, core2) for points with ≥ k−1 eps-neighbors."""
     f = points.select(
         F.col(id_col).alias("pid"),
         F.col(x_col).cast("long").alias("x"),
@@ -1082,31 +1128,317 @@ def hdbscan_core_2d(
             F.element_at("__ds", int(k) - 1).cast("long").alias("core2"),
         )
     )
+    return pairs, core
+
+
+def hdbscan_mr_edges_2d(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """UNDIRECTED mutual-reachability edge list over the same
+    eps-bounded density substrate as :func:`hdbscan_core_2d` — the
+    input HDBSCAN's minimum spanning tree runs on: per core-core
+    eps-pair one edge (a, b, w) with a < b and
+    w = mr2 = max(core2_a, core2_b, d²), exact BIGINTs. The two
+    directions of a pair carry the identical w, so the
+    least/greatest normalization + distinct is a pure dedup."""
+    pairs, core = _eps_pairs_core(points, id_col, x_col, y_col, eps, k)
     ca = core.select(F.col("pid"), F.col("core2").alias("__ca"))
-    cb = core.select(
-        F.col("pid").alias("qid"), F.col("core2").alias("__cb")
-    )
-    mr = (
+    cb = core.select(F.col("pid").alias("qid"), F.col("core2").alias("__cb"))
+    return (
         pairs.join(ca, "pid")
         .join(cb, "qid")
         .select(
-            "pid",
-            F.greatest(F.col("__ca"), F.col("__cb"), F.col("d2")).alias(
-                "mr2"
-            ),
+            F.least("pid", "qid").alias("a"),
+            F.greatest("pid", "qid").alias("b"),
+            F.greatest(F.col("__ca"), F.col("__cb"), F.col("d2")).alias("w"),
         )
-        .groupBy("pid")
-        .agg(
-            F.count(F.lit(1)).alias("n_mr"),
-            F.min("mr2").alias("min_mr2"),
-            F.max("mr2").alias("max_mr2"),
-        )
+        .distinct()
     )
-    return core.join(mr, "pid").select(
-        F.col("pid").alias(id_col),
-        "n_eps",
-        "core2",
-        "n_mr",
-        "min_mr2",
-        "max_mr2",
+
+
+def hdbscan_condense(
+    mst: DataFrame, min_cluster_size: int = 3
+) -> DataFrame:
+    """HDBSCAN condensed-tree LEAF extraction (Campello, Moulavi &
+    Sander 2013 §4; the `leaf` cluster-selection method) over a
+    mutual-reachability minimum spanning forest — the deliverable on
+    top of :func:`boruvka_mst`: flat cluster labels plus the
+    condensed-tree stability mass of every leaf cluster.
+
+    Formulation (the ascending single-linkage sweep — processing the
+    forest's edges in the SAME lexicographic (w, a, b) order Kruskal
+    accepts them is exactly a bottom-up walk of the dendrogram):
+    union-find over the component set with three merge cases, m =
+    ``min_cluster_size``:
+
+    - both sides < m, result ≥ m → a LEAF cluster is born (descending
+      reading: a cluster shrinking below m DIES here), and every
+      current member "falls out" at this level — they are the
+      cluster's last survivors;
+    - one side in a cluster, other side < m → FALSE split: the small
+      side's members fall out of the continuing cluster at this w;
+    - both sides in clusters → TRUE split (descending: both children
+      are BORN here): both clusters finalize with λ_birth = 1/√w, and
+      the merged component continues as a new INTERNAL cluster (a
+      cluster created at a true split has a true split below it, so
+      it can never be a leaf; a false-split small side is < m and can
+      contain no cluster — leaf-ness is therefore fixed at creation).
+
+    A component that never true-splits finalizes at the top with
+    λ_birth = 0 (the w = ∞ root convention). Per leaf cluster C:
+    stability σ(C) = Σ_{p ∈ C} (λ_p − λ_birth(C)) with λ = 1/√mr2
+    (Campello et al. use λ = 1/d; mr2 is the squared distance),
+    accumulated as a LEFT FOLD over members ordered by (w_fall, pid)
+    — math.sqrt/div/add are correctly-rounded IEEE in both engines,
+    so the DuckDB oracle's list_reduce over the same order is
+    bit-exact (the jackknife_variance discipline). Points whose
+    fall-out attaches to an internal cluster are noise and emit
+    nothing.
+
+    Scale shape: one Arrow task per FOREST COMPONENT (groupBy the
+    comp label boruvka_mst already carries) — the MSF is O(n) edges,
+    its components partition it, and the sequential sweep is linear
+    in the component's edge count (the q-digest one-task-per-group
+    discipline); the E → n reduction happened distributed in
+    boruvka_mst. Returns (pid, label, w_fall, n_members, stability);
+    label = the MIN pid among the leaf cluster's members (computed at
+    readout over the cluster's fall-out events — unique across leaf
+    clusters since members partition)."""
+    import math
+
+    import pandas as pd
+
+    m = int(min_cluster_size)
+    if m < 2:
+        raise ValueError("min_cluster_size must be >= 2")
+
+    def condense(pdf):
+        pdf = pdf.sort_values(["w", "a", "b"])
+        rep: dict = {}
+        members: dict = {}
+        cluster: dict = {}  # rep -> (cid, leaf)
+        events: list = []  # (pid, w_fall, cid)
+        finals: dict = {}  # cid -> (wsplit, leaf)
+
+        def find(x):
+            root = x
+            while rep[root] != root:
+                root = rep[root]
+            while rep[x] != root:
+                rep[x], x = root, rep[x]
+            return root
+
+        for a, b, w in zip(pdf["a"], pdf["b"], pdf["w"]):
+            a, b, w = int(a), int(b), int(w)
+            for node in (a, b):
+                if node not in rep:
+                    rep[node] = node
+                    members[node] = [node]
+            ra, rb = find(a), find(b)
+            r, g = (ra, rb) if ra < rb else (rb, ra)
+            ca = cluster.pop(ra, None)
+            cb = cluster.pop(rb, None)
+            mem_small = members[rb] if ca is not None else members[ra]
+            mem = members.pop(ra) + members.pop(rb)
+            rep[g] = r
+            members[r] = mem
+            if ca is None and cb is None:
+                if len(mem) >= m:
+                    cid = (a, b)
+                    cluster[r] = (cid, True)
+                    events.extend((p, w, cid) for p in mem)
+            elif ca is not None and cb is not None:
+                finals[ca[0]] = (w, ca[1])
+                finals[cb[0]] = (w, cb[1])
+                cluster[r] = ((a, b), False)
+            else:
+                keep = ca if ca is not None else cb
+                events.extend((p, w, keep[0]) for p in mem_small)
+                cluster[r] = keep
+        for cid, leaf in cluster.values():
+            finals[cid] = (0, leaf)
+        by_cid: dict = {}
+        for p, w, cid in events:
+            by_cid.setdefault(cid, []).append((w, p))
+        out = []
+        for cid, (wsplit, leaf) in finals.items():
+            if not leaf:
+                continue
+            evs = sorted(by_cid.get(cid, []))
+            label = min(p for _w, p in evs)
+            lb = 0.0 if wsplit == 0 else 1.0 / math.sqrt(float(wsplit))
+            s = 0.0
+            for w, _p in evs:
+                s += 1.0 / math.sqrt(float(w)) - lb
+            for w, p in evs:
+                out.append((p, label, w, len(evs), s))
+        cols = ["pid", "label", "w_fall", "n_members", "stability"]
+        if not out:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype="float64" if c == "stability" else "int64")
+                    for c in cols
+                }
+            )
+        return pd.DataFrame(out, columns=cols)
+
+    return mst.groupBy("comp").applyInPandas(
+        condense,
+        "pid long, label long, w_fall long, n_members long, stability double",
+    )
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    weight: str = "w",
+    max_iter: int = 40,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Distributed Borůvka minimum spanning forest (Borůvka 1926; the
+    parallel formulation in Chung & Condon, IPPS 1996) under the
+    LEXICOGRAPHIC edge order (w, a, b): because (a, b) pairs are
+    unique the tuple order is total, so by the classic
+    distinct-weights theorem the MSF is UNIQUE — an independent
+    sequential Kruskal replay must produce the identical edge set,
+    which is exactly how the DuckDB oracle checks this function (two
+    published formulations of the same theorem, the isotonic /
+    jaro_winkler oracle discipline).
+
+    Each round: (1) parallel edges between current components are
+    contracted to their (w, a, b)-minimum (min of per-pair minima ==
+    global minimum, so this loses nothing); (2) every component picks
+    its minimum incident edge via a struct-MIN aggregate (never a
+    rank window); (3) the picked edges join the forest — by the cut
+    property under a total order each is the unique lightest edge
+    leaving its component, hence in the MSF; (4) the pointer graph
+    the picks induce on components is collapsed with the existing
+    :func:`connected_components` (``auto``: propagation with
+    two-phase escalation — pointer chains are usually shallow but an
+    ascending-weight path can make them deep). Components at least
+    halve per round → ≤ log2(n) rounds; the per-round frames are
+    localCheckpointed so the plan does not grow with iterations and
+    the accumulated forest never hangs off pre-checkpoint lineage
+    (the pagerank/q-digest loop lessons).
+
+    Input: undirected edge list (direction-insensitive; normalized to
+    a < b and de-duplicated here). Returns (a, b, w, comp) — the
+    forest edges plus each edge's final component label (comp = min
+    node id in its component, the connected_components convention),
+    all BIGINT. ``stats["rounds"]`` reports the outer round count."""
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("ea"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("eb"),
+            F.col(weight).cast("long").alias("ew"),
+        )
+        .filter(F.col("ea") != F.col("eb"))
+        .distinct()
+    )
+    labels = (
+        e0.select(F.col("ea").alias("node"))
+        .union(e0.select("eb"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    # component-level edge table (ca < cb) carrying the original edge
+    ce = e0.select(
+        F.col("ea").alias("ca"), F.col("eb").alias("cb"), "ew", "ea", "eb"
+    ).localCheckpoint()
+    mst_parts: list[DataFrame] = []
+    rounds = 0
+    while rounds < max_iter:
+        rounds += 1
+        ce = (
+            ce.groupBy("ca", "cb")
+            .agg(F.min(F.struct("ew", "ea", "eb")).alias("m"))
+            .select("ca", "cb", F.col("m.ew").alias("ew"),
+                    F.col("m.ea").alias("ea"), F.col("m.eb").alias("eb"))
+            .localCheckpoint()
+        )
+        if ce.isEmpty():
+            rounds -= 1
+            break
+        # minimum incident edge per component (both directions)
+        incident = ce.select(
+            F.col("ca").alias("c"), "ew", "ea", "eb", F.col("cb").alias("o")
+        ).union(
+            ce.select(
+                F.col("cb").alias("c"), "ew", "ea", "eb", F.col("ca").alias("o")
+            )
+        )
+        picks = (
+            incident.groupBy("c")
+            .agg(F.min(F.struct("ew", "ea", "eb", "o")).alias("m"))
+            .select(
+                "c",
+                F.col("m.ew").alias("ew"),
+                F.col("m.ea").alias("ea"),
+                F.col("m.eb").alias("eb"),
+                F.col("m.o").alias("o"),
+            )
+            .localCheckpoint()
+        )
+        mst_parts.append(
+            picks.select("ew", "ea", "eb").distinct().localCheckpoint()
+        )
+        # collapse the pointer graph on components; comps without a
+        # cross edge are finished and keep their label via coalesce
+        merged = connected_components(
+            picks.select("c", "o"), "c", "o", algorithm="auto"
+        ).select(F.col("node").alias("comp"), F.col("cluster_id").alias("nc"))
+        labels = (
+            labels.join(merged, "comp", "left")
+            .select("node", F.coalesce("nc", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        ce = (
+            ce.join(
+                merged.select(F.col("comp").alias("ca"), F.col("nc").alias("na")),
+                "ca",
+                "left",
+            )
+            .join(
+                merged.select(F.col("comp").alias("cb"), F.col("nc").alias("nb")),
+                "cb",
+                "left",
+            )
+            .select(
+                F.coalesce("na", "ca").alias("qa"),
+                F.coalesce("nb", "cb").alias("qb"),
+                "ew",
+                "ea",
+                "eb",
+            )
+            .filter(F.col("qa") != F.col("qb"))
+            .select(
+                F.least("qa", "qb").alias("ca"),
+                F.greatest("qa", "qb").alias("cb"),
+                "ew",
+                "ea",
+                "eb",
+            )
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    spark = edges.sparkSession
+    if not mst_parts:
+        return spark.createDataFrame(
+            [], "a long, b long, w long, comp long"
+        )
+    mst = mst_parts[0]
+    for part in mst_parts[1:]:
+        mst = mst.union(part)
+    return mst.join(
+        labels.select(F.col("node").alias("ea"), "comp"), "ea"
+    ).select(
+        F.col("ea").alias("a"), F.col("eb").alias("b"),
+        F.col("ew").alias("w"), "comp",
     )

@@ -2051,6 +2051,13 @@ _REGISTRY: list[Query] = [
     Query("timestamp_parsing", llmdata.q_timestamp_parsing, llmdata.Q_TIMESTAMP_PARSING_SQL),
     Query("price_band_join", relational.q_price_band_join, relational.Q_PRICE_BAND_JOIN_SQL),
     Query("type_day_cube", dataflow.q_type_day_cube, dataflow.Q_TYPE_DAY_CUBE_SQL),
+    # r13: HDBSCAN completion (the r12 verdict's #2 ask) — Borůvka
+    # MSF over the mutual-reachability graph vs a sequential-KRUSKAL
+    # fold oracle (unique forest under the lexicographic edge order),
+    # then condensed-tree leaf extraction with bit-exact left-fold
+    # stabilities. Head-50 promotion handled in the r13 rotation.
+    Query("hdbscan_mst", llmdata.q_hdbscan_mst, llmdata.Q_HDBSCAN_MST_SQL),
+    Query("hdbscan_leaves", llmdata.q_hdbscan_leaves, llmdata.Q_HDBSCAN_LEAVES_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -7469,6 +7469,271 @@ FROM core c JOIN agg a USING (pid)
 Q_HDBSCAN_CORE_SQL = _hdbscan_sql()
 
 
+def _hdbscan_mre_prefix() -> str:
+    """Shared oracle CTE prefix for the HDBSCAN MST/condense stages:
+    the hdbscan_core density substrate (f/p/core at eps=4, k=5) plus
+    ``mre`` — the UNDIRECTED core-core mutual-reachability edge list
+    (a < b, w = mr2 = max(core2_a, core2_b, d²)); both directions of
+    a pair carry the identical w so DISTINCT is a pure dedup,
+    mirroring graph.hdbscan_mr_edges_2d."""
+    from flink_essentials_spark.queries.util import sql_cents
+
+    return f"""
+WITH f AS (
+  SELECT user_id AS pid, COUNT(*) AS x,
+         CAST(SUM({sql_cents('value')}) // 10000 AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), p AS (
+  SELECT a.pid AS pid, b.pid AS qid,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM f a JOIN f b
+    ON a.pid <> b.pid
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 16
+), core AS (
+  SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_eps,
+         CAST(list_sort(list(d2))[4] AS BIGINT) AS core2
+  FROM p GROUP BY pid HAVING COUNT(*) >= 4
+), mre AS (
+  SELECT DISTINCT LEAST(p.pid, p.qid) AS a, GREATEST(p.pid, p.qid) AS b,
+         GREATEST(ca.core2, cb.core2, p.d2) AS w
+  FROM p JOIN core ca ON ca.pid = p.pid JOIN core cb ON cb.pid = p.qid
+)"""
+
+
+def _kruskal_ctes() -> str:
+    """Sequential KRUSKAL (1956) replay of the minimum spanning
+    forest as a DuckDB list_reduce fold — the INDEPENDENT formulation
+    checking graph.boruvka_mst (under the total (w, a, b) edge order
+    the MSF is unique, so two different published MST algorithms must
+    emit the identical edge set — the strongest oracle form, as with
+    jaro_winkler/isotonic). Union-find lives in a string accumulator
+    'map#mstlist': the map is a FLAT representative table
+    '(node=rep)(node=rep)…' (parenthesized entries so
+    regexp_extract_all matches are non-overlapping; rep = component
+    min, maintained by full relabel of the losing rep — the
+    general-fold string-accumulator trick from the BPE/t-digest
+    oracles), accepted edges append to the list IN ASCENDING ORDER
+    (which is what the condense fold consumes). Appends CTEs after a
+    prefix that must define ``mre(a, b, w)``."""
+    A = "split_part(e, ':', 1)"
+    B = "split_part(e, ':', 2)"
+    M = "split_part(acc, '#', 1)"
+    L = "split_part(acc, '#', 2)"
+    ra = f"regexp_extract({M}, '\\(' || {A} || '=([0-9]+)\\)', 1)"
+    rb = f"regexp_extract({M}, '\\(' || {B} || '=([0-9]+)\\)', 1)"
+    lo = f"LEAST(CAST({ra} AS BIGINT), CAST({rb} AS BIGINT))"
+    hi = f"GREATEST(CAST({ra} AS BIGINT), CAST({rb} AS BIGINT))"
+    return f""", nodes AS (
+  SELECT a AS n FROM mre UNION SELECT b FROM mre
+), m0 AS (
+  SELECT string_agg('(' || n || '=' || n || ')', '' ORDER BY n) AS mp
+  FROM nodes
+), el AS (
+  SELECT list(a || ':' || b || ':' || w ORDER BY w, a, b) AS es FROM mre
+), k1 AS (
+  SELECT list_reduce(
+    list_prepend((SELECT mp FROM m0) || '#', es),
+    (acc, e) -> CASE WHEN {ra} = {rb} THEN acc ELSE
+      replace({M}, '=' || {hi} || ')', '=' || {lo} || ')')
+      || '#' || {L} || ';' || e END
+  ) AS st FROM el
+), mst AS (
+  SELECT CAST(split_part(t.e, ':', 1) AS BIGINT) AS a,
+         CAST(split_part(t.e, ':', 2) AS BIGINT) AS b,
+         CAST(split_part(t.e, ':', 3) AS BIGINT) AS w
+  FROM k1, UNNEST(str_split(split_part(st, '#', 2), ';')) AS t(e)
+  WHERE t.e <> ''
+)"""
+
+
+def q_hdbscan_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN stage 2 — the minimum spanning forest of the
+    mutual-reachability graph (graph.boruvka_mst over
+    graph.hdbscan_mr_edges_2d; Campello, Moulavi & Sander 2013 §3)
+    on the same materialized geometry as hdbscan_core (eps=4, k=5).
+    Distributed Borůvka rounds (per-component struct-MIN edge pick +
+    connected_components contraction, ≤ log2(n) rounds) under the
+    lexicographic (w, a, b) order, which makes the forest UNIQUE —
+    the oracle replays sequential KRUSKAL (a different published
+    algorithm) as a union-find list_reduce fold and must match edge
+    for edge. Output: (a, b, mr2, comp) — forest edges plus the
+    final component label (min node id), all BIGINT."""
+    from flink_essentials_spark.functions.graph import (
+        boruvka_mst,
+        hdbscan_mr_edges_2d,
+    )
+
+    pts = _dbscan_assignment_store(spark, sf_dir).select("user_id", "x", "y")
+    edges = hdbscan_mr_edges_2d(pts, "user_id", "x", "y", eps=4, k=5)
+    return boruvka_mst(edges).select(
+        "a", "b", F.col("w").alias("mr2"), "comp"
+    )
+
+
+def _hdbscan_mst_sql() -> str:
+    return (
+        _hdbscan_mre_prefix()
+        + _kruskal_ctes()
+        + """
+SELECT m.a, m.b, m.w AS mr2,
+       CAST(regexp_extract((SELECT split_part(st, '#', 1) FROM k1),
+            '\\(' || m.a || '=([0-9]+)\\)', 1) AS BIGINT) AS comp
+FROM mst m
+"""
+    )
+
+
+Q_HDBSCAN_MST_SQL = _hdbscan_mst_sql()
+
+HDBSCAN_MIN_CLUSTER = 3
+
+
+def q_hdbscan_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN stage 3 — condensed-tree LEAF clusters with stability
+    (graph.hdbscan_condense over the boruvka_mst forest; Campello et
+    al. 2013 §4, leaf selection): per point of a leaf cluster its
+    flat label (the creating component's min node id), the fall-out
+    level w_fall (squared mutual-reachability distance at which the
+    point leaves the cluster, descending), the cluster's member
+    count, and stability σ(C) = Σ_p (1/√w_fall(p) − 1/√w_split(C))
+    accumulated as a LEFT FOLD over (w_fall, pid) order — bit-exact
+    cross-engine (correctly-rounded sqrt/div/add in both). The
+    oracle chains TWO folds: the Kruskal MSF replay, then the
+    ascending condensed sweep (leaf birth / false-split fall-outs /
+    true-split finalization) with union-find + cluster bookkeeping
+    in one string accumulator — the same ascending formulation the
+    Arrow task runs per forest component. min_cluster_size = 3."""
+    from flink_essentials_spark.functions.graph import (
+        boruvka_mst,
+        hdbscan_condense,
+        hdbscan_mr_edges_2d,
+    )
+
+    pts = _dbscan_assignment_store(spark, sf_dir).select("user_id", "x", "y")
+    edges = hdbscan_mr_edges_2d(pts, "user_id", "x", "y", eps=4, k=5)
+    mst = boruvka_mst(edges)
+    return hdbscan_condense(mst, HDBSCAN_MIN_CLUSTER).select(
+        F.col("pid").alias("user_id"),
+        "label",
+        "w_fall",
+        "n_members",
+        "stability",
+    )
+
+
+def _hdbscan_leaves_sql(m: int = HDBSCAN_MIN_CLUSTER) -> str:
+    """Condensed-sweep fold: acc = 'map#clusters#events#finals' —
+    map as in the Kruskal fold; clusters '(rep@cid~leaf)' (cid =
+    'a.b' of the creating edge — unique per event); events
+    ';pid:w:cid'; finals ';cid:wsplit:leaf'. Cases per MST edge
+    (every edge merges): fresh comp reaching ≥ m → leaf birth + all
+    members fall; one-sided cluster → small side falls into it
+    (rekey to the merged rep); two clusters → both finalize at w,
+    merged comp becomes an internal cluster. Open clusters finalize
+    with wsplit = 0 (λ_birth = 0, the root convention). The flat
+    label = MIN member pid per cluster, computed at readout."""
+    A = "split_part(e, ':', 1)"
+    B = "split_part(e, ':', 2)"
+    W = "split_part(e, ':', 3)"
+    M = "split_part(acc, '#', 1)"
+    C = "split_part(acc, '#', 2)"
+    E = "split_part(acc, '#', 3)"
+    FS = "split_part(acc, '#', 4)"
+    ra = f"regexp_extract({M}, '\\(' || {A} || '=([0-9]+)\\)', 1)"
+    rb = f"regexp_extract({M}, '\\(' || {B} || '=([0-9]+)\\)', 1)"
+    lo = f"LEAST(CAST({ra} AS BIGINT), CAST({rb} AS BIGINT))"
+    hi = f"GREATEST(CAST({ra} AS BIGINT), CAST({rb} AS BIGINT))"
+    m2 = f"replace({M}, '=' || {hi} || ')', '=' || {lo} || ')')"
+    ea = f"regexp_extract({C}, '\\(' || {ra} || '@[^)]*\\)')"
+    eb = f"regexp_extract({C}, '\\(' || {rb} || '@[^)]*\\)')"
+    cid_new = f"{A} || '.' || {B}"
+    msize = f"len(regexp_extract_all({m2}, '=' || {lo} || '\\)'))"
+    mem_new = f"regexp_extract_all({m2}, '\\(([0-9]+)=' || {lo} || '\\)', 1)"
+    keep_entry = f"(CASE WHEN {ea} <> '' THEN {ea} ELSE {eb} END)"
+    keep_rep = f"(CASE WHEN {ea} <> '' THEN {ra} ELSE {rb} END)"
+    small_rep = f"(CASE WHEN {ea} <> '' THEN {rb} ELSE {ra} END)"
+    keep_cid = f"regexp_extract({keep_entry}, '@([0-9.]+)~', 1)"
+    small_mem = (
+        f"regexp_extract_all({M}, '\\(([0-9]+)=' || {small_rep} || '\\)', 1)"
+    )
+
+    def fin(entry: str) -> str:
+        return (
+            f"';' || regexp_extract({entry}, '@([0-9.]+)~', 1)"
+            f" || ':' || {W} || ':'"
+            f" || regexp_extract({entry}, '~([01])\\)', 1)"
+        )
+
+    step = f"""CASE
+      WHEN {ea} = '' AND {eb} = '' THEN
+        CASE WHEN {msize} >= {m} THEN
+          {m2} || '#' || {C} || '(' || {lo} || '@' || {cid_new} || '~1)'
+          || '#' || {E} || array_to_string(list_transform({mem_new},
+               pp -> ';' || pp || ':' || {W} || ':' || {cid_new}), '')
+          || '#' || {FS}
+        ELSE {m2} || '#' || {C} || '#' || {E} || '#' || {FS} END
+      WHEN {ea} <> '' AND {eb} <> '' THEN
+        {m2} || '#' || replace(replace({C}, {ea}, ''), {eb}, '')
+        || '(' || {lo} || '@' || {cid_new} || '~0)'
+        || '#' || {E} || '#' || {FS} || {fin(ea)} || {fin(eb)}
+      ELSE
+        {m2} || '#' || replace({C}, '(' || {keep_rep} || '@', '(' || {lo} || '@')
+        || '#' || {E} || array_to_string(list_transform({small_mem},
+             pp -> ';' || pp || ':' || {W} || ':' || {keep_cid}), '')
+        || '#' || {FS}
+      END"""
+    return (
+        _hdbscan_mre_prefix()
+        + _kruskal_ctes()
+        + f""", k2 AS (
+  SELECT list_reduce(
+    list_prepend((SELECT mp FROM m0) || '###',
+      list_filter(str_split(split_part((SELECT st FROM k1), '#', 2), ';'),
+                  x -> x <> '')),
+    (acc, e) -> {step}
+  ) AS st
+), fin AS (
+  SELECT split_part(t.f, ':', 1) AS cid,
+         CAST(split_part(t.f, ':', 2) AS BIGINT) AS wsplit,
+         split_part(t.f, ':', 3) AS leaf
+  FROM k2, UNNEST(str_split(split_part(st, '#', 4), ';')) AS t(f)
+  WHERE t.f <> ''
+  UNION ALL
+  SELECT regexp_extract(t.en, '@([0-9.]+)~', 1) AS cid,
+         0 AS wsplit,
+         regexp_extract(t.en, '~([01])\\)', 1) AS leaf
+  FROM k2, UNNEST(regexp_extract_all(split_part(st, '#', 2),
+                                     '\\([0-9]+@[^)]*\\)')) AS t(en)
+), ev AS (
+  SELECT CAST(split_part(t.v, ':', 1) AS BIGINT) AS pid,
+         CAST(split_part(t.v, ':', 2) AS BIGINT) AS wf,
+         split_part(t.v, ':', 3) AS cid
+  FROM k2, UNNEST(str_split(split_part(st, '#', 3), ';')) AS t(v)
+  WHERE t.v <> ''
+), leafev AS (
+  SELECT ev.pid, ev.wf, ev.cid, fin.wsplit
+  FROM ev JOIN fin ON ev.cid = fin.cid WHERE fin.leaf = '1'
+), stab AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MIN(pid) AS BIGINT) AS label,
+         list_reduce(list_prepend(0.0,
+           list(1.0 / sqrt(CAST(wf AS DOUBLE)) -
+                (CASE WHEN wsplit = 0 THEN 0.0
+                      ELSE 1.0 / sqrt(CAST(wsplit AS DOUBLE)) END)
+                ORDER BY wf, pid)),
+           (x, y) -> x + y) AS stability
+  FROM leafev GROUP BY cid
+)
+SELECT l.pid AS user_id, s.label, l.wf AS w_fall,
+       s.n_members, s.stability
+FROM leafev l JOIN stab s USING (cid)
+"""
+    )
+
+
+Q_HDBSCAN_LEAVES_SQL = _hdbscan_leaves_sql()
+
+
 def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scores per document
     (text.kneser_ney_score, Kneser & Ney 1995 / Chen & Goodman 1998)

@@ -316,3 +316,194 @@ def test_hdbscan_core_matches_brute_force(spark):
             )
     assert got == want
     assert 99 not in got and len(got) >= 8
+
+
+def _kruskal_reference(edges):
+    """Sequential Kruskal under the lexicographic (w, a, b) order —
+    the independent formulation boruvka_mst's uniqueness argument is
+    checked against (same pairing as the DuckDB fold oracle)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    mst = []
+    for a, b, w in sorted(edges, key=lambda t: (t[2], t[0], t[1])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            mst.append((a, b, w))
+    comp = {n: find(n) for n in parent}
+    return sorted(mst), comp
+
+
+def test_boruvka_matches_kruskal_on_random_tied_graphs(spark):
+    """boruvka_mst == sequential Kruskal edge-for-edge on random
+    graphs with HEAVY weight ties (weights 1..6) — the unique-MSF
+    theorem under the tuple order, the claim the oracle rides; comp
+    labels must be the component min."""
+    from flink_essentials_spark.functions.graph import boruvka_mst
+
+    rng = random.Random(131)
+    for _ in range(2):
+        n = rng.randint(18, 32)
+        d = {}
+        for _ in range(n * 3):
+            a, b = rng.sample(range(1, n + 1), 2)
+            d[(min(a, b), max(a, b))] = rng.randint(1, 6)
+        edges = [(a, b, w) for (a, b), w in d.items()]
+        ref, comp = _kruskal_reference(edges)
+        rows = boruvka_mst(
+            spark.createDataFrame(edges, "a long, b long, w long")
+        ).collect()
+        assert sorted((r.a, r.b, r.w) for r in rows) == ref
+        assert all(r.comp == comp[r.a] == comp[r.b] for r in rows)
+
+
+def test_boruvka_deep_pointer_chain(spark):
+    """An ascending-weight path makes every component's min-edge
+    pointer face the same way — the deepest pointer graph a round can
+    produce; the contraction must still collapse it (exercises the
+    connected_components auto-escalation inside the round)."""
+    from flink_essentials_spark.functions.graph import boruvka_mst
+
+    edges = [(i, i + 1, i) for i in range(1, 26)]
+    stats = {}
+    rows = boruvka_mst(
+        spark.createDataFrame(edges, "a long, b long, w long"), stats=stats
+    ).collect()
+    assert sorted((r.a, r.b, r.w) for r in rows) == sorted(edges)
+    assert {r.comp for r in rows} == {1}
+    assert stats["rounds"] <= 6  # log2(26) rounds, not path length
+
+
+def _condense_reference(mst_edges, m):
+    """INDEPENDENT condensed-tree formulation: build the explicit
+    single-linkage dendrogram bottom-up (Kruskal order), then walk it
+    TOP-DOWN exactly as Campello et al. describe condensing — new
+    clusters at true splits, fall-outs at false splits, death when
+    both children are < m. hdbscan_condense runs a one-pass ASCENDING
+    sweep instead; the two traversals must agree on every leaf
+    cluster, member, fall-out level and stability."""
+    import math
+
+    parent = {}
+    nodes = {}  # dendrogram: nid -> (w, left, right); points are ints
+
+    def find(x):
+        parent.setdefault(x, x)
+        nodes.setdefault(x, None)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    top = {}  # root rep -> dendrogram node id
+    seq = [0]
+    for a, b, w in sorted(mst_edges, key=lambda t: (t[2], t[0], t[1])):
+        ra, rb = find(a), find(b)
+        nid = f"i{seq[0]}"
+        seq[0] += 1
+        nodes[nid] = (w, top.get(ra, ra), top.get(rb, rb))
+        parent[max(ra, rb)] = min(ra, rb)
+        top[min(ra, rb)] = nid
+
+    def points(n):
+        if not isinstance(n, str):
+            return [n]
+        _, l, r = nodes[n]
+        return points(l) + points(r)
+
+    clusters = []  # (birth_w or None, [(w_fall, pid), ...])
+
+    def walk(n, ev):
+        w, l, r = nodes[n]
+        cl, cr = len(points(l)), len(points(r))
+        if cl >= m and cr >= m:
+            ev.append("SPLIT")  # internal: mark and stop this cluster
+            for child in (l, r):
+                child_ev = []
+                clusters.append((w, child_ev))
+                walk(child, child_ev)
+        elif cl < m and cr < m:
+            ev.extend((w, p) for p in points(n))
+        else:
+            small, big = (l, r) if cl < m else (r, l)
+            ev.extend((w, p) for p in points(small))
+            walk(big, ev)
+
+    seen_roots = set()
+    for x in list(parent):
+        r = find(x)
+        if r in seen_roots or r not in top:
+            continue
+        seen_roots.add(r)
+        if len(points(top[r])) >= m:
+            ev = []
+            clusters.append((None, ev))
+            walk(top[r], ev)
+    out = {}
+    for birth, ev in clusters:
+        if "SPLIT" in ev:
+            continue  # internal cluster -> its members are noise
+        evs = sorted(ev)
+        label = min(p for _, p in evs)
+        lb = 0.0 if birth is None else 1.0 / math.sqrt(float(birth))
+        s = 0.0
+        for w, _p in evs:
+            s += 1.0 / math.sqrt(float(w)) - lb
+        for w, p in evs:
+            out[p] = (label, w, len(evs), s)
+    return out
+
+
+def test_hdbscan_condense_matches_descending_reference(spark):
+    """Two-formulation proof for the condensed tree: the ascending
+    one-pass sweep (hdbscan_condense) vs the textbook top-down walk
+    of an explicitly built dendrogram, on random tied MSFs — labels,
+    fall-out levels, member counts and BIT-EXACT stabilities."""
+    from flink_essentials_spark.functions.graph import boruvka_mst, hdbscan_condense
+
+    rng = random.Random(977)
+    for m in (2, 3, 5):
+        n = rng.randint(20, 34)
+        d = {}
+        for _ in range(n * 2):
+            a, b = rng.sample(range(1, n + 1), 2)
+            d[(min(a, b), max(a, b))] = rng.randint(1, 5)
+        edges = [(a, b, w) for (a, b), w in d.items()]
+        mst, _ = _kruskal_reference(edges)
+        want = _condense_reference(mst, m)
+        got = {
+            r.pid: (r.label, r.w_fall, r.n_members, r.stability)
+            for r in hdbscan_condense(
+                boruvka_mst(
+                    spark.createDataFrame(edges, "a long, b long, w long")
+                ),
+                m,
+            ).collect()
+        }
+        assert got == want, m
+
+
+def test_hdbscan_condense_two_clusters_hand_case(spark):
+    """Two w=1 chains bridged at w=100, m=3: both sides are leaf
+    clusters born at the bridge (λ_birth = 0.1), every member falls
+    at w=1 (λ = 1), stability = 4 × 0.9 each."""
+    from flink_essentials_spark.functions.graph import boruvka_mst, hdbscan_condense
+
+    edges = [(1, 2, 1), (2, 3, 1), (3, 4, 1),
+             (10, 11, 1), (11, 12, 1), (12, 13, 1), (4, 10, 100)]
+    rows = hdbscan_condense(
+        boruvka_mst(spark.createDataFrame(edges, "a long, b long, w long")), 3
+    ).collect()
+    got = sorted((r.pid, r.label, r.w_fall, r.n_members, r.stability) for r in rows)
+    s = 4 * (1.0 - 0.1)
+    assert got == sorted(
+        [(p, 1, 1, 4, s) for p in (1, 2, 3, 4)]
+        + [(p, 10, 1, 4, s) for p in (10, 11, 12, 13)]
+    )
