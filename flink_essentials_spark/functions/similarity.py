@@ -1696,3 +1696,96 @@ def knn_hubness(
         "n_zero",
         (m3 / (m2 * F.sqrt(m2))).alias("skew"),
     )
+
+
+def lloyd_step(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int = 64,
+    scale: int = 10000,
+) -> DataFrame:
+    """ONE exact Lloyd iteration (Lloyd 1957/IEEE-IT 1982, "Least
+    squares quantization in PCM") over the QUANTIZED embedding corpus
+    — the actual k-means step the ANN index family (IVF cells, PQ
+    codebooks) implicitly depends on but never ran under oracle.
+    Assignment distances are exact BIGINTs via the gram_matrix
+    quantize-floor discipline (q = FLOOR(double(v)·scale) is
+    IEEE-identical in numpy, Spark SQL and DuckDB), so the argmin AND
+    its tie-break (first minimum = lowest cluster id, numpy argmin ==
+    the oracle's MIN(cid) over d2 = min) are cross-engine safe — the
+    near-tie ulp risk that deferred this operator is eliminated by
+    integer distances rather than documented around. Init = the k
+    lowest-id vectors (the _first_vectors_by_id t=0 discipline).
+
+    Returns one row per (cluster, dim): n (cluster size), s (exact
+    BIGINT coordinate sum), c_new = s/n (ONE division of exact
+    operands — the updated centroid coordinate), inertia (exact
+    BIGINT within-cluster squared-distance sum). Clusters whose seed
+    duplicates a lower seed can assign empty and emit nothing — in
+    both engines identically.
+
+    Scale shape: centroids are a BOUNDED driver collect (k rows)
+    broadcast into one Arrow map pass (int64 matmul over the pair
+    axis — never a per-row python loop); the update is one groupBy
+    over exploded quantized dims and the inertia one groupBy over the
+    assignment — two scan-stage aggregates, no joins wider than the
+    k-row broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(rows) < k:
+        raise ValueError(f"lloyd_step needs >= {k} rows")
+    c = np.floor(
+        np.array([r[vec_col] for r in rows], dtype=np.float64) * float(scale)
+    ).astype(np.int64)
+    cnorm = (c * c).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            x = np.array(
+                [np.asarray(v) for v in pdf[vec_col]], dtype=np.float64
+            )
+            q = np.floor(x * float(scale)).astype(np.int64)
+            d2 = (
+                (q * q).sum(axis=1)[:, None] - 2 * (q @ c.T) + cnorm[None, :]
+            )
+            cid = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "cid": cid.astype("int64"),
+                    "d2": d2[np.arange(len(cid)), cid],
+                }
+            )
+
+    a = corpus.select(id_col, vec_col).mapInPandas(
+        assign, "vec_id long, cid long, d2 long"
+    )
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.floor(x * F.lit(float(scale))).cast("long"),
+            )
+        ).alias("pos", "qv"),
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "qv")
+    upd = (
+        e.join(a.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "dim")
+        .agg(F.sum("qv").alias("s"))
+    )
+    inert = a.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d2").alias("inertia")
+    )
+    return upd.join(inert, "cid").select(
+        F.col("cid").alias("cluster"),
+        "dim",
+        "n",
+        "s",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("c_new"),
+        "inertia",
+    )

@@ -2555,3 +2555,85 @@ def heaps_fit(
         F.round(slope_raw, 6).alias("slope"),
         F.round((sy - slope_raw * sx) / F.lit(m), 6).alias("intercept"),
     )
+
+
+def _lcs_batch(seqs_a: list, seqs_b: list) -> list:
+    """Token-level LCS length for a batch of sequence pairs, DP
+    vectorized ACROSS THE PAIR AXIS (the _dl_batch discipline —
+    per-pair python DP is ~50× slower at eval-pair volumes): tokens
+    are dictionary-encoded per batch (LCS only consults equality
+    WITHIN a pair, so a batch-local vocabulary is layout-independent),
+    sequences sentinel-padded with -1/-2 so pads never match, and the
+    classic row DP runs i×j python loops over numpy P-vectors.
+    Padded tail cells only propagate the running max, so the final
+    [m] column is the exact LCS at every true length."""
+    import numpy as np
+
+    p = len(seqs_a)
+    if p == 0:
+        return []
+    vocab: dict = {}
+
+    def enc(t):
+        return vocab.setdefault(t, len(vocab))
+
+    n = max(len(s) for s in seqs_a)
+    m = max(len(s) for s in seqs_b)
+    ca = np.full((p, max(n, 1)), -1, dtype=np.int64)
+    cb = np.full((p, max(m, 1)), -2, dtype=np.int64)
+    for i, s in enumerate(seqs_a):
+        for j, t in enumerate(s):
+            ca[i, j] = enc(t)
+    for i, s in enumerate(seqs_b):
+        for j, t in enumerate(s):
+            cb[i, j] = enc(t)
+    prev = np.zeros((p, m + 1), dtype=np.int64)
+    for i in range(1, n + 1):
+        cur = np.zeros((p, m + 1), dtype=np.int64)
+        ai = ca[:, i - 1]
+        for j in range(1, m + 1):
+            eq = ai == cb[:, j - 1]
+            np.maximum(prev[:, j], cur[:, j - 1], out=cur[:, j])
+            np.maximum(cur[:, j], prev[:, j - 1] + eq, out=cur[:, j])
+        prev = cur
+    return prev[:, m].tolist()
+
+
+def lcs_scores_batch(
+    pairs: DataFrame, a_col: str, b_col: str, out_col: str = "lcs"
+) -> DataFrame:
+    """Longest-common-subsequence length between two token-array
+    columns of PRE-PAIRED rows (the dl_scores_batch shape: pair
+    volume is bounded upstream — here by the successor-pair mapping —
+    so the Arrow comparator cost rides the pair table's partitioning
+    with no extra shuffle). Rows are split by (next-pow2 |a|,
+    next-pow2 |b|) length buckets so one long outlier doesn't inflate
+    every short pair's P·n·m DP tensor. Appends ``out_col`` BIGINT;
+    output depends only on pair values (layout-independent)."""
+
+    def score(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            seq_a = [list(v) for v in pdf[a_col]]
+            seq_b = [list(v) for v in pdf[b_col]]
+            out = [0] * len(seq_a)
+            buckets: dict = {}
+            for i, (x, y) in enumerate(zip(seq_a, seq_b)):
+                key = (
+                    max(1, len(x) - 1).bit_length(),
+                    max(1, len(y) - 1).bit_length(),
+                )
+                buckets.setdefault(key, []).append(i)
+            for idxs in buckets.values():
+                vals = _lcs_batch(
+                    [seq_a[i] for i in idxs], [seq_b[i] for i in idxs]
+                )
+                for i, v in zip(idxs, vals):
+                    out[i] = v
+            pdf[out_col] = out
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema.fields
+    )
+    return pairs.mapInPandas(score, schema + f", {out_col} bigint")

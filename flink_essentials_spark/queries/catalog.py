@@ -2058,6 +2058,14 @@ _REGISTRY: list[Query] = [
     # stabilities. Head-50 promotion handled in the r13 rotation.
     Query("hdbscan_mst", llmdata.q_hdbscan_mst, llmdata.Q_HDBSCAN_MST_SQL),
     Query("hdbscan_leaves", llmdata.q_hdbscan_leaves, llmdata.Q_HDBSCAN_LEAVES_SQL),
+    # r13: ROUGE-L (the r12 verdict's #3 ask) — LCS recall member of
+    # the text-eval family on bleu_pairs' successor-pair mapping;
+    # pair-axis numpy DP vs a nested list_reduce row-DP fold oracle.
+    Query("rouge_l", llmdata.q_rouge_l, llmdata.Q_ROUGE_L_SQL),
+    # r13: one exact Lloyd iteration (the r12 verdict's #7 ask) —
+    # integer-quantized assignment + centroid update + inertia; the
+    # argmin tie-break is exact under integer distances.
+    Query("kmeans_lloyd", llmdata.q_kmeans_lloyd, llmdata.Q_KMEANS_LLOYD_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

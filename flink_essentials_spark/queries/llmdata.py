@@ -9126,6 +9126,163 @@ WHERE j2.t2 > 0
 """
 
 
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact k-means Lloyd iteration over the embedding corpus
+    (similarity.lloyd_step; Lloyd 1957/1982) — assignment to the
+    nearest of 8 lowest-id seeds with EXACT-INTEGER squared distances
+    (q = FLOOR(double(v)·10⁴), the gram_matrix quantize-floor parity
+    discipline), then the centroid update as per-(cluster, dim)
+    BIGINT sums with c_new = s/n one exact division, plus per-cluster
+    inertia. Completes the clustering matrix's missing member: IVF/PQ
+    seed cells (t=0) and the density/connectivity family were
+    driver-covered, the actual Lloyd refinement step was not. Integer
+    distances make the argmin tie-break (numpy first-min == SQL
+    MIN(cid) at d2 = min) cross-engine exact — the ulp concern that
+    deferred this operator is removed, not documented around."""
+    from flink_essentials_spark.functions.similarity import lloyd_step
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return lloyd_step(emb, "vec_id", "embedding", k=8, dim=64)
+
+
+Q_KMEANS_LLOYD_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 10000) AS BIGINT)) AS q
+  FROM embeddings
+), init AS (
+  SELECT q, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+), dist AS (
+  SELECT e.vec_id, i.cid,
+         CAST(SUM((e.q[dd.d] - i.q[dd.d]) * (e.q[dd.d] - i.q[dd.d]))
+              AS BIGINT) AS d2
+  FROM e, init i, UNNEST(range(1, 65)) AS dd(d)
+  GROUP BY 1, 2
+), amin AS (
+  SELECT vec_id, MIN(d2) AS md FROM dist GROUP BY 1
+), assign AS (
+  SELECT d.vec_id, CAST(MIN(d.cid) AS BIGINT) AS cid, MIN(a.md) AS d2
+  FROM dist d JOIN amin a ON d.vec_id = a.vec_id AND d.d2 = a.md
+  GROUP BY 1
+), inert AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d2) AS BIGINT) AS inertia
+  FROM assign GROUP BY 1
+), upd AS (
+  SELECT a.cid, CAST(dd.d AS BIGINT) AS dim,
+         CAST(SUM(e.q[dd.d]) AS BIGINT) AS s
+  FROM assign a JOIN e USING (vec_id), UNNEST(range(1, 65)) AS dd(d)
+  GROUP BY 1, 2
+)
+SELECT u.cid AS cluster, u.dim, i.n, u.s,
+       CAST(u.s AS DOUBLE) / CAST(i.n AS DOUBLE) AS c_new,
+       i.inertia
+FROM upd u JOIN inert i USING (cid)
+"""
+
+
+def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (Lin, ACL-W 2004, "ROUGE: a package for automatic
+    evaluation of summaries") between each sampled document and its
+    same-source successor — the RECALL member of the text-eval family
+    beside bleu_pairs' clipped-precision member, on the IDENTICAL
+    successor-pair mapping (doc_id + S with the md5-digit 25% sample;
+    never doc_id % m — ids stride by the source count). LCS length
+    runs as the pair-axis-vectorized numpy DP (text.lcs_scores_batch,
+    the _dl_batch discipline) over per-batch dictionary-encoded
+    tokens; P = lcs/|c|, R = lcs/|r| and F(β=1) = 2·lcs/(|c|+|r|)
+    are each ONE division of exact BIGINTs — bit-identical
+    cross-engine, no rounding. The oracle replays the row DP as a
+    NESTED list_reduce fold (outer over candidate tokens carrying
+    the DP row as a comma-joined string — the t-digest init trick —
+    inner over reference positions building the next row via the
+    prefix-max recurrence).
+
+    Scale shape: pairs are formed by one equi-join on the successor
+    id; token arrays ride the bounded pair table into one Arrow
+    mapInPandas (no extra shuffle, no explode); the 100 TB form is
+    the same join — eval sets are sampled by construction."""
+    from flink_essentials_spark.functions.text import lcs_scores_batch
+    from flink_essentials_spark.operators.transform import tokenize
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    s = docs.agg(F.countDistinct("source").alias("S"))
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("w"))
+    cand = (
+        toks.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+            < F.lit("4")
+        )
+        .crossJoin(F.broadcast(s))
+        .select(
+            "doc_id",
+            F.col("w").alias("cw"),
+            (F.col("doc_id") + F.col("S")).alias("ref_id"),
+        )
+    )
+    pairs = cand.join(
+        toks.select(F.col("doc_id").alias("ref_id"), F.col("w").alias("rw")),
+        "ref_id",
+    )
+    scored = lcs_scores_batch(pairs, "cw", "rw", "lcs")
+    c_len = F.size("cw").cast("long")
+    r_len = F.size("rw").cast("long")
+    return scored.select(
+        "doc_id",
+        "ref_id",
+        c_len.alias("c_len"),
+        r_len.alias("r_len"),
+        "lcs",
+        (F.col("lcs").cast("double") / c_len.cast("double")).alias("rouge_p"),
+        (F.col("lcs").cast("double") / r_len.cast("double")).alias("rouge_r"),
+        (
+            (2 * F.col("lcs")).cast("double")
+            / (c_len + r_len).cast("double")
+        ).alias("rouge_f"),
+    )
+
+
+Q_ROUGE_L_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS w FROM documents
+), s AS (
+  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS S FROM documents
+), pairs AS (
+  SELECT c.doc_id, r.doc_id AS ref_id, c.w AS cw, r.w AS rw
+  FROM t c CROSS JOIN s JOIN t r ON r.doc_id = c.doc_id + s.S
+  WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 32, 1) < '4'
+), scored AS (
+  SELECT doc_id, ref_id, cw, rw,
+    CAST(regexp_extract(
+      list_reduce(
+        list_prepend(
+          array_to_string(list_transform(generate_series(0, len(rw)),
+                                         x -> '0'), ','),
+          cw),
+        (acc, e) -> list_reduce(
+          list_prepend('0', list_transform(generate_series(1, len(rw)),
+                                           j -> CAST(j AS VARCHAR))),
+          (racc, js) -> racc || ',' || GREATEST(
+            CAST(split_part(acc, ',', CAST(js AS INT) + 1) AS BIGINT),
+            CAST(regexp_extract(racc, '([0-9]+)$', 1) AS BIGINT),
+            CAST(split_part(acc, ',', CAST(js AS INT)) AS BIGINT)
+              + CASE WHEN rw[CAST(js AS INT)] = e THEN 1 ELSE 0 END))
+      ), '([0-9]+)$', 1) AS BIGINT) AS lcs
+  FROM pairs
+)
+SELECT doc_id, ref_id,
+       CAST(len(cw) AS BIGINT) AS c_len,
+       CAST(len(rw) AS BIGINT) AS r_len,
+       lcs,
+       CAST(lcs AS DOUBLE) / CAST(len(cw) AS DOUBLE) AS rouge_p,
+       CAST(lcs AS DOUBLE) / CAST(len(rw) AS DOUBLE) AS rouge_r,
+       CAST(2 * lcs AS DOUBLE) / CAST(len(cw) + len(rw) AS DOUBLE) AS rouge_f
+FROM scored
+"""
+
+
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line peak concurrency (the classic interval-scheduling
     maximum-overlap question — de Berg et al., Computational

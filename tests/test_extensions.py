@@ -5407,3 +5407,59 @@ def test_spacesaving_maintained_over_a_stream_equals_batch(spark, tmp_path):
         map(tuple, ss_exact_topk(toks, "token", k=64, m=10).collect())
     )
     assert got == direct and len(got) >= 5
+
+
+def test_lloyd_step_matches_bruteforce_with_exact_ties(spark):
+    """similarity.lloyd_step vs a scalar python reference on a tiny
+    corpus engineered with EXACT distance ties (duplicate points
+    equidistant to two seeds): integer quantization makes the
+    tie-break (first minimum = lowest cluster id) deterministic —
+    the property the oracle's MIN(cid)-at-min-d2 relies on."""
+    import math
+
+    from flink_essentials_spark.functions.similarity import lloyd_step
+
+    dim, k = 4, 2
+    # seeds are vec_id 1 and 2; points 3..8 include two exactly
+    # midway between the seeds (tie -> cluster 0)
+    vecs = {
+        1: [0.0, 0.0, 0.0, 0.0],
+        2: [1.0, 0.0, 0.0, 0.0],
+        3: [0.5, 0.0, 0.0, 0.0],   # exact tie
+        4: [0.5, 0.25, 0.0, 0.0],  # exact tie (off-axis)
+        5: [0.1, 0.0, 0.0, 0.0],
+        6: [0.9, 0.1, 0.0, 0.0],
+        7: [0.0, 0.4, 0.0, 0.0],
+        8: [1.0, 0.5, 0.0, 0.0],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    import numpy as np
+
+    # the reference must replicate the column's float32 round-trip
+    # (0.9f32 = 0.8999999761... -> floor 8999, not 9000)
+    q = {
+        i: [math.floor(float(np.float32(x)) * 10000.0) for x in v]
+        for i, v in vecs.items()
+    }
+    seeds = [q[1], q[2]]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    assign = {i: min(range(k), key=lambda c: (d2(q[i], seeds[c]), c)) for i in q}
+    want = {}
+    for c in range(k):
+        mem = [i for i in q if assign[i] == c]
+        inertia = sum(d2(q[i], seeds[c]) for i in mem)
+        for d in range(1, dim + 1):
+            s = sum(q[i][d - 1] for i in mem)
+            want[(c, d)] = (len(mem), s, s / len(mem), inertia)
+    got = {
+        (r.cluster, r.dim): (r.n, r.s, r.c_new, r.inertia)
+        for r in lloyd_step(df, k=k, dim=dim).collect()
+    }
+    assert got == want
+    assert assign[3] == 0 and assign[4] == 0  # the ties really tied

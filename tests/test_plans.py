@@ -309,6 +309,9 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         "isotonic_calibration": {"BroadcastNestedLoopJoin"},
         # one-row source-count broadcast for the successor-id pairing
         "bleu_pairs": {"BroadcastNestedLoopJoin"},
+        # same one-row source-count broadcast (bleu_pairs' successor
+        # mapping reused); the pair join itself is an EQUI-join
+        "rouge_l": {"BroadcastNestedLoopJoin"},
         # one-row stream-midpoint scalar broadcast (psi_drift pattern)
         "welch_drift": {"BroadcastNestedLoopJoin"},
         "wordpiece_encode": {"BroadcastNestedLoopJoin"},

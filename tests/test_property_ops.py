@@ -287,3 +287,50 @@ def test_louvain_merge_matches_bruteforce(spark, und_edges):
     e = spark.createDataFrame(rows, "src long, dst long, cnt long")
     got = tuple(louvain_merge_level(e, "cnt").collect()[0])
     assert got == _ref_louvain_merge(und_edges)
+
+
+def _ref_lcs(a, b):
+    """Textbook LCS DP (CLRS 15.4), scalar."""
+    m = len(b)
+    prev = [0] * (m + 1)
+    for x in a:
+        cur = [0] * (m + 1)
+        for j in range(1, m + 1):
+            cur[j] = max(prev[j], cur[j - 1], prev[j - 1] + (x == b[j - 1]))
+        prev = cur
+    return prev[m]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abc"), max_size=12),
+            st.lists(st.sampled_from("abc"), max_size=12),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_lcs_batch_matches_textbook_reference(pairs):
+    """The pair-axis-vectorized LCS equals the scalar CLRS DP on
+    tiny-alphabet token sequences (long shared runs + heavy repeats);
+    the -1/-2 padding sentinels never match whatever the length mix,
+    and empty sequences score 0."""
+    from flink_essentials_spark.functions.text import _lcs_batch
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    assert _lcs_batch(a, b) == [_ref_lcs(x, y) for x, y in pairs]
+
+
+def test_lcs_batch_known_vectors():
+    """Hand vectors: classic CLRS example ABCBDAB/BDCABA -> 4, plus
+    disjoint, identical, empty and repeat-heavy cases."""
+    from flink_essentials_spark.functions.text import _lcs_batch
+
+    got = _lcs_batch(
+        [list("ABCBDAB"), list("abc"), list("xyz"), [], list("aaaa")],
+        [list("BDCABA"), list("abc"), list("abc"), list("abc"), list("aa")],
+    )
+    assert got == [4, 3, 0, 0, 2]
