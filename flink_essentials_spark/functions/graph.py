@@ -1191,8 +1191,12 @@ def hdbscan_condense(
 
     A component that never true-splits finalizes at the top with
     λ_birth = 0 (the w = ∞ root convention). Per leaf cluster C:
-    stability σ(C) = Σ_{p ∈ C} (λ_p − λ_birth(C)) with λ = 1/√mr2
-    (Campello et al. use λ = 1/d; mr2 is the squared distance),
+    stability σ(C) = Σ_{p ∈ C} (λ_p − λ_birth(C)) with
+    λ = 1/√(1 + mr2) — Campello et al. use λ = 1/d; the +1 shift
+    (documented variant, still strictly monotone in distance) keeps λ
+    finite on EXACT-DUPLICATE geometry, where mr2 = 0 merges would
+    otherwise make a leaf's density infinite (hit at sf0.1: ≥ k
+    coincident points give core2 = 0),
     accumulated as a LEFT FOLD over members ordered by (w_fall, pid)
     — math.sqrt/div/add are correctly-rounded IEEE in both engines,
     so the DuckDB oracle's list_reduce over the same order is
@@ -1271,10 +1275,10 @@ def hdbscan_condense(
                 continue
             evs = sorted(by_cid.get(cid, []))
             label = min(p for _w, p in evs)
-            lb = 0.0 if wsplit == 0 else 1.0 / math.sqrt(float(wsplit))
+            lb = 0.0 if wsplit == 0 else 1.0 / math.sqrt(1.0 + wsplit)
             s = 0.0
             for w, _p in evs:
-                s += 1.0 / math.sqrt(float(w)) - lb
+                s += 1.0 / math.sqrt(1.0 + w) - lb
             for w, p in evs:
                 out.append((p, label, w, len(evs), s))
         cols = ["pid", "label", "w_fall", "n_members", "stability"]
@@ -1293,6 +1297,55 @@ def hdbscan_condense(
     )
 
 
+def _kruskal_finish(ce: DataFrame) -> DataFrame:
+    """Single-task Kruskal finisher for the component-level edge
+    table once it fits ``uf_bound`` (the _cc_hybrid / q-digest
+    bounded-single-task discipline — a ladder of driver-loop rounds
+    over an already-small table is pure job overhead; measured
+    8.7 s → ~2 s for the sf0.1 HDBSCAN forest). One Arrow task sorts
+    the remaining edges by (ew, ea, eb) and union-finds over the
+    component labels. Emits a union frame: kind 0 rows are accepted
+    forest edges (x1, x2, x3 = ew, ea, eb); kind 1 rows map old
+    component label x1 → final root x2."""
+
+    def kr(batches):
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                zip(
+                    (int(v) for v in pdf["ew"]),
+                    (int(v) for v in pdf["ea"]),
+                    (int(v) for v in pdf["eb"]),
+                    (int(v) for v in pdf["ca"]),
+                    (int(v) for v in pdf["cb"]),
+                )
+            )
+        rows.sort()
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        out = []
+        for ew, ea, eb, ca, cb in rows:
+            ra, rb = find(ca), find(cb)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+                out.append((0, ew, ea, eb))
+        out.extend((1, c, find(c), 0) for c in list(parent))
+        yield pd.DataFrame(out, columns=["kind", "x1", "x2", "x3"])
+
+    return ce.coalesce(1).mapInPandas(kr, "kind int, x1 long, x2 long, x3 long")
+
+
 def boruvka_mst(
     edges: DataFrame,
     src: str = "a",
@@ -1300,6 +1353,7 @@ def boruvka_mst(
     weight: str = "w",
     max_iter: int = 40,
     stats: dict | None = None,
+    uf_bound: int = 4_000_000,
 ) -> DataFrame:
     """Distributed Borůvka minimum spanning forest (Borůvka 1926; the
     parallel formulation in Chung & Condon, IPPS 1996) under the
@@ -1311,21 +1365,30 @@ def boruvka_mst(
     published formulations of the same theorem, the isotonic /
     jaro_winkler oracle discipline).
 
-    Each round: (1) parallel edges between current components are
-    contracted to their (w, a, b)-minimum (min of per-pair minima ==
-    global minimum, so this loses nothing); (2) every component picks
-    its minimum incident edge via a struct-MIN aggregate (never a
-    rank window); (3) the picked edges join the forest — by the cut
-    property under a total order each is the unique lightest edge
-    leaving its component, hence in the MSF; (4) the pointer graph
-    the picks induce on components is collapsed with the existing
-    :func:`connected_components` (``auto``: propagation with
-    two-phase escalation — pointer chains are usually shallow but an
-    ascending-weight path can make them deep). Components at least
-    halve per round → ≤ log2(n) rounds; the per-round frames are
-    localCheckpointed so the plan does not grow with iterations and
-    the accumulated forest never hangs off pre-checkpoint lineage
-    (the pagerank/q-digest loop lessons).
+    Each round: (1) every component picks its minimum incident edge
+    via ONE struct-MIN aggregate over the relabeled edge list (never
+    a rank window; a separate per-(ca, cb) parallel-edge contraction
+    would be a second E-sized shuffle that the per-comp min already
+    subsumes — measured 25 s → 9 s at sf0.1 dropping it); (2) the
+    picked edges join the forest — by the cut property under a total
+    order each is the unique lightest edge leaving its component,
+    hence in the MSF; (3) the pointer graph the picks induce on
+    components is collapsed with the existing
+    :func:`connected_components` (``hybrid``: one contraction pass +
+    bounded single-task union-find — the pointer graph has exactly
+    one edge per component, far under the uf_bound, and hybrid costs
+    ~3 small jobs where auto's propagation rounds cost ~2 each).
+    Components at least halve per round → ≤ log2(n) rounds; the
+    per-round frames are localCheckpointed so the plan does not grow
+    with iterations and the accumulated forest hangs only off
+    checkpointed picks (the pagerank/q-digest loop lessons). Once
+    the component-level edge table fits ``uf_bound`` (checked with
+    the per-round count that doubles as the termination test) the
+    remainder finishes in ONE single-task Kruskal pass
+    (:func:`_kruskal_finish` — the _cc_hybrid discipline; at 100 TB
+    the distributed rounds do the E → n reduction and the finisher
+    sees only the bounded component graph). ``uf_bound=0`` forces
+    pure distributed rounds (tests exercise both paths).
 
     Input: undirected edge list (direction-insensitive; normalized to
     a < b and de-duplicated here). Returns (a, b, w, comp) — the
@@ -1356,15 +1419,27 @@ def boruvka_mst(
     rounds = 0
     while rounds < max_iter:
         rounds += 1
-        ce = (
-            ce.groupBy("ca", "cb")
-            .agg(F.min(F.struct("ew", "ea", "eb")).alias("m"))
-            .select("ca", "cb", F.col("m.ew").alias("ew"),
-                    F.col("m.ea").alias("ea"), F.col("m.eb").alias("eb"))
-            .localCheckpoint()
-        )
-        if ce.isEmpty():
+        n_edges = ce.count()
+        if n_edges == 0:
             rounds -= 1
+            break
+        if n_edges <= uf_bound:
+            fin = _kruskal_finish(ce).localCheckpoint()
+            mst_parts.append(
+                fin.filter(F.col("kind") == 0).select(
+                    F.col("x1").alias("ew"),
+                    F.col("x2").alias("ea"),
+                    F.col("x3").alias("eb"),
+                )
+            )
+            merged = fin.filter(F.col("kind") == 1).select(
+                F.col("x1").alias("comp"), F.col("x2").alias("nc")
+            )
+            labels = labels.join(merged, "comp", "left").select(
+                "node", F.coalesce("nc", "comp").alias("comp")
+            )
+            if stats is not None:
+                stats["single_task_finish"] = True
             break
         # minimum incident edge per component (both directions)
         incident = ce.select(
@@ -1386,14 +1461,18 @@ def boruvka_mst(
             )
             .localCheckpoint()
         )
-        mst_parts.append(
-            picks.select("ew", "ea", "eb").distinct().localCheckpoint()
-        )
+        mst_parts.append(picks.select("ew", "ea", "eb").distinct())
         # collapse the pointer graph on components; comps without a
         # cross edge are finished and keep their label via coalesce
-        merged = connected_components(
-            picks.select("c", "o"), "c", "o", algorithm="auto"
-        ).select(F.col("node").alias("comp"), F.col("cluster_id").alias("nc"))
+        merged = (
+            connected_components(
+                picks.select("c", "o"), "c", "o", algorithm="hybrid"
+            )
+            .select(
+                F.col("node").alias("comp"), F.col("cluster_id").alias("nc")
+            )
+            .localCheckpoint()  # three consumers: labels + both ce sides
+        )
         labels = (
             labels.join(merged, "comp", "left")
             .select("node", F.coalesce("nc", "comp").alias("comp"))
@@ -1425,6 +1504,7 @@ def boruvka_mst(
                 "ea",
                 "eb",
             )
+            .localCheckpoint()  # feeds next round's isEmpty + incident
         )
     if stats is not None:
         stats["rounds"] = rounds

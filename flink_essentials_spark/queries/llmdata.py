@@ -7595,8 +7595,9 @@ def q_hdbscan_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat label (the creating component's min node id), the fall-out
     level w_fall (squared mutual-reachability distance at which the
     point leaves the cluster, descending), the cluster's member
-    count, and stability σ(C) = Σ_p (1/√w_fall(p) − 1/√w_split(C))
-    accumulated as a LEFT FOLD over (w_fall, pid) order — bit-exact
+    count, and stability σ(C) = Σ_p (1/√(1+w_fall(p)) − 1/√(1+w_split(C)))
+    (the +1-shifted λ — finite on exact-duplicate geometry, see
+    graph.hdbscan_condense) accumulated as a LEFT FOLD over (w_fall, pid) order — bit-exact
     cross-engine (correctly-rounded sqrt/div/add in both). The
     oracle chains TWO folds: the Kruskal MSF replay, then the
     ascending condensed sweep (leaf birth / false-split fall-outs /
@@ -7717,9 +7718,9 @@ def _hdbscan_leaves_sql(m: int = HDBSCAN_MIN_CLUSTER) -> str:
   SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
          CAST(MIN(pid) AS BIGINT) AS label,
          list_reduce(list_prepend(0.0,
-           list(1.0 / sqrt(CAST(wf AS DOUBLE)) -
+           list(1.0 / sqrt(1.0 + CAST(wf AS DOUBLE)) -
                 (CASE WHEN wsplit = 0 THEN 0.0
-                      ELSE 1.0 / sqrt(CAST(wsplit AS DOUBLE)) END)
+                      ELSE 1.0 / sqrt(1.0 + CAST(wsplit AS DOUBLE)) END)
                 ORDER BY wf, pid)),
            (x, y) -> x + y) AS stability
   FROM leafev GROUP BY cid

@@ -345,11 +345,13 @@ def test_boruvka_matches_kruskal_on_random_tied_graphs(spark):
     """boruvka_mst == sequential Kruskal edge-for-edge on random
     graphs with HEAVY weight ties (weights 1..6) — the unique-MSF
     theorem under the tuple order, the claim the oracle rides; comp
-    labels must be the component min."""
+    labels must be the component min. Both execution paths are
+    exercised: the default single-task finisher AND pure distributed
+    rounds (uf_bound=0)."""
     from flink_essentials_spark.functions.graph import boruvka_mst
 
     rng = random.Random(131)
-    for _ in range(2):
+    for uf_bound in (4_000_000, 0):
         n = rng.randint(18, 32)
         d = {}
         for _ in range(n * 3):
@@ -357,24 +359,30 @@ def test_boruvka_matches_kruskal_on_random_tied_graphs(spark):
             d[(min(a, b), max(a, b))] = rng.randint(1, 6)
         edges = [(a, b, w) for (a, b), w in d.items()]
         ref, comp = _kruskal_reference(edges)
+        stats = {}
         rows = boruvka_mst(
-            spark.createDataFrame(edges, "a long, b long, w long")
+            spark.createDataFrame(edges, "a long, b long, w long"),
+            stats=stats,
+            uf_bound=uf_bound,
         ).collect()
         assert sorted((r.a, r.b, r.w) for r in rows) == ref
         assert all(r.comp == comp[r.a] == comp[r.b] for r in rows)
+        assert stats.get("single_task_finish", False) == (uf_bound > 0)
 
 
 def test_boruvka_deep_pointer_chain(spark):
     """An ascending-weight path makes every component's min-edge
     pointer face the same way — the deepest pointer graph a round can
-    produce; the contraction must still collapse it (exercises the
-    connected_components auto-escalation inside the round)."""
+    produce; the distributed contraction (uf_bound=0 forces it) must
+    still collapse it in O(log n) rounds."""
     from flink_essentials_spark.functions.graph import boruvka_mst
 
     edges = [(i, i + 1, i) for i in range(1, 26)]
     stats = {}
     rows = boruvka_mst(
-        spark.createDataFrame(edges, "a long, b long, w long"), stats=stats
+        spark.createDataFrame(edges, "a long, b long, w long"),
+        stats=stats,
+        uf_bound=0,
     ).collect()
     assert sorted((r.a, r.b, r.w) for r in rows) == sorted(edges)
     assert {r.comp for r in rows} == {1}
@@ -452,10 +460,10 @@ def _condense_reference(mst_edges, m):
             continue  # internal cluster -> its members are noise
         evs = sorted(ev)
         label = min(p for _, p in evs)
-        lb = 0.0 if birth is None else 1.0 / math.sqrt(float(birth))
+        lb = 0.0 if birth is None else 1.0 / math.sqrt(1.0 + birth)
         s = 0.0
         for w, _p in evs:
-            s += 1.0 / math.sqrt(float(w)) - lb
+            s += 1.0 / math.sqrt(1.0 + w) - lb
         for w, p in evs:
             out[p] = (label, w, len(evs), s)
     return out
@@ -492,8 +500,8 @@ def test_hdbscan_condense_matches_descending_reference(spark):
 
 def test_hdbscan_condense_two_clusters_hand_case(spark):
     """Two w=1 chains bridged at w=100, m=3: both sides are leaf
-    clusters born at the bridge (λ_birth = 0.1), every member falls
-    at w=1 (λ = 1), stability = 4 × 0.9 each."""
+    clusters born at the bridge (λ_birth = 1/√101), every member
+    falls at w=1 (λ = 1/√2), stability = 4 × (1/√2 − 1/√101)."""
     from flink_essentials_spark.functions.graph import boruvka_mst, hdbscan_condense
 
     edges = [(1, 2, 1), (2, 3, 1), (3, 4, 1),
@@ -502,7 +510,11 @@ def test_hdbscan_condense_two_clusters_hand_case(spark):
         boruvka_mst(spark.createDataFrame(edges, "a long, b long, w long")), 3
     ).collect()
     got = sorted((r.pid, r.label, r.w_fall, r.n_members, r.stability) for r in rows)
-    s = 4 * (1.0 - 0.1)
+    import math
+
+    s = 0.0
+    for _ in range(4):
+        s += 1.0 / math.sqrt(2.0) - 1.0 / math.sqrt(101.0)
     assert got == sorted(
         [(p, 1, 1, 4, s) for p in (1, 2, 3, 4)]
         + [(p, 10, 1, 4, s) for p in (10, 11, 12, 13)]
