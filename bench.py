@@ -254,6 +254,12 @@ HEADLINE = [
     "streaming_join_rollup",
     "incremental_decontamination",
     "dedup_clusters",
+    # r13: HDBSCAN completion (Boruvka MSF + condensed leaf
+    # extraction), ROUGE-L LCS eval, and the exact Lloyd iteration
+    "hdbscan_mst",
+    "hdbscan_leaves",
+    "rouge_l",
+    "kmeans_lloyd",
 ]
 
 
