@@ -260,6 +260,9 @@ HEADLINE = [
     "hdbscan_leaves",
     "rouge_l",
     "kmeans_lloyd",
+    # r13 breadth: HLL register-algebra intersections + Mondrian cuts
+    "hll_set_ops",
+    "mondrian_anon",
 ]
 
 

@@ -533,43 +533,70 @@ def bloom_might_contain(
     )
 
 
-def sql_hll(
-    table_expr: str, group_col: str, value_expr: str, p: int = 8
-) -> str:
-    """DuckDB mirror of hll_registers→hll_estimate for oracle SQL."""
+def sql_hll_registers(table_expr: str, group_cols: str, value_expr: str, p: int = 8) -> str:
+    """DuckDB register-table subquery mirroring hll_registers:
+    emits ({group_cols}, bucket, rho). Factored out so sketch ALGEBRA
+    (pair unions for the intersection audit) can max-merge register
+    CTEs before estimating."""
     m = 1 << p
     width = 60 - p
+    return f"""(
+  SELECT {group_cols}, hv & {m - 1} AS bucket,
+         MAX(CASE WHEN hv >> {p} = 0 THEN {width + 1}
+                  ELSE {width + 1} - length(bin(hv >> {p})) END) AS rho
+  FROM (
+    SELECT {group_cols},
+           ('0x' || substring(md5(CAST({value_expr} AS VARCHAR)), 1, 15))::BIGINT
+             AS hv
+    FROM {table_expr}
+  ) GROUP BY {group_cols}, bucket
+)"""
+
+
+def sql_hll_estimate(regs: str, cols: list[str], p: int = 8) -> str:
+    """DuckDB estimate subquery from a register relation ``regs``
+    with key columns ``cols`` — the exact hll_estimate formula
+    (integer-exact harmonic denominator + literal-table linear
+    counting), factored from the one-shot sql_hll so any
+    register-algebra consumer derives the IDENTICAL estimate."""
+    m = 1 << p
     alpha_mm = repr((0.7213 / (1.0 + 1.079 / m)) * m * m)
     lut = ", ".join(_lc_lut(p))
     raw = (
         f"({alpha_mm} / (({m} - gg.n_set) + s.s_num / (1::BIGINT << gg.rmax)))"
     )
     lc = f"({repr(float(m))} * list_extract([{lut}], {m} - gg.n_set))"
-    return f"""
-WITH h AS (
-  SELECT {group_col} AS g,
-         ('0x' || substring(md5(CAST({value_expr} AS VARCHAR)), 1, 15))::BIGINT
-           AS hv
-  FROM {table_expr}
-), r AS (
-  SELECT g, hv & {m - 1} AS bucket,
-         MAX(CASE WHEN hv >> {p} = 0 THEN {width + 1}
-                  ELSE {width + 1} - length(bin(hv >> {p})) END) AS rho
-  FROM h GROUP BY 1, 2
-), gg AS (
-  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_set, MAX(rho) AS rmax
-  FROM r GROUP BY 1
-), s AS (
-  SELECT r.g,
-         CAST(SUM(1::BIGINT << (gg.rmax - r.rho)) AS BIGINT) AS s_num
-  FROM r JOIN gg ON r.g = gg.g GROUP BY 1
-)
-SELECT gg.g AS {group_col}, gg.n_set, CAST(gg.rmax AS INTEGER) AS rmax,
-       s.s_num,
-       round(CASE WHEN gg.n_set = {m} OR {raw} > {repr(2.5 * m)}
-                  THEN {raw} ELSE {lc} END, 4) AS est
-FROM gg JOIN s ON gg.g = s.g
-"""
+    cl = ", ".join(cols)
+    gg_cols = ", ".join(f"gg.{c}" for c in cols)
+    on_r = " AND ".join(f"r.{c} = gg.{c}" for c in cols)
+    on_s = " AND ".join(f"s.{c} = gg.{c}" for c in cols)
+    return f"""(
+  WITH gg AS (
+    SELECT {cl}, CAST(COUNT(*) AS BIGINT) AS n_set, MAX(rho) AS rmax
+    FROM {regs} GROUP BY {cl}
+  ), s AS (
+    SELECT {gg_cols},
+           CAST(SUM(1::BIGINT << (gg.rmax - r.rho)) AS BIGINT) AS s_num
+    FROM {regs} r JOIN gg ON {on_r} GROUP BY {gg_cols}
+  )
+  SELECT {gg_cols}, gg.n_set, CAST(gg.rmax AS INTEGER) AS rmax, s.s_num,
+         round(CASE WHEN gg.n_set = {m} OR {raw} > {repr(2.5 * m)}
+                    THEN {raw} ELSE {lc} END, 4) AS est
+  FROM gg JOIN s ON {on_s}
+)"""
+
+
+def sql_hll(
+    table_expr: str, group_col: str, value_expr: str, p: int = 8
+) -> str:
+    """DuckDB mirror of hll_registers→hll_estimate for oracle SQL
+    (composed from sql_hll_registers + sql_hll_estimate so every
+    consumer shares one formula)."""
+    regs = sql_hll_registers(
+        f"(SELECT {group_col} AS g, * FROM {table_expr})", "g", value_expr, p
+    )
+    est = sql_hll_estimate(regs, ["g"], p)
+    return f"SELECT g AS {group_col}, n_set, rmax, s_num, est FROM {est}"
 
 
 def quantiles(df: DataFrame, col: str, probs: list[float], accuracy: int = 10000) -> DataFrame:

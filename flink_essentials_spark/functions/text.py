@@ -2637,3 +2637,56 @@ def lcs_scores_batch(
         f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema.fields
     )
     return pairs.mapInPandas(score, schema + f", {out_col} bigint")
+
+
+def bleu2_scores(pairs: DataFrame, grams: DataFrame) -> DataFrame:
+    """BLEU-2 readout (Papineni et al. 2002) from a per-doc gram-count
+    table — the SHARED readout the one-shot query (q_bleu_pairs) and
+    its streaming-maintained twin both drive (the ks_drift /
+    welch_t_from_stats maintained-monitor contract): the sufficient
+    state is exactly ``grams`` (doc_id, o ∈ {1,2}, g, c) — SUM-
+    mergeable cells refresh_rollup can maintain per micro-batch — and
+    ``pairs`` (doc_id, ref_id, c_len, r_len) with c_len ≥ 2. Clipped
+    matches come from one (ref, gram)-keyed LEFT join per order; the
+    totals t₁ = c_len, t₂ = c_len − 1 are length identities. Brevity
+    penalty and the geometric mean evaluate exp/ln over correctly-
+    rounded exact-integer ratios; bleu is rounded to 6 (the JVM-vs-
+    libm last-ulp convention) while the exact BIGINT cells carry the
+    full-precision signal."""
+
+    def clipped(o: int, mname: str):
+        cnt = grams.filter(F.col("o") == o).select("doc_id", "g", "c")
+        cg = pairs.select("doc_id", "ref_id").join(cnt, "doc_id")
+        rg = cnt.select(
+            F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("rc")
+        )
+        return (
+            cg.join(rg, ["ref_id", "g"], "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.least(F.col("c"), F.coalesce(F.col("rc"), F.lit(0)))
+                ).alias(mname)
+            )
+        )
+
+    j = (
+        pairs.join(clipped(1, "m1"), "doc_id")
+        .join(clipped(2, "m2"), "doc_id")
+        .withColumn("t1", F.col("c_len"))
+        .withColumn("t2", F.col("c_len") - 1)
+    )
+    cl, rl = F.col("c_len").cast("double"), F.col("r_len").cast("double")
+    bp = F.when(F.col("c_len") >= F.col("r_len"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - rl / cl)
+    )
+    lp = F.log(
+        F.col("m1").cast("double") / F.col("t1").cast("double")
+    ) + F.log(F.col("m2").cast("double") / F.col("t2").cast("double"))
+    bleu = F.when(
+        (F.col("m1") == 0) | (F.col("m2") == 0), F.lit(0.0)
+    ).otherwise(bp * F.exp(F.lit(0.5) * lp))
+    return j.select(
+        "doc_id", "ref_id", "c_len", "r_len", "m1", "t1", "m2", "t2",
+        F.round(bleu, 6).alias("bleu"),
+    )

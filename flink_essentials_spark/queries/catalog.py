@@ -2114,6 +2114,15 @@ _REGISTRY: list[Query] = [
     Query("hits_authority", llmdata.q_hits_authority, llmdata.Q_HITS_SQL),
     Query("cdc_chunks", llmdata.q_cdc_chunks, llmdata.Q_CDC_CHUNKS_SQL),
     Query("jaro_winkler", llmdata.q_jaro_winkler, llmdata.Q_JARO_WINKLER_SQL),
+    # r13 breadth: HLL register-algebra set-intersection audit across
+    # source pairs (inclusion-exclusion on max-merged registers) with
+    # the exact overlap riding along as self-eval
+    Query("hll_set_ops", llmdata.q_hll_set_ops, llmdata.Q_HLL_SET_OPS_SQL),
+    # r13 breadth: Mondrian k-anonymization (LeFevre 2006) — the
+    # privacy family's MECHANISM side; bounded median-cut rounds vs
+    # an unrolled-CTE oracle (depth-capped Mondrian stays exactly
+    # k-anonymous, so the fixed depth is not an approximation)
+    Query("mondrian_anon", llmdata.q_mondrian_anon, llmdata.Q_MONDRIAN_ANON_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

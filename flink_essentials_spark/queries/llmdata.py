@@ -9021,51 +9021,19 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks_used = toks.join(used, "doc_id", "left_semi")
 
-    def clipped(gexpr, mname):
-        cnt = toks_used.select(
-            "doc_id", F.explode(gexpr).alias("g")
-        ).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-        cg = pairs.select("doc_id", "ref_id").join(cnt, "doc_id")
-        rg = cnt.select(
-            F.col("doc_id").alias("ref_id"),
-            "g",
-            F.col("c").alias("rc"),
-        )
-        return (
-            cg.join(rg, ["ref_id", "g"], "left")
-            .groupBy("doc_id")
-            .agg(
-                F.sum(
-                    F.least(F.col("c"), F.coalesce(F.col("rc"), F.lit(0)))
-                ).alias(mname)
+    grams = (
+        toks_used.select("doc_id", F.lit(1).alias("o"), F.explode(F.col("w")).alias("g"))
+        .unionByName(
+            toks_used.select(
+                "doc_id", F.lit(2).alias("o"), F.explode(bigrams("w")).alias("g")
             )
         )
+        .groupBy("doc_id", "o", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from flink_essentials_spark.functions.text import bleu2_scores
 
-    p1 = clipped(F.col("w"), "m1")
-    p2 = clipped(bigrams("w"), "m2")
-    j = (
-        pairs.join(p1, "doc_id")
-        .join(p2, "doc_id")
-        .withColumn("t1", F.col("c_len"))
-        .withColumn("t2", F.col("c_len") - 1)
-    )
-    cl, rl = F.col("c_len").cast("double"), F.col("r_len").cast("double")
-    bp = F.when(F.col("c_len") >= F.col("r_len"), F.lit(1.0)).otherwise(
-        F.exp(F.lit(1.0) - rl / cl)
-    )
-    lp = F.log(
-        F.col("m1").cast("double") / F.col("t1").cast("double")
-    ) + F.log(F.col("m2").cast("double") / F.col("t2").cast("double"))
-    bleu = F.when(
-        (F.col("m1") == 0) | (F.col("m2") == 0), F.lit(0.0)
-    ).otherwise(bp * F.exp(F.lit(0.5) * lp))
-    return j.select(
-        "doc_id", "ref_id", "c_len", "r_len", "m1", "t1", "m2", "t2",
-        # exp() differs from libm by a last ulp on the JVM — round to
-        # 6 (the repo's similarity-output convention); the exact
-        # BIGINT precision cells carry the full-precision signal
-        F.round(bleu, 6).alias("bleu"),
-    )
+    return bleu2_scores(pairs, grams)
 
 
 Q_BLEU_PAIRS_SQL = f"""
@@ -9125,6 +9093,348 @@ SELECT b.doc_id, b.ref_id,
 FROM big b JOIN j1 USING (doc_id) JOIN j2 USING (doc_id)
 WHERE j2.t2 > 0
 """
+
+
+MONDRIAN_K = 25
+MONDRIAN_ROUNDS = 6
+
+
+def q_mondrian_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian multidimensional k-anonymization (LeFevre, DeWitt &
+    Ramakrishnan, ICDE 2006) over the customer quasi-identifiers
+    (nation key, account-balance dollar band) — the MECHANISM side of
+    the privacy family whose audit side k_anonymity/l_diversity
+    already measure: greedy median cuts produce the partition whose
+    generalized ranges get released. Per round, every region picks
+    the widest-range dimension (ties to the smaller dim), computes
+    the exact LOWER MEDIAN (rank ⌈n/2⌉ of the multiset — Spark runs
+    a bounded fold over the domain-bounded (v, cnt) list, the oracle
+    a ROW_NUMBER rank; identical by construction), and splits
+    v ≤ med / v > med IFF both sides keep ≥ k rows. Regions renumber
+    2r(+side) every round whether or not they split, so ids stay
+    collision-free without a global counter. FIXED six rounds —
+    a depth-capped Mondrian is still k-anonymous (every region ≥ k
+    by construction at every depth), which is what makes the
+    unrolled-CTE oracle exact rather than a convergence
+    approximation; at sf0.01 the cuts converge inside the cap.
+
+    Scale shape: each round is two scan-stage aggregates (domain-
+    bounded (region, dim, v) counts, then per-region argmax) + one
+    broadcast-size join back to the rows — never a per-region task,
+    never a global sort; rounds are localCheckpointed (the iterative
+    loop lesson). Output (region, n, d1_lo, d1_hi, d2_lo, d2_hi) is
+    the released generalization table."""
+    from flink_essentials_spark.queries.util import cents
+
+    k, rounds = MONDRIAN_K, MONDRIAN_ROUNDS
+    cust = load_tables(spark, sf_dir)["customer"]
+    rows = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("d1"),
+        F.floor(cents("c_acctbal") / F.lit(10000)).cast("long").alias("d2"),
+        F.lit(0).cast("long").alias("region"),
+    ).localCheckpoint()
+    for _ in range(rounds):
+        long = rows.select(
+            "region",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).cast("long").alias("dim"),
+                        F.col("d1").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit(2).cast("long").alias("dim"),
+                        F.col("d2").alias("v"),
+                    ),
+                )
+            ).alias("e"),
+        ).select("region", F.col("e.dim").alias("dim"), F.col("e.v").alias("v"))
+        cnts = long.groupBy("region", "dim", "v").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        stats = cnts.groupBy("region", "dim").agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("c").alias("n"),
+            F.sort_array(F.collect_list(F.struct("v", "c"))).alias("vc"),
+        )
+        med = F.aggregate(
+            "vc",
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("long").alias("med"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["c"]).alias("cum"),
+                F.when(
+                    acc["med"].isNull()
+                    & (acc["cum"] + x["c"] >= F.expr("(n + 1) div 2")),
+                    x["v"],
+                )
+                .otherwise(acc["med"])
+                .alias("med"),
+            ),
+        )["med"]
+        choice = (
+            stats.select(
+                "region",
+                "dim",
+                (F.col("hi") - F.col("lo")).alias("rng"),
+                med.alias("med"),
+            )
+            .groupBy("region")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("rng"),
+                        (-F.col("dim")).alias("nd"),
+                        F.col("dim"),
+                        F.col("med"),
+                    )
+                ).alias("ch")
+            )
+            .select(
+                "region",
+                F.col("ch.dim").alias("cdim"),
+                F.col("ch.med").alias("cmed"),
+            )
+        )
+        tagged = rows.join(F.broadcast(choice), "region").withColumn(
+            "side",
+            (
+                F.when(F.col("cdim") == 1, F.col("d1")).otherwise(F.col("d2"))
+                > F.col("cmed")
+            ).cast("long"),
+        )
+        sc_ = tagged.groupBy("region").agg(
+            F.sum("side").alias("nr"), F.count(F.lit(1)).alias("nt")
+        )
+        ok = (F.col("nt") - F.col("nr") >= k) & (F.col("nr") >= k)
+        rows = (
+            tagged.join(F.broadcast(sc_), "region")
+            .select(
+                "id",
+                "d1",
+                "d2",
+                F.when(ok, 2 * F.col("region") + F.col("side"))
+                .otherwise(2 * F.col("region"))
+                .alias("region"),
+            )
+            .localCheckpoint()
+        )
+    return rows.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("d1").alias("d1_lo"),
+        F.max("d1").alias("d1_hi"),
+        F.min("d2").alias("d2_lo"),
+        F.max("d2").alias("d2_hi"),
+    )
+
+
+def _mondrian_sql(k: int = MONDRIAN_K, rounds: int = MONDRIAN_ROUNDS) -> str:
+    from flink_essentials_spark.queries.util import sql_cents
+
+    ctes = [
+        f"""r0 AS MATERIALIZED (
+  SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS d1,
+         -- explicit FLOOR of the double quotient: c_acctbal is
+         -- NEGATIVE for some customers and DuckDB's integer '//'
+         -- truncates toward zero there while Spark floor() floors
+         -- (-85000/10000 -> -8 vs -9; the window_anomaly family of
+         -- lessons, negative-operand edition)
+         CAST(FLOOR(CAST({sql_cents('c_acctbal')} AS DOUBLE) / 10000.0)
+              AS BIGINT) AS d2,
+         CAST(0 AS BIGINT) AS region
+  FROM customer
+)"""
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT region, CAST(1 AS BIGINT) AS dim, d1 AS v FROM r{i}
+  UNION ALL SELECT region, 2, d2 FROM r{i}
+), s{i} AS (
+  SELECT region, dim, MIN(v) AS lo, MAX(v) AS hi FROM l{i} GROUP BY 1, 2
+), m{i} AS (
+  SELECT region, dim, v AS med FROM (
+    SELECT region, dim, v,
+           ROW_NUMBER() OVER (PARTITION BY region, dim ORDER BY v) AS rn,
+           COUNT(*) OVER (PARTITION BY region, dim) AS n
+    FROM l{i}
+  ) WHERE rn = (n + 1) // 2
+), ch{i} AS (
+  SELECT region, dim AS cdim, med AS cmed FROM (
+    SELECT s.region, s.dim, m.med, s.hi - s.lo AS rng,
+           ROW_NUMBER() OVER (PARTITION BY s.region
+                              ORDER BY s.hi - s.lo DESC, s.dim ASC) AS rk
+    FROM s{i} s JOIN m{i} m ON s.region = m.region AND s.dim = m.dim
+  ) WHERE rk = 1
+), t{i} AS MATERIALIZED (
+  SELECT r.id, r.d1, r.d2, r.region,
+         CASE WHEN (CASE WHEN ch.cdim = 1 THEN r.d1 ELSE r.d2 END) > ch.cmed
+              THEN 1 ELSE 0 END AS side
+  FROM r{i} r JOIN ch{i} ch ON r.region = ch.region
+), sc{i} AS (
+  SELECT region, CAST(SUM(side) AS BIGINT) AS nr,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM t{i} GROUP BY 1
+), r{i + 1} AS MATERIALIZED (
+  SELECT t.id, t.d1, t.d2,
+         CASE WHEN sc.nt - sc.nr >= {k} AND sc.nr >= {k}
+              THEN 2 * t.region + t.side ELSE 2 * t.region END AS region
+  FROM t{i} t JOIN sc{i} sc ON t.region = sc.region
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT region, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(d1) AS d1_lo, MAX(d1) AS d1_hi,
+       MIN(d2) AS d2_lo, MAX(d2) AS d2_hi
+FROM r{rounds} GROUP BY region
+"""
+    )
+
+
+Q_MONDRIAN_ANON_SQL = _mondrian_sql()
+
+
+def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-intersection audit across source pairs (Flajolet 2007
+    registers + inclusion–exclusion, the classic HLL set-algebra
+    cited e.g. in Heule 2013 §4): per source the trigram-shingle
+    register table is built ONCE (max-mergeable), pair UNION sketches
+    are register max-merges (≤ 256 rows per source — sketch algebra,
+    never a second corpus scan), and the intersection estimate is
+    est_a + est_b − est_union with Jaccard est_inter/est_union — the
+    inclusion–exclusion the union-only registers can't express
+    directly. The exact intersection/union ride along from the
+    distinct-shingle overlap (dedup.source_overlap), so every row
+    self-reports its sketch error (the hll_cardinality / lsh_recall
+    discipline). All estimate arithmetic operates on the round(·,4)
+    estimates both engines derive identically (integer-exact
+    denominators + literal-table linear counting), so sums,
+    differences and the one ratio are bit-identical.
+
+    Scale shape at 100 TB: per-source registers are 256 rows
+    regardless of corpus size and SUM/max-mergeable across batches;
+    the pair algebra touches only registers. The exact-overlap twin
+    is the bounded per-shingle source-set explode (cost independent
+    of corpus size, see source_overlap) — at true scale you keep the
+    sketch columns and drop the exact twin."""
+    from flink_essentials_spark.functions import approx
+    from flink_essentials_spark.functions.dedup import _shingles, source_overlap
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.select(
+        F.col("source").alias("g"),
+        F.explode(_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    regs = approx.hll_registers(sh, ["g"], "sh", p=8).localCheckpoint()
+    est1 = approx.hll_estimate(regs, ["g"], p=8).select("g", "est")
+    pairs = (
+        regs.select("g")
+        .distinct()
+        .agg(F.collect_set("g").alias("gs"))
+        .select(F.explode("gs").alias("a"), "gs")
+        .select("a", F.explode("gs").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+    )
+    ru = (
+        pairs.join(regs.withColumnRenamed("g", "a"), "a")
+        .select("a", "b", "bucket", "rho")
+        .unionByName(
+            pairs.join(regs.withColumnRenamed("g", "b"), "b").select(
+                "a", "b", "bucket", "rho"
+            )
+        )
+        .groupBy("a", "b", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    estu = approx.hll_estimate(ru, ["a", "b"], p=8).select(
+        "a", "b", F.col("est").alias("est_union")
+    )
+    exact = source_overlap(docs, n=3).select(
+        F.col("source_a").alias("a"),
+        F.col("source_b").alias("b"),
+        F.col("n_shared").alias("exact_inter"),
+        (F.col("n_a") + F.col("n_b") - F.col("n_shared")).alias("exact_union"),
+    )
+    ea = est1.select(F.col("g").alias("a"), F.col("est").alias("est_a"))
+    eb = est1.select(F.col("g").alias("b"), F.col("est").alias("est_b"))
+    inter = F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4)
+    return (
+        estu.join(ea, "a")
+        .join(eb, "b")
+        .join(exact, ["a", "b"])
+        .select(
+            F.col("a").alias("source_a"),
+            F.col("b").alias("source_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("est_inter"),
+            F.round(inter / F.col("est_union"), 6).alias("est_jaccard"),
+            "exact_inter",
+            "exact_union",
+        )
+    )
+
+
+def _hll_set_ops_sql() -> str:
+    from flink_essentials_spark.functions.approx import (
+        sql_hll_estimate,
+        sql_hll_registers,
+    )
+
+    sh = (
+        f"(SELECT source AS g, s.sh FROM (SELECT source, {_sql_shingles(3)}"
+        " AS shingles FROM documents), UNNEST(shingles) AS s(sh))"
+    )
+    regs = sql_hll_registers(sh, "g", "sh", p=8)
+    e1 = sql_hll_estimate("r1", ["g"], p=8)
+    eu = sql_hll_estimate("ru", ["a", "b"], p=8)
+    return f"""
+WITH r1 AS (SELECT * FROM {regs}),
+prs AS (
+  SELECT a.g AS a, b.g AS b
+  FROM (SELECT DISTINCT g FROM r1) a JOIN (SELECT DISTINCT g FROM r1) b
+    ON a.g < b.g
+), ru AS (
+  SELECT p.a, p.b, r.bucket, MAX(r.rho) AS rho
+  FROM prs p JOIN r1 r ON r.g = p.a OR r.g = p.b
+  GROUP BY 1, 2, 3
+), e1 AS (SELECT * FROM {e1}),
+eu AS (SELECT * FROM {eu}),
+gs AS (
+  SELECT DISTINCT source AS g, s.sh
+  FROM (SELECT source, {_sql_shingles(3)} AS shingles FROM documents),
+       UNNEST(shingles) AS s(sh)
+), sizes AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_sh FROM gs GROUP BY g
+), shared AS (
+  SELECT x.g AS a, y.g AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM gs x JOIN gs y ON x.sh = y.sh AND x.g < y.g
+  GROUP BY 1, 2
+)
+SELECT eu.a AS source_a, eu.b AS source_b,
+       ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+       round(ea.est + eb.est - eu.est, 4) AS est_inter,
+       round(round(ea.est + eb.est - eu.est, 4) / eu.est, 6) AS est_jaccard,
+       sh2.n_shared AS exact_inter,
+       sa.n_sh + sb.n_sh - sh2.n_shared AS exact_union
+FROM eu
+JOIN e1 ea ON ea.g = eu.a
+JOIN e1 eb ON eb.g = eu.b
+JOIN shared sh2 ON sh2.a = eu.a AND sh2.b = eu.b
+JOIN sizes sa ON sa.g = eu.a
+JOIN sizes sb ON sb.g = eu.b
+"""
+
+
+Q_HLL_SET_OPS_SQL = _hll_set_ops_sql()
 
 
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5463,3 +5463,101 @@ def test_lloyd_step_matches_bruteforce_with_exact_ties(spark):
     }
     assert got == want
     assert assign[3] == 0 and assign[4] == 0  # the ties really tied
+
+
+def test_bleu_pairs_maintained_over_a_stream_equals_batch(spark, tmp_path):
+    """BLEU-2 joins the streaming-maintained monitor matrix: its
+    sufficient state is the per-doc gram-count table (doc_id, o, g,
+    c) plus the (doc_id, source, n) length table — both SUM-mergeable
+    cells refresh_rollup maintains per micro-batch — and the
+    text.bleu2_scores readout over the MAINTAINED store equals the
+    one-shot q_bleu_pairs answer bit-for-bit, even though a pair's
+    candidate and reference can arrive in DIFFERENT batches (the
+    production value: score once both sides are present, never
+    rescan the corpus)."""
+    from pyspark.sql import functions as F
+
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.functions.text import bleu2_scores
+    from flink_essentials_spark.operators.transform import tokenize
+    from flink_essentials_spark.queries.llmdata import q_bleu_pairs
+    from flink_essentials_spark.sinks import versioned
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    gbase = str(tmp_path / "grams")
+    sbase = str(tmp_path / "sizes")
+    docs = load_tables(spark, SF_DIR)["documents"].select(
+        "doc_id", "source", "text"
+    )
+    docs.repartition(3).write.parquet(src)
+
+    def bigrams(col):
+        return F.expr(
+            f"CASE WHEN size({col}) >= 2 THEN transform("
+            f"sequence(1, size({col}) - 1), "
+            f"i -> concat(element_at({col}, i), ' ', "
+            f"element_at({col}, i + 1))) ELSE array() END"
+        )
+
+    def fold(bdf, epoch_id):
+        toks = bdf.select("doc_id", "source", tokenize(F.col("text")).alias("w"))
+        grams = (
+            toks.select(
+                "doc_id", F.lit(1).alias("o"), F.explode("w").alias("g")
+            )
+            .unionByName(
+                toks.select(
+                    "doc_id",
+                    F.lit(2).alias("o"),
+                    F.explode(bigrams("w")).alias("g"),
+                )
+            )
+            .groupBy("doc_id", "o", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        refresh_rollup(
+            spark, gbase, grams, ["doc_id", "o", "g"],
+            {"c": ("sum", "c")}, epoch_id=epoch_id,
+        )
+        sizes = toks.select(
+            "doc_id", "source", F.size("w").cast("long").alias("n")
+        )
+        refresh_rollup(
+            spark, sbase, sizes, ["doc_id", "source"],
+            {"n": ("sum", "n")}, epoch_id=epoch_id,
+        )
+
+    sdf = file_replay(
+        spark, src, "doc_id long, source string, text string",
+        files_per_trigger=1,
+    )
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    grams = versioned.read_current(spark, gbase)
+    sizes = versioned.read_current(spark, sbase)
+    s = sizes.agg(F.countDistinct("source").alias("S"))
+    cand = (
+        sizes.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+            < F.lit("4")
+        )
+        .crossJoin(F.broadcast(s))
+        .select(
+            "doc_id",
+            F.col("n").alias("c_len"),
+            (F.col("doc_id") + F.col("S")).alias("ref_id"),
+        )
+    )
+    pairs = cand.join(
+        sizes.select(
+            F.col("doc_id").alias("ref_id"), F.col("n").alias("r_len")
+        ),
+        "ref_id",
+    ).filter(F.col("c_len") >= 2)
+    got = sorted(map(tuple, bleu2_scores(pairs, grams).collect()))
+    direct = sorted(map(tuple, q_bleu_pairs(spark, SF_DIR).collect()))
+    assert got == direct and len(got) >= 20
