@@ -263,6 +263,8 @@ HEADLINE = [
     # r13 breadth: HLL register-algebra intersections + Mondrian cuts
     "hll_set_ops",
     "mondrian_anon",
+    # r13: GLOSH outlier readout of the HDBSCAN condensed sweep
+    "hdbscan_glosh",
 ]
 
 

@@ -1222,55 +1222,12 @@ def hdbscan_condense(
         raise ValueError("min_cluster_size must be >= 2")
 
     def condense(pdf):
-        pdf = pdf.sort_values(["w", "a", "b"])
-        rep: dict = {}
-        members: dict = {}
-        cluster: dict = {}  # rep -> (cid, leaf)
-        events: list = []  # (pid, w_fall, cid)
-        finals: dict = {}  # cid -> (wsplit, leaf)
-
-        def find(x):
-            root = x
-            while rep[root] != root:
-                root = rep[root]
-            while rep[x] != root:
-                rep[x], x = root, rep[x]
-            return root
-
-        for a, b, w in zip(pdf["a"], pdf["b"], pdf["w"]):
-            a, b, w = int(a), int(b), int(w)
-            for node in (a, b):
-                if node not in rep:
-                    rep[node] = node
-                    members[node] = [node]
-            ra, rb = find(a), find(b)
-            r, g = (ra, rb) if ra < rb else (rb, ra)
-            ca = cluster.pop(ra, None)
-            cb = cluster.pop(rb, None)
-            mem_small = members[rb] if ca is not None else members[ra]
-            mem = members.pop(ra) + members.pop(rb)
-            rep[g] = r
-            members[r] = mem
-            if ca is None and cb is None:
-                if len(mem) >= m:
-                    cid = (a, b)
-                    cluster[r] = (cid, True)
-                    events.extend((p, w, cid) for p in mem)
-            elif ca is not None and cb is not None:
-                finals[ca[0]] = (w, ca[1])
-                finals[cb[0]] = (w, cb[1])
-                cluster[r] = ((a, b), False)
-            else:
-                keep = ca if ca is not None else cb
-                events.extend((p, w, keep[0]) for p in mem_small)
-                cluster[r] = keep
-        for cid, leaf in cluster.values():
-            finals[cid] = (0, leaf)
+        events, finals = _condensed_sweep(pdf, m)
         by_cid: dict = {}
         for p, w, cid in events:
             by_cid.setdefault(cid, []).append((w, p))
         out = []
-        for cid, (wsplit, leaf) in finals.items():
+        for cid, (wsplit, leaf, _minw) in finals.items():
             if not leaf:
                 continue
             evs = sorted(by_cid.get(cid, []))
@@ -1294,6 +1251,120 @@ def hdbscan_condense(
     return mst.groupBy("comp").applyInPandas(
         condense,
         "pid long, label long, w_fall long, n_members long, stability double",
+    )
+
+
+def _condensed_sweep(pdf, m: int):
+    """The ascending condensed-tree sweep shared by
+    :func:`hdbscan_condense` and :func:`hdbscan_glosh`: union-find
+    over one forest component's edges in (w, a, b) order, returning
+    (events, finals) where events = [(pid, w_fall, cid)] and finals =
+    {cid: (wsplit, leaf, minw)} with minw = the SMALLEST fall-out w
+    anywhere in the cluster's condensed SUBTREE (tracked per
+    component through merges — ascending order means a subtree's
+    first fall event sets it; the min is kept for safety). minw is
+    exactly the λ_max(C) level GLOSH scores against."""
+    pdf = pdf.sort_values(["w", "a", "b"])
+    rep: dict = {}
+    members: dict = {}
+    cluster: dict = {}  # rep -> (cid, leaf, minw)
+    events: list = []  # (pid, w_fall, cid)
+    finals: dict = {}  # cid -> (wsplit, leaf, minw)
+
+    def find(x):
+        root = x
+        while rep[root] != root:
+            root = rep[root]
+        while rep[x] != root:
+            rep[x], x = root, rep[x]
+        return root
+
+    for a, b, w in zip(pdf["a"], pdf["b"], pdf["w"]):
+        a, b, w = int(a), int(b), int(w)
+        for node in (a, b):
+            if node not in rep:
+                rep[node] = node
+                members[node] = [node]
+        ra, rb = find(a), find(b)
+        r, g = (ra, rb) if ra < rb else (rb, ra)
+        ca = cluster.pop(ra, None)
+        cb = cluster.pop(rb, None)
+        mem_small = members[rb] if ca is not None else members[ra]
+        mem = members.pop(ra) + members.pop(rb)
+        rep[g] = r
+        members[r] = mem
+        if ca is None and cb is None:
+            if len(mem) >= m:
+                cid = (a, b)
+                cluster[r] = (cid, True, w)
+                events.extend((p, w, cid) for p in mem)
+        elif ca is not None and cb is not None:
+            finals[ca[0]] = (w, ca[1], ca[2])
+            finals[cb[0]] = (w, cb[1], cb[2])
+            cluster[r] = ((a, b), False, min(ca[2], cb[2]))
+        else:
+            keep = ca if ca is not None else cb
+            events.extend((p, w, keep[0]) for p in mem_small)
+            cluster[r] = (keep[0], keep[1], min(keep[2], w))
+    for cid, leaf, minw in cluster.values():
+        finals[cid] = (0, leaf, minw)
+    return events, finals
+
+
+def hdbscan_glosh(mst: DataFrame, min_cluster_size: int = 3) -> DataFrame:
+    """GLOSH outlier scores (Campello, Moulavi, Zimek & Sander, TKDD
+    2015 §8 — the Global-Local Outlier Score from Hierarchies that
+    ships with every HDBSCAN implementation) over the same ascending
+    condensed sweep as :func:`hdbscan_condense`: EVERY point p that
+    ever entered a cluster gets
+    score(p) = 1 − λ_max(C_p)/λ_p, where C_p is the condensed cluster
+    p fell out of, λ_p = 1/√(1 + w_fall(p)), and λ_max(C) =
+    1/√(1 + minw(C)) is the highest density the cluster OR ITS
+    CONDENSED DESCENDANTS ever reach (minw = the subtree's smallest
+    fall-out level, carried through merges by the sweep). Dense-core
+    members score ≈ 0, points shed early from a cluster whose core
+    gets much denser score → 1 — unlike hdbscan_condense's
+    leaf-members-only view, noise points attached to internal
+    clusters are first-class here (that is GLOSH's point). The two
+    sqrt/div/subtract steps are correctly-rounded IEEE in both
+    engines, so the oracle's scores hash bit-exact. Returns
+    (pid, label, w_fall, w_peak, leaf, score); label = min member
+    pid of C_p, w_peak = minw(C_p), leaf ∈ {0, 1}."""
+    import math
+
+    import pandas as pd
+
+    m = int(min_cluster_size)
+    if m < 2:
+        raise ValueError("min_cluster_size must be >= 2")
+
+    def glosh(pdf):
+        events, finals = _condensed_sweep(pdf, m)
+        label: dict = {}
+        for p, _w, cid in events:
+            label[cid] = p if cid not in label else min(label[cid], p)
+        out = []
+        for p, w, cid in events:
+            _wsplit, leaf, minw = finals[cid]
+            lam_max = 1.0 / math.sqrt(1.0 + minw)
+            lam_p = 1.0 / math.sqrt(1.0 + w)
+            out.append(
+                (p, label[cid], w, minw, int(leaf), 1.0 - lam_max / lam_p)
+            )
+        cols = ["pid", "label", "w_fall", "w_peak", "leaf", "score"]
+        if not out:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype="float64" if c == "score" else "int64")
+                    for c in cols
+                }
+            )
+        return pd.DataFrame(out, columns=cols)
+
+    return mst.groupBy("comp").applyInPandas(
+        glosh,
+        "pid long, label long, w_fall long, w_peak long, leaf long,"
+        " score double",
     )
 
 

@@ -2123,6 +2123,10 @@ _REGISTRY: list[Query] = [
     # an unrolled-CTE oracle (depth-capped Mondrian stays exactly
     # k-anonymous, so the fixed depth is not an approximation)
     Query("mondrian_anon", llmdata.q_mondrian_anon, llmdata.Q_MONDRIAN_ANON_SQL),
+    # r13 breadth: GLOSH outlier scores (Campello 2015) — the
+    # outlier-detection readout of the same condensed sweep the
+    # head-visible hdbscan_leaves rides; shared fold oracle
+    Query("hdbscan_glosh", llmdata.q_hdbscan_glosh, llmdata.Q_HDBSCAN_GLOSH_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

@@ -7622,17 +7622,20 @@ def q_hdbscan_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hdbscan_leaves_sql(m: int = HDBSCAN_MIN_CLUSTER) -> str:
-    """Condensed-sweep fold: acc = 'map#clusters#events#finals' —
-    map as in the Kruskal fold; clusters '(rep@cid~leaf)' (cid =
-    'a.b' of the creating edge — unique per event); events
-    ';pid:w:cid'; finals ';cid:wsplit:leaf'. Cases per MST edge
-    (every edge merges): fresh comp reaching ≥ m → leaf birth + all
-    members fall; one-sided cluster → small side falls into it
-    (rekey to the merged rep); two clusters → both finalize at w,
-    merged comp becomes an internal cluster. Open clusters finalize
-    with wsplit = 0 (λ_birth = 0, the root convention). The flat
-    label = MIN member pid per cluster, computed at readout."""
+def _hdbscan_condense_ctes(m: int = HDBSCAN_MIN_CLUSTER) -> str:
+    """Condensed-sweep fold shared by the leaves and GLOSH oracles:
+    acc = 'map#clusters#events#finals' — map as in the Kruskal fold;
+    clusters '(rep@cid~leaf~minw)' (cid = 'a.b' of the creating edge
+    — unique per event; minw = the subtree's smallest fall-out w, the
+    GLOSH λ_max level: set at creation, LEAST-merged at true splits,
+    untouched by later events since the fold's w is non-decreasing);
+    events ';pid:w:cid'; finals ';cid:wsplit:leaf:minw'. Cases per
+    MST edge (every edge merges): fresh comp reaching ≥ m → leaf
+    birth + all members fall; one-sided cluster → small side falls
+    into it (rekey to the merged rep); two clusters → both finalize
+    at w, merged comp becomes an internal cluster. Open clusters
+    finalize with wsplit = 0 (λ_birth = 0, the root convention). The
+    flat label = MIN member pid per cluster, computed at readout."""
     A = "split_part(e, ':', 1)"
     B = "split_part(e, ':', 2)"
     W = "split_part(e, ':', 3)"
@@ -7658,25 +7661,29 @@ def _hdbscan_leaves_sql(m: int = HDBSCAN_MIN_CLUSTER) -> str:
         f"regexp_extract_all({M}, '\\(([0-9]+)=' || {small_rep} || '\\)', 1)"
     )
 
-    def fin(entry: str) -> str:
+    minw_a = f"CAST(regexp_extract({ea}, '~[01]~([0-9]+)\\)', 1) AS BIGINT)"
+    minw_b = f"CAST(regexp_extract({eb}, '~[01]~([0-9]+)\\)', 1) AS BIGINT)"
+
+    def fin(entry: str, minw: str) -> str:
         return (
             f"';' || regexp_extract({entry}, '@([0-9.]+)~', 1)"
             f" || ':' || {W} || ':'"
-            f" || regexp_extract({entry}, '~([01])\\)', 1)"
+            f" || regexp_extract({entry}, '~([01])~', 1)"
+            f" || ':' || {minw}"
         )
 
     step = f"""CASE
       WHEN {ea} = '' AND {eb} = '' THEN
         CASE WHEN {msize} >= {m} THEN
-          {m2} || '#' || {C} || '(' || {lo} || '@' || {cid_new} || '~1)'
+          {m2} || '#' || {C} || '(' || {lo} || '@' || {cid_new} || '~1~' || {W} || ')'
           || '#' || {E} || array_to_string(list_transform({mem_new},
                pp -> ';' || pp || ':' || {W} || ':' || {cid_new}), '')
           || '#' || {FS}
         ELSE {m2} || '#' || {C} || '#' || {E} || '#' || {FS} END
       WHEN {ea} <> '' AND {eb} <> '' THEN
         {m2} || '#' || replace(replace({C}, {ea}, ''), {eb}, '')
-        || '(' || {lo} || '@' || {cid_new} || '~0)'
-        || '#' || {E} || '#' || {FS} || {fin(ea)} || {fin(eb)}
+        || '(' || {lo} || '@' || {cid_new} || '~0~' || LEAST({minw_a}, {minw_b}) || ')'
+        || '#' || {E} || '#' || {FS} || {fin(ea, minw_a)} || {fin(eb, minw_b)}
       ELSE
         {m2} || '#' || replace({C}, '(' || {keep_rep} || '@', '(' || {lo} || '@')
         || '#' || {E} || array_to_string(list_transform({small_mem},
@@ -7696,13 +7703,15 @@ def _hdbscan_leaves_sql(m: int = HDBSCAN_MIN_CLUSTER) -> str:
 ), fin AS (
   SELECT split_part(t.f, ':', 1) AS cid,
          CAST(split_part(t.f, ':', 2) AS BIGINT) AS wsplit,
-         split_part(t.f, ':', 3) AS leaf
+         split_part(t.f, ':', 3) AS leaf,
+         CAST(split_part(t.f, ':', 4) AS BIGINT) AS minw
   FROM k2, UNNEST(str_split(split_part(st, '#', 4), ';')) AS t(f)
   WHERE t.f <> ''
   UNION ALL
   SELECT regexp_extract(t.en, '@([0-9.]+)~', 1) AS cid,
          0 AS wsplit,
-         regexp_extract(t.en, '~([01])\\)', 1) AS leaf
+         regexp_extract(t.en, '~([01])~', 1) AS leaf,
+         CAST(regexp_extract(t.en, '~[01]~([0-9]+)\\)', 1) AS BIGINT) AS minw
   FROM k2, UNNEST(regexp_extract_all(split_part(st, '#', 2),
                                      '\\([0-9]+@[^)]*\\)')) AS t(en)
 ), ev AS (
@@ -7711,7 +7720,14 @@ def _hdbscan_leaves_sql(m: int = HDBSCAN_MIN_CLUSTER) -> str:
          split_part(t.v, ':', 3) AS cid
   FROM k2, UNNEST(str_split(split_part(st, '#', 3), ';')) AS t(v)
   WHERE t.v <> ''
-), leafev AS (
+)"""
+    )
+
+
+def _hdbscan_leaves_sql(m: int = HDBSCAN_MIN_CLUSTER) -> str:
+    return (
+        _hdbscan_condense_ctes(m)
+        + """, leafev AS (
   SELECT ev.pid, ev.wf, ev.cid, fin.wsplit
   FROM ev JOIN fin ON ev.cid = fin.cid WHERE fin.leaf = '1'
 ), stab AS (
@@ -7733,6 +7749,54 @@ FROM leafev l JOIN stab s USING (cid)
 
 
 Q_HDBSCAN_LEAVES_SQL = _hdbscan_leaves_sql()
+
+
+def q_hdbscan_glosh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOSH outlier scores (graph.hdbscan_glosh; Campello, Moulavi,
+    Zimek & Sander TKDD 2015 §8) over the SAME Borůvka forest and
+    ascending condensed sweep as hdbscan_leaves — the outlier-
+    detection deliverable that completes HDBSCAN: every clustered
+    point scores 1 − λ_max(C_p)/λ_p against the densest level its
+    cluster's condensed SUBTREE reaches (minw carried through merges
+    by the sweep); noise shed from internal clusters is first-class
+    here. The oracle shares the chained Kruskal + condensed-fold CTEs
+    (now carrying minw) with a different readout; the sqrt/div/sub
+    score arithmetic is correctly-rounded IEEE on both engines."""
+    from flink_essentials_spark.functions.graph import (
+        boruvka_mst,
+        hdbscan_glosh,
+        hdbscan_mr_edges_2d,
+    )
+
+    pts = _dbscan_assignment_store(spark, sf_dir).select("user_id", "x", "y")
+    edges = hdbscan_mr_edges_2d(pts, "user_id", "x", "y", eps=4, k=5)
+    mst = boruvka_mst(edges)
+    return hdbscan_glosh(mst, HDBSCAN_MIN_CLUSTER).select(
+        F.col("pid").alias("user_id"),
+        "label",
+        "w_fall",
+        "w_peak",
+        "leaf",
+        "score",
+    )
+
+
+def _hdbscan_glosh_sql(m: int = HDBSCAN_MIN_CLUSTER) -> str:
+    return (
+        _hdbscan_condense_ctes(m)
+        + """, lbl AS (
+  SELECT cid, CAST(MIN(pid) AS BIGINT) AS label FROM ev GROUP BY cid
+)
+SELECT ev.pid AS user_id, lbl.label, ev.wf AS w_fall,
+       fin.minw AS w_peak, CAST(fin.leaf AS BIGINT) AS leaf,
+       1.0 - (1.0 / sqrt(1.0 + CAST(fin.minw AS DOUBLE)))
+           / (1.0 / sqrt(1.0 + CAST(ev.wf AS DOUBLE))) AS score
+FROM ev JOIN fin ON ev.cid = fin.cid JOIN lbl ON ev.cid = lbl.cid
+"""
+    )
+
+
+Q_HDBSCAN_GLOSH_SQL = _hdbscan_glosh_sql()
 
 
 def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -519,3 +519,115 @@ def test_hdbscan_condense_two_clusters_hand_case(spark):
         [(p, 1, 1, 4, s) for p in (1, 2, 3, 4)]
         + [(p, 10, 1, 4, s) for p in (10, 11, 12, 13)]
     )
+
+
+def _glosh_reference(mst_edges, m):
+    """Descending-walk GLOSH reference: build the dendrogram, walk it
+    top-down tracking cluster PARENTAGE, then score each fall-out
+    against its cluster's SUBTREE-minimum fall level (descendants
+    included) — the independent traversal of the λ_max definition."""
+    import math
+
+    parent = {}
+    nodes = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        nodes.setdefault(x, None)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    top = {}
+    seq = [0]
+    for a, b, w in sorted(mst_edges, key=lambda t: (t[2], t[0], t[1])):
+        ra, rb = find(a), find(b)
+        nid = f"i{seq[0]}"
+        seq[0] += 1
+        nodes[nid] = (w, top.get(ra, ra), top.get(rb, rb))
+        parent[max(ra, rb)] = min(ra, rb)
+        top[min(ra, rb)] = nid
+
+    def points(n):
+        if not isinstance(n, str):
+            return [n]
+        _, l, r = nodes[n]
+        return points(l) + points(r)
+
+    clusters = []  # dicts: parent idx, leaf, events
+
+    def walk(n, ci):
+        w, l, r = nodes[n]
+        cl, cr = len(points(l)), len(points(r))
+        if cl >= m and cr >= m:
+            clusters[ci]["leaf"] = False
+            for child in (l, r):
+                clusters.append({"parent": ci, "leaf": True, "events": []})
+                walk(child, len(clusters) - 1)
+        elif cl < m and cr < m:
+            clusters[ci]["events"].extend((w, p) for p in points(n))
+        else:
+            small, big = (l, r) if cl < m else (r, l)
+            clusters[ci]["events"].extend((w, p) for p in points(small))
+            walk(big, ci)
+
+    seen = set()
+    for x in list(parent):
+        rt = find(x)
+        if rt in seen or rt not in top:
+            continue
+        seen.add(rt)
+        if len(points(top[rt])) >= m:
+            clusters.append({"parent": None, "leaf": True, "events": []})
+            walk(top[rt], len(clusters) - 1)
+    # subtree min fall level: fold each cluster's own min into every
+    # ancestor (children were appended after parents, so reverse order
+    # finalizes leaves first)
+    minw = [min((w for w, _p in c["events"]), default=None) for c in clusters]
+    for i in range(len(clusters) - 1, -1, -1):
+        p = clusters[i]["parent"]
+        if p is not None and minw[i] is not None:
+            minw[p] = minw[i] if minw[p] is None else min(minw[p], minw[i])
+    out = {}
+    for i, c in enumerate(clusters):
+        if not c["events"]:
+            continue
+        label = min(p for _w, p in c["events"])
+        for w, p in c["events"]:
+            lam_max = 1.0 / math.sqrt(1.0 + minw[i])
+            lam_p = 1.0 / math.sqrt(1.0 + w)
+            out[p] = (label, w, minw[i], int(c["leaf"]), 1.0 - lam_max / lam_p)
+    return out
+
+
+def test_hdbscan_glosh_matches_descending_reference(spark):
+    """GLOSH scores from the ascending one-pass sweep equal the
+    top-down parent-tracked reference on random tied MSFs — subtree
+    λ_max propagation, labels, leaf flags and BIT-EXACT scores; noise
+    shed from internal clusters must appear (leaf = 0 rows)."""
+    from flink_essentials_spark.functions.graph import boruvka_mst, hdbscan_glosh
+
+    rng = random.Random(4099)
+    saw_internal = False
+    for m in (2, 3, 4):
+        n = rng.randint(22, 36)
+        d = {}
+        for _ in range(n * 2):
+            a, b = rng.sample(range(1, n + 1), 2)
+            d[(min(a, b), max(a, b))] = rng.randint(1, 5)
+        edges = [(a, b, w) for (a, b), w in d.items()]
+        mst, _ = _kruskal_reference(edges)
+        want = _glosh_reference(mst, m)
+        got = {
+            r.pid: (r.label, r.w_fall, r.w_peak, r.leaf, r.score)
+            for r in hdbscan_glosh(
+                boruvka_mst(
+                    spark.createDataFrame(edges, "a long, b long, w long")
+                ),
+                m,
+            ).collect()
+        }
+        assert got == want, m
+        saw_internal = saw_internal or any(v[3] == 0 for v in got.values())
+    assert saw_internal  # the reference corpus exercised internal clusters
