@@ -1725,6 +1725,11 @@ _REGISTRY: list[Query] = [
     # token_budget_select, sw_alignment, count_sketch, kmv_set_ops,
     # pareto_suppliers — each per the documented redundancy notes
     # in-place above; all five stay locally oracle-checked below).
+    # r14 PROMOTION CANDIDATES (after the r13 rotation executed the
+    # eleven-for-eleven swap): hdbscan_glosh (outlier readout of the
+    # head-visible condensed sweep), hll_set_ops (register-algebra
+    # intersections), mondrian_anon (privacy mechanism beside the
+    # k_anonymity audit), plus the standing list below.
     # r13 PROMOTION CANDIDATES, in priority order: the remaining
     # driver-invisible named algorithms — tdigest_centroids (bit-
     # exact fold oracle, the strongest r12 member), isotonic_

@@ -7587,6 +7587,40 @@ Q_HDBSCAN_MST_SQL = _hdbscan_mst_sql()
 
 HDBSCAN_MIN_CLUSTER = 3
 
+_HDBSCAN_MST_STORE: dict[tuple, str] = {}
+
+
+def _hdbscan_mst_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mutual-reachability MSF shared by the condensed
+    consumers (hdbscan_leaves / hdbscan_glosh) — the
+    ivfpq_index/ivfpq_search + _dbscan_assignment_store split (r9
+    verdict #3): the forest is built ONCE per (session, sf_dir,
+    events fingerprint) and every readout consumes the store; in
+    production the MSF IS a persisted table the sweep re-reads.
+    q_hdbscan_mst itself stays LIVE — that row's wall-clock measures
+    Borůvka construction, not a store read."""
+    from flink_essentials_spark.functions.graph import (
+        boruvka_mst,
+        hdbscan_mr_edges_2d,
+    )
+
+    store_key = (sf_dir, _events_fingerprint(sf_dir))
+    path = _HDBSCAN_MST_STORE.get(store_key)
+    if path is None:
+        pts = _dbscan_assignment_store(spark, sf_dir).select(
+            "user_id", "x", "y"
+        )
+        mst = boruvka_mst(
+            hdbscan_mr_edges_2d(pts, "user_id", "x", "y", eps=4, k=5)
+        )
+        path = (
+            _alloc_store_dir(_HDBSCAN_MST_STORE, store_key, "fes_hdbmst_")
+            + "/mst"
+        )
+        mst.write.mode("overwrite").parquet(path)
+        _HDBSCAN_MST_STORE[store_key] = path
+    return spark.read.parquet(path)
+
 
 def q_hdbscan_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HDBSCAN stage 3 — condensed-tree LEAF clusters with stability
@@ -7604,15 +7638,9 @@ def q_hdbscan_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     true-split finalization) with union-find + cluster bookkeeping
     in one string accumulator — the same ascending formulation the
     Arrow task runs per forest component. min_cluster_size = 3."""
-    from flink_essentials_spark.functions.graph import (
-        boruvka_mst,
-        hdbscan_condense,
-        hdbscan_mr_edges_2d,
-    )
+    from flink_essentials_spark.functions.graph import hdbscan_condense
 
-    pts = _dbscan_assignment_store(spark, sf_dir).select("user_id", "x", "y")
-    edges = hdbscan_mr_edges_2d(pts, "user_id", "x", "y", eps=4, k=5)
-    mst = boruvka_mst(edges)
+    mst = _hdbscan_mst_store(spark, sf_dir)
     return hdbscan_condense(mst, HDBSCAN_MIN_CLUSTER).select(
         F.col("pid").alias("user_id"),
         "label",
@@ -7762,15 +7790,9 @@ def q_hdbscan_glosh(spark: SparkSession, sf_dir: str) -> DataFrame:
     here. The oracle shares the chained Kruskal + condensed-fold CTEs
     (now carrying minw) with a different readout; the sqrt/div/sub
     score arithmetic is correctly-rounded IEEE on both engines."""
-    from flink_essentials_spark.functions.graph import (
-        boruvka_mst,
-        hdbscan_glosh,
-        hdbscan_mr_edges_2d,
-    )
+    from flink_essentials_spark.functions.graph import hdbscan_glosh
 
-    pts = _dbscan_assignment_store(spark, sf_dir).select("user_id", "x", "y")
-    edges = hdbscan_mr_edges_2d(pts, "user_id", "x", "y", eps=4, k=5)
-    mst = boruvka_mst(edges)
+    mst = _hdbscan_mst_store(spark, sf_dir)
     return hdbscan_glosh(mst, HDBSCAN_MIN_CLUSTER).select(
         F.col("pid").alias("user_id"),
         "label",

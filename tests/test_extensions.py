@@ -5561,3 +5561,60 @@ def test_bleu_pairs_maintained_over_a_stream_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, bleu2_scores(pairs, grams).collect()))
     direct = sorted(map(tuple, q_bleu_pairs(spark, SF_DIR).collect()))
     assert got == direct and len(got) >= 20
+
+
+def test_mondrian_anon_matches_python_reference(spark):
+    """q_mondrian_anon vs an independent scalar Mondrian (explicit
+    per-region lists, statistics.median-free lower-median): six
+    rounds of widest-dim median cuts with the k-guard must produce
+    identical regions, counts and generalized ranges — and every
+    region must hold >= k rows (the k-anonymity invariant the
+    depth-capped form keeps at every depth)."""
+    from flink_essentials_spark.queries.llmdata import (
+        MONDRIAN_K,
+        MONDRIAN_ROUNDS,
+        q_mondrian_anon,
+    )
+
+    got = sorted(map(tuple, q_mondrian_anon(spark, SF_DIR).collect()))
+    cust = load_tables(spark, SF_DIR)["customer"].select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    import math
+
+    recs = [
+        (int(r.c_custkey), int(r.c_nationkey),
+         math.floor(round(float(r.c_acctbal) * 100) / 10000.0))
+        for r in cust.collect()
+    ]
+    regions = {0: recs}
+    for _ in range(MONDRIAN_ROUNDS):
+        nxt = {}
+        for rid, rows in regions.items():
+            dims = []
+            for d in (1, 2):
+                vs = sorted(x[d] for x in rows)
+                med = vs[(len(vs) + 1) // 2 - 1]
+                dims.append((max(vs) - min(vs), -d, d, med))
+            _rng, _nd, cdim, cmed = max(dims)
+            left = [x for x in rows if x[cdim] <= cmed]
+            right = [x for x in rows if x[cdim] > cmed]
+            if len(left) >= MONDRIAN_K and len(right) >= MONDRIAN_K:
+                nxt[2 * rid] = left
+                nxt[2 * rid + 1] = right
+            else:
+                nxt[2 * rid] = rows
+        regions = nxt
+    want = sorted(
+        (
+            rid,
+            len(rows),
+            min(x[1] for x in rows),
+            max(x[1] for x in rows),
+            min(x[2] for x in rows),
+            max(x[2] for x in rows),
+        )
+        for rid, rows in regions.items()
+    )
+    assert got == want
+    assert all(n >= MONDRIAN_K for _rid, n, *_ in got) and len(got) >= 2
