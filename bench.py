@@ -265,6 +265,8 @@ HEADLINE = [
     "mondrian_anon",
     # r13: GLOSH outlier readout of the HDBSCAN condensed sweep
     "hdbscan_glosh",
+    # r13: HDBSCAN in 64-d embedding space (blocked int64 eps-graph)
+    "hdbscan_embed",
 ]
 
 

@@ -1147,6 +1147,15 @@ def hdbscan_mr_edges_2d(
     directions of a pair carry the identical w, so the
     least/greatest normalization + distinct is a pure dedup."""
     pairs, core = _eps_pairs_core(points, id_col, x_col, y_col, eps, k)
+    return mr_edges_from_pairs(pairs, core)
+
+
+def mr_edges_from_pairs(pairs: DataFrame, core: DataFrame) -> DataFrame:
+    """Undirected mutual-reachability edges from any eps-pair table
+    (pid, qid, d2 — both directions) and core table (pid, core2):
+    w = mr2 = max(core2_a, core2_b, d²), normalized a < b, distinct.
+    Geometry-agnostic — the 2-D cell join and the embedding-space
+    blocked BLAS (similarity.euclid_eps_pairs) both feed it."""
     ca = core.select(F.col("pid"), F.col("core2").alias("__ca"))
     cb = core.select(F.col("pid").alias("qid"), F.col("core2").alias("__cb"))
     return (

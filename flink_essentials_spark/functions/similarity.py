@@ -1789,3 +1789,98 @@ def lloyd_step(
         (F.col("s").cast("double") / F.col("n").cast("double")).alias("c_new"),
         "inertia",
     )
+
+
+def euclid_eps_pairs(
+    df: DataFrame,
+    eps2: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10000,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """All pairs with EXACT quantized squared euclidean distance
+    ≤ ``eps2`` — the eps-graph generator density clustering rides in
+    embedding space (the euclidean sibling of
+    :func:`cosine_all_pairs`, same distributed block-nested-loop: no
+    driver collect, rows hash into ``num_blocks`` blocks, a broadcast
+    block-pair index replicates each block to its ~num_blocks (i, j)
+    groups, one matmul per group). Distances are exact BIGINTs via
+    the gram_matrix quantize-floor discipline (q = FLOOR(double(v) ·
+    scale), int64 BLAS; per-term magnitudes ≤ dim·scale² keep every
+    product inside int64), so a DuckDB list-arithmetic oracle
+    reproduces the pair set bit for bit. Emits canonically ordered
+    (vec_a < vec_b, d2); symmetrize at the consumer if a directed
+    neighborhood view is needed."""
+    spark = df.sparkSession
+    rows = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks))
+        .cast("int")
+        .alias("__blk"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    index = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
+        "i int, j int",
+    )
+    side_a = rows.join(F.broadcast(index), index["i"] == rows["__blk"]).select(
+        "i", "j", F.lit(0).alias("__side"), "__id", "__v"
+    )
+    side_b = rows.join(
+        F.broadcast(index.filter(F.col("i") != F.col("j"))),
+        index["j"] == rows["__blk"],
+    ).select("i", "j", F.lit(1).alias("__side"), "__id", "__v")
+    lim = int(eps2)
+    sc = float(scale)
+
+    def verify(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "d2": pd.Series(dtype="int64"),
+            }
+        )
+        a = pdf[pdf["__side"] == 0]
+        if not len(a):
+            return empty
+        ids_a = a["__id"].to_numpy(dtype=np.int64)
+        qa = np.floor(
+            np.array(a["__v"].tolist(), dtype=np.float64) * sc
+        ).astype(np.int64)
+        na = (qa * qa).sum(axis=1)
+        if int(pdf["i"].iloc[0]) == int(pdf["j"].iloc[0]):
+            d2 = na[:, None] - 2 * (qa @ qa.T) + na[None, :]
+            ai, bi = np.nonzero(
+                (d2 <= lim) & (ids_a[:, None] < ids_a[None, :])
+            )
+            return pd.DataFrame(
+                {"vec_a": ids_a[ai], "vec_b": ids_a[bi], "d2": d2[ai, bi]}
+            )
+        b = pdf[pdf["__side"] == 1]
+        if not len(b):
+            return empty
+        ids_b = b["__id"].to_numpy(dtype=np.int64)
+        qb = np.floor(
+            np.array(b["__v"].tolist(), dtype=np.float64) * sc
+        ).astype(np.int64)
+        nb = (qb * qb).sum(axis=1)
+        d2 = na[:, None] - 2 * (qa @ qb.T) + nb[None, :]
+        ai, bi = np.nonzero(d2 <= lim)
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ids_a[ai], ids_b[bi]),
+                "vec_b": np.maximum(ids_a[ai], ids_b[bi]),
+                "d2": d2[ai, bi],
+            }
+        )
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("i", "j")
+        .applyInPandas(verify, "vec_a long, vec_b long, d2 long")
+    )

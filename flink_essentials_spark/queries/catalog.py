@@ -2132,6 +2132,11 @@ _REGISTRY: list[Query] = [
     # outlier-detection readout of the same condensed sweep the
     # head-visible hdbscan_leaves rides; shared fold oracle
     Query("hdbscan_glosh", llmdata.q_hdbscan_glosh, llmdata.Q_HDBSCAN_GLOSH_SQL),
+    # r13 breadth: HDBSCAN over the EMBEDDING corpus — blocked int64
+    # all-pairs eps-graph (no cell grid past a few dims) feeding the
+    # same geometry-agnostic MSF + condensed sweep; shared fold oracle
+    # with an all-pairs list-arithmetic prefix
+    Query("hdbscan_embed", llmdata.q_hdbscan_embed, llmdata.Q_HDBSCAN_EMBED_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

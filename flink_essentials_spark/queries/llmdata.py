@@ -7650,7 +7650,9 @@ def q_hdbscan_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hdbscan_condense_ctes(m: int = HDBSCAN_MIN_CLUSTER) -> str:
+def _hdbscan_condense_ctes(
+    m: int = HDBSCAN_MIN_CLUSTER, prefix: str | None = None
+) -> str:
     """Condensed-sweep fold shared by the leaves and GLOSH oracles:
     acc = 'map#clusters#events#finals' — map as in the Kruskal fold;
     clusters '(rep@cid~leaf~minw)' (cid = 'a.b' of the creating edge
@@ -7719,7 +7721,7 @@ def _hdbscan_condense_ctes(m: int = HDBSCAN_MIN_CLUSTER) -> str:
         || '#' || {FS}
       END"""
     return (
-        _hdbscan_mre_prefix()
+        (_hdbscan_mre_prefix() if prefix is None else prefix)
         + _kruskal_ctes()
         + f""", k2 AS (
   SELECT list_reduce(
@@ -7752,9 +7754,13 @@ def _hdbscan_condense_ctes(m: int = HDBSCAN_MIN_CLUSTER) -> str:
     )
 
 
-def _hdbscan_leaves_sql(m: int = HDBSCAN_MIN_CLUSTER) -> str:
+def _hdbscan_leaves_sql(
+    m: int = HDBSCAN_MIN_CLUSTER,
+    prefix: str | None = None,
+    id_alias: str = "user_id",
+) -> str:
     return (
-        _hdbscan_condense_ctes(m)
+        _hdbscan_condense_ctes(m, prefix)
         + """, leafev AS (
   SELECT ev.pid, ev.wf, ev.cid, fin.wsplit
   FROM ev JOIN fin ON ev.cid = fin.cid WHERE fin.leaf = '1'
@@ -7769,7 +7775,8 @@ def _hdbscan_leaves_sql(m: int = HDBSCAN_MIN_CLUSTER) -> str:
            (x, y) -> x + y) AS stability
   FROM leafev GROUP BY cid
 )
-SELECT l.pid AS user_id, s.label, l.wf AS w_fall,
+"""
+        + f"""SELECT l.pid AS {id_alias}, s.label, l.wf AS w_fall,
        s.n_members, s.stability
 FROM leafev l JOIN stab s USING (cid)
 """
@@ -7777,6 +7784,121 @@ FROM leafev l JOIN stab s USING (cid)
 
 
 Q_HDBSCAN_LEAVES_SQL = _hdbscan_leaves_sql()
+
+
+HDBSCAN_EMBED_EPS2 = 145_000_000
+HDBSCAN_EMBED_K = 5
+HDBSCAN_EMBED_MIN = 5
+
+
+def q_hdbscan_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN leaf clusters over the EMBEDDING corpus — the
+    embedding-curriculum workhorse form: the same Borůvka forest +
+    ascending condensed sweep as hdbscan_leaves, but the
+    density substrate is 64-d quantized euclidean space
+    (similarity.euclid_eps_pairs — blocked int64 BLAS all-pairs at
+    d² ≤ eps², exact BIGINT distances; never a cell grid, which
+    doesn't scale past a few dimensions). core2 = (k−1)-th smallest
+    eps-neighbor d², mutual-reachability edges via
+    graph.mr_edges_from_pairs (geometry-agnostic), min_cluster_size
+    5. (Measured: the synthetic corpus's ``label`` column is NOT a
+    geometric signal — cross-label nearest neighbors are CLOSER than
+    within-label ones in both raw and unit-normalized space — so no
+    label-recovery claim is made; the correctness claim is the
+    chained fold oracle: all-pairs list arithmetic → Kruskal →
+    condensed sweep, with a structural density-sanity test.)
+
+    100 TB shape: the eps-graph is the blocked all-pairs' O(n ·
+    num_blocks) shuffle (sub-quadratic candidate generation —
+    hyperplane/LSH buckets — slots in upstream exactly as in the
+    near-dup family); everything after is O(n) MSF machinery."""
+    from flink_essentials_spark.functions.graph import (
+        boruvka_mst,
+        hdbscan_condense,
+        mr_edges_from_pairs,
+    )
+    from flink_essentials_spark.functions.similarity import (
+        auto_blocks,
+        euclid_eps_pairs,
+    )
+    from flink_essentials_spark.tables import table_rows
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    canon = euclid_eps_pairs(
+        emb,
+        HDBSCAN_EMBED_EPS2,
+        num_blocks=auto_blocks(table_rows(sf_dir, "embeddings")),
+    )
+    pairs = (
+        canon.select(
+            F.col("vec_a").alias("pid"), F.col("vec_b").alias("qid"), "d2"
+        )
+        .unionByName(
+            canon.select(
+                F.col("vec_b").alias("pid"),
+                F.col("vec_a").alias("qid"),
+                "d2",
+            )
+        )
+        .localCheckpoint()  # feeds core + both mr endpoint joins
+    )
+    core = (
+        pairs.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_eps"),
+            F.sort_array(F.collect_list("d2")).alias("__ds"),
+        )
+        .filter(F.col("n_eps") >= HDBSCAN_EMBED_K - 1)
+        .select(
+            "pid",
+            F.element_at("__ds", HDBSCAN_EMBED_K - 1)
+            .cast("long")
+            .alias("core2"),
+        )
+    )
+    mst = boruvka_mst(mr_edges_from_pairs(pairs, core))
+    return hdbscan_condense(mst, HDBSCAN_EMBED_MIN).select(
+        F.col("pid").alias("vec_id"),
+        "label",
+        "w_fall",
+        "n_members",
+        "stability",
+    )
+
+
+def _hdbscan_embed_prefix() -> str:
+    """Embedding-space mre prefix: exact quantized all-pairs via
+    per-dimension list arithmetic (MATERIALIZED — the CTE-inlining
+    lesson: p feeds core and mre, and the 250k-pair × 64-term subtree
+    must not be evaluated per reference)."""
+    e2, k = HDBSCAN_EMBED_EPS2, HDBSCAN_EMBED_K
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 10000) AS BIGINT)) AS q
+  FROM embeddings
+), p AS MATERIALIZED (
+  SELECT pid, qid, d2 FROM (
+    SELECT a.vec_id AS pid, b.vec_id AS qid,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+                d -> (a.q[d] - b.q[d]) * (a.q[d] - b.q[d])))
+                AS BIGINT) AS d2
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  ) WHERE d2 <= {e2}
+), core AS MATERIALIZED (
+  SELECT pid, CAST(list_sort(list(d2))[{k - 1}] AS BIGINT) AS core2
+  FROM p GROUP BY pid HAVING COUNT(*) >= {k - 1}
+), mre AS MATERIALIZED (
+  SELECT DISTINCT LEAST(p.pid, p.qid) AS a, GREATEST(p.pid, p.qid) AS b,
+         GREATEST(ca.core2, cb.core2, p.d2) AS w
+  FROM p JOIN core ca ON ca.pid = p.pid JOIN core cb ON cb.pid = p.qid
+)"""
+
+
+Q_HDBSCAN_EMBED_SQL = _hdbscan_leaves_sql(
+    m=HDBSCAN_EMBED_MIN, prefix=_hdbscan_embed_prefix(), id_alias="vec_id"
+)
 
 
 def q_hdbscan_glosh(spark: SparkSession, sf_dir: str) -> DataFrame:

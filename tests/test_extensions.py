@@ -5618,3 +5618,69 @@ def test_mondrian_anon_matches_python_reference(spark):
     )
     assert got == want
     assert all(n >= MONDRIAN_K for _rid, n, *_ in got) and len(got) >= 2
+
+
+def test_euclid_eps_pairs_matches_bruteforce_across_blocks(spark):
+    """euclid_eps_pairs == the naive quadratic int64 form at several
+    block counts (the cosine_all_pairs round-trip discipline): exact
+    quantized distances, canonical ordering, no pair lost or
+    duplicated when blocks split the corpus unevenly."""
+    import numpy as np
+
+    from flink_essentials_spark.functions.similarity import euclid_eps_pairs
+
+    rng = np.random.default_rng(77)
+    n, dim = 60, 8
+    X = rng.normal(size=(n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i + 1, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    Q = np.floor(X.astype(np.float64) * 10000.0).astype(np.int64)
+    nn = (Q * Q).sum(axis=1)
+    D = nn[:, None] - 2 * (Q @ Q.T) + nn[None, :]
+    eps2 = int(np.percentile(D[np.triu_indices(n, 1)], 20))
+    want = sorted(
+        (i + 1, j + 1, int(D[i, j]))
+        for i in range(n)
+        for j in range(i + 1, n)
+        if D[i, j] <= eps2
+    )
+    assert want  # the threshold actually selects pairs
+    for nb in (1, 3, 8):
+        got = sorted(
+            map(
+                tuple,
+                euclid_eps_pairs(df, eps2, num_blocks=nb).collect(),
+            )
+        )
+        assert got == want, nb
+
+
+def test_hdbscan_embed_recovers_planted_modes(spark):
+    """Structural density sanity for embedding-space HDBSCAN (the
+    corpus's ``label`` column is measurably NOT a geometric signal —
+    cross-label nearest neighbors are closer than within-label ones —
+    so no label-recovery claim exists to test; the correctness claim
+    is the fold oracle): multiple leaf clusters emerge, every cluster
+    honors min_cluster_size, members of one cluster agree on
+    (n_members, stability), and every member's fall-out level is a
+    real mutual-reachability weight ≤ the eps bound."""
+    from flink_essentials_spark.queries.llmdata import (
+        HDBSCAN_EMBED_EPS2,
+        HDBSCAN_EMBED_MIN,
+        q_hdbscan_embed,
+    )
+
+    rows = q_hdbscan_embed(spark, SF_DIR).collect()
+    assert len(rows) >= 30
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.label, []).append(r)
+    assert len(by_cluster) >= 3
+    for label, members in by_cluster.items():
+        assert len(members) >= HDBSCAN_EMBED_MIN, label
+        assert len({(m.n_members, m.stability) for m in members}) == 1
+        assert len(members) == members[0].n_members
+        assert min(m.pid if hasattr(m, "pid") else m.vec_id for m in members) == label
+        assert all(0 < m.w_fall <= HDBSCAN_EMBED_EPS2 for m in members)
