@@ -267,6 +267,16 @@ HEADLINE = [
     "hdbscan_glosh",
     # r13: HDBSCAN in 64-d embedding space (blocked int64 eps-graph)
     "hdbscan_embed",
+    # r14: the sign-LSH scale path for the same clustering + its
+    # recall self-eval against the exact eps-graph
+    "hdbscan_embed_ann",
+    "ann_eps_recall",
+    # r14: complete k-means — k-means++ seeding + 3 exact Lloyd iters
+    "kmeans_pp",
+    # r14: chrF character n-gram F — the text-eval family's third axis
+    "chrf_pairs",
+    # r14: OPTICS reachability — third readout of the shared MSF store
+    "optics_order",
 ]
 
 
@@ -338,6 +348,12 @@ def main() -> None:
     only = _parse_only(sys.argv[1:])
     bench_list = only if only else HEADLINE
     spark = get_spark("bench")
+    # r14 (r13 verdict #3): give the RAW headline itself a chance to
+    # be storm-free — three consecutive driver artifacts started
+    # inside a host-steal burst and needed post-hoc adjudication. One
+    # bounded calm-wait before any timed work costs ≤ 60 s and is
+    # invisible on a quiet box (returns at the first calm window).
+    _wait_for_calm(60.0)
     steal0 = _steal_ticks()
     # warm the JVM once so timings measure queries, not first-use costs:
     # parquet reader init + the codegen/agg machinery (run the flagship
@@ -494,8 +510,11 @@ def main() -> None:
                 ).save()
                 dt = time.time() - t0
                 extra.append(dt)
-                d_steal = (_steal_ticks() - s0) / 100.0 if s0 >= 0 else 0.0
-                if d_steal <= 0.1 * dt:
+                s1 = _steal_ticks()
+                # no steal telemetry -> no clean certification (r13
+                # advice): without /proc/stat evidence the sample is
+                # just a plain re-run, never "certified clean"
+                if s0 >= 0 and s1 >= 0 and (s1 - s0) / 100.0 <= 0.1 * dt:
                     clean_adj.add(name)
                     break  # certified-clean sample: steal missed the slot
                 if wait_budget > 0:

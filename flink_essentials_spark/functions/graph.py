@@ -1308,6 +1308,20 @@ def _condensed_sweep(pdf, m: int):
                 cluster[r] = (cid, True, w)
                 events.extend((p, w, cid) for p in mem)
         elif ca is not None and cb is not None:
+            # wsplit = 0 is reserved as the open-cluster sentinel (see
+            # below), so a TRUE split at w = 0 must be impossible. It
+            # is: w = 0 needs core2 = d2 = 0 on both endpoints, and
+            # the set of such nodes forms complete zero-weight
+            # subgraphs whose (w, a, b)-ordered Kruskal acceptance
+            # yields a star — both sides of any later merge that
+            # reaches ≥ m at w = 0 were built inside ONE component, so
+            # two already-born clusters can never meet at w = 0. Keep
+            # the invariant loud rather than implicit (r13 advice).
+            if w == 0:
+                raise AssertionError(
+                    "hdbscan condensed sweep: true split at w=0 would "
+                    "collide with the open-cluster sentinel"
+                )
             finals[ca[0]] = (w, ca[1], ca[2])
             finals[cb[0]] = (w, cb[1], cb[2])
             cluster[r] = ((a, b), False, min(ca[2], cb[2]))
@@ -1316,6 +1330,10 @@ def _condensed_sweep(pdf, m: int):
             events.extend((p, w, keep[0]) for p in mem_small)
             cluster[r] = (keep[0], keep[1], min(keep[2], w))
     for cid, leaf, minw in cluster.values():
+        # wsplit = 0 is the OPEN-cluster sentinel (λ_birth = 0, the
+        # root convention); collision with a genuine w = 0 true split
+        # is impossible — asserted in the two-cluster branch above —
+        # and the oracle's CASE mirrors the same convention.
         finals[cid] = (0, leaf, minw)
     return events, finals
 
@@ -1601,4 +1619,64 @@ def boruvka_mst(
     ).select(
         F.col("ea").alias("a"), F.col("eb").alias("b"),
         F.col("ew").alias("w"), "comp",
+    )
+
+
+def optics_order(mst: DataFrame) -> DataFrame:
+    """OPTICS reachability ordering (Ankerst, Breunig, Kriegel &
+    Sander, SIGMOD 1999) read directly off the mutual-reachability
+    minimum spanning forest — the THIRD readout of the shared MSF
+    store beside the condensed-tree leaves and GLOSH: with eps = ∞,
+    the OPTICS walk of a component is exactly PRIM's algorithm on its
+    mutual-reachability graph, and on the MST the admitting edge of
+    each point IS its reachability value — so the reachability plot
+    is a traversal of the forest, no distance computation at all
+    (the standard MST→reachability derivation single-node HDBSCAN
+    implementations use).
+
+    Deterministic rule, mirrored bit-for-bit by the SQL oracle: every
+    component starts at its root (= comp label = min node id, visited
+    up front); each step admits the lexicographically smallest
+    (w, a, b) edge with exactly one visited endpoint. Components
+    evolve independently (their frontiers never interact), so the
+    per-component admission sequence equals the solo Prim run.
+
+    Output per node: (pid, comp, ord, reach) — ord = admission rank
+    within the component (root = 0), reach = admitting edge weight
+    (root = -1, the undefined-reachability sentinel of the plot).
+    One bounded Arrow task per forest component, the condensed-sweep
+    discipline; the forest is E = n−c edges, never the eps-graph."""
+    import pandas as pd
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        comp = int(pdf["comp"].iloc[0])
+        edges = sorted(
+            (int(w), int(a), int(b))
+            for a, b, w in zip(pdf["a"], pdf["b"], pdf["w"])
+        )
+        visited = {comp}
+        out = [(comp, comp, 0, -1)]
+        remaining = list(edges)
+        ordn = 0
+        while remaining:
+            pick = None
+            for idx, (w, a, b) in enumerate(remaining):
+                if (a in visited) != (b in visited):
+                    pick = idx
+                    break
+            if pick is None:  # disconnected within a comp: impossible
+                raise AssertionError(
+                    f"optics_order: no frontier edge in comp {comp}"
+                )
+            w, a, b = remaining.pop(pick)
+            new = b if a in visited else a
+            visited.add(new)
+            ordn += 1
+            out.append((new, comp, ordn, w))
+        return pd.DataFrame(
+            out, columns=["pid", "comp", "ord", "reach"]
+        )
+
+    return mst.groupBy("comp").applyInPandas(
+        walk, "pid long, comp long, ord long, reach long"
     )

@@ -933,11 +933,21 @@ def welch_t(
     conditional aggregate to the exact-BIGINT sufficient statistics
     (n, Σv, Σv² per side — SUM-mergeable, the streaming-maintained
     twin folds exactly these), then welch_t_from_stats. ``value_col``
-    is cast to long HERE so the promise holds for every caller: a
-    double-typed value column would make the SUMs
+    MUST be integral: a double-typed value column would make the SUMs
     order-nondeterministic and break cross-engine hashing — pass
-    integer values (util.cents() for money) and the cast is the
-    identity."""
+    integer values (util.cents() for money). Enforced here (r13
+    advice): a fractional dtype raises instead of being silently
+    truncated by the long cast."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    vt = df.schema[value_col].dataType
+    if not isinstance(vt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"welch_t: value_col {value_col!r} must be integral "
+            f"(got {vt.simpleString()}); fractional values would be "
+            "silently truncated — pre-convert with util.cents()/an "
+            "explicit exact quantization instead"
+        )
     fl = F.col(flag_col)
     v = F.col(value_col).cast("long")
     stats = df.groupBy(key_col).agg(

@@ -7812,11 +7812,6 @@ def q_hdbscan_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     num_blocks) shuffle (sub-quadratic candidate generation —
     hyperplane/LSH buckets — slots in upstream exactly as in the
     near-dup family); everything after is O(n) MSF machinery."""
-    from flink_essentials_spark.functions.graph import (
-        boruvka_mst,
-        hdbscan_condense,
-        mr_edges_from_pairs,
-    )
     from flink_essentials_spark.functions.similarity import (
         auto_blocks,
         euclid_eps_pairs,
@@ -7829,6 +7824,22 @@ def q_hdbscan_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         HDBSCAN_EMBED_EPS2,
         num_blocks=auto_blocks(table_rows(sf_dir, "embeddings")),
     )
+    return _hdbscan_embed_from_canon(canon)
+
+
+def _hdbscan_embed_from_canon(canon: DataFrame) -> DataFrame:
+    """Shared HDBSCAN tail over a canonical eps-pair table
+    (vec_a < vec_b, exact d2): symmetrize, core2 = (k−1)-th smallest
+    neighbor d², mutual-reachability edges, Borůvka MSF, condensed
+    leaf sweep. Pair-table-agnostic — the exact blocked BLAS
+    (q_hdbscan_embed) and the sign-LSH candidate generator
+    (q_hdbscan_embed_ann) both feed it."""
+    from flink_essentials_spark.functions.graph import (
+        boruvka_mst,
+        hdbscan_condense,
+        mr_edges_from_pairs,
+    )
+
     pairs = (
         canon.select(
             F.col("vec_a").alias("pid"), F.col("vec_b").alias("qid"), "d2"
@@ -7899,6 +7910,270 @@ WITH e AS MATERIALIZED (
 Q_HDBSCAN_EMBED_SQL = _hdbscan_leaves_sql(
     m=HDBSCAN_EMBED_MIN, prefix=_hdbscan_embed_prefix(), id_alias="vec_id"
 )
+
+HDBSCAN_ANN_TABLES = 300
+HDBSCAN_ANN_BITS = 10
+
+
+def q_hdbscan_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-PATH embedding-space HDBSCAN — identical MSF + condensed
+    sweep as q_hdbscan_embed, but the eps-graph comes from the
+    SUBQUADRATIC sign-LSH candidate generator
+    (similarity.simhash_eps_pairs: md5-derandomized sign buckets →
+    banded equi-self-join → exact int64 verification) instead of the
+    exact blocked all-pairs, killing the O(n²) replication that made
+    the exact member a 100 TB scale risk. Candidate pairs are a
+    SUBSET of the exact eps-graph with identical d2 (containment is
+    structural; ann_eps_recall quantifies recall ≈ 0.85 on this
+    near-isotropic synthetic corpus — see simhash_eps_pairs'
+    calibration notes). The oracle regenerates the SAME sign matrix
+    via SQL md5(), replays bucket keys / candidate join / exact
+    verification in list arithmetic, then chains the shared Kruskal +
+    condensed-sweep folds — the full approximate pipeline is under
+    oracle, not just the downstream.
+
+    100 TB shape: keys = n·T rows into one banded equi-join (the
+    MinHash-LSH shape), verification linear in candidates, MSF
+    machinery O(E log n); bits/num_tables follow the classic LSH
+    schedule (bits ~ log n, tables ~ n^ρ, measured ρ ≈ 0.76 here)."""
+    from flink_essentials_spark.functions.similarity import (
+        simhash_eps_pairs,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    canon = simhash_eps_pairs(
+        emb,
+        HDBSCAN_EMBED_EPS2,
+        num_tables=HDBSCAN_ANN_TABLES,
+        bits=HDBSCAN_ANN_BITS,
+    )
+    return _hdbscan_embed_from_canon(canon)
+
+
+def _simhash_cand_ctes(
+    tables: int = HDBSCAN_ANN_TABLES,
+    bits: int = HDBSCAN_ANN_BITS,
+    eps2: int = HDBSCAN_EMBED_EPS2,
+) -> str:
+    """Sign-LSH candidate CTEs shared by the ANN-HDBSCAN prefix and
+    the recall self-eval: e (quantized vectors as exact-integer DOUBLE
+    lists — every product/sum stays < 2^53, so list_dot_product is
+    bit-exact), sg (the md5-regenerated ±1 sign lists — hashlib and
+    SQL md5 agree byte for byte), keys (packed sign bits per table),
+    cand (bucket-collision pairs), cp (exact-verified eps-pairs,
+    canonical pid < qid)."""
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 10000) AS BIGINT) * 1.0) AS qd
+  FROM embeddings
+), sg AS MATERIALIZED (
+  SELECT t.t AS tb, l.l AS l,
+         list_transform(generate_series(0, 63),
+           j -> CASE WHEN strpos('01234567',
+                        substr(md5('eps:' || t.t || ':' || l.l || ':' || j),
+                               32, 1)) > 0
+                THEN 1.0 ELSE -1.0 END) AS s
+  FROM UNNEST(generate_series(0, {tables - 1})) AS t(t),
+       UNNEST(generate_series(0, {bits - 1})) AS l(l)
+), keys AS MATERIALIZED (
+  SELECT e.vec_id, sg.tb,
+         CAST(SUM(CASE WHEN list_dot_product(e.qd, sg.s) >= 0
+                  THEN (1::BIGINT << sg.l) ELSE 0 END) AS BIGINT) AS key
+  FROM e, sg GROUP BY 1, 2
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS pid, b.vec_id AS qid
+  FROM keys a JOIN keys b
+    ON a.tb = b.tb AND a.key = b.key AND a.vec_id < b.vec_id
+), cp AS MATERIALIZED (
+  SELECT pid, qid, d2 FROM (
+    SELECT c.pid, c.qid,
+           CAST(list_dot_product(ea.qd, ea.qd)
+                - 2 * list_dot_product(ea.qd, eb.qd)
+                + list_dot_product(eb.qd, eb.qd) AS BIGINT) AS d2
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.pid
+    JOIN e eb ON eb.vec_id = c.qid
+  ) WHERE d2 <= {eps2}
+)"""
+
+
+def _hdbscan_embed_ann_prefix() -> str:
+    k = HDBSCAN_EMBED_K
+    return (
+        _simhash_cand_ctes()
+        + f""", p AS MATERIALIZED (
+  SELECT pid, qid, d2 FROM cp
+  UNION ALL SELECT qid AS pid, pid AS qid, d2 FROM cp
+), core AS MATERIALIZED (
+  SELECT pid, CAST(list_sort(list(d2))[{k - 1}] AS BIGINT) AS core2
+  FROM p GROUP BY pid HAVING COUNT(*) >= {k - 1}
+), mre AS MATERIALIZED (
+  SELECT DISTINCT LEAST(p.pid, p.qid) AS a, GREATEST(p.pid, p.qid) AS b,
+         GREATEST(ca.core2, cb.core2, p.d2) AS w
+  FROM p JOIN core ca ON ca.pid = p.pid JOIN core cb ON cb.pid = p.qid
+)"""
+    )
+
+
+Q_HDBSCAN_EMBED_ANN_SQL = _hdbscan_leaves_sql(
+    m=HDBSCAN_EMBED_MIN,
+    prefix=_hdbscan_embed_ann_prefix(),
+    id_alias="vec_id",
+)
+
+
+def q_ann_eps_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall self-eval of the sign-LSH eps-pair generator against the
+    EXACT blocked-BLAS member on the same corpus and threshold — the
+    lsh_recall discipline: the approximate scale path ships WITH the
+    query that measures what it misses. Containment (every ANN pair is
+    an exact pair with identical d2) is structural — the verification
+    step computes the same exact int64 distance — so one count ratio
+    IS the full confusion picture: recall = n_ann / n_exact (one
+    division of exact BIGINTs, cross-engine deterministic). On this
+    near-isotropic synthetic corpus (flat spectrum, contrast ≈ 1.27)
+    the measured recall ≈ 0.85 — close to the theoretical LSH limit
+    for the regime; clusterable real corpora score higher."""
+    from flink_essentials_spark.functions.similarity import (
+        auto_blocks,
+        euclid_eps_pairs,
+        simhash_eps_pairs,
+    )
+    from flink_essentials_spark.tables import table_rows
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    exact = euclid_eps_pairs(
+        emb,
+        HDBSCAN_EMBED_EPS2,
+        num_blocks=auto_blocks(table_rows(sf_dir, "embeddings")),
+    )
+    ann = simhash_eps_pairs(
+        emb,
+        HDBSCAN_EMBED_EPS2,
+        num_tables=HDBSCAN_ANN_TABLES,
+        bits=HDBSCAN_ANN_BITS,
+    )
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    na = ann.agg(F.count(F.lit(1)).alias("n_ann"))
+    return ne.crossJoin(na).select(
+        "n_exact",
+        "n_ann",
+        (
+            F.col("n_ann").cast("double") / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )
+
+
+def _ann_eps_recall_sql() -> str:
+    e2 = HDBSCAN_EMBED_EPS2
+    return (
+        _simhash_cand_ctes()
+        + f""", xp AS (
+  SELECT a.vec_id AS pid, b.vec_id AS qid,
+         CAST(list_dot_product(a.qd, a.qd)
+              - 2 * list_dot_product(a.qd, b.qd)
+              + list_dot_product(b.qd, b.qd) AS BIGINT) AS d2
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+), cnts AS (
+  SELECT (SELECT COUNT(*) FROM xp WHERE d2 <= {e2}) AS n_exact,
+         (SELECT COUNT(*) FROM cp) AS n_ann
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_ann AS BIGINT) AS n_ann,
+       CAST(n_ann AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+FROM cnts
+"""
+    )
+
+
+Q_ANN_EPS_RECALL_SQL = _ann_eps_recall_sql()
+
+
+def q_optics_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTICS reachability ordering (Ankerst et al. 1999) as the
+    THIRD readout of the shared mutual-reachability MSF store
+    (graph.optics_order): with eps = ∞ the OPTICS walk is Prim on the
+    mutual-reachability graph, and on the MST each point's
+    reachability IS its admitting edge weight — the traversal is pure
+    forest bookkeeping, completing the density family
+    (mst → leaves/GLOSH → reachability plot). The oracle replays the
+    identical deterministic walk as a list_reduce fold over the
+    Kruskal-derived edge list: visited-set string + global smallest
+    (w, a, b) frontier edge per step (components never interact, so
+    the within-component order equals the solo Prim run the Arrow
+    task executes); ord = admission rank within component, root
+    reach = -1 (the undefined-reachability sentinel)."""
+    from flink_essentials_spark.functions.graph import optics_order
+
+    mst = _hdbscan_mst_store(spark, sf_dir)
+    return optics_order(mst.select("a", "b", "w", "comp")).select(
+        F.col("pid").alias("user_id"), "comp", "ord", "reach"
+    )
+
+
+def _optics_order_sql() -> str:
+    V = "split_part(acc, '#', 1)"
+    EV = "split_part(acc, '#', 2)"
+    pick = (
+        f"list_filter(es, ed -> contains({V}, '|' || "
+        f"split_part(ed, ':', 1) || '|') <> contains({V}, '|' || "
+        f"split_part(ed, ':', 2) || '|'))[1]"
+    )
+    newn = (
+        f"(CASE WHEN contains({V}, '|' || split_part(p, ':', 1) || '|') "
+        f"THEN split_part(p, ':', 2) ELSE split_part(p, ':', 1) END)"
+    )
+    step = (
+        f"list_transform([{pick}], p -> "
+        f"{V} || '|' || {newn} || '|' || '#' || {EV} || ';' || {newn} "
+        f"|| ':' || split_part(p, ':', 3))[1]"
+    )
+    return (
+        _hdbscan_mre_prefix()
+        + _kruskal_ctes()
+        + f""", roots AS (
+  SELECT DISTINCT CAST(t.r AS BIGINT) AS r
+  FROM k1, UNNEST(regexp_extract_all(split_part(st, '#', 1),
+                  '=([0-9]+)\\)', 1)) AS t(r)
+), vis0 AS (
+  SELECT string_agg('|' || r || '|', '' ORDER BY r) AS v0 FROM roots
+), el2 AS (
+  -- the accepted FOREST edges (el is the full mre candidate list);
+  -- on a forest with every root pre-visited, each fold step admits
+  -- exactly one node, so len(es) steps walk the whole forest
+  SELECT list(a || ':' || b || ':' || w ORDER BY w, a, b) AS es FROM mst
+), pr AS (
+  SELECT list_reduce(
+    list_prepend((SELECT v0 FROM vis0) || '#',
+                 list_transform(generate_series(1, len(es)), x -> '')),
+    (acc, e) -> {step}
+  ) AS st FROM el2
+), adm AS (
+  SELECT i.i AS gstep,
+         CAST(split_part(evs[i.i], ':', 1) AS BIGINT) AS pid,
+         CAST(split_part(evs[i.i], ':', 2) AS BIGINT) AS reach
+  FROM (SELECT list_filter(str_split(split_part(st, '#', 2), ';'),
+                           x -> x <> '') AS evs FROM pr),
+       UNNEST(generate_series(1, len(evs))) AS i(i)
+), lab AS (
+  SELECT a.pid, a.gstep, a.reach,
+         CAST(regexp_extract((SELECT split_part(st, '#', 1) FROM k1),
+              '\\(' || a.pid || '=([0-9]+)\\)', 1) AS BIGINT) AS comp
+  FROM adm a
+)
+SELECT pid AS user_id, comp,
+       CAST(ROW_NUMBER() OVER (PARTITION BY comp ORDER BY gstep)
+            AS BIGINT) AS ord,
+       reach
+FROM lab
+UNION ALL
+SELECT r AS user_id, r AS comp, 0 AS ord, -1 AS reach FROM roots
+"""
+    )
+
+
+Q_OPTICS_ORDER_SQL = _optics_order_sql()
 
 
 def q_hdbscan_glosh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9303,6 +9578,188 @@ WHERE j2.t2 > 0
 """
 
 
+CHRF_MAX_ORDER = 6
+
+
+def q_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF character n-gram F-score (Popović, WMT 2015, "chrF:
+    character n-gram F-score for automatic MT evaluation"; β = 2, the
+    sacrebleu default) between each sampled document and its
+    same-source successor — completes the text-eval family's third
+    axis: BLEU = word-precision (bleu_pairs), ROUGE-L = LCS recall
+    (rouge_l), chrF = character F. Same successor-pair mapping
+    (doc_id + S, md5-digit 25% sample) and the same
+    (doc, gram)-keyed LEFT-join clipping shape as bleu_pairs, on
+    whitespace-stripped character n-grams of order 1..6. One row per
+    (pair, order): clipped matches m, totals th = c_len − o + 1 and
+    tr = r_len − o + 1 (length identities — no aggregation), prec =
+    m/th and rec = m/tr (one division each of exact BIGINTs), and
+    chrf2 = 5·P·R/(4·P + R) — a fixed chain of IEEE ops over
+    cross-engine-identical operand doubles, no rounding needed
+    (m = 0 CASE-gates to 0). Emitting per-order rows keeps every
+    value a single-division ratio (the order-averaged composite would
+    sum six doubles — reconstructible by any consumer, left-fold
+    deterministic, but unnecessary surface for the hash).
+
+    Scale shape: character-gram counts are computed once per
+    pair-participating doc (semi-join; one explode over 6 orders —
+    never per pair), pairs carry only ids + lengths, and the clipped
+    match is one (doc, o, g) equi-join through the pair mapping."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    s = docs.agg(F.countDistinct("source").alias("S"))
+    chars = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"\s+", "").alias("ch"),
+    ).localCheckpoint()  # feeds lengths + both gram-count tables
+    sizes = chars.select(
+        "doc_id", F.length("ch").cast("long").alias("n")
+    )
+    cand = (
+        sizes.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+            < F.lit("4")
+        )
+        .crossJoin(F.broadcast(s))
+        .select(
+            "doc_id",
+            F.col("n").alias("c_len"),
+            (F.col("doc_id") + F.col("S")).alias("ref_id"),
+        )
+    )
+    pairs = cand.join(
+        sizes.select(
+            F.col("doc_id").alias("ref_id"), F.col("n").alias("r_len")
+        ),
+        "ref_id",
+    )
+    used = (
+        pairs.select("doc_id")
+        .unionByName(pairs.select(F.col("ref_id").alias("doc_id")))
+        .distinct()
+    )
+    grams = (
+        chars.join(used, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[F.lit(o) for o in range(1, CHRF_MAX_ORDER + 1)]
+                )
+            ).alias("o"),
+            "ch",
+        )
+        .select(
+            "doc_id",
+            "o",
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(ch) >= o THEN transform("
+                    "sequence(1, length(ch) - o + 1), "
+                    "i -> substring(ch, i, o)) ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "o", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = (
+        pairs.join(grams, "doc_id")
+        .join(
+            grams.select(
+                F.col("doc_id").alias("ref_id"),
+                "o",
+                "g",
+                F.col("c").alias("rc"),
+            ),
+            ["ref_id", "o", "g"],
+            "left",
+        )
+        .groupBy("doc_id", "ref_id", "o", "c_len", "r_len")
+        .agg(
+            F.sum(F.least(F.col("c"), F.coalesce(F.col("rc"), F.lit(0))))
+            .cast("long")
+            .alias("m")
+        )
+    )
+    th = (F.col("c_len") - F.col("o") + 1).cast("long")
+    tr = (F.col("r_len") - F.col("o") + 1).cast("long")
+    p = F.col("m").cast("double") / F.col("th").cast("double")
+    r = F.col("m").cast("double") / F.col("tr").cast("double")
+    return (
+        m.filter((th > 0) & (tr > 0))
+        .select(
+            "doc_id",
+            "ref_id",
+            F.col("o").cast("long").alias("o"),
+            "m",
+            th.alias("th"),
+            tr.alias("tr"),
+        )
+        .select(
+            "doc_id",
+            "ref_id",
+            "o",
+            "m",
+            "th",
+            "tr",
+            p.alias("prec"),
+            r.alias("rec"),
+            F.when(F.col("m") == 0, F.lit(0.0))
+            .otherwise(
+                (F.lit(5.0) * p * r) / (F.lit(4.0) * p + r)
+            )
+            .alias("chrf2"),
+        )
+    )
+
+
+Q_CHRF_PAIRS_SQL = f"""
+WITH ch AS (
+  SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS ch
+  FROM documents
+), s AS (
+  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS S FROM documents
+), pairs AS (
+  SELECT c.doc_id, r.doc_id AS ref_id,
+         CAST(length(c.ch) AS BIGINT) AS c_len,
+         CAST(length(r.ch) AS BIGINT) AS r_len
+  FROM ch c CROSS JOIN s JOIN ch r ON r.doc_id = c.doc_id + s.S
+  WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 32, 1) < '4'
+), used AS (
+  SELECT doc_id FROM pairs UNION SELECT ref_id FROM pairs
+), grams AS (
+  SELECT t.doc_id, o.o AS o, substr(t.ch, i.i, o.o) AS g,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ch t JOIN used USING (doc_id),
+       UNNEST(generate_series(1, {CHRF_MAX_ORDER})) AS o(o),
+       UNNEST(CASE WHEN length(t.ch) >= o.o
+              THEN generate_series(1, length(t.ch) - o.o + 1)
+              ELSE [] END) AS i(i)
+  GROUP BY 1, 2, 3
+), j AS (
+  SELECT p.doc_id, p.ref_id, cg.o, p.c_len, p.r_len,
+         CAST(SUM(LEAST(cg.c, COALESCE(rg.c, 0))) AS BIGINT) AS m
+  FROM pairs p
+  JOIN grams cg ON cg.doc_id = p.doc_id
+  LEFT JOIN grams rg ON rg.doc_id = p.ref_id AND rg.o = cg.o
+                    AND rg.g = cg.g
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT doc_id, ref_id, CAST(o AS BIGINT) AS o, m,
+       c_len - o + 1 AS th, r_len - o + 1 AS tr,
+       CAST(m AS DOUBLE) / CAST(c_len - o + 1 AS DOUBLE) AS prec,
+       CAST(m AS DOUBLE) / CAST(r_len - o + 1 AS DOUBLE) AS rec,
+       CASE WHEN m = 0 THEN 0.0
+            ELSE (5.0 * (CAST(m AS DOUBLE) / CAST(c_len - o + 1 AS DOUBLE))
+                      * (CAST(m AS DOUBLE) / CAST(r_len - o + 1 AS DOUBLE)))
+                 / (4.0 * (CAST(m AS DOUBLE) / CAST(c_len - o + 1 AS DOUBLE))
+                      + (CAST(m AS DOUBLE) / CAST(r_len - o + 1 AS DOUBLE)))
+       END AS chrf2
+FROM j
+WHERE c_len - o + 1 > 0 AND r_len - o + 1 > 0
+"""
+
+
 MONDRIAN_K = 25
 MONDRIAN_ROUNDS = 6
 
@@ -9700,6 +10157,114 @@ SELECT u.cid AS cluster, u.dim, i.n, u.s,
        i.inertia
 FROM upd u JOIN inert i USING (cid)
 """
+
+KMEANS_PP_K = 8
+KMEANS_PP_ITERS = 3
+
+
+def q_kmeans_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE k-means (r13 verdict #4): deterministic k-means++ D²
+    seeding (Arthur & Vassilvitskii 2007, md5-derandomized — the
+    Gumbel-race key ln(u)/D² turns weighted sampling into an argmax
+    of cross-engine-deterministic doubles) followed by THREE exact
+    Lloyd iterations with rational centroids
+    (similarity.kmeans_pp_stats). Every comparison both engines make
+    is a correctly-rounded double ratio of exact int64 operands
+    (A_j = Σ(n_j·q − s_j)² over n_j², the sum < 2^63), so argmin and
+    tie-breaks agree bit for bit with no 128-bit arithmetic. The
+    oracle unrolls the 7 seeding rounds and 3 assign/update rounds as
+    MATERIALIZED CTEs (the mondrian/link_rank discipline) with empty
+    clusters carried forward by LEFT-JOIN COALESCE. Monotone inertia
+    is property-tested against an exact-Fraction reference."""
+    from flink_essentials_spark.functions.similarity import kmeans_pp_stats
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return kmeans_pp_stats(
+        emb, k=KMEANS_PP_K, iters=KMEANS_PP_ITERS, dim_hint=64
+    )
+
+
+def _kmeans_pp_sql(k: int = KMEANS_PP_K, iters: int = KMEANS_PP_ITERS) -> str:
+    d2 = (
+        "CAST(list_sum(list_transform(generate_series(1, 64), "
+        "dd -> (e.q[dd] - se.q[dd]) * (e.q[dd] - se.q[dd]))) AS BIGINT)"
+    )
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 10000) AS BIGINT)) AS q
+  FROM embeddings
+), s0 AS MATERIALIZED (
+  SELECT vec_id FROM e
+  ORDER BY ('0x' || substr(md5('kpp:0:' || vec_id), 1, 13))::BIGINT DESC,
+           vec_id
+  LIMIT 1
+), sl0 AS (SELECT vec_id, 0 AS j FROM s0)"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f""", s{r} AS MATERIALIZED (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           ln((('0x' || substr(md5('kpp:{r}:' || e.vec_id), 1, 13))::BIGINT
+               + 0.5) / 4503599627370496.0)
+           / CAST(MIN({d2}) AS DOUBLE) AS key
+    FROM e, sl{r - 1} sl JOIN e se ON se.vec_id = sl.vec_id
+    GROUP BY e.vec_id
+    HAVING MIN({d2}) > 0
+  ) ORDER BY key DESC, vec_id LIMIT 1
+), sl{r} AS (SELECT * FROM sl{r - 1}
+             UNION ALL SELECT vec_id, {r} AS j FROM s{r})"""
+        )
+    parts.append(
+        f""", seeds AS MATERIALIZED (SELECT j, vec_id FROM sl{k - 1}),
+c0 AS MATERIALIZED (
+  SELECT s.j, dd.d, 1::BIGINT AS n, CAST(e.q[dd.d] AS BIGINT) AS sm
+  FROM seeds s JOIN e ON e.vec_id = s.vec_id,
+       UNNEST(generate_series(1, 64)) AS dd(d)
+)"""
+    )
+    for r in range(1, iters + 1):
+        parts.append(
+            f""", ad{r} AS (
+  SELECT e.vec_id, c.j,
+         CAST(SUM((c.n * e.q[c.d] - c.sm) * (c.n * e.q[c.d] - c.sm))
+              AS BIGINT) AS a,
+         CAST(MIN(c.n) AS BIGINT) AS n
+  FROM e, c{r - 1} c
+  GROUP BY 1, 2
+), a{r} AS MATERIALIZED (
+  SELECT vec_id, j AS cid FROM (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY CAST(a AS DOUBLE) / CAST(n * n AS DOUBLE), j) AS rk
+    FROM ad{r}
+  ) WHERE rk = 1
+), u{r} AS MATERIALIZED (
+  SELECT a.cid AS j, dd.d, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(e.q[dd.d]) AS BIGINT) AS sm
+  FROM a{r} a JOIN e USING (vec_id),
+       UNNEST(generate_series(1, 64)) AS dd(d)
+  GROUP BY 1, 2
+), c{r} AS MATERIALIZED (
+  SELECT c.j, c.d, COALESCE(u.n, c.n) AS n, COALESCE(u.sm, c.sm) AS sm
+  FROM c{r - 1} c LEFT JOIN u{r} u ON u.j = c.j AND u.d = c.d
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(u.j AS BIGINT) AS cluster, CAST(s.vec_id AS BIGINT) AS seed_id,
+       CAST(u.d AS BIGINT) AS dim, u.n, u.sm AS s,
+       CAST(u.sm AS DOUBLE) / CAST(u.n AS DOUBLE) AS c_new
+FROM u{iters} u JOIN seeds s ON s.j = u.j
+"""
+    )
+    return "".join(parts)
+
+
+Q_KMEANS_PP_SQL = _kmeans_pp_sql()
 
 
 def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:

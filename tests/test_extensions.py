@@ -5684,3 +5684,210 @@ def test_hdbscan_embed_recovers_planted_modes(spark):
         assert len(members) == members[0].n_members
         assert min(m.pid if hasattr(m, "pid") else m.vec_id for m in members) == label
         assert all(0 < m.w_fall <= HDBSCAN_EMBED_EPS2 for m in members)
+
+
+def test_simhash_eps_pairs_contained_in_exact_with_identical_d2(spark):
+    """Containment is STRUCTURAL for the sign-LSH eps-pair generator
+    (r13 verdict #1): every emitted pair must appear in the exact
+    blocked-BLAS member's output with the IDENTICAL exact d2 (both
+    verify with the same int64 arithmetic — the approximation is
+    which pairs are examined, never the distance), no pair may be
+    emitted twice, and the realized recall on the near-isotropic
+    synthetic corpus must clear the calibrated floor."""
+    from flink_essentials_spark.functions.similarity import (
+        euclid_eps_pairs,
+        simhash_eps_pairs,
+    )
+    from flink_essentials_spark.queries.llmdata import (
+        HDBSCAN_ANN_BITS,
+        HDBSCAN_ANN_TABLES,
+        HDBSCAN_EMBED_EPS2,
+    )
+    from flink_essentials_spark.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    exact = {
+        (r.vec_a, r.vec_b): r.d2
+        for r in euclid_eps_pairs(
+            emb, HDBSCAN_EMBED_EPS2, num_blocks=4
+        ).collect()
+    }
+    ann = simhash_eps_pairs(
+        emb,
+        HDBSCAN_EMBED_EPS2,
+        num_tables=HDBSCAN_ANN_TABLES,
+        bits=HDBSCAN_ANN_BITS,
+    ).collect()
+    assert len(ann) == len({(r.vec_a, r.vec_b) for r in ann})
+    for r in ann:
+        assert r.vec_a < r.vec_b
+        assert exact.get((r.vec_a, r.vec_b)) == r.d2
+    assert len(exact) > 0
+    recall = len(ann) / len(exact)
+    assert recall >= 0.70, recall
+
+
+def test_hdbscan_embed_ann_structural_invariants(spark):
+    """The ANN-candidate HDBSCAN member honors the same structural
+    density invariants as the exact member (cluster count, min size,
+    per-cluster agreement — NEVER a label-recovery claim, the corpus's
+    label column is not geometric); full value correctness is the
+    chained fold oracle's job."""
+    from flink_essentials_spark.queries.llmdata import (
+        HDBSCAN_EMBED_MIN,
+        q_hdbscan_embed_ann,
+    )
+
+    rows = q_hdbscan_embed_ann(spark, SF_DIR).collect()
+    assert len(rows) >= 20
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.label, []).append(r)
+    assert len(by_cluster) >= 2
+    for label, members in by_cluster.items():
+        assert len(members) >= HDBSCAN_EMBED_MIN, label
+        assert len({(m.n_members, m.stability) for m in members}) == 1
+        assert len(members) == members[0].n_members
+        assert min(m.vec_id for m in members) == label
+
+
+def test_kmeans_pp_matches_reference_and_inertia_monotone(spark):
+    """kmeans_pp_stats == an independent single-process reference
+    (plain loops + hashlib + the same IEEE double-ratio argmin) on a
+    synthetic corpus, plus Lloyd's convergence guarantee: exact
+    per-iteration inertia (computed with Fractions from the
+    reference's assignments) is non-increasing across the three
+    iterations — the monotone-inertia property the r13 verdict asked
+    to pin."""
+    import hashlib
+    import math
+    from fractions import Fraction
+
+    import numpy as np
+
+    from flink_essentials_spark.functions.similarity import kmeans_pp_stats
+
+    rng = np.random.default_rng(1234)
+    n, dim, k, iters = 60, 8, 4, 3
+    X = rng.normal(size=(n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i + 1, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    Q = np.floor(X.astype(np.float64) * 10000.0).astype(np.int64)
+    ids = list(range(1, n + 1))
+
+    def u13(tag):
+        return int(hashlib.md5(tag.encode()).hexdigest()[:13], 16)
+
+    # reference k-means++ seeding
+    seeds = []
+    first = max(ids, key=lambda i: (u13(f"kpp:0:{i}"), -i))
+    seeds.append(first)
+    while len(seeds) < k:
+        r = len(seeds)
+        best, best_key = None, None
+        for i in ids:
+            d2 = min(
+                int(((Q[i - 1] - Q[s - 1]) ** 2).sum()) for s in seeds
+            )
+            if d2 <= 0:
+                continue
+            key = math.log(
+                (u13(f"kpp:{r}:{i}") + 0.5) / 4503599627370496.0
+            ) / float(d2)
+            if best is None or (key, -i) > (best_key, -best):
+                best, best_key = i, key
+        seeds.append(best)
+    # reference Lloyd with double-ratio argmin + Fraction inertia
+    S = {j: Q[seeds[j] - 1].copy() for j in range(k)}
+    N = {j: 1 for j in range(k)}
+    inertias = []
+    assign = None
+    for _ in range(iters):
+        assign = {}
+        inert = Fraction(0)
+        for i in ids:
+            dists = []
+            for j in range(k):
+                a = int(((N[j] * Q[i - 1] - S[j]) ** 2).sum())
+                dists.append((float(a) / float(N[j] * N[j]), j, a))
+            dmin = min(dists)
+            assign[i] = dmin[1]
+            inert += Fraction(dmin[2], N[dmin[1]] * N[dmin[1]])
+        inertias.append(inert)
+        S2, N2 = dict(S), dict(N)
+        for j in range(k):
+            members = [i for i in ids if assign[i] == j]
+            if members:
+                S2[j] = sum(Q[i - 1] for i in members)
+                N2[j] = len(members)
+        S, N = S2, N2
+    # NOTE: inertia uses the PRE-update centroids each round; Lloyd
+    # guarantees inertia_{r+1} <= inertia_r (assignment AND update
+    # steps each never increase it)
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a, (a, b)
+    want = sorted(
+        (j, seeds[j], d + 1, int(N[j]), int(S[j][d]))
+        for j in range(k)
+        for d in range(dim)
+        if any(assign[i] == j for i in ids)
+    )
+    got = sorted(
+        (r.cluster, r.seed_id, r.dim, r.n, r.s)
+        for r in kmeans_pp_stats(
+            df, k=k, iters=iters, dim_hint=dim
+        ).collect()
+    )
+    assert got == want
+
+
+def test_chrf_pairs_matches_counter_reference(spark):
+    """chrf_pairs == a from-the-paper reference (Popović 2015 §2 with
+    collections.Counter clipping, β = 2) recomputed per pair from the
+    raw documents — pair mapping, whitespace stripping, per-order
+    clipped matches, totals and the F2 composite all independently
+    re-derived in plain python."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from flink_essentials_spark.queries.llmdata import (
+        CHRF_MAX_ORDER,
+        q_chrf_pairs,
+    )
+    from flink_essentials_spark.tables import load_tables
+
+    docs = {
+        r.doc_id: re.sub(r"\s+", "", r.text)
+        for r in load_tables(spark, SF_DIR)["documents"]
+        .select("doc_id", "text", "source")
+        .collect()
+    }
+    sources = load_tables(spark, SF_DIR)["documents"].select("source")
+    S = sources.distinct().count()
+    want = {}
+    for did, ch in docs.items():
+        if hashlib.md5(str(did).encode()).hexdigest()[31] >= "4":
+            continue
+        rid = did + S
+        if rid not in docs:
+            continue
+        rh = docs[rid]
+        for o in range(1, CHRF_MAX_ORDER + 1):
+            th, tr = len(ch) - o + 1, len(rh) - o + 1
+            if th <= 0 or tr <= 0:
+                continue
+            cg = Counter(ch[i : i + o] for i in range(th))
+            rg = Counter(rh[i : i + o] for i in range(tr))
+            m = sum(min(c, rg[g]) for g, c in cg.items())
+            p, r = float(m) / float(th), float(m) / float(tr)
+            f = 0.0 if m == 0 else (5.0 * p * r) / (4.0 * p + r)
+            want[(did, rid, o)] = (m, th, tr, p, r, f)
+    got = {
+        (r.doc_id, r.ref_id, r.o): (r.m, r.th, r.tr, r.prec, r.rec, r.chrf2)
+        for r in q_chrf_pairs(spark, SF_DIR).collect()
+    }
+    assert len(got) >= 60
+    assert got == want

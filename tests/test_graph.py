@@ -631,3 +631,43 @@ def test_hdbscan_glosh_matches_descending_reference(spark):
         assert got == want, m
         saw_internal = saw_internal or any(v[3] == 0 for v in got.values())
     assert saw_internal  # the reference corpus exercised internal clusters
+
+
+def test_optics_order_golden_forest(spark):
+    """optics_order on a hand-built two-component forest: per
+    component the walk is Prim from the root (= comp = min node) with
+    the smallest (w, a, b) frontier edge admitted each step, ord =
+    admission rank, root reach = -1. Component B's chain forces the
+    frontier rule (the w=1 far edge must wait until its endpoint is
+    reached)."""
+    from flink_essentials_spark.functions.graph import optics_order
+
+    # comp 1: star 1-(2,w5) 1-(3,w2) plus 3-(4,w9)
+    # comp 10: chain 10-(11,w8)-(12,w1): the w=1 edge is NOT admissible
+    # until 11 is visited, so order is 11 (reach 8) then 12 (reach 1)
+    edges = [
+        (1, 2, 5, 1),
+        (1, 3, 2, 1),
+        (3, 4, 9, 1),
+        (10, 11, 8, 10),
+        (11, 12, 1, 10),
+    ]
+    df = spark.createDataFrame(
+        edges, "a long, b long, w long, comp long"
+    )
+    got = sorted(
+        (r.pid, r.comp, r.ord, r.reach)
+        for r in optics_order(df).collect()
+    )
+    want = sorted(
+        [
+            (1, 1, 0, -1),
+            (3, 1, 1, 2),
+            (2, 1, 2, 5),
+            (4, 1, 3, 9),
+            (10, 10, 0, -1),
+            (11, 10, 1, 8),
+            (12, 10, 2, 1),
+        ]
+    )
+    assert got == want

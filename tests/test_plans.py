@@ -327,6 +327,12 @@ def test_no_scale_killers_in_any_registry_plan(spark):
         # inherits bm25_scores' one-row corpus-stats broadcast x3;
         # the fusion itself is keyed windows + an equi-join on doc_id
         "rrf_fusion": {"BroadcastNestedLoopJoin"},
+        # two one-row count aggregates crossJoined (the lsh_recall
+        # pattern); the pair generation on both sides is equi-joins
+        "ann_eps_recall": {"BroadcastNestedLoopJoin"},
+        # same one-row source-count broadcast as bleu_pairs (the
+        # successor mapping); clipping is a (doc, o, g) EQUI-join
+        "chrf_pairs": {"BroadcastNestedLoopJoin"},
     }
     offenders = {}
     for name in ALL_QUERIES:
