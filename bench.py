@@ -277,6 +277,8 @@ HEADLINE = [
     "chrf_pairs",
     # r14: OPTICS reachability — third readout of the shared MSF store
     "optics_order",
+    # r14: personalized PageRank over the trade graph
+    "ppr_trade",
 ]
 
 

@@ -1589,3 +1589,59 @@ def tdigest_sorted(
         "s",
         (F.col("s").cast("double") / F.col("w").cast("double")).alias("mean"),
     )
+
+
+def hll_pair_algebra(regs: DataFrame, p: int = 8) -> DataFrame:
+    """HLL set-algebra over a per-group register table (g, bucket,
+    rho) — the estimate path of the hll_set_ops query, factored out
+    (the ks_drift readout discipline) so the streaming-maintained
+    register store drives the IDENTICAL production pipeline: per
+    group pair (a < b) the union sketch is a register max-merge
+    (≤ 2^p rows per side — sketch algebra, never a corpus scan), and
+    inclusion–exclusion gives est_inter = est_a + est_b − est_union
+    with est_jaccard = est_inter/est_union. All arithmetic operates
+    on the round(·,4) estimates both engines derive identically.
+    Registers are MAX-mergeable, so any union of partial register
+    tables (micro-batches, shards, epochs) yields the same output —
+    the maintained twin is exact, not approximate."""
+    from pyspark.sql import functions as F
+
+    pairs = (
+        regs.select("g")
+        .distinct()
+        .agg(F.collect_set("g").alias("gs"))
+        .select(F.explode("gs").alias("a"), "gs")
+        .select("a", F.explode("gs").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+    )
+    est1 = hll_estimate(regs, ["g"], p=p).select("g", "est")
+    ru = (
+        pairs.join(regs.withColumnRenamed("g", "a"), "a")
+        .select("a", "b", "bucket", "rho")
+        .unionByName(
+            pairs.join(regs.withColumnRenamed("g", "b"), "b").select(
+                "a", "b", "bucket", "rho"
+            )
+        )
+        .groupBy("a", "b", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    estu = hll_estimate(ru, ["a", "b"], p=p).select(
+        "a", "b", F.col("est").alias("est_union")
+    )
+    ea = est1.select(F.col("g").alias("a"), F.col("est").alias("est_a"))
+    eb = est1.select(F.col("g").alias("b"), F.col("est").alias("est_b"))
+    inter = F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4)
+    return (
+        estu.join(ea, "a")
+        .join(eb, "b")
+        .select(
+            "a",
+            "b",
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("est_inter"),
+            F.round(inter / F.col("est_union"), 6).alias("est_jaccard"),
+        )
+    )

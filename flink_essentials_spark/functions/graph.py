@@ -479,6 +479,69 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration PERSONALIZED PageRank (Page et al. 1999 §6 /
+    Haveliwala WWW 2002, topic-sensitive PageRank): the restart
+    vector is concentrated on ``seeds`` instead of uniform, giving a
+    per-seed proximity score — the "more like this source" crawl
+    expansion / seed-conditioned trust propagation a corpus pipeline
+    runs beside the global :func:`pagerank`.
+
+    Sparse per-seed formulation: state is (seed, node, rank) rows for
+    REACHED nodes only — r₀ = 1 at the seed, and
+    r'(s, v) = (1−d)·[v = s] + d·Σ_{u→v} r(s, u)·w(u,v)/W(u); after k
+    iterations only nodes within k hops of a seed carry mass, so the
+    frame stays |seeds|·frontier-sized, never |seeds|·|V|. The seed
+    list is a bounded driver-side literal (the broadcast restart
+    vector); each iteration is ONE shuffle join (state ⋈ edges on
+    src, the pagerank plan) + a groupBy — the restart is a
+    |seeds|-row UNION folded into the same aggregation, and the sum
+    per (seed, node) collapses at most two operands (d·contrib and
+    (1−d)·restart), whose addition is order-invariant IEEE. The
+    weighted edge table is localCheckpointed once (the
+    no-ReusedExchange-across-iterations lesson)."""
+    spark = edges.sparkSession
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    we = e.join(outw, "src").localCheckpoint()
+    restart = spark.createDataFrame(
+        [(int(s), int(s)) for s in seeds], "seed long, node long"
+    )
+    p = restart.select("seed", "node", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            p.join(we, p["node"] == we["src"])
+            .select(
+                "seed",
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("out_w")).alias("c"),
+            )
+            .groupBy("seed", "node")
+            .agg((F.lit(damping) * F.sum("c")).alias("rank"))
+        )
+        p = (
+            contrib.unionByName(
+                restart.select(
+                    "seed", "node", F.lit(1.0 - damping).alias("rank")
+                )
+            )
+            .groupBy("seed", "node")
+            .agg(F.sum("rank").alias("rank"))
+        )
+    return p
+
+
 def hits(
     edges: DataFrame,
     iterations: int = 2,

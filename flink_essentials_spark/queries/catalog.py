@@ -2203,6 +2203,10 @@ _REGISTRY: list[Query] = [
     # plot is a forest traversal; Prim-fold oracle over the
     # Kruskal-derived sorted edge list
     Query("optics_order", llmdata.q_optics_order, llmdata.Q_OPTICS_ORDER_SQL),
+    # r14 (judge's #7): personalized PageRank — seed-concentrated
+    # restart vector over the link_rank trade graph; sparse per-seed
+    # state, unrolled-CTE oracle with the restart folded in as UNION
+    Query("ppr_trade", llmdata.q_ppr_trade, llmdata.Q_PPR_TRADE_SQL),
 ]
 
 ALL_QUERIES: dict[str, Query] = {q.name: q for q in _REGISTRY}

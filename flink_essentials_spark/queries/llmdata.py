@@ -2459,6 +2459,87 @@ WITH pairs AS (
 Q_LINK_RANK_SQL = _link_rank_sql()
 
 
+PPR_SEED_COUNT = 4
+
+
+def q_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala WWW 2002) over the same
+    symmetrized customer↔supplier trade graph as link_rank, restart
+    vector concentrated on the 4 lowest customer node-ids present in
+    the graph (a bounded driver collect → broadcast literal, the
+    lloyd-seed discipline): per (seed, node) the 3-iteration
+    seed-conditioned proximity score — the "crawl more like this
+    source" expansion beside the global rank. Sparse state (only
+    reached nodes carry mass), one shuffle join + one aggregation per
+    iteration; the oracle unrolls the identical iterations as CTEs
+    (the link_rank discipline) with the restart folded in as a
+    UNION — the per-key sum collapses two operands, whose addition is
+    order-invariant; multi-edge contribution sums drift in the last
+    ulp, absorbed by round(...,6)."""
+    from flink_essentials_spark.functions import graph
+
+    pairs = _trade_pairs(spark, sf_dir)
+    seeds = [
+        int(r.cust)
+        for r in pairs.select("cust")
+        .distinct()
+        .orderBy("cust")
+        .limit(PPR_SEED_COUNT)
+        .collect()
+    ]
+    c = F.col("cust")
+    s = F.col("supp") + 1000000000
+    edges = pairs.select(c.alias("src"), s.alias("dst"), "cnt").unionByName(
+        pairs.select(s.alias("src"), c.alias("dst"), "cnt")
+    )
+    p = graph.personalized_pagerank(
+        edges, seeds, iterations=3, damping=0.85, weight_col="cnt"
+    )
+    return p.select("seed", "node", F.round("rank", 6).alias("ppr"))
+
+
+def _ppr_trade_sql(
+    iterations: int = 3, damping: float = 0.85, n_seeds: int = PPR_SEED_COUNT
+) -> str:
+    d, omd = repr(damping), repr(1.0 - damping)
+    cte = f"""
+WITH pairs AS (
+  SELECT o_custkey AS cust, l_suppkey AS supp, COUNT(*) AS cnt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cust AS src, supp + 1000000000 AS dst, CAST(cnt AS DOUBLE) AS w
+  FROM pairs
+  UNION ALL
+  SELECT supp + 1000000000, cust, CAST(cnt AS DOUBLE) FROM pairs
+), we AS (
+  SELECT src, dst, w, SUM(w) OVER (PARTITION BY src) AS out_w FROM e
+), sd AS (
+  SELECT DISTINCT cust AS seed FROM pairs ORDER BY cust LIMIT {n_seeds}
+), p0 AS (
+  SELECT seed, seed AS node, 1.0 AS rank FROM sd
+)"""
+    for k in range(1, iterations + 1):
+        cte += f""", p{k} AS (
+  SELECT seed, node, SUM(rank) AS rank FROM (
+    SELECT c.seed, c.node, {d} * c.c AS rank FROM (
+      SELECT p.seed, we.dst AS node, SUM(p.rank * we.w / we.out_w) AS c
+      FROM p{k - 1} p JOIN we ON p.node = we.src
+      GROUP BY 1, 2
+    ) c
+    UNION ALL
+    SELECT seed, seed AS node, {omd} AS rank FROM sd
+  ) GROUP BY 1, 2
+)"""
+    return (
+        cte
+        + f"\nSELECT seed, node, round(rank, 6) AS ppr FROM p{iterations}"
+    )
+
+
+Q_PPR_TRADE_SQL = _ppr_trade_sql()
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution under oracle: a deterministic 'dirty' twin of
     every 10th customer name (last character dropped) is matched back
@@ -9998,41 +10079,14 @@ def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_shingles(F.col("text"), 3)).alias("sh"),
     )
     regs = approx.hll_registers(sh, ["g"], "sh", p=8).localCheckpoint()
-    est1 = approx.hll_estimate(regs, ["g"], p=8).select("g", "est")
-    pairs = (
-        regs.select("g")
-        .distinct()
-        .agg(F.collect_set("g").alias("gs"))
-        .select(F.explode("gs").alias("a"), "gs")
-        .select("a", F.explode("gs").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-    )
-    ru = (
-        pairs.join(regs.withColumnRenamed("g", "a"), "a")
-        .select("a", "b", "bucket", "rho")
-        .unionByName(
-            pairs.join(regs.withColumnRenamed("g", "b"), "b").select(
-                "a", "b", "bucket", "rho"
-            )
-        )
-        .groupBy("a", "b", "bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
-    estu = approx.hll_estimate(ru, ["a", "b"], p=8).select(
-        "a", "b", F.col("est").alias("est_union")
-    )
     exact = source_overlap(docs, n=3).select(
         F.col("source_a").alias("a"),
         F.col("source_b").alias("b"),
         F.col("n_shared").alias("exact_inter"),
         (F.col("n_a") + F.col("n_b") - F.col("n_shared")).alias("exact_union"),
     )
-    ea = est1.select(F.col("g").alias("a"), F.col("est").alias("est_a"))
-    eb = est1.select(F.col("g").alias("b"), F.col("est").alias("est_b"))
-    inter = F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4)
     return (
-        estu.join(ea, "a")
-        .join(eb, "b")
+        approx.hll_pair_algebra(regs, p=8)
         .join(exact, ["a", "b"])
         .select(
             F.col("a").alias("source_a"),
@@ -10040,8 +10094,8 @@ def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_a",
             "est_b",
             "est_union",
-            inter.alias("est_inter"),
-            F.round(inter / F.col("est_union"), 6).alias("est_jaccard"),
+            "est_inter",
+            "est_jaccard",
             "exact_inter",
             "exact_union",
         )

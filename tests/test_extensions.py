@@ -5891,3 +5891,57 @@ def test_chrf_pairs_matches_counter_reference(spark):
     }
     assert len(got) >= 60
     assert got == want
+
+
+def test_hll_set_ops_maintained_over_a_stream_equals_batch(spark, tmp_path):
+    """The streaming SET-INTERSECTION monitor (r13 verdict #7c): a
+    document stream's per-source HLL registers fold into the
+    versioned rollup per micro-batch (foreachBatch → hll_registers →
+    refresh_rollup max-merge), and the PAIR ALGEBRA readout
+    (approx.hll_pair_algebra — the production hll_set_ops estimate
+    path) over the STORED registers equals the one-shot batch result
+    row for row: registers are max-mergeable, so the maintained twin
+    is exact, and intersection/Jaccard estimates are maintainable
+    with 2^p rows of state per source."""
+    from flink_essentials_spark.functions.dedup import _shingles
+    from flink_essentials_spark.functions.incremental import refresh_rollup
+    from flink_essentials_spark.sinks import versioned
+    from flink_essentials_spark.sinks.sinks import for_each_batch
+    from flink_essentials_spark.sources.streaming import file_replay
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "rollup")
+    docs = load_tables(spark, SF_DIR)["documents"].select("source", "text")
+    docs.repartition(3).write.parquet(src)
+
+    def fold(bdf, epoch_id):
+        sh = bdf.select(
+            F.col("source").alias("g"),
+            F.explode(_shingles(F.col("text"), 3)).alias("sh"),
+        )
+        regs = approx.hll_registers(sh, ["g"], "sh", p=8)
+        refresh_rollup(
+            spark, base, regs, ["g", "bucket"],
+            {"rho": ("max", "rho")}, epoch_id=epoch_id,
+        )
+
+    sdf = file_replay(
+        spark, src, "source string, text string", files_per_trigger=1
+    )
+    q = for_each_batch(sdf, fold, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    stored = versioned.read_current(spark, base)
+    got = sorted(
+        map(tuple, approx.hll_pair_algebra(stored, p=8).collect())
+    )
+    sh_all = docs.select(
+        F.col("source").alias("g"),
+        F.explode(_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    oneshot = approx.hll_registers(sh_all, ["g"], "sh", p=8)
+    want = sorted(
+        map(tuple, approx.hll_pair_algebra(oneshot, p=8).collect())
+    )
+    assert got == want and len(got) >= 3
