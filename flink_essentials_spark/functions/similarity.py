@@ -2157,9 +2157,12 @@ def kmeans_pp_stats(
     lloyd_step deferred. Centroid state is the exact integer pair
     (n_j, s_jd); a point's distance to centroid j is
     double(A_j) / double(n_j²) with A_j = Σ_d (n_j·q_d − s_jd)² — A_j
-    an exact int64 (|n_j·q_d − s_jd| ≤ 2·n_j·scale·|v|max keeps the
-    sum < 2^63 for corpora up to ~10^5 rows per cluster at this
-    scale; raise `scale` granularity down for bigger clusters), both
+    an exact int64: |n_j·q_d − s_jd| ≤ 2·n_j·scale·|v|max, so the
+    64-term sum stays < 2^63 while every element is ≤
+    √((2^63−1)/dim) ≈ 3.8e8 — about 3·10^4 rows per cluster at
+    scale = 10^4 and unit-magnitude vectors (the assign worker
+    GUARDS this bound and raises with a rescale hint rather than
+    overflowing silently; shrink `scale` for bigger clusters). Both
     casts and the single division correctly rounded IEEE in numpy,
     Spark SQL and DuckDB — so the argmin AND its tie-break (first
     minimum = lowest cluster id) are cross-engine safe without any
@@ -2201,6 +2204,16 @@ def kmeans_pp_stats(
                 dist = np.empty((len(q), len(Nb)), dtype=np.float64)
                 for j in range(len(Nb)):
                     diff = Nb[j] * q - Sb[j][None, :]
+                    m = int(np.abs(diff).max(initial=0))
+                    lim = int((float(2**63 - 1) / diff.shape[1]) ** 0.5)
+                    if m > lim:
+                        raise ValueError(
+                            "kmeans_pp_stats: |n_j*q - s_j| = "
+                            f"{m} > {lim} would overflow int64 in the "
+                            f"{diff.shape[1]}-term distance sum — "
+                            "shrink `scale` (cluster too large for "
+                            "this quantization)"
+                        )
                     dist[:, j] = (diff * diff).sum(axis=1).astype(
                         np.float64
                     ) / n2[j]
