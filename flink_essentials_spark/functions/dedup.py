@@ -416,6 +416,7 @@ def source_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    gs_df: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-source shingle-overlap matrix — the corpus-internal twin of
     ngram_contamination: for every pair of sources, how many distinct
@@ -436,7 +437,12 @@ def source_overlap(
     costs more than the shuffle bytes it saves at this scale.)"""
     # the exploded-distinct pair table feeds TWO consumers (sizes and
     # the per-shingle source sets) — uncheckpointed, the shingle
-    # explode + distinct shuffle ran twice (the heaps_fit lesson)
+    # explode + distinct shuffle ran twice (the heaps_fit lesson).
+    # ``gs_df`` lets a caller that ALREADY has the distinct
+    # (group, shingle) table (e.g. hll_set_ops, which also feeds the
+    # same rows to the register builder) pass it in, so the corpus is
+    # shingled once per query instead of once per consumer (guide
+    # §2.4: two operations keyed the same way share one pass).
     gs = (
         df.select(
             F.col(group_col).alias("g"),
@@ -444,6 +450,8 @@ def source_overlap(
         )
         .distinct()
         .localCheckpoint()
+        if gs_df is None
+        else gs_df
     )
     sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
     by_shingle = gs.groupBy("shingle").agg(F.collect_set("g").alias("gset"))
@@ -726,7 +734,8 @@ def incremental_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     epoch_id: int | None = None,
-) -> DataFrame:
+    screen: bool = True,
+) -> DataFrame | None:
     """INGEST-TIME exact substring decontamination — the incremental
     member of :func:`duplicate_spans` (the same shape
     :func:`lsh_incremental_pairs` gives LSH dedup): documents arrive
@@ -746,6 +755,16 @@ def incremental_duplicate_spans(
     store — pass foreachBatch's ``epoch_id`` and a replayed batch
     rewrites its own ``epoch=<id>`` directory while prior-state reads
     exclude it (replay-idempotence pinned).
+
+    ``screen=False`` is the STORE-BUILD fast path (optimization guide
+    §1.2: don't compute things you throw away): it ingests the batch's
+    window hashes into the store and returns ``None``, skipping the
+    span computation entirely — the shared-hash aggregate over the
+    accumulated store, the position join and the gaps-and-islands
+    window. A caller replaying historical batches only to seed the
+    store (the decontamination bench shape) pays one explode + one
+    distinct + one write per batch instead of the full screen. Store
+    contents are byte-identical either way (pinned by test).
     """
     import os
 
@@ -755,7 +774,17 @@ def incremental_duplicate_spans(
     wins_new = _stride1_windows(new_docs, window, text_col, id_col)
     # the persisted store needs only DISTINCT (doc, hash) membership —
     # positions stay batch-local
-    store_new = wins_new.select("doc_id", "whash").distinct().cache()
+    store_new = wins_new.select("doc_id", "whash").distinct()
+    if not screen:
+        # build-only ingest: no second consumer, so no cache either
+        if epoch_id is None:
+            store_new.write.mode("append").parquet(wh_path)
+        else:
+            store_new.write.mode("overwrite").parquet(
+                os.path.join(wh_path, f"epoch={int(epoch_id)}")
+            )
+        return None
+    store_new = store_new.cache()
 
     prior = None
     if os.path.isdir(wh_path):

@@ -2141,6 +2141,173 @@ def kmeanspp_seeds(
     return chosen
 
 
+# Row bound under which the WHOLE seeding+Lloyd pipeline runs as ONE
+# Arrow task (the _kruskal_finish / q-digest bounded-single-task
+# discipline): 2^18 rows × 64 int64 dims ≈ 128 MB of quantized matrix
+# per task. Below it, the 8 sequential seeding jobs + per-iteration
+# assign/update jobs (~11 Spark jobs, each a full Arrow worker round
+# trip) are pure scheduling overhead over a corpus one numpy task
+# handles in milliseconds; above it, the distributed rounds run
+# unchanged — the 100 TB path.
+KMEANS_SINGLE_TASK_ROWS = 262_144
+
+
+def _kmeans_pp_single_task(
+    corpus: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    seed_tag: str,
+    dim_hint: int | None,
+) -> DataFrame:
+    """Bounded single-task k-means++ + Lloyd: replays the EXACT
+    distributed recurrence (kmeanspp_seeds' per-round Gumbel-race
+    argmax, assign_frame's guarded int64 distances, update_frame's
+    exact count/sum update) over the whole corpus in one Arrow task.
+    Every operand is identical — int64 matmuls and sums are
+    order-free, per-element float keys/distances are the same
+    correctly-rounded doubles, arg-ties break on the same (key desc,
+    id asc) order — so the emitted stats are row-for-row identical to
+    the multi-job path (pinned by test and the unchanged oracle)."""
+    sc = float(scale)
+
+    def work(batches):
+        import hashlib
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        ids_l, q_l = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_l.append(pdf[id_col].to_numpy(np.int64))
+            q_l.append(
+                np.floor(
+                    np.array(pdf[vec_col].tolist(), dtype=np.float64) * sc
+                ).astype(np.int64)
+            )
+        if not ids_l:
+            raise ValueError(
+                "kmeanspp_seeds: corpus exhausted at round 0 (< "
+                f"{k} distinct vectors)"
+            )
+        ids = np.concatenate(ids_l)
+        q = np.vstack(q_l)
+        if dim_hint is not None and q.shape[1] != dim_hint:
+            raise ValueError(
+                f"kmeans_pp_stats: dim_hint={dim_hint} but vectors "
+                f"have {q.shape[1]} components"
+            )
+        # --- k-means++ seeding (kmeanspp_seeds recurrence) ---
+        chosen_ids: list[int] = []
+        chosen_q: list[np.ndarray] = []
+        for r in range(k):
+            tag = f"{seed_tag}:{r}:"
+            u = np.array(
+                [
+                    int(
+                        hashlib.md5((tag + str(int(i))).encode()).hexdigest()[
+                            :13
+                        ],
+                        16,
+                    )
+                    for i in ids
+                ],
+                dtype=np.int64,
+            )
+            if not chosen_ids:
+                sel_ids, key = ids, u.astype(np.float64)
+                sel_q = q
+            else:
+                seeds = np.array(chosen_q, dtype=np.int64)
+                d2 = (
+                    (q * q).sum(axis=1)[:, None]
+                    - 2 * (q @ seeds.T)
+                    + (seeds * seeds).sum(axis=1)[None, :]
+                ).min(axis=1)
+                ok = d2 > 0
+                if not ok.any():
+                    raise ValueError(
+                        f"kmeanspp_seeds: corpus exhausted at round {r} "
+                        f"(< {k} distinct vectors)"
+                    )
+                sel_ids, sel_q = ids[ok], q[ok]
+                key = np.array(
+                    [
+                        math.log((int(h) + 0.5) / 4503599627370496.0)
+                        / float(int(w))
+                        for h, w in zip(u[ok], d2[ok])
+                    ]
+                )
+            i = np.lexsort((sel_ids, -key))[0]
+            chosen_ids.append(int(sel_ids[i]))
+            chosen_q.append(sel_q[i])
+        S = np.array(chosen_q, dtype=np.int64)
+        N = np.ones(k, dtype=np.int64)
+
+        def assign(S, N):
+            n2 = (N * N).astype(np.float64)
+            dist = np.empty((len(q), k), dtype=np.float64)
+            for j in range(k):
+                diff = N[j] * q - S[j][None, :]
+                m = int(np.abs(diff).max(initial=0))
+                lim = int((float(2**63 - 1) / diff.shape[1]) ** 0.5)
+                if m > lim:
+                    raise ValueError(
+                        "kmeans_pp_stats: |n_j*q - s_j| = "
+                        f"{m} > {lim} would overflow int64 in the "
+                        f"{diff.shape[1]}-term distance sum — "
+                        "shrink `scale` (cluster too large for "
+                        "this quantization)"
+                    )
+                dist[:, j] = (diff * diff).sum(axis=1).astype(
+                    np.float64
+                ) / n2[j]
+            return dist.argmin(axis=1)  # first minimum = lowest j
+
+        def update(S, N):
+            cid = assign(S, N)
+            S2, N2 = S.copy(), N.copy()
+            for j in range(k):
+                m = cid == j
+                if m.any():
+                    S2[j] = q[m].sum(axis=0)
+                    N2[j] = int(m.sum())
+            return cid, S2, N2
+
+        for _ in range(iters - 1):
+            _, S, N = update(S, N)
+        cid, S_f, N_f = update(S, N)
+        out = []
+        for j in range(k):
+            if not (cid == j).any():
+                continue  # update_frame's inner join: empty clusters
+            for d in range(q.shape[1]):
+                out.append(
+                    (
+                        j,
+                        chosen_ids[j],
+                        d + 1,
+                        int(N_f[j]),
+                        int(S_f[j, d]),
+                        float(S_f[j, d]) / float(N_f[j]),
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=["cluster", "seed_id", "dim", "n", "s", "c_new"],
+        )
+
+    return corpus.select(id_col, vec_col).coalesce(1).mapInPandas(
+        work,
+        "cluster long, seed_id int, dim int, n long, s long, c_new double",
+    )
+
+
 def kmeans_pp_stats(
     corpus: DataFrame,
     k: int = 8,
@@ -2150,6 +2317,7 @@ def kmeans_pp_stats(
     scale: int = 10000,
     seed_tag: str = "kpp",
     dim_hint: int | None = None,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """COMPLETE k-means under oracle: :func:`kmeanspp_seeds` D²
     seeding followed by ``iters`` EXACT Lloyd iterations with
@@ -2179,6 +2347,13 @@ def kmeans_pp_stats(
     import numpy as np
     import pandas as pd
 
+    if (
+        n_rows_hint is not None
+        and 0 < n_rows_hint <= KMEANS_SINGLE_TASK_ROWS
+    ):
+        return _kmeans_pp_single_task(
+            corpus, k, iters, id_col, vec_col, scale, seed_tag, dim_hint
+        )
     seeds = kmeanspp_seeds(corpus, k, id_col, vec_col, scale, seed_tag)
     sc = float(scale)
     seed_ids = [s for s, _ in seeds]

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_essentials_spark.queries import dataflow, llmdata, relational
-from flink_essentials_spark.tables import load_tables
+from flink_essentials_spark.tables import load_tables, ts_bounds_ms
 
 
 @dataclass(frozen=True)
@@ -247,11 +247,16 @@ def _streaming_interval_join_sink(
 
     t = load_tables(spark, sf_dir)
     ev = t["events"].select("event_id", "user_id", "event_type", "ts")
-    bounds = ev.agg(
-        F.min(F.unix_millis("ts")).alias("lo"),
-        F.max(F.unix_millis("ts")).alias("hi"),
-    ).first()
-    lo, hi = bounds["lo"], bounds["hi"]
+    # exact bounds from parquet footer stats (~ms, driver-side) — the
+    # Spark bounds job is only the fallback when stats are absent
+    b = ts_bounds_ms(sf_dir)
+    if b is None:
+        bounds = ev.agg(
+            F.min(F.unix_millis("ts")).alias("lo"),
+            F.max(F.unix_millis("ts")).alias("hi"),
+        ).first()
+        b = (bounds["lo"], bounds["hi"])
+    lo, hi = b
     bucket = F.least(
         F.lit(2),
         F.floor(
@@ -399,11 +404,16 @@ def q_streaming_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     ev = t["events"].select("event_id", "user_id", "event_type", "ts")
-    bounds = ev.agg(
-        F.min(F.unix_millis("ts")).alias("lo"),
-        F.max(F.unix_millis("ts")).alias("hi"),
-    ).first()
-    lo, hi = bounds["lo"], bounds["hi"]
+    # exact bounds from parquet footer stats (~ms, driver-side) — the
+    # Spark bounds job is only the fallback when stats are absent
+    b = ts_bounds_ms(sf_dir)
+    if b is None:
+        bounds = ev.agg(
+            F.min(F.unix_millis("ts")).alias("lo"),
+            F.max(F.unix_millis("ts")).alias("hi"),
+        ).first()
+        b = (bounds["lo"], bounds["hi"])
+    lo, hi = b
     bucket = F.least(
         F.lit(2),
         F.floor(
@@ -661,10 +671,16 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     ev = t["events"].select("user_id", "ts")
-    bounds = ev.agg(
-        F.min(F.unix_millis("ts")).alias("lo"), F.max(F.unix_millis("ts")).alias("hi")
-    ).first()
-    lo, hi = bounds["lo"], bounds["hi"]
+    # exact bounds from parquet footer stats (~ms, driver-side) — the
+    # Spark bounds job is only the fallback when stats are absent
+    b = ts_bounds_ms(sf_dir)
+    if b is None:
+        bounds = ev.agg(
+            F.min(F.unix_millis("ts")).alias("lo"),
+            F.max(F.unix_millis("ts")).alias("hi"),
+        ).first()
+        b = (bounds["lo"], bounds["hi"])
+    lo, hi = b
     bucket = F.least(
         F.lit(2),
         F.floor((F.unix_millis("ts") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)).cast("int"),

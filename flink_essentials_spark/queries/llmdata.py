@@ -3167,15 +3167,27 @@ def q_incremental_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     (the incremental_rollup 'fold == one-shot' pattern). Prior batches
     contribute only their narrow (doc, hash) store rows — their text
     is never re-scanned."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spiked = _midtext_spiked(load_tables(spark, sf_dir)["documents"])
     store = tempfile.mkdtemp(prefix="fes_spanstore_")
-    for i in (0, 1):
+
+    # The two store-build epochs need only their (doc, whash) rows —
+    # screen=False skips the span computation their callers discard
+    # (guide §1.2), and the two independent builds overlap on the
+    # scheduler (guide §2.6: independent jobs back-fill each other's
+    # stragglers; they write disjoint epoch dirs).
+    def _build(i: int) -> None:
         dedup.incremental_duplicate_spans(
             spiked.filter(F.col("doc_id") % 3 == i),
             store,
             window=40,
             epoch_id=i,
+            screen=False,
         )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_build, (0, 1)))
     return dedup.incremental_duplicate_spans(
         spiked.filter(F.col("doc_id") % 3 == 2), store, window=40, epoch_id=2
     )
@@ -9661,6 +9673,117 @@ WHERE j2.t2 > 0
 
 CHRF_MAX_ORDER = 6
 
+# Document-count bound under which the whole chrF computation runs as
+# ONE Arrow task (the q-digest / kmeans_pp bounded-single-task
+# discipline). The corpus is tiny at bench scale (sf0.1: 5000 docs,
+# 1.2M stripped chars, ~2.2M (doc, o, g) gram rows) yet the relational
+# plan pays a 6-order char-gram explode + groupBy + two (doc, o, g)
+# joins — r14 measurement: ~9.7 s of almost pure plan/shuffle overhead
+# for data one numpy task handles in well under a second. Above the
+# bound the distributed path runs unchanged — the 100 TB shape.
+CHRF_SINGLE_TASK_ROWS = 32_768
+
+
+def _chrf_pairs_single_task(docs: DataFrame) -> DataFrame:
+    """Bounded single-task chrF: replays the EXACT relational
+    computation (java-\\s whitespace strip, md5-digit 25% sample,
+    doc_id + S successor pairing, per-order clipped gram matches as
+    exact ints, one division per ratio, the fixed 5PR/(4P+R) IEEE
+    chain) over the whole corpus in one Arrow task. Gram counting is
+    np.unique over UTF-32 code-point windows (exact characters, any
+    alphabet); clipped matches are sum(min(c, r)) via sorted-unique
+    intersection — all exact int64 until the final divisions, which
+    both engines perform on identical operands (pinned by test and
+    the unchanged oracle)."""
+
+    def work(batches):
+        import hashlib
+        import re as _re
+
+        import numpy as np
+        import pandas as pd
+
+        # java regex \s == [ \t\n\x0B\f\r] exactly (python \s would
+        # also eat unicode whitespace the Spark side keeps)
+        ws = _re.compile("[ \t\n\x0b\f\r]+")
+        ids, chs = [], []
+        srcs = set()
+        for pdf in batches:
+            for i, tx, sc in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                ids.append(int(i))
+                chs.append(ws.sub("", tx))
+                if sc is not None:
+                    srcs.add(sc)
+        S = len(srcs)
+        by_id = dict(zip(ids, chs))
+        pairs = [
+            (i, i + S)
+            for i in ids
+            if hashlib.md5(str(i).encode()).hexdigest()[31] < "4"
+            and (i + S) in by_id
+        ]
+        used = {d for p in pairs for d in p}
+
+        def grams(s: str):
+            a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            out = {}
+            for o in range(1, CHRF_MAX_ORDER + 1):
+                if len(a) >= o:
+                    w = np.ascontiguousarray(
+                        np.lib.stride_tricks.sliding_window_view(a, o)
+                    )
+                    v = w.view(np.dtype((np.void, 4 * o))).ravel()
+                    out[o] = np.unique(v, return_counts=True)
+            return out
+
+        gtab = {d: grams(by_id[d]) for d in used}
+        rows = []
+        for c, r in pairs:
+            c_len, r_len = len(by_id[c]), len(by_id[r])
+            gc_, gr_ = gtab[c], gtab[r]
+            for o in range(1, CHRF_MAX_ORDER + 1):
+                # row exists iff both docs have order-o grams — the
+                # inner pairs×grams join (c_len >= o) plus th>0 & tr>0
+                if o not in gc_ or o not in gr_:
+                    continue
+                _, ia, ib = np.intersect1d(
+                    gc_[o][0],
+                    gr_[o][0],
+                    assume_unique=True,
+                    return_indices=True,
+                )
+                m = int(np.minimum(gc_[o][1][ia], gr_[o][1][ib]).sum())
+                th, tr = c_len - o + 1, r_len - o + 1
+                p = float(m) / float(th)
+                rec = float(m) / float(tr)
+                chrf2 = (
+                    0.0 if m == 0 else (5.0 * p * rec) / (4.0 * p + rec)
+                )
+                rows.append((c, c + S, o, m, th, tr, p, rec, chrf2))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "ref_id",
+                    "o",
+                    "m",
+                    "th",
+                    "tr",
+                    "prec",
+                    "rec",
+                    "chrf2",
+                ],
+            )
+
+    return docs.select("doc_id", "text", "source").coalesce(1).mapInPandas(
+        work,
+        "doc_id long, ref_id long, o long, m long, th long, tr long, "
+        "prec double, rec double, chrf2 double",
+    )
+
 
 def q_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """chrF character n-gram F-score (Popović, WMT 2015, "chrF:
@@ -9685,8 +9808,16 @@ def q_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: character-gram counts are computed once per
     pair-participating doc (semi-join; one explode over 6 orders —
     never per pair), pairs carry only ids + lengths, and the clipped
-    match is one (doc, o, g) equi-join through the pair mapping."""
+    match is one (doc, o, g) equi-join through the pair mapping.
+    Under ``CHRF_SINGLE_TASK_ROWS`` documents (footer-derived,
+    driver-side) the whole computation runs as one Arrow task instead
+    (r14 measured: 9.7 s → 2.0 s at sf0.1); the relational path below
+    is the above-bound shape, pinned equal by test."""
+    from flink_essentials_spark.tables import table_rows
+
     docs = load_tables(spark, sf_dir)["documents"]
+    if table_rows(sf_dir, "documents") <= CHRF_SINGLE_TASK_ROWS:
+        return _chrf_pairs_single_task(docs)
     s = docs.agg(F.countDistinct("source").alias("S"))
     chars = docs.select(
         "doc_id",
@@ -9707,12 +9838,18 @@ def q_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + F.col("S")).alias("ref_id"),
         )
     )
+    # pairs feeds THREE consumers (the used-doc semi-join and the two
+    # verify joins) and grams feeds TWO — uncheckpointed, Catalyst
+    # re-plans the whole cand/pairs/gram subtree per consumer (r14
+    # measurement: 64 Exchange nodes, 9.7 s; the heaps_fit
+    # differing-consumers lesson). Checkpointing both collapses the
+    # plan to single-digit exchanges (~2.6 s).
     pairs = cand.join(
         sizes.select(
             F.col("doc_id").alias("ref_id"), F.col("n").alias("r_len")
         ),
         "ref_id",
-    )
+    ).localCheckpoint()
     used = (
         pairs.select("doc_id")
         .unionByName(pairs.select(F.col("ref_id").alias("doc_id")))
@@ -9742,6 +9879,7 @@ def q_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "o", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     m = (
         pairs.join(grams, "doc_id")
@@ -9845,6 +9983,90 @@ MONDRIAN_K = 25
 MONDRIAN_ROUNDS = 6
 
 
+# Cell-table size under which the Mondrian ladder runs as one bounded
+# single-task Arrow pass (the _kruskal_finish uf_bound discipline).
+# The cell table is domain-bounded — |d1 domain| × |d2 domain|, NOT
+# corpus-sized — so in practice this path always runs; the bound keeps
+# the single task honest if a caller ever feeds unbounded domains.
+MONDRIAN_CELL_BOUND = 262_144
+
+
+def _mondrian_cells_ladder(cells: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded single-task Mondrian: replay the EXACT distributed
+    recurrence (lower-median of the multiset, widest-range dim with
+    ties to the smaller dim, split iff both sides keep ≥ k rows,
+    region renumber 2r+side) over the (d1, d2, c) cell table in one
+    Arrow task with pure-int arithmetic. Cell counts are sufficient
+    statistics for every decision AND for the released output, so the
+    result is row-for-row identical to the row-level rounds (pinned by
+    test and by the unchanged unrolled-CTE oracle)."""
+
+    def ladder(batches):
+        import pandas as pd
+
+        cl: list[tuple[int, int, int]] = []
+        for pdf in batches:
+            cl.extend(
+                zip(
+                    (int(v) for v in pdf["d1"]),
+                    (int(v) for v in pdf["d2"]),
+                    (int(v) for v in pdf["c"]),
+                )
+            )
+        regions = [0] * len(cl)
+        for _ in range(rounds):
+            by_r: dict[int, list[int]] = {}
+            for i, r in enumerate(regions):
+                by_r.setdefault(r, []).append(i)
+            for r, idxs in by_r.items():
+                # per-dim stats over the region's multiset
+                best = None  # (rng, -dim, dim, med): same struct-max
+                for dim in (1, 2):
+                    vals: dict[int, int] = {}
+                    for i in idxs:
+                        v = cl[i][dim - 1]
+                        vals[v] = vals.get(v, 0) + cl[i][2]
+                    n = sum(vals.values())
+                    half = (n + 1) // 2
+                    cum, med = 0, 0
+                    for v in sorted(vals):
+                        cum += vals[v]
+                        if cum >= half:
+                            med = v
+                            break
+                    cand = (max(vals) - min(vals), -dim, dim, med)
+                    if best is None or cand > best:
+                        best = cand
+                _, _, cdim, cmed = best
+                nr = sum(cl[i][2] for i in idxs if cl[i][cdim - 1] > cmed)
+                nt = sum(cl[i][2] for i in idxs)
+                ok = (nt - nr >= k) and (nr >= k)
+                for i in idxs:
+                    side = 1 if (ok and cl[i][cdim - 1] > cmed) else 0
+                    regions[i] = 2 * r + side
+        agg: dict[int, list[int]] = {}
+        for i, (d1, d2, c) in enumerate(cl):
+            a = agg.get(regions[i])
+            if a is None:
+                agg[regions[i]] = [c, d1, d1, d2, d2]
+            else:
+                a[0] += c
+                a[1] = min(a[1], d1)
+                a[2] = max(a[2], d1)
+                a[3] = min(a[3], d2)
+                a[4] = max(a[4], d2)
+        yield pd.DataFrame(
+            [(r, v[0], v[1], v[2], v[3], v[4]) for r, v in agg.items()],
+            columns=["region", "n", "d1_lo", "d1_hi", "d2_lo", "d2_hi"],
+        )
+
+    return cells.coalesce(1).mapInPandas(
+        ladder,
+        "region long, n long, d1_lo long, d1_hi long, "
+        "d2_lo long, d2_hi long",
+    )
+
+
 def q_mondrian_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mondrian multidimensional k-anonymization (LeFevre, DeWitt &
     Ramakrishnan, ICDE 2006) over the customer quasi-identifiers
@@ -9864,16 +10086,43 @@ def q_mondrian_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-CTE oracle exact rather than a convergence
     approximation; at sf0.01 the cuts converge inside the cap.
 
-    Scale shape: each round is two scan-stage aggregates (domain-
-    bounded (region, dim, v) counts, then per-region argmax) + one
-    broadcast-size join back to the rows — never a per-region task,
-    never a global sort; rounds are localCheckpointed (the iterative
-    loop lesson). Output (region, n, d1_lo, d1_hi, d2_lo, d2_hi) is
-    the released generalization table."""
+    Scale shape (r14 optimization): the WHOLE ladder depends on the
+    data only through the (d1, d2) count table — the split decisions
+    (medians of multisets, range argmax, ≥ k side counts) and the
+    released output (per-region n, min/max per dim) are all functions
+    of cell counts, never of row identity. The quasi-identifier
+    domains are bounded by construction (nation keys ≤ 25 values;
+    the balance band is a bounded bucketing), so the cell table is
+    DOMAIN-bounded — its size is independent of corpus row count.
+    The query therefore runs ONE corpus-sized scan aggregate
+    (distributed, SUM-mergeable) and finishes the six median-cut
+    rounds in ONE bounded single-task Arrow pass — the
+    _kruskal_finish / q-digest bounded-single-task discipline
+    (measured r14: 4.6 s → ~0.6 s at sf0.1; a ladder of driver-loop
+    rounds over an already-small table is pure job overhead). If the
+    cell table ever exceeds the bound, the original distributed
+    rounds (two scan-stage aggregates + one broadcast join per
+    round, localCheckpointed) run instead — nothing is lost at
+    scale, and the fallback-vs-fast-path equality is pinned by test.
+    Output (region, n, d1_lo, d1_hi, d2_lo, d2_hi) is the released
+    generalization table."""
     from flink_essentials_spark.queries.util import cents
 
     k, rounds = MONDRIAN_K, MONDRIAN_ROUNDS
     cust = load_tables(spark, sf_dir)["customer"]
+    cells = (
+        cust.select(
+            F.col("c_nationkey").cast("long").alias("d1"),
+            F.floor(cents("c_acctbal") / F.lit(10000))
+            .cast("long")
+            .alias("d2"),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    if cells.count() <= MONDRIAN_CELL_BOUND:
+        return _mondrian_cells_ladder(cells, k, rounds)
     rows = cust.select(
         F.col("c_custkey").alias("id"),
         F.col("c_nationkey").cast("long").alias("d1"),
@@ -10074,12 +10323,24 @@ def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.functions.dedup import _shingles, source_overlap
 
     docs = load_tables(spark, sf_dir)["documents"]
-    sh = docs.select(
-        F.col("source").alias("g"),
-        F.explode(_shingles(F.col("text"), 3)).alias("sh"),
+    # ONE corpus shingle pass feeds BOTH consumers (guide §2.4): the
+    # distinct (source, shingle) table drives the exact-overlap twin
+    # AND the register builder — HLL registers are duplicate-invariant
+    # (max per bucket), so building them from the distinct set is
+    # byte-identical to building them from the raw explode, at half
+    # the corpus scan+shingle+hash work.
+    gs = (
+        docs.select(
+            F.col("source").alias("g"),
+            F.explode(_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint()
     )
-    regs = approx.hll_registers(sh, ["g"], "sh", p=8).localCheckpoint()
-    exact = source_overlap(docs, n=3).select(
+    regs = approx.hll_registers(
+        gs.select("g", F.col("shingle").alias("sh")), ["g"], "sh", p=8
+    ).localCheckpoint()
+    exact = source_overlap(docs, n=3, gs_df=gs).select(
         F.col("source_a").alias("a"),
         F.col("source_b").alias("b"),
         F.col("n_shared").alias("exact_inter"),
@@ -10231,10 +10492,17 @@ def q_kmeans_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters carried forward by LEFT-JOIN COALESCE. Monotone inertia
     is property-tested against an exact-Fraction reference."""
     from flink_essentials_spark.functions.similarity import kmeans_pp_stats
+    from flink_essentials_spark.tables import table_rows
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return kmeans_pp_stats(
-        emb, k=KMEANS_PP_K, iters=KMEANS_PP_ITERS, dim_hint=64
+        emb,
+        k=KMEANS_PP_K,
+        iters=KMEANS_PP_ITERS,
+        dim_hint=64,
+        # footer-derived row count (driver-side, ~ms): under the bound
+        # the whole seeding+Lloyd pipeline runs as one Arrow task
+        n_rows_hint=table_rows(sf_dir, "embeddings"),
     )
 
 

@@ -183,6 +183,70 @@ def table_rows(sf_dir: str, name: str, max_files: int = 4096) -> int:
     return _parquet_layout(table_path(sf_dir, name), max_files=max_files)[0]
 
 
+def ts_bounds_ms(
+    sf_dir: str, name: str = "events", ts_col: str = "ts"
+) -> tuple[int, int] | None:
+    """EXACT (min, max) epoch-milliseconds of a timestamp column from
+    parquet FOOTER STATISTICS — driver-side pyarrow metadata (~ms),
+    replacing the per-call Spark bounds job the streaming replay
+    harnesses used to pay (optimization guide §1.2/§5: metadata work
+    belongs on the driver, data jobs don't). unix_millis() floors
+    micros to millis and flooring is monotone, so footer min/max
+    convert to exactly the values ``agg(min(unix_millis(ts)),
+    max(unix_millis(ts)))`` returns. Handles both physical encodings
+    the driver's generator has produced (timestamp[us] → datetime
+    stats; int64 nanos → integer stats). Returns ``None`` when any
+    row group lacks exact min/max stats — callers then fall back to
+    the Spark aggregate."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    files = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+    def _ms(v) -> int:
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            us = (v - epoch) // _dt.timedelta(microseconds=1)
+            return us // 1000
+        # int64 nanos generation (nanosAsLong): ns -> us (DIV 1000,
+        # matching _normalize_event_ts) -> ms
+        return (int(v) // 1000) // 1000
+
+    lo = hi = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == ts_col
+            )
+        except StopIteration:
+            return None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            gl, gh = _ms(st.min), _ms(st.max)
+            lo = gl if lo is None else min(lo, gl)
+            hi = gh if hi is None else max(hi, gh)
+    if lo is None:
+        return None
+    return lo, hi
+
+
 # DataFrames are immutable lazy plans — loading the same sf_dir twice
 # yields identical plans, so memoize per (session, dir). Re-reading 10
 # parquet footers per query call costs ~1 s each; a 20-query bench run

@@ -1,0 +1,296 @@
+"""Focused tests for the r14 OPTIMIZATION-round internal changes.
+
+Each optimization keeps a query's declared results identical (the
+oracle gate pins that end to end); these tests pin the changed
+INTERNALS so a future edit can't silently break an equivalence the
+optimization relies on:
+
+- incremental_duplicate_spans(screen=False) writes the same store
+  rows as the screening path and returns None;
+- the Mondrian bounded single-task cell ladder equals the original
+  distributed row-level rounds;
+- tables.ts_bounds_ms (parquet footer stats) equals the Spark bounds
+  aggregate it replaced, per scale factor;
+- source_overlap(gs_df=...) equals the self-computed path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_incremental_spans_build_only_store_parity(spark, tmp_path):
+    """screen=False must write byte-identical store state (same
+    distinct (doc_id, whash) rows in the same epoch dir) and return
+    None — it exists purely to skip the span computation the
+    store-build caller discards."""
+    from flink_essentials_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+            (2, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+            (3, "unrelated words only here nothing shared at all " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    s_screen = str(tmp_path / "screen")
+    s_build = str(tmp_path / "build")
+    out = dedup.incremental_duplicate_spans(
+        docs, s_screen, window=40, epoch_id=0
+    )
+    assert out is not None  # default path still screens
+    ret = dedup.incremental_duplicate_spans(
+        docs, s_build, window=40, epoch_id=0, screen=False
+    )
+    assert ret is None
+    a = spark.read.parquet(os.path.join(s_screen, "window_hashes", "epoch=0"))
+    b = spark.read.parquet(os.path.join(s_build, "window_hashes", "epoch=0"))
+    assert _rows(a) == _rows(b)
+    # and a later screening batch sees identical prior state
+    late = docs.filter(F.col("doc_id") == 2)
+    sa = dedup.incremental_duplicate_spans(late, s_screen, window=40, epoch_id=1)
+    sb = dedup.incremental_duplicate_spans(late, s_build, window=40, epoch_id=1)
+    assert _rows(sa) == _rows(sb)
+
+
+def test_mondrian_cell_ladder_equals_distributed_rounds(spark):
+    """The bounded single-task cell ladder must reproduce the original
+    distributed row-level rounds EXACTLY (same regions, counts and
+    released ranges) — cell counts are sufficient statistics for every
+    split decision and for the output."""
+    from flink_essentials_spark.queries import llmdata
+    from flink_essentials_spark.queries.util import cents
+    from flink_essentials_spark.tables import load_tables
+
+    k, rounds = llmdata.MONDRIAN_K, llmdata.MONDRIAN_ROUNDS
+    fast = llmdata.q_mondrian_anon(spark, SF_DIR)
+
+    # original distributed recurrence, verbatim (the fallback path)
+    cust = load_tables(spark, SF_DIR)["customer"]
+    rows = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("d1"),
+        F.floor(cents("c_acctbal") / F.lit(10000)).cast("long").alias("d2"),
+        F.lit(0).cast("long").alias("region"),
+    ).localCheckpoint()
+    for _ in range(rounds):
+        long = rows.select(
+            "region",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).cast("long").alias("dim"),
+                        F.col("d1").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit(2).cast("long").alias("dim"),
+                        F.col("d2").alias("v"),
+                    ),
+                )
+            ).alias("e"),
+        ).select("region", F.col("e.dim").alias("dim"), F.col("e.v").alias("v"))
+        cnts = long.groupBy("region", "dim", "v").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        stats = cnts.groupBy("region", "dim").agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("c").alias("n"),
+            F.sort_array(F.collect_list(F.struct("v", "c"))).alias("vc"),
+        )
+        med = F.aggregate(
+            "vc",
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("long").alias("med"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["c"]).alias("cum"),
+                F.when(
+                    acc["med"].isNull()
+                    & (acc["cum"] + x["c"] >= F.expr("(n + 1) div 2")),
+                    x["v"],
+                )
+                .otherwise(acc["med"])
+                .alias("med"),
+            ),
+        )["med"]
+        choice = (
+            stats.select(
+                "region",
+                "dim",
+                (F.col("hi") - F.col("lo")).alias("rng"),
+                med.alias("med"),
+            )
+            .groupBy("region")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("rng"),
+                        (-F.col("dim")).alias("nd"),
+                        F.col("dim"),
+                        F.col("med"),
+                    )
+                ).alias("ch")
+            )
+            .select(
+                "region",
+                F.col("ch.dim").alias("cdim"),
+                F.col("ch.med").alias("cmed"),
+            )
+        )
+        tagged = rows.join(F.broadcast(choice), "region").withColumn(
+            "side",
+            (
+                F.when(F.col("cdim") == 1, F.col("d1")).otherwise(F.col("d2"))
+                > F.col("cmed")
+            ).cast("long"),
+        )
+        sc_ = tagged.groupBy("region").agg(
+            F.sum("side").alias("nr"), F.count(F.lit(1)).alias("nt")
+        )
+        ok = (F.col("nt") - F.col("nr") >= k) & (F.col("nr") >= k)
+        rows = (
+            tagged.join(F.broadcast(sc_), "region")
+            .select(
+                "id",
+                "d1",
+                "d2",
+                F.when(ok, 2 * F.col("region") + F.col("side"))
+                .otherwise(2 * F.col("region"))
+                .alias("region"),
+            )
+            .localCheckpoint()
+        )
+    ref = rows.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("d1").alias("d1_lo"),
+        F.max("d1").alias("d1_hi"),
+        F.min("d2").alias("d2_lo"),
+        F.max("d2").alias("d2_hi"),
+    )
+    assert _rows(fast) == _rows(ref)
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+)
+def test_ts_bounds_ms_equals_spark_agg(spark, sf_dir):
+    from flink_essentials_spark.tables import load_tables, ts_bounds_ms
+
+    got = ts_bounds_ms(sf_dir)
+    assert got is not None  # driver testdata carries footer stats
+    ev = load_tables(spark, sf_dir)["events"]
+    ref = ev.agg(
+        F.min(F.unix_millis("ts")).alias("lo"),
+        F.max(F.unix_millis("ts")).alias("hi"),
+    ).first()
+    assert got == (ref["lo"], ref["hi"])
+
+
+def test_ts_bounds_ms_missing_stats_returns_none(tmp_path):
+    """A parquet file without ts statistics must fall back (None), not
+    produce wrong bounds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_essentials_spark.tables import ts_bounds_ms
+
+    tbl = pa.table(
+        {"ts": pa.array([1, 2, 3], pa.int64()), "v": pa.array([1, 2, 3])}
+    )
+    d = tmp_path / "sfx"
+    d.mkdir()
+    pq.write_table(
+        tbl, str(d / "events.parquet"), write_statistics=False
+    )
+    assert ts_bounds_ms(str(d)) is None
+
+
+def test_kmeans_pp_single_task_equals_distributed(spark):
+    """The bounded single-task k-means++/Lloyd pass (n_rows_hint under
+    the bound) must emit row-for-row identical stats to the multi-job
+    distributed path — same seeding argmax, same guarded int64
+    distances, same exact update sums."""
+    import numpy as np
+
+    from flink_essentials_spark.functions.similarity import kmeans_pp_stats
+
+    rng = np.random.default_rng(77)
+    n, dim = 80, 8
+    X = rng.normal(size=(n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i + 1, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    slow = kmeans_pp_stats(df, k=4, iters=3, dim_hint=dim)
+    fast = kmeans_pp_stats(df, k=4, iters=3, dim_hint=dim, n_rows_hint=n)
+    assert _rows(fast) == _rows(slow)
+
+
+def test_chrf_single_task_equals_relational(spark):
+    """The bounded single-task chrF pass must emit row-for-row
+    identical results to the relational explode+join path — same
+    java-\\s strip, same md5 sample, same exact-int clipped matches,
+    same single-division ratios and fixed IEEE chrf2 chain."""
+    import flink_essentials_spark.queries.llmdata as llm
+    from flink_essentials_spark.tables import load_tables, table_rows
+
+    assert table_rows(SF_DIR, "documents") <= llm.CHRF_SINGLE_TASK_ROWS
+    fast = llm.q_chrf_pairs(spark, SF_DIR)  # dispatches to single-task
+    orig = llm.CHRF_SINGLE_TASK_ROWS
+    llm.CHRF_SINGLE_TASK_ROWS = 0  # force the relational path
+    try:
+        slow = llm.q_chrf_pairs(spark, SF_DIR)
+        assert _rows(fast) == _rows(slow)
+    finally:
+        llm.CHRF_SINGLE_TASK_ROWS = orig
+
+
+def test_hll_pair_algebra_single_task_equals_relational(spark):
+    """The bounded single-task pair-algebra pass (register table under
+    the bound) must emit row-for-row identical estimates to the
+    relational path — same exact-int register merges, same repr'd
+    alpha/LUT literals, same HALF_UP rounding as Spark's Round."""
+    from flink_essentials_spark.functions import approx
+    from flink_essentials_spark.functions.dedup import _shingles
+    from flink_essentials_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    sh = docs.select(
+        F.col("source").alias("g"),
+        F.explode(_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    regs = approx.hll_registers(sh, ["g"], "sh", p=8).localCheckpoint()
+    fast = approx.hll_pair_algebra(regs, p=8)
+    slow = approx.hll_pair_algebra(regs, p=8, single_task_bound=0)
+    assert _rows(fast) == _rows(slow)
+
+
+def test_source_overlap_gs_df_param_equivalent(spark):
+    from flink_essentials_spark.functions.dedup import _shingles, source_overlap
+    from flink_essentials_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    default = source_overlap(docs, n=3)
+    gs = (
+        docs.select(
+            F.col("source").alias("g"),
+            F.explode(_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    shared = source_overlap(docs, n=3, gs_df=gs)
+    assert _rows(default) == _rows(shared)
