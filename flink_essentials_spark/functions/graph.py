@@ -479,6 +479,105 @@ def pagerank(
     return ranks
 
 
+# Edge-count bound under which the fixed-iteration graph ladders
+# (label propagation, personalized PageRank) run as ONE Arrow task
+# (the q-digest / kmeans_pp bounded-single-task discipline): a few
+# million (src, dst, w) rows are ~100 MB of int64 arrays and each
+# round is a handful of vectorized np passes, where the distributed
+# ladder pays one shuffle join + keyed aggregate PER ROUND — pure
+# scheduling overhead at bench scale (r14: the sf0.1 trade graph is
+# 1.17 M edges). Above the bound the distributed rounds run
+# unchanged — the 100 TB shape.
+GRAPH_SINGLE_TASK_EDGES = 4_000_000
+
+
+def _personalized_pagerank_single_task(
+    edges: DataFrame,
+    seeds: list[int],
+    iterations: int,
+    damping: float,
+    src: str,
+    dst: str,
+    weight_col: str | None,
+) -> DataFrame:
+    """Bounded single-task twin of :func:`personalized_pagerank`:
+    the identical sparse recurrence replayed densely over the node
+    index (zero mass ⇔ unreached, and every contribution is
+    positive, so the nonzero support equals the sparse frame's row
+    set). Per-(seed, node) contribution sums are multi-operand double
+    adds in both paths — order drift lands in the last ulp, absorbed
+    by the caller's declared round(·, 6) exactly as the distributed
+    docstring states. Pinned equal (rounded) by test."""
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    d = float(damping)
+    seed_list = [int(s) for s in seeds]
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs, dsts, ws = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            srcs.append(pdf["src"].to_numpy(np.int64))
+            dsts.append(pdf["dst"].to_numpy(np.int64))
+            ws.append(pdf["w"].to_numpy(np.float64))
+        if not srcs:
+            return
+        es = np.concatenate(srcs)
+        ed = np.concatenate(dsts)
+        ew = np.concatenate(ws)
+        nodes = np.unique(np.concatenate([es, ed]))
+        si = np.searchsorted(nodes, es)
+        di = np.searchsorted(nodes, ed)
+        out_w = np.bincount(si, weights=ew, minlength=len(nodes))
+        out = []
+        for s in seed_list:
+            spos = np.searchsorted(nodes, s)
+            if spos >= len(nodes) or nodes[spos] != s:
+                # seed outside the graph: the sparse recurrence fixes
+                # at {seed: 1-d} after the first restart fold (1.0 at
+                # iteration 0)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "seed": [s],
+                            "node": [s],
+                            "rank": [1.0 - d if iterations else 1.0],
+                        }
+                    )
+                )
+                continue
+            r = np.zeros(len(nodes), dtype=np.float64)
+            r[spos] = 1.0
+            for _ in range(iterations):
+                mass = r[si] * ew / out_w[si]
+                r = d * np.bincount(
+                    di, weights=mass, minlength=len(nodes)
+                )
+                r[spos] += 1.0 - d
+            nz = np.nonzero(r)[0]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "seed": np.full(len(nz), s, dtype=np.int64),
+                        "node": nodes[nz],
+                        "rank": r[nz],
+                    }
+                )
+            )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return e.coalesce(1).mapInPandas(
+        work, "seed long, node long, rank double"
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: list[int],
@@ -487,6 +586,7 @@ def personalized_pagerank(
     src: str = "src",
     dst: str = "dst",
     weight_col: str | None = None,
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PERSONALIZED PageRank (Page et al. 1999 §6 /
     Haveliwala WWW 2002, topic-sensitive PageRank): the restart
@@ -507,7 +607,19 @@ def personalized_pagerank(
     per (seed, node) collapses at most two operands (d·contrib and
     (1−d)·restart), whose addition is order-invariant IEEE. The
     weighted edge table is localCheckpointed once (the
-    no-ReusedExchange-across-iterations lesson)."""
+    no-ReusedExchange-across-iterations lesson).
+
+    ``n_edges_hint`` (footer-derived, driver-side) under
+    ``GRAPH_SINGLE_TASK_EDGES`` routes to the bounded single-task
+    twin (r14); the per-round shuffle ladder below is the above-bound
+    shape."""
+    if (
+        n_edges_hint is not None
+        and 0 < n_edges_hint <= GRAPH_SINGLE_TASK_EDGES
+    ):
+        return _personalized_pagerank_single_task(
+            edges, seeds, iterations, damping, src, dst, weight_col
+        )
     spark = edges.sparkSession
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
     e = edges.select(
@@ -637,12 +749,89 @@ def hits(
     )
 
 
+def _label_propagation_single_task(
+    edges: DataFrame,
+    iterations: int,
+    src: str,
+    dst: str,
+    weight_col: str | None,
+) -> DataFrame:
+    """Bounded single-task twin of :func:`label_propagation` for
+    INTEGER node ids: the identical synchronous recurrence — per
+    round, group incident weight by (dst, label), adopt the max-sum
+    label with ties to the MINIMUM label — replayed with np.unique /
+    bincount over the node index. Labels are always node ids, the
+    node index is sorted, so min-label ties equal min-label-index
+    ties; weight sums are exact (integer-valued doubles far below
+    2^53). Pinned equal by test."""
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs, dsts, ws = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            srcs.append(pdf["src"].to_numpy(np.int64))
+            dsts.append(pdf["dst"].to_numpy(np.int64))
+            ws.append(pdf["w"].to_numpy(np.int64))
+        if not srcs:
+            return
+        es = np.concatenate(srcs)
+        ed = np.concatenate(dsts)
+        ew = np.concatenate(ws).astype(np.float64)
+        # the node index covers every endpoint; labels START on
+        # distinct src (the distributed initialization), and a node
+        # that receives no labeled incident weight in a round DROPS
+        # from the label frame (inner join semantics) — replayed with
+        # the `labeled` mask
+        nodes = np.unique(np.concatenate([es, ed]))
+        si = np.searchsorted(nodes, es)
+        di = np.searchsorted(nodes, ed)
+        n = len(nodes)
+        lab = np.arange(n, dtype=np.int64)  # label index == node index
+        labeled = np.zeros(n, dtype=bool)
+        labeled[np.unique(si)] = True
+        for _ in range(iterations):
+            sel = labeled[si]
+            if not sel.any():
+                labeled[:] = False
+                break
+            # incident (dst, label) weight sums over labeled srcs
+            key = di[sel] * n + lab[si[sel]]
+            uk, inv = np.unique(key, return_inverse=True)
+            ws_sum = np.bincount(inv, weights=ew[sel])
+            kd, kl = uk // n, uk % n
+            # argmax per dst: max ws, ties -> min label (index order
+            # == id order); lexsort last key is primary
+            order = np.lexsort((kl, -ws_sum, kd))
+            first = np.flatnonzero(
+                np.r_[True, kd[order][1:] != kd[order][:-1]]
+            )
+            lab = np.arange(n, dtype=np.int64)
+            labeled = np.zeros(n, dtype=bool)
+            lab[kd[order][first]] = kl[order][first]
+            labeled[kd[order][first]] = True
+        out = np.flatnonzero(labeled)
+        yield pd.DataFrame(
+            {"node": nodes[out], "label": nodes[lab[out]]}
+        )
+
+    return e.coalesce(1).mapInPandas(work, "node long, label long")
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
     weight_col: str | None = None,
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """Synchronous weighted label propagation (Raghavan, Albert &
     Kumara 2007, "Near linear time algorithm to detect community
@@ -673,7 +862,22 @@ def label_propagation(
     struct comparison a total order, and only the weight sum is
     negated — node ids / labels may be any orderable type (strings
     included, e.g. word graphs).
-    """
+
+    ``n_edges_hint`` (footer-derived, driver-side) under
+    ``GRAPH_SINGLE_TASK_EDGES`` routes INTEGER-id graphs to the
+    bounded single-task twin (r14); the per-round shuffle ladder
+    below is the above-bound (and non-integer-id) shape."""
+    from pyspark.sql.types import IntegralType
+
+    if (
+        n_edges_hint is not None
+        and 0 < n_edges_hint <= GRAPH_SINGLE_TASK_EDGES
+        and isinstance(edges.schema[src].dataType, IntegralType)
+        and isinstance(edges.schema[dst].dataType, IntegralType)
+    ):
+        return _label_propagation_single_task(
+            edges, iterations, src, dst, weight_col
+        )
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")

@@ -1803,6 +1803,7 @@ def euclid_eps_pairs(
     vec_col: str = "embedding",
     scale: int = 10000,
     num_blocks: int = 8,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """All pairs with EXACT quantized squared euclidean distance
     ≤ ``eps2`` — the eps-graph generator density clustering rides in
@@ -1816,7 +1817,18 @@ def euclid_eps_pairs(
     product inside int64), so a DuckDB list-arithmetic oracle
     reproduces the pair set bit for bit. Emits canonically ordered
     (vec_a < vec_b, d2); symmetrize at the consumer if a directed
-    neighborhood view is needed."""
+    neighborhood view is needed.
+
+    ``n_rows_hint`` (footer-derived, driver-side) under
+    ``EPS_SINGLE_TASK_ROWS`` routes to the bounded single-task twin
+    (r14); the blocked path below is the above-bound shape."""
+    if (
+        n_rows_hint is not None
+        and 0 < n_rows_hint <= EPS_SINGLE_TASK_ROWS
+    ):
+        return _euclid_eps_pairs_single_task(
+            df, eps2, id_col, vec_col, scale
+        )
     spark = df.sparkSession
     rows = df.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks))
@@ -1891,6 +1903,82 @@ def euclid_eps_pairs(
     )
 
 
+# Corpus-size bound under which the eps-pair generators run as ONE
+# Arrow task (the q-digest / kmeans_pp bounded-single-task
+# discipline). 8192 rows × 64 dims keeps the all-pairs distance
+# matrix chunkable in ~100 MB slabs and the serial matmul around a
+# gigaflop; above it the distributed block/bucket machinery runs
+# unchanged — the 100 TB shape. r14 motivation: at sf0.1 (2000
+# vectors) the blocked all-pairs pays ~num_blocks× row replication +
+# an applyInPandas shuffle, and the LSH path ships n·T key rows
+# through a self-join plus every candidate pair through two
+# vector-payload joins (~650 MB of array bytes for a 1 MB corpus —
+# guide §8's heavy-payload anti-pattern) — all pure overhead at this
+# size.
+EPS_SINGLE_TASK_ROWS = 8192
+
+
+def _euclid_eps_pairs_single_task(
+    df: DataFrame, eps2: int, id_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    """Bounded single-task twin of :func:`euclid_eps_pairs`: the same
+    floor-quantization and exact integer distances, one float64 BLAS
+    matmul in row chunks (every partial sum is an exact integer far
+    below 2^53, so the float64 path is bit-identical to the blocked
+    int64 path — the gram_matrix discipline), canonical a < b by id.
+    Pinned equal to the distributed member by test."""
+    lim, sc = int(eps2), float(scale)
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_l, q_l = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_l.append(pdf["__id"].to_numpy(np.int64))
+            q_l.append(
+                np.floor(
+                    np.array(pdf["__v"].tolist(), dtype=np.float64) * sc
+                ).astype(np.int64)
+            )
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l)
+        qf = np.vstack(q_l).astype(np.float64)
+        n2 = (qf * qf).sum(axis=1)
+        out_a, out_b, out_d = [], [], []
+        ch = 2048
+        for s in range(0, len(qf), ch):
+            e = min(s + ch, len(qf))
+            d2 = n2[s:e, None] - 2.0 * (qf[s:e] @ qf.T) + n2[None, :]
+            ai, bi = np.nonzero(
+                (d2 <= lim) & (ids[s:e, None] < ids[None, :])
+            )
+            if len(ai):
+                out_a.append(ids[s + ai])
+                out_b.append(ids[bi])
+                out_d.append(d2[ai, bi].astype(np.int64))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "vec_a": np.concatenate(out_a),
+                    "vec_b": np.concatenate(out_b),
+                    "d2": np.concatenate(out_d),
+                }
+            )
+
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .coalesce(1)
+        .mapInPandas(work, "vec_a long, vec_b long, d2 long")
+    )
+
+
 def simhash_signs(num_tables: int, bits: int, dim: int, seed: str = "eps"):
     """md5-derandomized ±1 sign matrix for :func:`simhash_eps_pairs` —
     shape (num_tables·bits, dim), entry (t, l, j) = +1 iff the last hex
@@ -1912,6 +2000,90 @@ def simhash_signs(num_tables: int, bits: int, dim: int, seed: str = "eps"):
     return s
 
 
+def _simhash_eps_pairs_single_task(
+    df: DataFrame,
+    eps2: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    num_tables: int,
+    bits: int,
+    dim: int,
+    seed: str,
+) -> DataFrame:
+    """Bounded single-task twin of :func:`simhash_eps_pairs`: the
+    identical sign matrix, bucket keys (float64 matmul — projections
+    are exact integers far below 2^53, so signs match the int64 path
+    bit for bit), within-bucket candidate pairs across all tables,
+    distinct canonical pairs, exact int64 verification. No key
+    self-join, no vector-payload joins. Pinned equal to the
+    distributed member by test."""
+    S = simhash_signs(num_tables, bits, dim, seed)
+    T, L, sc, lim = int(num_tables), int(bits), float(scale), int(eps2)
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_l, q_l = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if x.shape[1] != S.shape[1]:
+                raise ValueError(
+                    f"simhash_eps_pairs: dim={S.shape[1]} but vectors "
+                    f"have {x.shape[1]} components"
+                )
+            ids_l.append(pdf[id_col].to_numpy(np.int64))
+            q_l.append(np.floor(x * sc).astype(np.int64))
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l)
+        q = np.vstack(q_l)
+        n = len(q)
+        proj = q.astype(np.float64) @ S.T.astype(np.float64)
+        b = (proj >= 0).astype(np.int64).reshape(n, T, L)
+        keys = (b << np.arange(L, dtype=np.int64)[None, None, :]).sum(
+            axis=2
+        )
+        codes = []
+        for t in range(T):
+            k = keys[:, t]
+            order = np.argsort(k, kind="stable")
+            ks = k[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            sizes = np.diff(np.r_[starts, n])
+            for bs in np.unique(sizes):
+                if bs < 2:
+                    continue
+                sel = starts[sizes == bs]
+                li, lj = np.triu_indices(int(bs), 1)
+                pa = order[(sel[:, None] + li[None, :]).ravel()]
+                pb = order[(sel[:, None] + lj[None, :]).ravel()]
+                swap = ids[pa] > ids[pb]
+                lo = np.where(swap, pb, pa)
+                hi = np.where(swap, pa, pb)
+                codes.append(lo.astype(np.int64) * n + hi)
+        if not codes:
+            return
+        cand = np.unique(np.concatenate(codes))
+        lo, hi = cand // n, cand % n
+        diff = q[lo] - q[hi]
+        d2 = (diff * diff).sum(axis=1)
+        m = d2 <= lim
+        if m.any():
+            yield pd.DataFrame(
+                {"vec_a": ids[lo[m]], "vec_b": ids[hi[m]], "d2": d2[m]}
+            )
+
+    return (
+        df.select(id_col, vec_col)
+        .coalesce(1)
+        .mapInPandas(work, "vec_a long, vec_b long, d2 long")
+    )
+
+
 def simhash_eps_pairs(
     df: DataFrame,
     eps2: int,
@@ -1922,6 +2094,7 @@ def simhash_eps_pairs(
     bits: int = 10,
     dim: int = 64,
     seed: str = "eps",
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """SUBQUADRATIC eps-pair generator: sign-LSH candidate buckets
     (Charikar STOC 2002 hyperplane signs, md5-derandomized) followed by
@@ -1951,10 +2124,23 @@ def simhash_eps_pairs(
     recall ≈ 0.85 of exact eps-edges at ≈ 0.32 candidate fraction
     (sf0.1). Real embedding corpora are far more clusterable; the
     recall self-eval (``ann_eps_recall``) reports the realized figure
-    per corpus — the lsh_recall discipline."""
+    per corpus — the lsh_recall discipline.
+
+    ``n_rows_hint`` (footer-derived, driver-side) under
+    ``EPS_SINGLE_TASK_ROWS`` routes to the bounded single-task twin
+    (r14: kills the n·T key self-join and the candidate×vector-payload
+    joins at bench scale); the banded-join path below is the
+    above-bound shape."""
     import numpy as np
     import pandas as pd
 
+    if (
+        n_rows_hint is not None
+        and 0 < n_rows_hint <= EPS_SINGLE_TASK_ROWS
+    ):
+        return _simhash_eps_pairs_single_task(
+            df, eps2, id_col, vec_col, scale, num_tables, bits, dim, seed
+        )
     S = simhash_signs(num_tables, bits, dim, seed)
     T, L, sc, lim = int(num_tables), int(bits), float(scale), int(eps2)
 

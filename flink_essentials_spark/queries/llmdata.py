@@ -2493,7 +2493,12 @@ def q_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(s.alias("src"), c.alias("dst"), "cnt")
     )
     p = graph.personalized_pagerank(
-        edges, seeds, iterations=3, damping=0.85, weight_col="cnt"
+        edges,
+        seeds,
+        iterations=3,
+        damping=0.85,
+        weight_col="cnt",
+        n_edges_hint=2 * _trade_pairs_rows(spark, sf_dir),
     )
     return p.select("seed", "node", F.round("rank", 6).alias("ppr"))
 
@@ -6265,7 +6270,12 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    return label_propagation(sym, iterations=3, weight_col="cnt")
+    return label_propagation(
+        sym,
+        iterations=3,
+        weight_col="cnt",
+        n_edges_hint=2 * _trade_pairs_rows(spark, sf_dir),
+    )
 
 
 def _lpa_sql(iterations: int = 3) -> str:
@@ -7417,6 +7427,28 @@ def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _trade_pairs_rows(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the materialized trade-pairs store from parquet
+    FOOTERS (driver-side, ~ms — the table_rows discipline): the
+    graph-family consumers use it as the bounded-single-task hint
+    (2 × rows = symmetrized edge count). Ensures the store exists."""
+    import pyarrow.parquet as pq
+
+    _trade_pairs(spark, sf_dir)  # materialize if needed
+    path = _TRADE_STORE[
+        (
+            sf_dir,
+            _table_fingerprint(sf_dir, "lineitem"),
+            _table_fingerprint(sf_dir, "orders"),
+        )
+    ]
+    return sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
 def _dbscan_assignment_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized DBSCAN cluster-assignment table — the
     ivfpq_index/ivfpq_search split applied to cluster auditing (r9
@@ -7912,10 +7944,12 @@ def q_hdbscan_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.tables import table_rows
 
     emb = load_tables(spark, sf_dir)["embeddings"]
+    n_rows = table_rows(sf_dir, "embeddings")
     canon = euclid_eps_pairs(
         emb,
         HDBSCAN_EMBED_EPS2,
-        num_blocks=auto_blocks(table_rows(sf_dir, "embeddings")),
+        num_blocks=auto_blocks(n_rows),
+        n_rows_hint=n_rows,
     )
     return _hdbscan_embed_from_canon(canon)
 
@@ -8032,6 +8066,7 @@ def q_hdbscan_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.functions.similarity import (
         simhash_eps_pairs,
     )
+    from flink_essentials_spark.tables import table_rows
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     canon = simhash_eps_pairs(
@@ -8039,6 +8074,7 @@ def q_hdbscan_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         HDBSCAN_EMBED_EPS2,
         num_tables=HDBSCAN_ANN_TABLES,
         bits=HDBSCAN_ANN_BITS,
+        n_rows_hint=table_rows(sf_dir, "embeddings"),
     )
     return _hdbscan_embed_from_canon(canon)
 
@@ -8137,16 +8173,19 @@ def q_ann_eps_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.tables import table_rows
 
     emb = load_tables(spark, sf_dir)["embeddings"]
+    n_rows = table_rows(sf_dir, "embeddings")
     exact = euclid_eps_pairs(
         emb,
         HDBSCAN_EMBED_EPS2,
-        num_blocks=auto_blocks(table_rows(sf_dir, "embeddings")),
+        num_blocks=auto_blocks(n_rows),
+        n_rows_hint=n_rows,
     )
     ann = simhash_eps_pairs(
         emb,
         HDBSCAN_EMBED_EPS2,
         num_tables=HDBSCAN_ANN_TABLES,
         bits=HDBSCAN_ANN_BITS,
+        n_rows_hint=n_rows,
     )
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     na = ann.agg(F.count(F.lit(1)).alias("n_ann"))
@@ -9524,6 +9563,110 @@ SELECT token, cnt, n, rk FROM r WHERE rk <= 10
 """
 
 
+def _bleu_pairs_single_task(docs: DataFrame) -> DataFrame:
+    """Bounded single-task BLEU-2 twin (the chrF single-task
+    discipline): replays the EXACT relational computation — the
+    reference's ASCII \\W+ tokenizer (java regex classes are ASCII;
+    python needs re.ASCII), md5-digit 25% sample, doc_id + S successor
+    pairing, c_len >= 2 gate, clipped uni/bigram matches as exact ints
+    via Counters, brevity penalty and geometric mean over
+    correctly-rounded exact-integer ratios (libm exp/ln; the declared
+    round(·,6) absorbs the JVM-vs-libm last ulp exactly as the
+    relational path's contract states), Spark HALF_UP rounding via
+    exact-binary Decimal. Pinned equal to the relational path by test
+    and the unchanged oracle."""
+
+    def work(batches):
+        import hashlib
+        import math
+        import re as _re
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        tok = _re.compile(r"\W+", _re.ASCII)
+
+        def rnd6(x: float) -> float:
+            return float(
+                Decimal(x).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        ids, toks = [], []
+        srcs = set()
+        for pdf in batches:
+            for i, tx, sc in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                ids.append(int(i))
+                toks.append([w for w in tok.split(tx.lower()) if w])
+                if sc is not None:
+                    srcs.add(sc)
+        S = len(srcs)
+        by_id = dict(zip(ids, toks))
+        pairs = [
+            (i, i + S)
+            for i in ids
+            if hashlib.md5(str(i).encode()).hexdigest()[31] < "4"
+            and (i + S) in by_id
+            and len(by_id[i]) >= 2
+        ]
+        used = {d for p in pairs for d in p}
+        c1 = {d: Counter(by_id[d]) for d in used}
+        c2 = {
+            d: Counter(zip(by_id[d], by_id[d][1:]))
+            for d in used
+        }
+        rows = []
+        for c, r in pairs:
+            c_len, r_len = len(by_id[c]), len(by_id[r])
+            m1 = sum(
+                min(v, c1[r].get(g, 0)) for g, v in c1[c].items()
+            )
+            m2 = sum(
+                min(v, c2[r].get(g, 0)) for g, v in c2[c].items()
+            )
+            t1, t2 = c_len, c_len - 1
+            if m1 == 0 or m2 == 0:
+                bleu = 0.0
+            else:
+                bp = (
+                    1.0
+                    if c_len >= r_len
+                    else math.exp(1.0 - float(r_len) / float(c_len))
+                )
+                lp = math.log(float(m1) / float(t1)) + math.log(
+                    float(m2) / float(t2)
+                )
+                bleu = bp * math.exp(0.5 * lp)
+            rows.append(
+                (c, r, c_len, r_len, m1, t1, m2, t2, rnd6(bleu))
+            )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "ref_id",
+                    "c_len",
+                    "r_len",
+                    "m1",
+                    "t1",
+                    "m2",
+                    "t2",
+                    "bleu",
+                ],
+            )
+
+    return docs.select("doc_id", "text", "source").coalesce(1).mapInPandas(
+        work,
+        "doc_id long, ref_id long, c_len long, r_len long, m1 long, "
+        "t1 long, m2 long, t2 long, bleu double",
+    )
+
+
 def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLEU-2 (Papineni et al. ACL 2002, "BLEU: a method for
     automatic evaluation of machine translation") between each
@@ -9554,10 +9697,18 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded four times; the r12 measurements were contaminated by a
     200 s host-steal storm, so the plan argument — ~half the explode
     volume, two aggregations replaced by length identities — is the
-    documented basis, not a wall-clock pair.)"""
+    documented basis, not a wall-clock pair.)
+
+    Under ``CHRF_SINGLE_TASK_ROWS`` documents (footer-derived,
+    driver-side) the whole computation runs as one Arrow task (the
+    chrF r14 discipline); the relational path below is the
+    above-bound shape, pinned equal by test."""
     from flink_essentials_spark.operators.transform import tokenize
+    from flink_essentials_spark.tables import table_rows
 
     docs = load_tables(spark, sf_dir)["documents"]
+    if table_rows(sf_dir, "documents") <= CHRF_SINGLE_TASK_ROWS:
+        return _bleu_pairs_single_task(docs)
     s = docs.agg(F.countDistinct("source").alias("S"))
     toks = docs.select(
         "doc_id", tokenize(F.col("text")).alias("w")

@@ -239,6 +239,39 @@ def test_kmeans_pp_single_task_equals_distributed(spark):
     assert _rows(fast) == _rows(slow)
 
 
+def test_eps_pair_generators_single_task_equal_distributed(spark):
+    """Both eps-pair generators' bounded single-task twins must emit
+    the identical pair SET with identical exact d2 — same
+    quantization, same sign matrix / block arithmetic (float64
+    matmuls over exact integers below 2^53 are bit-identical to the
+    int64 path)."""
+    from flink_essentials_spark.functions.similarity import (
+        auto_blocks,
+        euclid_eps_pairs,
+        simhash_eps_pairs,
+    )
+    from flink_essentials_spark.queries.llmdata import HDBSCAN_EMBED_EPS2
+    from flink_essentials_spark.tables import load_tables, table_rows
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    n = table_rows(SF_DIR, "embeddings")
+    ex_fast = euclid_eps_pairs(
+        emb, HDBSCAN_EMBED_EPS2, num_blocks=auto_blocks(n), n_rows_hint=n
+    )
+    ex_slow = euclid_eps_pairs(
+        emb, HDBSCAN_EMBED_EPS2, num_blocks=auto_blocks(n)
+    )
+    assert _rows(ex_fast) == _rows(ex_slow)
+    # fewer tables keeps the distributed reference cheap in CI
+    kw = dict(num_tables=40, bits=6)
+    ann_fast = simhash_eps_pairs(
+        emb, HDBSCAN_EMBED_EPS2, n_rows_hint=n, **kw
+    )
+    ann_slow = simhash_eps_pairs(emb, HDBSCAN_EMBED_EPS2, **kw)
+    rf = _rows(ann_fast)
+    assert rf == _rows(ann_slow) and len(rf) > 0
+
+
 def test_chrf_single_task_equals_relational(spark):
     """The bounded single-task chrF pass must emit row-for-row
     identical results to the relational explode+join path — same
@@ -253,6 +286,84 @@ def test_chrf_single_task_equals_relational(spark):
     llm.CHRF_SINGLE_TASK_ROWS = 0  # force the relational path
     try:
         slow = llm.q_chrf_pairs(spark, SF_DIR)
+        assert _rows(fast) == _rows(slow)
+    finally:
+        llm.CHRF_SINGLE_TASK_ROWS = orig
+
+
+def test_lpa_single_task_equals_distributed(spark):
+    """The bounded single-task LPA twin must equal the per-round
+    shuffle ladder exactly — including drop-out semantics on
+    asymmetric inputs (a node receiving no labeled incident weight
+    leaves the label frame)."""
+    from flink_essentials_spark.functions.graph import label_propagation
+
+    # asymmetric, weighted, with a pure-sink node (4) and ties
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 3),
+            (2, 1, 3),
+            (2, 3, 1),
+            (3, 2, 1),
+            (1, 3, 2),
+            (3, 1, 2),
+            (5, 4, 7),
+            (1, 4, 7),
+        ],
+        "src long, dst long, w long",
+    )
+    for iters in (0, 1, 3):
+        fast = label_propagation(
+            edges, iterations=iters, weight_col="w", n_edges_hint=8
+        )
+        slow = label_propagation(edges, iterations=iters, weight_col="w")
+        assert _rows(fast) == _rows(slow), f"iterations={iters}"
+
+
+def test_ppr_single_task_equals_distributed(spark):
+    """The bounded single-task personalized-PageRank twin must equal
+    the distributed ladder after the declared round(·, 6) (the
+    contribution-sum ulp contract), including an off-graph seed."""
+    from flink_essentials_spark.functions.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 2),
+            (2, 3, 1),
+            (3, 1, 4),
+            (1, 3, 1),
+            (3, 2, 2),
+            (4, 1, 1),
+        ],
+        "src long, dst long, cnt long",
+    )
+
+    def rounded(df):
+        return _rows(
+            df.select("seed", "node", F.round("rank", 6).alias("r"))
+        )
+
+    seeds = [1, 4, 99]  # 99 is not in the graph
+    fast = personalized_pagerank(
+        edges, seeds, iterations=3, weight_col="cnt", n_edges_hint=6
+    )
+    slow = personalized_pagerank(edges, seeds, iterations=3, weight_col="cnt")
+    assert rounded(fast) == rounded(slow)
+
+
+def test_bleu_single_task_equals_relational(spark):
+    """The bounded single-task BLEU-2 pass must emit row-for-row
+    identical results to the relational path — same ASCII tokenizer,
+    same exact-int clipped matches, same rounded score."""
+    import flink_essentials_spark.queries.llmdata as llm
+    from flink_essentials_spark.tables import table_rows
+
+    assert table_rows(SF_DIR, "documents") <= llm.CHRF_SINGLE_TASK_ROWS
+    fast = llm.q_bleu_pairs(spark, SF_DIR)
+    orig = llm.CHRF_SINGLE_TASK_ROWS
+    llm.CHRF_SINGLE_TASK_ROWS = 0
+    try:
+        slow = llm.q_bleu_pairs(spark, SF_DIR)
         assert _rows(fast) == _rows(slow)
     finally:
         llm.CHRF_SINGLE_TASK_ROWS = orig
