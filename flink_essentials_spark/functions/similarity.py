@@ -20,6 +20,7 @@ for tiny fixed-size uses only.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 
 from pyspark.sql import Column, DataFrame
@@ -1979,12 +1980,18 @@ def _euclid_eps_pairs_single_task(
     )
 
 
+@_functools.lru_cache(maxsize=8)
 def simhash_signs(num_tables: int, bits: int, dim: int, seed: str = "eps"):
     """md5-derandomized ±1 sign matrix for :func:`simhash_eps_pairs` —
     shape (num_tables·bits, dim), entry (t, l, j) = +1 iff the last hex
     digit of md5(f"{seed}:{t}:{l}:{j}") < 8. hashlib MD5 and SQL md5()
     agree byte for byte, so an oracle regenerates the identical matrix
-    with ``substr(md5(...), 32, 1)`` — no RNG, no shipped constants."""
+    with ``substr(md5(...), 32, 1)`` — no RNG, no shipped constants.
+
+    Memoized (r14): the matrix is a pure function of its arguments and
+    the default schedule costs ~200k driver-side md5 calls (~0.3 s)
+    PER QUERY INVOCATION otherwise. Callers must not mutate the
+    returned array."""
     import hashlib
 
     import numpy as np
@@ -2012,12 +2019,18 @@ def _simhash_eps_pairs_single_task(
     seed: str,
 ) -> DataFrame:
     """Bounded single-task twin of :func:`simhash_eps_pairs`: the
-    identical sign matrix, bucket keys (float64 matmul — projections
-    are exact integers far below 2^53, so signs match the int64 path
-    bit for bit), within-bucket candidate pairs across all tables,
-    distinct canonical pairs, exact int64 verification. No key
-    self-join, no vector-payload joins. Pinned equal to the
-    distributed member by test."""
+    identical sign matrix and bucket keys (float64 matmul —
+    projections are exact integers far below 2^53, so signs match the
+    int64 path bit for bit), evaluated in the INTERSECTION form: the
+    output is by definition {pairs with d2 ≤ eps2} ∩ {pairs sharing a
+    (table, key) bucket in ≥ 1 table}, so under the single-task bound
+    we compute the exact eps-pairs with one chunked BLAS pass (the
+    euclid twin's shape) and test bucket collision per SURVIVING pair
+    (keys[a] == keys[b] any-table) — never enumerating the ~0.3·n²
+    candidate pairs the bucket walk materializes (r14: that walk +
+    np.unique + a 640k×dim gather was ~3 s at sf0.1; this form is
+    ~0.3 s). Identical pair set; pinned equal to the distributed
+    member by test."""
     S = simhash_signs(num_tables, bits, dim, seed)
     T, L, sc, lim = int(num_tables), int(bits), float(scale), int(eps2)
 
@@ -2043,38 +2056,39 @@ def _simhash_eps_pairs_single_task(
         q = np.vstack(q_l)
         n = len(q)
         proj = q.astype(np.float64) @ S.T.astype(np.float64)
-        b = (proj >= 0).astype(np.int64).reshape(n, T, L)
-        keys = (b << np.arange(L, dtype=np.int64)[None, None, :]).sum(
-            axis=2
-        )
-        codes = []
-        for t in range(T):
-            k = keys[:, t]
-            order = np.argsort(k, kind="stable")
-            ks = k[order]
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-            sizes = np.diff(np.r_[starts, n])
-            for bs in np.unique(sizes):
-                if bs < 2:
-                    continue
-                sel = starts[sizes == bs]
-                li, lj = np.triu_indices(int(bs), 1)
-                pa = order[(sel[:, None] + li[None, :]).ravel()]
-                pb = order[(sel[:, None] + lj[None, :]).ravel()]
-                swap = ids[pa] > ids[pb]
-                lo = np.where(swap, pb, pa)
-                hi = np.where(swap, pa, pb)
-                codes.append(lo.astype(np.int64) * n + hi)
-        if not codes:
-            return
-        cand = np.unique(np.concatenate(codes))
-        lo, hi = cand // n, cand % n
-        diff = q[lo] - q[hi]
-        d2 = (diff * diff).sum(axis=1)
-        m = d2 <= lim
-        if m.any():
+        # pack sign bits via a float64 dot with power-of-two weights:
+        # keys < 2^bits are exact in float64, and the dot is ~14×
+        # faster than an int64 broadcast shift+sum over (n, T, L)
+        # (r14 measurement: 0.15 s vs 2.1 s at n=2000, T=300, L=10)
+        keys = (
+            (proj >= 0).reshape(n, T, L).astype(np.float64)
+            @ (2.0 ** np.arange(L))
+        ).astype(np.int64)
+        qf = q.astype(np.float64)
+        n2 = (qf * qf).sum(axis=1)
+        out_a, out_b, out_d = [], [], []
+        ch = 2048
+        for s in range(0, n, ch):
+            e = min(s + ch, n)
+            d2 = n2[s:e, None] - 2.0 * (qf[s:e] @ qf.T) + n2[None, :]
+            ri, ci = np.nonzero(
+                (d2 <= lim) & (ids[s:e, None] < ids[None, :])
+            )
+            if not len(ri):
+                continue
+            collide = (keys[s + ri] == keys[ci]).any(axis=1)
+            if collide.any():
+                ri, ci = ri[collide], ci[collide]
+                out_a.append(ids[s + ri])
+                out_b.append(ids[ci])
+                out_d.append(d2[ri, ci].astype(np.int64))
+        if out_a:
             yield pd.DataFrame(
-                {"vec_a": ids[lo[m]], "vec_b": ids[hi[m]], "d2": d2[m]}
+                {
+                    "vec_a": np.concatenate(out_a),
+                    "vec_b": np.concatenate(out_b),
+                    "d2": np.concatenate(out_d),
+                }
             )
 
     return (
@@ -2145,7 +2159,7 @@ def simhash_eps_pairs(
     T, L, sc, lim = int(num_tables), int(bits), float(scale), int(eps2)
 
     def gen_keys(batches):
-        shifts = np.arange(L, dtype=np.int64)
+        pow2 = 2.0 ** np.arange(L)  # keys < 2^L: exact in float64
         tbl = np.arange(T, dtype=np.int32)
         for pdf in batches:
             if not len(pdf):
@@ -2157,9 +2171,12 @@ def simhash_eps_pairs(
                     f"have {x.shape[1]} components"
                 )
             q = np.floor(x * sc).astype(np.int64)
-            proj = q @ S.T
-            b = (proj >= 0).astype(np.int64).reshape(len(q), T, L)
-            key = (b << shifts[None, None, :]).sum(axis=2)
+            proj = q.astype(np.float64) @ S.T.astype(np.float64)
+            # float-dot bit packing (the single-task twin's form):
+            # ~14× faster than an int64 broadcast shift+sum
+            key = (
+                (proj >= 0).reshape(len(q), T, L).astype(np.float64) @ pow2
+            ).astype(np.int64)
             yield pd.DataFrame(
                 {
                     "__id": np.repeat(

@@ -138,6 +138,76 @@ def main() -> None:
         ):
             run(spark, f"q:{name}", lambda n=name: ALL_QUERIES[n].fn(spark, SF_DIR))
 
+    if "annsteps" in which:
+        from pyspark.sql import functions as F
+
+        from flink_essentials_spark.functions.graph import (
+            boruvka_mst,
+            hdbscan_condense,
+            mr_edges_from_pairs,
+        )
+        from flink_essentials_spark.functions.similarity import (
+            simhash_eps_pairs,
+        )
+        from flink_essentials_spark.queries.llmdata import (
+            HDBSCAN_ANN_BITS,
+            HDBSCAN_ANN_TABLES,
+            HDBSCAN_EMBED_EPS2,
+            HDBSCAN_EMBED_K,
+            HDBSCAN_EMBED_MIN,
+        )
+        from flink_essentials_spark.tables import table_rows
+
+        emb = t["embeddings"]
+        canon = simhash_eps_pairs(
+            emb,
+            HDBSCAN_EMBED_EPS2,
+            num_tables=HDBSCAN_ANN_TABLES,
+            bits=HDBSCAN_ANN_BITS,
+            n_rows_hint=table_rows(SF_DIR, "embeddings"),
+        )
+        run(spark, "annsteps:canon-single-task", lambda: canon)
+        pairs = (
+            canon.select(
+                F.col("vec_a").alias("pid"), F.col("vec_b").alias("qid"), "d2"
+            )
+            .unionByName(
+                canon.select(
+                    F.col("vec_b").alias("pid"),
+                    F.col("vec_a").alias("qid"),
+                    "d2",
+                )
+            )
+            .localCheckpoint()
+        )
+        core = (
+            pairs.groupBy("pid")
+            .agg(
+                F.count(F.lit(1)).alias("n_eps"),
+                F.sort_array(F.collect_list("d2")).alias("__ds"),
+            )
+            .filter(F.col("n_eps") >= HDBSCAN_EMBED_K - 1)
+            .select(
+                "pid",
+                F.element_at("__ds", HDBSCAN_EMBED_K - 1)
+                .cast("long")
+                .alias("core2"),
+            )
+        )
+        run(spark, "annsteps:core", lambda: core)
+        mr = mr_edges_from_pairs(pairs, core)
+        run(spark, "annsteps:mr-edges", lambda: mr)
+        import time as _time
+
+        t0 = _time.time()
+        mst = boruvka_mst(mr)
+        print(f"annsteps:boruvka-build(driver) {_time.time()-t0:.2f}s", flush=True)
+        run(spark, "annsteps:mst-noop", lambda: mst)
+        t0 = _time.time()
+        cond = hdbscan_condense(mst, HDBSCAN_EMBED_MIN)
+        print(f"annsteps:condense-build(driver) {_time.time()-t0:.2f}s", flush=True)
+        run(spark, "annsteps:condense-noop", lambda: cond)
+
     if "ann" in which:
         from flink_essentials_spark.functions.similarity import (
             auto_blocks,
