@@ -245,6 +245,7 @@ def capped_sessions(
     ts_col: str,
     gap_ms: int,
     max_duration_ms: int,
+    num_buckets: int = 64,
 ):
     """Session windows with BOTH a gap rule and a maximum duration —
     the bot/abuse sessionization real pipelines need (a scraper that
@@ -256,9 +257,17 @@ def capped_sessions(
 
     Spark's ``session_window`` expresses only the gap rule; the
     duration cap depends on the running session anchor — an inherently
-    sequential recurrence, so this is an applyInPandas per-key scan
-    (Arrow batches, sorted inside the group, linear in that key's
-    rows). Keys partition the work; per-task memory is one key group.
+    sequential recurrence. Work is grouped by a HASH BUCKET of the key
+    (``num_buckets`` tasks, each handling many keys) rather than per
+    key: the per-group overhead of applyInPandas is paid per bucket,
+    and inside a bucket the recurrence is vectorized — gap breaks and
+    key changes come from one lexsort + diff, and the duration cap is
+    a searchsorted walk whose iteration count is the number of EMITTED
+    SESSIONS, not the number of events (r14: the per-event Python loop
+    over per-key groups was ~3.2 s at sf0.1; this form is sub-second).
+    Per-task memory is one bucket's rows — the same bound a hash
+    shuffle by key gives any exchange; size ``num_buckets`` to taste
+    at scale (default 64 keeps local partitions even).
     Output: (key, session_start_ms, session_end_ms, n_events) with
     end = last event's ts (inclusive bound, no gap padding).
     """
@@ -266,27 +275,36 @@ def capped_sessions(
     import pandas as pd
 
     def op(pdf: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(pdf["__ts"].to_numpy(dtype=np.int64))
-        key = int(pdf["__k"].iloc[0])
-        starts, ends, counts = [], [], []
-        anchor = prev = None
-        n = 0
-        for t in ts:
-            if (
-                anchor is None
-                or t - prev > gap_ms
-                or t - anchor > max_duration_ms
-            ):
-                if anchor is not None:
-                    starts.append(anchor), ends.append(prev), counts.append(n)
-                anchor, n = int(t), 0
-            prev = int(t)
-            n += 1
-        if anchor is not None:
-            starts.append(anchor), ends.append(prev), counts.append(n)
+        k = pdf["__k"].to_numpy(dtype=np.int64)
+        ts = pdf["__ts"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ts, k))
+        k, ts = k[order], ts[order]
+        n = len(ts)
+        # chain = maximal run with same key and no gap break; the cap
+        # walk below only ever splits WITHIN a chain
+        brk = np.flatnonzero(
+            np.r_[
+                True,
+                (k[1:] != k[:-1]) | (ts[1:] - ts[:-1] > gap_ms),
+            ]
+        )
+        chain_ends = np.r_[brk[1:], n]
+        keys_o, starts, ends, counts = [], [], [], []
+        for cs, ce in zip(brk, chain_ends):
+            cur = cs
+            while cur < ce:
+                anchor = ts[cur]
+                nxt = cur + np.searchsorted(
+                    ts[cur:ce], anchor + max_duration_ms, side="right"
+                )
+                keys_o.append(k[cur])
+                starts.append(anchor)
+                ends.append(ts[nxt - 1])
+                counts.append(nxt - cur)
+                cur = nxt
         return pd.DataFrame(
             {
-                "key": key,
+                "key": np.array(keys_o, dtype=np.int64),
                 "session_start_ms": np.array(starts, dtype=np.int64),
                 "session_end_ms": np.array(ends, dtype=np.int64),
                 "n_events": np.array(counts, dtype=np.int64),
@@ -296,8 +314,13 @@ def capped_sessions(
     base = df.select(
         F.col(key_col).cast("long").alias("__k"),
         F.unix_millis(F.col(ts_col).cast("timestamp")).alias("__ts"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("long")), F.lit(int(num_buckets)))
+        .cast("int")
+        .alias("__bkt"),
     )
-    return base.groupBy("__k").applyInPandas(op, schema=CAPPED_SESSIONS_SCHEMA)
+    return base.groupBy("__bkt").applyInPandas(
+        op, schema=CAPPED_SESSIONS_SCHEMA
+    )
 
 
 from flink_essentials_spark.operators.stateful import KeyedProcessor

@@ -405,3 +405,55 @@ def test_source_overlap_gs_df_param_equivalent(spark):
     )
     shared = source_overlap(docs, n=3, gs_df=gs)
     assert _rows(default) == _rows(shared)
+
+
+def test_capped_sessions_vectorized_equals_naive_recurrence(spark):
+    """The bucketed/vectorized capped_sessions must emit exactly the
+    sessions of the textbook per-event recurrence (new session iff
+    t - prev > gap OR t - anchor > cap), including boundary ties,
+    duplicate timestamps, and single-event keys."""
+    import random
+
+    from flink_essentials_spark.operators.windows import capped_sessions
+
+    rng = random.Random(14)
+    gap, cap = 50, 170
+    rows = []
+    for k in range(1, 24):
+        t = rng.randrange(0, 100)
+        for _ in range(rng.randrange(1, 60)):
+            rows.append((k, t))
+            # mix of: ties, exactly-gap steps (continue), gap+1 breaks,
+            # and long runs that must trip the duration cap
+            t += rng.choice([0, 1, 7, gap, gap, gap + 1, 160])
+    rng.shuffle(rows)
+
+    def naive(rows):
+        from collections import defaultdict
+
+        by_k = defaultdict(list)
+        for k, t in rows:
+            by_k[k].append(t)
+        out = []
+        for k, ts in by_k.items():
+            ts.sort()
+            anchor = prev = None
+            n = 0
+            for t in ts:
+                if anchor is None or t - prev > gap or t - anchor > cap:
+                    if anchor is not None:
+                        out.append((k, anchor, prev, n))
+                    anchor, n = t, 0
+                prev = t
+                n += 1
+            out.append((k, anchor, prev, n))
+        return sorted(out)
+
+    df = spark.createDataFrame(
+        [(k, t) for k, t in rows], "user_id long, ms long"
+    ).select("user_id", F.timestamp_millis(F.col("ms")).alias("ts"))
+    got = sorted(
+        (r.key, r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in capped_sessions(df, "user_id", "ts", gap, cap).collect()
+    )
+    assert got == naive(rows)
