@@ -13705,6 +13705,92 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
 Q_INFO_GAIN_STUMP_SQL = _info_gain_stump_sql()
 
 
+# Store-row bound under which slope_one_devs runs as one Arrow task:
+# 2^20 (cust, supp) rows × avg basket ~40 keep the enumerated pair
+# count around 40M and the bincount code space supp²; above it the
+# per-cust self-join + banded rank is the 100 TB shape.
+SLOPE_ONE_SINGLE_TASK_ROWS = 1 << 20
+
+
+def _slope_one_devs_single_task(tp: DataFrame) -> DataFrame:
+    """Bounded single-task twin of q_slope_one_devs: sort the store by
+    (cust, supp), enumerate each cust's supp pairs per run-length group
+    (triu indices — within a run supps are ascending, so position
+    order IS the supp_a < supp_b canonical order), aggregate n_co /
+    dev_num with two bincounts over supp-index pair codes (exact
+    integers; float64 weight sums stay < 2^53), then replay the
+    (−|dev_num|, supp_a, supp_b) global rank and keep rk ≤ 20."""
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        cs, ss, rs = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cs.append(pdf["cust"].to_numpy(np.int64))
+            ss.append(pdf["supp"].to_numpy(np.int64))
+            rs.append(pdf["cnt"].to_numpy(np.int64))
+        if not cs:
+            return
+        cust = np.concatenate(cs)
+        supp = np.concatenate(ss)
+        r = np.concatenate(rs)
+        order = np.lexsort((supp, cust))
+        cust, supp, r = cust[order], supp[order], r[order]
+        uniq_s, sidx = np.unique(supp, return_inverse=True)
+        S = len(uniq_s)
+        n = len(cust)
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        n_co = np.zeros(S * S, dtype=np.int64)
+        dev = np.zeros(S * S, dtype=np.float64)
+        for L in np.unique(sizes):
+            if L < 2:
+                continue
+            sel = starts[sizes == L]
+            li, lj = np.triu_indices(int(L), 1)
+            pa = (sel[:, None] + li[None, :]).ravel()
+            pb = (sel[:, None] + lj[None, :]).ravel()
+            codes = sidx[pa] * S + sidx[pb]
+            n_co += np.bincount(codes, minlength=S * S)
+            dev += np.bincount(
+                codes,
+                weights=(r[pa] - r[pb]).astype(np.float64),
+                minlength=S * S,
+            )
+        nz = np.flatnonzero(n_co)
+        if not len(nz):
+            return
+        a = uniq_s[nz // S]
+        b = uniq_s[nz % S]
+        co = n_co[nz]
+        dn = dev[nz].astype(np.int64)  # exact: |sums| < 2^53
+        top = np.lexsort((b, a, -np.abs(dn)))[:20]
+        yield pd.DataFrame(
+            {
+                "supp_a": a[top],
+                "supp_b": b[top],
+                "n_co": co[top],
+                "dev_num": dn[top],
+                "dev": dn[top].astype(np.float64)
+                / co[top].astype(np.float64),
+                "rk": np.arange(1, len(top) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        tp.select("cust", "supp", "cnt")
+        .coalesce(1)
+        .mapInPandas(
+            work,
+            "supp_a long, supp_b long, n_co long, dev_num long,"
+            " dev double, rk long",
+        )
+    )
+
+
 def q_slope_one_devs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slope One collaborative-filtering deviations (Lemire &
     Maclachlan, SDM 2005 "Slope One predictors for online
@@ -13721,9 +13807,20 @@ def q_slope_one_devs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the association_rules discipline), the equi-self-join keys on
     cust, and the output is item-pair-bounded regardless of user
     count. Top-20 pairs by |dev| via banded GLOBAL rank (no
-    single-task sort)."""
+    single-task sort).
+
+    r14: under ``SLOPE_ONE_SINGLE_TASK_ROWS`` store rows
+    (footer-derived) the whole pair model runs as ONE Arrow task —
+    the per-cust equi-self-join explodes ~20× at sf0.1 (587k store
+    rows → 11M pair rows through a shuffle + two banded_rank passes)
+    for a computation that is run-length pair enumeration + two
+    bincounts over a supp²-bounded code space. Exact integer cells,
+    identical (−|dev_num|, supp_a, supp_b) rank order; distributed
+    path unchanged above the bound. Pinned equal by test."""
     from flink_essentials_spark.functions.timeseries import banded_rank
 
+    if _trade_pairs_rows(spark, sf_dir) <= SLOPE_ONE_SINGLE_TASK_ROWS:
+        return _slope_one_devs_single_task(_trade_pairs(spark, sf_dir))
     tp = _trade_pairs(spark, sf_dir)
     a = tp.select(
         "cust", F.col("supp").alias("supp_a"), F.col("cnt").alias("r_a")

@@ -457,3 +457,22 @@ def test_capped_sessions_vectorized_equals_naive_recurrence(spark):
         for r in capped_sessions(df, "user_id", "ts", gap, cap).collect()
     )
     assert got == naive(rows)
+
+
+def test_slope_one_single_task_equals_relational(spark):
+    """The bincount single-task slope-one twin must equal the
+    relational self-join + banded-rank path row for row (same top-20
+    under the (−|dev_num|, supp_a, supp_b) order)."""
+    import flink_essentials_spark.queries.llmdata as llm
+
+    sf = "/root/testdata/sf0.01"
+    tp = llm._trade_pairs(spark, sf)
+    fast = _rows(llm._slope_one_devs_single_task(tp))
+    # force the distributed path by lying about the bound
+    orig = llm.SLOPE_ONE_SINGLE_TASK_ROWS
+    llm.SLOPE_ONE_SINGLE_TASK_ROWS = 0
+    try:
+        slow = _rows(llm.q_slope_one_devs(spark, sf))
+    finally:
+        llm.SLOPE_ONE_SINGLE_TASK_ROWS = orig
+    assert fast == slow
