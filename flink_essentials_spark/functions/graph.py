@@ -904,6 +904,100 @@ def label_propagation(
     return labels
 
 
+# Point-count bound under which the 2-D density operators (dbscan_2d,
+# hdbscan_mst_2d) run as ONE Arrow task: 4096 points keep the dense
+# neighbor/d² matrices ≤ ~134 MB and every pass vectorized; above it
+# the cell-bucketed distributed machinery runs unchanged — the 100 TB
+# shape. r14 motivation: at sf0.1 (1500 users) the cell self-join +
+# checkpoint ladder + hybrid-CC spent ~3 s of job scheduling on data
+# that fits one task.
+DBSCAN_SINGLE_TASK_POINTS = 4096
+
+
+def _dbscan_2d_single_task(
+    f: DataFrame, eps: int, min_samples: int
+) -> DataFrame:
+    """Bounded single-task twin of :func:`dbscan_2d` over the
+    checkpointed (pid, x, y) frame: dense eps-neighbor matrix in row
+    chunks (exact int64 arithmetic), core mask by degree, core-core
+    components via vectorized hash-to-min label propagation with
+    pointer jumping (labels are min pids — identical to
+    connected_components' convention), border = min adjacent core
+    cluster, noise = −1. Pinned equal to the distributed member by
+    test."""
+    e2, ms = int(eps) * int(eps), int(min_samples)
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        ps, xs, ys = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ps.append(pdf["pid"].to_numpy(np.int64))
+            xs.append(pdf["x"].to_numpy(np.int64))
+            ys.append(pdf["y"].to_numpy(np.int64))
+        if not ps:
+            return
+        pid = np.concatenate(ps)
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        n = len(pid)
+        N = np.zeros((n, n), dtype=bool)
+        for s in range(0, n, 1024):
+            t = min(s + 1024, n)
+            dx = x[s:t, None] - x[None, :]
+            dy = y[s:t, None] - y[None, :]
+            N[s:t] = dx * dx + dy * dy <= e2
+        np.fill_diagonal(N, False)
+        deg = N.sum(axis=1)
+        is_core = deg + 1 >= ms
+        ci = np.flatnonzero(is_core)
+        big = np.int64(1) << 62
+        role = np.where(is_core, "core", "noise").astype(object)
+        cluster = np.full(n, -1, dtype=np.int64)
+        if len(ci):
+            sub = N[np.ix_(ci, ci)]
+            ids_c = pid[ci]
+            order = np.argsort(ids_c)
+            sorted_ids = ids_c[order]
+            lab = ids_c.copy()
+            while True:
+                m = np.where(sub, lab[None, :], big).min(axis=1)
+                new = np.minimum(lab, m)
+                # pointer jump: a label is a core pid — chase it once
+                pos = np.searchsorted(sorted_ids, new)
+                new = np.minimum(new, lab[order[pos]])
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+            cluster[ci] = lab
+            # border: non-core points take the MIN adjacent core's
+            # cluster id
+            nc = np.flatnonzero(~is_core)
+            if len(nc):
+                bm = np.where(
+                    N[np.ix_(nc, ci)], lab[None, :], big
+                ).min(axis=1)
+                hit = bm < big
+                cluster[nc[hit]] = bm[hit]
+                role[nc[hit]] = "border"
+        yield pd.DataFrame(
+            {
+                "pid": pid,
+                "x": x,
+                "y": y,
+                "role": role,
+                "cluster_id": cluster,
+            }
+        )
+
+    return f.coalesce(1).mapInPandas(
+        work, "pid long, x long, y long, role string, cluster_id long"
+    )
+
+
 def dbscan_2d(
     points: DataFrame,
     id_col: str,
@@ -939,6 +1033,12 @@ def dbscan_2d(
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
     ).localCheckpoint()  # read 3x (probe, build, pts); cut the re-scan
+    # count on the checkpointed frame is ~ms; under the bound the
+    # whole clustering is one Arrow task (r14)
+    if f.count() <= DBSCAN_SINGLE_TASK_POINTS:
+        return _dbscan_2d_single_task(f, eps, min_samples).withColumnRenamed(
+            "pid", id_col
+        )
     e = F.lit(int(eps))
     probe = f.select(
         "pid",
@@ -1415,6 +1515,108 @@ def hdbscan_mr_edges_2d(
     least/greatest normalization + distinct is a pure dedup."""
     pairs, core = _eps_pairs_core(points, id_col, x_col, y_col, eps, k)
     return mr_edges_from_pairs(pairs, core)
+
+
+def hdbscan_mst_2d_single_task(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Bounded single-task twin of
+    ``boruvka_mst(hdbscan_mr_edges_2d(...))`` — the whole 2-D HDBSCAN
+    forest (eps-graph, core2 = (k−1)-th smallest neighbor d², mutual-
+    reachability weights, Kruskal under the lexicographic (w, a, b)
+    order, comp = min node id) in ONE Arrow task over a
+    ``DBSCAN_SINGLE_TASK_POINTS``-bounded point set. The forest is
+    UNIQUE under the total order, so this equals the distributed
+    Borůvka member edge for edge (pinned by test). Same contract as
+    boruvka_mst: (a, b, w, comp), all BIGINT."""
+    e2, kk = int(eps) * int(eps), int(k)
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        ps, xs, ys = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ps.append(pdf["pid"].to_numpy(np.int64))
+            xs.append(pdf["x"].to_numpy(np.int64))
+            ys.append(pdf["y"].to_numpy(np.int64))
+        if not ps:
+            return
+        pid = np.concatenate(ps)
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        n = len(pid)
+        big = np.int64(1) << 62
+        d2 = np.empty((n, n), dtype=np.int64)
+        for s in range(0, n, 1024):
+            t = min(s + 1024, n)
+            dx = x[s:t, None] - x[None, :]
+            dy = y[s:t, None] - y[None, :]
+            d2[s:t] = dx * dx + dy * dy
+        nb = d2 <= e2
+        np.fill_diagonal(nb, False)
+        deg = nb.sum(axis=1)
+        is_core = deg >= kk - 1
+        ci = np.flatnonzero(is_core)
+        if not len(ci):
+            return
+        # core2 = (k-1)-th smallest eps-neighbor distance (1-based)
+        nd = np.where(nb[ci], d2[ci], big)
+        nd.sort(axis=1)
+        core2 = nd[:, kk - 2]
+        # mutual-reachability edges between core pairs (canonical by id)
+        sub = nb[np.ix_(ci, ci)]
+        ri, cj = np.nonzero(sub)
+        keep = pid[ci[ri]] < pid[ci[cj]]
+        ri, cj = ri[keep], cj[keep]
+        ea = pid[ci[ri]]
+        eb = pid[ci[cj]]
+        w = np.maximum(
+            np.maximum(core2[ri], core2[cj]), d2[ci[ri], ci[cj]]
+        )
+        order = np.lexsort((eb, ea, w))
+        ea, eb, w = ea[order], eb[order], w[order]
+        parent: dict = {}
+
+        def find(v):
+            parent.setdefault(v, v)
+            r = v
+            while parent[r] != r:
+                r = parent[r]
+            while parent[v] != r:
+                parent[v], v = r, parent[v]
+            return r
+
+        acc = np.zeros(len(ea), dtype=bool)
+        for i in range(len(ea)):
+            ra, rb = find(int(ea[i])), find(int(eb[i]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+                acc[i] = True
+        # comp = min node id per final component (roots are min ids
+        # by the min-union rule above)
+        comp = np.array(
+            [find(int(a)) for a in ea[acc]], dtype=np.int64
+        )
+        yield pd.DataFrame(
+            {"a": ea[acc], "b": eb[acc], "w": w[acc], "comp": comp}
+        )
+
+    f = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    return f.coalesce(1).mapInPandas(
+        work, "a long, b long, w long, comp long"
+    )
 
 
 def mr_edges_from_pairs(pairs: DataFrame, core: DataFrame) -> DataFrame:

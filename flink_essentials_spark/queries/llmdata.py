@@ -7683,15 +7683,50 @@ def q_hdbscan_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm) as a union-find list_reduce fold and must match edge
     for edge. Output: (a, b, mr2, comp) — forest edges plus the
     final component label (min node id), all BIGINT."""
-    from flink_essentials_spark.functions.graph import (
-        boruvka_mst,
-        hdbscan_mr_edges_2d,
+    pts = _dbscan_assignment_store(spark, sf_dir).select("user_id", "x", "y")
+    return _hdbscan_mst_2d(spark, sf_dir, pts).select(
+        "a", "b", F.col("w").alias("mr2"), "comp"
     )
 
-    pts = _dbscan_assignment_store(spark, sf_dir).select("user_id", "x", "y")
+
+def _hdbscan_mst_2d(
+    spark: SparkSession, sf_dir: str, pts: DataFrame
+) -> DataFrame:
+    """Shared MSF construction for q_hdbscan_mst and the MSF store:
+    under DBSCAN_SINGLE_TASK_POINTS (assignment-store row count from
+    parquet footers, ~ms) the whole eps-graph → mutual-reachability →
+    Kruskal pipeline runs as ONE Arrow task
+    (graph.hdbscan_mst_2d_single_task — the forest is unique under
+    the (w, a, b) order, so the twin equals distributed Borůvka edge
+    for edge, pinned by test); above the bound the cell-bucketed
+    Borůvka rounds run unchanged — the 100 TB shape."""
+    from flink_essentials_spark.functions.graph import (
+        DBSCAN_SINGLE_TASK_POINTS,
+        boruvka_mst,
+        hdbscan_mr_edges_2d,
+        hdbscan_mst_2d_single_task,
+    )
+
+    if _cluster_store_rows(spark, sf_dir) <= DBSCAN_SINGLE_TASK_POINTS:
+        return hdbscan_mst_2d_single_task(
+            pts, "user_id", "x", "y", eps=4, k=5
+        )
     edges = hdbscan_mr_edges_2d(pts, "user_id", "x", "y", eps=4, k=5)
-    return boruvka_mst(edges).select(
-        "a", "b", F.col("w").alias("mr2"), "comp"
+    return boruvka_mst(edges)
+
+
+def _cluster_store_rows(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the materialized DBSCAN assignment store from
+    parquet FOOTERS (driver-side, ~ms — the _trade_pairs_rows
+    discipline). Ensures the store exists."""
+    import pyarrow.parquet as pq
+
+    _dbscan_assignment_store(spark, sf_dir)  # materialize if needed
+    path = _CLUSTER_STORE[(sf_dir, _events_fingerprint(sf_dir))]
+    return sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
     )
 
 
@@ -7723,21 +7758,14 @@ def _hdbscan_mst_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     events fingerprint) and every readout consumes the store; in
     production the MSF IS a persisted table the sweep re-reads.
     q_hdbscan_mst itself stays LIVE — that row's wall-clock measures
-    Borůvka construction, not a store read."""
-    from flink_essentials_spark.functions.graph import (
-        boruvka_mst,
-        hdbscan_mr_edges_2d,
-    )
-
+    forest construction, not a store read."""
     store_key = (sf_dir, _events_fingerprint(sf_dir))
     path = _HDBSCAN_MST_STORE.get(store_key)
     if path is None:
         pts = _dbscan_assignment_store(spark, sf_dir).select(
             "user_id", "x", "y"
         )
-        mst = boruvka_mst(
-            hdbscan_mr_edges_2d(pts, "user_id", "x", "y", eps=4, k=5)
-        )
+        mst = _hdbscan_mst_2d(spark, sf_dir, pts)
         path = (
             _alloc_store_dir(_HDBSCAN_MST_STORE, store_key, "fes_hdbmst_")
             + "/mst"

@@ -476,3 +476,61 @@ def test_slope_one_single_task_equals_relational(spark):
     finally:
         llm.SLOPE_ONE_SINGLE_TASK_ROWS = orig
     assert fast == slow
+
+
+def test_dbscan_single_task_equals_distributed(spark):
+    """The dense single-task DBSCAN twin must equal the cell-bucketed
+    distributed member row for row (roles, min-id cluster labels,
+    border min-adjacent assignment)."""
+    import flink_essentials_spark.functions.graph as g
+    from flink_essentials_spark.queries.util import cents
+    from flink_essentials_spark.tables import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01")
+    f = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.floor(F.sum(cents("value")) / F.lit(10000)).alias("y"),
+        )
+    )
+    fast = _rows(g.dbscan_2d(f, "user_id", "x", "y", eps=4, min_samples=5))
+    orig = g.DBSCAN_SINGLE_TASK_POINTS
+    g.DBSCAN_SINGLE_TASK_POINTS = 0
+    try:
+        slow = _rows(
+            g.dbscan_2d(f, "user_id", "x", "y", eps=4, min_samples=5)
+        )
+    finally:
+        g.DBSCAN_SINGLE_TASK_POINTS = orig
+    assert fast == slow
+
+
+def test_hdbscan_mst_single_task_equals_boruvka(spark):
+    """The single-task 2-D HDBSCAN forest twin must equal
+    boruvka_mst(hdbscan_mr_edges_2d(...)) edge for edge (the forest is
+    unique under the lexicographic (w, a, b) order), including the
+    min-id component labels."""
+    import flink_essentials_spark.functions.graph as g
+    from flink_essentials_spark.queries.util import cents
+    from flink_essentials_spark.tables import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01")
+    pts = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.floor(F.sum(cents("value")) / F.lit(10000)).alias("y"),
+        )
+    )
+    fast = _rows(
+        g.hdbscan_mst_2d_single_task(pts, "user_id", "x", "y", eps=4, k=5)
+    )
+    slow = _rows(
+        g.boruvka_mst(
+            g.hdbscan_mr_edges_2d(pts, "user_id", "x", "y", eps=4, k=5)
+        )
+    )
+    assert fast == slow
