@@ -6505,12 +6505,20 @@ def q_sw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("dirty_name", "clean_name").alias("distance"),
     )
     # vectorized numpy DP (sw_scores_batch); the Column-fold sw_score
-    # is the pinned-equal reference — 102 s vs sub-second at sf0.1
+    # is the pinned-equal reference — 102 s vs sub-second at sf0.1.
+    # The 150k-pair join output is ~6 MB, so AQE coalesces it to ONE
+    # post-shuffle partition and the whole DP ran serially (r14
+    # measurement: ~2 s of the row). Spread the compute-heavy Arrow
+    # stage across the cores — the repartition moves KB-sized rows,
+    # the DP is the cost (guide §2.5: per-task work, not bytes, is
+    # what must balance here).
     from flink_essentials_spark.functions.dedup import sw_scores_batch
 
-    return sw_scores_batch(pairs, "dirty_name", "clean_name").select(
-        "dirty_key", "clean_key", "sw", "distance"
-    )
+    return sw_scores_batch(
+        pairs.repartition(spark.sparkContext.defaultParallelism),
+        "dirty_name",
+        "clean_name",
+    ).select("dirty_key", "clean_key", "sw", "distance")
 
 
 # the validated nested-fold SW recurrence (match 2 / mismatch -1 /
