@@ -86,12 +86,117 @@ def pareto_front(
     )
 
 
+# Input-row bound under which association_rules runs as ONE Arrow
+# task (the slope_one bincount discipline): pair enumeration is
+# run-length triu + a bincount over an item²-bounded code space.
+ASSOC_SINGLE_TASK_ROWS = 1 << 20
+
+
+def _association_rules_single_task(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    num: int,
+    den: int,
+    min_confidence: float,
+) -> DataFrame:
+    """Bounded single-task twin of :func:`association_rules`: the
+    identical Apriori semantics (distinct baskets, frequent-item
+    prune, a<b string-ordered pair combinations, support/confidence/
+    lift as the same exact-integer divisions) in numpy — np.unique
+    factorization (code order == Spark string order for these ASCII
+    items), run-length triu enumeration, bincounts. Pinned equal to
+    the distributed member by test."""
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        bks, its = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bks.append(pdf["bk"].to_numpy())
+            its.append(pdf["it"].to_numpy())
+        if not bks:
+            return
+        bk = np.concatenate(bks)
+        it = np.concatenate(its)
+        ubk, bcode = np.unique(bk, return_inverse=True)
+        uit, icode = np.unique(it, return_inverse=True)
+        I = len(uit)
+        u = np.unique(bcode.astype(np.int64) * I + icode)
+        b_bk, b_it = u // I, u % I
+        n_b = len(np.unique(b_bk))
+        n_i = np.bincount(b_it, minlength=I)
+        keep = (n_i * den >= num * n_b)[b_it]
+        kb, ki = b_bk[keep], b_it[keep]
+        order = np.lexsort((ki, kb))
+        kb, ki = kb[order], ki[order]
+        n = len(kb)
+        n_ab = np.zeros(I * I, dtype=np.int64)
+        if n:
+            starts = np.flatnonzero(np.r_[True, kb[1:] != kb[:-1]])
+            sizes = np.diff(np.r_[starts, n])
+            for L in np.unique(sizes):
+                if L < 2:
+                    continue
+                sel = starts[sizes == L]
+                li, lj = np.triu_indices(int(L), 1)
+                pa = (sel[:, None] + li[None, :]).ravel()
+                pb = (sel[:, None] + lj[None, :]).ravel()
+                n_ab += np.bincount(
+                    ki[pa] * I + ki[pb], minlength=I * I
+                )
+        nz = np.flatnonzero(n_ab * den >= num * n_b)
+        nz = nz[n_ab[nz] > 0]
+        if not len(nz):
+            return
+        a_i, b_i = nz // I, nz % I
+        cnt = n_ab[nz]
+        # both directed rules
+        da = np.r_[a_i, b_i]
+        db = np.r_[b_i, a_i]
+        dn = np.r_[cnt, cnt]
+        conf = dn.astype(np.float64) / n_i[da].astype(np.float64)
+        lift = (dn * np.int64(n_b)).astype(np.float64) / (
+            n_i[da] * n_i[db]
+        ).astype(np.float64)
+        out = pd.DataFrame(
+            {
+                "antecedent": uit[da],
+                "consequent": uit[db],
+                "n_pair": dn,
+                "n_ante": n_i[da],
+                "confidence": conf,
+                "lift": lift,
+            }
+        )
+        if min_confidence > 0:
+            out = out[out["confidence"] >= float(min_confidence)]
+        yield out
+
+    it_t = baskets.schema[item_col].dataType.simpleString()
+    return (
+        baskets.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .coalesce(1)
+        .mapInPandas(
+            work,
+            f"antecedent {it_t}, consequent {it_t}, n_pair long,"
+            " n_ante long, confidence double, lift double",
+        )
+    )
+
+
 def association_rules(
     baskets: DataFrame,
     basket_col: str,
     item_col: str,
     min_support: float = 0.022,
     min_confidence: float = 0.0,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Apriori association rules over 2-itemsets (Agrawal & Srikant
     1994, "Fast Algorithms for Mining Association Rules"): frequent
@@ -117,6 +222,13 @@ def association_rules(
 
     fr = Fraction(str(min_support))
     num, den = fr.numerator, fr.denominator
+    if (
+        n_rows_hint is not None
+        and 0 < n_rows_hint <= ASSOC_SINGLE_TASK_ROWS
+    ):
+        return _association_rules_single_task(
+            baskets, basket_col, item_col, num, den, min_confidence
+        )
     # the distinct basket table feeds FIVE consumers (N, item counts,
     # the prune, pair generation) and Catalyst does not share
     # uncached subtrees — materialize it once (the pagerank/LPA

@@ -8831,8 +8831,16 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("order_id"), "p_brand")
     )
+    from flink_essentials_spark.tables import table_rows
+
     return association_rules(
-        baskets, "order_id", "p_brand", min_support=0.022
+        baskets,
+        "order_id",
+        "p_brand",
+        min_support=0.022,
+        # basket rows == lineitem rows (the part join is key-preserving):
+        # footer-derived hint routes the bounded single-task twin (r14)
+        n_rows_hint=table_rows(sf_dir, "lineitem"),
     )
 
 

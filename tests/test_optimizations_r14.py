@@ -534,3 +534,31 @@ def test_hdbscan_mst_single_task_equals_boruvka(spark):
         )
     )
     assert fast == slow
+
+
+def test_association_rules_single_task_equals_distributed(spark):
+    """The bincount single-task Apriori twin must equal the
+    distributed prune/explode member row for row (rules, counts, and
+    the exact-division confidence/lift doubles)."""
+    import flink_essentials_spark.functions.analytics as an
+    from flink_essentials_spark.tables import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01")
+    baskets = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .join(
+            t["part"].select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("order_id"), "p_brand")
+    )
+    fast = _rows(
+        an._association_rules_single_task(
+            baskets, "order_id", "p_brand", 11, 500, 0.0
+        )
+    )
+    slow = _rows(
+        an.association_rules(baskets, "order_id", "p_brand", 0.022)
+    )
+    assert fast == slow
