@@ -610,12 +610,87 @@ def pca_2d(
     )
 
 
+def _son_frequent_pairs_single_task(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    num: int,
+    den: int,
+) -> DataFrame:
+    """Bounded single-task twin of :func:`son_frequent_pairs`: by the
+    SON recall/precision guarantee the output IS the set of globally
+    frequent pairs with exact counts, so under the bound we compute
+    exact pair counts directly (np.unique factorization, run-length
+    triu, one bincount — the association_rules twin's machinery) and
+    apply the HAVING threshold. Pinned equal by test."""
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        bks, its = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bks.append(pdf["bk"].to_numpy())
+            its.append(pdf["it"].to_numpy())
+        if not bks:
+            return
+        bk = np.concatenate(bks)
+        it = np.concatenate(its)
+        _, bcode = np.unique(bk, return_inverse=True)
+        uit, icode = np.unique(it, return_inverse=True)
+        I = len(uit)
+        u = np.unique(bcode.astype(np.int64) * I + icode)
+        b_bk, b_it = u // I, u % I
+        n_b = len(np.unique(b_bk))
+        order = np.lexsort((b_it, b_bk))
+        kb, ki = b_bk[order], b_it[order]
+        n = len(kb)
+        n_ab = np.zeros(I * I, dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, kb[1:] != kb[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        for L in np.unique(sizes):
+            if L < 2:
+                continue
+            sel = starts[sizes == L]
+            li, lj = np.triu_indices(int(L), 1)
+            pa = (sel[:, None] + li[None, :]).ravel()
+            pb = (sel[:, None] + lj[None, :]).ravel()
+            n_ab += np.bincount(ki[pa] * I + ki[pb], minlength=I * I)
+        nz = np.flatnonzero(n_ab * den >= num * n_b)
+        nz = nz[n_ab[nz] > 0]
+        if not len(nz):
+            return
+        yield pd.DataFrame(
+            {
+                "item_a": uit[nz // I],
+                "item_b": uit[nz % I],
+                "n_pair": n_ab[nz],
+                "n_baskets": np.int64(n_b),
+            }
+        )
+
+    it_t = baskets.schema[item_col].dataType.simpleString()
+    return (
+        baskets.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .coalesce(1)
+        .mapInPandas(
+            work,
+            f"item_a {it_t}, item_b {it_t}, n_pair long, n_baskets long",
+        )
+    )
+
+
 def son_frequent_pairs(
     baskets: DataFrame,
     basket_col: str,
     item_col: str,
     num: int = 11,
     den: int = 500,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """SON two-pass distributed frequent-pair mining (Savasere,
     Omiecinski & Navathe, "An efficient algorithm for mining
@@ -639,6 +714,13 @@ def son_frequent_pairs(
     locally-frequent pairs — bytes); pass 2 re-derives pair
     occurrences ONLY for broadcast candidates. Returns
     (item_a, item_b, n_pair, n_baskets) with item_a < item_b."""
+    if (
+        n_rows_hint is not None
+        and 0 < n_rows_hint <= ASSOC_SINGLE_TASK_ROWS
+    ):
+        return _son_frequent_pairs_single_task(
+            baskets, basket_col, item_col, num, den
+        )
     import itertools
 
     import pandas as pd

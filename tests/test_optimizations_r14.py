@@ -562,3 +562,30 @@ def test_association_rules_single_task_equals_distributed(spark):
         an.association_rules(baskets, "order_id", "p_brand", 0.022)
     )
     assert fast == slow
+
+
+def test_son_single_task_equals_two_pass(spark):
+    """The single-task SON twin (exact pair counts + HAVING) must
+    equal the two-pass partition-Apriori member row for row."""
+    import flink_essentials_spark.functions.analytics as an
+    from flink_essentials_spark.tables import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01")
+    baskets = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .join(
+            t["part"].select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("order_id"), "p_brand")
+    )
+    fast = _rows(
+        an._son_frequent_pairs_single_task(
+            baskets, "order_id", "p_brand", 11, 500
+        )
+    )
+    slow = _rows(
+        an.son_frequent_pairs(baskets, "order_id", "p_brand", 11, 500)
+    )
+    assert fast == slow
