@@ -406,6 +406,65 @@ def triangle_count(
     return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 
 
+def _pagerank_single_task(
+    edges: DataFrame,
+    iterations: int,
+    damping: float,
+    src: str,
+    dst: str,
+    weight_col: str | None,
+) -> DataFrame:
+    """Bounded single-task twin of :func:`pagerank` for INTEGER node
+    ids: the identical unnormalized recurrence — node set = distinct
+    sources, out-weights and per-iteration contribution sums as
+    bincounts (weights are integer-valued doubles at every caller, so
+    out-weights are exact; per-node rank sums carry the same
+    round(…,6)-absorbed last-ulp tolerance as the distributed
+    aggregate), contributions to nodes outside the source set dropped
+    exactly as the node-set join does. Pinned equal by test."""
+    d = float(damping)
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        ss, ds, ws = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ss.append(pdf["src"].to_numpy(np.int64))
+            ds.append(pdf["dst"].to_numpy(np.int64))
+            ws.append(pdf["w"].to_numpy(np.float64))
+        if not ss:
+            return
+        s = np.concatenate(ss)
+        t = np.concatenate(ds)
+        w = np.concatenate(ws)
+        nodes = np.unique(s)
+        n = len(nodes)
+        si = np.searchsorted(nodes, s)
+        ti = np.searchsorted(nodes, np.clip(t, nodes[0], nodes[-1]))
+        valid = nodes[ti] == t
+        outw = np.bincount(si, weights=w, minlength=n)
+        r = np.ones(n, dtype=np.float64)
+        for _ in range(int(iterations)):
+            c = np.bincount(
+                ti[valid],
+                weights=(r[si] * w / outw[si])[valid],
+                minlength=n,
+            )
+            r = (1.0 - d) + d * c
+        yield pd.DataFrame({"node": nodes, "rank": r})
+
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        w.alias("w"),
+    )
+    return e.coalesce(1).mapInPandas(work, "node long, rank double")
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
@@ -413,6 +472,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight_col: str | None = None,
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration weighted PageRank over an edge DataFrame —
     crawl-frontier / link-authority scoring for a web-corpus pipeline
@@ -449,7 +509,19 @@ def pagerank(
     On a real cluster with network-bound shuffles and a node table
     that fits executor memory (domain-level web graphs), the broadcast
     trade flips — revisit there, not here.
+
+    ``n_edges_hint`` (footer-derived, driver-side) under
+    ``GRAPH_SINGLE_TASK_EDGES`` routes to the bounded single-task
+    twin (r14); the iterate-join ladder below is the above-bound
+    shape.
     """
+    if (
+        n_edges_hint is not None
+        and 0 < n_edges_hint <= GRAPH_SINGLE_TASK_EDGES
+    ):
+        return _pagerank_single_task(
+            edges, iterations, damping, src, dst, weight_col
+        )
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
@@ -654,11 +726,72 @@ def personalized_pagerank(
     return p
 
 
+def _hits_single_task(
+    edges: DataFrame, iterations: int, src: str, dst: str
+) -> DataFrame:
+    """Bounded single-task twin of :func:`hits` for INTEGER node ids:
+    the identical unnormalized integer half-steps (exact BIGINT
+    bincounts over the deduplicated edge list), the same enforced
+    maxdeg^(2·it) < 2^63 overflow guard, zeros for sinks/sources.
+    Pinned equal by test."""
+    it = int(iterations)
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        ss, ds = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ss.append(pdf["src"].to_numpy(np.int64))
+            ds.append(pdf["dst"].to_numpy(np.int64))
+        if not ss:
+            return
+        s = np.concatenate(ss)
+        t = np.concatenate(ds)
+        nodes = np.unique(np.r_[s, t])
+        n = len(nodes)
+        si = np.searchsorted(nodes, s)
+        ti = np.searchsorted(nodes, t)
+        # dedup directed edges
+        code = np.unique(si * np.int64(n) + ti)
+        si, ti = code // n, code % n
+        deg = np.bincount(si, minlength=n) + np.bincount(ti, minlength=n)
+        maxdeg = int(deg.max()) if n else 1
+        if maxdeg ** (2 * it) >= 1 << 63:
+            raise ValueError(
+                f"hits: max degree {maxdeg} at {it} iterations "
+                f"overflows int64 (bound maxdeg^(2*it) >= 2^63); lower "
+                f"iterations or use a normalized double-score variant"
+            )
+        h = np.ones(n, dtype=np.int64)
+        a = np.zeros(n, dtype=np.int64)
+        for _ in range(it):
+            # np.add.at keeps the sums in int64 — bincount's float64
+            # weights would lose exactness past 2^53, and the guard
+            # admits scores up to 2^63
+            a = np.zeros(n, dtype=np.int64)
+            np.add.at(a, ti, h[si])
+            h = np.zeros(n, dtype=np.int64)
+            np.add.at(h, si, a[ti])
+        yield pd.DataFrame({"node": nodes, "hub": h, "authority": a})
+
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    return e.coalesce(1).mapInPandas(
+        work, "node long, hub long, authority long"
+    )
+
+
 def hits(
     edges: DataFrame,
     iterations: int = 2,
     src: str = "src",
     dst: str = "dst",
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration HITS hubs & authorities (Kleinberg 1999,
     "Authoritative sources in a hyperlinked environment") — the
@@ -687,7 +820,17 @@ def hits(
     one shuffle join + one partial-aggregated groupBy, linear in |E|.
     Returns (node, hub, authority) over all nodes (either endpoint);
     sinks keep hub 0, sources authority 0.
+
+    ``n_edges_hint`` (footer-derived, driver-side) under
+    ``GRAPH_SINGLE_TASK_EDGES`` routes to the bounded single-task
+    twin (r14); the half-step join ladder below is the above-bound
+    shape.
     """
+    if (
+        n_edges_hint is not None
+        and 0 < n_edges_hint <= GRAPH_SINGLE_TASK_EDGES
+    ):
+        return _hits_single_task(edges, iterations, src, dst)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()

@@ -2422,7 +2422,13 @@ def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(c.alias("src"), s.alias("dst"), "cnt").unionByName(
         pairs.select(s.alias("src"), c.alias("dst"), "cnt")
     )
-    ranks = graph.pagerank(edges, iterations=3, damping=0.85, weight_col="cnt")
+    ranks = graph.pagerank(
+        edges,
+        iterations=3,
+        damping=0.85,
+        weight_col="cnt",
+        n_edges_hint=2 * _trade_pairs_rows(spark, sf_dir),
+    )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
@@ -6430,7 +6436,11 @@ def q_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cust").alias("src"),
         (F.col("supp") + F.lit(1000000000)).alias("dst"),
     )
-    return hits(pairs, iterations=2)
+    return hits(
+        pairs,
+        iterations=2,
+        n_edges_hint=_trade_pairs_rows(spark, sf_dir),
+    )
 
 
 def _hits_sql(iterations: int = 2) -> str:

@@ -589,3 +589,44 @@ def test_son_single_task_equals_two_pass(spark):
         an.son_frequent_pairs(baskets, "order_id", "p_brand", 11, 500)
     )
     assert fast == slow
+
+
+def _trade_edges(spark, symmetric=True):
+    import flink_essentials_spark.queries.llmdata as llm
+
+    pairs = llm._trade_pairs(spark, "/root/testdata/sf0.01")
+    c = F.col("cust")
+    s = F.col("supp") + 1000000000
+    e = pairs.select(c.alias("src"), s.alias("dst"), "cnt")
+    if symmetric:
+        e = e.unionByName(pairs.select(s.alias("src"), c.alias("dst"), "cnt"))
+    return e
+
+
+def test_pagerank_single_task_equals_distributed(spark):
+    """The bincount single-task PageRank twin must equal the
+    iterate-join ladder after the declared round(…,6) (the same
+    last-ulp tolerance the oracle absorbs)."""
+    import flink_essentials_spark.functions.graph as g
+
+    e = _trade_edges(spark)
+    fast = _rows(
+        g._pagerank_single_task(e, 3, 0.85, "src", "dst", "cnt")
+        .select("node", F.round("rank", 6).alias("rank"))
+    )
+    slow = _rows(
+        g.pagerank(e, iterations=3, damping=0.85, weight_col="cnt")
+        .select("node", F.round("rank", 6).alias("rank"))
+    )
+    assert fast == slow
+
+
+def test_hits_single_task_equals_distributed(spark):
+    """The int64 scatter-add single-task HITS twin must equal the
+    half-step join ladder bit for bit (exact BIGINT scores)."""
+    import flink_essentials_spark.functions.graph as g
+
+    e = _trade_edges(spark, symmetric=False).select("src", "dst")
+    fast = _rows(g._hits_single_task(e, 2, "src", "dst"))
+    slow = _rows(g.hits(e, iterations=2))
+    assert fast == slow
