@@ -5450,6 +5450,103 @@ GROUP BY 1
 """
 
 
+# Document-count bound under which kmv_set_ops runs its sketch +
+# pair algebra as ONE Arrow task (the hll_pair_algebra twin's
+# discipline): the distinct (source, bigram) table is
+# vocabulary-bounded (~hundreds of rows per source here), so the
+# banded rank windows + two pair_estimates passes (~12 exchanges)
+# are pure scheduling overhead at bench scale.
+KMV_SINGLE_TASK_DOCS = 65536
+
+
+def _kmv_set_ops_single_task(bi: DataFrame) -> DataFrame:
+    """Bounded single-task twin of q_kmv_set_ops downstream of the
+    bigram explode: per-source distinct md5 hash sets (int(hex[:15],
+    16) == the relational conv/substring path), bottom-128 sketches,
+    and the identical single-division estimate arithmetic for both
+    the k=128 estimates and the k=2^40 exact self-eval. Pinned equal
+    by the unchanged oracle + a twin test."""
+    from flink_essentials_spark.functions.approx import KMV_SPACE
+
+    def work(batches):
+        import hashlib
+
+        import pandas as pd
+
+        by_g: dict = {}
+        for pdf in batches:
+            for g, b in zip(pdf["source"], pdf["b"]):
+                by_g.setdefault(g, set()).add(b)
+        if not by_g:
+            return
+        hsets = {
+            g: {
+                int(
+                    hashlib.md5(("kmv1:" + b).encode()).hexdigest()[:15],
+                    16,
+                )
+                for b in bs
+            }
+            for g, bs in by_g.items()
+        }
+        sk = {g: set(sorted(hs)[:128]) for g, hs in hsets.items()}
+        rows = []
+        for ga in sorted(hsets):
+            for gb in sorted(hsets):
+                if not ga < gb:
+                    continue
+                # k=128 estimates from the sketches alone
+                u = sorted(sk[ga] | sk[gb])[:128]
+                n_sk = len(u)
+                h_k = u[-1]
+                m = sum(1 for h in u if h in sk[ga] and h in sk[gb])
+                if n_sk == 128:
+                    est_u = (127.0 * float(KMV_SPACE)) / float(h_k)
+                else:
+                    est_u = float(n_sk)
+                est_j = float(m) / float(n_sk)
+                # exact self-eval: k = 2^40 > universe degrades the
+                # same operator to exact values
+                xu = len(hsets[ga] | hsets[gb])
+                xm = len(hsets[ga] & hsets[gb])
+                rows.append(
+                    (
+                        ga,
+                        gb,
+                        n_sk,
+                        m,
+                        est_u,
+                        est_j,
+                        est_j * est_u,
+                        xu,
+                        xm,
+                        float(xm) / float(xu),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "source_a",
+                "source_b",
+                "n_sk",
+                "m",
+                "est_union",
+                "est_jaccard",
+                "est_intersection",
+                "exact_union",
+                "exact_intersection",
+                "exact_jaccard",
+            ],
+        )
+
+    return bi.coalesce(1).mapInPandas(
+        work,
+        "source_a string, source_b string, n_sk long, m long,"
+        " est_union double, est_jaccard double, est_intersection double,"
+        " exact_union long, exact_intersection long, exact_jaccard double",
+    )
+
+
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch set algebra (approx.kmv_sketch/kmv_pair_estimates,
     Beyer et al. 2007): per-source bottom-128 sketches over distinct
@@ -5483,6 +5580,10 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("b"),
     )
+    from flink_essentials_spark.tables import table_rows
+
+    if table_rows(sf_dir, "documents") <= KMV_SINGLE_TASK_DOCS:
+        return _kmv_set_ops_single_task(bi)
     # ONE ranked hash table serves both passes: the bottom-128 sketch is
     # a filter of the k=2^40 (untrimmed) ranking, and pair_estimates
     # reads its sketch 3x (groups/ra/rb) — without the checkpoint the

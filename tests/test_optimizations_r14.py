@@ -630,3 +630,20 @@ def test_hits_single_task_equals_distributed(spark):
     fast = _rows(g._hits_single_task(e, 2, "src", "dst"))
     slow = _rows(g.hits(e, iterations=2))
     assert fast == slow
+
+
+def test_kmv_set_ops_single_task_equals_relational(spark):
+    """The single-task KMV pair-algebra twin must equal the
+    relational sketch + pair_estimates path row for row, including
+    the single-division estimate doubles."""
+    import flink_essentials_spark.queries.llmdata as llm
+
+    sf = "/root/testdata/sf0.01"
+    orig = llm.KMV_SINGLE_TASK_DOCS
+    llm.KMV_SINGLE_TASK_DOCS = 0
+    try:
+        slow = _rows(llm.q_kmv_set_ops(spark, sf))
+    finally:
+        llm.KMV_SINGLE_TASK_DOCS = orig
+    fast = _rows(llm.q_kmv_set_ops(spark, sf))
+    assert fast == slow
