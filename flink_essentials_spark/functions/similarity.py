@@ -1492,6 +1492,100 @@ def gram_matrix(
     )
 
 
+def _knn_hubness_single_task(
+    df: DataFrame,
+    kk: int,
+    id_col: str,
+    vec_col: str,
+    levels: int,
+    sample_hex: int | None,
+) -> DataFrame:
+    """Bounded single-task twin of :func:`knn_hubness`: identical
+    full-corpus codebook and quantization arithmetic (IEEE-identical
+    numpy elementwise chain), identical md5-digit sampling, exact
+    top-k by the same composite (dot·2²¹ − id) key (all keys distinct
+    — ids are unique — so the k-NN SET is unique and selection order
+    is irrelevant to the N_k counts), and the identical pinned-double
+    moment/skewness expression tree. Pinned equal by test."""
+    lv = int(levels)
+
+    def work(batches):
+        import hashlib
+
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        ids_l, v_l = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_l.append(pdf["__id"].to_numpy(np.int64))
+            v_l.append(np.array(pdf["__v"].tolist(), dtype=np.float64))
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l)
+        v = np.vstack(v_l)
+        assert ids.max(initial=0) < (1 << 21), "knn_hubness: ids >= 2^21"
+        lo = v.min(axis=0)
+        hi = v.max(axis=0)
+        span = hi - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((v - lo) * float(lv - 1) / span + 0.5)
+        q[:, span == 0] = 0.0
+        if sample_hex is not None:
+            thr = "0123456789abcdefg"[int(sample_hex)]
+            keep = np.array(
+                [
+                    hashlib.md5(str(int(i)).encode()).hexdigest()[31] < thr
+                    for i in ids
+                ]
+            )
+            ids, q = ids[keep], q[keep]
+        n = len(ids)
+        if not n:
+            return
+        take = min(kk, n - 1)
+        nk = np.zeros(n, dtype=np.int64)
+        ch = 2048
+        for s in range(0, n, ch):
+            e = min(s + ch, n)
+            D = q[s:e] @ q.T
+            comp = D.astype(np.int64) * (1 << 21) - ids[None, :]
+            comp[np.arange(e - s), np.arange(s, e)] = (
+                np.iinfo(np.int64).min // 2
+            )
+            if take > 0:
+                top = np.argpartition(comp, -take, axis=1)[:, -take:]
+                nk += np.bincount(top.ravel(), minlength=n)
+        sx = int(nk.sum())
+        sxx = int((nk * nk).sum())
+        sxxx = int((nk * nk * nk).sum())
+        nd = float(n)
+        mu = float(sx) / nd
+        m2 = float(sxx) / nd - mu * mu
+        m3 = float(sxxx) / nd - 3.0 * mu * (float(sxx) / nd) + 2.0 * mu * mu * mu
+        skew = m3 / (m2 * math.sqrt(m2))
+        yield pd.DataFrame(
+            {
+                "n_vecs": [np.int64(n)],
+                "k": [np.int64(kk)],
+                "max_nk": [np.int64(nk.max())],
+                "n_zero": [np.int64((nk == 0).sum())],
+                "skew": [skew],
+            }
+        )
+
+    e = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    return e.coalesce(1).mapInPandas(
+        work, "n_vecs long, k long, max_nk long, n_zero long, skew double"
+    )
+
+
 def knn_hubness(
     df: DataFrame,
     k: int = 5,
@@ -1500,6 +1594,7 @@ def knn_hubness(
     levels: int = 255,
     num_blocks: int = 8,
     sample_hex: int | None = None,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Hubness audit of the embedding space (Radovanović, Nanopoulos &
     Ivanović, JMLR 2010, "Hubs in space: popular nearest neighbors in
@@ -1539,7 +1634,18 @@ def knn_hubness(
     the quadratic work shrinks by (sample_hex/16)². ``sample_hex=16``
     keeps everything and is pinned equal to the exact form in tests;
     the standard subsampled-hubness estimator otherwise
-    (Radovanović §6 uses exactly this design)."""
+    (Radovanović §6 uses exactly this design).
+
+    ``n_rows_hint`` (footer-derived, driver-side) under
+    ``EPS_SINGLE_TASK_ROWS`` routes to the bounded single-task twin
+    (r14); the blocked path below is the above-bound shape."""
+    if (
+        n_rows_hint is not None
+        and 0 < n_rows_hint <= EPS_SINGLE_TASK_ROWS
+    ):
+        return _knn_hubness_single_task(
+            df, int(k), id_col, vec_col, levels, sample_hex
+        )
     import numpy as np
     import pandas as pd
 

@@ -1623,8 +1623,14 @@ def ccnet_buckets(
 
     scores = bigram_lm_score(df, text_col=text_col, id_col=id_col)
     src = df.select(F.col(id_col).alias("doc_id"), strata_col)
-    j = scores.join(src, "doc_id").withColumn(
-        "__nscore", -F.col("avg_log2_prob")
+    # banded_rank reads its input ~3x (bounds, band totals, final
+    # window) and the input here is the WHOLE corpus-self-trained LM
+    # scoring plan — without the cut it re-ran 3x (r14: 120 Exchange
+    # in the tail plan; the ndcg_eval lesson)
+    j = (
+        scores.join(src, "doc_id")
+        .withColumn("__nscore", -F.col("avg_log2_prob"))
+        .localCheckpoint()
     )
     n_strat = j.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
     ranked = (

@@ -9436,7 +9436,10 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return knn_hubness(
-        emb, k=5, num_blocks=auto_blocks(table_rows(sf_dir, "embeddings"))
+        emb,
+        k=5,
+        num_blocks=auto_blocks(table_rows(sf_dir, "embeddings")),
+        n_rows_hint=table_rows(sf_dir, "embeddings"),
     )
 
 
@@ -9530,6 +9533,7 @@ def q_knn_hubness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         num_blocks=auto_blocks(table_rows(sf_dir, "embeddings") // 2),
         sample_hex=8,
+        n_rows_hint=table_rows(sf_dir, "embeddings"),
     )
 
 

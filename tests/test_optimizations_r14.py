@@ -647,3 +647,19 @@ def test_kmv_set_ops_single_task_equals_relational(spark):
         llm.KMV_SINGLE_TASK_DOCS = orig
     fast = _rows(llm.q_kmv_set_ops(spark, sf))
     assert fast == slow
+
+
+def test_knn_hubness_single_task_equals_blocked(spark):
+    """The single-task hubness twin must equal the blocked member on
+    both the exact and the md5-sampled form (same codebook, same
+    composite-key k-NN sets, same pinned moment arithmetic)."""
+    import flink_essentials_spark.functions.similarity as sim
+    from flink_essentials_spark.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.01")["embeddings"]
+    for hx in (None, 8):
+        fast = _rows(
+            sim._knn_hubness_single_task(emb, 5, "vec_id", "embedding", 255, hx)
+        )
+        slow = _rows(sim.knn_hubness(emb, k=5, num_blocks=3, sample_hex=hx))
+        assert fast == slow, hx
