@@ -400,8 +400,76 @@ def _coverage_round(sw: DataFrame, chosen: list, covered) -> DataFrame:
     return cand.groupBy("g").agg(F.count(F.lit(1)).alias("gain"))
 
 
+def _greedy_coverage_single_task(
+    sw: DataFrame, k: int
+) -> DataFrame:
+    """Bounded single-task twin of :func:`greedy_coverage` downstream
+    of the distinct (g, it) table: the identical greedy rounds
+    (marginal gain = |items \\ covered|, ties to the smallest set id)
+    in one Arrow pass over factorized item codes. Pinned equal by
+    test."""
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        gs, its = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gs.append(pdf["g"].to_numpy())
+            its.append(pdf["it"].to_numpy())
+        if not gs:
+            return
+        g = np.concatenate(gs)
+        it = np.concatenate(its)
+        uit, icode = np.unique(it, return_inverse=True)
+        ug, gcode = np.unique(g, return_inverse=True)
+        order = np.argsort(gcode, kind="stable")
+        gc, ic = gcode[order], icode[order]
+        starts = np.flatnonzero(np.r_[True, gc[1:] != gc[:-1]])
+        ends = np.r_[starts[1:], len(gc)]
+        items = {
+            int(gc[s]): ic[s:e] for s, e in zip(starts, ends)
+        }
+        covered = np.zeros(len(uit), dtype=bool)
+        chosen: set = set()
+        total, rows = 0, []
+        for r in range(1, int(k) + 1):
+            # a fully-covered set emits NO candidate row in the
+            # distributed round (anti-join drops it) — require gain > 0
+            best_g, best_gain = None, 0
+            for gi in range(len(ug)):  # ug is sorted: ties → smallest g
+                if gi in chosen or gi not in items:
+                    continue
+                gain = int((~covered[items[gi]]).sum())
+                if gain > best_gain:
+                    best_g, best_gain = gi, gain
+            if best_g is None:
+                break
+            chosen.add(best_g)
+            covered[items[best_g]] = True
+            total += best_gain
+            rows.append((r, ug[best_g], best_gain, total))
+        yield pd.DataFrame(
+            rows,
+            columns=["rank", "set_id", "marginal_gain", "covered_total"],
+        )
+
+    set_t = sw.schema["g"].dataType.simpleString()
+    return sw.coalesce(1).mapInPandas(
+        work,
+        f"rank long, set_id {set_t}, marginal_gain long,"
+        " covered_total long",
+    )
+
+
 def greedy_coverage(
-    pairs: DataFrame, set_col: str, item_col: str, k: int = 3
+    pairs: DataFrame,
+    set_col: str,
+    item_col: str,
+    k: int = 3,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Greedy maximum-coverage selection (the classic greedy for
     submodular maximization — Nemhauser, Wolsey & Fisher 1978 prove
@@ -418,6 +486,16 @@ def greedy_coverage(
     driver-side argmax pattern, same as codebook training) and the
     covered-item set stays distributed. Returns (rank, set_id,
     marginal_gain, covered_total)."""
+    if (
+        n_rows_hint is not None
+        and 0 < n_rows_hint <= ASSOC_SINGLE_TASK_ROWS
+    ):
+        return _greedy_coverage_single_task(
+            pairs.select(
+                F.col(set_col).alias("g"), F.col(item_col).alias("it")
+            ).distinct(),
+            k,
+        )
     sw = (
         pairs.select(
             F.col(set_col).alias("g"), F.col(item_col).alias("it")

@@ -6800,12 +6800,22 @@ def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.functions.text import ngrams_col
     from flink_essentials_spark.operators.transform import tokenize
 
+    from flink_essentials_spark.tables import table_rows
+
     t = load_tables(spark, sf_dir)
     pairs = t["documents"].select(
         "source",
         F.explode(ngrams_col(tokenize(F.col("text")), 3)).alias("t"),
     )
-    return greedy_coverage(pairs, "source", "t", k=3)
+    return greedy_coverage(
+        pairs,
+        "source",
+        "t",
+        k=3,
+        # documents-row footer hint: the distinct (source, trigram)
+        # table is vocabulary-bounded, far under the row bound (r14)
+        n_rows_hint=table_rows(sf_dir, "documents"),
+    )
 
 
 Q_GREEDY_COVERAGE_SQL = f"""

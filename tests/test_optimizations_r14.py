@@ -663,3 +663,28 @@ def test_knn_hubness_single_task_equals_blocked(spark):
         )
         slow = _rows(sim.knn_hubness(emb, k=5, num_blocks=3, sample_hex=hx))
         assert fast == slow, hx
+
+
+def test_greedy_coverage_single_task_equals_driver_loop(spark):
+    """The single-task greedy-coverage twin must equal the driver-loop
+    member row for row, including the gain>0 candidate rule."""
+    import flink_essentials_spark.functions.analytics as an
+    from flink_essentials_spark.functions.text import ngrams_col
+    from flink_essentials_spark.operators.transform import tokenize
+    from flink_essentials_spark.tables import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01")
+    pairs = t["documents"].select(
+        "source",
+        F.explode(ngrams_col(tokenize(F.col("text")), 3)).alias("t"),
+    )
+    fast = _rows(
+        an._greedy_coverage_single_task(
+            pairs.select(
+                F.col("source").alias("g"), F.col("t").alias("it")
+            ).distinct(),
+            3,
+        )
+    )
+    slow = _rows(an.greedy_coverage(pairs, "source", "t", k=3))
+    assert fast == slow
