@@ -11056,6 +11056,57 @@ FROM scored
 """
 
 
+def _peak_concurrency_single_task(ev: DataFrame) -> DataFrame:
+    """Bounded single-task twin of q_peak_concurrency: the identical
+    sweep-line — per type, +1 at ts, −1 at ts+1h, cumulative active
+    count over boundary order, peak and FIRST instant attaining it —
+    as one numpy pass (exact integers end to end). Pinned equal by
+    test; the banded two-phase ECDF member is the above-bound shape."""
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        ks, ts = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ks.append(pdf["event_type"].to_numpy())
+            ts.append(pdf["t"].to_numpy(np.int64))
+        if not ks:
+            return
+        k = np.concatenate(ks)
+        t = np.concatenate(ts)
+        uk, kc = np.unique(k, return_inverse=True)
+        rows = []
+        for ki in range(len(uk)):
+            tt = t[kc == ki]
+            v = np.r_[tt, tt + 3600000]
+            d = np.r_[
+                np.ones(len(tt), dtype=np.int64),
+                -np.ones(len(tt), dtype=np.int64),
+            ]
+            order = np.argsort(v, kind="stable")
+            vs, ds = v[order], d[order]
+            # collapse equal boundaries (the groupBy (k, v) step)
+            starts = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]])
+            uv = vs[starts]
+            sums = np.add.reduceat(ds, starts)
+            act = np.cumsum(sums)
+            peak = int(act.max())
+            first = int(uv[np.argmax(act)])  # argmax = first maximum
+            rows.append((uk[ki], len(tt), peak, first))
+        yield pd.DataFrame(
+            rows,
+            columns=["event_type", "n_events", "peak", "first_peak_ms"],
+        )
+
+    return ev.coalesce(1).mapInPandas(
+        work,
+        "event_type string, n_events long, peak long, first_peak_ms long",
+    )
+
+
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line peak concurrency (the classic interval-scheduling
     maximum-overlap question — de Berg et al., Computational
@@ -11071,10 +11122,13 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-card-partition sweep shape); peak + first-peak read out as
     one struct-MIN aggregate over exact integers."""
     from flink_essentials_spark.functions.timeseries import _ecdf_cums
+    from flink_essentials_spark.tables import table_rows
 
     ev = load_tables(spark, sf_dir)["events"].select(
         "event_type", F.unix_millis(F.col("ts")).alias("t")
     )
+    if table_rows(sf_dir, "events") <= (1 << 20):
+        return _peak_concurrency_single_task(ev)
     pts = ev.select(
         "event_type", F.lit(True).alias("is_start"), F.col("t").alias("v")
     ).unionByName(

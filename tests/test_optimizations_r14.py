@@ -688,3 +688,47 @@ def test_greedy_coverage_single_task_equals_driver_loop(spark):
     )
     slow = _rows(an.greedy_coverage(pairs, "source", "t", k=3))
     assert fast == slow
+
+
+def test_peak_concurrency_single_task_equals_banded(spark):
+    """The sweep-line single-task twin must equal the banded-ECDF
+    member row for row (peak, first instant, counts) — the banded
+    body is invoked directly here since the query routes by a table
+    bound."""
+    import flink_essentials_spark.queries.llmdata as llm
+    from flink_essentials_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.01"
+    fast = _rows(llm.q_peak_concurrency(spark, sf))
+    from pyspark.sql import functions as F2
+    from flink_essentials_spark.functions.timeseries import _ecdf_cums
+
+    ev = load_tables(spark, sf)["events"].select(
+        "event_type", F2.unix_millis(F2.col("ts")).alias("t")
+    )
+    pts = ev.select(
+        "event_type", F2.lit(True).alias("is_start"), F2.col("t").alias("v")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            F2.lit(False).alias("is_start"),
+            (F2.col("t") + F2.lit(3600000)).alias("v"),
+        )
+    )
+    cum = _ecdf_cums(pts, "event_type", "is_start", "v", 64)
+    act = F2.col("__cuma") - F2.col("__cumb")
+    best = cum.groupBy("__k").agg(
+        F2.max("__na").alias("n_events"),
+        F2.min(
+            F2.struct((-act).alias("na"), F2.col("__v").alias("v"))
+        ).alias("b"),
+    )
+    slow = _rows(
+        best.select(
+            F2.col("__k").alias("event_type"),
+            "n_events",
+            (-F2.col("b.na")).cast("long").alias("peak"),
+            F2.col("b.v").cast("long").alias("first_peak_ms"),
+        )
+    )
+    assert fast == slow
