@@ -1782,6 +1782,88 @@ def mr_edges_from_pairs(pairs: DataFrame, core: DataFrame) -> DataFrame:
     )
 
 
+def hdbscan_mst_from_canon_single_task(
+    canon: DataFrame, k: int
+) -> DataFrame:
+    """Bounded single-task twin of the embed-family HDBSCAN forest
+    pipeline downstream of a CANONICAL eps-pair table (vec_a < vec_b,
+    exact d2): symmetrized degrees, core2 = (k−1)-th smallest incident
+    d², mutual-reachability weights on core-core pairs, Kruskal under
+    the lexicographic (w, a, b) total order (forest unique ⇒ equals
+    distributed Borůvka edge for edge; same (a, b, w, comp) contract).
+    Replaces the pairs-checkpoint + core aggregate + mr joins +
+    Borůvka orchestration (~2.5 s of eager checkpoints at sf0.1) with
+    one Arrow pass. Pinned equal by test."""
+    kk = int(k)
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        a_l, b_l, d_l = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_l.append(pdf["vec_a"].to_numpy(np.int64))
+            b_l.append(pdf["vec_b"].to_numpy(np.int64))
+            d_l.append(pdf["d2"].to_numpy(np.int64))
+        if not a_l:
+            return
+        ea0 = np.concatenate(a_l)
+        eb0 = np.concatenate(b_l)
+        d2 = np.concatenate(d_l)
+        nodes = np.unique(np.r_[ea0, eb0])
+        n = len(nodes)
+        ai = np.searchsorted(nodes, ea0)
+        bi = np.searchsorted(nodes, eb0)
+        deg = np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)
+        is_core = deg >= kk - 1
+        # core2 per node: (k-1)-th smallest incident d2 (1-based)
+        inc = np.r_[ai, bi]
+        dd = np.r_[d2, d2]
+        order = np.lexsort((dd, inc))
+        inc_s, dd_s = inc[order], dd[order]
+        starts = np.flatnonzero(np.r_[True, inc_s[1:] != inc_s[:-1]])
+        core2 = np.zeros(n, dtype=np.int64)
+        run_nodes = inc_s[starts]
+        sel = is_core[run_nodes]  # core runs have >= k-1 incident rows
+        core2[run_nodes[sel]] = dd_s[(starts + kk - 2)[sel]]
+        keep = is_core[ai] & is_core[bi]
+        ea, eb = ea0[keep], eb0[keep]
+        w = np.maximum(
+            np.maximum(core2[ai[keep]], core2[bi[keep]]), d2[keep]
+        )
+        order = np.lexsort((eb, ea, w))
+        ea, eb, w = ea[order], eb[order], w[order]
+        parent: dict = {}
+
+        def find(v):
+            parent.setdefault(v, v)
+            r = v
+            while parent[r] != r:
+                r = parent[r]
+            while parent[v] != r:
+                parent[v], v = r, parent[v]
+            return r
+
+        acc = np.zeros(len(ea), dtype=bool)
+        for i in range(len(ea)):
+            ra, rb = find(int(ea[i])), find(int(eb[i]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+                acc[i] = True
+        comp = np.array(
+            [find(int(x)) for x in ea[acc]], dtype=np.int64
+        )
+        yield pd.DataFrame(
+            {"a": ea[acc], "b": eb[acc], "w": w[acc], "comp": comp}
+        )
+
+    return canon.select("vec_a", "vec_b", "d2").coalesce(1).mapInPandas(
+        work, "a long, b long, w long, comp long"
+    )
+
+
 def hdbscan_condense(
     mst: DataFrame, min_cluster_size: int = 3
 ) -> DataFrame:

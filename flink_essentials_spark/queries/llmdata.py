@@ -8108,10 +8108,12 @@ def q_hdbscan_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_blocks=auto_blocks(n_rows),
         n_rows_hint=n_rows,
     )
-    return _hdbscan_embed_from_canon(canon)
+    return _hdbscan_embed_from_canon(canon, n_rows_hint=n_rows)
 
 
-def _hdbscan_embed_from_canon(canon: DataFrame) -> DataFrame:
+def _hdbscan_embed_from_canon(
+    canon: DataFrame, n_rows_hint: int | None = None
+) -> DataFrame:
     """Shared HDBSCAN tail over a canonical eps-pair table
     (vec_a < vec_b, exact d2): symmetrize, core2 = (k−1)-th smallest
     neighbor d², mutual-reachability edges, Borůvka MSF, condensed
@@ -8121,9 +8123,28 @@ def _hdbscan_embed_from_canon(canon: DataFrame) -> DataFrame:
     from flink_essentials_spark.functions.graph import (
         boruvka_mst,
         hdbscan_condense,
+        hdbscan_mst_from_canon_single_task,
         mr_edges_from_pairs,
     )
+    from flink_essentials_spark.functions.similarity import (
+        EPS_SINGLE_TASK_ROWS,
+    )
 
+    if (
+        n_rows_hint is not None
+        and 0 < n_rows_hint <= EPS_SINGLE_TASK_ROWS
+    ):
+        # corpus under the eps bound ⇒ the pair table is bounded by
+        # construction: core2 + mutual reachability + Kruskal run in
+        # one Arrow task (r14; pinned equal to the Borůvka path)
+        mst = hdbscan_mst_from_canon_single_task(canon, HDBSCAN_EMBED_K)
+        return hdbscan_condense(mst, HDBSCAN_EMBED_MIN).select(
+            F.col("pid").alias("vec_id"),
+            "label",
+            "w_fall",
+            "n_members",
+            "stability",
+        )
     pairs = (
         canon.select(
             F.col("vec_a").alias("pid"), F.col("vec_b").alias("qid"), "d2"
@@ -8226,14 +8247,15 @@ def q_hdbscan_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.tables import table_rows
 
     emb = load_tables(spark, sf_dir)["embeddings"]
+    n_rows = table_rows(sf_dir, "embeddings")
     canon = simhash_eps_pairs(
         emb,
         HDBSCAN_EMBED_EPS2,
         num_tables=HDBSCAN_ANN_TABLES,
         bits=HDBSCAN_ANN_BITS,
-        n_rows_hint=table_rows(sf_dir, "embeddings"),
+        n_rows_hint=n_rows,
     )
-    return _hdbscan_embed_from_canon(canon)
+    return _hdbscan_embed_from_canon(canon, n_rows_hint=n_rows)
 
 
 def _simhash_cand_ctes(

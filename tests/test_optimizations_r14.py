@@ -732,3 +732,55 @@ def test_peak_concurrency_single_task_equals_banded(spark):
         )
     )
     assert fast == slow
+
+
+def test_mst_from_canon_single_task_equals_boruvka(spark):
+    """The canon-pair-table MST twin (core2 + mutual reachability +
+    Kruskal in one task) must equal the pairs/core/Borůvka pipeline
+    edge for edge on the embed-family eps-graph."""
+    import flink_essentials_spark.functions.graph as g
+    import flink_essentials_spark.queries.llmdata as llm
+    from flink_essentials_spark.functions.similarity import (
+        auto_blocks,
+        euclid_eps_pairs,
+    )
+    from flink_essentials_spark.tables import load_tables, table_rows
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_tables(spark, sf)["embeddings"]
+    n = table_rows(sf, "embeddings")
+    canon = euclid_eps_pairs(
+        emb, llm.HDBSCAN_EMBED_EPS2, num_blocks=auto_blocks(n), n_rows_hint=n
+    ).localCheckpoint()
+    fast = _rows(
+        g.hdbscan_mst_from_canon_single_task(canon, llm.HDBSCAN_EMBED_K)
+    )
+    pairs = (
+        canon.select(
+            F.col("vec_a").alias("pid"), F.col("vec_b").alias("qid"), "d2"
+        )
+        .unionByName(
+            canon.select(
+                F.col("vec_b").alias("pid"),
+                F.col("vec_a").alias("qid"),
+                "d2",
+            )
+        )
+        .localCheckpoint()
+    )
+    core = (
+        pairs.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_eps"),
+            F.sort_array(F.collect_list("d2")).alias("__ds"),
+        )
+        .filter(F.col("n_eps") >= llm.HDBSCAN_EMBED_K - 1)
+        .select(
+            "pid",
+            F.element_at("__ds", llm.HDBSCAN_EMBED_K - 1)
+            .cast("long")
+            .alias("core2"),
+        )
+    )
+    slow = _rows(g.boruvka_mst(g.mr_edges_from_pairs(pairs, core)))
+    assert fast == slow
