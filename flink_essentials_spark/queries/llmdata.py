@@ -6365,23 +6365,20 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit with no rounding anywhere."""
     from flink_essentials_spark.functions.graph import label_propagation
 
-    pairs = _trade_pairs(spark, sf_dir)
-    sym = pairs.select(
+    pairs = _trade_pairs(spark, sf_dir).select(
         F.col("cust").alias("src"),
         (F.col("supp") + F.lit(1000000000)).alias("dst"),
         "cnt",
-    ).unionAll(
-        pairs.select(
-            (F.col("supp") + F.lit(1000000000)).alias("src"),
-            F.col("cust").alias("dst"),
-            "cnt",
-        )
     )
+    # symmetrize=True duplicates directions inside the operator (in
+    # the worker for the single-task twin — half the Arrow transfer
+    # of a Spark-side union; r14)
     return label_propagation(
-        sym,
+        pairs,
         iterations=3,
         weight_col="cnt",
         n_edges_hint=2 * _trade_pairs_rows(spark, sf_dir),
+        symmetrize=True,
     )
 
 
