@@ -413,6 +413,7 @@ def _pagerank_single_task(
     src: str,
     dst: str,
     weight_col: str | None,
+    symmetrize: bool = False,
 ) -> DataFrame:
     """Bounded single-task twin of :func:`pagerank` for INTEGER node
     ids: the identical unnormalized recurrence — node set = distinct
@@ -440,6 +441,9 @@ def _pagerank_single_task(
         s = np.concatenate(ss)
         t = np.concatenate(ds)
         w = np.concatenate(ws)
+        if symmetrize:
+            s, t = np.r_[s, t], np.r_[t, s]
+            w = np.r_[w, w]
         nodes = np.unique(s)
         n = len(nodes)
         si = np.searchsorted(nodes, s)
@@ -473,6 +477,7 @@ def pagerank(
     dst: str = "dst",
     weight_col: str | None = None,
     n_edges_hint: int | None = None,
+    symmetrize: bool = False,
 ) -> DataFrame:
     """Fixed-iteration weighted PageRank over an edge DataFrame —
     crawl-frontier / link-authority scoring for a web-corpus pipeline
@@ -520,12 +525,18 @@ def pagerank(
         and 0 < n_edges_hint <= GRAPH_SINGLE_TASK_EDGES
     ):
         return _pagerank_single_task(
-            edges, iterations, damping, src, dst, weight_col
+            edges, iterations, damping, src, dst, weight_col, symmetrize
         )
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     )
+    if symmetrize:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
     outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     we = e.join(outw, "src").localCheckpoint()
     ranks = we.select("src").distinct().select(
@@ -571,6 +582,7 @@ def _personalized_pagerank_single_task(
     src: str,
     dst: str,
     weight_col: str | None,
+    symmetrize: bool = False,
 ) -> DataFrame:
     """Bounded single-task twin of :func:`personalized_pagerank`:
     the identical sparse recurrence replayed densely over the node
@@ -603,6 +615,9 @@ def _personalized_pagerank_single_task(
         es = np.concatenate(srcs)
         ed = np.concatenate(dsts)
         ew = np.concatenate(ws)
+        if symmetrize:
+            es, ed = np.r_[es, ed], np.r_[ed, es]
+            ew = np.r_[ew, ew]
         nodes = np.unique(np.concatenate([es, ed]))
         si = np.searchsorted(nodes, es)
         di = np.searchsorted(nodes, ed)
@@ -659,6 +674,7 @@ def personalized_pagerank(
     dst: str = "dst",
     weight_col: str | None = None,
     n_edges_hint: int | None = None,
+    symmetrize: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PERSONALIZED PageRank (Page et al. 1999 §6 /
     Haveliwala WWW 2002, topic-sensitive PageRank): the restart
@@ -690,13 +706,20 @@ def personalized_pagerank(
         and 0 < n_edges_hint <= GRAPH_SINGLE_TASK_EDGES
     ):
         return _personalized_pagerank_single_task(
-            edges, seeds, iterations, damping, src, dst, weight_col
+            edges, seeds, iterations, damping, src, dst, weight_col,
+            symmetrize,
         )
     spark = edges.sparkSession
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     )
+    if symmetrize:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
     outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     we = e.join(outw, "src").localCheckpoint()
     restart = spark.createDataFrame(

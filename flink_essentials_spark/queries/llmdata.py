@@ -2419,15 +2419,14 @@ def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _trade_pairs(spark, sf_dir)
     c = F.col("cust")
     s = F.col("supp") + 1000000000  # disjoint node-id namespaces
-    edges = pairs.select(c.alias("src"), s.alias("dst"), "cnt").unionByName(
-        pairs.select(s.alias("src"), c.alias("dst"), "cnt")
-    )
+    edges = pairs.select(c.alias("src"), s.alias("dst"), "cnt")
     ranks = graph.pagerank(
         edges,
         iterations=3,
         damping=0.85,
         weight_col="cnt",
         n_edges_hint=2 * _trade_pairs_rows(spark, sf_dir),
+        symmetrize=True,  # directions duplicated inside the operator
     )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
@@ -2485,26 +2484,52 @@ def q_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.functions import graph
 
     pairs = _trade_pairs(spark, sf_dir)
-    seeds = [
-        int(r.cust)
-        for r in pairs.select("cust")
-        .distinct()
-        .orderBy("cust")
-        .limit(PPR_SEED_COUNT)
-        .collect()
-    ]
+    n_store = _trade_pairs_rows(spark, sf_dir)
+    if n_store <= graph.GRAPH_SINGLE_TASK_EDGES:
+        # bounded store: the k lowest cust ids come off the store's
+        # cust column driver-side (pyarrow, ~ms) instead of a Spark
+        # distinct+sort job (r14); above the bound the distributed
+        # argmin runs as before
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        path = _TRADE_STORE[
+            (
+                sf_dir,
+                _table_fingerprint(sf_dir, "lineitem"),
+                _table_fingerprint(sf_dir, "orders"),
+            )
+        ]
+        custs = np.concatenate(
+            [
+                pq.read_table(
+                    os.path.join(path, f), columns=["cust"]
+                )["cust"].to_numpy()
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        )
+        seeds = [int(v) for v in np.unique(custs)[:PPR_SEED_COUNT]]
+    else:
+        seeds = [
+            int(r.cust)
+            for r in pairs.select("cust")
+            .distinct()
+            .orderBy("cust")
+            .limit(PPR_SEED_COUNT)
+            .collect()
+        ]
     c = F.col("cust")
     s = F.col("supp") + 1000000000
-    edges = pairs.select(c.alias("src"), s.alias("dst"), "cnt").unionByName(
-        pairs.select(s.alias("src"), c.alias("dst"), "cnt")
-    )
+    edges = pairs.select(c.alias("src"), s.alias("dst"), "cnt")
     p = graph.personalized_pagerank(
         edges,
         seeds,
         iterations=3,
         damping=0.85,
         weight_col="cnt",
-        n_edges_hint=2 * _trade_pairs_rows(spark, sf_dir),
+        n_edges_hint=2 * n_store,
+        symmetrize=True,
     )
     return p.select("seed", "node", F.round("rank", 6).alias("ppr"))
 
