@@ -16,6 +16,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from flink_essentials_spark.routing import single_task_ok
+
+# Distinct-item-cardinality cap for the dense I*I pair-count bincount
+# the single-task twins allocate: the row-count gate bounds ROWS, not
+# item cardinality, and a row-bounded but high-cardinality input would
+# attempt an arbitrarily large worker allocation (r14 advice). 4096²
+# int64 = 128 MiB — comfortably one task; beyond it the caller must
+# take the distributed plan (drop n_rows_hint).
+ASSOC_SINGLE_TASK_ITEMS = 4096
+
+
+def _check_item_cap(n_items: int, what: str) -> None:
+    if n_items > ASSOC_SINGLE_TASK_ITEMS:
+        raise ValueError(
+            f"{what}: distinct item cardinality {n_items} exceeds the "
+            f"single-task pair-count cap ({ASSOC_SINGLE_TASK_ITEMS}); "
+            "the dense I*I bincount would allocate "
+            f"{n_items * n_items * 8 / 2**30:.1f} GiB in one worker — "
+            "run the distributed plan instead (call without n_rows_hint)"
+        )
+
 
 def pareto_front(
     points: DataFrame,
@@ -125,6 +146,7 @@ def _association_rules_single_task(
         ubk, bcode = np.unique(bk, return_inverse=True)
         uit, icode = np.unique(it, return_inverse=True)
         I = len(uit)
+        _check_item_cap(I, "association_rules single-task twin")
         u = np.unique(bcode.astype(np.int64) * I + icode)
         b_bk, b_it = u // I, u % I
         n_b = len(np.unique(b_bk))
@@ -222,10 +244,7 @@ def association_rules(
 
     fr = Fraction(str(min_support))
     num, den = fr.numerator, fr.denominator
-    if (
-        n_rows_hint is not None
-        and 0 < n_rows_hint <= ASSOC_SINGLE_TASK_ROWS
-    ):
+    if single_task_ok(n_rows_hint, ASSOC_SINGLE_TASK_ROWS):
         return _association_rules_single_task(
             baskets, basket_col, item_col, num, den, min_confidence
         )
@@ -423,6 +442,18 @@ def _greedy_coverage_single_task(
             return
         g = np.concatenate(gs)
         it = np.concatenate(its)
+        # the ROUTING hint is a proxy (callers pass the pre-explode
+        # row count; the distinct (set, item) table here can be
+        # larger) — bound the actual materialized size explicitly
+        # (r14 advice): 2^23 (set, item) rows is a few hundred MB of
+        # string arrays, comfortably one task.
+        if len(g) > (1 << 23):
+            raise ValueError(
+                f"greedy_coverage single-task twin: distinct (set, item) "
+                f"table has {len(g)} rows (> {1 << 23}); the n_rows_hint "
+                "proxy undercounted — run the distributed plan instead "
+                "(call without n_rows_hint)"
+            )
         uit, icode = np.unique(it, return_inverse=True)
         ug, gcode = np.unique(g, return_inverse=True)
         order = np.argsort(gcode, kind="stable")
@@ -486,10 +517,7 @@ def greedy_coverage(
     driver-side argmax pattern, same as codebook training) and the
     covered-item set stays distributed. Returns (rank, set_id,
     marginal_gain, covered_total)."""
-    if (
-        n_rows_hint is not None
-        and 0 < n_rows_hint <= ASSOC_SINGLE_TASK_ROWS
-    ):
+    if single_task_ok(n_rows_hint, ASSOC_SINGLE_TASK_ROWS):
         return _greedy_coverage_single_task(
             pairs.select(
                 F.col(set_col).alias("g"), F.col(item_col).alias("it")
@@ -719,6 +747,7 @@ def _son_frequent_pairs_single_task(
         _, bcode = np.unique(bk, return_inverse=True)
         uit, icode = np.unique(it, return_inverse=True)
         I = len(uit)
+        _check_item_cap(I, "son_frequent_pairs single-task twin")
         u = np.unique(bcode.astype(np.int64) * I + icode)
         b_bk, b_it = u // I, u % I
         n_b = len(np.unique(b_bk))
@@ -792,10 +821,7 @@ def son_frequent_pairs(
     locally-frequent pairs — bytes); pass 2 re-derives pair
     occurrences ONLY for broadcast candidates. Returns
     (item_a, item_b, n_pair, n_baskets) with item_a < item_b."""
-    if (
-        n_rows_hint is not None
-        and 0 < n_rows_hint <= ASSOC_SINGLE_TASK_ROWS
-    ):
+    if single_task_ok(n_rows_hint, ASSOC_SINGLE_TASK_ROWS):
         return _son_frequent_pairs_single_task(
             baskets, basket_col, item_col, num, den
         )

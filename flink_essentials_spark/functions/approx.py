@@ -1703,10 +1703,12 @@ def hll_pair_algebra(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
+    from flink_essentials_spark.routing import single_task_ok
+
     if (
         single_task_bound > 0
         and isinstance(regs.schema["g"].dataType, StringType)
-        and regs.count() <= single_task_bound
+        and single_task_ok(regs.count(), single_task_bound)
     ):
         return _hll_pair_algebra_single_task(regs, p)
 

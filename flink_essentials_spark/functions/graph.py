@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_essentials_spark.routing import single_task_ok
+
 
 def connected_components(
     edges: DataFrame,
@@ -520,9 +522,14 @@ def pagerank(
     twin (r14); the iterate-join ladder below is the above-bound
     shape.
     """
+    from pyspark.sql.types import IntegralType
+
     if (
-        n_edges_hint is not None
-        and 0 < n_edges_hint <= GRAPH_SINGLE_TASK_EDGES
+        single_task_ok(n_edges_hint, GRAPH_SINGLE_TASK_EDGES)
+        # the twin casts node ids to long — integer ids only (string
+        # ids would null out, float ids silently truncate)
+        and isinstance(edges.schema[src].dataType, IntegralType)
+        and isinstance(edges.schema[dst].dataType, IntegralType)
     ):
         return _pagerank_single_task(
             edges, iterations, damping, src, dst, weight_col, symmetrize
@@ -701,9 +708,13 @@ def personalized_pagerank(
     ``GRAPH_SINGLE_TASK_EDGES`` routes to the bounded single-task
     twin (r14); the per-round shuffle ladder below is the above-bound
     shape."""
+    from pyspark.sql.types import IntegralType
+
     if (
-        n_edges_hint is not None
-        and 0 < n_edges_hint <= GRAPH_SINGLE_TASK_EDGES
+        single_task_ok(n_edges_hint, GRAPH_SINGLE_TASK_EDGES)
+        # integer ids only — the twin casts node ids to long
+        and isinstance(edges.schema[src].dataType, IntegralType)
+        and isinstance(edges.schema[dst].dataType, IntegralType)
     ):
         return _personalized_pagerank_single_task(
             edges, seeds, iterations, damping, src, dst, weight_col,
@@ -849,9 +860,13 @@ def hits(
     twin (r14); the half-step join ladder below is the above-bound
     shape.
     """
+    from pyspark.sql.types import IntegralType
+
     if (
-        n_edges_hint is not None
-        and 0 < n_edges_hint <= GRAPH_SINGLE_TASK_EDGES
+        single_task_ok(n_edges_hint, GRAPH_SINGLE_TASK_EDGES)
+        # integer ids only — the twin casts node ids to long
+        and isinstance(edges.schema[src].dataType, IntegralType)
+        and isinstance(edges.schema[dst].dataType, IntegralType)
     ):
         return _hits_single_task(edges, iterations, src, dst)
     e = (
@@ -1054,8 +1069,7 @@ def label_propagation(
     from pyspark.sql.types import IntegralType
 
     if (
-        n_edges_hint is not None
-        and 0 < n_edges_hint <= GRAPH_SINGLE_TASK_EDGES
+        single_task_ok(n_edges_hint, GRAPH_SINGLE_TASK_EDGES)
         and isinstance(edges.schema[src].dataType, IntegralType)
         and isinstance(edges.schema[dst].dataType, IntegralType)
     ):
@@ -1226,7 +1240,7 @@ def dbscan_2d(
     ).localCheckpoint()  # read 3x (probe, build, pts); cut the re-scan
     # count on the checkpointed frame is ~ms; under the bound the
     # whole clustering is one Arrow task (r14)
-    if f.count() <= DBSCAN_SINGLE_TASK_POINTS:
+    if single_task_ok(f.count(), DBSCAN_SINGLE_TASK_POINTS):
         return _dbscan_2d_single_task(f, eps, min_samples).withColumnRenamed(
             "pid", id_col
         )

@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from flink_essentials_spark.routing import single_task_ok
+
 # Deterministic pseudo-random hyperplanes: component j of plane p is
 # derived from a fixed integer hash — reproducible anywhere, no RNG.
 _HP_P = 1073741789
@@ -1639,10 +1641,7 @@ def knn_hubness(
     ``n_rows_hint`` (footer-derived, driver-side) under
     ``EPS_SINGLE_TASK_ROWS`` routes to the bounded single-task twin
     (r14); the blocked path below is the above-bound shape."""
-    if (
-        n_rows_hint is not None
-        and 0 < n_rows_hint <= EPS_SINGLE_TASK_ROWS
-    ):
+    if single_task_ok(n_rows_hint, EPS_SINGLE_TASK_ROWS):
         return _knn_hubness_single_task(
             df, int(k), id_col, vec_col, levels, sample_hex
         )
@@ -1929,10 +1928,7 @@ def euclid_eps_pairs(
     ``n_rows_hint`` (footer-derived, driver-side) under
     ``EPS_SINGLE_TASK_ROWS`` routes to the bounded single-task twin
     (r14); the blocked path below is the above-bound shape."""
-    if (
-        n_rows_hint is not None
-        and 0 < n_rows_hint <= EPS_SINGLE_TASK_ROWS
-    ):
+    if single_task_ok(n_rows_hint, EPS_SINGLE_TASK_ROWS):
         return _euclid_eps_pairs_single_task(
             df, eps2, id_col, vec_col, scale
         )
@@ -2254,10 +2250,7 @@ def simhash_eps_pairs(
     import numpy as np
     import pandas as pd
 
-    if (
-        n_rows_hint is not None
-        and 0 < n_rows_hint <= EPS_SINGLE_TASK_ROWS
-    ):
+    if single_task_ok(n_rows_hint, EPS_SINGLE_TASK_ROWS):
         return _simhash_eps_pairs_single_task(
             df, eps2, id_col, vec_col, scale, num_tables, bits, dim, seed
         )
@@ -2656,10 +2649,7 @@ def kmeans_pp_stats(
     import numpy as np
     import pandas as pd
 
-    if (
-        n_rows_hint is not None
-        and 0 < n_rows_hint <= KMEANS_SINGLE_TASK_ROWS
-    ):
+    if single_task_ok(n_rows_hint, KMEANS_SINGLE_TASK_ROWS):
         return _kmeans_pp_single_task(
             corpus, k, iters, id_col, vec_col, scale, seed_tag, dim_hint
         )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from flink_essentials_spark.functions import dedup, multimodal, similarity, text
 from flink_essentials_spark.functions.dedup import MINHASH_P, MINHASH_SEEDS
 from flink_essentials_spark.tables import load_tables
+from flink_essentials_spark.routing import single_task_ok
 
 # SQL building blocks shared by oracles
 _SQL_TOKENS = r"list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '')"
@@ -2485,7 +2486,7 @@ def q_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _trade_pairs(spark, sf_dir)
     n_store = _trade_pairs_rows(spark, sf_dir)
-    if n_store <= graph.GRAPH_SINGLE_TASK_EDGES:
+    if single_task_ok(n_store, graph.GRAPH_SINGLE_TASK_EDGES):
         # bounded store: the k lowest cust ids come off the store's
         # cust column driver-side (pyarrow, ~ms) instead of a Spark
         # distinct+sort job (r14); above the bound the distributed
@@ -3315,7 +3316,18 @@ def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t["events"].select(
         "user_id", F.timestamp_millis(compressed).alias("cts")
     )
-    return capped_sessions(ev, "user_id", "cts", 1800000, 7200000)
+    from flink_essentials_spark.tables import table_rows
+
+    return capped_sessions(
+        ev,
+        "user_id",
+        "cts",
+        1800000,
+        7200000,
+        # footer-derived row count → data-derived bucket count (r14
+        # verdict item 2: the fixed 64 was a per-task-memory hazard)
+        n_rows_hint=table_rows(sf_dir, "events"),
+    )
 
 
 Q_CAPPED_SESSIONS_SQL = """
@@ -5607,7 +5619,7 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_essentials_spark.tables import table_rows
 
-    if table_rows(sf_dir, "documents") <= KMV_SINGLE_TASK_DOCS:
+    if single_task_ok(table_rows(sf_dir, "documents"), KMV_SINGLE_TASK_DOCS):
         return _kmv_set_ops_single_task(bi)
     # ONE ranked hash table serves both passes: the bottom-128 sketch is
     # a filter of the k=2^40 (untrimmed) ranking, and pair_estimates
@@ -6834,8 +6846,12 @@ def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "t",
         k=3,
-        # documents-row footer hint: the distinct (source, trigram)
-        # table is vocabulary-bounded, far under the row bound (r14)
+        # documents-row footer hint — an explicit PROXY: the real
+        # gated quantity is the distinct (source, trigram) table,
+        # which the closed ~31-word corpus vocabulary bounds at
+        # sources × trigram-vocab (≪ the row bound); the twin itself
+        # re-checks the materialized size and raises an actionable
+        # error if the proxy ever undercounts (r14 advice)
         n_rows_hint=table_rows(sf_dir, "documents"),
     )
 
@@ -7858,7 +7874,7 @@ def _hdbscan_mst_2d(
         hdbscan_mst_2d_single_task,
     )
 
-    if _cluster_store_rows(spark, sf_dir) <= DBSCAN_SINGLE_TASK_POINTS:
+    if single_task_ok(_cluster_store_rows(spark, sf_dir), DBSCAN_SINGLE_TASK_POINTS):
         return hdbscan_mst_2d_single_task(
             pts, "user_id", "x", "y", eps=4, k=5
         )
@@ -8152,10 +8168,7 @@ def _hdbscan_embed_from_canon(
         EPS_SINGLE_TASK_ROWS,
     )
 
-    if (
-        n_rows_hint is not None
-        and 0 < n_rows_hint <= EPS_SINGLE_TASK_ROWS
-    ):
+    if single_task_ok(n_rows_hint, EPS_SINGLE_TASK_ROWS):
         # corpus under the eps bound ⇒ the pair table is bounded by
         # construction: core2 + mutual reachability + Kruskal run in
         # one Arrow task (r14; pinned equal to the Borůvka path)
@@ -9967,7 +9980,7 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.tables import table_rows
 
     docs = load_tables(spark, sf_dir)["documents"]
-    if table_rows(sf_dir, "documents") <= CHRF_SINGLE_TASK_ROWS:
+    if single_task_ok(table_rows(sf_dir, "documents"), CHRF_SINGLE_TASK_ROWS):
         return _bleu_pairs_single_task(docs)
     s = docs.agg(F.countDistinct("source").alias("S"))
     toks = docs.select(
@@ -10227,7 +10240,7 @@ def q_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.tables import table_rows
 
     docs = load_tables(spark, sf_dir)["documents"]
-    if table_rows(sf_dir, "documents") <= CHRF_SINGLE_TASK_ROWS:
+    if single_task_ok(table_rows(sf_dir, "documents"), CHRF_SINGLE_TASK_ROWS):
         return _chrf_pairs_single_task(docs)
     s = docs.agg(F.countDistinct("source").alias("S"))
     chars = docs.select(
@@ -10532,7 +10545,7 @@ def q_mondrian_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint()
     )
-    if cells.count() <= MONDRIAN_CELL_BOUND:
+    if single_task_ok(cells.count(), MONDRIAN_CELL_BOUND):
         return _mondrian_cells_ladder(cells, k, rounds)
     rows = cust.select(
         F.col("c_custkey").alias("id"),
@@ -11171,7 +11184,7 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"].select(
         "event_type", F.unix_millis(F.col("ts")).alias("t")
     )
-    if table_rows(sf_dir, "events") <= (1 << 20):
+    if single_task_ok(table_rows(sf_dir, "events"), 1 << 20):
         return _peak_concurrency_single_task(ev)
     pts = ev.select(
         "event_type", F.lit(True).alias("is_start"), F.col("t").alias("v")
@@ -14052,6 +14065,13 @@ def _slope_one_devs_single_task(tp: DataFrame) -> DataFrame:
         cust, supp, r = cust[order], supp[order], r[order]
         uniq_s, sidx = np.unique(supp, return_inverse=True)
         S = len(uniq_s)
+        # the dense S*S cells below are gated by ROWS, not supplier
+        # cardinality — cap the allocation explicitly (r14 advice)
+        from flink_essentials_spark.functions.analytics import (
+            _check_item_cap,
+        )
+
+        _check_item_cap(S, "slope_one_devs single-task twin")
         n = len(cust)
         starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
         sizes = np.diff(np.r_[starts, n])
@@ -14130,7 +14150,7 @@ def q_slope_one_devs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path unchanged above the bound. Pinned equal by test."""
     from flink_essentials_spark.functions.timeseries import banded_rank
 
-    if _trade_pairs_rows(spark, sf_dir) <= SLOPE_ONE_SINGLE_TASK_ROWS:
+    if single_task_ok(_trade_pairs_rows(spark, sf_dir), SLOPE_ONE_SINGLE_TASK_ROWS):
         return _slope_one_devs_single_task(_trade_pairs(spark, sf_dir))
     tp = _trade_pairs(spark, sf_dir)
     a = tp.select(

@@ -1,0 +1,123 @@
+"""Focused tests for the r15 OPTIMIZATION-round internal changes.
+
+The r15 round's headline measurement fix is the FES_FORCE_DISTRIBUTED
+routing override (flink_essentials_spark/routing.py): every bounded
+single-task twin gate goes through routing.single_task_ok, and setting
+the env var re-routes every gated family to its distributed member so
+the 100 TB code paths are measurable again. These tests pin:
+
+- the override actually flips routing (unit + an end-to-end query
+  whose results must be IDENTICAL under both routes);
+- capped_sessions' bucket count is data-derived (r14 verdict item 2:
+  the fixed 64 was a per-task-memory hazard at scale);
+- the dense-allocation guards from the r14 advice (item-cardinality
+  cap in the association/SON/slope-one twins, the greedy_coverage
+  materialized-size re-check, the IntegralType guard on the
+  pagerank/hits/ppr twin routes).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_single_task_ok_unit(monkeypatch):
+    from flink_essentials_spark import routing
+
+    monkeypatch.delenv("FES_FORCE_DISTRIBUTED", raising=False)
+    assert routing.single_task_ok(10, 100)
+    assert not routing.single_task_ok(101, 100)
+    assert not routing.single_task_ok(None, 100)
+    assert not routing.single_task_ok(0, 100)
+    monkeypatch.setenv("FES_FORCE_DISTRIBUTED", "1")
+    assert routing.force_distributed()
+    assert not routing.single_task_ok(10, 100)
+    monkeypatch.setenv("FES_FORCE_DISTRIBUTED", "0")
+    assert not routing.force_distributed()
+    assert routing.single_task_ok(10, 100)
+
+
+def test_force_distributed_identical_results(spark, monkeypatch):
+    """End-to-end: a twin-gated query must produce IDENTICAL rows with
+    the override on and off (on = distributed ladder, off = single-task
+    twin at this SF). peak_concurrency is the cheapest gated family."""
+    import flink_essentials_spark.queries.llmdata as llm
+
+    monkeypatch.delenv("FES_FORCE_DISTRIBUTED", raising=False)
+    fast = _rows(llm.q_peak_concurrency(spark, SF_DIR))
+    monkeypatch.setenv("FES_FORCE_DISTRIBUTED", "1")
+    slow = _rows(llm.q_peak_concurrency(spark, SF_DIR))
+    assert fast == slow and len(fast) > 0
+
+
+def test_capped_session_buckets_data_derived():
+    from flink_essentials_spark.operators.windows import (
+        CAPPED_SESSION_ROWS_PER_BUCKET,
+        capped_session_buckets,
+    )
+
+    # no hint → the 64 floor (local default, keeps partitions even)
+    assert capped_session_buckets(None) == 64
+    assert capped_session_buckets(0) == 64
+    # under the floor's capacity → still the floor
+    assert capped_session_buckets(63 * CAPPED_SESSION_ROWS_PER_BUCKET) == 64
+    # at scale the count grows so one bucket never exceeds the per-task
+    # row cap (the r14 hazard: fixed 64 ⇒ n/64 rows per task)
+    n = 100 * CAPPED_SESSION_ROWS_PER_BUCKET + 1
+    b = capped_session_buckets(n)
+    assert b == 101 and -(-n // b) <= CAPPED_SESSION_ROWS_PER_BUCKET
+
+
+def test_capped_sessions_explicit_buckets_still_win(spark):
+    """An explicit num_buckets bypasses the derivation (API compat)."""
+    import pandas as pd
+
+    from flink_essentials_spark.operators.windows import capped_sessions
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 2],
+                "ts": pd.to_datetime([0, 10_000, 5_000], unit="ms", utc=True),
+            }
+        )
+    )
+    a = _rows(capped_sessions(df, "user_id", "ts", 60_000, 120_000,
+                              num_buckets=3))
+    b = _rows(capped_sessions(df, "user_id", "ts", 60_000, 120_000,
+                              n_rows_hint=3))
+    assert a == b and len(a) == 2
+
+
+def test_item_cardinality_cap_raises():
+    from flink_essentials_spark.functions.analytics import (
+        ASSOC_SINGLE_TASK_ITEMS,
+        _check_item_cap,
+    )
+
+    _check_item_cap(ASSOC_SINGLE_TASK_ITEMS, "ok")  # at cap: fine
+    with pytest.raises(ValueError, match="distributed plan"):
+        _check_item_cap(ASSOC_SINGLE_TASK_ITEMS + 1, "over")
+
+
+def test_pagerank_string_ids_take_distributed_path(spark):
+    """String node ids with a small n_edges_hint must NOT route to the
+    long-casting twin (r14 advice: the cast would null them out); the
+    distributed ladder handles any id type."""
+    import flink_essentials_spark.functions.graph as g
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    out = g.pagerank(e, iterations=2, n_edges_hint=3)
+    rows = _rows(out.select("node", F.round("rank", 6).alias("rank")))
+    assert len(rows) == 3 and {r[0] for r in rows} == {"a", "b", "c"}
+    h = g.hits(e, iterations=1, n_edges_hint=3)
+    assert h.count() == 3
