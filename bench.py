@@ -287,14 +287,38 @@ def sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _parse_only(argv: list[str]) -> list[str]:
+# The 10 heaviest twin-gated families (r15, VERDICT r14 item 1): the
+# default subset for `--distributed`, so the 100 TB ladders the
+# single-task twins shadow at test SFs get a measured number each round.
+DISTRIBUTED_SUBSET = [
+    "chrf_pairs",
+    "slope_one_devs",
+    "kmeans_pp",
+    "mondrian_anon",
+    "hdbscan_embed",
+    "kmv_set_ops",
+    "knn_hubness",
+    "association_rules",
+    "peak_concurrency",
+    "lpa_communities",
+]
+
+
+def _parse_args(argv: list[str]) -> tuple[list[str], bool]:
     """`--only a,b` / `--only=a,b` (repeatable) — bench just that subset
     under the SAME warm-up + timing + output contract. Purpose (r8
     verdict #3): adjudicating one steal-phantom row took two full
     10-minute re-runs; an isolate mode makes it a ~30-second check for
     driver, judge and builder alike. Accepts any registry query name,
-    not only HEADLINE rows."""
+    not only HEADLINE rows.
+
+    `--distributed` (r15, VERDICT r14 item 1): set FES_FORCE_DISTRIBUTED
+    so every bounded single-task twin routes to its DISTRIBUTED member,
+    and bench DISTRIBUTED_SUBSET (or the --only subset) — the ladders
+    are otherwise invisible at test SFs. Results are twin-identical
+    (pinned by tests); only the physical form changes."""
     names: list[str] = []
+    distributed = False
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -304,12 +328,19 @@ def _parse_only(argv: list[str]) -> list[str]:
         elif a.startswith("--only="):
             names.extend(x for x in a.split("=", 1)[1].split(",") if x)
             i += 1
+        elif a == "--distributed":
+            distributed = True
+            i += 1
         else:
-            sys.exit(f"usage: bench.py [--only name1,name2]  (got {a!r})")
+            sys.exit(
+                f"usage: bench.py [--only name1,name2] [--distributed]  (got {a!r})"
+            )
+    if distributed and not names:
+        names = list(DISTRIBUTED_SUBSET)
     unknown = [n for n in names if n not in ALL_QUERIES]
     if unknown:
         sys.exit(f"unknown queries: {unknown}")
-    return names
+    return names, distributed
 
 
 def _steal_ticks() -> int:
@@ -347,8 +378,10 @@ def _wait_for_calm(
 
 
 def main() -> None:
-    only = _parse_only(sys.argv[1:])
+    only, distributed = _parse_args(sys.argv[1:])
     bench_list = only if only else HEADLINE
+    if distributed:
+        os.environ["FES_FORCE_DISTRIBUTED"] = "1"
     spark = get_spark("bench")
     # r14 (r13 verdict #3): give the RAW headline itself a chance to
     # be storm-free — three consecutive driver artifacts started
@@ -538,6 +571,8 @@ def main() -> None:
         "queries": timings,
         "query_steal_s": query_steal,
     }
+    if distributed:
+        detail["distributed"] = True
     if adjudicated:
         detail["adjudicated"] = adjudicated
         # flagged rows whose adjudication got a certified-clean slot
@@ -566,10 +601,26 @@ def main() -> None:
         "value_adj": adj_total,
         "steal_flagged": steal_flagged,
     }
+    if distributed:
+        record["distributed"] = True
     if failures:
         record["failed"] = sorted(failures)
-    line = json.dumps(record)
+    # size-capped per-query map in the FINAL line (r15, VERDICT r14
+    # item 7): the driver keeps only a 2 kB stdout tail, so the full
+    # detail line above never reaches PERF_*; publishing the top rows
+    # by adjudicated time here gives PERF a per-query channel (and the
+    # scaling block data) within the tail-capture contract.
+    eff = {n: adjudicated.get(n, t) for n, t in timings.items()}
+    by_cost = sorted(eff, key=lambda n: -eff[n])
+    for n_top in (40, 25, 15, 8, 0):
+        record["per_query"] = {
+            n: round(eff[n], 2) for n in by_cost[:n_top]
+        }
+        line = json.dumps(record)
+        if len(line) <= 1500:
+            break
     if len(line) > 1500:  # keep the tail-capture contract unconditionally
+        record.pop("per_query", None)
         record.pop("steal_flagged", None)
         record["steal_flagged_n"] = len(steal_flagged)
         line = json.dumps(record)

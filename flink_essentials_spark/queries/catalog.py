@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_essentials_spark.queries import dataflow, llmdata, relational
-from flink_essentials_spark.tables import load_tables, ts_bounds_ms
+from flink_essentials_spark.tables import load_tables, table_rows, ts_bounds_ms
 
 
 @dataclass(frozen=True)
@@ -28,13 +28,33 @@ class Query:
 
 
 def _replay_dir() -> str:
-    """mkdtemp for a streaming replay dir, registered in the shared
+    """mkdtemp for a streaming replay dir on fast scratch storage
+    (r15: replay files are written once and re-listed/read every
+    micro-batch — memory-backed scratch takes that I/O off the per-
+    batch path; FES_SCRATCH_DIR overrides), registered in the shared
     llmdata._STORE_ROOTS atexit set (r12-ADVICE: repeated bench runs
     were accumulating sf-sized replay copies in /tmp; now every replay
     dir is rmtree'd at interpreter exit like the materialized stores)."""
-    root = tempfile.mkdtemp(prefix="fes_replay_")
+    from flink_essentials_spark.scratch import scratch_dir
+
+    root = scratch_dir("fes_replay_")
     llmdata._STORE_ROOTS.add(root)
     return root
+
+
+def _stream_shuffle_parts(
+    spark: SparkSession, rows_per_batch: int, target: int = 1 << 16
+) -> str:
+    """Data-adaptive shuffle-partition count for a streaming replay
+    query (guide §2.5): the stateful-operator partition count is fixed
+    at first batch by this conf, and EVERY partition pays a state-store
+    load/commit per micro-batch, so oversizing it is a per-batch tax
+    (measured r15: streaming_join_rollup 7.0 s at 8 parts → 5.3 s at
+    2 at sf0.1) while undersizing it caps throughput at scale. Size
+    from the replayed volume — ~``target`` rows per partition per
+    batch, clamped to [2, defaultParallelism]."""
+    need = -(-int(rows_per_batch) // target)
+    return str(max(2, min(spark.sparkContext.defaultParallelism, need)))
 
 
 def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,10 +277,18 @@ def _streaming_interval_join_sink(
         ).first()
         b = (bounds["lo"], bounds["hi"])
     lo, hi = b
+    # TWO time-range buckets (was 3, r15): the minimum that still
+    # replays time-ordered with live state eviction between data
+    # batches — every micro-batch pays ~1 s of planning + stateful-
+    # operator state-store commits regardless of its data (measured:
+    # 4-row sentinel batches cost ~0.8 s addBatch each), so batch
+    # count is the dominant term; the disjoint-increasing-range
+    # losslessness argument is per-boundary and bucket-count-free,
+    # and the final set is watermark-flush-identical (oracle)
     bucket = F.least(
-        F.lit(2),
+        F.lit(1),
         F.floor(
-            (F.unix_millis("ts") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)
+            (F.unix_millis("ts") - F.lit(lo)) * 2 / F.lit(hi - lo + 1)
         ).cast("int"),
     )
     replay_dir = _replay_dir()
@@ -270,7 +298,7 @@ def _streaming_interval_join_sink(
     )
     base_mtime = _time.time() - 3600
     nxt = 0
-    for i in range(3):
+    for i in range(2):
         for f in sorted(_glob.glob(os.path.join(stage_dir, f"b={i}", "*.parquet"))):
             dst = os.path.join(replay_dir, f"{nxt:04d}.parquet")
             os.rename(f, dst)
@@ -327,7 +355,11 @@ def _streaming_interval_join_sink(
     )
     name = "soj_" + uuid.uuid4().hex[:8]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        # ~half the events per data batch (2 range buckets)
+        _stream_shuffle_parts(spark, table_rows(sf_dir, "events") // 2),
+    )
     try:
         return run_to_memory(spark, out, name, output_mode="append").filter(
             F.col("user_id") >= 0
@@ -414,10 +446,18 @@ def q_streaming_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
         b = (bounds["lo"], bounds["hi"])
     lo, hi = b
+    # TWO time-range buckets (was 3, r15): the minimum that still
+    # replays time-ordered with live state eviction between data
+    # batches — every micro-batch pays ~1 s of planning + stateful-
+    # operator state-store commits regardless of its data (measured:
+    # 4-row sentinel batches cost ~0.8 s addBatch each), so batch
+    # count is the dominant term; the disjoint-increasing-range
+    # losslessness argument is per-boundary and bucket-count-free,
+    # and the final set is watermark-flush-identical (oracle)
     bucket = F.least(
-        F.lit(2),
+        F.lit(1),
         F.floor(
-            (F.unix_millis("ts") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)
+            (F.unix_millis("ts") - F.lit(lo)) * 2 / F.lit(hi - lo + 1)
         ).cast("int"),
     )
     replay_dir = _replay_dir()
@@ -427,7 +467,7 @@ def q_streaming_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base_mtime = _time.time() - 3600
     nxt = 0
-    for i in range(3):
+    for i in range(2):
         for f in sorted(_glob.glob(os.path.join(stage_dir, f"b={i}", "*.parquet"))):
             dst = os.path.join(replay_dir, f"{nxt:04d}.parquet")
             os.rename(f, dst)
@@ -484,7 +524,11 @@ def q_streaming_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_nd = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        # ~half the events per data batch (2 range buckets)
+        _stream_shuffle_parts(spark, table_rows(sf_dir, "events") // 2),
+    )
     # no timers in this pipeline: join eviction and window emission
     # both happen on watermark enforcement during DATA batches (the
     # second sentinel exists precisely to be that batch), so the
@@ -681,9 +725,13 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
         b = (bounds["lo"], bounds["hi"])
     lo, hi = b
+    # TWO time-range buckets (was 3, r15): batch count dominates the
+    # per-run cost (planning + per-partition state-store commits each
+    # batch); disjoint increasing ranges keep the no-early-emission
+    # argument bucket-count-free, results oracle-identical
     bucket = F.least(
-        F.lit(2),
-        F.floor((F.unix_millis("ts") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)).cast("int"),
+        F.lit(1),
+        F.floor((F.unix_millis("ts") - F.lit(lo)) * 2 / F.lit(hi - lo + 1)).cast("int"),
     )
     replay_dir = _replay_dir()
     # ONE single-task partitionBy write produces all three range-bucket
@@ -707,7 +755,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base_mtime = _time.time() - 3600
     nxt = 0
-    for i in range(3):
+    for i in range(2):
         for f in sorted(_glob.glob(os.path.join(stage_dir, f"b={i}", "*.parquet"))):
             dst = os.path.join(replay_dir, f"{nxt:04d}.parquet")
             os.rename(f, dst)
@@ -817,13 +865,28 @@ def q_streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             compressed.alias("ts_ms"),
         )
     )
-    bounds = ev.agg(
-        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
-    ).first()
-    lo, hi = bounds["lo"], bounds["hi"]
+    # bucketing bounds from the parquet footer stats (~ms), mapped
+    # through the same monotone 60x compression — bounds over ALL
+    # events enclose the sampled keyspace's bounds, and the bucket
+    # expression only needs ENCLOSING bounds (lo <= min, hi >= max)
+    # to produce disjoint increasing ranges; the Spark min/max job
+    # this replaces was one full scan per run (r15, guide §1.2)
+    fb = ts_bounds_ms(sf_dir)
+    if fb is None:
+        bounds = ev.agg(
+            F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+        ).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+    else:
+        lo = base + (fb[0] - base) // 60
+        hi = base + (fb[1] - base) // 60
+    # TWO time-range buckets (was 3, r15): the per-KEY protocol cost
+    # is keys x BATCHES, so one fewer data batch is ~20% off the
+    # dominant term; disjoint increasing ranges keep every timer
+    # firing during a data batch exactly as before (oracle-identical)
     bucket = F.least(
-        F.lit(2),
-        F.floor((F.col("ts_ms") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)).cast(
+        F.lit(1),
+        F.floor((F.col("ts_ms") - F.lit(lo)) * 2 / F.lit(hi - lo + 1)).cast(
             "int"
         ),
     )
@@ -834,7 +897,7 @@ def q_streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base_mtime = _time.time() - 3600
     nxt = 0
-    for i in range(3):
+    for i in range(2):
         for f in sorted(_glob.glob(os.path.join(stage_dir, f"b={i}", "*.parquet"))):
             dst = os.path.join(replay_dir, f"{nxt:04d}.parquet")
             os.rename(f, dst)

@@ -23,24 +23,42 @@ def to_console(sdf: DataFrame, *, output_mode: str = "append", **options):
     )
 
 
-def to_memory(sdf: DataFrame, name: str, *, output_mode: str = "append"):
+def to_memory(
+    sdf: DataFrame,
+    name: str,
+    *,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+):
     """executeAndCollect analog: results land in table ``name``."""
-    return (
-        sdf.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    w = sdf.writeStream.outputMode(output_mode).format("memory").queryName(name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
 
 
 def run_to_memory(
     spark: SparkSession, sdf: DataFrame, name: str, *, output_mode: str = "append"
 ) -> DataFrame:
     """Drive a streaming frame to completion synchronously (bounded
-    sources / file replay) and return the materialized result table."""
-    q = to_memory(sdf, name, output_mode=output_mode)
-    q.processAllAvailable()
-    q.stop()
+    sources / file replay) and return the materialized result table.
+
+    The checkpoint (offsets/commit logs + state-store deltas, fsynced
+    every micro-batch) goes on fast scratch storage and is removed as
+    soon as the query stops — a bounded replay never resumes, so the
+    checkpoint's only job is to exist while the query runs (guide §6;
+    FES_SCRATCH_DIR overrides the root)."""
+    import shutil
+
+    from flink_essentials_spark.scratch import scratch_dir
+
+    ckpt = scratch_dir("fes_ckpt_")
+    q = to_memory(sdf, name, output_mode=output_mode, checkpoint=ckpt)
+    try:
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -854,3 +854,36 @@ def test_every_head50_row_is_benched():
     hl = set(bench.HEADLINE)
     missing = [n for n in head50 if n not in hl]
     assert not missing, missing
+
+
+def test_distributed_form_exchange_budgets(spark, monkeypatch):
+    """Pinned exchange/join budgets for the DISTRIBUTED members of the
+    twin-gated families (r15, VERDICT r14 item 1): at every test SF
+    these queries route to bounded single-task twins, so without this
+    sweep a distributed-path regression (a new Exchange, a lost
+    broadcast) would be invisible to bench AND plans. Budgets are the
+    r15 measured counts under FES_FORCE_DISTRIBUTED at sf0.001
+    (mondrian/lpa/kmeans run their iterative prefixes eagerly — the
+    pinned tail is the final plan, same convention as the heavy-row
+    budgets above). Results under the override are twin-identical
+    (tests/test_optimizations_r14.py runs both forms)."""
+    monkeypatch.setenv("FES_FORCE_DISTRIBUTED", "1")
+    budgets = {
+        # (max_exchanges, max_joins)
+        "chrf_pairs": (3, 2),
+        "slope_one_devs": (8, 3),
+        "kmeans_pp": (4, 1),
+        "mondrian_anon": (1, 0),
+        "hdbscan_embed": (5, 2),
+        "kmv_set_ops": (20, 9),
+        "knn_hubness": (21, 6),
+        "association_rules": (23, 9),
+        "peak_concurrency": (9, 3),
+        "lpa_communities": (10, 3),
+    }
+    for name, (max_x, max_j) in budgets.items():
+        plan = plan_of(spark, name)
+        tree = plan.split("\n(1)")[0]
+        assert tree.count("Exchange") <= max_x, (
+            name, tree.count("Exchange"), max_x)
+        assert tree.count("Join") <= max_j, (name, tree.count("Join"), max_j)
