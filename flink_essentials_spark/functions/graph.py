@@ -967,23 +967,32 @@ def _label_propagation_single_task(
         es = np.concatenate(srcs)
         ed = np.concatenate(dsts)
         ew = np.concatenate(ws).astype(np.float64)
+        # factorize BEFORE symmetrizing (half the unique/searchsorted
+        # work; the symmetric index pair is the same arrays swapped)
+        nodes = np.union1d(np.unique(es), np.unique(ed))
+        n = len(nodes)
+        si = np.searchsorted(nodes, es)
+        di = np.searchsorted(nodes, ed)
         if symmetrize:
             # duplicate directions in the worker — halves the Arrow
             # transfer vs a Spark-side union of two store scans (r14)
-            es, ed = np.r_[es, ed], np.r_[ed, es]
+            si, di = np.r_[si, di], np.r_[di, si]
             ew = np.r_[ew, ew]
         # the node index covers every endpoint; labels START on
         # distinct src (the distributed initialization), and a node
         # that receives no labeled incident weight in a round DROPS
         # from the label frame (inner join semantics) — replayed with
         # the `labeled` mask
-        nodes = np.unique(np.concatenate([es, ed]))
-        si = np.searchsorted(nodes, es)
-        di = np.searchsorted(nodes, ed)
-        n = len(nodes)
         lab = np.arange(n, dtype=np.int64)  # label index == node index
         labeled = np.zeros(n, dtype=bool)
         labeled[np.unique(si)] = True
+        # composite (dst, label) keys fit int32 when n^2 < 2^31 —
+        # numpy's stable integer sort is a radix sort, so 32-bit keys
+        # sort in half the passes (r15: ~15% off the 3-round total)
+        use32 = n * n < 2**31
+        din = di * n
+        if use32:
+            din = din.astype(np.int32)
         for _ in range(iterations):
             sel = labeled[si]
             if not sel.any():
@@ -995,13 +1004,17 @@ def _label_propagation_single_task(
             # 1.2M edges; this form is ~0.8 s). Sums are exact in any
             # order (integer-valued doubles), equality below is exact
             # for the same reason.
-            key = di[sel] * n + lab[si[sel]]
+            if use32:
+                key = din[sel] + lab[si[sel]].astype(np.int32)
+            else:
+                key = din[sel] + lab[si[sel]]
             order = np.argsort(key, kind="stable")
             ks = key[order]
             starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
             ws_sum = np.add.reduceat(ew[sel][order], starts)
-            kd = ks[starts] // n
-            kl = ks[starts] % n
+            ks64 = ks[starts].astype(np.int64)
+            kd = ks64 // n
+            kl = ks64 % n
             # argmax per dst: max ws, ties -> min label. ks ascending
             # means (kd, kl) segments are label-ascending, so the
             # FIRST index attaining the segment max is the min label.

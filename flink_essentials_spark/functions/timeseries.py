@@ -67,6 +67,16 @@ def ewma_control(
     n = F.count(F.lit(1)).over(wk)
     sm = F.sum(v).over(wk)
     ss = F.sum(v * v).over(wk)
+    # explicit numbered repartition by key: the window stage walks
+    # depth+3 window frames per row (compute-bound, tiny bytes), and
+    # AQE's byte-targeted coalescing serializes it to 1-2 tasks
+    # (measured r15: 1.27 s -> 4 tasks at sf0.1). A numbered
+    # repartition is exempt from coalescing and already satisfies the
+    # window's clustering, so no second exchange appears (the
+    # sw_alignment §2.5 lesson applied to windows).
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(key_col)
+    )
     staged = df.select(
         key_col,
         *order_cols,
@@ -395,12 +405,96 @@ def banded_rank(
     )
 
 
+# Row bound under which the rank-correlation operators (spearman_rho /
+# kendall_tau) run as ONE Arrow task instead of the banded ladder: the
+# ladders exist to avoid per-key single-task sorts AT SCALE, but at
+# bench SFs their ~12-17 scheduling round-trips dominate (r15 measured
+# 1.4-1.9 s vs ~0.4 s single-task). 2^20 keeps the twin's int64 rank
+# moments exact (syy <= 4n^3 = 2^62 at the bound — the same overflow
+# boundary the distributed BIGINT sums have). The distributed ladder
+# stays the code path above the bound (the r14 twin discipline);
+# equality pinned by test.
+RANKCORR_SINGLE_TASK_ROWS = 1 << 20
+
+
+def _spearman_rho_single_task(
+    df: DataFrame, key_col: str, order_cols: list[str], value_col: str
+) -> DataFrame:
+    """Bounded single-task twin of :func:`spearman_rho`: identical
+    definition — x = arrival rank by ``order_cols`` per key, y2 =
+    doubled value midrank, exact BIGINT moments, the SAME
+    cast-to-double normal-equation tail — replayed with one lexsort +
+    np.unique per key. Sums stay within int64 exactly where the
+    distributed BIGINT sums do; the final doubles are built from the
+    identical exact operands (IEEE-identical)."""
+    import numpy as np
+    import pandas as pd
+
+    ktype = df.schema[key_col].dataType.simpleString()
+    ocols = [f"__o{i}" for i in range(len(order_cols))]
+    staged = df.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c).alias(a) for c, a in zip(order_cols, ocols)],
+        F.col(value_col).cast("long").alias("__v"),
+    )
+
+    def work(batches):
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        out = {
+            "k": [], "n": [], "num": [], "denx": [], "deny": [], "rho": []
+        }
+        for k, g in pdf.groupby("__k", sort=False):
+            v = g["__v"].to_numpy(np.int64)
+            order = np.lexsort(
+                tuple(
+                    g[c].to_numpy() for c in reversed(ocols)
+                )
+            )
+            n = len(v)
+            x = np.empty(n, dtype=np.int64)
+            x[order] = np.arange(1, n + 1)
+            # doubled midrank per distinct value: 2*below + ties + 1
+            uv, inv, cnt = np.unique(
+                v, return_inverse=True, return_counts=True
+            )
+            below = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            y2 = (2 * below + cnt + 1)[inv]
+            sx = int(x.sum())
+            sy = int(y2.sum())
+            sxy = int((x * y2).sum())
+            sxx = int((x * x).sum())
+            syy = int((y2 * y2).sum())
+            nd = float(n)
+            num = nd * float(sxy) - float(sx) * float(sy)
+            denx = nd * float(sxx) - float(sx) * float(sx)
+            deny = nd * float(syy) - float(sy) * float(sy)
+            out["k"].append(k)
+            out["n"].append(n)
+            out["num"].append(num)
+            out["denx"].append(denx)
+            out["deny"].append(deny)
+            out["rho"].append(num / np.sqrt(denx * deny))
+        yield pd.DataFrame(out)
+
+    return staged.coalesce(1).mapInPandas(
+        work,
+        f"k {ktype}, n long, num double, denx double, deny double, "
+        "rho double",
+    ).select(
+        F.col("k").alias(key_col), "n", "num", "denx", "deny", "rho"
+    )
+
+
 def spearman_rho(
     df: DataFrame,
     key_col: str,
     order_cols: list[str],
     value_col: str,
     bands: int = 64,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Spearman rank correlation (Spearman 1904) between arrival order
     and an integer value per key — the rank-robust association member:
@@ -415,7 +509,13 @@ def spearman_rho(
 
     ``order_cols[0]`` must be numeric (the banding axis; ties broken by
     the remaining order columns). Returns (key, n, num, denx, deny,
-    rho)."""
+    rho). ``n_rows_hint`` (footer-derived) under
+    ``RANKCORR_SINGLE_TASK_ROWS`` routes to the bounded single-task
+    twin (r15); the banded ladder below is the above-bound shape."""
+    from flink_essentials_spark.routing import single_task_ok
+
+    if single_task_ok(n_rows_hint, RANKCORR_SINGLE_TASK_ROWS):
+        return _spearman_rho_single_task(df, key_col, order_cols, value_col)
     staged = df.select(
         F.col(key_col).alias("__k"),
         *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
@@ -676,12 +776,109 @@ def _band_expr(value: str, lo: str, hi: str, bands: int) -> "F.Column":
     )
 
 
+def _strict_inversions_np(v) -> int:
+    """Exact strict-inversion count (#pairs i<j with v[i] > v[j]) via
+    a fully-vectorized bottom-up mergesort: per level, one stable
+    argsort along axis=1 merges adjacent sorted halves, and the cross
+    count is the number of (right element, left element after it)
+    adjacencies — stable sort keeps tied left elements first, so ties
+    are never counted (strict). All int64; the pad sentinel is int64
+    max (equal sentinels compare non-strict)."""
+    import numpy as np
+
+    v = np.asarray(v, dtype=np.int64)
+    n = len(v)
+    if n < 2:
+        return 0
+    sent = np.iinfo(np.int64).max
+    if v.max() == sent:
+        raise ValueError("kendall twin: int64-max value collides with pad")
+    size = 1 << (n - 1).bit_length()
+    a = np.full(size, sent, dtype=np.int64)
+    a[:n] = v
+    inv = 0
+    w = 1
+    while w < size:
+        rows = a.reshape(-1, 2 * w)
+        idx = np.argsort(rows, axis=1, kind="stable")
+        is_left = (idx < w).astype(np.int64)
+        left_after = is_left[:, ::-1].cumsum(axis=1)[:, ::-1] - is_left
+        inv += int(left_after[is_left == 0].sum())
+        a = np.take_along_axis(rows, idx, axis=1).ravel()
+        w *= 2
+    return inv
+
+
+def _kendall_tau_single_task(
+    df: DataFrame, key_col: str, order_cols: list[str], value_col: str
+) -> DataFrame:
+    """Bounded single-task twin of :func:`kendall_tau`: same statistic
+    — D counted directly by one exact mergesort inversion pass per key
+    (no banding needed inside one worker), t2/n0 from value counts,
+    the identical final BIGINT/double tail. Pinned equal by test."""
+    import numpy as np
+    import pandas as pd
+
+    ktype = df.schema[key_col].dataType.simpleString()
+    ocols = [f"__o{i}" for i in range(len(order_cols))]
+    staged = df.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c).alias(a) for c, a in zip(order_cols, ocols)],
+        F.col(value_col).cast("long").alias("__v"),
+    )
+
+    def work(batches):
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        out = {
+            "k": [], "n": [], "n0": [], "t2": [], "d": [], "s": [],
+            "tau_b": [],
+        }
+        for k, g in pdf.groupby("__k", sort=False):
+            v = g["__v"].to_numpy(np.int64)
+            order = np.lexsort(
+                tuple(g[c].to_numpy() for c in reversed(ocols))
+            )
+            v = v[order]
+            n = len(v)
+            n0 = n * (n - 1) // 2
+            _, cnt = np.unique(v, return_counts=True)
+            t2 = int((cnt * (cnt - 1) // 2).sum())
+            d = _strict_inversions_np(v)
+            s = n0 - t2 - 2 * d
+            denom = float(n0) * float(n0 - t2)
+            tau = float(s) / np.sqrt(denom) if denom > 0 else None
+            out["k"].append(k)
+            out["n"].append(n)
+            out["n0"].append(n0)
+            out["t2"].append(t2)
+            out["d"].append(d)
+            out["s"].append(s)
+            out["tau_b"].append(tau)
+        f = pd.DataFrame(out)
+        # object dtype keeps None a SQL NULL (NaN would survive as a
+        # non-null double and diverge from the F.when(...) tail)
+        f["tau_b"] = f["tau_b"].astype(object)
+        yield f
+
+    return staged.coalesce(1).mapInPandas(
+        work,
+        f"k {ktype}, n long, n0 long, t2 long, d long, s long, "
+        "tau_b double",
+    ).select(
+        F.col("k").alias(key_col), "n", "n0", "t2", "d", "s", "tau_b"
+    )
+
+
 def kendall_tau(
     df: DataFrame,
     key_col: str,
     order_cols: list[str],
     value_col: str,
     bands: int = 16,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Per-key Kendall rank correlation τ-b (Kendall 1938, "A new
     measure of rank correlation"; the tie-corrected τ-b form) between
@@ -707,9 +904,17 @@ def kendall_tau(
     (key, band) Arrow groups; pairs sharing both bands appear in both
     within-passes, hence the inclusion–exclusion subtraction, fused
     into the time-band pass. ``order_cols[0]`` must be numeric (the
-    time-banding axis). Returns (key, n, n0, t2, d, s, tau_b)."""
+    time-banding axis). Returns (key, n, n0, t2, d, s, tau_b).
+    ``n_rows_hint`` (footer-derived) under
+    ``RANKCORR_SINGLE_TASK_ROWS`` routes to the bounded single-task
+    twin (r15); the banded ladder below is the above-bound shape."""
     import numpy as np
     import pandas as pd
+
+    from flink_essentials_spark.routing import single_task_ok
+
+    if single_task_ok(n_rows_hint, RANKCORR_SINGLE_TASK_ROWS):
+        return _kendall_tau_single_task(df, key_col, order_cols, value_col)
 
     ktype = df.schema[key_col].dataType.simpleString()
     ocols = [f"__o{i}" for i in range(len(order_cols))]

@@ -13006,7 +13006,17 @@ def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         cents("value").alias("v"),
     )
-    return spearman_rho(ev, "event_type", ["ts_ms", "event_id"], "v")
+    from flink_essentials_spark.tables import table_rows
+
+    return spearman_rho(
+        ev,
+        "event_type",
+        ["ts_ms", "event_id"],
+        "v",
+        # footer row count -> bounded single-task route (r15); the
+        # banded ladder stays the above-bound shape
+        n_rows_hint=table_rows(sf_dir, "events"),
+    )
 
 
 def _spearman_sql() -> str:
@@ -13075,7 +13085,17 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         cents("value").alias("v"),
     )
-    return kendall_tau(ev, "event_type", ["ts_ms", "event_id"], "v")
+    from flink_essentials_spark.tables import table_rows
+
+    return kendall_tau(
+        ev,
+        "event_type",
+        ["ts_ms", "event_id"],
+        "v",
+        # footer row count -> bounded single-task route (r15); the
+        # banded ladder stays the above-bound shape
+        n_rows_hint=table_rows(sf_dir, "events"),
+    )
 
 
 def _kendall_sql() -> str:

@@ -121,3 +121,68 @@ def test_pagerank_string_ids_take_distributed_path(spark):
     assert len(rows) == 3 and {r[0] for r in rows} == {"a", "b", "c"}
     h = g.hits(e, iterations=1, n_edges_hint=3)
     assert h.count() == 3
+
+
+def _events_sample(spark):
+    from flink_essentials_spark.tables import load_tables
+    from flink_essentials_spark.queries.util import cents
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    return ev.select(
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "event_id",
+        cents("value").alias("v"),
+    )
+
+
+def test_spearman_single_task_equals_banded(spark):
+    """The one-Arrow-task Spearman twin must equal the banded-rank
+    ladder bit for bit: identical exact BIGINT moments, identical
+    cast-to-double normal-equation tail."""
+    from flink_essentials_spark.functions import timeseries as ts
+
+    ev = _events_sample(spark)
+    fast = _rows(
+        ts._spearman_rho_single_task(
+            ev, "event_type", ["ts_ms", "event_id"], "v"
+        )
+    )
+    slow = _rows(
+        ts.spearman_rho(ev, "event_type", ["ts_ms", "event_id"], "v")
+    )
+    assert fast == slow and len(fast) > 0
+
+
+def test_kendall_single_task_equals_banded(spark):
+    """The mergesort-inversion Kendall twin must equal the banded
+    inclusion-exclusion decomposition exactly (every count BIGINT,
+    tau one division against a pinned sqrt)."""
+    from flink_essentials_spark.functions import timeseries as ts
+
+    ev = _events_sample(spark)
+    fast = _rows(
+        ts._kendall_tau_single_task(
+            ev, "event_type", ["ts_ms", "event_id"], "v"
+        )
+    )
+    slow = _rows(
+        ts.kendall_tau(ev, "event_type", ["ts_ms", "event_id"], "v")
+    )
+    assert fast == slow and len(fast) > 0
+
+
+def test_strict_inversions_matches_bruteforce():
+    import numpy as np
+
+    from flink_essentials_spark.functions.timeseries import (
+        _count_inversions,
+        _strict_inversions_np,
+    )
+
+    rng = np.random.RandomState(7)
+    for n in (0, 1, 2, 3, 5, 17, 64, 100, 257):
+        v = rng.randint(0, 8, size=n).astype(np.int64)  # heavy ties
+        assert _strict_inversions_np(v) == _count_inversions(v.tolist())
+        w = rng.randint(-(10**12), 10**12, size=n).astype(np.int64)
+        assert _strict_inversions_np(w) == _count_inversions(w.tolist())
