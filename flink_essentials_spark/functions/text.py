@@ -1600,6 +1600,7 @@ def ccnet_buckets(
     strata_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl
@@ -1634,7 +1635,15 @@ def ccnet_buckets(
     )
     n_strat = j.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
     ranked = (
-        banded_rank(j, [strata_col], "__nscore", ["doc_id"], rank_col="__rk")
+        banded_rank(
+            j,
+            [strata_col],
+            "__nscore",
+            ["doc_id"],
+            rank_col="__rk",
+            # one row per document — the caller's footer hint applies
+            n_rows_hint=n_rows_hint,
+        )
         .join(F.broadcast(n_strat), strata_col)
         .select(
             "doc_id",
@@ -2461,6 +2470,7 @@ def heaps_fit(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 1,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Heaps'-law fit of vocabulary growth (Heaps 1978; Herdan 1960):
     V(n) ≈ K·n^β — distinct vocabulary grows as a power of corpus
@@ -2520,6 +2530,8 @@ def heaps_fit(
         id_col,
         [],
         rank_col="__rk",
+        # sized is one row per document — the caller's footer hint
+        n_rows_hint=n_rows_hint,
     ).localCheckpoint()  # feeds the token join AND the checkpoint aggs
     toks = docs.select(id_col, F.explode("__toks").alias("__w")).join(
         ranked.select(id_col, "__rk"), id_col

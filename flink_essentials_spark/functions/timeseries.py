@@ -317,6 +317,110 @@ def _ecdf_cums(
     return cum
 
 
+def grouped_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak_cols: list[str],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-``k`` rows per key by ``(order_col, *tiebreak_cols)``
+    ascending, for GROUPS WITH A DATA-INDEPENDENT BOUND (a vocabulary,
+    a fixed candidate list): one aggregate —
+    sort_array(collect_list(struct)) sliced to k, then posexplode —
+    instead of a rank window. banded_rank answers the same question
+    for unbounded groups in ~3 passes (bounds, band totals, final
+    window); on a bounded group that machinery is pure scheduling
+    (r15: chi2_terms spent 18 jobs ranking a ~31-word vocabulary).
+    collect_list materializes one group per task, so the caller must
+    guarantee the per-group bound. ``(order_col, *tiebreak_cols)``
+    must be a total order within each key (the banded_rank contract);
+    remaining columns ride in the struct tail and never influence the
+    order. Returns the top rows with a 1-based ``rank_col``."""
+    others = [
+        c
+        for c in df.columns
+        if c not in set(keys) | {order_col} | set(tiebreak_cols)
+    ]
+    s = F.struct(order_col, *tiebreak_cols, *others)
+    agg = df.groupBy(*keys).agg(
+        F.slice(F.sort_array(F.collect_list(s)), 1, k).alias("__top")
+    )
+    ex = agg.select(
+        *keys, F.posexplode("__top").alias("__pos", "__row")
+    )
+    return ex.select(
+        *keys,
+        *[F.col(f"__row.{c}") for c in [order_col, *tiebreak_cols, *others]],
+        (F.col("__pos") + 1).alias(rank_col),
+    )
+
+
+# Row bound under which banded_rank runs as ONE Arrow task: the
+# banded ladder (bounds, band totals, final window — ~3 input reads +
+# a checkpoint) exists to avoid per-key single-task sorts AT SCALE;
+# under the bound one lexsort computes the identical ranks with zero
+# scheduling (r15: heaps_fit/ccnet/gini-tier rows spent 6-20 jobs
+# ranking doc-count-bounded tables). 2^20 rows x a few sort columns
+# is tens of MB in the worker.
+BANDED_RANK_SINGLE_TASK_ROWS = 1 << 20
+
+
+def _banded_rank_single_task(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    rank_col: str,
+) -> DataFrame:
+    """Bounded single-task twin of :func:`banded_rank`: one lexsort by
+    (key, value, tiebreaks...) and a per-key position subtraction —
+    the identical 1-based per-key row rank (numeric sort columns sort
+    identically in numpy and Spark; the routing gate enforces
+    numeric). Ties beyond the tiebreaks order arbitrarily in BOTH
+    forms (same contract). Pinned equal by test."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # fresh StructType — .add would MUTATE the frame's cached schema
+    schema = StructType(
+        list(df.schema.fields) + [StructField(rank_col, LongType(), False)]
+    )
+    kc = list(key_cols)
+    sort_cols = [value_col, *tiebreak_cols]
+
+    def work(batches):
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        n = len(pdf)
+        arrs = [pdf[c].to_numpy() for c in sort_cols]
+        if kc:
+            if len(kc) == 1:
+                kcodes = pd.factorize(pdf[kc[0]])[0]
+            else:
+                kcodes = pd.MultiIndex.from_frame(pdf[kc]).factorize()[0]
+            order = np.lexsort(tuple([*reversed(arrs), kcodes]))
+            ks = kcodes[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        else:
+            order = np.lexsort(tuple(reversed(arrs)))
+            starts = np.array([0], dtype=np.int64)
+        sizes = np.diff(np.r_[starts, n])
+        rank_sorted = (
+            np.arange(n, dtype=np.int64) - np.repeat(starts, sizes) + 1
+        )
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = rank_sorted
+        pdf[rank_col] = rank
+        yield pdf
+
+    return df.coalesce(1).mapInPandas(work, schema)
+
+
 def banded_rank(
     df: DataFrame,
     key_cols: list[str],
@@ -324,6 +428,7 @@ def banded_rank(
     tiebreak_cols: list[str],
     bands: int = 64,
     rank_col: str = "__rank",
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Exact per-key dense ROW rank (row_number over (value,
     tiebreaks...) ascending) with NO single-task per-key sort — the
@@ -341,7 +446,24 @@ def banded_rank(
     division (banding floats is safe here because band boundaries
     cannot change the exact ranks). Ordering is (value ASC,
     tiebreaks ASC); for a DESC rank pass the negated value. Returns
-    df's columns plus ``rank_col`` (long, 1-based)."""
+    df's columns plus ``rank_col`` (long, 1-based).
+
+    ``n_rows_hint`` (footer-derived or otherwise known driver-side)
+    under ``BANDED_RANK_SINGLE_TASK_ROWS`` routes to the bounded
+    single-task twin when every sort column is NUMERIC and non-null
+    (numpy and Spark then sort identically); the banded ladder below
+    is the above-bound shape (r15)."""
+    from pyspark.sql.types import NumericType
+
+    from flink_essentials_spark.routing import single_task_ok
+
+    if single_task_ok(n_rows_hint, BANDED_RANK_SINGLE_TASK_ROWS) and all(
+        isinstance(df.schema[c].dataType, NumericType)
+        for c in [value_col, *tiebreak_cols]
+    ):
+        return _banded_rank_single_task(
+            df, key_cols, value_col, tiebreak_cols, rank_col
+        )
     kc = list(key_cols)
     dtype = df.schema[value_col].dataType.simpleString()
     v = F.col(value_col)

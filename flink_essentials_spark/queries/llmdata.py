@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from flink_essentials_spark.functions import dedup, multimodal, similarity, text
 from flink_essentials_spark.functions.dedup import MINHASH_P, MINHASH_SEEDS
-from flink_essentials_spark.tables import load_tables
+from flink_essentials_spark.tables import load_tables, table_rows
 from flink_essentials_spark.routing import single_task_ok
 
 # SQL building blocks shared by oracles
@@ -3566,7 +3566,12 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
     ranked = banded_rank(
-        docs, ["source"], "n_chars", ["doc_id"], rank_col="__rk"
+        docs,
+        ["source"],
+        "n_chars",
+        ["doc_id"],
+        rank_col="__rk",
+        n_rows_hint=table_rows(sf_dir, "documents"),
     ).join(F.broadcast(n_src), "source")
     pr = F.when(
         F.col("__n") > 1,
@@ -6161,7 +6166,11 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.functions.text import ccnet_buckets
 
     t = load_tables(spark, sf_dir)
-    return ccnet_buckets(t["documents"], n_buckets=3)
+    return ccnet_buckets(
+        t["documents"],
+        n_buckets=3,
+        n_rows_hint=table_rows(sf_dir, "documents"),
+    )
 
 
 Q_CCNET_BUCKETS_SQL = f"""
@@ -6488,7 +6497,12 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact k-th smallest self-eval via BANDED rank (ties order
     # arbitrarily but the value AT any rank is tie-insensitive)
     ranked = banded_rank(
-        vals, ["event_type"], "v", [], rank_col="rn"
+        vals,
+        ["event_type"],
+        "v",
+        [],
+        rank_col="rn",
+        n_rows_hint=table_rows(sf_dir, "events"),
     ).join(F.broadcast(n), "event_type")
     exact = ranked.groupBy("event_type").agg(
         F.max("n").alias("n"),
@@ -9233,6 +9247,9 @@ def _rrf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumers derive everything from the RANKS, and at scale the
         # ranking pass (banded — no full-corpus per-query sort) runs
         # once at index build, not per evaluation query
+        # candidate rows are docs x |queries| — footer-bounded, so
+        # the single-task banded_rank route applies (r15)
+        cand_hint = table_rows(sf_dir, "documents") * len(_RRF_QUERIES)
         rb = banded_rank(
             j.select(
                 "query_id", "doc_id", (-F.col("bm25_score")).alias("nbm")
@@ -9241,6 +9258,7 @@ def _rrf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nbm",
             ["doc_id"],
             rank_col="rb",
+            n_rows_hint=cand_hint,
         ).select(
             "query_id", "doc_id", F.col("rb").cast("int").alias("r_bm25")
         )
@@ -9252,6 +9270,7 @@ def _rrf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "npr",
             ["doc_id"],
             rank_col="rp",
+            n_rows_hint=cand_hint,
         ).select(
             "query_id", "doc_id", F.col("rp").cast("int").alias("r_prior")
         )
@@ -9293,7 +9312,15 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rrf", rrf
     ).withColumn("nrrf", -F.col("rrf"))
     return (
-        banded_rank(fused, ["query_id"], "nrrf", ["doc_id"], rank_col="__rk")
+        banded_rank(
+            fused,
+            ["query_id"],
+            "nrrf",
+            ["doc_id"],
+            rank_col="__rk",
+            # docs x |queries| candidate bound (r15)
+            n_rows_hint=table_rows(sf_dir, "documents") * len(_RRF_QUERIES),
+        )
         .filter(F.col("__rk") <= 20)
         .select("query_id", "doc_id", "r_bm25", "r_prior", "rrf")
     )
@@ -9446,7 +9473,12 @@ def q_gini_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", "n_chars"
     )
     ranked = banded_rank(
-        docs, ["source"], "n_chars", ["doc_id"], rank_col="rk"
+        docs,
+        ["source"],
+        "n_chars",
+        ["doc_id"],
+        rank_col="rk",
+        n_rows_hint=table_rows(sf_dir, "documents"),
     )
     a = ranked.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
@@ -12080,7 +12112,12 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.functions.text import heaps_fit
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return heaps_fit(docs, _HEAPS_CHECKPOINTS, ngram=3)
+    return heaps_fit(
+        docs,
+        _HEAPS_CHECKPOINTS,
+        ngram=3,
+        n_rows_hint=table_rows(sf_dir, "documents"),
+    )
 
 
 def _heaps_sql() -> str:
@@ -12407,7 +12444,14 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scan of the materialized store, no checkpoint needed
     )
     staged = banded_rank(
-        graded, ["query_id"], "nrel", ["doc_id"], rank_col="r_ideal"
+        graded,
+        ["query_id"],
+        "nrel",
+        ["doc_id"],
+        rank_col="r_ideal",
+        # graded is <= 100 rows/query by construction; the candidate
+        # bound docs x |queries| is a conservative footer-known cap
+        n_rows_hint=table_rows(sf_dir, "documents") * len(_RRF_QUERIES),
     )
     agg = staged.groupBy("query_id").agg(
         F.sum(
@@ -12816,16 +12860,16 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "w", "a", "b", "c", "d", chi2.alias("chi2"),
         (-chi2).alias("nchi2"),
     )
-    # top-5 per lang via BANDED rank — the scored table is
-    # vocabulary-sized per language, so a plain row_number over
-    # (partition by lang) would single-task-sort each vocabulary
-    from flink_essentials_spark.functions.timeseries import banded_rank
+    # top-5 per lang: the scored table is VOCABULARY-bounded per
+    # language, so one sort_array(collect_list) aggregate replaces
+    # both a row_number window (banned low-card partition) and the
+    # banded-rank ladder (r15: its bounds/band-totals passes were 18
+    # jobs here — pure scheduling on a ~31-word vocabulary)
+    from flink_essentials_spark.functions.timeseries import grouped_topk
 
-    return (
-        banded_rank(scored, ["lang"], "nchi2", ["w"], rank_col="rk")
-        .filter(F.col("rk") <= 5)
-        .select("lang", "w", "a", "b", "c", "d", "chi2", "rk")
-    )
+    return grouped_topk(
+        scored, ["lang"], "nchi2", ["w"], k=5, rank_col="rk"
+    ).select("lang", "w", "a", "b", "c", "d", "chi2", "rk")
 
 
 Q_CHI2_TERMS_SQL = f"""

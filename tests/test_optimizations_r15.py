@@ -186,3 +186,77 @@ def test_strict_inversions_matches_bruteforce():
         assert _strict_inversions_np(v) == _count_inversions(v.tolist())
         w = rng.randint(-(10**12), 10**12, size=n).astype(np.int64)
         assert _strict_inversions_np(w) == _count_inversions(w.tolist())
+
+
+def test_banded_rank_single_task_equals_ladder(spark):
+    """The one-lexsort banded_rank twin must assign the IDENTICAL
+    1-based per-key row ranks as the banded ladder on a deterministic
+    ordering (value + unique tiebreak), per-key and global forms."""
+    from flink_essentials_spark.functions import timeseries as ts
+    from flink_essentials_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"].select(
+        "source", "doc_id", "n_chars"
+    )
+    for keys in (["source"], []):
+        fast = _rows(
+            ts._banded_rank_single_task(
+                docs, keys, "n_chars", ["doc_id"], "rk"
+            )
+        )
+        slow = _rows(
+            ts.banded_rank(docs, keys, "n_chars", ["doc_id"], rank_col="rk")
+        )
+        assert fast == slow and len(fast) > 0
+
+
+def test_banded_rank_hint_routes_and_respects_override(spark, monkeypatch):
+    """A numeric-sort hint under the bound routes to the twin (single
+    mapInPandas plan, no window); FES_FORCE_DISTRIBUTED restores the
+    ladder. A non-numeric tiebreak must never route."""
+    from flink_essentials_spark.functions import timeseries as ts
+    from flink_essentials_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"].select(
+        "source", "doc_id", "n_chars"
+    )
+    monkeypatch.delenv("FES_FORCE_DISTRIBUTED", raising=False)
+    fast = ts.banded_rank(
+        docs, ["source"], "n_chars", ["doc_id"], rank_col="rk",
+        n_rows_hint=100,
+    )
+    assert "MapInPandas" in fast._jdf.queryExecution().logical().toString()
+    monkeypatch.setenv("FES_FORCE_DISTRIBUTED", "1")
+    slow = ts.banded_rank(
+        docs, ["source"], "n_chars", ["doc_id"], rank_col="rk",
+        n_rows_hint=100,
+    )
+    assert "MapInPandas" not in slow._jdf.queryExecution().logical().toString()
+    monkeypatch.delenv("FES_FORCE_DISTRIBUTED", raising=False)
+    txt = docs.withColumn("sid", F.col("doc_id").cast("string"))
+    nonnum = ts.banded_rank(
+        txt, ["source"], "n_chars", ["sid"], rank_col="rk", n_rows_hint=100
+    )
+    assert "MapInPandas" not in nonnum._jdf.queryExecution().logical().toString()
+
+
+def test_grouped_topk_equals_banded_rank_filter(spark):
+    """grouped_topk (one sort_array aggregate) must equal
+    banded_rank + filter(rk<=k) on a deterministic ordering."""
+    from flink_essentials_spark.functions import timeseries as ts
+    from flink_essentials_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"].select(
+        "source", "doc_id", "n_chars"
+    )
+    fast = _rows(
+        ts.grouped_topk(
+            docs, ["source"], "n_chars", ["doc_id"], k=7, rank_col="rk"
+        ).select("source", "n_chars", "doc_id", "rk")
+    )
+    slow = _rows(
+        ts.banded_rank(docs, ["source"], "n_chars", ["doc_id"], rank_col="rk")
+        .filter(F.col("rk") <= 7)
+        .select("source", "n_chars", "doc_id", "rk")
+    )
+    assert fast == slow and len(fast) > 0
