@@ -53,6 +53,55 @@ from pyspark.sql import functions as F
 from flink_essentials_spark.routing import single_task_ok
 
 
+# Edge bound for the direct single-task union-find route in
+# connected_components: the python path-compressed UF walks edges one
+# by one, so the bound keeps one task under ~1 s (r15 measured ~0.7 s
+# at 2^19 edges); above it the propagation/contraction ladders run.
+CC_SINGLE_TASK_EDGES = 1 << 19
+
+
+def _cc_single_task_uf(e: DataFrame) -> DataFrame:
+    """Bounded single-task union-find over a symmetrized (a, b) edge
+    frame: min-root merges make every root the component-min node —
+    the identical (node, cluster_id) contract as the distributed
+    forms (all verified against the same reference)."""
+    from pyspark.sql import types as T
+
+    node_t = e.schema["a"].dataType
+    out_schema = T.StructType(
+        [T.StructField("node", node_t), T.StructField("cluster_id", node_t)]
+    )
+
+    def _uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        for u, v in zip(pdf["a"], pdf["b"]):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        nodes = sorted(set(pdf["a"]).union(pdf["b"]))
+        yield pd.DataFrame(
+            {"node": nodes, "cluster_id": [find(x) for x in nodes]}
+        )
+
+    return e.coalesce(1).mapInPandas(_uf, out_schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -98,6 +147,21 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # count on the checkpointed frame is ~ms; under the bound the
+    # whole clustering is one Arrow union-find task (r15: the 2-4
+    # propagation rounds + convergence checks cost 6-8 scheduling
+    # jobs — 1.5 s for 255 LSH pair edges at sf0.1). Min-root merges
+    # give cluster_id = component-min, the identical contract.
+    n_e = e.count()
+    if stats is not None:
+        stats["edges"] = n_e
+    # only "auto" may take the bounded route: "propagation" is an
+    # explicit opt-in to the round-per-diameter behavior
+    if algorithm == "auto" and single_task_ok(n_e, CC_SINGLE_TASK_EDGES):
+        if stats is not None:
+            stats["rounds"] = 1
+            stats["single_task"] = True
+        return _cc_single_task_uf(e)
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()

@@ -88,12 +88,17 @@ def test_two_phase_beats_propagation_rounds_on_chain(spark):
     assert s_star["rounds"] <= 8   # O(log n)
 
 
-def test_auto_escalates_on_deep_graph_and_stays_put_on_shallow(spark):
-    """The default must be scale-safe WITHOUT taxing the common case:
-    on a deep chain ``auto`` switches to two-phase over the
+def test_auto_escalates_on_deep_graph_and_stays_put_on_shallow(
+    spark, monkeypatch
+):
+    """The default must be scale-safe WITHOUT taxing the common case.
+    Under FES_FORCE_DISTRIBUTED (disabling the r15 bounded single-task
+    route) the distributed behavior this test pins still holds: on a
+    deep chain ``auto`` switches to two-phase over the
     label-contracted quotient and still matches union-find in far
     fewer total rounds than the diameter; on a shallow graph it
     finishes inside the propagation prefix and never contracts."""
+    monkeypatch.setenv("FES_FORCE_DISTRIBUTED", "1")
     chain = [(i, i + 1) for i in range(30)]
     df = spark.createDataFrame(chain, "src long, dst long")
     s = {}
@@ -114,6 +119,17 @@ def test_auto_escalates_on_deep_graph_and_stays_put_on_shallow(spark):
     }
     assert got2 == _union_find_reference(shallow)
     assert s2["switched"] is False
+
+    # without the override, a bounded edge set routes to the one-task
+    # union-find and still matches the reference (r15)
+    monkeypatch.delenv("FES_FORCE_DISTRIBUTED")
+    s3 = {}
+    got3 = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df, algorithm="auto", stats=s3).collect()
+    }
+    assert got3 == _union_find_reference(chain)
+    assert s3.get("single_task") is True
 
 
 def test_hybrid_two_phase_fallback_matches(spark):
