@@ -309,6 +309,11 @@ def dsir_scores(
         .select("doc_id", "is_t", dim.alias("dim"))
         .groupBy("doc_id", "is_t", "dim")
         .agg(F.count(F.lit(1)).alias("c"))
+        # feeds the model aggregate AND the final scoring join — two
+        # DIFFERING consumers, so no ReusedExchange: uncheckpointed,
+        # the tokenize + double explode + groupBy ran twice (r15:
+        # X=15 reuse=0 in the tail plan)
+        .localCheckpoint()
     )
     dims = dd.groupBy("dim").agg(
         F.sum(F.when(F.col("is_t") == 1, F.col("c")).otherwise(0))

@@ -871,6 +871,12 @@ def bigram_lm_score(
     integer ratio; the per-doc sum is rounded to 6 (libm log2 is not
     correctly-rounded — the char_entropy precedent)."""
     toks = tokenize(F.col(text_col))
+    # bi/base feed multiple consumers with no ReusedExchange, but
+    # checkpointing here is a NET LOSS (r15 A/B: none 1.05 s, both
+    # 1.00 s on lm_score alone — yet ccnet_buckets pays the extra
+    # serial materializations inside its own checkpoint build,
+    # 1.38 -> 1.81 s). The tokenize re-runs are cheaper than the
+    # blocking jobs; left uncheckpointed deliberately.
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("w"))
     bi = base.select(
         "doc_id",
@@ -1978,13 +1984,20 @@ def kneser_ney_score(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("bigram"),
     )
+    # bi feeds the model (via bc) AND the final per-doc scoring join —
+    # differing consumers, no ReusedExchange (r15: X=17 reuse=0, the
+    # tokenizer + bigram explode ran twice); typed feeds FOUR
+    # consumers (ctx/left/nbt/lm), each of which would re-run the
+    # corpus aggregate uncheckpointed. Both cuts are vocabulary- or
+    # corpus-bounded one-pass materializations.
+    bi = bi.localCheckpoint()
     bc = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bi"))
     typed = bc.select(
         "bigram",
         "c_bi",
         F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part("bigram", F.lit(" "), F.lit(2)).alias("w2"),
-    )
+    ).localCheckpoint()
     ctx = typed.groupBy("w1").agg(
         F.sum("c_bi").alias("c_ctx"),
         F.count(F.lit(1)).alias("n_cont"),
