@@ -3206,8 +3206,13 @@ def q_incremental_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     is never re-scanned."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from flink_essentials_spark.scratch import scratch_dir
+
     spiked = _midtext_spiked(load_tables(spark, sf_dir)["documents"])
-    store = tempfile.mkdtemp(prefix="fes_spanstore_")
+    # per-epoch store writes + re-reads every screening batch — fast
+    # scratch (r15, guide §6); registered for atexit cleanup
+    store = scratch_dir("fes_spanstore_")
+    _STORE_ROOTS.add(store)
 
     # The two store-build epochs need only their (doc, whash) rows —
     # screen=False skips the span computation their callers discard
@@ -3843,7 +3848,10 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.sinks import versioned
 
     t = load_tables(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="fes_rollup_")
+    from flink_essentials_spark.scratch import scratch_dir
+
+    base = scratch_dir("fes_rollup_")
+    _STORE_ROOTS.add(base)
     prepared = t["orders"].select(
         "o_orderkey",
         "o_orderpriority",
@@ -4441,7 +4449,10 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.sinks import versioned
 
     t = load_tables(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="fes_tt_")
+    from flink_essentials_spark.scratch import scratch_dir
+
+    base = scratch_dir("fes_tt_")
+    _STORE_ROOTS.add(base)
     prepared = t["orders"].select(
         "o_orderkey",
         "o_orderpriority",
@@ -7550,7 +7561,9 @@ def _alloc_store_dir(registry: dict[tuple, str], key: tuple, prefix: str) -> str
         root = os.path.dirname(old.rstrip("/"))
         _STORE_ROOTS.discard(root)
         shutil.rmtree(root, ignore_errors=True)
-    root = tempfile.mkdtemp(prefix=prefix)
+    from flink_essentials_spark.scratch import scratch_dir
+
+    root = scratch_dir(prefix)
     _STORE_ROOTS.add(root)
     return root
 
