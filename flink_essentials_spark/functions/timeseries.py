@@ -237,18 +237,120 @@ def mad_outliers(
     )
 
 
-def _ecdf_cums(
+def _ecdf_cums_single_task(
     df: DataFrame,
     key_col: str,
     split_col: str,
     value_col: str,
     bands: int,
 ) -> DataFrame:
+    """Bounded single-task twin of :func:`_ecdf_cums`: the identical
+    per-key ECDF support — (v, ca, cb) per distinct value, inclusive
+    cumulative counts in value order, key totals, and the same band /
+    band-offset columns — from one lexsort + segmented cumsum.
+    Counts are exact int64 (<= the row bound); null split flags
+    contribute to neither side (the Spark sum-skips-null semantics)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ktype = df.schema[key_col].dataType
+
+    staged = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(split_col).cast("boolean").alias("__a"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    schema = T.StructType(
+        [T.StructField("__k", ktype)]
+        + [
+            T.StructField(c, T.LongType())
+            for c in (
+                "__v", "__ca", "__cb", "__lo", "__hi", "__na", "__nb",
+                "__band", "__oa", "__ob", "__cuma", "__cumb",
+            )
+        ]
+    )
+
+    def work(batches):
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        outs = []
+        for k, grp in pdf.groupby("__k", sort=False, dropna=False):
+            v = grp["__v"].to_numpy(np.int64)
+            a = grp["__a"].eq(True).to_numpy()
+            b = grp["__a"].eq(False).to_numpy()
+            order = np.argsort(v, kind="stable")
+            vs = v[order]
+            starts = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]])
+            uv = vs[starts]
+            ca = np.add.reduceat(a[order].astype(np.int64), starts)
+            cb = np.add.reduceat(b[order].astype(np.int64), starts)
+            lo, hi = int(uv[0]), int(uv[-1])
+            na, nb = int(ca.sum()), int(cb.sum())
+            span = hi - lo + 1
+            if span >= bands:
+                band = (uv - lo) // (span // bands)
+            else:
+                band = uv - lo
+            cuma = np.cumsum(ca)
+            cumb = np.cumsum(cb)
+            bstarts = np.flatnonzero(np.r_[True, band[1:] != band[:-1]])
+            bsizes = np.diff(np.r_[bstarts, len(uv)])
+            # offset of band j = inclusive cum at the row BEFORE the
+            # band starts (0 for the first band)
+            oa = np.repeat(np.r_[0, cuma[bstarts[1:] - 1]], bsizes)
+            ob = np.repeat(np.r_[0, cumb[bstarts[1:] - 1]], bsizes)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "__k": k,
+                        "__v": uv,
+                        "__ca": ca,
+                        "__cb": cb,
+                        "__lo": lo,
+                        "__hi": hi,
+                        "__na": na,
+                        "__nb": nb,
+                        "__band": band,
+                        "__oa": oa,
+                        "__ob": ob,
+                        "__cuma": cuma,
+                        "__cumb": cumb,
+                    }
+                )
+            )
+        yield pd.concat(outs, ignore_index=True)
+
+    return staged.coalesce(1).mapInPandas(work, schema)
+
+
+def _ecdf_cums(
+    df: DataFrame,
+    key_col: str,
+    split_col: str,
+    value_col: str,
+    bands: int,
+    n_rows_hint: int | None = None,
+) -> DataFrame:
     """Shared two-sample ECDF machinery (ks_two_sample /
     mann_whitney_u): per-key (value, ca, cb) support table with exact
     banded two-phase cumulative counts __cuma/__cumb and key totals
     __na/__nb — every window keyed by (key, band), support
-    localCheckpointed once for its three consumers."""
+    localCheckpointed once for its three consumers.
+
+    ``n_rows_hint`` under ``BANDED_RANK_SINGLE_TASK_ROWS`` routes to
+    the bounded single-task twin (r15: the banded ladder's ~12-14
+    serialized jobs dominate the ks/mann-whitney/stump family at
+    bench SFs); the ladder below is the above-bound shape."""
+    from flink_essentials_spark.routing import single_task_ok
+
+    if single_task_ok(n_rows_hint, BANDED_RANK_SINGLE_TASK_ROWS):
+        return _ecdf_cums_single_task(
+            df, key_col, split_col, value_col, bands
+        )
     k = F.col(key_col)
     g = (
         df.select(
@@ -692,6 +794,7 @@ def ks_two_sample(
     value_col: str,
     bands: int = 64,
     crit_sq: float = 1.8496,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift test per key (Kolmogorov
     1933; Smirnov 1948 two-sample form) — the NONPARAMETRIC member of
@@ -720,7 +823,9 @@ def ks_two_sample(
     d_num bound — ~3e9 rows per side per key; beyond that, ANSI mode
     errors rather than wraps — pre-bucket values or sample a side).
     Returns (key, n_a, n_b, d_num, d, reject)."""
-    cum = _ecdf_cums(df, key_col, split_col, value_col, bands)
+    cum = _ecdf_cums(
+        df, key_col, split_col, value_col, bands, n_rows_hint=n_rows_hint
+    )
     stats = cum.groupBy("__k").agg(
         F.max("__na").alias("n_a"),
         F.max("__nb").alias("n_b"),
@@ -819,6 +924,7 @@ def mann_whitney_u(
     split_col: str,
     value_col: str,
     bands: int = 64,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Per-key Mann–Whitney U / Wilcoxon rank-sum (Mann & Whitney
     1947; Wilcoxon 1945) with midrank tie handling — the rank-based
@@ -836,7 +942,9 @@ def mann_whitney_u(
     cost as the KS pass (shared _ecdf_cums; every window keyed); same
     exactness domain too (r1_2 ≤ 2n², so keys up to ~2e9 rows — ANSI
     errors, never wraps, past it). Returns (key, n_a, n_b, u2, auc)."""
-    cum = _ecdf_cums(df, key_col, split_col, value_col, bands)
+    cum = _ecdf_cums(
+        df, key_col, split_col, value_col, bands, n_rows_hint=n_rows_hint
+    )
     midrank2 = (
         2 * (F.col("__cuma") + F.col("__cumb") - F.col("__ca") - F.col("__cb"))
         + (F.col("__ca") + F.col("__cb"))
@@ -1139,7 +1247,12 @@ def kendall_tau(
 
 
 def gini_stump(
-    df: DataFrame, key_col: str, class_col: str, value_col: str, bands: int = 64
+    df: DataFrame,
+    key_col: str,
+    class_col: str,
+    value_col: str,
+    bands: int = 64,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """CART decision-stump Gini split search per key (Breiman et al.
     1984; Holte 1993's one-rule baseline): the <=-threshold on
@@ -1164,6 +1277,7 @@ def gini_stump(
         "__cls",
         value_col,
         bands,
+        n_rows_hint=n_rows_hint,
     )
     la, lb = F.col("__cuma"), F.col("__cumb")
     ra, rb = F.col("__na") - la, F.col("__nb") - lb

@@ -9725,7 +9725,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ts < F.col("mid")).alias("is_a"),
         cents("value").alias("v"),
     )
-    return ks_two_sample(tagged, "event_type", "is_a", "v")
+    return ks_two_sample(
+        tagged,
+        "event_type",
+        "is_a",
+        "v",
+        n_rows_hint=table_rows(sf_dir, "events"),
+    )
 
 
 def _ks_drift_sql() -> str:
@@ -12579,7 +12585,14 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"].select(
         "event_type", F.lit(True).alias("one"), cents("value").alias("v")
     )
-    cum = _ecdf_cums(ev, "event_type", "one", "v", 64)
+    cum = _ecdf_cums(
+        ev,
+        "event_type",
+        "one",
+        "v",
+        64,
+        n_rows_hint=table_rows(sf_dir, "events"),
+    )
     cut = F.expr("__na div 10")
     below = F.col("__cuma") - F.col("__ca")
     bot = F.greatest(F.lit(0), F.least(F.col("__ca"), cut - below))
@@ -12649,7 +12662,13 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ts < F.col("mid")).alias("is_a"),
         cents("value").alias("v"),
     )
-    return mann_whitney_u(tagged, "event_type", "is_a", "v")
+    return mann_whitney_u(
+        tagged,
+        "event_type",
+        "is_a",
+        "v",
+        n_rows_hint=table_rows(sf_dir, "events"),
+    )
 
 
 def _mann_whitney_sql() -> str:
@@ -13225,7 +13244,14 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("is_en"),
         F.col("n_chars").alias("v"),
     )
-    return gini_stump(docs, "source", "is_en", "v", 64)
+    return gini_stump(
+        docs,
+        "source",
+        "is_en",
+        "v",
+        64,
+        n_rows_hint=table_rows(sf_dir, "documents"),
+    )
 
 
 Q_DECISION_STUMP_SQL = """
@@ -13999,7 +14025,14 @@ def q_info_gain_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(unix_millis(ts) div 86400000) % 7 IN (2, 3)").alias("is_we"),
         cents("value").alias("v"),
     )
-    cum = _ecdf_cums(tagged, "event_type", "is_we", "v", 64)
+    cum = _ecdf_cums(
+        tagged,
+        "event_type",
+        "is_we",
+        "v",
+        64,
+        n_rows_hint=table_rows(sf_dir, "events"),
+    )
 
     def term(cnt, tot):
         return F.when(cnt == 0, F.lit(0.0)).otherwise(

@@ -260,3 +260,30 @@ def test_grouped_topk_equals_banded_rank_filter(spark):
         .select("source", "n_chars", "doc_id", "rk")
     )
     assert fast == slow and len(fast) > 0
+
+
+def test_ecdf_cums_single_task_equals_ladder(spark):
+    """The one-task ECDF twin must reproduce the banded ladder's full
+    column set exactly: per-(key, value) ca/cb, inclusive cumulative
+    counts, key totals, bands and band offsets."""
+    from flink_essentials_spark.functions import timeseries as ts
+    from flink_essentials_spark.queries.util import cents
+    from flink_essentials_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        cents("value").alias("v"),
+    )
+    cols = [
+        "__k", "__v", "__ca", "__cb", "__lo", "__hi", "__na", "__nb",
+        "__band", "__oa", "__ob", "__cuma", "__cumb",
+    ]
+    fast = _rows(
+        ts._ecdf_cums_single_task(ev, "event_type", "is_a", "v", 64)
+        .select(*cols)
+    )
+    slow = _rows(
+        ts._ecdf_cums(ev, "event_type", "is_a", "v", 64).select(*cols)
+    )
+    assert fast == slow and len(fast) > 0
