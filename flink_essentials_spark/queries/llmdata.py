@@ -9413,14 +9413,28 @@ def q_welch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.functions.timeseries import welch_t
     from flink_essentials_spark.queries.util import cents
 
+    from flink_essentials_spark.tables import ts_bounds_ms
+
     ev = load_tables(spark, sf_dir)["events"]
     ts = F.unix_millis(F.col("ts"))
-    b = ev.agg(
-        F.floor((F.min(ts) + F.max(ts)) / F.lit(2)).cast("long").alias("mid")
-    )
-    tagged = ev.crossJoin(F.broadcast(b)).select(
+    # integer-midpoint epoch from parquet footer stats (~ms, exact
+    # min/max) — replaces a full-scan bounds aggregate AND the one-row
+    # crossJoin it fed (r15; floor((lo+hi)/2) on exact doubles below
+    # 2^53 equals (lo+hi)//2, the identical oracle arithmetic); the
+    # Spark aggregate stays the stats-absent fallback
+    fb = ts_bounds_ms(sf_dir)
+    if fb is not None:
+        mid = F.lit((fb[0] + fb[1]) // 2)
+    else:
+        row = ev.agg(
+            F.floor((F.min(ts) + F.max(ts)) / F.lit(2))
+            .cast("long")
+            .alias("mid")
+        ).first()
+        mid = F.lit(row["mid"])
+    tagged = ev.select(
         "event_type",
-        (ts < F.col("mid")).alias("is_a"),
+        (ts < mid).alias("is_a"),
         cents("value").alias("v"),
     )
     return welch_t(tagged, "event_type", "is_a", "v")
@@ -9715,14 +9729,28 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.functions.timeseries import ks_two_sample
     from flink_essentials_spark.queries.util import cents
 
+    from flink_essentials_spark.tables import ts_bounds_ms
+
     ev = load_tables(spark, sf_dir)["events"]
     ts = F.unix_millis(F.col("ts"))
-    b = ev.agg(
-        F.floor((F.min(ts) + F.max(ts)) / F.lit(2)).cast("long").alias("mid")
-    )
-    tagged = ev.crossJoin(F.broadcast(b)).select(
+    # integer-midpoint epoch from parquet footer stats (~ms, exact
+    # min/max) — replaces a full-scan bounds aggregate AND the one-row
+    # crossJoin it fed (r15; floor((lo+hi)/2) on exact doubles below
+    # 2^53 equals (lo+hi)//2, the identical oracle arithmetic); the
+    # Spark aggregate stays the stats-absent fallback
+    fb = ts_bounds_ms(sf_dir)
+    if fb is not None:
+        mid = F.lit((fb[0] + fb[1]) // 2)
+    else:
+        row = ev.agg(
+            F.floor((F.min(ts) + F.max(ts)) / F.lit(2))
+            .cast("long")
+            .alias("mid")
+        ).first()
+        mid = F.lit(row["mid"])
+    tagged = ev.select(
         "event_type",
-        (ts < F.col("mid")).alias("is_a"),
+        (ts < mid).alias("is_a"),
         cents("value").alias("v"),
     )
     return ks_two_sample(
@@ -12652,14 +12680,28 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_essentials_spark.functions.timeseries import mann_whitney_u
     from flink_essentials_spark.queries.util import cents
 
+    from flink_essentials_spark.tables import ts_bounds_ms
+
     ev = load_tables(spark, sf_dir)["events"]
     ts = F.unix_millis(F.col("ts"))
-    b = ev.agg(
-        F.floor((F.min(ts) + F.max(ts)) / F.lit(2)).cast("long").alias("mid")
-    )
-    tagged = ev.crossJoin(F.broadcast(b)).select(
+    # integer-midpoint epoch from parquet footer stats (~ms, exact
+    # min/max) — replaces a full-scan bounds aggregate AND the one-row
+    # crossJoin it fed (r15; floor((lo+hi)/2) on exact doubles below
+    # 2^53 equals (lo+hi)//2, the identical oracle arithmetic); the
+    # Spark aggregate stays the stats-absent fallback
+    fb = ts_bounds_ms(sf_dir)
+    if fb is not None:
+        mid = F.lit((fb[0] + fb[1]) // 2)
+    else:
+        row = ev.agg(
+            F.floor((F.min(ts) + F.max(ts)) / F.lit(2))
+            .cast("long")
+            .alias("mid")
+        ).first()
+        mid = F.lit(row["mid"])
+    tagged = ev.select(
         "event_type",
-        (ts < F.col("mid")).alias("is_a"),
+        (ts < mid).alias("is_a"),
         cents("value").alias("v"),
     )
     return mann_whitney_u(
