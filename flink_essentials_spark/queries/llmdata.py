@@ -4888,14 +4888,24 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cents("value") / F.lit(10000)).alias("bucket"),
     )
     # floor-div midpoint: Spark cast-long TRUNCATES while DuckDB CAST
-    # ROUNDS — explicit floor keeps an odd (min+max) from moving mid
-    bounds = ev.agg(
-        F.floor((F.min("ts_ms") + F.max("ts_ms")) / F.lit(2))
-        .cast("long")
-        .alias("mid")
-    )
+    # ROUNDS — explicit floor keeps an odd (min+max) from moving mid.
+    # Footer-derived literal (r15, the ks_drift fix): no bounds scan,
+    # no one-row crossJoin; Spark aggregate stays the fallback.
+    from flink_essentials_spark.tables import ts_bounds_ms
+
+    fb = ts_bounds_ms(sf_dir)
+    if fb is not None:
+        mid = F.lit((fb[0] + fb[1]) // 2)
+    else:
+        mid = F.lit(
+            ev.agg(
+                F.floor((F.min("ts_ms") + F.max("ts_ms")) / F.lit(2))
+                .cast("long")
+                .alias("mid")
+            ).first()["mid"]
+        )
     g = (
-        ev.crossJoin(F.broadcast(bounds))
+        ev.withColumn("mid", mid)
         .groupBy("bucket")
         .agg(
             F.sum((F.col("ts_ms") < F.col("mid")).cast("long")).alias("n_a"),
@@ -11902,13 +11912,22 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"].select(
         "event_type", F.unix_millis(F.col("ts")).alias("ts_ms")
     )
-    b = ev.agg(
-        F.floor((F.min("ts_ms") + F.max("ts_ms")) / F.lit(2))
-        .cast("long")
-        .alias("mid")
-    )
+    # footer-derived midpoint literal (r15, the ks_drift fix)
+    from flink_essentials_spark.tables import ts_bounds_ms
+
+    fb = ts_bounds_ms(sf_dir)
+    if fb is not None:
+        mid = F.lit((fb[0] + fb[1]) // 2)
+    else:
+        mid = F.lit(
+            ev.agg(
+                F.floor((F.min("ts_ms") + F.max("ts_ms")) / F.lit(2))
+                .cast("long")
+                .alias("mid")
+            ).first()["mid"]
+        )
     g = (
-        ev.crossJoin(F.broadcast(b))
+        ev.withColumn("mid", mid)
         .groupBy("event_type")
         .agg(
             F.sum((F.col("ts_ms") < F.col("mid")).cast("long")).alias("a"),
@@ -12355,12 +12374,19 @@ def q_wavelet_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"].select(
         "event_type", F.unix_millis(F.col("ts")).alias("ts_ms")
     )
-    b = ev.agg(
-        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
-    )
+    # footer-derived bounds literals (r15, the ks_drift fix)
+    from flink_essentials_spark.tables import ts_bounds_ms
+
+    fb = ts_bounds_ms(sf_dir)
+    if fb is None:
+        row = ev.agg(
+            F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+        ).first()
+        fb = (row["lo"], row["hi"])
     n = 16
     g = (
-        ev.crossJoin(F.broadcast(b))
+        ev.withColumn("lo", F.lit(fb[0]))
+        .withColumn("hi", F.lit(fb[1]))
         .select(
             "event_type",
             F.expr(f"((ts_ms - lo) * {n}) div (hi - lo + 1)").alias("b"),
@@ -12763,17 +12789,27 @@ def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact and the error are bit-identical cross-engine."""
     from flink_essentials_spark.functions.approx import cm_sketch
 
+    from flink_essentials_spark.tables import ts_bounds_ms
+
     ev = load_tables(spark, sf_dir)["events"].select(
         "user_id", F.unix_millis(F.col("ts")).alias("ts_ms")
     )
-    b = ev.agg(
-        F.floor((F.min("ts_ms") + F.max("ts_ms")) / F.lit(2))
-        .cast("long")
-        .alias("mid")
-    )
-    tagged = ev.crossJoin(F.broadcast(b)).localCheckpoint()
-    ra = tagged.filter(F.col("ts_ms") < F.col("mid"))
-    rb = tagged.filter(F.col("ts_ms") >= F.col("mid"))
+    # footer-derived midpoint literal (the ks_drift r15 fix): no
+    # bounds scan, no one-row crossJoin, and the checkpoint that
+    # existed to avoid re-running them is unnecessary — ra/rb are
+    # plain filtered scans now
+    fb = ts_bounds_ms(sf_dir)
+    if fb is not None:
+        mid = F.lit((fb[0] + fb[1]) // 2)
+    else:
+        row = ev.agg(
+            F.floor((F.min("ts_ms") + F.max("ts_ms")) / F.lit(2))
+            .cast("long")
+            .alias("mid")
+        ).first()
+        mid = F.lit(row["mid"])
+    ra = ev.filter(F.col("ts_ms") < mid)
+    rb = ev.filter(F.col("ts_ms") >= mid)
     sa = cm_sketch(ra, "user_id").withColumnRenamed("cnt", "ca")
     sb = cm_sketch(rb, "user_id").withColumnRenamed("cnt", "cb")
     dots = (
