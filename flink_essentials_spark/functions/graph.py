@@ -481,15 +481,20 @@ def _pagerank_single_task(
     weight_col: str | None,
     symmetrize: bool = False,
 ) -> DataFrame:
-    """Bounded single-task twin of :func:`pagerank` for INTEGER node
-    ids: the identical unnormalized recurrence — node set = distinct
-    sources, out-weights and per-iteration contribution sums as
-    bincounts (weights are integer-valued doubles at every caller, so
-    out-weights are exact; per-node rank sums carry the same
-    round(…,6)-absorbed last-ulp tolerance as the distributed
+    """Bounded single-task twin of :func:`pagerank` for INTEGER or
+    STRING node ids: the identical unnormalized recurrence — node set
+    = distinct sources, out-weights and per-iteration contribution
+    sums as bincounts (weights are integer-valued doubles at every
+    caller, so out-weights are exact; per-node rank sums carry the
+    same round(…,6)-absorbed last-ulp tolerance as the distributed
     aggregate), contributions to nodes outside the source set dropped
-    exactly as the node-set join does. Pinned equal by test."""
+    exactly as the node-set join does (node identity is EQUALITY —
+    the np ordering is only an index, so any sortable dtype works).
+    Pinned equal by test."""
+    from pyspark.sql.types import StringType
+
     d = float(damping)
+    is_str = isinstance(edges.schema[src].dataType, StringType)
 
     def work(batches):
         import numpy as np
@@ -499,8 +504,12 @@ def _pagerank_single_task(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ss.append(pdf["src"].to_numpy(np.int64))
-            ds.append(pdf["dst"].to_numpy(np.int64))
+            if is_str:
+                ss.append(pdf["src"].to_numpy())
+                ds.append(pdf["dst"].to_numpy())
+            else:
+                ss.append(pdf["src"].to_numpy(np.int64))
+                ds.append(pdf["dst"].to_numpy(np.int64))
             ws.append(pdf["w"].to_numpy(np.float64))
         if not ss:
             return
@@ -513,8 +522,10 @@ def _pagerank_single_task(
         nodes = np.unique(s)
         n = len(nodes)
         si = np.searchsorted(nodes, s)
-        ti = np.searchsorted(nodes, np.clip(t, nodes[0], nodes[-1]))
-        valid = nodes[ti] == t
+        ti = np.searchsorted(nodes, t)
+        oob = ti >= n
+        ti = np.where(oob, 0, ti)
+        valid = (~oob) & (nodes[ti] == t)
         outw = np.bincount(si, weights=w, minlength=n)
         r = np.ones(n, dtype=np.float64)
         for _ in range(int(iterations)):
@@ -527,12 +538,15 @@ def _pagerank_single_task(
         yield pd.DataFrame({"node": nodes, "rank": r})
 
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
+    node_cast = (lambda c: c) if is_str else (lambda c: c.cast("long"))
     e = edges.select(
-        F.col(src).cast("long").alias("src"),
-        F.col(dst).cast("long").alias("dst"),
+        node_cast(F.col(src)).alias("src"),
+        node_cast(F.col(dst)).alias("dst"),
         w.alias("w"),
     )
-    return e.coalesce(1).mapInPandas(work, "node long, rank double")
+    return e.coalesce(1).mapInPandas(
+        work, f"node {'string' if is_str else 'long'}, rank double"
+    )
 
 
 def pagerank(
@@ -586,15 +600,16 @@ def pagerank(
     twin (r14); the iterate-join ladder below is the above-bound
     shape.
     """
-    from pyspark.sql.types import IntegralType
+    from pyspark.sql.types import IntegralType, StringType
 
-    if (
-        single_task_ok(n_edges_hint, GRAPH_SINGLE_TASK_EDGES)
-        # the twin casts node ids to long — integer ids only (string
-        # ids would null out, float ids silently truncate)
-        and isinstance(edges.schema[src].dataType, IntegralType)
-        and isinstance(edges.schema[dst].dataType, IntegralType)
-    ):
+    st_, dt_ = edges.schema[src].dataType, edges.schema[dst].dataType
+    # integer ids cast exactly; string ids are handled natively (r15)
+    # — float ids would silently truncate, so no route; mixed types
+    # would not unify in the worker
+    twin_types = (
+        isinstance(st_, IntegralType) and isinstance(dt_, IntegralType)
+    ) or (isinstance(st_, StringType) and isinstance(dt_, StringType))
+    if single_task_ok(n_edges_hint, GRAPH_SINGLE_TASK_EDGES) and twin_types:
         return _pagerank_single_task(
             edges, iterations, damping, src, dst, weight_col, symmetrize
         )

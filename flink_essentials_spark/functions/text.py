@@ -1714,11 +1714,21 @@ def textrank_keywords(
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        # the vocabulary-sized edge list feeds both union directions
+        # AND the 3-round ladder re-reads it; materialize once, and
+        # the count (~ms on the checkpointed frame) gates pagerank's
+        # bounded single-task twin (string-id capable since r15)
+        .localCheckpoint()
     )
-    sym = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
-    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
-    ranks = pagerank(sym, iterations=iterations, damping=damping, weight_col="w")
+    n_e = edges.count()
+    ranks = pagerank(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w"),
+        iterations=iterations,
+        damping=damping,
+        weight_col="w",
+        n_edges_hint=2 * n_e,
+        symmetrize=True,
+    )
     return ranks.select(
         F.col("node").alias("word"), F.round("rank", 6).alias("rank")
     )

@@ -107,20 +107,33 @@ def test_item_cardinality_cap_raises():
         _check_item_cap(ASSOC_SINGLE_TASK_ITEMS + 1, "over")
 
 
-def test_pagerank_string_ids_take_distributed_path(spark):
-    """String node ids with a small n_edges_hint must NOT route to the
-    long-casting twin (r14 advice: the cast would null them out); the
-    distributed ladder handles any id type."""
+def test_pagerank_string_ids_twin_equals_distributed(spark, monkeypatch):
+    """String node ids route to the (r15 string-capable) twin and must
+    equal the distributed ladder; float ids must NOT route (silent
+    truncation — the r14 advice); hits still guards on IntegralType."""
     import flink_essentials_spark.functions.graph as g
 
     e = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
     )
-    out = g.pagerank(e, iterations=2, n_edges_hint=3)
-    rows = _rows(out.select("node", F.round("rank", 6).alias("rank")))
-    assert len(rows) == 3 and {r[0] for r in rows} == {"a", "b", "c"}
+    fast = _rows(
+        g.pagerank(e, iterations=2, n_edges_hint=3)
+        .select("node", F.round("rank", 6).alias("rank"))
+    )
+    monkeypatch.setenv("FES_FORCE_DISTRIBUTED", "1")
+    slow = _rows(
+        g.pagerank(e, iterations=2, n_edges_hint=3)
+        .select("node", F.round("rank", 6).alias("rank"))
+    )
+    monkeypatch.delenv("FES_FORCE_DISTRIBUTED")
+    assert fast == slow and {r[0] for r in fast} == {"a", "b", "c"}
     h = g.hits(e, iterations=1, n_edges_hint=3)
     assert h.count() == 3
+    ef = spark.createDataFrame(
+        [(1.5, 2.5), (2.5, 3.5)], ["src", "dst"]
+    )
+    out = g.pagerank(ef, iterations=1, n_edges_hint=2)
+    assert "MapInPandas" not in out._jdf.queryExecution().logical().toString()
 
 
 def _events_sample(spark):
