@@ -1021,11 +1021,54 @@ def ams_f2(
     )
 
 
+def _exact_quantiles_single_task(
+    df: DataFrame, value_col: str, qs: list[tuple[int, int]]
+) -> DataFrame:
+    """Bounded single-task twin of :func:`exact_quantiles`: one
+    np.sort of the (bounded) value column picks every ceil(q·n)-th
+    smallest directly — the identical exact selection, zero
+    refinement rounds. Pinned equal by test."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("q_num", T.LongType()),
+            T.StructField("q_den", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("value", T.LongType()),
+        ]
+    )
+    qlist = [(int(a), int(b)) for a, b in qs]
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p["__v"].to_numpy(np.int64) for p in batches if len(p)]
+        if not parts:
+            return
+        v = np.sort(np.concatenate(parts))
+        n = len(v)
+        rows = [
+            (a, b, n, int(v[(n * a + b - 1) // b - 1]))
+            for a, b in qlist
+        ]
+        yield pd.DataFrame(rows, columns=["q_num", "q_den", "n", "value"])
+
+    return (
+        df.select(F.col(value_col).cast("long").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .coalesce(1)
+        .mapInPandas(work, schema)
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,
     qs: list[tuple[int, int]],
     buckets: int = 4096,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """EXACT distributed quantiles in O(log_B(domain)) bounded passes —
     the histogram-refinement descendant of Munro & Paterson 1980
@@ -1051,8 +1094,18 @@ def exact_quantiles(
     ReusedExchange across rounds); on a parquet source at cluster
     scale the alternative is re-scanning with the BETWEEN filter
     pushed to row-group stats — later rounds then touch a vanishing
-    fraction of the files. Returns (q_num, q_den, n, value)."""
+    fraction of the files. Returns (q_num, q_den, n, value).
+
+    ``n_rows_hint`` under 2^20 routes to the bounded single-task twin
+    (one np.sort — the refinement rounds are scheduling overhead at
+    bench SFs; r15); the multi-pass ladder below is the above-bound
+    shape."""
     from pyspark.sql import types as T
+
+    from flink_essentials_spark.routing import single_task_ok
+
+    if single_task_ok(n_rows_hint, 1 << 20):
+        return _exact_quantiles_single_task(df, value_col, qs)
 
     v = (
         df.select(F.col(value_col).cast("long").alias("__v"))

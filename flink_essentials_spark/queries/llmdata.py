@@ -9828,7 +9828,12 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"].select(
         cents("value").alias("v")
     )
-    return exact_quantiles(ev, "v", [(1, 2), (19, 20), (99, 100)])
+    return exact_quantiles(
+        ev,
+        "v",
+        [(1, 2), (19, 20), (99, 100)],
+        n_rows_hint=table_rows(sf_dir, "events"),
+    )
 
 
 def _exact_quantiles_sql() -> str:

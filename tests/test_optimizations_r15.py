@@ -300,3 +300,20 @@ def test_ecdf_cums_single_task_equals_ladder(spark):
         ts._ecdf_cums(ev, "event_type", "is_a", "v", 64).select(*cols)
     )
     assert fast == slow and len(fast) > 0
+
+
+def test_exact_quantiles_single_task_equals_ladder(spark):
+    """The one-np.sort quantile twin must equal the multi-pass
+    histogram-refinement ladder exactly (both pick the true
+    ceil(q*n)-th smallest integer)."""
+    from flink_essentials_spark.functions import approx
+    from flink_essentials_spark.queries.util import cents
+    from flink_essentials_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        cents("value").alias("v")
+    )
+    qs = [(1, 2), (19, 20), (99, 100)]
+    fast = _rows(approx._exact_quantiles_single_task(ev, "v", qs))
+    slow = _rows(approx.exact_quantiles(ev, "v", qs))
+    assert fast == slow and len(fast) == 3
