@@ -1517,7 +1517,14 @@ def degree_assortativity(
     Plan: two degree aggregates + two broadcast-joined lookups + ONE
     moment aggregate — linear in |E|, no iteration. Returns one row
     (m, num, denx, deny, assortativity)."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    # e feeds THREE differing consumers (both degree aggregates and
+    # the moment join) — no ReusedExchange; one materialization cuts
+    # the distinct pass from 3 runs to 1 (r15)
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
     outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("x"))
     ind = e.groupBy("d").agg(F.count(F.lit(1)).alias("y"))
     j = e.join(F.broadcast(outd), "s").join(F.broadcast(ind), "d")
