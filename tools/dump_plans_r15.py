@@ -24,6 +24,10 @@ NAMES = [
     "gini_lengths", "length_percentiles", "ddsketch_quantiles",
     "dedup_clusters", "kneser_ney_lm", "dsir_weights",
     "lpa_communities", "capped_sessions",
+    "exact_quantiles", "textrank_keywords", "cm_join_size",
+    "psi_drift", "chi2_independence", "wavelet_synopsis",
+    "welch_drift", "ks_drift", "mann_whitney", "decision_stump",
+    "info_gain_stump", "degree_assortativity",
 ]
 SF = "/root/testdata/sf0.001"
 for n in NAMES:
