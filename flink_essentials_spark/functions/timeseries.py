@@ -515,9 +515,12 @@ def _banded_rank_single_task(
         rank_sorted = (
             np.arange(n, dtype=np.int64) - np.repeat(starts, sizes) + 1
         )
-        rank = np.empty(n, dtype=np.int64)
-        rank[order] = rank_sorted
-        pdf[rank_col] = rank
+        # emit in (key, value, tiebreaks) order — the physical order
+        # the window ladder produces (row order is not a declared
+        # result, but downstream collect()-order assumptions keep
+        # holding; r15: an rrf reference test relied on it)
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        pdf[rank_col] = rank_sorted
         yield pdf
 
     return df.coalesce(1).mapInPandas(work, schema)
